@@ -1,0 +1,122 @@
+"""Derived logical tables: clicks / news / tweets from the driver fixtures.
+
+The reference consumes three input tables (SURVEY.md §1.2): a 4-column
+click log (TextRank.java:332-334, HotTopics.java:83-86), a news corpus
+(TextRank.java:63-65), and tweets (TextRank.java:107,120-122). The
+driver fixtures don't ship those tables directly, so FIXTURES.md §B maps
+them onto ``events`` and ``documents`` with **pinned deterministic
+derivations**. Every derivation exists twice — a Spark builder and a
+DuckDB CTE string — and the two must stay in lockstep: the driver's
+correctness gate hashes Spark output against DuckDB output.
+
+Pinned constants:
+
+- ``NEWS_MOD = 500``: ``news_id = event_id % 500`` — doc_ids 0..499
+  exist at every scale factor, so every click maps to a real news row.
+- ``USER_MOD = 50``: tweet author ``user_id = doc_id % 50`` — overlaps
+  the events ``user_id`` range at every SF, so semi-joins are non-empty.
+- ``DATE0 = 2024-01-01``, ``DATE_MOD = 30``: news/tweet date =
+  ``DATE0 + doc_id % 30`` — spans the same 30-day window as events.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .io import read_parquet_table
+
+NEWS_MOD = 500
+USER_MOD = 50
+DATE_MOD = 30
+DATE0 = "2024-01-01"
+
+
+def load_raw(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return read_parquet_table(spark, sf_dir, name)
+
+
+# ---------------------------------------------------------------- clicks
+
+def clicks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """clicks(user_id, news_id, date, cnt) ← events with
+    event_type='click'. The predicate and 3-column projection push down
+    to the parquet scan."""
+    ev = load_raw(spark, sf_dir, "events")
+    return ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id"),
+        (F.col("event_id") % NEWS_MOD).alias("news_id"),
+        F.to_date("ts").alias("date"),
+        F.lit(1).cast("int").alias("cnt"),
+    )
+
+
+CLICKS_CTE = f"""clicks AS (
+  SELECT user_id,
+         event_id % {NEWS_MOD} AS news_id,
+         CAST(ts AS DATE) AS date,
+         CAST(1 AS INTEGER) AS cnt
+  FROM events
+  WHERE event_type = 'click'
+)"""
+
+
+# ------------------------------------------------------------------ news
+
+def news(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """news(news_id, date, title, description, content) ← documents.
+    title/description are deterministic token slices of the text so the
+    per-field term weighting (TF_IDF.java:58-60) has three real fields."""
+    docs = load_raw(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    return docs.select(
+        F.col("doc_id").alias("news_id"),
+        F.date_add(
+            F.to_date(F.lit(DATE0)), (F.col("doc_id") % DATE_MOD).cast("int")
+        ).alias("date"),
+        F.array_join(F.slice(toks, 1, 4), " ").alias("title"),
+        F.array_join(F.slice(toks, 5, 8), " ").alias("description"),
+        F.col("text").alias("content"),
+    )
+
+
+NEWS_CTE = f"""news AS (
+  SELECT doc_id AS news_id,
+         DATE '{DATE0}' + CAST(doc_id % {DATE_MOD} AS INTEGER) AS date,
+         array_to_string(string_split(text, ' ')[1:4], ' ') AS title,
+         array_to_string(string_split(text, ' ')[5:12], ' ') AS description,
+         text AS content
+  FROM documents
+)"""
+
+
+# ---------------------------------------------------------------- tweets
+
+def tweets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """tweets(tweet_id, user_id, date, content) ← documents with a
+    pinned author derivation."""
+    docs = load_raw(spark, sf_dir, "documents")
+    return docs.select(
+        F.col("doc_id").alias("tweet_id"),
+        (F.col("doc_id") % USER_MOD).alias("user_id"),
+        F.date_add(
+            F.to_date(F.lit(DATE0)), (F.col("doc_id") % DATE_MOD).cast("int")
+        ).alias("date"),
+        F.col("text").alias("content"),
+    )
+
+
+TWEETS_CTE = f"""tweets AS (
+  SELECT doc_id AS tweet_id,
+         doc_id % {USER_MOD} AS user_id,
+         DATE '{DATE0}' + CAST(doc_id % {DATE_MOD} AS INTEGER) AS date,
+         text AS content
+  FROM documents
+)"""
+
+
+def with_ctes(body: str, *ctes: str) -> str:
+    """Compose a DuckDB oracle query from CTE snippets + a final body."""
+    if not ctes:
+        return body
+    return "WITH " + ",\n".join(ctes) + "\n" + body
