@@ -71,7 +71,13 @@ def fuzzy_overlap(k1: Mapping[str, float] | None, k2: Mapping[str, float] | None
 
 def boolean_overlap(k1: list[str] | None, k2: list[str] | None) -> float:
     """F7 ``CosineSimilarity.computeBoolean`` (CosineSimilarity.java:10-49):
-    string-list F5 with null/empty guards."""
+    string-list F5 with null/empty guards.
+
+    Documented divergence: the reference double-counts duplicate words
+    within ``keywords1`` when building the union, inflating the
+    denominators; here inputs are deduped via sets. In-pipeline inputs
+    are keyword lists from ``vote()``/top-K, which are distinct by
+    construction, so the paths agree on real data."""
     s1 = {w for w in (k1 or []) if w}
     s2 = {w for w in (k2 or []) if w}
     if not s1 or not s2:
@@ -176,11 +182,15 @@ def dot_product_sql(k1: str | Column, k2: str | Column) -> Column:
     c1 = F.col(k1) if isinstance(k1, str) else k1
     c2 = F.col(k2) if isinstance(k2, str) else k2
     zipped = F.map_zip_with(c1, c2, lambda _, v1, v2: v1 * v2)
-    return F.aggregate(
+    total = F.aggregate(
         F.filter(F.map_values(zipped), lambda v: v.isNotNull()),
         F.lit(0.0),
         lambda acc, v: acc + v,
     )
+    # map_zip_with propagates NULL maps; the kernel contract (and the
+    # pandas-UDF twin) scores missing/empty inputs 0.0 so a downstream
+    # `score > 0` filter treats them identically.
+    return F.coalesce(total, F.lit(0.0))
 
 
 def calculate_x_sql(k1: str | Column, k2: str | Column) -> Column:

@@ -25,11 +25,13 @@ import datetime as dt
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..config import TODAY
+from ..config import DEFAULT_SCENE, TODAY
 from ..registry import register
 from ..sources import CLICKS_CTE, NEWS_CTE, clicks, news, with_ctes
 
-NUM_DAYS = 7
+#: Single source of truth is the configured scene (config.py) — keeping
+#: these as module constants only for oracle-string interpolation.
+NUM_DAYS = DEFAULT_SCENE.num_days
 
 
 def date_eq(c: Column, day: dt.date) -> Column:
@@ -67,8 +69,13 @@ FROM clicks WHERE date = DATE '{TODAY}'""",
     ),
 )
 def p2_clicks_today(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """P2 (TextRank.java:239-244): keep clicks whose day equals today."""
-    return clicks(spark, sf_dir).filter(date_eq(F.col("date"), TODAY))
+    """P2 (TextRank.java:239-244): keep clicks whose day equals today.
+
+    The date bound is passed into :func:`clicks` so it is applied as a
+    raw-``ts`` long range that pushes down into the parquet scan — a
+    predicate on the derived ``to_date`` column never would (100 TB:
+    row-group pruning vs full scan)."""
+    return clicks(spark, sf_dir, date_from=TODAY, date_to=TODAY)
 
 
 _P3_START = TODAY - dt.timedelta(days=NUM_DAYS - 1)
@@ -83,8 +90,9 @@ FROM clicks WHERE date BETWEEN DATE '{_P3_START}' AND DATE '{TODAY}'""",
     ),
 )
 def p3_clicks_trailing_window(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """P3 (HotTopics.java:68-74): trailing N-day click zone."""
-    return clicks(spark, sf_dir).filter(trailing_zone(F.col("date"), TODAY, NUM_DAYS))
+    """P3 (HotTopics.java:68-74): trailing N-day click zone, pushed down
+    as a raw-``ts`` range (see :func:`p2_clicks_today`)."""
+    return clicks(spark, sf_dir, date_from=_P3_START, date_to=TODAY)
 
 
 _P4_DAY = dt.date(2024, 1, 10)
@@ -104,7 +112,7 @@ def p4_news_leading_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     return news(spark, sf_dir).filter(leading_zone(F.col("date"), _P4_DAY, NUM_DAYS))
 
 
-_P5_FROM = dt.date(2024, 1, 8)
+_P5_FROM = DEFAULT_SCENE.from_date
 
 
 @register(
@@ -116,8 +124,9 @@ FROM clicks WHERE date BETWEEN DATE '{_P5_FROM}' AND DATE '{TODAY}'""",
     ),
 )
 def p5_clicks_loop_range(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """P5 (TF_IDF.java:133-138): DateLoopFilter range."""
-    return clicks(spark, sf_dir).filter(loop_range(F.col("date"), _P5_FROM, TODAY))
+    """P5 (TF_IDF.java:133-138): DateLoopFilter range, pushed down as a
+    raw-``ts`` range (see :func:`p2_clicks_today`)."""
+    return clicks(spark, sf_dir, date_from=_P5_FROM, date_to=TODAY)
 
 
 @register(

@@ -54,20 +54,41 @@ def oracles() -> dict[str, str]:
 _LOADED = False
 
 
+#: Modules that register queries on import. Missing ones are skipped so
+#: the registry degrades gracefully while coverage is being built out —
+#: a misspelled module name must never take down the whole catalogue.
+_QUERY_MODULES = (
+    "operators.filters",
+    "operators.aggregates",
+    "operators.ranking",
+    "operators.joins",
+    "operators.tfidf",
+    "operators.keywords",
+    "operators.dedup",
+    "operators.similarity",
+    "operators.textstats",
+    "operators.multimodal",
+    "plans.pipelines",
+)
+
+
 def _load_all() -> None:
     """Import every module that registers queries (idempotent)."""
     global _LOADED
     if _LOADED:
         return
-    from .operators import (  # noqa: F401
-        aggregates,
-        dedup,
-        filters,
-        joins,
-        ranking,
-        similarity,
-        textstats,
-    )
-    from .plans import pipelines  # noqa: F401
+    import importlib
+    import importlib.util
 
+    for mod in _QUERY_MODULES:
+        name = f"{__package__}.{mod}"
+        # Skip only modules that don't exist yet; a genuine import error
+        # inside an existing module must surface, not be swallowed.
+        try:
+            missing = importlib.util.find_spec(name) is None
+        except ModuleNotFoundError:  # parent package absent
+            missing = True
+        if missing:
+            continue
+        importlib.import_module(name)
     _LOADED = True

@@ -50,6 +50,12 @@ def get_spark(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
+        # Driver fixture events.parquet stores TIMESTAMP(NANOS), which
+        # Spark 4 rejects outright (PARQUET_TYPE_ILLEGAL) unless read as
+        # raw long nanos; sources/tables.py re-derives timestamps from
+        # the long. Bonus at scale: date predicates become raw-long
+        # range predicates that push down into the parquet scan.
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))

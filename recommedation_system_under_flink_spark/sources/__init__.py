@@ -16,8 +16,11 @@ from .tables import (
     NEWS_CTE,
     TWEETS_CTE,
     clicks,
+    date_to_nanos,
     load_raw,
     news,
+    ts_date,
+    ts_in_date_range,
     tweets,
     with_ctes,
 )
@@ -29,6 +32,9 @@ __all__ = [
     "news",
     "tweets",
     "load_raw",
+    "date_to_nanos",
+    "ts_date",
+    "ts_in_date_range",
     "CLICKS_CTE",
     "NEWS_CTE",
     "TWEETS_CTE",

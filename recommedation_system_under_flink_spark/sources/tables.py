@@ -21,7 +21,9 @@ Pinned constants:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+import datetime as dt
+
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .io import read_parquet_table
@@ -31,6 +33,8 @@ USER_MOD = 50
 DATE_MOD = 30
 DATE0 = "2024-01-01"
 
+_EPOCH = dt.date(1970, 1, 1)
+
 
 def load_raw(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return read_parquet_table(spark, sf_dir, name)
@@ -38,15 +42,60 @@ def load_raw(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 # ---------------------------------------------------------------- clicks
 
-def clicks(spark: SparkSession, sf_dir: str) -> DataFrame:
+def date_to_nanos(day: dt.date) -> int:
+    """Midnight UTC of ``day`` as epoch nanoseconds (the raw ``ts``
+    representation under ``spark.sql.legacy.parquet.nanosAsLong``)."""
+    return (day - _EPOCH).days * 86_400_000_000_000
+
+
+def ts_date(c: Column | str = "ts") -> Column:
+    """Derive a day-granularity date from the long-nanos ``ts`` column.
+
+    ``events.parquet`` stores TIMESTAMP(NANOS); the session reads it as a
+    raw long (session.py), so the calendar date is recovered via
+    micros → timestamp → date (session timezone pinned UTC, so this
+    matches DuckDB's native ``CAST(ts AS DATE)``)."""
+    c = F.col(c) if isinstance(c, str) else c
+    return F.to_date(F.timestamp_micros((c / 1000).cast("long")))
+
+
+def ts_in_date_range(
+    date_from: dt.date | None, date_to: dt.date | None, c: Column | str = "ts"
+) -> Column:
+    """Raw-long range predicate equivalent to
+    ``date_from <= ts_date(ts) <= date_to`` (bounds inclusive, open side
+    when ``None``). Because it compares the *stored* long column against
+    literals, Catalyst pushes it into the parquet scan (row-group
+    pruning) — a derived ``to_date`` predicate never would. This is the
+    scale-critical form: at 100 TB a day-window query must prune the
+    scan, not filter post-read."""
+    c = F.col(c) if isinstance(c, str) else c
+    cond = F.lit(True)
+    if date_from is not None:
+        cond = cond & (c >= F.lit(date_to_nanos(date_from)))
+    if date_to is not None:
+        cond = cond & (c < F.lit(date_to_nanos(date_to + dt.timedelta(days=1))))
+    return cond
+
+
+def clicks(
+    spark: SparkSession,
+    sf_dir: str,
+    date_from: dt.date | None = None,
+    date_to: dt.date | None = None,
+) -> DataFrame:
     """clicks(user_id, news_id, date, cnt) ← events with
-    event_type='click'. The predicate and 3-column projection push down
-    to the parquet scan."""
+    event_type='click'. The event_type predicate, the optional raw-``ts``
+    date-range predicate, and the 3-column projection all push down to
+    the parquet scan (verify: ``PushedFilters`` in explain)."""
     ev = load_raw(spark, sf_dir, "events")
-    return ev.filter(F.col("event_type") == "click").select(
+    cond = F.col("event_type") == "click"
+    if date_from is not None or date_to is not None:
+        cond = cond & ts_in_date_range(date_from, date_to)
+    return ev.filter(cond).select(
         F.col("user_id"),
         (F.col("event_id") % NEWS_MOD).alias("news_id"),
-        F.to_date("ts").alias("date"),
+        ts_date("ts").alias("date"),
         F.lit(1).cast("int").alias("cnt"),
     )
 
