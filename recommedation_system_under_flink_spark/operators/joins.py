@@ -1,0 +1,311 @@
+"""J1-J4: joins (SURVEY §2.3) — the reference's Cartesian crosses as real joins.
+
+Every reference join is a manual nested-loop theta-join:
+``cross`` + a filtering flatMap over collected id lists
+(TextRank.java:103-110,246-279; TF_IDF.java:176-205). Spark-first
+replacements:
+
+- J1/J2 → **broadcast left-semi joins** on flat (date, user_id) rows —
+  no collected lists, no O(|L|·|R|) cross (TextRank.java:246-254,
+  TF_IDF.java:176-184; TextRank.java:103-110).
+- J3 → the scored all-pairs join, both ways (SURVEY §4.2):
+  (a) ``crossJoin(broadcast(news))`` + the F5 kernel as a Catalyst
+  expression — correct but O(users·news); kept as the naive twin.
+  (b) the **inverted-index equi-join**: F5's score is
+  ``|k1∩k2| / (|k1|·|k2|)``, computable from exploded keyword rows —
+  equi-join on ``term``, count matches per (user, news), divide by the
+  per-side keyword counts. The cross product is algebraically
+  eliminated; only pairs sharing ≥1 term are ever materialized, which
+  also subsumes the P6 ``score > 0`` filter (TextRank.java:275-278).
+- J4 → precision eval (absent ``PrecisionStats``, TextRank.java:354-368):
+  explode recommendations, inner-join today's clicks on
+  (user, news), aggregate (hits, total, precision).
+
+Scale notes (100 TB): J3(b) is THE scale path — shuffle keys are terms
+(bounded vocabulary × K keywords/doc), and the per-(user, news) result
+is sparse. Naive J3(a) materializes |users|·|news| rows per day and
+exists only as the cross-validation twin and bench contrast. The
+broadcast hints on the day-scoped sides (today's clickers, one day's
+news keywords) keep the big fact table shuffle-free.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..config import DEFAULT_SCENE, TODAY
+from ..functions.kernels import calculate_x_sql
+from ..registry import register
+from ..sources import CLICKS_CTE, NEWS_CTE, TWEETS_CTE, clicks, news, tweets, with_ctes
+from .filters import leading_zone, trailing_zone
+from .tfidf import (
+    _NEWS_KW_CTE,
+    _NEWS_TERMS_CTE,
+    _NEWS_TFIDF_CTE,
+    _TWEET_KW_CTE,
+    _TWEET_TERMS_CTE,
+    _TWEET_TFIDF_CTE,
+    _USER_KW_CTE,
+    a7_user_keywords,
+    a8_news_keywords_topk,
+)
+
+NUM_DAYS = DEFAULT_SCENE.num_days
+_WINDOW_START = TODAY - dt.timedelta(days=NUM_DAYS - 1)
+_LEAD_END = TODAY + dt.timedelta(days=NUM_DAYS - 1)
+
+#: All CTEs the tweet→user keyword chain needs, in dependency order.
+_USER_KW_CHAIN = (
+    TWEETS_CTE,
+    _TWEET_TERMS_CTE,
+    _TWEET_TFIDF_CTE,
+    _TWEET_KW_CTE,
+    _USER_KW_CTE,
+)
+_NEWS_KW_CHAIN = (NEWS_CTE, _NEWS_TERMS_CTE, _NEWS_TFIDF_CTE, _NEWS_KW_CTE)
+
+
+def today_clickers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct users with a click today (A1 slice, the J1 probe side)."""
+    return (
+        clicks(spark, sf_dir, date_from=TODAY, date_to=TODAY)
+        .select("user_id")
+        .distinct()
+    )
+
+
+# ------------------------------------------------------------------- J1
+
+@register(
+    "j1_user_docs_semijoin",
+    with_ctes(
+        f"""SELECT user_id, term, weight, rank FROM user_kw
+WHERE user_id IN (
+  SELECT DISTINCT user_id FROM clicks WHERE date = DATE '{TODAY}'
+)""",
+        CLICKS_CTE,
+        *_USER_KW_CHAIN,
+    ),
+)
+def j1_user_docs_semijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1 (TextRank.java:246-254, TF_IDF.java:176-184): keep user
+    keyword docs whose user clicked today. The reference crosses every
+    doc with a collected id list and probes ``contains``; here it is a
+    broadcast left-semi hash join on flat rows — the big side streams,
+    the day's clickers broadcast."""
+    return a7_user_keywords(spark, sf_dir).join(
+        F.broadcast(today_clickers(spark, sf_dir)), "user_id", "left_semi"
+    )
+
+
+# ------------------------------------------------------------------- J2
+
+@register(
+    "j2_tweets_semijoin",
+    with_ctes(
+        f"""SELECT tweet_id, user_id, date, content FROM tweets
+WHERE date BETWEEN DATE '{_WINDOW_START}' AND DATE '{TODAY}'
+  AND user_id IN (
+    SELECT DISTINCT user_id FROM clicks
+    WHERE date BETWEEN DATE '{_WINDOW_START}' AND DATE '{TODAY}'
+  )""",
+        CLICKS_CTE,
+        TWEETS_CTE,
+    ),
+)
+def j2_tweets_semijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2 (TextRank.java:103-110): window-filtered tweets of users who
+    clicked in the window. Filter pushes to the scan; the user set
+    broadcasts."""
+    window_users = (
+        clicks(spark, sf_dir, date_from=_WINDOW_START, date_to=TODAY)
+        .select("user_id")
+        .distinct()
+    )
+    return (
+        tweets(spark, sf_dir)
+        .filter(trailing_zone(F.col("date"), TODAY, NUM_DAYS))
+        .join(F.broadcast(window_users), "user_id", "left_semi")
+    )
+
+
+# ------------------------------------------------------------------- J3
+
+def _news_window_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """News keywords (corpus-wide TF-IDF, a8) restricted to the news
+    eligible for today — the P4 leading zone (TextRank.java:258-262)."""
+    eligible = (
+        news(spark, sf_dir)
+        .filter(leading_zone(F.col("date"), TODAY, NUM_DAYS))
+        .select("news_id")
+    )
+    return a8_news_keywords_topk(spark, sf_dir).join(
+        F.broadcast(eligible), "news_id", "left_semi"
+    )
+
+
+#: J3's SELECT body, exposed separately so plans/pipelines.py can embed
+#: it as a ``scored AS (...)`` CTE in the pipeline oracle.
+_J3_BODY = f"""SELECT i.user_id, i.news_id,
+       CAST(i.inter AS DOUBLE) / (su.n * sn.n) AS score
+FROM (
+  SELECT u.user_id, n.news_id, COUNT(*) AS inter
+  FROM (SELECT * FROM user_kw WHERE user_id IN
+          (SELECT DISTINCT user_id FROM clicks WHERE date = DATE '{TODAY}')) u
+  JOIN (SELECT k.* FROM news_kw k JOIN news ns ON k.news_id = ns.news_id
+        WHERE ns.date BETWEEN DATE '{TODAY}' AND DATE '{_LEAD_END}') n
+    ON u.term = n.term
+  GROUP BY u.user_id, n.news_id
+) i
+JOIN (SELECT user_id, COUNT(*) AS n FROM user_kw GROUP BY user_id) su
+  ON i.user_id = su.user_id
+JOIN (SELECT news_id, COUNT(*) AS n FROM news_kw GROUP BY news_id) sn
+  ON i.news_id = sn.news_id"""
+
+_J3_ORACLE = with_ctes(_J3_BODY, CLICKS_CTE, *_NEWS_KW_CHAIN, *_USER_KW_CHAIN)
+
+
+@register("j3_scored_join", _J3_ORACLE)
+def j3_scored_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3, inverted-index form (SURVEY §4.2) — the 100 TB path.
+
+    F5 ``calculateX`` = ``|k1∩k2| / (|k1|·|k2|)``
+    (CosineSimilarity.java:88-127) needs only the intersection size and
+    per-side keyword counts, so the all-pairs cross
+    (TextRank.java:258-279) collapses into an equi-join on ``term``:
+    only (user, news) pairs sharing a keyword are materialized, and the
+    P6 positive filter is satisfied by construction."""
+    user_kw = a7_user_keywords(spark, sf_dir).join(
+        F.broadcast(today_clickers(spark, sf_dir)), "user_id", "left_semi"
+    )
+    news_kw = _news_window_keywords(spark, sf_dir)
+
+    inter = (
+        user_kw.select("user_id", "term")
+        .join(F.broadcast(news_kw.select("news_id", "term")), "term")
+        .groupBy("user_id", "news_id")
+        .agg(F.count("*").alias("inter"))
+    )
+    user_sizes = (
+        a7_user_keywords(spark, sf_dir).groupBy("user_id").agg(F.count("*").alias("n_user"))
+    )
+    news_sizes = (
+        a8_news_keywords_topk(spark, sf_dir)
+        .groupBy("news_id")
+        .agg(F.count("*").alias("n_news"))
+    )
+    return (
+        inter.join(F.broadcast(user_sizes), "user_id")
+        .join(F.broadcast(news_sizes), "news_id")
+        .select(
+            "user_id",
+            "news_id",
+            (F.col("inter").cast("double") / (F.col("n_user") * F.col("n_news"))).alias(
+                "score"
+            ),
+        )
+    )
+
+
+@register("j3_scored_join_naive", _J3_ORACLE)
+def j3_scored_join_naive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3, naive twin: ``crossJoin(broadcast(news maps))`` + the F5
+    kernel as a Catalyst expression + P6 filter — structurally the
+    reference's plan (TextRank.java:258-279) with the small side
+    broadcast. Cross-validates the inverted-index form (same oracle);
+    benchmarked against it in bench.py."""
+    user_maps = (
+        j1_user_docs_semijoin(spark, sf_dir)
+        .groupBy("user_id")
+        .agg(
+            F.map_from_entries(F.collect_list(F.struct("term", "weight"))).alias("u_kw")
+        )
+    )
+    news_maps = (
+        _news_window_keywords(spark, sf_dir)
+        .groupBy("news_id")
+        .agg(
+            F.map_from_entries(F.collect_list(F.struct("term", "weight"))).alias("n_kw")
+        )
+    )
+    return (
+        user_maps.crossJoin(F.broadcast(news_maps))
+        .select(
+            "user_id",
+            "news_id",
+            calculate_x_sql("u_kw", "n_kw").alias("score"),
+        )
+        .filter(F.col("score") > 0)
+    )
+
+
+# ------------------------------------------------------------------- J4
+
+_J4_ORACLE = with_ctes(
+    f"""SELECT DATE '{TODAY}' AS date,
+       CAST(COALESCE(SUM(hit), 0) AS BIGINT) AS hits,
+       CAST(COUNT(*) AS BIGINT) AS total,
+       CAST(COALESCE(SUM(hit), 0) AS DOUBLE) / COUNT(*) AS precision
+FROM (
+  SELECT r.user_id, r.news_id,
+         CASE WHEN c.news_id IS NOT NULL THEN 1 ELSE 0 END AS hit
+  FROM (
+    SELECT user_id, news_id,
+           ROW_NUMBER() OVER (PARTITION BY user_id
+                              ORDER BY score DESC, news_id ASC) AS rank
+    FROM (SELECT user_id, news_id, CAST(SUM(cnt) AS DOUBLE) AS score
+          FROM clicks GROUP BY user_id, news_id)
+    QUALIFY rank <= {DEFAULT_SCENE.num_recommendations}
+  ) r
+  JOIN (SELECT DISTINCT user_id FROM clicks WHERE date = DATE '{TODAY}') a
+    ON r.user_id = a.user_id
+  LEFT JOIN (SELECT DISTINCT user_id, news_id FROM clicks
+             WHERE date = DATE '{TODAY}') c
+    ON r.user_id = c.user_id AND r.news_id = c.news_id
+)""",
+    CLICKS_CTE,
+)
+
+
+@register("j4_precision_eval", _J4_ORACLE)
+def j4_precision_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4 (``PrecisionStats``, TextRank.java:354-368): score the day's
+    recommendations against the day's actual clicks.
+
+    Pinned semantics (impl absent from the snapshot): for each user
+    active today, take their top-K recommended news (deterministic
+    click-affinity ranking, operators/ranking.py); a hit is a
+    recommended news the user actually clicked today; emit one
+    ``(date, hits, total, precision)`` row (StatItem shape,
+    TextRank.java:357-359)."""
+    from .ranking import K, _scores, top_k_rows
+
+    recs = top_k_rows(
+        _scores(spark, sf_dir), "user_id", [F.desc("score"), F.asc("news_id")], K
+    ).select("user_id", "news_id")
+    active = today_clickers(spark, sf_dir)
+    clicked = (
+        clicks(spark, sf_dir, date_from=TODAY, date_to=TODAY)
+        .select("user_id", "news_id")
+        .distinct()
+    )
+    scored = (
+        recs.join(F.broadcast(active), "user_id")
+        .join(
+            F.broadcast(clicked.withColumn("hit", F.lit(1))),
+            ["user_id", "news_id"],
+            "left",
+        )
+        .withColumn("hit", F.coalesce(F.col("hit"), F.lit(0)))
+    )
+    return scored.agg(
+        F.lit(TODAY).cast("date").alias("date"),
+        F.coalesce(F.sum("hit"), F.lit(0)).cast("long").alias("hits"),
+        F.count("*").cast("long").alias("total"),
+        (
+            F.coalesce(F.sum("hit"), F.lit(0)).cast("double") / F.count("*")
+        ).alias("precision"),
+    )

@@ -1,0 +1,288 @@
+"""A5-A8: the TF-IDF keyword chain (SURVEY §2.4), pure relational form.
+
+The reference's chain (TF_IDF.java:56-119) is: per-field weighted term
+extraction (A6, absent ``generateTermDataSet`` — field weights read at
+TF_IDF.java:58-60), corpus TF-IDF (A5, absent ``TermModel.countTFIDF``
+with doc-count passed as a constant, TF_IDF.java:61,90), top-K keywords
+per document (A8, ``Utils.firstN`` at TF_IDF.java:74,97), and the
+per-user merge of tweet keywords (A7, absent ``generateUserKeywords``,
+TF_IDF.java:110,133).
+
+Everything here stays inside whole-stage codegen — the tokenizer is the
+pinned F1 regex applied via ``split``/``explode`` (no Python UDF), so
+the whole chain is Catalyst-optimizable and DuckDB-oracle-checkable.
+
+Scale notes (100 TB):
+
+- Term explosion multiplies rows by avg tokens/doc; every downstream
+  aggregate is a map-side-combinable hash agg keyed on (doc, term) or
+  (term), so shuffles carry distinct keys only.
+- The corpus doc-count N joins in as a **broadcast of a 1-row
+  aggregate** — never a driver-side ``collect`` (the reference bakes N
+  in as a driver constant, TF_IDF.java:61; a literal would force plan
+  recompilation per corpus).
+- df (document frequency) is a ``count_distinct`` per term — the one
+  potentially skewed key set (ultra-common terms). Partial aggregation
+  handles it; at extreme skew AQE's skew-join handling applies to the
+  df join.
+- Top-K per doc uses ``row_number() <= K`` → WindowGroupLimit pushdown
+  (see operators/ranking.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..config import DEFAULT_SCENE
+from ..functions.text import STOPWORDS, TOKEN_SPLIT_REGEX
+from ..registry import register
+from ..sources import NEWS_CTE, TWEETS_CTE, news, tweets, with_ctes
+
+K_NEWS = DEFAULT_SCENE.num_news_keywords
+K_USER = DEFAULT_SCENE.num_user_keywords
+
+_STOP_SQL = ", ".join(f"'{w}'" for w in STOPWORDS)
+
+
+# ----------------------------------------------------------- tokenizer (SQL)
+
+def sql_tokens(df: DataFrame, id_col: str, text_col: str | Column, weight: float) -> DataFrame:
+    """F1 tokenizer in relational form: lowercase → regex split → drop
+    empties and stopwords; one output row per token occurrence with the
+    field weight attached. Identical semantics to functions.text.tokenize
+    (same pinned regex + stop list)."""
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    return (
+        df.select(
+            F.col(id_col),
+            F.explode(F.split(F.lower(c), TOKEN_SPLIT_REGEX)).alias("term"),
+        )
+        .filter((F.col("term") != "") & ~F.col("term").isin(*STOPWORDS))
+        .withColumn("w", F.lit(weight))
+    )
+
+
+def _tokens_cte(table: str, id_col: str, text_col: str, weight: float) -> str:
+    """DuckDB twin of :func:`sql_tokens` (one field)."""
+    return f"""(
+    SELECT {id_col}, term, {weight} AS w FROM (
+      SELECT {id_col},
+             unnest(string_split_regex(lower({text_col}), '{TOKEN_SPLIT_REGEX}')) AS term
+      FROM {table}
+    ) WHERE term <> '' AND term NOT IN ({_STOP_SQL})
+  )"""
+
+
+# ------------------------------------------------- A6: weighted news terms
+
+_NEWS_TERMS_CTE = f"""news_terms AS (
+  SELECT news_id, term, CAST(SUM(w) AS DOUBLE) AS tf FROM (
+    SELECT * FROM {_tokens_cte("news", "news_id", "title", DEFAULT_SCENE.title_weight)}
+    UNION ALL
+    SELECT * FROM {_tokens_cte("news", "news_id", "description", DEFAULT_SCENE.description_weight)}
+    UNION ALL
+    SELECT * FROM {_tokens_cte("news", "news_id", "content", DEFAULT_SCENE.content_weight)}
+  ) GROUP BY news_id, term
+)"""
+
+
+def news_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6 (TF_IDF.java:58-65): tokenize each news field, weight term
+    occurrences by field (title 3 / description 2 / content 1,
+    TF_IDF.java:58-60), sum into per-(doc, term) tf."""
+    n = news(spark, sf_dir)
+    fields = (
+        ("title", DEFAULT_SCENE.title_weight),
+        ("description", DEFAULT_SCENE.description_weight),
+        ("content", DEFAULT_SCENE.content_weight),
+    )
+    parts = [sql_tokens(n, "news_id", f, w) for f, w in fields]
+    allterms = parts[0].unionByName(parts[1]).unionByName(parts[2])
+    return allterms.groupBy("news_id", "term").agg(F.sum("w").alias("tf"))
+
+
+@register(
+    "a6_news_weighted_terms",
+    with_ctes("SELECT news_id, term, tf FROM news_terms", NEWS_CTE, _NEWS_TERMS_CTE),
+)
+def a6_news_weighted_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return news_terms(spark, sf_dir)
+
+
+# ------------------------------------------------------- A5: corpus TF-IDF
+
+def tfidf(terms: DataFrame, doc_col: str, corpus: DataFrame) -> DataFrame:
+    """A5 (TF_IDF.java:61,66,90,95): ``weight = tf · ln(N / df)``.
+
+    ``N`` (corpus size) is a broadcast 1-row aggregate; ``df`` per term
+    is a broadcast-joined count-distinct. Both sides of the df join are
+    pre-aggregated, so the join input is O(|vocabulary|)."""
+    n_docs = corpus.agg(F.count_distinct(doc_col).alias("n_docs"))
+    df_per_term = terms.groupBy("term").agg(
+        F.count_distinct(doc_col).alias("df")
+    )
+    return (
+        terms.join(F.broadcast(df_per_term), "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            F.col(doc_col),
+            "term",
+            (
+                F.col("tf")
+                * F.log(F.col("n_docs").cast("double") / F.col("df"))
+            ).alias("weight"),
+        )
+    )
+
+
+_NEWS_TFIDF_CTE = """news_tfidf AS (
+  SELECT t.news_id, t.term,
+         t.tf * ln(CAST(n.n_docs AS DOUBLE) / d.df) AS weight
+  FROM news_terms t
+  JOIN (SELECT term, COUNT(DISTINCT news_id) AS df FROM news_terms GROUP BY term) d
+    ON t.term = d.term
+  CROSS JOIN (SELECT COUNT(DISTINCT news_id) AS n_docs FROM news) n
+)"""
+
+
+@register(
+    "a5_news_tfidf",
+    with_ctes(
+        "SELECT news_id, term, weight FROM news_tfidf",
+        NEWS_CTE,
+        _NEWS_TERMS_CTE,
+        _NEWS_TFIDF_CTE,
+    ),
+)
+def a5_news_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5 over the news corpus: full (doc, term, tfidf-weight) relation."""
+    return tfidf(news_terms(spark, sf_dir), "news_id", news(spark, sf_dir))
+
+
+# ------------------------------------------- A8: top-K keywords per document
+
+def topk_keywords(weighted: DataFrame, doc_col: str, k: int) -> DataFrame:
+    """A8 (``Utils.firstN``, TF_IDF.java:74,97): top-K terms per doc by
+    weight, ties broken by term (pinned total order, SURVEY §2.5)."""
+    w = Window.partitionBy(doc_col).orderBy(F.desc("weight"), F.asc("term"))
+    return (
+        weighted.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+_NEWS_KW_CTE = f"""news_kw AS (
+  SELECT news_id, term, weight,
+         ROW_NUMBER() OVER (PARTITION BY news_id ORDER BY weight DESC, term ASC) AS rank
+  FROM news_tfidf
+  QUALIFY rank <= {K_NEWS}
+)"""
+
+
+@register(
+    "a8_news_keywords_topk",
+    with_ctes(
+        "SELECT news_id, term, weight, rank FROM news_kw",
+        NEWS_CTE,
+        _NEWS_TERMS_CTE,
+        _NEWS_TFIDF_CTE,
+        _NEWS_KW_CTE,
+    ),
+)
+def a8_news_keywords_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A8 over news: the keyword relation consumed by the scored join J3
+    (flat rows, not maps — the inverted-index J3 consumes it directly)."""
+    return topk_keywords(a5_news_tfidf(spark, sf_dir), "news_id", K_NEWS)
+
+
+# ------------------------------------------------- A7: per-user keywords
+
+#: Tweet-side chain (content only, weight 1.0 — tweets have one field).
+_TWEET_TERMS_CTE = f"""tweet_terms AS (
+  SELECT tweet_id, term, CAST(SUM(w) AS DOUBLE) AS tf
+  FROM {_tokens_cte("tweets", "tweet_id", "content", 1.0)}
+  GROUP BY tweet_id, term
+)"""
+
+_TWEET_TFIDF_CTE = """tweet_tfidf AS (
+  SELECT t.tweet_id, t.term,
+         t.tf * ln(CAST(n.n_docs AS DOUBLE) / d.df) AS weight
+  FROM tweet_terms t
+  JOIN (SELECT term, COUNT(DISTINCT tweet_id) AS df FROM tweet_terms GROUP BY term) d
+    ON t.term = d.term
+  CROSS JOIN (SELECT COUNT(DISTINCT tweet_id) AS n_docs FROM tweets) n
+)"""
+
+_TWEET_KW_CTE = f"""tweet_kw AS (
+  SELECT tweet_id, term, weight,
+         ROW_NUMBER() OVER (PARTITION BY tweet_id ORDER BY weight DESC, term ASC) AS rank
+  FROM tweet_tfidf
+  QUALIFY rank <= {K_NEWS}
+)"""
+
+
+def tweet_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """generateTweetsKeywords (TF_IDF.java:86-106): per-tweet top-K
+    TF-IDF keywords."""
+    tw = tweets(spark, sf_dir)
+    terms = sql_tokens(tw, "tweet_id", "content", 1.0).groupBy(
+        "tweet_id", "term"
+    ).agg(F.sum("w").alias("tf"))
+    weighted = tfidf(terms, "tweet_id", tw)
+    return topk_keywords(weighted, "tweet_id", K_NEWS)
+
+
+#: Summed float weights are only reproducible to ~1 ulp (partial-agg
+#: addition order is nondeterministic in BOTH engines), so the ranking
+#: quantizes the sort key to 6 decimals — ulp noise collapses into an
+#: exact tie resolved by the pinned term tiebreak. The emitted weight
+#: stays unquantized (driver compares at 9 significant digits).
+_USER_KW_CTE = f"""user_kw AS (
+  SELECT user_id, term, weight, rank FROM (
+    SELECT k.tweet_id % 50 AS user_id, k.term, SUM(k.weight) AS weight,
+           ROW_NUMBER() OVER (
+             PARTITION BY k.tweet_id % 50
+             ORDER BY ROUND(SUM(k.weight), 6) DESC, k.term ASC
+           ) AS rank
+    FROM tweet_kw k
+    GROUP BY k.tweet_id % 50, k.term
+  ) WHERE rank <= {K_USER}
+)"""
+
+
+@register(
+    "a7_user_keywords",
+    with_ctes(
+        "SELECT user_id, term, weight, rank FROM user_kw",
+        TWEETS_CTE,
+        _TWEET_TERMS_CTE,
+        _TWEET_TFIDF_CTE,
+        _TWEET_KW_CTE,
+        _USER_KW_CTE,
+    ),
+)
+def a7_user_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7 (``generateUserKeywords``, TF_IDF.java:108-119): merge a
+    user's tweet keywords by summing weights per term, keep the top
+    ``num_user_keywords``. The user id is the pinned tweet-author
+    derivation (sources/tables.py USER_MOD)."""
+    from ..sources.tables import USER_MOD
+
+    kw = tweet_keywords(spark, sf_dir)
+    merged = (
+        kw.withColumn("user_id", F.col("tweet_id") % USER_MOD)
+        .groupBy("user_id", "term")
+        .agg(F.sum("weight").alias("weight"))
+    )
+    # Rank on the quantized sum: float partial-agg order is
+    # nondeterministic, so raw sums differ by ~1 ulp between runs (and
+    # engines); quantizing turns ulp noise into exact ties broken by
+    # term (see _USER_KW_CTE note).
+    w = Window.partitionBy("user_id").orderBy(
+        F.desc(F.round("weight", 6)), F.asc("term")
+    )
+    return (
+        merged.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= K_USER)
+    )

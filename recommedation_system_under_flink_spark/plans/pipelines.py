@@ -1,0 +1,172 @@
+"""The three reference pipelines end-to-end (SURVEY §3).
+
+Each ``main()`` in the reference is a phase chain with file-materialized
+edges (§1.4); here each pipeline is ONE declarative DataFrame plan —
+Catalyst sees the whole chain, so filters reach scans and intermediate
+"files" disappear (the reference re-reads its own text sinks between
+phases, TF_IDF.java:156).
+
+- HotTopics (HotTopics.java:106-111): clicks → P3 trailing window → A2
+  per-news SUM (date rewritten to today) → T3 top-K → recommendations.
+- TF_IDF recommend (TF_IDF.java:151-234): corpus keywords (A5-A8) →
+  today's clickers (A1/P2) → semi-join (J1) → scored join (J3, inverted
+  index) → ranked list (T2 full sort, TF_IDF.java:206-221) →
+  recommendations.
+- TextRank recommend (TextRank.java:220-312): same skeleton, keywords
+  from the TextRank UDFs (P1 news / A3 user) instead of TF-IDF, top-K
+  truncation (T1, TextRank.java:294-296). UDF-backed → rows-only check.
+
+Output shape is the reference's ``RecommendationModel``
+(TextRank.java:289-293): ``(user_id | date, date, news array<long>)``
+ranked. S5 (``env.fromCollection``, TextRank.java:359) appears as the
+seed-row query.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..config import DEFAULT_SCENE, TODAY
+from ..registry import register
+from ..sources import CLICKS_CTE, clicks, with_ctes
+from ..operators.joins import (
+    _J3_BODY,
+    _NEWS_KW_CHAIN,
+    _USER_KW_CHAIN,
+    j3_scored_join,
+    today_clickers,
+)
+from ..operators.ranking import ranked_list, top_k_rows
+
+K = DEFAULT_SCENE.num_recommendations
+NUM_DAYS = DEFAULT_SCENE.num_days
+_WINDOW_START = TODAY - dt.timedelta(days=NUM_DAYS - 1)
+
+
+# ------------------------------------------------------------- HotTopics
+
+@register(
+    "hot_topics_pipeline",
+    with_ctes(
+        f"""SELECT DATE '{TODAY}' AS date,
+       (list(news_id ORDER BY clicks DESC, news_id ASC))[1:{K}] AS news
+FROM (
+  SELECT news_id, SUM(cnt) AS clicks
+  FROM clicks
+  WHERE date BETWEEN DATE '{_WINDOW_START}' AND DATE '{TODAY}'
+  GROUP BY news_id
+)""",
+        CLICKS_CTE,
+    ),
+)
+def hot_topics_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HotTopics end-to-end (HotTopics.java:67-93 + 41-46): trailing
+    window → per-news SUM with date rewritten to today → top-K →
+    one recommendations row. The flagship for ``entry()``."""
+    hot = (
+        clicks(spark, sf_dir, date_from=_WINDOW_START, date_to=TODAY)
+        .groupBy("news_id")
+        .agg(F.sum("cnt").alias("clicks"))
+        .withColumn("date", F.lit(TODAY).cast("date"))
+    )
+    ranked = top_k_rows(hot, "date", [F.desc("clicks"), F.asc("news_id")], K)
+    return ranked_list(ranked, "date")
+
+
+# ---------------------------------------------------------------- TF_IDF
+
+_TFIDF_PIPE_ORACLE = with_ctes(
+    f"""SELECT user_id, DATE '{TODAY}' AS date,
+       list(news_id ORDER BY score DESC, news_id ASC) AS news
+FROM scored
+GROUP BY user_id""",
+    CLICKS_CTE,
+    *_NEWS_KW_CHAIN,
+    *_USER_KW_CHAIN,
+    f"scored AS ({_J3_BODY})",
+)
+
+
+@register("tfidf_pipeline", _TFIDF_PIPE_ORACLE)
+def tfidf_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF_IDF recommend() end-to-end for today (TF_IDF.java:151-234):
+    J3 inverted-index scored join → T2 full per-user ranking →
+    recommendations rows."""
+    scored = j3_scored_join(spark, sf_dir)
+    ranked = top_k_rows(scored, "user_id", [F.desc("score"), F.asc("news_id")], None)
+    return ranked_list(ranked, "user_id").select(
+        "user_id", F.lit(TODAY).cast("date").alias("date"), "news"
+    )
+
+
+# -------------------------------------------------------------- TextRank
+
+@register("textrank_pipeline")  # UDF keywords → rows-only check
+def textrank_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TextRank recommend() end-to-end for today (TextRank.java:220-312):
+    P1/A3 TextRank keywords → inverted-index scored join (F5 needs only
+    set sizes, so UDF keyword rows slot straight in) → T1 top-K
+    truncation (TextRank.java:294-296)."""
+    from ..operators.keywords import (
+        a3_user_keywords_textrank,
+        p1_news_keywords_textrank,
+    )
+    from ..operators.filters import leading_zone
+    from ..sources import news
+
+    user_kw = a3_user_keywords_textrank(spark, sf_dir).join(
+        F.broadcast(today_clickers(spark, sf_dir)), "user_id", "left_semi"
+    )
+    news_kw = p1_news_keywords_textrank(spark, sf_dir).filter(
+        leading_zone(F.col("date"), TODAY, NUM_DAYS)
+    )
+
+    inter = (
+        user_kw.select("user_id", "term")
+        .join(F.broadcast(news_kw.select("news_id", "term")), "term")
+        .groupBy("user_id", "news_id")
+        .agg(F.count("*").alias("inter"))
+    )
+    user_sizes = user_kw.groupBy("user_id").agg(F.count("*").alias("n_user"))
+    news_sizes = news_kw.groupBy("news_id").agg(F.count("*").alias("n_news"))
+    scored = (
+        inter.join(F.broadcast(user_sizes), "user_id")
+        .join(F.broadcast(news_sizes), "news_id")
+        .select(
+            "user_id",
+            "news_id",
+            (
+                F.col("inter").cast("double") / (F.col("n_user") * F.col("n_news"))
+            ).alias("score"),
+        )
+    )
+    ranked = top_k_rows(scored, "user_id", [F.desc("score"), F.asc("news_id")], K)
+    return ranked_list(ranked, "user_id").select(
+        "user_id", F.lit(TODAY).cast("date").alias("date"), "news"
+    )
+
+
+# ------------------------------------------------------------------- S5
+
+@register(
+    "s5_seed_row",
+    f"""SELECT DATE '{TODAY}' AS date, 0 AS hits, 0 AS total,
+       CAST(0.0 AS DOUBLE) AS precision""",
+)
+def s5_seed_row(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S5 ``env.fromCollection`` (TextRank.java:359): the in-memory seed
+    row that precision accumulation starts from — ``createDataFrame``
+    with an explicit schema."""
+    schema = T.StructType(
+        [
+            T.StructField("date", T.DateType()),
+            T.StructField("hits", T.IntegerType()),
+            T.StructField("total", T.IntegerType()),
+            T.StructField("precision", T.DoubleType()),
+        ]
+    )
+    return spark.createDataFrame([(TODAY, 0, 0, 0.0)], schema)
