@@ -1,0 +1,121 @@
+"""Spark integration tests over the sf0.001 fixtures.
+
+The DuckDB hash gate (scripts/check.py, driver t2) covers value
+equality; these tests cover invariants and cross-form consistency that
+the oracle can't express.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from recommedation_system_under_flink_spark import registry
+from recommedation_system_under_flink_spark.config import DEFAULT_SCENE, TODAY
+
+from conftest import SF_DIR
+
+
+@pytest.fixture(scope="module")
+def queries():
+    return registry.queries()
+
+
+def test_registry_loads_and_has_oracles(queries):
+    oracles = registry.oracles()
+    assert len(queries) >= 20
+    # every oracle key maps to a registered query
+    assert set(oracles) <= set(queries)
+
+
+def test_filters_nest(queries, spark):
+    """P2 ⊆ P3 ⊆ P5 (today ⊆ trailing week ⊆ loop range)."""
+    p2 = queries["p2_clicks_today"](spark, SF_DIR).count()
+    p3 = queries["p3_clicks_trailing_window"](spark, SF_DIR).count()
+    p5 = queries["p5_clicks_loop_range"](spark, SF_DIR).count()
+    assert 0 < p2 <= p3 <= p5
+
+
+def test_clicks_pushdown_reaches_scan(spark):
+    """The raw-ts range predicate must appear in PushedFilters."""
+    from recommedation_system_under_flink_spark.sources import clicks
+
+    df = clicks(spark, SF_DIR, date_from=TODAY, date_to=TODAY)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan
+    assert "GreaterThanOrEqual(ts" in plan
+
+
+def test_hot_topics_flagship_shape(queries, spark):
+    rows = queries["hot_topics_pipeline"](spark, SF_DIR).collect()
+    assert len(rows) == 1
+    row = rows[0]
+    assert row["date"] == TODAY
+    news = row["news"]
+    assert 0 < len(news) <= DEFAULT_SCENE.num_recommendations
+    assert len(set(news)) == len(news)  # no duplicate recommendations
+
+
+def test_j3_forms_agree(queries, spark):
+    """Inverted-index J3 == naive broadcast-cross J3 (SURVEY §7.3
+    cross-validation requirement)."""
+    a = {
+        (r.user_id, r.news_id): round(r.score, 9)
+        for r in queries["j3_scored_join"](spark, SF_DIR).collect()
+    }
+    b = {
+        (r.user_id, r.news_id): round(r.score, 9)
+        for r in queries["j3_scored_join_naive"](spark, SF_DIR).collect()
+    }
+    assert a == b
+    assert len(a) > 0
+    assert all(0 < s <= 1 for s in a.values())
+
+
+def test_topk_respects_k_and_order(queries, spark):
+    ranked = queries["t3_daily_topk_by_count"](spark, SF_DIR)
+    pdf = ranked.toPandas()
+    per_day = pdf.groupby("date")
+    assert (per_day["rank"].max() <= DEFAULT_SCENE.num_recommendations).all()
+    for _, g in per_day:
+        g = g.sort_values("rank")
+        # clicks non-increasing along rank
+        assert (g["clicks"].diff().dropna() <= 0).all()
+
+
+def test_sql_tokenizer_matches_python(spark):
+    """The relational tokenizer (operators/tfidf.sql_tokens) must agree
+    with the pinned Python tokenizer (functions/text.tokenize)."""
+    from recommedation_system_under_flink_spark.functions.text import tokenize
+    from recommedation_system_under_flink_spark.operators.tfidf import sql_tokens
+
+    texts = [
+        "Spark Shuffles, data ACROSS the cluster!",
+        "a an and the",
+        "x1 y2 z3",
+        "",
+    ]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], "id long, txt string")
+    got = (
+        sql_tokens(df, "id", "txt", 1.0)
+        .groupBy("id")
+        .agg(F.collect_list("term").alias("terms"))
+        .collect()
+    )
+    got_map = {r["id"]: sorted(r["terms"]) for r in got}
+    for i, t in enumerate(texts):
+        expected = sorted(tokenize(t))
+        assert got_map.get(i, []) == expected, f"text {i!r}"
+
+
+def test_precision_eval_bounds(queries, spark):
+    row = queries["j4_precision_eval"](spark, SF_DIR).collect()[0]
+    assert row["total"] >= row["hits"] >= 0
+    if row["total"]:
+        assert 0.0 <= row["precision"] <= 1.0
+
+
+def test_textrank_pipeline_deterministic(queries, spark):
+    df1 = sorted(map(str, queries["textrank_pipeline"](spark, SF_DIR).collect()))
+    df2 = sorted(map(str, queries["textrank_pipeline"](spark, SF_DIR).collect()))
+    assert df1 == df2 and len(df1) > 0
