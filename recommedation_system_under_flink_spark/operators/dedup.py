@@ -1,0 +1,311 @@
+"""Deduplication operators for LLM training-data pipelines (SURVEY §7.4c).
+
+Four dedup families over ``documents(doc_id, text, ...)``, each designed
+so that NOTHING is ever all-pairs — candidate generation always goes
+through an equi-join key (hash, shingle, band bucket, or signature
+chunk), which is the only shape that survives 100 TB:
+
+- **exact** — md5 text hash, group, keep min doc_id as canonical.
+- **n-gram Jaccard** — 3-token shingles, inverted-index equi-join on
+  shingle, exact Jaccard from intersection counts (same algebra as the
+  inverted-index J3, operators/joins.py).
+- **MinHash + LSH** — per-doc signature of H murmur3 min-hashes, banded
+  into B buckets; candidates = docs sharing a band bucket; verified
+  against exact Jaccard. Candidate cost is O(docs·B), never O(docs²).
+- **SimHash** — 64-bit weighted token-hash signature via a pandas UDF;
+  near-dup candidates share one of four 16-bit chunks (hamming-LSH),
+  verified by ``bit_count`` hamming distance.
+
+Scale notes (100 TB): the shingle/band/chunk joins shuffle on
+high-cardinality uniform keys (hash values) — no skew by construction
+except stop-shingles, which the distinct-per-doc step bounds. MinHash
+signatures are 8·H bytes/doc regardless of doc length; banding keeps
+the bucket join selective (P[candidate] ≈ 1-(1-j^r)^b). The exact
+verify stage only ever sees candidate pairs.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.text import TOKEN_SPLIT_REGEX
+from ..registry import register
+from ..sources import load_raw
+
+#: Shingle width (tokens) for Jaccard/MinHash shingling.
+SHINGLE_N = 3
+#: Near-duplicate Jaccard threshold (fixture-calibrated: planted
+#: near-dups sit ≥0.5, unrelated docs <0.1).
+JACCARD_THRESHOLD = 0.5
+#: MinHash signature size and banding (16 bands × 2 rows).
+MINHASH_H = 32
+MINHASH_BANDS = 16
+#: SimHash hamming radius for near-dup candidates.
+SIMHASH_MAX_HAMMING = 8
+
+_STOP_FILTER = F.col("shingle").isNotNull()
+
+
+# --------------------------------------------------------------- shingles
+
+def shingles(docs: DataFrame, n: int = SHINGLE_N) -> DataFrame:
+    """Distinct n-token shingles per doc: tokenize (raw split — dedup
+    wants surface text, stopwords included), slide an n-window via
+    ``transform`` over token indices, explode, distinct."""
+    toks = F.filter(
+        F.split(F.lower(F.col("text")), TOKEN_SPLIT_REGEX), lambda t: t != ""
+    )
+    # sequence(0, size-n) is inclusive → size-n+1 shingles; guard short
+    # docs (sequence with start > stop would count DOWN, not be empty)
+    sh = F.when(F.size(toks) >= n, F.transform(
+        F.sequence(F.lit(0), F.size(toks) - n),
+        lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
+    )).otherwise(F.array().cast("array<string>"))
+    return (
+        docs.select("doc_id", F.explode(sh).alias("shingle"))
+        .filter(_STOP_FILTER)
+        .distinct()
+    )
+
+
+#: DuckDB twin of :func:`shingles` (3-token shingles, distinct per doc).
+_SHINGLES_CTE = f"""sh AS (
+  SELECT DISTINCT doc_id, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS shingle
+  FROM (
+    SELECT doc_id, ts, generate_subscripts(ts, 1) AS i FROM (
+      SELECT doc_id, list_filter(
+        string_split_regex(lower(text), '{TOKEN_SPLIT_REGEX}'),
+        t -> t <> '') AS ts
+      FROM documents
+    )
+  ) WHERE i <= len(ts) - {SHINGLE_N - 1}
+)"""
+
+
+# ----------------------------------------------------------- exact dedup
+
+@register(
+    "dedup_exact",
+    """SELECT doc_id, md5(text) AS text_hash,
+       CAST(doc_id = MIN(doc_id) OVER (PARTITION BY md5(text)) AS BOOLEAN)
+         AS canonical
+FROM documents""",
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: hash-groupBy on md5(text); the smallest doc_id in
+    each hash group is canonical, the rest are drop candidates. One
+    hash-partitioned window, no sort needed beyond the group."""
+    docs = load_raw(spark, sf_dir, "documents")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("text_hash")
+    return (
+        docs.select("doc_id", F.md5("text").alias("text_hash"))
+        .withColumn("canonical", F.col("doc_id") == F.min("doc_id").over(w))
+    )
+
+
+# --------------------------------------------------- n-gram Jaccard dedup
+
+_JACCARD_BODY = f"""SELECT i.d1 AS doc_a, i.d2 AS doc_b,
+       CAST(i.inter AS DOUBLE) / (s1.n + s2.n - i.inter) AS jaccard
+FROM (
+  SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+) i
+JOIN (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id) s1 ON i.d1 = s1.doc_id
+JOIN (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id) s2 ON i.d2 = s2.doc_id
+WHERE CAST(i.inter AS DOUBLE) / (s1.n + s2.n - i.inter) >= {JACCARD_THRESHOLD}"""
+
+
+@register("dedup_ngram_jaccard", f"WITH {_SHINGLES_CTE}\n{_JACCARD_BODY}")
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs by exact shingle Jaccard ≥ threshold, computed via
+    the inverted-index pattern: equi-join on shingle → intersection
+    counts → ``|∩| / (n1 + n2 - |∩|)``. Only docs sharing ≥1 shingle
+    ever pair up."""
+    docs = load_raw(spark, sf_dir, "documents")
+    sh = shingles(docs)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("inter"))
+    )
+    jac = (
+        inter.join(F.broadcast(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n", "n1")), "doc_a")
+        .join(F.broadcast(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n", "n2")), "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            (
+                F.col("inter").cast("double")
+                / (F.col("n1") + F.col("n2") - F.col("inter"))
+            ).alias("jaccard"),
+        )
+    )
+    return jac.filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+
+
+# ------------------------------------------------------ MinHash LSH dedup
+
+def minhash_signatures(sh: DataFrame, h: int = MINHASH_H) -> DataFrame:
+    """H murmur3 min-hashes per doc: ``min(hash(seed_i, shingle))`` for
+    each seed. One hash aggregation over the shingle relation — the
+    signature is 8·H bytes per doc regardless of document size."""
+    aggs = [
+        F.min(F.hash(F.lit(i), F.col("shingle"))).alias(f"h{i}") for i in range(h)
+    ]
+    return sh.groupBy("doc_id").agg(*aggs)
+
+
+@register("dedup_minhash_lsh")  # murmur3 not portable to DuckDB → rows-only
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup pairs (the 100 TB dedup path).
+
+    signatures → band into ``MINHASH_BANDS`` buckets (band key =
+    hash of the band's rows) → equi-join on (band, bucket) → distinct
+    candidate pairs → verify with exact shingle Jaccard ≥ threshold.
+
+    Correctness containment vs :func:`dedup_ngram_jaccard` is pytest-
+    checked (tests/test_llm_ops.py): LSH output ⊆ exact output, with
+    recall ≈ 1 at the fixture's threshold (2-row bands:
+    P[candidate] = 1-(1-j²)^16 ≈ 0.999 at j=0.5)."""
+    docs = load_raw(spark, sf_dir, "documents")
+    sh = shingles(docs)
+    sig = minhash_signatures(sh)
+
+    rows_per_band = MINHASH_H // MINHASH_BANDS
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.hash(
+                    *[F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)]
+                ).alias("bucket"),
+            )
+            for b in range(MINHASH_BANDS)
+        ]
+    )
+    banded = sig.select("doc_id", F.explode(bands).alias("bb")).select(
+        "doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    candidates = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+    # verify candidates with exact Jaccard (candidate set is tiny)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a_sh = sh.alias("sa")
+    b_sh = sh.alias("sb")
+    inter = (
+        candidates.join(a_sh, F.col("doc_a") == F.col("sa.doc_id"))
+        .join(
+            b_sh,
+            (F.col("doc_b") == F.col("sb.doc_id"))
+            & (F.col("sa.shingle") == F.col("sb.shingle")),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    return (
+        inter.join(F.broadcast(sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("n1"))), "doc_a")
+        .join(F.broadcast(sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("n2"))), "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            (
+                F.col("inter").cast("double")
+                / (F.col("n1") + F.col("n2") - F.col("inter"))
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+    )
+
+
+# ---------------------------------------------------------- SimHash dedup
+
+def simhash_udf():
+    """64-bit SimHash via an Arrow-batched pandas UDF. md5-seeded token
+    bits (deterministic across runs/engines), weighted by token count;
+    the signature bit j is the sign of the weighted sum."""
+    import hashlib
+
+    from ..functions.text import token_counts
+
+    def simhash(text: str | None) -> int:
+        v = [0] * 64
+        for tok, cnt in token_counts(text).items():
+            h = int.from_bytes(hashlib.md5(tok.encode()).digest()[:8], "big")
+            for j in range(64):
+                v[j] += cnt if (h >> j) & 1 else -cnt
+        sig = 0
+        for j in range(64):
+            if v[j] > 0:
+                sig |= 1 << j
+        # interpret as signed 64-bit for Spark LongType
+        return sig - (1 << 64) if sig >= 1 << 63 else sig
+
+    def batch(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        for s in it:
+            yield s.apply(simhash)
+
+    return F.pandas_udf(batch, "long")
+
+
+@register("dedup_simhash")  # UDF signature → rows-only
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs: signature → 4×16-bit chunk LSH (two
+    signatures within hamming 8 of each other must agree on ≥1 of 4
+    chunks... not guaranteed, but high-probability; pinned engine
+    choice) → verify hamming ≤ SIMHASH_MAX_HAMMING via ``bit_count``."""
+    docs = load_raw(spark, sf_dir, "documents")
+    sig = docs.select("doc_id", simhash_udf()(F.col("text")).alias("sig"))
+
+    chunks = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("chunk"),
+                F.shiftrightunsigned(F.col("sig"), c * 16)
+                .bitwiseAND(F.lit(0xFFFF))
+                .alias("val"),
+            )
+            for c in range(4)
+        ]
+    )
+    chunked = sig.select("doc_id", "sig", F.explode(chunks).alias("cc")).select(
+        "doc_id", "sig", F.col("cc.chunk").alias("chunk"), F.col("cc.val").alias("val")
+    )
+    a = chunked.alias("a")
+    b = chunked.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.val") == F.col("b.val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.bit_count(F.col("a.sig").bitwiseXOR(F.col("b.sig"))).alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= SIMHASH_MAX_HAMMING)
+    )

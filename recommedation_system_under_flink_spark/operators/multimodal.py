@@ -1,0 +1,204 @@
+"""Multimodal (binary) column handling for LLM data pipelines (SURVEY §7.4c).
+
+Media are opaque ``binary`` payloads plus a typed metadata struct. The
+fixtures ship no binary tables, so a deterministic ``media`` view is
+derived from ``documents``: payload = utf8 bytes of ``text`` (a stand-in
+blob), modality = doc_id % 3 ∈ {image, audio, video}, metadata derived
+from stable doc properties. What is REAL here — and what the operators
+exercise — is the Spark-side plumbing a 100 TB media pipeline needs:
+
+- binary columns with typed metadata carried alongside (never parsed
+  from the blob in the relational layer);
+- partition-friendly shapes: decode/feature-extract via ``mapInPandas``
+  (streaming Arrow batches — bounded memory per task regardless of blob
+  sizes), never ``collect``;
+- frame sampling as a lateral explode (rows multiply by a bounded,
+  metadata-driven factor).
+
+The actual decoders (PIL/ffmpeg/torchaudio) are NOT in this container;
+``decode_features`` computes a deterministic fake feature vector from
+the raw bytes, and the real-decoder seam is one clearly-marked function
+(``_decode_stub``) raising ``NotImplementedError`` when a real decode
+is requested.
+
+Scale notes: blobs ride in parquet binary columns; column pruning means
+metadata-only queries (mm_metadata, mm_frame_plan) never read payload
+bytes — verify via ``ReadSchema`` in explain. ``mapInPandas`` batches
+bound Python memory; per-modality partitioning (``repartition("modality")``
+or partitioned writes) keeps decoder-specific executors hot.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..registry import register
+from ..sources import load_raw
+
+MODALITIES = ("image", "audio", "video")
+#: Deterministic fake feature dimension.
+FEATURE_DIM = 8
+
+
+def media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The derived media table:
+    ``media(media_id, modality, payload binary, meta struct)``.
+
+    Metadata is modality-typed: images get (width, height), audio gets
+    duration_ms, video gets (duration_ms, fps) — all deterministic
+    functions of doc properties so oracles can reproduce them."""
+    docs = load_raw(spark, sf_dir, "documents")
+    modality = F.element_at(
+        F.array(*[F.lit(m) for m in MODALITIES]), (F.col("doc_id") % 3 + 1).cast("int")
+    )
+    return docs.select(
+        F.col("doc_id").alias("media_id"),
+        modality.alias("modality"),
+        F.encode("text", "UTF-8").alias("payload"),
+        F.struct(
+            (F.col("n_chars") % 640 + 64).cast("int").alias("width"),
+            (F.col("n_chars") % 480 + 48).cast("int").alias("height"),
+            (F.col("n_chars") * 40).cast("long").alias("duration_ms"),
+            F.lit(24).cast("int").alias("fps"),
+        ).alias("meta"),
+    )
+
+
+_MEDIA_CTE = """media AS (
+  SELECT doc_id AS media_id,
+         ['image', 'audio', 'video'][CAST(doc_id % 3 AS INTEGER) + 1] AS modality,
+         encode(text) AS payload,
+         CAST(n_chars % 640 + 64 AS INTEGER) AS width,
+         CAST(n_chars % 480 + 48 AS INTEGER) AS height,
+         CAST(n_chars * 40 AS BIGINT) AS duration_ms,
+         24 AS fps
+  FROM documents
+)"""
+
+
+@register(
+    "mm_metadata",
+    f"""WITH {_MEDIA_CTE}
+SELECT media_id, modality,
+       CAST(octet_length(payload) AS BIGINT) AS payload_bytes,
+       width, height, duration_ms
+FROM media""",
+)
+def mm_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed-metadata projection. Payload participates only via
+    ``octet_length`` — with a real parquet media table the blob column
+    itself is pruned from every metadata-only scan."""
+    return media(spark, sf_dir).select(
+        "media_id",
+        "modality",
+        F.octet_length("payload").cast("long").alias("payload_bytes"),
+        F.col("meta.width").alias("width"),
+        F.col("meta.height").alias("height"),
+        F.col("meta.duration_ms").alias("duration_ms"),
+    )
+
+
+@register(
+    "mm_frame_plan",
+    f"""WITH {_MEDIA_CTE}
+SELECT media_id, CAST(frame_idx AS BIGINT) AS frame_idx,
+       CAST(frame_idx * 1000 AS BIGINT) AS ts_ms
+FROM (
+  -- floor() explicitly: DuckDB CAST(DOUBLE AS BIGINT) rounds, Spark
+  -- cast truncates — the pinned semantics are truncation
+  SELECT media_id, unnest(range(0, CAST(floor(least(duration_ms / 1000, 10)) AS BIGINT) + 1)) AS frame_idx
+  FROM media WHERE modality = 'video'
+)""",
+)
+def mm_frame_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling plan for video rows: one row per sampled frame at
+    1 fps, capped at 11 frames per video (0..10s). Pure lateral explode
+    over metadata — the payload is untouched until the decode stage
+    consumes (media_id, ts_ms) pairs."""
+    m = media(spark, sf_dir).filter(F.col("modality") == "video")
+    n_frames = F.least(F.col("meta.duration_ms") / 1000, F.lit(10)).cast("long")
+    return m.select(
+        "media_id",
+        F.explode(F.sequence(F.lit(0).cast("long"), n_frames)).alias("frame_idx"),
+    ).select(
+        "media_id",
+        F.col("frame_idx").cast("long"),
+        (F.col("frame_idx") * 1000).cast("long").alias("ts_ms"),
+    )
+
+
+# ------------------------------------------------------------ decode stage
+
+def _decode_stub(payload: bytes, modality: str):
+    """The real-decoder seam. Image/audio/video libraries are not
+    available in this environment (SURVEY environment constraints);
+    plug PIL/ffmpeg/torchaudio in here."""
+    raise NotImplementedError(
+        f"real {modality} decoding requires media libraries not present "
+        "in this environment; use fake_features=True"
+    )
+
+
+def _fake_features(payload: bytes) -> list[float]:
+    """Deterministic stand-in features: byte-statistics of the payload.
+    Keeps the full pipeline (schema, batching, downstream consumers)
+    real and testable without decoders."""
+    n = len(payload)
+    if n == 0:
+        return [0.0] * FEATURE_DIM
+    chunk = max(1, n // FEATURE_DIM)
+    feats = []
+    for i in range(FEATURE_DIM):
+        seg = payload[i * chunk : (i + 1) * chunk] or b"\x00"
+        feats.append(sum(seg) / (255.0 * len(seg)))
+    return feats
+
+
+_FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("modality", T.StringType()),
+        T.StructField("features", T.ArrayType(T.DoubleType())),
+        T.StructField("n_bytes", T.LongType()),
+    ]
+)
+
+
+def decode_features(m: DataFrame, fake_features: bool = True) -> DataFrame:
+    """Decode / feature-extract via ``mapInPandas``: Arrow streams
+    batches through Python, so one task never holds more than one batch
+    of blobs — the only safe shape for multi-MB payloads."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if fake_features:
+                feats = [_fake_features(p) for p in pdf["payload"]]
+            else:  # pragma: no cover - requires media libs
+                feats = [
+                    _decode_stub(p, mo)
+                    for p, mo in zip(pdf["payload"], pdf["modality"])
+                ]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "modality": pdf["modality"],
+                    "features": feats,
+                    "n_bytes": [len(p) for p in pdf["payload"]],
+                }
+            )
+
+    return m.select("media_id", "modality", "payload").mapInPandas(
+        run, _FEATURES_SCHEMA
+    )
+
+
+@register("mm_decode_features")  # pandas-UDF stage → rows-only
+def mm_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The decode/feature stage end-to-end on the derived media table
+    (deterministic fake features — see module docstring)."""
+    return decode_features(media(spark, sf_dir))

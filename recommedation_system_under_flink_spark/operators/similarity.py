@@ -1,0 +1,276 @@
+"""Embedding similarity search for LLM data pipelines (SURVEY §7.4c).
+
+Over ``embeddings(vec_id, embedding float[64], label)``:
+
+- **brute-force cosine top-k** — the correctness baseline: a small
+  query set broadcast against the corpus scan, cosine as a pure
+  Catalyst expression (``zip_with`` + ``aggregate`` — no Python
+  boundary), top-k per query via ``row_number`` (WindowGroupLimit).
+- **LSH-bucketed top-k** — the scale path: random-hyperplane signatures
+  (sign bits of fixed pseudo-random projections) bucket the corpus;
+  only same-bucket candidates get exact cosine. Multiple independent
+  hash tables recover recall lost to bucket boundaries.
+- **embedding near-dup pairs** — all-pairs cosine ≥ threshold, via the
+  same LSH bucketing (never a raw cross join).
+
+Scale notes (100 TB): brute-force is O(|corpus|·|queries|) — fine when
+queries broadcast (the corpus is scanned once, no shuffle); the per-row
+cost stays JVM-side. LSH replaces the corpus×corpus pair space with
+per-bucket pair spaces; bucket keys are hash-uniform, and the
+hyperplane matrix is a plan literal (no driver lookup at execution).
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ..sources import load_raw
+
+#: Query set: first N vec_ids play the role of incoming queries.
+N_QUERIES = 10
+TOP_K = 5
+#: Near-duplicate cosine threshold (fixture max inter-pair cosine ≈ .51).
+COSINE_THRESHOLD = 0.45
+#: Random-hyperplane LSH: bits per table × number of tables. Short
+#: signatures + many tables because the fixture embeddings are weakly
+#: correlated (best neighbors sit near 60°, where per-bit collision
+#: p ≈ 2/3): 4 bits ⇒ p_table ≈ 0.2, 8 tables ⇒ recall ≈ 0.83. With
+#: genuinely clustered production embeddings, raise LSH_BITS to shrink
+#: candidate sets — recall comes from the cluster tightness instead.
+LSH_BITS = 4
+LSH_TABLES = 8
+EMB_DIM = 64
+
+
+def _dot(a: Column, b: Column) -> Column:
+    """Dot product of two double arrays as a Catalyst expression."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    """Cosine similarity, computed in double (embeddings are float32 on
+    disk; both engines must up-cast before multiplying or 9-digit
+    comparison fails)."""
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def _as_double(c: Column | str) -> Column:
+    c = F.col(c) if isinstance(c, str) else c
+    return c.cast("array<double>")
+
+
+_EMB_CAST = "CAST(embedding AS DOUBLE[])"
+
+
+@register(
+    "sim_bruteforce_topk",
+    f"""SELECT q.vec_id AS query_id, c.vec_id AS corpus_id,
+       list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[]))
+         / (sqrt(list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])))
+            * sqrt(list_dot_product(CAST(c.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[]))))
+         AS cosine,
+       ROW_NUMBER() OVER (
+         PARTITION BY q.vec_id
+         ORDER BY ROUND(list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[]))
+           / (sqrt(list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])))
+              * sqrt(list_dot_product(CAST(c.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])))), 6) DESC,
+           c.vec_id ASC
+       ) AS rank
+FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
+WHERE q.vec_id < {N_QUERIES}
+QUALIFY rank <= {TOP_K}""",
+)
+def sim_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k: queries (first N_QUERIES ids) broadcast
+    against the corpus; one corpus scan, no shuffle until the top-k
+    window. The ranking key is quantized (round 6) so float ulp noise
+    can't flip near-ties between engines (see operators/tfidf.py)."""
+    emb = load_raw(spark, sf_dir, "embeddings")
+    corpus = emb.select(
+        F.col("vec_id").alias("corpus_id"), _as_double("embedding").alias("c_emb")
+    )
+    queries = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), _as_double("embedding").alias("q_emb")
+    )
+    scored = (
+        corpus.crossJoin(F.broadcast(queries))
+        .filter(F.col("corpus_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "corpus_id",
+            cosine(F.col("q_emb"), F.col("c_emb")).alias("cosine"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc(F.round("cosine", 6)), F.asc("corpus_id")
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= TOP_K
+    )
+
+
+# ----------------------------------------------------------------- LSH
+
+#: Near-dup bucketing: shorter signatures × more tables. At the pinned
+#: cosine threshold (0.45 ⇒ angle ≈ 63°) an 8-bit bucket matches with
+#: p ≈ (1-θ/π)⁸ ≈ 4% per table — useless recall; 4 bits × 8 tables
+#: gives 1-(1-0.2)⁸ ≈ 83%. Top-k search keeps the longer signature
+#: (its targets are the nearest neighbors, much closer than 63°).
+NEARDUP_BITS = 4
+NEARDUP_TABLES = 8
+
+
+def _hyperplanes(tables: int = LSH_TABLES, bits: int = LSH_BITS, dim: int = EMB_DIM):
+    """Deterministic pseudo-random hyperplanes, generated from a pinned
+    seed and baked into the plan as literals (no runtime randomness —
+    scripts and resumes see identical buckets)."""
+    import numpy as np
+
+    rng = np.random.default_rng(20240113)
+    return rng.standard_normal((tables, bits, dim))
+
+
+def lsh_signature(emb: Column, planes) -> Column:
+    """Per-table bucket id: sign bits of the hyperplane projections."""
+    cols = []
+    for t, table in enumerate(planes):
+        bucket = F.lit(0)
+        for b, plane in enumerate(table):
+            proj = F.aggregate(
+                F.zip_with(
+                    emb,
+                    F.array(*[F.lit(float(x)) for x in plane]),
+                    lambda x, y: x * y,
+                ),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            )
+            bucket = bucket + F.when(proj > 0, F.lit(1 << b)).otherwise(F.lit(0))
+        cols.append(F.struct(F.lit(t).alias("table"), bucket.alias("bucket")))
+    return F.array(*cols)
+
+
+def _bucketed(emb: DataFrame, tables: int = LSH_TABLES, bits: int = LSH_BITS) -> DataFrame:
+    planes = _hyperplanes(tables, bits)
+    return (
+        emb.select(
+            "vec_id",
+            _as_double("embedding").alias("emb"),
+            F.explode(lsh_signature(_as_double("embedding"), planes)).alias("tb"),
+        )
+        .select(
+            "vec_id", "emb", F.col("tb.table").alias("table"), F.col("tb.bucket").alias("bucket")
+        )
+    )
+
+
+@register("sim_lsh_topk")  # hyperplane literals not portable → rows-only
+def sim_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed approximate top-k: candidates share a (table,
+    bucket) cell with the query; exact cosine + top-k only over
+    candidates. Recall vs brute force is pytest-checked
+    (tests/test_llm_ops.py)."""
+    emb = load_raw(spark, sf_dir, "embeddings")
+    bucketed = _bucketed(emb)
+    queries = bucketed.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("emb").alias("q_emb"),
+        "table",
+        "bucket",
+    )
+    cands = (
+        bucketed.join(F.broadcast(queries), ["table", "bucket"])
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "q_emb", F.col("vec_id").alias("corpus_id"), "emb")
+        .distinct()
+    )
+    scored = cands.select(
+        "query_id",
+        "corpus_id",
+        cosine(F.col("q_emb"), F.col("emb")).alias("cosine"),
+    ).distinct()
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc(F.round("cosine", 6)), F.asc("corpus_id")
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= TOP_K
+    )
+
+
+@register(
+    "sim_neardup_pairs_exact",
+    f"""SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))
+         / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))
+            * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))))
+         AS cosine
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))
+         / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))
+            * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))))
+      >= {COSINE_THRESHOLD}""",
+)
+def sim_neardup_pairs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs, exact baseline: all pairs with
+    cosine ≥ threshold. The oracle twin for the LSH variant; at scale
+    the LSH form replaces this (the all-pairs join exists here as the
+    correctness baseline, mirroring J3-naive vs J3)."""
+    emb = load_raw(spark, sf_dir, "embeddings").select(
+        "vec_id", _as_double("embedding").alias("emb")
+    )
+    a = emb.select(F.col("vec_id").alias("vec_a"), F.col("emb").alias("ea"))
+    b = emb.select(F.col("vec_id").alias("vec_b"), F.col("emb").alias("eb"))
+    return (
+        a.join(F.broadcast(b), F.col("vec_a") < F.col("vec_b"))
+        .select(
+            "vec_a",
+            "vec_b",
+            cosine(F.col("ea"), F.col("eb")).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= COSINE_THRESHOLD)
+    )
+
+
+@register("sim_neardup_pairs_lsh")  # rows-only; recall pytest-checked
+def sim_neardup_pairs_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs via LSH buckets: only same-cell pairs get exact
+    cosine — the O(pairs-per-bucket) scale path."""
+    emb = load_raw(spark, sf_dir, "embeddings")
+    bucketed = _bucketed(emb, NEARDUP_TABLES, NEARDUP_BITS)
+    a = bucketed.alias("a")
+    b = bucketed.alias("b")
+    cands = (
+        a.join(
+            b,
+            (F.col("a.table") == F.col("b.table"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("a.emb").alias("ea"),
+            F.col("b.vec_id").alias("vec_b"),
+            F.col("b.emb").alias("eb"),
+        )
+        .distinct()
+    )
+    return (
+        cands.select(
+            "vec_a", "vec_b", cosine(F.col("ea"), F.col("eb")).alias("cosine")
+        )
+        .filter(F.col("cosine") >= COSINE_THRESHOLD)
+    )

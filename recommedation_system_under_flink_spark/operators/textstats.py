@@ -1,0 +1,238 @@
+"""Text analysis operators for LLM training-data pipelines (SURVEY §7.4c).
+
+Over ``documents(doc_id, text, lang, source, n_chars)``:
+
+- **token stats** — token count, distinct count, char stats per doc.
+- **quality score** — heuristic [0,1] from length / stopword ratio /
+  repetition, the usual pre-training filter signals.
+- **language ID** — stopword-list n-gram heuristic: argmax over
+  per-language marker-token hit counts.
+- **fingerprint** — positional rolling hash of the token stream, for
+  cheap shift-sensitive near-exact matching (complement of the
+  order-insensitive shingle methods in operators/dedup.py).
+
+All four are pure Catalyst expressions (split / explode / aggregate) —
+no Python boundary, embarrassingly parallel, no shuffle except the
+explode-groupBy in lang-ID, which is map-side combinable. At 100 TB
+these run at scan speed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.text import STOPWORDS, TOKEN_SPLIT_REGEX
+from ..registry import register
+from ..sources import load_raw
+
+_STOP_SQL = ", ".join(f"'{w}'" for w in STOPWORDS)
+
+#: Marker tokens per language for the lang-ID heuristic. English reuses
+#: the pinned engine stop list; the others are the everyday closed-class
+#: words a character-n-gram-free heuristic keys on.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": STOPWORDS,
+    "de": ("der", "die", "das", "und", "ist", "nicht", "ein", "eine", "zu", "mit"),
+    "fr": ("le", "la", "les", "et", "est", "ne", "pas", "un", "une", "dans"),
+    "es": ("el", "la", "los", "las", "es", "no", "un", "una", "que", "con"),
+}
+
+
+def _tokens(text: Column) -> Column:
+    return F.filter(F.split(F.lower(text), TOKEN_SPLIT_REGEX), lambda t: t != "")
+
+
+_TOKENS_SQL = f"list_filter(string_split_regex(lower(text), '{TOKEN_SPLIT_REGEX}'), t -> t <> '')"
+
+
+# ------------------------------------------------------------ token stats
+
+@register(
+    "ts_token_stats",
+    f"""SELECT doc_id,
+       CAST(len(ts) AS BIGINT) AS n_tokens,
+       CAST(len(list_distinct(ts)) AS BIGINT) AS n_unique,
+       CAST(length(text) AS BIGINT) AS n_chars,
+       CASE WHEN len(ts) > 0
+            THEN CAST(list_sum(list_transform(ts, t -> length(t))) AS DOUBLE) / len(ts)
+            ELSE 0.0 END AS avg_token_len
+FROM (SELECT doc_id, text, {_TOKENS_SQL} AS ts FROM documents)""",
+)
+def ts_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc token counting: total, distinct, chars, mean token
+    length. Everything computed on the token array in one projection —
+    no explode, no shuffle."""
+    docs = load_raw(spark, sf_dir, "documents")
+    ts = _tokens(F.col("text"))
+    total_len = F.aggregate(ts, F.lit(0), lambda acc, t: acc + F.length(t))
+    return docs.select(
+        "doc_id",
+        F.size(ts).cast("long").alias("n_tokens"),
+        F.size(F.array_distinct(ts)).cast("long").alias("n_unique"),
+        F.length("text").cast("long").alias("n_chars"),
+        F.when(
+            F.size(ts) > 0, total_len.cast("double") / F.size(ts)
+        )
+        .otherwise(F.lit(0.0))
+        .alias("avg_token_len"),
+    )
+
+
+# ---------------------------------------------------------- quality score
+
+@register(
+    "ts_quality_score",
+    f"""SELECT doc_id,
+       stop_ratio, rep_ratio, len_score,
+       CAST(0.4 * len_score + 0.3 * LEAST(stop_ratio * 4, 1.0)
+            + 0.3 * (1.0 - rep_ratio) AS DOUBLE) AS quality
+FROM (
+  SELECT doc_id,
+         CASE WHEN len(ts) > 0 THEN
+           CAST(len(list_filter(ts, t -> t IN ({_STOP_SQL}))) AS DOUBLE) / len(ts)
+         ELSE 0.0 END AS stop_ratio,
+         CASE WHEN len(ts) > 0 THEN
+           1.0 - CAST(len(list_distinct(ts)) AS DOUBLE) / len(ts)
+         ELSE 1.0 END AS rep_ratio,
+         LEAST(CAST(len(ts) AS DOUBLE) / 100.0, 1.0) AS len_score
+  FROM (SELECT doc_id, {_TOKENS_SQL} AS ts FROM documents)
+)""",
+)
+def ts_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-training quality heuristic in [0,1]:
+    ``0.4·len_score + 0.3·min(4·stop_ratio, 1) + 0.3·(1 − rep_ratio)``.
+
+    - len_score: saturating token count (100 tokens = full marks) —
+      drops fragments.
+    - stop_ratio: natural prose carries ~25% stopwords; ×4 saturation
+      rewards reaching that — drops keyword-stuffing/boilerplate.
+    - rep_ratio: 1 − distinct/total — drops copy-spam.
+
+    Pinned engine formula (the reference has no analogue; weights are
+    the documented spec)."""
+    docs = load_raw(spark, sf_dir, "documents")
+    ts = _tokens(F.col("text"))
+    n = F.size(ts)
+    stop_arr = F.array(*[F.lit(w) for w in STOPWORDS])
+    stop_ratio = F.when(
+        n > 0,
+        F.size(F.filter(ts, lambda t: F.array_contains(stop_arr, t))).cast("double") / n,
+    ).otherwise(F.lit(0.0))
+    rep_ratio = F.when(
+        n > 0, F.lit(1.0) - F.size(F.array_distinct(ts)).cast("double") / n
+    ).otherwise(F.lit(1.0))
+    len_score = F.least(n.cast("double") / 100.0, F.lit(1.0))
+    return (
+        docs.select(
+            "doc_id",
+            stop_ratio.alias("stop_ratio"),
+            rep_ratio.alias("rep_ratio"),
+            len_score.alias("len_score"),
+        )
+        .withColumn(
+            "quality",
+            (
+                0.4 * F.col("len_score")
+                + 0.3 * F.least(F.col("stop_ratio") * 4, F.lit(1.0))
+                + 0.3 * (1.0 - F.col("rep_ratio"))
+            ).cast("double"),
+        )
+    )
+
+
+# -------------------------------------------------------------- language ID
+
+def _lang_markers_sql() -> str:
+    rows = ",\n    ".join(
+        f"('{lang}', {i}, [{', '.join(repr(w) for w in ws)}])"
+        for i, (lang, ws) in enumerate(LANG_MARKERS.items())
+    )
+    return f"(VALUES\n    {rows}\n) langs(lang, lang_pri, markers)"
+
+
+@register(
+    "ts_lang_id",
+    f"""SELECT doc_id, lang_guess, hits FROM (
+  SELECT d.doc_id, langs.lang AS lang_guess,
+         CAST(len(list_intersect(d.ts, langs.markers)) AS BIGINT) AS hits,
+         ROW_NUMBER() OVER (
+           PARTITION BY d.doc_id
+           ORDER BY len(list_intersect(d.ts, langs.markers)) DESC, langs.lang_pri ASC
+         ) AS rn
+  FROM (SELECT doc_id, list_distinct({_TOKENS_SQL}) AS ts FROM documents) d
+  CROSS JOIN {_lang_markers_sql()}
+) WHERE rn = 1""",
+)
+def ts_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language ID heuristic: argmax over per-language marker-token hit
+    counts (distinct-token ∩ marker list). Ties resolve in LANG_MARKERS
+    declaration order (English first — the pinned prior). A 4-row
+    broadcast cross join; the scan dominates."""
+    docs = load_raw(spark, sf_dir, "documents")
+    base = docs.select("doc_id", F.array_distinct(_tokens(F.col("text"))).alias("ts"))
+    langs = [
+        (lang, pri, F.array(*[F.lit(w) for w in ws]))
+        for pri, (lang, ws) in enumerate(LANG_MARKERS.items())
+    ]
+    scored = None
+    for lang, pri, markers in langs:
+        part = base.select(
+            "doc_id",
+            F.lit(lang).alias("lang_guess"),
+            F.lit(pri).alias("lang_pri"),
+            F.size(F.array_intersect(F.col("ts"), markers)).cast("long").alias("hits"),
+        )
+        scored = part if scored is None else scored.unionByName(part)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy(F.desc("hits"), F.asc("lang_pri"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "lang_guess", "hits")
+    )
+
+
+# -------------------------------------------------------------- fingerprint
+
+_FP_MOD = 2_147_483_647  # 2^31 - 1 (Mersenne prime)
+
+
+@register(
+    "ts_fingerprint",
+    f"""SELECT doc_id,
+       CAST(COALESCE(SUM((ascii(t) + length(t)) * (1 + (pos % 97))), 0)
+            % {_FP_MOD} AS BIGINT) AS fingerprint
+FROM (
+  SELECT doc_id, unnest(ts) AS t, generate_subscripts(ts, 1) AS pos
+  FROM (SELECT doc_id, {_TOKENS_SQL} AS ts FROM documents)
+)
+GROUP BY doc_id
+UNION ALL
+SELECT doc_id, CAST(0 AS BIGINT) AS fingerprint
+FROM (SELECT doc_id, {_TOKENS_SQL} AS ts FROM documents) WHERE len(ts) = 0""",
+)
+def ts_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positional document fingerprint:
+    ``Σ (ascii(token) + len(token)) · (1 + pos % 97)  mod 2³¹−1``.
+
+    Shift-sensitive (position-weighted) but commutative-summable — so it
+    computes as a plain map-side-combinable aggregate, unlike a true
+    rolling hash whose fold is order-dependent. Exact integer arithmetic
+    end to end → oracle-checkable. Pinned engine spec."""
+    docs = load_raw(spark, sf_dir, "documents")
+    ts = _tokens(F.col("text"))
+    # posexplode gives 0-based pos; the pinned formula uses 1-based
+    exploded = docs.select("doc_id", F.posexplode(ts).alias("pos0", "t")).select(
+        "doc_id", (F.col("pos0") + 1).alias("pos"), "t"
+    )
+    contrib = (F.ascii("t") + F.length("t")) * (1 + F.col("pos") % 97)
+    fp = (
+        exploded.groupBy("doc_id")
+        .agg((F.coalesce(F.sum(contrib), F.lit(0)) % _FP_MOD).cast("long").alias("fingerprint"))
+    )
+    empties = docs.select("doc_id", _tokens(F.col("text")).alias("ts")).filter(
+        F.size("ts") == 0
+    ).select("doc_id", F.lit(0).cast("long").alias("fingerprint"))
+    return fp.unionByName(empties)

@@ -1,0 +1,135 @@
+"""Invariants for the LLM-pipeline operators (dedup / similarity /
+textstats / multimodal) that the DuckDB oracle can't express —
+mostly recall properties of the approximate (LSH) paths against their
+exact twins, on the sf0.001 fixtures.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from recommedation_system_under_flink_spark import registry
+
+from conftest import SF_DIR
+
+
+@pytest.fixture(scope="module")
+def queries():
+    return registry.queries()
+
+
+# ----------------------------------------------------------------- dedup
+
+def test_minhash_lsh_subset_of_exact_with_high_recall(queries, spark):
+    exact = {
+        (r.doc_a, r.doc_b)
+        for r in queries["dedup_ngram_jaccard"](spark, SF_DIR).collect()
+    }
+    lsh = {
+        (r.doc_a, r.doc_b)
+        for r in queries["dedup_minhash_lsh"](spark, SF_DIR).collect()
+    }
+    assert lsh <= exact  # verified candidates can never add pairs
+    if exact:
+        assert len(lsh) / len(exact) >= 0.8  # 2-row bands at j>=0.5
+
+
+def test_simhash_identical_text_same_signature(spark):
+    from recommedation_system_under_flink_spark.operators.dedup import simhash_udf
+
+    df = spark.createDataFrame(
+        [(1, "spark shuffles data"), (2, "spark shuffles data"), (3, "other words")],
+        "doc_id long, text string",
+    )
+    rows = df.select("doc_id", simhash_udf()(F.col("text")).alias("sig")).collect()
+    sigs = {r.doc_id: r.sig for r in rows}
+    assert sigs[1] == sigs[2]
+    assert sigs[1] != sigs[3]
+
+
+def test_exact_dedup_flags_planted_duplicates(queries, spark):
+    df = queries["dedup_exact"](spark, SF_DIR)
+    # canonical count == distinct hash count; every hash has exactly one canonical
+    agg = df.groupBy("text_hash").agg(
+        F.sum(F.col("canonical").cast("int")).alias("n_canon")
+    )
+    assert agg.filter(F.col("n_canon") != 1).count() == 0
+
+
+# ------------------------------------------------------------ similarity
+
+def test_lsh_topk_recall_vs_bruteforce(queries, spark):
+    bf = {
+        (r.query_id, r.corpus_id)
+        for r in queries["sim_bruteforce_topk"](spark, SF_DIR).collect()
+    }
+    lsh = {
+        (r.query_id, r.corpus_id)
+        for r in queries["sim_lsh_topk"](spark, SF_DIR).collect()
+    }
+    # approximate top-k: most of the true top-k should surface
+    assert len(bf & lsh) / len(bf) >= 0.5
+
+
+def test_neardup_lsh_subset_of_exact(queries, spark):
+    exact = {
+        (r.vec_a, r.vec_b)
+        for r in queries["sim_neardup_pairs_exact"](spark, SF_DIR).collect()
+    }
+    lsh = {
+        (r.vec_a, r.vec_b)
+        for r in queries["sim_neardup_pairs_lsh"](spark, SF_DIR).collect()
+    }
+    assert lsh <= exact
+
+
+# ------------------------------------------------------------- textstats
+
+def test_quality_score_bounds(queries, spark):
+    df = queries["ts_quality_score"](spark, SF_DIR)
+    bad = df.filter((F.col("quality") < 0) | (F.col("quality") > 1)).count()
+    assert bad == 0
+
+
+def test_lang_id_mostly_matches_fixture_label(queries, spark):
+    """The fixture's documents carry a lang column; the heuristic should
+    beat a constant guess on the rows whose label it models."""
+    guessed = queries["ts_lang_id"](spark, SF_DIR)
+    from recommedation_system_under_flink_spark.sources import load_raw
+
+    labeled = load_raw(spark, SF_DIR, "documents").select("doc_id", "lang")
+    joined = guessed.join(labeled, "doc_id")
+    covered = joined.filter(F.col("lang").isin("en", "de", "fr", "es"))
+    n = covered.count()
+    if n:
+        acc = covered.filter(F.col("lang_guess") == F.col("lang")).count() / n
+        assert acc >= 0.3, f"lang-ID accuracy {acc:.2f} vs labels"
+
+
+# ------------------------------------------------------------ multimodal
+
+def test_decode_features_shape_and_determinism(queries, spark):
+    from recommedation_system_under_flink_spark.operators.multimodal import FEATURE_DIM
+
+    df = queries["mm_decode_features"](spark, SF_DIR)
+    rows = df.collect()
+    assert all(len(r.features) == FEATURE_DIM for r in rows)
+    assert all(0.0 <= v <= 1.0 for r in rows for v in r.features)
+    rows2 = queries["mm_decode_features"](spark, SF_DIR).collect()
+    assert sorted(map(str, rows)) == sorted(map(str, rows2))
+
+
+def test_decode_stub_raises_for_real_decode():
+    from recommedation_system_under_flink_spark.operators.multimodal import _decode_stub
+
+    with pytest.raises(NotImplementedError):
+        _decode_stub(b"\x89PNG", "image")
+
+
+def test_frame_plan_only_video_and_bounded(queries, spark):
+    df = queries["mm_frame_plan"](spark, SF_DIR)
+    per_media = df.groupBy("media_id").agg(F.count("*").alias("n"))
+    assert per_media.filter(F.col("n") > 11).count() == 0
+    ids = {r.media_id % 3 for r in df.select("media_id").distinct().collect()}
+    assert ids <= {2}  # doc_id % 3 == 2 -> video
