@@ -1,0 +1,83 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR.
+
+Prints ONE JSON line:
+``{"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}``
+
+``value`` is the total wall-clock over the headline set; per-query
+seconds are in ``queries``. Includes the J3 naive-vs-inverted-index
+contrast BASELINE.md's derived targets call for.
+
+Usage: ``python bench.py [sf_dir]`` (default $SPARK_GRAFT_SF_DIR or
+/root/testdata/sf0.1).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+
+#: The headline set: every pipeline, the J3 pair (scale contrast), the
+#: shuffle-heavy relational ops, and one of each LLM-op family.
+HEADLINE = (
+    "hot_topics_pipeline",
+    "tfidf_pipeline",
+    "textrank_pipeline",
+    "j3_scored_join",
+    "j3_scored_join_naive",
+    "a1_daily_distinct_clickers",
+    "a5_news_tfidf",
+    "t1_user_topk",
+    "j4_precision_eval",
+    "dedup_minhash_lsh",
+    "sim_bruteforce_topk",
+    "ts_quality_score",
+)
+
+
+def main() -> int:
+    sf_dir = (
+        sys.argv[1]
+        if len(sys.argv) > 1
+        else os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    )
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else None
+
+    from recommedation_system_under_flink_spark.session import get_spark
+
+    import __spark_entry__ as entrymod
+
+    spark = get_spark(app_name="bench")
+    qs = entrymod.queries()
+
+    # warm the JVM + parquet footers so per-query timings measure the
+    # plan, not first-touch overheads
+    spark.read.parquet(os.path.join(sf_dir, "events.parquet")).count()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = qs.get(name)
+        if fn is None:
+            continue
+        t0 = time.time()
+        # count() executes the full plan without driver-side row transfer
+        fn(spark, sf_dir).count()
+        timings[name] = round(time.time() - t0, 3)
+
+    out = {
+        "metric": "headline_queries_total_wall_sec",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+    print(json.dumps(out))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

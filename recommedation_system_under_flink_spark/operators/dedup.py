@@ -47,9 +47,6 @@ MINHASH_BANDS = 16
 #: SimHash hamming radius for near-dup candidates.
 SIMHASH_MAX_HAMMING = 8
 
-_STOP_FILTER = F.col("shingle").isNotNull()
-
-
 # --------------------------------------------------------------- shingles
 
 def shingles(docs: DataFrame, n: int = SHINGLE_N) -> DataFrame:
@@ -67,7 +64,7 @@ def shingles(docs: DataFrame, n: int = SHINGLE_N) -> DataFrame:
     )).otherwise(F.array().cast("array<string>"))
     return (
         docs.select("doc_id", F.explode(sh).alias("shingle"))
-        .filter(_STOP_FILTER)
+        .filter(F.col("shingle").isNotNull())
         .distinct()
     )
 
