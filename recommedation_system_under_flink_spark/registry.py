@@ -69,6 +69,8 @@ _QUERY_MODULES = (
     "operators.textstats",
     "operators.multimodal",
     "plans.pipelines",
+    "plans.als",
+    "streaming.hot_topics",
 )
 
 

@@ -1,0 +1,133 @@
+"""Streaming HotTopics: the daily driver loop as event-time windows.
+
+The reference simulates time by resubmitting a batch job per day
+(HotTopics.java:36-56 inside the DateIterator loop, SURVEY §2.8 "none"
+row); the idiomatic Spark upgrade is ONE continuous query:
+
+- ``readStream`` over the events parquet (file source — in production,
+  Kafka/queue);
+- 1-day **tumbling event-time window** + watermark for late clicks
+  replaces P2's date-equality filter per day;
+- 7-day **sliding window** replaces the P3 trailing zone re-scan per
+  day — each click enters 7 window panes instead of being re-read 7
+  times;
+- aggregation state lives in the state store, not in O(days) job
+  resubmissions (BASELINE.md "daily-loop amortization" target).
+
+The registry entries run with ``trigger(availableNow=True)`` into a
+memory sink and return the settled table — batch-replayable, so the
+driver's rows-only check covers them; tests/test_streaming.py asserts
+equivalence against the batch operators on the same fixtures. Replay
+uses **complete** output mode: in append mode the windows still open at
+end-of-input (the last ``num_days`` of history) are held back by the
+watermark and never emit, so a bounded replay would silently drop the
+newest days. A production continuous run flips to append +
+``foreachBatch`` and lets the watermark close windows as time advances.
+
+Scale notes (100 TB/day): the window aggregate is a streaming hash agg
+keyed (window, news_id) with partial aggregation before the state-store
+shuffle; watermark bounds state to windows still open. ``foreachBatch``
+is the production sink seam (write top-K per closed window to parquet).
+"""
+
+from __future__ import annotations
+
+import os
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..config import DEFAULT_SCENE
+from ..registry import register
+from ..sources.tables import NEWS_MOD
+
+#: events.parquet physical schema under nanosAsLong (ts is raw long).
+_EVENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def stream_clicks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of sources.tables.clicks: file-source readStream →
+    click filter → event-time column from the nanos long."""
+    # The file source wants a directory to monitor; the fixture is one
+    # file among unrelated tables, so expose it via a symlink dir (in
+    # production this is the landing directory / Kafka topic).
+    stream_dir = os.path.join(
+        "/tmp", "spark_stream_src", sf_dir.strip("/").replace("/", "_")
+    )
+    os.makedirs(stream_dir, exist_ok=True)
+    link = os.path.join(stream_dir, "events.parquet")
+    if not os.path.exists(link):
+        os.symlink(os.path.join(sf_dir, "events.parquet"), link)
+    ev = spark.readStream.schema(_EVENTS_SCHEMA).parquet(stream_dir)
+    return ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id"),
+        (F.col("event_id") % NEWS_MOD).alias("news_id"),
+        F.timestamp_micros((F.col("ts") / 1000).cast("long")).alias("event_time"),
+    )
+
+
+def _run_to_memory(result: DataFrame, mode: str) -> DataFrame:
+    """Drive a streaming DF to settlement with availableNow into a
+    memory sink; return the settled table (a plain batch DF)."""
+    name = f"stream_{uuid.uuid4().hex[:12]}"
+    q = (
+        result.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return result.sparkSession.table(name)
+
+
+@register("stream_hot_topics_daily")  # streaming → rows-only check
+def stream_hot_topics_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-day per-news click counts as a 1-day tumbling event-time
+    window with a 1-day watermark — the streaming A2. Equivalence with
+    the batch (date, news) aggregate is pytest-checked."""
+    clicks = stream_clicks(spark, sf_dir)
+    agg = (
+        clicks.withWatermark("event_time", "1 day")
+        .groupBy(F.window("event_time", "1 day").alias("win"), F.col("news_id"))
+        .agg(F.count("*").alias("clicks"))
+        .select(
+            F.col("win.start").cast("date").alias("date"), "news_id", "clicks"
+        )
+    )
+    return _run_to_memory(agg, "complete")
+
+
+@register("stream_hot_topics_trailing")  # streaming → rows-only check
+def stream_hot_topics_trailing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The P3 trailing 7-day zone as a **sliding** window (7-day width,
+    1-day slide): each pane (d-6..d, news) carries the trailing count
+    the batch HotTopics recomputes from scratch per day
+    (HotTopics.java:67-93). Emitted per pane end-day."""
+    num_days = DEFAULT_SCENE.num_days
+    clicks = stream_clicks(spark, sf_dir)
+    agg = (
+        clicks.withWatermark("event_time", "1 day")
+        .groupBy(
+            F.window("event_time", f"{num_days} days", "1 day").alias("win"),
+            F.col("news_id"),
+        )
+        .agg(F.count("*").alias("clicks"))
+        .select(
+            (F.date_sub(F.col("win.end").cast("date"), 1)).alias("date"),
+            "news_id",
+            "clicks",
+        )
+    )
+    return _run_to_memory(agg, "complete")

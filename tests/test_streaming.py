@@ -1,0 +1,68 @@
+"""Streaming + ALS extension checks: the streaming windows must agree
+with their batch twins on the same fixtures (replay equivalence), and
+ALS must emit the standard recommendations shape.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from recommedation_system_under_flink_spark import registry
+from recommedation_system_under_flink_spark.config import DEFAULT_SCENE, TODAY
+from recommedation_system_under_flink_spark.sources import clicks
+
+from conftest import SF_DIR
+
+
+@pytest.fixture(scope="module")
+def queries():
+    return registry.queries()
+
+
+def test_stream_daily_equals_batch_daily(queries, spark):
+    """1-day tumbling windows over the file stream == batch
+    groupBy(date, news_id) on the same parquet."""
+    streamed = {
+        (r.date, r.news_id): r.clicks
+        for r in queries["stream_hot_topics_daily"](spark, SF_DIR).collect()
+    }
+    batch = {
+        (r.date, r.news_id): r.clicks
+        for r in clicks(spark, SF_DIR)
+        .groupBy("date", "news_id")
+        .agg(F.count("*").alias("clicks"))
+        .collect()
+    }
+    assert streamed == batch
+
+
+def test_stream_trailing_pane_matches_batch_window(queries, spark):
+    """The sliding-window pane ending at TODAY must equal the batch
+    trailing-zone aggregate (A2 without the date rewrite)."""
+    num_days = DEFAULT_SCENE.num_days
+    start = TODAY - dt.timedelta(days=num_days - 1)
+    streamed = {
+        (r.news_id): r.clicks
+        for r in queries["stream_hot_topics_trailing"](spark, SF_DIR).collect()
+        if r.date == TODAY
+    }
+    batch = {
+        r.news_id: r.clicks
+        for r in clicks(spark, SF_DIR, date_from=start, date_to=TODAY)
+        .groupBy("news_id")
+        .agg(F.count("*").alias("clicks"))
+        .collect()
+    }
+    assert streamed == batch
+
+
+def test_als_shape_and_validity(queries, spark):
+    rows = queries["als_recommendations"](spark, SF_DIR).collect()
+    assert len(rows) > 0
+    for r in rows:
+        assert r.date == TODAY
+        assert 0 < len(r.news) <= DEFAULT_SCENE.num_recommendations
+        assert len(set(r.news)) == len(r.news)
