@@ -150,6 +150,135 @@ def textrank_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ----------------------------------------------- all-days (amortized loop)
+
+_ALL_DAYS_ORACLE = with_ctes(
+    f"""SELECT act.date, s.user_id,
+       (list(s.news_id ORDER BY s.score DESC, s.news_id ASC))[1:{K}] AS news
+FROM scored s
+JOIN (SELECT DISTINCT date, user_id FROM clicks
+      WHERE date BETWEEN DATE '{DEFAULT_SCENE.from_date}' AND DATE '{TODAY}') act
+  ON s.user_id = act.user_id
+JOIN (SELECT n.news_id, d.day
+      FROM news n
+      JOIN (SELECT CAST(unnest(generate_series(DATE '{DEFAULT_SCENE.from_date}',
+                                     DATE '{TODAY}', INTERVAL 1 DAY)) AS DATE) AS day) d
+        ON n.date BETWEEN d.day AND d.day + {NUM_DAYS - 1}) elig
+  ON s.news_id = elig.news_id AND elig.day = act.date
+GROUP BY act.date, s.user_id""",
+    CLICKS_CTE,
+    *_NEWS_KW_CHAIN,
+    *_USER_KW_CHAIN,
+    f"""scored AS (
+  SELECT i.user_id, i.news_id,
+         CAST(i.inter AS DOUBLE) / (su.n * sn.n) AS score
+  FROM (
+    SELECT u.user_id, n.news_id, COUNT(*) AS inter
+    FROM user_kw u JOIN news_kw n ON u.term = n.term
+    GROUP BY u.user_id, n.news_id
+  ) i
+  JOIN (SELECT user_id, COUNT(*) AS n FROM user_kw GROUP BY user_id) su
+    ON i.user_id = su.user_id
+  JOIN (SELECT news_id, COUNT(*) AS n FROM news_kw GROUP BY news_id) sn
+    ON i.news_id = sn.news_id
+)""",
+)
+
+
+@register("tfidf_recommend_all_days", _ALL_DAYS_ORACLE)
+def tfidf_recommend_all_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's per-day driver loop (TF_IDF.java:161-232 — one
+    Flink job per day, O(days) submissions) collapsed into ONE Spark
+    job over the whole ``[from_date, today]`` range — BASELINE.md's
+    "daily-loop amortization" target.
+
+    Day parameterization becomes data: each news explodes into the days
+    it is eligible for (its P4 leading window, a bounded ≤num_days
+    multiplier — an equi-join, NOT a range join), each user's active
+    days come from A1 flat rows, and one windowed ranking emits every
+    (day, user) list. Scored pairs are computed ONCE (user profiles are
+    corpus-static here — documented divergence: the reference rebuilds
+    per-day user keyword files from trailing tweets, TextRank.java:246).
+    """
+    from ..operators.tfidf import a7_user_keywords, a8_news_keywords_topk
+    from ..sources import news
+
+    user_kw = a7_user_keywords(spark, sf_dir)
+    news_kw = a8_news_keywords_topk(spark, sf_dir)
+
+    # scored pairs, once for the whole range (inverted-index J3 form)
+    inter = (
+        user_kw.select("user_id", "term")
+        .join(F.broadcast(news_kw.select("news_id", "term")), "term")
+        .groupBy("user_id", "news_id")
+        .agg(F.count("*").alias("inter"))
+    )
+    scored = (
+        inter.join(
+            F.broadcast(user_kw.groupBy("user_id").agg(F.count("*").alias("n_user"))),
+            "user_id",
+        )
+        .join(
+            F.broadcast(news_kw.groupBy("news_id").agg(F.count("*").alias("n_news"))),
+            "news_id",
+        )
+        .select(
+            "user_id",
+            "news_id",
+            (F.col("inter").cast("double") / (F.col("n_user") * F.col("n_news"))).alias(
+                "score"
+            ),
+        )
+    )
+
+    # active (day, user) pairs across the range — flat A1 rows
+    active = (
+        clicks(spark, sf_dir, date_from=DEFAULT_SCENE.from_date, date_to=TODAY)
+        .select("date", "user_id")
+        .distinct()
+    )
+    # each news explodes into its eligible days (P4 leading window):
+    # day ∈ [news.date - (num_days-1), news.date] ∩ [from_date, today]
+    day_lo = F.greatest(
+        F.date_sub(F.col("date"), NUM_DAYS - 1),
+        F.lit(DEFAULT_SCENE.from_date.isoformat()).cast("date"),
+    )
+    day_hi = F.least(F.col("date"), F.lit(TODAY.isoformat()).cast("date"))
+    eligible = (
+        news(spark, sf_dir)
+        .select("news_id", "date")
+        .filter(day_lo <= day_hi)
+        .select(
+            "news_id",
+            F.explode(F.sequence(day_lo, day_hi, F.expr("interval 1 day"))).alias(
+                "day"
+            ),
+        )
+    )
+
+    per_day = (
+        scored.join(active, "user_id")
+        .join(
+            F.broadcast(eligible),
+            (scored["news_id"] == eligible["news_id"])
+            & (active["date"] == eligible["day"]),
+        )
+        .select(active["date"], scored["user_id"], scored["news_id"], "score")
+    )
+    ranked = top_k_rows(
+        per_day, ["date", "user_id"], [F.desc("score"), F.asc("news_id")], K
+    )
+    return (
+        ranked.groupBy("date", "user_id")
+        .agg(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("rank", "news_id"))),
+                lambda s: s["news_id"],
+            ).alias("news")
+        )
+    )
+
+
 # ------------------------------------------------------------------- S5
 
 @register(

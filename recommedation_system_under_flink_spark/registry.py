@@ -68,6 +68,7 @@ _QUERY_MODULES = (
     "operators.similarity",
     "operators.textstats",
     "operators.multimodal",
+    "operators.kernels_sql",
     "plans.pipelines",
     "plans.als",
     "streaming.hot_topics",
