@@ -178,28 +178,32 @@ def j3_scored_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     (TextRank.java:258-279) collapses into an equi-join on ``term``:
     only (user, news) pairs sharing a keyword are materialized, and the
     P6 positive filter is satisfied by construction."""
-    user_kw = a7_user_keywords(spark, sf_dir).join(
-        F.broadcast(today_clickers(spark, sf_dir)), "user_id", "left_semi"
-    )
-    news_kw = _news_window_keywords(spark, sf_dir)
+    from pyspark.sql import Window
 
-    inter = (
-        user_kw.select("user_id", "term")
-        .join(F.broadcast(news_kw.select("news_id", "term")), "term")
-        .groupBy("user_id", "news_id")
-        .agg(F.count("*").alias("inter"))
+    # Per-side keyword counts ride along as window columns computed on
+    # the SAME pass that produced the keywords (the window shares the
+    # top-K partitioning, so no extra exchange) — NOT as separate
+    # aggregate subtrees, which would re-run the whole keyword chain
+    # (Catalyst does no cross-join common-subplan elimination; the
+    # audit showed 22 file scans in the naively-structured plan).
+    user_kw = (
+        a7_user_keywords(spark, sf_dir)
+        .withColumn("n_user", F.count("*").over(Window.partitionBy("user_id")))
+        .join(F.broadcast(today_clickers(spark, sf_dir)), "user_id", "left_semi")
     )
-    user_sizes = (
-        a7_user_keywords(spark, sf_dir).groupBy("user_id").agg(F.count("*").alias("n_user"))
+    news_kw = _news_window_keywords(spark, sf_dir).withColumn(
+        "n_news", F.count("*").over(Window.partitionBy("news_id"))
     )
-    news_sizes = (
-        a8_news_keywords_topk(spark, sf_dir)
-        .groupBy("news_id")
-        .agg(F.count("*").alias("n_news"))
-    )
+
     return (
-        inter.join(F.broadcast(user_sizes), "user_id")
-        .join(F.broadcast(news_sizes), "news_id")
+        user_kw.select("user_id", "term", "n_user")
+        .join(F.broadcast(news_kw.select("news_id", "term", "n_news")), "term")
+        .groupBy("user_id", "news_id")
+        .agg(
+            F.count("*").alias("inter"),
+            F.max("n_user").alias("n_user"),
+            F.max("n_news").alias("n_news"),
+        )
         .select(
             "user_id",
             "news_id",

@@ -118,24 +118,29 @@ def textrank_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.filters import leading_zone
     from ..sources import news
 
-    user_kw = a3_user_keywords_textrank(spark, sf_dir).join(
-        F.broadcast(today_clickers(spark, sf_dir)), "user_id", "left_semi"
+    from pyspark.sql import Window
+
+    # sizes as window columns on the same pass — never separate
+    # aggregate subtrees that would re-run the pandas-UDF keyword
+    # extraction (see j3_scored_join)
+    user_kw = (
+        a3_user_keywords_textrank(spark, sf_dir)
+        .withColumn("n_user", F.count("*").over(Window.partitionBy("user_id")))
+        .join(F.broadcast(today_clickers(spark, sf_dir)), "user_id", "left_semi")
     )
     news_kw = p1_news_keywords_textrank(spark, sf_dir).filter(
         leading_zone(F.col("date"), TODAY, NUM_DAYS)
-    )
+    ).withColumn("n_news", F.count("*").over(Window.partitionBy("news_id")))
 
-    inter = (
-        user_kw.select("user_id", "term")
-        .join(F.broadcast(news_kw.select("news_id", "term")), "term")
-        .groupBy("user_id", "news_id")
-        .agg(F.count("*").alias("inter"))
-    )
-    user_sizes = user_kw.groupBy("user_id").agg(F.count("*").alias("n_user"))
-    news_sizes = news_kw.groupBy("news_id").agg(F.count("*").alias("n_news"))
     scored = (
-        inter.join(F.broadcast(user_sizes), "user_id")
-        .join(F.broadcast(news_sizes), "news_id")
+        user_kw.select("user_id", "term", "n_user")
+        .join(F.broadcast(news_kw.select("news_id", "term", "n_news")), "term")
+        .groupBy("user_id", "news_id")
+        .agg(
+            F.count("*").alias("inter"),
+            F.max("n_user").alias("n_user"),
+            F.max("n_news").alias("n_news"),
+        )
         .select(
             "user_id",
             "news_id",
@@ -203,24 +208,25 @@ def tfidf_recommend_all_days(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.tfidf import a7_user_keywords, a8_news_keywords_topk
     from ..sources import news
 
-    user_kw = a7_user_keywords(spark, sf_dir)
-    news_kw = a8_news_keywords_topk(spark, sf_dir)
+    from pyspark.sql import Window
 
-    # scored pairs, once for the whole range (inverted-index J3 form)
-    inter = (
-        user_kw.select("user_id", "term")
-        .join(F.broadcast(news_kw.select("news_id", "term")), "term")
-        .groupBy("user_id", "news_id")
-        .agg(F.count("*").alias("inter"))
+    user_kw = a7_user_keywords(spark, sf_dir).withColumn(
+        "n_user", F.count("*").over(Window.partitionBy("user_id"))
     )
+    news_kw = a8_news_keywords_topk(spark, sf_dir).withColumn(
+        "n_news", F.count("*").over(Window.partitionBy("news_id"))
+    )
+
+    # scored pairs, once for the whole range (inverted-index J3 form;
+    # per-side sizes as window columns — see j3_scored_join)
     scored = (
-        inter.join(
-            F.broadcast(user_kw.groupBy("user_id").agg(F.count("*").alias("n_user"))),
-            "user_id",
-        )
-        .join(
-            F.broadcast(news_kw.groupBy("news_id").agg(F.count("*").alias("n_news"))),
-            "news_id",
+        user_kw.select("user_id", "term", "n_user")
+        .join(F.broadcast(news_kw.select("news_id", "term", "n_news")), "term")
+        .groupBy("user_id", "news_id")
+        .agg(
+            F.count("*").alias("inter"),
+            F.max("n_user").alias("n_user"),
+            F.max("n_news").alias("n_news"),
         )
         .select(
             "user_id",
