@@ -145,12 +145,16 @@ def textrank_vote(
     """
     scores: dict[str, float] = {}
     words = sorted(adj)  # deterministic sweep order
+    # Sorted neighbor lists: float summation order must not depend on
+    # set insertion history (i.e. on input row order), or near-tie
+    # top-K picks flip at the ulp level between executions.
+    adj_sorted = {w: sorted(adj[w]) for w in words}
     for _ in range(max_iterates):
         new_scores: dict[str, float] = {}
         max_diff = 0.0
         for w in words:
             s = 0.0
-            for n in adj[w]:
+            for n in adj_sorted[w]:
                 if n == w:  # self-edge skip, TextRank.java:208
                     continue
                 deg = len(adj.get(n, ()))

@@ -102,3 +102,55 @@ def a3_user_keywords_textrank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id")
         .applyInPandas(merge, "user_id long, term string, weight double")
     )
+
+
+@register("a3_user_keywords_windowed")  # UDAF → rows-only check
+def a3_user_keywords_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3 per loop day (TextRank.java:231-310 × 94-128): for every
+    recommendation day ``d`` in the loop range, user keywords from the
+    trailing ``num_days`` tweet window ``[d-(num_days-1), d]``.
+
+    The reference resubmits the whole job per day, re-reading the tweet
+    table each time. Here a tweet dated ``t`` is replicated to each day
+    it serves — ``sequence(t, t+num_days-1)`` clipped to the loop range
+    — then one shuffle on (day, user) feeds the same clique-graph merge.
+    The explode is bounded by ``num_days`` (×7), far cheaper at scale
+    than ``days`` separate scans of the corpus; the per-group graph
+    stays vocabulary-bounded exactly as in :func:`a3_user_keywords_textrank`.
+    """
+    scene = DEFAULT_SCENE
+    from ..config import TODAY
+
+    def merge(pdf: pd.DataFrame) -> pd.DataFrame:
+        kws = extract_keywords_clique(
+            pdf["content"].tolist(),
+            scene.num_user_keywords,
+            scene.friction,
+            scene.max_iterates,
+            scene.min_difference,
+        )
+        return pd.DataFrame(
+            {
+                "day": pdf["day"].iloc[0],
+                "user_id": pdf["user_id"].iloc[0],
+                "term": list(kws.keys()),
+                "weight": list(kws.values()),
+            }
+        )
+
+    lo = F.lit(scene.from_date.isoformat()).cast("date")
+    hi = F.lit(TODAY.isoformat()).cast("date")
+    last_served = F.date_add(F.col("date"), scene.num_days - 1)
+    return (
+        tweets(spark, sf_dir)
+        .filter((F.col("date") <= hi) & (last_served >= lo))
+        .select(
+            F.explode(
+                F.sequence(F.greatest(F.col("date"), lo), F.least(last_served, hi))
+            ).alias("day"),
+            "user_id",
+            "content",
+        )
+        .groupBy("day", "user_id")
+        .applyInPandas(merge, "day date, user_id long, term string, weight double")
+    )

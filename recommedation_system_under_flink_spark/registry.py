@@ -65,6 +65,7 @@ _QUERY_MODULES = (
     "operators.tfidf",
     "operators.keywords",
     "operators.dedup",
+    "operators.events_props",
     "operators.similarity",
     "operators.textstats",
     "operators.multimodal",

@@ -119,3 +119,47 @@ def test_textrank_pipeline_deterministic(queries, spark):
     df1 = sorted(map(str, queries["textrank_pipeline"](spark, SF_DIR).collect()))
     df2 = sorted(map(str, queries["textrank_pipeline"](spark, SF_DIR).collect()))
     assert df1 == df2 and len(df1) > 0
+
+
+def test_windowed_user_keywords_match_single_day(queries, spark):
+    """a3_user_keywords_windowed sliced at one day must equal the plain
+    A3 merge run over just that day's trailing tweet window — the
+    explode-replication is an execution detail, not a semantics change."""
+    import datetime as dt
+
+    from recommedation_system_under_flink_spark.operators.filters import trailing_zone
+    from recommedation_system_under_flink_spark.operators.keywords import (
+        a3_user_keywords_textrank,
+    )
+    from recommedation_system_under_flink_spark.sources import tweets
+
+    day = DEFAULT_SCENE.from_date + dt.timedelta(days=3)
+    got = {
+        (r["user_id"], r["term"]): round(r["weight"], 9)
+        for r in queries["a3_user_keywords_windowed"](spark, SF_DIR)
+        .filter(F.col("day") == F.lit(day.isoformat()).cast("date"))
+        .collect()
+    }
+
+    scene = DEFAULT_SCENE
+    windowed_tweets = tweets(spark, SF_DIR).filter(
+        trailing_zone(F.col("date"), day, scene.num_days)
+    )
+    import pandas as pd
+
+    from recommedation_system_under_flink_spark.functions.text import (
+        extract_keywords_clique,
+    )
+
+    pdf = windowed_tweets.select("user_id", "content").toPandas()
+    want = {}
+    for uid, grp in pdf.groupby("user_id"):
+        for term, w in extract_keywords_clique(
+            grp["content"].tolist(),
+            scene.num_user_keywords,
+            scene.friction,
+            scene.max_iterates,
+            scene.min_difference,
+        ).items():
+            want[(uid, term)] = round(w, 9)
+    assert got == want and len(got) > 0
