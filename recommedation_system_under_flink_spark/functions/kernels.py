@@ -200,3 +200,110 @@ def calculate_x_sql(k1: str | Column, k2: str | Column) -> Column:
     inter = F.size(F.array_intersect(F.map_keys(c1), F.map_keys(c2)))
     denom = F.size(F.map_keys(c1)) * F.size(F.map_keys(c2))
     return F.when(denom > 0, inter.cast("double") / denom).otherwise(F.lit(0.0))
+
+
+def _sum_values(m: Column) -> Column:
+    return F.aggregate(
+        F.filter(F.map_values(m), lambda v: v.isNotNull()),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def fuzzy_overlap_sql(k1: str | Column, k2: str | Column) -> Column:
+    """F6 as a pure Catalyst expression over two map columns:
+    ``Σ_∩ min(v1,v2)² / Σ_∪ max(v1,v2)²``. ``map_zip_with`` yields the
+    key union with NULL for the absent side; Spark's ``least``/
+    ``greatest`` skip NULLs, which is exactly the union-merge the
+    denominator needs (the numerator guards on both present)."""
+    c1 = F.col(k1) if isinstance(k1, str) else k1
+    c2 = F.col(k2) if isinstance(k2, str) else k2
+    num_m = F.map_zip_with(
+        c1,
+        c2,
+        lambda _, v1, v2: F.when(
+            v1.isNotNull() & v2.isNotNull(), F.least(v1, v2) * F.least(v1, v2)
+        ).otherwise(F.lit(0.0)),
+    )
+    den_m = F.map_zip_with(
+        c1, c2, lambda _, v1, v2: F.greatest(v1, v2) * F.greatest(v1, v2)
+    )
+    num, den = _sum_values(num_m), _sum_values(den_m)
+    return F.coalesce(
+        F.when(den > 0, num / den).otherwise(F.lit(0.0)), F.lit(0.0)
+    )
+
+
+def boolean_overlap_sql(a1: str | Column, a2: str | Column) -> Column:
+    """F7 as a Catalyst expression over two string-array columns
+    (deduped, as the pure kernel documents)."""
+    c1 = F.array_distinct(F.col(a1) if isinstance(a1, str) else a1)
+    c2 = F.array_distinct(F.col(a2) if isinstance(a2, str) else a2)
+    inter = F.size(F.array_intersect(c1, c2))
+    denom = F.size(c1) * F.size(c2)
+    return F.when(denom > 0, inter.cast("double") / denom).otherwise(F.lit(0.0))
+
+
+def _rank_weight_map(terms: Column, prod: Column, step: Column) -> Column:
+    """Map term → its F9/F10 rank weight ``len1·len2 − rank·step``
+    (rank 0-based, ``step`` = the *other* side's length)."""
+    return F.map_from_arrays(
+        terms, F.transform(terms, lambda _, i: prod - i.cast("long") * step)
+    )
+
+
+def rank_weighted_distance_sql(t1: str | Column, t2: str | Column) -> Column:
+    """F9 as a Catalyst expression over two rank-ordered string arrays.
+
+    For distinct inputs the reference's two-pass accumulation
+    (EuclideanDistance.java:52-83) reduces to
+    ``Σ_{w ∈ union} (m1(w) − m2(w))²`` with absent sides reading 0 —
+    shared words partially cancel, one-sided words contribute their
+    full squared weight. Exact long arithmetic end to end."""
+    c1 = F.col(t1) if isinstance(t1, str) else t1
+    c2 = F.col(t2) if isinstance(t2, str) else t2
+    n1, n2 = F.size(c1).cast("long"), F.size(c2).cast("long")
+    prod = n1 * n2
+    m1 = _rank_weight_map(c1, prod, n2)
+    m2 = _rank_weight_map(c2, prod, n1)
+    d = F.map_zip_with(
+        m1,
+        m2,
+        lambda _, v1, v2: F.coalesce(v1, F.lit(0).cast("long"))
+        - F.coalesce(v2, F.lit(0).cast("long")),
+    )
+    return F.aggregate(
+        F.map_values(d), F.lit(0).cast("long"), lambda acc, v: acc + v * v
+    )
+
+
+def positive_correlation_sql(t1: str | Column, t2: str | Column) -> Column:
+    """F10 ``calculate`` (EuclideanDistance.java:94-112) over two
+    rank-ordered string arrays: ``Σ_{w ∈ ∩} m1(w)·m2(w)``."""
+    c1 = F.col(t1) if isinstance(t1, str) else t1
+    c2 = F.col(t2) if isinstance(t2, str) else t2
+    n1, n2 = F.size(c1).cast("long"), F.size(c2).cast("long")
+    prod = n1 * n2
+    zipped = F.map_zip_with(
+        _rank_weight_map(c1, prod, n2),
+        _rank_weight_map(c2, prod, n1),
+        lambda _, v1, v2: v1 * v2,  # NULL unless the term is shared
+    )
+    return F.aggregate(
+        F.filter(F.map_values(zipped), lambda v: v.isNotNull()),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+
+
+def calculate_max_sql(n1: Column, n2: Column) -> Column:
+    """F10 ``calculateMax`` (EuclideanDistance.java:154-164) in closed
+    form: the loop sums are ``len1²·S(len2) + len2²·S(len1)`` with
+    ``S(n) = n(n+1)(2n+1)/6`` (square-pyramid sum)."""
+
+    def s(n: Column) -> Column:
+        return (n * (n + 1) * (2 * n + 1)).cast("double") / 6.0
+
+    return n1.cast("double") * n1.cast("double") * s(n2) + n2.cast(
+        "double"
+    ) * n2.cast("double") * s(n1)

@@ -17,7 +17,15 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..config import DEFAULT_SCENE, TODAY
-from ..functions.kernels import calculate_x_sql, dot_product_sql
+from ..functions.kernels import (
+    boolean_overlap_sql,
+    calculate_max_sql,
+    calculate_x_sql,
+    dot_product_sql,
+    fuzzy_overlap_sql,
+    positive_correlation_sql,
+    rank_weighted_distance_sql,
+)
 from ..registry import register
 from ..sources import CLICKS_CTE, NEWS_CTE, clicks, with_ctes
 from .tfidf import _NEWS_KW_CTE, _NEWS_TERMS_CTE, _NEWS_TFIDF_CTE, a8_news_keywords_topk
@@ -96,6 +104,172 @@ def f5_calculate_x_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
         a.join(F.broadcast(b), F.col("news_a") < F.col("news_b"))
         .select("news_a", "news_b", calculate_x_sql("k1", "k2").alias("score"))
         .filter(F.col("score") > 0)
+    )
+
+
+# ----------------------------------------------------- F6/F7/F9/F10
+# Defined-but-uncalled in the reference (SimilarityAlgorithm dispatch
+# only reaches F5/F8); exposed here as standalone oracle-checked
+# queries so the full kernel API is hash-verified, not just unit-tested.
+
+_KWR_CTES = (
+    *_KW_PAIR_CTES,
+    f"kwr AS (SELECT news_id, term, rank FROM news_kw WHERE news_id < {_N_DOCS})",
+    "sizes AS (SELECT news_id, COUNT(*) AS n FROM kwr GROUP BY news_id)",
+)
+
+
+def _news_kw_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-ordered keyword term array per news doc (order pinned by the
+    integer ``rank`` column — no float sorting at assembly time)."""
+    kw = a8_news_keywords_topk(spark, sf_dir).filter(F.col("news_id") < _N_DOCS)
+    return kw.groupBy("news_id").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("rank", "term"))),
+            lambda s: s["term"],
+        ).alias("terms")
+    )
+
+
+def _term_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    arrs = _news_kw_arrays(spark, sf_dir)
+    a = arrs.select(F.col("news_id").alias("news_a"), F.col("terms").alias("t1"))
+    b = arrs.select(F.col("news_id").alias("news_b"), F.col("terms").alias("t2"))
+    return a.join(F.broadcast(b), F.col("news_a") < F.col("news_b"))
+
+
+@register(
+    "f6_fuzzy_overlap_sql",
+    with_ctes(
+        """SELECT i.news_a, i.news_b,
+       i.inter / (sa.ss + sb.ss - i.inter) AS score
+FROM (
+  SELECT a.news_id AS news_a, b.news_id AS news_b,
+         SUM(LEAST(a.weight, b.weight) * LEAST(a.weight, b.weight)) AS inter
+  FROM kw a JOIN kw b ON a.term = b.term AND a.news_id < b.news_id
+  GROUP BY 1, 2
+) i
+JOIN (SELECT news_id, SUM(weight * weight) AS ss FROM kw GROUP BY news_id) sa
+  ON i.news_a = sa.news_id
+JOIN (SELECT news_id, SUM(weight * weight) AS ss FROM kw GROUP BY news_id) sb
+  ON i.news_b = sb.news_id
+WHERE i.inter > 0""",
+        *_KW_PAIR_CTES,
+    ),
+)
+def f6_fuzzy_overlap_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F6 (CosineSimilarity.java:52-86) as the map-column Catalyst twin.
+    The oracle uses the algebraic identity ``Σ_∪ max² = Σ_a v² + Σ_b v²
+    − Σ_∩ min²`` so the two sides compute the denominator via different
+    routes — a real equivalence check, not a transliteration."""
+    maps = _news_maps(spark, sf_dir)
+    a = maps.select(F.col("news_id").alias("news_a"), F.col("kw").alias("k1"))
+    b = maps.select(F.col("news_id").alias("news_b"), F.col("kw").alias("k2"))
+    return (
+        a.join(F.broadcast(b), F.col("news_a") < F.col("news_b"))
+        .select("news_a", "news_b", fuzzy_overlap_sql("k1", "k2").alias("score"))
+        .filter(F.col("score") > 0)
+    )
+
+
+@register(
+    "f7_boolean_overlap_sql",
+    with_ctes(
+        """SELECT i.news_a, i.news_b, CAST(i.inter AS DOUBLE) / (sa.n * sb.n) AS score
+FROM (
+  SELECT a.news_id AS news_a, b.news_id AS news_b, COUNT(*) AS inter
+  FROM kw a JOIN kw b ON a.term = b.term AND a.news_id < b.news_id
+  GROUP BY 1, 2
+) i
+JOIN (SELECT news_id, COUNT(*) AS n FROM kw GROUP BY news_id) sa ON i.news_a = sa.news_id
+JOIN (SELECT news_id, COUNT(*) AS n FROM kw GROUP BY news_id) sb ON i.news_b = sb.news_id""",
+        *_KW_PAIR_CTES,
+    ),
+)
+def f7_boolean_overlap_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F7 (CosineSimilarity.java:10-49) over string-array columns.
+    Numerically identical to F5 on distinct inputs (the kernel contract)
+    — what this entry verifies is the array-typed expression path
+    (``array_distinct``/``array_intersect``), not new values."""
+    pairs = _term_pairs(spark, sf_dir)
+    return pairs.select(
+        "news_a", "news_b", boolean_overlap_sql("t1", "t2").alias("score")
+    ).filter(F.col("score") > 0)
+
+
+@register(
+    "f9_rank_distance_sql",
+    with_ctes(
+        """SELECT COALESCE(x.news_a, y.news_a) AS news_a,
+       COALESCE(x.news_b, y.news_b) AS news_b,
+       CAST(SUM(POWER(COALESCE(x.m1, 0) - COALESCE(y.m2, 0), 2)) AS BIGINT)
+         AS distance
+FROM (
+  SELECT ka.news_id AS news_a, sb.news_id AS news_b, ka.term,
+         sa.n * sb.n - (ka.rank - 1) * sb.n AS m1
+  FROM kwr ka
+  JOIN sizes sa ON ka.news_id = sa.news_id
+  JOIN sizes sb ON sb.news_id > ka.news_id
+) x
+FULL OUTER JOIN (
+  SELECT sa.news_id AS news_a, kb.news_id AS news_b, kb.term,
+         sa.n * sb.n - (kb.rank - 1) * sa.n AS m2
+  FROM kwr kb
+  JOIN sizes sb ON kb.news_id = sb.news_id
+  JOIN sizes sa ON sa.news_id < kb.news_id
+) y
+  ON x.news_a = y.news_a AND x.news_b = y.news_b AND x.term = y.term
+GROUP BY 1, 2""",
+        *_KWR_CTES,
+    ),
+)
+def f9_rank_distance_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F9 (EuclideanDistance.java:52-83) over rank-ordered term arrays —
+    exact long arithmetic, every doc pair (distance 0 only for identical
+    rankings). The oracle rebuilds the rank weights relationally from
+    the pinned integer ``rank`` column."""
+    pairs = _term_pairs(spark, sf_dir)
+    return pairs.select(
+        "news_a", "news_b", rank_weighted_distance_sql("t1", "t2").alias("distance")
+    )
+
+
+@register(
+    "f10_positive_correlation_sql",
+    with_ctes(
+        """SELECT i.news_a, i.news_b,
+       CAST(i.pc AS DOUBLE) /
+       (sa.n * sa.n * (sb.n * (sb.n + 1) * (2 * sb.n + 1) / 6.0)
+        + sb.n * sb.n * (sa.n * (sa.n + 1) * (2 * sa.n + 1) / 6.0)) AS score
+FROM (
+  SELECT a.news_id AS news_a, b.news_id AS news_b,
+         SUM((sa.n * sb.n - (a.rank - 1) * sb.n)
+             * (sa.n * sb.n - (b.rank - 1) * sa.n)) AS pc
+  FROM kwr a
+  JOIN kwr b ON a.term = b.term AND a.news_id < b.news_id
+  JOIN sizes sa ON a.news_id = sa.news_id
+  JOIN sizes sb ON b.news_id = sb.news_id
+  GROUP BY 1, 2
+) i
+JOIN sizes sa ON i.news_a = sa.news_id
+JOIN sizes sb ON i.news_b = sb.news_id""",
+        *_KWR_CTES,
+    ),
+)
+def f10_positive_correlation_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F10 (EuclideanDistance.java:94-112,154-164): rank-weighted
+    positive correlation normalized by ``calculateMax`` in closed form
+    (``len1²·S(len2) + len2²·S(len1)``, S = square-pyramid sum). Rank
+    weights are strictly positive, so score > 0 ⇔ ≥1 shared term —
+    matching the oracle's inner term-join."""
+    pairs = _term_pairs(spark, sf_dir)
+    n1 = F.size("t1").cast("long")
+    n2 = F.size("t2").cast("long")
+    score = positive_correlation_sql("t1", "t2").cast("double") / calculate_max_sql(
+        n1, n2
+    )
+    return pairs.select("news_a", "news_b", score.alias("score")).filter(
+        F.col("score") > 0
     )
 
 

@@ -112,3 +112,82 @@ def test_calculate_max_case():
     # len1=2, len2=1: first loop (step len1) adds 2*2; second loop
     # (step len2) adds 2*2 + 1*1 -> 9
     assert calculate_max(2, 1) == 9
+
+
+def test_sql_twins_match_python_kernels(spark):
+    """Every kernel SQL twin must agree with its pure-Python form on
+    hand cases: overlaps, disjoint, empty, single-element, and ties."""
+    from pyspark.sql import functions as F
+
+    from recommedation_system_under_flink_spark.functions.kernels import (
+        boolean_overlap,
+        boolean_overlap_sql,
+        calculate_max,
+        calculate_max_sql,
+        calculate_x,
+        calculate_x_sql,
+        dot_product,
+        dot_product_sql,
+        fuzzy_overlap,
+        fuzzy_overlap_sql,
+        positive_correlation,
+        positive_correlation_sql,
+        rank_weighted_distance,
+        rank_weighted_distance_sql,
+    )
+
+    map_cases = [
+        ({"a": 1.0, "b": 2.0}, {"b": 3.0, "c": 4.0}),
+        ({"a": 1.5}, {"a": 1.5}),
+        ({"a": 1.0, "b": 2.0, "c": 3.0}, {"d": 1.0}),
+        ({"x": 0.25}, {"x": 4.0, "y": 0.5, "z": 2.0}),
+        ({}, {"a": 1.0}),
+        ({}, {}),
+    ]
+    df = spark.createDataFrame(
+        [(i, k1, k2) for i, (k1, k2) in enumerate(map_cases)],
+        "id long, k1 map<string,double>, k2 map<string,double>",
+    )
+    got = {
+        r["id"]: (r["x"], r["f"], r["d"])
+        for r in df.select(
+            "id",
+            calculate_x_sql("k1", "k2").alias("x"),
+            fuzzy_overlap_sql("k1", "k2").alias("f"),
+            dot_product_sql("k1", "k2").alias("d"),
+        ).collect()
+    }
+    for i, (k1, k2) in enumerate(map_cases):
+        assert got[i][0] == pytest.approx(calculate_x(k1, k2)), f"F5 case {i}"
+        assert got[i][1] == pytest.approx(fuzzy_overlap(k1, k2)), f"F6 case {i}"
+        assert got[i][2] == pytest.approx(dot_product(k1, k2)), f"F8 case {i}"
+
+    list_cases = [
+        (["a", "b", "c"], ["b", "c", "d"]),
+        (["a"], ["a"]),
+        (["a", "b"], ["c", "d"]),
+        (["w", "x", "y", "z"], ["z"]),
+        ([], ["a"]),
+        ([], []),
+    ]
+    df2 = spark.createDataFrame(
+        [(i, a, b) for i, (a, b) in enumerate(list_cases)],
+        "id long, t1 array<string>, t2 array<string>",
+    )
+    got2 = {
+        r["id"]: (r["b"], r["r"], r["p"], r["m"])
+        for r in df2.select(
+            "id",
+            boolean_overlap_sql("t1", "t2").alias("b"),
+            rank_weighted_distance_sql("t1", "t2").alias("r"),
+            positive_correlation_sql("t1", "t2").alias("p"),
+            calculate_max_sql(
+                F.size("t1").cast("long"), F.size("t2").cast("long")
+            ).alias("m"),
+        ).collect()
+    }
+    for i, (a, b) in enumerate(list_cases):
+        assert got2[i][0] == pytest.approx(boolean_overlap(a, b)), f"F7 case {i}"
+        assert got2[i][1] == rank_weighted_distance(a, b), f"F9 case {i}"
+        assert got2[i][2] == positive_correlation(a, b, len(a), len(b)), f"F10 case {i}"
+        assert got2[i][3] == pytest.approx(calculate_max(len(a), len(b))), f"max case {i}"
