@@ -52,21 +52,29 @@ SIMHASH_MAX_HAMMING = 8
 def shingles(docs: DataFrame, n: int = SHINGLE_N) -> DataFrame:
     """Distinct n-token shingles per doc: tokenize (raw split — dedup
     wants surface text, stopwords included), slide an n-window via
-    ``transform`` over token indices, explode, distinct."""
+    ``transform`` over token indices, explode, distinct.
+
+    The token array is projected into its own column BEFORE the window
+    ``transform``: an expression referenced inside a higher-order-
+    function lambda is re-evaluated per element, so inlining the regex
+    split there makes tokenization O(tokens²) per doc (measured 6-10×
+    slower at sf0.1)."""
     toks = F.filter(
         F.split(F.lower(F.col("text")), TOKEN_SPLIT_REGEX), lambda t: t != ""
     )
+    tok_df = docs.select("doc_id", toks.alias("ts"))
     # sequence(0, size-n) is inclusive → size-n+1 shingles; guard short
     # docs (sequence with start > stop would count DOWN, not be empty)
-    sh = F.when(F.size(toks) >= n, F.transform(
-        F.sequence(F.lit(0), F.size(toks) - n),
-        lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
-    )).otherwise(F.array().cast("array<string>"))
-    return (
-        docs.select("doc_id", F.explode(sh).alias("shingle"))
-        .filter(F.col("shingle").isNotNull())
-        .distinct()
-    )
+    sh = F.when(
+        F.size("ts") >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size("ts") - n),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(F.col("ts"), i + k + 1) for k in range(n)]
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return tok_df.select("doc_id", F.explode(sh).alias("shingle")).distinct()
 
 
 #: DuckDB twin of :func:`shingles` (3-token shingles, distinct per doc).

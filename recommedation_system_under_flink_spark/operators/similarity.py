@@ -96,11 +96,17 @@ def sim_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     window. The ranking key is quantized (round 6) so float ulp noise
     can't flip near-ties between engines (see operators/tfidf.py)."""
     emb = load_raw(spark, sf_dir, "embeddings")
+    # Norms are per-row, so compute them BEFORE the pair join — inlining
+    # `cosine()` there would recompute each corpus norm once per query.
     corpus = emb.select(
         F.col("vec_id").alias("corpus_id"), _as_double("embedding").alias("c_emb")
-    )
-    queries = emb.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"), _as_double("embedding").alias("q_emb")
+    ).withColumn("c_norm", _norm(F.col("c_emb")))
+    queries = (
+        emb.filter(F.col("vec_id") < N_QUERIES)
+        .select(
+            F.col("vec_id").alias("query_id"), _as_double("embedding").alias("q_emb")
+        )
+        .withColumn("q_norm", _norm(F.col("q_emb")))
     )
     scored = (
         corpus.crossJoin(F.broadcast(queries))
@@ -108,7 +114,10 @@ def sim_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "query_id",
             "corpus_id",
-            cosine(F.col("q_emb"), F.col("c_emb")).alias("cosine"),
+            (
+                _dot(F.col("q_emb"), F.col("c_emb"))
+                / (F.col("q_norm") * F.col("c_norm"))
+            ).alias("cosine"),
         )
     )
     from pyspark.sql import Window
@@ -165,13 +174,19 @@ def lsh_signature(emb: Column, planes) -> Column:
 def _bucketed(emb: DataFrame, tables: int = LSH_TABLES, bits: int = LSH_BITS) -> DataFrame:
     planes = _hyperplanes(tables, bits)
     return (
-        emb.select(
+        emb.select("vec_id", _as_double("embedding").alias("emb"))
+        .select(
             "vec_id",
-            _as_double("embedding").alias("emb"),
-            F.explode(lsh_signature(_as_double("embedding"), planes)).alias("tb"),
+            "emb",
+            _norm(F.col("emb")).alias("nrm"),
+            F.explode(lsh_signature(F.col("emb"), planes)).alias("tb"),
         )
         .select(
-            "vec_id", "emb", F.col("tb.table").alias("table"), F.col("tb.bucket").alias("bucket")
+            "vec_id",
+            "emb",
+            "nrm",
+            F.col("tb.table").alias("table"),
+            F.col("tb.bucket").alias("bucket"),
         )
     )
 
@@ -187,19 +202,24 @@ def sim_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = bucketed.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
         F.col("emb").alias("q_emb"),
+        F.col("nrm").alias("q_nrm"),
         "table",
         "bucket",
     )
     cands = (
         bucketed.join(F.broadcast(queries), ["table", "bucket"])
         .filter(F.col("vec_id") != F.col("query_id"))
-        .select("query_id", "q_emb", F.col("vec_id").alias("corpus_id"), "emb")
+        .select(
+            "query_id", "q_emb", "q_nrm", F.col("vec_id").alias("corpus_id"), "emb", "nrm"
+        )
         .distinct()
     )
     scored = cands.select(
         "query_id",
         "corpus_id",
-        cosine(F.col("q_emb"), F.col("emb")).alias("cosine"),
+        (_dot(F.col("q_emb"), F.col("emb")) / (F.col("q_nrm") * F.col("nrm"))).alias(
+            "cosine"
+        ),
     ).distinct()
     from pyspark.sql import Window
 
@@ -232,14 +252,23 @@ def sim_neardup_pairs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_raw(spark, sf_dir, "embeddings").select(
         "vec_id", _as_double("embedding").alias("emb")
     )
-    a = emb.select(F.col("vec_id").alias("vec_a"), F.col("emb").alias("ea"))
-    b = emb.select(F.col("vec_id").alias("vec_b"), F.col("emb").alias("eb"))
+    # Per-row norms before the pair join (norm-per-pair is O(N²·dim)
+    # wasted work; see sim_bruteforce_topk).
+    emb = emb.withColumn("nrm", _norm(F.col("emb")))
+    a = emb.select(
+        F.col("vec_id").alias("vec_a"), F.col("emb").alias("ea"), F.col("nrm").alias("na")
+    )
+    b = emb.select(
+        F.col("vec_id").alias("vec_b"), F.col("emb").alias("eb"), F.col("nrm").alias("nb")
+    )
     return (
         a.join(F.broadcast(b), F.col("vec_a") < F.col("vec_b"))
         .select(
             "vec_a",
             "vec_b",
-            cosine(F.col("ea"), F.col("eb")).alias("cosine"),
+            (_dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb"))).alias(
+                "cosine"
+            ),
         )
         .filter(F.col("cosine") >= COSINE_THRESHOLD)
     )
@@ -263,14 +292,20 @@ def sim_neardup_pairs_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("a.vec_id").alias("vec_a"),
             F.col("a.emb").alias("ea"),
+            F.col("a.nrm").alias("na"),
             F.col("b.vec_id").alias("vec_b"),
             F.col("b.emb").alias("eb"),
+            F.col("b.nrm").alias("nb"),
         )
         .distinct()
     )
     return (
         cands.select(
-            "vec_a", "vec_b", cosine(F.col("ea"), F.col("eb")).alias("cosine")
+            "vec_a",
+            "vec_b",
+            (_dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb"))).alias(
+                "cosine"
+            ),
         )
         .filter(F.col("cosine") >= COSINE_THRESHOLD)
     )

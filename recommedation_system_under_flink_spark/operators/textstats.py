@@ -64,13 +64,21 @@ def ts_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     length. Everything computed on the token array in one projection —
     no explode, no shuffle."""
     docs = load_raw(spark, sf_dir, "documents")
-    ts = _tokens(F.col("text"))
+    # Project the token array once — each reference to the raw `ts`
+    # expression re-runs the regex split per row (see operators/dedup.py
+    # shingles() for the measured cost of inlining it).
+    base = docs.select(
+        "doc_id",
+        F.length("text").cast("long").alias("n_chars"),
+        _tokens(F.col("text")).alias("ts"),
+    )
+    ts = F.col("ts")
     total_len = F.aggregate(ts, F.lit(0), lambda acc, t: acc + F.length(t))
-    return docs.select(
+    return base.select(
         "doc_id",
         F.size(ts).cast("long").alias("n_tokens"),
         F.size(F.array_distinct(ts)).cast("long").alias("n_unique"),
-        F.length("text").cast("long").alias("n_chars"),
+        "n_chars",
         F.when(
             F.size(ts) > 0, total_len.cast("double") / F.size(ts)
         )
@@ -112,7 +120,8 @@ def ts_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     Pinned engine formula (the reference has no analogue; weights are
     the documented spec)."""
     docs = load_raw(spark, sf_dir, "documents")
-    ts = _tokens(F.col("text"))
+    base = docs.select("doc_id", _tokens(F.col("text")).alias("ts"))
+    ts = F.col("ts")
     n = F.size(ts)
     stop_arr = F.array(*[F.lit(w) for w in STOPWORDS])
     stop_ratio = F.when(
@@ -124,7 +133,7 @@ def ts_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).otherwise(F.lit(1.0))
     len_score = F.least(n.cast("double") / 100.0, F.lit(1.0))
     return (
-        docs.select(
+        base.select(
             "doc_id",
             stop_ratio.alias("stop_ratio"),
             rep_ratio.alias("rep_ratio"),
