@@ -97,9 +97,32 @@ def news_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("description", DEFAULT_SCENE.description_weight),
         ("content", DEFAULT_SCENE.content_weight),
     )
-    parts = [sql_tokens(n, "news_id", f, w) for f, w in fields]
-    allterms = parts[0].unionByName(parts[1]).unionByName(parts[2])
-    return allterms.groupBy("news_id", "term").agg(F.sum("w").alias("tf"))
+    # One scan, not three: stack the fields as (weight, text) structs and
+    # explode, instead of a 3-way union that re-reads the corpus per
+    # field (and re-reads it ×3 again wherever the chain appears twice,
+    # e.g. the df aggregate in tfidf()).
+    stacked = (
+        n.select(
+            "news_id",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(F.lit(w).alias("w"), F.col(f).alias("txt"))
+                        for f, w in fields
+                    ]
+                )
+            ).alias("fld"),
+        )
+        .select(
+            "news_id",
+            F.col("fld.w").alias("w"),
+            F.explode(F.split(F.lower(F.col("fld.txt")), TOKEN_SPLIT_REGEX)).alias(
+                "term"
+            ),
+        )
+        .filter((F.col("term") != "") & ~F.col("term").isin(*STOPWORDS))
+    )
+    return stacked.groupBy("news_id", "term").agg(F.sum("w").alias("tf"))
 
 
 @register(
