@@ -274,6 +274,126 @@ def sim_neardup_pairs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ----------------------------------------------------------------- IVF
+
+#: IVF-flat parameters: K centroid cells, NPROBE cells searched per
+#: query, ITERS Lloyd refinement rounds over a deterministic sample.
+IVF_K = 16
+IVF_NPROBE = 4
+IVF_ITERS = 2
+#: Fit on every SAMPLE_MOD-th vector (deterministic, id-keyed). At
+#: 100 TB the fit must never see the full corpus — k-means quality
+#: saturates at a few hundred points per centroid.
+IVF_SAMPLE_MOD = 1
+
+
+def _cid_probe(emb: Column, nrm: Column, cents: list[list[float]], nprobe: int) -> Column:
+    """The ``nprobe`` nearest centroid ids by cosine, as an int array.
+    Centroids are plan literals (like the LSH hyperplanes): the model is
+    parameters, not data — no join against a centroid table needed."""
+    import math
+
+    scored = []
+    for cid, c in enumerate(cents):
+        cn = math.sqrt(sum(x * x for x in c)) or 1.0
+        lit = F.array(*[F.lit(float(x)) for x in c])
+        dot = F.aggregate(
+            F.zip_with(emb, lit, lambda x, y: x * y), F.lit(0.0), lambda a, v: a + v
+        )
+        cos = dot / (nrm * F.lit(cn))
+        scored.append(F.struct((-cos).alias("neg"), F.lit(cid).alias("cid")))
+    ranked = F.array_sort(F.array(*scored))  # struct order: neg asc = cos desc
+    return F.transform(F.slice(ranked, 1, nprobe), lambda s: s["cid"])
+
+
+def _ivf_centroids(
+    base: DataFrame, k: int = IVF_K, iters: int = IVF_ITERS, dim: int = EMB_DIM
+) -> list[list[float]]:
+    """Fit IVF centroids: deterministic id-keyed seed + ``iters`` Lloyd
+    rounds. Each round is one Spark job (assign = the same literal-
+    centroid expression the search uses; update = 64 column sums per
+    cell, collected as K tiny rows). Runs eagerly at plan-build time —
+    the centroids are model parameters held on the driver, exactly like
+    the pinned LSH hyperplanes."""
+    sample = base.filter((F.col("vec_id") % IVF_SAMPLE_MOD) == 0)
+    cents = [
+        list(r["emb"]) for r in sample.orderBy("vec_id").limit(k).select("emb").collect()
+    ]
+    for _ in range(iters):
+        assigned = sample.withColumn(
+            "cid",
+            F.element_at(_cid_probe(F.col("emb"), F.col("nrm"), cents, 1), 1),
+        )
+        stats = (
+            assigned.groupBy("cid")
+            .agg(
+                F.count("*").alias("n"),
+                *[F.sum(F.element_at("emb", i + 1)).alias(f"s{i}") for i in range(dim)],
+            )
+            .collect()
+        )
+        for r in stats:  # empty cells keep their previous centroid
+            cents[r["cid"]] = [r[f"s{i}"] / r["n"] for i in range(dim)]
+    return cents
+
+
+@register("sim_ivf_topk")  # fitted centroids not portable → rows-only
+def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-flat approximate top-k: corpus vectors live in their nearest
+    centroid cell; each query searches its ``IVF_NPROBE`` nearest cells
+    with exact cosine. The centroid-count/probe trade is the classic IVF
+    dial: candidates ≈ nprobe/K of the corpus per query. Recall vs brute
+    force is pytest-checked next to the LSH variant — IVF is the scale
+    path when embeddings are clustered (real corpora), LSH when they
+    are adversarially uniform."""
+    emb = load_raw(spark, sf_dir, "embeddings")
+    base = emb.select("vec_id", _as_double("embedding").alias("emb")).withColumn(
+        "nrm", _norm(F.col("emb"))
+    )
+    cents = _ivf_centroids(base)
+    corpus = base.withColumn(
+        "cid", F.element_at(_cid_probe(F.col("emb"), F.col("nrm"), cents, 1), 1)
+    )
+    queries = (
+        base.filter(F.col("vec_id") < N_QUERIES)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("emb").alias("q_emb"),
+            F.col("nrm").alias("q_nrm"),
+            F.explode(
+                _cid_probe(F.col("emb"), F.col("nrm"), cents, IVF_NPROBE)
+            ).alias("cid"),
+        )
+    )
+    cands = (
+        corpus.join(F.broadcast(queries), "cid")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "q_emb",
+            "q_nrm",
+            F.col("vec_id").alias("corpus_id"),
+            "emb",
+            "nrm",
+        )
+    )
+    scored = cands.select(
+        "query_id",
+        "corpus_id",
+        (_dot(F.col("q_emb"), F.col("emb")) / (F.col("q_nrm") * F.col("nrm"))).alias(
+            "cosine"
+        ),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc(F.round("cosine", 6)), F.asc("corpus_id")
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= TOP_K
+    )
+
+
 @register("sim_neardup_pairs_lsh")  # rows-only; recall pytest-checked
 def sim_neardup_pairs_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup pairs via LSH buckets: only same-cell pairs get exact

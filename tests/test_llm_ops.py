@@ -133,3 +133,17 @@ def test_frame_plan_only_video_and_bounded(queries, spark):
     assert per_media.filter(F.col("n") > 11).count() == 0
     ids = {r.media_id % 3 for r in df.select("media_id").distinct().collect()}
     assert ids <= {2}  # doc_id % 3 == 2 -> video
+
+
+def test_ivf_topk_recall_vs_bruteforce(queries, spark):
+    """IVF-flat with K=16/nprobe=4 must recover most of the true top-k
+    (the fixture embeddings are clustered — IVF's favorable case)."""
+    bf = {
+        (r.query_id, r.corpus_id)
+        for r in queries["sim_bruteforce_topk"](spark, SF_DIR).collect()
+    }
+    ivf = {
+        (r.query_id, r.corpus_id)
+        for r in queries["sim_ivf_topk"](spark, SF_DIR).collect()
+    }
+    assert len(bf & ivf) / len(bf) >= 0.6
