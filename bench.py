@@ -25,15 +25,19 @@ import time
 HEADLINE = (
     "hot_topics_pipeline",
     "tfidf_pipeline",
+    "tfidf_recommend_all_days",
     "textrank_pipeline",
     "j3_scored_join",
     "j3_scored_join_naive",
     "a1_daily_distinct_clickers",
+    "a3_user_keywords_windowed",
     "a5_news_tfidf",
     "t1_user_topk",
     "j4_precision_eval",
+    "ev_props_rollup",
     "dedup_minhash_lsh",
     "sim_bruteforce_topk",
+    "sim_ivf_topk",
     "ts_quality_score",
 )
 

