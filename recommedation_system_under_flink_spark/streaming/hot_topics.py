@@ -109,6 +109,79 @@ def stream_hot_topics_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run_to_memory(agg, "complete")
 
 
+@register("stream_clicks_dedup")  # streaming → rows-only check
+def stream_clicks_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-once ingestion dedup: ``dropDuplicates`` on ``event_id``
+    with a watermark bounding the dedup state. The source deliberately
+    delivers every event TWICE (two symlinks to the same file — the
+    at-least-once delivery a real queue exhibits on redelivery); the
+    output must carry each click exactly once. Equivalence with the
+    batch distinct is pytest-checked.
+
+    Scale: dedup state is keyed by event_id and expired by the
+    watermark — memory is bounded by (watermark horizon × event rate),
+    not stream length. At 100 TB/day the horizon is the knob."""
+    stream_dir = os.path.join(
+        "/tmp", "spark_stream_dup", sf_dir.strip("/").replace("/", "_")
+    )
+    os.makedirs(stream_dir, exist_ok=True)
+    for name in ("events_a.parquet", "events_b.parquet"):
+        link = os.path.join(stream_dir, name)
+        if not os.path.exists(link):
+            os.symlink(os.path.join(sf_dir, "events.parquet"), link)
+    ev = spark.readStream.schema(_EVENTS_SCHEMA).parquet(stream_dir)
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .select(
+            "event_id",
+            F.col("user_id"),
+            (F.col("event_id") % NEWS_MOD).alias("news_id"),
+            F.timestamp_micros((F.col("ts") / 1000).cast("long")).alias("event_time"),
+        )
+        .withWatermark("event_time", "1 day")
+        .dropDuplicates(["event_id"])
+    )
+    return _run_to_memory(clicks, "append")
+
+
+@register("stream_news_running_totals")  # custom stateful op → rows-only
+def stream_news_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful operator via ``applyInPandasWithState``: a
+    per-news running click total carried in explicit GroupState — the
+    Structured-Streaming analogue of the reference's per-day
+    re-aggregation (each micro-batch updates state instead of
+    recomputing history). Emits (news_id, total) per updated key per
+    batch; on a bounded availableNow replay the settled totals equal
+    the batch A2 aggregate without the date rewrite (pytest-checked).
+
+    Scale: state is one long per news key, partitioned by the state
+    store; no shuffle beyond the groupBy key exchange."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    clicks = stream_clicks(spark, sf_dir)
+
+    def update_totals(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        n_new = sum(len(p) for p in pdfs)
+        total = (state.get[0] if state.exists else 0) + n_new
+        state.update((total,))
+        yield pd.DataFrame({"news_id": [key[0]], "total": [total]})
+
+    totals = clicks.select("news_id").groupBy("news_id").applyInPandasWithState(
+        update_totals,
+        outputStructType="news_id long, total long",
+        stateStructType="total long",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    settled = _run_to_memory(totals, "update")
+    # availableNow may split the input across micro-batches, leaving one
+    # update row per key per batch in the sink; totals are monotonic, so
+    # the settled value per key is the max.
+    return settled.groupBy("news_id").agg(F.max("total").alias("total"))
+
+
 @register("stream_hot_topics_trailing")  # streaming → rows-only check
 def stream_hot_topics_trailing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The P3 trailing 7-day zone as a **sliding** window (7-day width,

@@ -66,3 +66,40 @@ def test_als_shape_and_validity(queries, spark):
         assert r.date == TODAY
         assert 0 < len(r.news) <= DEFAULT_SCENE.num_recommendations
         assert len(set(r.news)) == len(r.news)
+
+
+def test_stream_dedup_exactly_once(queries, spark):
+    """The doubled-delivery source must come out exactly-once: the
+    deduped stream equals the batch click set by event_id."""
+    from recommedation_system_under_flink_spark.sources import load_raw
+
+    streamed = {
+        r.event_id
+        for r in queries["stream_clicks_dedup"](spark, SF_DIR).collect()
+    }
+    batch = {
+        r.event_id
+        for r in load_raw(spark, SF_DIR, "events")
+        .filter(F.col("event_type") == "click")
+        .select("event_id")
+        .distinct()
+        .collect()
+    }
+    assert streamed == batch and len(streamed) > 0
+
+
+def test_stream_running_totals_equal_batch_counts(queries, spark):
+    """Settled applyInPandasWithState totals == batch per-news click
+    counts."""
+    streamed = {
+        (r.news_id, r.total)
+        for r in queries["stream_news_running_totals"](spark, SF_DIR).collect()
+    }
+    batch = {
+        (r.news_id, r.cnt)
+        for r in clicks(spark, SF_DIR)
+        .groupBy("news_id")
+        .agg(F.count("*").alias("cnt"))
+        .collect()
+    }
+    assert streamed == batch and len(streamed) > 0
