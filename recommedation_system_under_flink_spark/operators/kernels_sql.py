@@ -329,6 +329,34 @@ def f12_click_format(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------- S1 (CSV)
+
+@register(
+    "s1_csv_roundtrip",
+    with_ctes(
+        """SELECT news_id, date, title FROM news WHERE news_id < 100""",
+        NEWS_CTE,
+    ),
+)
+def s1_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1 (``NewsModel.loadNewsDataSet(csvPath)``, TF_IDF.java:57,64):
+    the reference ingests CSV; the fixtures are parquet, so CSV-source
+    capability is proven by a write→read roundtrip with an explicit
+    schema (header-less, quoted — the loadNewsDataSet shape). The
+    oracle checks the roundtripped rows, so CSV serialization of dates
+    and quoted text is hash-verified. Content is excluded: newlines in
+    free text are a CSV landmine the reference's absent loader never
+    specifies (documented limitation, use parquet for text columns)."""
+    from ..sources import news as news_table
+
+    out = os.path.join(tempfile.gettempdir(), "spark_graft_s1_csv")
+    subset = news_table(spark, sf_dir).filter(F.col("news_id") < 100).select(
+        "news_id", "date", "title"
+    )
+    subset.write.mode("overwrite").option("quoteAll", True).csv(out)
+    return spark.read.schema("news_id long, date date, title string").csv(out)
+
+
 # ---------------------------------------------------------------- S6
 
 @register(

@@ -245,3 +245,50 @@ def ts_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size("ts") == 0
     ).select("doc_id", F.lit(0).cast("long").alias("fingerprint"))
     return fp.unionByName(empties)
+
+
+# ----------------------------------------------------- BPE-ish token count
+
+#: GPT-style pre-tokenizer shape: letter runs, digit runs, single
+#: punctuation marks. Each run then costs ceil(len/4) subword tokens —
+#: the classic "~4 chars per token" estimator, piecewise so punctuation
+#: and short words dominate correctly.
+_PIECE_REGEX = "[a-z]+|[0-9]+|[^a-z0-9 \\t\\r\\n]"
+
+
+@register(
+    "ts_bpe_token_estimate",
+    f"""SELECT doc_id,
+       CAST(len(pieces) AS BIGINT) AS n_pieces,
+       CAST(COALESCE(list_sum(list_transform(pieces, p -> CEIL(length(p) / 4.0))), 0)
+            AS BIGINT) AS n_tokens_est
+FROM (
+  SELECT doc_id, regexp_extract_all(lower(text), '{_PIECE_REGEX}') AS pieces
+  FROM documents
+)""",
+)
+def ts_bpe_token_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish token-count estimator: GPT-style pre-tokenization (letter
+    runs / digit runs / punctuation) via ``regexp_extract_all``, then
+    ``Σ ceil(len(piece)/4)`` subword tokens per piece. A deterministic,
+    vocab-free stand-in for a real BPE tokenizer — the per-doc budget
+    signal an LLM-data pipeline bins and filters on. Pure Catalyst
+    (one regex pass per row, no shuffle); the piece array is projected
+    before the fold (see shingles() for why)."""
+    docs = load_raw(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id",
+        F.expr(f"regexp_extract_all(lower(text), '{_PIECE_REGEX}', 0)").alias(
+            "pieces"
+        ),
+    )
+    est = F.aggregate(
+        F.col("pieces"),
+        F.lit(0).cast("long"),
+        lambda acc, p: acc + F.ceil(F.length(p) / 4.0),
+    )
+    return base.select(
+        "doc_id",
+        F.size("pieces").cast("long").alias("n_pieces"),
+        est.alias("n_tokens_est"),
+    )
