@@ -24,6 +24,9 @@ from __future__ import annotations
 
 import math
 
+import numpy as np
+import pandas as pd
+
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -281,63 +284,71 @@ def sim_neardup_pairs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 IVF_K = 16
 IVF_NPROBE = 4
 IVF_ITERS = 2
-#: Fit on every SAMPLE_MOD-th vector (deterministic, id-keyed). At
-#: 100 TB the fit must never see the full corpus — k-means quality
-#: saturates at a few hundred points per centroid.
-IVF_SAMPLE_MOD = 1
+#: Fit-sample size target: ~400 points per centroid — k-means quality
+#: saturates there, so at 100 TB the fit samples every Nth vector
+#: (deterministic, id-keyed) and never sees the full corpus.
+IVF_FIT_TARGET = IVF_K * 400
 
 #: Fitted centroids per dataset dir (deterministic → safe to reuse).
 _IVF_CACHE: dict[str, list[list[float]]] = {}
 
 
-def _cid_probe(emb: Column, nrm: Column, cents: list[list[float]], nprobe: int) -> Column:
-    """The ``nprobe`` nearest centroid ids by cosine, as an int array.
-    Centroids are plan literals (like the LSH hyperplanes): the model is
-    parameters, not data — no join against a centroid table needed."""
-    import math
+def _probe_udf(cents: list[list[float]], nprobe: int):
+    """Arrow-batched probe: the ``nprobe`` nearest centroid ids by
+    cosine, as an int array. The K×D centroid matrix ships in the UDF
+    closure (model parameters, not data — no centroid-table join), and
+    each batch is one BLAS matmul. A Catalyst form (K literal arrays ×
+    ``zip_with`` dots) was 5-10× slower end-to-end here: the K·D
+    literal tree blows past whole-stage-codegen limits and recompiles
+    every Lloyd round because the literals change."""
+    cu = np.asarray(cents, dtype=np.float64)
+    norms = np.linalg.norm(cu, axis=1)
+    norms[norms == 0.0] = 1.0
+    cu = (cu / norms[:, None]).T  # D×K; query-side norm can't flip ranks
 
-    scored = []
-    for cid, c in enumerate(cents):
-        cn = math.sqrt(sum(x * x for x in c)) or 1.0
-        lit = F.array(*[F.lit(float(x)) for x in c])
-        dot = F.aggregate(
-            F.zip_with(emb, lit, lambda x, y: x * y), F.lit(0.0), lambda a, v: a + v
-        )
-        cos = dot / (nrm * F.lit(cn))
-        scored.append(F.struct((-cos).alias("neg"), F.lit(cid).alias("cid")))
-    ranked = F.array_sort(F.array(*scored))  # struct order: neg asc = cos desc
-    return F.transform(F.slice(ranked, 1, nprobe), lambda s: s["cid"])
+    @F.pandas_udf("array<int>")
+    def probe(embs: pd.Series) -> pd.Series:
+        x = np.array(embs.tolist(), dtype=np.float64)
+        sims = x @ cu
+        # stable argsort of -sims: ties break toward the lower cid,
+        # matching the struct-sort (neg cosine, cid) ordering
+        order = np.argsort(-sims, axis=1, kind="stable")[:, :nprobe].astype("int32")
+        return pd.Series(list(order))
+
+    return probe
 
 
 def _ivf_centroids(
     base: DataFrame, k: int = IVF_K, iters: int = IVF_ITERS, dim: int = EMB_DIM
 ) -> list[list[float]]:
-    """Fit IVF centroids: deterministic id-keyed seed + ``iters`` Lloyd
-    rounds. Each round is one Spark job (assign = the same literal-
-    centroid expression the search uses; update = 64 column sums per
-    cell, collected as K tiny rows). Runs eagerly at plan-build time —
-    the centroids are model parameters held on the driver, exactly like
-    the pinned LSH hyperplanes."""
-    sample = base.filter((F.col("vec_id") % IVF_SAMPLE_MOD) == 0)
-    cents = [
-        list(r["emb"]) for r in sample.orderBy("vec_id").limit(k).select("emb").collect()
-    ]
+    """Fit IVF centroids: deterministic id-keyed sample + ``iters``
+    Lloyd rounds, run locally in numpy. The sample is bounded by
+    ``IVF_FIT_TARGET`` *by design* — k-means quality saturates at a few
+    hundred points per cell — so collecting it is O(K·400·D) no matter
+    how big the corpus is; one Spark job total instead of one per Lloyd
+    round. The centroids are model parameters held on the driver,
+    exactly like the pinned LSH hyperplanes."""
+    mod = max(1, base.count() // IVF_FIT_TARGET)
+    rows = (
+        base.filter((F.col("vec_id") % mod) == 0)
+        .select("vec_id", "emb")
+        .collect()
+    )
+    rows.sort(key=lambda r: r["vec_id"])
+    x = np.array([list(r["emb"]) for r in rows], dtype=np.float64)
+    cents = x[:k].copy()  # init: first k by vec_id (deterministic)
     for _ in range(iters):
-        assigned = sample.withColumn(
-            "cid",
-            F.element_at(_cid_probe(F.col("emb"), F.col("nrm"), cents, 1), 1),
-        )
-        stats = (
-            assigned.groupBy("cid")
-            .agg(
-                F.count("*").alias("n"),
-                *[F.sum(F.element_at("emb", i + 1)).alias(f"s{i}") for i in range(dim)],
-            )
-            .collect()
-        )
-        for r in stats:  # empty cells keep their previous centroid
-            cents[r["cid"]] = [r[f"s{i}"] / r["n"] for i in range(dim)]
-    return cents
+        cu = cents.copy()
+        norms = np.linalg.norm(cu, axis=1)
+        norms[norms == 0.0] = 1.0
+        # argmax of cosine == argmax of dot with unit centroids; first
+        # max wins, matching the probe UDF's lower-cid tiebreak
+        cid = np.argmax(x @ (cu / norms[:, None]).T, axis=1)
+        for c in range(k):  # empty cells keep their previous centroid
+            members = x[cid == c]
+            if len(members):
+                cents[c] = members.mean(axis=0)
+    return [list(map(float, c)) for c in cents]
 
 
 @register("sim_ivf_topk")  # fitted centroids not portable → rows-only
@@ -360,7 +371,7 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     if cents is None:
         cents = _IVF_CACHE[sf_dir] = _ivf_centroids(base)
     corpus = base.withColumn(
-        "cid", F.element_at(_cid_probe(F.col("emb"), F.col("nrm"), cents, 1), 1)
+        "cid", F.element_at(_probe_udf(cents, 1)(F.col("emb")), 1)
     )
     queries = (
         base.filter(F.col("vec_id") < N_QUERIES)
@@ -369,7 +380,7 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("emb").alias("q_emb"),
             F.col("nrm").alias("q_nrm"),
             F.explode(
-                _cid_probe(F.col("emb"), F.col("nrm"), cents, IVF_NPROBE)
+                _probe_udf(cents, IVF_NPROBE)(F.col("emb"))
             ).alias("cid"),
         )
     )
