@@ -38,7 +38,10 @@ HEADLINE = (
     "dedup_minhash_lsh",
     "sim_bruteforce_topk",
     "sim_ivf_topk",
+    "sim_neardup_components",
     "ts_quality_score",
+    "ef_asof_purchase_click",
+    "ef_sessionize",
 )
 
 

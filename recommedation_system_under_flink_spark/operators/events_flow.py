@@ -1,0 +1,168 @@
+"""Event-flow operators: as-of join and gap sessionization.
+
+Neither exists in the reference (its event handling stops at per-day
+filters + counts, TextRank.java:321-340 / HotTopics.java:67-93), but
+both are table-stakes for an event log at scale, and both are classic
+"Spark lacks the operator, compose it" cases (brief: custom operators
+route (a) — composition of existing DataFrame ops):
+
+- **as-of join** — for each purchase, the most recent prior click by
+  the same user. The naive form is a per-pair range join (quadratic in
+  events-per-user); the scale form used here is the union + sorted
+  carry-forward trick: interleave both sides on (ts, side, event_id),
+  then ``last(click columns, ignorenulls)`` over a running window. One
+  shuffle on ``user_id``, linear scan per user, no pair blow-up — the
+  same plan shape a MERGE-join as-of would produce. The oracle is
+  DuckDB's *native* ``ASOF LEFT JOIN`` — an independent implementation,
+  so the carry-forward rewrite is hash-verified against a real as-of
+  operator, not against itself.
+- **sessionization** — 30-minute-gap sessions per user:
+  ``lag`` → gap flag → running sum (the standard cumulative-sum
+  session-id assignment), then one aggregation per session. Two window
+  passes over the same (user_id, ts) sort order — Catalyst runs them in
+  a single Window stage over one shuffle.
+
+Timestamps: ``events.ts`` is TIMESTAMP(NANOS) parquet, read Spark-side
+as a raw long (see ``sources.tables``). Both operators work in *micros*
+(``ts DIV 1000`` — exact integer division; ``/`` would round through a
+double and lose integer precision at 1e18) because DuckDB truncates the
+same nanos to micro-resolution TIMESTAMPs, and ordering on anything
+finer than the oracle can see would let sub-micro tiebreaks diverge.
+Verified: ``ts DIV 1000`` equals DuckDB ``epoch_us(ts)`` on every
+fixture row, and (user_id, micros) is collision-free.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ..sources import load_raw
+
+#: Session gap threshold: 30 minutes, in microseconds.
+SESSION_GAP_US = 30 * 60 * 1_000_000
+
+
+# ------------------------------------------------------------ as-of join
+
+_ASOF_ORACLE = """SELECT p.user_id,
+       p.event_id AS purchase_id,
+       epoch_us(p.ts) AS purchase_tsm,
+       c.event_id AS click_id,
+       epoch_us(c.ts) AS click_tsm,
+       epoch_us(p.ts) - epoch_us(c.ts) AS gap_us
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+  ON p.user_id = c.user_id AND p.ts >= c.ts"""
+
+
+@register("ef_asof_purchase_click", _ASOF_ORACLE)
+def ef_asof_purchase_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each purchase matched to the same user's most recent
+    click at-or-before it (NULL columns when no prior click exists).
+
+    Plan: one shuffle on ``user_id``, one sort, one Window — the
+    union'd sides are tagged (click=0 sorts before purchase at an equal
+    timestamp, making the match inclusive, same as ASOF's ``>=``), and
+    the click's (id, ts) carries forward via ``last(..., ignorenulls)``.
+    Scale: cost is O(events log events-per-partition) with no candidate
+    pairs materialized; a skewed user is one sort partition, handled by
+    AQE. event_id breaks any residual order ties deterministically."""
+    ev = load_raw(spark, sf_dir, "events")
+    tagged = (
+        ev.filter(F.col("event_type").isin("click", "purchase"))
+        .select(
+            "user_id",
+            "event_id",
+            F.expr("ts DIV 1000").alias("tsm"),
+            F.when(F.col("event_type") == "click", F.lit(0))
+            .otherwise(F.lit(1))
+            .alias("side"),
+        )
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("tsm", "side", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    click_id = F.when(F.col("side") == 0, F.col("event_id"))
+    click_tsm = F.when(F.col("side") == 0, F.col("tsm"))
+    carried = tagged.select(
+        "user_id",
+        "event_id",
+        "tsm",
+        "side",
+        F.last(click_id, ignorenulls=True).over(w).alias("click_id"),
+        F.last(click_tsm, ignorenulls=True).over(w).alias("click_tsm"),
+    )
+    return carried.filter(F.col("side") == 1).select(
+        "user_id",
+        F.col("event_id").alias("purchase_id"),
+        F.col("tsm").alias("purchase_tsm"),
+        "click_id",
+        "click_tsm",
+        (F.col("tsm") - F.col("click_tsm")).alias("gap_us"),
+    )
+
+
+# --------------------------------------------------------- sessionization
+
+_SESSIONS_ORACLE = f"""WITH e AS (
+  SELECT user_id, event_id, epoch_us(ts) AS tsm, value FROM events
+), flagged AS (
+  SELECT user_id, event_id, tsm, value,
+         CASE WHEN lag(tsm) OVER w IS NULL
+                OR tsm - lag(tsm) OVER w > {SESSION_GAP_US}
+              THEN 1 ELSE 0 END AS is_start
+  FROM e
+  WINDOW w AS (PARTITION BY user_id ORDER BY tsm, event_id)
+), sess AS (
+  SELECT user_id, tsm, value,
+         CAST(SUM(is_start) OVER (PARTITION BY user_id ORDER BY tsm, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS session_seq
+  FROM flagged
+)
+SELECT user_id, session_seq,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       MIN(tsm) AS session_start,
+       MAX(tsm) AS session_end,
+       MAX(tsm) - MIN(tsm) AS duration_us,
+       ROUND(CAST(SUM(value) AS DOUBLE), 6) AS total_value
+FROM sess
+GROUP BY user_id, session_seq"""
+
+
+@register("ef_sessionize", _SESSIONS_ORACLE)
+def ef_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap sessionization: a new session starts when a user is idle
+    longer than ``SESSION_GAP_US``. ``lag`` marks session starts, a
+    running sum over the same sort order numbers them (1-based per
+    user), then one groupBy emits per-session stats.
+
+    Plan: both window functions share one (user_id)×(tsm, event_id)
+    sort, so Catalyst evaluates them in a single Window stage over a
+    single shuffle; the session aggregation re-shuffles on the composite
+    key. total_value is rounded to 6 decimals on both sides — float
+    partial-agg ordering differs between engines (see memory note on
+    quantized floats)."""
+    ev = load_raw(spark, sf_dir, "events").select(
+        "user_id", "event_id", F.expr("ts DIV 1000").alias("tsm"), "value"
+    )
+    order = Window.partitionBy("user_id").orderBy("tsm", "event_id")
+    gap = F.col("tsm") - F.lag("tsm").over(order)
+    is_start = F.when(
+        gap.isNull() | (gap > SESSION_GAP_US), F.lit(1)
+    ).otherwise(F.lit(0))
+    running = order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    sess = ev.withColumn(
+        "session_seq", F.sum(is_start).over(running).cast("long")
+    )
+    return sess.groupBy("user_id", "session_seq").agg(
+        F.count("*").cast("long").alias("n_events"),
+        F.min("tsm").alias("session_start"),
+        F.max("tsm").alias("session_end"),
+        (F.max("tsm") - F.min("tsm")).alias("duration_us"),
+        F.round(F.sum("value"), 6).alias("total_value"),
+    )

@@ -1,0 +1,109 @@
+"""Deterministic sampling / split assignment for training-data curation.
+
+A 100 TB corpus pipeline needs *reproducible* sampling: re-running the
+job (or running it engine-by-engine) must pick the same rows, so splits
+are a pure function of the stable id — never ``rand()`` (per-task seeds
+make resampling nondeterministic under retries/repartitioning) and
+never an engine-specific hash (Spark's ``hash()`` is Murmur3, DuckDB's
+differs — a portable pipeline pins the function, not the library).
+
+The pinned hash is Knuth's multiplicative hash over the id:
+``(id * 2654435761) % 2^32`` — one multiply in plain BIGINT arithmetic
+(ids ≪ 2^32, so no overflow), identical in any engine, and decorrelated
+from the id's low bits (ids are often assigned sequentially; ``id % 10``
+would stripe splits with ingestion order).
+
+- **split assignment** — 80/10/10 train/val/test from the hash bucket.
+  A narrow projection, no shuffle: it composes with any scan.
+- **stratified sample** — top-N per (lang, source) stratum in hash
+  order: a uniform-without-replacement N-per-group sample that is
+  deterministic and engine-portable. One shuffle on the stratum key;
+  Catalyst turns the rank-filter into WindowGroupLimit, so each
+  partition keeps only N rows per group before the final filter — the
+  full stratum is never collected anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ..sources import load_raw
+
+#: Knuth multiplicative constant (2^32 / golden ratio, rounded to odd).
+HASH_MULT = 2654435761
+HASH_MOD = 2**32
+
+#: train/val/test bucket split of ``h % 10``.
+TRAIN_BUCKETS = 8
+VAL_BUCKETS = 1
+
+#: Stratified sample size per (lang, source) stratum.
+STRATUM_N = 5
+
+
+def split_hash(c) -> Column:
+    """The pinned portable hash: ``(id * HASH_MULT) % 2^32``."""
+    c = F.col(c) if isinstance(c, str) else c
+    return (c * F.lit(HASH_MULT)) % F.lit(HASH_MOD)
+
+
+_SPLIT_ORACLE = f"""SELECT doc_id,
+       (doc_id * {HASH_MULT}) % {HASH_MOD} AS h,
+       CASE WHEN (doc_id * {HASH_MULT}) % {HASH_MOD} % 10 < {TRAIN_BUCKETS} THEN 'train'
+            WHEN (doc_id * {HASH_MULT}) % {HASH_MOD} % 10 < {TRAIN_BUCKETS + VAL_BUCKETS} THEN 'val'
+            ELSE 'test' END AS split
+FROM documents"""
+
+
+@register("samp_split_assign", _SPLIT_ORACLE)
+def samp_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """80/10/10 train/val/test assignment as a pure function of doc_id.
+    No shuffle, no state: any engine, any partitioning, any retry
+    produces the same split — the property that makes train/test
+    contamination auditable after the fact."""
+    docs = load_raw(spark, sf_dir, "documents")
+    h = split_hash("doc_id")
+    bucket = h % 10
+    return docs.select(
+        "doc_id",
+        h.alias("h"),
+        F.when(bucket < TRAIN_BUCKETS, F.lit("train"))
+        .when(bucket < TRAIN_BUCKETS + VAL_BUCKETS, F.lit("val"))
+        .otherwise(F.lit("test"))
+        .alias("split"),
+    )
+
+
+_STRATIFIED_ORACLE = f"""SELECT doc_id, lang, source, pos
+FROM (
+  SELECT doc_id, lang, source,
+         CAST(row_number() OVER (
+           PARTITION BY lang, source
+           ORDER BY (doc_id * {HASH_MULT}) % {HASH_MOD}, doc_id
+         ) AS BIGINT) AS pos
+  FROM documents
+)
+WHERE pos <= {STRATUM_N}"""
+
+
+@register("samp_stratified", _STRATIFIED_ORACLE)
+def samp_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-per-stratum sample: rank each (lang, source) group in pinned
+    hash order and keep the first ``STRATUM_N``. Hash order ≈ uniform
+    order, so this is uniform sampling without replacement per stratum,
+    but fully deterministic. doc_id breaks (impossible-here) hash ties
+    so the sample is unique. The rank-filter compiles to
+    WindowGroupLimit: per-partition top-N pruning before the shuffle."""
+    docs = load_raw(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang", "source").orderBy(
+        split_hash("doc_id").asc(), F.col("doc_id").asc()
+    )
+    return (
+        docs.select(
+            "doc_id", "lang", "source",
+            F.row_number().over(w).cast("long").alias("pos"),
+        )
+        .filter(F.col("pos") <= STRATUM_N)
+    )

@@ -65,7 +65,9 @@ _QUERY_MODULES = (
     "operators.tfidf",
     "operators.keywords",
     "operators.dedup",
+    "operators.events_flow",
     "operators.events_props",
+    "operators.sampling",
     "operators.similarity",
     "operators.textstats",
     "operators.multimodal",

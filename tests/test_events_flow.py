@@ -1,0 +1,125 @@
+"""Semantic invariants for the event-flow, components, and sampling
+operators — properties the DuckDB oracle parity can't express (the
+oracle proves engine agreement; these prove the *semantics* are the
+advertised ones), on the sf0.001 fixtures."""
+
+from __future__ import annotations
+
+import pytest
+
+from conftest import SF_DIR
+
+
+@pytest.fixture(scope="module")
+def queries():
+    import __spark_entry__ as entrymod
+
+    return entrymod.queries()
+
+
+def test_asof_match_is_latest_prior_click(queries, spark):
+    from pyspark.sql import functions as F
+
+    from recommedation_system_under_flink_spark.sources import load_raw
+
+    out = {
+        (r["user_id"], r["purchase_id"]): r
+        for r in queries["ef_asof_purchase_click"](spark, SF_DIR).collect()
+    }
+    ev = load_raw(spark, SF_DIR, "events").select(
+        "user_id", "event_id", F.expr("ts DIV 1000").alias("tsm"), "event_type"
+    )
+    rows = ev.collect()
+    purchases = [r for r in rows if r["event_type"] == "purchase"]
+    clicks_by_user: dict[int, list] = {}
+    for r in rows:
+        if r["event_type"] == "click":
+            clicks_by_user.setdefault(r["user_id"], []).append(r)
+    assert len(out) == len(purchases)
+    for p in purchases:
+        got = out[(p["user_id"], p["event_id"])]
+        prior = [
+            c for c in clicks_by_user.get(p["user_id"], []) if c["tsm"] <= p["tsm"]
+        ]
+        if not prior:
+            assert got["click_id"] is None and got["gap_us"] is None
+        else:
+            best = max(prior, key=lambda c: (c["tsm"], c["event_id"]))
+            assert got["click_id"] == best["event_id"]
+            assert got["gap_us"] == p["tsm"] - best["tsm"]
+
+
+def test_sessions_partition_events_and_respect_gap(queries, spark):
+    from pyspark.sql import functions as F
+
+    from recommedation_system_under_flink_spark.operators.events_flow import (
+        SESSION_GAP_US,
+    )
+    from recommedation_system_under_flink_spark.sources import load_raw
+
+    sessions = queries["ef_sessionize"](spark, SF_DIR).collect()
+    ev = (
+        load_raw(spark, SF_DIR, "events")
+        .select("user_id", F.expr("ts DIV 1000").alias("tsm"))
+        .collect()
+    )
+    # sessions partition the events: counts add up
+    assert sum(s["n_events"] for s in sessions) == len(ev)
+    by_user: dict[int, list] = {}
+    for s in sessions:
+        by_user.setdefault(s["user_id"], []).append(s)
+    for user, ss in by_user.items():
+        ss.sort(key=lambda s: s["session_seq"])
+        # 1-based contiguous numbering per user
+        assert [s["session_seq"] for s in ss] == list(range(1, len(ss) + 1))
+        for a, b in zip(ss, ss[1:]):
+            # sessions don't overlap and consecutive ones are > gap apart
+            assert b["session_start"] - a["session_end"] > SESSION_GAP_US
+        for s in ss:
+            assert s["duration_us"] == s["session_end"] - s["session_start"]
+
+
+def test_components_agree_with_neardup_pairs(queries, spark):
+    comp = {
+        r["vec_id"]: r["component"]
+        for r in queries["sim_neardup_components"](spark, SF_DIR).collect()
+    }
+    pairs = queries["sim_neardup_pairs_exact"](spark, SF_DIR).collect()
+    # every near-dup pair landed in the same component
+    for p in pairs:
+        assert comp[p["vec_a"]] == comp[p["vec_b"]]
+    # each component is labeled by its smallest member
+    members: dict[int, list] = {}
+    for v, c in comp.items():
+        members.setdefault(c, []).append(v)
+    for label, vs in members.items():
+        assert label == min(vs)
+    # non-singleton components only arise from pairs
+    linked = {v for p in pairs for v in (p["vec_a"], p["vec_b"])}
+    for label, vs in members.items():
+        if len(vs) > 1:
+            assert set(vs) <= linked
+
+
+def test_split_assign_proportions_and_determinism(queries, spark):
+    rows = queries["samp_split_assign"](spark, SF_DIR).collect()
+    counts: dict[str, int] = {}
+    for r in rows:
+        counts[r["split"]] = counts.get(r["split"], 0) + 1
+    n = len(rows)
+    assert set(counts) <= {"train", "val", "test"}
+    assert counts["train"] / n == pytest.approx(0.8, abs=0.1)
+    again = queries["samp_split_assign"](spark, SF_DIR).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+
+
+def test_stratified_sample_caps_each_stratum(queries, spark):
+    from recommedation_system_under_flink_spark.operators.sampling import STRATUM_N
+
+    rows = queries["samp_stratified"](spark, SF_DIR).collect()
+    per: dict[tuple, int] = {}
+    for r in rows:
+        key = (r["lang"], r["source"])
+        per[key] = per.get(key, 0) + 1
+        assert 1 <= r["pos"] <= STRATUM_N
+    assert max(per.values()) <= STRATUM_N
