@@ -357,6 +357,47 @@ def s1_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.schema("news_id long, date date, title string").csv(out)
 
 
+# ------------------------------------------------- S6 (partitioned)
+
+_S7_FROM = TODAY - dt.timedelta(days=DEFAULT_SCENE.num_days - 1)
+
+
+@register(
+    "s7_partitioned_write_pruned_read",
+    with_ctes(
+        f"""SELECT date, CAST(COUNT(*) AS BIGINT) AS n_clicks
+FROM clicks
+WHERE date BETWEEN DATE '{_S7_FROM}' AND DATE '{TODAY}'
+GROUP BY date""",
+        CLICKS_CTE,
+    ),
+)
+def s7_partitioned_write_pruned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB layout story end-to-end (SCALE.md §2 deployment
+    note): materialize clicks **date-partitioned** via
+    ``write_parquet(partition_by=["date"])``, then consume the trailing
+    window from the partitioned table. The date predicate now prunes
+    whole partition *directories* (plan shows non-empty
+    PartitionFilters — asserted in
+    tests/test_operators_spark.py::test_partitioned_read_prunes), which
+    is strictly stronger than the raw-``ts`` row-group pruning the
+    unmaterialized path relies on. The oracle recomputes the same
+    window from the raw events table, so the write→prune→aggregate
+    composition is hash-verified."""
+    from ..sources.io import write_parquet
+
+    out = os.path.join(tempfile.gettempdir(), "spark_graft_s7_clicks_by_date")
+    write_parquet(clicks(spark, sf_dir), out, partition_by=["date"])
+    part = spark.read.parquet(out)
+    return (
+        part.filter(
+            (F.col("date") >= F.lit(_S7_FROM)) & (F.col("date") <= F.lit(TODAY))
+        )
+        .groupBy("date")
+        .agg(F.count("*").cast("long").alias("n_clicks"))
+    )
+
+
 # ---------------------------------------------------------------- S6
 
 @register(

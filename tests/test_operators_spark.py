@@ -46,6 +46,18 @@ def test_clicks_pushdown_reaches_scan(spark):
     assert "GreaterThanOrEqual(ts" in plan
 
 
+def test_partitioned_read_prunes(queries, spark):
+    """The date filter over the partitioned materialization must become
+    partition-directory pruning (PartitionFilters), not a row filter."""
+    import re
+
+    df = queries["s7_partitioned_write_pruned_read"](spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m is not None
+    assert "date" in m.group(1)  # non-empty: prunes on the date column
+
+
 def test_hot_topics_flagship_shape(queries, spark):
     rows = queries["hot_topics_pipeline"](spark, SF_DIR).collect()
     assert len(rows) == 1
