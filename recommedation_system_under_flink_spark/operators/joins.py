@@ -246,6 +246,61 @@ def j3_scored_join_naive(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Salt fan-out for the skew-mitigated J3 form.
+J3_SALT_R = 8
+
+
+@register("j3_scored_join_salted", _J3_ORACLE)
+def j3_scored_join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3, inverted-index form with **hot-key salting** — the variant
+    for when BOTH sides of the term join outgrow broadcast (100 TB user
+    bases): the shuffle equi-join then skews on hot terms (stop-list
+    survivors shared by millions of users). Salt: each user-keyword row
+    gets ``salt = user_id % J3_SALT_R`` (deterministic — stable under
+    task retry, unlike ``rand()``); the news side replicates each
+    posting ``J3_SALT_R`` times, one per salt value; the join key
+    becomes (term, salt), spreading a hot term over ``J3_SALT_R``
+    reducers for an R× replication of the *small* side only. Each
+    (user, term, news) match still occurs exactly once, so the
+    downstream count/divide is unchanged — hash-verified by the same
+    oracle as the unsalted form."""
+    from pyspark.sql import Window
+
+    user_kw = (
+        a7_user_keywords(spark, sf_dir)
+        .withColumn("n_user", F.count("*").over(Window.partitionBy("user_id")))
+        .join(F.broadcast(today_clickers(spark, sf_dir)), "user_id", "left_semi")
+        .withColumn("salt", (F.col("user_id") % J3_SALT_R).cast("int"))
+    )
+    news_kw = (
+        _news_window_keywords(spark, sf_dir)
+        .withColumn("n_news", F.count("*").over(Window.partitionBy("news_id")))
+        .select(
+            "news_id",
+            "term",
+            "n_news",
+            F.explode(F.sequence(F.lit(0), F.lit(J3_SALT_R - 1))).alias("salt"),
+        )
+    )
+    return (
+        user_kw.select("user_id", "term", "n_user", "salt")
+        .join(news_kw, ["term", "salt"])
+        .groupBy("user_id", "news_id")
+        .agg(
+            F.count("*").alias("inter"),
+            F.max("n_user").alias("n_user"),
+            F.max("n_news").alias("n_news"),
+        )
+        .select(
+            "user_id",
+            "news_id",
+            (F.col("inter").cast("double") / (F.col("n_user") * F.col("n_news"))).alias(
+                "score"
+            ),
+        )
+    )
+
+
 # ------------------------------------------------------------------- J4
 
 _J4_ORACLE = with_ctes(

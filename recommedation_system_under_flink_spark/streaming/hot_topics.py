@@ -204,3 +204,72 @@ def stream_hot_topics_trailing(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return _run_to_memory(agg, "complete")
+
+
+def _stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raw event stream over the symlink landing dir (see
+    stream_clicks), event-time derived from the nanos long."""
+    stream_dir = os.path.join(
+        "/tmp", "spark_stream_src", sf_dir.strip("/").replace("/", "_")
+    )
+    os.makedirs(stream_dir, exist_ok=True)
+    link = os.path.join(stream_dir, "events.parquet")
+    if not os.path.exists(link):
+        os.symlink(os.path.join(sf_dir, "events.parquet"), link)
+    return spark.readStream.schema(_EVENTS_SCHEMA).parquet(stream_dir)
+
+
+@register("stream_purchase_click_join")  # stream-stream join → rows-only
+def stream_purchase_click_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream **interval join**: purchases joined to the same
+    user's clicks from the preceding hour (attribution-window shape).
+    Both sides carry a 1-hour watermark; the event-time range condition
+    lets Spark evict join state as the watermark advances — state is
+    bounded by (horizon × rate), not stream length. Inner-join matches
+    emit as they occur (the watermark gates eviction, not emission), so
+    a bounded availableNow replay in append mode yields the complete
+    match set; equivalence with the identical batch join is
+    pytest-checked.
+
+    Scale: the join shuffles both sides on user_id; the interval bound
+    is applied inside the state store, never as a pair blow-up. This is
+    the streaming twin of the batch as-of/interval family
+    (operators/events_flow.py)."""
+    clicks = (
+        _stream_events(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("event_id").alias("click_id"),
+            F.timestamp_micros((F.col("ts") / 1000).cast("long")).alias("click_time"),
+        )
+        .withWatermark("click_time", "1 hour")
+    )
+    purchases = (
+        _stream_events(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("event_id").alias("purchase_id"),
+            F.timestamp_micros((F.col("ts") / 1000).cast("long")).alias(
+                "purchase_time"
+            ),
+        )
+        .withWatermark("purchase_time", "1 hour")
+    )
+    joined = purchases.join(
+        clicks,
+        F.expr(
+            """p_user = c_user
+               AND click_time <= purchase_time
+               AND click_time >= purchase_time - INTERVAL 1 HOUR"""
+        ),
+    ).select(
+        F.col("p_user").alias("user_id"),
+        "purchase_id",
+        "click_id",
+        (
+            F.unix_timestamp("purchase_time") - F.unix_timestamp("click_time")
+        ).alias("gap_sec"),
+    )
+    return _run_to_memory(joined, "append")

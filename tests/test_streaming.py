@@ -103,3 +103,47 @@ def test_stream_running_totals_equal_batch_counts(queries, spark):
         .collect()
     }
     assert streamed == batch and len(streamed) > 0
+
+
+def test_stream_interval_join_equals_batch_join(queries, spark):
+    """The stream-stream interval join must emit exactly the matches the
+    identical batch join produces on the same fixture."""
+    from recommedation_system_under_flink_spark.sources import load_raw
+
+    streamed = {
+        (r.user_id, r.purchase_id, r.click_id): r.gap_sec
+        for r in queries["stream_purchase_click_join"](spark, SF_DIR).collect()
+    }
+    ev = load_raw(spark, SF_DIR, "events").select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.timestamp_micros(F.expr("ts DIV 1000")).alias("t"),
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"),
+        F.col("event_id").alias("click_id"),
+        F.col("t").alias("ct"),
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("t").alias("pt"),
+    )
+    batch = {
+        (r.p_user, r.purchase_id, r.click_id): r.gap
+        for r in p.join(
+            c,
+            (F.col("p_user") == F.col("c_user"))
+            & (F.col("ct") <= F.col("pt"))
+            & (F.col("ct") >= F.col("pt") - F.expr("INTERVAL 1 HOUR")),
+        )
+        .select(
+            "p_user",
+            "purchase_id",
+            "click_id",
+            (F.unix_timestamp("pt") - F.unix_timestamp("ct")).alias("gap"),
+        )
+        .collect()
+    }
+    assert streamed == batch
