@@ -142,9 +142,10 @@ def ef_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     user), then one groupBy emits per-session stats.
 
     Plan: both window functions share one (user_id)×(tsm, event_id)
-    sort, so Catalyst evaluates them in a single Window stage over a
-    single shuffle; the session aggregation re-shuffles on the composite
-    key. total_value is rounded to 6 decimals on both sides — float
+    sort, so the plan carries exactly one Exchange + one Sort with the
+    two Window operators pipelined on top (audited: 1 Exchange in the
+    executed plan); the session aggregation reuses the same hash
+    partitioning. total_value is rounded to 6 decimals on both sides — float
     partial-agg ordering differs between engines (see memory note on
     quantized floats)."""
     ev = load_raw(spark, sf_dir, "events").select(

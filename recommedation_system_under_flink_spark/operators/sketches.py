@@ -1,0 +1,67 @@
+"""Sketch aggregates: the sub-linear-memory versions of exact operators.
+
+At 100 TB the exact forms of "distinct users" (A1) and "value
+percentiles" stop being free: exact distinct shuffles every (key,
+member) pair, exact percentiles need a full sort. The sketch forms
+bound state instead:
+
+- **HyperLogLog++** (``approx_count_distinct``): fixed ~kilobytes of
+  state per group regardless of cardinality; partial sketches merge in
+  the map-side combine, so the shuffle moves one sketch per (task ×
+  group), never member rows.
+- **Quantile sketch** (``percentile_approx``, a Greenwald-Khanna
+  variant): bounded state per group, mergeable the same way.
+
+Neither is hash-comparable against an oracle — the sketch result is
+engine-specific by construction — so these register rows-only; the
+accuracy contract is pytest-enforced instead (relative error vs the
+exact batch answer on the same fixture: tests/test_events_flow.py).
+The exact twins stay the oracle-gated defaults (SCALE.md §4: "the
+oracle gate needs exact"); the sketches are the documented swap-in at
+cardinality the exact forms can't carry.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ..sources import clicks
+
+#: approx_count_distinct standard error; 0.01 ⇒ ~1% rsd, ~6 KB state.
+HLL_RSD = 0.01
+#: percentile_approx accuracy knob (higher = tighter, more state).
+PCT_ACCURACY = 10_000
+
+
+@register("sk_daily_clickers_hll")  # sketch output → rows-only
+def sk_daily_clickers_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1's sketch twin: per-day distinct clickers via HyperLogLog++
+    at ``HLL_RSD`` target error. Accuracy vs the exact A1 aggregate is
+    pytest-bounded."""
+    return (
+        clicks(spark, sf_dir)
+        .groupBy("date")
+        .agg(
+            F.approx_count_distinct("user_id", rsd=HLL_RSD).alias("approx_users")
+        )
+    )
+
+
+@register("sk_value_quantiles")  # sketch output → rows-only
+def sk_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type value quantiles (p50/p95/p99) via the mergeable
+    quantile sketch. The 100 TB shape for "latency percentiles per
+    service" style queries: no global sort, one sketch per group."""
+    from ..sources import load_raw
+
+    return (
+        load_raw(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(
+            F.percentile_approx(
+                "value", [0.5, 0.95, 0.99], PCT_ACCURACY
+            ).alias("quantiles")
+        )
+    )

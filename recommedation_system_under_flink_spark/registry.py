@@ -68,6 +68,7 @@ _QUERY_MODULES = (
     "operators.events_flow",
     "operators.events_props",
     "operators.sampling",
+    "operators.sketches",
     "operators.similarity",
     "operators.textstats",
     "operators.multimodal",

@@ -123,3 +123,48 @@ def test_stratified_sample_caps_each_stratum(queries, spark):
         per[key] = per.get(key, 0) + 1
         assert 1 <= r["pos"] <= STRATUM_N
     assert max(per.values()) <= STRATUM_N
+
+
+def test_hll_sketch_within_error_bound(queries, spark):
+    approx = {
+        r["date"]: r["approx_users"]
+        for r in queries["sk_daily_clickers_hll"](spark, SF_DIR).collect()
+    }
+    exact: dict = {}
+    for r in queries["a1_daily_distinct_clickers"](spark, SF_DIR).collect():
+        exact[r["date"]] = exact.get(r["date"], 0) + 1
+    assert set(approx) == set(exact)
+    for d, ex in exact.items():
+        # HLL++ at 1% rsd: allow 5 sigma
+        assert abs(approx[d] - ex) <= max(2, 0.05 * ex)
+
+
+def test_quantile_sketch_brackets_exact(queries, spark):
+    from pyspark.sql import functions as F
+
+    from recommedation_system_under_flink_spark.sources import load_raw
+
+    got = {
+        r["event_type"]: r["quantiles"]
+        for r in queries["sk_value_quantiles"](spark, SF_DIR).collect()
+    }
+    # the sketch's contract is bounded RANK error (it returns real data
+    # points, not interpolations): each approx quantile must lie between
+    # the exact quantiles at p ± 0.02
+    ps = [0.5, 0.95, 0.99]
+    lo_expr = ", ".join(str(max(0.0, p - 0.02)) for p in ps)
+    hi_expr = ", ".join(str(min(1.0, p + 0.02)) for p in ps)
+    ev = load_raw(spark, SF_DIR, "events")
+    brackets = {
+        r["event_type"]: (r["lo"], r["hi"])
+        for r in ev.groupBy("event_type")
+        .agg(
+            F.expr(f"percentile(value, array({lo_expr}))").alias("lo"),
+            F.expr(f"percentile(value, array({hi_expr}))").alias("hi"),
+        )
+        .collect()
+    }
+    assert set(got) == set(brackets)
+    for et, (lows, highs) in brackets.items():
+        for a, lo, hi in zip(got[et], lows, highs):
+            assert lo - 1e-9 <= a <= hi + 1e-9
