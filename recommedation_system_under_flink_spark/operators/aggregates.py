@@ -31,7 +31,7 @@ from pyspark.sql import functions as F
 
 from ..config import DEFAULT_SCENE, TODAY
 from ..registry import register
-from ..sources import CLICKS_CTE, clicks, with_ctes
+from ..sources import CLICKS_CTE, clicks, load_raw, with_ctes
 
 NUM_DAYS = DEFAULT_SCENE.num_days
 _WINDOW_START = TODAY - dt.timedelta(days=NUM_DAYS - 1)
@@ -111,4 +111,66 @@ def a4_window_users_reduce(spark: SparkSession, sf_dir: str) -> DataFrame:
     return clicks(spark, sf_dir, date_from=_WINDOW_START, date_to=TODAY).agg(
         F.sort_array(F.collect_set("user_id")).alias("users"),
         F.count_distinct("user_id").alias("n_users"),
+    )
+
+
+# ----------------------------------------------------- window frames
+
+@register(
+    "a9_trailing_avg_daily_clicks",
+    with_ctes(
+        """SELECT date, n_clicks,
+       ROUND(AVG(n_clicks) OVER (ORDER BY date
+             ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 6) AS avg_7d
+FROM (SELECT date, CAST(COUNT(*) AS BIGINT) AS n_clicks
+      FROM clicks GROUP BY date)""",
+        CLICKS_CTE,
+    ),
+)
+def a9_trailing_avg_daily_clicks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 7-day moving average of daily click volume — the
+    ROWS-frame window aggregate the reference's per-day resubmission
+    loop can never express in one pass. The frame runs over the
+    *pre-aggregated* daily series (one row per day), so the unpartitioned
+    window sorts |days| rows, not |clicks| — at 100 TB the heavy
+    reduction happens in the hash aggregate (map-side partials), and the
+    single-partition window is O(days), which is trivially safe. AVG is
+    rounded to 6 decimals on both sides (cross-engine float ulps)."""
+    from pyspark.sql import Window
+
+    daily = (
+        clicks(spark, sf_dir)
+        .groupBy("date")
+        .agg(F.count("*").cast("long").alias("n_clicks"))
+    )
+    w = Window.orderBy("date").rowsBetween(-6, 0)
+    return daily.select(
+        "date",
+        "n_clicks",
+        F.round(F.avg("n_clicks").over(w), 6).alias("avg_7d"),
+    )
+
+
+# ----------------------------------------------------------- rollup
+
+_A10_ORACLE = """SELECT event_type, date, CAST(COUNT(*) AS BIGINT) AS n
+FROM (SELECT event_type, CAST(ts AS DATE) AS date FROM events)
+GROUP BY ROLLUP (event_type, date)"""
+
+
+@register("a10_rollup_type_date", _A10_ORACLE)
+def a10_rollup_type_date(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-granularity counts in one pass: ``ROLLUP(event_type,
+    date)`` emits (type, date), (type, ·) and the grand total — the
+    OLAP cube edge the per-query reference recomputes separately.
+    Spark expands rollup into a single Expand + hash aggregate: one
+    scan, one shuffle for all three granularities; NULL marks the
+    rolled-up levels in both engines identically."""
+    from ..sources.tables import ts_date
+
+    ev = load_raw(spark, sf_dir, "events").select(
+        "event_type", ts_date("ts").alias("date")
+    )
+    return ev.rollup("event_type", "date").agg(
+        F.count("*").cast("long").alias("n")
     )
