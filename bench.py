@@ -42,6 +42,7 @@ HEADLINE = (
     "ts_quality_score",
     "ef_asof_purchase_click",
     "ef_sessionize",
+    "llm_curation_pipeline",
 )
 
 

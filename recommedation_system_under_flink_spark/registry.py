@@ -75,6 +75,7 @@ _QUERY_MODULES = (
     "operators.kernels_sql",
     "plans.pipelines",
     "plans.als",
+    "plans.curation",
     "streaming.hot_topics",
 )
 
