@@ -1,0 +1,125 @@
+"""Plan-shape audit: sweep every registered query's executed plan for
+scale red flags.
+
+For each ``__spark_entry__.queries()`` entry (batch only — streaming
+entries execute on build, so they are skipped), prints one line:
+
+    name  scans=N exchanges=N cartesian=Y/N rowudf=Y/N pushdown=ok/miss
+
+- **scans**: number of parquet file scans — re-executed subtrees show
+  up as surplus scans (Catalyst has no cross-subtree CSE).
+- **exchanges**: shuffle count.
+- **cartesian**: a CartesianProduct/BroadcastNestedLoopJoin node exists
+  somewhere it probably shouldn't (the J3-naive twin is the known,
+  intentional one).
+- **rowudf**: a row-at-a-time BatchEvalPython node (non-Arrow UDF) —
+  always a bug in this codebase; Arrow paths show ArrowEvalPython /
+  MapInPandas / FlatMapGroupsInPandas instead.
+- **pushdown**: for plans scanning ``events``, whether the scan carries
+  a non-empty PushedFilters list (the list is often truncated with
+  ``...`` in the plan string — only a literal ``[]`` is a miss). Only
+  flagged when the plan ALSO has a post-scan Filter on scan columns,
+  i.e. a predicate existed and didn't push.
+
+Caveat: counts are over the *plan string*, which prints the full
+lineage beneath InMemoryTableScan nodes — iterative operators that
+persist per round (``sim_neardup_components``) show the whole loop's
+scans even though cached partitions short-circuit execution.
+
+Usage: ``python scripts/audit_plans.py [sf_dir] [name ...]``
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+#: Queries where a CartesianProduct / BroadcastNestedLoopJoin is the
+#: intended plan, with why. Anything NOT listed here gets flagged.
+EXPECTED_CARTESIAN = {
+    # 1-row corpus-size scalar broadcast into tf·log(N/df) — O(rows)
+    "a5_news_tfidf": "1-row N scalar broadcast (BNLJ over literal)",
+    "a7_user_keywords": "inherits a5's 1-row scalar broadcast",
+    "a8_news_keywords_topk": "inherits a5's 1-row scalar broadcast",
+    "tfidf_pipeline": "inherits a5's 1-row scalar broadcast",
+    "tfidf_recommend_all_days": "inherits a5's 1-row scalar broadcast",
+    "j1_user_docs_semijoin": "inherits a5's 1-row scalar broadcast",
+    "j3_scored_join": "inherits a5's 1-row scalar broadcast",
+    "j3_scored_join_salted": "inherits a5's 1-row scalar broadcast",
+    "j3_scored_join_naive": "the intentional reference-shaped cross",
+    # bounded pairwise demos over _N_DOCS=20 keyword maps
+    "f5_calculate_x_sql": "20-doc pairwise kernel demo (id< range join)",
+    "f6_fuzzy_overlap_sql": "20-doc pairwise kernel demo",
+    "f7_boolean_overlap_sql": "20-doc pairwise kernel demo",
+    "f8_dot_product_sql": "20-doc pairwise kernel demo",
+    "f9_rank_distance_sql": "20-doc pairwise kernel demo",
+    "f10_positive_correlation_sql": "20-doc pairwise kernel demo",
+    # brute-force baselines: query set / block pairs broadcast by design
+    "sim_bruteforce_topk": "broadcast query set vs corpus (baseline)",
+    "sim_neardup_pairs_exact": "block-pair id<= range join (blocked GEMM)",
+    "sim_neardup_components": "inherits the blocked-GEMM edge builder",
+    "als_recommendations": "user×item factor cross for top-k (bounded dims)",
+}
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    import __spark_entry__ as entrymod
+    from recommedation_system_under_flink_spark.session import get_spark
+
+    spark = get_spark(app_name="audit")
+    qs = entrymod.queries()
+
+    flagged = 0
+    for name in sorted(qs):
+        if only and name not in only:
+            continue
+        if name.startswith("stream_"):
+            continue  # executes on build; plan is the settled memory table
+        try:
+            plan = qs[name](spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+        except Exception as exc:  # pragma: no cover - audit tool
+            print(f"{name:36s} ERROR {type(exc).__name__}: {exc}")
+            flagged += 1
+            continue
+        scans = len(re.findall(r"Scan parquet", plan))
+        exchanges = len(re.findall(r"Exchange", plan))
+        cartesian = bool(re.search(r"CartesianProduct|BroadcastNestedLoopJoin", plan))
+        rowudf = "BatchEvalPython" in plan
+        pushdown = "n/a"
+        if re.search(r"events\.parquet", plan):
+            # the plan string truncates long filter lists with "..." —
+            # only a literal empty list means nothing pushed
+            empty = re.findall(r"PushedFilters: \[\s*\]", plan)
+            any_pushed = len(re.findall(r"PushedFilters: \[\s*[A-Za-z]", plan)) > 0
+            if any_pushed:
+                pushdown = "ok"
+            elif empty and re.search(r"Filter .*(ts#|event_type#)", plan):
+                pushdown = "MISS"  # a predicate existed and didn't push
+            else:
+                pushdown = "none"  # full scan with nothing to push
+        flags = []
+        if cartesian and name not in EXPECTED_CARTESIAN:
+            flags.append("CARTESIAN")
+        if rowudf:
+            flags.append("ROW-UDF")
+        if pushdown == "MISS":
+            flags.append("NO-PUSHDOWN")
+        if flags:
+            flagged += 1
+        print(
+            f"{name:36s} scans={scans:2d} exchanges={exchanges:2d} "
+            f"cartesian={'Y' if cartesian else 'n'} rowudf={'Y' if rowudf else 'n'} "
+            f"pushdown={pushdown:4s} {' '.join('!' + f for f in flags)}"
+        )
+    print(f"\n{flagged} flagged")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
