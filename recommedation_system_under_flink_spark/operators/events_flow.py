@@ -57,30 +57,15 @@ ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
   ON p.user_id = c.user_id AND p.ts >= c.ts"""
 
 
-@register("ef_asof_purchase_click", _ASOF_ORACLE)
-def ef_asof_purchase_click(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """As-of join: each purchase matched to the same user's most recent
-    click at-or-before it (NULL columns when no prior click exists).
-
-    Plan: one shuffle on ``user_id``, one sort, one Window — the
-    union'd sides are tagged (click=0 sorts before purchase at an equal
-    timestamp, making the match inclusive, same as ASOF's ``>=``), and
-    the click's (id, ts) carries forward via ``last(..., ignorenulls)``.
-    Scale: cost is O(events log events-per-partition) with no candidate
-    pairs materialized; a skewed user is one sort partition, handled by
-    AQE. event_id breaks any residual order ties deterministically."""
-    ev = load_raw(spark, sf_dir, "events")
-    tagged = (
-        ev.filter(F.col("event_type").isin("click", "purchase"))
-        .select(
-            "user_id",
-            "event_id",
-            F.expr("ts DIV 1000").alias("tsm"),
-            F.when(F.col("event_type") == "click", F.lit(0))
-            .otherwise(F.lit(1))
-            .alias("side"),
-        )
-    )
+def asof_last_prior(tagged: DataFrame) -> DataFrame:
+    """Core as-of carry-forward over a tagged relation
+    ``(user_id, event_id, tsm, side)`` with side 0 = reference (click),
+    1 = probe (purchase): one shuffle on ``user_id``, one sort, one
+    Window — side 0 sorts before side 1 at an equal timestamp, making
+    the match inclusive (ASOF's ``>=``), and the reference row's
+    (id, ts) carries forward via ``last(..., ignorenulls)``. Tested
+    against a naive quadratic reference on seeded-random logs
+    (tests/test_events_flow.py) besides the fixture oracle."""
     w = (
         Window.partitionBy("user_id")
         .orderBy("tsm", "side", "event_id")
@@ -104,6 +89,28 @@ def ef_asof_purchase_click(spark: SparkSession, sf_dir: str) -> DataFrame:
         "click_tsm",
         (F.col("tsm") - F.col("click_tsm")).alias("gap_us"),
     )
+
+
+@register("ef_asof_purchase_click", _ASOF_ORACLE)
+def ef_asof_purchase_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each purchase matched to the same user's most recent
+    click at-or-before it (NULL columns when no prior click exists).
+    See :func:`asof_last_prior` for the plan shape; scale: no candidate
+    pairs materialized, a skewed user is one sort partition (AQE),
+    event_id breaks residual order ties deterministically."""
+    ev = load_raw(spark, sf_dir, "events")
+    tagged = (
+        ev.filter(F.col("event_type").isin("click", "purchase"))
+        .select(
+            "user_id",
+            "event_id",
+            F.expr("ts DIV 1000").alias("tsm"),
+            F.when(F.col("event_type") == "click", F.lit(0))
+            .otherwise(F.lit(1))
+            .alias("side"),
+        )
+    )
+    return asof_last_prior(tagged)
 
 
 # --------------------------------------------------------- sessionization

@@ -168,3 +168,48 @@ def test_quantile_sketch_brackets_exact(queries, spark):
     for et, (lows, highs) in brackets.items():
         for a, lo, hi in zip(got[et], lows, highs):
             assert lo - 1e-9 <= a <= hi + 1e-9
+
+
+def test_asof_core_matches_naive_on_random_logs(spark):
+    """Seeded-random event logs with adversarial shapes (duplicate
+    timestamps, clickless users, click-at-purchase-instant ties) —
+    the carry-forward as-of must equal the naive quadratic scan."""
+    import random
+
+    from recommedation_system_under_flink_spark.operators.events_flow import (
+        asof_last_prior,
+    )
+
+    rng = random.Random(42)
+    rows = []
+    eid = 0
+    for user in range(40):
+        n = rng.randint(0, 12)
+        for _ in range(n):
+            # coarse timestamps on purpose: plenty of exact ties
+            tsm = rng.randint(0, 20)
+            side = rng.randint(0, 1)
+            rows.append((user, eid, tsm, side))
+            eid += 1
+    tagged = spark.createDataFrame(
+        rows, "user_id long, event_id long, tsm long, side int"
+    )
+    got = {
+        (r["user_id"], r["purchase_id"]): (r["click_id"], r["gap_us"])
+        for r in asof_last_prior(tagged).collect()
+    }
+    expected = {}
+    for user, eid_, tsm, side in rows:
+        if side != 1:
+            continue
+        prior = [
+            (c_tsm, c_eid)
+            for (u, c_eid, c_tsm, s) in rows
+            if u == user and s == 0 and c_tsm <= tsm
+        ]
+        if prior:
+            best = max(prior)
+            expected[(user, eid_)] = (best[1], tsm - best[0])
+        else:
+            expected[(user, eid_)] = (None, None)
+    assert got == expected
