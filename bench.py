@@ -43,6 +43,7 @@ HEADLINE = (
     "ef_asof_purchase_click",
     "ef_sessionize",
     "llm_curation_pipeline",
+    "llm_curation_fused",
 )
 
 

@@ -91,3 +91,96 @@ def llm_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(split, "doc_id")
         .select("doc_id", "lang_guess", "quality", "split")
     )
+
+
+@register("llm_curation_fused", _CURATION_ORACLE)
+def llm_curation_fused(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same curated-corpus view, **fused into one scan**: the
+    modular form above joins four independently-planned stages (7
+    documents scans); this form computes every stage column off a single
+    token projection —
+
+    - language: the 4-language argmax collapses into
+      ``greatest(struct(hits, -pri, lang))`` — an O(langs) expression
+      per row instead of a 4-way union + window (valid because the
+      language set is a fixed literal, exactly like the IVF centroids);
+    - quality: the ts_quality_score formula inline off the same tokens;
+    - canonical: one ``min(doc_id) over (partition by sha2)`` window —
+      the only shuffle in the plan;
+    - split: the pinned-hash pure function.
+
+    Same oracle as :func:`llm_curation_pipeline`, so the fusion is
+    hash-verified equivalent; bench carries both (the modular/fused
+    contrast, like j3 naive/indexed). The struct-argmax tiebreak is
+    (hits DESC, pri ASC): struct comparison is lexicographic, so
+    ``greatest`` on (hits, -pri, lang) picks exactly the window form's
+    ``ORDER BY hits DESC, lang_pri ASC`` winner."""
+    from pyspark.sql import Window
+
+    from ..functions.text import STOPWORDS
+    from ..operators.sampling import (
+        TRAIN_BUCKETS,
+        VAL_BUCKETS,
+        split_hash,
+    )
+    from ..operators.textstats import LANG_MARKERS, _tokens
+
+    docs = load_raw(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id",
+        F.sha2(F.col("text"), 256).alias("content_hash"),
+        _tokens(F.col("text")).alias("ts"),
+    )
+    ts, n = F.col("ts"), F.size("ts")
+    dts = F.array_distinct(ts)
+    # language argmax as a greatest-of-structs expression
+    lang_structs = [
+        F.struct(
+            F.size(
+                F.array_intersect(dts, F.array(*[F.lit(w) for w in ws]))
+            ).alias("hits"),
+            F.lit(-pri).alias("neg_pri"),
+            F.lit(lang).alias("lang"),
+        )
+        for pri, (lang, ws) in enumerate(LANG_MARKERS.items())
+    ]
+    lang_guess = F.greatest(*lang_structs)["lang"]
+    # quality formula, inline (identical algebra to ts_quality_score)
+    stop_arr = F.array(*[F.lit(w) for w in STOPWORDS])
+    stop_ratio = F.when(
+        n > 0,
+        F.size(F.filter(ts, lambda t: F.array_contains(stop_arr, t))).cast("double")
+        / n,
+    ).otherwise(F.lit(0.0))
+    rep_ratio = F.when(
+        n > 0, F.lit(1.0) - F.size(dts).cast("double") / n
+    ).otherwise(F.lit(1.0))
+    len_score = F.least(n.cast("double") / 100.0, F.lit(1.0))
+    quality = (
+        0.4 * len_score
+        + 0.3 * F.least(stop_ratio * 4, F.lit(1.0))
+        + 0.3 * (1.0 - rep_ratio)
+    ).cast("double")
+    bucket = split_hash("doc_id") % 10
+    split = (
+        F.when(bucket < TRAIN_BUCKETS, F.lit("train"))
+        .when(bucket < TRAIN_BUCKETS + VAL_BUCKETS, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    staged = base.select(
+        "doc_id",
+        "content_hash",
+        lang_guess.alias("lang_guess"),
+        quality.alias("quality"),
+        split.alias("split"),
+    )
+    w = Window.partitionBy("content_hash")
+    return (
+        staged.withColumn("canonical", F.col("doc_id") == F.min("doc_id").over(w))
+        .filter(
+            F.col("canonical")
+            & (F.col("lang_guess") == KEEP_LANG)
+            & (F.col("quality") >= QUALITY_MIN)
+        )
+        .select("doc_id", "lang_guess", "quality", "split")
+    )
