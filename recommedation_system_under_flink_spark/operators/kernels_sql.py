@@ -388,7 +388,11 @@ def s7_partitioned_write_pruned_read(spark: SparkSession, sf_dir: str) -> DataFr
 
     out = os.path.join(tempfile.gettempdir(), "spark_graft_s7_clicks_by_date")
     write_parquet(clicks(spark, sf_dir), out, partition_by=["date"])
-    part = spark.read.parquet(out)
+    # explicit schema: an all-empty write leaves no partition dirs to
+    # infer the partition column from
+    part = spark.read.schema(
+        "user_id long, news_id long, cnt int, date date"
+    ).parquet(out)
     return (
         part.filter(
             (F.col("date") >= F.lit(_S7_FROM)) & (F.col("date") <= F.lit(TODAY))

@@ -379,6 +379,8 @@ def _ivf_centroids(
         .collect()
     )
     rows.sort(key=lambda r: r["vec_id"])
+    if not rows:
+        return []
     x = np.array([list(r["emb"]) for r in rows], dtype=np.float64)
     cents = x[:k].copy()  # init: first k by vec_id (deterministic)
     for _ in range(iters):
@@ -414,6 +416,10 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     cents = _IVF_CACHE.get(sf_dir)
     if cents is None:
         cents = _IVF_CACHE[sf_dir] = _ivf_centroids(base)
+    if not cents:  # empty corpus → nothing to index or search
+        return spark.createDataFrame(
+            [], "query_id long, corpus_id long, cosine double, rank int"
+        )
     corpus = base.withColumn(
         "cid", F.element_at(_probe_udf(cents, 1)(F.col("emb")), 1)
     )

@@ -41,6 +41,10 @@ def als_recommendations(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id", "news_id")
         .agg(F.sum("cnt").cast("float").alias("cnt"))
     )
+    if ratings.isEmpty():  # MLlib ALS refuses an empty ratings RDD
+        return spark.createDataFrame(
+            [], "user_id long, date date, news array<long>"
+        )
     als = ALS(
         rank=8,
         maxIter=5,

@@ -213,3 +213,32 @@ def test_asof_core_matches_naive_on_random_logs(spark):
         else:
             expected[(user, eid_)] = (None, None)
     assert got == expected
+
+
+def test_empty_input_robustness(queries, spark):
+    """Empty inputs are normal at scale (quiet days, fresh deploys) —
+    operators must return empty relations, not throw. Regression set:
+    the three historical offenders plus one per operator family; the
+    full 77-query sweep lives in scripts/empty_sweep.py."""
+    import sys
+
+    sys.path.insert(0, "/root/repo/scripts")
+    from empty_sweep import make_empty_fixture
+
+    dst = make_empty_fixture(SF_DIR)
+    for name in (
+        "als_recommendations",           # historical: ALS on no ratings
+        "s7_partitioned_write_pruned_read",  # historical: no partition dirs
+        "sim_ivf_topk",                  # historical: Lloyd fit on empty
+        "hot_topics_pipeline",
+        "tfidf_pipeline",
+        "j3_scored_join",
+        "dedup_minhash_lsh",
+        "sim_neardup_components",
+        "ef_asof_purchase_click",
+        "ef_sessionize",
+        "llm_curation_fused",
+        "samp_stratified",
+        "ts_lang_id",
+    ):
+        assert queries[name](spark, dst).count() == 0, name
