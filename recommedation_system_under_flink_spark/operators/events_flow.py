@@ -141,6 +141,25 @@ FROM sess
 GROUP BY user_id, session_seq"""
 
 
+def sessionize_events(ev: DataFrame, gap_us: int = SESSION_GAP_US) -> DataFrame:
+    """Core gap sessionization over ``(user_id, event_id, tsm, value)``
+    rows; see :func:`ef_sessionize` for the plan story."""
+    order = Window.partitionBy("user_id").orderBy("tsm", "event_id")
+    gap = F.col("tsm") - F.lag("tsm").over(order)
+    is_start = F.when(gap.isNull() | (gap > gap_us), F.lit(1)).otherwise(F.lit(0))
+    running = order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    sess = ev.withColumn(
+        "session_seq", F.sum(is_start).over(running).cast("long")
+    )
+    return sess.groupBy("user_id", "session_seq").agg(
+        F.count("*").cast("long").alias("n_events"),
+        F.min("tsm").alias("session_start"),
+        F.max("tsm").alias("session_end"),
+        (F.max("tsm") - F.min("tsm")).alias("duration_us"),
+        F.round(F.sum("value"), 6).alias("total_value"),
+    )
+
+
 @register("ef_sessionize", _SESSIONS_ORACLE)
 def ef_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap sessionization: a new session starts when a user is idle
@@ -158,19 +177,4 @@ def ef_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_raw(spark, sf_dir, "events").select(
         "user_id", "event_id", F.expr("ts DIV 1000").alias("tsm"), "value"
     )
-    order = Window.partitionBy("user_id").orderBy("tsm", "event_id")
-    gap = F.col("tsm") - F.lag("tsm").over(order)
-    is_start = F.when(
-        gap.isNull() | (gap > SESSION_GAP_US), F.lit(1)
-    ).otherwise(F.lit(0))
-    running = order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    sess = ev.withColumn(
-        "session_seq", F.sum(is_start).over(running).cast("long")
-    )
-    return sess.groupBy("user_id", "session_seq").agg(
-        F.count("*").cast("long").alias("n_events"),
-        F.min("tsm").alias("session_start"),
-        F.max("tsm").alias("session_end"),
-        (F.max("tsm") - F.min("tsm")).alias("duration_us"),
-        F.round(F.sum("value"), 6).alias("total_value"),
-    )
+    return sessionize_events(ev)

@@ -292,3 +292,48 @@ def ts_bpe_token_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size("pieces").cast("long").alias("n_pieces"),
         est.alias("n_tokens_est"),
     )
+
+
+# ------------------------------------------------- top terms per language
+
+#: Top-N terms kept per language in the corpus summary.
+TOP_TERMS_N = 10
+
+
+@register(
+    "ts_top_terms_per_lang",
+    f"""SELECT lang, term, n, pos FROM (
+  SELECT lang, term, n,
+         CAST(row_number() OVER (
+           PARTITION BY lang ORDER BY n DESC, term ASC
+         ) AS BIGINT) AS pos
+  FROM (
+    SELECT lang, t AS term, CAST(COUNT(*) AS BIGINT) AS n
+    FROM (SELECT lang, unnest({_TOKENS_SQL}) AS t FROM documents)
+    WHERE t NOT IN ({_STOP_SQL})
+    GROUP BY lang, t
+  )
+) WHERE pos <= {TOP_TERMS_N}""",
+)
+def ts_top_terms_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus term summary: the ``TOP_TERMS_N`` most frequent
+    non-stopword tokens per language — the quick-look vocabulary audit
+    a curation run reports per shard. explode → (lang, term) count
+    (map-side combinable) → WindowGroupLimit top-N; ties pinned
+    (count DESC, term ASC) for cross-engine determinism. Skew note:
+    token counts are Zipfian but the aggregate is partial-combined, so
+    the hot terms cost one reduced row per map task, not a hot
+    partition."""
+    from pyspark.sql import Window
+
+    docs = load_raw(spark, sf_dir, "documents")
+    stop_arr = F.array(*[F.lit(w) for w in STOPWORDS])
+    toks = docs.select(
+        "lang", F.explode(_tokens(F.col("text"))).alias("term")
+    ).filter(~F.array_contains(stop_arr, F.col("term")))
+    counts = toks.groupBy("lang", "term").agg(F.count("*").cast("long").alias("n"))
+    w = Window.partitionBy("lang").orderBy(F.desc("n"), F.asc("term"))
+    return (
+        counts.withColumn("pos", F.row_number().over(w).cast("long"))
+        .filter(F.col("pos") <= TOP_TERMS_N)
+    )

@@ -242,3 +242,52 @@ def test_empty_input_robustness(queries, spark):
         "ts_lang_id",
     ):
         assert queries[name](spark, dst).count() == 0, name
+
+
+def test_sessionize_core_matches_naive_on_random_logs(spark):
+    """Seeded-random logs with tie timestamps and tiny gaps — the
+    window-cumsum sessionizer must equal a naive per-user scan."""
+    import random
+
+    from recommedation_system_under_flink_spark.operators.events_flow import (
+        sessionize_events,
+    )
+
+    rng = random.Random(7)
+    gap = 5  # tiny gap threshold in fake micros
+    rows = []
+    eid = 0
+    for user in range(30):
+        for _ in range(rng.randint(1, 15)):
+            rows.append((user, eid, rng.randint(0, 60), float(rng.randint(0, 9))))
+            eid += 1
+    ev = spark.createDataFrame(
+        rows, "user_id long, event_id long, tsm long, value double"
+    )
+    got = {
+        (r["user_id"], r["session_seq"]): (
+            r["n_events"], r["session_start"], r["session_end"], r["total_value"]
+        )
+        for r in sessionize_events(ev, gap_us=gap).collect()
+    }
+    expected = {}
+    by_user: dict[int, list] = {}
+    for u, e, t, v in rows:
+        by_user.setdefault(u, []).append((t, e, v))
+    for u, evs in by_user.items():
+        evs.sort()
+        seq, cur = 0, []
+        for t, e, v in evs:
+            if not cur or t - cur[-1][0] > gap:
+                if cur:
+                    expected[(u, seq)] = (
+                        len(cur), cur[0][0], cur[-1][0],
+                        round(sum(x[2] for x in cur), 6),
+                    )
+                seq += 1
+                cur = []
+            cur.append((t, e, v))
+        expected[(u, seq)] = (
+            len(cur), cur[0][0], cur[-1][0], round(sum(x[2] for x in cur), 6)
+        )
+    assert got == expected
