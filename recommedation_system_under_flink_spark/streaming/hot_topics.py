@@ -273,3 +273,68 @@ def stream_purchase_click_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("gap_sec"),
     )
     return _run_to_memory(joined, "append")
+
+
+@register(
+    "stream_topk_to_parquet",
+    # full oracle: the settled parquet must equal the batch daily top-K
+    # (T3 semantics, clicks counted from raw events)
+    f"""WITH clicks AS (
+  SELECT user_id, event_id % {NEWS_MOD} AS news_id, CAST(ts AS DATE) AS date
+  FROM events WHERE event_type = 'click'
+), daily AS (
+  SELECT date, news_id, CAST(COUNT(*) AS BIGINT) AS clicks
+  FROM clicks GROUP BY date, news_id
+)
+SELECT date, news_id, clicks,
+       CAST(ROW_NUMBER() OVER (
+         PARTITION BY date ORDER BY clicks DESC, news_id ASC
+       ) AS BIGINT) AS rank
+FROM daily
+QUALIFY rank <= {DEFAULT_SCENE.num_recommendations}""",
+)
+def stream_topk_to_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production sink seam as real code: the 1-day-window click
+    counts stream into ``foreachBatch``, which ranks top-K per day and
+    **overwrites a parquet sink** each batch (complete mode → every
+    batch carries the full settled aggregate, so overwrite makes the
+    sink idempotent — the exactly-once pattern for full-refresh
+    outputs). The registered query returns the parquet re-read, so the
+    whole stream→rank→sink→scan loop is hash-verified against the batch
+    daily-top-K oracle — not just rows-counted.
+
+    Scale: foreachBatch hands a *batch* DataFrame per trigger, so the
+    rank+write runs as a normal Catalyst job (WindowGroupLimit, file
+    commit protocol); for append-mode (incremental) sinks the same seam
+    writes only closed windows as the watermark passes them."""
+    out = os.path.join(
+        "/tmp", "spark_stream_sink", sf_dir.strip("/").replace("/", "_")
+    )
+    k = DEFAULT_SCENE.num_recommendations
+    clicks = stream_clicks(spark, sf_dir)
+    agg = (
+        clicks.withWatermark("event_time", "1 day")
+        .groupBy(F.window("event_time", "1 day").alias("win"), F.col("news_id"))
+        .agg(F.count("*").cast("long").alias("clicks"))
+        .select(
+            F.col("win.start").cast("date").alias("date"), "news_id", "clicks"
+        )
+    )
+
+    def write_topk(batch_df: DataFrame, epoch_id: int) -> None:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("date").orderBy(F.desc("clicks"), F.asc("news_id"))
+        ranked = batch_df.withColumn(
+            "rank", F.row_number().over(w).cast("long")
+        ).filter(F.col("rank") <= k)
+        ranked.write.mode("overwrite").parquet(out)
+
+    q = (
+        agg.writeStream.foreachBatch(write_topk)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(out)
