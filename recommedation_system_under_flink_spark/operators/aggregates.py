@@ -174,3 +174,39 @@ def a10_rollup_type_date(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.rollup("event_type", "date").agg(
         F.count("*").cast("long").alias("n")
     )
+
+
+# ------------------------------------------------------------ pivot
+
+#: The fixed event-type vocabulary (pivot needs explicit values to
+#: stay a single-pass plan; inference would add a distinct scan).
+EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+@register(
+    "a11_pivot_daily_event_counts",
+    f"""SELECT CAST(ts AS DATE) AS date,
+       {", ".join(f"CAST(COUNT(*) FILTER (WHERE event_type = '{t}') AS BIGINT) AS {t}" for t in EVENT_TYPES)}
+FROM events
+GROUP BY CAST(ts AS DATE)""",
+)
+def a11_pivot_daily_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily event counts pivoted to one column per event type — the
+    wide-format report shape. ``pivot`` with **explicit values** stays
+    one scan + one hash aggregate (values inference would cost an extra
+    distinct pass — never let pivot infer at scale); the oracle is the
+    equivalent conditional aggregation."""
+    from ..sources.tables import ts_date
+
+    ev = load_raw(spark, sf_dir, "events").select(
+        ts_date("ts").alias("date"), "event_type"
+    )
+    pivoted = (
+        ev.groupBy("date")
+        .pivot("event_type", list(EVENT_TYPES))
+        .agg(F.count(F.lit(1)))  # count("*") is rejected inside pivot
+    )
+    # pivot leaves absent combinations NULL; counts mean zero
+    return pivoted.select(
+        "date", *[F.coalesce(F.col(t), F.lit(0)).cast("long").alias(t) for t in EVENT_TYPES]
+    )

@@ -337,3 +337,39 @@ def ts_top_terms_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
         counts.withColumn("pos", F.row_number().over(w).cast("long"))
         .filter(F.col("pos") <= TOP_TERMS_N)
     )
+
+
+# ---------------------------------------------------------- normalization
+
+@register(
+    "ts_normalize_text",
+    """SELECT doc_id, norm,
+       CAST(norm <> text AS BOOLEAN) AS changed,
+       CAST(length(norm) AS BIGINT) AS n_chars_norm
+FROM (
+  SELECT doc_id, text,
+         trim(regexp_replace(regexp_replace(lower(text),
+              '[^a-z0-9 \\t\\r\\n]', ' ', 'g'), '[ \\t\\r\\n]+', ' ', 'g')) AS norm
+  FROM documents
+)""",
+)
+def ts_normalize_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text normalization for dedup/tokenization pre-passes: lowercase,
+    strip non-alphanumerics to spaces, collapse whitespace runs, trim.
+    Pure per-row Catalyst regexps — scan-speed, no shuffle; the regex
+    classes are dialect-portable (plain character classes only; DuckDB
+    needs the 'g' flag where Java replaces all by default)."""
+    docs = load_raw(spark, sf_dir, "documents")
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 \\t\\r\\n]", " "),
+            "[ \\t\\r\\n]+",
+            " ",
+        )
+    )
+    return docs.select(
+        "doc_id",
+        norm.alias("norm"),
+        (norm != F.col("text")).alias("changed"),
+        F.length(norm).cast("long").alias("n_chars_norm"),
+    )
