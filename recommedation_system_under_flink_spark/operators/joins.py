@@ -263,7 +263,15 @@ def j3_scored_join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     reducers for an R× replication of the *small* side only. Each
     (user, term, news) match still occurs exactly once, so the
     downstream count/divide is unchanged — hash-verified by the same
-    oracle as the unsalted form."""
+    oracle as the unsalted form.
+
+    When to reach for it: AQE's OptimizeSkewedJoin already splits hot
+    partitions (even single hot keys) for sort-merge joins at runtime,
+    so on batch Spark the unsalted form + AQE is usually enough; the
+    explicit salt is the portable fallback for paths AQE doesn't cover
+    (shuffled-hash joins, stream-stream joins, engines without runtime
+    re-planning) and makes the fan-out deterministic rather than
+    runtime-dependent."""
     from pyspark.sql import Window
 
     user_kw = (
