@@ -147,3 +147,20 @@ def test_ivf_topk_recall_vs_bruteforce(queries, spark):
         for r in queries["sim_ivf_topk"](spark, SF_DIR).collect()
     }
     assert len(bf & ivf) / len(bf) >= 0.6
+
+
+def test_binary_stats_bounds_and_text_signature(queries, spark):
+    """Byte stats must be in-range, deterministic, and — since the
+    fixture payloads are utf8 text — read as text (high printable
+    ratio, mid entropy)."""
+    rows = queries["mm_binary_stats"](spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert 0.0 <= r["entropy"] <= 8.0
+        assert 0 <= r["n_distinct"] <= 256
+        assert 0.0 <= r["printable_ratio"] <= 1.0
+        if r["n_bytes"] > 50:
+            assert r["printable_ratio"] > 0.95  # it's text
+            assert 2.0 < r["entropy"] < 6.5
+    again = queries["mm_binary_stats"](spark, SF_DIR).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
