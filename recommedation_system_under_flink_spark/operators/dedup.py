@@ -161,23 +161,105 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ------------------------------------------------------ MinHash LSH dedup
 
+#: Universal-hash modulus (Mersenne prime 2³¹−1) and pinned parameter
+#: generators: a_i ∈ [1, P), b_i ∈ [0, P). The base value x is ONE
+#: md5 per shingle parsed to a 60-bit int — murmur3 (``F.hash``) is
+#: engine-private, and per-seed md5s cost 32× the hashing; 2-universal
+#: ``(a_i·x + b_i) mod P`` gives independent-enough min-hashes from a
+#: single digest, in exact BIGINT arithmetic both engines reproduce
+#: ((P−1)·(P−1)+b < 2⁶³ — no overflow).
+_MH_P = 2_147_483_647
+_MH_MULT = 2_654_435_761
+
+
+def _mh_a(i: int) -> int:
+    return (_MH_MULT * (2 * i + 1)) % _MH_P or 1
+
+
+def _mh_b(i: int) -> int:
+    return (_MH_MULT * i + 40_503) % _MH_P
+
+
+#: Spark / DuckDB twins of "md5(shingle) → 60-bit int mod P".
+def _shingle_x(col: Column) -> Column:
+    return (
+        F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long") % _MH_P
+    )
+
+
+_SHINGLE_X_SQL = f"CAST(('0x' || substr(md5(shingle), 1, 15)) AS BIGINT) % {_MH_P}"
+
+
 def minhash_signatures(sh: DataFrame, h: int = MINHASH_H) -> DataFrame:
-    """H murmur3 min-hashes per doc: ``min(hash(seed_i, shingle))`` for
-    each seed. One hash aggregation over the shingle relation — the
-    signature is 8·H bytes per doc regardless of document size."""
+    """H portable min-hashes per doc: ``min((a_i·x + b_i) mod P)`` over
+    the per-shingle digest x. The digest is projected ONCE before the H
+    aggregates (inlining it would md5 per aggregate); the signature is
+    8·H bytes per doc regardless of document size."""
+    based = sh.select("doc_id", _shingle_x(F.col("shingle")).alias("xm"))
     aggs = [
-        F.min(F.hash(F.lit(i), F.col("shingle"))).alias(f"h{i}") for i in range(h)
+        F.min((F.lit(_mh_a(i)) * F.col("xm") + F.lit(_mh_b(i))) % _MH_P).alias(f"h{i}")
+        for i in range(h)
     ]
-    return sh.groupBy("doc_id").agg(*aggs)
+    return based.groupBy("doc_id").agg(*aggs)
 
 
-@register("dedup_minhash_lsh")  # murmur3 not portable to DuckDB → rows-only
+def _minhash_oracle() -> str:
+    """Full DuckDB twin of the MinHash/LSH chain: same seeded portable
+    hashes, same 2-row band buckets, same Jaccard verify — the sketch
+    pipeline is hash-compared end to end, not just rows-counted."""
+    rpb = MINHASH_H // MINHASH_BANDS
+    sig_cols = ",\n         ".join(
+        f"MIN(({_mh_a(i)} * xm + {_mh_b(i)}) % {_MH_P}) AS h{i}"
+        for i in range(MINHASH_H)
+    )
+    band_selects = "\n    UNION ALL\n    ".join(
+        "SELECT doc_id, {b} AS band, md5({key}) AS bucket FROM sig".format(
+            b=b,
+            key=" || ',' || ".join(
+                f"CAST(h{b * rpb + r} AS VARCHAR)" for r in range(rpb)
+            ),
+        )
+        for b in range(MINHASH_BANDS)
+    )
+    return f"""WITH {_SHINGLES_CTE},
+sigsrc AS (
+  SELECT doc_id, {_SHINGLE_X_SQL} AS xm FROM sh
+),
+sig AS (
+  SELECT doc_id,
+         {sig_cols}
+  FROM sigsrc GROUP BY doc_id
+), banded AS (
+    {band_selects}
+), cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM banded a JOIN banded b
+    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+)
+SELECT i.doc_a, i.doc_b,
+       CAST(i.inter AS DOUBLE) / (s1.n + s2.n - i.inter) AS jaccard
+FROM (
+  SELECT c.doc_a, c.doc_b, COUNT(*) AS inter
+  FROM cand c
+  JOIN sh a ON a.doc_id = c.doc_a
+  JOIN sh b ON b.doc_id = c.doc_b AND a.shingle = b.shingle
+  GROUP BY c.doc_a, c.doc_b
+) i
+JOIN (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id) s1 ON i.doc_a = s1.doc_id
+JOIN (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id) s2 ON i.doc_b = s2.doc_id
+WHERE CAST(i.inter AS DOUBLE) / (s1.n + s2.n - i.inter) >= {JACCARD_THRESHOLD}"""
+
+
+@register("dedup_minhash_lsh", _minhash_oracle())
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup pairs (the 100 TB dedup path).
 
     signatures → band into ``MINHASH_BANDS`` buckets (band key =
-    hash of the band's rows) → equi-join on (band, bucket) → distinct
+    md5 of the band's rows) → equi-join on (band, bucket) → distinct
     candidate pairs → verify with exact shingle Jaccard ≥ threshold.
+    The hash is the pinned portable one (:func:`_portable_hash`), so
+    the ENTIRE sketch chain — signatures, banding, candidates, verify —
+    is hash-compared against the DuckDB oracle, not just rows-counted.
 
     Correctness containment vs :func:`dedup_ngram_jaccard` is pytest-
     checked (tests/test_llm_ops.py): LSH output ⊆ exact output, with
@@ -192,8 +274,14 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         *[
             F.struct(
                 F.lit(b).alias("band"),
-                F.hash(
-                    *[F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)]
+                F.md5(
+                    F.concat_ws(
+                        ",",
+                        *[
+                            F.col(f"h{b * rows_per_band + r}").cast("string")
+                            for r in range(rows_per_band)
+                        ],
+                    )
                 ).alias("bucket"),
             )
             for b in range(MINHASH_BANDS)
