@@ -48,6 +48,18 @@ def date_to_nanos(day: dt.date) -> int:
     return (day - _EPOCH).days * 86_400_000_000_000
 
 
+def _div_us(c: Column | str) -> Column:
+    """Exact nanos→micros: integer ``DIV 1000``. Float division
+    (``(c / 1000).cast("long")``) routes through a double whose ~0.25 µs
+    spacing at 1.7e18 can round *up* across a micro boundary — the
+    column form uses exact decimal division (truncating cast) so any
+    Column expression gets the same floor semantics DuckDB applies when
+    truncating TIMESTAMP(NANOS) to micros."""
+    if isinstance(c, str):
+        return F.expr(f"{c} DIV 1000")
+    return (c.cast("decimal(38,0)") / F.lit(1000)).cast("long")
+
+
 def ts_date(c: Column | str = "ts") -> Column:
     """Derive a day-granularity date from the long-nanos ``ts`` column.
 
@@ -55,8 +67,7 @@ def ts_date(c: Column | str = "ts") -> Column:
     raw long (session.py), so the calendar date is recovered via
     micros → timestamp → date (session timezone pinned UTC, so this
     matches DuckDB's native ``CAST(ts AS DATE)``)."""
-    c = F.col(c) if isinstance(c, str) else c
-    return F.to_date(F.timestamp_micros((c / 1000).cast("long")))
+    return F.to_date(F.timestamp_micros(_div_us(c)))
 
 
 def ts_in_date_range(

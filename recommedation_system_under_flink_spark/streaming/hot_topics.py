@@ -73,7 +73,7 @@ def stream_clicks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.filter(F.col("event_type") == "click").select(
         F.col("user_id"),
         (F.col("event_id") % NEWS_MOD).alias("news_id"),
-        F.timestamp_micros((F.col("ts") / 1000).cast("long")).alias("event_time"),
+        F.timestamp_micros(F.expr("ts DIV 1000")).alias("event_time"),
     )
 
 
@@ -92,7 +92,15 @@ def _run_to_memory(result: DataFrame, mode: str) -> DataFrame:
     return result.sparkSession.table(name)
 
 
-@register("stream_hot_topics_daily")  # streaming → rows-only check
+@register(
+    "stream_hot_topics_daily",
+    # bounded replay settles deterministically → full oracle: the
+    # tumbling windows must equal the batch per-(date, news) counts
+    f"""SELECT CAST(ts AS DATE) AS date, event_id % {NEWS_MOD} AS news_id,
+       CAST(COUNT(*) AS BIGINT) AS clicks
+FROM events WHERE event_type = 'click'
+GROUP BY 1, 2""",
+)
 def stream_hot_topics_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-day per-news click counts as a 1-day tumbling event-time
     window with a 1-day watermark — the streaming A2. Equivalence with
@@ -109,7 +117,13 @@ def stream_hot_topics_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run_to_memory(agg, "complete")
 
 
-@register("stream_clicks_dedup")  # streaming → rows-only check
+@register(
+    "stream_clicks_dedup",
+    # the doubled source must settle to exactly-once click rows
+    f"""SELECT DISTINCT event_id, user_id, event_id % {NEWS_MOD} AS news_id,
+       ts AS event_time
+FROM events WHERE event_type = 'click'""",
+)
 def stream_clicks_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exactly-once ingestion dedup: ``dropDuplicates`` on ``event_id``
     with a watermark bounding the dedup state. The source deliberately
@@ -136,7 +150,7 @@ def stream_clicks_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_id",
             F.col("user_id"),
             (F.col("event_id") % NEWS_MOD).alias("news_id"),
-            F.timestamp_micros((F.col("ts") / 1000).cast("long")).alias("event_time"),
+            F.timestamp_micros(F.expr("ts DIV 1000")).alias("event_time"),
         )
         .withWatermark("event_time", "1 day")
         .dropDuplicates(["event_id"])
@@ -144,7 +158,12 @@ def stream_clicks_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run_to_memory(clicks, "append")
 
 
-@register("stream_news_running_totals")  # custom stateful op → rows-only
+@register(
+    "stream_news_running_totals",
+    # settled running totals == total clicks per news
+    f"""SELECT event_id % {NEWS_MOD} AS news_id, CAST(COUNT(*) AS BIGINT) AS total
+FROM events WHERE event_type = 'click' GROUP BY 1""",
+)
 def stream_news_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom stateful operator via ``applyInPandasWithState``: a
     per-news running click total carried in explicit GroupState — the
@@ -182,7 +201,15 @@ def stream_news_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     return settled.groupBy("news_id").agg(F.max("total").alias("total"))
 
 
-@register("stream_hot_topics_trailing")  # streaming → rows-only check
+@register(
+    "stream_hot_topics_trailing",
+    # each click serves the 7 sliding panes ending on days d..d+6
+    f"""SELECT CAST(ts AS DATE) + CAST(i AS INTEGER) AS date, event_id % {NEWS_MOD} AS news_id,
+       CAST(COUNT(*) AS BIGINT) AS clicks
+FROM events CROSS JOIN generate_series(0, {DEFAULT_SCENE.num_days - 1}) AS t(i)
+WHERE event_type = 'click'
+GROUP BY 1, 2""",
+)
 def stream_hot_topics_trailing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The P3 trailing 7-day zone as a **sliding** window (7-day width,
     1-day slide): each pane (d-6..d, news) carries the trailing count
@@ -219,7 +246,19 @@ def _stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.readStream.schema(_EVENTS_SCHEMA).parquet(stream_dir)
 
 
-@register("stream_purchase_click_join")  # stream-stream join → rows-only
+@register(
+    "stream_purchase_click_join",
+    # inner interval-join matches emit deterministically on replay
+    """SELECT p.user_id,
+       p.event_id AS purchase_id,
+       c.event_id AS click_id,
+       (epoch_us(p.ts) // 1000000) - (epoch_us(c.ts) // 1000000) AS gap_sec
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+JOIN (SELECT * FROM events WHERE event_type = 'click') c
+  ON p.user_id = c.user_id
+ AND c.ts <= p.ts
+ AND c.ts >= p.ts - INTERVAL 1 HOUR""",
+)
 def stream_purchase_click_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-stream **interval join**: purchases joined to the same
     user's clicks from the preceding hour (attribution-window shape).
@@ -241,7 +280,7 @@ def stream_purchase_click_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("user_id").alias("c_user"),
             F.col("event_id").alias("click_id"),
-            F.timestamp_micros((F.col("ts") / 1000).cast("long")).alias("click_time"),
+            F.timestamp_micros(F.expr("ts DIV 1000")).alias("click_time"),
         )
         .withWatermark("click_time", "1 hour")
     )
@@ -251,7 +290,7 @@ def stream_purchase_click_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("user_id").alias("p_user"),
             F.col("event_id").alias("purchase_id"),
-            F.timestamp_micros((F.col("ts") / 1000).cast("long")).alias(
+            F.timestamp_micros(F.expr("ts DIV 1000")).alias(
                 "purchase_time"
             ),
         )
