@@ -362,12 +362,66 @@ def simhash_udf():
     return F.pandas_udf(batch, "long")
 
 
-@register("dedup_simhash")  # UDF signature → rows-only
+def _simhash_oracle() -> str:
+    """DuckDB twin of the full SimHash chain. The signature is pure
+    deterministic arithmetic (md5-derived 64-bit token hashes, weighted
+    sign sums), so the oracle rebuilds it bit by bit in SQL: 64 sign-sum
+    columns → 4 16-bit chunk values → OR-of-chunk-equality candidates →
+    hamming as the count of disagreeing sign bits."""
+    from ..functions.text import STOPWORDS
+
+    stop = ", ".join(f"'{w}'" for w in STOPWORDS)
+    toks_sql = (
+        f"list_filter(string_split_regex(lower(text), '{TOKEN_SPLIT_REGEX}'), "
+        f"t -> t <> '' AND t NOT IN ({stop}))"
+    )
+    v_cols = ",\n         ".join(
+        f"COALESCE(SUM(CASE WHEN (h >> {j}) & 1 = 1 THEN cnt ELSE -cnt END), 0) AS v{j}"
+        for j in range(64)
+    )
+    bit_cols = ", ".join(f"CAST(v{j} > 0 AS INTEGER) AS b{j}" for j in range(64))
+    chunk_cols = ", ".join(
+        "(" + " + ".join(f"b{16 * c + k} * {1 << k}" for k in range(16)) + f") AS c{c}"
+        for c in range(4)
+    )
+    ham = " + ".join(f"CAST(a.b{j} <> b.b{j} AS INTEGER)" for j in range(64))
+    return f"""WITH toks AS (
+  SELECT doc_id, t, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM (SELECT doc_id, unnest({toks_sql}) AS t FROM documents)
+  GROUP BY doc_id, t
+), hb AS (
+  SELECT doc_id, cnt, CAST(('0x' || substr(md5(t), 1, 16)) AS UBIGINT) AS h FROM toks
+), v AS (
+  SELECT d.doc_id,
+         {v_cols}
+  FROM documents d LEFT JOIN hb ON d.doc_id = hb.doc_id
+  GROUP BY d.doc_id
+), bits AS (
+  SELECT doc_id, {bit_cols} FROM v
+), chunks AS (
+  SELECT doc_id, {chunk_cols} FROM bits
+), cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM chunks a JOIN chunks b
+    ON a.doc_id < b.doc_id
+   AND (a.c0 = b.c0 OR a.c1 = b.c1 OR a.c2 = b.c2 OR a.c3 = b.c3)
+)
+SELECT doc_a, doc_b, hamming FROM (
+  SELECT c.doc_a, c.doc_b, CAST({ham} AS INTEGER) AS hamming
+  FROM cand c JOIN bits a ON a.doc_id = c.doc_a JOIN bits b ON b.doc_id = c.doc_b
+)
+WHERE hamming <= {SIMHASH_MAX_HAMMING}"""
+
+
+@register("dedup_simhash", _simhash_oracle())
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs: signature → 4×16-bit chunk LSH (two
     signatures within hamming 8 of each other must agree on ≥1 of 4
     chunks... not guaranteed, but high-probability; pinned engine
-    choice) → verify hamming ≤ SIMHASH_MAX_HAMMING via ``bit_count``."""
+    choice) → verify hamming ≤ SIMHASH_MAX_HAMMING via ``bit_count``.
+    The md5-seeded signature is engine-portable, so the whole chain —
+    signature bits, chunk buckets, candidates, hamming verify — is
+    hash-compared against the DuckDB twin (:func:`_simhash_oracle`)."""
     docs = load_raw(spark, sf_dir, "documents")
     sig = docs.select("doc_id", simhash_udf()(F.col("text")).alias("sig"))
 
