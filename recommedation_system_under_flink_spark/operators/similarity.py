@@ -196,12 +196,66 @@ def _bucketed(emb: DataFrame, tables: int = LSH_TABLES, bits: int = LSH_BITS) ->
     )
 
 
-@register("sim_lsh_topk")  # hyperplane literals not portable → rows-only
+def _lsh_sig_ctes(tables: int, bits: int) -> str:
+    """Shared proj/sig/tb CTE block for the hyperplane-LSH oracles."""
+    planes = _hyperplanes(tables, bits)
+    sig_cols = ",\n         ".join(
+        " + ".join(
+            f"CASE WHEN list_dot_product(e, [{', '.join(repr(float(x)) for x in planes[t][b])}]) > 0 THEN {1 << b} ELSE 0 END"
+            for b in range(bits)
+        )
+        + f" AS s{t}"
+        for t in range(tables)
+    )
+    tb_union = "\n    UNION ALL\n    ".join(
+        f"SELECT vec_id, {t} AS tbl, s{t} AS bucket FROM sig" for t in range(tables)
+    )
+    return f"""proj AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+), sig AS (
+  SELECT vec_id,
+         {sig_cols}
+  FROM proj
+), tb AS (
+    {tb_union}
+)"""
+
+
+def _lsh_topk_oracle(tables: int, bits: int) -> str:
+    """DuckDB twin of :func:`sim_lsh_topk`: same pinned hyperplane
+    buckets, exact cosine over candidates, quantized-rank top-k."""
+    return f"""WITH {_lsh_sig_ctes(tables, bits)},
+cand AS (
+  SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS corpus_id
+  FROM tb q JOIN tb c
+    ON q.tbl = c.tbl AND q.bucket = c.bucket AND c.vec_id <> q.vec_id
+  WHERE q.vec_id < {N_QUERIES}
+), scored AS (
+  SELECT c.query_id, c.corpus_id,
+         list_dot_product(pq.e, pc.e)
+           / (sqrt(list_dot_product(pq.e, pq.e)) * sqrt(list_dot_product(pc.e, pc.e)))
+           AS cosine
+  FROM cand c
+  JOIN proj pq ON pq.vec_id = c.query_id
+  JOIN proj pc ON pc.vec_id = c.corpus_id
+)
+SELECT query_id, corpus_id, cosine, rank FROM (
+  SELECT *, CAST(ROW_NUMBER() OVER (
+    PARTITION BY query_id ORDER BY ROUND(cosine, 6) DESC, corpus_id ASC
+  ) AS INTEGER) AS rank
+  FROM scored
+) WHERE rank <= {TOP_K}"""
+
+
+
+@register("sim_lsh_topk", _lsh_topk_oracle(LSH_TABLES, LSH_BITS))
 def sim_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH-bucketed approximate top-k: candidates share a (table,
     bucket) cell with the query; exact cosine + top-k only over
     candidates. Recall vs brute force is pytest-checked
-    (tests/test_llm_ops.py)."""
+    (tests/test_llm_ops.py); the pinned hyperplanes also make the whole
+    chain hash-comparable against the DuckDB twin
+    (:func:`_lsh_topk_oracle`)."""
     emb = load_raw(spark, sf_dir, "embeddings")
     bucketed = _bucketed(emb)
     queries = bucketed.filter(F.col("vec_id") < N_QUERIES).select(
@@ -463,10 +517,42 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("sim_neardup_pairs_lsh")  # rows-only; recall pytest-checked
+def _lsh_oracle(tables: int, bits: int, threshold: float) -> str:
+    """DuckDB twin of the hyperplane-LSH near-dup chain. The planes are
+    pinned-seed doubles baked into BOTH plans as exact literals
+    (``repr(float)`` round-trips), so the bucket signatures are
+    engine-reproducible; a sign could only diverge if a projection were
+    within float-sum error (~1e-15) of zero — measure-zero for
+    continuous data. Candidates = same (table, bucket) cell; verify =
+    exact cosine ≥ threshold, as in the exact twin."""
+    return f"""WITH {_lsh_sig_ctes(tables, bits)},
+cand AS (
+  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+  FROM tb a JOIN tb b
+    ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+)
+SELECT c.vec_a, c.vec_b,
+       list_dot_product(pa.e, pb.e)
+         / (sqrt(list_dot_product(pa.e, pa.e)) * sqrt(list_dot_product(pb.e, pb.e)))
+         AS cosine
+FROM cand c
+JOIN proj pa ON pa.vec_id = c.vec_a
+JOIN proj pb ON pb.vec_id = c.vec_b
+WHERE list_dot_product(pa.e, pb.e)
+        / (sqrt(list_dot_product(pa.e, pa.e)) * sqrt(list_dot_product(pb.e, pb.e)))
+      >= {threshold}"""
+
+
+@register(
+    "sim_neardup_pairs_lsh",
+    _lsh_oracle(NEARDUP_TABLES, NEARDUP_BITS, COSINE_THRESHOLD),
+)
 def sim_neardup_pairs_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup pairs via LSH buckets: only same-cell pairs get exact
-    cosine — the O(pairs-per-bucket) scale path."""
+    cosine — the O(pairs-per-bucket) scale path. The pinned hyperplanes
+    make the bucket chain engine-reproducible, so the full chain is
+    hash-compared against the DuckDB twin (:func:`_lsh_oracle`);
+    subset-of-exact and recall stay pytest-checked."""
     emb = load_raw(spark, sf_dir, "embeddings")
     bucketed = _bucketed(emb, NEARDUP_TABLES, NEARDUP_BITS)
     a = bucketed.alias("a")
