@@ -665,3 +665,112 @@ def sim_neardup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         prev_sum = new_sum
     edges.unpersist()  # labels are fully cached by the per-round action
     return labels.select("vec_id", F.col("comp").alias("component"))
+
+
+def _ivf_pinned_oracle() -> str:
+    """DuckDB twin of :func:`sim_ivf_topk_pinned`: centroids are the
+    first ``IVF_K`` corpus vectors (pinned, data-independent given the
+    id order), cell assignment is argmax cosine with ties to the lower
+    centroid id, probing takes the top ``IVF_NPROBE`` cells the same
+    way, and the final top-k uses the quantized-rank ordering."""
+    cos = """list_dot_product(v.e, c.e)
+             / (sqrt(list_dot_product(v.e, v.e)) * sqrt(list_dot_product(c.e, c.e)))"""
+    return f"""WITH proj AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+), cents AS (
+  SELECT vec_id AS cid, e FROM proj WHERE vec_id < {IVF_K}
+), ranked_cells AS (
+  SELECT v.vec_id, c.cid,
+         ROW_NUMBER() OVER (
+           PARTITION BY v.vec_id
+           ORDER BY {cos} DESC, c.cid ASC
+         ) AS cell_rank
+  FROM proj v CROSS JOIN (SELECT cid, e FROM cents) c
+), corpus AS (
+  SELECT vec_id, cid FROM ranked_cells WHERE cell_rank = 1
+), queries AS (
+  SELECT vec_id AS query_id, cid FROM ranked_cells
+  WHERE vec_id < {N_QUERIES} AND cell_rank <= {IVF_NPROBE}
+), cand AS (
+  SELECT DISTINCT q.query_id, co.vec_id AS corpus_id
+  FROM queries q JOIN corpus co ON q.cid = co.cid
+  WHERE co.vec_id <> q.query_id
+), scored AS (
+  SELECT c.query_id, c.corpus_id,
+         list_dot_product(pq.e, pc.e)
+           / (sqrt(list_dot_product(pq.e, pq.e)) * sqrt(list_dot_product(pc.e, pc.e)))
+           AS cosine
+  FROM cand c
+  JOIN proj pq ON pq.vec_id = c.query_id
+  JOIN proj pc ON pc.vec_id = c.corpus_id
+)
+SELECT query_id, corpus_id, cosine, rank FROM (
+  SELECT *, CAST(ROW_NUMBER() OVER (
+    PARTITION BY query_id ORDER BY ROUND(cosine, 6) DESC, corpus_id ASC
+  ) AS INTEGER) AS rank
+  FROM scored
+) WHERE rank <= {TOP_K}"""
+
+
+@register("sim_ivf_topk_pinned", _ivf_pinned_oracle())
+def sim_ivf_topk_pinned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF top-k with **pinned** centroids (the first ``IVF_K`` corpus
+    vectors, no Lloyd refinement): the index structure — cell
+    assignment, nprobe probing, candidate generation, quantized top-k —
+    is identical to :func:`sim_ivf_topk`, but with the model parameters
+    data-independent the whole chain becomes DuckDB-reproducible and
+    hash-verified. The Lloyd-fitted variant keeps the better recall and
+    stays rows-only (fitted parameters are what make real ANN indexes
+    non-portable); this twin proves the *machinery* correct."""
+    emb = load_raw(spark, sf_dir, "embeddings")
+    base = emb.select("vec_id", _as_double("embedding").alias("emb")).withColumn(
+        "nrm", _norm(F.col("emb"))
+    )
+    cents = [
+        list(r["emb"])
+        for r in base.filter(F.col("vec_id") < IVF_K)
+        .orderBy("vec_id")
+        .select("emb")
+        .collect()
+    ]
+    if not cents:
+        return spark.createDataFrame(
+            [], "query_id long, corpus_id long, cosine double, rank int"
+        )
+    corpus = base.withColumn(
+        "cid", F.element_at(_probe_udf(cents, 1)(F.col("emb")), 1)
+    )
+    queries = base.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("emb").alias("q_emb"),
+        F.col("nrm").alias("q_nrm"),
+        F.explode(_probe_udf(cents, IVF_NPROBE)(F.col("emb"))).alias("cid"),
+    )
+    cands = (
+        corpus.join(F.broadcast(queries), "cid")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "q_emb",
+            "q_nrm",
+            F.col("vec_id").alias("corpus_id"),
+            "emb",
+            "nrm",
+        )
+        .distinct()
+    )
+    scored = cands.select(
+        "query_id",
+        "corpus_id",
+        (_dot(F.col("q_emb"), F.col("emb")) / (F.col("q_nrm") * F.col("nrm"))).alias(
+            "cosine"
+        ),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc(F.round("cosine", 6)), F.asc("corpus_id")
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= TOP_K
+    )
