@@ -334,7 +334,15 @@ def sim_neardup_pairs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     a = blocks.select(F.col("bid").alias("abid"), F.col("rows").alias("arows"))
     b = blocks.select(F.col("bid").alias("bbid"), F.col("rows").alias("brows"))
-    block_pairs = a.join(b, F.col("abid") <= F.col("bbid"))
+    # Repartition by the pair key: the nested-loop join's output keeps
+    # the LEFT side's partitioning, so without this the GEMM stage has
+    # only #blocks-many tasks, each scoring a whole row of the
+    # block-pair matrix sequentially — parallelism must be #block-pairs.
+    # Column-keyed repartition is an AQE-coalescible shuffle, so small
+    # inputs collapse to few tasks instead of spawning idle workers.
+    block_pairs = a.join(b, F.col("abid") <= F.col("bbid")).repartition(
+        "abid", "bbid"
+    )
 
     thr = COSINE_THRESHOLD
 
@@ -627,19 +635,52 @@ def sim_neardup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: this is the standard BSP connected-components loop — each
     round is one edge⋈label join + min-aggregation, both shuffling on
     vertex id, and rounds ≤ component diameter (near-dup components are
-    shallow by construction). Labels persist per round and unpersist
-    after the next round materializes; the early exit compares the
-    label-sum, which is strictly decreasing until the fixpoint. The
-    oracle is an independent construction: DuckDB's recursive-CTE
-    transitive closure, min over the reachable set."""
+    shallow by construction). The loop runs over **edge-endpoint
+    vertices only**: singletons (the overwhelming majority of a real
+    corpus — here 1,736 of 2,000 at sf0.1) can never change label, so
+    they are attached by one final left join instead of being shuffled
+    every round. The per-round working set is O(near-dup vertices), not
+    O(corpus) — the property that keeps the loop viable at 100 TB.
+    Labels persist per round and unpersist after the next round
+    materializes; the early exit compares the label-sum, which is
+    strictly decreasing until the fixpoint. The oracle is an
+    independent construction: DuckDB's recursive-CTE transitive
+    closure, min over the reachable set."""
     emb = load_raw(spark, sf_dir, "embeddings")
     pairs = sim_neardup_pairs_exact(spark, sf_dir).select("vec_a", "vec_b")
-    # Persist the edge set: every propagation round joins against it,
-    # and an unpersisted edge lineage would re-run the all-pairs cosine
-    # per round (measured 100s → 3s at sf0.1). At 100 TB the edges come
+    # Symmetrize in ONE pass (explode, not union-of-two-scans — the
+    # union form re-runs the unpersisted GEMM scan per branch) and
+    # persist: every propagation round joins against the edges, and an
+    # unpersisted edge lineage would re-run the all-pairs cosine per
+    # round (measured 100s → 3s at sf0.1). At 100 TB the edges come
     # from the LSH pair path and land in a table between the two jobs.
-    edges = pairs.union(pairs.select("vec_b", "vec_a")).toDF("src", "dst").persist()
-    labels = emb.select("vec_id", F.col("vec_id").alias("comp")).persist()
+    edges = (
+        pairs.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col("vec_a").alias("src"), F.col("vec_b").alias("dst")
+                    ),
+                    F.struct(
+                        F.col("vec_b").alias("src"), F.col("vec_a").alias("dst")
+                    ),
+                )
+            ).alias("e")
+        )
+        .select("e.src", "e.dst")
+        .persist()
+    )
+    labels = (
+        edges.groupBy(F.col("src").alias("vec_id"))
+        # Seed with min(self, neighbors) — a free first propagation
+        # round folded into the vertex-set build.
+        .agg(F.least(F.first("src"), F.min("dst")).alias("comp"))
+        .persist()
+    )
+    # Materialize seed (and, transitively, edges) BEFORE the loop: the
+    # round-0 plan references both twice, and evaluating them uncached
+    # would re-run the exact-pair scan per reference (measured 32s → 13s
+    # at sf0.1). Doubles as the early-exit baseline.
     prev_sum = labels.agg(F.sum("comp")).collect()[0][0]
     for _ in range(COMPONENT_MAX_ITERS):
         msgs = (
@@ -664,7 +705,14 @@ def sim_neardup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
             break
         prev_sum = new_sum
     edges.unpersist()  # labels are fully cached by the per-round action
-    return labels.select("vec_id", F.col("comp").alias("component"))
+    # Singletons re-attach with their own id. No broadcast hint: the
+    # label set's size is data-dependent (small here, maybe not at
+    # 100 TB) — AQE picks broadcast when it fits.
+    return (
+        emb.select("vec_id")
+        .join(labels, "vec_id", "left")
+        .select("vec_id", F.coalesce("comp", F.col("vec_id")).alias("component"))
+    )
 
 
 def _ivf_pinned_oracle() -> str:
