@@ -186,18 +186,27 @@ def j3_scored_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     # aggregate subtrees, which would re-run the whole keyword chain
     # (Catalyst does no cross-join common-subplan elimination; the
     # audit showed 22 file scans in the naively-structured plan).
+    # Semi-join BEFORE the count window: the window partitions by
+    # user_id and the semi-join keeps whole users, so each survivor's
+    # count is unchanged — but the window (a sort within partitions)
+    # now runs over today's clickers only, not the full user base.
     user_kw = (
         a7_user_keywords(spark, sf_dir)
-        .withColumn("n_user", F.count("*").over(Window.partitionBy("user_id")))
         .join(F.broadcast(today_clickers(spark, sf_dir)), "user_id", "left_semi")
+        .withColumn("n_user", F.count("*").over(Window.partitionBy("user_id")))
     )
     news_kw = _news_window_keywords(spark, sf_dir).withColumn(
         "n_news", F.count("*").over(Window.partitionBy("news_id"))
     )
 
+    # No broadcast hint on the term join: a forced broadcast serializes
+    # the whole news-keyword build through the driver before the join
+    # can start; AQE converts to broadcast at runtime when the built
+    # side is actually small (measured marginally faster shuffled here,
+    # and at 100 TB the news side of a wide window may not fit anyway).
     return (
         user_kw.select("user_id", "term", "n_user")
-        .join(F.broadcast(news_kw.select("news_id", "term", "n_news")), "term")
+        .join(news_kw.select("news_id", "term", "n_news"), "term")
         .groupBy("user_id", "news_id")
         .agg(
             F.count("*").alias("inter"),
@@ -276,8 +285,8 @@ def j3_scored_join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     user_kw = (
         a7_user_keywords(spark, sf_dir)
-        .withColumn("n_user", F.count("*").over(Window.partitionBy("user_id")))
         .join(F.broadcast(today_clickers(spark, sf_dir)), "user_id", "left_semi")
+        .withColumn("n_user", F.count("*").over(Window.partitionBy("user_id")))
         .withColumn("salt", (F.col("user_id") % J3_SALT_R).cast("int"))
     )
     news_kw = (
