@@ -429,3 +429,61 @@ def s6_parquet_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = os.path.join(tempfile.gettempdir(), "spark_graft_s6_roundtrip")
     write_parquet(hot_topics_pipeline(spark, sf_dir), out)
     return spark.read.parquet(out)
+
+
+# ------------------------------------------------- S8 (bucketed join)
+
+#: Bucket count for the co-located join demo. At 100 TB this is sized
+#: so one bucket's rows fit an executor (e.g. 4096); the mechanism —
+#: bucket-pruned shuffle-free joins — is bucket-count-invariant.
+S8_BUCKETS = 8
+
+
+@register(
+    "s8_bucketed_join",
+    with_ctes(
+        """SELECT c.user_id,
+       CAST(SUM(c.cnt) AS BIGINT) AS total_clicks,
+       CAST(MAX(p.n_news) AS BIGINT) AS n_distinct_news
+FROM clicks c
+JOIN (SELECT user_id, COUNT(DISTINCT news_id) AS n_news
+      FROM clicks GROUP BY user_id) p
+  ON c.user_id = p.user_id
+GROUP BY c.user_id""",
+        CLICKS_CTE,
+    ),
+)
+def s8_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Co-located join via **bucketing** — the pre-shuffle lever for
+    repeated joins on the same key (SCALE.md §2): both sides are
+    written ``bucketBy(user_id)`` with matching bucket counts, so the
+    join consumes bucket files directly — the physical plan has NO
+    Exchange on either scan (asserted in
+    tests/test_operators_spark.py::test_bucketed_join_no_exchange).
+    At 100 TB this is how a fact table joined daily against the same
+    dimension amortizes its shuffle: pay it once at write time, never
+    at read time. The oracle recomputes the join from the raw clicks
+    table, hash-verifying the write→bucket→join composition.
+
+    ``bucketBy`` requires a catalog table (``saveAsTable``); the data
+    lands under an explicit temp ``path`` so nothing touches the
+    session's default warehouse location."""
+    base = os.path.join(tempfile.gettempdir(), "spark_graft_s8_buckets")
+    cl = clicks(spark, sf_dir).select("user_id", "news_id", "cnt")
+    profile = cl.groupBy("user_id").agg(
+        F.countDistinct("news_id").alias("n_news")
+    )
+    for name, df in (("s8_clicks", cl), ("s8_profile", profile)):
+        (
+            df.write.mode("overwrite")
+            .bucketBy(S8_BUCKETS, "user_id")
+            .sortBy("user_id")
+            .option("path", os.path.join(base, name))
+            .format("parquet")
+            .saveAsTable(name)
+        )
+    joined = spark.table("s8_clicks").join(spark.table("s8_profile"), "user_id")
+    return joined.groupBy("user_id").agg(
+        F.sum("cnt").cast("long").alias("total_clicks"),
+        F.max("n_news").cast("long").alias("n_distinct_news"),
+    )

@@ -373,3 +373,122 @@ def ts_normalize_text(spark: SparkSession, sf_dir: str) -> DataFrame:
         (norm != F.col("text")).alias("changed"),
         F.length(norm).cast("long").alias("n_chars_norm"),
     )
+
+
+# ------------------------------------------------------------- chunking
+
+#: Chunk geometry: CHUNK_SIZE-token windows every CHUNK_STRIDE tokens
+#: (CHUNK_SIZE - CHUNK_STRIDE tokens of overlap between neighbors).
+CHUNK_SIZE = 64
+CHUNK_STRIDE = 48
+
+
+@register(
+    "ts_chunk_documents",
+    f"""WITH t AS (SELECT doc_id, {{tokens}} AS ts FROM documents),
+ex AS (
+  SELECT doc_id,
+         unnest(list_transform(generate_series(0, len(ts) - 1, {CHUNK_STRIDE}),
+                s -> {{{{'chunk_id': s // {CHUNK_STRIDE}, 'start': s,
+                        'ck': ts[s + 1 : s + {CHUNK_SIZE}]}}}})) AS c
+  FROM t WHERE len(ts) > 0
+)
+SELECT doc_id,
+       CAST(c.chunk_id AS INTEGER) AS chunk_id,
+       CAST(c.start AS BIGINT) AS chunk_start,
+       CAST(len(c.ck) AS BIGINT) AS n_tokens,
+       array_to_string(c.ck, ' ') AS chunk_text
+FROM ex""".format(tokens=_TOKENS_SQL),
+)
+def ts_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping token-window chunking — the standard long-document →
+    training-sample splitter (context-window-sized pieces, stride <
+    size so no boundary sentence is lost). One projection computes the
+    token array; ``sequence(0, n-1, stride)`` enumerates chunk starts;
+    ``slice`` materializes each window. Pure Catalyst (explode of a
+    per-row-bounded list) — no shuffle, scan-speed at 100 TB, and the
+    explode fan-out is n_tokens/stride ≈ 1.3× rows, not quadratic.
+    Empty docs emit no chunks (no empty training samples)."""
+    docs = load_raw(spark, sf_dir, "documents")
+    base = docs.select("doc_id", _tokens(F.col("text")).alias("ts")).filter(
+        F.size("ts") > 0
+    )
+    chunk = base.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(
+                    F.lit(0), F.size("ts") - 1, F.lit(CHUNK_STRIDE)
+                ),
+                lambda s: F.struct(
+                    (s / CHUNK_STRIDE).cast("int").alias("chunk_id"),
+                    s.cast("long").alias("chunk_start"),
+                    F.slice(F.col("ts"), s + 1, CHUNK_SIZE).alias("ck"),
+                ),
+            )
+        ).alias("c"),
+    )
+    return chunk.select(
+        "doc_id",
+        F.col("c.chunk_id").alias("chunk_id"),
+        F.col("c.chunk_start").alias("chunk_start"),
+        F.size("c.ck").cast("long").alias("n_tokens"),
+        F.array_join("c.ck", " ").alias("chunk_text"),
+    )
+
+
+# ------------------------------------------------------------- packing
+
+#: Packing budget: tokens per training sequence.
+PACK_BUDGET = 256
+
+
+@register(
+    "ts_pack_sequences",
+    f"""SELECT doc_id, source, n_tokens,
+       CAST(cum // {PACK_BUDGET} AS BIGINT) AS bin_id,
+       CAST(cum % {PACK_BUDGET} AS BIGINT) AS bin_offset
+FROM (
+  SELECT doc_id, source, n_tokens,
+         COALESCE(SUM(n_tokens) OVER (
+           PARTITION BY source ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+  FROM (SELECT doc_id, source,
+               CAST(len({_TOKENS_SQL}) AS BIGINT) AS n_tokens
+        FROM documents)
+)""",
+)
+def ts_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing — concatenate short docs into fixed token
+    budgets (the GPT-style pretraining batch layout: fewer pad tokens,
+    denser batches). Semantics: within each ``source`` shard, docs are
+    laid end-to-end in doc_id order and the stream is cut every
+    ``PACK_BUDGET`` tokens; a doc's bin is where its first token lands
+    (``exclusive-cumsum DIV budget``) and ``bin_offset`` its position in
+    the bin. One window over (source, doc_id) — exact first-fit packing
+    is inherently sequential state; the cumulative-quotient form is the
+    standard deterministic relaxation that keeps it one shuffle.
+
+    Scale: the window partitions by ``source`` — global packing order
+    would serialize 100 TB through one partition; per-shard packing is
+    what production pipelines do anyway (shard = file group), and
+    within-shard order is total (doc_id), so output is reproducible."""
+    from pyspark.sql import Window
+
+    docs = load_raw(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id", "source", F.size(_tokens(F.col("text"))).cast("long").alias("n_tokens")
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum = F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    return base.select(
+        "doc_id",
+        "source",
+        "n_tokens",
+        (cum / PACK_BUDGET).cast("long").alias("bin_id"),
+        (cum % PACK_BUDGET).cast("long").alias("bin_offset"),
+    )

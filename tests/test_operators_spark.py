@@ -175,3 +175,68 @@ def test_windowed_user_keywords_match_single_day(queries, spark):
         ).items():
             want[(uid, term)] = round(w, 9)
     assert got == want and len(got) > 0
+
+
+def test_bucketed_join_no_exchange(queries, spark):
+    """With broadcast disabled, the bucketed-table join must be a
+    shuffle-free sort-merge/shuffled-hash join: both scans read bucket
+    files directly (Bucketed: true) and no shuffle Exchange appears
+    anywhere — the write-time bucketing replaced the join shuffle."""
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        df = queries["s8_bucketed_join"](spark, SF_DIR)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    assert "Bucketed: true" in plan
+    assert "Exchange hashpartitioning" not in plan  # no shuffle anywhere
+
+
+def test_chunking_reconstructs_prefix(queries, spark):
+    """Chunk 0 always starts at token 0; consecutive chunk_starts step
+    by the stride; every chunk has 1..CHUNK_SIZE tokens and the token
+    count matches its text's whitespace split."""
+    from recommedation_system_under_flink_spark.operators.textstats import (
+        CHUNK_SIZE,
+        CHUNK_STRIDE,
+    )
+
+    rows = queries["ts_chunk_documents"](spark, SF_DIR).collect()
+    assert rows
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    for doc, chunks in by_doc.items():
+        chunks.sort(key=lambda r: r["chunk_id"])
+        # the last chunk always reaches the end of the doc (stride <
+        # size), so total tokens = last start + last size
+        total = chunks[-1]["chunk_start"] + chunks[-1]["n_tokens"]
+        for i, c in enumerate(chunks):
+            assert c["chunk_id"] == i
+            assert c["chunk_start"] == i * CHUNK_STRIDE
+            assert c["n_tokens"] == min(CHUNK_SIZE, total - c["chunk_start"])
+            assert c["n_tokens"] == len(c["chunk_text"].split(" "))
+
+
+def test_packing_bins_contiguous(queries, spark):
+    """Within a source shard: bins are filled in doc_id order, offsets
+    equal the running token count mod budget, and bin_id is
+    non-decreasing (the token stream is cut, never reordered)."""
+    from recommedation_system_under_flink_spark.operators.textstats import PACK_BUDGET
+
+    rows = queries["ts_pack_sequences"](spark, SF_DIR).collect()
+    assert rows
+    by_src = {}
+    for r in rows:
+        by_src.setdefault(r["source"], []).append(r)
+    for src, docs in by_src.items():
+        docs.sort(key=lambda r: r["doc_id"])
+        cum = 0
+        prev_bin = 0
+        for d in docs:
+            assert d["bin_id"] == cum // PACK_BUDGET
+            assert d["bin_offset"] == cum % PACK_BUDGET
+            assert d["bin_id"] >= prev_bin
+            prev_bin = d["bin_id"]
+            cum += d["n_tokens"]
