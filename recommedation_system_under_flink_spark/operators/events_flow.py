@@ -178,3 +178,75 @@ def ef_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id", "event_id", F.expr("ts DIV 1000").alias("tsm"), "value"
     )
     return sessionize_events(ev)
+
+
+# ------------------------------------------------------- banded range join
+
+#: Attribution window: errors within 1 hour after any purchase.
+RANGE_WINDOW_US = 3_600 * 1_000_000
+#: Band width for the range-join banding. Equal to the window length,
+#: so every interval spans ≤ 2 bands (fan-out bound = W/B + 1 = 2).
+RANGE_BAND_US = RANGE_WINDOW_US
+
+_RANGE_ORACLE = f"""SELECT p.event_id AS purchase_id,
+       e.event_id AS error_id,
+       epoch_us(p.ts) AS purchase_tsm,
+       epoch_us(e.ts) AS error_tsm,
+       epoch_us(e.ts) - epoch_us(p.ts) AS delay_us
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+JOIN (SELECT * FROM events WHERE event_type = 'error') e
+  ON epoch_us(e.ts) >= epoch_us(p.ts)
+ AND epoch_us(e.ts) < epoch_us(p.ts) + {RANGE_WINDOW_US}"""
+
+
+@register("ef_range_join_banded", _RANGE_ORACLE)
+def ef_range_join_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-containment **range join** via banding — which errors
+    fall inside the hour after each purchase (no user equality: a
+    genuine range-only join, the shape Spark executes as a
+    BroadcastNestedLoopJoin, O(|L|·|R|) compares).
+
+    The banded rewrite makes it an equi-join: time is cut into
+    ``RANGE_BAND_US`` bands; each interval replicates to every band it
+    overlaps (≤ 2 here, since band = window length), each point lives
+    in exactly ONE band, and the containment predicate re-checks inside
+    the band. A (purchase, error) match can only meet in the error's
+    own band, so no post-join dedup is needed. Scale: shuffle keys are
+    band ids (time-uniform), replication is the bounded W/B + 1, and
+    the plan is a plain shuffled equi-join — the pytest asserts no
+    nested-loop/cartesian operator survives
+    (tests/test_events_flow.py)."""
+    ev = load_raw(spark, sf_dir, "events")
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(F.col("event_id").alias("purchase_id"), F.expr("ts DIV 1000").alias("purchase_tsm"))
+        .select(
+            "purchase_id",
+            "purchase_tsm",
+            F.explode(
+                F.sequence(
+                    F.expr(f"purchase_tsm DIV {RANGE_BAND_US}"),
+                    F.expr(f"(purchase_tsm + {RANGE_WINDOW_US - 1}) DIV {RANGE_BAND_US}"),
+                )
+            ).alias("band"),
+        )
+    )
+    errors = ev.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("error_id"),
+        F.expr("ts DIV 1000").alias("error_tsm"),
+        F.expr(f"(ts DIV 1000) DIV {RANGE_BAND_US}").alias("band"),
+    )
+    return (
+        purchases.join(errors, "band")
+        .filter(
+            (F.col("error_tsm") >= F.col("purchase_tsm"))
+            & (F.col("error_tsm") < F.col("purchase_tsm") + RANGE_WINDOW_US)
+        )
+        .select(
+            "purchase_id",
+            "error_id",
+            "purchase_tsm",
+            "error_tsm",
+            (F.col("error_tsm") - F.col("purchase_tsm")).alias("delay_us"),
+        )
+    )

@@ -1,0 +1,128 @@
+"""Distributed PageRank over the click bipartite graph.
+
+The reference's only "graph" computation is TextRank's vote — a
+PageRank over a PER-DOCUMENT co-occurrence graph small enough to stay
+local inside a UDF (TextRank.java:194-218; functions/text.py). This
+module is the distributed counterpart for the graph that does NOT fit
+in one task: the user↔news click graph, where PageRank gives a
+popularity/centrality signal usable directly as a non-personalized
+recommender (a principled upgrade of HotTopics' raw click counts).
+
+Construction: nodes are users and news in one id space
+(``2·user_id`` / ``2·news_id + 1``); each distinct (user, news) click
+pair contributes both edge directions, so the walk alternates sides
+and no node dangles (every node in the graph has degree ≥ 1 by
+construction). A FIXED iteration count (no early exit) keeps the
+computation bit-reproducible across engines, so the whole loop is
+hash-compared against a DuckDB twin that unrolls the same iterations
+as chained CTEs.
+
+Scale notes (100 TB): each iteration is one edges⋈ranks equi-join plus
+one sum-aggregation, both shuffling on node id — the standard BSP
+PageRank layout (identical plan shape to the hash-min components loop,
+operators/similarity.py). Edges and degrees persist across iterations;
+ranks re-derive per round (lineage depth = K, bounded). Iteration
+count is the usual convergence dial; parity with the oracle requires
+it fixed, not adaptive.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ..sources import CLICKS_CTE, with_ctes
+
+#: Damping factor and fixed iteration count (pinned for oracle parity).
+PAGERANK_D = 0.85
+PAGERANK_ITERS = 3
+
+
+def _pagerank_oracle(iters: int = PAGERANK_ITERS, d: float = PAGERANK_D) -> str:
+    """DuckDB twin: the same fixed-iteration PageRank, unrolled as
+    chained CTEs (recursive terms can't aggregate in standard SQL).
+    Float parity: both engines sum doubles in data-dependent order, but
+    all contributions are positive (no cancellation), so sums agree to
+    ~13 significant digits — far inside the compare's 9."""
+    ctes = [
+        CLICKS_CTE,
+        "pairs AS (SELECT DISTINCT user_id, news_id FROM clicks)",
+        """edges AS (
+  SELECT user_id * 2 AS src, news_id * 2 + 1 AS dst FROM pairs
+  UNION ALL
+  SELECT news_id * 2 + 1, user_id * 2 FROM pairs
+)""",
+        "deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS d FROM edges GROUP BY src)",
+        "nn AS (SELECT COUNT(*) AS n FROM deg)",
+        "r0 AS (SELECT src AS node, 1.0 / (SELECT n FROM nn) AS r FROM deg)",
+    ]
+    prev = "r0"
+    for i in range(1, iters + 1):
+        ctes.append(
+            f"""r{i} AS (
+  SELECT e.dst AS node,
+         {1 - d} / (SELECT n FROM nn) + {d} * SUM({prev}.r / deg.d) AS r
+  FROM edges e
+  JOIN {prev} ON e.src = {prev}.node
+  JOIN deg ON deg.src = e.src
+  GROUP BY e.dst
+)"""
+        )
+        prev = f"r{i}"
+    return with_ctes(f"SELECT node, r AS rank FROM {prev}", *ctes)
+
+
+@register("graph_pagerank_clicks", _pagerank_oracle())
+def graph_pagerank_clicks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the symmetric user↔news click graph,
+    ``PAGERANK_ITERS`` fixed iterations, damping ``PAGERANK_D``.
+    Returns (node, rank) for every node; news nodes are odd ids
+    (``2·news_id + 1``), so a popularity recommender is one filter +
+    top-K away."""
+    from ..sources import clicks
+
+    pairs = clicks(spark, sf_dir).select("user_id", "news_id").distinct()
+    edges = (
+        pairs.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        (F.col("user_id") * 2).alias("src"),
+                        (F.col("news_id") * 2 + 1).alias("dst"),
+                    ),
+                    F.struct(
+                        (F.col("news_id") * 2 + 1).alias("src"),
+                        (F.col("user_id") * 2).alias("dst"),
+                    ),
+                )
+            ).alias("e")
+        )
+        .select("e.src", "e.dst")
+        .persist()
+    )
+    deg = edges.groupBy("src").agg(F.count("*").cast("long").alias("d")).persist()
+    n_nodes = deg.count()  # materializes edges + deg before the loop
+    if n_nodes == 0:
+        edges.unpersist()
+        deg.unpersist()
+        return spark.createDataFrame([], "node long, rank double")
+
+    teleport = (1.0 - PAGERANK_D) / n_nodes
+    # Contributions ride on the degree table: src rank / src degree.
+    ranks = deg.select("src", F.lit(1.0 / n_nodes).alias("r"))
+    for _ in range(PAGERANK_ITERS):
+        ranks = (
+            edges.join(ranks, "src")
+            .join(deg, "src")
+            .groupBy(F.col("dst").alias("node"))
+            .agg(
+                (
+                    F.lit(teleport) + F.lit(PAGERANK_D) * F.sum(F.col("r") / F.col("d"))
+                ).alias("r")
+            )
+            .withColumnRenamed("node", "src")
+        )
+    # edges/deg stay persisted for the caller's action (the K-iteration
+    # lineage references them K times each); Spark's LRU evicts them.
+    return ranks.select(F.col("src").alias("node"), F.col("r").alias("rank"))

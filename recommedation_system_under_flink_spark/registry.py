@@ -66,6 +66,7 @@ _QUERY_MODULES = (
     "operators.keywords",
     "operators.dedup",
     "operators.events_flow",
+    "operators.graph",
     "operators.events_props",
     "operators.sampling",
     "operators.sketches",

@@ -291,3 +291,52 @@ def test_sessionize_core_matches_naive_on_random_logs(spark):
             len(cur), cur[0][0], cur[-1][0], round(sum(x[2] for x in cur), 6)
         )
     assert got == expected
+
+
+def test_range_join_plan_is_equi_join(queries, spark):
+    """The banded rewrite must execute as a plain equi-join on band —
+    no BroadcastNestedLoopJoin / CartesianProduct anywhere."""
+    df = queries["ef_range_join_banded"](spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_range_join_matches_naive(queries, spark):
+    """Banded result == naive theta-join result on the fixture."""
+    from pyspark.sql import functions as F
+
+    from recommedation_system_under_flink_spark.operators.events_flow import (
+        RANGE_WINDOW_US,
+    )
+    from recommedation_system_under_flink_spark.sources import load_raw
+
+    ev = load_raw(spark, SF_DIR, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), F.expr("ts DIV 1000").alias("ptsm")
+    )
+    e = ev.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("error_id"), F.expr("ts DIV 1000").alias("etsm")
+    )
+    naive = p.join(
+        e,
+        (F.col("etsm") >= F.col("ptsm"))
+        & (F.col("etsm") < F.col("ptsm") + RANGE_WINDOW_US),
+    )
+    got = {
+        (r["purchase_id"], r["error_id"])
+        for r in queries["ef_range_join_banded"](spark, SF_DIR).collect()
+    }
+    want = {(r["purchase_id"], r["error_id"]) for r in naive.collect()}
+    assert got == want
+
+
+def test_pagerank_is_a_distribution(queries, spark):
+    """Ranks are positive and sum to ~1 (symmetric graph, no dangling
+    mass); news nodes are odd, user nodes even."""
+    rows = queries["graph_pagerank_clicks"](spark, SF_DIR).collect()
+    assert rows
+    total = sum(r["rank"] for r in rows)
+    assert abs(total - 1.0) < 1e-9
+    assert all(r["rank"] > 0 for r in rows)
+    assert {r["node"] % 2 for r in rows} == {0, 1}
