@@ -42,6 +42,10 @@ HEADLINE = (
     "ts_quality_score",
     "ef_asof_purchase_click",
     "ef_sessionize",
+    "ef_range_join_banded",
+    "graph_pagerank_clicks",
+    "ts_chunk_documents",
+    "dedup_incremental_exact",
     "llm_curation_pipeline",
     "llm_curation_fused",
 )

@@ -456,3 +456,74 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .filter(F.col("hamming") <= SIMHASH_MAX_HAMMING)
     )
+
+
+# ---------------------------------------------------- incremental dedup
+
+#: Incremental-dedup split: docs below are the existing corpus, docs at
+#: or above are the incoming batch (id-based → deterministic fixture).
+INCR_SPLIT_FRACTION = 0.8
+
+
+@register(
+    "dedup_incremental_exact",
+    f"""WITH bounds AS (
+  SELECT CAST(floor((MAX(doc_id) + 1) * {INCR_SPLIT_FRACTION}) AS BIGINT) AS split
+  FROM documents
+),
+corpus AS (
+  SELECT DISTINCT md5(text) AS h FROM documents, bounds WHERE doc_id < split
+),
+batch AS (
+  SELECT doc_id, md5(text) AS text_hash FROM documents, bounds WHERE doc_id >= split
+)
+SELECT b.doc_id, b.text_hash,
+       CAST(c.h IS NOT NULL AS BOOLEAN) AS dup_of_corpus,
+       CAST(b.doc_id <> MIN(b.doc_id) OVER (PARTITION BY b.text_hash) AS BOOLEAN)
+         AS dup_in_batch,
+       CAST(c.h IS NULL AND b.doc_id = MIN(b.doc_id) OVER (PARTITION BY b.text_hash)
+            AS BOOLEAN) AS keep
+FROM batch b LEFT JOIN corpus c ON b.text_hash = c.h""",
+)
+def dedup_incremental_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental exact dedup — the production ingest shape: dedup an
+    incoming BATCH against the already-ingested CORPUS (and within
+    itself) without ever re-scoring the corpus against itself. Corpus
+    side reduces to distinct hashes (one column, the only state the
+    operator needs — at 100 TB this is the persisted "seen hashes"
+    table, orders of magnitude smaller than the corpus); batch side
+    left-joins it and window-dedups internally. A doc is kept iff its
+    hash is unseen in the corpus AND it is the first holder of that
+    hash within the batch. The join is equi on hash (uniform key, no
+    skew); the corpus side never shuffles more than its distinct-hash
+    projection."""
+    from pyspark.sql import Window
+
+    docs = load_raw(spark, sf_dir, "documents")
+    max_id = docs.agg(F.max("doc_id")).collect()[0][0]
+    if max_id is None:
+        return spark.createDataFrame(
+            [],
+            "doc_id long, text_hash string, dup_of_corpus boolean, "
+            "dup_in_batch boolean, keep boolean",
+        )
+    split = int((max_id + 1) * INCR_SPLIT_FRACTION)
+    hashed = docs.select("doc_id", F.md5("text").alias("text_hash"))
+    corpus = (
+        hashed.filter(F.col("doc_id") < split)
+        .select(F.col("text_hash").alias("h"))
+        .distinct()
+    )
+    batch = hashed.filter(F.col("doc_id") >= split)
+    w = Window.partitionBy("text_hash")
+    return (
+        batch.join(corpus, batch.text_hash == corpus.h, "left")
+        .withColumn("dup_of_corpus", F.col("h").isNotNull())
+        .withColumn(
+            "dup_in_batch", F.col("doc_id") != F.min("doc_id").over(w)
+        )
+        .withColumn(
+            "keep", ~F.col("dup_of_corpus") & ~F.col("dup_in_batch")
+        )
+        .select("doc_id", "text_hash", "dup_of_corpus", "dup_in_batch", "keep")
+    )
