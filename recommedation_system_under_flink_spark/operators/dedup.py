@@ -527,3 +527,66 @@ def dedup_incremental_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("doc_id", "text_hash", "dup_of_corpus", "dup_in_batch", "keep")
     )
+
+
+# ------------------------------------------------- decontamination flag
+
+#: Benchmark-overlap decontamination: shingle width, benchmark-set
+#: size (first N doc_ids play the held-out eval set), and the flag
+#: threshold (≥2 distinct shared shingles — a single shared 5-gram is
+#: chance collision territory on natural text; two are not).
+CONTAM_N = 5
+CONTAM_BENCH_DOCS = 25
+CONTAM_MIN_HITS = 2
+
+_CONTAM_SHINGLE_JOIN = " || ' ' || ".join(
+    f"ts[i+{k}]" for k in range(CONTAM_N)
+)
+
+
+@register(
+    "dedup_contamination_flag",
+    f"""WITH t AS (
+  SELECT doc_id, list_filter(
+    string_split_regex(lower(text), '{TOKEN_SPLIT_REGEX}'), t -> t <> '') AS ts
+  FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id, {_CONTAM_SHINGLE_JOIN} AS shingle
+  FROM (SELECT doc_id, ts, generate_subscripts(ts, 1) AS i FROM t)
+  WHERE i <= len(ts) - {CONTAM_N - 1}
+), bench AS (
+  SELECT DISTINCT shingle FROM sh WHERE doc_id < {CONTAM_BENCH_DOCS}
+)
+SELECT a.doc_id, CAST(COUNT(*) AS BIGINT) AS n_hits,
+       CAST(COUNT(*) >= {CONTAM_MIN_HITS} AS BOOLEAN) AS contaminated
+FROM sh a JOIN bench b ON a.shingle = b.shingle
+WHERE a.doc_id >= {CONTAM_BENCH_DOCS}
+GROUP BY a.doc_id""",
+)
+def dedup_contamination_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/test **decontamination** — flag training docs that overlap
+    a held-out benchmark set (the standard n-gram membership check run
+    before every serious pretraining job; overlap leaks eval answers
+    into the training set). Benchmark shingles reduce to a distinct
+    one-column set — like the incremental-dedup corpus state, this is
+    the persisted artifact at 100 TB (benchmarks are tiny; the set
+    broadcasts). Training docs inverted-index-join it on shingle; a doc
+    is contaminated at ``CONTAM_MIN_HITS`` distinct shared
+    ``CONTAM_N``-grams. Emits only docs with ≥1 hit (the audit list),
+    counting each shared shingle once."""
+    docs = load_raw(spark, sf_dir, "documents")
+    sh = shingles(docs, CONTAM_N)
+    bench = (
+        sh.filter(F.col("doc_id") < CONTAM_BENCH_DOCS)
+        .select("shingle")
+        .distinct()
+    )
+    return (
+        sh.filter(F.col("doc_id") >= CONTAM_BENCH_DOCS)
+        .join(F.broadcast(bench), "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_hits"),
+            (F.count("*") >= CONTAM_MIN_HITS).alias("contaminated"),
+        )
+    )

@@ -41,7 +41,7 @@ from pyspark.sql import types as T
 
 from ..config import DEFAULT_SCENE
 from ..registry import register
-from ..sources.tables import NEWS_MOD
+from ..sources.tables import DATE0, DATE_MOD, NEWS_MOD
 
 #: events.parquet physical schema under nanosAsLong (ts is raw long).
 _EVENTS_SCHEMA = T.StructType(
@@ -377,3 +377,42 @@ def stream_topk_to_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     return spark.read.parquet(out)
+
+
+@register(
+    "stream_enrich_news_join",
+    # settled enrichment == batch clicks ⋈ news dim, counted per news date
+    f"""WITH clicks AS (
+  SELECT event_id % {NEWS_MOD} AS news_id
+  FROM events WHERE event_type = 'click'
+), news AS (
+  SELECT doc_id AS news_id,
+         DATE '{DATE0}' + CAST(doc_id % {DATE_MOD} AS INTEGER) AS date
+  FROM documents
+)
+SELECT n.date AS news_date, CAST(COUNT(*) AS BIGINT) AS clicks
+FROM clicks c JOIN news n ON c.news_id = n.news_id
+GROUP BY 1""",
+)
+def stream_enrich_news_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """**Stream–static enrichment join**: the click stream joins the
+    static news dimension (publication date) and aggregates clicks per
+    news date — the standard "enrich events with a dimension table"
+    topology. The dimension is a broadcast batch DataFrame: each
+    micro-batch hash-joins against it with NO stream-side state (unlike
+    stream-stream joins, nothing is buffered — the join is stateless
+    per batch; only the downstream count keeps state).
+
+    Scale: at 100 TB/day the stream side never shuffles for the join
+    (broadcast), and dimension refresh is a re-broadcast per batch —
+    the Spark-native equivalent of a Flink broadcast-state join.
+    Settled output is hash-compared against the batch equivalent."""
+    from ..sources import news
+
+    clicks = stream_clicks(spark, sf_dir)
+    dim = news(spark, sf_dir).select("news_id", F.col("date").alias("news_date"))
+    enriched = clicks.join(F.broadcast(dim), "news_id")
+    agg = enriched.groupBy("news_date").agg(
+        F.count("*").cast("long").alias("clicks")
+    )
+    return _run_to_memory(agg, "complete")
