@@ -210,3 +210,31 @@ def a11_pivot_daily_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pivoted.select(
         "date", *[F.coalesce(F.col(t), F.lit(0)).cast("long").alias(t) for t in EVENT_TYPES]
     )
+
+
+# ------------------------------------------------------------ cube
+
+_A12_ORACLE = """SELECT event_type, date,
+       CAST(GROUPING(event_type) * 2 + GROUPING(date) AS BIGINT) AS gid,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM (SELECT event_type, CAST(ts AS DATE) AS date FROM events)
+GROUP BY CUBE (event_type, date)"""
+
+
+@register("a12_cube_type_date", _A12_ORACLE)
+def a12_cube_type_date(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full ``CUBE(event_type, date)``: all four grouping sets — (type,
+    date), (type, ·), (·, date), (·, ·) — in one Expand + hash
+    aggregate (one scan, one shuffle; the rollup twin a10 emits three).
+    ``grouping_id`` disambiguates a genuine NULL key from a rolled-up
+    level — the standard OLAP-correctness subtlety; both engines number
+    the bit positions identically (leftmost column = high bit)."""
+    from ..sources.tables import ts_date
+
+    ev = load_raw(spark, sf_dir, "events").select(
+        "event_type", ts_date("ts").alias("date")
+    )
+    return ev.cube("event_type", "date").agg(
+        F.grouping_id().cast("long").alias("gid"),
+        F.count("*").cast("long").alias("n"),
+    )
