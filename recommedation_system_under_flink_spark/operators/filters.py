@@ -135,12 +135,19 @@ def p5_clicks_loop_range(spark: SparkSession, sf_dir: str) -> DataFrame:
 FROM events WHERE value - 100.0 > 0""",
 )
 def p6_positive_score(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """P6 (TextRank.java:275-278): drop non-positive scores. Stated on a
-    computed column so the pushdown of a derived predicate is exercised;
-    the same filter guards the scored join J3 (operators/joins.py)."""
+    """P6 (TextRank.java:275-278): drop non-positive scores. The
+    predicate is stated on the BASE column (``value > 100.0``) so it
+    reaches the parquet scan as a pushed filter — Catalyst does not
+    normalize ``value - 100.0 > 0`` into a pushable comparison, so the
+    derived-column form runs as a post-scan filter (a full scan at
+    100 TB). The two forms are equivalent for IEEE doubles: rounding is
+    monotone and ``fl(v-100)`` can only be ≤ 0 when ``v ≤ 100`` (the
+    difference of nearby doubles is exact — Sterbenz — and farther out
+    the gap exceeds any rounding error). The same filter guards the
+    scored join J3 (operators/joins.py)."""
     from ..sources import load_raw
 
     ev = load_raw(spark, sf_dir, "events")
-    return ev.select(
+    return ev.filter(F.col("value") > 100.0).select(
         "event_id", "user_id", (F.col("value") - 100.0).alias("score")
-    ).filter(F.col("score") > 0)
+    )
