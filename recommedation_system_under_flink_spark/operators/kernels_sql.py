@@ -27,7 +27,7 @@ from ..functions.kernels import (
     rank_weighted_distance_sql,
 )
 from ..registry import register
-from ..sources import CLICKS_CTE, NEWS_CTE, clicks, with_ctes
+from ..sources import CLICKS_CTE, NEWS_CTE, clicks, load_raw, with_ctes
 from .tfidf import _NEWS_KW_CTE, _NEWS_TERMS_CTE, _NEWS_TFIDF_CTE, a8_news_keywords_topk
 
 #: Pairwise kernel demos run over this news-id prefix (keeps the pair
@@ -486,4 +486,100 @@ def s8_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.groupBy("user_id").agg(
         F.sum("cnt").cast("long").alias("total_clicks"),
         F.max("n_news").cast("long").alias("n_distinct_news"),
+    )
+
+
+# ------------------------------------------------------ S9 (upsert merge)
+
+#: Upsert split: events at or after this fraction of the id space play
+#: the change batch; earlier ones the base table.
+S9_SPLIT_FRACTION = 0.9
+
+
+@register(
+    "s9_upsert_merge",
+    f"""WITH bounds AS (
+  SELECT CAST(floor((MAX(event_id) + 1) * {S9_SPLIT_FRACTION}) AS BIGINT) AS split
+  FROM events
+),
+base AS (
+  SELECT user_id, event_id % 1000 AS entity_id, value, epoch_us(ts) AS tsm
+  FROM events, bounds WHERE event_id < split
+),
+changes AS (
+  SELECT user_id, event_id % 1000 AS entity_id, value, epoch_us(ts) AS tsm
+  FROM events, bounds WHERE event_id >= split
+),
+latest_base AS (
+  SELECT entity_id, value, tsm FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY entity_id
+                                 ORDER BY tsm DESC, value DESC) AS rn
+    FROM base) WHERE rn = 1
+),
+latest_chg AS (
+  SELECT entity_id, value, tsm FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY entity_id
+                                 ORDER BY tsm DESC, value DESC) AS rn
+    FROM changes) WHERE rn = 1
+)
+SELECT COALESCE(c.entity_id, b.entity_id) AS entity_id,
+       COALESCE(c.value, b.value) AS value,
+       COALESCE(c.tsm, b.tsm) AS tsm,
+       CASE WHEN c.entity_id IS NULL THEN 'unchanged'
+            WHEN b.entity_id IS NULL THEN 'inserted'
+            ELSE 'updated' END AS action
+FROM latest_base b FULL OUTER JOIN latest_chg c ON b.entity_id = c.entity_id""",
+)
+def s9_upsert_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC-style **upsert merge** (``MERGE INTO`` semantics without a
+    table format): a change batch merges into a base table keyed by
+    entity; changes win, unmatched base rows carry over, and every
+    output row is tagged inserted/updated/unchanged. Both sides reduce
+    to latest-per-key first (deterministic ``row_number`` tiebreak —
+    the CDC "last writer wins" compaction), then ONE full-outer
+    equi-join on the key resolves the merge.
+
+    Scale: latest-per-key is WindowGroupLimit-pruned before its
+    shuffle; the merge join shuffles both compacted sides once on the
+    key. This is exactly the reconciliation step table formats (Delta/
+    Iceberg/Hudi) run inside ``MERGE`` — here materialized as a plain
+    DataFrame so the engine works against raw parquet."""
+    from pyspark.sql import Window
+
+    ev = load_raw(spark, sf_dir, "events")
+    max_id = ev.agg(F.max("event_id")).collect()[0][0]
+    if max_id is None:
+        return spark.createDataFrame(
+            [], "entity_id long, value double, tsm long, action string"
+        )
+    split = int((max_id + 1) * S9_SPLIT_FRACTION)
+    keyed = ev.select(
+        (F.col("event_id") % 1000).alias("entity_id"),
+        "event_id",
+        "value",
+        F.expr("ts DIV 1000").alias("tsm"),
+    )
+
+    def latest(df: DataFrame) -> DataFrame:
+        w = Window.partitionBy("entity_id").orderBy(
+            F.desc("tsm"), F.desc("value")
+        )
+        return (
+            df.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("entity_id", "value", "tsm")
+        )
+
+    base = latest(keyed.filter(F.col("event_id") < split))
+    chg = latest(keyed.filter(F.col("event_id") >= split))
+    b = base.alias("b")
+    c = chg.alias("c")
+    return b.join(c, F.col("b.entity_id") == F.col("c.entity_id"), "full_outer").select(
+        F.coalesce(F.col("c.entity_id"), F.col("b.entity_id")).alias("entity_id"),
+        F.coalesce(F.col("c.value"), F.col("b.value")).alias("value"),
+        F.coalesce(F.col("c.tsm"), F.col("b.tsm")).alias("tsm"),
+        F.when(F.col("c.entity_id").isNull(), F.lit("unchanged"))
+        .when(F.col("b.entity_id").isNull(), F.lit("inserted"))
+        .otherwise(F.lit("updated"))
+        .alias("action"),
     )
