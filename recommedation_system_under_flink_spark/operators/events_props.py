@@ -82,3 +82,102 @@ def ev_props_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("value").cast("double").alias("sum_value"),
         )
     )
+
+
+# ------------------------------------------------------- diagnostics
+
+#: Histogram bucket width over events.value.
+HIST_BUCKET_WIDTH = 25.0
+#: Heavy-hitter report size.
+SKEW_TOP_N = 10
+
+
+@register(
+    "ev_value_histogram",
+    f"""SELECT event_type, bucket,
+       CAST(bucket * {HIST_BUCKET_WIDTH} AS DOUBLE) AS bucket_lo,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       MIN(value) AS min_value,
+       MAX(value) AS max_value
+FROM (SELECT event_type, value,
+             CAST(floor(value / {HIST_BUCKET_WIDTH}) AS BIGINT) AS bucket
+      FROM events)
+GROUP BY 1, 2""",
+)
+def ev_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width value histogram per event type — the distribution
+    profile every pipeline runs before choosing filters/clips. One
+    scan + one map-side-combinable aggregation on (type, bucket);
+    bucket boundaries are exact (width is a power-of-two-free constant,
+    but floor(v/w) is the same correctly-rounded double both engines
+    compute). At 100 TB this is the cheap pre-pass that sizes the
+    quantile sketches (operators/sketches.py) and spots outliers."""
+    ev = load_raw(spark, sf_dir, "events")
+    bucket = F.floor(F.col("value") / HIST_BUCKET_WIDTH).cast("long")
+    return (
+        ev.groupBy("event_type", bucket.alias("bucket"))
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.min("value").alias("min_value"),
+            F.max("value").alias("max_value"),
+        )
+        .select(
+            "event_type",
+            "bucket",
+            (F.col("bucket").cast("double") * HIST_BUCKET_WIDTH).alias("bucket_lo"),
+            "n",
+            "min_value",
+            "max_value",
+        )
+    )
+
+
+@register(
+    "ev_key_skew_report",
+    f"""WITH per_key AS (
+  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n FROM events GROUP BY user_id
+), tot AS (
+  SELECT CAST(SUM(n) AS BIGINT) AS total,
+         CAST(AVG(n) AS DOUBLE) AS mean_n
+  FROM per_key
+)
+SELECT user_id, n,
+       CAST(n AS DOUBLE) / tot.total AS share,
+       CAST(n AS DOUBLE) / tot.mean_n AS skew_factor,
+       CAST(ROW_NUMBER() OVER (ORDER BY n DESC, user_id) AS BIGINT) AS rank
+FROM per_key, tot
+QUALIFY rank <= {SKEW_TOP_N}""",
+)
+def ev_key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy-hitter / skew report for the event log's natural join key:
+    the top-N users by row count with their share of the table and
+    skew factor (count ÷ mean count). This is the measurement that
+    decides between plain shuffle, AQE skew splitting, and explicit
+    salting (operators/joins.py J3-salted) — at 100 TB you run this
+    BEFORE picking a join strategy, on a sample or the full log (one
+    map-side-combinable count per key + a 1-row global reduce that
+    broadcasts back).
+
+    The global top-N window runs over the per-key aggregate (≤ distinct
+    keys rows, WindowGroupLimit-pruned per partition), never the raw
+    log."""
+    from pyspark.sql import Window
+
+    ev = load_raw(spark, sf_dir, "events")
+    per_key = ev.groupBy("user_id").agg(F.count("*").cast("long").alias("n"))
+    tot = per_key.agg(
+        F.sum("n").cast("long").alias("total"),
+        F.avg("n").cast("double").alias("mean_n"),
+    )
+    w = Window.orderBy(F.desc("n"), F.asc("user_id"))
+    return (
+        per_key.crossJoin(F.broadcast(tot))
+        .select(
+            "user_id",
+            "n",
+            (F.col("n").cast("double") / F.col("total")).alias("share"),
+            (F.col("n").cast("double") / F.col("mean_n")).alias("skew_factor"),
+        )
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= SKEW_TOP_N)
+    )

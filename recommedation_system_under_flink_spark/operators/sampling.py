@@ -107,3 +107,50 @@ def samp_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("pos") <= STRATUM_N)
     )
+
+
+# ------------------------------------------------- weighted (priority)
+
+#: Weighted sample size per language group.
+WEIGHTED_N = 10
+
+
+_WEIGHTED_ORACLE = f"""SELECT doc_id, lang, n_chars, priority, pos
+FROM (
+  SELECT doc_id, lang, n_chars,
+         CAST(n_chars AS DOUBLE)
+           / (((doc_id * {HASH_MULT}) % {HASH_MOD} + 0.5) / {HASH_MOD}) AS priority,
+         CAST(row_number() OVER (
+           PARTITION BY lang
+           ORDER BY CAST(n_chars AS DOUBLE)
+             / (((doc_id * {HASH_MULT}) % {HASH_MOD} + 0.5) / {HASH_MOD}) DESC,
+             doc_id
+         ) AS BIGINT) AS pos
+  FROM documents
+)
+WHERE pos <= {WEIGHTED_N}"""
+
+
+@register("samp_weighted_priority", _WEIGHTED_ORACLE)
+def samp_weighted_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """**Priority sampling** (Duffield–Lund–Thorup): a weighted
+    without-replacement sample — doc i gets priority ``w_i / u_i``
+    (weight = n_chars, u uniform in (0,1)); the N highest priorities
+    per language are the sample. Long docs are proportionally more
+    likely to be kept — the usual size-weighted curation draw.
+
+    Unlike ``pow``-keyed Efraimidis–Spirakis, the priority needs only
+    one division of one correctly-rounded uniform — IEEE-exact in every
+    engine — so with u from the pinned multiplicative hash the sample
+    is bit-reproducible and fully oracle-checked. Same WindowGroupLimit
+    shape as the stratified sampler: per-partition top-N pruning, never
+    a full-group materialization."""
+    docs = load_raw(spark, sf_dir, "documents")
+    u = (split_hash("doc_id") + F.lit(0.5)) / F.lit(float(HASH_MOD))
+    prio = F.col("n_chars").cast("double") / u
+    w = Window.partitionBy("lang").orderBy(F.desc("priority"), F.asc("doc_id"))
+    return (
+        docs.select("doc_id", "lang", "n_chars", prio.alias("priority"))
+        .withColumn("pos", F.row_number().over(w).cast("long"))
+        .filter(F.col("pos") <= WEIGHTED_N)
+    )
