@@ -238,3 +238,41 @@ def a12_cube_type_date(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.grouping_id().cast("long").alias("gid"),
         F.count("*").cast("long").alias("n"),
     )
+
+
+# ------------------------------------------------------------ retention
+
+@register(
+    "a13_retention_cohorts",
+    """WITH activity AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+), cohorts AS (
+  SELECT user_id, MIN(day) AS cohort FROM activity GROUP BY user_id
+)
+SELECT c.cohort,
+       CAST(a.day - c.cohort AS BIGINT) AS day_offset,
+       CAST(COUNT(*) AS BIGINT) AS active_users
+FROM activity a JOIN cohorts c ON a.user_id = c.user_id
+GROUP BY 1, 2""",
+)
+def a13_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retention cohort matrix: users are cohorted by first-activity
+    day; each cell counts how many of a cohort were active ``day_offset``
+    days later (offset 0 = cohort size). The standard growth-analytics
+    rollup the reference's per-day loop could never express in one job.
+
+    Plan: one distinct over (user, day), a per-user MIN (map-side
+    combinable), a user-keyed equi-join of the two (same shuffle key →
+    one exchange each), then the (cohort, offset) count. No window, no
+    per-day resubmission; at 100 TB the distinct is the dominant
+    shuffle and it is exactly the A1 clickers shuffle."""
+    from ..sources.tables import ts_date
+
+    ev = load_raw(spark, sf_dir, "events")
+    activity = ev.select("user_id", ts_date("ts").alias("day")).distinct()
+    cohorts = activity.groupBy("user_id").agg(F.min("day").alias("cohort"))
+    return (
+        activity.join(cohorts, "user_id")
+        .groupBy("cohort", F.datediff("day", "cohort").cast("long").alias("day_offset"))
+        .agg(F.count("*").cast("long").alias("active_users"))
+    )

@@ -250,3 +250,92 @@ def ef_range_join_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("error_tsm") - F.col("purchase_tsm")).alias("delay_us"),
         )
     )
+
+
+# ------------------------------------------------------------ funnel
+
+_FUNNEL_ORACLE = """WITH ev AS (
+  SELECT user_id, CAST(ts AS DATE) AS day, event_type, epoch_us(ts) AS tsm
+  FROM events
+), v AS (
+  SELECT user_id, day, MIN(tsm) AS t1 FROM ev
+  WHERE event_type = 'view' GROUP BY 1, 2
+), c AS (
+  SELECT e.user_id, e.day, MIN(e.tsm) AS t2
+  FROM ev e JOIN v ON e.user_id = v.user_id AND e.day = v.day
+  WHERE e.event_type = 'click' AND e.tsm > v.t1
+  GROUP BY 1, 2
+), p AS (
+  SELECT e.user_id, e.day, MIN(e.tsm) AS t3
+  FROM ev e JOIN c ON e.user_id = c.user_id AND e.day = c.day
+  WHERE e.event_type = 'purchase' AND e.tsm > c.t2
+  GROUP BY 1, 2
+)
+SELECT v.day,
+       CAST(CASE WHEN p.t3 IS NOT NULL THEN 3
+                 WHEN c.t2 IS NOT NULL THEN 2
+                 ELSE 1 END AS INTEGER) AS depth,
+       CAST(COUNT(*) AS BIGINT) AS n_users
+FROM v
+LEFT JOIN c ON v.user_id = c.user_id AND v.day = c.day
+LEFT JOIN p ON v.user_id = p.user_id AND v.day = p.day
+GROUP BY 1, 2"""
+
+
+@register("ef_funnel_view_click_purchase", _FUNNEL_ORACLE)
+def ef_funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered **conversion funnel**: per (user, day), did a view
+    happen, then a click strictly after it, then a purchase strictly
+    after that — first-occurrence semantics (the standard product
+    funnel; out-of-order events don't count). Emits (day, depth,
+    n_users) — the per-day funnel histogram.
+
+    Plan: each stage is a per-(user, day) MIN filtered against the
+    previous stage's anchor — three aggregations and three equi-joins,
+    ALL keyed (user_id, day), so the whole funnel reuses one hash
+    partitioning (no re-shuffle between stages). At 100 TB funnel depth
+    extends by adding stages, not passes: each stage touches only
+    survivors of the previous one."""
+    from ..sources.tables import ts_date
+
+    ev = load_raw(spark, sf_dir, "events").select(
+        "user_id",
+        ts_date("ts").alias("day"),
+        "event_type",
+        F.expr("ts DIV 1000").alias("tsm"),
+    )
+    key = ["user_id", "day"]
+
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy(*key)
+        .agg(F.min("tsm").alias("t1"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, key)
+        .filter(F.col("tsm") > F.col("t1"))
+        .groupBy(*key)
+        .agg(F.min("tsm").alias("t2"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, key)
+        .filter(F.col("tsm") > F.col("t2"))
+        .groupBy(*key)
+        .agg(F.min("tsm").alias("t3"))
+    )
+    return (
+        v.join(c, key, "left")
+        .join(p, key, "left")
+        .select(
+            "day",
+            F.when(F.col("t3").isNotNull(), 3)
+            .when(F.col("t2").isNotNull(), 2)
+            .otherwise(1)
+            .cast("int")
+            .alias("depth"),
+        )
+        .groupBy("day", "depth")
+        .agg(F.count("*").cast("long").alias("n_users"))
+    )
