@@ -590,3 +590,61 @@ def dedup_contamination_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.count("*") >= CONTAM_MIN_HITS).alias("contaminated"),
         )
     )
+
+
+# ---------------------------------------------------- fuzzy title join
+
+#: Levenshtein threshold for the blocked fuzzy title match.
+FUZZY_MAX_DIST = 6
+
+
+@register(
+    "dedup_fuzzy_title_join",
+    f"""WITH news AS (
+  SELECT doc_id AS news_id,
+         array_to_string(string_split(text, ' ')[1:4], ' ') AS title
+  FROM documents
+)
+SELECT a.news_id AS news_a, b.news_id AS news_b,
+       a.title AS title_a, b.title AS title_b,
+       CAST(levenshtein(a.title, b.title) AS INTEGER) AS distance
+FROM news a JOIN news b
+  ON string_split(a.title, ' ')[1] = string_split(b.title, ' ')[1]
+ AND a.news_id < b.news_id
+WHERE levenshtein(a.title, b.title) <= {FUZZY_MAX_DIST}""",
+)
+def dedup_fuzzy_title_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """**Blocked fuzzy-match join**: news titles within Levenshtein
+    distance ``FUZZY_MAX_DIST``, candidates restricted to pairs sharing
+    the FIRST TOKEN — the classic blocking key that turns an O(n²)
+    edit-distance join into per-block pair spaces (same discipline as
+    every other candidate generator in this module: never all-pairs).
+    Levenshtein is exact integer output in both engines, so the whole
+    chain hash-matches. At 100 TB the block key graduates to a cheaper
+    surrogate (length band × first-token hash) and blocks cap their
+    pair budget; the edit distance only ever runs inside blocks."""
+    from ..sources import news
+
+    n = news(spark, sf_dir).select(
+        "news_id",
+        "title",
+        F.element_at(F.split(F.col("title"), " "), 1).alias("blk"),
+    )
+    a = n.alias("a")
+    b = n.alias("b")
+    dist = F.levenshtein(F.col("a.title"), F.col("b.title"))
+    return (
+        a.join(
+            b,
+            (F.col("a.blk") == F.col("b.blk"))
+            & (F.col("a.news_id") < F.col("b.news_id")),
+        )
+        .filter(dist <= FUZZY_MAX_DIST)
+        .select(
+            F.col("a.news_id").alias("news_a"),
+            F.col("b.news_id").alias("news_b"),
+            F.col("a.title").alias("title_a"),
+            F.col("b.title").alias("title_b"),
+            dist.cast("int").alias("distance"),
+        )
+    )

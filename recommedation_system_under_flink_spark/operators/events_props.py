@@ -181,3 +181,62 @@ def ev_key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= SKEW_TOP_N)
     )
+
+
+# ------------------------------------------------------- gap filling
+
+@register(
+    "ev_daily_spine_fill",
+    """WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2
+), bounds AS (
+  SELECT MIN(day) AS lo, MAX(day) AS hi FROM daily
+), spine AS (
+  SELECT DISTINCT d.event_type, CAST(g.day AS DATE) AS day
+  FROM (SELECT DISTINCT event_type FROM daily) d,
+       (SELECT unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS day
+        FROM bounds) g
+)
+SELECT s.event_type, s.day,
+       CAST(COALESCE(dd.n, 0) AS BIGINT) AS n,
+       CAST(dd.n IS NULL AS BOOLEAN) AS filled
+FROM spine s LEFT JOIN daily dd
+  ON s.event_type = dd.event_type AND s.day = dd.day""",
+)
+def ev_daily_spine_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series **gap filling**: daily counts per event type on a
+    complete date spine — missing (type, day) cells become explicit
+    zero rows flagged ``filled`` (downstream ML/forecasting needs dense
+    series; silent gaps read as missing data, not as zero activity).
+
+    The spine is ``sequence(min_day, max_day)`` exploded once and
+    cross-joined with the tiny type dimension — generated data, not a
+    scan. The left join back to the aggregated counts is keyed (type,
+    day): spine size is days × types regardless of event volume, so at
+    100 TB the dense side of the join is still trivially small — gap
+    filling is always cheap AFTER aggregation, never before it."""
+    from ..sources.tables import ts_date
+
+    ev = load_raw(spark, sf_dir, "events")
+    daily = (
+        ev.select("event_type", ts_date("ts").alias("day"))
+        .groupBy("event_type", "day")
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+    bounds = daily.agg(F.min("day").alias("lo"), F.max("day").alias("hi"))
+    spine = (
+        daily.select("event_type")
+        .distinct()
+        .crossJoin(F.broadcast(bounds))
+        .select(
+            "event_type",
+            F.explode(F.sequence("lo", "hi")).alias("day"),
+        )
+    )
+    return spine.join(daily, ["event_type", "day"], "left").select(
+        "event_type",
+        "day",
+        F.coalesce("n", F.lit(0)).cast("long").alias("n"),
+        F.col("n").isNull().alias("filled"),
+    )

@@ -27,7 +27,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..registry import register
-from ..sources import clicks
+from ..sources import clicks, load_raw
 
 #: approx_count_distinct standard error; 0.01 ⇒ ~1% rsd, ~6 KB state.
 HLL_RSD = 0.01
@@ -64,4 +64,31 @@ def sk_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "value", [0.5, 0.95, 0.99], PCT_ACCURACY
             ).alias("quantiles")
         )
+    )
+
+
+# ------------------------------------------------- exact percentiles
+
+@register(
+    "sk_value_percentiles_exact",
+    """SELECT event_type,
+       quantile_cont(value, 0.5) AS p50,
+       quantile_cont(value, 0.95) AS p95,
+       quantile_cont(value, 0.99) AS p99
+FROM events GROUP BY event_type""",
+)
+def sk_value_percentiles_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT interpolated percentiles per event type — the ground-truth
+    twin of the ``percentile_approx`` sketch entry (same groups, same
+    probe points). Both engines implement the standard linear
+    interpolation (type-7), so the values hash-match exactly. Exact
+    percentiles need the full sorted group (a distributed sort per
+    group) — affordable per (type) here, and the reason the sketch
+    variant exists for 100 TB: this pair IS the accuracy/cost trade,
+    measurable query-to-query."""
+    ev = load_raw(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5)").alias("p50"),
+        F.expr("percentile(value, 0.95)").alias("p95"),
+        F.expr("percentile(value, 0.99)").alias("p99"),
     )
