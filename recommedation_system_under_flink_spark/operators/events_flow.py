@@ -339,3 +339,63 @@ def ef_funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame
         .groupBy("day", "depth")
         .agg(F.count("*").cast("long").alias("n_users"))
     )
+
+
+# ------------------------------------------------- native session window
+
+_SESSIONS_NATIVE_ORACLE = f"""WITH e AS (
+  SELECT user_id, event_id, epoch_us(ts) AS tsm FROM events
+), flagged AS (
+  SELECT user_id, event_id, tsm,
+         CASE WHEN lag(tsm) OVER w IS NULL
+                OR tsm - lag(tsm) OVER w > {SESSION_GAP_US}
+              THEN 1 ELSE 0 END AS is_start
+  FROM e
+  WINDOW w AS (PARTITION BY user_id ORDER BY tsm, event_id)
+), sess AS (
+  SELECT user_id, tsm,
+         SUM(is_start) OVER (PARTITION BY user_id ORDER BY tsm, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+  FROM flagged
+)
+SELECT user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       MIN(tsm) AS session_start,
+       MAX(tsm) AS session_end
+FROM sess
+GROUP BY user_id, session_seq"""
+
+
+@register("ef_sessionize_native", _SESSIONS_NATIVE_ORACLE)
+def ef_sessionize_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap sessionization via Spark's NATIVE ``session_window`` — the
+    built-in operator the manual lag-chain (:func:`ef_sessionize`)
+    reimplements relationally. Both are registered so the two
+    constructions cross-validate through the same oracle family.
+
+    Boundary pinning: ``session_window`` merges an event into the
+    current session when ``next < prev + gap`` (strict), the lag form
+    when ``next - prev ≤ gap`` — so the native gap is ``GAP + 1 µs``
+    to make the two bit-identical (an event exactly GAP after its
+    predecessor belongs to the same session in both).
+
+    Plan: one shuffle on user_id + one sort — same shape as the manual
+    form; in Structured Streaming the identical expression runs
+    incrementally with watermark-bounded state (SCALE.md §9)."""
+    ev = load_raw(spark, sf_dir, "events").select(
+        "user_id",
+        F.expr("ts DIV 1000").alias("tsm"),
+        F.timestamp_micros(F.expr("ts DIV 1000")).alias("event_time"),
+    )
+    return (
+        ev.groupBy(
+            "user_id",
+            F.session_window("event_time", f"{SESSION_GAP_US + 1} microseconds"),
+        )
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.min("tsm").alias("session_start"),
+            F.max("tsm").alias("session_end"),
+        )
+        .select("user_id", "n_events", "session_start", "session_end")
+    )

@@ -240,3 +240,61 @@ def ev_daily_spine_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("n", F.lit(0)).cast("long").alias("n"),
         F.col("n").isNull().alias("filled"),
     )
+
+
+# ------------------------------------------------------- anomaly flags
+
+#: Z-score threshold for daily-volume anomaly flagging.
+ANOMALY_Z = 2.0
+
+
+@register(
+    "ev_daily_anomaly",
+    f"""WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2
+), stats AS (
+  SELECT event_type, AVG(n) AS mean_n, stddev_samp(n) AS sd_n
+  FROM daily GROUP BY event_type
+)
+SELECT d.event_type, d.day, d.n,
+       ROUND((d.n - s.mean_n) / s.sd_n, 6) AS z,
+       CAST(abs((d.n - s.mean_n) / s.sd_n) > {ANOMALY_Z} AS BOOLEAN) AS anomaly
+FROM daily d JOIN stats s ON d.event_type = s.event_type
+WHERE s.sd_n > 0""",
+)
+def ev_daily_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily-volume **anomaly detection**: z-score of each day's event
+    count against its type's mean/stddev; |z| > threshold flags the
+    day. The monitoring query every ingest pipeline runs to catch
+    upstream outages (volume collapse) and duplicates storms (volume
+    spikes) before they poison training data.
+
+    Two passes over the tiny per-(type, day) aggregate: stats per type
+    (a broadcastable handful of rows) join back to the daily series.
+    The z-score is quantized to 6 decimals for the cross-engine hash
+    (stddev accumulates in data-dependent order). Constant series
+    (sd = 0) are excluded — no z-score is defined there."""
+    from ..sources.tables import ts_date
+
+    ev = load_raw(spark, sf_dir, "events")
+    daily = (
+        ev.select("event_type", ts_date("ts").alias("day"))
+        .groupBy("event_type", "day")
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+    stats = daily.groupBy("event_type").agg(
+        F.avg("n").alias("mean_n"), F.stddev_samp("n").alias("sd_n")
+    )
+    z = (F.col("n") - F.col("mean_n")) / F.col("sd_n")
+    return (
+        daily.join(F.broadcast(stats), "event_type")
+        .filter(F.col("sd_n") > 0)
+        .select(
+            "event_type",
+            "day",
+            "n",
+            F.round(z, 6).alias("z"),
+            (F.abs(z) > ANOMALY_Z).alias("anomaly"),
+        )
+    )
