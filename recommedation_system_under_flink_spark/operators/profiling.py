@@ -1,0 +1,131 @@
+"""Data-quality profiling and constraint validation (Deequ-style).
+
+Before a 100 TB corpus feeds training, the pipeline asserts what it
+BELIEVES about the data — null rates, key uniqueness, dimensional
+invariants — and profiles what it doesn't know yet. Both shapes here:
+
+- **column profile** — per-column row/null/distinct counts over the
+  documents table: the "describe" every ingest job logs. One aggregate
+  pass computes every column's stats (a single scan — profiling must
+  never be one job per column at scale); the per-column rows are
+  unpivoted from that single row afterwards.
+- **constraint checks** — declarative expectations evaluated in one
+  pass: key non-null, key unique, a cross-column consistency rule
+  (``n_chars = length(text)``), and an embedding-dimension invariant.
+  Each emits (check, violations, passed) — the job fails the batch on
+  any ``passed = false`` row downstream.
+
+Both are plain aggregates: map-side combinable, one shuffle of a
+handful of partial rows, engine-portable → fully oracle-checked.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ..sources import load_raw
+
+#: Expected embedding dimensionality (fixture schema contract).
+EMB_DIM_EXPECTED = 64
+
+_PROFILE_COLS = ("doc_id", "text", "lang", "source", "n_chars")
+
+
+@register(
+    "prof_documents_columns",
+    "\nUNION ALL\n".join(
+        f"""SELECT '{c}' AS column_name,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(COUNT(*) - COUNT({c}) AS BIGINT) AS n_null,
+       CAST(COUNT(DISTINCT {c}) AS BIGINT) AS n_distinct
+FROM documents"""
+        for c in _PROFILE_COLS
+    ),
+)
+def prof_documents_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column profile of the documents table: rows / nulls / distincts
+    per column, ONE scan for all columns (each column's counts are
+    parallel aggregate expressions, not separate jobs), unpivoted to
+    one row per column via ``stack`` afterwards."""
+    docs = load_raw(spark, sf_dir, "documents")
+    aggs = []
+    for c in _PROFILE_COLS:
+        aggs += [
+            F.count("*").cast("long").alias(f"{c}__rows"),
+            (F.count("*") - F.count(c)).cast("long").alias(f"{c}__null"),
+            F.countDistinct(c).cast("long").alias(f"{c}__distinct"),
+        ]
+    one = docs.agg(*aggs)
+    stack = ", ".join(
+        f"'{c}', {c}__rows, {c}__null, {c}__distinct" for c in _PROFILE_COLS
+    )
+    return one.select(
+        F.expr(
+            f"stack({len(_PROFILE_COLS)}, {stack}) "
+            "AS (column_name, n_rows, n_null, n_distinct)"
+        )
+    )
+
+
+@register(
+    "prof_constraint_checks",
+    f"""WITH d AS (
+  SELECT doc_id, text, n_chars FROM documents
+), e AS (
+  SELECT vec_id, len(embedding) AS dim FROM embeddings
+)
+SELECT 'doc_id_not_null' AS check_name,
+       CAST(COUNT(*) FILTER (WHERE doc_id IS NULL) AS BIGINT) AS violations,
+       CAST(COUNT(*) FILTER (WHERE doc_id IS NULL) = 0 AS BOOLEAN) AS passed
+FROM d
+UNION ALL
+SELECT 'doc_id_unique',
+       CAST(COUNT(*) - COUNT(DISTINCT doc_id) AS BIGINT),
+       CAST(COUNT(*) = COUNT(DISTINCT doc_id) AS BOOLEAN)
+FROM d
+UNION ALL
+SELECT 'n_chars_matches_text',
+       CAST(COUNT(*) FILTER (WHERE n_chars <> length(text)) AS BIGINT),
+       CAST(COUNT(*) FILTER (WHERE n_chars <> length(text)) = 0 AS BOOLEAN)
+FROM d
+UNION ALL
+SELECT 'embedding_dim_{EMB_DIM_EXPECTED}',
+       CAST(COUNT(*) FILTER (WHERE dim <> {EMB_DIM_EXPECTED}) AS BIGINT),
+       CAST(COUNT(*) FILTER (WHERE dim <> {EMB_DIM_EXPECTED}) = 0 AS BOOLEAN)
+FROM e""",
+)
+def prof_constraint_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Constraint validation: four declarative expectations, each one
+    conditional-aggregate expression — per table ONE scan evaluates
+    every check on it (documents' three share a pass; the embedding
+    dimension check scans embeddings). Emits (check_name, violations,
+    passed); a production pipeline gates the batch on ``min(passed)``."""
+    docs = load_raw(spark, sf_dir, "documents")
+    emb = load_raw(spark, sf_dir, "embeddings")
+
+    null_v = F.count(F.when(F.col("doc_id").isNull(), 1)).cast("long")
+    dup_v = (F.count("*") - F.countDistinct("doc_id")).cast("long")
+    chars_v = F.count(
+        F.when(F.col("n_chars") != F.length("text"), 1)
+    ).cast("long")
+    d = docs.agg(
+        null_v.alias("null_v"), dup_v.alias("dup_v"), chars_v.alias("chars_v")
+    )
+    doc_checks = d.select(
+        F.expr(
+            "stack(3, 'doc_id_not_null', null_v, 'doc_id_unique', dup_v, "
+            "'n_chars_matches_text', chars_v) AS (check_name, violations)"
+        )
+    )
+    dim_v = F.count(
+        F.when(F.size("embedding") != EMB_DIM_EXPECTED, 1)
+    ).cast("long")
+    emb_checks = emb.agg(dim_v.alias("violations")).select(
+        F.lit(f"embedding_dim_{EMB_DIM_EXPECTED}").alias("check_name"),
+        "violations",
+    )
+    return doc_checks.unionByName(emb_checks).select(
+        "check_name", "violations", (F.col("violations") == 0).alias("passed")
+    )

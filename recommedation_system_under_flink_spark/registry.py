@@ -67,6 +67,7 @@ _QUERY_MODULES = (
     "operators.dedup",
     "operators.events_flow",
     "operators.graph",
+    "operators.profiling",
     "operators.events_props",
     "operators.sampling",
     "operators.sketches",
