@@ -31,7 +31,7 @@ from pyspark.sql import functions as F
 
 from ..config import DEFAULT_SCENE, TODAY
 from ..registry import register
-from ..sources import CLICKS_CTE, clicks, load_raw, with_ctes
+from ..sources import CLICKS_CTE, clicks, events_raw, with_ctes
 
 NUM_DAYS = DEFAULT_SCENE.num_days
 _WINDOW_START = TODAY - dt.timedelta(days=NUM_DAYS - 1)
@@ -168,7 +168,7 @@ def a10_rollup_type_date(spark: SparkSession, sf_dir: str) -> DataFrame:
     rolled-up levels in both engines identically."""
     from ..sources.tables import ts_date
 
-    ev = load_raw(spark, sf_dir, "events").select(
+    ev = events_raw(spark, sf_dir).select(
         "event_type", ts_date("ts").alias("date")
     )
     return ev.rollup("event_type", "date").agg(
@@ -198,7 +198,7 @@ def a11_pivot_daily_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     equivalent conditional aggregation."""
     from ..sources.tables import ts_date
 
-    ev = load_raw(spark, sf_dir, "events").select(
+    ev = events_raw(spark, sf_dir).select(
         ts_date("ts").alias("date"), "event_type"
     )
     pivoted = (
@@ -231,7 +231,7 @@ def a12_cube_type_date(spark: SparkSession, sf_dir: str) -> DataFrame:
     the bit positions identically (leftmost column = high bit)."""
     from ..sources.tables import ts_date
 
-    ev = load_raw(spark, sf_dir, "events").select(
+    ev = events_raw(spark, sf_dir).select(
         "event_type", ts_date("ts").alias("date")
     )
     return ev.cube("event_type", "date").agg(
@@ -268,7 +268,7 @@ def a13_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle and it is exactly the A1 clickers shuffle."""
     from ..sources.tables import ts_date
 
-    ev = load_raw(spark, sf_dir, "events")
+    ev = events_raw(spark, sf_dir)
     activity = ev.select("user_id", ts_date("ts").alias("day")).distinct()
     cohorts = activity.groupBy("user_id").agg(F.min("day").alias("cohort"))
     return (

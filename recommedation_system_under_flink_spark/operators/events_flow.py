@@ -38,7 +38,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..registry import register
-from ..sources import load_raw
+from ..sources import events_raw
 
 #: Session gap threshold: 30 minutes, in microseconds.
 SESSION_GAP_US = 30 * 60 * 1_000_000
@@ -98,7 +98,7 @@ def ef_asof_purchase_click(spark: SparkSession, sf_dir: str) -> DataFrame:
     See :func:`asof_last_prior` for the plan shape; scale: no candidate
     pairs materialized, a skewed user is one sort partition (AQE),
     event_id breaks residual order ties deterministically."""
-    ev = load_raw(spark, sf_dir, "events")
+    ev = events_raw(spark, sf_dir)
     tagged = (
         ev.filter(F.col("event_type").isin("click", "purchase"))
         .select(
@@ -174,7 +174,7 @@ def ef_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     partitioning. total_value is rounded to 6 decimals on both sides — float
     partial-agg ordering differs between engines (see memory note on
     quantized floats)."""
-    ev = load_raw(spark, sf_dir, "events").select(
+    ev = events_raw(spark, sf_dir).select(
         "user_id", "event_id", F.expr("ts DIV 1000").alias("tsm"), "value"
     )
     return sessionize_events(ev)
@@ -216,7 +216,7 @@ def ef_range_join_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
     the plan is a plain shuffled equi-join — the pytest asserts no
     nested-loop/cartesian operator survives
     (tests/test_events_flow.py)."""
-    ev = load_raw(spark, sf_dir, "events")
+    ev = events_raw(spark, sf_dir)
     purchases = (
         ev.filter(F.col("event_type") == "purchase")
         .select(F.col("event_id").alias("purchase_id"), F.expr("ts DIV 1000").alias("purchase_tsm"))
@@ -298,7 +298,7 @@ def ef_funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame
     survivors of the previous one."""
     from ..sources.tables import ts_date
 
-    ev = load_raw(spark, sf_dir, "events").select(
+    ev = events_raw(spark, sf_dir).select(
         "user_id",
         ts_date("ts").alias("day"),
         "event_type",
@@ -382,7 +382,7 @@ def ef_sessionize_native(spark: SparkSession, sf_dir: str) -> DataFrame:
     Plan: one shuffle on user_id + one sort — same shape as the manual
     form; in Structured Streaming the identical expression runs
     incrementally with watermark-bounded state (SCALE.md §9)."""
-    ev = load_raw(spark, sf_dir, "events").select(
+    ev = events_raw(spark, sf_dir).select(
         "user_id",
         F.expr("ts DIV 1000").alias("tsm"),
         F.timestamp_micros(F.expr("ts DIV 1000")).alias("event_time"),

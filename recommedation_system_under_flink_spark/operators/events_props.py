@@ -27,7 +27,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..registry import register
-from ..sources import load_raw
+from ..sources import events_raw
 
 #: Explicit payload schema — the single source of truth for the parse.
 PROPS_SCHEMA = "k INT"
@@ -45,7 +45,7 @@ def ev_props_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``from_json(props, 'k INT')`` is a single codegen expression per
     row; malformed JSON yields NULL (PERMISSIVE mode), matching the
     oracle's NULL on failed extraction."""
-    ev = load_raw(spark, sf_dir, "events")
+    ev = events_raw(spark, sf_dir)
     return ev.select(
         "event_id",
         "event_type",
@@ -71,7 +71,7 @@ def ev_props_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``k % 10``) bucket with the summed ``value``. Parse → bucket →
     map-side-combinable hash aggregate; the only shuffle moves
     |event_type|·10 partial rows per task."""
-    ev = load_raw(spark, sf_dir, "events")
+    ev = events_raw(spark, sf_dir)
     k = F.from_json("props", PROPS_SCHEMA).getField("k").cast("long")
     return (
         ev.select("event_type", k.alias("k"), "value")
@@ -112,7 +112,7 @@ def ev_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     but floor(v/w) is the same correctly-rounded double both engines
     compute). At 100 TB this is the cheap pre-pass that sizes the
     quantile sketches (operators/sketches.py) and spots outliers."""
-    ev = load_raw(spark, sf_dir, "events")
+    ev = events_raw(spark, sf_dir)
     bucket = F.floor(F.col("value") / HIST_BUCKET_WIDTH).cast("long")
     return (
         ev.groupBy("event_type", bucket.alias("bucket"))
@@ -163,7 +163,7 @@ def ev_key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     log."""
     from pyspark.sql import Window
 
-    ev = load_raw(spark, sf_dir, "events")
+    ev = events_raw(spark, sf_dir)
     per_key = ev.groupBy("user_id").agg(F.count("*").cast("long").alias("n"))
     tot = per_key.agg(
         F.sum("n").cast("long").alias("total"),
@@ -218,7 +218,7 @@ def ev_daily_spine_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     filling is always cheap AFTER aggregation, never before it."""
     from ..sources.tables import ts_date
 
-    ev = load_raw(spark, sf_dir, "events")
+    ev = events_raw(spark, sf_dir)
     daily = (
         ev.select("event_type", ts_date("ts").alias("day"))
         .groupBy("event_type", "day")
@@ -277,7 +277,7 @@ def ev_daily_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     (sd = 0) are excluded — no z-score is defined there."""
     from ..sources.tables import ts_date
 
-    ev = load_raw(spark, sf_dir, "events")
+    ev = events_raw(spark, sf_dir)
     daily = (
         ev.select("event_type", ts_date("ts").alias("day"))
         .groupBy("event_type", "day")

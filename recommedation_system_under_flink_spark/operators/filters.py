@@ -145,9 +145,9 @@ def p6_positive_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     difference of nearby doubles is exact — Sterbenz — and farther out
     the gap exceeds any rounding error). The same filter guards the
     scored join J3 (operators/joins.py)."""
-    from ..sources import load_raw
+    from ..sources import events_raw
 
-    ev = load_raw(spark, sf_dir, "events")
+    ev = events_raw(spark, sf_dir)
     return ev.filter(F.col("value") > 100.0).select(
         "event_id", "user_id", (F.col("value") - 100.0).alias("score")
     )

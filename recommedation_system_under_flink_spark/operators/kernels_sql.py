@@ -27,7 +27,7 @@ from ..functions.kernels import (
     rank_weighted_distance_sql,
 )
 from ..registry import register
-from ..sources import CLICKS_CTE, NEWS_CTE, clicks, load_raw, with_ctes
+from ..sources import CLICKS_CTE, NEWS_CTE, clicks, events_raw, load_raw, with_ctes
 from .tfidf import _NEWS_KW_CTE, _NEWS_TERMS_CTE, _NEWS_TFIDF_CTE, a8_news_keywords_topk
 
 #: Pairwise kernel demos run over this news-id prefix (keeps the pair
@@ -546,7 +546,7 @@ def s9_upsert_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     DataFrame so the engine works against raw parquet."""
     from pyspark.sql import Window
 
-    ev = load_raw(spark, sf_dir, "events")
+    ev = events_raw(spark, sf_dir)
     max_id = ev.agg(F.max("event_id")).collect()[0][0]
     if max_id is None:
         return spark.createDataFrame(

@@ -27,7 +27,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..registry import register
-from ..sources import clicks, load_raw
+from ..sources import clicks, events_raw
 
 #: approx_count_distinct standard error; 0.01 ⇒ ~1% rsd, ~6 KB state.
 HLL_RSD = 0.01
@@ -54,10 +54,10 @@ def sk_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-event-type value quantiles (p50/p95/p99) via the mergeable
     quantile sketch. The 100 TB shape for "latency percentiles per
     service" style queries: no global sort, one sketch per group."""
-    from ..sources import load_raw
+    from ..sources import events_raw
 
     return (
-        load_raw(spark, sf_dir, "events")
+        events_raw(spark, sf_dir)
         .groupBy("event_type")
         .agg(
             F.percentile_approx(
@@ -86,7 +86,7 @@ def sk_value_percentiles_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     group) — affordable per (type) here, and the reason the sketch
     variant exists for 100 TB: this pair IS the accuracy/cost trade,
     measurable query-to-query."""
-    ev = load_raw(spark, sf_dir, "events")
+    ev = events_raw(spark, sf_dir)
     return ev.groupBy("event_type").agg(
         F.expr("percentile(value, 0.5)").alias("p50"),
         F.expr("percentile(value, 0.95)").alias("p95"),

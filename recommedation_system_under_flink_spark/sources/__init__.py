@@ -17,6 +17,7 @@ from .tables import (
     TWEETS_CTE,
     clicks,
     date_to_nanos,
+    events_raw,
     load_raw,
     news,
     ts_date,
@@ -32,6 +33,7 @@ __all__ = [
     "news",
     "tweets",
     "load_raw",
+    "events_raw",
     "date_to_nanos",
     "ts_date",
     "ts_in_date_range",

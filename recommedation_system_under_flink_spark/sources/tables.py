@@ -43,9 +43,59 @@ def load_raw(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 # ---------------------------------------------------------------- clicks
 
 def date_to_nanos(day: dt.date) -> int:
-    """Midnight UTC of ``day`` as epoch nanoseconds (the raw ``ts``
-    representation under ``spark.sql.legacy.parquet.nanosAsLong``)."""
+    """Midnight UTC of ``day`` as epoch nanoseconds (the canonical ``ts``
+    representation produced by :func:`events_raw`)."""
     return (day - _EPOCH).days * 86_400_000_000_000
+
+
+def _ts_literal(ts_type: str, day: dt.date) -> Column:
+    """Midnight UTC of ``day`` as a literal of the *stored* ``ts`` type,
+    so range predicates compare same-type values and reach the parquet
+    scan as ``PushedFilters`` (a casted column never pushes down)."""
+    if ts_type == "bigint":
+        return F.lit(date_to_nanos(day))
+    stamp = f"{day.isoformat()} 00:00:00"
+    if ts_type == "timestamp_ntz":
+        return F.expr(f"TIMESTAMP_NTZ '{stamp}'")
+    return F.expr(f"TIMESTAMP '{stamp}'")  # session tz pinned UTC
+
+
+def events_raw(
+    spark: SparkSession,
+    sf_dir: str,
+    date_from: dt.date | None = None,
+    date_to: dt.date | None = None,
+) -> DataFrame:
+    """``events`` with ``ts`` canonicalized to epoch-long **nanoseconds**.
+
+    The fixture encodes ``ts`` as either parquet TIMESTAMP(NANOS) (read
+    as a raw long under ``spark.sql.legacy.parquet.nanosAsLong``) or
+    TIMESTAMP(MICROS) (read as a timestamp; session tz pinned UTC). This
+    loader adapts to both and presents one canonical shape downstream:
+    ``ts`` = epoch nanos as BIGINT — exact in both directions (micros
+    ×1000 is lossless).
+
+    Scale-critical detail: the optional day-window predicate is applied
+    to the **stored** column with same-type literals *before* the
+    canonicalizing projection, so it pushes into the parquet scan
+    (row-group pruning). A predicate on the derived long column would
+    be evaluated post-read — a full scan of ``events`` at 100 TB.
+    """
+    ev = load_raw(spark, sf_dir, "events")
+    ts_type = dict(ev.dtypes)["ts"]
+    cond = None
+    if date_from is not None:
+        cond = F.col("ts") >= _ts_literal(ts_type, date_from)
+    if date_to is not None:
+        upper = F.col("ts") < _ts_literal(ts_type, date_to + dt.timedelta(days=1))
+        cond = upper if cond is None else cond & upper
+    if cond is not None:
+        ev = ev.filter(cond)
+    if ts_type == "bigint":
+        return ev
+    return ev.withColumn(
+        "ts", F.unix_micros(F.col("ts").cast("timestamp")) * F.lit(1000)
+    )
 
 
 def _div_us(c: Column | str) -> Column:
@@ -61,25 +111,23 @@ def _div_us(c: Column | str) -> Column:
 
 
 def ts_date(c: Column | str = "ts") -> Column:
-    """Derive a day-granularity date from the long-nanos ``ts`` column.
-
-    ``events.parquet`` stores TIMESTAMP(NANOS); the session reads it as a
-    raw long (session.py), so the calendar date is recovered via
-    micros → timestamp → date (session timezone pinned UTC, so this
-    matches DuckDB's native ``CAST(ts AS DATE)``)."""
+    """Derive a day-granularity date from the canonical long-nanos
+    ``ts`` column (see :func:`events_raw`): micros → timestamp → date
+    (session timezone pinned UTC, so this matches DuckDB's native
+    ``CAST(ts AS DATE)``)."""
     return F.to_date(F.timestamp_micros(_div_us(c)))
 
 
 def ts_in_date_range(
     date_from: dt.date | None, date_to: dt.date | None, c: Column | str = "ts"
 ) -> Column:
-    """Raw-long range predicate equivalent to
+    """Canonical-long range predicate equivalent to
     ``date_from <= ts_date(ts) <= date_to`` (bounds inclusive, open side
-    when ``None``). Because it compares the *stored* long column against
-    literals, Catalyst pushes it into the parquet scan (row-group
-    pruning) — a derived ``to_date`` predicate never would. This is the
-    scale-critical form: at 100 TB a day-window query must prune the
-    scan, not filter post-read."""
+    when ``None``), for frames already canonicalized by
+    :func:`events_raw`. For the scan-pruning form pass
+    ``date_from``/``date_to`` to :func:`events_raw` itself — that
+    applies the same bounds to the *stored* column, which is what
+    reaches the parquet scan as ``PushedFilters``."""
     c = F.col(c) if isinstance(c, str) else c
     cond = F.lit(True)
     if date_from is not None:
@@ -99,10 +147,8 @@ def clicks(
     event_type='click'. The event_type predicate, the optional raw-``ts``
     date-range predicate, and the 3-column projection all push down to
     the parquet scan (verify: ``PushedFilters`` in explain)."""
-    ev = load_raw(spark, sf_dir, "events")
+    ev = events_raw(spark, sf_dir, date_from=date_from, date_to=date_to)
     cond = F.col("event_type") == "click"
-    if date_from is not None or date_to is not None:
-        cond = cond & ts_in_date_range(date_from, date_to)
     return ev.filter(cond).select(
         F.col("user_id"),
         (F.col("event_id") % NEWS_MOD).alias("news_id"),

@@ -43,17 +43,23 @@ from ..config import DEFAULT_SCENE
 from ..registry import register
 from ..sources.tables import DATE0, DATE_MOD, NEWS_MOD
 
-#: events.parquet physical schema under nanosAsLong (ts is raw long).
-_EVENTS_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),
-        T.StructField("user_id", T.LongType()),
-        T.StructField("event_type", T.StringType()),
-        T.StructField("value", T.DoubleType()),
-        T.StructField("props", T.StringType()),
-    ]
-)
+def _events_stream_schema(spark: SparkSession, sf_dir: str) -> T.StructType:
+    """readStream needs an explicit schema; take it from a batch footer
+    read so it adapts to either fixture encoding of ``ts`` (nanos-as-long
+    BIGINT or TIMESTAMP(MICROS)) — the same duality
+    ``sources.tables.events_raw`` handles for batch."""
+    return spark.read.parquet(os.path.join(sf_dir, "events.parquet")).schema
+
+
+def _canon_ts(ev: DataFrame) -> DataFrame:
+    """Canonicalize ``ts`` to epoch-long **nanoseconds** (streaming twin
+    of ``sources.tables.events_raw``): downstream event-time columns are
+    all derived as ``timestamp_micros(ts DIV 1000)``."""
+    if dict(ev.dtypes)["ts"] != "bigint":
+        ev = ev.withColumn(
+            "ts", F.unix_micros(F.col("ts").cast("timestamp")) * F.lit(1000)
+        )
+    return ev
 
 
 def stream_clicks(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -69,7 +75,11 @@ def stream_clicks(spark: SparkSession, sf_dir: str) -> DataFrame:
     link = os.path.join(stream_dir, "events.parquet")
     if not os.path.exists(link):
         os.symlink(os.path.join(sf_dir, "events.parquet"), link)
-    ev = spark.readStream.schema(_EVENTS_SCHEMA).parquet(stream_dir)
+    ev = _canon_ts(
+        spark.readStream.schema(_events_stream_schema(spark, sf_dir)).parquet(
+            stream_dir
+        )
+    )
     return ev.filter(F.col("event_type") == "click").select(
         F.col("user_id"),
         (F.col("event_id") % NEWS_MOD).alias("news_id"),
@@ -143,7 +153,11 @@ def stream_clicks_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         link = os.path.join(stream_dir, name)
         if not os.path.exists(link):
             os.symlink(os.path.join(sf_dir, "events.parquet"), link)
-    ev = spark.readStream.schema(_EVENTS_SCHEMA).parquet(stream_dir)
+    ev = _canon_ts(
+        spark.readStream.schema(_events_stream_schema(spark, sf_dir)).parquet(
+            stream_dir
+        )
+    )
     clicks = (
         ev.filter(F.col("event_type") == "click")
         .select(
@@ -243,7 +257,11 @@ def _stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     link = os.path.join(stream_dir, "events.parquet")
     if not os.path.exists(link):
         os.symlink(os.path.join(sf_dir, "events.parquet"), link)
-    return spark.readStream.schema(_EVENTS_SCHEMA).parquet(stream_dir)
+    return _canon_ts(
+        spark.readStream.schema(_events_stream_schema(spark, sf_dir)).parquet(
+            stream_dir
+        )
+    )
 
 
 @register(

@@ -20,13 +20,13 @@ def queries():
 def test_asof_match_is_latest_prior_click(queries, spark):
     from pyspark.sql import functions as F
 
-    from recommedation_system_under_flink_spark.sources import load_raw
+    from recommedation_system_under_flink_spark.sources import events_raw, load_raw
 
     out = {
         (r["user_id"], r["purchase_id"]): r
         for r in queries["ef_asof_purchase_click"](spark, SF_DIR).collect()
     }
-    ev = load_raw(spark, SF_DIR, "events").select(
+    ev = events_raw(spark, SF_DIR).select(
         "user_id", "event_id", F.expr("ts DIV 1000").alias("tsm"), "event_type"
     )
     rows = ev.collect()
@@ -55,11 +55,11 @@ def test_sessions_partition_events_and_respect_gap(queries, spark):
     from recommedation_system_under_flink_spark.operators.events_flow import (
         SESSION_GAP_US,
     )
-    from recommedation_system_under_flink_spark.sources import load_raw
+    from recommedation_system_under_flink_spark.sources import events_raw, load_raw
 
     sessions = queries["ef_sessionize"](spark, SF_DIR).collect()
     ev = (
-        load_raw(spark, SF_DIR, "events")
+        events_raw(spark, SF_DIR)
         .select("user_id", F.expr("ts DIV 1000").alias("tsm"))
         .collect()
     )
@@ -142,7 +142,7 @@ def test_hll_sketch_within_error_bound(queries, spark):
 def test_quantile_sketch_brackets_exact(queries, spark):
     from pyspark.sql import functions as F
 
-    from recommedation_system_under_flink_spark.sources import load_raw
+    from recommedation_system_under_flink_spark.sources import events_raw, load_raw
 
     got = {
         r["event_type"]: r["quantiles"]
@@ -154,7 +154,7 @@ def test_quantile_sketch_brackets_exact(queries, spark):
     ps = [0.5, 0.95, 0.99]
     lo_expr = ", ".join(str(max(0.0, p - 0.02)) for p in ps)
     hi_expr = ", ".join(str(min(1.0, p + 0.02)) for p in ps)
-    ev = load_raw(spark, SF_DIR, "events")
+    ev = events_raw(spark, SF_DIR)
     brackets = {
         r["event_type"]: (r["lo"], r["hi"])
         for r in ev.groupBy("event_type")
@@ -309,9 +309,9 @@ def test_range_join_matches_naive(queries, spark):
     from recommedation_system_under_flink_spark.operators.events_flow import (
         RANGE_WINDOW_US,
     )
-    from recommedation_system_under_flink_spark.sources import load_raw
+    from recommedation_system_under_flink_spark.sources import events_raw, load_raw
 
-    ev = load_raw(spark, SF_DIR, "events")
+    ev = events_raw(spark, SF_DIR)
     p = ev.filter(F.col("event_type") == "purchase").select(
         F.col("event_id").alias("purchase_id"), F.expr("ts DIV 1000").alias("ptsm")
     )

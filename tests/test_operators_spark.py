@@ -260,7 +260,7 @@ def test_funnel_depths_partition_viewing_users(queries, spark):
     n_users over depths equals the distinct (user, day) view count."""
     from pyspark.sql import functions as F
 
-    from recommedation_system_under_flink_spark.sources import load_raw
+    from recommedation_system_under_flink_spark.sources import events_raw, load_raw
     from recommedation_system_under_flink_spark.sources.tables import ts_date
 
     rows = queries["ef_funnel_view_click_purchase"](spark, SF_DIR).collect()
@@ -268,7 +268,7 @@ def test_funnel_depths_partition_viewing_users(queries, spark):
     assert {r["depth"] for r in rows} <= {1, 2, 3}
     total = sum(r["n_users"] for r in rows)
     viewers = (
-        load_raw(spark, SF_DIR, "events")
+        events_raw(spark, SF_DIR)
         .filter(F.col("event_type") == "view")
         .select("user_id", ts_date("ts").alias("day"))
         .distinct()
@@ -292,7 +292,7 @@ def test_weighted_sample_prefers_heavy_docs(queries, spark):
     of sampled docs exceeds the population mean per language."""
     from pyspark.sql import functions as F
 
-    from recommedation_system_under_flink_spark.sources import load_raw
+    from recommedation_system_under_flink_spark.sources import events_raw, load_raw
 
     sample = queries["samp_weighted_priority"](spark, SF_DIR).collect()
     assert sample

@@ -71,7 +71,7 @@ def test_als_shape_and_validity(queries, spark):
 def test_stream_dedup_exactly_once(queries, spark):
     """The doubled-delivery source must come out exactly-once: the
     deduped stream equals the batch click set by event_id."""
-    from recommedation_system_under_flink_spark.sources import load_raw
+    from recommedation_system_under_flink_spark.sources import events_raw, load_raw
 
     streamed = {
         r.event_id
@@ -79,7 +79,7 @@ def test_stream_dedup_exactly_once(queries, spark):
     }
     batch = {
         r.event_id
-        for r in load_raw(spark, SF_DIR, "events")
+        for r in events_raw(spark, SF_DIR)
         .filter(F.col("event_type") == "click")
         .select("event_id")
         .distinct()
@@ -108,13 +108,13 @@ def test_stream_running_totals_equal_batch_counts(queries, spark):
 def test_stream_interval_join_equals_batch_join(queries, spark):
     """The stream-stream interval join must emit exactly the matches the
     identical batch join produces on the same fixture."""
-    from recommedation_system_under_flink_spark.sources import load_raw
+    from recommedation_system_under_flink_spark.sources import events_raw, load_raw
 
     streamed = {
         (r.user_id, r.purchase_id, r.click_id): r.gap_sec
         for r in queries["stream_purchase_click_join"](spark, SF_DIR).collect()
     }
-    ev = load_raw(spark, SF_DIR, "events").select(
+    ev = events_raw(spark, SF_DIR).select(
         "user_id",
         "event_id",
         "event_type",
