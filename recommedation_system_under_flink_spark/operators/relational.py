@@ -1,0 +1,322 @@
+"""Relational analytics over the warehouse fixture tables.
+
+The reference engine is a recommender, but a user migrating to this
+engine gets a full SQL analytics surface for free — Spark's native
+DataFrame/Catalyst path. This module pins that claim down with six
+classic warehouse query shapes (TPC-H-derived, adapted to the fixture
+schema) over the seven relational fixture tables that the recommender
+surface never touches: scan+aggregate, 3-way join + top-N, 6-way
+star join, semi-join EXISTS, returned-items ranking, and a
+conditional-share single-row aggregate.
+
+Cross-engine determinism (the whole point of the implementation):
+
+- **Money math is exact.** Doubles from parquet are cast to DECIMAL
+  before multiplication (`l_extendedprice` → DECIMAL(18,4), rates →
+  DECIMAL(9,4)), so ``price*(1-disc)*(1+tax)`` is exact rational
+  arithmetic in BOTH engines — decimal sums are associative, immune to
+  the float-summation-order nondeterminism that would flip value
+  hashes between Spark partial aggregation and DuckDB. The finished
+  aggregate is cast to DOUBLE once (one deterministic rounding of the
+  same exact value on both sides).
+- **Top-N is fully tiebroken** (sort key then primary key), so LIMIT
+  selects an identical set in both engines.
+- Date bounds are literals of the **stored** column type (see
+  ``_dt_lit``), so they reach the parquet scan as PushedFilters.
+
+Scale notes (100 TB): dimensions (region, nation, filtered customer,
+supplier, part) are broadcast — no shuffle for the star joins; the
+fact-side scans carry pushed date/flag predicates (row-group pruning);
+the aggregates are partial-aggregated map-side before the final
+shuffle on low-cardinality keys. AQE re-plans the orders⋈lineitem
+shuffle join (the only big⋈big here) and splits skewed keys.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ..sources import load_raw
+
+#: Exact-decimal casts (see module docstring). 4 fractional digits
+#: round-trips the 2-dp money/rate doubles exactly and identically in
+#: both engines; products stay inside DECIMAL(38) unreduced.
+_EP = "CAST(l_extendedprice AS DECIMAL(18,4))"
+_DISC = "CAST(l_discount AS DECIMAL(9,4))"
+_TAX = "CAST(l_tax AS DECIMAL(9,4))"
+_QTY = "CAST(l_quantity AS DECIMAL(18,4))"
+#: revenue := extendedprice * (1 - discount), exact.
+REVENUE = f"{_EP} * (1 - {_DISC})"
+#: charge := revenue * (1 + tax), exact.
+CHARGE = f"{REVENUE} * (1 + {_TAX})"
+
+
+def _dt_lit(df: DataFrame, col: str, day: str) -> Column:
+    """Literal for comparing against a stored date-ish column, typed to
+    match the column (timestamp_ntz / timestamp / date / bigint nanos)
+    so the predicate pushes into the parquet scan un-cast."""
+    kind = dict(df.dtypes)[col]
+    if kind == "bigint":  # nanos-as-long fixture encoding
+        import datetime as dt
+
+        from ..sources.tables import date_to_nanos
+
+        return F.lit(date_to_nanos(dt.date.fromisoformat(day)))
+    if kind == "date":
+        return F.expr(f"DATE '{day}'")
+    if kind == "timestamp_ntz":
+        return F.expr(f"TIMESTAMP_NTZ '{day} 00:00:00'")
+    return F.expr(f"TIMESTAMP '{day} 00:00:00'")  # session tz pinned UTC
+
+
+@register(
+    "rel_q1_pricing_summary",
+    f"""SELECT l_returnflag, l_linestatus,
+       CAST(SUM({_QTY}) AS DOUBLE) AS sum_qty,
+       CAST(SUM({_EP}) AS DOUBLE) AS sum_base_price,
+       CAST(SUM({REVENUE}) AS DOUBLE) AS sum_disc_price,
+       CAST(SUM({CHARGE}) AS DOUBLE) AS sum_charge,
+       CAST(SUM({_QTY}) AS DOUBLE) / COUNT(*) AS avg_qty,
+       CAST(SUM({_DISC}) AS DOUBLE) / COUNT(*) AS avg_disc,
+       CAST(COUNT(*) AS BIGINT) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '2001-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus""",
+)
+def rel_q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: single-scan pricing summary. Pure scan→partial
+    agg→4-row final agg; the shipdate bound and the 6-column projection
+    push to the scan. The canonical whole-stage-codegen aggregate."""
+    li = load_raw(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= _dt_lit(li, "l_shipdate", "2001-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.expr(f"CAST(SUM({_QTY}) AS DOUBLE)").alias("sum_qty"),
+            F.expr(f"CAST(SUM({_EP}) AS DOUBLE)").alias("sum_base_price"),
+            F.expr(f"CAST(SUM({REVENUE}) AS DOUBLE)").alias("sum_disc_price"),
+            F.expr(f"CAST(SUM({CHARGE}) AS DOUBLE)").alias("sum_charge"),
+            (F.expr(f"CAST(SUM({_QTY}) AS DOUBLE)") / F.count("*")).alias("avg_qty"),
+            (F.expr(f"CAST(SUM({_DISC}) AS DOUBLE)") / F.count("*")).alias(
+                "avg_disc"
+            ),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+@register(
+    "rel_q3_shipping_priority",
+    f"""SELECT l_orderkey,
+       CAST(SUM({REVENUE}) AS DOUBLE) AS revenue,
+       o_orderdate, o_orderpriority
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-06-01 00:00:00'
+  AND l_shipdate > TIMESTAMP '1998-06-01 00:00:00'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY SUM({REVENUE}) DESC, l_orderkey
+LIMIT 10""",
+)
+def rel_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: segment-filtered customers ⋈ orders ⋈ lineitem,
+    top-10 open orders by outstanding revenue. The filtered customer
+    dim broadcasts (no shuffle); orders⋈lineitem is the one shuffle
+    join. LIMIT is deterministic: exact-decimal sort key + orderkey
+    tiebreak."""
+    cust = load_raw(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = load_raw(spark, sf_dir, "orders")
+    orders = orders.filter(
+        F.col("o_orderdate") < _dt_lit(orders, "o_orderdate", "1998-06-01")
+    )
+    li = load_raw(spark, sf_dir, "lineitem")
+    li = li.filter(F.col("l_shipdate") > _dt_lit(li, "l_shipdate", "1998-06-01"))
+    rev = F.expr(f"SUM({REVENUE})")
+    return (
+        li.join(
+            orders.join(
+                F.broadcast(cust.select("c_custkey")),
+                F.col("o_custkey") == F.col("c_custkey"),
+            ),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(rev.cast("double").alias("revenue"), rev.alias("_rk"))
+        .orderBy(F.col("_rk").desc(), F.col("l_orderkey"))
+        .limit(10)
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+    )
+
+
+@register(
+    "rel_q5_local_supplier_volume",
+    f"""SELECT n_name, CAST(SUM({REVENUE}) AS DOUBLE) AS revenue
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+GROUP BY n_name""",
+)
+def rel_q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: 6-way star join — revenue by nation where the
+    customer and the supplier share the nation (the "local" predicate).
+    region→nation, supplier, and customer are all broadcast dims; the
+    only shuffle join is orders⋈lineitem. At 100 TB the star arms stay
+    broadcast (dims are small by definition); AQE splits any skewed
+    orderkey."""
+    nation = load_raw(spark, sf_dir, "nation")
+    region = load_raw(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    asia_nations = nation.join(
+        F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey")
+    ).select("n_nationkey", "n_name")
+    supp = load_raw(spark, sf_dir, "supplier").join(
+        F.broadcast(asia_nations), F.col("s_nationkey") == F.col("n_nationkey")
+    ).select("s_suppkey", "s_nationkey", "n_name")
+    cust = load_raw(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    orders = load_raw(spark, sf_dir, "orders")
+    orders = orders.filter(
+        (F.col("o_orderdate") >= _dt_lit(orders, "o_orderdate", "1996-01-01"))
+        & (F.col("o_orderdate") < _dt_lit(orders, "o_orderdate", "1997-01-01"))
+    ).select("o_orderkey", "o_custkey")
+    li = load_raw(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(
+            F.broadcast(supp),
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .groupBy("n_name")
+        .agg(F.expr(f"CAST(SUM({REVENUE}) AS DOUBLE)").alias("revenue"))
+    )
+
+
+@register(
+    "rel_q4_order_priority",
+    """SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1996-04-01 00:00:00'
+  AND EXISTS (
+    SELECT 1 FROM lineitem
+    WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate
+  )
+GROUP BY o_orderpriority""",
+)
+def rel_q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: EXISTS as a **left-semi join** (never a count
+    subquery per row): orders in a quarter having at least one lineitem
+    shipped after the order date, counted by priority. The semi-join
+    shuffles on orderkey and short-circuits on first match — no
+    duplicate blow-up, no distinct needed."""
+    orders = load_raw(spark, sf_dir, "orders")
+    orders = orders.filter(
+        (F.col("o_orderdate") >= _dt_lit(orders, "o_orderdate", "1996-01-01"))
+        & (F.col("o_orderdate") < _dt_lit(orders, "o_orderdate", "1996-04-01"))
+    ).select("o_orderkey", "o_orderdate", "o_orderpriority")
+    li = load_raw(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    return (
+        orders.join(
+            li,
+            (F.col("l_orderkey") == F.col("o_orderkey"))
+            & (F.col("l_shipdate") > F.col("o_orderdate")),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+    )
+
+
+@register(
+    "rel_q10_returned_items",
+    f"""SELECT c_custkey, c_name,
+       CAST(SUM({REVENUE}) AS DOUBLE) AS revenue,
+       n_name
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1996-07-01 00:00:00'
+GROUP BY c_custkey, c_name, n_name
+ORDER BY SUM({REVENUE}) DESC, c_custkey
+LIMIT 20""",
+)
+def rel_q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: top-20 customers by revenue lost to returns in
+    a half-year window. customer and nation broadcast; deterministic
+    LIMIT via exact-decimal key + custkey tiebreak."""
+    cust = load_raw(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_nationkey"
+    )
+    nation = load_raw(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    orders = load_raw(spark, sf_dir, "orders")
+    orders = orders.filter(
+        (F.col("o_orderdate") >= _dt_lit(orders, "o_orderdate", "1996-01-01"))
+        & (F.col("o_orderdate") < _dt_lit(orders, "o_orderdate", "1996-07-01"))
+    ).select("o_orderkey", "o_custkey")
+    li = load_raw(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag") == "R"
+    ).select("l_orderkey", "l_extendedprice", "l_discount")
+    rev = F.expr(f"SUM({REVENUE})")
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(rev.cast("double").alias("revenue"), rev.alias("_rk"))
+        .orderBy(F.col("_rk").desc(), F.col("c_custkey"))
+        .limit(20)
+        .select("c_custkey", "c_name", "revenue", "n_name")
+    )
+
+
+@register(
+    "rel_q14_promo_share",
+    f"""SELECT CAST(100.0 * CAST(SUM(CASE WHEN p_type = 'PROMO' THEN {REVENUE}
+                       ELSE CAST(0 AS DECIMAL(9,4)) END) AS DOUBLE)
+       / CAST(SUM({REVENUE}) AS DOUBLE) AS DOUBLE) AS promo_share
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1996-03-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'""",
+)
+def rel_q14_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: share of one month's revenue from PROMO parts.
+    part broadcasts against the date-pruned lineitem scan; the
+    conditional and total sums are exact decimals, divided once as
+    doubles (identical in both engines)."""
+    part = load_raw(spark, sf_dir, "part").select("p_partkey", "p_type")
+    li = load_raw(spark, sf_dir, "lineitem")
+    li = li.filter(
+        (F.col("l_shipdate") >= _dt_lit(li, "l_shipdate", "1996-03-01"))
+        & (F.col("l_shipdate") < _dt_lit(li, "l_shipdate", "1996-04-01"))
+    ).select("l_partkey", "l_extendedprice", "l_discount")
+    promo = F.expr(
+        f"SUM(CASE WHEN p_type = 'PROMO' THEN {REVENUE} "
+        f"ELSE CAST(0 AS DECIMAL(9,4)) END)"
+    )
+    total = F.expr(f"SUM({REVENUE})")
+    return (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            (F.lit(100.0) * promo.cast("double") / total.cast("double"))
+            .cast("double")
+            .alias("promo_share")
+        )
+    )

@@ -75,6 +75,7 @@ _QUERY_MODULES = (
     "operators.textstats",
     "operators.multimodal",
     "operators.kernels_sql",
+    "operators.relational",
     "plans.pipelines",
     "plans.als",
     "plans.curation",

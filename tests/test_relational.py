@@ -1,0 +1,63 @@
+"""Plan-shape and semantic checks for the relational analytics suite
+(operators/relational.py). Value parity with DuckDB is the oracle's
+job; these pin the *plan* properties the 100 TB story depends on:
+dims broadcast, date bounds reach the scan, top-N is deterministic."""
+
+from __future__ import annotations
+
+import pytest
+
+from conftest import SF_DIR
+
+
+@pytest.fixture(scope="module")
+def queries():
+    import __spark_entry__ as entrymod
+
+    return entrymod.queries()
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_q5_star_joins_broadcast(queries, spark):
+    """The 6-way star must broadcast every dim arm: at least three
+    BroadcastHashJoins and at most one shuffle (orders⋈lineitem)."""
+    plan = _plan(queries["rel_q5_local_supplier_volume"](spark, SF_DIR))
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert plan.count("SortMergeJoin") <= 1
+
+
+def test_q1_dates_push_to_scan(queries, spark):
+    """The shipdate bound must appear in PushedFilters, not only as a
+    post-scan Filter."""
+    plan = _plan(queries["rel_q1_pricing_summary"](spark, SF_DIR))
+    assert "PushedFilters" in plan
+    assert "LessThanOrEqual(l_shipdate" in plan
+
+
+def test_q3_topn_deterministic(queries, spark):
+    """Two runs of the top-10 return identical ordered keys (exact
+    decimal sort key + orderkey tiebreak)."""
+    a = [r["l_orderkey"] for r in queries["rel_q3_shipping_priority"](spark, SF_DIR).collect()]
+    b = [r["l_orderkey"] for r in queries["rel_q3_shipping_priority"](spark, SF_DIR).collect()]
+    assert a == b
+    assert len(a) == len(set(a))
+
+
+def test_q4_semi_join_no_duplicates(queries, spark):
+    """Priority counts must sum to at most the window's order count
+    (semi-join can't inflate)."""
+    from pyspark.sql import functions as F
+
+    from recommedation_system_under_flink_spark.operators.relational import _dt_lit
+    from recommedation_system_under_flink_spark.sources import load_raw
+
+    rows = queries["rel_q4_order_priority"](spark, SF_DIR).collect()
+    orders = load_raw(spark, SF_DIR, "orders")
+    window = orders.filter(
+        (F.col("o_orderdate") >= _dt_lit(orders, "o_orderdate", "1996-01-01"))
+        & (F.col("o_orderdate") < _dt_lit(orders, "o_orderdate", "1996-04-01"))
+    ).count()
+    assert sum(r["order_count"] for r in rows) <= window
