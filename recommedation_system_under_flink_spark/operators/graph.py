@@ -126,3 +126,98 @@ def graph_pagerank_clicks(spark: SparkSession, sf_dir: str) -> DataFrame:
     # edges/deg stay persisted for the caller's action (the K-iteration
     # lineage references them K times each); Spark's LRU evicts them.
     return ranks.select(F.col("src").alias("node"), F.col("r").alias("rank"))
+
+
+#: Fixed BFS horizon (pinned for oracle parity; the convergence dial).
+BFS_MAX_HOPS = 4
+
+
+def _bfs_oracle(hops: int = BFS_MAX_HOPS) -> str:
+    """DuckDB twin: recursive CTE with UNION (per-level dedup of
+    (node, dist) pairs, so the recursion is bounded by nodes×hops even
+    on the cyclic bipartite graph), then MIN(dist) per node."""
+    ctes = [
+        CLICKS_CTE,
+        "pairs AS (SELECT DISTINCT user_id, news_id FROM clicks)",
+        """edges AS (
+  SELECT user_id * 2 AS src, news_id * 2 + 1 AS dst FROM pairs
+  UNION ALL
+  SELECT news_id * 2 + 1, user_id * 2 FROM pairs
+)""",
+        "seed AS (SELECT MIN(news_id) * 2 + 1 AS node FROM pairs)",
+    ]
+    body = f""",
+walk(node, dist) AS (
+  SELECT node, 0 FROM seed
+  UNION
+  SELECT e.dst, walk.dist + 1
+  FROM walk JOIN edges e ON e.src = walk.node
+  WHERE walk.dist < {hops}
+)
+SELECT node, CAST(MIN(dist) AS INTEGER) AS dist FROM walk GROUP BY node"""
+    return "WITH RECURSIVE " + ",\n".join(ctes) + body
+
+
+@register("graph_bfs_hops", _bfs_oracle())
+def graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BFS shortest hop-distance from a pinned seed (the smallest
+    clicked news node) over the user↔news click graph, horizon
+    ``BFS_MAX_HOPS`` — the "users within N hops of this item" /
+    collaborative-neighborhood primitive.
+
+    Level-synchronous BSP: each round expands the previous level's
+    frontier through one edges⋈frontier equi-join + distinct — the
+    same bounded-lineage loop shape as PageRank above, shuffling on
+    node id. The final MIN(dist) per node collapses revisits (a node
+    reached at hop h is re-reached at h+2 on the bipartite graph).
+    The recursive-CTE oracle mirrors exactly this per-level dedup.
+
+    Scale: frontier size is bounded by |nodes|; each round is one
+    shuffle join against the (persisted) edge list. Horizon fixed for
+    engine parity — at 100 TB the horizon is also the cost cap, since
+    round h touches only the h-hop neighborhood."""
+    from ..sources import clicks
+
+    pairs = clicks(spark, sf_dir).select("user_id", "news_id").distinct()
+    edges = (
+        pairs.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        (F.col("user_id") * 2).alias("src"),
+                        (F.col("news_id") * 2 + 1).alias("dst"),
+                    ),
+                    F.struct(
+                        (F.col("news_id") * 2 + 1).alias("src"),
+                        (F.col("user_id") * 2).alias("dst"),
+                    ),
+                )
+            ).alias("e")
+        )
+        .select("e.src", "e.dst")
+        .persist()
+    )
+    seed_row = pairs.agg(F.min("news_id").alias("m")).first()
+    if seed_row is None or seed_row["m"] is None:
+        edges.unpersist()
+        return spark.createDataFrame([], "node long, dist int")
+
+    seed = int(seed_row["m"]) * 2 + 1
+    frontier = spark.createDataFrame([(seed, 0)], "node long, dist int")
+    levels = [frontier]
+    for h in range(1, BFS_MAX_HOPS + 1):
+        # persist: each level feeds BOTH the next expansion and the
+        # final union — uncached, level h would be recomputed
+        # (BFS_MAX_HOPS - h) extra times through the union's lineage.
+        frontier = (
+            edges.join(frontier, edges.src == frontier.node)
+            .select(F.col("dst").alias("node"))
+            .distinct()
+            .withColumn("dist", F.lit(h).cast("int"))
+            .persist()
+        )
+        levels.append(frontier)
+    out = levels[0]
+    for lv in levels[1:]:
+        out = out.unionByName(lv)
+    return out.groupBy("node").agg(F.min("dist").cast("int").alias("dist"))

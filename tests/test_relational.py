@@ -61,3 +61,17 @@ def test_q4_semi_join_no_duplicates(queries, spark):
         & (F.col("o_orderdate") < _dt_lit(orders, "o_orderdate", "1996-04-01"))
     ).count()
     assert sum(r["order_count"] for r in rows) <= window
+
+
+def test_bfs_bipartite_parity(queries, spark):
+    """On the user↔news bipartite graph, news nodes (odd ids) sit at
+    even hop distances from the news seed and user nodes at odd ones;
+    distances are within the pinned horizon."""
+    from recommedation_system_under_flink_spark.operators.graph import BFS_MAX_HOPS
+
+    rows = queries["graph_bfs_hops"](spark, SF_DIR).collect()
+    assert rows
+    assert min(r["dist"] for r in rows) == 0
+    for r in rows:
+        assert 0 <= r["dist"] <= BFS_MAX_HOPS
+        assert r["dist"] % 2 == (0 if r["node"] % 2 == 1 else 1)
