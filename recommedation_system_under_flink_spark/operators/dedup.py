@@ -203,10 +203,11 @@ def minhash_signatures(sh: DataFrame, h: int = MINHASH_H) -> DataFrame:
     return based.groupBy("doc_id").agg(*aggs)
 
 
-def _minhash_oracle() -> str:
-    """Full DuckDB twin of the MinHash/LSH chain: same seeded portable
-    hashes, same 2-row band buckets, same Jaccard verify — the sketch
-    pipeline is hash-compared end to end, not just rows-counted."""
+def _minhash_ctes() -> str:
+    """CTE chain rebuilding the MinHash/LSH pipeline in DuckDB SQL:
+    shingles → signatures (same seeded portable hashes) → 2-row band
+    buckets → candidate pairs → Jaccard-verified pairs (``mh_pairs``).
+    Shared by the pair oracle and the canonical-verdict oracle."""
     rpb = MINHASH_H // MINHASH_BANDS
     sig_cols = ",\n         ".join(
         f"MIN(({_mh_a(i)} * xm + {_mh_b(i)}) % {_MH_P}) AS h{i}"
@@ -221,7 +222,7 @@ def _minhash_oracle() -> str:
         )
         for b in range(MINHASH_BANDS)
     )
-    return f"""WITH {_SHINGLES_CTE},
+    return f"""{_SHINGLES_CTE},
 sigsrc AS (
   SELECT doc_id, {_SHINGLE_X_SQL} AS xm FROM sh
 ),
@@ -235,19 +236,27 @@ sig AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
   FROM banded a JOIN banded b
     ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
-)
-SELECT i.doc_a, i.doc_b,
-       CAST(i.inter AS DOUBLE) / (s1.n + s2.n - i.inter) AS jaccard
-FROM (
-  SELECT c.doc_a, c.doc_b, COUNT(*) AS inter
-  FROM cand c
-  JOIN sh a ON a.doc_id = c.doc_a
-  JOIN sh b ON b.doc_id = c.doc_b AND a.shingle = b.shingle
-  GROUP BY c.doc_a, c.doc_b
-) i
-JOIN (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id) s1 ON i.doc_a = s1.doc_id
-JOIN (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id) s2 ON i.doc_b = s2.doc_id
-WHERE CAST(i.inter AS DOUBLE) / (s1.n + s2.n - i.inter) >= {JACCARD_THRESHOLD}"""
+), mh_pairs AS (
+  SELECT i.doc_a, i.doc_b,
+         CAST(i.inter AS DOUBLE) / (s1.n + s2.n - i.inter) AS jaccard
+  FROM (
+    SELECT c.doc_a, c.doc_b, COUNT(*) AS inter
+    FROM cand c
+    JOIN sh a ON a.doc_id = c.doc_a
+    JOIN sh b ON b.doc_id = c.doc_b AND a.shingle = b.shingle
+    GROUP BY c.doc_a, c.doc_b
+  ) i
+  JOIN (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id) s1 ON i.doc_a = s1.doc_id
+  JOIN (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id) s2 ON i.doc_b = s2.doc_id
+  WHERE CAST(i.inter AS DOUBLE) / (s1.n + s2.n - i.inter) >= {JACCARD_THRESHOLD}
+)"""
+
+
+def _minhash_oracle() -> str:
+    """Full DuckDB twin of the MinHash/LSH chain — the sketch pipeline
+    is hash-compared end to end, not just rows-counted."""
+    return f"""WITH {_minhash_ctes()}
+SELECT doc_a, doc_b, jaccard FROM mh_pairs"""
 
 
 @register("dedup_minhash_lsh", _minhash_oracle())
@@ -646,5 +655,60 @@ def dedup_fuzzy_title_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("a.title").alias("title_a"),
             F.col("b.title").alias("title_b"),
             dist.cast("int").alias("distance"),
+        )
+    )
+
+
+# ------------------------------------------- cluster-canonical verdict
+
+_CANONICAL_ORACLE = f"""WITH RECURSIVE {_minhash_ctes()},
+mh_edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM mh_pairs
+  UNION ALL
+  SELECT doc_b, doc_a FROM mh_pairs
+),
+reach AS (
+  SELECT doc_id AS src, doc_id AS dst FROM documents
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN mh_edges e ON r.dst = e.src
+)
+SELECT src AS doc_id,
+       MIN(dst) AS canonical_id,
+       (src = MIN(dst)) AS keep
+FROM reach GROUP BY src"""
+
+
+@register("dedup_neardup_canonical", _CANONICAL_ORACLE)
+def dedup_neardup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup END VERDICT: one row per document with its near-dup
+    cluster's canonical id and a keep/drop flag — what a curation
+    pipeline actually filters on (keep = smallest doc_id per cluster;
+    every near-dup cluster survives exactly once).
+
+    Composition: MinHash/LSH verified pairs (:func:`dedup_minhash_lsh`)
+    → hash-min connected components over edge-endpoint docs only
+    (``operators.similarity.hash_min_components``) → left-join the
+    corpus back (singletons are their own canonical). The oracle
+    rebuilds the same thing independently: the full SQL MinHash chain
+    plus a recursive-CTE transitive closure.
+
+    Scale: the pair job and the propagation loop are the two 100 TB
+    paths already analyzed (SCALE.md dedup / components); the verdict
+    join is corpus-sized but shuffle-free on the corpus side when the
+    label set broadcasts (AQE decides)."""
+    from .similarity import hash_min_components
+
+    docs = load_raw(spark, sf_dir, "documents")
+    pairs = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+    labels = hash_min_components(pairs, "doc_a", "doc_b")
+    return (
+        docs.select("doc_id")
+        .join(labels, F.col("doc_id") == F.col("node"), "left")
+        .select(
+            "doc_id",
+            F.coalesce("comp", F.col("doc_id")).alias("canonical_id"),
+            (F.col("doc_id") == F.coalesce("comp", F.col("doc_id"))).alias(
+                "keep"
+            ),
         )
     )

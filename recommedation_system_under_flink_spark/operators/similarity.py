@@ -648,22 +648,39 @@ def sim_neardup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     closure, min over the reachable set."""
     emb = load_raw(spark, sf_dir, "embeddings")
     pairs = sim_neardup_pairs_exact(spark, sf_dir).select("vec_a", "vec_b")
-    # Symmetrize in ONE pass (explode, not union-of-two-scans — the
-    # union form re-runs the unpersisted GEMM scan per branch) and
-    # persist: every propagation round joins against the edges, and an
-    # unpersisted edge lineage would re-run the all-pairs cosine per
-    # round (measured 100s → 3s at sf0.1). At 100 TB the edges come
-    # from the LSH pair path and land in a table between the two jobs.
+    labels = hash_min_components(pairs, "vec_a", "vec_b")
+    # Singletons re-attach with their own id. No broadcast hint: the
+    # label set's size is data-dependent (small here, maybe not at
+    # 100 TB) — AQE picks broadcast when it fits.
+    return (
+        emb.select("vec_id")
+        .join(labels, F.col("vec_id") == F.col("node"), "left")
+        .select(
+            "vec_id", F.coalesce("comp", F.col("vec_id")).alias("component")
+        )
+    )
+
+
+def hash_min_components(pairs: DataFrame, a: str, b: str) -> DataFrame:
+    """Hash-min label propagation over the undirected pair graph —
+    returns ``(node, comp)`` for every **edge-endpoint** vertex (the
+    caller left-joins singletons back, which can never change label).
+
+    Shared core of ``sim_neardup_components`` (embedding near-dups) and
+    ``dedup_neardup_canonical`` (MinHash text near-dups). Each round is
+    one edges⋈labels join + min-aggregation, shuffling on vertex id;
+    rounds ≤ component diameter with an early exit on the strictly
+    decreasing label sum. Edges symmetrize in ONE pass (explode, not a
+    union of two scans that would each re-run the upstream pair job)
+    and persist — every round joins against them; the per-round working
+    set is O(near-dup vertices), not O(corpus), which is what keeps the
+    loop viable at 100 TB (measured: see sim_neardup_components)."""
     edges = (
         pairs.select(
             F.explode(
                 F.array(
-                    F.struct(
-                        F.col("vec_a").alias("src"), F.col("vec_b").alias("dst")
-                    ),
-                    F.struct(
-                        F.col("vec_b").alias("src"), F.col("vec_a").alias("dst")
-                    ),
+                    F.struct(F.col(a).alias("src"), F.col(b).alias("dst")),
+                    F.struct(F.col(b).alias("src"), F.col(a).alias("dst")),
                 )
             ).alias("e")
         )
@@ -671,7 +688,7 @@ def sim_neardup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         .persist()
     )
     labels = (
-        edges.groupBy(F.col("src").alias("vec_id"))
+        edges.groupBy(F.col("src").alias("node"))
         # Seed with min(self, neighbors) — a free first propagation
         # round folded into the vertex-set build.
         .agg(F.least(F.first("src"), F.min("dst")).alias("comp"))
@@ -679,19 +696,19 @@ def sim_neardup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # Materialize seed (and, transitively, edges) BEFORE the loop: the
     # round-0 plan references both twice, and evaluating them uncached
-    # would re-run the exact-pair scan per reference (measured 32s → 13s
-    # at sf0.1). Doubles as the early-exit baseline.
+    # would re-run the pair job per reference (measured 32s → 13s at
+    # sf0.1). Doubles as the early-exit baseline.
     prev_sum = labels.agg(F.sum("comp")).collect()[0][0]
     for _ in range(COMPONENT_MAX_ITERS):
         msgs = (
-            edges.join(labels, edges.src == labels.vec_id)
+            edges.join(labels, edges.src == labels.node)
             .groupBy("dst")
             .agg(F.min("comp").alias("nbr_min"))
         )
         new_labels = (
-            labels.join(msgs, labels.vec_id == msgs.dst, "left")
+            labels.join(msgs, labels.node == msgs.dst, "left")
             .select(
-                "vec_id",
+                "node",
                 F.least(
                     F.col("comp"), F.coalesce(F.col("nbr_min"), F.col("comp"))
                 ).alias("comp"),
@@ -705,14 +722,7 @@ def sim_neardup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
             break
         prev_sum = new_sum
     edges.unpersist()  # labels are fully cached by the per-round action
-    # Singletons re-attach with their own id. No broadcast hint: the
-    # label set's size is data-dependent (small here, maybe not at
-    # 100 TB) — AQE picks broadcast when it fits.
-    return (
-        emb.select("vec_id")
-        .join(labels, "vec_id", "left")
-        .select("vec_id", F.coalesce("comp", F.col("vec_id")).alias("component"))
-    )
+    return labels
 
 
 def _ivf_pinned_oracle() -> str:

@@ -164,3 +164,22 @@ def test_binary_stats_bounds_and_text_signature(queries, spark):
             assert 2.0 < r["entropy"] < 6.5
     again = queries["mm_binary_stats"](spark, SF_DIR).collect()
     assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+
+
+def test_neardup_canonical_verdict(queries, spark):
+    """Canonical verdict invariants: one row per doc; canonical_id ≤
+    doc_id never violated for keepers... precisely: keep iff doc is its
+    cluster's min; near-dup pairs always share a canonical."""
+    rows = queries["dedup_neardup_canonical"](spark, SF_DIR).collect()
+    canon = {r["doc_id"]: r["canonical_id"] for r in rows}
+    keeps = {r["doc_id"] for r in rows if r["keep"]}
+    assert len(rows) == len(canon)  # one verdict per doc
+    # keep iff doc IS its canonical
+    for r in rows:
+        assert r["keep"] == (r["doc_id"] == r["canonical_id"])
+        assert r["canonical_id"] <= r["doc_id"]
+        assert canon[r["canonical_id"]] == r["canonical_id"]  # canonical is kept
+    assert keeps == set(canon.values())
+    # every verified near-dup pair collapses to one canonical
+    for p in queries["dedup_minhash_lsh"](spark, SF_DIR).collect():
+        assert canon[p["doc_a"]] == canon[p["doc_b"]]
