@@ -434,3 +434,58 @@ def stream_enrich_news_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("long").alias("clicks")
     )
     return _run_to_memory(agg, "complete")
+
+
+def _sessions_stream_oracle() -> str:
+    from ..operators.events_flow import _SESSIONS_NATIVE_ORACLE
+
+    return _SESSIONS_NATIVE_ORACLE
+
+
+@register("stream_sessionize", _sessions_stream_oracle())
+def stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming **session windows**: the batch gap-sessionization
+    (``ef_sessionize_native``) run as a continuous query —
+    ``session_window`` over event-time, grouped per user, with the
+    same GAP+1µs boundary pinning. The bounded availableNow replay in
+    complete mode settles to exactly the batch session set, so the
+    full batch oracle applies.
+
+    This is THE stateful-streaming session shape: window state merges
+    adjacent sessions as events arrive (out-of-order events within the
+    gap fuse sessions); in production (append mode + watermark) a
+    session emits once the watermark passes its close, bounding state
+    to open sessions only — the knob SCALE.md §9 documents for
+    100 TB/day."""
+    from ..operators.events_flow import SESSION_GAP_US
+
+    stream_dir = os.path.join(
+        "/tmp", "spark_stream_src", sf_dir.strip("/").replace("/", "_")
+    )
+    os.makedirs(stream_dir, exist_ok=True)
+    link = os.path.join(stream_dir, "events.parquet")
+    if not os.path.exists(link):
+        os.symlink(os.path.join(sf_dir, "events.parquet"), link)
+    ev = _canon_ts(
+        spark.readStream.schema(_events_stream_schema(spark, sf_dir)).parquet(
+            stream_dir
+        )
+    )
+    sessions = (
+        ev.select(
+            "user_id",
+            F.expr("ts DIV 1000").alias("tsm"),
+            F.timestamp_micros(F.expr("ts DIV 1000")).alias("event_time"),
+        )
+        .groupBy(
+            "user_id",
+            F.session_window("event_time", f"{SESSION_GAP_US + 1} microseconds"),
+        )
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.min("tsm").alias("session_start"),
+            F.max("tsm").alias("session_end"),
+        )
+        .select("user_id", "n_events", "session_start", "session_end")
+    )
+    return _run_to_memory(sessions, "complete")
