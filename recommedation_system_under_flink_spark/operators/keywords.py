@@ -154,3 +154,191 @@ def a3_user_keywords_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("day", "user_id")
         .applyInPandas(merge, "day date, user_id long, term string, weight double")
     )
+
+
+# ----------------------------------- distributed TextRank (Catalyst form)
+
+#: Fixed vote iterations for the distributed/SQL form (the UDF form
+#: uses the reference's early exit, which is data-dependent per doc and
+#: therefore not SQL-unrollable; pinning the count makes the whole
+#: computation engine-portable).
+TEXTRANK_SQL_ITERS = 5
+
+
+def _tr_positions(spark: SparkSession, sf_dir: str):
+    """(news_id, i, term): position-indexed tokens of news content,
+    positions taken in the stopword-FILTERED list exactly as
+    functions.text.tokenize returns it."""
+    from ..functions.text import STOPWORDS, TOKEN_SPLIT_REGEX
+
+    stop = F.array(*[F.lit(s) for s in STOPWORDS])
+    toks = F.filter(
+        F.split(F.lower(F.col("content")), TOKEN_SPLIT_REGEX),
+        lambda t: (t != "") & ~F.array_contains(stop, t),
+    )
+    return (
+        news(spark, sf_dir)
+        .select("news_id", toks.alias("ts"))
+        .select("news_id", F.posexplode("ts").alias("i", "term"))
+    )
+
+
+def _textrank_sql_oracle() -> str:
+    """DuckDB twin: same positional tokenization, same windowed
+    adjacency (intended clamp), ``TEXTRANK_SQL_ITERS`` vote rounds
+    unrolled as chained CTEs, quantized top-N."""
+    from ..functions.text import STOPWORDS, TOKEN_SPLIT_REGEX
+    from ..sources import NEWS_CTE, with_ctes
+
+    stop_sql = ", ".join(f"'{w}'" for w in STOPWORDS)
+    w = DEFAULT_SCENE.window_size
+    n_kw = DEFAULT_SCENE.num_news_keywords
+    d = DEFAULT_SCENE.friction
+    ctes = [
+        NEWS_CTE,
+        f"""pos AS (
+  SELECT news_id, i, ts[i] AS term FROM (
+    SELECT news_id, ts, generate_subscripts(ts, 1) AS i FROM (
+      SELECT news_id, list_filter(
+        string_split_regex(lower(content), '{TOKEN_SPLIT_REGEX}'),
+        t -> t <> '' AND t NOT IN ({stop_sql})) AS ts
+      FROM news
+    )
+  )
+)""",
+        f"""tr_edges AS (
+  SELECT DISTINCT a.news_id, a.term AS w, b.term AS n
+  FROM pos a JOIN pos b
+    ON a.news_id = b.news_id
+   AND b.i BETWEEN a.i - {w} AND a.i + {w}
+   AND a.i <> b.i
+   AND a.term <> b.term
+)""",
+        "vocab AS (SELECT DISTINCT news_id, term FROM pos)",
+        "deg AS (SELECT news_id, w AS term, COUNT(*) AS deg FROM tr_edges GROUP BY 1, 2)",
+        f"s1 AS (SELECT news_id, term, {1 - d} AS score FROM vocab)",
+    ]
+    for k in range(2, TEXTRANK_SQL_ITERS + 1):
+        ctes.append(
+            f"""s{k} AS (
+  SELECT v.news_id, v.term,
+         {1 - d} + {d} * COALESCE(SUM(s.score / dg.deg), 0) AS score
+  FROM vocab v
+  LEFT JOIN tr_edges e ON e.news_id = v.news_id AND e.w = v.term
+  LEFT JOIN s{k - 1} s ON s.news_id = e.news_id AND s.term = e.n
+  LEFT JOIN deg dg ON dg.news_id = e.news_id AND dg.term = e.n
+  GROUP BY v.news_id, v.term
+)"""
+        )
+    body = f"""SELECT news_id, term, score FROM (
+  SELECT news_id, term, ROUND(score, 6) AS score,
+         ROW_NUMBER() OVER (
+           PARTITION BY news_id ORDER BY ROUND(score, 6) DESC, term ASC
+         ) AS rnk
+  FROM s{TEXTRANK_SQL_ITERS}
+) WHERE rnk <= {n_kw}"""
+    return with_ctes(body, *ctes)
+
+
+@register("p1_news_keywords_distributed", _textrank_sql_oracle())
+def p1_news_keywords_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P1 TextRank as a **fully distributed Catalyst computation** — no
+    Python UDF anywhere: positional tokens → windowed co-occurrence
+    edges via a position-band self-join → ``TEXTRANK_SQL_ITERS`` vote
+    rounds as join+aggregate passes → quantized per-doc top-N.
+
+    The UDF form (:func:`p1_news_keywords_textrank`) keeps the
+    reference's early-exit semantics and is the right choice when docs
+    fit a task; THIS form is the scale path for documents/graphs too
+    large for one task and is hash-verified end-to-end against a DuckDB
+    twin (the UDF form can only be rows-only checked). Parity between
+    the two is pytest-asserted at fixed iterations.
+
+    Scale: every stage keys on (news_id, term) — high-cardinality,
+    uniform; the vote loop is K bounded shuffles (same BSP family as
+    operators/graph.py). Edges/vocab/deg persist across rounds; score
+    lineage stays K-deep."""
+    d = DEFAULT_SCENE.friction
+    pos = _tr_positions(spark, sf_dir)
+    a = pos.alias("a")
+    b = pos.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.news_id") == F.col("b.news_id"))
+            & (F.col("b.i") >= F.col("a.i") - DEFAULT_SCENE.window_size)
+            & (F.col("b.i") <= F.col("a.i") + DEFAULT_SCENE.window_size)
+            & (F.col("a.i") != F.col("b.i"))
+            & (F.col("a.term") != F.col("b.term")),
+        )
+        .select(
+            F.col("a.news_id").alias("news_id"),
+            F.col("a.term").alias("w"),
+            F.col("b.term").alias("n"),
+        )
+        .distinct()
+        .persist()
+    )
+    vocab = pos.select("news_id", "term").distinct().persist()
+    deg = (
+        edges.groupBy("news_id", F.col("w").alias("term"))
+        .agg(F.count("*").alias("deg"))
+        .persist()
+    )
+    scores = vocab.withColumn("score", F.lit(1.0 - d))
+    for _ in range(TEXTRANK_SQL_ITERS - 1):
+        msgs = (
+            edges.join(
+                scores.select(
+                    F.col("news_id").alias("s_nid"),
+                    F.col("term").alias("s_term"),
+                    "score",
+                ),
+                (F.col("news_id") == F.col("s_nid"))
+                & (F.col("n") == F.col("s_term")),
+            )
+            .join(
+                deg.select(
+                    F.col("news_id").alias("d_nid"),
+                    F.col("term").alias("d_term"),
+                    "deg",
+                ),
+                (F.col("news_id") == F.col("d_nid"))
+                & (F.col("n") == F.col("d_term")),
+            )
+            .groupBy("news_id", "w")
+            .agg(F.sum(F.col("score") / F.col("deg")).alias("contrib"))
+        )
+        scores = (
+            vocab.join(
+                msgs.select(
+                    F.col("news_id").alias("m_nid"),
+                    F.col("w").alias("m_term"),
+                    "contrib",
+                ),
+                (vocab.news_id == F.col("m_nid"))
+                & (vocab.term == F.col("m_term")),
+                "left",
+            )
+            .select(
+                "news_id",
+                "term",
+                (
+                    F.lit(1.0 - d)
+                    + F.lit(d) * F.coalesce("contrib", F.lit(0.0))
+                ).alias("score"),
+            )
+        )
+    from pyspark.sql import Window
+
+    q = F.round(F.col("score"), 6)
+    ranked = scores.withColumn(
+        "rnk",
+        F.row_number().over(
+            Window.partitionBy("news_id").orderBy(q.desc(), F.col("term").asc())
+        ),
+    )
+    return (
+        ranked.filter(F.col("rnk") <= DEFAULT_SCENE.num_news_keywords)
+        .select("news_id", "term", q.alias("score"))
+    )

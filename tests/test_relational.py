@@ -75,3 +75,42 @@ def test_bfs_bipartite_parity(queries, spark):
     for r in rows:
         assert 0 <= r["dist"] <= BFS_MAX_HOPS
         assert r["dist"] % 2 == (0 if r["node"] % 2 == 1 else 1)
+
+
+def test_distributed_textrank_matches_python_kernel(queries, spark):
+    """The Catalyst TextRank (p1_news_keywords_distributed) must agree
+    with the pure-Python vote kernel run at the same fixed iteration
+    count — scores within quantization tolerance, top-sets equal up to
+    boundary ties."""
+    from recommedation_system_under_flink_spark.config import DEFAULT_SCENE as sc
+    from recommedation_system_under_flink_spark.functions.text import (
+        cooccurrence_windowed,
+        textrank_vote,
+        tokenize,
+    )
+    from recommedation_system_under_flink_spark.operators.keywords import (
+        TEXTRANK_SQL_ITERS,
+    )
+    from recommedation_system_under_flink_spark.sources import news
+
+    got: dict[int, dict[str, float]] = {}
+    for r in queries["p1_news_keywords_distributed"](spark, SF_DIR).collect():
+        got.setdefault(r["news_id"], {})[r["term"]] = r["score"]
+    assert got
+
+    docs = {r["news_id"]: r["content"] for r in news(spark, SF_DIR).collect()}
+    for nid, kw in got.items():
+        adj = cooccurrence_windowed(tokenize(docs[nid]), sc.window_size)
+        # num_keywords=len(adj): full score map; min_difference=-1
+        # disables the early exit → exactly TEXTRANK_SQL_ITERS rounds
+        py = textrank_vote(
+            adj, len(adj) or 1, sc.friction, TEXTRANK_SQL_ITERS, -1.0
+        )
+        for term, score in kw.items():
+            assert abs(py[term] - score) <= 1e-5, (nid, term, py[term], score)
+        # top-set parity up to boundary ties at the quantized cutoff
+        py_top = sorted(py.items(), key=lambda kv: (-kv[1], kv[0]))
+        py_set = {t for t, _ in py_top[: sc.num_news_keywords]}
+        cutoff = py_top[: sc.num_news_keywords][-1][1]
+        for t in py_set.symmetric_difference(kw):
+            assert abs(py[t] - cutoff) <= 2e-6, (nid, t, py[t], cutoff)
