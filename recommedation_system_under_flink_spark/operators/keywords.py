@@ -215,29 +215,40 @@ def _textrank_sql_oracle() -> str:
    AND a.term <> b.term
 )""",
         "vocab AS (SELECT DISTINCT news_id, term FROM pos)",
-        "deg AS (SELECT news_id, w AS term, COUNT(*) AS deg FROM tr_edges GROUP BY 1, 2)",
-        f"s1 AS (SELECT news_id, term, {1 - d} AS score FROM vocab)",
+    ]
+    vote_ctes, body = _vote_sql("news_id", n_kw)
+    return with_ctes(body, *ctes, *vote_ctes)
+
+
+def _vote_sql(key: str, n_top: int) -> tuple[list[str], str]:
+    """DuckDB twin of :func:`vote_fixed_rounds`: deg + unrolled score
+    CTEs over preceding CTEs ``tr_edges(key, w, n)`` / ``vocab(key,
+    term)``, plus the quantized top-N body."""
+    d = DEFAULT_SCENE.friction
+    ctes = [
+        f"deg AS (SELECT {key}, w AS term, COUNT(*) AS deg FROM tr_edges GROUP BY 1, 2)",
+        f"s1 AS (SELECT {key}, term, {1 - d} AS score FROM vocab)",
     ]
     for k in range(2, TEXTRANK_SQL_ITERS + 1):
         ctes.append(
             f"""s{k} AS (
-  SELECT v.news_id, v.term,
+  SELECT v.{key}, v.term,
          {1 - d} + {d} * COALESCE(SUM(s.score / dg.deg), 0) AS score
   FROM vocab v
-  LEFT JOIN tr_edges e ON e.news_id = v.news_id AND e.w = v.term
-  LEFT JOIN s{k - 1} s ON s.news_id = e.news_id AND s.term = e.n
-  LEFT JOIN deg dg ON dg.news_id = e.news_id AND dg.term = e.n
-  GROUP BY v.news_id, v.term
+  LEFT JOIN tr_edges e ON e.{key} = v.{key} AND e.w = v.term
+  LEFT JOIN s{k - 1} s ON s.{key} = e.{key} AND s.term = e.n
+  LEFT JOIN deg dg ON dg.{key} = e.{key} AND dg.term = e.n
+  GROUP BY v.{key}, v.term
 )"""
         )
-    body = f"""SELECT news_id, term, score FROM (
-  SELECT news_id, term, ROUND(score, 6) AS score,
+    body = f"""SELECT {key}, term, score FROM (
+  SELECT {key}, term, ROUND(score, 6) AS score,
          ROW_NUMBER() OVER (
-           PARTITION BY news_id ORDER BY ROUND(score, 6) DESC, term ASC
+           PARTITION BY {key} ORDER BY ROUND(score, 6) DESC, term ASC
          ) AS rnk
   FROM s{TEXTRANK_SQL_ITERS}
-) WHERE rnk <= {n_kw}"""
-    return with_ctes(body, *ctes)
+) WHERE rnk <= {n_top}"""
+    return ctes, body
 
 
 @register("p1_news_keywords_distributed", _textrank_sql_oracle())
@@ -285,43 +296,61 @@ def p1_news_keywords_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("deg"))
         .persist()
     )
+    return vote_fixed_rounds(edges, vocab, "news_id", DEFAULT_SCENE.num_news_keywords)
+
+
+def vote_fixed_rounds(
+    edges: DataFrame, vocab: DataFrame, key: str, n_top: int
+) -> DataFrame:
+    """Shared distributed vote loop: ``TEXTRANK_SQL_ITERS`` rounds of
+    ``score(w) ← (1-d) + d·Σ_{n∈adj(w)} score(n)/deg(n)`` over
+    per-``key`` graphs held as flat rows, then the quantized top-N.
+
+    ``edges``: (key, w, n) distinct directed adjacency (symmetric by
+    construction at both call sites). ``vocab``: (key, term) — every
+    word, including neighborless ones, which hold the teleport score.
+    Each round is one join+aggregate shuffle on (key, term); edges and
+    deg persist across rounds (callers pass persisted edges)."""
+    d = DEFAULT_SCENE.friction
+    deg = (
+        edges.groupBy(key, F.col("w").alias("term"))
+        .agg(F.count("*").alias("deg"))
+        .persist()
+    )
     scores = vocab.withColumn("score", F.lit(1.0 - d))
     for _ in range(TEXTRANK_SQL_ITERS - 1):
         msgs = (
             edges.join(
                 scores.select(
-                    F.col("news_id").alias("s_nid"),
+                    F.col(key).alias("s_key"),
                     F.col("term").alias("s_term"),
                     "score",
                 ),
-                (F.col("news_id") == F.col("s_nid"))
-                & (F.col("n") == F.col("s_term")),
+                (F.col(key) == F.col("s_key")) & (F.col("n") == F.col("s_term")),
             )
             .join(
                 deg.select(
-                    F.col("news_id").alias("d_nid"),
+                    F.col(key).alias("d_key"),
                     F.col("term").alias("d_term"),
                     "deg",
                 ),
-                (F.col("news_id") == F.col("d_nid"))
-                & (F.col("n") == F.col("d_term")),
+                (F.col(key) == F.col("d_key")) & (F.col("n") == F.col("d_term")),
             )
-            .groupBy("news_id", "w")
+            .groupBy(key, "w")
             .agg(F.sum(F.col("score") / F.col("deg")).alias("contrib"))
         )
         scores = (
             vocab.join(
                 msgs.select(
-                    F.col("news_id").alias("m_nid"),
+                    F.col(key).alias("m_key"),
                     F.col("w").alias("m_term"),
                     "contrib",
                 ),
-                (vocab.news_id == F.col("m_nid"))
-                & (vocab.term == F.col("m_term")),
+                (vocab[key] == F.col("m_key")) & (vocab.term == F.col("m_term")),
                 "left",
             )
             .select(
-                "news_id",
+                key,
                 "term",
                 (
                     F.lit(1.0 - d)
@@ -335,10 +364,82 @@ def p1_news_keywords_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranked = scores.withColumn(
         "rnk",
         F.row_number().over(
-            Window.partitionBy("news_id").orderBy(q.desc(), F.col("term").asc())
+            Window.partitionBy(key).orderBy(q.desc(), F.col("term").asc())
         ),
     )
-    return (
-        ranked.filter(F.col("rnk") <= DEFAULT_SCENE.num_news_keywords)
-        .select("news_id", "term", q.alias("score"))
+    return ranked.filter(F.col("rnk") <= n_top).select(key, "term", q.alias("score"))
+
+
+def _a3_sql_oracle() -> str:
+    """DuckDB twin of :func:`a3_user_keywords_distributed`: distinct
+    tokens per tweet → per-tweet clique edges accumulated per user →
+    the shared unrolled vote."""
+    from ..functions.text import STOPWORDS, TOKEN_SPLIT_REGEX
+    from ..sources import TWEETS_CTE, with_ctes
+
+    stop_sql = ", ".join(f"'{w}'" for w in STOPWORDS)
+    ctes = [
+        TWEETS_CTE,
+        f"""ut AS (
+  SELECT DISTINCT user_id, tweet_id, term FROM (
+    SELECT user_id, tweet_id,
+           unnest(list_filter(
+             string_split_regex(lower(content), '{TOKEN_SPLIT_REGEX}'),
+             t -> t <> '' AND t NOT IN ({stop_sql}))) AS term
+    FROM tweets
+  )
+)""",
+        """tr_edges AS (
+  SELECT DISTINCT a.user_id, a.term AS w, b.term AS n
+  FROM ut a JOIN ut b ON a.tweet_id = b.tweet_id AND a.term <> b.term
+)""",
+        "vocab AS (SELECT DISTINCT user_id, term FROM ut)",
+    ]
+    vote_ctes, body = _vote_sql("user_id", DEFAULT_SCENE.num_user_keywords)
+    return with_ctes(body, *ctes, *vote_ctes)
+
+
+@register("a3_user_keywords_distributed", _a3_sql_oracle())
+def a3_user_keywords_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3 (per-user clique-graph TextRank) as a fully distributed
+    Catalyst computation — the scale path for users whose accumulated
+    vocabulary graph outgrows one ``applyInPandas`` group, and the
+    oracle-checkable twin of :func:`a3_user_keywords_textrank` (which
+    keeps the reference's early-exit vote and stays rows-only).
+
+    Clique edges never materialize per-tweet token *pairs* beyond the
+    distinct set: distinct (tweet, term) first, then the pair self-join
+    on tweet_id, then distinct (user, w, n) — each stage an equi-join
+    shuffle on bounded keys. The vote loop is the shared
+    :func:`vote_fixed_rounds` BSP.
+    """
+    from ..functions.text import STOPWORDS, TOKEN_SPLIT_REGEX
+
+    stop = F.array(*[F.lit(s) for s in STOPWORDS])
+    toks = F.filter(
+        F.split(F.lower(F.col("content")), TOKEN_SPLIT_REGEX),
+        lambda t: (t != "") & ~F.array_contains(stop, t),
     )
+    ut = (
+        tweets(spark, sf_dir)
+        .select("user_id", "tweet_id", F.explode(toks).alias("term"))
+        .distinct()
+    )
+    a = ut.alias("a")
+    b = ut.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.tweet_id") == F.col("b.tweet_id"))
+            & (F.col("a.term") != F.col("b.term")),
+        )
+        .select(
+            F.col("a.user_id").alias("user_id"),
+            F.col("a.term").alias("w"),
+            F.col("b.term").alias("n"),
+        )
+        .distinct()
+        .persist()
+    )
+    vocab = ut.select("user_id", "term").distinct().persist()
+    return vote_fixed_rounds(edges, vocab, "user_id", DEFAULT_SCENE.num_user_keywords)

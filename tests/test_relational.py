@@ -114,3 +114,36 @@ def test_distributed_textrank_matches_python_kernel(queries, spark):
         cutoff = py_top[: sc.num_news_keywords][-1][1]
         for t in py_set.symmetric_difference(kw):
             assert abs(py[t] - cutoff) <= 2e-6, (nid, t, py[t], cutoff)
+
+
+def test_distributed_clique_textrank_matches_python_kernel(queries, spark):
+    """The distributed A3 twin agrees with the pure-Python clique
+    kernel at the same fixed iteration count."""
+    from recommedation_system_under_flink_spark.config import DEFAULT_SCENE as sc
+    from recommedation_system_under_flink_spark.functions.text import (
+        cooccurrence_clique,
+        textrank_vote,
+        tokenize,
+    )
+    from recommedation_system_under_flink_spark.operators.keywords import (
+        TEXTRANK_SQL_ITERS,
+    )
+    from recommedation_system_under_flink_spark.sources import tweets
+
+    got: dict[int, dict[str, float]] = {}
+    for r in queries["a3_user_keywords_distributed"](spark, SF_DIR).collect():
+        got.setdefault(r["user_id"], {})[r["term"]] = r["score"]
+    assert got
+
+    by_user: dict[int, list[str]] = {}
+    for r in tweets(spark, SF_DIR).collect():
+        by_user.setdefault(r["user_id"], []).append(r["content"])
+    for uid, kw in got.items():
+        adj: dict[str, set[str]] = {}
+        for text in by_user[uid]:
+            cooccurrence_clique(tokenize(text), adj)
+        py = textrank_vote(
+            adj, len(adj) or 1, sc.friction, TEXTRANK_SQL_ITERS, -1.0
+        )
+        for term, score in kw.items():
+            assert abs(py[term] - score) <= 1e-5, (uid, term, py[term], score)
