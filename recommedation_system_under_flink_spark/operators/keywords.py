@@ -183,20 +183,18 @@ def _tr_positions(spark: SparkSession, sf_dir: str):
     )
 
 
-def _textrank_sql_oracle() -> str:
-    """DuckDB twin: same positional tokenization, same windowed
-    adjacency (intended clamp), ``TEXTRANK_SQL_ITERS`` vote rounds
-    unrolled as chained CTEs, quantized top-N."""
+def _p1_kw_ctes(prefix: str = "") -> list[str]:
+    """CTEs computing the distributed P1 keywords (final CTE
+    ``{prefix}kw(news_id, term, score)``); assumes ``news`` is in
+    scope. ``prefix`` namespaces every CTE so two keyword chains can
+    share one WITH clause (the pipeline oracle)."""
     from ..functions.text import STOPWORDS, TOKEN_SPLIT_REGEX
-    from ..sources import NEWS_CTE, with_ctes
 
     stop_sql = ", ".join(f"'{w}'" for w in STOPWORDS)
     w = DEFAULT_SCENE.window_size
-    n_kw = DEFAULT_SCENE.num_news_keywords
-    d = DEFAULT_SCENE.friction
+    p = prefix
     ctes = [
-        NEWS_CTE,
-        f"""pos AS (
+        f"""{p}pos AS (
   SELECT news_id, i, ts[i] AS term FROM (
     SELECT news_id, ts, generate_subscripts(ts, 1) AS i FROM (
       SELECT news_id, list_filter(
@@ -206,49 +204,65 @@ def _textrank_sql_oracle() -> str:
     )
   )
 )""",
-        f"""tr_edges AS (
+        f"""{p}tr_edges AS (
   SELECT DISTINCT a.news_id, a.term AS w, b.term AS n
-  FROM pos a JOIN pos b
+  FROM {p}pos a JOIN {p}pos b
     ON a.news_id = b.news_id
    AND b.i BETWEEN a.i - {w} AND a.i + {w}
    AND a.i <> b.i
    AND a.term <> b.term
 )""",
-        "vocab AS (SELECT DISTINCT news_id, term FROM pos)",
+        f"{p}vocab AS (SELECT DISTINCT news_id, term FROM {p}pos)",
     ]
-    vote_ctes, body = _vote_sql("news_id", n_kw)
-    return with_ctes(body, *ctes, *vote_ctes)
+    return ctes + _vote_sql("news_id", DEFAULT_SCENE.num_news_keywords, p)
 
 
-def _vote_sql(key: str, n_top: int) -> tuple[list[str], str]:
+def _textrank_sql_oracle() -> str:
+    """DuckDB twin: same positional tokenization, same windowed
+    adjacency (intended clamp), ``TEXTRANK_SQL_ITERS`` vote rounds
+    unrolled as chained CTEs, quantized top-N."""
+    from ..sources import NEWS_CTE, with_ctes
+
+    return with_ctes(
+        "SELECT news_id, term, score FROM kw", NEWS_CTE, *_p1_kw_ctes()
+    )
+
+
+def _vote_sql(key: str, n_top: int, prefix: str = "") -> list[str]:
     """DuckDB twin of :func:`vote_fixed_rounds`: deg + unrolled score
-    CTEs over preceding CTEs ``tr_edges(key, w, n)`` / ``vocab(key,
-    term)``, plus the quantized top-N body."""
+    CTEs over preceding CTEs ``{prefix}tr_edges(key, w, n)`` /
+    ``{prefix}vocab(key, term)``; final CTE ``{prefix}kw`` holds the
+    quantized top-N."""
     d = DEFAULT_SCENE.friction
+    p = prefix
     ctes = [
-        f"deg AS (SELECT {key}, w AS term, COUNT(*) AS deg FROM tr_edges GROUP BY 1, 2)",
-        f"s1 AS (SELECT {key}, term, {1 - d} AS score FROM vocab)",
+        f"{p}deg AS (SELECT {key}, w AS term, COUNT(*) AS deg FROM {p}tr_edges GROUP BY 1, 2)",
+        f"{p}s1 AS (SELECT {key}, term, {1 - d} AS score FROM {p}vocab)",
     ]
     for k in range(2, TEXTRANK_SQL_ITERS + 1):
         ctes.append(
-            f"""s{k} AS (
+            f"""{p}s{k} AS (
   SELECT v.{key}, v.term,
          {1 - d} + {d} * COALESCE(SUM(s.score / dg.deg), 0) AS score
-  FROM vocab v
-  LEFT JOIN tr_edges e ON e.{key} = v.{key} AND e.w = v.term
-  LEFT JOIN s{k - 1} s ON s.{key} = e.{key} AND s.term = e.n
-  LEFT JOIN deg dg ON dg.{key} = e.{key} AND dg.term = e.n
+  FROM {p}vocab v
+  LEFT JOIN {p}tr_edges e ON e.{key} = v.{key} AND e.w = v.term
+  LEFT JOIN {p}s{k - 1} s ON s.{key} = e.{key} AND s.term = e.n
+  LEFT JOIN {p}deg dg ON dg.{key} = e.{key} AND dg.term = e.n
   GROUP BY v.{key}, v.term
 )"""
         )
-    body = f"""SELECT {key}, term, score FROM (
-  SELECT {key}, term, ROUND(score, 6) AS score,
-         ROW_NUMBER() OVER (
-           PARTITION BY {key} ORDER BY ROUND(score, 6) DESC, term ASC
-         ) AS rnk
-  FROM s{TEXTRANK_SQL_ITERS}
-) WHERE rnk <= {n_top}"""
-    return ctes, body
+    ctes.append(
+        f"""{p}kw AS (
+  SELECT {key}, term, score FROM (
+    SELECT {key}, term, ROUND(score, 6) AS score,
+           ROW_NUMBER() OVER (
+             PARTITION BY {key} ORDER BY ROUND(score, 6) DESC, term ASC
+           ) AS rnk
+    FROM {p}s{TEXTRANK_SQL_ITERS}
+  ) WHERE rnk <= {n_top}
+)"""
+    )
+    return ctes
 
 
 @register("p1_news_keywords_distributed", _textrank_sql_oracle())
@@ -291,11 +305,6 @@ def p1_news_keywords_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .persist()
     )
     vocab = pos.select("news_id", "term").distinct().persist()
-    deg = (
-        edges.groupBy("news_id", F.col("w").alias("term"))
-        .agg(F.count("*").alias("deg"))
-        .persist()
-    )
     return vote_fixed_rounds(edges, vocab, "news_id", DEFAULT_SCENE.num_news_keywords)
 
 
@@ -370,17 +379,16 @@ def vote_fixed_rounds(
     return ranked.filter(F.col("rnk") <= n_top).select(key, "term", q.alias("score"))
 
 
-def _a3_sql_oracle() -> str:
-    """DuckDB twin of :func:`a3_user_keywords_distributed`: distinct
-    tokens per tweet → per-tweet clique edges accumulated per user →
-    the shared unrolled vote."""
+def _a3_kw_ctes(prefix: str = "") -> list[str]:
+    """CTEs computing the distributed A3 keywords (final CTE
+    ``{prefix}kw(user_id, term, score)``); assumes ``tweets`` is in
+    scope."""
     from ..functions.text import STOPWORDS, TOKEN_SPLIT_REGEX
-    from ..sources import TWEETS_CTE, with_ctes
 
     stop_sql = ", ".join(f"'{w}'" for w in STOPWORDS)
+    p = prefix
     ctes = [
-        TWEETS_CTE,
-        f"""ut AS (
+        f"""{p}ut AS (
   SELECT DISTINCT user_id, tweet_id, term FROM (
     SELECT user_id, tweet_id,
            unnest(list_filter(
@@ -389,14 +397,24 @@ def _a3_sql_oracle() -> str:
     FROM tweets
   )
 )""",
-        """tr_edges AS (
+        f"""{p}tr_edges AS (
   SELECT DISTINCT a.user_id, a.term AS w, b.term AS n
-  FROM ut a JOIN ut b ON a.tweet_id = b.tweet_id AND a.term <> b.term
+  FROM {p}ut a JOIN {p}ut b ON a.tweet_id = b.tweet_id AND a.term <> b.term
 )""",
-        "vocab AS (SELECT DISTINCT user_id, term FROM ut)",
+        f"{p}vocab AS (SELECT DISTINCT user_id, term FROM {p}ut)",
     ]
-    vote_ctes, body = _vote_sql("user_id", DEFAULT_SCENE.num_user_keywords)
-    return with_ctes(body, *ctes, *vote_ctes)
+    return ctes + _vote_sql("user_id", DEFAULT_SCENE.num_user_keywords, p)
+
+
+def _a3_sql_oracle() -> str:
+    """DuckDB twin of :func:`a3_user_keywords_distributed`: distinct
+    tokens per tweet → per-tweet clique edges accumulated per user →
+    the shared unrolled vote."""
+    from ..sources import TWEETS_CTE, with_ctes
+
+    return with_ctes(
+        "SELECT user_id, term, score FROM kw", TWEETS_CTE, *_a3_kw_ctes()
+    )
 
 
 @register("a3_user_keywords_distributed", _a3_sql_oracle())

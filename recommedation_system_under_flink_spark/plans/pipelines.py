@@ -305,3 +305,106 @@ def s5_seed_row(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     )
     return spark.createDataFrame([(TODAY, 0, 0, 0.0)], schema)
+
+
+# ----------------------- TextRank pipeline, distributed (oracle twin)
+
+def _tr_pipe_dist_oracle() -> str:
+    """Full-pipeline DuckDB twin: BOTH distributed keyword chains
+    (prefixed so they share one WITH clause) + semi-join + scored join
+    + ranked list — the whole TextRank recommend() hash-compared."""
+    from ..operators.keywords import _a3_kw_ctes, _p1_kw_ctes
+    from ..sources import NEWS_CTE, TWEETS_CTE
+
+    lead_end = TODAY + dt.timedelta(days=NUM_DAYS - 1)
+    ctes = [
+        CLICKS_CTE,
+        NEWS_CTE,
+        TWEETS_CTE,
+        *_p1_kw_ctes("n_"),
+        *_a3_kw_ctes("u_"),
+        f"""user_kw AS (
+  SELECT user_id, term FROM u_kw
+  WHERE user_id IN (SELECT DISTINCT user_id FROM clicks
+                    WHERE date = DATE '{TODAY}')
+)""",
+        f"""news_kw AS (
+  SELECT k.news_id, k.term FROM n_kw k JOIN news n ON k.news_id = n.news_id
+  WHERE n.date BETWEEN DATE '{TODAY}' AND DATE '{lead_end}'
+)""",
+        """scored AS (
+  SELECT i.user_id, i.news_id, CAST(i.inter AS DOUBLE) / (su.n * sn.n) AS score
+  FROM (
+    SELECT u.user_id, k.news_id, COUNT(*) AS inter
+    FROM user_kw u JOIN news_kw k ON u.term = k.term
+    GROUP BY 1, 2
+  ) i
+  JOIN (SELECT user_id, COUNT(*) AS n FROM user_kw GROUP BY 1) su
+    ON i.user_id = su.user_id
+  JOIN (SELECT news_id, COUNT(*) AS n FROM news_kw GROUP BY 1) sn
+    ON i.news_id = sn.news_id
+)""",
+    ]
+    return with_ctes(
+        f"""SELECT user_id, DATE '{TODAY}' AS date,
+       (list(news_id ORDER BY score DESC, news_id ASC))[1:{K}] AS news
+FROM scored GROUP BY user_id""",
+        *ctes,
+    )
+
+
+@register("textrank_pipeline_distributed", _tr_pipe_dist_oracle())
+def textrank_pipeline_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TextRank recommend() end-to-end with the **distributed** keyword
+    twins (no Python UDF anywhere): Catalyst P1/A3 fixed-round TextRank
+    → J1 semi-join on today's clickers → inverted-index scored join
+    (F5: ``inter / (n_user · n_news)``) → T1 top-K → recommendations.
+
+    The UDF pipeline (:func:`textrank_pipeline`) is reference-faithful
+    (early-exit vote) and rows-only checkable; THIS twin trades the
+    early exit for a pinned iteration count and in exchange the ENTIRE
+    pipeline — tokenization, graphs, vote, semi-join, scoring, ranking
+    — is hash-verified against one DuckDB query. Same plan skeleton,
+    same scale properties as the UDF form."""
+    from pyspark.sql import Window
+
+    from ..operators.filters import leading_zone
+    from ..operators.keywords import (
+        a3_user_keywords_distributed,
+        p1_news_keywords_distributed,
+    )
+    from ..sources import news
+
+    user_kw = (
+        a3_user_keywords_distributed(spark, sf_dir)
+        .join(F.broadcast(today_clickers(spark, sf_dir)), "user_id", "left_semi")
+        .withColumn("n_user", F.count("*").over(Window.partitionBy("user_id")))
+    )
+    news_dates = news(spark, sf_dir).select("news_id", "date")
+    news_kw = (
+        p1_news_keywords_distributed(spark, sf_dir)
+        .join(F.broadcast(news_dates), "news_id")
+        .filter(leading_zone(F.col("date"), TODAY, NUM_DAYS))
+        .withColumn("n_news", F.count("*").over(Window.partitionBy("news_id")))
+    )
+    scored = (
+        user_kw.select("user_id", "term", "n_user")
+        .join(F.broadcast(news_kw.select("news_id", "term", "n_news")), "term")
+        .groupBy("user_id", "news_id")
+        .agg(
+            F.count("*").alias("inter"),
+            F.max("n_user").alias("n_user"),
+            F.max("n_news").alias("n_news"),
+        )
+        .select(
+            "user_id",
+            "news_id",
+            (
+                F.col("inter").cast("double") / (F.col("n_user") * F.col("n_news"))
+            ).alias("score"),
+        )
+    )
+    ranked = top_k_rows(scored, "user_id", [F.desc("score"), F.asc("news_id")], K)
+    return ranked_list(ranked, "user_id").select(
+        "user_id", F.lit(TODAY).cast("date").alias("date"), "news"
+    )
