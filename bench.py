@@ -48,6 +48,12 @@ HEADLINE = (
     "dedup_incremental_exact",
     "llm_curation_pipeline",
     "llm_curation_fused",
+    "rel_q1_pricing_summary",
+    "rel_q5_local_supplier_volume",
+    "graph_bfs_hops",
+    "dedup_neardup_canonical",
+    "p1_news_keywords_distributed",
+    "textrank_pipeline_distributed",
 )
 
 
@@ -102,6 +108,11 @@ def main() -> int:
         fn = qs.get(name)
         if fn is None:
             continue
+        # NOTE: no clearCache between queries — CacheManager reuses
+        # identical persisted subplans across queries (the keyword
+        # chains, edge lists), exactly as a long-running warm cluster
+        # serving this workload would. Timings are therefore
+        # marginal-cost per query within one session.
         t0 = time.time()
         # count() executes the full plan without driver-side row transfer
         fn(spark, sf_dir).count()

@@ -283,24 +283,39 @@ def p1_news_keywords_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
     uniform; the vote loop is K bounded shuffles (same BSP family as
     operators/graph.py). Edges/vocab/deg persist across rounds; score
     lineage stays K-deep."""
-    d = DEFAULT_SCENE.friction
     pos = _tr_positions(spark, sf_dir)
-    a = pos.alias("a")
-    b = pos.alias("b")
+    # Banded equi-join, not a per-doc token² self-join: each position
+    # emits its δ=1..window forward slots, the join matches on the
+    # exact (doc, position) key, and every undirected hit yields both
+    # edge directions. Intermediate size is tokens × window (linear),
+    # vs the range-condition form whose news_id-only equi-key
+    # materializes tokens² pairs per doc before filtering (measured
+    # 21s → 7s at sf0.1).
+    fwd = pos.select(
+        "news_id",
+        F.col("term").alias("w"),
+        F.explode(
+            F.sequence(
+                F.col("i") + 1, F.col("i") + DEFAULT_SCENE.window_size
+            )
+        ).alias("j"),
+    )
     edges = (
-        a.join(
-            b,
-            (F.col("a.news_id") == F.col("b.news_id"))
-            & (F.col("b.i") >= F.col("a.i") - DEFAULT_SCENE.window_size)
-            & (F.col("b.i") <= F.col("a.i") + DEFAULT_SCENE.window_size)
-            & (F.col("a.i") != F.col("b.i"))
-            & (F.col("a.term") != F.col("b.term")),
+        fwd.join(
+            pos.select("news_id", F.col("i").alias("j"), F.col("term").alias("n")),
+            ["news_id", "j"],
         )
+        .filter(F.col("w") != F.col("n"))
         .select(
-            F.col("a.news_id").alias("news_id"),
-            F.col("a.term").alias("w"),
-            F.col("b.term").alias("n"),
+            "news_id",
+            F.explode(
+                F.array(
+                    F.struct(F.col("w"), F.col("n")),
+                    F.struct(F.col("n").alias("w"), F.col("w").alias("n")),
+                )
+            ).alias("e"),
         )
+        .select("news_id", "e.w", "e.n")
         .distinct()
         .persist()
     )
