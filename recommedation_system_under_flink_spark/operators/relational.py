@@ -6,8 +6,9 @@ DataFrame/Catalyst path. This module pins that claim down with six
 classic warehouse query shapes (TPC-H-derived, adapted to the fixture
 schema) over the seven relational fixture tables that the recommender
 surface never touches: scan+aggregate, 3-way join + top-N, 6-way
-star join, semi-join EXISTS, returned-items ranking, and a
-conditional-share single-row aggregate.
+star join, semi-join EXISTS, returned-items ranking, a
+conditional-share single-row aggregate, a two-role dimension join,
+and a decorrelated min-subquery.
 
 Cross-engine determinism (the whole point of the implementation):
 
@@ -319,4 +320,91 @@ def rel_q14_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("double")
             .alias("promo_share")
         )
+    )
+
+
+@register(
+    "rel_q7_nation_volume",
+    f"""SELECT cn.n_name AS cust_nation, sn.n_name AS supp_nation,
+       CAST(SUM({REVENUE}) AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation cn ON c_nationkey = cn.n_nationkey
+JOIN nation sn ON s_nationkey = sn.n_nationkey
+WHERE cn.n_name <> sn.n_name
+  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1996-04-01 00:00:00'
+GROUP BY cn.n_name, sn.n_name""",
+)
+def rel_q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: cross-nation trade volume — the SAME dimension
+    joined in TWO roles (customer's nation, supplier's nation), the
+    aliasing pattern every star schema needs. Both roles broadcast;
+    the inequality predicate runs post-join on the two broadcast
+    columns (it can't prune a scan — it relates two dims)."""
+    nation = load_raw(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    cust = load_raw(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    supp = load_raw(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    orders = load_raw(spark, sf_dir, "orders")
+    orders = orders.filter(
+        (F.col("o_orderdate") >= _dt_lit(orders, "o_orderdate", "1996-01-01"))
+        & (F.col("o_orderdate") < _dt_lit(orders, "o_orderdate", "1996-04-01"))
+    ).select("o_orderkey", "o_custkey")
+    li = load_raw(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    cn = nation.select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation")
+    )
+    sn = nation.select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(cn), F.col("c_nationkey") == F.col("cn_key"))
+        .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn_key"))
+        .filter(F.col("cust_nation") != F.col("supp_nation"))
+        .groupBy("cust_nation", "supp_nation")
+        .agg(F.expr(f"CAST(SUM({REVENUE}) AS DOUBLE)").alias("revenue"))
+    )
+
+
+@register(
+    "rel_q2_min_cost_part",
+    """SELECT p_partkey, p_brand, min_price,
+       CAST(n_offers AS BIGINT) AS n_offers
+FROM (
+  SELECT l_partkey AS p_partkey,
+         MIN(l_extendedprice / l_quantity) AS min_price,
+         COUNT(*) AS n_offers
+  FROM lineitem GROUP BY l_partkey
+)
+JOIN part USING (p_partkey)
+WHERE p_size >= 40""",
+)
+def rel_q2_min_cost_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape (decorrelated): cheapest observed unit price per
+    part, restricted to large parts. The classic correlated
+    ``WHERE price = (SELECT MIN(...) ...)`` is expressed directly as
+    aggregate-then-join — the decorrelation Catalyst would have to
+    perform, written as the plan you want: one partial-aggregated
+    groupBy on the fact, one broadcast dim join, no per-row subquery.
+    Unit price is a double ratio of two stored doubles — identical
+    operand bits and one IEEE division in both engines, so MIN is
+    hash-stable without quantization."""
+    li = load_raw(spark, sf_dir, "lineitem").select(
+        "l_partkey", (F.col("l_extendedprice") / F.col("l_quantity")).alias("unit")
+    )
+    part = load_raw(spark, sf_dir, "part").filter(F.col("p_size") >= 40).select(
+        "p_partkey", "p_brand"
+    )
+    agg = li.groupBy(F.col("l_partkey").alias("p_partkey")).agg(
+        F.min("unit").alias("min_price"), F.count("*").alias("n_offers")
+    )
+    return agg.join(F.broadcast(part), "p_partkey").select(
+        "p_partkey", "p_brand", "min_price", "n_offers"
     )
