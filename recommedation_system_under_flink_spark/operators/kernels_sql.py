@@ -583,3 +583,102 @@ def s9_upsert_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit("updated"))
         .alias("action"),
     )
+
+
+# ------------------------------------------------- S10 (SCD2 history)
+
+@register(
+    "s10_scd2_history",
+    """WITH versions AS (
+  SELECT event_id % 1000 AS entity_id, event_id, value, epoch_us(ts) AS tsm
+  FROM events
+)
+SELECT entity_id, event_id AS version_id, value,
+       tsm AS valid_from,
+       LEAD(tsm) OVER w - 1 AS valid_to,
+       (LEAD(tsm) OVER w IS NULL) AS is_current
+FROM versions
+WINDOW w AS (PARTITION BY entity_id ORDER BY tsm, event_id)""",
+)
+def s10_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension **type 2** history build: every change
+    event becomes a version row with a half-open validity interval
+    (``valid_to = next version's start − 1 µs``; open end = current).
+    The warehouse-maintenance twin of the S9 latest-state merge — S9
+    answers "what is the value now", this answers "what was the value
+    at time T" (join on ``T BETWEEN valid_from AND valid_to``).
+
+    One window over (entity, time) does everything: no self-join, no
+    per-entity collect. Deterministic tiebreak (tsm, event_id) pins
+    simultaneous updates. Scale: one shuffle on entity_id; interval
+    queries against the result use the banded range-join pattern
+    (``ef_range_join_banded``) instead of a theta join."""
+    from ..sources import events_raw
+
+    ev = events_raw(spark, sf_dir).select(
+        (F.col("event_id") % 1000).alias("entity_id"),
+        F.col("event_id").alias("version_id"),
+        "value",
+        F.expr("ts DIV 1000").alias("tsm"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("entity_id").orderBy("tsm", "version_id")
+    nxt = F.lead("tsm").over(w)
+    return ev.select(
+        "entity_id",
+        "version_id",
+        "value",
+        F.col("tsm").alias("valid_from"),
+        (nxt - 1).alias("valid_to"),
+        nxt.isNull().alias("is_current"),
+    )
+
+
+# ---------------------------------------------- S11 (z-order layout key)
+
+#: Bits per dimension for the interleaved z-value.
+ZORDER_BITS = 16
+
+
+@register(
+    "s11_zorder_key",
+    f"""SELECT event_id, user_id, entity_id, zval FROM (
+  SELECT event_id, user_id, event_id % 1000 AS entity_id,
+         (SELECT SUM(
+            ((CAST(user_id AS BIGINT) % {1 << ZORDER_BITS}) // (1 << b) % 2) * (1 << (2 * b))
+            + ((CAST(event_id % 1000 AS BIGINT)) // (1 << b) % 2) * (1 << (2 * b + 1))
+          ) FROM range({ZORDER_BITS}) t(b)) AS zval
+  FROM events
+)""",
+)
+def s11_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) layout key: bit-interleave of (user_id,
+    entity_id) — the multi-dimensional clustering key behind
+    Delta/Iceberg ``OPTIMIZE ZORDER BY``. Writing the table
+    range-partitioned and sorted by ``zval`` co-locates rows that are
+    close in BOTH dimensions, so min/max row-group stats prune scans
+    for predicates on either column — the data-layout half of the
+    100 TB pruning story (the predicate half is `events_raw`'s
+    pushdown).
+
+    The interleave is pure integer arithmetic (shift/mask folded into
+    division/modulo so the DuckDB twin is expressible without bit
+    operators), exact in both engines. The companion write path is
+    ``write_parquet`` + ``repartitionByRange(zval)`` +
+    ``sortWithinPartitions(zval)`` (sources/io.py); this query is the
+    key computation, hash-verified."""
+    from ..sources import events_raw
+
+    ev = events_raw(spark, sf_dir).select(
+        "event_id", "user_id", (F.col("event_id") % 1000).alias("entity_id")
+    )
+    u = F.col("user_id").cast("long") % (1 << ZORDER_BITS)
+    e = F.col("entity_id").cast("long")
+    z = F.lit(0).cast("long")
+    for b in range(ZORDER_BITS):
+        z = z + (
+            ((u / (1 << b)).cast("long") % 2) * (1 << (2 * b))
+            + ((e / (1 << b)).cast("long") % 2) * (1 << (2 * b + 1))
+        )
+    return ev.select("event_id", "user_id", "entity_id", z.alias("zval"))

@@ -147,3 +147,33 @@ def test_distributed_clique_textrank_matches_python_kernel(queries, spark):
         )
         for term, score in kw.items():
             assert abs(py[term] - score) <= 1e-5, (uid, term, py[term], score)
+
+
+def test_scd2_intervals_partition_time(queries, spark):
+    """Per entity: versions are contiguous half-open intervals, exactly
+    one current, valid_from strictly increasing."""
+    rows = queries["s10_scd2_history"](spark, SF_DIR).collect()
+    by_ent: dict[int, list] = {}
+    for r in rows:
+        by_ent.setdefault(r["entity_id"], []).append(r)
+    for ent, vs in by_ent.items():
+        vs.sort(key=lambda r: r["valid_from"])
+        assert sum(1 for r in vs if r["is_current"]) == 1
+        assert vs[-1]["is_current"] and vs[-1]["valid_to"] is None
+        for a, b in zip(vs, vs[1:]):
+            assert a["valid_to"] == b["valid_from"] - 1  # contiguous, no gap
+
+
+def test_zorder_key_bijective_and_bounded(queries, spark):
+    """zval is a bijection of the (user mod 2^16, entity) cell and fits
+    in 2*ZORDER_BITS bits."""
+    from recommedation_system_under_flink_spark.operators.kernels_sql import (
+        ZORDER_BITS,
+    )
+
+    rows = queries["s11_zorder_key"](spark, SF_DIR).collect()
+    assert rows
+    cells = {(r["user_id"] % (1 << ZORDER_BITS), r["entity_id"]) for r in rows}
+    zvals = {r["zval"] for r in rows}
+    assert len(cells) == len(zvals)
+    assert all(0 <= r["zval"] < 1 << (2 * ZORDER_BITS) for r in rows)
