@@ -336,15 +336,26 @@ def vote_fixed_rounds(
     Each round is one join+aggregate shuffle on (key, term); edges and
     deg persist across rounds (callers pass persisted edges)."""
     d = DEFAULT_SCENE.friction
+    # The graph is symmetric, so neighborless words neither send nor
+    # receive: their score is the constant teleport (1-d) every round.
+    # The loop therefore runs over EDGE-words only — no per-round left
+    # join against the full vocabulary — and every edge-word receives
+    # ≥1 message per round (its neighbors are edge-words too), so the
+    # round is exactly one join + one aggregate.
     deg = (
         edges.groupBy(key, F.col("w").alias("term"))
         .agg(F.count("*").alias("deg"))
         .persist()
     )
-    scores = vocab.withColumn("score", F.lit(1.0 - d))
+    # Pre-attach the SENDER's degree to each edge once (messages carry
+    # score(n)/deg(n)) instead of re-joining deg every round.
+    edges_deg = edges.join(
+        deg.select(F.col(key), F.col("term").alias("n"), "deg"), [key, "n"]
+    ).persist()
+    scores = deg.select(key, "term").withColumn("score", F.lit(1.0 - d))
     for _ in range(TEXTRANK_SQL_ITERS - 1):
-        msgs = (
-            edges.join(
+        scores = (
+            edges_deg.join(
                 scores.select(
                     F.col(key).alias("s_key"),
                     F.col("term").alias("s_term"),
@@ -352,36 +363,20 @@ def vote_fixed_rounds(
                 ),
                 (F.col(key) == F.col("s_key")) & (F.col("n") == F.col("s_term")),
             )
-            .join(
-                deg.select(
-                    F.col(key).alias("d_key"),
-                    F.col("term").alias("d_term"),
-                    "deg",
-                ),
-                (F.col(key) == F.col("d_key")) & (F.col("n") == F.col("d_term")),
-            )
             .groupBy(key, "w")
-            .agg(F.sum(F.col("score") / F.col("deg")).alias("contrib"))
-        )
-        scores = (
-            vocab.join(
-                msgs.select(
-                    F.col(key).alias("m_key"),
-                    F.col("w").alias("m_term"),
-                    "contrib",
-                ),
-                (vocab[key] == F.col("m_key")) & (vocab.term == F.col("m_term")),
-                "left",
-            )
-            .select(
-                key,
-                "term",
+            .agg(
                 (
                     F.lit(1.0 - d)
-                    + F.lit(d) * F.coalesce("contrib", F.lit(0.0))
-                ).alias("score"),
+                    + F.lit(d) * F.sum(F.col("score") / F.col("deg"))
+                ).alias("score")
             )
+            .withColumnRenamed("w", "term")
         )
+    # Neighborless words re-attach with the constant teleport score.
+    singles = vocab.join(deg.select(key, "term"), [key, "term"], "left_anti")
+    scores = scores.unionByName(
+        singles.withColumn("score", F.lit(1.0 - d))
+    )
     from pyspark.sql import Window
 
     q = F.round(F.col("score"), 6)
