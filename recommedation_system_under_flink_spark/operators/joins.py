@@ -385,3 +385,105 @@ def j4_precision_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.sum("hit"), F.lit(0)).cast("double") / F.count("*")
         ).alias("precision"),
     )
+
+
+# ------------------------------------------------ J5 (ranking metrics)
+
+_J5_ORACLE = with_ctes(
+    f"""SELECT DATE '{TODAY}' AS date,
+       CAST(COUNT(*) AS BIGINT) AS n_users,
+       ROUND(AVG(p_at_k), 6) AS mean_precision,
+       ROUND(AVG(recall), 6) AS mean_recall,
+       ROUND(AVG(ndcg), 6) AS mean_ndcg
+FROM (
+  SELECT user_id,
+         SUM(hit) / COUNT(*) AS p_at_k,
+         SUM(hit) / ANY_VALUE(n_truth) AS recall,
+         SUM(hit / log2(rank + 1))
+           / SUM(CASE WHEN rank <= n_truth
+                      THEN 1 / log2(rank + 1) ELSE 0 END) AS ndcg
+  FROM (
+    SELECT r.user_id, r.rank, t.n_truth,
+           CASE WHEN c.news_id IS NOT NULL THEN 1.0 ELSE 0.0 END AS hit
+    FROM (
+      SELECT user_id, news_id, rank FROM (
+        SELECT user_id, news_id,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY score DESC, news_id ASC) AS rank
+        FROM (SELECT user_id, news_id, CAST(SUM(cnt) AS DOUBLE) AS score
+              FROM clicks GROUP BY user_id, news_id)
+      ) WHERE rank <= {DEFAULT_SCENE.num_recommendations}
+    ) r
+    JOIN (SELECT user_id, COUNT(DISTINCT news_id) AS n_truth FROM clicks
+          WHERE date = DATE '{TODAY}' GROUP BY user_id) t
+      ON r.user_id = t.user_id
+    LEFT JOIN (SELECT DISTINCT user_id, news_id FROM clicks
+               WHERE date = DATE '{TODAY}') c
+      ON r.user_id = c.user_id AND r.news_id = c.news_id
+  )
+  GROUP BY user_id
+)""",
+    CLICKS_CTE,
+)
+
+
+@register("j5_ranking_metrics", _J5_ORACLE)
+def j5_ranking_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking-quality metrics beyond the reference's raw precision
+    (J4): corpus-mean **precision@K, recall@K, NDCG@K** of the same
+    top-K recommendations against today's actual clicks. NDCG uses
+    binary gains with the standard 1/log2(rank+1) discount and the
+    ideal DCG of min(K, |truth|) hits; per-user ratios are exact
+    rationals of small counts except the log discounts, whose
+    cross-engine drift is ~1 ulp — the corpus means are rounded to 6
+    decimals on both sides.
+
+    Plan: identical skeleton to J4 (ranked recs ⋈ truth, both
+    broadcast-sized per day) plus one per-user aggregate — no new
+    shuffle shape; at 100 TB the metric job is a rounding error next
+    to the recommender it scores."""
+    from .ranking import K, _scores, top_k_rows
+
+    ranked = top_k_rows(
+        _scores(spark, sf_dir), "user_id", [F.desc("score"), F.asc("news_id")], K
+    ).select("user_id", "news_id", "rank")
+    truth = (
+        clicks(spark, sf_dir, date_from=TODAY, date_to=TODAY)
+        .select("user_id", "news_id")
+        .distinct()
+    )
+    n_truth = truth.groupBy("user_id").agg(
+        F.countDistinct("news_id").alias("n_truth")
+    )
+    per_user = (
+        ranked.join(F.broadcast(n_truth), "user_id")
+        .join(
+            F.broadcast(truth.withColumn("hit", F.lit(1.0))),
+            ["user_id", "news_id"],
+            "left",
+        )
+        .withColumn("hit", F.coalesce(F.col("hit"), F.lit(0.0)))
+        # per-row discount terms (n_truth is a per-user constant column
+        # here, so the ideal-DCG indicator is row-local)
+        .withColumn("dcg_term", F.col("hit") / F.log2(F.col("rank") + 1))
+        .withColumn(
+            "idcg_term",
+            F.when(
+                F.col("rank") <= F.col("n_truth"),
+                F.lit(1.0) / F.log2(F.col("rank") + 1),
+            ).otherwise(F.lit(0.0)),
+        )
+        .groupBy("user_id")
+        .agg(
+            (F.sum("hit") / F.count("*")).alias("p_at_k"),
+            (F.sum("hit") / F.first("n_truth")).alias("recall"),
+            (F.sum("dcg_term") / F.sum("idcg_term")).alias("ndcg"),
+        )
+    )
+    return per_user.agg(
+        F.lit(TODAY).cast("date").alias("date"),
+        F.count("*").alias("n_users"),
+        F.round(F.avg("p_at_k"), 6).alias("mean_precision"),
+        F.round(F.avg("recall"), 6).alias("mean_recall"),
+        F.round(F.avg("ndcg"), 6).alias("mean_ndcg"),
+    )
