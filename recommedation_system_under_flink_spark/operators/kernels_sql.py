@@ -682,3 +682,44 @@ def s11_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
             + ((e / (1 << b)).cast("long") % 2) * (1 << (2 * b + 1))
         )
     return ev.select("event_id", "user_id", "entity_id", z.alias("zval"))
+
+
+# -------------------------------------------- S12/S13 (more formats)
+
+@register(
+    "s12_jsonl_roundtrip",
+    "SELECT doc_id, lang, source, n_chars FROM documents",
+)
+def s12_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-lines source/sink: write documents metadata as JSONL, read
+    back with an EXPLICIT schema (no inference pass — at 100 TB schema
+    inference is a full extra scan), hash-verify the roundtrip. Text
+    content excluded for the same reason as CSV (free-text escaping is
+    format-lottery; parquet is the text carrier)."""
+    from ..sources import load_raw
+
+    out = os.path.join(tempfile.gettempdir(), "spark_graft_s12_jsonl")
+    subset = load_raw(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+    subset.write.mode("overwrite").json(out)
+    return spark.read.schema(
+        "doc_id long, lang string, source string, n_chars long"
+    ).json(out)
+
+
+@register(
+    "s13_orc_roundtrip",
+    "SELECT doc_id, text, lang, source, n_chars FROM documents",
+)
+def s13_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC source/sink: full documents table (text included — ORC is a
+    typed columnar format, no escaping lottery) written and re-read;
+    the oracle compares against the original parquet rows, so the
+    roundtrip must be lossless. Proves the engine is columnar-format
+    plural: parquet, CSV, JSONL, ORC all first-class."""
+    from ..sources import load_raw
+
+    out = os.path.join(tempfile.gettempdir(), "spark_graft_s13_orc")
+    load_raw(spark, sf_dir, "documents").write.mode("overwrite").orc(out)
+    return spark.read.orc(out)
