@@ -13,7 +13,7 @@ import datetime as dt
 import os
 import tempfile
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..config import DEFAULT_SCENE, TODAY
@@ -673,15 +673,23 @@ def s11_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = events_raw(spark, sf_dir).select(
         "event_id", "user_id", (F.col("event_id") % 1000).alias("entity_id")
     )
-    u = F.col("user_id").cast("long") % (1 << ZORDER_BITS)
-    e = F.col("entity_id").cast("long")
+    z = zorder_key(F.col("user_id"), F.col("entity_id"))
+    return ev.select("event_id", "user_id", "entity_id", z.alias("zval"))
+
+
+def zorder_key(u: Column, e: Column) -> Column:
+    """Morton interleave of two long columns (``u`` in even bit
+    positions, ``e`` in odd), ``ZORDER_BITS`` bits per dimension.
+    Division/modulo only — exact on both engines, no bit operators."""
+    u = u.cast("long") % (1 << ZORDER_BITS)
+    e = e.cast("long")
     z = F.lit(0).cast("long")
     for b in range(ZORDER_BITS):
         z = z + (
             ((u / (1 << b)).cast("long") % 2) * (1 << (2 * b))
             + ((e / (1 << b)).cast("long") % 2) * (1 << (2 * b + 1))
         )
-    return ev.select("event_id", "user_id", "entity_id", z.alias("zval"))
+    return z
 
 
 # -------------------------------------------- S12/S13 (more formats)

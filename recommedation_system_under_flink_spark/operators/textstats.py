@@ -492,3 +492,55 @@ def ts_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         (cum / PACK_BUDGET).cast("long").alias("bin_id"),
         (cum % PACK_BUDGET).cast("long").alias("bin_offset"),
     )
+
+
+# -------------------------------------- unigram log-prob quality score
+
+@register(
+    "ts_unigram_logprob",
+    f"""WITH toks AS (
+  SELECT doc_id, unnest({_TOKENS_SQL}) AS term FROM documents
+), freq AS (
+  SELECT term, COUNT(*) AS c FROM toks GROUP BY term
+), total AS (
+  SELECT SUM(c) AS n FROM freq
+)
+SELECT t.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       ROUND(SUM(log2(CAST(f.c AS DOUBLE) / (SELECT n FROM total)))
+             / COUNT(*), 6) AS mean_log2_prob
+FROM toks t JOIN freq f ON t.term = f.term
+GROUP BY t.doc_id""",
+)
+def ts_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-statistics quality score: per-doc mean unigram
+    log₂-probability under the corpus's own unigram model — the
+    SQL-expressible core of a perplexity filter (docs whose tokens are
+    improbable under the corpus distribution are boilerplate/garbage
+    candidates; very high scores flag degenerate repetition). Unlike
+    the heuristic `ts_quality_score`, this one is *trained on the
+    data*: one aggregation pass builds the model, one join applies it.
+
+    Scale: the model is |vocab| rows (map-side-combinable count), the
+    scoring join shuffles on term — same inverted-index shape as
+    TF-IDF A5. No smoothing needed: every scored token exists in the
+    model by construction (it came from the corpus). Quantized to 6
+    decimals: log2 may differ by ~1 ulp between libm and the JVM."""
+    toks = load_raw(spark, sf_dir, "documents").select(
+        "doc_id", F.explode(_tokens(F.col("text"))).alias("term")
+    )
+    freq = toks.groupBy("term").agg(F.count("*").alias("c"))
+    total = freq.agg(F.sum("c").alias("n"))
+    return (
+        toks.join(freq, "term")
+        .crossJoin(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.round(
+                F.sum(F.log2(F.col("c").cast("double") / F.col("n")))
+                / F.count("*"),
+                6,
+            ).alias("mean_log2_prob"),
+        )
+    )

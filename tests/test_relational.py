@@ -177,3 +177,56 @@ def test_zorder_key_bijective_and_bounded(queries, spark):
     zvals = {r["zval"] for r in rows}
     assert len(cells) == len(zvals)
     assert all(0 <= r["zval"] < 1 << (2 * ZORDER_BITS) for r in rows)
+
+
+def test_zorder_layout_narrows_file_stats(spark):
+    """Writing sorted by zval must give each output file a narrower
+    min/max envelope in BOTH dimensions than an unordered write — the
+    stats-pruning property OPTIMIZE ZORDER exists for (a reader with a
+    predicate on either column can skip most files). Tested on a full
+    256×256 grid: the fixture's user domain is too small (~15 ids) to
+    exhibit narrowing, the mechanism isn't."""
+    import glob
+    import os
+    import tempfile
+
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from recommedation_system_under_flink_spark.operators.kernels_sql import (
+        zorder_key,
+    )
+
+    grid = spark.range(256 * 256).select(
+        (F.col("id") % 256).alias("u"),
+        (F.col("id") / 256).cast("long").alias("e"),
+    )
+    zdf = grid.withColumn("zval", zorder_key(F.col("u"), F.col("e")))
+
+    def spreads(path):
+        per_file = []
+        for f in glob.glob(os.path.join(path, "*.parquet")):
+            t = pq.read_table(f, columns=["u", "e"])
+            if t.num_rows == 0:
+                continue
+            u = t.column("u").to_pylist()
+            e = t.column("e").to_pylist()
+            per_file.append((max(u) - min(u), max(e) - min(e)))
+        assert len(per_file) >= 8
+        n = len(per_file)
+        return (
+            sum(s[0] for s in per_file) / n,
+            sum(s[1] for s in per_file) / n,
+        )
+
+    base = os.path.join(tempfile.gettempdir(), "spark_graft_zorder_test")
+    zdf.repartitionByRange(16, "zval").sortWithinPartitions("zval").write.mode(
+        "overwrite"
+    ).parquet(base + "_z")
+    zdf.repartition(16).write.mode("overwrite").parquet(base + "_naive")
+    zu, ze = spreads(base + "_z")
+    nu, ne = spreads(base + "_naive")
+    # 16 z-range files on a 256×256 grid fix the top 2 bits of each
+    # dimension → ~quarter-range envelopes; unordered files span ~full
+    assert zu < 0.5 * nu, (zu, nu)
+    assert ze < 0.5 * ne, (ze, ne)
