@@ -471,3 +471,125 @@ def a3_user_keywords_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     vocab = ut.select("user_id", "term").distinct().persist()
     return vote_fixed_rounds(edges, vocab, "user_id", DEFAULT_SCENE.num_user_keywords)
+
+
+def _a3_windowed_sql_oracle() -> str:
+    """DuckDB twin of :func:`a3_user_keywords_windowed_distributed`:
+    tweets replicated to each loop day they serve, the clique chain
+    keyed on a synthesized ``(day, user)`` long (``epoch_day·10⁶ +
+    user_id`` — the shared vote CTEs take one key column), decomposed
+    back at the end."""
+    from ..config import TODAY
+    from ..functions.text import STOPWORDS, TOKEN_SPLIT_REGEX
+    from ..sources import TWEETS_CTE, with_ctes
+
+    stop_sql = ", ".join(f"'{w}'" for w in STOPWORDS)
+    nd = DEFAULT_SCENE.num_days
+    lo = DEFAULT_SCENE.from_date.isoformat()
+    hi = TODAY.isoformat()
+    ctes = [
+        TWEETS_CTE,
+        f"""served AS (
+  SELECT CAST(epoch(day) // 86400 AS BIGINT) * 1000000 + user_id AS duk,
+         tweet_id, content
+  FROM tweets,
+  LATERAL (SELECT unnest(generate_series(
+             GREATEST(date, DATE '{lo}'),
+             LEAST(date + {nd - 1}, DATE '{hi}'),
+             INTERVAL 1 DAY))::DATE AS day)
+  WHERE date <= DATE '{hi}' AND date + {nd - 1} >= DATE '{lo}'
+)""",
+        f"""ut AS (
+  SELECT DISTINCT duk, tweet_id, term FROM (
+    SELECT duk, tweet_id,
+           unnest(list_filter(
+             string_split_regex(lower(content), '{TOKEN_SPLIT_REGEX}'),
+             t -> t <> '' AND t NOT IN ({stop_sql}))) AS term
+    FROM served
+  )
+)""",
+        """tr_edges AS (
+  SELECT DISTINCT a.duk, a.term AS w, b.term AS n
+  FROM ut a JOIN ut b ON a.duk = b.duk AND a.tweet_id = b.tweet_id
+                      AND a.term <> b.term
+)""",
+        "vocab AS (SELECT DISTINCT duk, term FROM ut)",
+    ]
+    ctes += _vote_sql("duk", DEFAULT_SCENE.num_user_keywords)
+    body = """SELECT CAST(TO_TIMESTAMP((duk // 1000000) * 86400) AS DATE) AS day,
+       duk % 1000000 AS user_id, term, score
+FROM kw"""
+    return with_ctes(body, *ctes)
+
+
+@register("a3_windowed_distributed", _a3_windowed_sql_oracle())
+def a3_user_keywords_windowed_distributed(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The all-days windowed A3 (every loop day × trailing tweet
+    window) in fully distributed form: tweet→serving-day replication
+    (bounded ×num_days explode, the daily-loop amortization), clique
+    edges per (day, user), and the shared fixed-round vote — zero
+    UDFs, whole thing hash-verified. The (day, user) key is synthesized
+    as one long (``epoch_day·10⁶ + user_id``) so the shared vote core
+    and its CTE twin stay single-key."""
+    from ..config import TODAY
+    from ..functions.text import STOPWORDS, TOKEN_SPLIT_REGEX
+
+    scene = DEFAULT_SCENE
+    lo = F.lit(scene.from_date.isoformat()).cast("date")
+    hi = F.lit(TODAY.isoformat()).cast("date")
+    last_served = F.date_add(F.col("date"), scene.num_days - 1)
+    stop = F.array(*[F.lit(s) for s in STOPWORDS])
+    toks = F.filter(
+        F.split(F.lower(F.col("content")), TOKEN_SPLIT_REGEX),
+        lambda t: (t != "") & ~F.array_contains(stop, t),
+    )
+    served = (
+        tweets(spark, sf_dir)
+        .filter((F.col("date") <= hi) & (last_served >= lo))
+        .select(
+            F.explode(
+                F.sequence(F.greatest(F.col("date"), lo), F.least(last_served, hi))
+            ).alias("day"),
+            "tweet_id",
+            "content",
+            "user_id",
+        )
+        .select(
+            (
+                F.datediff(F.col("day"), F.lit("1970-01-01").cast("date")).cast(
+                    "long"
+                )
+                * 1_000_000
+                + F.col("user_id")
+            ).alias("duk"),
+            "tweet_id",
+            "content",
+        )
+    )
+    ut = served.select("duk", "tweet_id", F.explode(toks).alias("term")).distinct()
+    a = ut.alias("a")
+    b = ut.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.duk") == F.col("b.duk"))
+            & (F.col("a.tweet_id") == F.col("b.tweet_id"))
+            & (F.col("a.term") != F.col("b.term")),
+        )
+        .select(F.col("a.duk").alias("duk"), F.col("a.term").alias("w"), F.col("b.term").alias("n"))
+        .distinct()
+        .persist()
+    )
+    vocab = ut.select("duk", "term").distinct().persist()
+    kw = vote_fixed_rounds(edges, vocab, "duk", scene.num_user_keywords)
+    return kw.select(
+        F.date_add(
+            F.lit("1970-01-01").cast("date"),
+            (F.col("duk") / 1_000_000).cast("int"),
+        ).alias("day"),
+        (F.col("duk") % 1_000_000).alias("user_id"),
+        "term",
+        "score",
+    )
