@@ -1,0 +1,177 @@
+"""Item-item collaborative filtering over the click log.
+
+The reference's three recommenders are content-based (TF-IDF, TextRank)
+or popularity-based (HotTopics); the classic *behavioral* recommender —
+item-item CF, "users who read X also read Y" — completes the family
+using nothing but the click log the engine already derives.
+
+Construction (all Catalyst, fully oracle-checkable):
+
+1. Binary preference matrix: distinct ``(user, news)`` clicks.
+2. Item co-occurrence via the **inverted-index** pattern (self-join on
+   ``user_id`` — never an item×item cross): ``cooc(a, b) = |users who
+   clicked both|``.
+3. Cosine on binary vectors: ``sim(a, b) = cooc / sqrt(pop_a · pop_b)``
+   — exact rationals of counts under one sqrt; quantized to 6 decimals
+   for rank stability.
+4. Top-K neighbors per item (pinned ties).
+5. User recommendations: score every neighbor of the user's clicked
+   items by summed similarity, drop already-clicked, top-K per user.
+
+Scale notes (100 TB): step 2's pair generation is Σ_u deg(u)² — the
+standard item-CF hot spot. Uniform users are fine (bounded daily
+degree); power users need the standard mitigations, both mechanical
+here: a deterministic per-user interaction cap before the self-join
+(drop or sample the heaviest histories — industry practice, e.g. the
+"frequent-clicker" truncation) and/or the hot-key salting pattern from
+``j3_scored_join_salted``. The neighbor table (step 4) is K rows per
+item — broadcast-sized per news corpus, which is what makes step 5 a
+map-side join at serving time.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import Window
+
+from ..config import DEFAULT_SCENE
+from ..registry import register
+from ..sources import CLICKS_CTE, clicks, with_ctes
+
+#: Neighbors kept per item / recommendations per user.
+CF_NEIGHBORS = 10
+CF_RECS = DEFAULT_SCENE.num_recommendations
+
+_PREFS_CTE = "prefs AS (SELECT DISTINCT user_id, news_id FROM clicks)"
+_POP_CTE = "pop AS (SELECT news_id, COUNT(*) AS pop FROM prefs GROUP BY news_id)"
+_SIMS_CTE = """sims AS (
+  SELECT c.news_a, c.news_b,
+         ROUND(c.cooc / sqrt(pa.pop * pb.pop), 6) AS sim
+  FROM (
+    SELECT a.news_id AS news_a, b.news_id AS news_b, CAST(COUNT(*) AS DOUBLE) AS cooc
+    FROM prefs a JOIN prefs b
+      ON a.user_id = b.user_id AND a.news_id <> b.news_id
+    GROUP BY 1, 2
+  ) c
+  JOIN pop pa ON c.news_a = pa.news_id
+  JOIN pop pb ON c.news_b = pb.news_id
+)"""
+_NEIGHBORS_CTE = f"""neighbors AS (
+  SELECT news_a, news_b, sim FROM (
+    SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY news_a ORDER BY sim DESC, news_b ASC) AS rnk
+    FROM sims
+  ) WHERE rnk <= {CF_NEIGHBORS}
+)"""
+
+
+@register(
+    "cf_item_neighbors",
+    with_ctes(
+        "SELECT news_a, news_b, sim FROM neighbors",
+        CLICKS_CTE,
+        _PREFS_CTE,
+        _POP_CTE,
+        _SIMS_CTE,
+        _NEIGHBORS_CTE,
+    ),
+)
+def cf_item_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-K most-similar items per item (binary-cosine item-item CF).
+    The model table a serving layer would broadcast."""
+    prefs = clicks(spark, sf_dir).select("user_id", "news_id").distinct()
+    pop = prefs.groupBy("news_id").agg(F.count("*").alias("pop"))
+    a = prefs.alias("a")
+    b = prefs.alias("b")
+    cooc = (
+        a.join(
+            b,
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("a.news_id") != F.col("b.news_id")),
+        )
+        .groupBy(
+            F.col("a.news_id").alias("news_a"), F.col("b.news_id").alias("news_b")
+        )
+        .agg(F.count("*").cast("double").alias("cooc"))
+    )
+    sims = (
+        cooc.join(
+            F.broadcast(pop.select(F.col("news_id").alias("news_a"), F.col("pop").alias("pa"))),
+            "news_a",
+        )
+        .join(
+            F.broadcast(pop.select(F.col("news_id").alias("news_b"), F.col("pop").alias("pb"))),
+            "news_b",
+        )
+        .select(
+            "news_a",
+            "news_b",
+            F.round(F.col("cooc") / F.sqrt(F.col("pa") * F.col("pb")), 6).alias(
+                "sim"
+            ),
+        )
+    )
+    w = Window.partitionBy("news_a").orderBy(F.desc("sim"), F.asc("news_b"))
+    return (
+        sims.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= CF_NEIGHBORS)
+        .select("news_a", "news_b", "sim")
+    )
+
+
+@register(
+    "cf_user_recommendations",
+    with_ctes(
+        f"""SELECT user_id, news_id, score FROM (
+  SELECT s.user_id, s.news_id, s.score,
+         ROW_NUMBER() OVER (
+           PARTITION BY s.user_id ORDER BY s.score DESC, s.news_id ASC) AS rnk
+  FROM (
+    SELECT p.user_id, n.news_b AS news_id, ROUND(SUM(n.sim), 6) AS score
+    FROM prefs p
+    JOIN neighbors n ON p.news_id = n.news_a
+    LEFT JOIN prefs seen ON seen.user_id = p.user_id AND seen.news_id = n.news_b
+    WHERE seen.news_id IS NULL
+    GROUP BY p.user_id, n.news_b
+  ) s
+) WHERE rnk <= {CF_RECS}""",
+        CLICKS_CTE,
+        _PREFS_CTE,
+        _POP_CTE,
+        _SIMS_CTE,
+        _NEIGHBORS_CTE,
+    ),
+)
+def cf_user_recommendations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Item-CF user recommendations: each clicked item votes its
+    similarity onto its neighbors; already-clicked items are excluded
+    (left-anti); top-K per user with pinned ties. Scores sum quantized
+    similarities (each already 6-dp) and re-quantize — positive sums of
+    ≤K small terms, hash-stable.
+
+    Plan: prefs ⋈ broadcast(neighbor model) → anti-join own history →
+    per-user aggregate + window. The neighbor model is K·|items| rows —
+    the broadcast that makes this a single-shuffle recommender."""
+    prefs = clicks(spark, sf_dir).select("user_id", "news_id").distinct()
+    neighbors = cf_item_neighbors(spark, sf_dir)
+    scored = (
+        prefs.join(
+            F.broadcast(neighbors),
+            prefs.news_id == neighbors.news_a,
+        )
+        .select("user_id", F.col("news_b").alias("cand"), "sim")
+        .join(
+            prefs.select("user_id", F.col("news_id").alias("cand")),
+            ["user_id", "cand"],
+            "left_anti",
+        )
+        .groupBy("user_id", F.col("cand").alias("news_id"))
+        .agg(F.round(F.sum("sim"), 6).alias("score"))
+    )
+    w = Window.partitionBy("user_id").orderBy(F.desc("score"), F.asc("news_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= CF_RECS)
+        .select("user_id", "news_id", "score")
+    )

@@ -76,6 +76,7 @@ _QUERY_MODULES = (
     "operators.multimodal",
     "operators.kernels_sql",
     "operators.relational",
+    "operators.cf",
     "plans.pipelines",
     "plans.als",
     "plans.curation",

@@ -230,3 +230,31 @@ def test_zorder_layout_narrows_file_stats(spark):
     # dimension → ~quarter-range envelopes; unordered files span ~full
     assert zu < 0.5 * nu, (zu, nu)
     assert ze < 0.5 * ne, (ze, ne)
+
+
+def test_cf_sims_match_binary_cosine(queries, spark):
+    """Item-neighbor similarities equal the hand-computed binary cosine
+    from the raw click sets; user recs never include already-clicked
+    items and respect the top-K bound."""
+    import math
+
+    from recommedation_system_under_flink_spark.operators.cf import CF_RECS
+    from recommedation_system_under_flink_spark.sources import clicks
+
+    prefs: dict[int, set[int]] = {}
+    by_news: dict[int, set[int]] = {}
+    for r in clicks(spark, SF_DIR).select("user_id", "news_id").distinct().collect():
+        prefs.setdefault(r["user_id"], set()).add(r["news_id"])
+        by_news.setdefault(r["news_id"], set()).add(r["user_id"])
+
+    for r in queries["cf_item_neighbors"](spark, SF_DIR).collect():
+        ua, ub = by_news[r["news_a"]], by_news[r["news_b"]]
+        expect = len(ua & ub) / math.sqrt(len(ua) * len(ub))
+        assert abs(r["sim"] - expect) <= 1e-6, (r, expect)
+
+    seen_counts: dict[int, int] = {}
+    for r in queries["cf_user_recommendations"](spark, SF_DIR).collect():
+        assert r["news_id"] not in prefs[r["user_id"]]
+        seen_counts[r["user_id"]] = seen_counts.get(r["user_id"], 0) + 1
+    assert seen_counts
+    assert max(seen_counts.values()) <= CF_RECS
