@@ -54,6 +54,8 @@ HEADLINE = (
     "dedup_neardup_canonical",
     "p1_news_keywords_distributed",
     "textrank_pipeline_distributed",
+    "cf_user_recommendations",
+    "graph_ppr_recommend",
 )
 
 

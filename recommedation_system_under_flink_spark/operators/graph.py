@@ -221,3 +221,139 @@ def graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
     for lv in levels[1:]:
         out = out.unionByName(lv)
     return out.groupBy("node").agg(F.min("dist").cast("int").alias("dist"))
+
+
+#: Personalized-PageRank iterations (pinned for oracle parity).
+PPR_ITERS = 3
+
+
+def _ppr_oracle(iters: int = PPR_ITERS, d: float = PAGERANK_D) -> str:
+    """DuckDB twin of :func:`graph_ppr_recommend`: same seed, same
+    unrolled restart-walk iterations, same exclusion + quantized
+    top-K."""
+    ctes = [
+        CLICKS_CTE,
+        "pairs AS (SELECT DISTINCT user_id, news_id FROM clicks)",
+        """edges AS (
+  SELECT user_id * 2 AS src, news_id * 2 + 1 AS dst FROM pairs
+  UNION ALL
+  SELECT news_id * 2 + 1, user_id * 2 FROM pairs
+)""",
+        "deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS d FROM edges GROUP BY src)",
+        "seed AS (SELECT MIN(user_id) * 2 AS node FROM pairs)",
+        "r0 AS (SELECT node, 1.0 AS r FROM seed)",
+    ]
+    prev = "r0"
+    for i in range(1, iters + 1):
+        ctes.append(
+            f"""r{i} AS (
+  SELECT node,
+         CASE WHEN node = (SELECT node FROM seed) THEN {1 - d} ELSE 0 END
+           + {d} * COALESCE(walk.w, 0) AS r
+  FROM (
+    SELECT deg.src AS node FROM deg
+  ) nodes
+  LEFT JOIN (
+    SELECT e.dst AS node, SUM({prev}.r / deg.d) AS w
+    FROM edges e
+    JOIN {prev} ON e.src = {prev}.node
+    JOIN deg ON deg.src = e.src
+    GROUP BY e.dst
+  ) walk USING (node)
+)"""
+        )
+        prev = f"r{i}"
+    body = f"""SELECT news_id, score FROM (
+  SELECT (node - 1) // 2 AS news_id, ROUND(r, 9) AS score,
+         ROW_NUMBER() OVER (ORDER BY ROUND(r, 9) DESC, node ASC) AS rnk
+  FROM {prev}
+  WHERE node % 2 = 1
+    AND r > 0
+    AND (node - 1) // 2 NOT IN (
+      SELECT news_id FROM pairs WHERE user_id * 2 = (SELECT node FROM seed))
+) WHERE rnk <= 10"""
+    return with_ctes(body, *ctes)
+
+
+@register("graph_ppr_recommend", _ppr_oracle())
+def graph_ppr_recommend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """**Personalized PageRank** recommendations for a pinned seed user
+    (the smallest clicking user_id): a restart walk on the click
+    bipartite graph where ALL teleport mass returns to the seed, so
+    rank concentrates in the seed's multi-hop neighborhood — the
+    graph-based personalized recommender (cf. item-CF's one-hop
+    co-occurrence: PPR is its multi-hop generalization). Already-read
+    news are excluded; top-10 by quantized score with pinned ties.
+
+    Same BSP loop as :func:`graph_pagerank_clicks` with two deltas: the
+    teleport term is the seed indicator instead of 1/N, and unranked
+    nodes stay at 0 (mass spreads outward from the seed). At 100 TB a
+    per-user serving path would batch many seeds as one (seed, node)
+    keyed loop — same plan, one more key column."""
+    from ..sources import clicks as clicks_table
+
+    pairs = clicks_table(spark, sf_dir).select("user_id", "news_id").distinct()
+    edges = (
+        pairs.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        (F.col("user_id") * 2).alias("src"),
+                        (F.col("news_id") * 2 + 1).alias("dst"),
+                    ),
+                    F.struct(
+                        (F.col("news_id") * 2 + 1).alias("src"),
+                        (F.col("user_id") * 2).alias("dst"),
+                    ),
+                )
+            ).alias("e")
+        )
+        .select("e.src", "e.dst")
+        .persist()
+    )
+    deg = edges.groupBy("src").agg(F.count("*").cast("long").alias("d")).persist()
+    seed_row = pairs.agg(F.min("user_id").alias("m")).first()
+    if seed_row is None or seed_row["m"] is None:
+        edges.unpersist()
+        deg.unpersist()
+        return spark.createDataFrame([], "news_id long, score double")
+
+    seed = int(seed_row["m"]) * 2
+    d = PAGERANK_D
+    ranks = spark.createDataFrame([(seed, 1.0)], "src long, r double")
+    nodes = deg.select("src")
+    for _ in range(PPR_ITERS):
+        walk = (
+            edges.join(ranks, "src")
+            .join(deg, "src")
+            .groupBy(F.col("dst").alias("src"))
+            .agg(F.sum(F.col("r") / F.col("d")).alias("w"))
+        )
+        ranks = nodes.join(walk, "src", "left").select(
+            "src",
+            (
+                F.when(F.col("src") == seed, F.lit(1.0 - d)).otherwise(F.lit(0.0))
+                + F.lit(d) * F.coalesce("w", F.lit(0.0))
+            ).alias("r"),
+        )
+    clicked = pairs.filter(F.col("user_id") * 2 == seed).select("news_id")
+    from pyspark.sql import Window
+
+    out = (
+        ranks.filter((F.col("src") % 2 == 1) & (F.col("r") > 0))
+        .select(
+            ((F.col("src") - 1) / 2).cast("long").alias("news_id"),
+            F.round("r", 9).alias("score"),
+            F.col("src").alias("node"),
+        )
+        .join(F.broadcast(clicked), "news_id", "left_anti")
+        .withColumn(
+            "rnk",
+            F.row_number().over(
+                Window.orderBy(F.desc("score"), F.asc("node"))
+            ),
+        )
+        .filter(F.col("rnk") <= 10)
+        .select("news_id", "score")
+    )
+    return out
