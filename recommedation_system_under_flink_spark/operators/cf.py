@@ -175,3 +175,71 @@ def cf_user_recommendations(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= CF_RECS)
         .select("user_id", "news_id", "score")
     )
+
+
+# ---------------------------------------------- next-item transitions
+
+@register(
+    "cf_next_item_transitions",
+    with_ctes(
+        f"""SELECT news_a, news_b, n_follows, prob FROM (
+  SELECT news_a, news_b, n_follows,
+         ROUND(n_follows / SUM(n_follows) OVER (PARTITION BY news_a), 6) AS prob,
+         ROW_NUMBER() OVER (PARTITION BY news_a
+                            ORDER BY n_follows DESC, news_b ASC) AS rnk
+  FROM (
+    SELECT news_a, news_b, CAST(COUNT(*) AS DOUBLE) AS n_follows
+    FROM (
+      SELECT news_id AS news_b,
+             LAG(news_id) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS news_a
+      FROM (SELECT user_id, event_id % 500 AS news_id, ts, event_id
+            FROM events WHERE event_type = 'click')
+    )
+    WHERE news_a IS NOT NULL AND news_a <> news_b
+    GROUP BY news_a, news_b
+  )
+) WHERE rnk <= {CF_NEIGHBORS}""",
+        ),
+)
+def cf_next_item_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-aware recommender model: first-order **next-item
+    transition matrix** — for each news item, the top-K items users
+    click immediately after it, with the empirical transition
+    probability. Complements item-CF (order-free co-occurrence) with
+    click-ORDER information; self-transitions (reloads) excluded.
+
+    One lag window over (user, time) builds every consecutive pair in
+    a single shuffle on user_id — no self-join at all (the CF pair join
+    is replaced by sequence adjacency). The probability normalizer is a
+    second window over news_a. At 100 TB: both windows are
+    hash-partitioned, the transition matrix is top-K-truncated per
+    item, and serving is the same broadcast-model join as item-CF."""
+    from ..sources import events_raw
+    from ..sources.tables import NEWS_MOD
+
+    ev = events_raw(spark, sf_dir).filter(F.col("event_type") == "click").select(
+        "user_id",
+        (F.col("event_id") % NEWS_MOD).alias("news_id"),
+        "ts",
+        "event_id",
+    )
+    seq = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        ev.withColumn("news_a", F.lag("news_id").over(seq))
+        .filter(F.col("news_a").isNotNull() & (F.col("news_a") != F.col("news_id")))
+        .groupBy("news_a", F.col("news_id").alias("news_b"))
+        .agg(F.count("*").cast("double").alias("n_follows"))
+    )
+    norm = Window.partitionBy("news_a")
+    rank = Window.partitionBy("news_a").orderBy(
+        F.desc("n_follows"), F.asc("news_b")
+    )
+    return (
+        pairs.withColumn(
+            "prob", F.round(F.col("n_follows") / F.sum("n_follows").over(norm), 6)
+        )
+        .withColumn("rnk", F.row_number().over(rank))
+        .filter(F.col("rnk") <= CF_NEIGHBORS)
+        .select("news_a", "news_b", "n_follows", "prob")
+    )
