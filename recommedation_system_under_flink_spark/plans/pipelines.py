@@ -408,3 +408,114 @@ def textrank_pipeline_distributed(spark: SparkSession, sf_dir: str) -> DataFrame
     return ranked_list(ranked, "user_id").select(
         "user_id", F.lit(TODAY).cast("date").alias("date"), "news"
     )
+
+
+# -------------------------------- hybrid rank fusion (content + CF)
+
+#: Reciprocal-rank-fusion constant (the standard k=60).
+RRF_K = 60
+
+
+def _hybrid_rrf_oracle() -> str:
+    """Composed oracle: the TF-IDF J3 content ranking chain AND the
+    item-CF chain in one WITH clause, RRF-merged. Every CTE is reused
+    verbatim from its owning oracle — the composition is checked, not
+    re-derived."""
+    from ..operators.cf import (
+        CF_RECS,
+        _NEIGHBORS_CTE,
+        _POP_CTE,
+        _PREFS_CTE,
+        _SIMS_CTE,
+    )
+
+    ctes = [
+        CLICKS_CTE,
+        *_NEWS_KW_CHAIN,
+        *_USER_KW_CHAIN,
+        f"content_scored AS ({_J3_BODY})",
+        f"""content_ranked AS (
+  SELECT user_id, news_id,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY score DESC, news_id ASC) AS rnk
+  FROM content_scored
+  QUALIFY rnk <= {K}
+)""",
+        _PREFS_CTE,
+        _POP_CTE,
+        _SIMS_CTE,
+        _NEIGHBORS_CTE,
+        f"""cf_ranked AS (
+  SELECT user_id, news_id,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY score DESC, news_id ASC) AS rnk
+  FROM (
+    SELECT p.user_id, n.news_b AS news_id, ROUND(SUM(n.sim), 6) AS score
+    FROM prefs p
+    JOIN neighbors n ON p.news_id = n.news_a
+    LEFT JOIN prefs seen ON seen.user_id = p.user_id AND seen.news_id = n.news_b
+    WHERE seen.news_id IS NULL
+    GROUP BY p.user_id, n.news_b
+  )
+  QUALIFY rnk <= {CF_RECS}
+)""",
+    ]
+    return with_ctes(
+        f"""SELECT user_id, news_id, rrf FROM (
+  SELECT user_id, news_id,
+         ROUND(SUM(1.0 / ({RRF_K} + rnk)), 9) AS rrf,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY SUM(1.0 / ({RRF_K} + rnk)) DESC,
+                                     news_id ASC) AS out_rnk
+  FROM (
+    SELECT * FROM content_ranked
+    UNION ALL
+    SELECT * FROM cf_ranked
+  )
+  GROUP BY user_id, news_id
+) WHERE out_rnk <= {K}""",
+        *ctes,
+    )
+
+
+@register("hybrid_rrf_recommend", _hybrid_rrf_oracle())
+def hybrid_rrf_recommend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid recommender: **reciprocal rank fusion** of the
+    content-based ranking (TF-IDF scored join, J3) and the behavioral
+    ranking (item-item CF) — ``score = Σ 1/(60 + rank)`` over both
+    lists. Rank fusion is scale-free (no score normalization to get
+    wrong between heterogeneous models) and integer-rank-deterministic,
+    so the blend is hash-exact across engines.
+
+    Plan: both component rankings already end in per-user window
+    top-Ks; fusion is a union + one more per-user aggregate+window. A
+    serving layer would materialize the two model tables and fuse at
+    query time — the union shape here is exactly that join-free
+    fusion."""
+    from pyspark.sql import Window
+
+    from ..operators.cf import cf_user_recommendations
+
+    content = top_k_rows(
+        j3_scored_join(spark, sf_dir),
+        "user_id",
+        [F.desc("score"), F.asc("news_id")],
+        K,
+    ).select("user_id", "news_id", "rank")
+    w_cf = Window.partitionBy("user_id").orderBy(F.desc("score"), F.asc("news_id"))
+    cf = (
+        cf_user_recommendations(spark, sf_dir)
+        .withColumn("rank", F.row_number().over(w_cf))
+        .select("user_id", "news_id", "rank")
+    )
+    fused = (
+        content.unionByName(cf)
+        .groupBy("user_id", "news_id")
+        .agg(F.round(F.sum(1.0 / (F.lit(RRF_K) + F.col("rank"))), 9).alias("rrf"))
+    )
+    w_out = Window.partitionBy("user_id").orderBy(F.desc("rrf"), F.asc("news_id"))
+    return (
+        fused.withColumn("out_rnk", F.row_number().over(w_out))
+        .filter(F.col("out_rnk") <= K)
+        .select("user_id", "news_id", "rrf")
+    )
