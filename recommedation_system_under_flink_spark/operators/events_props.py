@@ -298,3 +298,66 @@ def ev_daily_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.abs(z) > ANOMALY_Z).alias("anomaly"),
         )
     )
+
+
+# --------------------------------------------------- RFM segmentation
+
+@register(
+    "ev_user_rfm",
+    """WITH base AS (
+  SELECT user_id,
+         CAST(MAX(CAST(ts AS DATE)) AS DATE) AS last_day,
+         CAST(COUNT(*) AS BIGINT) AS frequency,
+         CAST(SUM(CASE WHEN event_type = 'purchase' THEN value ELSE 0 END)
+              AS DECIMAL(18,6)) AS monetary
+  FROM events GROUP BY user_id
+)
+SELECT user_id, last_day, frequency,
+       CAST(monetary AS DOUBLE) AS monetary,
+       CAST(NTILE(4) OVER (ORDER BY last_day DESC, user_id ASC) AS INTEGER) AS r_quartile,
+       CAST(NTILE(4) OVER (ORDER BY frequency DESC, user_id ASC) AS INTEGER) AS f_quartile,
+       CAST(NTILE(4) OVER (ORDER BY monetary DESC, user_id ASC) AS INTEGER) AS m_quartile
+FROM base""",
+)
+def ev_user_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM user segmentation — the classic marketing-analytics
+    workload: per-user Recency (last active day), Frequency (event
+    count), Monetary (purchase value, summed as exact DECIMAL so the
+    quartile sort key is deterministic), each bucketed into quartiles
+    via ``ntile`` with a pinned user_id tiebreak.
+
+    Scale caveat (honest): ``ntile`` over an UN-partitioned window is a
+    single-reducer sort — fine for a per-segment report, wrong as a
+    100 TB primitive. The scalable form of the same statistic is
+    `sk_value_quantiles`-style approximate quantiles to derive bucket
+    boundaries, then a map-side bucket assignment; this query is the
+    exact twin that validates that path."""
+    from ..sources import events_raw
+    from ..sources.tables import ts_date
+    from pyspark.sql import Window
+
+    base = (
+        events_raw(spark, sf_dir)
+        .groupBy("user_id")
+        .agg(
+            F.max(ts_date("ts")).alias("last_day"),
+            F.count("*").alias("frequency"),
+            F.sum(
+                F.when(
+                    F.col("event_type") == "purchase", F.col("value")
+                ).otherwise(F.lit(0.0)).cast("decimal(18,6)")
+            ).alias("monetary_dec"),
+        )
+    )
+    r_w = Window.orderBy(F.desc("last_day"), F.asc("user_id"))
+    f_w = Window.orderBy(F.desc("frequency"), F.asc("user_id"))
+    m_w = Window.orderBy(F.desc("monetary_dec"), F.asc("user_id"))
+    return base.select(
+        "user_id",
+        "last_day",
+        "frequency",
+        F.col("monetary_dec").cast("double").alias("monetary"),
+        F.ntile(4).over(r_w).cast("int").alias("r_quartile"),
+        F.ntile(4).over(f_w).cast("int").alias("f_quartile"),
+        F.ntile(4).over(m_w).cast("int").alias("m_quartile"),
+    )
