@@ -250,3 +250,69 @@ def mm_binary_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "media_id long, modality string, n_bytes long, entropy double, "
         "n_distinct long, printable_ratio double",
     )
+
+
+# ------------------------------------------------ preprocessing budget
+
+#: Patch/chunk geometry and per-unit token costs (ViT-style 224px
+#: tiles at ~256 tokens, 30 s audio chunks at ~1500 tokens, one video
+#: frame every 2 s at tile cost). Pinned constants — the budget is a
+#: planning estimate, not a model contract.
+TILE_PX = 224
+AUDIO_CHUNK_MS = 30_000
+VIDEO_FRAME_EVERY_MS = 2_000
+TOKENS_PER_TILE = 256
+TOKENS_PER_AUDIO_CHUNK = 1_500
+
+
+@register(
+    "mm_preprocess_budget",
+    f"""WITH {_MEDIA_CTE}
+SELECT media_id, modality, units,
+       CAST(units * CASE modality WHEN 'audio' THEN {TOKENS_PER_AUDIO_CHUNK}
+                                  ELSE {TOKENS_PER_TILE} END AS BIGINT)
+         AS est_tokens
+FROM (
+  SELECT media_id, modality,
+         CAST(CASE modality
+           WHEN 'image' THEN
+             CEIL(width / {TILE_PX}.0) * CEIL(height / {TILE_PX}.0)
+           WHEN 'audio' THEN
+             CEIL(duration_ms / {AUDIO_CHUNK_MS}.0)
+           ELSE
+             CEIL(duration_ms / {VIDEO_FRAME_EVERY_MS}.0)
+               * CEIL(width / {TILE_PX}.0) * CEIL(height / {TILE_PX}.0)
+         END AS BIGINT) AS units
+  FROM media
+)""",
+)
+def mm_preprocess_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal **preprocessing/token budget**: per media item, how
+    many processing units its modality decomposes into (ViT tiles for
+    images, 30 s chunks for audio, sampled-frame × tile grid for
+    video) and the resulting token estimate — the packing/cost input a
+    multimodal training pipeline plans batches and shard sizes with
+    (cf. ``ts_pack_sequences`` for text). Pure integer/ceil arithmetic
+    on the typed metadata — the payload column is never read (column
+    pruning; same property as ``mm_metadata``)."""
+    m = media(spark, sf_dir)
+    meta = F.col("meta")
+    tiles = F.ceil(meta["width"] / TILE_PX) * F.ceil(meta["height"] / TILE_PX)
+    units = (
+        F.when(F.col("modality") == "image", tiles)
+        .when(
+            F.col("modality") == "audio",
+            F.ceil(meta["duration_ms"] / AUDIO_CHUNK_MS),
+        )
+        .otherwise(F.ceil(meta["duration_ms"] / VIDEO_FRAME_EVERY_MS) * tiles)
+        .cast("long")
+    )
+    per_unit = F.when(
+        F.col("modality") == "audio", F.lit(TOKENS_PER_AUDIO_CHUNK)
+    ).otherwise(F.lit(TOKENS_PER_TILE))
+    return m.select(
+        "media_id",
+        "modality",
+        units.alias("units"),
+        (units * per_unit).cast("long").alias("est_tokens"),
+    )
