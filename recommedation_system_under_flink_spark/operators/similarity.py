@@ -832,3 +832,102 @@ def sim_ivf_topk_pinned(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.withColumn("rank", F.row_number().over(w)).filter(
         F.col("rank") <= TOP_K
     )
+
+
+# ------------------------------------------- scalar-quantized (int8) ANN
+
+#: Scalar-quantization range: symmetric int8 (±127).
+SQ8_LEVELS = 127
+
+
+def _sq8_quantize(e: Column) -> Column:
+    """Symmetric per-vector int8 quantization: q_i = floor(x_i·127/maxabs
+    + 0.5). ``floor(x + 0.5)`` (round-half-toward-+inf) is pinned
+    because both engines implement ``floor`` identically, while their
+    ``round`` tie conventions differ. Zero vectors quantize to zeros."""
+    m = F.array_max(F.transform(e, lambda x: F.abs(x)))
+    return F.when(
+        m == 0.0, F.transform(e, lambda x: F.lit(0.0))
+    ).otherwise(
+        F.transform(e, lambda x: F.floor(x * SQ8_LEVELS / m + F.lit(0.5)))
+    )
+
+
+_SQ8_Q_SQL = f"""CASE WHEN list_max(list_transform({_EMB_CAST}, x -> abs(x))) = 0
+  THEN list_transform({_EMB_CAST}, x -> 0.0)
+  ELSE list_transform({_EMB_CAST},
+    x -> floor(x * {SQ8_LEVELS} / list_max(list_transform({_EMB_CAST}, y -> abs(y))) + 0.5))
+END"""
+
+
+@register(
+    "sim_sq8_topk",
+    f"""WITH q AS (
+  SELECT vec_id, {_SQ8_Q_SQL} AS qv FROM embeddings
+), sized AS (
+  SELECT vec_id, qv, sqrt(list_dot_product(qv, qv)) AS qn FROM q
+  WHERE sqrt(list_dot_product(qv, qv)) > 0
+)
+SELECT query_id, corpus_id, cosine_q, rank FROM (
+  SELECT a.vec_id AS query_id, b.vec_id AS corpus_id,
+         ROUND(list_dot_product(a.qv, b.qv) / (a.qn * b.qn), 6) AS cosine_q,
+         CAST(ROW_NUMBER() OVER (
+           PARTITION BY a.vec_id
+           ORDER BY ROUND(list_dot_product(a.qv, b.qv) / (a.qn * b.qn), 6) DESC,
+                    b.vec_id ASC) AS INTEGER) AS rank
+  FROM sized a JOIN sized b ON b.vec_id <> a.vec_id
+  WHERE a.vec_id < {N_QUERIES}
+) WHERE rank <= {TOP_K}""",
+)
+def sim_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k cosine over **scalar-quantized int8 embeddings** — the
+    4×-memory-compression path real vector stores serve from (float32 →
+    int8 + one scale per vector). The per-vector scales cancel in
+    cosine, so scoring runs entirely on the small-int vectors; accuracy
+    loss is bounded by the quantization step (recall vs the float
+    brute force is pytest-asserted). Quantization is pinned integer
+    arithmetic (``floor(x·127/maxabs + 0.5)``), so the ENTIRE
+    compressed index — quantized vectors, norms, scores, ranks — is
+    hash-verified against the DuckDB twin.
+
+    Scale: the int8 corpus is ~dim bytes/vector — 4× more vectors per
+    executor-GB than float32, which is the difference between an
+    in-memory and a spilling ANN serve at 10⁹ vectors; compose with the
+    IVF cell layout (`sim_ivf_topk`) for the full IVF-SQ8 index."""
+    emb = load_raw(spark, sf_dir, "embeddings")
+    base = emb.select(
+        "vec_id", _sq8_quantize(_as_double("embedding")).alias("qv")
+    ).withColumn("qn", _norm(F.col("qv"))).filter(F.col("qn") > 0)
+    corpus = base.select(
+        F.col("vec_id").alias("corpus_id"),
+        F.col("qv").alias("c_qv"),
+        F.col("qn").alias("c_qn"),
+    )
+    queries = base.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("qv").alias("q_qv"),
+        F.col("qn").alias("q_qn"),
+    )
+    from pyspark.sql import Window
+
+    scored = (
+        corpus.crossJoin(F.broadcast(queries))
+        .filter(F.col("corpus_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "corpus_id",
+            F.round(
+                _dot(F.col("q_qv"), F.col("c_qv"))
+                / (F.col("q_qn") * F.col("c_qn")),
+                6,
+            ).alias("cosine_q"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine_q"), F.asc("corpus_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "corpus_id", "cosine_q", "rank")
+    )

@@ -258,3 +258,21 @@ def test_cf_sims_match_binary_cosine(queries, spark):
         seen_counts[r["user_id"]] = seen_counts.get(r["user_id"], 0) + 1
     assert seen_counts
     assert max(seen_counts.values()) <= CF_RECS
+
+
+def test_sq8_recall_vs_bruteforce(queries, spark):
+    """int8 scalar quantization must preserve neighbor structure: top-K
+    overlap with the float32 brute force ≥ 60% averaged over queries
+    (the quantization step is small next to the fixture's neighbor
+    gaps)."""
+    exact: dict[int, set[int]] = {}
+    for r in queries["sim_bruteforce_topk"](spark, SF_DIR).collect():
+        exact.setdefault(r["query_id"], set()).add(r["corpus_id"])
+    approx: dict[int, set[int]] = {}
+    for r in queries["sim_sq8_topk"](spark, SF_DIR).collect():
+        approx.setdefault(r["query_id"], set()).add(r["corpus_id"])
+    assert set(approx) == set(exact)
+    recalls = [
+        len(exact[q] & approx[q]) / len(exact[q]) for q in exact
+    ]
+    assert sum(recalls) / len(recalls) >= 0.6, recalls
