@@ -361,3 +361,72 @@ def ev_user_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.ntile(4).over(f_w).cast("int").alias("f_quartile"),
         F.ntile(4).over(m_w).cast("int").alias("m_quartile"),
     )
+
+
+@register("ev_user_rfm_scalable")  # sketch-based → rows-only check
+def ev_user_rfm_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB form of :func:`ev_user_rfm`: quartile BOUNDARIES come
+    from ``percentile_approx`` sketches (one distributed aggregate, 3
+    scalars per dimension collected to the driver — bounded model
+    state, like the IVF fit), then every user is bucketed MAP-SIDE by
+    comparing against the broadcast boundaries. No global sort, no
+    single-reducer ntile window — the only shuffle is the per-user
+    aggregate itself.
+
+    Sketch-exactness: bucket labels can disagree with the exact ntile
+    form near boundaries (sketch error + tie handling), which is why
+    this twin is rows-only checked; agreement with the exact form is
+    pytest-asserted (tests/test_relational.py)."""
+    from pyspark.sql import functions as F
+
+    from ..sources import events_raw
+    from ..sources.tables import ts_date
+
+    base = (
+        events_raw(spark, sf_dir)
+        .groupBy("user_id")
+        .agg(
+            F.max(ts_date("ts")).alias("last_day"),
+            F.count("*").alias("frequency"),
+            F.sum(
+                F.when(
+                    F.col("event_type") == "purchase", F.col("value")
+                ).otherwise(F.lit(0.0))
+            ).alias("monetary"),
+        )
+        .withColumn("recency_days", F.datediff(F.current_date(), F.col("last_day")))
+    )
+    cuts = base.agg(
+        F.percentile_approx("recency_days", [0.25, 0.5, 0.75]).alias("r"),
+        F.percentile_approx("frequency", [0.25, 0.5, 0.75]).alias("f"),
+        F.percentile_approx("monetary", [0.25, 0.5, 0.75]).alias("m"),
+    ).first()
+
+    def bucket(col, cuts_list, ascending_is_better):
+        # quartile 1 = best (most recent / most frequent / highest spend)
+        c = F.col(col)
+        if ascending_is_better:  # smaller value → better quartile
+            return (
+                F.when(c <= cuts_list[0], 1)
+                .when(c <= cuts_list[1], 2)
+                .when(c <= cuts_list[2], 3)
+                .otherwise(4)
+                .cast("int")
+            )
+        return (
+            F.when(c > cuts_list[2], 1)
+            .when(c > cuts_list[1], 2)
+            .when(c > cuts_list[0], 3)
+            .otherwise(4)
+            .cast("int")
+        )
+
+    return base.select(
+        "user_id",
+        "last_day",
+        "frequency",
+        F.round("monetary", 6).alias("monetary"),
+        bucket("recency_days", cuts["r"], True).alias("r_quartile"),
+        bucket("frequency", cuts["f"], False).alias("f_quartile"),
+        bucket("monetary", cuts["m"], False).alias("m_quartile"),
+    )

@@ -276,3 +276,30 @@ def test_sq8_recall_vs_bruteforce(queries, spark):
         len(exact[q] & approx[q]) / len(exact[q]) for q in exact
     ]
     assert sum(recalls) / len(recalls) >= 0.6, recalls
+
+
+def test_rfm_scalable_agrees_with_exact(queries, spark):
+    """Sketch-bucketed RFM vs exact ntile: same users, and the
+    scalable buckets are a MONOTONE function of the underlying value
+    (a strictly better value never gets a worse quartile). Exact label
+    agreement is not asserted — ntile splits *tied* values across
+    quartiles by the user_id tiebreak, boundary-bucketing keeps ties
+    together; on tied data the labels legitimately differ."""
+    exact = {r["user_id"]: r for r in queries["ev_user_rfm"](spark, SF_DIR).collect()}
+    scal = {
+        r["user_id"]: r
+        for r in queries["ev_user_rfm_scalable"](spark, SF_DIR).collect()
+    }
+    assert set(exact) == set(scal)
+    rows = list(scal.values())
+    # better value (more recent / higher freq / higher spend) → quartile ≤
+    for val, q, better_is_larger in (
+        ("last_day", "r_quartile", True),
+        ("frequency", "f_quartile", True),
+        ("monetary", "m_quartile", True),
+    ):
+        for a in rows:
+            for b in rows:
+                if a[val] > b[val]:
+                    assert a[q] <= b[q], (val, a, b)
+        assert len({r[q] for r in rows}) >= 2  # boundaries actually split
