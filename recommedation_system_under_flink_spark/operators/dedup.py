@@ -712,3 +712,82 @@ def dedup_neardup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ---------------------------------------------- chunk-level dup ratio
+
+@register(
+    "dedup_chunk_ratio",
+    """WITH chunks AS (
+  SELECT doc_id, md5(chunk_text) AS h
+  FROM (
+    SELECT doc_id,
+           array_to_string(ts[s + 1 : s + 64], ' ') AS chunk_text
+    FROM (
+      SELECT doc_id, ts, unnest(generate_series(0, len(ts) - 1, 48)) AS s
+      FROM (SELECT doc_id,
+                   list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                               t -> t <> '') AS ts
+            FROM documents)
+      WHERE len(ts) > 0
+    )
+  )
+), freq AS (
+  SELECT h, COUNT(*) AS n FROM chunks GROUP BY h
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_chunks,
+       CAST(SUM(CASE WHEN f.n > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_chunks,
+       ROUND(SUM(CASE WHEN f.n > 1 THEN 1.0 ELSE 0.0 END) / COUNT(*), 6)
+         AS dup_ratio
+FROM chunks c JOIN freq f ON c.h = f.h
+GROUP BY doc_id""",
+)
+def dedup_chunk_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunk-level duplication signal (the C4/RefinedWeb-style
+    paragraph-dedup statistic): per document, the fraction of its
+    token-window chunks whose exact text also occurs elsewhere in the
+    corpus (or repeats within the doc). High ``dup_ratio`` flags
+    boilerplate-heavy or template documents that document-level dedup
+    misses — the standard curation filter between exact-doc dedup and
+    MinHash near-dup.
+
+    Pipeline: the `ts_chunk_documents` chunker → md5 per chunk →
+    corpus-frequency join on the hash → per-doc ratio. Hash keys are
+    uniform, so the frequency shuffle is skew-free by construction; at
+    100 TB the chunk hashes are the same state table
+    `dedup_incremental_exact` maintains, so the ratio can be computed
+    incrementally against yesterday's corpus."""
+    from .textstats import CHUNK_SIZE, CHUNK_STRIDE  # pinned geometry
+    from ..functions.text import TOKEN_SPLIT_REGEX
+
+    toks = F.filter(
+        F.split(F.lower(F.col("text")), TOKEN_SPLIT_REGEX), lambda t: t != ""
+    )
+    base = (
+        load_raw(spark, sf_dir, "documents")
+        .select("doc_id", toks.alias("ts"))
+        .filter(F.size("ts") > 0)
+    )
+    chunks = base.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.size("ts") - 1, F.lit(CHUNK_STRIDE)),
+                lambda s: F.slice(F.col("ts"), s + 1, CHUNK_SIZE),
+            )
+        ).alias("ck"),
+    ).select("doc_id", F.md5(F.array_join("ck", " ")).alias("h"))
+    freq = chunks.groupBy("h").agg(F.count("*").alias("n"))
+    dup = F.when(F.col("n") > 1, 1).otherwise(0)
+    return (
+        chunks.join(freq, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_chunks"),
+            F.sum(dup).cast("long").alias("n_dup_chunks"),
+            F.round(
+                F.sum(dup.cast("double")) / F.count("*"), 6
+            ).alias("dup_ratio"),
+        )
+    )
