@@ -731,3 +731,77 @@ def s13_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = os.path.join(tempfile.gettempdir(), "spark_graft_s13_orc")
     load_raw(spark, sf_dir, "documents").write.mode("overwrite").orc(out)
     return spark.read.orc(out)
+
+
+# ---------------------------------------------- S14 (user erasure)
+
+#: Pinned erasure list: every 37th user (deterministic stand-in for a
+#: deletion-request table).
+ERASE_MOD = 37
+
+
+@register(
+    "s14_user_erasure",
+    f"""SELECT event_id, user_id, event_type
+FROM events
+WHERE user_id % {ERASE_MOD} <> 0""",
+)
+def s14_user_erasure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-to-be-forgotten **delete propagation**: drop every event of
+    the users on a deletion list (here a pinned predicate standing in
+    for the request table; with a real table the same plan is a
+    broadcast ``left_anti`` join). Returns the retained log.
+
+    Scale: an anti-join against a broadcast deletion list is map-side —
+    one full scan, zero shuffle. The production shape rewrites affected
+    partitions only (deletion-vector-style): prune with the erasure
+    keys' partition values first, rewrite those files, leave the rest
+    untouched — the date-partitioned layout (`s7`) is what makes the
+    prune possible."""
+    from ..sources import events_raw
+
+    ev = events_raw(spark, sf_dir)
+    erase = (
+        ev.select("user_id")
+        .distinct()
+        .filter(F.col("user_id") % ERASE_MOD == 0)
+    )
+    return ev.join(F.broadcast(erase), "user_id", "left_anti").select(
+        "event_id", "user_id", "event_type"
+    )
+
+
+# ------------------------------------------ S15 (schema evolution)
+
+@register(
+    "s15_schema_evolution_read",
+    """SELECT doc_id, lang, NULL AS quality FROM documents WHERE doc_id % 2 = 0
+UNION ALL
+SELECT doc_id, lang, CAST(n_chars AS DOUBLE) AS quality
+FROM documents WHERE doc_id % 2 = 1""",
+)
+def s15_schema_evolution_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """**Schema evolution** across file generations: generation 1 is
+    written without the ``quality`` column, generation 2 adds it;
+    ``mergeSchema`` reconciles the footers at read time and the old
+    generation surfaces NULLs — the append-only table lifecycle every
+    long-lived dataset goes through (at 100 TB you evolve readers, you
+    do not rewrite history).
+
+    The split is pinned (even/odd doc_id) so the DuckDB twin
+    reproduces the exact unified relation."""
+    from ..sources import load_raw
+
+    docs = load_raw(spark, sf_dir, "documents")
+    out = os.path.join(tempfile.gettempdir(), "spark_graft_s15_evo")
+    gen1 = docs.filter(F.col("doc_id") % 2 == 0).select("doc_id", "lang")
+    gen2 = docs.filter(F.col("doc_id") % 2 == 1).select(
+        "doc_id", "lang", F.col("n_chars").cast("double").alias("quality")
+    )
+    gen1.write.mode("overwrite").parquet(os.path.join(out, "g=1"))
+    gen2.write.mode("overwrite").parquet(os.path.join(out, "g=2"))
+    return (
+        spark.read.option("mergeSchema", True)
+        .parquet(os.path.join(out, "g=1"), os.path.join(out, "g=2"))
+        .select("doc_id", "lang", "quality")
+    )
