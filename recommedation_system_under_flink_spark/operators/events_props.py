@@ -401,6 +401,12 @@ def ev_user_rfm_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percentile_approx("frequency", [0.25, 0.5, 0.75]).alias("f"),
         F.percentile_approx("monetary", [0.25, 0.5, 0.75]).alias("m"),
     ).first()
+    if cuts is None or cuts["r"] is None:  # empty input: no boundaries
+        return spark.createDataFrame(
+            [],
+            "user_id long, last_day date, frequency long, monetary double,"
+            " r_quartile int, f_quartile int, m_quartile int",
+        )
 
     def bucket(col, cuts_list, ascending_is_better):
         # quartile 1 = best (most recent / most frequent / highest spend)

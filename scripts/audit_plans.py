@@ -64,6 +64,7 @@ EXPECTED_CARTESIAN = {
     "ev_key_skew_report": "1-row global-total scalar broadcast",
     # brute-force baselines: query set / block pairs broadcast by design
     "sim_bruteforce_topk": "broadcast query set vs corpus (baseline)",
+    "sim_sq8_topk": "broadcast query set vs int8 corpus (same shape)",
     "sim_neardup_pairs_exact": "block-pair id<= range join (blocked GEMM)",
     "sim_neardup_components": "inherits the blocked-GEMM edge builder",
     "als_recommendations": "user×item factor cross for top-k (bounded dims)",
