@@ -805,3 +805,45 @@ def s15_schema_evolution_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         .parquet(os.path.join(out, "g=1"), os.path.join(out, "g=2"))
         .select("doc_id", "lang", "quality")
     )
+
+
+#: Pinned point-in-time lookup instant: mid-window (Jan 16) in epoch µs.
+SCD2_LOOKUP_US = 1_705_363_200_000_000  # 2024-01-16 00:00:00 UTC
+
+
+@register(
+    "s10b_scd2_asof_lookup",
+    f"""WITH versions AS (
+  SELECT event_id % 1000 AS entity_id, event_id, value, epoch_us(ts) AS tsm
+  FROM events
+), hist AS (
+  SELECT entity_id, event_id AS version_id, value,
+         tsm AS valid_from,
+         LEAD(tsm) OVER w - 1 AS valid_to
+  FROM versions
+  WINDOW w AS (PARTITION BY entity_id ORDER BY tsm, event_id)
+)
+SELECT entity_id, version_id, value
+FROM hist
+WHERE valid_from <= {SCD2_LOOKUP_US}
+  AND (valid_to IS NULL OR {SCD2_LOOKUP_US} <= valid_to)""",
+)
+def s10b_scd2_asof_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time lookup against the SCD2 history
+    (:func:`s10_scd2_history`): "what was each entity's value at
+    instant T" — the query the type-2 table exists to answer (audit,
+    reproducible feature backfills, time-travel without a table
+    format). A half-open interval containment per entity; at most one
+    version matches by construction (the intervals partition time).
+
+    Scale: for one pinned T the predicate is a filter over the history
+    scan (row-group pruning on valid_from). For a *stream* of lookup
+    timestamps, this becomes the banded range join
+    (``ef_range_join_banded``) or the as-of join (``ef_asof``) — same
+    family, already covered."""
+    hist = s10_scd2_history(spark, sf_dir)
+    t = F.lit(SCD2_LOOKUP_US)
+    return hist.filter(
+        (F.col("valid_from") <= t)
+        & (F.col("valid_to").isNull() | (t <= F.col("valid_to")))
+    ).select("entity_id", "version_id", "value")
