@@ -165,10 +165,12 @@ def a3_user_keywords_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
 TEXTRANK_SQL_ITERS = 5
 
 
-def _tr_positions(spark: SparkSession, sf_dir: str):
-    """(news_id, i, term): position-indexed tokens of news content,
-    positions taken in the stopword-FILTERED list exactly as
-    functions.text.tokenize returns it."""
+def tr_positions_from(docs: DataFrame) -> DataFrame:
+    """(news_id, i, term) from any (news_id, content) frame:
+    position-indexed tokens, positions taken in the stopword-FILTERED
+    list exactly as functions.text.tokenize returns it. Factored out of
+    the news-table path so property tests can drive the same code with
+    synthetic documents."""
     from ..functions.text import STOPWORDS, TOKEN_SPLIT_REGEX
 
     stop = F.array(*[F.lit(s) for s in STOPWORDS])
@@ -176,11 +178,13 @@ def _tr_positions(spark: SparkSession, sf_dir: str):
         F.split(F.lower(F.col("content")), TOKEN_SPLIT_REGEX),
         lambda t: (t != "") & ~F.array_contains(stop, t),
     )
-    return (
-        news(spark, sf_dir)
-        .select("news_id", toks.alias("ts"))
-        .select("news_id", F.posexplode("ts").alias("i", "term"))
+    return docs.select("news_id", toks.alias("ts")).select(
+        "news_id", F.posexplode("ts").alias("i", "term")
     )
+
+
+def _tr_positions(spark: SparkSession, sf_dir: str):
+    return tr_positions_from(news(spark, sf_dir).select("news_id", "content"))
 
 
 def _p1_kw_ctes(prefix: str = "") -> list[str]:
@@ -284,23 +288,29 @@ def p1_news_keywords_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
     operators/graph.py). Edges/vocab/deg persist across rounds; score
     lineage stays K-deep."""
     pos = _tr_positions(spark, sf_dir)
-    # Banded equi-join, not a per-doc token² self-join: each position
-    # emits its δ=1..window forward slots, the join matches on the
-    # exact (doc, position) key, and every undirected hit yields both
-    # edge directions. Intermediate size is tokens × window (linear),
-    # vs the range-condition form whose news_id-only equi-key
-    # materializes tokens² pairs per doc before filtering (measured
-    # 21s → 7s at sf0.1).
+    edges = windowed_edges(pos).persist()
+    vocab = pos.select("news_id", "term").distinct().persist()
+    return vote_fixed_rounds(edges, vocab, "news_id", DEFAULT_SCENE.num_news_keywords)
+
+
+def windowed_edges(pos: DataFrame) -> DataFrame:
+    """Distinct windowed co-occurrence edges from a positions frame.
+
+    Banded equi-join, not a per-doc token² self-join: each position
+    emits its δ=1..window forward slots, the join matches on the exact
+    (doc, position) key, and every undirected hit yields both edge
+    directions. Intermediate size is tokens × window (linear), vs the
+    range-condition form whose news_id-only equi-key materializes
+    tokens² pairs per doc before filtering (measured 21s → 7s at
+    sf0.1)."""
     fwd = pos.select(
         "news_id",
         F.col("term").alias("w"),
         F.explode(
-            F.sequence(
-                F.col("i") + 1, F.col("i") + DEFAULT_SCENE.window_size
-            )
+            F.sequence(F.col("i") + 1, F.col("i") + DEFAULT_SCENE.window_size)
         ).alias("j"),
     )
-    edges = (
+    return (
         fwd.join(
             pos.select("news_id", F.col("i").alias("j"), F.col("term").alias("n")),
             ["news_id", "j"],
@@ -317,10 +327,7 @@ def p1_news_keywords_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("news_id", "e.w", "e.n")
         .distinct()
-        .persist()
     )
-    vocab = pos.select("news_id", "term").distinct().persist()
-    return vote_fixed_rounds(edges, vocab, "news_id", DEFAULT_SCENE.num_news_keywords)
 
 
 def vote_fixed_rounds(

@@ -303,3 +303,54 @@ def test_rfm_scalable_agrees_with_exact(queries, spark):
                 if a[val] > b[val]:
                     assert a[q] <= b[q], (val, a, b)
         assert len({r[q] for r in rows}) >= 2  # boundaries actually split
+
+
+def test_distributed_vote_on_adversarial_random_docs(spark):
+    """Property test: the distributed TextRank agrees with the Python
+    kernel on ADVERSARIAL synthetic docs the fixture doesn't contain —
+    empty text, stopwords-only, one word, all-same word, repeated
+    bigrams, punctuation runs — on a seeded random corpus."""
+    import random
+
+    from recommedation_system_under_flink_spark.config import DEFAULT_SCENE as sc
+    from recommedation_system_under_flink_spark.functions.text import (
+        cooccurrence_windowed,
+        textrank_vote,
+        tokenize,
+    )
+    from recommedation_system_under_flink_spark.operators.keywords import (
+        TEXTRANK_SQL_ITERS,
+        tr_positions_from,
+        vote_fixed_rounds,
+        windowed_edges,
+    )
+
+    rng = random.Random(20240113)
+    words = ["alpha", "beta", "gamma", "delta", "x1", "y2", "the", "of", "a"]
+    docs = ["", "the of a", "alpha", "beta beta beta beta", "x1,y2;x1!y2"]
+    for _ in range(12):
+        docs.append(" ".join(rng.choice(words) for _ in range(rng.randint(1, 40))))
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(docs)], "news_id long, content string"
+    )
+    pos = tr_positions_from(df)
+    got: dict[int, dict[str, float]] = {}
+    out = vote_fixed_rounds(
+        windowed_edges(pos).persist(),
+        pos.select("news_id", "term").distinct().persist(),
+        "news_id",
+        sc.num_news_keywords,
+    )
+    for r in out.collect():
+        got.setdefault(r["news_id"], {})[r["term"]] = r["score"]
+
+    for i, text in enumerate(docs):
+        adj = cooccurrence_windowed(tokenize(text), sc.window_size)
+        if not adj:
+            assert i not in got  # no tokens → no keywords
+            continue
+        py = textrank_vote(adj, len(adj), sc.friction, TEXTRANK_SQL_ITERS, -1.0)
+        assert i in got, (i, text)
+        for term, score in got[i].items():
+            assert abs(py[term] - score) <= 1e-5, (i, term, py[term], score)
