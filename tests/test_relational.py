@@ -354,3 +354,78 @@ def test_distributed_vote_on_adversarial_random_docs(spark):
         assert i in got, (i, text)
         for term, score in got[i].items():
             assert abs(py[term] - score) <= 1e-5, (i, term, py[term], score)
+
+
+def test_distributed_clique_vote_on_random_tweet_sets(spark):
+    """Property test for the clique path: distributed per-user clique
+    TextRank vs the Python kernel on seeded random tweet sets with
+    duplicates, empties, and single-token tweets."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from recommedation_system_under_flink_spark.config import DEFAULT_SCENE as sc
+    from recommedation_system_under_flink_spark.functions.text import (
+        STOPWORDS,
+        TOKEN_SPLIT_REGEX,
+        cooccurrence_clique,
+        textrank_vote,
+        tokenize,
+    )
+    from recommedation_system_under_flink_spark.operators.keywords import (
+        TEXTRANK_SQL_ITERS,
+        vote_fixed_rounds,
+    )
+
+    rng = random.Random(7)
+    words = ["red", "green", "blue", "cyan", "the", "of"]
+    rows = []
+    texts: dict[int, list[str]] = {}
+    tid = 0
+    for uid in range(6):
+        n_tweets = rng.randint(0, 5)
+        texts[uid] = []
+        for _ in range(n_tweets):
+            t = " ".join(rng.choice(words) for _ in range(rng.randint(0, 8)))
+            texts[uid].append(t)
+            rows.append((uid, tid, t))
+            tid += 1
+    df = spark.createDataFrame(rows, "user_id long, tweet_id long, content string")
+
+    stop = F.array(*[F.lit(s) for s in STOPWORDS])
+    toks = F.filter(
+        F.split(F.lower(F.col("content")), TOKEN_SPLIT_REGEX),
+        lambda t: (t != "") & ~F.array_contains(stop, t),
+    )
+    ut = df.select("user_id", "tweet_id", F.explode(toks).alias("term")).distinct()
+    a, b = ut.alias("a"), ut.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.tweet_id") == F.col("b.tweet_id"))
+            & (F.col("a.term") != F.col("b.term")),
+        )
+        .select(
+            F.col("a.user_id").alias("user_id"),
+            F.col("a.term").alias("w"),
+            F.col("b.term").alias("n"),
+        )
+        .distinct()
+    )
+    vocab = ut.select("user_id", "term").distinct()
+    got: dict[int, dict[str, float]] = {}
+    for r in vote_fixed_rounds(
+        edges.persist(), vocab.persist(), "user_id", sc.num_user_keywords
+    ).collect():
+        got.setdefault(r["user_id"], {})[r["term"]] = r["score"]
+
+    for uid, tweet_texts in texts.items():
+        adj: dict[str, set[str]] = {}
+        for t in tweet_texts:
+            cooccurrence_clique(tokenize(t), adj)
+        if not adj:
+            assert uid not in got
+            continue
+        py = textrank_vote(adj, len(adj), sc.friction, TEXTRANK_SQL_ITERS, -1.0)
+        for term, score in got[uid].items():
+            assert abs(py[term] - score) <= 1e-5, (uid, term, py[term], score)
