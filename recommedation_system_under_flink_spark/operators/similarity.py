@@ -931,3 +931,122 @@ def sim_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= TOP_K)
         .select("query_id", "corpus_id", "cosine_q", "rank")
     )
+
+
+# --------------------------------------------- IVF-SQ8 composed index
+
+def _ivfsq8_oracle() -> str:
+    """DuckDB twin of :func:`sim_ivfsq8_topk_pinned`: the pinned-IVF
+    cell machinery (cf. ``_ivf_pinned_oracle``) with the int8
+    quantized scoring chain (cf. ``sim_sq8_topk``) — both rebuilt in
+    SQL and composed."""
+    cos = """list_dot_product(v.e, c.e)
+             / (sqrt(list_dot_product(v.e, v.e)) * sqrt(list_dot_product(c.e, c.e)))"""
+    return f"""WITH proj AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+), cents AS (
+  SELECT vec_id AS cid, e FROM proj WHERE vec_id < {IVF_K}
+), ranked_cells AS (
+  SELECT v.vec_id, c.cid,
+         ROW_NUMBER() OVER (
+           PARTITION BY v.vec_id
+           ORDER BY {cos} DESC, c.cid ASC
+         ) AS cell_rank
+  FROM proj v CROSS JOIN (SELECT cid, e FROM cents) c
+), corpus AS (
+  SELECT vec_id, cid FROM ranked_cells WHERE cell_rank = 1
+), queries AS (
+  SELECT vec_id AS query_id, cid FROM ranked_cells
+  WHERE vec_id < {N_QUERIES} AND cell_rank <= {IVF_NPROBE}
+), cand AS (
+  SELECT DISTINCT q.query_id, co.vec_id AS corpus_id
+  FROM queries q JOIN corpus co ON q.cid = co.cid
+  WHERE co.vec_id <> q.query_id
+), q8 AS (
+  SELECT vec_id, {_SQ8_Q_SQL} AS qv FROM embeddings
+), s8 AS (
+  SELECT vec_id, qv, sqrt(list_dot_product(qv, qv)) AS qn FROM q8
+  WHERE sqrt(list_dot_product(qv, qv)) > 0
+)
+SELECT query_id, corpus_id, cosine_q, rank FROM (
+  SELECT c.query_id, c.corpus_id,
+         ROUND(list_dot_product(a.qv, b.qv) / (a.qn * b.qn), 6) AS cosine_q,
+         CAST(ROW_NUMBER() OVER (
+           PARTITION BY c.query_id
+           ORDER BY ROUND(list_dot_product(a.qv, b.qv) / (a.qn * b.qn), 6) DESC,
+                    c.corpus_id ASC) AS INTEGER) AS rank
+  FROM cand c
+  JOIN s8 a ON a.vec_id = c.query_id
+  JOIN s8 b ON b.vec_id = c.corpus_id
+) WHERE rank <= {TOP_K}"""
+
+
+@register("sim_ivfsq8_topk_pinned", _ivfsq8_oracle())
+def sim_ivfsq8_topk_pinned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """**IVF-SQ8**: the production ANN index layout — IVF cells bound
+    the candidate set (touch nprobe cells, not the corpus), int8
+    scalar quantization shrinks what each cell stores 4× — composed
+    from the two independently-verified pieces
+    (:func:`sim_ivf_topk_pinned` cells, :func:`sim_sq8_topk` scoring).
+    Pinned centroids + pinned quantization arithmetic keep the ENTIRE
+    composed index hash-verified in SQL.
+
+    Scale: memory per cell = dim bytes/vector + one scale; probing
+    cost = nprobe/K of the corpus per query. The Lloyd-fitted,
+    unpinned deployment form swaps only the centroid source —
+    machinery identical."""
+    emb = load_raw(spark, sf_dir, "embeddings")
+    base = (
+        emb.select("vec_id", _as_double("embedding").alias("emb"))
+        .withColumn("qv", _sq8_quantize(F.col("emb")))
+        .withColumn("qn", _norm(F.col("qv")))
+        .filter(F.col("qn") > 0)
+    )
+    cents = [
+        list(r["emb"])
+        for r in base.filter(F.col("vec_id") < IVF_K)
+        .orderBy("vec_id")
+        .select("emb")
+        .collect()
+    ]
+    if not cents:
+        return spark.createDataFrame(
+            [], "query_id long, corpus_id long, cosine_q double, rank int"
+        )
+    corpus = base.withColumn(
+        "cid", F.element_at(_probe_udf(cents, 1)(F.col("emb")), 1)
+    )
+    queries = base.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("qv").alias("q_qv"),
+        F.col("qn").alias("q_qn"),
+        F.explode(_probe_udf(cents, IVF_NPROBE)(F.col("emb"))).alias("cid"),
+    )
+    cands = (
+        corpus.join(F.broadcast(queries), "cid")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "q_qv",
+            "q_qn",
+            F.col("vec_id").alias("corpus_id"),
+            "qv",
+            "qn",
+        )
+        .distinct()
+    )
+    scored = cands.select(
+        "query_id",
+        "corpus_id",
+        F.round(
+            _dot(F.col("q_qv"), F.col("qv")) / (F.col("q_qn") * F.col("qn")), 6
+        ).alias("cosine_q"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine_q"), F.asc("corpus_id")
+    )
+    return scored.withColumn("rank", F.row_number().over(w).cast("int")).filter(
+        F.col("rank") <= TOP_K
+    )
