@@ -399,3 +399,102 @@ def ef_sessionize_native(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("user_id", "n_events", "session_start", "session_end")
     )
+
+
+# ------------------------------------------------- session funnel
+
+_SESSION_FUNNEL_ORACLE = f"""WITH e AS (
+  SELECT user_id, event_id, event_type, epoch_us(ts) AS tsm FROM events
+), flagged AS (
+  SELECT user_id, event_id, event_type, tsm,
+         CASE WHEN lag(tsm) OVER w IS NULL
+                OR tsm - lag(tsm) OVER w > {SESSION_GAP_US}
+              THEN 1 ELSE 0 END AS is_start
+  FROM e
+  WINDOW w AS (PARTITION BY user_id ORDER BY tsm, event_id)
+), sess AS (
+  SELECT user_id, event_type, tsm,
+         SUM(is_start) OVER (PARTITION BY user_id ORDER BY tsm, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+  FROM flagged
+), v AS (
+  SELECT user_id, session_seq, MIN(tsm) AS t1 FROM sess
+  WHERE event_type = 'view' GROUP BY 1, 2
+), c AS (
+  SELECT s.user_id, s.session_seq, MIN(s.tsm) AS t2
+  FROM sess s JOIN v ON s.user_id = v.user_id AND s.session_seq = v.session_seq
+  WHERE s.event_type = 'click' AND s.tsm > v.t1
+  GROUP BY 1, 2
+), p AS (
+  SELECT s.user_id, s.session_seq, MIN(s.tsm) AS t3
+  FROM sess s JOIN c ON s.user_id = c.user_id AND s.session_seq = c.session_seq
+  WHERE s.event_type = 'purchase' AND s.tsm > c.t2
+  GROUP BY 1, 2
+)
+SELECT CAST(CASE WHEN p.t3 IS NOT NULL THEN 3
+                 WHEN c.t2 IS NOT NULL THEN 2
+                 ELSE 1 END AS INTEGER) AS depth,
+       CAST(COUNT(*) AS BIGINT) AS n_sessions
+FROM v
+LEFT JOIN c ON v.user_id = c.user_id AND v.session_seq = c.session_seq
+LEFT JOIN p ON v.user_id = p.user_id AND v.session_seq = p.session_seq
+GROUP BY 1"""
+
+
+@register("ef_session_funnel", _SESSION_FUNNEL_ORACLE)
+def ef_session_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversion funnel scoped to **sessions** instead of calendar
+    days (:func:`ef_funnel_view_click_purchase`): view → later click →
+    later purchase within one gap-session — the product-analytics
+    variant where a conversion that crosses midnight still counts and
+    a morning view doesn't claim an evening purchase.
+
+    Composition of two verified cores: the sessionize lag/running-sum
+    annotation and the staged first-occurrence MINs, all keyed
+    (user_id, session_seq) — the funnel stages reuse the session
+    shuffle partitioning (hash on user_id) end to end."""
+    ev = events_raw(spark, sf_dir).select(
+        "user_id", "event_id", "event_type", F.expr("ts DIV 1000").alias("tsm")
+    )
+    order = Window.partitionBy("user_id").orderBy("tsm", "event_id")
+    gap = F.col("tsm") - F.lag("tsm").over(order)
+    is_start = F.when(gap.isNull() | (gap > SESSION_GAP_US), F.lit(1)).otherwise(
+        F.lit(0)
+    )
+    running = order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    sess = ev.withColumn(
+        "session_seq", F.sum(is_start).over(running).cast("long")
+    )
+    key = ["user_id", "session_seq"]
+    v = (
+        sess.filter(F.col("event_type") == "view")
+        .groupBy(*key)
+        .agg(F.min("tsm").alias("t1"))
+    )
+    c = (
+        sess.filter(F.col("event_type") == "click")
+        .join(v, key)
+        .filter(F.col("tsm") > F.col("t1"))
+        .groupBy(*key)
+        .agg(F.min("tsm").alias("t2"))
+    )
+    p = (
+        sess.filter(F.col("event_type") == "purchase")
+        .join(c, key)
+        .filter(F.col("tsm") > F.col("t2"))
+        .groupBy(*key)
+        .agg(F.min("tsm").alias("t3"))
+    )
+    return (
+        v.join(c, key, "left")
+        .join(p, key, "left")
+        .select(
+            F.when(F.col("t3").isNotNull(), 3)
+            .when(F.col("t2").isNotNull(), 2)
+            .otherwise(1)
+            .cast("int")
+            .alias("depth")
+        )
+        .groupBy("depth")
+        .agg(F.count("*").cast("long").alias("n_sessions"))
+    )

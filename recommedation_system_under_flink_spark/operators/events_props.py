@@ -436,3 +436,77 @@ def ev_user_rfm_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
         bucket("frequency", cuts["f"], False).alias("f_quartile"),
         bucket("monetary", cuts["m"], False).alias("m_quartile"),
     )
+
+
+# --------------------------------------------- user activity features
+
+@register(
+    "ev_user_activity_features",
+    """WITH e AS (
+  SELECT user_id, event_id, CAST(ts AS DATE) AS day, epoch_us(ts) AS tsm
+  FROM events
+), gaps AS (
+  SELECT user_id, tsm - lag(tsm) OVER w AS gap
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tsm, event_id)
+)
+SELECT e.user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(COUNT(DISTINCT e.day) AS BIGINT) AS n_active_days,
+       ROUND(COUNT(*) / CAST(COUNT(DISTINCT e.day) AS DOUBLE), 6)
+         AS events_per_active_day,
+       ANY_VALUE(g.max_gap) AS max_gap_us,
+       ROUND(SUM(CASE WHEN e.day >= DATE '2024-01-24' THEN 1.0 ELSE 0.0 END)
+             / COUNT(*), 6) AS last7_share
+FROM e
+JOIN (SELECT user_id, MAX(gap) AS max_gap FROM gaps GROUP BY user_id) g
+  ON e.user_id = g.user_id
+GROUP BY e.user_id""",
+)
+def ev_user_activity_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user **activity feature vector** for churn/engagement
+    models: event count, distinct active days, events per active day,
+    the longest inactivity gap, and the share of activity in the final
+    week of the (pinned) observation window — classic behavioral
+    features, all from one scan + one lag window + one aggregate, every
+    value a deterministic rational (shares quantized to 6 dp).
+
+    The week boundary is pinned to the fixture window (TODAY−6), not
+    wall-clock — features must be reproducible for a training set.
+    Scale: the gap window and the aggregate share one hash partitioning
+    on user_id; ``max_gap_us`` is NULL for single-event users (no
+    gap), which downstream imputation handles explicitly."""
+    import datetime as dt
+
+    from pyspark.sql import Window
+
+    from ..config import TODAY
+    from ..sources import events_raw
+    from ..sources.tables import ts_date
+
+    week_start = TODAY - dt.timedelta(days=6)
+    ev = events_raw(spark, sf_dir).select(
+        "user_id",
+        "event_id",
+        ts_date("ts").alias("day"),
+        F.expr("ts DIV 1000").alias("tsm"),
+    )
+    order = Window.partitionBy("user_id").orderBy("tsm", "event_id")
+    gaps = ev.withColumn("gap", F.col("tsm") - F.lag("tsm").over(order))
+    return gaps.groupBy("user_id").agg(
+        F.count("*").alias("n_events"),
+        F.countDistinct("day").alias("n_active_days"),
+        F.round(
+            F.count("*") / F.countDistinct("day").cast("double"), 6
+        ).alias("events_per_active_day"),
+        F.max("gap").alias("max_gap_us"),
+        F.round(
+            F.sum(
+                F.when(
+                    F.col("day") >= F.lit(week_start.isoformat()).cast("date"),
+                    F.lit(1.0),
+                ).otherwise(F.lit(0.0))
+            )
+            / F.count("*"),
+            6,
+        ).alias("last7_share"),
+    )
