@@ -276,3 +276,74 @@ def a13_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("cohort", F.datediff("day", "cohort").cast("long").alias("day_offset"))
         .agg(F.count("*").cast("long").alias("active_users"))
     )
+
+
+@register(
+    "a14_cohort_ltv",
+    """WITH activity AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+), cohorts AS (
+  SELECT user_id, MIN(day) AS cohort FROM activity GROUP BY user_id
+), sizes AS (
+  SELECT cohort, CAST(COUNT(*) AS BIGINT) AS n_users FROM cohorts GROUP BY cohort
+), spend AS (
+  SELECT c.cohort,
+         CAST(CAST(e.ts AS DATE) - c.cohort AS BIGINT) AS day_offset,
+         SUM(CAST(e.value AS DECIMAL(18,6))) AS v
+  FROM events e JOIN cohorts c ON e.user_id = c.user_id
+  WHERE e.event_type = 'purchase'
+  GROUP BY 1, 2
+)
+SELECT s.cohort, s.day_offset,
+       CAST(SUM(s.v) OVER w AS DOUBLE) AS cum_value,
+       ROUND(CAST(SUM(s.v) OVER w AS DOUBLE) / sz.n_users, 6)
+         AS ltv_per_user
+FROM spend s JOIN sizes sz ON s.cohort = sz.cohort
+WINDOW w AS (PARTITION BY s.cohort ORDER BY s.day_offset
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""",
+)
+def a14_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort **LTV curve** — the monetary completion of the retention
+    matrix (:func:`a13_retention_cohorts`): per first-activity cohort,
+    cumulative purchase value through each day offset, normalized per
+    cohort user. Purchase values sum as exact DECIMAL (associative →
+    partial-agg-order-proof), the running total is one window over the
+    per-(cohort, offset) aggregate (≤ days² rows, not events), and the
+    single double division happens at the end.
+
+    Scale: two shuffles — purchases⋈cohorts on user_id, then the
+    (cohort, offset) aggregate; the cumulative window runs over the
+    tiny aggregated matrix."""
+    from pyspark.sql import Window
+
+    from ..sources.tables import ts_date
+
+    ev = events_raw(spark, sf_dir)
+    activity = ev.select("user_id", ts_date("ts").alias("day")).distinct()
+    cohorts = activity.groupBy("user_id").agg(F.min("day").alias("cohort"))
+    sizes = cohorts.groupBy("cohort").agg(F.count("*").alias("n_users"))
+    spend = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select("user_id", ts_date("ts").alias("day"), "value")
+        .join(cohorts, "user_id")
+        .groupBy(
+            "cohort", F.datediff(F.col("day"), F.col("cohort")).cast("long").alias("day_offset")
+        )
+        .agg(F.sum(F.col("value").cast("decimal(18,6)")).alias("v"))
+    )
+    w = (
+        Window.partitionBy("cohort")
+        .orderBy("day_offset")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        spend.join(F.broadcast(sizes), "cohort")
+        .select(
+            "cohort",
+            "day_offset",
+            F.sum("v").over(w).cast("double").alias("cum_value"),
+            F.round(
+                F.sum("v").over(w).cast("double") / F.col("n_users"), 6
+            ).alias("ltv_per_user"),
+        )
+    )
