@@ -544,3 +544,38 @@ def ts_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("mean_log2_prob"),
         )
     )
+
+
+@register(
+    "ts_langid_confusion",
+    f"""WITH pred AS (
+  SELECT doc_id, lang_guess FROM (
+    SELECT d.doc_id, langs.lang AS lang_guess,
+           ROW_NUMBER() OVER (
+             PARTITION BY d.doc_id
+             ORDER BY len(list_intersect(d.ts, langs.markers)) DESC, langs.lang_pri ASC
+           ) AS rn
+    FROM (SELECT doc_id, list_distinct({_TOKENS_SQL}) AS ts FROM documents) d
+    CROSS JOIN {_lang_markers_sql()}
+  ) WHERE rn = 1
+)
+SELECT d.lang AS label, p.lang_guess AS predicted,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM documents d JOIN pred p ON d.doc_id = p.doc_id
+GROUP BY 1, 2""",
+)
+def ts_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-eval surface: the **confusion matrix** of the language-ID
+    heuristic against the fixture's gold labels — per (label,
+    predicted) document counts, the standard classifier diagnostic
+    (per-class precision/recall fall straight out of it). Composes the
+    SQL-verified predictor (:func:`ts_lang_id`) with one join + one
+    aggregate; at 100 TB the matrix is |langs|² rows regardless of
+    corpus size."""
+    docs = load_raw(spark, sf_dir, "documents").select("doc_id", "lang")
+    pred = ts_lang_id(spark, sf_dir).select("doc_id", "lang_guess")
+    return (
+        docs.join(pred, "doc_id")
+        .groupBy(F.col("lang").alias("label"), F.col("lang_guess").alias("predicted"))
+        .agg(F.count("*").alias("n"))
+    )
