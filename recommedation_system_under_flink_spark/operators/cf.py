@@ -243,3 +243,94 @@ def cf_next_item_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= CF_NEIGHBORS)
         .select("news_a", "news_b", "n_follows", "prob")
     )
+
+
+# ------------------------------------------- count-weighted item CF
+
+_PREFS_W_CTE = """prefs_w AS (
+  SELECT user_id, news_id, CAST(COUNT(*) AS BIGINT) AS c
+  FROM clicks GROUP BY user_id, news_id
+)"""
+
+
+@register(
+    "cf_item_neighbors_weighted",
+    with_ctes(
+        f"""SELECT news_a, news_b, sim FROM (
+  SELECT c.news_a, c.news_b,
+         ROUND(c.cooc / sqrt(na.ss * nb.ss), 6) AS sim,
+         ROW_NUMBER() OVER (
+           PARTITION BY c.news_a
+           ORDER BY ROUND(c.cooc / sqrt(na.ss * nb.ss), 6) DESC, c.news_b ASC
+         ) AS rnk
+  FROM (
+    SELECT a.news_id AS news_a, b.news_id AS news_b,
+           CAST(SUM(a.c * b.c) AS DOUBLE) AS cooc
+    FROM prefs_w a JOIN prefs_w b
+      ON a.user_id = b.user_id AND a.news_id <> b.news_id
+    GROUP BY 1, 2
+  ) c
+  JOIN (SELECT news_id, SUM(c * c) AS ss FROM prefs_w GROUP BY news_id) na
+    ON c.news_a = na.news_id
+  JOIN (SELECT news_id, SUM(c * c) AS ss FROM prefs_w GROUP BY news_id) nb
+    ON c.news_b = nb.news_id
+) WHERE rnk <= {CF_NEIGHBORS}""",
+        CLICKS_CTE,
+        _PREFS_W_CTE,
+    ),
+)
+def cf_item_neighbors_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Item-item CF over click **counts** (cosine of count vectors),
+    vs :func:`cf_item_neighbors`'s binary incidence: repeat clicks
+    strengthen the signal instead of collapsing to 1 — the standard
+    upgrade when interaction intensity is informative. Same
+    inverted-index plan shape; all sums are exact integers under one
+    sqrt, quantized to 6 dp for rank stability."""
+    prefs = (
+        clicks(spark, sf_dir)
+        .groupBy("user_id", "news_id")
+        .agg(F.count("*").alias("c"))
+    )
+    norms = prefs.groupBy("news_id").agg(
+        F.sum(F.col("c") * F.col("c")).alias("ss")
+    )
+    a = prefs.alias("a")
+    b = prefs.alias("b")
+    cooc = (
+        a.join(
+            b,
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("a.news_id") != F.col("b.news_id")),
+        )
+        .groupBy(
+            F.col("a.news_id").alias("news_a"), F.col("b.news_id").alias("news_b")
+        )
+        .agg(F.sum(F.col("a.c") * F.col("b.c")).cast("double").alias("cooc"))
+    )
+    sims = (
+        cooc.join(
+            F.broadcast(
+                norms.select(F.col("news_id").alias("news_a"), F.col("ss").alias("sa"))
+            ),
+            "news_a",
+        )
+        .join(
+            F.broadcast(
+                norms.select(F.col("news_id").alias("news_b"), F.col("ss").alias("sb"))
+            ),
+            "news_b",
+        )
+        .select(
+            "news_a",
+            "news_b",
+            F.round(F.col("cooc") / F.sqrt(F.col("sa") * F.col("sb")), 6).alias(
+                "sim"
+            ),
+        )
+    )
+    w = Window.partitionBy("news_a").orderBy(F.desc("sim"), F.asc("news_b"))
+    return (
+        sims.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= CF_NEIGHBORS)
+        .select("news_a", "news_b", "sim")
+    )
