@@ -510,3 +510,103 @@ def ev_user_activity_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("last7_share"),
     )
+
+
+# -------------------------------------------- daily-series smoothing
+
+#: EWMA decay (weight on a day k back = EWMA_ALPHA^k).
+EWMA_DECAY = 0.7
+
+
+@register(
+    "ev_daily_ewma",
+    f"""WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2
+)
+SELECT a.event_type, a.day, a.n,
+       ROUND(SUM(b.n * POWER({EWMA_DECAY}, a.day - b.day))
+             / SUM(POWER({EWMA_DECAY}, a.day - b.day)), 6) AS ewma
+FROM daily a JOIN daily b
+  ON a.event_type = b.event_type AND b.day <= a.day
+GROUP BY a.event_type, a.day, a.n""",
+)
+def ev_daily_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted moving average of the daily event series
+    per type — the smoothing behind trend/anomaly baselines (the
+    sibling of the z-score flags, ``ev_daily_anomaly``, and the
+    fixed-window mean, ``a9``). Normalized form (Σwx/Σw) so gaps in
+    the series reweight instead of decaying toward zero.
+
+    Computed as a banded self-join over the **aggregated** daily
+    matrix (days² per type, trivial after aggregation — never over raw
+    events). POWER on doubles can drift an ulp between libm and the
+    JVM; positive sums + 6-dp quantization absorb it."""
+    from pyspark.sql import functions as F
+
+    from ..sources import events_raw
+    from ..sources.tables import ts_date
+
+    daily = (
+        events_raw(spark, sf_dir)
+        .groupBy("event_type", ts_date("ts").alias("day"))
+        .agg(F.count("*").alias("n"))
+    )
+    a = daily.alias("a")
+    b = daily.alias("b")
+    wgt = F.pow(F.lit(EWMA_DECAY), F.datediff(F.col("a.day"), F.col("b.day")))
+    return (
+        a.join(
+            b,
+            (F.col("a.event_type") == F.col("b.event_type"))
+            & (F.col("b.day") <= F.col("a.day")),
+        )
+        .groupBy(
+            F.col("a.event_type").alias("event_type"),
+            F.col("a.day").alias("day"),
+            F.col("a.n").alias("n"),
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("b.n") * wgt) / F.sum(wgt), 6
+            ).alias("ewma")
+        )
+    )
+
+
+@register(
+    "ev_weekday_profile",
+    """WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2
+)
+SELECT event_type,
+       CAST((day - DATE '1970-01-01') % 7 AS INTEGER) AS dow,
+       CAST(COUNT(*) AS BIGINT) AS n_days,
+       ROUND(AVG(n), 6) AS avg_events
+FROM daily GROUP BY 1, 2""",
+)
+def ev_weekday_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekday seasonality profile: average daily event volume per
+    (type, day-of-week). DOW is pinned as ``epoch_days % 7`` (0 =
+    Thursday) — plain integer arithmetic, because the engines' native
+    day-of-week functions disagree on week start and indexing. The
+    input is the aggregated daily matrix, so the profile costs nothing
+    at any scale."""
+    from pyspark.sql import functions as F
+
+    from ..sources import events_raw
+    from ..sources.tables import ts_date
+
+    daily = (
+        events_raw(spark, sf_dir)
+        .groupBy("event_type", ts_date("ts").alias("day"))
+        .agg(F.count("*").alias("n"))
+    )
+    dow = (
+        F.datediff(F.col("day"), F.lit("1970-01-01").cast("date")) % 7
+    ).cast("int")
+    return daily.groupBy("event_type", dow.alias("dow")).agg(
+        F.count("*").alias("n_days"),
+        F.round(F.avg("n"), 6).alias("avg_events"),
+    )
