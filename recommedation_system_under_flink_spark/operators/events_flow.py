@@ -498,3 +498,49 @@ def ef_session_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("depth")
         .agg(F.count("*").cast("long").alias("n_sessions"))
     )
+
+
+# ------------------------------------------------- attribution report
+
+@register(
+    "ef_attribution_report",
+    """WITH matched AS (
+  SELECT p.event_id AS purchase_id, p.value, c.event_id AS click_id
+  FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+  ASOF JOIN (SELECT * FROM events WHERE event_type = 'click') c
+    ON p.user_id = c.user_id AND p.ts >= c.ts
+)
+SELECT click_id % 500 AS news_id,
+       CAST(COUNT(*) AS BIGINT) AS n_purchases,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS attributed_value
+FROM matched
+GROUP BY 1""",
+)
+def ef_attribution_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """**Last-click revenue attribution**: each purchase's value is
+    credited to the news item of the user's most recent prior click
+    (the as-of match, :func:`ef_asof_purchase_click`); per-news
+    purchase counts and attributed revenue (exact-DECIMAL sums). The
+    marketing-analytics report that closes the loop from
+    recommendation → click → purchase.
+
+    Unmatched purchases (no prior click) carry no attribution and are
+    excluded — the inner as-of. Plan: the as-of core's single sorted
+    shuffle plus one hash aggregate on news_id."""
+    ev = events_raw(spark, sf_dir)
+    asof = ef_asof_purchase_click(spark, sf_dir).filter(
+        F.col("click_id").isNotNull()
+    )
+    pv = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), "value"
+    )
+    return (
+        asof.join(pv, "purchase_id")
+        .groupBy((F.col("click_id") % 500).alias("news_id"))
+        .agg(
+            F.count("*").alias("n_purchases"),
+            F.sum(F.col("value").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("attributed_value"),
+        )
+    )
