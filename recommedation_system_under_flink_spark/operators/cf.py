@@ -334,3 +334,83 @@ def cf_item_neighbors_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= CF_NEIGHBORS)
         .select("news_a", "news_b", "sim")
     )
+
+
+# --------------------------------------------------- user-based CF
+
+_USER_SIMS_CTE = f"""user_sims AS (
+  SELECT c.user_a, c.user_b,
+         ROUND(c.cooc / sqrt(pa.pop * pb.pop), 6) AS sim
+  FROM (
+    SELECT a.user_id AS user_a, b.user_id AS user_b, CAST(COUNT(*) AS DOUBLE) AS cooc
+    FROM prefs a JOIN prefs b
+      ON a.news_id = b.news_id AND a.user_id <> b.user_id
+    GROUP BY 1, 2
+  ) c
+  JOIN (SELECT user_id, COUNT(*) AS pop FROM prefs GROUP BY user_id) pa
+    ON c.user_a = pa.user_id
+  JOIN (SELECT user_id, COUNT(*) AS pop FROM prefs GROUP BY user_id) pb
+    ON c.user_b = pb.user_id
+)"""
+
+
+@register(
+    "cf_user_neighbors",
+    with_ctes(
+        f"""SELECT user_a, user_b, sim FROM (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY user_a ORDER BY sim DESC, user_b ASC) AS rnk
+  FROM user_sims
+) WHERE rnk <= {CF_NEIGHBORS}""",
+        CLICKS_CTE,
+        _PREFS_CTE,
+        _USER_SIMS_CTE,
+    ),
+)
+def cf_user_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """**User-based CF** neighbor model — the transpose of
+    :func:`cf_item_neighbors`: users are similar when their click sets
+    overlap (binary cosine), candidates generated by the inverted-index
+    self-join on **news_id**. Item-based CF is usually preferred at
+    scale (item count ≪ user count, so the model table is smaller and
+    more stable), but taste-neighborhood features (e.g. "users like
+    you") need this direction; the skew story transposes too — a viral
+    ITEM is now the hot join key, capped/salted the same way."""
+    prefs = clicks(spark, sf_dir).select("user_id", "news_id").distinct()
+    pop = prefs.groupBy("user_id").agg(F.count("*").alias("pop"))
+    a = prefs.alias("a")
+    b = prefs.alias("b")
+    cooc = (
+        a.join(
+            b,
+            (F.col("a.news_id") == F.col("b.news_id"))
+            & (F.col("a.user_id") != F.col("b.user_id")),
+        )
+        .groupBy(
+            F.col("a.user_id").alias("user_a"), F.col("b.user_id").alias("user_b")
+        )
+        .agg(F.count("*").cast("double").alias("cooc"))
+    )
+    sims = (
+        cooc.join(
+            F.broadcast(pop.select(F.col("user_id").alias("user_a"), F.col("pop").alias("pa"))),
+            "user_a",
+        )
+        .join(
+            F.broadcast(pop.select(F.col("user_id").alias("user_b"), F.col("pop").alias("pb"))),
+            "user_b",
+        )
+        .select(
+            "user_a",
+            "user_b",
+            F.round(F.col("cooc") / F.sqrt(F.col("pa") * F.col("pb")), 6).alias(
+                "sim"
+            ),
+        )
+    )
+    w = Window.partitionBy("user_a").orderBy(F.desc("sim"), F.asc("user_b"))
+    return (
+        sims.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= CF_NEIGHBORS)
+        .select("user_a", "user_b", "sim")
+    )

@@ -487,3 +487,79 @@ def j5_ranking_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg("recall"), 6).alias("mean_recall"),
         F.round(F.avg("ndcg"), 6).alias("mean_ndcg"),
     )
+
+
+# --------------------------------------------- recommendation coverage
+
+_J6_ORACLE = with_ctes(
+    f"""SELECT CAST(n_recommended AS BIGINT) AS n_recommended,
+       CAST(catalog AS BIGINT) AS catalog_size,
+       ROUND(CAST(n_recommended AS DOUBLE) / catalog, 6) AS coverage,
+       ROUND(top_share, 6) AS top10_share
+FROM (
+  SELECT (SELECT COUNT(DISTINCT news_id) FROM recs) AS n_recommended,
+         (SELECT COUNT(DISTINCT news_id) FROM clicks) AS catalog,
+         (SELECT SUM(n) FROM (
+            SELECT COUNT(*) AS n FROM recs GROUP BY news_id
+            ORDER BY n DESC, news_id ASC LIMIT 10))
+           / CAST((SELECT COUNT(*) FROM recs) AS DOUBLE) AS top_share
+)""",
+    CLICKS_CTE,
+    f"""recs AS (
+  SELECT user_id, news_id FROM (
+    SELECT user_id, news_id,
+           ROW_NUMBER() OVER (PARTITION BY user_id
+                              ORDER BY score DESC, news_id ASC) AS rank
+    FROM (SELECT user_id, news_id, CAST(SUM(cnt) AS DOUBLE) AS score
+          FROM clicks GROUP BY user_id, news_id)
+  ) WHERE rank <= {DEFAULT_SCENE.num_recommendations}
+)""",
+)
+
+
+@register("j6_rec_coverage", _J6_ORACLE)
+def j6_rec_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recommendation **coverage & concentration** diagnostics — the
+    system-health metrics next to per-user accuracy (J4/J5): what
+    fraction of the clicked catalog ever gets recommended, and what
+    share of all recommendation slots the 10 most-recommended items
+    absorb (popularity-collapse detector). One row; every input is a
+    count ratio, so the metrics are exact.
+
+    Scale: three aggregates over the recommendation table (itself
+    top-K-bounded) and one over the catalog — diagnostics cost nothing
+    next to the recommender."""
+    from .ranking import K, _scores, top_k_rows
+
+    recs = top_k_rows(
+        _scores(spark, sf_dir), "user_id", [F.desc("score"), F.asc("news_id")], K
+    ).select("user_id", "news_id")
+    n_rec = recs.select("news_id").distinct().count()
+    catalog = (
+        clicks(spark, sf_dir).select("news_id").distinct().count()
+    )
+    total_slots = recs.count()
+    from pyspark.sql import Window
+
+    top10 = (
+        recs.groupBy("news_id")
+        .agg(F.count("*").alias("n"))
+        .withColumn(
+            "rnk",
+            F.row_number().over(Window.orderBy(F.desc("n"), F.asc("news_id"))),
+        )
+        .filter(F.col("rnk") <= 10)
+        .agg(F.sum("n"))
+        .collect()[0][0]
+    )
+    return spark.createDataFrame(
+        [
+            (
+                n_rec,
+                catalog,
+                round(n_rec / catalog, 6),
+                round((top10 or 0) / total_slots, 6),
+            )
+        ],
+        "n_recommended long, catalog_size long, coverage double, top10_share double",
+    )
