@@ -154,3 +154,85 @@ def samp_weighted_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("pos", F.row_number().over(w).cast("long"))
         .filter(F.col("pos") <= WEIGHTED_N)
     )
+
+
+# ------------------------------------------------- BPR triplet sampling
+
+#: Negatives drawn per positive interaction, from this many candidates.
+BPR_NEGATIVES = 3
+BPR_CANDIDATES = 8
+
+
+@register(
+    "samp_bpr_triplets",
+    f"""WITH prefs AS (
+  SELECT DISTINCT user_id, event_id % 500 AS news_id
+  FROM events WHERE event_type = 'click'
+), cand AS (
+  SELECT p.user_id, p.news_id AS pos_news_id,
+         CAST((p.user_id * 31 + p.news_id * 17 + j.j * 7919) % 500 AS BIGINT)
+           AS neg_news_id,
+         j.j
+  FROM prefs p, (SELECT unnest(generate_series(1, {BPR_CANDIDATES})) AS j) j
+), valid AS (
+  SELECT c.* FROM cand c
+  WHERE c.neg_news_id <> c.pos_news_id
+    AND NOT EXISTS (SELECT 1 FROM prefs s
+                    WHERE s.user_id = c.user_id
+                      AND s.news_id = c.neg_news_id)
+)
+SELECT user_id, pos_news_id, neg_news_id,
+       CAST(rnk AS INTEGER) AS neg_rank
+FROM (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY user_id, pos_news_id ORDER BY j ASC, neg_news_id ASC) AS rnk
+  FROM valid
+) WHERE rnk <= {BPR_NEGATIVES}""",
+)
+def samp_bpr_triplets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """**BPR training triplets** (user, positive item, negative item) —
+    the training-data generator for pairwise ranking losses (BPR,
+    WARP): per observed click, up to ``BPR_NEGATIVES`` items the user
+    did NOT interact with. Negatives come from a pinned modular-hash
+    candidate stream (engine-portable integer arithmetic — the
+    bit-reproducibility every training run wants from its sampler),
+    filtered against the user's own history by an anti-join, ranked by
+    candidate order.
+
+    Scale: candidates explode ×``BPR_CANDIDATES`` off the (bounded)
+    preference table, never off the catalog; the history anti-join
+    shuffles on (user, item) like every CF op; rejection loss (a user
+    who clicked everything) just yields fewer negatives — no retry
+    loop, no RNG state."""
+    from ..sources import clicks
+    from ..sources.tables import NEWS_MOD
+
+    prefs = clicks(spark, sf_dir).select("user_id", "news_id").distinct()
+    cand = prefs.select(
+        "user_id",
+        F.col("news_id").alias("pos_news_id"),
+        F.explode(F.sequence(F.lit(1), F.lit(BPR_CANDIDATES))).alias("j"),
+    ).withColumn(
+        "neg_news_id",
+        (
+            F.col("user_id") * 31 + F.col("pos_news_id") * 17 + F.col("j") * 7919
+        ).cast("long")
+        % NEWS_MOD,
+    )
+    valid = cand.filter(F.col("neg_news_id") != F.col("pos_news_id")).join(
+        prefs.select(
+            "user_id", F.col("news_id").alias("neg_news_id")
+        ),
+        ["user_id", "neg_news_id"],
+        "left_anti",
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id", "pos_news_id").orderBy(
+        F.asc("j"), F.asc("neg_news_id")
+    )
+    return (
+        valid.withColumn("neg_rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("neg_rank") <= BPR_NEGATIVES)
+        .select("user_id", "pos_news_id", "neg_news_id", "neg_rank")
+    )
