@@ -129,3 +129,44 @@ def prof_constraint_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return doc_checks.unionByName(emb_checks).select(
         "check_name", "violations", (F.col("violations") == 0).alias("passed")
     )
+
+
+@register(
+    "prof_embedding_norms",
+    """SELECT CAST(COUNT(*) AS BIGINT) AS n_vectors,
+       CAST(MIN(len(embedding)) AS BIGINT) AS dim_min,
+       CAST(MAX(len(embedding)) AS BIGINT) AS dim_max,
+       CAST(SUM(CASE WHEN nrm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero,
+       ROUND(MIN(nrm), 6) AS norm_min,
+       ROUND(MAX(nrm), 6) AS norm_max,
+       ROUND(AVG(nrm), 6) AS norm_avg
+FROM (
+  SELECT embedding,
+         sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                               CAST(embedding AS DOUBLE[]))) AS nrm
+  FROM embeddings
+)""",
+)
+def prof_embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vector-table quality profile: dimension consistency, zero-norm
+    count (broken vectors that poison cosine math), and the norm
+    distribution (un-normalized corpora break inner-product shortcuts)
+    — the pre-flight check before any ANN build, one scan, one row.
+    Norm aggregates are quantized; counts exact."""
+    emb = load_raw(spark, sf_dir, "embeddings")
+    e = F.col("embedding").cast("array<double>")
+    nrm = F.sqrt(
+        F.aggregate(e, F.lit(0.0), lambda acc, v: acc + v * v)
+    )
+    base = emb.select(F.size("embedding").alias("dim"), nrm.alias("nrm"))
+    return base.agg(
+        F.count("*").alias("n_vectors"),
+        F.min("dim").cast("long").alias("dim_min"),
+        F.max("dim").cast("long").alias("dim_max"),
+        F.sum(F.when(F.col("nrm") == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_zero"),
+        F.round(F.min("nrm"), 6).alias("norm_min"),
+        F.round(F.max("nrm"), 6).alias("norm_max"),
+        F.round(F.avg("nrm"), 6).alias("norm_avg"),
+    )
