@@ -539,6 +539,12 @@ def j6_rec_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         clicks(spark, sf_dir).select("news_id").distinct().count()
     )
     total_slots = recs.count()
+    if catalog == 0 or total_slots == 0:  # empty log → empty report
+        return spark.createDataFrame(
+            [],
+            "n_recommended long, catalog_size long, coverage double,"
+            " top10_share double",
+        )
     from pyspark.sql import Window
 
     top10 = (
