@@ -414,3 +414,72 @@ def cf_user_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= CF_NEIGHBORS)
         .select("user_a", "user_b", "sim")
     )
+
+
+@register(
+    "cf_item_lift",
+    with_ctes(
+        f"""SELECT news_a, news_b, lift FROM (
+  SELECT c.news_a, c.news_b,
+         ROUND(c.cooc * tot.n_users / (pa.pop * CAST(pb.pop AS DOUBLE)), 6)
+           AS lift,
+         ROW_NUMBER() OVER (
+           PARTITION BY c.news_a
+           ORDER BY ROUND(c.cooc * tot.n_users / (pa.pop * CAST(pb.pop AS DOUBLE)), 6) DESC,
+                    c.news_b ASC) AS rnk
+  FROM (
+    SELECT a.news_id AS news_a, b.news_id AS news_b, CAST(COUNT(*) AS DOUBLE) AS cooc
+    FROM prefs a JOIN prefs b
+      ON a.user_id = b.user_id AND a.news_id <> b.news_id
+    GROUP BY 1, 2
+  ) c
+  JOIN pop pa ON c.news_a = pa.news_id
+  JOIN pop pb ON c.news_b = pb.news_id
+  CROSS JOIN (SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users FROM prefs) tot
+) WHERE rnk <= {CF_NEIGHBORS}""",
+        CLICKS_CTE,
+        _PREFS_CTE,
+        _POP_CTE,
+    ),
+)
+def cf_item_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Item association by **lift** (observed co-click rate over the
+    rate expected under independence, `cooc·N / (pop_a·pop_b)`) — the
+    popularity-debiased companion to cosine CF: cosine still rewards
+    globally popular items; lift > 1 isolates genuinely associated
+    pairs. Same inverted-index plan plus one 1-row user-count
+    broadcast; exact count ratios, quantized for rank ties."""
+    prefs = clicks(spark, sf_dir).select("user_id", "news_id").distinct()
+    pop = prefs.groupBy("news_id").agg(F.count("*").alias("pop"))
+    n_users = prefs.select("user_id").distinct().count()
+    a = prefs.alias("a")
+    b = prefs.alias("b")
+    cooc = (
+        a.join(
+            b,
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("a.news_id") != F.col("b.news_id")),
+        )
+        .groupBy(
+            F.col("a.news_id").alias("news_a"), F.col("b.news_id").alias("news_b")
+        )
+        .agg(F.count("*").cast("double").alias("cooc"))
+    )
+    lift = F.round(
+        F.col("cooc") * n_users / (F.col("pa") * F.col("pb").cast("double")), 6
+    )
+    w = Window.partitionBy("news_a").orderBy(F.desc("lift"), F.asc("news_b"))
+    return (
+        cooc.join(
+            F.broadcast(pop.select(F.col("news_id").alias("news_a"), F.col("pop").alias("pa"))),
+            "news_a",
+        )
+        .join(
+            F.broadcast(pop.select(F.col("news_id").alias("news_b"), F.col("pop").alias("pb"))),
+            "news_b",
+        )
+        .select("news_a", "news_b", lift.alias("lift"))
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= CF_NEIGHBORS)
+        .select("news_a", "news_b", "lift")
+    )

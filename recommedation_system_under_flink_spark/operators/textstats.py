@@ -579,3 +579,88 @@ def ts_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("lang").alias("label"), F.col("lang_guess").alias("predicted"))
         .agg(F.count("*").alias("n"))
     )
+
+
+# ------------------------------------------------------- corpus drift
+
+#: Drift split day: docs dated before this fall in the "old" window.
+DRIFT_SPLIT_DAY = 15
+#: Report size: top movers by absolute log-ratio.
+DRIFT_TOP_N = 25
+
+
+@register(
+    "ts_term_drift",
+    f"""WITH sides AS (
+  SELECT CASE WHEN doc_id % 30 < {DRIFT_SPLIT_DAY} THEN 0 ELSE 1 END AS side,
+         unnest({_TOKENS_SQL}) AS term
+  FROM documents
+), freq AS (
+  SELECT term,
+         SUM(CASE WHEN side = 0 THEN 1 ELSE 0 END) AS n_old,
+         SUM(CASE WHEN side = 1 THEN 1 ELSE 0 END) AS n_new
+  FROM sides GROUP BY term
+), tot AS (
+  SELECT SUM(n_old) AS t_old, SUM(n_new) AS t_new FROM freq
+)
+SELECT term,
+       CAST(n_old AS BIGINT) AS n_old,
+       CAST(n_new AS BIGINT) AS n_new,
+       drift
+FROM (
+  SELECT f.term, f.n_old, f.n_new,
+         ROUND(log2(((f.n_new + 1.0) / (tot.t_new + 1.0))
+                    / ((f.n_old + 1.0) / (tot.t_old + 1.0))), 6) AS drift,
+         ROW_NUMBER() OVER (
+           ORDER BY ABS(ROUND(log2(((f.n_new + 1.0) / (tot.t_new + 1.0))
+                    / ((f.n_old + 1.0) / (tot.t_old + 1.0))), 6)) DESC,
+                    f.term ASC) AS rnk
+  FROM freq f, tot
+) WHERE rnk <= {DRIFT_TOP_N}""",
+)
+def ts_term_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """**Corpus drift report**: smoothed log₂ frequency ratio of every
+    term between the older and newer half of the corpus (split by the
+    pinned doc-date derivation), top movers first — the
+    distribution-shift check a training pipeline runs before mixing
+    crawl snapshots (vocabulary drift poisons frequency-calibrated
+    filters like `ts_unigram_logprob`). Add-one smoothing keeps terms
+    unique to one side finite; quantized for rank stability.
+
+    One explode + one aggregate + a 1-row total broadcast — same cost
+    envelope as the TF-IDF DF pass at any scale."""
+    from ..sources.tables import DATE_MOD  # doc date = DATE0 + doc_id % 30
+
+    docs = load_raw(spark, sf_dir, "documents")
+    side = F.when(
+        (F.col("doc_id") % DATE_MOD) < DRIFT_SPLIT_DAY, F.lit(0)
+    ).otherwise(F.lit(1))
+    toks = docs.select(side.alias("side"), F.explode(_tokens(F.col("text"))).alias("term"))
+    freq = toks.groupBy("term").agg(
+        F.sum(F.when(F.col("side") == 0, 1).otherwise(0)).alias("n_old"),
+        F.sum(F.when(F.col("side") == 1, 1).otherwise(0)).alias("n_new"),
+    )
+    tot = freq.agg(
+        F.sum("n_old").alias("t_old"), F.sum("n_new").alias("t_new")
+    )
+    drift = F.round(
+        F.log2(
+            ((F.col("n_new") + 1.0) / (F.col("t_new") + 1.0))
+            / ((F.col("n_old") + 1.0) / (F.col("t_old") + 1.0))
+        ),
+        6,
+    )
+    from pyspark.sql import Window
+
+    scored = freq.crossJoin(F.broadcast(tot)).select(
+        "term",
+        F.col("n_old").cast("long").alias("n_old"),
+        F.col("n_new").cast("long").alias("n_new"),
+        drift.alias("drift"),
+    )
+    w = Window.orderBy(F.abs(F.col("drift")).desc(), F.asc("term"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= DRIFT_TOP_N)
+        .select("term", "n_old", "n_new", "drift")
+    )
