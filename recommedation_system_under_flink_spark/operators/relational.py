@@ -408,3 +408,73 @@ def rel_q2_min_cost_part(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg.join(F.broadcast(part), "p_partkey").select(
         "p_partkey", "p_brand", "min_price", "n_offers"
     )
+
+
+@register(
+    "rel_q6_revenue_change",
+    f"""SELECT CAST(SUM({_EP} * {_DISC}) AS DOUBLE) AS revenue_delta
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+  AND l_discount BETWEEN 0.03 AND 0.05
+  AND l_quantity < 24""",
+)
+def rel_q6_revenue_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: the canonical **selective-scan** aggregate —
+    what-if revenue delta from eliminating a discount band. No join,
+    no groupBy: the whole query is predicate pushdown (date range,
+    discount band, quantity cap all reach the scan) + one exact-DECIMAL
+    map-side sum. The query benchmarks say the most about scan/pruning
+    throughput."""
+    li = load_raw(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= _dt_lit(li, "l_shipdate", "1996-01-01"))
+            & (F.col("l_shipdate") < _dt_lit(li, "l_shipdate", "1997-01-01"))
+            & F.col("l_discount").between(0.03, 0.05)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(F.expr(f"CAST(SUM({_EP} * {_DISC}) AS DOUBLE)").alias("revenue_delta"))
+    )
+
+
+@register(
+    "rel_q18_large_orders",
+    f"""SELECT c_custkey, c_name, o_orderkey, o_orderdate,
+       CAST(total_qty AS DOUBLE) AS total_qty
+FROM (
+  SELECT l_orderkey, SUM({_QTY}) AS total_qty
+  FROM lineitem GROUP BY l_orderkey
+  HAVING SUM({_QTY}) > 150
+) big
+JOIN orders ON o_orderkey = l_orderkey
+JOIN customer ON c_custkey = o_custkey""",
+)
+def rel_q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: **HAVING over a fact aggregate** — orders whose
+    total quantity exceeds a threshold, joined back to their customer.
+    The aggregate-then-filter runs entirely before the joins (Catalyst
+    keeps the HAVING on the aggregate, so only qualifying orderkeys
+    reach the join); customer broadcasts. Exact-DECIMAL quantity sums
+    make the threshold test engine-identical at the boundary."""
+    li = load_raw(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.expr(f"SUM({_QTY})").alias("total_qty_dec"))
+        .filter(F.col("total_qty_dec") > 150)
+    )
+    orders = load_raw(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate"
+    )
+    cust = load_raw(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    return (
+        big.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            "o_orderdate",
+            F.col("total_qty_dec").cast("double").alias("total_qty"),
+        )
+    )
