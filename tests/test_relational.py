@@ -429,3 +429,23 @@ def test_distributed_clique_vote_on_random_tweet_sets(spark):
         py = textrank_vote(adj, len(adj), sc.friction, TEXTRANK_SQL_ITERS, -1.0)
         for term, score in got[uid].items():
             assert abs(py[term] - score) <= 1e-5, (uid, term, py[term], score)
+
+
+def test_plan_exchange_budgets(queries, spark):
+    """Plan-shape regression guard: flagship queries must not grow
+    extra shuffles. Budgets are the audited counts + headroom — a
+    failure here means a code change regressed a plan, not that the
+    numbers are sacred."""
+    budgets = {
+        "ef_sessionize": 2,            # 1 window exchange + AQE read
+        "a2_hot_topics_sum": 3,
+        "t3_daily_topk_by_count": 4,
+        "rel_q1_pricing_summary": 2,
+        "rel_q6_revenue_change": 2,
+        "dedup_exact": 2,
+        "cf_next_item_transitions": 4,
+    }
+    for name, budget in budgets.items():
+        plan = _plan(queries[name](spark, SF_DIR))
+        got = plan.count("Exchange")
+        assert got <= budget, (name, got, budget)
