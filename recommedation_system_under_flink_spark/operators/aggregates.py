@@ -52,18 +52,14 @@ def a1_daily_distinct_clickers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return clicks(spark, sf_dir).select("date", "user_id").distinct()
 
 
-@register(
-    "a1_daily_clicker_sets",
-    with_ctes(
-        """SELECT date, list_sort(list(DISTINCT user_id)) AS users
-FROM clicks GROUP BY date""",
-        CLICKS_CTE,
-    ),
-)
-def a1_daily_clicker_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+def a1_daily_clicker_sets_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A1 nested form — shape parity with the reference's
     ``Tuple2<Date, LinkedList<Long>>`` (TextRank.java:321-323). Sorted
-    so the driver hash is deterministic."""
+    so downstream consumers see a deterministic list order. NOT
+    registered: the driver's canonicalizer cannot hash array columns
+    (round-2 ``unhashable type: 'list'`` err) — the registered twin
+    below compares the same result with the list serialized to a
+    string."""
     return (
         clicks(spark, sf_dir)
         .groupBy("date")
@@ -72,9 +68,34 @@ def a1_daily_clicker_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "a1_daily_clicker_sets",
+    with_ctes(
+        """SELECT date,
+       array_to_string(list_sort(list(DISTINCT user_id)), ',') AS users
+FROM clicks GROUP BY date""",
+        CLICKS_CTE,
+    ),
+)
+def a1_daily_clicker_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1 nested form, driver-comparable: the per-day distinct-user set
+    sorted numerically and joined to one comma-separated string — flat
+    scalar columns hash fine in the driver's pandas canonicalizer.
+    Same aggregate plan as the nested builder (map-side partial
+    ``collect_set`` → merge)."""
+    nested = a1_daily_clicker_sets_nested(spark, sf_dir)
+    return nested.select(
+        "date",
+        F.array_join(
+            F.transform(F.col("users"), lambda u: u.cast("string")), ","
+        ).alias("users"),
+    )
+
+
+@register(
     "a2_hot_topics_sum",
     with_ctes(
-        f"""SELECT DATE '{TODAY}' AS date, news_id, SUM(cnt) AS clicks
+        f"""SELECT DATE '{TODAY}' AS date, news_id,
+       CAST(SUM(cnt) AS BIGINT) AS clicks
 FROM clicks
 WHERE date BETWEEN DATE '{_WINDOW_START}' AND DATE '{TODAY}'
 GROUP BY news_id""",
@@ -93,10 +114,22 @@ def a2_hot_topics_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def a4_window_users_reduce_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4 (TextRank.java:88-101): global no-key reduce of window users
+    into a single row. Partial ``collect_set`` runs per-partition before
+    the single-partition final merge, so the shuffle carries distinct
+    ids only. NOT registered (array column — see
+    :func:`a1_daily_clicker_sets_nested`)."""
+    return clicks(spark, sf_dir, date_from=_WINDOW_START, date_to=TODAY).agg(
+        F.sort_array(F.collect_set("user_id")).alias("users"),
+        F.count_distinct("user_id").alias("n_users"),
+    )
+
+
 @register(
     "a4_window_users_reduce",
     with_ctes(
-        f"""SELECT list_sort(list(DISTINCT user_id)) AS users,
+        f"""SELECT array_to_string(list_sort(list(DISTINCT user_id)), ',') AS users,
        COUNT(DISTINCT user_id) AS n_users
 FROM clicks
 WHERE date BETWEEN DATE '{_WINDOW_START}' AND DATE '{TODAY}'""",
@@ -104,13 +137,15 @@ WHERE date BETWEEN DATE '{_WINDOW_START}' AND DATE '{TODAY}'""",
     ),
 )
 def a4_window_users_reduce(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A4 (TextRank.java:88-101): global no-key reduce of window users
-    into a single row. Partial ``collect_set`` runs per-partition before
-    the single-partition final merge, so the shuffle carries distinct
-    ids only."""
-    return clicks(spark, sf_dir, date_from=_WINDOW_START, date_to=TODAY).agg(
-        F.sort_array(F.collect_set("user_id")).alias("users"),
-        F.count_distinct("user_id").alias("n_users"),
+    """A4, driver-comparable: the global window-user set serialized to
+    one comma-separated string (numeric sort pinned on both sides) next
+    to its exact distinct count."""
+    nested = a4_window_users_reduce_nested(spark, sf_dir)
+    return nested.select(
+        F.array_join(
+            F.transform(F.col("users"), lambda u: u.cast("string")), ","
+        ).alias("users"),
+        "n_users",
     )
 
 

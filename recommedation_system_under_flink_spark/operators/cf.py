@@ -38,6 +38,7 @@ from pyspark.sql import Window
 from ..config import DEFAULT_SCENE
 from ..registry import register
 from ..sources import CLICKS_CTE, clicks, with_ctes
+from ..sources.tables import NEWS_MOD
 
 #: Neighbors kept per item / recommendations per user.
 CF_NEIGHBORS = 10
@@ -193,7 +194,7 @@ def cf_user_recommendations(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT news_id AS news_b,
              LAG(news_id) OVER (PARTITION BY user_id
                                 ORDER BY ts, event_id) AS news_a
-      FROM (SELECT user_id, event_id % 500 AS news_id, ts, event_id
+      FROM (SELECT user_id, event_id % {NEWS_MOD} AS news_id, ts, event_id
             FROM events WHERE event_type = 'click')
     )
     WHERE news_a IS NOT NULL AND news_a <> news_b

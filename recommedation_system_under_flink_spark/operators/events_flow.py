@@ -39,6 +39,7 @@ from pyspark.sql import functions as F
 
 from ..registry import register
 from ..sources import events_raw
+from ..sources.tables import NEWS_MOD
 
 #: Session gap threshold: 30 minutes, in microseconds.
 SESSION_GAP_US = 30 * 60 * 1_000_000
@@ -504,13 +505,13 @@ def ef_session_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "ef_attribution_report",
-    """WITH matched AS (
+    f"""WITH matched AS (
   SELECT p.event_id AS purchase_id, p.value, c.event_id AS click_id
   FROM (SELECT * FROM events WHERE event_type = 'purchase') p
   ASOF JOIN (SELECT * FROM events WHERE event_type = 'click') c
     ON p.user_id = c.user_id AND p.ts >= c.ts
 )
-SELECT click_id % 500 AS news_id,
+SELECT click_id % {NEWS_MOD} AS news_id,
        CAST(COUNT(*) AS BIGINT) AS n_purchases,
        CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS attributed_value
 FROM matched
@@ -536,7 +537,7 @@ def ef_attribution_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         asof.join(pv, "purchase_id")
-        .groupBy((F.col("click_id") % 500).alias("news_id"))
+        .groupBy((F.col("click_id") % NEWS_MOD).alias("news_id"))
         .agg(
             F.count("*").alias("n_purchases"),
             F.sum(F.col("value").cast("decimal(18,6)"))

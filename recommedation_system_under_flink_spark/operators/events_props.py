@@ -308,8 +308,8 @@ def ev_daily_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
   SELECT user_id,
          CAST(MAX(CAST(ts AS DATE)) AS DATE) AS last_day,
          CAST(COUNT(*) AS BIGINT) AS frequency,
-         CAST(SUM(CASE WHEN event_type = 'purchase' THEN value ELSE 0 END)
-              AS DECIMAL(18,6)) AS monetary
+         SUM(CAST(CASE WHEN event_type = 'purchase' THEN value ELSE 0 END
+                  AS DECIMAL(18,6))) AS monetary
   FROM events GROUP BY user_id
 )
 SELECT user_id, last_day, frequency,

@@ -33,6 +33,7 @@ from pyspark.sql import functions as F
 
 from ..registry import register
 from ..sources import CLICKS_CTE, with_ctes
+from .bsp import checkpoint_result
 
 #: Damping factor and fixed iteration count (pinned for oracle parity).
 PAGERANK_D = 0.85
@@ -123,9 +124,13 @@ def graph_pagerank_clicks(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .withColumnRenamed("node", "src")
         )
-    # edges/deg stay persisted for the caller's action (the K-iteration
-    # lineage references them K times each); Spark's LRU evicts them.
-    return ranks.select(F.col("src").alias("node"), F.col("r").alias("rank"))
+    # Materialize the small (node, rank) result (truncating the
+    # K-round lineage), then release edges/deg — see operators/bsp.py.
+    return checkpoint_result(
+        ranks.select(F.col("src").alias("node"), F.col("r").alias("rank")),
+        edges,
+        deg,
+    )
 
 
 #: Fixed BFS horizon (pinned for oracle parity; the convergence dial).
@@ -220,7 +225,11 @@ def graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = levels[0]
     for lv in levels[1:]:
         out = out.unionByName(lv)
-    return out.groupBy("node").agg(F.min("dist").cast("int").alias("dist"))
+    return checkpoint_result(
+        out.groupBy("node").agg(F.min("dist").cast("int").alias("dist")),
+        edges,
+        *levels[1:],  # levels[0] is the un-persisted seed frame
+    )
 
 
 #: Personalized-PageRank iterations (pinned for oracle parity).
@@ -356,4 +365,4 @@ def graph_ppr_recommend(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= 10)
         .select("news_id", "score")
     )
-    return out
+    return checkpoint_result(out, edges, deg)

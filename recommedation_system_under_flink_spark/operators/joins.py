@@ -529,24 +529,25 @@ def j6_rec_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: three aggregates over the recommendation table (itself
     top-K-bounded) and one over the catalog — diagnostics cost nothing
     next to the recommender."""
+    from pyspark.sql import Window
+
     from .ranking import K, _scores, top_k_rows
 
     recs = top_k_rows(
         _scores(spark, sf_dir), "user_id", [F.desc("score"), F.asc("news_id")], K
     ).select("user_id", "news_id")
-    n_rec = recs.select("news_id").distinct().count()
-    catalog = (
-        clicks(spark, sf_dir).select("news_id").distinct().count()
+    # Three tiny single-row aggregates cross-joined — fully declarative
+    # (no driver-side collect or Python round: Python's banker's
+    # rounding diverges from SQL ROUND's half-up on exact .5 ties), and
+    # the one-row output shape matches the oracle's scalar subqueries
+    # even on empty input.
+    stats = recs.agg(
+        F.count_distinct("news_id").alias("n_recommended"),
+        F.count("*").alias("total_slots"),
     )
-    total_slots = recs.count()
-    if catalog == 0 or total_slots == 0:  # empty log → empty report
-        return spark.createDataFrame(
-            [],
-            "n_recommended long, catalog_size long, coverage double,"
-            " top10_share double",
-        )
-    from pyspark.sql import Window
-
+    catalog = clicks(spark, sf_dir).agg(
+        F.count_distinct("news_id").alias("catalog_size")
+    )
     top10 = (
         recs.groupBy("news_id")
         .agg(F.count("*").alias("n"))
@@ -555,17 +556,19 @@ def j6_rec_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.row_number().over(Window.orderBy(F.desc("n"), F.asc("news_id"))),
         )
         .filter(F.col("rnk") <= 10)
-        .agg(F.sum("n"))
-        .collect()[0][0]
+        .agg(F.sum("n").alias("top10_slots"))
     )
-    return spark.createDataFrame(
-        [
-            (
-                n_rec,
-                catalog,
-                round(n_rec / catalog, 6),
-                round((top10 or 0) / total_slots, 6),
-            )
-        ],
-        "n_recommended long, catalog_size long, coverage double, top10_share double",
+    return (
+        stats.crossJoin(catalog)
+        .crossJoin(top10)
+        .select(
+            "n_recommended",
+            "catalog_size",
+            F.round(
+                F.col("n_recommended").cast("double") / F.col("catalog_size"), 6
+            ).alias("coverage"),
+            F.round(
+                F.col("top10_slots").cast("double") / F.col("total_slots"), 6
+            ).alias("top10_share"),
+        )
     )

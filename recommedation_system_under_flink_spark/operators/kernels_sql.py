@@ -56,7 +56,7 @@ _KW_PAIR_CTES = (
     "f8_dot_product_sql",
     with_ctes(
         """SELECT a.news_id AS news_a, b.news_id AS news_b,
-       SUM(a.weight * b.weight) AS dot
+       ROUND(SUM(a.weight * b.weight), 9) AS dot
 FROM kw a JOIN kw b ON a.term = b.term AND a.news_id < b.news_id
 GROUP BY 1, 2""",
         *_KW_PAIR_CTES,
@@ -67,7 +67,9 @@ def f8_dot_product_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``aggregate`` over map columns — pure whole-stage-codegen, no Python.
     The oracle computes the same sums from flat rows; zero-overlap pairs
     (dot = 0) are excluded on both sides since an inner term-join never
-    produces them."""
+    produces them. The compared dot is rounded to 9 decimals on both
+    sides — the two engines sum the products in different orders, so
+    the raw doubles differ by an ulp (driver hash is exact)."""
     maps = _news_maps(spark, sf_dir)
     a = maps.select(F.col("news_id").alias("news_a"), F.col("kw").alias("k1"))
     b = maps.select(F.col("news_id").alias("news_b"), F.col("kw").alias("k2"))
@@ -75,6 +77,7 @@ def f8_dot_product_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
         a.join(F.broadcast(b), F.col("news_a") < F.col("news_b"))
         .select("news_a", "news_b", dot_product_sql("k1", "k2").alias("dot"))
         .filter(F.col("dot") > 0)
+        .withColumn("dot", F.round("dot", 9))
     )
 
 
@@ -142,7 +145,7 @@ def _term_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     "f6_fuzzy_overlap_sql",
     with_ctes(
         """SELECT i.news_a, i.news_b,
-       i.inter / (sa.ss + sb.ss - i.inter) AS score
+       ROUND(i.inter / (sa.ss + sb.ss - i.inter), 9) AS score
 FROM (
   SELECT a.news_id AS news_a, b.news_id AS news_b,
          SUM(LEAST(a.weight, b.weight) * LEAST(a.weight, b.weight)) AS inter
@@ -161,7 +164,9 @@ def f6_fuzzy_overlap_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F6 (CosineSimilarity.java:52-86) as the map-column Catalyst twin.
     The oracle uses the algebraic identity ``Σ_∪ max² = Σ_a v² + Σ_b v²
     − Σ_∩ min²`` so the two sides compute the denominator via different
-    routes — a real equivalence check, not a transliteration."""
+    routes — a real equivalence check, not a transliteration. Compared
+    score rounded to 9 decimals on both sides (different summation
+    routes → ulp-level double differences; driver hash is exact)."""
     maps = _news_maps(spark, sf_dir)
     a = maps.select(F.col("news_id").alias("news_a"), F.col("kw").alias("k1"))
     b = maps.select(F.col("news_id").alias("news_b"), F.col("kw").alias("k2"))
@@ -169,6 +174,7 @@ def f6_fuzzy_overlap_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
         a.join(F.broadcast(b), F.col("news_a") < F.col("news_b"))
         .select("news_a", "news_b", fuzzy_overlap_sql("k1", "k2").alias("score"))
         .filter(F.col("score") > 0)
+        .withColumn("score", F.round("score", 9))
     )
 
 
@@ -407,14 +413,15 @@ def s7_partitioned_write_pruned_read(spark: SparkSession, sf_dir: str) -> DataFr
 @register(
     "s6_parquet_roundtrip",
     with_ctes(
-        f"""SELECT DATE '{TODAY}' AS date,
-       (list(news_id ORDER BY clicks DESC, news_id ASC))[1:{DEFAULT_SCENE.num_recommendations}] AS news
+        f"""SELECT DATE '{TODAY}' AS date, news_id, clicks,
+       ROW_NUMBER() OVER (ORDER BY clicks DESC, news_id ASC) AS rank
 FROM (
-  SELECT news_id, SUM(cnt) AS clicks
+  SELECT news_id, CAST(SUM(cnt) AS BIGINT) AS clicks
   FROM clicks
   WHERE date BETWEEN DATE '{TODAY - dt.timedelta(days=DEFAULT_SCENE.num_days - 1)}' AND DATE '{TODAY}'
   GROUP BY news_id
-)""",
+)
+QUALIFY rank <= {DEFAULT_SCENE.num_recommendations}""",
         CLICKS_CTE,
     ),
 )
@@ -595,7 +602,7 @@ def s9_upsert_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 SELECT entity_id, event_id AS version_id, value,
        tsm AS valid_from,
-       LEAD(tsm) OVER w - 1 AS valid_to,
+       CAST(LEAD(tsm) OVER w - 1 AS DOUBLE) AS valid_to,
        (LEAD(tsm) OVER w IS NULL) AS is_current
 FROM versions
 WINDOW w AS (PARTITION BY entity_id ORDER BY tsm, event_id)""",
@@ -612,7 +619,14 @@ def s10_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-entity collect. Deterministic tiebreak (tsm, event_id) pins
     simultaneous updates. Scale: one shuffle on entity_id; interval
     queries against the result use the banded range-join pattern
-    (``ef_range_join_banded``) instead of a theta join."""
+    (``ef_range_join_banded``) instead of a theta join.
+
+    The compared ``valid_to`` is cast to DOUBLE on both sides: it is
+    NULL for current rows, and a NULL-bearing BIGINT column becomes
+    float64 through the driver's ``duckdb...df()`` canonicalizer while
+    Spark yields ints — µs values ≤ 1.7e15 are exact in a double, so
+    the cast is lossless. Internal consumers (s10b lookup) use the
+    integer+NULL form."""
     from ..sources import events_raw
 
     ev = events_raw(spark, sf_dir).select(
@@ -630,7 +644,7 @@ def s10_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         "version_id",
         "value",
         F.col("tsm").alias("valid_from"),
-        (nxt - 1).alias("valid_to"),
+        (nxt - 1).cast("double").alias("valid_to"),
         nxt.isNull().alias("is_current"),
     )
 
@@ -645,10 +659,10 @@ ZORDER_BITS = 16
     "s11_zorder_key",
     f"""SELECT event_id, user_id, entity_id, zval FROM (
   SELECT event_id, user_id, event_id % 1000 AS entity_id,
-         (SELECT SUM(
+         (SELECT CAST(SUM(
             ((CAST(user_id AS BIGINT) % {1 << ZORDER_BITS}) // (1 << b) % 2) * (1 << (2 * b))
             + ((CAST(event_id % 1000 AS BIGINT)) // (1 << b) % 2) * (1 << (2 * b + 1))
-          ) FROM range({ZORDER_BITS}) t(b)) AS zval
+          ) AS BIGINT) FROM range({ZORDER_BITS}) t(b)) AS zval
   FROM events
 )""",
 )

@@ -290,7 +290,13 @@ def p1_news_keywords_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
     pos = _tr_positions(spark, sf_dir)
     edges = windowed_edges(pos).persist()
     vocab = pos.select("news_id", "term").distinct().persist()
-    return vote_fixed_rounds(edges, vocab, "news_id", DEFAULT_SCENE.num_news_keywords)
+    return vote_fixed_rounds(
+        edges,
+        vocab,
+        "news_id",
+        DEFAULT_SCENE.num_news_keywords,
+        release=(edges, vocab),
+    )
 
 
 def windowed_edges(pos: DataFrame) -> DataFrame:
@@ -331,7 +337,11 @@ def windowed_edges(pos: DataFrame) -> DataFrame:
 
 
 def vote_fixed_rounds(
-    edges: DataFrame, vocab: DataFrame, key: str, n_top: int
+    edges: DataFrame,
+    vocab: DataFrame,
+    key: str,
+    n_top: int,
+    release: tuple[DataFrame, ...] = (),
 ) -> DataFrame:
     """Shared distributed vote loop: ``TEXTRANK_SQL_ITERS`` rounds of
     ``score(w) ← (1-d) + d·Σ_{n∈adj(w)} score(n)/deg(n)`` over
@@ -341,7 +351,9 @@ def vote_fixed_rounds(
     construction at both call sites). ``vocab``: (key, term) — every
     word, including neighborless ones, which hold the teleport score.
     Each round is one join+aggregate shuffle on (key, term); edges and
-    deg persist across rounds (callers pass persisted edges)."""
+    deg persist across rounds (callers pass persisted edges).
+    ``release``: caller-persisted invariants (edges/vocab) to unpersist
+    once the top-N result is checkpointed (operators/bsp.py)."""
     d = DEFAULT_SCENE.friction
     # The graph is symmetric, so neighborless words neither send nor
     # receive: their score is the constant teleport (1-d) every round.
@@ -393,7 +405,17 @@ def vote_fixed_rounds(
             Window.partitionBy(key).orderBy(q.desc(), F.col("term").asc())
         ),
     )
-    return ranked.filter(F.col("rnk") <= n_top).select(key, "term", q.alias("score"))
+    # Materialize the small per-key top-N (truncating the K-round
+    # lineage), then release every persisted loop invariant — ours and
+    # the caller's (round-2 advice: p1/a3 left orphaned cache entries).
+    from .bsp import checkpoint_result
+
+    return checkpoint_result(
+        ranked.filter(F.col("rnk") <= n_top).select(key, "term", q.alias("score")),
+        deg,
+        edges_deg,
+        *release,
+    )
 
 
 def _a3_kw_ctes(prefix: str = "") -> list[str]:
@@ -477,7 +499,13 @@ def a3_user_keywords_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .persist()
     )
     vocab = ut.select("user_id", "term").distinct().persist()
-    return vote_fixed_rounds(edges, vocab, "user_id", DEFAULT_SCENE.num_user_keywords)
+    return vote_fixed_rounds(
+        edges,
+        vocab,
+        "user_id",
+        DEFAULT_SCENE.num_user_keywords,
+        release=(edges, vocab),
+    )
 
 
 def _a3_windowed_sql_oracle() -> str:
@@ -590,7 +618,9 @@ def a3_user_keywords_windowed_distributed(
         .persist()
     )
     vocab = ut.select("duk", "term").distinct().persist()
-    kw = vote_fixed_rounds(edges, vocab, "duk", scene.num_user_keywords)
+    kw = vote_fixed_rounds(
+        edges, vocab, "duk", scene.num_user_keywords, release=(edges, vocab)
+    )
     return kw.select(
         F.date_add(
             F.lit("1970-01-01").cast("date"),

@@ -76,19 +76,31 @@ def ranked_list(df: DataFrame, key: str) -> DataFrame:
 @register(
     "t1_user_topk",
     with_ctes(
-        f"""SELECT user_id, (list(news_id ORDER BY score DESC, news_id ASC))[1:{K}] AS news
-FROM scores GROUP BY user_id""",
+        f"""SELECT user_id, news_id, score,
+       ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY score DESC, news_id ASC) AS rank
+FROM scores
+QUALIFY rank <= {K}""",
         CLICKS_CTE,
         _SCORES_CTE,
     ),
 )
 def t1_user_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """T1 (TextRank.java:280-299): per-user top-K ranked news list,
-    truncated at K=scene.num_recommendations."""
-    ranked = top_k_rows(
+    """T1 (TextRank.java:280-299): per-user top-K, truncated at
+    K=scene.num_recommendations. Registered in the FLAT ranked-rows
+    shape (user_id, news_id, score, rank) — the driver's canonicalizer
+    cannot hash the reference's nested list shape (round-2 err);
+    :func:`t1_user_topk_lists` keeps the nested API form."""
+    return top_k_rows(
         _scores(spark, sf_dir), "user_id", [F.desc("score"), F.asc("news_id")], K
     )
-    return ranked_list(ranked, "user_id")
+
+
+def t1_user_topk_lists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T1 in the reference's output shape — ``(user_id, news
+    array<long>)`` ordered by rank (TextRank.java:289-293). NOT
+    registered (array column); the flat twin above is the compared
+    form."""
+    return ranked_list(t1_user_topk(spark, sf_dir), "user_id")
 
 
 @register(
@@ -109,7 +121,7 @@ def t2_user_full_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _DAILY_CTE = """daily AS (
-  SELECT date, news_id, SUM(cnt) AS clicks
+  SELECT date, news_id, CAST(SUM(cnt) AS BIGINT) AS clicks
   FROM clicks GROUP BY date, news_id
 )"""
 

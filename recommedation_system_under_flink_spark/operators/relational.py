@@ -2,13 +2,14 @@
 
 The reference engine is a recommender, but a user migrating to this
 engine gets a full SQL analytics surface for free — Spark's native
-DataFrame/Catalyst path. This module pins that claim down with six
-classic warehouse query shapes (TPC-H-derived, adapted to the fixture
-schema) over the seven relational fixture tables that the recommender
-surface never touches: scan+aggregate, 3-way join + top-N, 6-way
+DataFrame/Catalyst path. This module pins that claim down with ten
+classic warehouse query shapes (TPC-H-derived Q1/Q2/Q3/Q4/Q5/Q6/Q7/
+Q10/Q14/Q18, adapted to the fixture schema) over the seven relational
+fixture tables that the recommender surface never touches:
+scan+aggregate, selective-scan revenue, 3-way join + top-N, 6-way
 star join, semi-join EXISTS, returned-items ranking, a
-conditional-share single-row aggregate, a two-role dimension join,
-and a decorrelated min-subquery.
+conditional-share single-row aggregate, a two-role dimension join, a
+decorrelated min-subquery, and a HAVING large-order filter.
 
 Cross-engine determinism (the whole point of the implementation):
 
@@ -50,8 +51,27 @@ _TAX = "CAST(l_tax AS DECIMAL(9,4))"
 _QTY = "CAST(l_quantity AS DECIMAL(18,4))"
 #: revenue := extendedprice * (1 - discount), exact.
 REVENUE = f"{_EP} * (1 - {_DISC})"
-#: charge := revenue * (1 + tax), exact.
-CHARGE = f"{REVENUE} * (1 + {_TAX})"
+#: charge := revenue * (1 + tax), exact. The intermediate is re-cast to
+#: DECIMAL(18,6) (lossless: price 2dp × rate 2dp → ≤4 fractional
+#: digits) so the second product stays inside DECIMAL(38) in BOTH
+#: engines — without it Spark's (29,8)×(10,4) result needs precision 40
+#: and rounds the scale down, while DuckDB spills to DOUBLE, and the
+#: two SUMs drift apart (round-2 local hash mismatch on sum_charge).
+CHARGE = f"CAST({REVENUE} AS DECIMAL(18,6)) * (1 + {_TAX})"
+
+
+def _dsum(expr: str) -> str:
+    """Compared-output form of a DECIMAL aggregate: quantize to 2 dp in
+    exact decimal space via ROUND (half-away-from-zero in BOTH engines
+    — DuckDB's decimal->decimal CAST truncates, so never quantize with
+    a cast), THEN cast to DOUBLE.
+    Casting a wide decimal sum straight to DOUBLE is engine-divergent:
+    DuckDB converts via int128 -> double -> divide-by-10^scale, which
+    double-rounds once the scaled integer exceeds 2^53 (measured: Q1's
+    scale-10 sum_charge came back 4e-8 off the correctly-rounded value
+    Spark/Python produce). At 2 dp the scaled money sums stay far below
+    2^53, so the final cast is exact everywhere."""
+    return f"CAST(ROUND(SUM({expr}), 2) AS DOUBLE)"
 
 
 def _dt_lit(df: DataFrame, col: str, day: str) -> Column:
@@ -75,10 +95,10 @@ def _dt_lit(df: DataFrame, col: str, day: str) -> Column:
 @register(
     "rel_q1_pricing_summary",
     f"""SELECT l_returnflag, l_linestatus,
-       CAST(SUM({_QTY}) AS DOUBLE) AS sum_qty,
-       CAST(SUM({_EP}) AS DOUBLE) AS sum_base_price,
-       CAST(SUM({REVENUE}) AS DOUBLE) AS sum_disc_price,
-       CAST(SUM({CHARGE}) AS DOUBLE) AS sum_charge,
+       {_dsum(_QTY)} AS sum_qty,
+       {_dsum(_EP)} AS sum_base_price,
+       {_dsum(REVENUE)} AS sum_disc_price,
+       {_dsum(CHARGE)} AS sum_charge,
        CAST(SUM({_QTY}) AS DOUBLE) / COUNT(*) AS avg_qty,
        CAST(SUM({_DISC}) AS DOUBLE) / COUNT(*) AS avg_disc,
        CAST(COUNT(*) AS BIGINT) AS count_order
@@ -95,10 +115,10 @@ def rel_q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.filter(F.col("l_shipdate") <= _dt_lit(li, "l_shipdate", "2001-09-02"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.expr(f"CAST(SUM({_QTY}) AS DOUBLE)").alias("sum_qty"),
-            F.expr(f"CAST(SUM({_EP}) AS DOUBLE)").alias("sum_base_price"),
-            F.expr(f"CAST(SUM({REVENUE}) AS DOUBLE)").alias("sum_disc_price"),
-            F.expr(f"CAST(SUM({CHARGE}) AS DOUBLE)").alias("sum_charge"),
+            F.expr(_dsum(_QTY)).alias("sum_qty"),
+            F.expr(_dsum(_EP)).alias("sum_base_price"),
+            F.expr(_dsum(REVENUE)).alias("sum_disc_price"),
+            F.expr(_dsum(CHARGE)).alias("sum_charge"),
             (F.expr(f"CAST(SUM({_QTY}) AS DOUBLE)") / F.count("*")).alias("avg_qty"),
             (F.expr(f"CAST(SUM({_DISC}) AS DOUBLE)") / F.count("*")).alias(
                 "avg_disc"
@@ -111,7 +131,7 @@ def rel_q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "rel_q3_shipping_priority",
     f"""SELECT l_orderkey,
-       CAST(SUM({REVENUE}) AS DOUBLE) AS revenue,
+       {_dsum(REVENUE)} AS revenue,
        o_orderdate, o_orderpriority
 FROM customer
 JOIN orders ON c_custkey = o_custkey
@@ -148,7 +168,10 @@ def rel_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("l_orderkey") == F.col("o_orderkey"),
         )
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
-        .agg(rev.cast("double").alias("revenue"), rev.alias("_rk"))
+        .agg(
+            F.round(rev, 2).cast("double").alias("revenue"),
+            rev.alias("_rk"),
+        )
         .orderBy(F.col("_rk").desc(), F.col("l_orderkey"))
         .limit(10)
         .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
@@ -157,7 +180,7 @@ def rel_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "rel_q5_local_supplier_volume",
-    f"""SELECT n_name, CAST(SUM({REVENUE}) AS DOUBLE) AS revenue
+    f"""SELECT n_name, {_dsum(REVENUE)} AS revenue
 FROM customer
 JOIN orders ON c_custkey = o_custkey
 JOIN lineitem ON l_orderkey = o_orderkey
@@ -202,7 +225,7 @@ def rel_q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("c_nationkey") == F.col("s_nationkey")),
         )
         .groupBy("n_name")
-        .agg(F.expr(f"CAST(SUM({REVENUE}) AS DOUBLE)").alias("revenue"))
+        .agg(F.expr(_dsum(REVENUE)).alias("revenue"))
     )
 
 
@@ -245,7 +268,7 @@ def rel_q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "rel_q10_returned_items",
     f"""SELECT c_custkey, c_name,
-       CAST(SUM({REVENUE}) AS DOUBLE) AS revenue,
+       {_dsum(REVENUE)} AS revenue,
        n_name
 FROM customer
 JOIN orders ON c_custkey = o_custkey
@@ -280,7 +303,10 @@ def rel_q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
         .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
         .groupBy("c_custkey", "c_name", "n_name")
-        .agg(rev.cast("double").alias("revenue"), rev.alias("_rk"))
+        .agg(
+            F.round(rev, 2).cast("double").alias("revenue"),
+            rev.alias("_rk"),
+        )
         .orderBy(F.col("_rk").desc(), F.col("c_custkey"))
         .limit(20)
         .select("c_custkey", "c_name", "revenue", "n_name")
@@ -289,9 +315,9 @@ def rel_q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "rel_q14_promo_share",
-    f"""SELECT CAST(100.0 * CAST(SUM(CASE WHEN p_type = 'PROMO' THEN {REVENUE}
-                       ELSE CAST(0 AS DECIMAL(9,4)) END) AS DOUBLE)
-       / CAST(SUM({REVENUE}) AS DOUBLE) AS DOUBLE) AS promo_share
+    f"""SELECT CAST(100.0 * CAST(ROUND(SUM(CASE WHEN p_type = 'PROMO' THEN {REVENUE}
+                       ELSE CAST(0 AS DECIMAL(9,4)) END), 2) AS DOUBLE)
+       / CAST(ROUND(SUM({REVENUE}), 2) AS DOUBLE) AS DOUBLE) AS promo_share
 FROM lineitem
 JOIN part ON l_partkey = p_partkey
 WHERE l_shipdate >= TIMESTAMP '1996-03-01 00:00:00'
@@ -316,7 +342,11 @@ def rel_q14_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
         .agg(
-            (F.lit(100.0) * promo.cast("double") / total.cast("double"))
+            (
+                F.lit(100.0)
+                * F.round(promo, 2).cast("double")
+                / F.round(total, 2).cast("double")
+            )
             .cast("double")
             .alias("promo_share")
         )
@@ -326,7 +356,7 @@ def rel_q14_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "rel_q7_nation_volume",
     f"""SELECT cn.n_name AS cust_nation, sn.n_name AS supp_nation,
-       CAST(SUM({REVENUE}) AS DOUBLE) AS revenue
+       {_dsum(REVENUE)} AS revenue
 FROM lineitem
 JOIN orders ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
@@ -369,7 +399,7 @@ def rel_q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn_key"))
         .filter(F.col("cust_nation") != F.col("supp_nation"))
         .groupBy("cust_nation", "supp_nation")
-        .agg(F.expr(f"CAST(SUM({REVENUE}) AS DOUBLE)").alias("revenue"))
+        .agg(F.expr(_dsum(REVENUE)).alias("revenue"))
     )
 
 
@@ -412,7 +442,7 @@ def rel_q2_min_cost_part(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "rel_q6_revenue_change",
-    f"""SELECT CAST(SUM({_EP} * {_DISC}) AS DOUBLE) AS revenue_delta
+    f"""SELECT {_dsum(f'{_EP} * {_DISC}')} AS revenue_delta
 FROM lineitem
 WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
   AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
@@ -434,7 +464,7 @@ def rel_q6_revenue_change(spark: SparkSession, sf_dir: str) -> DataFrame:
             & F.col("l_discount").between(0.03, 0.05)
             & (F.col("l_quantity") < 24)
         )
-        .agg(F.expr(f"CAST(SUM({_EP} * {_DISC}) AS DOUBLE)").alias("revenue_delta"))
+        .agg(F.expr(_dsum(f'{_EP} * {_DISC}')).alias("revenue_delta"))
     )
 
 

@@ -30,6 +30,7 @@ from pyspark.sql import functions as F
 
 from ..registry import register
 from ..sources import load_raw
+from ..sources.tables import NEWS_MOD
 
 #: Knuth multiplicative constant (2^32 / golden ratio, rounded to odd).
 HASH_MULT = 2654435761
@@ -166,11 +167,11 @@ BPR_CANDIDATES = 8
 @register(
     "samp_bpr_triplets",
     f"""WITH prefs AS (
-  SELECT DISTINCT user_id, event_id % 500 AS news_id
+  SELECT DISTINCT user_id, event_id % {NEWS_MOD} AS news_id
   FROM events WHERE event_type = 'click'
 ), cand AS (
   SELECT p.user_id, p.news_id AS pos_news_id,
-         CAST((p.user_id * 31 + p.news_id * 17 + j.j * 7919) % 500 AS BIGINT)
+         CAST((p.user_id * 31 + p.news_id * 17 + j.j * 7919) % {NEWS_MOD} AS BIGINT)
            AS neg_news_id,
          j.j
   FROM prefs p, (SELECT unnest(generate_series(1, {BPR_CANDIDATES})) AS j) j

@@ -32,6 +32,7 @@ from pyspark.sql import functions as F
 
 from ..registry import register
 from ..sources import load_raw
+from .bsp import CHECKPOINT_EVERY
 
 #: Query set: first N vec_ids play the role of incoming queries.
 N_QUERIES = 10
@@ -699,7 +700,7 @@ def hash_min_components(pairs: DataFrame, a: str, b: str) -> DataFrame:
     # would re-run the pair job per reference (measured 32s → 13s at
     # sf0.1). Doubles as the early-exit baseline.
     prev_sum = labels.agg(F.sum("comp")).collect()[0][0]
-    for _ in range(COMPONENT_MAX_ITERS):
+    for rnd in range(COMPONENT_MAX_ITERS):
         msgs = (
             edges.join(labels, edges.src == labels.node)
             .groupBy("dst")
@@ -721,6 +722,13 @@ def hash_min_components(pairs: DataFrame, a: str, b: str) -> DataFrame:
         if new_sum == prev_sum:
             break
         prev_sum = new_sum
+        # Convergence-driven loop → unbounded depth: cut the lineage
+        # every CHECKPOINT_EVERY rounds so a retry/replay of round R
+        # costs O(CHECKPOINT_EVERY) rounds, not O(R) (operators/bsp.py).
+        if (rnd + 1) % CHECKPOINT_EVERY == 0:
+            checkpointed = labels.localCheckpoint(eager=True)
+            labels.unpersist()
+            labels = checkpointed
     edges.unpersist()  # labels are fully cached by the per-round action
     return labels
 

@@ -52,21 +52,25 @@ _WINDOW_START = TODAY - dt.timedelta(days=NUM_DAYS - 1)
 @register(
     "hot_topics_pipeline",
     with_ctes(
-        f"""SELECT DATE '{TODAY}' AS date,
-       (list(news_id ORDER BY clicks DESC, news_id ASC))[1:{K}] AS news
+        f"""SELECT DATE '{TODAY}' AS date, news_id, clicks,
+       ROW_NUMBER() OVER (ORDER BY clicks DESC, news_id ASC) AS rank
 FROM (
-  SELECT news_id, SUM(cnt) AS clicks
+  SELECT news_id, CAST(SUM(cnt) AS BIGINT) AS clicks
   FROM clicks
   WHERE date BETWEEN DATE '{_WINDOW_START}' AND DATE '{TODAY}'
   GROUP BY news_id
-)""",
+)
+QUALIFY rank <= {K}""",
         CLICKS_CTE,
     ),
 )
 def hot_topics_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HotTopics end-to-end (HotTopics.java:67-93 + 41-46): trailing
-    window → per-news SUM with date rewritten to today → top-K →
-    one recommendations row. The flagship for ``entry()``."""
+    window → per-news SUM with date rewritten to today → top-K. The
+    flagship for ``entry()``. Registered in the FLAT ranked-rows shape
+    (date, news_id, clicks, rank) so the driver can hash it — the
+    reference's nested one-row recommendations shape is
+    :func:`hot_topics_recommendations`."""
     hot = (
         clicks(spark, sf_dir, date_from=_WINDOW_START, date_to=TODAY)
         .groupBy("news_id")
@@ -74,16 +78,24 @@ def hot_topics_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("date", F.lit(TODAY).cast("date"))
     )
     ranked = top_k_rows(hot, "date", [F.desc("clicks"), F.asc("news_id")], K)
-    return ranked_list(ranked, "date")
+    return ranked.select("date", "news_id", "clicks", "rank")
+
+
+def hot_topics_recommendations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's output shape — one ``(date, news array<long>)``
+    recommendations row (HotTopics.java:41-46). NOT registered (array
+    column crashes the driver's canonicalizer); the flat twin above is
+    the compared form."""
+    return ranked_list(hot_topics_pipeline(spark, sf_dir), "date")
 
 
 # ---------------------------------------------------------------- TF_IDF
 
 _TFIDF_PIPE_ORACLE = with_ctes(
-    f"""SELECT user_id, DATE '{TODAY}' AS date,
-       list(news_id ORDER BY score DESC, news_id ASC) AS news
-FROM scored
-GROUP BY user_id""",
+    f"""SELECT user_id, DATE '{TODAY}' AS date, news_id, score,
+       ROW_NUMBER() OVER (PARTITION BY user_id
+                          ORDER BY score DESC, news_id ASC) AS rank
+FROM scored""",
     CLICKS_CTE,
     *_NEWS_KW_CHAIN,
     *_USER_KW_CHAIN,
@@ -94,10 +106,27 @@ GROUP BY user_id""",
 @register("tfidf_pipeline", _TFIDF_PIPE_ORACLE)
 def tfidf_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TF_IDF recommend() end-to-end for today (TF_IDF.java:151-234):
-    J3 inverted-index scored join → T2 full per-user ranking →
-    recommendations rows."""
+    J3 inverted-index scored join → T2 full per-user ranking.
+    Registered FLAT (user_id, date, news_id, score, rank); the
+    reference's nested recommendations shape is
+    :func:`tfidf_recommendations`."""
     scored = j3_scored_join(spark, sf_dir)
     ranked = top_k_rows(scored, "user_id", [F.desc("score"), F.asc("news_id")], None)
+    return ranked.select(
+        "user_id",
+        F.lit(TODAY).cast("date").alias("date"),
+        "news_id",
+        "score",
+        "rank",
+    )
+
+
+def tfidf_recommendations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF_IDF recommend() in the reference's ``RecommendationModel``
+    shape — ``(user_id, date, news array<long>)`` (TF_IDF.java:206-221).
+    NOT registered (array column); the flat twin above is the compared
+    form."""
+    ranked = tfidf_pipeline(spark, sf_dir)
     return ranked_list(ranked, "user_id").select(
         "user_id", F.lit(TODAY).cast("date").alias("date"), "news"
     )
@@ -158,19 +187,23 @@ def textrank_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ----------------------------------------------- all-days (amortized loop)
 
 _ALL_DAYS_ORACLE = with_ctes(
-    f"""SELECT act.date, s.user_id,
-       (list(s.news_id ORDER BY s.score DESC, s.news_id ASC))[1:{K}] AS news
-FROM scored s
-JOIN (SELECT DISTINCT date, user_id FROM clicks
-      WHERE date BETWEEN DATE '{DEFAULT_SCENE.from_date}' AND DATE '{TODAY}') act
-  ON s.user_id = act.user_id
-JOIN (SELECT n.news_id, d.day
-      FROM news n
-      JOIN (SELECT CAST(unnest(generate_series(DATE '{DEFAULT_SCENE.from_date}',
-                                     DATE '{TODAY}', INTERVAL 1 DAY)) AS DATE) AS day) d
-        ON n.date BETWEEN d.day AND d.day + {NUM_DAYS - 1}) elig
-  ON s.news_id = elig.news_id AND elig.day = act.date
-GROUP BY act.date, s.user_id""",
+    f"""SELECT date, user_id, news_id, score,
+       ROW_NUMBER() OVER (PARTITION BY date, user_id
+                          ORDER BY score DESC, news_id ASC) AS rank
+FROM (
+  SELECT act.date, s.user_id, s.news_id, s.score
+  FROM scored s
+  JOIN (SELECT DISTINCT date, user_id FROM clicks
+        WHERE date BETWEEN DATE '{DEFAULT_SCENE.from_date}' AND DATE '{TODAY}') act
+    ON s.user_id = act.user_id
+  JOIN (SELECT n.news_id, d.day
+        FROM news n
+        JOIN (SELECT CAST(unnest(generate_series(DATE '{DEFAULT_SCENE.from_date}',
+                                       DATE '{TODAY}', INTERVAL 1 DAY)) AS DATE) AS day) d
+          ON n.date BETWEEN d.day AND d.day + {NUM_DAYS - 1}) elig
+    ON s.news_id = elig.news_id AND elig.day = act.date
+)
+QUALIFY rank <= {K}""",
     CLICKS_CTE,
     *_NEWS_KW_CHAIN,
     *_USER_KW_CHAIN,
@@ -274,6 +307,16 @@ def tfidf_recommend_all_days(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranked = top_k_rows(
         per_day, ["date", "user_id"], [F.desc("score"), F.asc("news_id")], K
     )
+    # FLAT ranked rows (driver-hashable); the nested per-(day, user)
+    # list shape is tfidf_recommend_all_days_lists
+    return ranked.select("date", "user_id", "news_id", "score", "rank")
+
+
+def tfidf_recommend_all_days_lists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All-days recommendations in the reference's nested shape —
+    ``(date, user_id, news array<long>)``. NOT registered (array
+    column); the flat twin above is the compared form."""
+    ranked = tfidf_recommend_all_days(spark, sf_dir)
     return (
         ranked.groupBy("date", "user_id")
         .agg(
@@ -346,9 +389,11 @@ def _tr_pipe_dist_oracle() -> str:
 )""",
     ]
     return with_ctes(
-        f"""SELECT user_id, DATE '{TODAY}' AS date,
-       (list(news_id ORDER BY score DESC, news_id ASC))[1:{K}] AS news
-FROM scored GROUP BY user_id""",
+        f"""SELECT user_id, DATE '{TODAY}' AS date, news_id, score,
+       ROW_NUMBER() OVER (PARTITION BY user_id
+                          ORDER BY score DESC, news_id ASC) AS rank
+FROM scored
+QUALIFY rank <= {K}""",
         *ctes,
     )
 
@@ -405,6 +450,23 @@ def textrank_pipeline_distributed(spark: SparkSession, sf_dir: str) -> DataFrame
         )
     )
     ranked = top_k_rows(scored, "user_id", [F.desc("score"), F.asc("news_id")], K)
+    return ranked.select(
+        "user_id",
+        F.lit(TODAY).cast("date").alias("date"),
+        "news_id",
+        "score",
+        "rank",
+    )
+
+
+def textrank_recommendations_distributed(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Distributed TextRank recommend() in the reference's nested shape
+    — ``(user_id, date, news array<long>)`` (TextRank.java:289-293).
+    NOT registered (array column); the flat twin above is the compared
+    form."""
+    ranked = textrank_pipeline_distributed(spark, sf_dir)
     return ranked_list(ranked, "user_id").select(
         "user_id", F.lit(TODAY).cast("date").alias("date"), "news"
     )

@@ -41,14 +41,95 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
     return deco
 
 
+#: The driver hash-verifies only the FIRST 50 entries of ``queries()``
+#: (insertion order) — round-2 finding: CORRECTNESS_r02's 50 rows were
+#: exactly registration order, slots 1-50, leaving every pipeline
+#: unverified. This list pins slots 1-50 to the queries that matter:
+#: the four end-to-end pipelines, one query per SURVEY §2 operator row,
+#: and one per LLM-pipeline family. Every name here MUST have a full
+#: DuckDB oracle (enforced by tests/test_registry_window.py).
+VERIFIED_WINDOW = (
+    # end-to-end pipelines (SURVEY §3) + the all-days amortized form
+    "hot_topics_pipeline",
+    "tfidf_pipeline",
+    "textrank_pipeline_distributed",
+    "tfidf_recommend_all_days",
+    # S: sources & sinks
+    "s1_csv_roundtrip",
+    "s5_seed_row",
+    "s6_parquet_roundtrip",
+    "s7_partitioned_write_pruned_read",
+    # P: projections & filters
+    "p1_news_keywords_distributed",
+    "p2_clicks_today",
+    "p3_clicks_trailing_window",
+    "p4_news_leading_window",
+    "p5_clicks_loop_range",
+    "p6_positive_score",
+    # J: joins
+    "j1_user_docs_semijoin",
+    "j2_tweets_semijoin",
+    "j3_scored_join",
+    "j4_precision_eval",
+    # A: aggregations
+    "a1_daily_distinct_clickers",
+    "a2_hot_topics_sum",
+    "a3_user_keywords_distributed",
+    "a4_window_users_reduce",
+    "a5_news_tfidf",
+    "a6_news_weighted_terms",
+    "a7_user_keywords",
+    "a8_news_keywords_topk",
+    # T: rankings
+    "t1_user_topk",
+    "t2_user_full_rank",
+    "t3_daily_topk_by_count",
+    # F: kernels & helpers (SQL twins)
+    "f5_calculate_x_sql",
+    "f6_fuzzy_overlap_sql",
+    "f7_boolean_overlap_sql",
+    "f8_dot_product_sql",
+    "f9_rank_distance_sql",
+    "f10_positive_correlation_sql",
+    "f11_date_sequence",
+    "f12_click_format",
+    # LLM-pipeline families, one flagship each
+    "dedup_minhash_lsh",
+    "sim_ivfsq8_topk_pinned",
+    "sim_neardup_components",
+    "graph_pagerank_clicks",
+    "cf_item_neighbors",
+    "ef_asof_purchase_click",
+    "ef_sessionize",
+    "rel_q1_pricing_summary",
+    "rel_q5_local_supplier_volume",
+    "stream_hot_topics_daily",
+    "ts_token_stats",
+    "samp_split_assign",
+    "mm_metadata",
+)
+
+
+def _ordered_names() -> list[str]:
+    prio = {n: i for i, n in enumerate(VERIFIED_WINDOW)}
+    reg_order = {n: i for i, n in enumerate(_REGISTRY)}
+    return sorted(
+        _REGISTRY, key=lambda n: (prio.get(n, len(prio)), reg_order[n])
+    )
+
+
 def queries() -> dict[str, QueryFn]:
     _load_all()
-    return {n: e.fn for n, e in _REGISTRY.items()}
+    return {n: _REGISTRY[n].fn for n in _ordered_names()}
 
 
 def oracles() -> dict[str, str]:
     _load_all()
-    return {n: e.oracle for n, e in _REGISTRY.items() if e.oracle is not None}
+    return {
+        n: _REGISTRY[n].oracle
+        for n in _ordered_names()
+        if _REGISTRY[n].oracle is not None
+    }
 
 
 _LOADED = False

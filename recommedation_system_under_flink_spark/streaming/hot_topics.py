@@ -496,7 +496,9 @@ def _tws_available() -> bool:
     side (pyspark's StateMessage proto); absent in this container, so
     the query registers only where the dependency exists — the code
     path stays shippable for real deployments without failing the
-    driver gate here."""
+    driver gate here. Re-probed each round per the round-2 verdict:
+    round 2 (2026-08-13) absent, round 3 (2026-08-14) absent
+    (``import google.protobuf`` → ModuleNotFoundError)."""
     try:
         from google.protobuf import descriptor  # noqa: F401
 

@@ -50,6 +50,8 @@ EXPECTED_CARTESIAN = {
     "j3_scored_join": "inherits a5's 1-row scalar broadcast",
     "hybrid_rrf_recommend": "inherits a5's 1-row scalar broadcast (via j3)",
     "ts_unigram_logprob": "1-row corpus-total scalar broadcast",
+    "ts_term_drift": "1-row old/new totals scalar broadcast",
+    "j6_rec_coverage": "three 1-row diagnostic aggregates cross-joined",
     "j3_scored_join_salted": "inherits a5's 1-row scalar broadcast",
     "j3_scored_join_naive": "the intentional reference-shaped cross",
     # bounded pairwise demos over _N_DOCS=20 keyword maps

@@ -59,13 +59,22 @@ def test_partitioned_read_prunes(queries, spark):
 
 
 def test_hot_topics_flagship_shape(queries, spark):
+    # Registered form: flat ranked rows (driver-hashable)
     rows = queries["hot_topics_pipeline"](spark, SF_DIR).collect()
-    assert len(rows) == 1
-    row = rows[0]
-    assert row["date"] == TODAY
-    news = row["news"]
-    assert 0 < len(news) <= DEFAULT_SCENE.num_recommendations
-    assert len(set(news)) == len(news)  # no duplicate recommendations
+    assert 0 < len(rows) <= DEFAULT_SCENE.num_recommendations
+    assert all(r["date"] == TODAY for r in rows)
+    assert sorted(r["rank"] for r in rows) == list(range(1, len(rows) + 1))
+    ids = [r["news_id"] for r in rows]
+    assert len(set(ids)) == len(ids)  # no duplicate recommendations
+    # Nested reference shape (builder, not registered)
+    from recommedation_system_under_flink_spark.plans.pipelines import (
+        hot_topics_recommendations,
+    )
+
+    nested = hot_topics_recommendations(spark, SF_DIR).collect()
+    assert len(nested) == 1
+    by_rank = [r["news_id"] for r in sorted(rows, key=lambda r: r["rank"])]
+    assert list(nested[0]["news"]) == by_rank
 
 
 def test_j3_forms_agree(queries, spark):
