@@ -269,6 +269,25 @@ def _vote_sql(key: str, n_top: int, prefix: str = "") -> list[str]:
     return ctes
 
 
+#: Session-scoped memo of the checkpointed distributed-keyword model
+#: tables, keyed (applicationId, sf_dir, builder). The vote loop ends
+#: in an EAGER localCheckpoint (operators/bsp.py), so each builder call
+#: materializes the full chain; the result is a tiny top-N model table
+#: (|docs|·N rows) consumed by several downstream queries (pipelines,
+#: J3 composition, hybrid) — exactly the table a warm serving cluster
+#: would hold resident. Memoizing the checkpointed frame makes repeat
+#: builds free without changing any result (deterministic per sf_dir;
+#: empty-fixture sweeps use distinct tmp dirs → distinct keys).
+_KW_MEMO: dict[tuple[str, str, str], DataFrame] = {}
+
+
+def _kw_memo(spark: SparkSession, sf_dir: str, which: str, build) -> DataFrame:
+    key = (spark.sparkContext.applicationId, sf_dir, which)
+    if key not in _KW_MEMO:
+        _KW_MEMO[key] = build()
+    return _KW_MEMO[key]
+
+
 @register("p1_news_keywords_distributed", _textrank_sql_oracle())
 def p1_news_keywords_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P1 TextRank as a **fully distributed Catalyst computation** — no
@@ -287,16 +306,19 @@ def p1_news_keywords_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
     uniform; the vote loop is K bounded shuffles (same BSP family as
     operators/graph.py). Edges/vocab/deg persist across rounds; score
     lineage stays K-deep."""
-    pos = _tr_positions(spark, sf_dir)
-    edges = windowed_edges(pos).persist()
-    vocab = pos.select("news_id", "term").distinct().persist()
-    return vote_fixed_rounds(
-        edges,
-        vocab,
-        "news_id",
-        DEFAULT_SCENE.num_news_keywords,
-        release=(edges, vocab),
-    )
+    def build() -> DataFrame:
+        pos = _tr_positions(spark, sf_dir)
+        edges = windowed_edges(pos).persist()
+        vocab = pos.select("news_id", "term").distinct().persist()
+        return vote_fixed_rounds(
+            edges,
+            vocab,
+            "news_id",
+            DEFAULT_SCENE.num_news_keywords,
+            release=(edges, vocab),
+        )
+
+    return _kw_memo(spark, sf_dir, "p1_news", build)
 
 
 def windowed_edges(pos: DataFrame) -> DataFrame:
@@ -472,40 +494,43 @@ def a3_user_keywords_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from ..functions.text import STOPWORDS, TOKEN_SPLIT_REGEX
 
-    stop = F.array(*[F.lit(s) for s in STOPWORDS])
-    toks = F.filter(
-        F.split(F.lower(F.col("content")), TOKEN_SPLIT_REGEX),
-        lambda t: (t != "") & ~F.array_contains(stop, t),
-    )
-    ut = (
-        tweets(spark, sf_dir)
-        .select("user_id", "tweet_id", F.explode(toks).alias("term"))
-        .distinct()
-    )
-    a = ut.alias("a")
-    b = ut.alias("b")
-    edges = (
-        a.join(
-            b,
-            (F.col("a.tweet_id") == F.col("b.tweet_id"))
-            & (F.col("a.term") != F.col("b.term")),
+    def build() -> DataFrame:
+        stop = F.array(*[F.lit(s) for s in STOPWORDS])
+        toks = F.filter(
+            F.split(F.lower(F.col("content")), TOKEN_SPLIT_REGEX),
+            lambda t: (t != "") & ~F.array_contains(stop, t),
         )
-        .select(
-            F.col("a.user_id").alias("user_id"),
-            F.col("a.term").alias("w"),
-            F.col("b.term").alias("n"),
+        ut = (
+            tweets(spark, sf_dir)
+            .select("user_id", "tweet_id", F.explode(toks).alias("term"))
+            .distinct()
         )
-        .distinct()
-        .persist()
-    )
-    vocab = ut.select("user_id", "term").distinct().persist()
-    return vote_fixed_rounds(
-        edges,
-        vocab,
-        "user_id",
-        DEFAULT_SCENE.num_user_keywords,
-        release=(edges, vocab),
-    )
+        a = ut.alias("a")
+        b = ut.alias("b")
+        edges = (
+            a.join(
+                b,
+                (F.col("a.tweet_id") == F.col("b.tweet_id"))
+                & (F.col("a.term") != F.col("b.term")),
+            )
+            .select(
+                F.col("a.user_id").alias("user_id"),
+                F.col("a.term").alias("w"),
+                F.col("b.term").alias("n"),
+            )
+            .distinct()
+            .persist()
+        )
+        vocab = ut.select("user_id", "term").distinct().persist()
+        return vote_fixed_rounds(
+            edges,
+            vocab,
+            "user_id",
+            DEFAULT_SCENE.num_user_keywords,
+            release=(edges, vocab),
+        )
+
+    return _kw_memo(spark, sf_dir, "a3_user", build)
 
 
 def _a3_windowed_sql_oracle() -> str:

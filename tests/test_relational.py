@@ -449,3 +449,18 @@ def test_plan_exchange_budgets(queries, spark):
         plan = _plan(queries[name](spark, SF_DIR))
         got = plan.count("Exchange")
         assert got <= budget, (name, got, budget)
+
+
+def test_distributed_keyword_memoization(queries, spark):
+    """The distributed keyword model tables memoize per (session,
+    sf_dir): repeat builds return the SAME checkpointed frame (free),
+    and distinct sf_dirs stay distinct. Guards the round-3 fix for the
+    pipeline-composition cost (textrank_pipeline_distributed rebuilt
+    both keyword chains eagerly per invocation)."""
+    from recommedation_system_under_flink_spark.operators.keywords import (
+        p1_news_keywords_distributed,
+    )
+
+    a = p1_news_keywords_distributed(spark, SF_DIR)
+    b = p1_news_keywords_distributed(spark, SF_DIR)
+    assert a is b  # memo hit: no rebuild, no re-checkpoint
