@@ -664,3 +664,216 @@ def ts_term_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= DRIFT_TOP_N)
         .select("term", "n_old", "n_new", "drift")
     )
+
+
+# ------------------------------------------- repetition score (Gopher-style)
+
+def _ngram_expr(n: int) -> Column:
+    """Space-joined n-gram array from the token array column ``ts`` —
+    1-based ``element_at`` so the Spark expression and the DuckDB
+    ``ts[i]`` twin index identically. Guarded: Spark's ``sequence(1, 0)``
+    counts DOWN (yielding [1, 0]), so short docs must short-circuit to
+    an empty array rather than rely on an empty sequence."""
+    joined = ", ' ', ".join(f"element_at(ts, i + {k})" for k in range(n))
+    body = f"transform(sequence(1, size(ts) - {n - 1}), i -> concat({joined}))"
+    return F.when(F.size("ts") >= n, F.expr(body)).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def _ngram_sql(n: int) -> str:
+    gram = " || ' ' || ".join(f"ts[i + {k}]" for k in range(n))
+    return (
+        f"SELECT doc_id, {gram} AS g "
+        f"FROM base, LATERAL (SELECT unnest(generate_series(1, len(ts) - {n - 1})) AS i)"
+    )
+
+
+@register(
+    "ts_repetition_score",
+    f"""WITH base AS (SELECT doc_id, {_TOKENS_SQL} AS ts FROM documents),
+grams AS ({_ngram_sql(2)}),
+counts AS (SELECT doc_id, g, COUNT(*) AS n FROM grams GROUP BY doc_id, g),
+per_doc AS (
+  SELECT doc_id, CAST(SUM(n) AS BIGINT) AS total, CAST(MAX(n) AS BIGINT) AS top_n,
+         CAST(SUM(CASE WHEN n >= 2 THEN n ELSE 0 END) AS BIGINT) AS dup_n
+  FROM counts GROUP BY doc_id
+)
+SELECT b.doc_id,
+       CAST(COALESCE(p.total, 0) AS BIGINT) AS n_bigrams,
+       CAST(COALESCE(p.top_n, 0) AS BIGINT) AS top_bigram_n,
+       CASE WHEN COALESCE(p.total, 0) > 0
+            THEN ROUND(CAST(p.top_n AS DOUBLE) / p.total, 6) ELSE 0.0 END AS rep_top,
+       CASE WHEN COALESCE(p.total, 0) > 0
+            THEN ROUND(CAST(p.dup_n AS DOUBLE) / p.total, 6) ELSE 0.0 END AS rep_dup
+FROM base b LEFT JOIN per_doc p ON b.doc_id = p.doc_id""",
+)
+def ts_repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """**Repetition filter signal** (Gopher/RefinedWeb-style): per doc,
+    the share of bigram occurrences absorbed by the single most
+    repeated bigram (``rep_top``) and by any within-doc duplicate
+    bigram (``rep_dup`` — the "fraction in duplicate n-grams" quality
+    gate). Machine-generated and boilerplate-padded text scores high;
+    both ratios quantized at 6 for cross-engine rank stability.
+
+    Plan: token-array projection → bigram explode → (doc, gram) hash
+    aggregate (map-side combinable) → per-doc reduce → left join back
+    to keep zero-bigram docs. One shuffle on (doc, gram), one on doc —
+    both keyed by doc_id, so at 100 TB this is two well-distributed
+    hash aggregates at scan speed; no window, no Python."""
+    docs = load_raw(spark, sf_dir, "documents")
+    base = docs.select("doc_id", _tokens(F.col("text")).alias("ts"))
+    grams = base.select("doc_id", F.explode(_ngram_expr(2)).alias("g"))
+    counts = grams.groupBy("doc_id", "g").agg(F.count("*").alias("n"))
+    per_doc = counts.groupBy("doc_id").agg(
+        F.sum("n").cast("long").alias("total"),
+        F.max("n").cast("long").alias("top_n"),
+        F.sum(F.when(F.col("n") >= 2, F.col("n")).otherwise(0))
+        .cast("long")
+        .alias("dup_n"),
+    )
+    total = F.coalesce(F.col("total"), F.lit(0))
+    ratio = lambda c: F.when(  # noqa: E731
+        total > 0, F.round(c.cast("double") / F.col("total"), 6)
+    ).otherwise(F.lit(0.0))
+    return (
+        base.select("doc_id")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            total.cast("long").alias("n_bigrams"),
+            F.coalesce(F.col("top_n"), F.lit(0)).cast("long").alias("top_bigram_n"),
+            ratio(F.col("top_n")).alias("rep_top"),
+            ratio(F.col("dup_n")).alias("rep_dup"),
+        )
+    )
+
+
+# ------------------------------------- cross-doc boilerplate shingles
+
+#: A 3-gram counts as boilerplate when it appears in at least this many
+#: distinct documents.
+BOILER_NGRAM = 3
+BOILER_MIN_DOCS = 3
+
+
+@register(
+    "ts_boilerplate_shingles",
+    f"""WITH base AS (SELECT doc_id, {_TOKENS_SQL} AS ts FROM documents),
+grams AS ({_ngram_sql(BOILER_NGRAM)}),
+docfreq AS (SELECT g, COUNT(DISTINCT doc_id) AS d FROM grams GROUP BY g),
+per_doc AS (
+  SELECT gr.doc_id,
+         CAST(COUNT(*) AS BIGINT) AS n_grams,
+         CAST(SUM(CASE WHEN df.d >= {BOILER_MIN_DOCS} THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_boiler
+  FROM grams gr JOIN docfreq df ON gr.g = df.g
+  GROUP BY gr.doc_id
+)
+SELECT b.doc_id,
+       CAST(COALESCE(p.n_grams, 0) AS BIGINT) AS n_grams,
+       CAST(COALESCE(p.n_boiler, 0) AS BIGINT) AS n_boiler,
+       CASE WHEN COALESCE(p.n_grams, 0) > 0
+            THEN ROUND(CAST(p.n_boiler AS DOUBLE) / p.n_grams, 6) ELSE 0.0 END
+         AS boiler_frac
+FROM base b LEFT JOIN per_doc p ON b.doc_id = p.doc_id""",
+)
+def ts_boilerplate_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """**Boilerplate prevalence** per document: the fraction of a doc's
+    3-gram shingles that recur in ≥ ``BOILER_MIN_DOCS`` distinct
+    documents — the corpus-wide signal behind header/footer/ToS
+    removal in web-scale curation (a shingle shared by many documents
+    is template text, not content). Complements operators/dedup.py:
+    dedup asks "is this DOC a copy", this asks "how much of this doc
+    is TEMPLATE".
+
+    Plan: the 3-gram doc-frequency table is the same IDF-shaped hash
+    aggregate as TF-IDF's document frequency (map-side combinable on
+    the gram key); joining it back to the exploded grams shuffles on
+    the gram key exactly like the TF-IDF term join, then one per-doc
+    aggregate. AQE broadcasts the docfreq side when it fits."""
+    docs = load_raw(spark, sf_dir, "documents")
+    base = docs.select("doc_id", _tokens(F.col("text")).alias("ts"))
+    grams = base.select("doc_id", F.explode(_ngram_expr(BOILER_NGRAM)).alias("g"))
+    docfreq = grams.groupBy("g").agg(F.count_distinct("doc_id").alias("d"))
+    per_doc = (
+        grams.join(docfreq, "g")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_grams"),
+            F.sum(F.when(F.col("d") >= BOILER_MIN_DOCS, 1).otherwise(0))
+            .cast("long")
+            .alias("n_boiler"),
+        )
+    )
+    n_grams = F.coalesce(F.col("n_grams"), F.lit(0))
+    return (
+        base.select("doc_id")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            n_grams.cast("long").alias("n_grams"),
+            F.coalesce(F.col("n_boiler"), F.lit(0)).cast("long").alias("n_boiler"),
+            F.when(
+                n_grams > 0,
+                F.round(F.col("n_boiler").cast("double") / F.col("n_grams"), 6),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("boiler_frac"),
+        )
+    )
+
+
+# ----------------------------------------------------- PII scrubbing
+
+#: Common-subset regexes (identical semantics in Java regex and RE2):
+#: character classes, +, bounded repetition — no lookaround, no refs.
+PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_LONGNUM_RE = r"[0-9]{9,}"
+
+
+def scrub_pii(text: Column) -> Column:
+    """Mask emails then long digit runs (9+ — phone/account/SSN-shaped)
+    with typed placeholders. Order matters: the email pattern consumes
+    digits inside addresses before the number pass sees them."""
+    masked = F.regexp_replace(text, PII_EMAIL_RE, "<EMAIL>")
+    return F.regexp_replace(masked, PII_LONGNUM_RE, "<NUM>")
+
+
+@register(
+    "ts_pii_scrub",
+    f"""SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '{PII_EMAIL_RE}')) AS BIGINT) AS n_emails,
+       CAST(len(regexp_extract_all(text, '{PII_LONGNUM_RE}')) AS BIGINT) AS n_longnums,
+       CAST(length(masked) AS BIGINT) AS masked_len,
+       md5(masked) AS masked_md5
+FROM (
+  SELECT doc_id, text,
+         regexp_replace(regexp_replace(text, '{PII_EMAIL_RE}', '<EMAIL>', 'g'),
+                        '{PII_LONGNUM_RE}', '<NUM>', 'g') AS masked
+  FROM documents
+)""",
+)
+def ts_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """**PII scrubbing** pass: mask email addresses and long digit
+    runs with typed placeholders, report per-doc match counts and an
+    md5 of the masked text (the hash — not the text — is the compared
+    column, so the oracle verifies byte-identical masking without
+    shipping documents through the compare). The regexes stay in the
+    Java-regex ∩ RE2 common subset so both engines match identically;
+    DuckDB needs the explicit ``'g'`` flag (it replaces first-match by
+    default, Spark replaces all).
+
+    Pure per-row projection — no shuffle, scan speed at any scale.
+    Semantics on PII-bearing strings are pinned by
+    tests/test_llm_ops.py (the fixture corpus itself contains no PII,
+    which the zero counts here also verify)."""
+    docs = load_raw(spark, sf_dir, "documents")
+    masked = scrub_pii(F.col("text"))
+    return docs.select(
+        "doc_id",
+        F.regexp_count(F.col("text"), F.lit(PII_EMAIL_RE)).cast("long").alias("n_emails"),
+        F.regexp_count(F.col("text"), F.lit(PII_LONGNUM_RE)).cast("long").alias("n_longnums"),
+        F.length(masked).cast("long").alias("masked_len"),
+        F.md5(masked).alias("masked_md5"),
+    )

