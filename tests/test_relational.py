@@ -444,6 +444,9 @@ def test_plan_exchange_budgets(queries, spark):
         "rel_q6_revenue_change": 2,
         "dedup_exact": 2,
         "cf_next_item_transitions": 4,
+        "ts_repetition_score": 4,      # (doc,gram) agg + doc agg + join-back
+        "ts_boilerplate_shingles": 6,  # + gram docfreq agg and gram join
+        "ts_pii_scrub": 0,             # pure projection: no shuffle at all
     }
     for name, budget in budgets.items():
         plan = _plan(queries[name](spark, SF_DIR))
