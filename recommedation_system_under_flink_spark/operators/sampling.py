@@ -237,3 +237,103 @@ def samp_bpr_triplets(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("neg_rank") <= BPR_NEGATIVES)
         .select("user_id", "pos_news_id", "neg_news_id", "neg_rank")
     )
+
+
+# -------------------------------------------------- domain mixture
+
+#: Pinned target language mixture for pretraining-corpus resampling
+#: ("cap English"): the over-represented language is hash-downsampled
+#: until the KEPT corpus matches these shares as closely as possible
+#: without upsampling anything.
+MIXTURE_TARGET: dict[str, float] = {
+    "en": 0.30,
+    "zh": 0.175,
+    "es": 0.175,
+    "de": 0.175,
+    "fr": 0.175,
+}
+
+#: Hash-threshold resolution (rate quantized to 1e-6).
+MIX_RES = 1_000_000
+
+
+def _mixture_oracle() -> str:
+    values = ", ".join(
+        f"('{lang}', {share})" for lang, share in MIXTURE_TARGET.items()
+    )
+    return f"""WITH counts AS (
+  SELECT lang, CAST(COUNT(*) AS BIGINT) AS n FROM documents GROUP BY lang
+), tot AS (SELECT CAST(SUM(n) AS BIGINT) AS nn FROM counts),
+shares(lang, share) AS (VALUES {values}),
+lam AS (
+  SELECT MIN(c.n / (s.share * t.nn)) AS l
+  FROM counts c JOIN shares s USING (lang), tot t
+),
+rates AS (
+  SELECT c.lang,
+         LEAST(1.0, lam.l * s.share * t.nn / c.n) AS rate
+  FROM counts c JOIN shares s USING (lang), tot t, lam
+)
+SELECT d.doc_id, d.lang,
+       ROUND(r.rate, 6) AS keep_rate,
+       ((d.doc_id * {HASH_MULT}) % {HASH_MOD}) % {MIX_RES}
+         < CAST(FLOOR(r.rate * {MIX_RES}) AS BIGINT) AS keep
+FROM documents d JOIN rates r USING (lang)"""
+
+
+@register("samp_lang_mixture", _mixture_oracle())
+def samp_lang_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """**Domain-mixture resampling**: downsample over-represented
+    languages so the kept corpus matches ``MIXTURE_TARGET`` — the
+    standard pretraining mixing step (the fixture corpus is ~44%
+    English against a 30% target). The global scale λ = min_s
+    n_s/(share_s·N) is the largest factor reachable WITHOUT
+    upsampling: the scarcest language keeps everything (rate 1.0) and
+    every other language is hash-thinned to sit at its target share
+    relative to it. Selection is the pinned portable hash — same doc
+    kept on every engine, every rerun, any partitioning.
+
+    Determinism across engines: rates are IEEE doubles computed from
+    the same integer counts via the same expression (identical bits),
+    the threshold is FLOOR-quantized to 1e-6 explicitly (Spark's
+    double→bigint CAST truncates while DuckDB's rounds — never compare
+    through that cast), and the hash is integer arithmetic.
+
+    Plan: one count aggregate (5 rows), λ and rates as 1-row/5-row
+    broadcasts, then a map-side projection per doc — no shuffle of the
+    corpus itself at any scale."""
+    docs = load_raw(spark, sf_dir, "documents")
+    counts = docs.groupBy("lang").agg(F.count("*").cast("long").alias("n"))
+    shares = F.create_map(
+        *[F.lit(x) for kv in MIXTURE_TARGET.items() for x in kv]
+    )
+    with_share = counts.select(
+        "lang", "n", F.element_at(shares, F.col("lang")).alias("share")
+    ).filter(F.col("share").isNotNull())
+    tot = with_share.agg(F.sum("n").cast("long").alias("nn"))
+    lam = (
+        with_share.crossJoin(tot)
+        .agg(F.min(F.col("n") / (F.col("share") * F.col("nn"))).alias("l"))
+    )
+    rates = (
+        with_share.crossJoin(tot)
+        .crossJoin(lam)
+        .select(
+            "lang",
+            F.least(
+                F.lit(1.0),
+                F.col("l") * F.col("share") * F.col("nn") / F.col("n"),
+            ).alias("rate"),
+        )
+    )
+    h = split_hash(F.col("doc_id")) % F.lit(MIX_RES)
+    return (
+        docs.select("doc_id", "lang")
+        .join(F.broadcast(rates), "lang")
+        .select(
+            "doc_id",
+            "lang",
+            F.round(F.col("rate"), 6).alias("keep_rate"),
+            (h < F.floor(F.col("rate") * MIX_RES).cast("long")).alias("keep"),
+        )
+    )

@@ -270,3 +270,29 @@ def test_boilerplate_shingles_threshold(queries, spark):
         assert 0 <= r["n_boiler"] <= r["n_grams"]
         assert 0.0 <= r["boiler_frac"] <= 1.0
     assert any(r["n_boiler"] > 0 for r in rows)  # corpus genuinely shares grams
+
+
+def test_lang_mixture_resampling(queries, spark):
+    """Mixture invariants: the scarcest-vs-target language keeps
+    everything (rate 1.0); every kept/total ratio is within hash noise
+    of its keep_rate; and the KEPT corpus's language shares are closer
+    to MIXTURE_TARGET than the raw corpus's shares were."""
+    from collections import Counter
+
+    from recommedation_system_under_flink_spark.operators.sampling import (
+        MIXTURE_TARGET,
+    )
+
+    rows = queries["samp_lang_mixture"](spark, SF_DIR).collect()
+    assert rows
+    total = Counter(r["lang"] for r in rows)
+    kept = Counter(r["lang"] for r in rows if r["keep"])
+    rates = {r["lang"]: r["keep_rate"] for r in rows}
+    assert any(abs(v - 1.0) < 1e-9 for v in rates.values())  # scarcest keeps all
+    n, k = sum(total.values()), sum(kept.values())
+    for lang in total:
+        # binomial-ish noise bound: the pinned hash is uniform enough
+        assert abs(kept[lang] / total[lang] - rates[lang]) < 0.35, lang
+        raw_err = abs(total[lang] / n - MIXTURE_TARGET[lang])
+        kept_err = abs(kept[lang] / k - MIXTURE_TARGET[lang])
+        assert kept_err <= raw_err + 0.05, (lang, raw_err, kept_err)
