@@ -467,3 +467,20 @@ def test_distributed_keyword_memoization(queries, spark):
     a = p1_news_keywords_distributed(spark, SF_DIR)
     b = p1_news_keywords_distributed(spark, SF_DIR)
     assert a is b  # memo hit: no rebuild, no re-checkpoint
+
+
+def test_rank_limit_pushdown_plans(queries, spark):
+    """The ranking claims in operators/ranking.py must hold in the
+    physical plan: per-key top-K plans with WindowGroupLimit (each map
+    task keeps K rows per key pre-shuffle), and the single-group
+    HotTopics ranking collapses further - Catalyst turns the
+    constant-partition row_number + rank filter into a global
+    TakeOrderedAndProject. The events scan must carry the pushed ts
+    range (the date window reaches the parquet footer)."""
+    t1 = _plan(queries["t1_user_topk"](spark, SF_DIR))
+    assert "WindowGroupLimit" in t1
+    t3 = _plan(queries["t3_daily_topk_by_count"](spark, SF_DIR))
+    assert "WindowGroupLimit" in t3
+    hot = _plan(queries["hot_topics_pipeline"](spark, SF_DIR))
+    assert "TakeOrderedAndProject" in hot
+    assert "GreaterThanOrEqual(ts" in hot  # pushed trailing-window bound
