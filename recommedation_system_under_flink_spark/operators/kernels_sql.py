@@ -861,3 +861,100 @@ def s10b_scd2_asof_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("valid_from") <= t)
         & (F.col("valid_to").isNull() | (t <= F.col("valid_to")))
     ).select("entity_id", "version_id", "value")
+
+
+# ----------------------------------- S16 (incremental aggregate merge)
+
+@register(
+    "s16_incremental_agg_merge",
+    with_ctes(
+        """SELECT news_id,
+       CAST(SUM(cnt) AS BIGINT) AS clicks,
+       MAX(date) AS last_date
+FROM clicks GROUP BY news_id""",
+        CLICKS_CTE,
+    ),
+)
+def s16_incremental_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """**Incremental aggregate maintenance**: yesterday's stored
+    per-news totals (materialized to parquet — a real storage
+    boundary, not a cached plan) merged with TODAY's delta, and the
+    merge hash-verified against a full recompute over all days. SUM
+    and MAX are commutative monoids, so ``merge(old_agg, agg(delta)) ==
+    agg(all)`` — the algebra that lets a daily 100 TB pipeline scan
+    O(delta) per day instead of O(history): the reference's daily loop
+    re-read its whole input every day (TF_IDF.java:161-232); this is
+    the amortization applied to STATE, not just scheduling.
+
+    Plan: the history aggregate happens once (here, to build the
+    fixture state), the daily increment is one delta scan + a
+    merge-aggregate keyed on news_id over |keys| + |delta-keys| rows."""
+    hist_dir = os.path.join(tempfile.gettempdir(), "spark_graft_s16_history")
+    history = (
+        clicks(spark, sf_dir, date_to=TODAY - dt.timedelta(days=1))
+        .groupBy("news_id")
+        .agg(
+            F.sum("cnt").cast("long").alias("clicks"),
+            F.max("date").alias("last_date"),
+        )
+    )
+    history.write.mode("overwrite").parquet(hist_dir)
+    delta = (
+        clicks(spark, sf_dir, date_from=TODAY, date_to=TODAY)
+        .groupBy("news_id")
+        .agg(
+            F.sum("cnt").cast("long").alias("clicks"),
+            F.max("date").alias("last_date"),
+        )
+    )
+    merged = (
+        spark.read.parquet(hist_dir)
+        .unionByName(delta)
+        .groupBy("news_id")
+        .agg(
+            F.sum("clicks").cast("long").alias("clicks"),
+            F.max("last_date").alias("last_date"),
+        )
+    )
+    return merged
+
+
+# ------------------------------------- S17 (small-file compaction)
+
+#: Deliberate fragmentation and the compaction target.
+S17_FRAGMENTS = 64
+S17_COMPACTED = 4
+
+
+@register(
+    "s17_small_file_compaction",
+    with_ctes("SELECT user_id, news_id, cnt, date FROM clicks", CLICKS_CTE),
+)
+def s17_small_file_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """**Small-file compaction** — the table-maintenance pass every
+    long-lived ingest pipeline needs: a deliberately fragmented write
+    (``S17_FRAGMENTS`` files; streaming micro-batches and per-day
+    appends do this to real tables) is rewritten into
+    ``S17_COMPACTED`` right-sized files, and the compacted table is
+    hash-verified against the source relation — compaction must be a
+    pure layout change. At 100 TB the fragment count is what kills
+    scan planning (footer reads, task-per-file scheduling, no
+    row-group locality); the fix is this exact rewrite with the
+    partition count chosen as bytes/target-file-size.
+
+    File-count assertions live in tests/test_operators_spark.py (the
+    oracle can only see the data, not the layout)."""
+    base = os.path.join(tempfile.gettempdir(), "spark_graft_s17")
+    frag_dir = os.path.join(base, "fragmented")
+    compact_dir = os.path.join(base, "compacted")
+    cl = clicks(spark, sf_dir).select("user_id", "news_id", "cnt", "date")
+    cl.repartition(S17_FRAGMENTS).write.mode("overwrite").parquet(frag_dir)
+    # On a real table: n_out = ceil(input_bytes / target_file_bytes).
+    # The fixture is tiny, so the count is pinned instead; the rewrite
+    # mechanics (read fragmented -> repartition -> overwrite) are what
+    # scale.
+    fragmented = spark.read.parquet(frag_dir)
+    fragmented.repartition(S17_COMPACTED).write.mode("overwrite").parquet(
+        compact_dir
+    )
+    return spark.read.parquet(compact_dir)

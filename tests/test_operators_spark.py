@@ -335,3 +335,31 @@ def test_spine_fill_is_dense(queries, spark):
     assert len(rows) == span * len(types)  # dense grid, one row per cell
     for r in rows:
         assert r["filled"] == (r["n"] == 0)
+
+
+def test_compaction_layout_and_identity(queries, spark):
+    """Compaction must change ONLY the layout: the fragmented write has
+    S17_FRAGMENTS data files, the compacted one S17_COMPACTED (±0), and
+    the row multiset survives (the oracle checks values; this checks
+    the files the oracle can't see)."""
+    import glob
+    import os
+    import tempfile
+
+    from recommedation_system_under_flink_spark.operators.kernels_sql import (
+        S17_COMPACTED,
+        S17_FRAGMENTS,
+    )
+
+    out = queries["s17_small_file_compaction"](spark, SF_DIR)
+    n_rows = out.count()
+    base = os.path.join(tempfile.gettempdir(), "spark_graft_s17")
+    frag = glob.glob(os.path.join(base, "fragmented", "*.parquet"))
+    comp = glob.glob(os.path.join(base, "compacted", "*.parquet"))
+    # empty partitions may write no file, so fragmented ≤ S17_FRAGMENTS
+    assert len(frag) > len(comp)
+    assert len(comp) <= S17_COMPACTED
+    assert len(frag) <= S17_FRAGMENTS
+    from recommedation_system_under_flink_spark.sources import clicks
+
+    assert n_rows == clicks(spark, SF_DIR).count()
