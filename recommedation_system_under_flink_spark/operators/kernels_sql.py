@@ -958,3 +958,97 @@ def s17_small_file_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         compact_dir
     )
     return spark.read.parquet(compact_dir)
+
+
+# --------------------------------------------- S18 (snapshot diff)
+
+@register(
+    "s18_snapshot_diff",
+    f"""WITH versions AS (
+  SELECT event_id % 1000 AS entity_id, event_id, value, epoch_us(ts) AS tsm
+  FROM events
+), old_state AS (
+  SELECT entity_id, value FROM (
+    SELECT entity_id, value,
+           ROW_NUMBER() OVER (PARTITION BY entity_id
+                              ORDER BY tsm DESC, event_id DESC) AS rn
+    FROM versions WHERE tsm < {SCD2_LOOKUP_US}
+  ) WHERE rn = 1
+), new_state AS (
+  SELECT entity_id, value FROM (
+    SELECT entity_id, value,
+           ROW_NUMBER() OVER (PARTITION BY entity_id
+                              ORDER BY tsm DESC, event_id DESC) AS rn
+    FROM versions
+  ) WHERE rn = 1
+)
+SELECT COALESCE(o.entity_id, n.entity_id) AS entity_id,
+       o.value AS old_value,
+       n.value AS new_value,
+       CASE WHEN o.entity_id IS NULL THEN 'added'
+            WHEN n.entity_id IS NULL THEN 'removed'
+            ELSE 'changed' END AS change
+FROM old_state o FULL OUTER JOIN new_state n ON o.entity_id = n.entity_id
+WHERE o.entity_id IS NULL OR n.entity_id IS NULL OR o.value <> n.value""",
+)
+def s18_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """**Snapshot diff / reconciliation** — the CDC-shaped question
+    "what changed between the table as of T and the table now":
+    per-entity latest state at the pinned cut vs latest state overall,
+    full-outer-joined on the key and classified added / removed /
+    changed (unchanged rows drop out). The audit primitive behind
+    replication checks, backfill validation, and incremental-downstream
+    triggering; complements :func:`s10_scd2_history` (which stores ALL
+    versions — the diff needs only two states).
+
+    Deterministic latest-per-entity via (tsm, event_id) tiebreak —
+    identical in both engines. Scale: two window passes partitioned on
+    the entity key and one key-keyed full outer join; at 100 TB the
+    two states usually come pre-materialized and the diff is just the
+    join, shuffling each side once on the key."""
+    from pyspark.sql import Window
+
+    ev = events_raw(spark, sf_dir).select(
+        (F.col("event_id") % 1000).alias("entity_id"),
+        "event_id",
+        "value",
+        F.expr("ts DIV 1000").alias("tsm"),
+    )
+    w = Window.partitionBy("entity_id").orderBy(
+        F.desc("tsm"), F.desc("event_id")
+    )
+
+    def latest(df: DataFrame) -> DataFrame:
+        return (
+            df.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("entity_id", "value")
+        )
+
+    old_state = latest(ev.filter(F.col("tsm") < SCD2_LOOKUP_US)).select(
+        F.col("entity_id").alias("o_id"), F.col("value").alias("old_value")
+    )
+    new_state = latest(ev).select(
+        F.col("entity_id").alias("n_id"), F.col("value").alias("new_value")
+    )
+    joined = old_state.join(
+        new_state, old_state.o_id == new_state.n_id, "full_outer"
+    )
+    change = (
+        F.when(F.col("o_id").isNull(), F.lit("added"))
+        .when(F.col("n_id").isNull(), F.lit("removed"))
+        .otherwise(F.lit("changed"))
+    )
+    return (
+        joined.filter(
+            F.col("o_id").isNull()
+            | F.col("n_id").isNull()
+            | (F.col("old_value") != F.col("new_value"))
+        )
+        .select(
+            F.coalesce("o_id", "n_id").alias("entity_id"),
+            "old_value",
+            "new_value",
+            change.alias("change"),
+        )
+    )

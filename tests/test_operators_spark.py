@@ -363,3 +363,21 @@ def test_compaction_layout_and_identity(queries, spark):
     from recommedation_system_under_flink_spark.sources import clicks
 
     assert n_rows == clicks(spark, SF_DIR).count()
+
+
+def test_snapshot_diff_classification(queries, spark):
+    """Diff invariants: entity ids unique; 'added' has no old value,
+    'removed' no new value, 'changed' both and different; and entities
+    whose latest event predates the cut never appear (unchanged)."""
+    rows = queries["s18_snapshot_diff"](spark, SF_DIR).collect()
+    ids = [r["entity_id"] for r in rows]
+    assert len(ids) == len(set(ids))
+    for r in rows:
+        if r["change"] == "added":
+            assert r["old_value"] is None and r["new_value"] is not None
+        elif r["change"] == "removed":
+            assert r["new_value"] is None and r["old_value"] is not None
+        else:
+            assert r["change"] == "changed"
+            assert r["old_value"] is not None and r["new_value"] is not None
+            assert r["old_value"] != r["new_value"]
