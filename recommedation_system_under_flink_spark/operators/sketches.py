@@ -92,3 +92,79 @@ def sk_value_percentiles_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("percentile(value, 0.95)").alias("p95"),
         F.expr("percentile(value, 0.99)").alias("p99"),
     )
+
+
+# -------------------------------- sketch-accelerated exact heavy hitters
+
+#: Heavy-hitter threshold: items with frequency > n / HH_K. The fixture
+#: click distribution is near-uniform over ~500 items (max frequency
+#: ~ n/223), so the threshold sits below the uniform ceiling to yield a
+#: real, non-trivial answer; the MG capacity (== HH_K) still exercises
+#: the decrement path (capacity < distinct keys).
+HH_K = 300
+
+
+@register(
+    "sk_heavy_hitters_exact",
+    f"""WITH clicks AS (
+  SELECT event_id % 500 AS news_id FROM events WHERE event_type = 'click'
+), tot AS (SELECT COUNT(*) AS n FROM clicks)
+SELECT news_id, CAST(COUNT(*) AS BIGINT) AS n_clicks
+FROM clicks, tot
+GROUP BY news_id, tot.n
+HAVING COUNT(*) > tot.n / {HH_K}.0""",
+)
+def sk_heavy_hitters_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """**Heavy hitters, sketch-accelerated but EXACT**: items clicked
+    more than n/``HH_K`` times, found by per-partition **Misra-Gries**
+    summaries (capacity ``HH_K``, `mapInPandas`) whose union is a
+    guaranteed SUPERSET of the true heavy hitters (the summed summary
+    undercounts any item by at most n/capacity, so a > n/capacity item
+    cannot vanish), then verified by one exact counting pass restricted
+    to the candidates. Output is exact → full oracle, unlike the HLL /
+    quantile sketches above.
+
+    Why it exists next to the plain groupBy (t3/a2): at 100 TB with
+    ~trillions of DISTINCT keys, the full groupBy shuffles one row per
+    key; this plan shuffles ``capacity × partitions`` candidate rows
+    plus the candidate-filtered counts — state bounded by the answer
+    size, not the key space. The MG loop is per-partition imperative
+    work — exactly the documented legitimate `mapInPandas` use."""
+    import pandas as pd
+
+    from ..sources import clicks as clicks_table
+
+    cl = clicks_table(spark, sf_dir).select("news_id")
+
+    def mg_partition(batches):
+        counters: dict[int, int] = {}
+        for pdf in batches:
+            for v in pdf["news_id"]:
+                v = int(v)
+                if v in counters:
+                    counters[v] += 1
+                elif len(counters) < HH_K:
+                    counters[v] = 1
+                else:
+                    # decrement-all step; drop zeros
+                    for k in list(counters):
+                        counters[k] -= 1
+                        if counters[k] == 0:
+                            del counters[k]
+        yield pd.DataFrame(
+            {"news_id": list(counters), "cnt": list(counters.values())}
+        )
+
+    candidates = (
+        cl.mapInPandas(mg_partition, "news_id long, cnt long")
+        .groupBy("news_id")
+        .agg(F.sum("cnt").alias("cnt"))
+        .select("news_id")
+    )
+    total = cl.count()
+    exact = (
+        cl.join(F.broadcast(candidates), "news_id", "left_semi")
+        .groupBy("news_id")
+        .agg(F.count("*").cast("long").alias("n_clicks"))
+    )
+    return exact.filter(F.col("n_clicks") > total / HH_K)

@@ -340,3 +340,30 @@ def test_pagerank_is_a_distribution(queries, spark):
     assert abs(total - 1.0) < 1e-9
     assert all(r["rank"] > 0 for r in rows)
     assert {r["node"] % 2 for r in rows} == {0, 1}
+
+
+def test_heavy_hitters_exact_and_mg_superset(queries, spark):
+    """sk_heavy_hitters_exact must equal the plain full-groupBy answer
+    (the sketch only accelerates candidate generation — the output is
+    exact), which also proves the Misra-Gries union was a superset of
+    the true heavy hitters."""
+    from pyspark.sql import functions as F
+
+    from recommedation_system_under_flink_spark.operators.sketches import HH_K
+    from recommedation_system_under_flink_spark.sources import clicks
+
+    got = {
+        (r["news_id"], r["n_clicks"])
+        for r in queries["sk_heavy_hitters_exact"](spark, SF_DIR).collect()
+    }
+    cl = clicks(spark, SF_DIR).select("news_id")
+    total = cl.count()
+    want = {
+        (r["news_id"], r["n"])
+        for r in cl.groupBy("news_id")
+        .agg(F.count("*").cast("long").alias("n"))
+        .filter(F.col("n") > total / HH_K)
+        .collect()
+    }
+    assert got == want
+    assert got  # non-degenerate on the fixture
