@@ -1058,3 +1058,69 @@ def sim_ivfsq8_topk_pinned(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.withColumn("rank", F.row_number().over(w).cast("int")).filter(
         F.col("rank") <= TOP_K
     )
+
+
+# ------------------------------------ label-centroid outlier scoring
+
+@register(
+    "sim_label_outliers",
+    """WITH proj AS (
+  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+), flat AS (
+  SELECT vec_id, label, i, e[i] AS v
+  FROM proj, LATERAL (SELECT unnest(generate_series(1, len(e))) AS i)
+), cent AS (
+  SELECT label, i, AVG(v) AS c FROM flat GROUP BY label, i
+), scored AS (
+  SELECT f.vec_id, f.label,
+         SUM(f.v * c.c) AS dot,
+         SUM(f.v * f.v) AS nv,
+         SUM(c.c * c.c) AS nc
+  FROM flat f JOIN cent c ON f.label = c.label AND f.i = c.i
+  GROUP BY f.vec_id, f.label
+)
+SELECT vec_id, label,
+       ROUND(dot / (sqrt(nv) * sqrt(nc)), 6) AS cos_centroid
+FROM scored WHERE nv > 0 AND nc > 0""",
+)
+def sim_label_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """**Label-consistency outlier scoring**: cosine of every embedding
+    to its OWN label's centroid — the mislabeled-sample / noisy-label
+    detector a training pipeline runs over (embedding, label) pairs
+    before fine-tuning (low ``cos_centroid`` = the vector sits far from
+    its class's mass). Quantized at 6: the centroid AVG sums doubles in
+    engine-specific order, so raw values differ by ulps.
+
+    Plan: posexplode to (vec, dim, value) rows, one (label, dim) hash
+    aggregate for the centroids (map-side combinable; output is
+    |labels|·dim rows — tiny), broadcast-join the centroid back, one
+    per-vector reduce for the three inner products. At 100 TB the
+    explode is the only big relation and it shuffles ONCE on (label,
+    dim) — the standard distributed-centroid shape (same as a k-means
+    assignment pass, operators/similarity.py IVF fit)."""
+    emb = load_raw(spark, sf_dir, "embeddings")
+    flat = emb.select(
+        "vec_id",
+        "label",
+        F.posexplode(F.col("embedding").cast("array<double>")).alias("i", "v"),
+    )
+    cent = flat.groupBy("label", "i").agg(F.avg("v").alias("c"))
+    scored = (
+        flat.join(F.broadcast(cent), ["label", "i"])
+        .groupBy("vec_id", "label")
+        .agg(
+            F.sum(F.col("v") * F.col("c")).alias("dot"),
+            F.sum(F.col("v") * F.col("v")).alias("nv"),
+            F.sum(F.col("c") * F.col("c")).alias("nc"),
+        )
+    )
+    return (
+        scored.filter((F.col("nv") > 0) & (F.col("nc") > 0))
+        .select(
+            "vec_id",
+            "label",
+            F.round(
+                F.col("dot") / (F.sqrt("nv") * F.sqrt("nc")), 6
+            ).alias("cos_centroid"),
+        )
+    )

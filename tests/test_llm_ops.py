@@ -296,3 +296,22 @@ def test_lang_mixture_resampling(queries, spark):
         raw_err = abs(total[lang] / n - MIXTURE_TARGET[lang])
         kept_err = abs(kept[lang] / k - MIXTURE_TARGET[lang])
         assert kept_err <= raw_err + 0.05, (lang, raw_err, kept_err)
+
+
+def test_label_outlier_scores_bounded_and_complete(queries, spark):
+    """One score per embedding; cosine to own-label centroid in
+    [-1, 1]; and class mass is real: the per-label MEAN score must be
+    positive (a vector set averages toward its own centroid)."""
+    from collections import defaultdict
+
+    from recommedation_system_under_flink_spark.sources import load_raw
+
+    rows = queries["sim_label_outliers"](spark, SF_DIR).collect()
+    n_emb = load_raw(spark, SF_DIR, "embeddings").count()
+    assert len(rows) == n_emb
+    by_label = defaultdict(list)
+    for r in rows:
+        assert -1.000001 <= r["cos_centroid"] <= 1.000001
+        by_label[r["label"]].append(r["cos_centroid"])
+    for label, scores in by_label.items():
+        assert sum(scores) / len(scores) > 0, label
