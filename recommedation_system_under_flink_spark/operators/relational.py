@@ -2,14 +2,17 @@
 
 The reference engine is a recommender, but a user migrating to this
 engine gets a full SQL analytics surface for free — Spark's native
-DataFrame/Catalyst path. This module pins that claim down with ten
+DataFrame/Catalyst path. This module pins that claim down with fifteen
 classic warehouse query shapes (TPC-H-derived Q1/Q2/Q3/Q4/Q5/Q6/Q7/
-Q10/Q14/Q18, adapted to the fixture schema) over the seven relational
-fixture tables that the recommender surface never touches:
-scan+aggregate, selective-scan revenue, 3-way join + top-N, 6-way
-star join, semi-join EXISTS, returned-items ranking, a
+Q10/Q13/Q14/Q15/Q17/Q18/Q19/Q22, adapted to the fixture schema) over
+the seven relational fixture tables that the recommender surface never
+touches: scan+aggregate, selective-scan revenue, 3-way join + top-N,
+6-way star join, semi-join EXISTS, returned-items ranking, a
 conditional-share single-row aggregate, a two-role dimension join, a
-decorrelated min-subquery, and a HAVING large-order filter.
+decorrelated min-subquery, a HAVING large-order filter, a left-outer
+count distribution, a MAX-equality aggregate view, a decorrelated
+per-group AVG boundary, a disjunctive-pushdown sum, and a
+global-average anti-join.
 
 Cross-engine determinism (the whole point of the implementation):
 
@@ -506,5 +509,235 @@ def rel_q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             "o_orderkey",
             "o_orderdate",
             F.col("total_qty_dec").cast("double").alias("total_qty"),
+        )
+    )
+
+
+@register(
+    "rel_q13_customer_distribution",
+    """SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+FROM (
+  SELECT c_custkey, CAST(COUNT(o_orderkey) AS BIGINT) AS c_count
+  FROM customer LEFT JOIN orders
+    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+  GROUP BY c_custkey
+)
+GROUP BY c_count""",
+)
+def rel_q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: **left-outer join + double aggregation** — the
+    distribution of order counts per customer, keeping zero-order
+    customers (the outer join is the point; Q13 is the only TPC-H query
+    that needs one). The non-urgent predicate lives in the JOIN
+    condition, not WHERE, so customers whose orders are all urgent
+    still count as 0. ``COUNT(o_orderkey)`` counts non-null matches in
+    both engines. Plan: one shuffle join on custkey (orders filtered
+    before the join), one partial-aggregated count per customer, then a
+    tiny second aggregate on the count value — at 100 TB the second
+    groupBy has at most a few thousand distinct keys."""
+    cust = load_raw(spark, sf_dir, "customer").select("c_custkey")
+    orders = (
+        load_raw(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") != "1-URGENT")
+        .select("o_custkey", "o_orderkey")
+    )
+    per_cust = (
+        cust.join(orders, F.col("c_custkey") == F.col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count("*").alias("custdist"))
+
+
+@register(
+    "rel_q15_top_supplier",
+    f"""WITH rev AS (
+  SELECT l_suppkey AS s_suppkey, SUM({REVENUE}) AS total_rev
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name,
+       CAST(ROUND(total_rev, 2) AS DOUBLE) AS total_revenue
+FROM rev JOIN supplier USING (s_suppkey)
+WHERE total_rev = (SELECT MAX(total_rev) FROM rev)""",
+)
+def rel_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: **aggregate view + MAX-equality subquery** —
+    the supplier(s) with the highest revenue in a quarter. The revenue
+    view is computed once and reused for both the MAX scalar and the
+    equality filter (Spark: same DataFrame object → AQE reuses the
+    exchange). Because revenue is an exact DECIMAL sum, the equality
+    against MAX is bit-identical in both engines — with double sums
+    this query is the canonical cross-engine flake. The 1-row MAX
+    broadcasts; supplier broadcasts; the only shuffle is the suppkey
+    aggregate."""
+    li = load_raw(spark, sf_dir, "lineitem")
+    rev = (
+        li.filter(
+            (F.col("l_shipdate") >= _dt_lit(li, "l_shipdate", "1996-01-01"))
+            & (F.col("l_shipdate") < _dt_lit(li, "l_shipdate", "1996-04-01"))
+        )
+        .groupBy(F.col("l_suppkey").alias("s_suppkey"))
+        .agg(F.expr(f"SUM({REVENUE})").alias("total_rev"))
+    )
+    max_rev = rev.agg(F.max("total_rev").alias("max_rev"))
+    supp = load_raw(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        rev.join(F.broadcast(max_rev), F.col("total_rev") == F.col("max_rev"))
+        .join(F.broadcast(supp), "s_suppkey")
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.round("total_rev", 2).cast("double").alias("total_revenue"),
+        )
+    )
+
+
+@register(
+    "rel_q17_small_quantity_revenue",
+    f"""SELECT CAST(ROUND(SUM({_EP}), 2) AS DOUBLE) / 7.0 AS avg_yearly
+FROM lineitem
+JOIN part ON p_partkey = l_partkey
+JOIN (
+  SELECT l_partkey AS a_partkey,
+         SUM({_QTY}) AS sum_qty, COUNT(*) AS cnt_qty
+  FROM lineitem GROUP BY l_partkey
+) a ON a_partkey = l_partkey
+WHERE p_brand = 'Brand#23'
+  AND {_QTY} * 5 * cnt_qty < sum_qty""",
+)
+def rel_q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: **decorrelated per-group AVG subquery** —
+    revenue from orders below 20% of the part's average quantity.
+    The correlated ``l_quantity < 0.2 * (SELECT AVG(l_quantity) ...)``
+    is decorrelated into aggregate-then-join, and the boundary test is
+    cross-multiplied into exact-DECIMAL integer arithmetic
+    (``qty * 5 * cnt < sum``) — an AVG of doubles differs between
+    Spark's partial aggregation and DuckDB's single pass in the last
+    ulp, which would flip boundary rows. Plan: one suppkey-free fact
+    self-aggregate (partial map-side), broadcast of the filtered part
+    dim, shuffle join on partkey, single-row decimal sum."""
+    li = load_raw(spark, sf_dir, "lineitem")
+    part = (
+        load_raw(spark, sf_dir, "part")
+        .filter(F.col("p_brand") == "Brand#23")
+        .select("p_partkey")
+    )
+    per_part = li.groupBy(F.col("l_partkey").alias("a_partkey")).agg(
+        F.expr(f"SUM({_QTY})").alias("sum_qty"),
+        F.count("*").alias("cnt_qty"),
+    )
+    return (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(per_part, F.col("l_partkey") == F.col("a_partkey"))
+        .filter(F.expr(f"{_QTY} * 5 * cnt_qty < sum_qty"))
+        .agg(
+            (F.expr(f"CAST(ROUND(SUM({_EP}), 2) AS DOUBLE)") / F.lit(7.0)).alias(
+                "avg_yearly"
+            )
+        )
+    )
+
+
+@register(
+    "rel_q19_disjunctive_revenue",
+    f"""SELECT {_dsum(REVENUE)} AS revenue
+FROM lineitem
+JOIN part ON p_partkey = l_partkey
+WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+       AND l_quantity BETWEEN 1 AND 11)
+   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+       AND l_quantity BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15
+       AND l_quantity BETWEEN 20 AND 30)""",
+)
+def rel_q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: **disjunctive (OR-of-ANDs) predicate pushdown**.
+    Catalyst factors the common conjuncts out of the disjunction: the
+    lineitem scan gets ``l_quantity BETWEEN 1 AND 30`` and the part
+    scan gets the brand/size disjunction as PushedFilters, so both
+    sides prune before the join instead of evaluating the OR on the
+    full cross section. Part broadcasts; single-row exact-decimal sum.
+    The query is the standard test that an engine doesn't give up on
+    pushdown the moment predicates stop being simple conjunctions."""
+    li = load_raw(spark, sf_dir, "lineitem")
+    part = load_raw(spark, sf_dir, "part")
+    joined = li.join(
+        F.broadcast(part), F.col("p_partkey") == F.col("l_partkey")
+    )
+    cond = (
+        (
+            (F.col("p_brand") == "Brand#12")
+            & F.col("p_size").between(1, 5)
+            & F.col("l_quantity").between(1, 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#23")
+            & F.col("p_size").between(1, 10)
+            & F.col("l_quantity").between(10, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#34")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(20, 30)
+        )
+    )
+    return joined.filter(cond).agg(F.expr(_dsum(REVENUE)).alias("revenue"))
+
+
+@register(
+    "rel_q22_inactive_rich_customers",
+    """WITH bal AS (
+  SELECT SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS sum_bal,
+         COUNT(*) AS cnt_bal
+  FROM customer WHERE c_acctbal > 0.0
+)
+SELECT c_nationkey,
+       CAST(COUNT(*) AS BIGINT) AS numcust,
+       CAST(ROUND(SUM(CAST(c_acctbal AS DECIMAL(18,4))), 2) AS DOUBLE)
+         AS totacctbal
+FROM customer, bal
+WHERE CAST(c_acctbal AS DECIMAL(18,4)) * cnt_bal > sum_bal
+  AND NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey
+                    AND o_orderpriority = '1-URGENT')
+GROUP BY c_nationkey""",
+)
+def rel_q22_inactive_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: **global-average subquery + anti-join** —
+    customers with above-average balance who never placed an urgent
+    order, grouped by nation (standing in for the phone country code
+    the fixture schema doesn't carry; the urgency predicate replaces
+    Q22's "no orders at all", which is vacuous on the fixtures where
+    every customer has orders). The above-average test is
+    cross-multiplied into exact DECIMAL (``bal * cnt > sum``) for the
+    same boundary-determinism reason as Q17. The 1-row global aggregate
+    broadcasts; ``NOT EXISTS`` is a left-anti join against the
+    filtered, projected orders custkeys — at 100 TB that anti-join
+    shuffles on custkey, and AQE converts it to broadcast when the
+    filtered rich side is small."""
+    cust = load_raw(spark, sf_dir, "customer")
+    bal = cust.filter(F.col("c_acctbal") > 0.0).agg(
+        F.expr("SUM(CAST(c_acctbal AS DECIMAL(18,4)))").alias("sum_bal"),
+        F.count("*").alias("cnt_bal"),
+    )
+    orders = (
+        load_raw(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_custkey")
+    )
+    rich = cust.crossJoin(F.broadcast(bal)).filter(
+        F.expr("CAST(c_acctbal AS DECIMAL(18,4)) * cnt_bal > sum_bal")
+    )
+    return (
+        rich.join(orders, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count("*").alias("numcust"),
+            F.expr(
+                "CAST(ROUND(SUM(CAST(c_acctbal AS DECIMAL(18,4))), 2) AS DOUBLE)"
+            ).alias("totacctbal"),
         )
     )

@@ -484,3 +484,101 @@ def test_rank_limit_pushdown_plans(queries, spark):
     hot = _plan(queries["hot_topics_pipeline"](spark, SF_DIR))
     assert "TakeOrderedAndProject" in hot
     assert "GreaterThanOrEqual(ts" in hot  # pushed trailing-window bound
+
+
+def test_q13_outer_join_accounts_for_every_customer(queries, spark):
+    """custdist must partition the customer table: summing custdist
+    over all c_count buckets returns exactly |customer| (the left-outer
+    join keeps zero-order customers; an inner join would drop them and
+    this invariant is what catches that regression)."""
+    from recommedation_system_under_flink_spark.sources import load_raw
+
+    rows = queries["rel_q13_customer_distribution"](spark, SF_DIR).collect()
+    n_cust = load_raw(spark, SF_DIR, "customer").count()
+    assert sum(r["custdist"] for r in rows) == n_cust
+    plan = _plan(queries["rel_q13_customer_distribution"](spark, SF_DIR))
+    assert "LeftOuter" in plan
+
+
+def test_q15_max_equality_deterministic(queries, spark):
+    """The MAX-equality filter over an exact-decimal revenue view must
+    return the same winner set on repeated runs, and every returned
+    revenue equals the maximum."""
+    a = queries["rel_q15_top_supplier"](spark, SF_DIR).collect()
+    b = queries["rel_q15_top_supplier"](spark, SF_DIR).collect()
+    assert sorted(r["s_suppkey"] for r in a) == sorted(r["s_suppkey"] for r in b)
+    assert a
+    assert len({r["total_revenue"] for r in a}) == 1
+
+
+def test_q17_boundary_matches_naive_avg(queries, spark):
+    """The cross-multiplied exact-decimal boundary (qty*5*cnt < sum)
+    must select the same lineitems as the naive 0.2*AVG double form on
+    the fixtures (the decimal rewrite changes determinism, not
+    semantics)."""
+    from pyspark.sql import functions as F
+
+    from recommedation_system_under_flink_spark.sources import load_raw
+
+    li = load_raw(spark, SF_DIR, "lineitem")
+    part = load_raw(spark, SF_DIR, "part").filter(F.col("p_brand") == "Brand#23")
+    avg = li.groupBy(F.col("l_partkey").alias("a_partkey")).agg(
+        F.avg("l_quantity").alias("avg_qty")
+    )
+    naive = (
+        li.join(part, F.col("l_partkey") == F.col("p_partkey"))
+        .join(avg, F.col("l_partkey") == F.col("a_partkey"))
+        .filter(F.col("l_quantity") < 0.2 * F.col("avg_qty"))
+        .agg(F.sum("l_extendedprice").alias("s"))
+        .collect()[0]["s"]
+    )
+    got = queries["rel_q17_small_quantity_revenue"](spark, SF_DIR).collect()[0][
+        "avg_yearly"
+    ]
+    if naive is None:
+        assert got is None
+    else:
+        assert abs(got - naive / 7.0) < 1e-4
+
+
+def test_q19_disjunction_pushes_to_both_scans(queries, spark):
+    """Catalyst must push each side's single-table disjunction into its
+    parquet scan: the lineitem scan carries the quantity OR-bands and
+    the part scan carries the brand/size OR plus the factored-out
+    p_size >= 1 conjunct."""
+    plan = _plan(queries["rel_q19_disjunctive_revenue"](spark, SF_DIR))
+    assert "GreaterThanOrEqual(l_quantity,1.0)" in plan
+    assert "GreaterThanOrEqual(p_size,1)" in plan
+    assert plan.count("BroadcastHashJoin") >= 1
+
+
+def test_q22_anti_join_excludes_urgent_customers(queries, spark):
+    """No returned nation bucket may include a customer with an urgent
+    order: recomputing the rich/no-urgent set relationally must give
+    the same per-nation counts."""
+    from pyspark.sql import functions as F
+
+    from recommedation_system_under_flink_spark.sources import load_raw
+
+    rows = queries["rel_q22_inactive_rich_customers"](spark, SF_DIR).collect()
+    cust = load_raw(spark, SF_DIR, "customer")
+    urgent = (
+        load_raw(spark, SF_DIR, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_custkey")
+        .distinct()
+    )
+    bal = cust.filter(F.col("c_acctbal") > 0.0).agg(
+        F.expr("SUM(CAST(c_acctbal AS DECIMAL(18,4)))").alias("s"),
+        F.count("*").alias("c"),
+    )
+    expect = {
+        r["c_nationkey"]: r["n"]
+        for r in cust.crossJoin(bal)
+        .filter(F.expr("CAST(c_acctbal AS DECIMAL(18,4)) * c > s"))
+        .join(urgent, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .groupBy("c_nationkey")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert {r["c_nationkey"]: r["numcust"] for r in rows} == expect
