@@ -367,3 +367,27 @@ def test_heavy_hitters_exact_and_mg_superset(queries, spark):
     }
     assert got == want
     assert got  # non-degenerate on the fixture
+
+
+def test_monthly_hll_rollup_error_bound(queries, spark):
+    """The daily-sketch → monthly-union estimate must land within
+    ~5 sigma of the exact monthly distinct clicker count (lgConfigK=14
+    ⇒ ~0.8% rsd), and cover every month the click log spans."""
+    from pyspark.sql import functions as F
+
+    from recommedation_system_under_flink_spark.sources import clicks
+
+    approx = {
+        r["month"]: r["approx_users"]
+        for r in queries["sk_monthly_from_daily_hll"](spark, SF_DIR).collect()
+    }
+    exact = {
+        r["month"]: r["n"]
+        for r in clicks(spark, SF_DIR)
+        .groupBy(F.date_format("date", "yyyy-MM").alias("month"))
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    assert set(approx) == set(exact)
+    for m, ex in exact.items():
+        assert abs(approx[m] - ex) <= max(2, 0.05 * ex)
