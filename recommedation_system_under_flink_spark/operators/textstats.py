@@ -877,3 +877,121 @@ def ts_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length(masked).cast("long").alias("masked_len"),
         F.md5(masked).alias("masked_md5"),
     )
+
+
+# ------------------------- interpolated bigram LM perplexity (CCNet-ish)
+
+#: Jelinek-Mercer interpolation weight on the bigram term; the unigram
+#: term carries the rest. 0.9/0.1 is the classic smoothing default.
+LM_LAMBDA = 0.9
+
+
+@register(
+    "ts_bigram_lm_perplexity",
+    f"""WITH base AS (SELECT doc_id, {_TOKENS_SQL} AS ts FROM documents),
+grams AS (
+  SELECT doc_id, ts[i] AS w1, ts[i + 1] AS w2
+  FROM base, LATERAL (SELECT unnest(generate_series(1, len(ts) - 1)) AS i)
+),
+toks AS (
+  SELECT doc_id, unnest(ts) AS term FROM base
+),
+uni AS (SELECT term, COUNT(*) AS c1 FROM toks GROUP BY term),
+tot AS (SELECT COUNT(*) AS n FROM toks),
+bi AS (SELECT w1, w2, COUNT(*) AS c2 FROM grams GROUP BY w1, w2),
+ctx AS (SELECT w1, CAST(SUM(c2) AS BIGINT) AS cctx FROM bi GROUP BY w1),
+scored AS (
+  SELECT g.doc_id,
+         log2({LM_LAMBDA} * (CAST(b.c2 AS DOUBLE) / cx.cctx)
+              + {1.0 - LM_LAMBDA} * (CAST(u.c1 AS DOUBLE) / t.n)) AS lp
+  FROM grams g
+  JOIN bi b ON g.w1 = b.w1 AND g.w2 = b.w2
+  JOIN ctx cx ON g.w1 = cx.w1
+  JOIN uni u ON g.w2 = u.term
+  CROSS JOIN tot t
+),
+per_doc AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+         ROUND(SUM(lp) / COUNT(*), 6) AS mean_log2_prob
+  FROM scored GROUP BY doc_id
+)
+SELECT b.doc_id,
+       CAST(COALESCE(p.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+       p.mean_log2_prob,
+       ROUND(POWER(2.0, -p.mean_log2_prob), 4) AS perplexity
+FROM base b LEFT JOIN per_doc p ON b.doc_id = p.doc_id""",
+)
+def ts_bigram_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """**Perplexity quality filter** (CCNet-style, SQL-expressible
+    core): per-doc perplexity under an interpolated bigram LM trained
+    on the corpus itself — ``P(w2|w1) = λ·c(w1,w2)/c(w1·) +
+    (1-λ)·c(w2)/N``. The standard pretraining-data gate: documents in
+    a corpus-typical register score low perplexity; boilerplate,
+    gibberish, and wrong-language text score high. The companion of
+    :func:`ts_unigram_logprob`, which cannot see word ORDER — a
+    shuffled document fools the unigram score but not this one.
+
+    No zero probabilities by construction (the model is trained on the
+    scored corpus, and the unigram backoff term is positive anyway), so
+    the interpolation is smoothing, not a crutch.
+
+    Scale: the model tables are |bigram-vocab| / |vocab| rows —
+    map-side-combinable counts, same inverted-index shape as TF-IDF.
+    Scoring re-shuffles the bigram stream on (w1,w2), w1, then w2 —
+    three token-keyed hash joins at scan speed, no window, no Python.
+    Per-doc reduce shuffles on doc_id. Cross-engine determinism: the
+    per-term probability is a few IEEE ops on exact integer counts
+    (identical bits both engines), log2 is ~1 ulp, and the 6-dp round
+    of the mean absorbs both that and double-sum association order;
+    perplexity is derived from the ALREADY-rounded mean so the 4-dp
+    round sees identical inputs."""
+    docs = load_raw(spark, sf_dir, "documents")
+    base = docs.select("doc_id", _tokens(F.col("text")).alias("ts"))
+    grams = base.select(
+        "doc_id",
+        F.explode(
+            F.when(
+                F.size("ts") >= 2,
+                F.expr(
+                    "transform(sequence(1, size(ts) - 1),"
+                    " i -> struct(element_at(ts, i) AS w1,"
+                    "             element_at(ts, i + 1) AS w2))"
+                ),
+            ).otherwise(F.expr("array()").cast("array<struct<w1:string,w2:string>>"))
+        ).alias("g"),
+    ).select("doc_id", "g.w1", "g.w2")
+    toks = base.select("doc_id", F.explode("ts").alias("term"))
+    uni = toks.groupBy("term").agg(F.count("*").alias("c1"))
+    tot = toks.agg(F.count("*").alias("n"))
+    bi = grams.groupBy("w1", "w2").agg(F.count("*").alias("c2"))
+    ctx = bi.groupBy("w1").agg(F.sum("c2").cast("long").alias("cctx"))
+    lam, lam1 = F.lit(LM_LAMBDA), F.lit(1.0 - LM_LAMBDA)
+    scored = (
+        grams.join(bi, ["w1", "w2"])
+        .join(ctx, "w1")
+        .join(uni, grams.w2 == uni.term)
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "doc_id",
+            F.log2(
+                lam * (F.col("c2").cast("double") / F.col("cctx"))
+                + lam1 * (F.col("c1").cast("double") / F.col("n"))
+            ).alias("lp"),
+        )
+    )
+    per_doc = scored.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_bigrams"),
+        F.round(F.sum("lp") / F.count("*"), 6).alias("mean_log2_prob"),
+    )
+    return (
+        base.select("doc_id")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_bigrams"), F.lit(0)).cast("long").alias("n_bigrams"),
+            F.col("mean_log2_prob"),
+            F.round(F.pow(F.lit(2.0), -F.col("mean_log2_prob")), 4).alias(
+                "perplexity"
+            ),
+        )
+    )

@@ -50,6 +50,7 @@ EXPECTED_CARTESIAN = {
     "j3_scored_join": "inherits a5's 1-row scalar broadcast",
     "hybrid_rrf_recommend": "inherits a5's 1-row scalar broadcast (via j3)",
     "ts_unigram_logprob": "1-row corpus-total scalar broadcast",
+    "ts_bigram_lm_perplexity": "1-row corpus-total scalar broadcast",
     "ts_term_drift": "1-row old/new totals scalar broadcast",
     "j6_rec_coverage": "three 1-row diagnostic aggregates cross-joined",
     "j3_scored_join_salted": "inherits a5's 1-row scalar broadcast",

@@ -315,3 +315,33 @@ def test_label_outlier_scores_bounded_and_complete(queries, spark):
         by_label[r["label"]].append(r["cos_centroid"])
     for label, scores in by_label.items():
         assert sum(scores) / len(scores) > 0, label
+
+
+def test_bigram_lm_scores_order_not_just_vocabulary(spark, tmp_path):
+    """The bigram-LM perplexity must separate natural word order from
+    shuffled word order over the SAME vocabulary — the capability the
+    unigram score is blind to. Build a corpus of repeated natural
+    sentences plus one doc with those words deterministically
+    scrambled: the scrambled doc must be the strict perplexity
+    maximum, and every score must satisfy ppl >= 1 with
+    mean_log2_prob <= 0."""
+    import __spark_entry__ as entrymod
+
+    natural = "the quick brown fox jumps over the lazy dog"
+    words = natural.split()
+    scrambled = " ".join(words[::2] + words[1::2][::-1])
+    docs = [(i, natural, "en", "web", len(natural)) for i in range(20)]
+    docs.append((99, scrambled, "en", "web", len(scrambled)))
+    spark.createDataFrame(
+        docs, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+
+    q = entrymod.queries()["ts_bigram_lm_perplexity"]
+    rows = {r["doc_id"]: r for r in q(spark, str(tmp_path)).collect()}
+    assert len(rows) == 21
+    for r in rows.values():
+        assert r["perplexity"] >= 1.0
+        assert r["mean_log2_prob"] <= 0.0
+    scram = rows[99]["perplexity"]
+    nat = max(r["perplexity"] for d, r in rows.items() if d != 99)
+    assert scram > nat
