@@ -1124,3 +1124,162 @@ def sim_label_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("cos_centroid"),
         )
     )
+
+
+# ---------------------------------------- product quantization (PQ/ADC)
+
+#: PQ geometry: EMB_DIM=64 → PQ_M subspaces of PQ_SUB dims, PQ_K
+#: codewords per subspace ⇒ a vector compresses to PQ_M code bytes
+#: (16× vs float32, 4× vs SQ8). Codebooks are PINNED to the first
+#: PQ_K corpus vectors' subvectors (same convention as
+#: sim_ivf_topk_pinned) so the whole index is DuckDB-reproducible.
+PQ_M = 4
+PQ_SUB = 16  # EMB_DIM // PQ_M
+PQ_K = 16
+
+
+def _pq_pinned_oracle() -> str:
+    """DuckDB twin of :func:`sim_pq_topk_pinned`. Subspace s of vector
+    e is the 1-based slice [s*PQ_SUB+1 .. (s+1)*PQ_SUB]; encoding is
+    argmax of ``2·<x,c> − <c,c>`` (equivalent to argmin L2, constant
+    ||x||² dropped) with ties to the lower codeword id — every term is
+    a sequential 16-element dot product, bit-identical across engines."""
+    sub = f"""SELECT vec_id, s, e[s * {PQ_SUB} + 1 : (s + 1) * {PQ_SUB}] AS sv
+  FROM proj, LATERAL (SELECT unnest(generate_series(0, {PQ_M - 1})) AS s)"""
+    return f"""WITH proj AS (
+  SELECT vec_id, {_EMB_CAST} AS e FROM embeddings
+), subs AS ({sub}),
+codebook AS (
+  SELECT vec_id AS cw, s, sv AS cv, list_dot_product(sv, sv) AS cc
+  FROM subs WHERE vec_id < {PQ_K}
+), encoded AS (
+  SELECT vec_id, s, cw, cc FROM (
+    SELECT x.vec_id, x.s, c.cw, c.cc,
+           ROW_NUMBER() OVER (
+             PARTITION BY x.vec_id, x.s
+             ORDER BY 2 * list_dot_product(x.sv, c.cv) - c.cc DESC, c.cw ASC
+           ) AS rn
+    FROM subs x JOIN codebook c ON x.s = c.s
+  ) WHERE rn = 1
+), rec_norm AS (
+  SELECT vec_id, sqrt(SUM(cc)) AS rn FROM encoded GROUP BY vec_id
+), lut AS (
+  SELECT q.vec_id AS query_id, c.s, c.cw,
+         list_dot_product(q.sv, c.cv) AS pdot
+  FROM subs q JOIN codebook c ON q.s = c.s
+  WHERE q.vec_id < {N_QUERIES}
+), qn AS (
+  SELECT vec_id, sqrt(list_dot_product(e, e)) AS qn FROM proj
+  WHERE vec_id < {N_QUERIES}
+), adot AS (
+  SELECT l.query_id, x.vec_id AS corpus_id, SUM(l.pdot) AS ad
+  FROM encoded x JOIN lut l ON x.s = l.s AND x.cw = l.cw
+  WHERE x.vec_id <> l.query_id
+  GROUP BY l.query_id, x.vec_id
+)
+SELECT query_id, corpus_id, cosine_pq, rank FROM (
+  SELECT a.query_id, a.corpus_id,
+         ROUND(a.ad / (q.qn * r.rn), 6) AS cosine_pq,
+         CAST(ROW_NUMBER() OVER (
+           PARTITION BY a.query_id
+           ORDER BY ROUND(a.ad / (q.qn * r.rn), 6) DESC, a.corpus_id ASC
+         ) AS INTEGER) AS rank
+  FROM adot a
+  JOIN qn q ON a.query_id = q.vec_id
+  JOIN rec_norm r ON a.corpus_id = r.vec_id
+  WHERE q.qn > 0 AND r.rn > 0
+) WHERE rank <= {TOP_K}"""
+
+
+@register("sim_pq_topk_pinned", _pq_pinned_oracle())
+def sim_pq_topk_pinned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """**Product quantization** top-k with pinned codebooks and
+    asymmetric distance computation (ADC) — the third compression
+    point of the ANN family: float32 (brute force) → int8 (SQ8, 4×) →
+    PQ codes (PQ_M bytes/vector, 16×). Each vector is encoded as
+    ``PQ_M`` codeword ids (argmin L2 per subspace, via the
+    ``2·<x,c> − <c,c>`` identity so no ||x||² is materialized); a
+    query never decompresses the corpus — it builds a
+    ``PQ_M × PQ_K`` dot-product lookup table and the approximate
+    score is one SUM over code-addressed table entries. Approximate
+    cosine divides by the code-reconstructed norm ``√Σ_s ||c_s||²``.
+
+    Scale: the serving relation is (vec_id, s, code) — PQ_M small
+    ints per vector; the broadcast LUT is N_QUERIES·PQ_M·PQ_K doubles
+    regardless of corpus size. ADC scores every corpus vector (PQ
+    compresses, it does not prune) — compose with the IVF cell layout
+    for candidate pruning exactly as SQ8 composes in
+    ``sim_ivfsq8_topk_pinned``. Codebooks are pinned to the first
+    ``PQ_K`` corpus vectors (Lloyd-fitting them is the rows-only
+    variant's job); encoding, LUT, scores, and ranks are hash-verified
+    against DuckDB. Recall vs float brute force is pytest-bounded."""
+    emb = load_raw(spark, sf_dir, "embeddings")
+    proj = emb.select("vec_id", _as_double("embedding").alias("e"))
+    subs = proj.select(
+        "vec_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(s).alias("s"),
+                        F.slice("e", s * PQ_SUB + 1, PQ_SUB).alias("sv"),
+                    )
+                    for s in range(PQ_M)
+                ]
+            )
+        ).alias("x"),
+    ).select("vec_id", "x.s", "x.sv")
+    codebook = subs.filter(F.col("vec_id") < PQ_K).select(
+        F.col("vec_id").alias("cw"),
+        "s",
+        F.col("sv").alias("cv"),
+        _dot(F.col("sv"), F.col("sv")).alias("cc"),
+    )
+    from pyspark.sql import Window
+
+    enc_w = Window.partitionBy("vec_id", "s").orderBy(
+        F.desc(2 * _dot(F.col("sv"), F.col("cv")) - F.col("cc")), F.asc("cw")
+    )
+    encoded = (
+        subs.join(F.broadcast(codebook), "s")
+        .withColumn("rn", F.row_number().over(enc_w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "s", "cw", "cc")
+    )
+    rec_norm = encoded.groupBy("vec_id").agg(F.sqrt(F.sum("cc")).alias("rnm"))
+    lut = (
+        subs.filter(F.col("vec_id") < N_QUERIES)
+        .join(F.broadcast(codebook), "s")
+        .select(
+            F.col("vec_id").alias("query_id"),
+            "s",
+            "cw",
+            _dot(F.col("sv"), F.col("cv")).alias("pdot"),
+        )
+    )
+    qn = proj.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), _norm(F.col("e")).alias("qn")
+    )
+    adot = (
+        encoded.join(F.broadcast(lut), ["s", "cw"])
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .groupBy("query_id", F.col("vec_id").alias("corpus_id"))
+        .agg(F.sum("pdot").alias("ad"))
+    )
+    rank_w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine_pq"), F.asc("corpus_id")
+    )
+    return (
+        adot.join(F.broadcast(qn), "query_id")
+        .join(rec_norm, F.col("corpus_id") == rec_norm.vec_id)
+        .filter((F.col("qn") > 0) & (F.col("rnm") > 0))
+        .select(
+            "query_id",
+            "corpus_id",
+            F.round(F.col("ad") / (F.col("qn") * F.col("rnm")), 6).alias(
+                "cosine_pq"
+            ),
+        )
+        .withColumn("rank", F.row_number().over(rank_w))
+        .filter(F.col("rank") <= TOP_K)
+    )

@@ -582,3 +582,22 @@ def test_q22_anti_join_excludes_urgent_customers(queries, spark):
         .collect()
     }
     assert {r["c_nationkey"]: r["numcust"] for r in rows} == expect
+
+
+def test_pq_recall_vs_bruteforce(queries, spark):
+    """PQ/ADC with pinned (unfitted) 4×16 codebooks must keep
+    meaningful neighbor structure at 16× compression: top-K overlap
+    with the float32 brute force ≥ 10% averaged over queries — ~10×
+    the random-guess baseline of TOP_K/|corpus| ≈ 1% on this fixture
+    (measured ~20%; the bound is slack because unfitted codebooks on
+    near-random embeddings are PQ's worst case — SQ8 at only 4×
+    compression holds 60%)."""
+    exact: dict[int, set[int]] = {}
+    for r in queries["sim_bruteforce_topk"](spark, SF_DIR).collect():
+        exact.setdefault(r["query_id"], set()).add(r["corpus_id"])
+    approx: dict[int, set[int]] = {}
+    for r in queries["sim_pq_topk_pinned"](spark, SF_DIR).collect():
+        approx.setdefault(r["query_id"], set()).add(r["corpus_id"])
+    assert set(approx) == set(exact)
+    recalls = [len(exact[q] & approx[q]) / len(exact[q]) for q in exact]
+    assert sum(recalls) / len(recalls) >= 0.1, recalls
