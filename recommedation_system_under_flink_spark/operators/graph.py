@@ -366,3 +366,117 @@ def graph_ppr_recommend(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("news_id", "score")
     )
     return checkpoint_result(out, edges, deg)
+
+
+# ------------------------------------------------- HITS (hubs/authorities)
+
+#: Fixed HITS iteration count (pinned for oracle parity).
+HITS_ITERS = 3
+
+
+def _hits_oracle(iters: int = HITS_ITERS) -> str:
+    """DuckDB twin: fixed-iteration HITS unrolled as chained CTEs with
+    scalar-subquery L1 normalizations. All contributions are positive
+    (no cancellation), so double sums agree across engines to ~13
+    significant digits — same float-parity argument as PageRank."""
+    ctes = [
+        CLICKS_CTE,
+        "pairs AS (SELECT DISTINCT user_id, news_id FROM clicks)",
+        "h0 AS (SELECT DISTINCT user_id AS u, 1.0 AS s FROM pairs)",
+    ]
+    prev_h = "h0"
+    for i in range(1, iters + 1):
+        ctes.append(
+            f"""a{i}raw AS (
+  SELECT p.news_id AS n, SUM(h.s) AS s
+  FROM pairs p JOIN {prev_h} h ON p.user_id = h.u GROUP BY p.news_id
+)"""
+        )
+        ctes.append(
+            f"a{i} AS (SELECT n, s / (SELECT SUM(s) FROM a{i}raw) AS s FROM a{i}raw)"
+        )
+        ctes.append(
+            f"""h{i}raw AS (
+  SELECT p.user_id AS u, SUM(a.s) AS s
+  FROM pairs p JOIN a{i} a ON p.news_id = a.n GROUP BY p.user_id
+)"""
+        )
+        ctes.append(
+            f"h{i} AS (SELECT u, s / (SELECT SUM(s) FROM h{i}raw) AS s FROM h{i}raw)"
+        )
+        prev_h = f"h{i}"
+    return with_ctes(
+        f"""SELECT 'hub' AS kind, u AS id, s AS score FROM h{iters}
+UNION ALL
+SELECT 'auth' AS kind, n AS id, s AS score FROM a{iters}""",
+        *ctes,
+    )
+
+
+@register("graph_hits_clicks", _hits_oracle())
+def graph_hits_clicks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """**HITS** over the user→news click bipartite graph — users are
+    hubs (they point at news), news are authorities. ``HITS_ITERS``
+    fixed rounds of the mutual recurrence ``auth(n) = Σ_{u→n} hub(u)``,
+    ``hub(u) = Σ_{u→n} auth(n)``, L1-normalized after each half-step
+    (the normalization is what PageRank's damping does for free — HITS
+    diverges without it). Complements PageRank: PageRank mixes the two
+    roles through the symmetrized graph, HITS keeps them separate, so
+    a heavy READER (hub) and a heavily-READ article (authority) rank
+    on different axes.
+
+    Scale: each half-step is one edges⋈scores hash join + partition-
+    keyed aggregate (same shuffle shape as a PageRank round); the L1
+    sums are 1-row aggregates broadcast back (intentional scalar
+    cross — see scripts/audit_plans.py allowlist). Fixed K rounds →
+    bounded lineage; edges persist across rounds and are released via
+    checkpoint_result (operators/bsp.py)."""
+    from ..sources import clicks
+
+    pairs = (
+        clicks(spark, sf_dir).select("user_id", "news_id").distinct().persist()
+    )
+    if pairs.count() == 0:  # materializes pairs before the loop
+        pairs.unpersist()
+        return spark.createDataFrame([], "kind string, id long, score double")
+
+    hub = pairs.select(F.col("user_id").alias("u")).distinct().select(
+        "u", F.lit(1.0).alias("s")
+    )
+    auth = None
+    # Each round's raw table feeds BOTH its normalization sum and the
+    # next half-step — persist it, or the doubled reference re-derives
+    # the whole chain per use (2^rounds blowup). The L1 total comes
+    # back as a driver scalar (one tiny action per half-step against
+    # the cache, the BSP-convergence-check idiom) and re-enters the
+    # plan as a literal — a lit divide, not a broadcast-nested-loop
+    # cross per round. Caches release after the final materialization.
+    round_caches = []
+    for _ in range(HITS_ITERS):
+        a_raw = (
+            pairs.join(hub, pairs.user_id == hub.u)
+            .groupBy(F.col("news_id").alias("n"))
+            .agg(F.sum("s").alias("s"))
+            .persist()
+        )
+        a_tot = a_raw.agg(F.sum("s")).collect()[0][0]
+        auth = a_raw.select("n", (F.col("s") / F.lit(a_tot)).alias("s"))
+        h_raw = (
+            pairs.join(auth, pairs.news_id == auth.n)
+            .groupBy(F.col("user_id").alias("u"))
+            .agg(F.sum("s").alias("s"))
+            .persist()
+        )
+        h_tot = h_raw.agg(F.sum("s")).collect()[0][0]
+        hub = h_raw.select("u", (F.col("s") / F.lit(h_tot)).alias("s"))
+        round_caches += [a_raw, h_raw]
+    out = hub.select(
+        F.lit("hub").alias("kind"), F.col("u").alias("id"), F.col("s").alias("score")
+    ).unionAll(
+        auth.select(
+            F.lit("auth").alias("kind"),
+            F.col("n").alias("id"),
+            F.col("s").alias("score"),
+        )
+    )
+    return checkpoint_result(out, pairs, *round_caches)

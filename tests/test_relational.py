@@ -601,3 +601,27 @@ def test_pq_recall_vs_bruteforce(queries, spark):
     assert set(approx) == set(exact)
     recalls = [len(exact[q] & approx[q]) / len(exact[q]) for q in exact]
     assert sum(recalls) / len(recalls) >= 0.1, recalls
+
+
+def test_hits_normalized_and_bipartite(queries, spark):
+    """HITS output must be two L1-normalized distributions (hub scores
+    sum to 1, authority scores sum to 1), strictly positive, with hubs
+    drawn from user ids and authorities from news ids (the bipartite
+    roles never mix)."""
+    from pyspark.sql import functions as F
+
+    from recommedation_system_under_flink_spark.sources import clicks
+
+    rows = queries["graph_hits_clicks"](spark, SF_DIR).collect()
+    hubs = {r["id"]: r["score"] for r in rows if r["kind"] == "hub"}
+    auths = {r["id"]: r["score"] for r in rows if r["kind"] == "auth"}
+    assert hubs and auths
+    assert abs(sum(hubs.values()) - 1.0) < 1e-9
+    assert abs(sum(auths.values()) - 1.0) < 1e-9
+    assert all(v > 0 for v in hubs.values())
+    assert all(v > 0 for v in auths.values())
+    cl = clicks(spark, SF_DIR).select("user_id", "news_id").distinct()
+    users = {r["user_id"] for r in cl.select("user_id").distinct().collect()}
+    news = {r["news_id"] for r in cl.select("news_id").distinct().collect()}
+    assert set(hubs) == users
+    assert set(auths) == news
