@@ -1283,3 +1283,136 @@ def sim_pq_topk_pinned(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rank", F.row_number().over(rank_w))
         .filter(F.col("rank") <= TOP_K)
     )
+
+
+# ---------------------------- prefix-dimension two-stage (Matryoshka)
+
+#: Stage-1 geometry: score on the first MRL_PREFIX of EMB_DIM dims
+#: (MRL-style truncation), shortlist MRL_SHORTLIST candidates per
+#: query, exact full-dim rerank on the shortlist only.
+MRL_PREFIX = 16
+MRL_SHORTLIST = 50
+
+
+def _mrl_oracle() -> str:
+    """DuckDB twin of :func:`sim_mrl_prefix_rerank`: stage-1 ranks by
+    prefix-dim cosine (round-6 + id tiebreak, the engine-stable order),
+    stage-2 reranks the shortlist by full-dim cosine the same way."""
+    pref_cos = """list_dot_product(q.p, c.p)
+      / (sqrt(list_dot_product(q.p, q.p)) * sqrt(list_dot_product(c.p, c.p)))"""
+    full_cos = """list_dot_product(q.e, c.e)
+      / (sqrt(list_dot_product(q.e, q.e)) * sqrt(list_dot_product(c.e, c.e)))"""
+    return f"""WITH proj AS (
+  SELECT vec_id, {_EMB_CAST} AS e,
+         ({_EMB_CAST})[1 : {MRL_PREFIX}] AS p
+  FROM embeddings
+), shortlist AS (
+  SELECT query_id, corpus_id FROM (
+    SELECT q.vec_id AS query_id, c.vec_id AS corpus_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY q.vec_id
+             ORDER BY ROUND({pref_cos}, 6) DESC, c.vec_id ASC
+           ) AS prank
+    FROM proj q JOIN proj c ON c.vec_id <> q.vec_id
+    WHERE q.vec_id < {N_QUERIES}
+      AND list_dot_product(q.p, q.p) > 0 AND list_dot_product(c.p, c.p) > 0
+  ) WHERE prank <= {MRL_SHORTLIST}
+)
+SELECT query_id, corpus_id, cosine, rank FROM (
+  SELECT s.query_id, s.corpus_id,
+         ROUND({full_cos}, 6) AS cosine,
+         CAST(ROW_NUMBER() OVER (
+           PARTITION BY s.query_id
+           ORDER BY ROUND({full_cos}, 6) DESC, s.corpus_id ASC
+         ) AS INTEGER) AS rank
+  FROM shortlist s
+  JOIN proj q ON s.query_id = q.vec_id
+  JOIN proj c ON s.corpus_id = c.vec_id
+) WHERE rank <= {TOP_K}"""
+
+
+@register("sim_mrl_prefix_rerank", _mrl_oracle())
+def sim_mrl_prefix_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """**Two-stage prefix-dimension search** (Matryoshka-embedding
+    serving pattern): stage 1 scores every corpus vector on only the
+    first ``MRL_PREFIX``/``EMB_DIM`` dimensions (¼ of the bandwidth)
+    and shortlists ``MRL_SHORTLIST`` candidates per query; stage 2
+    recomputes EXACT full-dimension cosine on the shortlist only and
+    emits the top-k. With MRL-trained embeddings the prefix carries
+    most of the signal, so recall vs full brute force stays high while
+    the full vectors are touched for ``shortlist/|corpus|`` of the
+    data — the standard cheap-filter + exact-rerank funnel.
+
+    Scale: stage 1 is the bruteforce shape on a 4×-narrower column
+    (store the prefix as its own parquet column and the scan reads ¼
+    the bytes; column pruning does the rest); stage 2's shortlist join
+    is ``N_QUERIES·MRL_SHORTLIST`` rows against the full-width table —
+    a broadcast semi-join, negligible at any corpus size. Both stages
+    are deterministic (round-6 + id tiebreaks at BOTH ranking points,
+    so the shortlist SET itself is engine-identical), making the whole
+    funnel hash-verifiable; recall vs single-stage brute force is
+    pytest-bounded (on the near-random fixture the prefix is a genuine
+    lossy projection — the test pins the funnel's behavior, an
+    MRL-trained checkpoint is what makes prefix≈full in production)."""
+    emb = load_raw(spark, sf_dir, "embeddings")
+    proj = emb.select(
+        "vec_id",
+        _as_double("embedding").alias("e"),
+        F.slice(_as_double("embedding"), 1, MRL_PREFIX).alias("p"),
+    )
+    corpus = proj.select(
+        F.col("vec_id").alias("corpus_id"),
+        F.col("e").alias("c_e"),
+        F.col("p").alias("c_p"),
+    ).withColumn("c_pn", _norm(F.col("c_p")))
+    queries = (
+        proj.filter(F.col("vec_id") < N_QUERIES)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("e").alias("q_e"),
+            F.col("p").alias("q_p"),
+        )
+        .withColumn("q_pn", _norm(F.col("q_p")))
+    )
+    from pyspark.sql import Window
+
+    pw = Window.partitionBy("query_id").orderBy(
+        F.desc(F.round("pref_cos", 6)), F.asc("corpus_id")
+    )
+    shortlist = (
+        corpus.filter(F.col("c_pn") > 0)
+        .crossJoin(F.broadcast(queries.filter(F.col("q_pn") > 0)))
+        .filter(F.col("corpus_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "corpus_id",
+            (
+                _dot(F.col("q_p"), F.col("c_p")) / (F.col("q_pn") * F.col("c_pn"))
+            ).alias("pref_cos"),
+        )
+        .withColumn("prank", F.row_number().over(pw))
+        .filter(F.col("prank") <= MRL_SHORTLIST)
+        .select("query_id", "corpus_id")
+    )
+    q_full = proj.select(
+        F.col("vec_id").alias("query_id"), F.col("e").alias("q_e")
+    ).withColumn("q_n", _norm(F.col("q_e")))
+    c_full = proj.select(
+        F.col("vec_id").alias("corpus_id"), F.col("e").alias("c_e")
+    ).withColumn("c_n", _norm(F.col("c_e")))
+    rw = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("corpus_id")
+    )
+    return (
+        shortlist.join(F.broadcast(q_full), "query_id")
+        .join(c_full, "corpus_id")
+        .select(
+            "query_id",
+            "corpus_id",
+            F.round(
+                _dot(F.col("q_e"), F.col("c_e")) / (F.col("q_n") * F.col("c_n")), 6
+            ).alias("cosine"),
+        )
+        .withColumn("rank", F.row_number().over(rw))
+        .filter(F.col("rank") <= TOP_K)
+    )

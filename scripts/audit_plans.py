@@ -70,6 +70,7 @@ EXPECTED_CARTESIAN = {
     # brute-force baselines: query set / block pairs broadcast by design
     "sim_bruteforce_topk": "broadcast query set vs corpus (baseline)",
     "sim_sq8_topk": "broadcast query set vs int8 corpus (same shape)",
+    "sim_mrl_prefix_rerank": "broadcast query set vs prefix corpus (stage 1)",
     "sim_neardup_pairs_exact": "block-pair id<= range join (blocked GEMM)",
     "sim_neardup_components": "inherits the blocked-GEMM edge builder",
     "als_recommendations": "user×item factor cross for top-k (bounded dims)",

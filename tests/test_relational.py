@@ -625,3 +625,31 @@ def test_hits_normalized_and_bipartite(queries, spark):
     news = {r["news_id"] for r in cl.select("news_id").distinct().collect()}
     assert set(hubs) == users
     assert set(auths) == news
+
+
+def test_mrl_rerank_recall_and_rerank_exactness(queries, spark):
+    """The prefix-filter funnel must (a) rerank with EXACT full-dim
+    cosine — every returned (query, corpus) pair's cosine equals the
+    brute-force value for that pair; (b) keep recall vs brute force
+    above the shortlist's hypergeometric floor (shortlist=50 of ~N
+    corpus on a lossy ¼-dim prefix still beats random selection)."""
+    brute = {
+        (r["query_id"], r["corpus_id"]): r["cosine"]
+        for r in queries["sim_bruteforce_topk"](spark, SF_DIR).collect()
+    }
+    exact_sets: dict[int, set[int]] = {}
+    for q, c in brute:
+        exact_sets.setdefault(q, set()).add(c)
+    got = queries["sim_mrl_prefix_rerank"](spark, SF_DIR).collect()
+    approx_sets: dict[int, set[int]] = {}
+    for r in got:
+        approx_sets.setdefault(r["query_id"], set()).add(r["corpus_id"])
+        key = (r["query_id"], r["corpus_id"])
+        if key in brute:
+            assert abs(r["cosine"] - brute[key]) <= 2e-6, key
+    assert set(approx_sets) == set(exact_sets)
+    recalls = [
+        len(exact_sets[q] & approx_sets[q]) / len(exact_sets[q])
+        for q in exact_sets
+    ]
+    assert sum(recalls) / len(recalls) >= 0.2, recalls
