@@ -184,3 +184,88 @@ def llm_curation_fused(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("doc_id", "lang_guess", "quality", "split")
     )
+
+
+_FUNNEL_ORACLE = f"""WITH lang AS (
+{_LANG_SQL}
+), qual AS (
+{_QUAL_SQL}
+), canon AS (
+  SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY text
+), flags AS (
+  SELECT d.doc_id,
+         CASE WHEN c.doc_id IS NOT NULL THEN 1 ELSE 0 END AS f_canon,
+         CASE WHEN l.lang_guess = '{KEEP_LANG}' THEN 1 ELSE 0 END AS f_lang,
+         CASE WHEN q.quality >= {QUALITY_MIN} THEN 1 ELSE 0 END AS f_qual
+  FROM documents d
+  LEFT JOIN canon c ON d.doc_id = c.doc_id
+  JOIN lang l ON d.doc_id = l.doc_id
+  JOIN qual q ON d.doc_id = q.doc_id
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS total,
+       CAST(SUM(f_canon) AS BIGINT) AS pass_canonical,
+       CAST(SUM(f_lang) AS BIGINT) AS pass_language,
+       CAST(SUM(f_qual) AS BIGINT) AS pass_quality,
+       CAST(SUM(f_canon * f_lang) AS BIGINT) AS surv_canon_lang,
+       CAST(SUM(f_canon * f_lang * f_qual) AS BIGINT) AS surv_all,
+       ROUND(CAST(SUM(f_canon * f_lang * f_qual) AS DOUBLE) / COUNT(*), 6)
+         AS survival_rate
+FROM flags"""
+
+
+@register("llm_curation_funnel_report", _FUNNEL_ORACLE)
+def llm_curation_funnel_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """**Curation funnel observability**: for the same gates as
+    :func:`llm_curation_pipeline`, the per-gate standalone pass counts
+    and the cumulative survivor counts in gate order (canonical →
+    language → quality), plus the end-to-end survival rate — the
+    one-row report a 100 TB curation run ships to its dashboard so a
+    mis-tuned gate (survival collapsing at one stage) is visible
+    without diffing corpora. Component semantics are verbatim the
+    verified stage oracles, so the report can never drift from the
+    pipeline it describes.
+
+    Plan: per-doc boolean flags assembled with one canonical left
+    join + two doc_id-co-partitioned joins, then a single conditional
+    aggregate — integer counts only, exactly one row out."""
+    docs = load_raw(spark, sf_dir, "documents")
+    canonical = (
+        docs.select("doc_id", F.sha2(F.col("text"), 256).alias("content_hash"))
+        .groupBy("content_hash")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id", F.lit(1).alias("f_canon"))
+    )
+    lang = ts_lang_id(spark, sf_dir).select(
+        "doc_id", (F.col("lang_guess") == KEEP_LANG).cast("int").alias("f_lang")
+    )
+    qual = ts_quality_score(spark, sf_dir).select(
+        "doc_id", (F.col("quality") >= QUALITY_MIN).cast("int").alias("f_qual")
+    )
+    flags = (
+        docs.select("doc_id")
+        .join(canonical, "doc_id", "left")
+        .join(lang, "doc_id")
+        .join(qual, "doc_id")
+        .select(
+            F.coalesce("f_canon", F.lit(0)).alias("f_canon"), "f_lang", "f_qual"
+        )
+    )
+    return flags.agg(
+        F.count("*").cast("long").alias("total"),
+        F.sum("f_canon").cast("long").alias("pass_canonical"),
+        F.sum("f_lang").cast("long").alias("pass_language"),
+        F.sum("f_qual").cast("long").alias("pass_quality"),
+        F.sum(F.col("f_canon") * F.col("f_lang")).cast("long").alias(
+            "surv_canon_lang"
+        ),
+        F.sum(F.col("f_canon") * F.col("f_lang") * F.col("f_qual"))
+        .cast("long")
+        .alias("surv_all"),
+        F.round(
+            F.sum(F.col("f_canon") * F.col("f_lang") * F.col("f_qual")).cast(
+                "double"
+            )
+            / F.count("*"),
+            6,
+        ).alias("survival_rate"),
+    )

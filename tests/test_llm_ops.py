@@ -345,3 +345,18 @@ def test_bigram_lm_scores_order_not_just_vocabulary(spark, tmp_path):
     scram = rows[99]["perplexity"]
     nat = max(r["perplexity"] for d, r in rows.items() if d != 99)
     assert scram > nat
+
+
+def test_curation_funnel_consistent_with_pipeline(queries, spark):
+    """The funnel report's surv_all must equal the curated pipeline's
+    row count, and the funnel must be monotone: total >= each
+    standalone gate count >= the cumulative survivors."""
+    from conftest import SF_DIR
+
+    rep = queries["llm_curation_funnel_report"](spark, SF_DIR).collect()[0]
+    pipe_rows = queries["llm_curation_pipeline"](spark, SF_DIR).count()
+    assert rep["surv_all"] == pipe_rows
+    assert rep["total"] >= rep["pass_canonical"] >= rep["surv_canon_lang"]
+    assert rep["total"] >= rep["pass_language"] >= rep["surv_canon_lang"]
+    assert rep["surv_canon_lang"] >= rep["surv_all"]
+    assert 0.0 <= rep["survival_rate"] <= 1.0
