@@ -147,3 +147,64 @@ def test_stream_interval_join_equals_batch_join(queries, spark):
         .collect()
     }
     assert streamed == batch
+
+
+def test_watermark_drops_late_data(spark, tmp_path):
+    """Watermark semantics pinned end-to-end: an event arriving after
+    the watermark has passed its window must be DROPPED by an
+    append-mode windowed aggregate — the property that bounds state at
+    100 TB (without it every window stays open forever). Three
+    deterministic one-file micro-batches: (1) on-time day-1 events,
+    (2) a day-4 marker that advances the watermark past day 1's
+    window, closing and emitting it, (3) a late day-1 event, which
+    must not re-open or change the emitted window."""
+    src = tmp_path / "src"
+    src.mkdir()
+    schema = "ts timestamp, user_id long"
+
+    def write_batch(name, rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(src / name))
+
+    import datetime as dt
+
+    d = lambda day, h=0: dt.datetime(2024, 1, day, h)  # noqa: E731
+    write_batch("b1", [(d(1, 1), 1), (d(1, 2), 2), (d(1, 3), 3)])
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src) + "/*")
+        .withWatermark("ts", "1 day")
+        .groupBy(F.window("ts", "1 day").alias("w"))
+        .agg(F.count("*").alias("n"))
+        .select(F.col("w.start").cast("date").alias("day"), "n")
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("late_data_probe")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # watermark is still at batch-1's max - 1d → nothing emitted yet
+        write_batch("b2", [(d(4), 99)])
+        q.processAllAvailable()
+        emitted = {
+            r["day"]: r["n"]
+            for r in spark.sql("SELECT * FROM late_data_probe").collect()
+        }
+        assert emitted.get(dt.date(2024, 1, 1)) == 3  # window closed with 3
+        # a day-1 event now arrives AFTER the watermark passed its window
+        write_batch("b3", [(d(1, 5), 4)])
+        q.processAllAvailable()
+        final = {
+            r["day"]: r["n"]
+            for r in spark.sql("SELECT * FROM late_data_probe").collect()
+        }
+        assert final.get(dt.date(2024, 1, 1)) == 3  # late row dropped
+        assert len([d_ for d_ in final if d_ == dt.date(2024, 1, 1)]) == 1
+    finally:
+        q.stop()
