@@ -480,3 +480,43 @@ def graph_hits_clicks(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return checkpoint_result(out, pairs, *round_caches)
+
+
+@register("graph_bfs_recursive", _bfs_oracle())
+def graph_bfs_recursive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """:func:`graph_bfs_hops` expressed as a **native recursive CTE**
+    (``WITH RECURSIVE``, Spark 4+) instead of a driver-side BSP loop —
+    same seed, horizon, and output, same DuckDB oracle (the two forms
+    are cross-validated by sharing it, the j3 naive/indexed pattern).
+
+    Spark's recursion requires UNION ALL, which on a cyclic graph
+    would enumerate *paths*; the ``SELECT DISTINCT`` in the recursive
+    term restores per-level frontier dedup (verified supported), so
+    each iteration's working set is bounded by |nodes| — the same
+    asymptotics as the BSP loop. What the native form trades away is
+    the loop-body control the BSP form uses at 100 TB: no per-level
+    persist/localCheckpoint cadence, no early exit on an empty
+    frontier (the engine iterates to the WHERE bound), and the edge
+    list is re-derived per step rather than pinned in cache — so the
+    BSP form stays the scale path and this one documents the engine-
+    native alternative."""
+    from ..sources import clicks
+
+    clicks(spark, sf_dir).select("user_id", "news_id").distinct(
+    ).createOrReplaceTempView("bfs_pairs_v")
+    return spark.sql(
+        f"""WITH RECURSIVE edges AS (
+  SELECT user_id * 2 AS src, news_id * 2 + 1 AS dst FROM bfs_pairs_v
+  UNION ALL
+  SELECT news_id * 2 + 1, user_id * 2 FROM bfs_pairs_v
+),
+walk(node, dist) AS (
+  SELECT (SELECT MIN(news_id) * 2 + 1 FROM bfs_pairs_v) AS node, 0 AS dist
+  UNION ALL
+  SELECT DISTINCT e.dst, w.dist + 1
+  FROM walk w JOIN edges e ON e.src = w.node
+  WHERE w.dist < {BFS_MAX_HOPS}
+)
+SELECT node, CAST(MIN(dist) AS INT) AS dist
+FROM walk WHERE node IS NOT NULL GROUP BY node"""
+    )

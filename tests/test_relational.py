@@ -653,3 +653,13 @@ def test_mrl_rerank_recall_and_rerank_exactness(queries, spark):
         for q in exact_sets
     ]
     assert sum(recalls) / len(recalls) >= 0.2, recalls
+
+
+def test_bfs_recursive_equals_bsp(queries, spark):
+    """The native WITH RECURSIVE BFS and the BSP frontier loop must
+    return identical (node, dist) sets — two independent iteration
+    mechanisms over the same graph semantics."""
+    bsp = {(r["node"], r["dist"]) for r in queries["graph_bfs_hops"](spark, SF_DIR).collect()}
+    rec = {(r["node"], r["dist"]) for r in queries["graph_bfs_recursive"](spark, SF_DIR).collect()}
+    assert bsp == rec
+    assert bsp
