@@ -56,6 +56,15 @@ HEADLINE = (
     "textrank_pipeline_distributed",
     "cf_user_recommendations",
     "graph_ppr_recommend",
+    # round-3 additions (totals before/after this line are not
+    # comparable across rounds; per-query deltas are)
+    "ts_bigram_lm_perplexity",
+    "sim_pq_topk_pinned",
+    "sim_mrl_prefix_rerank",
+    "graph_hits_clicks",
+    "graph_bfs_recursive",
+    "llm_curation_funnel_report",
+    "rel_q13_customer_distribution",
 )
 
 

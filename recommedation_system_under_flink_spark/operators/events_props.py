@@ -610,3 +610,32 @@ def ev_weekday_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_days"),
         F.round(F.avg("n"), 6).alias("avg_events"),
     )
+
+
+@register(
+    "ev_props_variant",
+    """SELECT event_id, event_type,
+       CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+FROM events""",
+)
+def ev_props_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """:func:`ev_props_parse` through Spark 4's **VARIANT** type:
+    ``try_parse_json`` decodes the payload once into the binary
+    variant encoding, ``variant_get`` extracts typed paths from it.
+    Same verified semantics as the from_json form (shared oracle
+    shape; malformed/absent → NULL via the try_ variant), so the two
+    parse paths are hash-cross-validated.
+
+    Why it exists: ``from_json`` needs the full schema up front and
+    re-parses the string per extracted field; VARIANT parses once and
+    serves any number of ``variant_get`` paths from the binary form —
+    the right call when the payload is wide, evolving, or shredded to
+    parquet. The fixture payload is one key, so this is the wired-in
+    mechanics (schema, null-safety, typed extraction) rather than the
+    payoff."""
+    ev = events_raw(spark, sf_dir)
+    return ev.select(
+        "event_id",
+        "event_type",
+        F.try_variant_get(F.try_parse_json("props"), "$.k", "long").alias("k"),
+    )
