@@ -382,3 +382,57 @@ def a14_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("ltv_per_user"),
         )
     )
+
+
+# ------------------------------------------- RANGE-interval frame
+
+@register(
+    "a15_trailing_range_window",
+    with_ctes(
+        """SELECT news_id, date, n_clicks,
+       CAST(SUM(n_clicks) OVER (PARTITION BY news_id ORDER BY date
+            RANGE BETWEEN INTERVAL 6 DAY PRECEDING AND CURRENT ROW)
+         AS BIGINT) AS sum_7d_range,
+       CAST(SUM(n_clicks) OVER (PARTITION BY news_id ORDER BY date
+            ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+         AS BIGINT) AS sum_7d_rows
+FROM (SELECT news_id, date, CAST(COUNT(*) AS BIGINT) AS n_clicks
+      FROM clicks GROUP BY news_id, date)""",
+        CLICKS_CTE,
+    ),
+)
+def a15_trailing_range_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 7-day click sum per news item with a **RANGE (value)
+    frame** — and the ROWS-frame value alongside for contrast. On a
+    per-item daily series, days with zero clicks are MISSING ROWS, so
+    ``ROWS 6 PRECEDING`` silently reaches back past the calendar
+    window while the RANGE frame bounds the window by the date VALUE
+    (gap-correct). a9 uses ROWS safely because the global daily series
+    is dense; this is the form that stays correct when it isn't —
+    emitting both columns makes the divergence a queryable fact
+    (pytest pins rows ≥ range with strict inequality somewhere).
+
+    Plan: map-side-combinable (news, date) count, then one window sort
+    per news partition — O(item-days) rows through the shuffle, well
+    distributed by news_id at any scale. Spark's RANGE frame needs a
+    numeric order key: days-since-epoch via ``datediff``, an exact
+    integer mirror of DuckDB's ``INTERVAL 6 DAY`` bound."""
+    from pyspark.sql import Window
+
+    daily = (
+        clicks(spark, sf_dir)
+        .groupBy("news_id", "date")
+        .agg(F.count("*").cast("long").alias("n_clicks"))
+        .withColumn("day_num", F.datediff("date", F.lit(dt.date(1970, 1, 1))))
+    )
+    w_range = (
+        Window.partitionBy("news_id").orderBy("day_num").rangeBetween(-6, 0)
+    )
+    w_rows = Window.partitionBy("news_id").orderBy("day_num").rowsBetween(-6, 0)
+    return daily.select(
+        "news_id",
+        "date",
+        "n_clicks",
+        F.sum("n_clicks").over(w_range).cast("long").alias("sum_7d_range"),
+        F.sum("n_clicks").over(w_rows).cast("long").alias("sum_7d_rows"),
+    )

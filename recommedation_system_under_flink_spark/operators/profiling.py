@@ -170,3 +170,58 @@ def prof_embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.max("nrm"), 6).alias("norm_max"),
         F.round(F.avg("nrm"), 6).alias("norm_avg"),
     )
+
+
+@register(
+    "prof_null_semantics",
+    """WITH k AS (
+  SELECT CASE WHEN CAST(json_extract_string(props, '$.k') AS BIGINT) % 2 = 1
+              THEN CAST(json_extract_string(props, '$.k') AS BIGINT) END AS k_odd,
+         value
+  FROM events
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS total,
+       CAST(COUNT(k_odd) AS BIGINT) AS nonnull_k,
+       CAST(COUNT(DISTINCT k_odd) AS BIGINT) AS distinct_k,
+       CAST(COUNT(*) FILTER (WHERE k_odd IS NULL) AS BIGINT) AS null_rows,
+       CAST(SUM(k_odd) AS BIGINT) AS sum_skips_nulls,
+       CAST(MIN(CASE WHEN k_odd = -1 THEN k_odd END) AS BIGINT)
+         AS min_over_empty,
+       CAST(COUNT(*) FILTER (WHERE k_odd IS NOT DISTINCT FROM NULL)
+            AS BIGINT) AS nullsafe_null_matches
+FROM k""",
+)
+def prof_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """**Three-valued-logic determinism probe**: one row pinning the
+    NULL behaviors every oracle in this repo silently relies on, as
+    hash-compared facts — COUNT(col) skips NULLs while COUNT(*) does
+    not, DISTINCT collapses the NULL class, aggregate SUM/MIN ignore
+    NULLs, an aggregate over an empty set is NULL (not 0), and
+    null-safe equality (``IS NOT DISTINCT FROM`` / ``<=>``) treats
+    NULL as a matchable value where ``=`` yields UNKNOWN. The fixture
+    has no stored NULLs, so the probe derives them with CASE — the
+    engine semantics exercised are identical. If either engine ever
+    changed a default (or a reader maps absent to a default instead of
+    NULL), this row hash-flips before some subtle downstream oracle
+    does."""
+    from ..sources import events_raw
+
+    ev = events_raw(spark, sf_dir)
+    k = F.from_json("props", "k INT").getField("k").cast("long")
+    k_odd = F.when(k % 2 == 1, k)
+    base = ev.select(k_odd.alias("k_odd"))
+    return base.agg(
+        F.count("*").cast("long").alias("total"),
+        F.count("k_odd").cast("long").alias("nonnull_k"),
+        F.countDistinct("k_odd").cast("long").alias("distinct_k"),
+        F.count(F.when(F.col("k_odd").isNull(), 1)).cast("long").alias(
+            "null_rows"
+        ),
+        F.sum("k_odd").cast("long").alias("sum_skips_nulls"),
+        F.min(F.when(F.col("k_odd") == -1, F.col("k_odd")))
+        .cast("long")
+        .alias("min_over_empty"),
+        F.count(F.when(F.col("k_odd").eqNullSafe(F.lit(None).cast("long")), 1))
+        .cast("long")
+        .alias("nullsafe_null_matches"),
+    )

@@ -381,3 +381,15 @@ def test_snapshot_diff_classification(queries, spark):
             assert r["change"] == "changed"
             assert r["old_value"] is not None and r["new_value"] is not None
             assert r["old_value"] != r["new_value"]
+
+
+def test_range_frame_is_gap_correct(queries, spark):
+    """The RANGE frame must never exceed the ROWS frame (it can only
+    see a subset of the 7 physical predecessors), and on this fixture's
+    sparse per-item series the two must actually diverge somewhere —
+    otherwise the query isn't demonstrating anything."""
+    rows = queries["a15_trailing_range_window"](spark, SF_DIR).collect()
+    assert rows
+    assert all(r["sum_7d_range"] <= r["sum_7d_rows"] for r in rows)
+    assert any(r["sum_7d_range"] < r["sum_7d_rows"] for r in rows)
+    assert all(r["sum_7d_range"] >= r["n_clicks"] for r in rows)
