@@ -436,3 +436,76 @@ def a15_trailing_range_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_clicks").over(w_range).cast("long").alias("sum_7d_range"),
         F.sum("n_clicks").over(w_rows).cast("long").alias("sum_7d_rows"),
     )
+
+
+# ------------------------------------------------- grouping sets
+
+@register(
+    "a16_grouping_sets",
+    """SELECT event_type, date, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(GROUPING(event_type) * 2 + GROUPING(date) AS BIGINT) AS gid
+FROM (SELECT event_type, CAST(ts AS DATE) AS date FROM events)
+GROUP BY GROUPING SETS ((event_type), (date))""",
+)
+def a16_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """**Arbitrary GROUPING SETS** — per-type totals and per-day totals
+    in ONE scan + ONE Expand + aggregate, without the (type, date)
+    cross detail rows rollup/cube would force. The report shape for
+    "two independent marginals of the same fact scan"; ``grouping_id``
+    disambiguates which marginal a NULL key belongs to (a real NULL
+    key and a rolled-up one are indistinguishable otherwise)."""
+    from ..sources.tables import ts_date
+
+    ev = events_raw(spark, sf_dir).select(
+        "event_type", ts_date("ts").alias("date")
+    )
+    return ev.groupingSets(
+        [["event_type"], ["date"]], "event_type", "date"
+    ).agg(
+        F.count("*").cast("long").alias("n"),
+        F.grouping_id().cast("long").alias("gid"),
+    )
+
+
+# ------------------------------------------------- set operators
+
+@register(
+    "a17_set_operations",
+    """WITH half1 AS (
+  SELECT DISTINCT user_id FROM events
+  WHERE event_type = 'click' AND CAST(json_extract_string(props, '$.k') AS BIGINT) % 2 = 0
+), half2 AS (
+  SELECT DISTINCT user_id FROM events
+  WHERE event_type = 'click' AND CAST(json_extract_string(props, '$.k') AS BIGINT) % 3 = 0
+)
+SELECT CAST((SELECT COUNT(*) FROM (SELECT user_id FROM half1 INTERSECT SELECT user_id FROM half2)) AS BIGINT) AS n_both,
+       CAST((SELECT COUNT(*) FROM (SELECT user_id FROM half1 EXCEPT SELECT user_id FROM half2)) AS BIGINT) AS n_only_1,
+       CAST((SELECT COUNT(*) FROM (SELECT user_id FROM half2 EXCEPT SELECT user_id FROM half1)) AS BIGINT) AS n_only_2,
+       CAST((SELECT COUNT(*) FROM (SELECT user_id FROM half1 UNION SELECT user_id FROM half2)) AS BIGINT) AS n_either""",
+)
+def a17_set_operations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """**Set operators** (SURVEY §2.6 records the reference has none —
+    this pins Spark's, since a migrating user gets them for free):
+    INTERSECT / EXCEPT / UNION DISTINCT audience arithmetic between two
+    clicker cohorts, verified against each other by the inclusion-
+    exclusion row (|∩| + |A\\B| + |B\\A| = |∪|, pytest). Spark plans
+    INTERSECT/EXCEPT as left-semi/left-anti aggregates — same shuffle
+    shape as the J1 semi-join, distributed on user_id at any scale."""
+    from ..sources import events_raw
+
+    ev = events_raw(spark, sf_dir)
+    k = F.from_json("props", "k INT").getField("k").cast("long")
+    base = ev.filter(F.col("event_type") == "click").select(
+        "user_id", k.alias("k")
+    )
+    h1 = base.filter(F.col("k") % 2 == 0).select("user_id").distinct()
+    h2 = base.filter(F.col("k") % 3 == 0).select("user_id").distinct()
+    counts = [
+        h1.intersect(h2).count(),
+        h1.exceptAll(h2).distinct().count(),
+        h2.exceptAll(h1).distinct().count(),
+        h1.union(h2).distinct().count(),
+    ]
+    return spark.createDataFrame(
+        [tuple(counts)], "n_both long, n_only_1 long, n_only_2 long, n_either long"
+    )

@@ -393,3 +393,11 @@ def test_range_frame_is_gap_correct(queries, spark):
     assert all(r["sum_7d_range"] <= r["sum_7d_rows"] for r in rows)
     assert any(r["sum_7d_range"] < r["sum_7d_rows"] for r in rows)
     assert all(r["sum_7d_range"] >= r["n_clicks"] for r in rows)
+
+
+def test_set_operations_inclusion_exclusion(queries, spark):
+    """INTERSECT/EXCEPT/UNION must satisfy inclusion-exclusion:
+    |A∩B| + |A\\B| + |B\\A| = |A∪B|."""
+    r = queries["a17_set_operations"](spark, SF_DIR).collect()[0]
+    assert r["n_both"] + r["n_only_1"] + r["n_only_2"] == r["n_either"]
+    assert r["n_either"] > 0
