@@ -1052,3 +1052,59 @@ def s18_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
             change.alias("change"),
         )
     )
+
+
+
+
+def _s19_oracle() -> str:
+    from .textstats import _TOKENS_SQL
+
+    return (
+        "SELECT term, CAST(COUNT(*) AS BIGINT) AS n_occurrences,\n"
+        "       CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs\n"
+        f"FROM (SELECT doc_id, unnest({_TOKENS_SQL}) AS term FROM documents)\n"
+        "GROUP BY term"
+    )
+
+
+_S19_ORACLE = _s19_oracle()
+
+
+@register(
+    "s19_token_table_reuse",
+    _S19_ORACLE,
+)
+def s19_token_table_reuse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """**Materialized token table** — the tokenize-once/serve-many
+    storage pattern SCALE.md prescribes for the text-analysis family
+    at 100 TB: the (doc_id, term) stream is written to parquet ONCE
+    (a real storage boundary, like s16's state), and downstream
+    consumers read the stored relation instead of re-running
+    tokenization per query (the registered textstats queries
+    re-tokenize per reference for plan purity at fixture scale; five
+    of them re-derive the same explode). The query computes corpus
+    term frequencies FROM THE STORED TABLE; the oracle computes them
+    inline from ``documents`` — hash equality proves the materialized
+    path is semantically invisible.
+
+    Scale: the token table is written partitioned-by-nothing here
+    (one fixture file); in production it lands bucketed by term (the
+    join key of every consumer — TF-IDF, LM scoring, drift), making
+    the downstream token-keyed joins shuffle-free (s8's bucketing
+    pattern applied to text)."""
+    from .textstats import _tokens
+
+    tok_dir = os.path.join(tempfile.gettempdir(), "spark_graft_s19_tokens")
+    docs = load_raw(spark, sf_dir, "documents")
+    tokens = docs.select(
+        "doc_id", F.explode(_tokens(F.col("text"))).alias("term")
+    )
+    tokens.write.mode("overwrite").parquet(tok_dir)
+    stored = spark.read.parquet(tok_dir)
+    return (
+        stored.groupBy("term")
+        .agg(
+            F.count("*").cast("long").alias("n_occurrences"),
+            F.countDistinct("doc_id").cast("long").alias("n_docs"),
+        )
+    )
