@@ -2,17 +2,17 @@
 
 The reference engine is a recommender, but a user migrating to this
 engine gets a full SQL analytics surface for free — Spark's native
-DataFrame/Catalyst path. This module pins that claim down with fifteen
+DataFrame/Catalyst path. This module pins that claim down with sixteen
 classic warehouse query shapes (TPC-H-derived Q1/Q2/Q3/Q4/Q5/Q6/Q7/
-Q10/Q13/Q14/Q15/Q17/Q18/Q19/Q22, adapted to the fixture schema) over
+Q8/Q10/Q13/Q14/Q15/Q17/Q18/Q19/Q22, adapted to the fixture schema) over
 the seven relational fixture tables that the recommender surface never
 touches: scan+aggregate, selective-scan revenue, 3-way join + top-N,
 6-way star join, semi-join EXISTS, returned-items ranking, a
 conditional-share single-row aggregate, a two-role dimension join, a
 decorrelated min-subquery, a HAVING large-order filter, a left-outer
 count distribution, a MAX-equality aggregate view, a decorrelated
-per-group AVG boundary, a disjunctive-pushdown sum, and a
-global-average anti-join.
+per-group AVG boundary, a disjunctive-pushdown sum, a global-average
+anti-join, and a per-year market-share ratio.
 
 Cross-engine determinism (the whole point of the implementation):
 
@@ -739,5 +739,99 @@ def rel_q22_inactive_rich_customers(spark: SparkSession, sf_dir: str) -> DataFra
             F.expr(
                 "CAST(ROUND(SUM(CAST(c_acctbal AS DECIMAL(18,4))), 2) AS DOUBLE)"
             ).alias("totacctbal"),
+        )
+    )
+
+
+@register(
+    "rel_q8_market_share",
+    f"""WITH all_nations AS (
+  SELECT EXTRACT(year FROM o_orderdate) AS o_year,
+         {REVENUE} AS volume,
+         s_nationkey
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation n1 ON c_nationkey = n1.n_nationkey
+  JOIN region ON n1.n_regionkey = r_regionkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN part ON l_partkey = p_partkey
+  WHERE r_name = 'ASIA' AND p_type = 'PROMO'
+    AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+)
+SELECT CAST(o_year AS BIGINT) AS o_year,
+       CAST(ROUND(SUM(CASE WHEN s_nationkey = 8 THEN volume
+                           ELSE CAST(0 AS DECIMAL(18,6)) END), 2) AS DOUBLE)
+         AS nation_volume,
+       {_dsum("volume")} AS total_volume,
+       ROUND(CAST(ROUND(SUM(CASE WHEN s_nationkey = 8 THEN volume
+                                 ELSE CAST(0 AS DECIMAL(18,6)) END), 6)
+                  AS DOUBLE)
+             / CAST(ROUND(SUM(volume), 6) AS DOUBLE), 6) AS mkt_share
+FROM all_nations
+GROUP BY o_year""",
+)
+def rel_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: **market share within group** — nation 8's
+    share of PROMO-part revenue sold into ASIA, by order year. The
+    numerator and denominator are both exact-DECIMAL sums over the
+    same joined relation (one star join, one aggregate — no
+    self-join); the share divides the two after a 6-dp decimal
+    quantization on each, so the single double division sees identical
+    operands in both engines. Six-way star: region→nation, customer,
+    supplier, part all broadcast; orders⋈lineitem is the one shuffle
+    join, with the date range pushed to the orders scan and the type
+    filter pushed to part."""
+    nation = load_raw(spark, sf_dir, "nation")
+    region = load_raw(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    asia_cust = (
+        load_raw(spark, sf_dir, "customer")
+        .join(
+            F.broadcast(
+                nation.join(
+                    F.broadcast(region),
+                    F.col("n_regionkey") == F.col("r_regionkey"),
+                ).select("n_nationkey")
+            ),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .select("c_custkey")
+    )
+    orders = load_raw(spark, sf_dir, "orders")
+    orders = orders.filter(
+        (F.col("o_orderdate") >= _dt_lit(orders, "o_orderdate", "1996-01-01"))
+        & (F.col("o_orderdate") < _dt_lit(orders, "o_orderdate", "1998-01-01"))
+    ).select("o_orderkey", "o_custkey", F.year("o_orderdate").alias("o_year"))
+    part = (
+        load_raw(spark, sf_dir, "part")
+        .filter(F.col("p_type") == "PROMO")
+        .select("p_partkey")
+    )
+    supp = load_raw(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    li = load_raw(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    vol = F.expr(REVENUE)
+    nation_vol = F.sum(
+        F.when(F.col("s_nationkey") == 8, vol).otherwise(
+            F.expr("CAST(0 AS DECIMAL(18,6))")
+        )
+    )
+    total_vol = F.sum(vol)
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(asia_cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy(F.col("o_year").cast("long").alias("o_year"))
+        .agg(
+            F.round(nation_vol, 2).cast("double").alias("nation_volume"),
+            F.round(total_vol, 2).cast("double").alias("total_volume"),
+            F.round(
+                F.round(nation_vol, 6).cast("double")
+                / F.round(total_vol, 6).cast("double"),
+                6,
+            ).alias("mkt_share"),
         )
     )
