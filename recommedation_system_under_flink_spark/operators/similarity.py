@@ -322,6 +322,15 @@ def sim_neardup_pairs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     J3. Output cosines are double-precision BLAS sums — they agree with
     the oracle's sequential sums to ~15 significant digits, far inside
     the 9-digit compare window."""
+    return _exact_pairs_blocked(spark, sf_dir, COSINE_THRESHOLD)
+
+
+def _exact_pairs_blocked(
+    spark: SparkSession, sf_dir: str, thr: float
+) -> DataFrame:
+    """Blocked-GEMM exact pair scorer (see sim_neardup_pairs_exact for
+    the plan rationale), threshold-parameterized so the tuning sweep
+    can score at a lower bar without duplicating the kernel."""
     import numpy as np
     import pandas as pd_  # noqa: F401 — mapInPandas ships pandas frames
 
@@ -344,8 +353,6 @@ def sim_neardup_pairs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     block_pairs = a.join(b, F.col("abid") <= F.col("bbid")).repartition(
         "abid", "bbid"
     )
-
-    thr = COSINE_THRESHOLD
 
     def score(batches):
         import pandas as pd
@@ -1415,4 +1422,63 @@ def sim_mrl_prefix_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn("rank", F.row_number().over(rw))
         .filter(F.col("rank") <= TOP_K)
+    )
+
+
+# -------------------------------------- dedup threshold tuning sweep
+
+#: Sweep floor: well below any sensible merge threshold, so the report
+#: shows the full decision range. Bin width 0.05 (20 bins per unit).
+SWEEP_BASE = 0.30
+
+
+def _sweep_oracle() -> str:
+    cos = """list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))
+      / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))
+         * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))))"""
+    return f"""WITH pairs AS (
+  SELECT ROUND({cos}, 6) AS c
+  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+  WHERE {cos} >= {SWEEP_BASE}
+), bins AS (
+  SELECT CAST(FLOOR(c * 20) AS BIGINT) AS bin, CAST(COUNT(*) AS BIGINT) AS n
+  FROM pairs GROUP BY 1
+)
+SELECT CAST(bin AS DOUBLE) / 20 AS bin_lo, n AS n_pairs,
+       CAST(SUM(n) OVER (ORDER BY bin DESC
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         AS pairs_at_or_above
+FROM bins"""
+
+
+@register("sim_threshold_sweep_report", _sweep_oracle())
+def sim_threshold_sweep_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """**Dedup threshold tuning report**: the histogram of pair cosines
+    (0.05-wide bins from ``SWEEP_BASE`` up) with, per bin, the
+    cumulative number of pairs a merge at that threshold would create —
+    the artifact you read BEFORE picking ``COSINE_THRESHOLD`` on a new
+    corpus. One blocked-GEMM pass at the sweep floor feeds every
+    candidate threshold at once; re-running the dedup per candidate
+    (the naive approach) costs one corpus-pair scan per threshold.
+
+    Determinism: cosines are rounded to 6 dp BEFORE binning (BLAS vs
+    sequential sums agree to ~13 digits, so the rounded value is
+    engine-identical), and both engines then apply the identical
+    IEEE ``floor(c*20)`` to the same doubles. Cumulative counts ride a
+    1-column window over ≤14 bin rows."""
+    from pyspark.sql import Window
+
+    pairs = _exact_pairs_blocked(spark, sf_dir, SWEEP_BASE).select(
+        F.round("cosine", 6).alias("c")
+    )
+    bins = pairs.groupBy(
+        F.floor(F.col("c") * 20).cast("long").alias("bin")
+    ).agg(F.count("*").cast("long").alias("n_pairs"))
+    w = Window.orderBy(F.col("bin").desc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return bins.select(
+        (F.col("bin").cast("double") / 20).alias("bin_lo"),
+        "n_pairs",
+        F.sum("n_pairs").over(w).cast("long").alias("pairs_at_or_above"),
     )

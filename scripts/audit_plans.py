@@ -73,6 +73,7 @@ EXPECTED_CARTESIAN = {
     "sim_mrl_prefix_rerank": "broadcast query set vs prefix corpus (stage 1)",
     "sim_neardup_pairs_exact": "block-pair id<= range join (blocked GEMM)",
     "sim_neardup_components": "inherits the blocked-GEMM edge builder",
+    "sim_threshold_sweep_report": "inherits the blocked-GEMM pair scorer",
     "als_recommendations": "user×item factor cross for top-k (bounded dims)",
 }
 

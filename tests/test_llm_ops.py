@@ -360,3 +360,28 @@ def test_curation_funnel_consistent_with_pipeline(queries, spark):
     assert rep["total"] >= rep["pass_language"] >= rep["surv_canon_lang"]
     assert rep["surv_canon_lang"] >= rep["surv_all"]
     assert 0.0 <= rep["survival_rate"] <= 1.0
+
+
+def test_threshold_sweep_consistent_with_exact_pairs(queries, spark):
+    """The sweep's cumulative count at the operating threshold must
+    equal the exact pair scorer's row count at that same threshold
+    (the report and the dedup must never disagree about what a
+    threshold would merge), and cumulative counts must be monotone
+    non-increasing in the threshold."""
+    from recommedation_system_under_flink_spark.operators.similarity import (
+        COSINE_THRESHOLD,
+    )
+
+    rows = sorted(
+        queries["sim_threshold_sweep_report"](spark, SF_DIR).collect(),
+        key=lambda r: r["bin_lo"],
+    )
+    assert rows
+    n_exact = queries["sim_neardup_pairs_exact"](spark, SF_DIR).count()
+    at_thr = sum(
+        r["n_pairs"] for r in rows if r["bin_lo"] >= COSINE_THRESHOLD - 1e-9
+    )
+    assert at_thr == n_exact
+    cums = [r["pairs_at_or_above"] for r in rows]
+    assert cums == sorted(cums, reverse=True)
+    assert cums[0] == sum(r["n_pairs"] for r in rows)
