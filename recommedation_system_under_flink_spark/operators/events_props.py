@@ -639,3 +639,115 @@ def ev_props_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         F.try_variant_get(F.try_parse_json("props"), "$.k", "long").alias("k"),
     )
+
+
+# --------------------------------------------- distribution drift (PSI)
+
+#: Drift split: the trailing week is "current", everything before is
+#: the reference distribution.
+PSI_SPLIT = "2024-01-23"
+#: Decile probes for the reference bin edges.
+PSI_DECILES = tuple(round(0.1 * i, 1) for i in range(1, 10))
+
+
+def _psi_oracle() -> str:
+    qs = ", ".join(
+        f"ROUND(quantile_cont(value, {q}), 6)" for q in PSI_DECILES
+    )
+    return f"""WITH ref AS (
+  SELECT value FROM events WHERE CAST(ts AS DATE) < DATE '{PSI_SPLIT}'
+), cur AS (
+  SELECT value FROM events WHERE CAST(ts AS DATE) >= DATE '{PSI_SPLIT}'
+), edges AS (
+  SELECT [{qs}] AS es FROM ref
+), refb AS (
+  SELECT 1 + len(list_filter(es, e -> value > e)) AS bin, COUNT(*) AS n
+  FROM ref, edges GROUP BY 1
+), curb AS (
+  SELECT 1 + len(list_filter(es, e -> value > e)) AS bin, COUNT(*) AS n
+  FROM cur, edges GROUP BY 1
+), spine AS (SELECT unnest(generate_series(1, 10)) AS bin),
+j AS (
+  SELECT s.bin, COALESCE(r.n, 0) AS rn, COALESCE(c.n, 0) AS cn
+  FROM spine s LEFT JOIN refb r USING (bin) LEFT JOIN curb c USING (bin)
+), tot AS (SELECT SUM(rn) AS tr, SUM(cn) AS tc FROM j)
+SELECT CAST(bin AS BIGINT) AS bin,
+       CAST(rn AS BIGINT) AS ref_n,
+       CAST(cn AS BIGINT) AS cur_n,
+       ROUND(((rn + 0.5) / (tr + 5.0) - (cn + 0.5) / (tc + 5.0))
+             * ln(((rn + 0.5) / (tr + 5.0)) / ((cn + 0.5) / (tc + 5.0))), 6)
+         AS psi_term
+FROM j, tot"""
+
+
+@register("ev_value_psi", _psi_oracle())
+def ev_value_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """**Population stability index** of the event ``value``
+    distribution: trailing week vs everything before — the standard
+    drift gate between a model's training window and its serving
+    window (PSI < 0.1 stable, > 0.25 drifted; the per-bin terms sum to
+    it). Bin edges are the reference window's EXACT interpolated
+    deciles rounded to 6 dp (the `sk_value_percentiles_exact`
+    cross-engine pinning), bucketing is ``1 + |{edges < v}|`` on
+    identical doubles, and counts are smoothed ``(n+0.5)/(N+5)`` so
+    empty bins contribute finite terms.
+
+    Scale: two pushed-down date-window scans, one decile sort over the
+    reference window (swap in `percentile_approx` cuts at 100 TB — the
+    `ev_user_rfm_scalable` trade), map-side-combinable bin counts, and
+    a 10-row spine join. Every psi_term is a few IEEE ops on exact
+    integer counts + rounded edges — hash-stable at 6 dp."""
+    import datetime as dt
+
+    from ..sources.tables import events_raw as _ev
+
+    split = dt.date.fromisoformat(PSI_SPLIT)
+    ref = _ev(
+        spark, sf_dir, date_to=split - dt.timedelta(days=1)
+    ).select("value")
+    cur = _ev(spark, sf_dir, date_from=split).select("value")
+    probes = ", ".join(str(q) for q in PSI_DECILES)
+    edges = ref.agg(
+        F.expr(
+            f"transform(percentile(value, array({probes})), e -> round(e, 6))"
+        ).alias("es")
+    )
+
+    def bucketed(df: DataFrame) -> DataFrame:
+        return (
+            df.crossJoin(F.broadcast(edges))
+            .select(
+                (
+                    1
+                    + F.size(
+                        F.filter("es", lambda e: F.col("value") > e)
+                    )
+                ).alias("bin")
+            )
+            .groupBy("bin")
+            .agg(F.count("*").alias("n"))
+        )
+
+    spine = spark.range(1, 11).select(F.col("id").cast("int").alias("bin"))
+    j = (
+        spine.join(bucketed(ref).withColumnRenamed("n", "rn"), "bin", "left")
+        .join(bucketed(cur).withColumnRenamed("n", "cn"), "bin", "left")
+        .select(
+            "bin",
+            F.coalesce("rn", F.lit(0)).alias("rn"),
+            F.coalesce("cn", F.lit(0)).alias("cn"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    p = (F.col("rn") + 0.5) / (F.sum("rn").over(w) + 5.0)
+    q = (F.col("cn") + 0.5) / (F.sum("cn").over(w) + 5.0)
+    return j.select(
+        F.col("bin").cast("long").alias("bin"),
+        F.col("rn").cast("long").alias("ref_n"),
+        F.col("cn").cast("long").alias("cur_n"),
+        F.round((p - q) * F.log(p / q), 6).alias("psi_term"),
+    )

@@ -65,6 +65,7 @@ EXPECTED_CARTESIAN = {
     # tiny-dimension spines / scalar totals crossed by design
     "ev_daily_spine_fill": "date-spine × event-type dim (30×|types| rows)",
     "ev_key_skew_report": "1-row global-total scalar broadcast",
+    "ev_value_psi": "1-row decile-edges scalar broadcast",
     "samp_lang_mixture": "1-row corpus-total scalar broadcast into rates",
     "rel_q22_inactive_rich_customers": "1-row global-avg scalar broadcast",
     # brute-force baselines: query set / block pairs broadcast by design

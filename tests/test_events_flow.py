@@ -391,3 +391,28 @@ def test_monthly_hll_rollup_error_bound(queries, spark):
     assert set(approx) == set(exact)
     for m, ex in exact.items():
         assert abs(approx[m] - ex) <= max(2, 0.05 * ex)
+
+
+def test_psi_terms_positive_and_bounded(queries, spark):
+    """Every PSI term is non-negative ((p-q)·ln(p/q) ≥ 0 always),
+    the bins partition both windows (counts sum to the window sizes),
+    and the total PSI is finite."""
+    import math
+
+    from recommedation_system_under_flink_spark.operators.events_props import (
+        PSI_SPLIT,
+    )
+    import datetime as dt
+
+    from recommedation_system_under_flink_spark.sources import events_raw
+
+    rows = queries["ev_value_psi"](spark, SF_DIR).collect()
+    assert len(rows) == 10
+    assert all(r["psi_term"] >= 0 for r in rows)
+    total = sum(r["psi_term"] for r in rows)
+    assert math.isfinite(total)
+    split = dt.date.fromisoformat(PSI_SPLIT)
+    n_ref = events_raw(spark, SF_DIR, date_to=split - dt.timedelta(days=1)).count()
+    n_cur = events_raw(spark, SF_DIR, date_from=split).count()
+    assert sum(r["ref_n"] for r in rows) == n_ref
+    assert sum(r["cur_n"] for r in rows) == n_cur
