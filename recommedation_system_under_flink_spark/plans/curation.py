@@ -269,3 +269,109 @@ def llm_curation_funnel_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("survival_rate"),
     )
+
+
+def _prep_oracle() -> str:
+    from ..operators.textstats import (
+        _TOKENS_SQL,
+        CHUNK_SIZE,
+        CHUNK_STRIDE,
+        PACK_BUDGET,
+    )
+
+    return f"""WITH curated AS (
+{_CURATION_ORACLE}
+), t AS (
+  SELECT d.doc_id, c.split, {_TOKENS_SQL} AS ts
+  FROM documents d JOIN curated c ON d.doc_id = c.doc_id
+), ex AS (
+  SELECT doc_id, split,
+         unnest(list_transform(generate_series(0, len(ts) - 1, {CHUNK_STRIDE}),
+                s -> {{'chunk_id': s // {CHUNK_STRIDE},
+                       'n': len(ts[s + 1 : s + {CHUNK_SIZE}])}})) AS c
+  FROM t WHERE len(ts) > 0
+), chunks AS (
+  SELECT doc_id, split,
+         CAST(c.chunk_id AS INTEGER) AS chunk_id,
+         CAST(c.n AS BIGINT) AS n_tokens
+  FROM ex
+)
+SELECT doc_id, chunk_id, split, n_tokens,
+       CAST(cum // {PACK_BUDGET} AS BIGINT) AS bin_id,
+       CAST(cum % {PACK_BUDGET} AS BIGINT) AS bin_offset
+FROM (
+  SELECT doc_id, chunk_id, split, n_tokens,
+         COALESCE(SUM(n_tokens) OVER (
+           PARTITION BY split ORDER BY doc_id, chunk_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+  FROM chunks
+)"""
+
+
+@register("llm_pretrain_prep_pipeline", _prep_oracle())
+def llm_pretrain_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """**The full pretraining-data prep pipeline in one plan**: curate
+    (canonical ∧ language ∧ quality, split-tagged — exactly
+    :func:`llm_curation_pipeline`) → chunk every surviving document
+    into context-window token pieces (the `ts_chunk_documents`
+    machinery) → pack the chunks end-to-end into ``PACK_BUDGET``-token
+    training bins per split shard (the `ts_pack_sequences` relaxation,
+    ordered by (doc_id, chunk_id) for reproducibility). The output row
+    is what a trainer's data loader reads: which chunk of which
+    curated document lands in which bin of which split, at what
+    offset. The oracle embeds the component oracles verbatim, so the
+    composition is definitionally in lockstep with its
+    independently-verified parts.
+
+    Scale: curation's dedup shuffle + one doc_id join + a scan-speed
+    chunk explode + one window per split shard. The split-partitioned
+    window is 3 partitions here (shard further in production — the
+    `ts_pack_sequences` note); everything upstream is the same plan
+    the components run individually."""
+    from pyspark.sql import Window
+
+    from ..operators.textstats import (
+        CHUNK_SIZE,
+        CHUNK_STRIDE,
+        PACK_BUDGET,
+        _tokens,
+    )
+
+    curated = llm_curation_pipeline(spark, sf_dir).select("doc_id", "split")
+    docs = load_raw(spark, sf_dir, "documents").select(
+        "doc_id", _tokens(F.col("text")).alias("ts")
+    )
+    chunks = (
+        docs.join(curated, "doc_id")
+        .filter(F.size("ts") > 0)
+        .select(
+            "doc_id",
+            "split",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.size("ts") - 1, F.lit(CHUNK_STRIDE)),
+                    lambda s: F.struct(
+                        (s / CHUNK_STRIDE).cast("int").alias("chunk_id"),
+                        F.size(F.slice(F.col("ts"), s + 1, CHUNK_SIZE))
+                        .cast("long")
+                        .alias("n_tokens"),
+                    ),
+                )
+            ).alias("c"),
+        )
+        .select("doc_id", "split", "c.chunk_id", "c.n_tokens")
+    )
+    w = (
+        Window.partitionBy("split")
+        .orderBy("doc_id", "chunk_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum = F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    return chunks.select(
+        "doc_id",
+        "chunk_id",
+        "split",
+        "n_tokens",
+        (cum / PACK_BUDGET).cast("long").alias("bin_id"),
+        (cum % PACK_BUDGET).cast("long").alias("bin_offset"),
+    )

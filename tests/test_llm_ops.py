@@ -385,3 +385,35 @@ def test_threshold_sweep_consistent_with_exact_pairs(queries, spark):
     cums = [r["pairs_at_or_above"] for r in rows]
     assert cums == sorted(cums, reverse=True)
     assert cums[0] == sum(r["n_pairs"] for r in rows)
+
+
+def test_pretrain_prep_bins_are_dense_and_curated_only(queries, spark):
+    """Prep-pipeline invariants: every emitted doc survived curation;
+    within each split, bin_ids are contiguous from 0 and every chunk's
+    (bin_id, bin_offset) equals the running-token prefix sum DIV/MOD
+    the budget (no token is lost or double-counted)."""
+    from conftest import SF_DIR
+
+    from recommedation_system_under_flink_spark.operators.textstats import (
+        PACK_BUDGET,
+    )
+
+    rows = queries["llm_pretrain_prep_pipeline"](spark, SF_DIR).collect()
+    assert rows
+    curated = {
+        r["doc_id"]
+        for r in queries["llm_curation_pipeline"](spark, SF_DIR).collect()
+    }
+    assert {r["doc_id"] for r in rows} <= curated
+    by_split: dict[str, list] = {}
+    for r in rows:
+        by_split.setdefault(r["split"], []).append(r)
+    for split, rs in by_split.items():
+        rs.sort(key=lambda r: (r["doc_id"], r["chunk_id"]))
+        cum = 0
+        for r in rs:
+            assert r["bin_id"] == cum // PACK_BUDGET, (split, r)
+            assert r["bin_offset"] == cum % PACK_BUDGET
+            cum += r["n_tokens"]
+        bins = {r["bin_id"] for r in rs}
+        assert bins == set(range(max(bins) + 1))
