@@ -337,3 +337,93 @@ def samp_lang_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
             (h < F.floor(F.col("rate") * MIX_RES).cast("long")).alias("keep"),
         )
     )
+
+
+#: Temperature for mixture flattening: share_s ∝ (n_s/N)^τ. τ<1 boosts
+#: low-resource domains; τ=1 is proportional; τ→0 is uniform.
+MIX_TAU = 0.7
+
+
+def _temperature_oracle() -> str:
+    return f"""WITH counts AS (
+  SELECT lang, CAST(COUNT(*) AS BIGINT) AS n FROM documents GROUP BY lang
+), tot AS (SELECT CAST(SUM(n) AS BIGINT) AS nn FROM counts),
+w AS (
+  SELECT lang, n, POWER(CAST(n AS DOUBLE) / t.nn, {MIX_TAU}) AS wt
+  FROM counts, tot t
+), sw AS (SELECT SUM(wt) AS s FROM w),
+targets AS (
+  SELECT lang, n, ROUND(wt / sw.s, 9) AS target FROM w, sw
+), tot2 AS (SELECT CAST(SUM(n) AS BIGINT) AS nn FROM counts),
+lam AS (
+  SELECT MIN(c.n / (c.target * t.nn)) AS l FROM targets c, tot2 t
+)
+SELECT d.doc_id, d.lang,
+       ROUND(c.target, 6) AS target_share,
+       ROUND(LEAST(1.0, lam.l * c.target * t.nn / c.n), 6) AS keep_rate,
+       ((d.doc_id * {HASH_MULT}) % {HASH_MOD}) % {MIX_RES}
+         < CAST(FLOOR(ROUND(LEAST(1.0, lam.l * c.target * t.nn / c.n), 6)
+                      * {MIX_RES}) AS BIGINT) AS keep
+FROM documents d
+JOIN targets c USING (lang), tot2 t, lam"""
+
+
+@register("samp_temperature_mixture", _temperature_oracle())
+def samp_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """**Temperature-scaled mixture resampling** (the multilingual-
+    pretraining standard): instead of `samp_lang_mixture`'s hand-pinned
+    target shares, the targets DERIVE from the data —
+    ``share_s ∝ (n_s/N)^τ`` with ``MIX_TAU`` < 1 flattening the
+    distribution toward low-resource languages (τ=1 keeps proportions,
+    τ→0 forces uniform). Same no-upsampling λ cap and pinned portable
+    hash selection as the fixed-target form.
+
+    Cross-engine note: ``pow`` may differ by 1 ulp between libm and
+    the JVM, so the derived target is quantized to 9 dp and the keep
+    rate to 6 dp BEFORE the floor-threshold — the comparison then runs
+    on identical doubles. Plan shape identical to samp_lang_mixture:
+    |langs|-row model broadcast, map-side projection, no corpus
+    shuffle."""
+    docs = load_raw(spark, sf_dir, "documents")
+    counts = docs.groupBy("lang").agg(F.count("*").cast("long").alias("n"))
+    tot = counts.agg(F.sum("n").cast("long").alias("nn"))
+    w = counts.crossJoin(F.broadcast(tot)).select(
+        "lang",
+        "n",
+        "nn",
+        F.pow(F.col("n").cast("double") / F.col("nn"), F.lit(MIX_TAU)).alias(
+            "wt"
+        ),
+    )
+    sw = w.agg(F.sum("wt").alias("s"))
+    targets = w.crossJoin(F.broadcast(sw)).select(
+        "lang", "n", "nn", F.round(F.col("wt") / F.col("s"), 9).alias("target")
+    )
+    lam = targets.agg(
+        F.min(F.col("n") / (F.col("target") * F.col("nn"))).alias("l")
+    )
+    rates = targets.crossJoin(F.broadcast(lam)).select(
+        "lang",
+        F.round("target", 6).alias("target_share"),
+        F.round(
+            F.least(
+                F.lit(1.0),
+                F.col("l") * F.col("target") * F.col("nn") / F.col("n"),
+            ),
+            6,
+        ).alias("keep_rate"),
+    )
+    h = split_hash(F.col("doc_id")) % F.lit(MIX_RES)
+    return (
+        docs.select("doc_id", "lang")
+        .join(F.broadcast(rates), "lang")
+        .select(
+            "doc_id",
+            "lang",
+            "target_share",
+            "keep_rate",
+            (h < F.floor(F.col("keep_rate") * MIX_RES).cast("long")).alias(
+                "keep"
+            ),
+        )
+    )

@@ -1482,3 +1482,82 @@ def sim_threshold_sweep_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_pairs",
         F.sum("n_pairs").over(w).cast("long").alias("pairs_at_or_above"),
     )
+
+
+# ------------------------------------------------ hard-negative mining
+
+@register(
+    "sim_hard_negatives",
+    f"""SELECT q.vec_id AS query_id, c.vec_id AS negative_id,
+       q.label AS query_label, c.label AS negative_label,
+       ROUND(list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[]))
+         / (sqrt(list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])))
+            * sqrt(list_dot_product(CAST(c.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])))), 6)
+         AS cosine,
+       CAST(ROW_NUMBER() OVER (
+         PARTITION BY q.vec_id
+         ORDER BY ROUND(list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[]))
+           / (sqrt(list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])))
+              * sqrt(list_dot_product(CAST(c.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])))), 6) DESC,
+             c.vec_id ASC
+       ) AS INTEGER) AS rank
+FROM embeddings q JOIN embeddings c
+  ON c.vec_id <> q.vec_id AND c.label <> q.label
+WHERE q.vec_id < {N_QUERIES}
+QUALIFY rank <= {TOP_K}""",
+)
+def sim_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """**Hard-negative mining** for retriever/contrastive training:
+    per query vector, the top-k most-similar corpus vectors with a
+    DIFFERENT label — the near-miss negatives that make contrastive
+    losses learn boundaries (random negatives are too easy; same-label
+    "negatives" are false negatives). The label inequality rides the
+    join condition, so the exclusion happens before scoring output.
+
+    Plan: the brute-force shape (broadcast query set vs one corpus
+    scan, no shuffle until the top-k window); at scale, swap the scan
+    side for any of the verified ANN paths (IVF cells / PQ codes /
+    prefix rerank) and keep the label filter on the candidates —
+    mining tolerates approximation, the loss just needs HARD
+    negatives, not exact ranks."""
+    emb = load_raw(spark, sf_dir, "embeddings")
+    corpus = emb.select(
+        F.col("vec_id").alias("negative_id"),
+        F.col("label").alias("negative_label"),
+        _as_double("embedding").alias("c_emb"),
+    ).withColumn("c_norm", _norm(F.col("c_emb")))
+    queries = (
+        emb.filter(F.col("vec_id") < N_QUERIES)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("label").alias("query_label"),
+            _as_double("embedding").alias("q_emb"),
+        )
+        .withColumn("q_norm", _norm(F.col("q_emb")))
+    )
+    from pyspark.sql import Window
+
+    scored = (
+        corpus.crossJoin(F.broadcast(queries))
+        .filter(
+            (F.col("negative_id") != F.col("query_id"))
+            & (F.col("negative_label") != F.col("query_label"))
+        )
+        .select(
+            "query_id",
+            "negative_id",
+            "query_label",
+            "negative_label",
+            F.round(
+                _dot(F.col("q_emb"), F.col("c_emb"))
+                / (F.col("q_norm") * F.col("c_norm")),
+                6,
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("negative_id")
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= TOP_K
+    )

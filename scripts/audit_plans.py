@@ -67,11 +67,13 @@ EXPECTED_CARTESIAN = {
     "ev_key_skew_report": "1-row global-total scalar broadcast",
     "ev_value_psi": "1-row decile-edges scalar broadcast",
     "samp_lang_mixture": "1-row corpus-total scalar broadcast into rates",
+    "samp_temperature_mixture": "1-row totals/λ scalar broadcasts into rates",
     "rel_q22_inactive_rich_customers": "1-row global-avg scalar broadcast",
     # brute-force baselines: query set / block pairs broadcast by design
     "sim_bruteforce_topk": "broadcast query set vs corpus (baseline)",
     "sim_sq8_topk": "broadcast query set vs int8 corpus (same shape)",
     "sim_mrl_prefix_rerank": "broadcast query set vs prefix corpus (stage 1)",
+    "sim_hard_negatives": "broadcast query set vs corpus (bruteforce shape)",
     "sim_neardup_pairs_exact": "block-pair id<= range join (blocked GEMM)",
     "sim_neardup_components": "inherits the blocked-GEMM edge builder",
     "sim_threshold_sweep_report": "inherits the blocked-GEMM pair scorer",

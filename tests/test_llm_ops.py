@@ -417,3 +417,56 @@ def test_pretrain_prep_bins_are_dense_and_curated_only(queries, spark):
             cum += r["n_tokens"]
         bins = {r["bin_id"] for r in rs}
         assert bins == set(range(max(bins) + 1))
+
+
+def test_temperature_mixture_flattens_toward_uniform(queries, spark):
+    """τ<1 must compress share spread: the derived target share of the
+    most-common language is strictly below its raw share, the rarest's
+    strictly above, no language upsamples (keep_rate ≤ 1), and the
+    scarcest-under-target language keeps everything (λ cap)."""
+    from conftest import SF_DIR
+
+    rows = queries["samp_temperature_mixture"](spark, SF_DIR).collect()
+    per_lang = {}
+    for r in rows:
+        per_lang.setdefault(r["lang"], r)
+    n_by_lang: dict[str, int] = {}
+    for r in rows:
+        n_by_lang[r["lang"]] = n_by_lang.get(r["lang"], 0) + 1
+    total = sum(n_by_lang.values())
+    raw = {lang: n / total for lang, n in n_by_lang.items()}
+    top = max(raw, key=raw.get)
+    bottom = min(raw, key=raw.get)
+    assert per_lang[top]["target_share"] < raw[top]
+    assert per_lang[bottom]["target_share"] > raw[bottom]
+    assert all(r["keep_rate"] <= 1.0 for r in rows)
+    assert any(abs(r["keep_rate"] - 1.0) < 1e-9 for r in rows)
+
+
+def test_hard_negatives_exclude_own_label(queries, spark):
+    """Every mined negative carries a label different from its query's,
+    and per query the negatives are the TRUE top-k among other-label
+    vectors (cross-checked against the unfiltered brute force: any
+    brute-force neighbor with a different label at higher cosine must
+    already be in the mined set)."""
+    from conftest import SF_DIR
+
+    negs: dict[int, list] = {}
+    for r in queries["sim_hard_negatives"](spark, SF_DIR).collect():
+        assert r["negative_label"] != r["query_label"]
+        negs.setdefault(r["query_id"], []).append(r)
+    assert negs
+    brute = {}
+    for r in queries["sim_bruteforce_topk"](spark, SF_DIR).collect():
+        brute.setdefault(r["query_id"], []).append(r)
+    labels = {}
+    from recommedation_system_under_flink_spark.sources import load_raw
+
+    for row in load_raw(spark, SF_DIR, "embeddings").select("vec_id", "label").collect():
+        labels[row["vec_id"]] = row["label"]
+    for q, rs in negs.items():
+        mined = {r["negative_id"] for r in rs}
+        min_mined_cos = min(r["cosine"] for r in rs)
+        for br in brute.get(q, []):
+            if labels[br["corpus_id"]] != labels[q] and br["cosine"] > min_mined_cos:
+                assert br["corpus_id"] in mined, (q, br)
