@@ -995,3 +995,86 @@ def ts_bigram_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ------------------------------------------------- Zipf corpus health
+
+@register(
+    "ts_zipf_fit",
+    f"""WITH freq AS (
+  SELECT term, CAST(COUNT(*) AS BIGINT) AS n
+  FROM (SELECT unnest({_TOKENS_SQL}) AS term FROM documents)
+  GROUP BY term
+), ranked AS (
+  SELECT log10(CAST(ROW_NUMBER() OVER (ORDER BY n DESC, term ASC) AS DOUBLE)) AS x,
+         log10(CAST(n AS DOUBLE)) AS y
+  FROM freq
+), stats AS (
+  SELECT COUNT(*) AS k, SUM(x) AS sx, SUM(y) AS sy,
+         SUM(x * x) AS sxx, SUM(y * y) AS syy, SUM(x * y) AS sxy
+  FROM ranked
+)
+SELECT CAST(k AS BIGINT) AS n_terms,
+       ROUND((k * sxy - sx * sy) / (k * sxx - sx * sx), 6) AS slope,
+       ROUND((sy - (k * sxy - sx * sy) / (k * sxx - sx * sx) * sx) / k, 6)
+         AS intercept,
+       ROUND(POWER(k * sxy - sx * sy, 2)
+             / ((k * sxx - sx * sx) * (k * syy - sy * sy)), 6) AS r2
+FROM stats""",
+)
+def ts_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """**Zipf-law fit** of the corpus rank-frequency curve: OLS slope /
+    intercept / R² of log₁₀(freq) against log₁₀(rank). Natural-language
+    corpora sit near slope ≈ −1 with high R²; template-generated,
+    deduplicate-degenerate, or heavily boilerplated corpora bend the
+    curve — a one-row health gate to run after any curation step
+    (alongside `llm_curation_funnel_report`).
+
+    Plan: one term-count aggregate, one |vocab|-row ranking window,
+    one 6-sum reduce. Determinism: counts are exact integers; log10 is
+    ~1 ulp; the closed-form OLS sums agree across engines to ~13
+    digits and every output is rounded at 6. Ranking ties break on the
+    term itself, so x-values are engine-identical."""
+    from pyspark.sql import Window
+
+    toks = load_raw(spark, sf_dir, "documents").select(
+        F.explode(_tokens(F.col("text"))).alias("term")
+    )
+    freq = toks.groupBy("term").agg(F.count("*").cast("long").alias("n"))
+    ranked = freq.select(
+        F.log10(
+            F.row_number()
+            .over(Window.orderBy(F.desc("n"), F.asc("term")))
+            .cast("double")
+        ).alias("x"),
+        F.log10(F.col("n").cast("double")).alias("y"),
+    )
+    k, sx, sy = F.count("*"), F.sum("x"), F.sum("y")
+    sxx, syy, sxy = (
+        F.sum(F.col("x") * F.col("x")),
+        F.sum(F.col("y") * F.col("y")),
+        F.sum(F.col("x") * F.col("y")),
+    )
+    stats = ranked.agg(
+        k.alias("k"),
+        sx.alias("sx"),
+        sy.alias("sy"),
+        sxx.alias("sxx"),
+        syy.alias("syy"),
+        sxy.alias("sxy"),
+    )
+    num = F.col("k") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.col("k") * F.col("sxx") - F.col("sx") * F.col("sx")
+    slope = num / den
+    return stats.select(
+        F.col("k").cast("long").alias("n_terms"),
+        F.round(slope, 6).alias("slope"),
+        F.round((F.col("sy") - slope * F.col("sx")) / F.col("k"), 6).alias(
+            "intercept"
+        ),
+        F.round(
+            F.pow(num, 2)
+            / (den * (F.col("k") * F.col("syy") - F.col("sy") * F.col("sy"))),
+            6,
+        ).alias("r2"),
+    )

@@ -470,3 +470,25 @@ def test_hard_negatives_exclude_own_label(queries, spark):
         for br in brute.get(q, []):
             if labels[br["corpus_id"]] != labels[q] and br["cosine"] > min_mined_cos:
                 assert br["corpus_id"] in mined, (q, br)
+
+
+def test_zipf_fit_recovers_planted_power_law(spark, tmp_path):
+    """On a synthetic corpus whose term frequencies are an exact
+    power law (freq ∝ rank^-0.8), the OLS fit must recover the
+    planted slope closely with near-perfect R²."""
+    import __spark_entry__ as entrymod
+
+    words = []
+    vocab = 40
+    for r in range(1, vocab + 1):
+        n = max(1, round(2000 * r ** -0.8))
+        words += [f"w{r:03d}"] * n
+    text = " ".join(words)
+    spark.createDataFrame(
+        [(1, text, "en", "web", len(text))],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    row = entrymod.queries()["ts_zipf_fit"](spark, str(tmp_path)).collect()[0]
+    assert row["n_terms"] == vocab
+    assert abs(row["slope"] - (-0.8)) < 0.02, row
+    assert row["r2"] > 0.999
