@@ -1078,3 +1078,53 @@ def ts_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("r2"),
     )
+
+
+@register(
+    "ts_tokenizer_fertility",
+    f"""WITH per_doc AS (
+  SELECT lang,
+         CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
+         CAST(COALESCE(list_sum(list_transform(
+              regexp_extract_all(lower(text), '{_PIECE_REGEX}'),
+              p -> CEIL(length(p) / 4.0))), 0) AS BIGINT) AS n_tokens
+  FROM documents
+)
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_bytes) AS BIGINT) AS total_bytes,
+       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens_est,
+       ROUND(CAST(SUM(n_bytes) AS DOUBLE) / SUM(n_tokens), 6)
+         AS bytes_per_token
+FROM per_doc
+WHERE n_tokens > 0
+GROUP BY lang""",
+)
+def ts_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """**Tokenizer fertility report**: bytes-per-token by language
+    under the pinned BPE-ish estimator — the standard diagnostic for
+    how (in)efficiently a tokenizer spends context budget across
+    languages (low bytes/token = high fertility = that language burns
+    more tokens per byte of text; the number that drives
+    per-language context-length and mixture decisions). One
+    map-side-combinable aggregate over the per-doc estimator; the
+    ratio divides two exact integer sums once, rounded at 6."""
+    docs = load_raw(spark, sf_dir, "documents")
+    est = F.aggregate(
+        F.expr(f"regexp_extract_all(lower(text), '{_PIECE_REGEX}', 0)"),
+        F.lit(0).cast("long"),
+        lambda acc, p: acc + F.ceil(F.length(p) / 4.0),
+    )
+    per_doc = docs.select(
+        "lang",
+        F.octet_length("text").cast("long").alias("n_bytes"),
+        est.alias("n_tokens"),
+    ).filter(F.col("n_tokens") > 0)
+    return per_doc.groupBy("lang").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n_bytes").cast("long").alias("total_bytes"),
+        F.sum("n_tokens").cast("long").alias("total_tokens_est"),
+        F.round(
+            F.sum("n_bytes").cast("double") / F.sum("n_tokens"), 6
+        ).alias("bytes_per_token"),
+    )
