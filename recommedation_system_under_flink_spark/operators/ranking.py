@@ -146,3 +146,150 @@ def t3_daily_topk_by_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum("cnt").alias("clicks"))
     )
     return top_k_rows(daily, "date", [F.desc("clicks"), F.asc("news_id")], K)
+
+
+@register(
+    "t3_sql_surface_demo",
+    with_ctes(
+        f"""SELECT date, news_id, clicks,
+       ROW_NUMBER() OVER (PARTITION BY date ORDER BY clicks DESC, news_id ASC) AS rank
+FROM daily
+QUALIFY rank <= {K}""",
+        CLICKS_CTE,
+        _DAILY_CTE,
+    ),
+)
+def t3_sql_surface_demo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T3 through the **raw-SQL surface**: the same per-day top-K as
+    :func:`t3_daily_topk_by_count`, expressed as ONE ``spark.sql``
+    string over a registered view — certifying the migration UX where
+    a user writes ANSI SQL against the engine's tables instead of the
+    DataFrame API (same oracle as the DataFrame form, the j3-twin
+    cross-validation pattern). Catalyst compiles both surfaces to the
+    same plan (WindowGroupLimit + pushed scan), which the shared hash
+    proves at the value level."""
+    clicks(spark, sf_dir).createOrReplaceTempView("clicks_v")
+    return spark.sql(
+        f"""WITH daily AS (
+  SELECT date, news_id, CAST(SUM(cnt) AS BIGINT) AS clicks
+  FROM clicks_v GROUP BY date, news_id
+)
+SELECT date, news_id, clicks, rank FROM (
+  SELECT daily.*, ROW_NUMBER() OVER (
+    PARTITION BY date ORDER BY clicks DESC, news_id ASC) AS rank
+  FROM daily
+) WHERE rank <= {K}"""
+    )
+
+
+#: RBO persistence parameter (weight of deeper ranks) and truncation
+#: depth (the recommendation list length).
+RBO_P = 0.9
+
+
+@register(
+    "t4_rbo_recommender_agreement",
+    with_ctes(
+        f"""SELECT a.date,
+       ROUND((1 - {RBO_P}) * SUM(POWER({RBO_P}, d.d - 1) * COALESCE(ov.o, 0) / d.d), 6)
+         AS rbo
+FROM (SELECT DISTINCT date FROM daily) a
+CROSS JOIN (SELECT unnest(generate_series(1, {K})) AS d) d
+LEFT JOIN (
+  SELECT ca.date, ca.d, CAST(COUNT(*) AS BIGINT) AS o
+  FROM (
+    SELECT date, news_id, dd.d
+    FROM (SELECT date, news_id,
+                 ROW_NUMBER() OVER (PARTITION BY date
+                   ORDER BY clicks DESC, news_id ASC) AS rnk
+          FROM daily) ra
+    JOIN (SELECT unnest(generate_series(1, {K})) AS d) dd ON ra.rnk <= dd.d
+  ) ca
+  JOIN (
+    SELECT date, news_id, dd.d
+    FROM (SELECT date, news_id,
+                 ROW_NUMBER() OVER (PARTITION BY date
+                   ORDER BY val DESC, news_id ASC) AS rnk
+          FROM vdaily) rb
+    JOIN (SELECT unnest(generate_series(1, {K})) AS d) dd ON rb.rnk <= dd.d
+  ) cb ON ca.date = cb.date AND ca.d = cb.d AND ca.news_id = cb.news_id
+  GROUP BY ca.date, ca.d
+) ov ON ov.date = a.date AND ov.d = d.d
+GROUP BY a.date""",
+        CLICKS_CTE,
+        _DAILY_CTE,
+        f"""vdaily AS (
+  SELECT CAST(ts AS DATE) AS date, event_id % 500 AS news_id,
+         ROUND(SUM(value), 6) AS val
+  FROM events WHERE event_type = 'click'
+  GROUP BY 1, 2
+)""",
+    ),
+)
+def t4_rbo_recommender_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """**Rank-biased overlap** between two recommenders' daily top-K
+    lists — count-ranked (HotTopics) vs value-ranked (revenue-weighted)
+    — per day: ``RBO@K = (1-p)·Σ_{{d≤K}} p^{{d-1}}·|A₁:d ∩ B₁:d|/d``
+    (truncated, no extrapolation), persistence ``RBO_P``. The standard
+    top-weighted list-agreement metric: 1.0 = identical rankings, and
+    disagreement at rank 1 costs far more than at rank K — the right
+    diagnostic for "would switching rankers change what users actually
+    see?". SUM(value) ranks are quantized at 6 with id tiebreaks so
+    both engines shortlist identical prefix sets.
+
+    Plan: two window rankings over the same pre-aggregated daily
+    relation, a K-fanout prefix explode (≤ K rows per (day, item)),
+    one (date, depth, item) equi-join, and a 10-term weighted sum per
+    day. Everything is keyed by date — fully distributed, no global
+    ordering anywhere."""
+    from ..sources import events_raw
+    from ..sources.tables import NEWS_MOD, ts_date
+
+    daily = (
+        clicks(spark, sf_dir)
+        .groupBy("date", "news_id")
+        .agg(F.sum("cnt").cast("long").alias("clicks"))
+    )
+    ev = events_raw(spark, sf_dir)
+    vdaily = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy(
+            ts_date("ts").alias("date"),
+            (F.col("event_id") % NEWS_MOD).alias("news_id"),
+        )
+        .agg(F.round(F.sum("value"), 6).alias("val"))
+    )
+    depths = spark.range(1, K + 1).select(F.col("id").cast("int").alias("d"))
+
+    def prefixes(ranked: DataFrame) -> DataFrame:
+        return ranked.join(
+            F.broadcast(depths), ranked.rnk <= depths.d
+        ).select("date", "news_id", "d")
+
+    wa = Window.partitionBy("date").orderBy(F.desc("clicks"), F.asc("news_id"))
+    wb = Window.partitionBy("date").orderBy(F.desc("val"), F.asc("news_id"))
+    pa = prefixes(daily.select("date", "news_id", F.row_number().over(wa).alias("rnk")))
+    pb = prefixes(vdaily.select("date", "news_id", F.row_number().over(wb).alias("rnk")))
+    ov = (
+        pa.join(pb, ["date", "d", "news_id"])
+        .groupBy("date", "d")
+        .agg(F.count("*").cast("long").alias("o"))
+    )
+    spine = (
+        daily.select("date").distinct().crossJoin(F.broadcast(depths))
+    )
+    return (
+        spine.join(ov, ["date", "d"], "left")
+        .groupBy("date")
+        .agg(
+            F.round(
+                F.lit(1 - RBO_P)
+                * F.sum(
+                    F.pow(F.lit(RBO_P), F.col("d") - 1)
+                    * F.coalesce(F.col("o"), F.lit(0))
+                    / F.col("d")
+                ),
+                6,
+            ).alias("rbo")
+        )
+    )

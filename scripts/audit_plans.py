@@ -64,6 +64,7 @@ EXPECTED_CARTESIAN = {
     "f10_positive_correlation_sql": "20-doc pairwise kernel demo",
     # tiny-dimension spines / scalar totals crossed by design
     "ev_daily_spine_fill": "date-spine × event-type dim (30×|types| rows)",
+    "t4_rbo_recommender_agreement": "date-spine × 10-depth dim + K-fanout prefix (bounded)",
     "ev_key_skew_report": "1-row global-total scalar broadcast",
     "ev_value_psi": "1-row decile-edges scalar broadcast",
     "samp_lang_mixture": "1-row corpus-total scalar broadcast into rates",

