@@ -1561,3 +1561,189 @@ def sim_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.withColumn("rank", F.row_number().over(w)).filter(
         F.col("rank") <= TOP_K
     )
+
+
+# -------------------------------------------------- IVF-PQ composition
+
+def _ivfpq_oracle() -> str:
+    """DuckDB twin of :func:`sim_ivfpq_topk_pinned`: the pinned-IVF
+    cell machinery (cf. ``_ivf_pinned_oracle``) composed with the PQ
+    encode/LUT/ADC chain (cf. ``_pq_pinned_oracle``)."""
+    cos = """list_dot_product(v.e, c.e)
+             / (sqrt(list_dot_product(v.e, v.e)) * sqrt(list_dot_product(c.e, c.e)))"""
+    return f"""WITH proj AS (
+  SELECT vec_id, {_EMB_CAST} AS e FROM embeddings
+), cents AS (
+  SELECT vec_id AS cid, e FROM proj WHERE vec_id < {IVF_K}
+), ranked_cells AS (
+  SELECT v.vec_id, c.cid,
+         ROW_NUMBER() OVER (
+           PARTITION BY v.vec_id
+           ORDER BY {cos} DESC, c.cid ASC
+         ) AS cell_rank
+  FROM proj v CROSS JOIN (SELECT cid, e FROM cents) c
+), cellmap AS (
+  SELECT vec_id, cid FROM ranked_cells WHERE cell_rank = 1
+), probes AS (
+  SELECT vec_id AS query_id, cid FROM ranked_cells
+  WHERE vec_id < {N_QUERIES} AND cell_rank <= {IVF_NPROBE}
+), cand AS (
+  SELECT DISTINCT p.query_id, cm.vec_id AS corpus_id
+  FROM probes p JOIN cellmap cm ON p.cid = cm.cid
+  WHERE cm.vec_id <> p.query_id
+), subs AS (
+  SELECT vec_id, s, e[s * {PQ_SUB} + 1 : (s + 1) * {PQ_SUB}] AS sv
+  FROM proj, LATERAL (SELECT unnest(generate_series(0, {PQ_M - 1})) AS s)
+), codebook AS (
+  SELECT vec_id AS cw, s, sv AS cv, list_dot_product(sv, sv) AS cc
+  FROM subs WHERE vec_id < {PQ_K}
+), encoded AS (
+  SELECT vec_id, s, cw, cc FROM (
+    SELECT x.vec_id, x.s, c.cw, c.cc,
+           ROW_NUMBER() OVER (
+             PARTITION BY x.vec_id, x.s
+             ORDER BY 2 * list_dot_product(x.sv, c.cv) - c.cc DESC, c.cw ASC
+           ) AS rn
+    FROM subs x JOIN codebook c ON x.s = c.s
+  ) WHERE rn = 1
+), rec_norm AS (
+  SELECT vec_id, sqrt(SUM(cc)) AS rn FROM encoded GROUP BY vec_id
+), lut AS (
+  SELECT q.vec_id AS query_id, c.s, c.cw,
+         list_dot_product(q.sv, c.cv) AS pdot
+  FROM subs q JOIN codebook c ON q.s = c.s
+  WHERE q.vec_id < {N_QUERIES}
+), qn AS (
+  SELECT vec_id, sqrt(list_dot_product(e, e)) AS qn FROM proj
+  WHERE vec_id < {N_QUERIES}
+), adot AS (
+  SELECT cd.query_id, cd.corpus_id, SUM(l.pdot) AS ad
+  FROM cand cd
+  JOIN encoded x ON x.vec_id = cd.corpus_id
+  JOIN lut l ON l.query_id = cd.query_id AND l.s = x.s AND l.cw = x.cw
+  GROUP BY cd.query_id, cd.corpus_id
+)
+SELECT query_id, corpus_id, cosine_pq, rank FROM (
+  SELECT a.query_id, a.corpus_id,
+         ROUND(a.ad / (q.qn * r.rn), 6) AS cosine_pq,
+         CAST(ROW_NUMBER() OVER (
+           PARTITION BY a.query_id
+           ORDER BY ROUND(a.ad / (q.qn * r.rn), 6) DESC, a.corpus_id ASC
+         ) AS INTEGER) AS rank
+  FROM adot a
+  JOIN qn q ON a.query_id = q.vec_id
+  JOIN rec_norm r ON a.corpus_id = r.vec_id
+  WHERE q.qn > 0 AND r.rn > 0
+) WHERE rank <= {TOP_K}"""
+
+
+@register("sim_ivfpq_topk_pinned", _ivfpq_oracle())
+def sim_ivfpq_topk_pinned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """**IVF-PQ**: the other canonical ANN index layout (FAISS
+    ``IVFx,PQy``) — IVF cells bound the candidate set, PQ codes shrink
+    what each cell stores to ``PQ_M`` bytes/vector (16×), and scoring
+    is the LUT-addressed asymmetric sum over candidates only. Composed
+    from the two independently-verified pieces
+    (:func:`sim_ivf_topk_pinned` cells, :func:`sim_pq_topk_pinned`
+    encode/LUT/ADC); pinned centroids and codebooks keep the whole
+    composed index hash-verified in SQL at all three scale factors.
+
+    Scale: memory per cell = M bytes/vector + the shared M×K codebook;
+    probe cost = (nprobe/K of the corpus) × M LUT lookups — the layout
+    serving billion-vector indexes from RAM. IVF-SQ8 keeps 4× at
+    higher fidelity; IVF-PQ trades fidelity for another 4× — the
+    recall step-down is pytest-pinned against brute force."""
+    from pyspark.sql import Window
+
+    emb = load_raw(spark, sf_dir, "embeddings")
+    proj = emb.select("vec_id", _as_double("embedding").alias("e"))
+    cents = [
+        list(r["e"])
+        for r in proj.filter(F.col("vec_id") < IVF_K)
+        .orderBy("vec_id")
+        .select("e")
+        .collect()
+    ]
+    if not cents:
+        return spark.createDataFrame(
+            [], "query_id long, corpus_id long, cosine_pq double, rank int"
+        )
+    cellmap = proj.select(
+        "vec_id", F.element_at(_probe_udf(cents, 1)(F.col("e")), 1).alias("cid")
+    )
+    probes = proj.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.explode(_probe_udf(cents, IVF_NPROBE)(F.col("e"))).alias("cid"),
+    )
+    cand = (
+        cellmap.join(F.broadcast(probes), "cid")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", F.col("vec_id").alias("corpus_id"))
+        .distinct()
+    )
+    subs = proj.select(
+        "vec_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(s).alias("s"),
+                        F.slice("e", s * PQ_SUB + 1, PQ_SUB).alias("sv"),
+                    )
+                    for s in range(PQ_M)
+                ]
+            )
+        ).alias("x"),
+    ).select("vec_id", "x.s", "x.sv")
+    codebook = subs.filter(F.col("vec_id") < PQ_K).select(
+        F.col("vec_id").alias("cw"),
+        "s",
+        F.col("sv").alias("cv"),
+        _dot(F.col("sv"), F.col("sv")).alias("cc"),
+    )
+    enc_w = Window.partitionBy("vec_id", "s").orderBy(
+        F.desc(2 * _dot(F.col("sv"), F.col("cv")) - F.col("cc")), F.asc("cw")
+    )
+    encoded = (
+        subs.join(F.broadcast(codebook), "s")
+        .withColumn("rn", F.row_number().over(enc_w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "s", "cw", "cc")
+    )
+    rec_norm = encoded.groupBy("vec_id").agg(F.sqrt(F.sum("cc")).alias("rnm"))
+    lut = (
+        subs.filter(F.col("vec_id") < N_QUERIES)
+        .join(F.broadcast(codebook), "s")
+        .select(
+            F.col("vec_id").alias("query_id"),
+            "s",
+            "cw",
+            _dot(F.col("sv"), F.col("cv")).alias("pdot"),
+        )
+    )
+    qn = proj.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), _norm(F.col("e")).alias("qn")
+    )
+    adot = (
+        cand.join(encoded, cand.corpus_id == encoded.vec_id)
+        .join(F.broadcast(lut), ["query_id", "s", "cw"])
+        .groupBy("query_id", "corpus_id")
+        .agg(F.sum("pdot").alias("ad"))
+    )
+    rank_w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine_pq"), F.asc("corpus_id")
+    )
+    return (
+        adot.join(F.broadcast(qn), "query_id")
+        .join(rec_norm, F.col("corpus_id") == rec_norm.vec_id)
+        .filter((F.col("qn") > 0) & (F.col("rnm") > 0))
+        .select(
+            "query_id",
+            "corpus_id",
+            F.round(F.col("ad") / (F.col("qn") * F.col("rnm")), 6).alias(
+                "cosine_pq"
+            ),
+        )
+        .withColumn("rank", F.row_number().over(rank_w).cast("int"))
+        .filter(F.col("rank") <= TOP_K)
+    )

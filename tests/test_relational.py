@@ -663,3 +663,20 @@ def test_bfs_recursive_equals_bsp(queries, spark):
     rec = {(r["node"], r["dist"]) for r in queries["graph_bfs_recursive"](spark, SF_DIR).collect()}
     assert bsp == rec
     assert bsp
+
+
+def test_ivfpq_recall_vs_bruteforce(queries, spark):
+    """The composed IVF-PQ index (cell pruning × 16×-compressed ADC
+    scoring) must keep top-K overlap with the float brute force ≥ 10%
+    averaged over queries — ~10× the random baseline (measured ~28%
+    on the fixture; same slack rationale as the PQ-only bound)."""
+    exact: dict[int, set[int]] = {}
+    for r in queries["sim_bruteforce_topk"](spark, SF_DIR).collect():
+        exact.setdefault(r["query_id"], set()).add(r["corpus_id"])
+    approx: dict[int, set[int]] = {}
+    for r in queries["sim_ivfpq_topk_pinned"](spark, SF_DIR).collect():
+        approx.setdefault(r["query_id"], set()).add(r["corpus_id"])
+    recalls = [
+        len(exact[q] & approx.get(q, set())) / len(exact[q]) for q in exact
+    ]
+    assert sum(recalls) / len(recalls) >= 0.1, recalls
