@@ -31,6 +31,7 @@ from pyspark.sql import functions as F
 from ..config import DEFAULT_SCENE
 from ..registry import register
 from ..sources import CLICKS_CTE, clicks, with_ctes
+from ..sources.tables import NEWS_MOD
 
 K = DEFAULT_SCENE.num_recommendations
 
@@ -219,7 +220,7 @@ GROUP BY a.date""",
         CLICKS_CTE,
         _DAILY_CTE,
         f"""vdaily AS (
-  SELECT CAST(ts AS DATE) AS date, event_id % 500 AS news_id,
+  SELECT CAST(ts AS DATE) AS date, event_id % {NEWS_MOD} AS news_id,
          ROUND(SUM(value), 6) AS val
   FROM events WHERE event_type = 'click'
   GROUP BY 1, 2
