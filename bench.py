@@ -65,6 +65,9 @@ HEADLINE = (
     "graph_bfs_recursive",
     "llm_curation_funnel_report",
     "rel_q13_customer_distribution",
+    "llm_pretrain_prep_pipeline",
+    "sim_ivfpq_topk_pinned",
+    "ev_value_psi",
 )
 
 
