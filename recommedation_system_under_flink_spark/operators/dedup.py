@@ -791,3 +791,70 @@ def dedup_chunk_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("dup_ratio"),
         )
     )
+
+
+# --------------------------------------- text vs embedding agreement
+
+def _method_agreement_oracle() -> str:
+    # Registration order: similarity.py loads after this module, so
+    # pull its registrations in explicitly before reading the registry.
+    from . import similarity  # noqa: F401
+
+    from ..registry import _REGISTRY
+
+    text_sql = _REGISTRY["dedup_ngram_jaccard"].oracle
+    emb_sql = _REGISTRY["sim_neardup_pairs_exact"].oracle
+    return f"""WITH text_pairs AS (
+{text_sql}
+), emb_pairs AS (
+{emb_sql}
+), t AS (SELECT doc_a, doc_b FROM text_pairs),
+e AS (SELECT vec_a AS doc_a, vec_b AS doc_b FROM emb_pairs),
+b AS (SELECT doc_a, doc_b FROM t INTERSECT SELECT doc_a, doc_b FROM e)
+SELECT CAST((SELECT COUNT(*) FROM t) AS BIGINT) AS n_text,
+       CAST((SELECT COUNT(*) FROM e) AS BIGINT) AS n_embedding,
+       CAST((SELECT COUNT(*) FROM b) AS BIGINT) AS n_both,
+       ROUND(CAST((SELECT COUNT(*) FROM b) AS DOUBLE)
+             / NULLIF((SELECT COUNT(*) FROM t) + (SELECT COUNT(*) FROM e)
+                      - (SELECT COUNT(*) FROM b), 0), 6)
+         AS method_jaccard"""
+
+
+@register("dedup_method_agreement", _method_agreement_oracle())
+def dedup_method_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """**Near-dup method agreement**: one row comparing the pair sets
+    flagged by textual n-gram Jaccard (`dedup_ngram_jaccard`) and by
+    embedding cosine (`sim_neardup_pairs_exact`), with the Jaccard of
+    the two METHODS' verdicts — the calibration read before trusting
+    either method alone on a new corpus (high agreement → either
+    suffices; low → the corpus has paraphrase-style near-dups only
+    embeddings see, or surface-copy dups only shingles see).
+    ``vec_id`` is read as the embedding of the same-numbered document
+    (the fixtures' row-aligned convention). Component oracles are
+    embedded verbatim, so the report cannot drift from the dedup
+    operators it compares.
+
+    Plan: both pair relations are candidate-generation-then-verify
+    (never all-pairs); the agreement adds three bounded-size set
+    aggregates on top."""
+    text = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    emb = sim_neardup_pairs_exact_pairs_view(spark, sf_dir)
+    both = text.intersect(emb)
+    n_t, n_e, n_b = text.count(), emb.count(), both.count()
+    denom = n_t + n_e - n_b
+    return spark.createDataFrame(
+        [(n_t, n_e, n_b, round(n_b / denom, 6) if denom else None)],
+        "n_text long, n_embedding long, n_both long, method_jaccard double",
+    )
+
+
+def sim_neardup_pairs_exact_pairs_view(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """(doc_a, doc_b) projection of the embedding near-dup pairs, with
+    vec ids read as doc ids (row-aligned fixture convention)."""
+    from .similarity import sim_neardup_pairs_exact
+
+    return sim_neardup_pairs_exact(spark, sf_dir).select(
+        F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b")
+    )

@@ -492,3 +492,19 @@ def test_zipf_fit_recovers_planted_power_law(spark, tmp_path):
     assert row["n_terms"] == vocab
     assert abs(row["slope"] - (-0.8)) < 0.02, row
     assert row["r2"] > 0.999
+
+
+def test_method_agreement_consistent_with_components(queries, spark):
+    """The agreement row's counts must equal the component pair
+    queries' row counts, with n_both <= min of the two and the method
+    Jaccard in [0, 1]."""
+    from conftest import SF_DIR
+
+    r = queries["dedup_method_agreement"](spark, SF_DIR).collect()[0]
+    n_text = queries["dedup_ngram_jaccard"](spark, SF_DIR).count()
+    n_emb = queries["sim_neardup_pairs_exact"](spark, SF_DIR).count()
+    assert r["n_text"] == n_text
+    assert r["n_embedding"] == n_emb
+    assert r["n_both"] <= min(n_text, n_emb)
+    if r["method_jaccard"] is not None:
+        assert 0.0 <= r["method_jaccard"] <= 1.0
