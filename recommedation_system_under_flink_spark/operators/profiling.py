@@ -225,3 +225,63 @@ def prof_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("nullsafe_null_matches"),
     )
+
+
+#: k-anonymity threshold for the release-readiness report.
+K_ANON = 5
+
+
+@register(
+    "prof_k_anonymity",
+    f"""WITH rel AS (
+  SELECT CAST(ts AS DATE) AS date, event_type,
+         CAST(FLOOR(value / 10.0) AS BIGINT) AS value_bucket
+  FROM events
+), grp AS (
+  SELECT date, event_type, value_bucket, CAST(COUNT(*) AS BIGINT) AS n
+  FROM rel GROUP BY date, event_type, value_bucket
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_groups,
+       CAST(MIN(n) AS BIGINT) AS k_min,
+       CAST(COUNT(*) FILTER (WHERE n < {K_ANON}) AS BIGINT)
+         AS groups_below_k,
+       CAST(SUM(CASE WHEN n < {K_ANON} THEN n ELSE 0 END) AS BIGINT)
+         AS rows_below_k,
+       ROUND(CAST(SUM(CASE WHEN n < {K_ANON} THEN n ELSE 0 END) AS DOUBLE)
+             / SUM(n), 6) AS share_below_k
+FROM grp""",
+)
+def prof_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """**k-anonymity release report** over the quasi-identifier tuple
+    (date, event_type, value-bucket): the minimum group size, how many
+    groups sit below ``K_ANON``, and what share of rows they carry —
+    the one-row diagnostic read before releasing an event extract
+    (rows in small groups are re-identifiable by their
+    quasi-identifiers; the fix is coarsening a bucket or suppressing
+    the tail, and this report says which knob moves the share).
+
+    Plan: one map-side-combinable group count + one reduce over
+    |groups| rows — scan-speed at any scale; the quasi-identifier set
+    is a projection choice, not a plan change."""
+    from ..sources.tables import events_raw, ts_date
+
+    rel = events_raw(spark, sf_dir).select(
+        ts_date("ts").alias("date"),
+        "event_type",
+        F.floor(F.col("value") / 10.0).cast("long").alias("value_bucket"),
+    )
+    grp = rel.groupBy("date", "event_type", "value_bucket").agg(
+        F.count("*").cast("long").alias("n")
+    )
+    below = F.when(F.col("n") < K_ANON, F.col("n")).otherwise(F.lit(0))
+    return grp.agg(
+        F.count("*").cast("long").alias("n_groups"),
+        F.min("n").cast("long").alias("k_min"),
+        F.count(F.when(F.col("n") < K_ANON, 1)).cast("long").alias(
+            "groups_below_k"
+        ),
+        F.sum(below).cast("long").alias("rows_below_k"),
+        F.round(F.sum(below).cast("double") / F.sum("n"), 6).alias(
+            "share_below_k"
+        ),
+    )
