@@ -375,3 +375,78 @@ def llm_pretrain_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         (cum / PACK_BUDGET).cast("long").alias("bin_id"),
         (cum % PACK_BUDGET).cast("long").alias("bin_offset"),
     )
+
+
+_FUNNEL_BY_SOURCE_ORACLE = f"""WITH lang AS (
+{_LANG_SQL}
+), qual AS (
+{_QUAL_SQL}
+), canon AS (
+  SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY text
+), flags AS (
+  SELECT d.doc_id, d.source,
+         CASE WHEN c.doc_id IS NOT NULL THEN 1 ELSE 0 END AS f_canon,
+         CASE WHEN l.lang_guess = '{KEEP_LANG}' THEN 1 ELSE 0 END AS f_lang,
+         CASE WHEN q.quality >= {QUALITY_MIN} THEN 1 ELSE 0 END AS f_qual
+  FROM documents d
+  LEFT JOIN canon c ON d.doc_id = c.doc_id
+  JOIN lang l ON d.doc_id = l.doc_id
+  JOIN qual q ON d.doc_id = q.doc_id
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS total,
+       CAST(SUM(f_canon * f_lang * f_qual) AS BIGINT) AS surv_all,
+       ROUND(CAST(SUM(f_canon * f_lang * f_qual) AS DOUBLE) / COUNT(*), 6)
+         AS survival_rate,
+       ROUND(1.0 - CAST(SUM(f_canon) AS DOUBLE) / COUNT(*), 6) AS dup_rate,
+       ROUND(1.0 - CAST(SUM(f_qual) AS DOUBLE) / COUNT(*), 6)
+         AS low_quality_rate
+FROM flags
+GROUP BY source"""
+
+
+@register("llm_curation_funnel_by_source", _FUNNEL_BY_SOURCE_ORACLE)
+def llm_curation_funnel_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """:func:`llm_curation_funnel_report` broken down **by source** —
+    the actionable form: per feed, the survival rate plus the two
+    rates a pipeline owner can act on (duplicate share → fix the
+    crawler's revisit policy; low-quality share → cut or re-filter the
+    feed). Same verbatim-embedded gate semantics; one extra grouping
+    key on the same single conditional aggregate."""
+    docs = load_raw(spark, sf_dir, "documents")
+    canonical = (
+        docs.select("doc_id", F.sha2(F.col("text"), 256).alias("content_hash"))
+        .groupBy("content_hash")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id", F.lit(1).alias("f_canon"))
+    )
+    lang = ts_lang_id(spark, sf_dir).select(
+        "doc_id", (F.col("lang_guess") == KEEP_LANG).cast("int").alias("f_lang")
+    )
+    qual = ts_quality_score(spark, sf_dir).select(
+        "doc_id", (F.col("quality") >= QUALITY_MIN).cast("int").alias("f_qual")
+    )
+    flags = (
+        docs.select("doc_id", "source")
+        .join(canonical, "doc_id", "left")
+        .join(lang, "doc_id")
+        .join(qual, "doc_id")
+        .select(
+            "source",
+            F.coalesce("f_canon", F.lit(0)).alias("f_canon"),
+            "f_lang",
+            "f_qual",
+        )
+    )
+    surv = F.sum(F.col("f_canon") * F.col("f_lang") * F.col("f_qual"))
+    return flags.groupBy("source").agg(
+        F.count("*").cast("long").alias("total"),
+        surv.cast("long").alias("surv_all"),
+        F.round(surv.cast("double") / F.count("*"), 6).alias("survival_rate"),
+        F.round(
+            1.0 - F.sum("f_canon").cast("double") / F.count("*"), 6
+        ).alias("dup_rate"),
+        F.round(
+            1.0 - F.sum("f_qual").cast("double") / F.count("*"), 6
+        ).alias("low_quality_rate"),
+    )

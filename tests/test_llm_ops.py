@@ -508,3 +508,18 @@ def test_method_agreement_consistent_with_components(queries, spark):
     assert r["n_both"] <= min(n_text, n_emb)
     if r["method_jaccard"] is not None:
         assert 0.0 <= r["method_jaccard"] <= 1.0
+
+
+def test_funnel_by_source_sums_to_global(queries, spark):
+    """Per-source funnel rows must aggregate exactly to the global
+    funnel report (totals and survivors)."""
+    from conftest import SF_DIR
+
+    rows = queries["llm_curation_funnel_by_source"](spark, SF_DIR).collect()
+    rep = queries["llm_curation_funnel_report"](spark, SF_DIR).collect()[0]
+    assert sum(r["total"] for r in rows) == rep["total"]
+    assert sum(r["surv_all"] for r in rows) == rep["surv_all"]
+    for r in rows:
+        assert 0.0 <= r["survival_rate"] <= 1.0
+        assert 0.0 <= r["dup_rate"] <= 1.0
+        assert 0.0 <= r["low_quality_rate"] <= 1.0
