@@ -2,9 +2,11 @@
 
 The reference engine is a recommender, but a user migrating to this
 engine gets a full SQL analytics surface for free — Spark's native
-DataFrame/Catalyst path. This module pins that claim down with sixteen
-classic warehouse query shapes (TPC-H-derived Q1/Q2/Q3/Q4/Q5/Q6/Q7/
-Q8/Q10/Q13/Q14/Q15/Q17/Q18/Q19/Q22, adapted to the fixture schema) over
+DataFrame/Catalyst path. This module pins that claim down with the
+complete set of 22 classic warehouse query shapes (TPC-H-derived
+Q1–Q22, adapted to the fixture schema — no partsupp table, so
+Q9/Q11/Q16/Q20 re-anchor the supplier↔part relationship through
+lineitem, and Q12/Q21 re-anchor "late" on ship-vs-order dates) over
 the seven relational fixture tables that the recommender surface never
 touches: scan+aggregate, selective-scan revenue, 3-way join + top-N,
 6-way star join, semi-join EXISTS, returned-items ranking, a
@@ -12,7 +14,10 @@ conditional-share single-row aggregate, a two-role dimension join, a
 decorrelated min-subquery, a HAVING large-order filter, a left-outer
 count distribution, a MAX-equality aggregate view, a decorrelated
 per-group AVG boundary, a disjunctive-pushdown sum, a global-average
-anti-join, and a per-year market-share ratio.
+anti-join, a per-year market-share ratio, a profit star, a
+fraction-of-global-total threshold, a late-line priority split, a
+COUNT(DISTINCT)+NOT-IN exclusion, a nested-IN dominance chain, and a
+decorrelated only-late-supplier double-EXISTS.
 
 Cross-engine determinism (the whole point of the implementation):
 
@@ -834,4 +839,361 @@ def rel_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
                 6,
             ).alias("mkt_share"),
         )
+    )
+
+
+#: Q9 profit terms: revenue minus a retail-cost stand-in for the absent
+#: partsupp.ps_supplycost (the fixture carries no partsupp table). Both
+#: factors re-cast to DECIMAL(18,6) (lossless at fixture magnitudes) so
+#: the difference stays inside DECIMAL(38) in both engines, as CHARGE
+#: does for its product.
+_COST = f"CAST(CAST(p_retailprice AS DECIMAL(18,4)) * {_QTY} AS DECIMAL(18,6))"
+_PROFIT = f"CAST({REVENUE} AS DECIMAL(18,6)) - {_COST}"
+
+
+@register(
+    "rel_q9_product_profit",
+    f"""SELECT n_name AS nation,
+       CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS o_year,
+       {_dsum(_PROFIT)} AS sum_profit
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN part ON l_partkey = p_partkey
+WHERE p_name LIKE '%red%'
+GROUP BY n_name, o_year""",
+)
+def rel_q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape: **product-type profit by nation and year** — the
+    widest unfiltered-fact star in the suite (lineitem joined to four
+    other tables with no date pruning; only the part-name LIKE cuts the
+    fact). The fixture has no partsupp, so supply cost is stood in by
+    ``p_retailprice × quantity`` (same join arms, same aggregate
+    shape). The LIKE-filtered part dim and supplier→nation broadcast;
+    orders⋈lineitem is the one shuffle join; profit is an exact-DECIMAL
+    difference so the per-(nation, year) sums hash identically. At
+    100 TB this query is the partial-aggregation stress test: ~25
+    nations × ~7 years of final groups, millions of map-side partials."""
+    li = load_raw(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey",
+        "l_quantity", "l_extendedprice", "l_discount",
+    )
+    orders = load_raw(spark, sf_dir, "orders").select(
+        "o_orderkey", F.year("o_orderdate").cast("long").alias("o_year")
+    )
+    supp = load_raw(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nation = load_raw(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    part = (
+        load_raw(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("%red%"))
+        .select("p_partkey", "p_retailprice")
+    )
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy(F.col("n_name").alias("nation"), "o_year")
+        .agg(F.expr(_dsum(_PROFIT)).alias("sum_profit"))
+    )
+
+
+@register(
+    "rel_q11_important_stock",
+    f"""WITH v AS (
+  SELECT l_partkey AS p_partkey,
+         SUM({_EP}) AS val
+  FROM lineitem
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation ON s_nationkey = n_nationkey
+  WHERE n_name = 'NATION_8'
+  GROUP BY l_partkey
+)
+SELECT p_partkey, CAST(ROUND(val, 2) AS DOUBLE) AS value
+FROM v
+WHERE val * (SELECT COUNT(*) FROM v) > 2 * (SELECT SUM(val) FROM v)""",
+)
+def rel_q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: **fraction-of-global-total threshold** — parts
+    whose traded value through one nation's suppliers exceeds twice the
+    nation's mean per-part value (partsupp value stood in by lineitem
+    extendedprice through the supplier arm; TPC-H scales Q11's
+    ``0.0001/SF`` fraction with data size — anchoring on the mean is
+    the scale-free equivalent, non-trivial at every fixture SF). The
+    per-part aggregate is computed ONCE and reused for both the scalar
+    total and the filter (same DataFrame object → AQE reuses the
+    exchange, exactly the Q15 pattern); the threshold is
+    cross-multiplied into exact DECIMAL (``val × cnt > 2 × total``) so
+    the boundary never flips between engines. Supplier/nation
+    broadcast; one partkey shuffle aggregate; the 1-row total
+    broadcasts back."""
+    nation = load_raw(spark, sf_dir, "nation").filter(
+        F.col("n_name") == "NATION_8"
+    )
+    supp = load_raw(spark, sf_dir, "supplier").join(
+        F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey")
+    ).select("s_suppkey")
+    li = load_raw(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_extendedprice"
+    )
+    v = (
+        li.join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy(F.col("l_partkey").alias("p_partkey"))
+        .agg(F.expr(f"SUM({_EP})").alias("val"))
+    )
+    total = v.agg(
+        F.sum("val").alias("total_val"), F.count("*").alias("n_parts")
+    )
+    return (
+        v.crossJoin(F.broadcast(total))
+        .filter(F.col("val") * F.col("n_parts") > 2 * F.col("total_val"))
+        .select(
+            "p_partkey", F.round("val", 2).cast("double").alias("value")
+        )
+    )
+
+
+@register(
+    "rel_q12_late_lines_by_class",
+    """SELECT l_linestatus AS ship_class,
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate > o_orderdate + INTERVAL 90 DAY
+  AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+GROUP BY l_linestatus""",
+)
+def rel_q12_late_lines_by_class(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape: **late-shipment count split by order priority**
+    — lines shipped more than 90 days after their order date in one
+    year, counted per line status (standing in for the l_shipmode the
+    fixture doesn't carry) and split urgent/other with conditional
+    sums. The join-condition comparison between two fact-side columns
+    (``l_shipdate > o_orderdate + 90d``) can only run post-join, but
+    the one-year shipdate range still prunes the lineitem scan; the
+    orderkey shuffle join is the only exchange before a 2-row final
+    aggregate."""
+    li = load_raw(spark, sf_dir, "lineitem")
+    li = li.filter(
+        (F.col("l_shipdate") >= _dt_lit(li, "l_shipdate", "1996-01-01"))
+        & (F.col("l_shipdate") < _dt_lit(li, "l_shipdate", "1997-01-01"))
+    ).select("l_orderkey", "l_linestatus", "l_shipdate")
+    orders = load_raw(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .filter(F.expr("l_shipdate > o_orderdate + INTERVAL '90' DAY"))
+        .groupBy(F.col("l_linestatus").alias("ship_class"))
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).cast("long").alias(
+                "high_line_count"
+            ),
+            F.sum(F.when(high, 0).otherwise(1)).cast("long").alias(
+                "low_line_count"
+            ),
+        )
+    )
+
+
+@register(
+    "rel_q16_supplier_part_counts",
+    """SELECT p_brand, p_type, p_size,
+       CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+FROM lineitem
+JOIN part ON p_partkey = l_partkey
+WHERE p_brand <> 'Brand#23'
+  AND p_type <> 'PROMO'
+  AND p_size IN (1, 3, 9, 14, 19, 23, 36, 45)
+  AND l_suppkey NOT IN (
+    SELECT s_suppkey FROM supplier WHERE s_acctbal < 0
+  )
+GROUP BY p_brand, p_type, p_size""",
+)
+def rel_q16_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: **COUNT(DISTINCT) + NOT-IN exclusion** — how
+    many distinct suppliers ship each qualifying (brand, type, size)
+    combination, excluding blacklisted suppliers (negative account
+    balance standing in for Q16's complaint-comment scan; the supplier
+    relationship comes through lineitem since the fixture has no
+    partsupp). The NOT IN is a **left-anti join** against the tiny
+    filtered supplier list (broadcast — safe here because s_suppkey is
+    never NULL, which is what makes NOT IN and anti-join equivalent);
+    part's brand/type/size predicates push to its scan. The distinct
+    count shuffles (group-keys × suppkey) pairs once — Spark's two-phase
+    distinct aggregate — which at 100 TB is bounded by distinct pairs,
+    not fact rows."""
+    part = (
+        load_raw(spark, sf_dir, "part")
+        .filter(
+            (F.col("p_brand") != "Brand#23")
+            & (F.col("p_type") != "PROMO")
+            & F.col("p_size").isin(1, 3, 9, 14, 19, 23, 36, 45)
+        )
+        .select("p_partkey", "p_brand", "p_type", "p_size")
+    )
+    bad_supp = (
+        load_raw(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 0)
+        .select("s_suppkey")
+    )
+    li = load_raw(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    return (
+        li.join(
+            F.broadcast(bad_supp),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+            "left_anti",
+        )
+        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct("l_suppkey").cast("long").alias("supplier_cnt"))
+    )
+
+
+@register(
+    "rel_q20_dominant_suppliers",
+    f"""WITH shipped AS (
+  SELECT l_suppkey, l_partkey, SUM({_QTY}) AS qty
+  FROM lineitem
+  JOIN part ON p_partkey = l_partkey
+  WHERE p_name LIKE '%blue%'
+    AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+  GROUP BY l_suppkey, l_partkey
+), tot AS (
+  SELECT l_partkey AS t_partkey, SUM(qty) AS total_qty
+  FROM shipped GROUP BY l_partkey
+)
+SELECT DISTINCT s_suppkey, s_name
+FROM supplier
+JOIN nation ON s_nationkey = n_nationkey
+JOIN shipped ON l_suppkey = s_suppkey
+JOIN tot ON t_partkey = l_partkey
+WHERE n_name = 'NATION_8' AND qty * 4 > total_qty""",
+)
+def rel_q20_dominant_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: **nested-IN semi-join chain** — one nation's
+    suppliers who shipped more than a quarter of a qualifying part's
+    total volume in a year (Q20's ``ps_availqty > 0.5 × shipped qty``
+    re-anchored on shipped share, since the fixture has no partsupp;
+    the 25% bar keeps the answer non-empty at every fixture SF).
+    The correlated fraction-of-total subquery is decorrelated into
+    aggregate-then-join: per-(supplier, part) quantities joined to
+    per-part totals derived from the SAME aggregate (exchange reuse),
+    threshold cross-multiplied into exact DECIMAL (``qty × 4 >
+    total``). The name-LIKE part filter and year range prune the fact
+    scan; nation-filtered supplier broadcasts; the DISTINCT collapses a
+    supplier qualifying via several parts — a left-semi in spirit,
+    written as joins because the probe side also carries the output
+    columns."""
+    part = (
+        load_raw(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("%blue%"))
+        .select("p_partkey")
+    )
+    li = load_raw(spark, sf_dir, "lineitem")
+    li = li.filter(
+        (F.col("l_shipdate") >= _dt_lit(li, "l_shipdate", "1996-01-01"))
+        & (F.col("l_shipdate") < _dt_lit(li, "l_shipdate", "1997-01-01"))
+    ).select("l_partkey", "l_suppkey", "l_quantity")
+    shipped = (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.expr(f"SUM({_QTY})").alias("qty"))
+    )
+    tot = shipped.groupBy(F.col("l_partkey").alias("t_partkey")).agg(
+        F.sum("qty").alias("total_qty")
+    )
+    nation = load_raw(spark, sf_dir, "nation").filter(
+        F.col("n_name") == "NATION_8"
+    )
+    supp = load_raw(spark, sf_dir, "supplier").join(
+        F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey")
+    ).select("s_suppkey", "s_name")
+    return (
+        shipped.join(tot, F.col("l_partkey") == F.col("t_partkey"))
+        .filter(F.col("qty") * 4 > F.col("total_qty"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name")
+        .distinct()
+    )
+
+
+@register(
+    "rel_q21_waiting_suppliers",
+    """WITH lo AS (
+  SELECT l_orderkey, l_suppkey,
+         CASE WHEN l_shipdate > o_orderdate + INTERVAL 60 DAY
+              THEN 1 ELSE 0 END AS late
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  WHERE o_orderstatus = 'F'
+), per_o AS (
+  SELECT l_orderkey,
+         COUNT(DISTINCT l_suppkey) AS n_supp,
+         COUNT(DISTINCT CASE WHEN late = 1 THEN l_suppkey END) AS n_late,
+         MAX(CASE WHEN late = 1 THEN l_suppkey END) AS late_supp
+  FROM lo GROUP BY l_orderkey
+)
+SELECT s_suppkey, s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+FROM per_o
+JOIN supplier ON late_supp = s_suppkey
+WHERE n_supp >= 2 AND n_late = 1
+GROUP BY s_suppkey, s_name
+ORDER BY numwait DESC, s_suppkey
+LIMIT 100""",
+)
+def rel_q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape: **suppliers who kept orders waiting** — on
+    finalized multi-supplier orders, the supplier who was the ONLY late
+    one ("late" = shipped >60 days after the order date, standing in
+    for the receipt-vs-commit dates the fixture doesn't carry), ranked
+    by how many orders they alone held up. Q21's EXISTS(other supplier)
+    / NOT EXISTS(other LATE supplier) pair of correlated self-joins is
+    decorrelated into ONE aggregate over the order's lines:
+    ``n_supp ≥ 2`` IS the exists, ``n_late = 1`` IS the not-exists, and
+    ``MAX(CASE late)`` recovers the unique culprit — one orderkey
+    shuffle instead of two extra fact self-joins (the naive plan reads
+    lineitem three times; at 100 TB that is 3× scan + 3× shuffle).
+    Supplier broadcasts onto the tiny aggregate; top-100 is
+    deterministic via the suppkey tiebreak."""
+    orders = (
+        load_raw(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select("o_orderkey", "o_orderdate")
+    )
+    li = load_raw(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    lo = li.join(orders, F.col("l_orderkey") == F.col("o_orderkey")).select(
+        "l_orderkey",
+        "l_suppkey",
+        F.expr(
+            "CASE WHEN l_shipdate > o_orderdate + INTERVAL '60' DAY "
+            "THEN 1 ELSE 0 END"
+        ).alias("late"),
+    )
+    per_o = lo.groupBy("l_orderkey").agg(
+        F.count_distinct("l_suppkey").alias("n_supp"),
+        F.count_distinct(
+            F.when(F.col("late") == 1, F.col("l_suppkey"))
+        ).alias("n_late"),
+        F.max(F.when(F.col("late") == 1, F.col("l_suppkey"))).alias(
+            "late_supp"
+        ),
+    )
+    supp = load_raw(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        per_o.filter((F.col("n_supp") >= 2) & (F.col("n_late") == 1))
+        .join(F.broadcast(supp), F.col("late_supp") == F.col("s_suppkey"))
+        .groupBy("s_suppkey", "s_name")
+        .agg(F.count("*").alias("numwait"))
+        .orderBy(F.col("numwait").desc(), F.col("s_suppkey"))
+        .limit(100)
     )

@@ -28,6 +28,7 @@ from pyspark.sql import functions as F
 
 from ..registry import register
 from ..sources import clicks, events_raw
+from ..sources.tables import NEWS_MOD
 
 #: approx_count_distinct standard error; 0.01 ⇒ ~1% rsd, ~6 KB state.
 HLL_RSD = 0.01
@@ -107,7 +108,7 @@ HH_K = 300
 @register(
     "sk_heavy_hitters_exact",
     f"""WITH clicks AS (
-  SELECT event_id % 500 AS news_id FROM events WHERE event_type = 'click'
+  SELECT event_id % {NEWS_MOD} AS news_id FROM events WHERE event_type = 'click'
 ), tot AS (SELECT COUNT(*) AS n FROM clicks)
 SELECT news_id, CAST(COUNT(*) AS BIGINT) AS n_clicks
 FROM clicks, tot

@@ -66,6 +66,7 @@ EXPECTED_CARTESIAN = {
     "ev_daily_spine_fill": "date-spine × event-type dim (30×|types| rows)",
     "t4_rbo_recommender_agreement": "date-spine × 10-depth dim + K-fanout prefix (bounded)",
     "ev_key_skew_report": "1-row global-total scalar broadcast",
+    "rel_q11_important_stock": "1-row (total, count) scalar broadcast (Q15 pattern)",
     "ev_value_psi": "1-row decile-edges scalar broadcast",
     "samp_lang_mixture": "1-row corpus-total scalar broadcast into rates",
     "samp_temperature_mixture": "1-row totals/λ scalar broadcasts into rates",

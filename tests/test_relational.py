@@ -680,3 +680,178 @@ def test_ivfpq_recall_vs_bruteforce(queries, spark):
         len(exact[q] & approx.get(q, set())) / len(exact[q]) for q in exact
     ]
     assert sum(recalls) / len(recalls) >= 0.1, recalls
+
+
+def test_q9_star_broadcasts_and_name_pushdown(queries, spark):
+    """Q9's three dim arms (part, supplier, nation) broadcast — only
+    orders⋈lineitem may shuffle — and the part-name LIKE reaches the
+    part scan as a pushed StringContains filter."""
+    plan = _plan(queries["rel_q9_product_profit"](spark, SF_DIR))
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert plan.count("SortMergeJoin") <= 1
+    assert "StringContains(p_name,red)" in plan
+
+
+def test_q11_threshold_semantics(queries, spark):
+    """Every returned part's value must exceed 2× the nation's mean
+    per-part value, recomputed independently via pandas; sets match."""
+    from pyspark.sql import functions as F
+
+    from recommedation_system_under_flink_spark.sources import load_raw
+
+    rows = queries["rel_q11_important_stock"](spark, SF_DIR).collect()
+    assert rows
+    li = load_raw(spark, SF_DIR, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_extendedprice"
+    )
+    supp = load_raw(spark, SF_DIR, "supplier").filter(F.col("s_nationkey") == 8)
+    pdf = (
+        li.join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("l_partkey")
+        .agg(F.sum("l_extendedprice").alias("val"))
+        .toPandas()
+    )
+    expected = set(
+        pdf.loc[pdf["val"] * len(pdf) > 2 * pdf["val"].sum(), "l_partkey"]
+    )
+    assert {r["p_partkey"] for r in rows} == expected
+
+
+def test_q12_counts_partition_late_lines(queries, spark):
+    """high + low across all classes equals the independently-counted
+    late-line total for the year; every line is in exactly one bucket."""
+    from pyspark.sql import functions as F
+
+    from recommedation_system_under_flink_spark.operators.relational import _dt_lit
+    from recommedation_system_under_flink_spark.sources import load_raw
+
+    rows = queries["rel_q12_late_lines_by_class"](spark, SF_DIR).collect()
+    assert rows
+    got = sum(r["high_line_count"] + r["low_line_count"] for r in rows)
+    li = load_raw(spark, SF_DIR, "lineitem")
+    li = li.filter(
+        (F.col("l_shipdate") >= _dt_lit(li, "l_shipdate", "1996-01-01"))
+        & (F.col("l_shipdate") < _dt_lit(li, "l_shipdate", "1997-01-01"))
+    )
+    orders = load_raw(spark, SF_DIR, "orders")
+    expected = (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .filter(F.expr("l_shipdate > o_orderdate + INTERVAL '90' DAY"))
+        .count()
+    )
+    assert got == expected
+
+
+def test_q16_exclusion_and_bounds(queries, spark):
+    """No excluded brand/type appears; every distinct-supplier count is
+    bounded by the non-blacklisted supplier population."""
+    from pyspark.sql import functions as F
+
+    from recommedation_system_under_flink_spark.sources import load_raw
+
+    rows = queries["rel_q16_supplier_part_counts"](spark, SF_DIR).collect()
+    assert rows
+    ok_supp = (
+        load_raw(spark, SF_DIR, "supplier")
+        .filter(F.col("s_acctbal") >= 0)
+        .count()
+    )
+    for r in rows:
+        assert r["p_brand"] != "Brand#23"
+        assert r["p_type"] != "PROMO"
+        assert 1 <= r["supplier_cnt"] <= ok_supp
+
+
+def test_q21_decorrelation_matches_exists_form(queries, spark):
+    """The single-aggregate decorrelation must agree with the literal
+    EXISTS / NOT EXISTS triple-self-join form run in Spark SQL — same
+    (supplier, numwait) multiset before the LIMIT."""
+    from recommedation_system_under_flink_spark.sources import load_raw
+
+    load_raw(spark, SF_DIR, "lineitem").createOrReplaceTempView("q21_li")
+    load_raw(spark, SF_DIR, "orders").createOrReplaceTempView("q21_o")
+    load_raw(spark, SF_DIR, "supplier").createOrReplaceTempView("q21_s")
+    naive = spark.sql(
+        """
+        SELECT s_suppkey, CAST(COUNT(*) AS BIGINT) AS numwait
+        FROM q21_li l1 JOIN q21_o ON l1.l_orderkey = o_orderkey
+        JOIN q21_s ON l1.l_suppkey = s_suppkey
+        WHERE o_orderstatus = 'F'
+          AND l1.l_shipdate > o_orderdate + INTERVAL '60' DAY
+          AND EXISTS (SELECT 1 FROM q21_li l2
+                      WHERE l2.l_orderkey = l1.l_orderkey
+                        AND l2.l_suppkey <> l1.l_suppkey)
+          AND NOT EXISTS (SELECT 1 FROM q21_li l3
+                          JOIN q21_o o3 ON l3.l_orderkey = o3.o_orderkey
+                          WHERE l3.l_orderkey = l1.l_orderkey
+                            AND l3.l_suppkey <> l1.l_suppkey
+                            AND l3.l_shipdate > o3.o_orderdate
+                                              + INTERVAL '60' DAY)
+        GROUP BY s_suppkey
+        """
+    ).collect()
+    # The naive form counts qualifying LINES; the decorrelated form
+    # counts qualifying ORDERS. Recount the naive form per order first.
+    dec = {
+        (r["s_suppkey"], r["numwait"])
+        for r in queries["rel_q21_waiting_suppliers"](spark, SF_DIR).collect()
+    }
+    naive_orders = spark.sql(
+        """
+        SELECT s_suppkey, CAST(COUNT(DISTINCT l1.l_orderkey) AS BIGINT)
+                 AS numwait
+        FROM q21_li l1 JOIN q21_o ON l1.l_orderkey = o_orderkey
+        JOIN q21_s ON l1.l_suppkey = s_suppkey
+        WHERE o_orderstatus = 'F'
+          AND l1.l_shipdate > o_orderdate + INTERVAL '60' DAY
+          AND EXISTS (SELECT 1 FROM q21_li l2
+                      WHERE l2.l_orderkey = l1.l_orderkey
+                        AND l2.l_suppkey <> l1.l_suppkey)
+          AND NOT EXISTS (SELECT 1 FROM q21_li l3
+                          JOIN q21_o o3 ON l3.l_orderkey = o3.o_orderkey
+                          WHERE l3.l_orderkey = l1.l_orderkey
+                            AND l3.l_suppkey <> l1.l_suppkey
+                            AND l3.l_shipdate > o3.o_orderdate
+                                              + INTERVAL '60' DAY)
+        GROUP BY s_suppkey
+        """
+    ).collect()
+    assert {(r["s_suppkey"], r["numwait"]) for r in naive_orders} == dec
+    assert dec
+
+
+def test_q20_dominance_threshold(queries, spark):
+    """Every reported supplier really shipped >25% of some blue part's
+    1996 volume, recomputed via an independent pandas aggregation."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from recommedation_system_under_flink_spark.operators.relational import _dt_lit
+    from recommedation_system_under_flink_spark.sources import load_raw
+
+    rows = queries["rel_q20_dominant_suppliers"](spark, SF_DIR).collect()
+    part = (
+        load_raw(spark, SF_DIR, "part")
+        .filter(F.col("p_name").like("%blue%"))
+        .select("p_partkey")
+    )
+    li = load_raw(spark, SF_DIR, "lineitem")
+    pdf = (
+        li.filter(
+            (F.col("l_shipdate") >= _dt_lit(li, "l_shipdate", "1996-01-01"))
+            & (F.col("l_shipdate") < _dt_lit(li, "l_shipdate", "1997-01-01"))
+        )
+        .join(part, F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+        .toPandas()
+    )
+    tot = pdf.groupby("l_partkey")["qty"].transform("sum")
+    dominant = set(pdf.loc[pdf["qty"] * 4 > tot, "l_suppkey"])
+    nation8 = {
+        r["s_suppkey"]
+        for r in load_raw(spark, SF_DIR, "supplier")
+        .filter(F.col("s_nationkey") == 8)
+        .collect()
+    }
+    assert {r["s_suppkey"] for r in rows} == dominant & nation8
