@@ -427,3 +427,104 @@ def samp_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ------------------------------------------- DSIR importance weights
+
+#: DSIR target domain: the corpus slice whose distribution we want the
+#: resampled data to match (the fixture's largest language).
+DSIR_TARGET_LANG = "en"
+
+
+def _dsir_oracle() -> str:
+    from ..functions.text import TOKEN_SPLIT_REGEX
+
+    toks_sql = (
+        f"list_filter(string_split_regex(lower(text), '{TOKEN_SPLIT_REGEX}'), "
+        "t -> t <> '')"
+    )
+    return f"""WITH toks AS (
+  SELECT d.doc_id, d.lang, unnest({toks_sql}) AS term FROM documents d
+), raw AS (
+  SELECT term, CAST(COUNT(*) AS BIGINT) AS cr FROM toks GROUP BY term
+), tgt AS (
+  SELECT term, CAST(COUNT(*) AS BIGINT) AS ct FROM toks
+  WHERE lang = '{DSIR_TARGET_LANG}' GROUP BY term
+), tot AS (
+  SELECT (SELECT SUM(cr) FROM raw) AS nr,
+         (SELECT COALESCE(SUM(ct), 0) FROM tgt) AS nt,
+         (SELECT COUNT(*) FROM raw) AS v
+)
+SELECT t.doc_id, ANY_VALUE(t.lang) AS lang,
+       CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       ROUND(SUM(log2(CAST(COALESCE(g.ct, 0) + 1 AS DOUBLE) / (tot.nt + tot.v))
+                 - log2(CAST(r.cr + 1 AS DOUBLE) / (tot.nr + tot.v)))
+             / COUNT(*), 6) AS mean_log2_ratio
+FROM toks t
+JOIN raw r ON t.term = r.term
+LEFT JOIN tgt g ON t.term = g.term
+CROSS JOIN tot
+GROUP BY t.doc_id"""
+
+
+@register("samp_dsir_weights", _dsir_oracle())
+def samp_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """**DSIR** (Data Selection via Importance Resampling, Xie et al.
+    2023, arXiv:2302.03169): score every document by how much more
+    likely its tokens are under a *target-domain* unigram LM than under
+    the *raw-corpus* LM — ``mean log₂ p_tgt(w)/p_raw(w)`` with add-one
+    smoothing over the shared vocabulary. Documents scoring high look
+    like the target domain and survive resampling; the fixture target
+    is the ``lang = 'en'`` slice, so the score doubles as a
+    train-time language-affinity filter (pytest pins that en docs
+    outscore non-en docs on average).
+
+    The paper hashes n-grams into a fixed feature space; over the
+    fixture's bounded vocabulary the exact unigram form is the same
+    estimator without the hash collisions, and keeps the whole chain
+    SQL-expressible (the hashed variant changes only the grouping key).
+
+    Scale: each LM is a map-side-combinable count over the exploded
+    token stream; the scoring joins shuffle on term exactly like
+    TF-IDF A5, and the 1-row totals broadcast. The plan re-scans
+    documents once per LM leg — at 100 TB feed it the materialized
+    token table (``s19_token_table_reuse``) so the corpus is tokenized
+    once. Quantized to 6 dp (libm-vs-JVM log2 ulp)."""
+    docs = load_raw(spark, sf_dir, "documents")
+    from .textstats import _tokens
+
+    toks = docs.select(
+        "doc_id", "lang", F.explode(_tokens(F.col("text"))).alias("term")
+    )
+    raw = toks.groupBy("term").agg(F.count("*").alias("cr"))
+    tgt = (
+        toks.filter(F.col("lang") == DSIR_TARGET_LANG)
+        .groupBy("term")
+        .agg(F.count("*").alias("ct"))
+    )
+    tot = raw.agg(
+        F.sum("cr").alias("nr"), F.count("*").alias("v")
+    ).crossJoin(tgt.agg(F.coalesce(F.sum("ct"), F.lit(0)).alias("nt")))
+    per_token = (
+        toks.join(raw, "term")
+        .join(tgt, "term", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "doc_id",
+            "lang",
+            (
+                F.log2(
+                    (F.coalesce(F.col("ct"), F.lit(0)) + 1).cast("double")
+                    / (F.col("nt") + F.col("v"))
+                )
+                - F.log2(
+                    (F.col("cr") + 1).cast("double") / (F.col("nr") + F.col("v"))
+                )
+            ).alias("w"),
+        )
+    )
+    return per_token.groupBy("doc_id").agg(
+        F.any_value(F.col("lang")).alias("lang"),
+        F.count("*").alias("n_tokens"),
+        F.round(F.sum("w") / F.count("*"), 6).alias("mean_log2_ratio"),
+    )

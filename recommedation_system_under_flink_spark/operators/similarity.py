@@ -1747,3 +1747,141 @@ def sim_ivfpq_topk_pinned(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rank", F.row_number().over(rank_w).cast("int"))
         .filter(F.col("rank") <= TOP_K)
     )
+
+
+# --------------------------------------------------------- SemDeDup
+
+#: Semantic-dup edge threshold: same pinned cosine bar as the exact
+#: near-dup scorer, so the two surfaces agree on what "duplicate" means.
+SEMDEDUP_THRESHOLD = COSINE_THRESHOLD
+
+
+def _semdedup_oracle() -> str:
+    """DuckDB twin of :func:`sim_semdedup`: pinned centroids (first
+    ``IVF_K`` corpus vectors), argmax-cosine cell assignment with the
+    lower-cid tiebreak, then the keep rule evaluated as a relational
+    EXISTS over intra-cluster pairs."""
+    cos_vc = (
+        "list_dot_product(v.e, c.e) / (sqrt(list_dot_product(v.e, v.e))"
+        " * sqrt(list_dot_product(c.e, c.e)))"
+    )
+    cos_me = (
+        "list_dot_product(pm.e, pe.e) / (sqrt(list_dot_product(pm.e, pm.e))"
+        " * sqrt(list_dot_product(pe.e, pe.e)))"
+    )
+    return f"""WITH proj AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+), cents AS (
+  SELECT vec_id AS cid, e FROM proj WHERE vec_id < {IVF_K}
+), ranked_cells AS (
+  SELECT v.vec_id, c.cid, {cos_vc} AS c_cos,
+         ROW_NUMBER() OVER (
+           PARTITION BY v.vec_id ORDER BY {cos_vc} DESC, c.cid ASC
+         ) AS cell_rank
+  FROM proj v CROSS JOIN cents c
+), mem AS (
+  SELECT vec_id, cid, ROUND(c_cos, 6) AS c_cos
+  FROM ranked_cells WHERE cell_rank = 1
+), dropped AS (
+  SELECT DISTINCT m.vec_id
+  FROM mem m
+  JOIN mem e ON e.cid = m.cid
+    AND (e.c_cos < m.c_cos OR (e.c_cos = m.c_cos AND e.vec_id < m.vec_id))
+  JOIN proj pm ON pm.vec_id = m.vec_id
+  JOIN proj pe ON pe.vec_id = e.vec_id
+  WHERE {cos_me} >= {SEMDEDUP_THRESHOLD}
+)
+SELECT m.vec_id, m.cid, m.c_cos AS centroid_cos,
+       d.vec_id IS NULL AS kept
+FROM mem m LEFT JOIN dropped d ON m.vec_id = d.vec_id"""
+
+
+@register("sim_semdedup", _semdedup_oracle())
+def sim_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """**SemDeDup** (Abbas et al. 2023, arXiv:2303.09540): semantic
+    deduplication by clustering embeddings and removing near-identical
+    members within each cluster — the published recipe for pruning
+    web-scale pretraining corpora beyond exact/lexical dedup. Three
+    stages, all Catalyst-side:
+
+    1. **cluster**: assign every vector to its nearest pinned centroid
+       (first ``IVF_K`` corpus vectors, argmax cosine, lower-cid
+       tiebreak — the same portable index core as
+       :func:`sim_ivf_topk_pinned`);
+    2. **pair within cluster**: intra-cluster cosine ≥
+       ``SEMDEDUP_THRESHOLD`` marks a semantic-dup edge — pairs are
+       generated per cell, never across the corpus (the whole point:
+       O(Σ|cell|²) ≪ O(n²), and at 100 TB the cell size is capped by
+       raising K, exactly like IVF);
+    3. **keep rule**: following the paper, within a dup neighborhood
+       the example KEPT is the one with the *lowest* cosine to its
+       centroid (preserves cluster-edge diversity; typical members are
+       redundant). Relationally: drop a member iff some same-cell
+       neighbor above the dup threshold precedes it in
+       (centroid-cos ASC, vec_id ASC) order — quantized to 6 dp so the
+       order never flips between engines.
+
+    Output: every vector with its cell, centroid cosine, and the
+    kept/dropped verdict — the verdict form downstream curation joins
+    on (cf. ``dedup_neardup_canonical`` for the lexical analogue).
+    Scale: one centroid probe (Arrow-batched matmul) + one
+    cell-keyed self-join; no global shuffle beyond the cell key."""
+    emb = load_raw(spark, sf_dir, "embeddings")
+    base = emb.select("vec_id", _as_double("embedding").alias("emb")).withColumn(
+        "nrm", _norm(F.col("emb"))
+    )
+    cents = [
+        list(r["emb"])
+        for r in base.filter(F.col("vec_id") < IVF_K)
+        .orderBy("vec_id")
+        .select("emb")
+        .collect()
+    ]
+    if not cents:
+        return spark.createDataFrame(
+            [], "vec_id long, cid long, centroid_cos double, kept boolean"
+        )
+    cent_df = spark.createDataFrame(
+        [(i, c) for i, c in enumerate(cents)], "cid long, cemb array<double>"
+    ).withColumn("cnrm", _norm(F.col("cemb")))
+    mem = (
+        base.withColumn(
+            "cid", F.element_at(_probe_udf(cents, 1)(F.col("emb")), 1).cast("long")
+        )
+        .join(F.broadcast(cent_df), "cid")
+        .select(
+            "vec_id",
+            "cid",
+            F.round(
+                _dot(F.col("emb"), F.col("cemb"))
+                / (F.col("nrm") * F.col("cnrm")),
+                6,
+            ).alias("c_cos"),
+            "emb",
+            "nrm",
+        )
+    )
+    m = mem.alias("m")
+    e = mem.alias("e")
+    precedes = (F.col("e.c_cos") < F.col("m.c_cos")) | (
+        (F.col("e.c_cos") == F.col("m.c_cos"))
+        & (F.col("e.vec_id") < F.col("m.vec_id"))
+    )
+    dup_edge = (
+        _dot(F.col("m.emb"), F.col("e.emb")) / (F.col("m.nrm") * F.col("e.nrm"))
+    ) >= SEMDEDUP_THRESHOLD
+    dropped = (
+        m.join(e, (F.col("m.cid") == F.col("e.cid")) & precedes & dup_edge, "left_semi")
+        .select(F.col("m.vec_id").alias("vec_id"))
+        .distinct()
+        .withColumn("is_dropped", F.lit(True))
+    )
+    return (
+        mem.join(dropped, "vec_id", "left")
+        .select(
+            "vec_id",
+            "cid",
+            F.col("c_cos").alias("centroid_cos"),
+            F.col("is_dropped").isNull().alias("kept"),
+        )
+    )

@@ -523,3 +523,69 @@ def test_funnel_by_source_sums_to_global(queries, spark):
         assert 0.0 <= r["survival_rate"] <= 1.0
         assert 0.0 <= r["dup_rate"] <= 1.0
         assert 0.0 <= r["low_quality_rate"] <= 1.0
+
+
+# ------------------------------------------------------------- semdedup
+
+def test_semdedup_drop_rule(queries, spark):
+    """Every dropped vector must have a same-cell neighbor above the
+    dup threshold that precedes it in (centroid-cos, id) order, and
+    every kept vector must have none — recomputed with numpy from the
+    raw embeddings and the pinned first-IVF_K centroids."""
+    import numpy as np
+
+    from recommedation_system_under_flink_spark.operators.similarity import (
+        IVF_K,
+        SEMDEDUP_THRESHOLD,
+    )
+    from recommedation_system_under_flink_spark.sources import load_raw
+
+    rows = queries["sim_semdedup"](spark, SF_DIR).collect()
+    assert rows
+    emb = {
+        r["vec_id"]: np.array(r["embedding"], dtype=np.float64)
+        for r in load_raw(spark, SF_DIR, "embeddings").collect()
+    }
+    cents = np.array([emb[i] for i in range(IVF_K)])
+    cu = cents / np.linalg.norm(cents, axis=1)[:, None]
+    cell: dict[int, list] = {}
+    order = {}
+    for vid, v in emb.items():
+        sims = (v @ cu.T) / np.linalg.norm(v)
+        cid = int(np.argmax(sims))  # first max = lower cid, as pinned
+        cell.setdefault(cid, []).append(vid)
+        order[vid] = (round(float(sims[cid]), 6), vid)
+    by_id = {r["vec_id"]: r for r in rows}
+    n_dropped = 0
+    for vid, r in by_id.items():
+        has_predecessor_dup = False
+        for u in cell[r["cid"]]:
+            if u == vid or order[u] >= order[vid]:
+                continue
+            cos = float(
+                emb[u] @ emb[vid]
+                / (np.linalg.norm(emb[u]) * np.linalg.norm(emb[vid]))
+            )
+            if cos >= SEMDEDUP_THRESHOLD:
+                has_predecessor_dup = True
+                break
+        assert r["kept"] == (not has_predecessor_dup), (vid, r)
+        n_dropped += 0 if r["kept"] else 1
+    assert n_dropped >= 1  # fixture has at least one semantic dup
+
+
+# ----------------------------------------------------------------- dsir
+
+def test_dsir_target_lang_scores_higher(queries, spark):
+    """The DSIR importance weight must separate the target domain:
+    mean score of en docs strictly above mean score of non-en docs,
+    and every document must be scored."""
+    from recommedation_system_under_flink_spark.sources import load_raw
+
+    rows = queries["samp_dsir_weights"](spark, SF_DIR).collect()
+    n_docs = load_raw(spark, SF_DIR, "documents").count()
+    assert len(rows) == n_docs
+    en = [r["mean_log2_ratio"] for r in rows if r["lang"] == "en"]
+    other = [r["mean_log2_ratio"] for r in rows if r["lang"] != "en"]
+    assert en and other
+    assert sum(en) / len(en) > sum(other) / len(other)
