@@ -1128,3 +1128,114 @@ def ts_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_bytes").cast("double") / F.sum("n_tokens"), 6
         ).alias("bytes_per_token"),
     )
+
+
+# --------------------------------------------- BPE vocabulary induction
+
+#: Number of BPE merge rounds to learn. Small by design: the point is
+#: the distributed induction loop, and the fixture corpus saturates its
+#: frequent-pair structure within a few merges.
+BPE_MERGES = 8
+
+
+def _bpe_merge_fold(left: str, right: str) -> Column:
+    """Greedy left-to-right merge of the adjacent pair (left, right)
+    in a symbol array, as a pure-Catalyst fold: append each symbol,
+    but when the running array ends in ``left`` and the next symbol is
+    ``right``, replace the tail with the merged token. This is exactly
+    the reference BPE apply step (merged tokens never re-match as
+    ``left`` within the round unless they literally equal it)."""
+    merged = left + right
+    return F.aggregate(
+        F.col("symbols"),
+        F.expr("CAST(array() AS ARRAY<STRING>)"),
+        lambda acc, x: F.when(
+            (F.size(acc) > 0)
+            & (F.element_at(acc, -1) == F.lit(left))
+            & (x == F.lit(right)),
+            F.concat(
+                F.slice(acc, 1, F.size(acc) - 1), F.array(F.lit(merged))
+            ),
+        ).otherwise(F.concat(acc, F.array(x))),
+    )
+
+
+@register("ts_bpe_learn_merges")  # iterative argmax loop → rows-only
+def ts_bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """**Distributed BPE vocabulary induction** (Sennrich et al. 2016):
+    learn the first ``BPE_MERGES`` byte-pair merges from the corpus —
+    the tokenizer-training step of an LLM data pipeline, run as a
+    Spark loop instead of the single-machine reference algorithm.
+
+    State is the **word-frequency table**, not the corpus: one
+    tokenize+count pass collapses 100 TB of text into |vocab| rows
+    (the classic BPE trick), and every round after that touches only
+    that table. Each round is (a) one explode of adjacent symbol
+    pairs + weighted count (map-side combinable), (b) ONE collected
+    row — the argmax pair, count DESC with lexicographic tiebreak, a
+    scalar model parameter like the IVF centroids — and (c) a
+    map-side fold applying the merge (:func:`_bpe_merge_fold`, no
+    shuffle). K rounds → K small shuffles over |vocab| rows; the
+    per-round state is persisted and periodically ``localCheckpoint``-ed
+    like the BSP loops (graph.py).
+
+    Deterministic end to end (counts + pinned tiebreaks), but the
+    per-round argmax makes it non-SQL-expressible as one query →
+    rows-only for the driver; pytest verifies the learned merge table
+    **exactly matches** a pure-Python reference implementation
+    (tests/test_llm_ops.py)."""
+    docs = load_raw(spark, sf_dir, "documents")
+    words = (
+        docs.select(F.explode(_tokens(F.col("text"))).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("wc"))
+        .select(
+            F.concat(
+                F.split(F.col("word"), ""), F.array(F.lit("</w>"))
+            ).alias("symbols"),
+            "wc",
+        )
+        .persist()
+    )
+    words.count()
+    merges = []
+    for rank in range(BPE_MERGES):
+        pairs = (
+            words.filter(F.size("symbols") >= 2)
+            .select(
+                F.explode(
+                    F.zip_with(
+                        F.slice(F.col("symbols"), 1, F.size("symbols") - 1),
+                        F.slice(F.col("symbols"), 2, F.size("symbols") - 1),
+                        lambda a, b: F.struct(
+                            a.alias("left"), b.alias("right")
+                        ),
+                    )
+                ).alias("pair"),
+                "wc",
+            )
+            .groupBy("pair.left", "pair.right")
+            .agg(F.sum("wc").alias("n"))
+        )
+        top = pairs.orderBy(
+            F.desc("n"), F.asc("left"), F.asc("right")
+        ).limit(1).collect()
+        if not top:
+            break
+        left, right, n = top[0]["left"], top[0]["right"], top[0]["n"]
+        merges.append((rank, left, right, left + right, n))
+        new_words = words.select(
+            _bpe_merge_fold(left, right).alias("symbols"), "wc"
+        ).persist()
+        new_words.count()
+        words.unpersist()
+        words = new_words
+        if (rank + 1) % 4 == 0:  # bound lineage like the BSP loops
+            checkpointed = words.localCheckpoint(eager=True)
+            words.unpersist()
+            words = checkpointed
+    words.unpersist()
+    return spark.createDataFrame(
+        merges,
+        "rank long, left string, right string, merged string, pair_count long",
+    )

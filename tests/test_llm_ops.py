@@ -589,3 +589,61 @@ def test_dsir_target_lang_scores_higher(queries, spark):
     other = [r["mean_log2_ratio"] for r in rows if r["lang"] != "en"]
     assert en and other
     assert sum(en) / len(en) > sum(other) / len(other)
+
+
+# ------------------------------------------------------------------ bpe
+
+def test_bpe_learn_merges_matches_reference(queries, spark):
+    """The distributed BPE induction must produce EXACTLY the merge
+    table of the single-machine reference algorithm (Sennrich et al.):
+    same pairs, same order, same weighted counts."""
+    from collections import Counter
+
+    from recommedation_system_under_flink_spark.functions.text import (
+        TOKEN_SPLIT_REGEX,
+    )
+    from recommedation_system_under_flink_spark.operators.textstats import (
+        BPE_MERGES,
+    )
+    from recommedation_system_under_flink_spark.sources import load_raw
+
+    import re
+
+    got = [
+        (r["rank"], r["left"], r["right"], r["merged"], r["pair_count"])
+        for r in queries["ts_bpe_learn_merges"](spark, SF_DIR)
+        .orderBy("rank")
+        .collect()
+    ]
+    assert len(got) == BPE_MERGES
+
+    words: Counter = Counter()
+    for r in load_raw(spark, SF_DIR, "documents").select("text").collect():
+        for w in re.split(TOKEN_SPLIT_REGEX, r["text"].lower()):
+            if w:
+                words[w] += 1
+    state = {tuple(list(w) + ["</w>"]): c for w, c in words.items()}
+    expected = []
+    for rank in range(BPE_MERGES):
+        pair_counts: Counter = Counter()
+        for syms, c in state.items():
+            for a, b in zip(syms, syms[1:]):
+                pair_counts[(a, b)] += c
+        if not pair_counts:
+            break
+        (left, right), n = min(
+            pair_counts.items(), key=lambda kv: (-kv[1], kv[0])
+        )
+        expected.append((rank, left, right, left + right, n))
+        new_state: dict = {}
+        for syms, c in state.items():
+            out: list = []
+            for x in syms:
+                if out and out[-1] == left and x == right:
+                    out[-1] = left + right
+                else:
+                    out.append(x)
+            key = tuple(out)
+            new_state[key] = new_state.get(key, 0) + c
+        state = new_state
+    assert got == expected
