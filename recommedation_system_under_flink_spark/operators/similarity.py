@@ -1885,3 +1885,275 @@ def sim_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("is_dropped").isNull().alias("kept"),
         )
     )
+
+
+# ---------------------------------------------------------------- MMR
+
+#: MMR re-ranking: relevance/diversity trade-off λ, final list size,
+#: and the relevance-candidate pool fed into the re-ranker.
+MMR_LAMBDA = 0.7
+MMR_K = 5
+MMR_POOL = 20
+
+
+def _mmr_oracle() -> str:
+    """DuckDB twin of :func:`sim_mmr_rerank`: the greedy loop unrolled
+    into ``MMR_K`` CTE blocks (the same trick as PageRank's
+    unrolled-CTE oracle). ``pool`` is the top-``MMR_POOL`` relevance
+    candidates per query; each block picks the argmax MMR score over
+    the not-yet-selected pool, with every comparison quantized to 6 dp
+    and tie-broken by corpus_id so both engines pick identical items."""
+    cos = (
+        "list_dot_product(a.e, b.e) / (sqrt(list_dot_product(a.e, a.e))"
+        " * sqrt(list_dot_product(b.e, b.e)))"
+    )
+    blocks = [
+        f"""sel1 AS (
+  SELECT query_id, corpus_id, rel, 1 AS pick FROM (
+    SELECT query_id, corpus_id, rel,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+                              ORDER BY rel DESC, corpus_id ASC) AS rn
+    FROM pool
+  ) WHERE rn = 1
+)"""
+    ]
+    for k in range(2, MMR_K + 1):
+        prev = ", ".join(f"sel{i}" for i in range(1, k))
+        blocks.append(
+            f"""sel{k} AS (
+  SELECT query_id, corpus_id, rel, {k} AS pick FROM (
+    SELECT p.query_id, p.corpus_id, p.rel,
+           ROW_NUMBER() OVER (
+             PARTITION BY p.query_id
+             ORDER BY ROUND({MMR_LAMBDA} * p.rel
+                            - {1 - MMR_LAMBDA} * MAX(s.sim), 6) DESC,
+                      p.corpus_id ASC
+           ) AS rn
+    FROM pool p
+    JOIN (SELECT * FROM {" UNION ALL SELECT * FROM ".join(f"sel{i}" for i in range(1, k))}) sl
+      ON sl.query_id = p.query_id
+    JOIN sims s ON s.query_id = p.query_id
+      AND s.id_a = p.corpus_id AND s.id_b = sl.corpus_id
+    WHERE p.corpus_id NOT IN (
+      SELECT corpus_id FROM (SELECT * FROM {" UNION ALL SELECT * FROM ".join(f"sel{i}" for i in range(1, k))}) x
+      WHERE x.query_id = p.query_id
+    )
+    GROUP BY p.query_id, p.corpus_id, p.rel
+  ) WHERE rn = 1
+)"""
+        )
+        _ = prev
+    union_all = " UNION ALL SELECT * FROM ".join(
+        f"sel{i}" for i in range(1, MMR_K + 1)
+    )
+    return f"""WITH proj AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+), pool AS (
+  SELECT query_id, corpus_id, rel FROM (
+    SELECT a.vec_id AS query_id, b.vec_id AS corpus_id,
+           ROUND({cos}, 6) AS rel,
+           ROW_NUMBER() OVER (
+             PARTITION BY a.vec_id ORDER BY ROUND({cos}, 6) DESC, b.vec_id ASC
+           ) AS rn
+    FROM proj a JOIN proj b ON b.vec_id <> a.vec_id
+    WHERE a.vec_id < {N_QUERIES}
+  ) WHERE rn <= {MMR_POOL}
+), sims AS (
+  SELECT p.query_id, a.vec_id AS id_a, b.vec_id AS id_b, ROUND({cos}, 6) AS sim
+  FROM pool p
+  JOIN pool q ON q.query_id = p.query_id AND q.corpus_id <> p.corpus_id
+  JOIN proj a ON a.vec_id = p.corpus_id
+  JOIN proj b ON b.vec_id = q.corpus_id
+), {", ".join(blocks)}
+SELECT query_id, corpus_id, rel, pick FROM (SELECT * FROM {union_all})"""
+
+
+@register("sim_mmr_rerank", _mmr_oracle())
+def sim_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """**MMR diversified re-ranking** (Carbonell & Goldstein 1998):
+    re-rank each query's top-``MMR_POOL`` relevance candidates into a
+    ``MMR_K``-item list that trades relevance against redundancy —
+    greedy argmax of ``λ·rel(c) − (1−λ)·max_{s∈selected} sim(c, s)``.
+    The serving-side diversity stage of a recommender / RAG retriever,
+    downstream of any of the ANN indexes in this module.
+
+    The pool is generated Catalyst-side (broadcast queries × corpus,
+    quantized relevance top-``MMR_POOL``); the greedy loop itself runs
+    in ONE ``applyInPandas`` stage — each group is a single query's
+    ≤ pool candidates (bounded state by construction, the documented
+    legitimate grouped-UDF use), so the whole re-rank is one shuffle
+    on query_id no matter the corpus size. An unrolled pure-Catalyst
+    twin (:func:`mmr_rerank_unrolled`) traces the identical greedy
+    trajectory in K SQL rounds — pytest pins the two equal, and the
+    DuckDB oracle hash-verifies the trajectory end-to-end (every
+    comparison quantized to 6 dp half-away-from-zero with corpus_id
+    tiebreaks, so a *sequential* algorithm becomes hash-verifiable).
+
+    Scale: generating the pool is the ANN index's job; the re-rank
+    touches N_queries × pool rows once — embarrassingly parallel over
+    queries."""
+    import pandas as pd
+
+    pool = _mmr_pool(spark, sf_dir)
+
+    def greedy(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        def q6(x):
+            return np.sign(x) * np.floor(np.abs(x) * 1e6 + 0.5) / 1e6
+
+        pdf = pdf.sort_values("corpus_id").reset_index(drop=True)
+        x = np.array(pdf["emb"].tolist(), dtype=np.float64)
+        nrm = np.sqrt((x * x).sum(axis=1))
+        sims = q6((x @ x.T) / np.outer(nrm, nrm))
+        rel = pdf["rel"].to_numpy()
+        ids = pdf["corpus_id"].to_numpy()
+        n = len(pdf)
+        chosen: list[int] = []
+        out = []
+        for pick in range(1, min(MMR_K, n) + 1):
+            if not chosen:
+                score = rel.copy()
+            else:
+                score = q6(
+                    MMR_LAMBDA * rel
+                    - (1 - MMR_LAMBDA) * sims[:, chosen].max(axis=1)
+                )
+            score[chosen] = -np.inf
+            # argmax with lower-corpus_id tiebreak: ids are ascending,
+            # np.argmax returns the first (lowest-id) maximum
+            best = int(np.argmax(score))
+            chosen.append(best)
+            out.append(
+                (
+                    int(pdf["query_id"].iloc[0]),
+                    int(ids[best]),
+                    float(rel[best]),
+                    pick,
+                )
+            )
+        return pd.DataFrame(
+            out, columns=["query_id", "corpus_id", "rel", "pick"]
+        )
+
+    return pool.groupBy("query_id").applyInPandas(
+        greedy, "query_id long, corpus_id long, rel double, pick int"
+    )
+
+
+def _mmr_pool(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-``MMR_POOL`` relevance candidates per query with their
+    embeddings, quantized ranking — the shared front end of both MMR
+    forms."""
+    from pyspark.sql import Window
+
+    emb = load_raw(spark, sf_dir, "embeddings")
+    base = emb.select("vec_id", _as_double("embedding").alias("emb")).withColumn(
+        "nrm", _norm(F.col("emb"))
+    )
+    queries = base.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("emb").alias("q_emb"),
+        F.col("nrm").alias("q_nrm"),
+    )
+    rel_w = Window.partitionBy("query_id").orderBy(
+        F.desc("rel"), F.asc("corpus_id")
+    )
+    return (
+        base.crossJoin(F.broadcast(queries))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("corpus_id"),
+            F.round(
+                _dot(F.col("q_emb"), F.col("emb"))
+                / (F.col("q_nrm") * F.col("nrm")),
+                6,
+            ).alias("rel"),
+            "emb",
+            "nrm",
+        )
+        .withColumn("rn", F.row_number().over(rel_w))
+        .filter(F.col("rn") <= MMR_POOL)
+        .drop("rn")
+    )
+
+
+def mmr_rerank_unrolled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pure-Catalyst MMR: the greedy loop as ``MMR_K`` unrolled rounds
+    of join + max-aggregate + row_number (zero UDFs) — the form that
+    proves the trajectory is relational. Slower than the grouped-UDF
+    form by constant stage overhead (≈5 stages per round), identical
+    output (pytest-pinned); not registered, the fast form is."""
+    from pyspark.sql import Window
+
+    pool = _mmr_pool(spark, sf_dir).persist()
+    a = pool.select("query_id", F.col("corpus_id").alias("id_a"), "emb", "nrm")
+    b = pool.select(
+        "query_id",
+        F.col("corpus_id").alias("id_b"),
+        F.col("emb").alias("b_emb"),
+        F.col("nrm").alias("b_nrm"),
+    )
+    sims = (
+        a.join(b, "query_id")
+        .filter(F.col("id_a") != F.col("id_b"))
+        .select(
+            "query_id",
+            "id_a",
+            "id_b",
+            F.round(
+                _dot(F.col("emb"), F.col("b_emb"))
+                / (F.col("nrm") * F.col("b_nrm")),
+                6,
+            ).alias("sim"),
+        )
+        .persist()
+    )
+    cand = pool.select("query_id", "corpus_id", "rel")
+    rel_w = Window.partitionBy("query_id").orderBy(
+        F.desc("rel"), F.asc("corpus_id")
+    )
+    selected = (
+        cand.withColumn("rn", F.row_number().over(rel_w))
+        .filter(F.col("rn") == 1)
+        .select("query_id", "corpus_id", "rel", F.lit(1).alias("pick"))
+    )
+    for k in range(2, MMR_K + 1):
+        sel_ids = selected.select(
+            "query_id", F.col("corpus_id").alias("sel_id")
+        )
+        remaining = cand.join(
+            sel_ids.withColumnRenamed("sel_id", "corpus_id"),
+            ["query_id", "corpus_id"],
+            "left_anti",
+        )
+        score_w = Window.partitionBy("query_id").orderBy(
+            F.desc("mmr"), F.asc("corpus_id")
+        )
+        next_pick = (
+            remaining.join(sel_ids, "query_id")
+            .join(
+                sims,
+                (F.col("id_a") == F.col("corpus_id"))
+                & (F.col("id_b") == F.col("sel_id"))
+                & (sims["query_id"] == remaining["query_id"]),
+            )
+            .groupBy(remaining["query_id"].alias("query_id"), "corpus_id", "rel")
+            .agg(
+                F.round(
+                    MMR_LAMBDA * F.first("rel")
+                    - (1 - MMR_LAMBDA) * F.max("sim"),
+                    6,
+                ).alias("mmr")
+            )
+            .withColumn("rn", F.row_number().over(score_w))
+            .filter(F.col("rn") == 1)
+            .select("query_id", "corpus_id", "rel", F.lit(k).alias("pick"))
+        )
+        selected = selected.unionByName(next_pick)
+    result = selected.persist()
+    result.count()
+    pool.unpersist()
+    sims.unpersist()
+    return result

@@ -74,6 +74,7 @@ EXPECTED_CARTESIAN = {
     "rel_q22_inactive_rich_customers": "1-row global-avg scalar broadcast",
     # brute-force baselines: query set / block pairs broadcast by design
     "sim_bruteforce_topk": "broadcast query set vs corpus (baseline)",
+    "sim_mmr_rerank": "broadcast query set vs corpus (pool generation)",
     "sim_sq8_topk": "broadcast query set vs int8 corpus (same shape)",
     "sim_mrl_prefix_rerank": "broadcast query set vs prefix corpus (stage 1)",
     "sim_hard_negatives": "broadcast query set vs corpus (bruteforce shape)",

@@ -647,3 +647,46 @@ def test_bpe_learn_merges_matches_reference(queries, spark):
             new_state[key] = new_state.get(key, 0) + c
         state = new_state
     assert got == expected
+
+
+# ------------------------------------------------------------------ mmr
+
+def test_mmr_udf_equals_unrolled_catalyst(queries, spark):
+    """The grouped-UDF MMR and the pure-Catalyst unrolled form must
+    trace the identical greedy trajectory — same (query, corpus, pick)
+    rows with equal quantized relevance."""
+    from recommedation_system_under_flink_spark.operators.similarity import (
+        MMR_K,
+        mmr_rerank_unrolled,
+    )
+
+    fast = {
+        (r["query_id"], r["pick"]): (r["corpus_id"], r["rel"])
+        for r in queries["sim_mmr_rerank"](spark, SF_DIR).collect()
+    }
+    slow = {
+        (r["query_id"], r["pick"]): (r["corpus_id"], r["rel"])
+        for r in mmr_rerank_unrolled(spark, SF_DIR).collect()
+    }
+    assert fast == slow
+    assert fast
+    picks = [p for (_, p) in fast]
+    assert max(picks) == MMR_K
+
+
+def test_mmr_diversifies_vs_pure_relevance(queries, spark):
+    """MMR must (a) put the pure-relevance argmax first and (b) never
+    select an item twice for the same query."""
+    rows = queries["sim_mmr_rerank"](spark, SF_DIR).collect()
+    by_q: dict[int, list] = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], []).append(r)
+    brute = {}
+    for r in queries["sim_bruteforce_topk"](spark, SF_DIR).collect():
+        if r["rank"] == 1:
+            brute[r["query_id"]] = r["corpus_id"]
+    for q, lst in by_q.items():
+        ids = [r["corpus_id"] for r in lst]
+        assert len(ids) == len(set(ids))
+        first = next(r for r in lst if r["pick"] == 1)
+        assert first["corpus_id"] == brute[q]
