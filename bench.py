@@ -68,6 +68,12 @@ HEADLINE = (
     "llm_pretrain_prep_pipeline",
     "sim_ivfpq_topk_pinned",
     "ev_value_psi",
+    "rel_q9_product_profit",
+    "rel_q21_waiting_suppliers",
+    "sim_semdedup",
+    "samp_dsir_weights",
+    "sim_mmr_rerank",
+    "ts_bpe_learn_merges",
 )
 
 
