@@ -1108,3 +1108,51 @@ def s19_token_table_reuse(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("doc_id").cast("long").alias("n_docs"),
         )
     )
+
+
+# ---------------------------------------------------------------- S20
+
+@register(
+    "s20_dynamic_partition_overwrite",
+    with_ctes(
+        f"""SELECT date, CAST(COUNT(*) AS BIGINT) AS n_clicks
+FROM clicks WHERE date <> DATE '{TODAY}'
+GROUP BY date
+UNION ALL
+SELECT date, CAST(COUNT(*) AS BIGINT) AS n_clicks
+FROM clicks WHERE date = DATE '{TODAY}' AND user_id % 2 = 0
+GROUP BY date""",
+        CLICKS_CTE,
+    ),
+)
+def s20_dynamic_partition_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """**Dynamic partition overwrite** — the partition-level correction
+    job: the full date-partitioned click table is materialized once,
+    then a "late-data fix" recomputes ONLY today's slice (here: the
+    corrected feed drops odd user_ids) and overwrites it with
+    ``partitionOverwriteMode=dynamic``, which replaces exactly the
+    partitions present in the incoming frame and leaves every other
+    date directory untouched (static overwrite mode would truncate the
+    whole table — the classic production data-loss footgun this option
+    exists to prevent). The read-back per-date counts are hash-verified
+    against an oracle that recomputes history ∪ corrected-today from
+    the raw events, so both the overwrite's isolation (other dates
+    intact) and its effect (today replaced) are checked. At 100 TB
+    this is the idempotent daily-backfill shape: rewrite one day's
+    directory, never touch the other ~thousands."""
+    cl = clicks(spark, sf_dir)
+    out = os.path.join(tempfile.gettempdir(), "spark_graft_s20_dpo")
+    cl.write.mode("overwrite").partitionBy("date").parquet(out)
+    corrected = cl.filter(
+        (F.col("date") == F.lit(TODAY)) & (F.col("user_id") % 2 == 0)
+    )
+    (
+        corrected.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("date")
+        .parquet(out)
+    )
+    part = spark.read.schema(
+        "user_id long, news_id long, cnt int, date date"
+    ).parquet(out)
+    return part.groupBy("date").agg(F.count("*").cast("long").alias("n_clicks"))
