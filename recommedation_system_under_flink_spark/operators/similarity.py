@@ -2157,3 +2157,132 @@ def mmr_rerank_unrolled(spark: SparkSession, sf_dir: str) -> DataFrame:
     pool.unpersist()
     sims.unpersist()
     return result
+
+
+# ------------------------------------------------- k-center coreset
+
+#: Number of k-center representatives to select (pinned seed: vec 0).
+KCENTER_K = 8
+
+
+def _kcenter_oracle() -> str:
+    """DuckDB twin of :func:`sim_kcenter_coreset`: the farthest-point
+    traversal unrolled into ``KCENTER_K`` CTE blocks. Each block joins
+    the running min-distance relation against the previous 1-row pick,
+    takes the quantized LEAST, and selects the next farthest point
+    with the vec_id tiebreak — the same trajectory the Spark loop
+    walks."""
+    cos = (
+        "list_dot_product(p.e, c.e) / (sqrt(list_dot_product(p.e, p.e))"
+        " * sqrt(list_dot_product(c.e, c.e)))"
+    )
+    parts = [
+        "proj AS (\n  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e"
+        " FROM embeddings\n)",
+        "c1 AS (\n  SELECT e FROM proj WHERE vec_id = 0\n)",
+        f"d1 AS (\n  SELECT p.vec_id, ROUND(1 - ({cos}), 6) AS dmin\n"
+        "  FROM proj p CROSS JOIN c1 c\n)",
+    ]
+    selects = ["SELECT 1 AS pick, 0 AS center_id, CAST(NULL AS DOUBLE) AS radius"]
+    for k in range(2, KCENTER_K + 1):
+        prev_sel = " UNION ALL ".join(
+            f"SELECT vec_id FROM s{i}" for i in range(2, k)
+        )
+        prev_clause = (
+            f" AND vec_id NOT IN (SELECT vec_id FROM ({prev_sel}))"
+            if prev_sel
+            else ""
+        )
+        parts.append(
+            f"s{k} AS (\n  SELECT vec_id, dmin FROM d{k-1}\n"
+            f"  WHERE vec_id <> 0{prev_clause}\n"
+            f"  ORDER BY dmin DESC, vec_id ASC LIMIT 1\n)"
+        )
+        parts.append(
+            f"c{k} AS (\n  SELECT e FROM proj JOIN s{k} USING (vec_id)\n)"
+        )
+        if k < KCENTER_K:
+            parts.append(
+                f"d{k} AS (\n  SELECT d.vec_id,"
+                f" LEAST(d.dmin, ROUND(1 - ({cos}), 6)) AS dmin\n"
+                f"  FROM d{k-1} d JOIN proj p ON p.vec_id = d.vec_id"
+                f" CROSS JOIN c{k} c\n)"
+            )
+        selects.append(
+            f"SELECT {k} AS pick, vec_id AS center_id, dmin AS radius FROM s{k}"
+        )
+    return "WITH " + ",\n".join(parts) + "\n" + "\nUNION ALL\n".join(selects)
+
+
+@register("sim_kcenter_coreset", _kcenter_oracle())
+def sim_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """**k-center greedy coreset selection** (Sener & Savarese 2018,
+    arXiv:1708.00489): pick ``KCENTER_K`` maximally-spread
+    representatives by farthest-point traversal — seed with the pinned
+    vector 0, then repeatedly add the point farthest (cosine distance)
+    from everything selected so far. The data-pruning / diverse-subset
+    primitive (each pick's ``radius`` is the covering radius achieved
+    before it joined — the curve a pruning job thresholds on).
+
+    Spark shape: the per-point running min-distance column is updated
+    each round by ONE narrow projection against the newest center
+    (shipped as a 64-literal array — bounded model state, like the BPE
+    argmax pair), and the next center is a 1-row ``orderBy…limit(1)``
+    collect. K rounds → K tiny reduce jobs, zero shuffles of the
+    corpus itself; at 100 TB each round is a map + top-1 reduce, the
+    textbook distributed farthest-point sweep. Distances quantized to
+    6 dp with vec_id tiebreaks → the whole trajectory hash-matches the
+    unrolled-CTE DuckDB oracle."""
+    emb = load_raw(spark, sf_dir, "embeddings")
+    base = emb.select("vec_id", _as_double("embedding").alias("emb")).withColumn(
+        "nrm", _norm(F.col("emb"))
+    )
+    seed = base.filter(F.col("vec_id") == 0).select("emb").collect()
+    if not seed:
+        return spark.createDataFrame(
+            [], "pick int, center_id long, radius double"
+        )
+
+    def dist_to(vec: list[float]) -> Column:
+        lit_vec = F.array(*[F.lit(float(x)) for x in vec])
+        import math
+
+        vnrm = math.sqrt(sum(x * x for x in vec))
+        return F.round(
+            1 - _dot(F.col("emb"), lit_vec) / (F.col("nrm") * F.lit(vnrm)), 6
+        )
+
+    state = base.select(
+        "vec_id", "emb", "nrm", dist_to(list(seed[0]["emb"])).alias("dmin")
+    ).persist()
+    state.count()
+    chosen = [0]
+    picks: list[tuple[int, int, float | None]] = [(1, 0, None)]
+    for k in range(2, KCENTER_K + 1):
+        top = (
+            state.filter(~F.col("vec_id").isin(chosen))
+            .orderBy(F.desc("dmin"), F.asc("vec_id"))
+            .limit(1)
+            .select("vec_id", "dmin", "emb")
+            .collect()
+        )
+        if not top:
+            break
+        picks.append((k, top[0]["vec_id"], float(top[0]["dmin"])))
+        chosen.append(top[0]["vec_id"])
+        if k < KCENTER_K:
+            new_state = state.select(
+                "vec_id",
+                "emb",
+                "nrm",
+                F.least(
+                    F.col("dmin"), dist_to(list(top[0]["emb"]))
+                ).alias("dmin"),
+            ).persist()
+            new_state.count()
+            state.unpersist()
+            state = new_state
+    state.unpersist()
+    return spark.createDataFrame(
+        picks, "pick int, center_id long, radius double"
+    )

@@ -690,3 +690,53 @@ def test_mmr_diversifies_vs_pure_relevance(queries, spark):
         assert len(ids) == len(set(ids))
         first = next(r for r in lst if r["pick"] == 1)
         assert first["corpus_id"] == brute[q]
+
+
+# -------------------------------------------------------------- kcenter
+
+def test_kcenter_trajectory_properties(queries, spark):
+    """Farthest-point traversal invariants: seed is vec 0; covering
+    radii are non-increasing; each pick really is the point with the
+    maximal min-distance to the previously selected set (recomputed
+    with numpy)."""
+    import numpy as np
+
+    from recommedation_system_under_flink_spark.operators.similarity import (
+        KCENTER_K,
+    )
+    from recommedation_system_under_flink_spark.sources import load_raw
+
+    rows = sorted(
+        queries["sim_kcenter_coreset"](spark, SF_DIR).collect(),
+        key=lambda r: r["pick"],
+    )
+    assert rows[0]["pick"] == 1 and rows[0]["center_id"] == 0
+    assert rows[0]["radius"] is None
+    assert len(rows) == KCENTER_K
+    radii = [r["radius"] for r in rows[1:]]
+    assert all(a >= b for a, b in zip(radii, radii[1:]))
+
+    emb = {
+        r["vec_id"]: np.array(r["embedding"], dtype=np.float64)
+        for r in load_raw(spark, SF_DIR, "embeddings").collect()
+    }
+
+    def q6(x):
+        return np.sign(x) * np.floor(np.abs(x) * 1e6 + 0.5) / 1e6
+
+    def dist(a, b):
+        return q6(
+            1 - a @ b / (np.linalg.norm(a) * np.linalg.norm(b))
+        )
+
+    chosen = [0]
+    for r in rows[1:]:
+        dmin = {
+            v: min(dist(emb[v], emb[c]) for c in chosen)
+            for v in emb
+            if v not in chosen
+        }
+        best = min(dmin, key=lambda v: (-dmin[v], v))
+        assert r["center_id"] == best
+        assert abs(r["radius"] - dmin[best]) < 1e-9
+        chosen.append(best)
