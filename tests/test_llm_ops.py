@@ -740,3 +740,48 @@ def test_kcenter_trajectory_properties(queries, spark):
         assert r["center_id"] == best
         assert abs(r["radius"] - dmin[best]) < 1e-9
         chosen.append(best)
+
+
+def test_bpe_encode_matches_reference(queries, spark):
+    """Per-doc subword counts from the Catalyst encode chain must equal
+    a pure-Python greedy encode using the same learned merges."""
+    import re
+
+    from recommedation_system_under_flink_spark.functions.text import (
+        TOKEN_SPLIT_REGEX,
+    )
+    from recommedation_system_under_flink_spark.sources import load_raw
+
+    merges = [
+        (r["left"], r["right"])
+        for r in queries["ts_bpe_learn_merges"](spark, SF_DIR)
+        .orderBy("rank")
+        .collect()
+    ]
+    got = {
+        r["doc_id"]: (r["n_words"], r["n_subwords"])
+        for r in queries["ts_bpe_encode_stats"](spark, SF_DIR).collect()
+    }
+    assert got
+
+    def encode(word: str) -> int:
+        syms = list(word) + ["</w>"]
+        for left, right in merges:
+            out: list = []
+            for x in syms:
+                if out and out[-1] == left and x == right:
+                    out[-1] = left + right
+                else:
+                    out.append(x)
+            syms = out
+        return len(syms)
+
+    cache: dict[str, int] = {}
+    for r in load_raw(spark, SF_DIR, "documents").collect():
+        words = [w for w in re.split(TOKEN_SPLIT_REGEX, r["text"].lower()) if w]
+        n_sub = 0
+        for w in words:
+            if w not in cache:
+                cache[w] = encode(w)
+            n_sub += cache[w]
+        assert got[r["doc_id"]] == (len(words), n_sub), r["doc_id"]
