@@ -156,6 +156,7 @@ _QUERY_MODULES = (
     "operators.textstats",
     "operators.multimodal",
     "operators.kernels_sql",
+    "sources.pysource",
     "operators.relational",
     "operators.cf",
     "plans.pipelines",

@@ -413,3 +413,28 @@ def test_rbo_bounds_and_self_agreement(queries, spark):
     max_rbo = round(0.1 * sum(0.9 ** (d - 1) for d in range(1, 11)), 6)
     for r in rows:
         assert 0.0 <= r["rbo"] <= max_rbo + 1e-9, r
+
+
+def test_python_datasource_partitions_and_totals(spark):
+    """The custom Python data source must parallelize across its
+    declared id-range partitions and deliver exactly ROWS rows with
+    no duplicates."""
+    from recommedation_system_under_flink_spark.sources.pysource import (
+        PYSOURCE_PARTITIONS,
+        PYSOURCE_ROWS,
+        clickgen,
+    )
+
+    df = clickgen(spark)
+    assert df.rdd.getNumPartitions() == PYSOURCE_PARTITIONS
+    from pyspark.sql import functions as F
+
+    agg = df.agg(
+        F.count("*").alias("n"),
+        F.countDistinct("event_id").alias("n_ids"),
+        F.min("event_id").alias("lo"),
+        F.max("event_id").alias("hi"),
+    ).collect()[0]
+    assert agg["n"] == PYSOURCE_ROWS
+    assert agg["n_ids"] == PYSOURCE_ROWS
+    assert (agg["lo"], agg["hi"]) == (0, PYSOURCE_ROWS - 1)

@@ -208,3 +208,48 @@ def test_watermark_drops_late_data(spark, tmp_path):
         assert len([d_ for d_ in final if d_ == dt.date(2024, 1, 1)]) == 1
     finally:
         q.stop()
+
+
+def test_pysource_stream_drains_in_micro_batches(spark):
+    """The custom Python streaming source must progress through its
+    position offsets in PYSOURCE_BATCH-sized micro-batches (not one
+    big read) and settle to the batch connector's aggregate."""
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from recommedation_system_under_flink_spark.sources.pysource import (
+        PYSOURCE_BATCH,
+        PYSOURCE_ROWS,
+        clickgen,
+        register_clickstream,
+    )
+
+    register_clickstream(spark)
+    stream = (
+        spark.readStream.format("graft_clickstream")
+        .option("rows", str(PYSOURCE_ROWS))
+        .load()
+    )
+    agg = stream.groupBy("day").agg(F.count("*").alias("n"))
+    name = f"t_{uuid.uuid4().hex[:10]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        progress = list(q.recentProgress)
+    finally:
+        q.stop()
+    settled = {r["day"]: r["n"] for r in spark.table(name).collect()}
+    batch = {
+        r["day"]: r["n"]
+        for r in clickgen(spark).groupBy("day").agg(F.count("*").alias("n")).collect()
+    }
+    assert settled == batch
+    rows_per_batch = [p["numInputRows"] for p in progress if p["numInputRows"]]
+    assert len(rows_per_batch) >= PYSOURCE_ROWS // PYSOURCE_BATCH
+    assert all(n <= PYSOURCE_BATCH for n in rows_per_batch)
