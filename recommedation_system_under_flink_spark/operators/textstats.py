@@ -383,9 +383,9 @@ CHUNK_SIZE = 64
 CHUNK_STRIDE = 48
 
 
-@register(
-    "ts_chunk_documents",
-    f"""WITH t AS (SELECT doc_id, {{tokens}} AS ts FROM documents),
+#: DuckDB twin of the chunk geometry — shared by the Catalyst chunker
+#: and its UDTF twin (same output contract, two execution surfaces).
+_CHUNK_ORACLE = f"""WITH t AS (SELECT doc_id, {{tokens}} AS ts FROM documents),
 ex AS (
   SELECT doc_id,
          unnest(list_transform(generate_series(0, len(ts) - 1, {CHUNK_STRIDE}),
@@ -398,8 +398,10 @@ SELECT doc_id,
        CAST(c.start AS BIGINT) AS chunk_start,
        CAST(len(c.ck) AS BIGINT) AS n_tokens,
        array_to_string(c.ck, ' ') AS chunk_text
-FROM ex""".format(tokens=_TOKENS_SQL),
-)
+FROM ex""".format(tokens=_TOKENS_SQL)
+
+
+@register("ts_chunk_documents", _CHUNK_ORACLE)
 def ts_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Overlapping token-window chunking — the standard long-document →
     training-sample splitter (context-window-sized pieces, stride <
@@ -1303,4 +1305,50 @@ def ts_bpe_encode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.sum("n_subwords_w") / F.count("*"), 6
             ).alias("fertility"),
         )
+    )
+
+
+# --------------------------------------------------------- UDTF twin
+
+@register("ts_chunk_documents_udtf", _CHUNK_ORACLE)
+def ts_chunk_documents_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The chunker as a **Python UDTF** (Spark 4 user-defined table
+    function): one input row → many output rows via a ``LATERAL``
+    correlated invocation — the API surface for row-expanding logic
+    too irregular for Catalyst expressions (parsers, decoders,
+    API-response splitters). This twin intentionally re-implements
+    :func:`ts_chunk_documents`'s exact geometry so the SAME DuckDB
+    oracle hash-verifies both execution surfaces; the Catalyst form
+    stays the production default (whole-stage codegen, no Python
+    round-trip — the UDTF pays one Arrow batch hop per row like any
+    Python UDF, the documented slow path). Scale shape is identical:
+    per-row bounded fan-out, no shuffle."""
+    import re
+
+    from pyspark.sql.functions import udtf
+
+    from ..functions.text import TOKEN_SPLIT_REGEX
+
+    split_re = re.compile(TOKEN_SPLIT_REGEX)
+    size, stride = CHUNK_SIZE, CHUNK_STRIDE
+
+    @udtf(
+        returnType="doc_id bigint, chunk_id int, chunk_start bigint,"
+        " n_tokens bigint, chunk_text string"
+    )
+    class ChunkDocs:
+        def eval(self, doc_id: int, text: str):
+            toks = [t for t in split_re.split((text or "").lower()) if t]
+            for k, s in enumerate(range(0, len(toks), stride)):
+                ck = toks[s : s + size]
+                yield doc_id, k, s, len(ck), " ".join(ck)
+
+    spark.udtf.register("graft_chunk_docs", ChunkDocs)
+    load_raw(spark, sf_dir, "documents").createOrReplaceTempView(
+        "udtf_chunk_docs_in"
+    )
+    return spark.sql(
+        """SELECT c.doc_id, c.chunk_id, c.chunk_start, c.n_tokens, c.chunk_text
+           FROM udtf_chunk_docs_in d,
+                LATERAL graft_chunk_docs(d.doc_id, d.text) c"""
     )

@@ -84,6 +84,13 @@ EXPECTED_CARTESIAN = {
     "als_recommendations": "user×item factor cross for top-k (bounded dims)",
 }
 
+#: Queries whose plan intentionally contains a Python eval node — the
+#: documented slow-path twins that exist to exercise/verify a Python
+#: API surface against the same oracle as their Catalyst form.
+EXPECTED_ROWUDF = {
+    "ts_chunk_documents_udtf": "UDTF twin of ts_chunk_documents (LATERAL surface demo)",
+}
+
 
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
@@ -126,7 +133,7 @@ def main() -> int:
         flags = []
         if cartesian and name not in EXPECTED_CARTESIAN:
             flags.append("CARTESIAN")
-        if rowudf:
+        if rowudf and name not in EXPECTED_ROWUDF:
             flags.append("ROW-UDF")
         if pushdown == "MISS":
             flags.append("NO-PUSHDOWN")
