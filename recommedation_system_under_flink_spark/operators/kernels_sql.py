@@ -1156,3 +1156,55 @@ def s20_dynamic_partition_overwrite(spark: SparkSession, sf_dir: str) -> DataFra
         "user_id long, news_id long, cnt int, date date"
     ).parquet(out)
     return part.groupBy("date").agg(F.count("*").cast("long").alias("n_clicks"))
+
+
+# ---------------------------------------------------------------- S22
+
+@register(
+    "s22_output_manifest",
+    with_ctes(
+        """SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+       CAST(MIN(date) AS DATE) AS min_date,
+       CAST(MAX(date) AS DATE) AS max_date,
+       CAST(SUM(CAST(('0x' || substr(md5(
+              CAST(user_id AS VARCHAR) || '|' || CAST(news_id AS VARCHAR)
+              || '|' || CAST(cnt AS VARCHAR) || '|' || CAST(date AS VARCHAR)
+            ), 1, 8)) AS BIGINT)) AS BIGINT) AS content_hash
+FROM clicks""",
+        CLICKS_CTE,
+    ),
+)
+def s22_output_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """**Output manifest / content checksum** — the data-versioning
+    seal a pipeline writes next to every dataset it publishes: row
+    count, key cardinality, date bounds, and an ORDER-INDEPENDENT
+    content hash (sum of per-row 32-bit md5 prefixes — commutative, so
+    any partitioning/ordering of the same rows yields the same seal,
+    and any dropped/duplicated/mutated row changes it). Computed here
+    over the written-and-read-back click table, so the oracle's
+    recompute from raw events certifies the whole write→read→seal
+    chain; two manifests matching ⇒ datasets identical without a row
+    diff. md5 hex is identical across engines (the same portability
+    argument as the MinHash/SimHash signatures)."""
+    cl = clicks(spark, sf_dir)
+    out = os.path.join(tempfile.gettempdir(), "spark_graft_s22_manifest")
+    cl.write.mode("overwrite").parquet(out)
+    back = spark.read.schema(
+        "user_id long, news_id long, cnt int, date date"
+    ).parquet(out)
+    row_str = F.concat_ws(
+        "|",
+        F.col("user_id").cast("string"),
+        F.col("news_id").cast("string"),
+        F.col("cnt").cast("string"),
+        F.col("date").cast("string"),
+    )
+    h32 = F.conv(F.substring(F.md5(row_str), 1, 8), 16, 10).cast("long")
+    return back.agg(
+        F.count("*").cast("long").alias("n_rows"),
+        F.countDistinct("user_id").cast("long").alias("n_users"),
+        F.min("date").alias("min_date"),
+        F.max("date").alias("max_date"),
+        F.sum(h32).cast("long").alias("content_hash"),
+    )

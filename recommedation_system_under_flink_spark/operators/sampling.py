@@ -528,3 +528,65 @@ def samp_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_tokens"),
         F.round(F.sum("w") / F.count("*"), 6).alias("mean_log2_ratio"),
     )
+
+
+# ----------------------------------------------------- score AUC eval
+
+@register(
+    "samp_dsir_auc",
+    f"""WITH d AS ({_dsir_oracle()}),
+r AS (
+  SELECT CASE WHEN lang = '{DSIR_TARGET_LANG}' THEN 1 ELSE 0 END AS pos,
+         RANK() OVER (ORDER BY mean_log2_ratio ASC) AS mr,
+         COUNT(*) OVER (PARTITION BY mean_log2_ratio) AS ties
+  FROM d
+)
+SELECT CAST(SUM(pos) AS BIGINT) AS n_pos,
+       CAST(SUM(1 - pos) AS BIGINT) AS n_neg,
+       ROUND((SUM(CASE WHEN pos = 1 THEN mr + (ties - 1) / 2.0 ELSE 0 END)
+              - SUM(pos) * (SUM(pos) + 1) / 2.0)
+             / (SUM(pos) * SUM(1 - pos)), 6) AS auc
+FROM r""",
+)
+def samp_dsir_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """**ROC-AUC of the DSIR score against the target-domain label**,
+    computed exactly via the Mann-Whitney rank-sum identity:
+    ``AUC = (Σ ranks(positives) − n₊(n₊+1)/2) / (n₊·n₋)`` with
+    average ranks for ties — the standard "is this filter score
+    actually separating the domains?" acceptance gate a curation
+    pipeline runs before trusting a filter (cf. the langid confusion
+    matrix for the hard-label analogue). No sampling, no sklearn: one
+    global rank window over the quantized scores, a single-row
+    aggregate. The DSIR scores are 6-dp-quantized upstream, so the
+    rank assignment (including tie groups) is engine-identical and
+    the whole metric hash-matches.
+
+    Scale: the global rank is ONE sort of |docs| score rows (not the
+    corpus — scores are one row per doc); at 100 TB you'd rank within
+    strata or sample, but the exact form is the oracle-able gate."""
+    from pyspark.sql import Window
+
+    d = samp_dsir_weights(spark, sf_dir).select(
+        F.when(F.col("lang") == DSIR_TARGET_LANG, 1)
+        .otherwise(0)
+        .alias("pos"),
+        F.col("mean_log2_ratio").alias("score"),
+    )
+    r = d.select(
+        "pos",
+        F.rank().over(Window.orderBy(F.asc("score"))).alias("mr"),
+        F.count("*").over(Window.partitionBy("score")).alias("ties"),
+    )
+    n_pos = F.sum("pos")
+    n_neg = F.sum(1 - F.col("pos"))
+    rank_sum = F.sum(
+        F.when(F.col("pos") == 1, F.col("mr") + (F.col("ties") - 1) / 2.0)
+        .otherwise(0.0)
+    )
+    return r.agg(
+        n_pos.cast("long").alias("n_pos"),
+        n_neg.cast("long").alias("n_neg"),
+        F.round(
+            (rank_sum - n_pos * (n_pos + 1) / 2.0) / (n_pos * n_neg), 6
+        ).alias("auc"),
+    )

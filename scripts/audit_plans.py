@@ -70,6 +70,7 @@ EXPECTED_CARTESIAN = {
     "ev_value_psi": "1-row decile-edges scalar broadcast",
     "samp_lang_mixture": "1-row corpus-total scalar broadcast into rates",
     "samp_dsir_weights": "1-row LM-totals scalar broadcast into per-token weights",
+    "samp_dsir_auc": "inherits samp_dsir_weights' 1-row totals broadcast",
     "samp_temperature_mixture": "1-row totals/λ scalar broadcasts into rates",
     "rel_q22_inactive_rich_customers": "1-row global-avg scalar broadcast",
     # brute-force baselines: query set / block pairs broadcast by design
