@@ -285,3 +285,142 @@ def prof_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
             "share_below_k"
         ),
     )
+
+
+#: l-diversity / t-closeness thresholds for the release report.
+L_DIV = 3
+T_CLOSE = 0.5
+
+
+@register(
+    "prof_l_diversity_t_closeness",
+    f"""WITH rel AS (
+  SELECT CAST(ts AS DATE) AS date,
+         CAST(FLOOR(value / 10.0) AS BIGINT) AS value_bucket,
+         event_type
+  FROM events
+), cells AS (
+  SELECT date, value_bucket, event_type, CAST(COUNT(*) AS BIGINT) AS n
+  FROM rel GROUP BY date, value_bucket, event_type
+), grp AS (
+  SELECT date, value_bucket,
+         CAST(SUM(n) AS BIGINT) AS n_rows,
+         CAST(COUNT(*) AS BIGINT) AS l
+  FROM cells GROUP BY date, value_bucket
+), gdist AS (
+  SELECT event_type, CAST(SUM(n) AS DOUBLE)
+           / (SELECT SUM(n) FROM cells) AS p
+  FROM cells GROUP BY event_type
+), spread AS (
+  SELECT g.date, g.value_bucket, g.n_rows, g.l,
+         ROUND(0.5 * SUM(ABS(
+           COALESCE(CAST(c.n AS DOUBLE) / g.n_rows, 0.0) - gl.p
+         )), 6) AS tvd
+  FROM grp g
+  CROSS JOIN gdist gl
+  LEFT JOIN cells c ON c.date = g.date AND c.value_bucket = g.value_bucket
+                   AND c.event_type = gl.event_type
+  GROUP BY g.date, g.value_bucket, g.n_rows, g.l
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_groups,
+       CAST(MIN(l) AS BIGINT) AS l_min,
+       CAST(COUNT(*) FILTER (WHERE l < {L_DIV}) AS BIGINT) AS groups_below_l,
+       ROUND(MAX(tvd), 6) AS max_tvd,
+       CAST(COUNT(*) FILTER (WHERE tvd > {T_CLOSE}) AS BIGINT)
+         AS groups_above_t,
+       ROUND(CAST(SUM(CASE WHEN tvd > {T_CLOSE} THEN n_rows ELSE 0 END)
+                  AS DOUBLE) / SUM(n_rows), 6) AS share_rows_above_t
+FROM spread""",
+)
+def prof_l_diversity_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """**l-diversity + t-closeness release report** — the two privacy
+    gates past k-anonymity (Machanavajjhala 2007; Li 2007): per
+    quasi-identifier group (date, value-bucket), (a) how many DISTINCT
+    sensitive values (event_type) it contains — a group with one value
+    leaks the attribute even at k rows — and (b) how far the group's
+    sensitive-value distribution drifts from the global one (total
+    variation distance; a skewed group leaks probabilistically even
+    when diverse). One row: min l, groups below ``L_DIV``, max TVD,
+    and the row share in groups above ``T_CLOSE``.
+
+    Plan: cell counts (QI × sensitive) are one map-side-combinable
+    aggregate; the TVD needs every (group, sensitive) pair INCLUDING
+    absent ones (p_g = 0 still contributes |0 − p|), so groups
+    cross-join the |types|-row global distribution and left-join their
+    cells — fan-out |groups| × |types|, bounded by the QI arity, never
+    by raw rows. All shares quantized to 6 dp."""
+    from ..sources.tables import events_raw, ts_date
+
+    rel = events_raw(spark, sf_dir).select(
+        ts_date("ts").alias("date"),
+        F.floor(F.col("value") / 10.0).cast("long").alias("value_bucket"),
+        "event_type",
+    )
+    # deliberately left persisted: cells feeds three branches of the
+    # returned lazy plan (grp, gdist, the TVD join) — unpersisting
+    # before the caller's action would defeat the cache; |cells| is
+    # bounded by the QI×sensitive arity and LRU-evicts (same
+    # convention as graph_pagerank_clicks)
+    cells = rel.groupBy("date", "value_bucket", "event_type").agg(
+        F.count("*").cast("long").alias("n")
+    ).persist()
+    grp = cells.groupBy("date", "value_bucket").agg(
+        F.sum("n").cast("long").alias("n_rows"),
+        F.count("*").cast("long").alias("l"),
+    )
+    total = cells.agg(F.sum("n").alias("tot"))
+    glob = (
+        cells.groupBy("event_type")
+        .agg(F.sum("n").alias("tn"))
+        .crossJoin(F.broadcast(total))
+        .select(
+            "event_type", (F.col("tn").cast("double") / F.col("tot")).alias("p")
+        )
+    )
+    spread = (
+        grp.crossJoin(F.broadcast(glob))
+        .join(
+            cells.select(
+                F.col("date").alias("c_date"),
+                F.col("value_bucket").alias("c_bucket"),
+                F.col("event_type").alias("c_type"),
+                "n",
+            ),
+            (F.col("date") == F.col("c_date"))
+            & (F.col("value_bucket") == F.col("c_bucket"))
+            & (F.col("event_type") == F.col("c_type")),
+            "left",
+        )
+        .groupBy("date", "value_bucket", "n_rows", "l")
+        .agg(
+            F.round(
+                0.5
+                * F.sum(
+                    F.abs(
+                        F.coalesce(
+                            F.col("n").cast("double") / F.col("n_rows"),
+                            F.lit(0.0),
+                        )
+                        - F.col("p")
+                    )
+                ),
+                6,
+            ).alias("tvd")
+        )
+    )
+    above = F.when(F.col("tvd") > T_CLOSE, F.col("n_rows")).otherwise(F.lit(0))
+    out = spread.agg(
+        F.count("*").cast("long").alias("n_groups"),
+        F.min("l").cast("long").alias("l_min"),
+        F.count(F.when(F.col("l") < L_DIV, 1)).cast("long").alias(
+            "groups_below_l"
+        ),
+        F.round(F.max("tvd"), 6).alias("max_tvd"),
+        F.count(F.when(F.col("tvd") > T_CLOSE, 1)).cast("long").alias(
+            "groups_above_t"
+        ),
+        F.round(
+            F.sum(above).cast("double") / F.sum("n_rows"), 6
+        ).alias("share_rows_above_t"),
+    )
+    return out
