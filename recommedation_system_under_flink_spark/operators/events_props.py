@@ -751,3 +751,87 @@ def ev_value_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cn").cast("long").alias("cur_n"),
         F.round((p - q) * F.log(p / q), 6).alias("psi_term"),
     )
+
+
+# --------------------------------------------------------- OLS trend
+
+@register(
+    "ev_daily_trend_ols",
+    """WITH daily AS (
+  SELECT CAST(ts AS DATE) AS date, CAST(COUNT(*) AS BIGINT) AS n
+  FROM events WHERE event_type = 'click' GROUP BY 1
+), idx AS (
+  SELECT n, CAST(ROW_NUMBER() OVER (ORDER BY date) - 1 AS BIGINT) AS x
+  FROM daily
+), s AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS cnt,
+         CAST(SUM(x) AS BIGINT) AS sx,
+         CAST(SUM(n) AS BIGINT) AS sy,
+         CAST(SUM(x * x) AS BIGINT) AS sxx,
+         CAST(SUM(x * n) AS BIGINT) AS sxy,
+         CAST(SUM(n * n) AS BIGINT) AS syy
+  FROM idx
+)
+SELECT cnt AS n_days,
+       ROUND((cnt * sxy - sx * sy) * 1.0
+             / (cnt * sxx - sx * sx), 6) AS slope,
+       ROUND((sy - (cnt * sxy - sx * sy) * 1.0
+                   / (cnt * sxx - sx * sx) * sx) / cnt, 6) AS intercept,
+       ROUND(CASE WHEN cnt * syy - sy * sy = 0 THEN 1.0
+                  ELSE (cnt * sxy - sx * sy) * (cnt * sxy - sx * sy) * 1.0
+                       / ((cnt * sxx - sx * sx) * (cnt * syy - sy * sy))
+             END, 6) AS r2
+FROM s""",
+)
+def ev_daily_trend_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """**Closed-form OLS trend** over daily click volume: slope /
+    intercept / R² from the normal equations — the forecast-lite
+    "is traffic growing and how fast" report. Every moment
+    (Σx, Σy, Σx², Σxy, Σy²) is an exact INTEGER sum (day index ×
+    integer counts), so the closed-form division is one double op on
+    bit-identical operands in both engines — regression as a
+    hash-verifiable aggregate, no MLlib, no iteration. The day index
+    comes from a row_number over the (tiny) daily relation; the
+    moments are one map-side-combinable aggregate. Degenerate
+    zero-variance y pins R² = 1."""
+    from pyspark.sql import Window
+
+    from ..sources.tables import events_raw, ts_date
+
+    daily = (
+        events_raw(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .groupBy(ts_date("ts").alias("date"))
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+    idx = daily.select(
+        "n",
+        (F.row_number().over(Window.orderBy("date")) - 1)
+        .cast("long")
+        .alias("x"),
+    )
+    s = idx.agg(
+        F.count("*").cast("long").alias("cnt"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("n").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        F.sum(F.col("x") * F.col("n")).cast("long").alias("sxy"),
+        F.sum(F.col("n") * F.col("n")).cast("long").alias("syy"),
+    )
+    sl_num = F.col("cnt") * F.col("sxy") - F.col("sx") * F.col("sy")
+    sl_den = F.col("cnt") * F.col("sxx") - F.col("sx") * F.col("sx")
+    slope = sl_num * F.lit(1.0) / sl_den
+    y_var = F.col("cnt") * F.col("syy") - F.col("sy") * F.col("sy")
+    return s.select(
+        F.col("cnt").alias("n_days"),
+        F.round(slope, 6).alias("slope"),
+        F.round((F.col("sy") - slope * F.col("sx")) / F.col("cnt"), 6).alias(
+            "intercept"
+        ),
+        F.round(
+            F.when(y_var == 0, F.lit(1.0)).otherwise(
+                sl_num * sl_num * F.lit(1.0) / (sl_den * y_var)
+            ),
+            6,
+        ).alias("r2"),
+    )

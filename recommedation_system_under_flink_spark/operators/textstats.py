@@ -1352,3 +1352,64 @@ def ts_chunk_documents_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
            FROM udtf_chunk_docs_in d,
                 LATERAL graft_chunk_docs(d.doc_id, d.text) c"""
     )
+
+
+# ------------------------------------------------------- phrase search
+
+#: The pinned demo phrase (a frequent fixture bigram, so the result is
+#: non-trivial at every SF).
+PHRASE = ("table", "hash")
+
+
+@register(
+    "ts_phrase_search",
+    f"""WITH t AS (SELECT doc_id, {_TOKENS_SQL} AS ts FROM documents),
+p AS (
+  SELECT doc_id, unnest(ts) AS term,
+         generate_subscripts(ts, 1) AS pos
+  FROM t
+)
+SELECT a.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_hits,
+       CAST(MIN(a.pos) AS BIGINT) AS first_pos
+FROM p a JOIN p b
+  ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+WHERE a.term = '{PHRASE[0]}' AND b.term = '{PHRASE[1]}'
+GROUP BY a.doc_id""",
+)
+def ts_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """**Positional phrase search** — the inverted-index query shape a
+    search engine runs for ``"{' '.join(PHRASE)}"``: tokenize with
+    positions (``posexplode``), keep the two phrase terms' postings,
+    and join them on (doc, adjacent positions). Per-doc hit count and
+    first occurrence come back for snippeting/ranking.
+
+    Scale: the join touches only the two terms' postings lists (the
+    selective term filters push into the exploded relation before the
+    shuffle), not the full position table — the plan a real index
+    serves from its term-sharded postings. Longer phrases chain one
+    positional join per extra term; proximity search loosens
+    ``pos + 1`` to a band (cf. ``ef_range_join_banded``)."""
+    docs = load_raw(spark, sf_dir, "documents")
+    p = docs.select(
+        "doc_id",
+        F.posexplode(_tokens(F.col("text"))).alias("pos0", "term"),
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "term")
+    a = p.filter(F.col("term") == PHRASE[0]).select(
+        "doc_id", F.col("pos").alias("pos_a")
+    )
+    b = p.filter(F.col("term") == PHRASE[1]).select(
+        F.col("doc_id").alias("doc_b"), F.col("pos").alias("pos_b")
+    )
+    return (
+        a.join(
+            b,
+            (F.col("doc_id") == F.col("doc_b"))
+            & (F.col("pos_b") == F.col("pos_a") + 1),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_hits"),
+            F.min("pos_a").cast("long").alias("first_pos"),
+        )
+    )
