@@ -545,3 +545,108 @@ def ef_attribution_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("attributed_value"),
         )
     )
+
+
+# --------------------------------------- position-based attribution
+
+#: Multi-touch lookback window (microseconds): clicks this far before
+#: the purchase share its credit.
+MTA_LOOKBACK_US = 7 * 24 * 3600 * 1_000_000
+
+
+@register(
+    "ef_attribution_position_based",
+    f"""WITH touches AS (
+  SELECT p.event_id AS purchase_id,
+         CAST(p.value AS DECIMAL(18,6)) AS value,
+         c.event_id AS click_id,
+         ROW_NUMBER() OVER (
+           PARTITION BY p.event_id ORDER BY c.ts ASC, c.event_id ASC
+         ) AS pos,
+         COUNT(*) OVER (PARTITION BY p.event_id) AS n
+  FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+  JOIN (SELECT * FROM events WHERE event_type = 'click') c
+    ON p.user_id = c.user_id
+   AND epoch_us(c.ts) <= epoch_us(p.ts)
+   AND epoch_us(c.ts) > epoch_us(p.ts) - {MTA_LOOKBACK_US}
+), credited AS (
+  SELECT purchase_id, click_id,
+         value * CAST(ROUND(
+           CASE WHEN n = 1 THEN 1.0
+                WHEN n = 2 THEN 0.5
+                WHEN pos = 1 OR pos = n THEN 0.4
+                ELSE 0.2 / (n - 2) END, 6) AS DECIMAL(9,6)) AS credit
+  FROM touches
+)
+SELECT click_id % {{news_mod}} AS news_id,
+       CAST(COUNT(DISTINCT purchase_id) AS BIGINT) AS n_purchases,
+       CAST(ROUND(SUM(credit), 4) AS DOUBLE) AS attributed_value
+FROM credited
+GROUP BY 1""".format(news_mod=NEWS_MOD),
+)
+def ef_attribution_position_based(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """**U-shaped (position-based) multi-touch attribution**: every
+    click in the 7-day lookback before a purchase shares its value —
+    40% to the FIRST touch, 40% to the LAST, 20% split across the
+    middles (1 touch → 100%, 2 touches → 50/50) — the standard
+    alternative to :func:`ef_attribution_report`'s last-click model,
+    which over-credits the final touch. Per-news purchase reach and
+    attributed revenue.
+
+    Determinism: the fractional weights are quantized to 6 dp and
+    applied as exact DECIMAL multiplications, so the per-news sums
+    are associative and engine-identical; touch order ties break on
+    click id. Scale: the lookback join shuffles on user_id (the
+    banded rewrite of ``ef_range_join_banded`` applies verbatim if
+    the lookback × click-rate fan-out ever dominates); the position
+    window partitions by purchase — bounded by touches-per-purchase,
+    never global."""
+    ev = events_raw(spark, sf_dir)
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user"),
+        F.expr("ts DIV 1000").alias("p_tsm"),
+        F.col("value").cast("decimal(18,6)").alias("value"),
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("c_user"),
+        F.expr("ts DIV 1000").alias("c_tsm"),
+    )
+    touches = p.join(
+        c,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("c_tsm") <= F.col("p_tsm"))
+        & (F.col("c_tsm") > F.col("p_tsm") - MTA_LOOKBACK_US),
+    )
+    w = Window.partitionBy("purchase_id").orderBy(
+        F.asc("c_tsm"), F.asc("click_id")
+    )
+    wn = Window.partitionBy("purchase_id")
+    pos = touches.select(
+        "purchase_id",
+        "click_id",
+        "value",
+        F.row_number().over(w).alias("pos"),
+        F.count("*").over(wn).alias("n"),
+    )
+    weight = (
+        F.when(F.col("n") == 1, F.lit(1.0))
+        .when(F.col("n") == 2, F.lit(0.5))
+        .when((F.col("pos") == 1) | (F.col("pos") == F.col("n")), F.lit(0.4))
+        .otherwise(F.lit(0.2) / (F.col("n") - 2))
+    )
+    credited = pos.select(
+        "purchase_id",
+        "click_id",
+        (
+            F.col("value") * F.round(weight, 6).cast("decimal(9,6)")
+        ).alias("credit"),
+    )
+    return (
+        credited.groupBy((F.col("click_id") % NEWS_MOD).alias("news_id"))
+        .agg(
+            F.count_distinct("purchase_id").cast("long").alias("n_purchases"),
+            F.round(F.sum("credit"), 4).cast("double").alias("attributed_value"),
+        )
+    )

@@ -416,3 +416,47 @@ def test_psi_terms_positive_and_bounded(queries, spark):
     n_cur = events_raw(spark, SF_DIR, date_from=split).count()
     assert sum(r["ref_n"] for r in rows) == n_ref
     assert sum(r["cur_n"] for r in rows) == n_cur
+
+
+def test_position_attribution_conserves_value(spark):
+    """Attributed revenue across all news must equal (to weight-
+    quantization tolerance) the summed value of purchases that had at
+    least one lookback touch; and per-purchase weights sum to ~1."""
+    from pyspark.sql import functions as F
+
+    from recommedation_system_under_flink_spark import registry
+    from recommedation_system_under_flink_spark.operators.events_flow import (
+        MTA_LOOKBACK_US,
+    )
+    from recommedation_system_under_flink_spark.sources import events_raw
+
+    from conftest import SF_DIR
+
+    rows = registry.queries()["ef_attribution_position_based"](
+        spark, SF_DIR
+    ).collect()
+    attributed = sum(r["attributed_value"] for r in rows)
+
+    ev = events_raw(spark, SF_DIR)
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("pid"),
+        F.col("user_id").alias("pu"),
+        F.expr("ts DIV 1000").alias("ptsm"),
+        "value",
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("cu"), F.expr("ts DIV 1000").alias("ctsm")
+    )
+    touched = (
+        p.join(
+            c,
+            (F.col("pu") == F.col("cu"))
+            & (F.col("ctsm") <= F.col("ptsm"))
+            & (F.col("ctsm") > F.col("ptsm") - MTA_LOOKBACK_US),
+            "left_semi",
+        )
+        .agg(F.sum("value"))
+        .collect()[0][0]
+    )
+    # weight quantization (6 dp × up to n touches) bounds the gap
+    assert abs(attributed - touched) < 1e-2, (attributed, touched)
