@@ -74,6 +74,9 @@ HEADLINE = (
     "samp_dsir_weights",
     "sim_mmr_rerank",
     "ts_bpe_learn_merges",
+    "ts_bm25_search",
+    "ef_attribution_position_based",
+    "s21_python_datasource",
 )
 
 

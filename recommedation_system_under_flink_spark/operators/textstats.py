@@ -1517,3 +1517,93 @@ def ts_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("rank") <= BM25_TOP_K)
     )
+
+
+# ------------------------------------------- threshold calibration
+
+#: Target keep-rates the quality filter is calibrated for.
+KEEP_RATES = (0.5, 0.7, 0.9)
+
+
+def _calibration_oracle() -> str:
+    from ..registry import _REGISTRY
+
+    quality_sql = _REGISTRY["ts_quality_score"].oracle
+    legs = "\n  UNION ALL ".join(
+        f"SELECT {r} AS keep_rate,"
+        f" quantile_cont(quality, {round(1 - r, 6)}) AS threshold FROM q"
+        for r in KEEP_RATES
+    )
+    return f"""WITH q AS ({quality_sql}),
+thr AS (
+  {legs}
+)
+SELECT t.keep_rate,
+       ROUND(t.threshold, 6) AS threshold,
+       ROUND(CAST(COUNT(*) FILTER (WHERE q.quality >= t.threshold) AS DOUBLE)
+             / COUNT(*), 6) AS achieved_rate,
+       CAST(COUNT(*) FILTER (WHERE q.quality >= t.threshold) AS BIGINT)
+         AS n_kept
+FROM thr t CROSS JOIN q
+GROUP BY t.keep_rate, t.threshold"""
+
+
+@register("ts_quality_threshold_calibration", _calibration_oracle())
+def ts_quality_threshold_calibration(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """**Filter-threshold calibration**: for each target keep-rate,
+    the exact interpolated quality-score quantile that achieves it,
+    plus the rate actually achieved at that cutoff (they differ when
+    score ties straddle the quantile — exactly what the operator
+    exists to reveal before a production filter is frozen). The
+    "set the knob" gate that pairs with the AUC "does the knob work"
+    gate (``samp_dsir_auc``).
+
+    Plan: one exact multi-quantile aggregate over |docs| score rows
+    (type-7 interpolation in both engines, cf.
+    ``sk_value_percentiles_exact``), then one broadcast of the 3-row
+    threshold table back over the scores for the achieved-rate count.
+    At 100 TB swap the exact quantile for ``percentile_approx`` —
+    the approximate twin's error bound is pytest-bounded in the
+    sketches family."""
+    q = ts_quality_score(spark, sf_dir).select("quality")
+    # probabilities quantized exactly as in the oracle legs (1 - 0.7 is
+    # 0.30000000000000004 in IEEE — both sides must interpolate at the
+    # same literal)
+    probs = [round(1 - r, 6) for r in KEEP_RATES]
+    thr = (
+        q.agg(
+            F.expr(
+                f"percentile(quality, array({', '.join(map(str, probs))}))"
+            ).alias("ts")
+        )
+        .select(F.posexplode("ts").alias("i", "threshold"))
+        .select(
+            F.element_at(
+                F.array(*[F.lit(r) for r in KEEP_RATES]), F.col("i") + 1
+            ).alias("keep_rate"),
+            "threshold",
+        )
+    )
+    return (
+        q.crossJoin(F.broadcast(thr))
+        .groupBy("keep_rate", "threshold")
+        .agg(
+            F.round(
+                F.count(F.when(F.col("quality") >= F.col("threshold"), 1))
+                .cast("double")
+                / F.count("*"),
+                6,
+            ).alias("achieved_rate"),
+            F.count(F.when(F.col("quality") >= F.col("threshold"), 1))
+            .cast("long")
+            .alias("n_kept"),
+        )
+        .select(
+            "keep_rate",
+            F.round("threshold", 6).alias("threshold"),
+            "achieved_rate",
+            "n_kept",
+        )
+    )

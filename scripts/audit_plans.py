@@ -73,6 +73,7 @@ EXPECTED_CARTESIAN = {
     "samp_dsir_auc": "inherits samp_dsir_weights' 1-row totals broadcast",
     "prof_l_diversity_t_closeness": "|types|-row global distribution crossed into QI groups (TVD needs absent cells)",
     "ts_bm25_search": "1-row corpus stats (N, avg_len) scalar broadcast",
+    "ts_quality_threshold_calibration": "3-row threshold table broadcast back over scores",
     "samp_temperature_mixture": "1-row totals/λ scalar broadcasts into rates",
     "rel_q22_inactive_rich_customers": "1-row global-avg scalar broadcast",
     # brute-force baselines: query set / block pairs broadcast by design
