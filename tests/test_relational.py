@@ -855,3 +855,27 @@ def test_q20_dominance_threshold(queries, spark):
         .collect()
     }
     assert {r["s_suppkey"] for r in rows} == dominant & nation8
+
+
+def test_plan_exchange_budgets_session3(queries, spark):
+    """Exchange-budget pins for the final-session additions (audited
+    counts + 1 headroom, same convention as
+    test_plan_exchange_budgets)."""
+    budgets = {
+        "rel_q9_product_profit": 6,
+        "rel_q12_late_lines_by_class": 3,
+        "rel_q16_supplier_part_counts": 5,
+        "rel_q21_waiting_suppliers": 6,
+        "sim_semdedup": 8,
+        "samp_dsir_weights": 12,
+        "samp_dsir_auc": 13,
+        "sim_mmr_rerank": 3,
+        "ts_bm25_search": 9,
+        "ts_phrase_search": 3,
+        "ef_attribution_position_based": 4,
+        "ev_daily_trend_ols": 3,
+    }
+    for name, budget in budgets.items():
+        plan = _plan(queries[name](spark, SF_DIR))
+        got = plan.count("Exchange")
+        assert got <= budget, (name, got, budget)
