@@ -835,3 +835,97 @@ def ev_daily_trend_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("r2"),
     )
+
+
+# -------------------------------------------------------- KS drift
+
+#: The two samples whose value distributions the KS statistic compares.
+KS_TYPE_A = "click"
+KS_TYPE_B = "purchase"
+
+
+@register(
+    "ev_ks_drift",
+    f"""WITH s AS (
+  SELECT value, event_type FROM events
+  WHERE event_type IN ('{KS_TYPE_A}', '{KS_TYPE_B}')
+), counts AS (
+  SELECT (SELECT COUNT(*) FROM s WHERE event_type = '{KS_TYPE_A}') AS na,
+         (SELECT COUNT(*) FROM s WHERE event_type = '{KS_TYPE_B}') AS nb
+), steps AS (
+  SELECT value,
+         SUM(CASE WHEN event_type = '{KS_TYPE_A}' THEN 1 ELSE 0 END)
+           OVER (ORDER BY value
+                 RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ca,
+         SUM(CASE WHEN event_type = '{KS_TYPE_B}' THEN 1 ELSE 0 END)
+           OVER (ORDER BY value
+                 RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cb
+  FROM s
+)
+SELECT CAST(counts.na AS BIGINT) AS n_a,
+       CAST(counts.nb AS BIGINT) AS n_b,
+       ROUND(MAX(ABS(CAST(ca AS DOUBLE) / counts.na
+                     - CAST(cb AS DOUBLE) / counts.nb)), 6) AS ks_stat
+FROM steps CROSS JOIN counts
+GROUP BY counts.na, counts.nb""",
+)
+def ev_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """**Two-sample Kolmogorov-Smirnov statistic** between the click
+    and purchase value distributions — ``max |ECDF_a − ECDF_b|``, the
+    nonparametric drift detector that complements the binned PSI
+    (``ev_value_psi``): KS needs no bin choice and catches shape
+    drift PSI's deciles smear out. The RANGE frame (not ROWS) makes
+    tied values step together, which is what makes the ECDF — and the
+    hash — deterministic under ties. Counts are exact integers; each
+    ECDF value is one double division of bit-identical operands.
+
+    Plan: one global RANGE window over the two samples' values — a
+    sort, like the exact percentiles; at 100 TB run it on a per-key
+    stratum or swap in the binned PSI (the operator pair IS the
+    exact/approximate trade, as with percentiles vs sketches)."""
+    from ..sources.tables import events_raw
+
+    s = events_raw(spark, sf_dir).filter(
+        F.col("event_type").isin(KS_TYPE_A, KS_TYPE_B)
+    ).select("value", "event_type")
+    counts = s.agg(
+        F.sum(
+            F.when(F.col("event_type") == KS_TYPE_A, 1).otherwise(0)
+        ).alias("na"),
+        F.sum(
+            F.when(F.col("event_type") == KS_TYPE_B, 1).otherwise(0)
+        ).alias("nb"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy("value").rangeBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    steps = s.select(
+        F.sum(
+            F.when(F.col("event_type") == KS_TYPE_A, 1).otherwise(0)
+        ).over(w).alias("ca"),
+        F.sum(
+            F.when(F.col("event_type") == KS_TYPE_B, 1).otherwise(0)
+        ).over(w).alias("cb"),
+    )
+    return (
+        steps.crossJoin(F.broadcast(counts))
+        .groupBy("na", "nb")
+        .agg(
+            F.round(
+                F.max(
+                    F.abs(
+                        F.col("ca").cast("double") / F.col("na")
+                        - F.col("cb").cast("double") / F.col("nb")
+                    )
+                ),
+                6,
+            ).alias("ks_stat")
+        )
+        .select(
+            F.col("na").cast("long").alias("n_a"),
+            F.col("nb").cast("long").alias("n_b"),
+            "ks_stat",
+        )
+    )

@@ -424,3 +424,77 @@ def prof_l_diversity_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("share_rows_above_t"),
     )
     return out
+
+
+@register(
+    "prof_chi2_lang_source",
+    """WITH cells AS (
+  SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS o
+  FROM documents GROUP BY lang, source
+), margins AS (
+  SELECT c.lang, c.source, c.o,
+         SUM(c.o) OVER (PARTITION BY c.lang) AS rl,
+         SUM(c.o) OVER (PARTITION BY c.source) AS cs,
+         SUM(c.o) OVER () AS n
+  FROM cells c
+), grid AS (
+  SELECT l.lang, s.source, l.rl, s.cs, f.n,
+         COALESCE(m.o, 0) AS o
+  FROM (SELECT DISTINCT lang, rl FROM margins) l
+  CROSS JOIN (SELECT DISTINCT source, cs FROM margins) s
+  CROSS JOIN (SELECT DISTINCT n FROM margins) f
+  LEFT JOIN margins m ON m.lang = l.lang AND m.source = s.source
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_cells,
+       CAST((COUNT(DISTINCT lang) - 1) * (COUNT(DISTINCT source) - 1)
+            AS BIGINT) AS dof,
+       ROUND(SUM(
+         (o - CAST(rl AS DOUBLE) * cs / n) * (o - CAST(rl AS DOUBLE) * cs / n)
+         / (CAST(rl AS DOUBLE) * cs / n)
+       ), 6) AS chi2
+FROM grid""",
+)
+def prof_chi2_lang_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """**Chi-square independence test** on the lang × source
+    contingency table — the data-quality gate for "is the language mix
+    uniform across ingestion sources, or is some source skewed". The
+    statistic is ``Σ (O−E)²/E`` over the FULL grid (absent cells
+    contribute with O = 0 — omitting them understates the statistic,
+    the same absent-cell trap as the t-closeness TVD), with degrees of
+    freedom for the reader's p-value lookup. Expected counts are exact
+    integer-margin products divided once in double, so the sum is
+    hash-stable at 6 dp.
+
+    Plan: one cell count, margin windows over |cells| rows, and a
+    margins-grid cross join bounded by |langs| × |sources| — never raw
+    rows."""
+    docs = load_raw(spark, sf_dir, "documents")
+    cells = docs.groupBy("lang", "source").agg(
+        F.count("*").cast("long").alias("o")
+    )
+    langs = cells.groupBy("lang").agg(F.sum("o").alias("rl"))
+    sources = cells.groupBy("source").agg(F.sum("o").alias("cs"))
+    total = cells.agg(F.sum("o").alias("n"))
+    grid = (
+        langs.crossJoin(F.broadcast(sources))
+        .crossJoin(F.broadcast(total))
+        .join(cells, ["lang", "source"], "left")
+        .select(
+            "lang",
+            "source",
+            "rl",
+            "cs",
+            "n",
+            F.coalesce(F.col("o"), F.lit(0)).alias("o"),
+        )
+    )
+    e = F.col("rl").cast("double") * F.col("cs") / F.col("n")
+    return grid.agg(
+        F.count("*").cast("long").alias("n_cells"),
+        (
+            (F.count_distinct("lang") - 1) * (F.count_distinct("source") - 1)
+        ).cast("long").alias("dof"),
+        F.round(F.sum((F.col("o") - e) * (F.col("o") - e) / e), 6).alias(
+            "chi2"
+        ),
+    )

@@ -74,6 +74,8 @@ EXPECTED_CARTESIAN = {
     "prof_l_diversity_t_closeness": "|types|-row global distribution crossed into QI groups (TVD needs absent cells)",
     "ts_bm25_search": "1-row corpus stats (N, avg_len) scalar broadcast",
     "ts_quality_threshold_calibration": "3-row threshold table broadcast back over scores",
+    "prof_chi2_lang_source": "margins grid bounded by |langs|x|sources| (absent cells need the cross)",
+    "ev_ks_drift": "1-row sample-size scalar broadcast into the ECDF ratios",
     "samp_temperature_mixture": "1-row totals/λ scalar broadcasts into rates",
     "rel_q22_inactive_rich_customers": "1-row global-avg scalar broadcast",
     # brute-force baselines: query set / block pairs broadcast by design
