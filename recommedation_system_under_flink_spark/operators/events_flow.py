@@ -650,3 +650,139 @@ def ef_attribution_position_based(spark: SparkSession, sf_dir: str) -> DataFrame
             F.round(F.sum("credit"), 4).cast("double").alias("attributed_value"),
         )
     )
+
+
+# ------------------------------------------------- survival analysis
+
+#: Microseconds per day (duration discretization for the KM curve).
+_US_PER_DAY = 86_400_000_000
+
+
+@register(
+    "ef_kaplan_meier",
+    f"""WITH obs AS (
+  SELECT MAX(epoch_us(ts)) AS t_end FROM events
+), subj AS (
+  SELECT c.user_id,
+         MIN(epoch_us(c.ts)) AS t0,
+         MIN(CASE WHEN p.pts > epoch_us(c.ts) THEN p.pts END) AS tp
+  FROM (SELECT user_id, ts FROM events WHERE event_type = 'click') c
+  LEFT JOIN (SELECT user_id, epoch_us(ts) AS pts
+             FROM events WHERE event_type = 'purchase') p
+    ON p.user_id = c.user_id
+  GROUP BY c.user_id
+), durations AS (
+  SELECT user_id,
+         CASE WHEN tp IS NOT NULL THEN 1 ELSE 0 END AS event,
+         CASE WHEN tp IS NOT NULL THEN (tp - t0) // {_US_PER_DAY}
+              ELSE (obs.t_end - t0) // {_US_PER_DAY} END AS t_day
+  FROM subj CROSS JOIN obs
+), risk AS (
+  SELECT t.t_day,
+         (SELECT COUNT(*) FROM durations dd WHERE dd.t_day >= t.t_day)
+           AS n_risk,
+         (SELECT COUNT(*) FROM durations dd
+          WHERE dd.t_day = t.t_day AND dd.event = 1) AS d_events
+  FROM (SELECT DISTINCT t_day FROM durations WHERE event = 1) t
+)
+SELECT CAST(t_day AS BIGINT) AS t_day,
+       CAST(n_risk AS BIGINT) AS n_risk,
+       CAST(d_events AS BIGINT) AS d_events,
+       ROUND(
+         MIN(CASE WHEN d_events = n_risk THEN 0 ELSE 1 END)
+           OVER (ORDER BY t_day)
+         * EXP(SUM(CASE WHEN d_events < n_risk
+                        THEN LN((n_risk - d_events) * 1.0 / n_risk)
+                        ELSE 0 END)
+               OVER (ORDER BY t_day)), 6) AS survival
+FROM risk""",
+)
+def ef_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """**Kaplan-Meier survival curve** for click→purchase conversion:
+    each user enters at their first click; the "event" is their first
+    subsequent purchase; users who never purchase are RIGHT-CENSORED
+    at the end of the observed log (dropping them would bias
+    conversion-speed estimates optimistic — handling censoring is the
+    entire point of KM over a plain duration histogram). Output: one
+    step per event day with the at-risk count, events, and the
+    survival estimate ``S(t) = Π (1 − dᵢ/nᵢ)``.
+
+    Determinism: the product runs as ``exp(Σ ln(·))`` over a
+    cumulative window and quantizes to 6 dp (30-ish log terms keep
+    cross-libm drift far below); the ``d = n`` absorbing state is
+    handled with an explicit running zero flag rather than ``ln(0)``.
+
+    Scale: subjects collapse to one row per user (first-touch
+    aggregate, shuffle on user_id); the risk table is one row per
+    DISTINCT event day, so the at-risk/event counts and the window run
+    over ~tens of rows regardless of corpus size."""
+    from pyspark.sql import Window
+
+    from ..sources.tables import events_raw
+
+    ev = events_raw(spark, sf_dir)
+    t_end = ev.agg(F.expr("MAX(ts DIV 1000)").alias("t_end"))
+    clicks_t = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.expr("ts DIV 1000").alias("ctsm")
+    )
+    purch = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"), F.expr("ts DIV 1000").alias("pts")
+    )
+    subj = (
+        clicks_t.join(purch, F.col("user_id") == F.col("p_user"), "left")
+        .groupBy("user_id")
+        .agg(
+            F.min("ctsm").alias("t0"),
+            F.min(
+                F.when(F.col("pts") > F.col("ctsm"), F.col("pts"))
+            ).alias("tp"),
+        )
+    )
+    durations = subj.crossJoin(F.broadcast(t_end)).select(
+        (F.col("tp").isNotNull()).cast("int").alias("event"),
+        F.when(
+            F.col("tp").isNotNull(),
+            F.expr(f"(tp - t0) DIV {_US_PER_DAY}"),
+        )
+        .otherwise(F.expr(f"(t_end - t0) DIV {_US_PER_DAY}"))
+        .alias("t_day"),
+    ).persist()
+    event_days = (
+        durations.filter(F.col("event") == 1).select("t_day").distinct()
+    )
+    d_at = (
+        durations.filter(F.col("event") == 1)
+        .groupBy("t_day")
+        .agg(F.count("*").alias("d_events"))
+    )
+    risk = (
+        event_days.alias("t")
+        .join(
+            durations.alias("dd"),
+            F.col("dd.t_day") >= F.col("t.t_day"),
+        )
+        .groupBy(F.col("t.t_day").alias("t_day"))
+        .agg(F.count("*").alias("n_risk"))
+        .join(d_at, "t_day")
+    )
+    w = Window.orderBy("t_day")
+    alive = F.min(
+        F.when(F.col("d_events") == F.col("n_risk"), 0).otherwise(1)
+    ).over(w)
+    logsum = F.sum(
+        F.when(
+            F.col("d_events") < F.col("n_risk"),
+            F.log(
+                (F.col("n_risk") - F.col("d_events"))
+                * F.lit(1.0)
+                / F.col("n_risk")
+            ),
+        ).otherwise(F.lit(0.0))
+    ).over(w)
+    out = risk.select(
+        F.col("t_day").cast("long").alias("t_day"),
+        F.col("n_risk").cast("long").alias("n_risk"),
+        F.col("d_events").cast("long").alias("d_events"),
+        F.round(alive * F.exp(logsum), 6).alias("survival"),
+    )
+    return out

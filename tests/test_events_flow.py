@@ -460,3 +460,27 @@ def test_position_attribution_conserves_value(spark):
     )
     # weight quantization (6 dp × up to n touches) bounds the gap
     assert abs(attributed - touched) < 1e-2, (attributed, touched)
+
+
+def test_kaplan_meier_curve_properties(spark):
+    """KM invariants: survival starts ≤ 1, is non-increasing, stays in
+    [0, 1]; at-risk counts are non-increasing in t; and the first
+    step equals 1 − d₁/n₁ exactly."""
+    from recommedation_system_under_flink_spark import registry
+
+    from conftest import SF_DIR
+
+    rows = sorted(
+        registry.queries()["ef_kaplan_meier"](spark, SF_DIR).collect(),
+        key=lambda r: r["t_day"],
+    )
+    assert rows
+    surv = [r["survival"] for r in rows]
+    assert all(0.0 <= s <= 1.0 for s in surv)
+    assert all(a >= b for a, b in zip(surv, surv[1:]))
+    nr = [r["n_risk"] for r in rows]
+    assert all(a >= b for a, b in zip(nr, nr[1:]))
+    first = rows[0]
+    assert abs(
+        first["survival"] - (1 - first["d_events"] / first["n_risk"])
+    ) <= 1e-6
