@@ -520,3 +520,115 @@ walk(node, dist) AS (
 SELECT node, CAST(MIN(dist) AS INT) AS dist
 FROM walk WHERE node IS NOT NULL GROUP BY node"""
     )
+
+
+# ------------------------------------------------- triangle counting
+
+#: Minimum co-click count for an item-item edge in the projection.
+TRI_MIN_COOC = 2
+
+
+@register(
+    "graph_triangle_stats",
+    with_ctes(
+        f"""SELECT CAST((SELECT COUNT(DISTINCT v) FROM
+         (SELECT x AS v FROM e UNION SELECT y FROM e)) AS BIGINT) AS n_nodes,
+       CAST((SELECT COUNT(*) FROM e) AS BIGINT) AS n_edges,
+       CAST((SELECT COALESCE(SUM(d * (d - 1) / 2), 0) FROM
+         (SELECT v, COUNT(*) AS d FROM
+           (SELECT x AS v FROM e UNION ALL SELECT y FROM e) GROUP BY v))
+         AS BIGINT) AS n_wedges,
+       CAST((SELECT COUNT(*)
+         FROM e e1 JOIN e e2 ON e2.x = e1.y JOIN e e3
+           ON e3.x = e1.x AND e3.y = e2.y) AS BIGINT) AS n_triangles,
+       ROUND(CASE WHEN (SELECT SUM(d * (d - 1) / 2) FROM
+           (SELECT v, COUNT(*) AS d FROM
+             (SELECT x AS v FROM e UNION ALL SELECT y FROM e) GROUP BY v))
+           > 0
+         THEN 3.0 * (SELECT COUNT(*)
+           FROM e e1 JOIN e e2 ON e2.x = e1.y JOIN e e3
+             ON e3.x = e1.x AND e3.y = e2.y)
+           / (SELECT SUM(d * (d - 1) / 2) FROM
+             (SELECT v, COUNT(*) AS d FROM
+               (SELECT x AS v FROM e UNION ALL SELECT y FROM e) GROUP BY v))
+         ELSE 0.0 END, 6) AS clustering_coeff""",
+        CLICKS_CTE,
+        "prefs AS (SELECT DISTINCT user_id, news_id FROM clicks)",
+        f"""e AS (
+  SELECT a.news_id AS x, b.news_id AS y
+  FROM prefs a JOIN prefs b
+    ON a.user_id = b.user_id AND a.news_id < b.news_id
+  GROUP BY 1, 2 HAVING COUNT(*) >= {TRI_MIN_COOC}
+)""",
+    ),
+)
+def graph_triangle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """**Triangle counting + global clustering coefficient** on the
+    item co-click projection (edges = item pairs co-clicked by ≥
+    ``TRI_MIN_COOC`` users). Triangles are counted on ID-ORIENTED
+    edges (every stored edge has x < y, each triangle counted exactly
+    once as x < y < z via e₁(x,y) ⋈ e₂(y,z) ⋈ e₃(x,z)) — the standard
+    distributed scheme; at scale you orient by DEGREE instead of id,
+    which bounds the join fan-out by arboricity (edges stream through
+    two joins, no per-node adjacency materialization either way).
+    The coefficient ``3·triangles / wedges`` says how clique-ish
+    co-consumption is — community structure upstream of the CF models.
+
+    One row: nodes, edges, wedges (Σ d(d−1)/2 — exact integers),
+    triangles, and the quantized coefficient."""
+    from ..sources import clicks as clicks_table
+
+    prefs = clicks_table(spark, sf_dir).select("user_id", "news_id").distinct()
+    a = prefs.select("user_id", F.col("news_id").alias("x"))
+    b = prefs.select(F.col("user_id").alias("u2"), F.col("news_id").alias("y"))
+    e = (
+        a.join(b, (F.col("user_id") == F.col("u2")) & (F.col("x") < F.col("y")))
+        .groupBy("x", "y")
+        .agg(F.count("*").alias("cooc"))
+        .filter(F.col("cooc") >= TRI_MIN_COOC)
+        .select("x", "y")
+        .persist()
+    )
+    n_edges = e.count()  # materializes the projection once for all uses
+    deg = (
+        e.select(F.col("x").alias("v"))
+        .unionAll(e.select(F.col("y").alias("v")))
+        .groupBy("v")
+        .agg(F.count("*").alias("d"))
+    )
+    wedge_nodes = deg.agg(
+        F.coalesce(
+            F.sum(F.col("d") * (F.col("d") - 1) / 2), F.lit(0.0)
+        ).cast("long").alias("n_wedges"),
+        F.count("*").cast("long").alias("n_nodes"),
+    )
+    e1 = e.select(F.col("x").alias("t_x"), F.col("y").alias("t_y"))
+    e2 = e.select(F.col("x").alias("u_x"), F.col("y").alias("u_y"))
+    e3 = e.select(F.col("x").alias("v_x"), F.col("y").alias("v_y"))
+    tri = (
+        e1.join(e2, F.col("u_x") == F.col("t_y"))
+        .join(
+            e3,
+            (F.col("v_x") == F.col("t_x")) & (F.col("v_y") == F.col("u_y")),
+        )
+        .agg(F.count("*").cast("long").alias("n_triangles"))
+    )
+    out = (
+        wedge_nodes.crossJoin(tri)
+        .select(
+            "n_nodes",
+            F.lit(n_edges).cast("long").alias("n_edges"),
+            "n_wedges",
+            "n_triangles",
+            F.round(
+                F.when(
+                    F.col("n_wedges") > 0,
+                    3.0 * F.col("n_triangles") / F.col("n_wedges"),
+                ).otherwise(F.lit(0.0)),
+                6,
+            ).alias("clustering_coeff"),
+        )
+    )
+    result = checkpoint_result(out)
+    e.unpersist()
+    return result

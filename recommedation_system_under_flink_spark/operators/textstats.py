@@ -1607,3 +1607,110 @@ def ts_quality_threshold_calibration(
             "n_kept",
         )
     )
+
+
+# ------------------------------------------------- PMI collocations
+
+#: Minimum documents a pair must co-occur in, and the list size.
+PMI_MIN_SUPPORT = 5
+PMI_TOP_K = 50
+
+
+@register(
+    "ts_pmi_top_pairs",
+    f"""WITH dt AS (
+  SELECT DISTINCT doc_id, unnest({_TOKENS_SQL}) AS term FROM documents
+), n AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM dt),
+df AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM dt GROUP BY term),
+pairs AS (
+  SELECT a.term AS term_a, b.term AS term_b,
+         CAST(COUNT(*) AS BIGINT) AS n_ab
+  FROM dt a JOIN dt b ON a.doc_id = b.doc_id AND a.term < b.term
+  GROUP BY a.term, b.term
+  HAVING COUNT(*) >= {PMI_MIN_SUPPORT}
+)
+SELECT term_a, term_b, n_ab,
+       ROUND(log2(CAST(n_ab AS DOUBLE) * n.n_docs
+                  / (da.df * CAST(db.df AS DOUBLE))), 6) AS pmi,
+       CAST(rnk AS INTEGER) AS rank
+FROM (
+  SELECT p.*, n.n_docs, da.df AS dfa, db.df AS dfb,
+         ROW_NUMBER() OVER (
+           ORDER BY ROUND(log2(CAST(p.n_ab AS DOUBLE) * n.n_docs
+                               / (da.df * CAST(db.df AS DOUBLE))), 6) DESC,
+                    p.term_a ASC, p.term_b ASC
+         ) AS rnk
+  FROM pairs p
+  JOIN df da ON da.term = p.term_a
+  JOIN df db ON db.term = p.term_b
+  CROSS JOIN n
+) s
+JOIN df da ON da.term = s.term_a
+JOIN df db ON db.term = s.term_b
+CROSS JOIN n
+WHERE rnk <= {PMI_TOP_K}""",
+)
+def ts_pmi_top_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """**PMI collocation mining**: the corpus's most-associated term
+    pairs by pointwise mutual information over document co-occurrence —
+    ``log₂(p(a,b) / (p(a)·p(b)))`` with doc-frequency probabilities, a
+    minimum-support floor (PMI is notoriously noisy on rare pairs),
+    and a quantized deterministic top-``{PMI_TOP_K}``. The
+    distributional-semantics statistic behind collocation extraction
+    and phrase-table induction — and the corpus-level counterpart of
+    the reference's per-document co-occurrence graphs (F2/F3).
+
+    Scale: the pair relation comes from the inverted index
+    (doc-keyed self-join of distinct doc-terms — fan-out bounded by
+    per-doc vocab², the same candidate-generation shape as the n-gram
+    Jaccard dedup); df and N broadcast back onto the surviving
+    pairs."""
+    from pyspark.sql import Window
+
+    docs = load_raw(spark, sf_dir, "documents")
+    dt = docs.select(
+        "doc_id", F.explode(_tokens(F.col("text"))).alias("term")
+    ).distinct()
+    n = dt.agg(F.count_distinct("doc_id").alias("n_docs"))
+    df = dt.groupBy("term").agg(F.count("*").cast("long").alias("df"))
+    a = dt.select("doc_id", F.col("term").alias("term_a"))
+    b = dt.select(F.col("doc_id").alias("doc_b"), F.col("term").alias("term_b"))
+    pairs = (
+        a.join(
+            b,
+            (F.col("doc_id") == F.col("doc_b"))
+            & (F.col("term_a") < F.col("term_b")),
+        )
+        .groupBy("term_a", "term_b")
+        .agg(F.count("*").cast("long").alias("n_ab"))
+        .filter(F.col("n_ab") >= PMI_MIN_SUPPORT)
+    )
+    scored = (
+        pairs.join(
+            F.broadcast(df.select(F.col("term").alias("term_a"), F.col("df").alias("dfa"))),
+            "term_a",
+        )
+        .join(
+            F.broadcast(df.select(F.col("term").alias("term_b"), F.col("df").alias("dfb"))),
+            "term_b",
+        )
+        .crossJoin(F.broadcast(n))
+        .select(
+            "term_a",
+            "term_b",
+            "n_ab",
+            F.round(
+                F.log2(
+                    F.col("n_ab").cast("double")
+                    * F.col("n_docs")
+                    / (F.col("dfa") * F.col("dfb").cast("double"))
+                ),
+                6,
+            ).alias("pmi"),
+        )
+    )
+    w = Window.orderBy(F.desc("pmi"), F.asc("term_a"), F.asc("term_b"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= PMI_TOP_K)
+    )

@@ -77,6 +77,7 @@ EXPECTED_CARTESIAN = {
     "prof_chi2_lang_source": "margins grid bounded by |langs|x|sources| (absent cells need the cross)",
     "ev_ks_drift": "1-row sample-size scalar broadcast into the ECDF ratios",
     "ef_kaplan_meier": "at-risk theta join vs the ~tens-of-rows event-day table (broadcast)",
+    "ts_pmi_top_pairs": "1-row corpus-N scalar broadcast into the PMI ratios",
     "samp_temperature_mixture": "1-row totals/λ scalar broadcasts into rates",
     "rel_q22_inactive_rich_customers": "1-row global-avg scalar broadcast",
     # brute-force baselines: query set / block pairs broadcast by design
