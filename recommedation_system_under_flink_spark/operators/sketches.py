@@ -203,3 +203,116 @@ def sk_monthly_from_daily_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_days"),
         )
     )
+
+
+# ------------------------------------------------- Count-Min sketch
+
+#: CMS geometry: D pinned hash rows × W counters.
+CMS_D = 4
+CMS_W = 64
+
+
+def _cms_hash_sql(row: int) -> str:
+    """Pinned md5-derived CMS bucket for hash row ``row`` — portable
+    integer arithmetic, same scheme as the MinHash signatures."""
+    return (
+        f"CAST(('0x' || substr(md5(CAST(news_id AS VARCHAR) || '#{row}'), 1, 8))"
+        f" AS BIGINT) % {CMS_W}"
+    )
+
+
+@register(
+    "sk_count_min_accuracy",
+    f"""WITH clicks AS (
+  SELECT event_id % {NEWS_MOD} AS news_id FROM events
+  WHERE event_type = 'click'
+), exact AS (
+  SELECT news_id, CAST(COUNT(*) AS BIGINT) AS n FROM clicks GROUP BY news_id
+), cms AS (
+  {" UNION ALL ".join(
+      f"SELECT {r} AS h_row, {_cms_hash_sql(r)} AS bucket,"
+      f" CAST(COUNT(*) AS BIGINT) AS c FROM clicks GROUP BY 1, 2"
+      for r in range(CMS_D)
+  )}
+), est AS (
+  SELECT e.news_id, e.n,
+         MIN(c.c) AS est
+  FROM exact e
+  JOIN cms c ON {" OR ".join(
+      f"(c.h_row = {r} AND c.bucket = {_cms_hash_sql(r)})"
+      for r in range(CMS_D)
+  )}
+  GROUP BY e.news_id, e.n
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
+       CAST(SUM(CASE WHEN est = n THEN 1 ELSE 0 END) AS BIGINT) AS n_exact,
+       CAST(MAX(est - n) AS BIGINT) AS max_overestimate,
+       ROUND(AVG(CAST(est - n AS DOUBLE)), 6) AS avg_overestimate
+FROM est""",
+)
+def sk_count_min_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """**Count-Min sketch, built and audited in one query**: the
+    ``CMS_D × CMS_W`` counter matrix over the click stream (pinned
+    md5-derived row hashes — engine-portable, like the MinHash
+    scheme), point-estimates for every key (min over the D rows —
+    never an underestimate, by construction), and the accuracy audit
+    against exact counts: how many keys are estimated exactly, and
+    the worst/mean collision overestimate. The fourth classic sketch
+    next to HLL (distinct), GK (quantiles), and Misra-Gries (heavy
+    hitters) — and the only one whose full state is deterministic, so
+    the WHOLE sketch, not just its contract, hash-matches the oracle.
+
+    Scale: the sketch build is D map-side-combinable aggregates of
+    W counters each (D×W rows total shuffle state — the mergeability
+    that makes CMS a streaming/distributed staple); the audit joins
+    the |keys| exact counts against D×W rows broadcast."""
+    from ..sources import clicks as clicks_table
+
+    cl = clicks_table(spark, sf_dir).select("news_id")
+
+    def bucket(row: int):
+        return F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("news_id").cast("string"), F.lit(f"#{row}"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long") % CMS_W
+
+    exact = cl.groupBy("news_id").agg(F.count("*").cast("long").alias("n"))
+    cms_parts = [
+        cl.groupBy(bucket(r).alias("bucket"))
+        .agg(F.count("*").cast("long").alias("c"))
+        .select(F.lit(r).alias("h_row"), "bucket", "c")
+        for r in range(CMS_D)
+    ]
+    cms = cms_parts[0]
+    for part in cms_parts[1:]:
+        cms = cms.unionByName(part)
+    keyed = exact
+    for r in range(CMS_D):
+        keyed = keyed.withColumn(f"b{r}", bucket(r))
+    est = (
+        keyed.join(
+            F.broadcast(cms),
+            F.expr(
+                " OR ".join(
+                    f"(h_row = {r} AND bucket = b{r})" for r in range(CMS_D)
+                )
+            ),
+        )
+        .groupBy("news_id", "n")
+        .agg(F.min("c").alias("est"))
+    )
+    return est.agg(
+        F.count("*").cast("long").alias("n_keys"),
+        F.sum(F.when(F.col("est") == F.col("n"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_exact"),
+        F.max(F.col("est") - F.col("n")).cast("long").alias("max_overestimate"),
+        F.round(F.avg((F.col("est") - F.col("n")).cast("double")), 6).alias(
+            "avg_overestimate"
+        ),
+    )
