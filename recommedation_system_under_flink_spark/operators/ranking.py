@@ -294,3 +294,83 @@ def t4_rbo_recommender_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("rbo")
         )
     )
+
+
+# --------------------------------------------- offline policy replay
+
+@register(
+    "t5_policy_replay_eval",
+    with_ctes(
+        """SELECT d.date,
+       p.policy_item,
+       CAST(SUM(d.clicks) AS BIGINT) AS n_logged,
+       CAST(SUM(CASE WHEN d.news_id = p.policy_item
+                     THEN d.clicks ELSE 0 END) AS BIGINT) AS n_matched,
+       ROUND(CAST(SUM(CASE WHEN d.news_id = p.policy_item
+                           THEN d.clicks ELSE 0 END) AS DOUBLE)
+             / SUM(d.clicks), 6) AS replay_ctr
+FROM daily d
+JOIN (
+  SELECT date + INTERVAL 1 DAY AS serve_date, news_id AS policy_item
+  FROM (
+    SELECT date, news_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY date ORDER BY clicks DESC, news_id ASC
+           ) AS rn
+    FROM daily
+  ) WHERE rn = 1
+) p ON d.date = p.serve_date
+GROUP BY d.date, p.policy_item""",
+        CLICKS_CTE,
+        _DAILY_CTE,
+    ),
+)
+def t5_policy_replay_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """**Offline policy replay evaluation** (Li et al. 2011, the
+    unbiased bandit-replay estimator, arXiv:1003.5956): score the
+    "serve yesterday's most-clicked item" policy against the logged
+    stream — on each day, the share of logged clicks that landed on
+    the item the policy would have served. The standard way to
+    estimate a new ranker's CTR from historical logs WITHOUT an
+    online test; here the policy is the HotTopics top-1 (T3's
+    machinery shifted by one day, so the evaluation is honestly
+    out-of-sample: the policy never sees the day it's scored on).
+
+    Plan: the daily aggregate computed once feeds both the policy
+    (per-day top-1 window) and the replay join — a self-join on date
+    against a |days|-row relation; nothing scales beyond the daily
+    rollup. Exact integer counts; one quantized ratio."""
+    from ..sources import clicks as clicks_table
+
+    daily = (
+        clicks_table(spark, sf_dir)
+        .groupBy("date", "news_id")
+        .agg(F.sum("cnt").cast("long").alias("clicks"))
+        .persist()  # feeds policy + replay branches of one lazy plan
+    )
+    w = Window.partitionBy("date").orderBy(
+        F.desc("clicks"), F.asc("news_id")
+    )
+    policy = (
+        daily.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.date_add(F.col("date"), 1).alias("serve_date"),
+            F.col("news_id").alias("policy_item"),
+        )
+    )
+    matched = F.sum(
+        F.when(F.col("news_id") == F.col("policy_item"), F.col("clicks"))
+        .otherwise(0)
+    )
+    return (
+        daily.join(policy, daily["date"] == policy["serve_date"])
+        .groupBy("date", "policy_item")
+        .agg(
+            F.sum("clicks").cast("long").alias("n_logged"),
+            matched.cast("long").alias("n_matched"),
+            F.round(
+                matched.cast("double") / F.sum("clicks"), 6
+            ).alias("replay_ctr"),
+        )
+    )
