@@ -590,3 +590,59 @@ def samp_dsir_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
             (rank_sum - n_pos * (n_pos + 1) / 2.0) / (n_pos * n_neg), 6
         ).alias("auc"),
     )
+
+
+# ------------------------------------------------------- SRM check
+
+@register(
+    "samp_srm_check",
+    f"""WITH s AS ({_SPLIT_ORACLE}),
+o AS (
+  SELECT split, CAST(COUNT(*) AS BIGINT) AS n FROM s GROUP BY split
+), tot AS (SELECT SUM(n) AS total FROM o),
+expect AS (
+  SELECT 'train' AS split, {TRAIN_BUCKETS} / 10.0 AS p
+  UNION ALL SELECT 'val', {VAL_BUCKETS} / 10.0
+  UNION ALL SELECT 'test', {10 - TRAIN_BUCKETS - VAL_BUCKETS} / 10.0
+)
+SELECT e.split, o.n,
+       CAST(ROUND(e.p * tot.total, 6) AS DOUBLE) AS expected,
+       ROUND((o.n - e.p * tot.total) * (o.n - e.p * tot.total)
+             / (e.p * tot.total), 6) AS chi2_term
+FROM expect e JOIN o ON o.split = e.split CROSS JOIN tot""",
+)
+def samp_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """**Sample-ratio-mismatch (SRM) check** on the 80/10/10 hash
+    split: observed vs expected bucket counts with per-bucket
+    chi-square terms — the first thing an experimentation platform
+    validates before trusting ANY A/B readout (a biased assignment
+    invalidates downstream comparisons no matter how careful the
+    metric math is; with a hash split, a failing SRM means the hash
+    is correlated with the id structure). Σ chi2_term against the
+    2-dof critical value is the reader's verdict. Exact counts; one
+    tiny aggregate over the split assignment."""
+    splits = samp_split_assign(spark, sf_dir).groupBy("split").agg(
+        F.count("*").cast("long").alias("n")
+    )
+    total = splits.agg(F.sum("n").alias("total"))
+    expect = spark.createDataFrame(
+        [
+            ("train", TRAIN_BUCKETS / 10.0),
+            ("val", VAL_BUCKETS / 10.0),
+            ("test", (10 - TRAIN_BUCKETS - VAL_BUCKETS) / 10.0),
+        ],
+        "split string, p double",
+    )
+    e = F.col("p") * F.col("total")
+    return (
+        expect.join(splits, "split")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "split",
+            "n",
+            F.round(e, 6).cast("double").alias("expected"),
+            F.round((F.col("n") - e) * (F.col("n") - e) / e, 6).alias(
+                "chi2_term"
+            ),
+        )
+    )

@@ -79,6 +79,7 @@ EXPECTED_CARTESIAN = {
     "ef_kaplan_meier": "at-risk theta join vs the ~tens-of-rows event-day table (broadcast)",
     "ts_pmi_top_pairs": "1-row corpus-N scalar broadcast into the PMI ratios",
     "sk_count_min_accuracy": "D×W-row sketch broadcast with OR-of-rows probe condition (BNLJ)",
+    "samp_srm_check": "1-row split-total scalar broadcast into expected counts",
     "samp_temperature_mixture": "1-row totals/λ scalar broadcasts into rates",
     "rel_q22_inactive_rich_customers": "1-row global-avg scalar broadcast",
     # brute-force baselines: query set / block pairs broadcast by design
