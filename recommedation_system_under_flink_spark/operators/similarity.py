@@ -2286,3 +2286,104 @@ def sim_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         picks, "pick int, center_id long, radius double"
     )
+
+
+# ------------------------------------------- simplified silhouette
+
+@register(
+    "sim_silhouette_simplified",
+    f"""WITH proj AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+), cents AS (
+  SELECT vec_id AS cid, e FROM proj WHERE vec_id < {IVF_K}
+), dists AS (
+  SELECT v.vec_id, c.cid,
+         ROUND(1 - list_dot_product(v.e, c.e)
+               / (sqrt(list_dot_product(v.e, v.e))
+                  * sqrt(list_dot_product(c.e, c.e))), 6) AS d,
+         ROW_NUMBER() OVER (
+           PARTITION BY v.vec_id ORDER BY
+             ROUND(1 - list_dot_product(v.e, c.e)
+                   / (sqrt(list_dot_product(v.e, v.e))
+                      * sqrt(list_dot_product(c.e, c.e))), 6) ASC, c.cid ASC
+         ) AS rk
+  FROM proj v CROSS JOIN cents c
+), ab AS (
+  SELECT o.vec_id, o.cid, o.d AS a, n.d AS b
+  FROM (SELECT * FROM dists WHERE rk = 1) o
+  JOIN (SELECT * FROM dists WHERE rk = 2) n ON n.vec_id = o.vec_id
+)
+SELECT cid,
+       CAST(COUNT(*) AS BIGINT) AS n_members,
+       ROUND(AVG((b - a) / GREATEST(a, b)), 6) AS mean_silhouette
+FROM ab
+WHERE GREATEST(a, b) > 0
+GROUP BY cid""",
+)
+def sim_silhouette_simplified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """**Simplified silhouette** per cluster over the pinned-centroid
+    cells: for each vector, ``a`` = cosine distance to its own
+    (nearest) centroid, ``b`` = distance to the second-nearest, score
+    ``(b − a)/max(a, b)`` — the O(n·K) centroid-based variant of the
+    silhouette coefficient (the O(n²) pairwise form is exactly what it
+    exists to avoid at scale), the standard "is K right / which cells
+    are mush" clustering diagnostic for the IVF/SemDeDup index
+    family. Per-cell member counts and mean silhouette; cells near 0
+    are boundaries, negative means misassignment pressure.
+
+    All distances quantized to 6 dp with cid tiebreaks (assignment
+    identical to the other pinned-centroid operators); one
+    corpus × K broadcast distance computation, one row per vector, a
+    K-row result."""
+    from pyspark.sql import Window
+
+    emb = load_raw(spark, sf_dir, "embeddings")
+    base = emb.select("vec_id", _as_double("embedding").alias("emb")).withColumn(
+        "nrm", _norm(F.col("emb"))
+    )
+    cents = [
+        list(r["emb"])
+        for r in base.filter(F.col("vec_id") < IVF_K)
+        .orderBy("vec_id")
+        .select("emb")
+        .collect()
+    ]
+    if not cents:
+        return spark.createDataFrame(
+            [], "cid long, n_members long, mean_silhouette double"
+        )
+    cent_df = spark.createDataFrame(
+        [(i, c) for i, c in enumerate(cents)], "cid long, cemb array<double>"
+    ).withColumn("cnrm", _norm(F.col("cemb")))
+    dists = base.crossJoin(F.broadcast(cent_df)).select(
+        "vec_id",
+        "cid",
+        F.round(
+            1
+            - _dot(F.col("emb"), F.col("cemb"))
+            / (F.col("nrm") * F.col("cnrm")),
+            6,
+        ).alias("d"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.asc("d"), F.asc("cid"))
+    ranked = dists.withColumn("rk", F.row_number().over(w))
+    own = ranked.filter(F.col("rk") == 1).select(
+        "vec_id", "cid", F.col("d").alias("a")
+    )
+    nxt = ranked.filter(F.col("rk") == 2).select(
+        F.col("vec_id").alias("v2"), F.col("d").alias("b")
+    )
+    ab = own.join(nxt, F.col("vec_id") == F.col("v2"))
+    return (
+        ab.filter(F.greatest("a", "b") > 0)
+        .groupBy("cid")
+        .agg(
+            F.count("*").cast("long").alias("n_members"),
+            F.round(
+                F.avg(
+                    (F.col("b") - F.col("a")) / F.greatest("a", "b")
+                ),
+                6,
+            ).alias("mean_silhouette"),
+        )
+    )
