@@ -316,3 +316,48 @@ def mm_preprocess_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
         units.alias("units"),
         (units * per_unit).cast("long").alias("est_tokens"),
     )
+
+
+# --------------------------------------------------- ViT patch plan
+
+#: ViT patch size (pixels per square patch side).
+PATCH = 16
+
+
+@register(
+    "mm_patch_plan",
+    f"""WITH {_MEDIA_CTE}
+SELECT media_id, width, height,
+       CAST(width - width % {PATCH} AS INTEGER) AS crop_w,
+       CAST(height - height % {PATCH} AS INTEGER) AS crop_h,
+       CAST((width - width % {PATCH}) / {PATCH}
+            * (height - height % {PATCH}) / {PATCH} AS BIGINT) AS n_patches,
+       CAST((width - width % {PATCH}) / {PATCH}
+            * (height - height % {PATCH}) / {PATCH} + 1 AS BIGINT) AS seq_len
+FROM media WHERE modality = 'image'""",
+)
+def mm_patch_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """**ViT patch-grid planning** over image metadata: center-crop
+    each image to the largest ``PATCH``-multiple box, count the
+    ``PATCH``×``PATCH`` patches, and emit the transformer sequence
+    length (+1 for the CLS token) — the budget arithmetic a
+    vision-encoder data loader runs to pack batches BEFORE any pixel
+    is decoded. Like ``mm_frame_plan``, this is a pure metadata
+    projection: the binary payload column is never read (column
+    pruning — the 100 TB point of keeping typed metadata beside
+    opaque payloads), and the modality filter prunes to the image
+    rows. The decode stage itself stays the documented
+    ``mapInPandas`` stub."""
+    m = media(spark, sf_dir).filter(F.col("modality") == "image")
+    crop_w = F.col("meta.width") - F.col("meta.width") % PATCH
+    crop_h = F.col("meta.height") - F.col("meta.height") % PATCH
+    n_patches = (crop_w / PATCH * crop_h / PATCH).cast("long")
+    return m.select(
+        "media_id",
+        F.col("meta.width").alias("width"),
+        F.col("meta.height").alias("height"),
+        crop_w.cast("int").alias("crop_w"),
+        crop_h.cast("int").alias("crop_h"),
+        n_patches.alias("n_patches"),
+        (n_patches + 1).alias("seq_len"),
+    )
