@@ -785,3 +785,105 @@ def test_bpe_encode_matches_reference(queries, spark):
                 cache[w] = encode(w)
             n_sub += cache[w]
         assert got[r["doc_id"]] == (len(words), n_sub), r["doc_id"]
+
+
+# ------------------------------------- property tests (hypothesis)
+
+def test_bpe_merge_fold_property(spark):
+    """Property: the Catalyst greedy merge fold equals the pure-Python
+    greedy left-to-right merge on random symbol sequences — including
+    overlapping-pair and merged-token-re-match edge cases."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from recommedation_system_under_flink_spark.operators.textstats import (
+        _bpe_merge_fold,
+    )
+
+    sym = st.sampled_from(["a", "b", "ab", "c"])
+
+    @settings(max_examples=30, deadline=None)
+    @given(
+        seq=st.lists(sym, min_size=0, max_size=12),
+        pair=st.tuples(sym, sym),
+    )
+    def check(seq, pair):
+        left, right = pair
+        expected: list = []
+        for x in seq:
+            if expected and expected[-1] == left and x == right:
+                expected[-1] = left + right
+            else:
+                expected.append(x)
+        df = spark.createDataFrame([(seq,)], "symbols array<string>")
+        got = df.select(_bpe_merge_fold(left, right).alias("s")).collect()[0][
+            "s"
+        ]
+        assert got == expected, (seq, pair, got, expected)
+
+    check()
+
+
+def test_mmr_greedy_property(spark):
+    """Property: on random small (rel, sim) inputs, the grouped-UDF
+    greedy trajectory equals a brute-force reference that enumerates
+    the argmax each round with the same quantization and tiebreaks."""
+    import numpy as np
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from recommedation_system_under_flink_spark.operators.similarity import (
+        MMR_LAMBDA,
+    )
+
+    def q6(x):
+        return np.sign(x) * np.floor(np.abs(x) * 1e6 + 0.5) / 1e6
+
+    @settings(max_examples=50, deadline=None)
+    @given(
+        data=st.lists(
+            st.floats(min_value=-1.0, max_value=1.0, allow_nan=False),
+            min_size=4,
+            max_size=24,
+        ),
+        k=st.integers(min_value=1, max_value=5),
+    )
+    def check(data, k):
+        n = len(data)
+        rel = q6(np.array(data))
+        rng = np.random.RandomState(abs(hash(tuple(data))) % 2**31)
+        sims = q6(rng.uniform(-1, 1, (n, n)))
+        sims = q6((sims + sims.T) / 2)
+        # reference: explicit greedy with (score DESC, id ASC) argmax
+        chosen: list[int] = []
+        for _ in range(min(k, n)):
+            best, best_key = None, None
+            for i in range(n):
+                if i in chosen:
+                    continue
+                if not chosen:
+                    s = rel[i]
+                else:
+                    s = q6(
+                        MMR_LAMBDA * rel[i]
+                        - (1 - MMR_LAMBDA) * max(sims[i][j] for j in chosen)
+                    )
+                key = (-s, i)
+                if best_key is None or key < best_key:
+                    best, best_key = i, key
+            chosen.append(best)
+        # the operator's vectorized greedy (same code path as the UDF)
+        got: list[int] = []
+        for _ in range(min(k, n)):
+            if not got:
+                score = rel.copy()
+            else:
+                score = q6(
+                    MMR_LAMBDA * rel
+                    - (1 - MMR_LAMBDA) * sims[:, got].max(axis=1)
+                )
+            score[got] = -np.inf
+            got.append(int(np.argmax(score)))
+        assert got == chosen, (data, k, got, chosen)
+
+    check()
