@@ -2387,3 +2387,133 @@ def sim_silhouette_simplified(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("mean_silhouette"),
         )
     )
+
+
+# --------------------------------------------------------- DBSCAN
+
+#: DBSCAN parameters: the eps-neighborhood is cosine ≥ EPS_COS (looser
+#: than the near-dup bar so real density structure exists at every
+#: fixture SF), and a point is CORE with ≥ MIN_NEIGHBORS eps-neighbors.
+DBSCAN_EPS_COS = 0.35
+DBSCAN_MIN_NEIGHBORS = 2
+
+_DBSCAN_ORACLE = f"""WITH RECURSIVE pairs AS (
+  SELECT a.vec_id AS va, b.vec_id AS vb
+  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+  WHERE {_COSINE_SQL} >= {DBSCAN_EPS_COS}
+), edges AS (
+  SELECT va AS s, vb AS d FROM pairs UNION ALL SELECT vb, va FROM pairs
+), deg AS (
+  SELECT s AS v, COUNT(*) AS n FROM edges GROUP BY s
+), core AS (
+  SELECT v FROM deg WHERE n >= {DBSCAN_MIN_NEIGHBORS}
+), core_edges AS (
+  SELECT e.s, e.d FROM edges e
+  JOIN core c1 ON c1.v = e.s JOIN core c2 ON c2.v = e.d
+), reach AS (
+  SELECT v AS src, v AS dst FROM core
+  UNION
+  SELECT r.src, e.d FROM reach r JOIN core_edges e ON r.dst = e.s
+), core_label AS (
+  SELECT src AS v, MIN(dst) AS cluster FROM reach GROUP BY src
+), border_label AS (
+  SELECT e.s AS v, MIN(cl.cluster) AS cluster
+  FROM edges e JOIN core_label cl ON cl.v = e.d
+  WHERE e.s NOT IN (SELECT v FROM core)
+  GROUP BY e.s
+)
+SELECT emb.vec_id,
+       CASE WHEN cl.v IS NOT NULL THEN 'core'
+            WHEN bl.v IS NOT NULL THEN 'border'
+            ELSE 'noise' END AS role,
+       COALESCE(cl.cluster, bl.cluster) AS cluster
+FROM embeddings emb
+LEFT JOIN core_label cl ON cl.v = emb.vec_id
+LEFT JOIN border_label bl ON bl.v = emb.vec_id"""
+
+
+@register("sim_dbscan", _DBSCAN_ORACLE)
+def sim_dbscan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """**DBSCAN density clustering** (Ester et al. 1996) over the
+    embedding corpus, composed entirely from verified primitives:
+    the eps-graph is the exact blocked-GEMM pair scorer at
+    ``DBSCAN_EPS_COS``; CORE points have ≥ ``DBSCAN_MIN_NEIGHBORS``
+    eps-neighbors; clusters are hash-min **connected components over
+    core-core edges only** (exactly DBSCAN's density-reachability:
+    borders never bridge clusters); border points attach to the MIN
+    cluster label among their core neighbors (a deterministic stand-in
+    for DBSCAN's order-dependent first-claim — pinned, so both engines
+    agree); everything else is noise. One row per vector with
+    (role, cluster).
+
+    Scale: pair generation is the documented blocked/LSH path, the
+    component loop runs over core vertices only (the BSP story of
+    ``sim_neardup_components``), and the border/noise assignment is
+    two hash joins. The oracle rebuilds the whole chain independently
+    with a recursive-CTE closure over core edges."""
+    emb = load_raw(spark, sf_dir, "embeddings")
+    # eps-graph through the blocked-GEMM scorer (Catalyst zip_with
+    # folds evaluate interpreted per element — measured 25s for 2M
+    # pairs vs ~2s blocked; see sim_neardup_pairs_exact). The pair
+    # relation is localCheckpointed EAGERLY: every downstream branch
+    # (degrees, core semi-joins, the BSP loop's per-round lineage, the
+    # final eager checkpoint) would otherwise re-derive through the
+    # 64-task mapInPandas scorer — measured 5× the whole query's cost
+    # in replayed stages.
+    pairs = (
+        _exact_pairs_blocked(spark, sf_dir, DBSCAN_EPS_COS)
+        .select(F.col("vec_a").alias("va"), F.col("vec_b").alias("vb"))
+        .localCheckpoint(eager=True)
+    )
+    edges = pairs.select(
+        F.col("va").alias("s"), F.col("vb").alias("d")
+    ).unionAll(pairs.select(F.col("vb").alias("s"), F.col("va").alias("d")))
+    edges = edges.persist()
+    deg = edges.groupBy("s").agg(F.count("*").alias("n"))
+    core = deg.filter(F.col("n") >= DBSCAN_MIN_NEIGHBORS).select(
+        F.col("s").alias("v")
+    ).persist()
+    core.count()
+    core_edges = (
+        edges.join(core.withColumnRenamed("v", "s"), "s", "left_semi")
+        .join(core.withColumnRenamed("v", "d"), "d", "left_semi")
+        .filter(F.col("s") < F.col("d"))
+        .select("s", "d")
+    )
+    labels = hash_min_components(core_edges, "s", "d")
+    core_label = (
+        core.join(labels, core["v"] == labels["node"], "left")
+        .select("v", F.coalesce("comp", F.col("v")).alias("cluster"))
+        .persist()
+    )
+    core_label.count()
+    nb = core_label.select(
+        F.col("v").alias("nbr"), F.col("cluster").alias("ncluster")
+    )
+    border_label = (
+        edges.select(F.col("s").alias("bv"), F.col("d").alias("nbr"))
+        .join(nb, "nbr")
+        .join(core.select(F.col("v").alias("bv")), "bv", "left_anti")
+        .groupBy("bv")
+        .agg(F.min("ncluster").alias("bcluster"))
+    )
+    out = (
+        emb.select("vec_id")
+        .join(core_label, F.col("vec_id") == core_label["v"], "left")
+        .join(border_label, F.col("vec_id") == border_label["bv"], "left")
+        .select(
+            "vec_id",
+            F.when(core_label["v"].isNotNull(), "core")
+            .when(border_label["bv"].isNotNull(), "border")
+            .otherwise("noise")
+            .alias("role"),
+            F.coalesce("cluster", "bcluster").alias("cluster"),
+        )
+    )
+    from .bsp import checkpoint_result
+
+    result = checkpoint_result(out)
+    edges.unpersist()
+    core.unpersist()
+    core_label.unpersist()
+    return result

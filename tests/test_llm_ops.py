@@ -887,3 +887,51 @@ def test_mmr_greedy_property(spark):
         assert got == chosen, (data, k, got, chosen)
 
     check()
+
+
+# --------------------------------------------------------------- dbscan
+
+def test_dbscan_role_semantics(queries, spark):
+    """DBSCAN invariants recomputed from raw embeddings: cores have
+    ≥ MIN_NEIGHBORS eps-neighbors, borders have < that but ≥ 1 core
+    neighbor, noise has none; clusters are keyed by core ids; two
+    core neighbors always share a cluster."""
+    import numpy as np
+
+    from recommedation_system_under_flink_spark.operators.similarity import (
+        DBSCAN_EPS_COS,
+        DBSCAN_MIN_NEIGHBORS,
+    )
+    from recommedation_system_under_flink_spark.sources import load_raw
+
+    rows = {r["vec_id"]: r for r in queries["sim_dbscan"](spark, SF_DIR).collect()}
+    emb = {
+        r["vec_id"]: np.array(r["embedding"], dtype=np.float64)
+        for r in load_raw(spark, SF_DIR, "embeddings").collect()
+    }
+    ids = sorted(emb)
+    x = np.array([emb[i] for i in ids])
+    x = x / np.linalg.norm(x, axis=1)[:, None]
+    sims = x @ x.T
+    np.fill_diagonal(sims, -2)
+    neighbors = {
+        ids[i]: {ids[j] for j in np.where(sims[i] >= DBSCAN_EPS_COS)[0]}
+        for i in range(len(ids))
+    }
+    cores = {v for v, ns in neighbors.items() if len(ns) >= DBSCAN_MIN_NEIGHBORS}
+    assert cores  # fixture has density structure at the pinned eps
+    roles = {"core": 0, "border": 0, "noise": 0}
+    for v, r in rows.items():
+        roles[r["role"]] += 1
+        if r["role"] == "core":
+            assert v in cores
+            assert r["cluster"] is not None and r["cluster"] in cores
+            for u in neighbors[v] & cores:
+                assert rows[u]["cluster"] == r["cluster"], (v, u)
+        elif r["role"] == "border":
+            assert v not in cores and (neighbors[v] & cores)
+            assert r["cluster"] in cores
+        else:
+            assert v not in cores and not (neighbors[v] & cores)
+            assert r["cluster"] is None
+    assert roles["core"] and roles["noise"]
