@@ -1208,3 +1208,45 @@ def s22_output_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("date").alias("max_date"),
         F.sum(h32).cast("long").alias("content_hash"),
     )
+
+
+# ---------------------------------------------------------------- S23
+
+@register(
+    "s23_xml_roundtrip",
+    """SELECT doc_id, lang, md5(text) AS text_md5,
+       CAST(n_chars AS BIGINT) AS n_chars
+FROM documents""",
+)
+def s23_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML source/sink roundtrip (Spark 4's built-in XML format, the
+    spark-xml package merged into core): write the documents table as
+    XML rows and read it back, emitting per-doc md5 of the
+    roundtripped text — the oracle recomputes the digests from the
+    RAW parquet, so any entity-escaping or whitespace mangling in the
+    XML encode/decode path would flip the hash. Completes the
+    format-coverage set (CSV / JSONL / ORC / parquet / partitioned /
+    bucketed / custom Python source / XML)."""
+    docs = load_raw(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "text", "n_chars"
+    )
+    out = os.path.join(tempfile.gettempdir(), "spark_graft_s23_xml")
+    (
+        docs.write.mode("overwrite")
+        .format("xml")
+        .option("rootTag", "docs")
+        .option("rowTag", "doc")
+        .save(out)
+    )
+    back = (
+        spark.read.format("xml")
+        .option("rowTag", "doc")
+        .schema("doc_id long, lang string, text string, n_chars long")
+        .load(out)
+    )
+    return back.select(
+        "doc_id",
+        "lang",
+        F.md5("text").alias("text_md5"),
+        F.col("n_chars").cast("long").alias("n_chars"),
+    )

@@ -33,6 +33,13 @@ DEFAULT = (
     "ts_bigram_lm_perplexity",
     "sim_pq_topk_pinned",
     "hot_topics_pipeline",
+    # final-session flagships
+    "sim_semdedup",
+    "ts_bm25_search",
+    "rel_q9_product_profit",
+    "samp_dsir_weights",
+    "ef_attribution_position_based",
+    "sim_dbscan",
 )
 
 
