@@ -935,3 +935,39 @@ def test_dbscan_role_semantics(queries, spark):
             assert v not in cores and not (neighbors[v] & cores)
             assert r["cluster"] is None
     assert roles["core"] and roles["noise"]
+
+
+# ---------------------------------------------- observation metrics
+
+def test_observe_metrics_match_funnel_report(queries, spark):
+    """Production-observability pattern: Spark's ``Observation`` API
+    captures pipeline metrics DURING the job (no second pass), and the
+    captured counters must equal the standalone funnel report's
+    numbers — the metrics side channel and the report query are two
+    independent measurements of the same gates."""
+    from pyspark.sql import Observation
+    from pyspark.sql import functions as F
+
+    from recommedation_system_under_flink_spark.operators.textstats import (
+        ts_quality_score,
+    )
+    from recommedation_system_under_flink_spark.plans.curation import (
+        QUALITY_MIN,
+    )
+
+    sig = ts_quality_score(spark, SF_DIR)
+    obs = Observation("curation")
+    observed = sig.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_in"),
+        F.sum(
+            (F.col("quality") >= QUALITY_MIN).cast("long")
+        ).alias("n_quality"),
+    )
+    n_out = observed.filter(F.col("quality") >= QUALITY_MIN).count()
+    got = obs.get
+    assert got["n_in"] == sig.count()
+    assert got["n_quality"] == n_out
+    report = queries["llm_curation_funnel_report"](spark, SF_DIR).collect()[0]
+    assert got["n_quality"] == report["pass_quality"]
+    assert got["n_in"] == report["total"]
