@@ -253,3 +253,59 @@ def test_pysource_stream_drains_in_micro_batches(spark):
     rows_per_batch = [p["numInputRows"] for p in progress if p["numInputRows"]]
     assert len(rows_per_batch) >= PYSOURCE_ROWS // PYSOURCE_BATCH
     assert all(n <= PYSOURCE_BATCH for n in rows_per_batch)
+
+
+def test_checkpoint_restart_is_exactly_once(spark):
+    """Operational semantics: restarting a checkpointed file-source
+    stream must NOT reprocess committed data — the second run of the
+    identical query over the identical source sees zero new input rows
+    and the append sink's row count is unchanged (exactly-once across
+    restarts, the property the checkpoint exists for)."""
+    import os
+    import shutil
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from recommedation_system_under_flink_spark.streaming.hot_topics import (
+        stream_clicks,
+    )
+
+    from conftest import SF_DIR
+
+    run_id = uuid.uuid4().hex[:10]
+    ckpt = f"/tmp/spark_ckpt_restart_{run_id}"
+    sink = f"/tmp/spark_sink_restart_{run_id}"
+
+    raw = stream_clicks(spark, SF_DIR).select("user_id", "news_id")
+    q1 = (
+        raw.writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q1.awaitTermination()
+    first_rows = spark.read.parquet(sink).count()
+    # numInputRows counts RAW source rows (pre click-filter), the sink
+    # holds the filtered rows — both must be non-empty on first run
+    first_inputs = sum(p["numInputRows"] for p in q1.recentProgress)
+    assert first_rows > 0 and first_inputs >= first_rows
+
+    raw2 = stream_clicks(spark, SF_DIR).select("user_id", "news_id")
+    q2 = (
+        raw2.writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination()
+    second_inputs = sum(p["numInputRows"] for p in q2.recentProgress)
+    assert second_inputs == 0  # committed offsets: nothing reprocessed
+    assert spark.read.parquet(sink).count() == first_rows
+
+    shutil.rmtree(ckpt, ignore_errors=True)
+    shutil.rmtree(sink, ignore_errors=True)
