@@ -786,3 +786,100 @@ def ef_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(alive * F.exp(logsum), 6).alias("survival"),
     )
     return out
+
+
+# ------------------------------------- conversion-rate significance
+
+@register(
+    "ef_conversion_ztest",
+    f"""WITH subj AS (
+  SELECT c.user_id,
+         CAST(MAX(CASE WHEN p.pts > epoch_us(c.ts) THEN 1 ELSE 0 END)
+              AS INTEGER) AS converted,
+         CAST(MIN(epoch_us(c.ts)) AS BIGINT) % 2 AS cohort
+  FROM (SELECT user_id, ts FROM events WHERE event_type = 'click') c
+  LEFT JOIN (SELECT user_id, epoch_us(ts) AS pts
+             FROM events WHERE event_type = 'purchase') p
+    ON p.user_id = c.user_id
+  GROUP BY c.user_id
+), g AS (
+  SELECT cohort,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(converted) AS BIGINT) AS x
+  FROM subj GROUP BY cohort
+)
+SELECT a.n AS n_a, a.x AS x_a, b.n AS n_b, b.x AS x_b,
+       ROUND(CAST(a.x AS DOUBLE) / a.n - CAST(b.x AS DOUBLE) / b.n, 6)
+         AS rate_diff,
+       CASE WHEN a.x + b.x = 0 OR a.x + b.x = a.n + b.n THEN 0.0
+            ELSE ROUND(
+              (CAST(a.x AS DOUBLE) / a.n - CAST(b.x AS DOUBLE) / b.n)
+              / sqrt(
+                  (CAST(a.x + b.x AS DOUBLE) / (a.n + b.n))
+                  * (1 - CAST(a.x + b.x AS DOUBLE) / (a.n + b.n))
+                  * (1.0 / a.n + 1.0 / b.n)
+                ), 6) END AS z_stat
+FROM (SELECT * FROM g WHERE cohort = 0) a
+CROSS JOIN (SELECT * FROM g WHERE cohort = 1) b""",
+)
+def ef_conversion_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """**Two-proportion z-test** on click→purchase conversion between
+    two deterministic user cohorts (first-click-timestamp parity — a
+    hash-free A/B stand-in that mirrors how a real experiment would
+    compare bucketed users): pooled-proportion z statistic for "is the
+    conversion-rate difference noise". The significance arithmetic
+    every funnel comparison ends with, next to the KM curve (speed)
+    and the funnel counts (volume). Exact integer counts; the z
+    divides quantized doubles built from identical operands, so the
+    single row hash-matches."""
+    ev = events_raw(spark, sf_dir)
+    clicks_t = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.expr("ts DIV 1000").alias("ctsm")
+    )
+    purch = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"), F.expr("ts DIV 1000").alias("pts")
+    )
+    subj = (
+        clicks_t.join(purch, F.col("user_id") == F.col("p_user"), "left")
+        .groupBy("user_id")
+        .agg(
+            F.max(
+                F.when(F.col("pts") > F.col("ctsm"), 1).otherwise(0)
+            ).alias("converted"),
+            (F.min("ctsm") % 2).alias("cohort"),
+        )
+    )
+    g = subj.groupBy("cohort").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("converted").cast("long").alias("x"),
+    )
+    a = g.filter(F.col("cohort") == 0).select(
+        F.col("n").alias("n_a"), F.col("x").alias("x_a")
+    )
+    b = g.filter(F.col("cohort") == 1).select(
+        F.col("n").alias("n_b"), F.col("x").alias("x_b")
+    )
+    j = a.crossJoin(b)
+    ra = F.col("x_a").cast("double") / F.col("n_a")
+    rb = F.col("x_b").cast("double") / F.col("n_b")
+    pool = (F.col("x_a") + F.col("x_b")).cast("double") / (
+        F.col("n_a") + F.col("n_b")
+    )
+    se = F.sqrt(
+        pool * (1 - pool) * (1.0 / F.col("n_a") + 1.0 / F.col("n_b"))
+    )
+    # degenerate pooled rates (0% or 100% conversion — sf0.001 converts
+    # everyone) pin z to 0 rather than dividing by a zero SE
+    degenerate = (F.col("x_a") + F.col("x_b") == 0) | (
+        F.col("x_a") + F.col("x_b") == F.col("n_a") + F.col("n_b")
+    )
+    return j.select(
+        "n_a",
+        "x_a",
+        "n_b",
+        "x_b",
+        F.round(ra - rb, 6).alias("rate_diff"),
+        F.when(degenerate, F.lit(0.0))
+        .otherwise(F.round((ra - rb) / se, 6))
+        .alias("z_stat"),
+    )

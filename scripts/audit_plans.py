@@ -81,6 +81,7 @@ EXPECTED_CARTESIAN = {
     "sk_count_min_accuracy": "D×W-row sketch broadcast with OR-of-rows probe condition (BNLJ)",
     "samp_srm_check": "1-row split-total scalar broadcast into expected counts",
     "sim_silhouette_simplified": "K-row centroid table broadcast vs corpus (O(n·K) distances)",
+    "ef_conversion_ztest": "two 1-row cohort aggregates crossed for the z arithmetic",
     "samp_temperature_mixture": "1-row totals/λ scalar broadcasts into rates",
     "rel_q22_inactive_rich_customers": "1-row global-avg scalar broadcast",
     # brute-force baselines: query set / block pairs broadcast by design
