@@ -883,3 +883,151 @@ def ef_conversion_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.round((ra - rb) / se, 6))
         .alias("z_stat"),
     )
+
+
+# --------------------------------------------------- log-rank test
+
+@register(
+    "ef_logrank_test",
+    f"""WITH obs AS (
+  SELECT MAX(epoch_us(ts)) AS t_end FROM events
+), subj AS (
+  SELECT c.user_id,
+         MIN(epoch_us(c.ts)) AS t0,
+         MIN(CASE WHEN p.pts > epoch_us(c.ts) THEN p.pts END) AS tp,
+         CAST(MIN(epoch_us(c.ts)) AS BIGINT) % 2 AS cohort
+  FROM (SELECT user_id, ts FROM events WHERE event_type = 'click') c
+  LEFT JOIN (SELECT user_id, epoch_us(ts) AS pts
+             FROM events WHERE event_type = 'purchase') p
+    ON p.user_id = c.user_id
+  GROUP BY c.user_id
+), durations AS (
+  SELECT cohort,
+         CASE WHEN tp IS NOT NULL THEN 1 ELSE 0 END AS event,
+         CASE WHEN tp IS NOT NULL THEN (tp - t0) // {_US_PER_DAY}
+              ELSE (obs.t_end - t0) // {_US_PER_DAY} END AS t_day
+  FROM subj CROSS JOIN obs
+), terms AS (
+  SELECT t.t_day,
+         (SELECT COUNT(*) FROM durations d
+          WHERE d.t_day >= t.t_day AND d.cohort = 0) AS na,
+         (SELECT COUNT(*) FROM durations d
+          WHERE d.t_day >= t.t_day) AS n,
+         (SELECT COUNT(*) FROM durations d
+          WHERE d.t_day = t.t_day AND d.event = 1 AND d.cohort = 0) AS da,
+         (SELECT COUNT(*) FROM durations d
+          WHERE d.t_day = t.t_day AND d.event = 1) AS d
+  FROM (SELECT DISTINCT t_day FROM durations WHERE event = 1) t
+)
+SELECT CAST(SUM(da) AS BIGINT) AS observed_a,
+       ROUND(SUM(CAST(d AS DOUBLE) * na / n), 6) AS expected_a,
+       ROUND(
+         CASE WHEN SUM(CASE WHEN n > 1
+                            THEN CAST(d AS DOUBLE) * na / n * (n - na) / n
+                                 * (n - d) / (n - 1) ELSE 0 END) = 0
+              THEN 0.0
+              ELSE POW(SUM(da) - SUM(CAST(d AS DOUBLE) * na / n), 2)
+                   / SUM(CASE WHEN n > 1
+                              THEN CAST(d AS DOUBLE) * na / n * (n - na) / n
+                                   * (n - d) / (n - 1) ELSE 0 END) END,
+         6) AS logrank_chi2
+FROM terms""",
+)
+def ef_logrank_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """**Log-rank test** between the two deterministic cohorts'
+    conversion survival curves — the statistically-correct way to
+    compare two Kaplan-Meier curves (:func:`ef_kaplan_meier` draws
+    them; a naive rate comparison like the z-test ignores censoring):
+    at each event day, compare cohort A's observed events to its
+    hypergeometric expectation given the pooled risk set; the
+    chi-square is ``(Σ(Oₐ−Eₐ))² / ΣV``. One row: observed, expected,
+    statistic (1 dof).
+
+    All per-day counts are exact integers via the same at-risk
+    aggregation as KM; the double products quantize at 6 dp (tens of
+    ~unit-magnitude terms, far inside the window). Zero pooled
+    variance (degenerate risk sets) pins the statistic to 0."""
+    from pyspark.sql import Window as _W  # noqa: F401 (parity with KM)
+
+    ev = events_raw(spark, sf_dir)
+    t_end = ev.agg(F.expr("MAX(ts DIV 1000)").alias("t_end"))
+    clicks_t = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.expr("ts DIV 1000").alias("ctsm")
+    )
+    purch = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"), F.expr("ts DIV 1000").alias("pts")
+    )
+    subj = (
+        clicks_t.join(purch, F.col("user_id") == F.col("p_user"), "left")
+        .groupBy("user_id")
+        .agg(
+            F.min("ctsm").alias("t0"),
+            F.min(
+                F.when(F.col("pts") > F.col("ctsm"), F.col("pts"))
+            ).alias("tp"),
+        )
+        .withColumn("cohort", F.col("t0") % 2)
+    )
+    durations = subj.crossJoin(F.broadcast(t_end)).select(
+        "cohort",
+        (F.col("tp").isNotNull()).cast("int").alias("event"),
+        F.when(
+            F.col("tp").isNotNull(),
+            F.expr(f"(tp - t0) DIV {_US_PER_DAY}"),
+        )
+        .otherwise(F.expr(f"(t_end - t0) DIV {_US_PER_DAY}"))
+        .alias("t_day"),
+    ).persist()
+    event_days = (
+        durations.filter(F.col("event") == 1).select("t_day").distinct()
+    )
+    terms = (
+        event_days.alias("t")
+        .join(durations.alias("dd"), F.col("dd.t_day") >= F.col("t.t_day"))
+        .groupBy(F.col("t.t_day").alias("t_day"))
+        .agg(
+            F.sum(F.when(F.col("dd.cohort") == 0, 1).otherwise(0)).alias("na"),
+            F.count("*").alias("n"),
+            F.sum(
+                F.when(
+                    (F.col("dd.t_day") == F.col("t.t_day"))
+                    & (F.col("dd.event") == 1)
+                    & (F.col("dd.cohort") == 0),
+                    1,
+                ).otherwise(0)
+            ).alias("da"),
+            F.sum(
+                F.when(
+                    (F.col("dd.t_day") == F.col("t.t_day"))
+                    & (F.col("dd.event") == 1),
+                    1,
+                ).otherwise(0)
+            ).alias("d"),
+        )
+    )
+    e_a = F.col("d").cast("double") * F.col("na") / F.col("n")
+    v = F.when(
+        F.col("n") > 1,
+        F.col("d").cast("double")
+        * F.col("na")
+        / F.col("n")
+        * (F.col("n") - F.col("na"))
+        / F.col("n")
+        * (F.col("n") - F.col("d"))
+        / (F.col("n") - 1),
+    ).otherwise(F.lit(0.0))
+    out = terms.agg(
+        F.sum("da").cast("long").alias("observed_a"),
+        F.round(F.sum(e_a), 6).alias("expected_a"),
+        F.round(
+            F.when(F.sum(v) == 0, F.lit(0.0)).otherwise(
+                F.pow(F.sum("da") - F.sum(e_a), 2) / F.sum(v)
+            ),
+            6,
+        ).alias("logrank_chi2"),
+    )
+    from .bsp import checkpoint_result
+
+    result = checkpoint_result(out)
+    durations.unpersist()
+    return result
