@@ -77,6 +77,13 @@ HEADLINE = (
     "ts_bm25_search",
     "ef_attribution_position_based",
     "s21_python_datasource",
+    # round-4 additions (VERDICT r3 item 4): the expensive composed
+    # ops, so regressions in the heavy tail are visible round-over-
+    # round, + the re-registered scalable RFM
+    "sim_dbscan",
+    "sim_kcenter_coreset",
+    "ef_kaplan_meier",
+    "ev_user_rfm_scalable",
 )
 
 

@@ -302,36 +302,20 @@ def ev_daily_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --------------------------------------------------- RFM segmentation
 
-@register(
-    "ev_user_rfm",
-    """WITH base AS (
-  SELECT user_id,
-         CAST(MAX(CAST(ts AS DATE)) AS DATE) AS last_day,
-         CAST(COUNT(*) AS BIGINT) AS frequency,
-         SUM(CAST(CASE WHEN event_type = 'purchase' THEN value ELSE 0 END
-                  AS DECIMAL(18,6))) AS monetary
-  FROM events GROUP BY user_id
-)
-SELECT user_id, last_day, frequency,
-       CAST(monetary AS DOUBLE) AS monetary,
-       CAST(NTILE(4) OVER (ORDER BY last_day DESC, user_id ASC) AS INTEGER) AS r_quartile,
-       CAST(NTILE(4) OVER (ORDER BY frequency DESC, user_id ASC) AS INTEGER) AS f_quartile,
-       CAST(NTILE(4) OVER (ORDER BY monetary DESC, user_id ASC) AS INTEGER) AS m_quartile
-FROM base""",
-)
 def ev_user_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """RFM user segmentation — the classic marketing-analytics
-    workload: per-user Recency (last active day), Frequency (event
-    count), Monetary (purchase value, summed as exact DECIMAL so the
-    quartile sort key is deterministic), each bucketed into quartiles
-    via ``ntile`` with a pinned user_id tiebreak.
+    """RFM user segmentation, EXACT-ntile diagnostic form — per-user
+    Recency (last active day), Frequency (event count), Monetary
+    (purchase value, summed as exact DECIMAL so the quartile sort key
+    is deterministic), each bucketed into quartiles via ``ntile`` with
+    a pinned user_id tiebreak.
 
-    Scale caveat (honest): ``ntile`` over an UN-partitioned window is a
-    single-reducer sort — fine for a per-segment report, wrong as a
-    100 TB primitive. The scalable form of the same statistic is
-    `sk_value_quantiles`-style approximate quantiles to derive bucket
-    boundaries, then a map-side bucket assignment; this query is the
-    exact twin that validates that path."""
+    NOT REGISTERED (round-4 demotion, VERDICT r3 item 2): the three
+    un-partitioned ``ntile`` windows are single-reducer sorts over the
+    full user population — fine as an sf-bounded validation twin,
+    wrong as a 100 TB primitive. The registered, oracle-verified form
+    is :func:`ev_user_rfm_scalable` (distinct-value-histogram ECDF
+    cuts + map-side bucketing); this exact form survives only as the
+    pytest cross-check (tests/test_relational.py)."""
     from ..sources import events_raw
     from ..sources.tables import ts_date
     from pyspark.sql import Window
@@ -363,21 +347,87 @@ def ev_user_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("ev_user_rfm_scalable")  # sketch-based → rows-only check
-def ev_user_rfm_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The 100 TB form of :func:`ev_user_rfm`: quartile BOUNDARIES come
-    from ``percentile_approx`` sketches (one distributed aggregate, 3
-    scalars per dimension collected to the driver — bounded model
-    state, like the IVF fit), then every user is bucketed MAP-SIDE by
-    comparing against the broadcast boundaries. No global sort, no
-    single-reducer ntile window — the only shuffle is the per-user
-    aggregate itself.
+#: Shared base CTE for the RFM oracle: exact-DECIMAL monetary per the
+#: determinism conventions, anchor/threshold scalars from one aggregate.
+_RFM_BASE_SQL = """WITH base AS (
+  SELECT user_id,
+         CAST(MAX(CAST(ts AS DATE)) AS DATE) AS last_day,
+         CAST(COUNT(*) AS BIGINT) AS frequency,
+         SUM(CAST(CASE WHEN event_type = 'purchase' THEN value ELSE 0 END
+                  AS DECIMAL(18,6))) AS monetary
+  FROM events GROUP BY user_id
+),
+agg AS (SELECT MAX(last_day) AS anchor, CAST(COUNT(*) AS BIGINT) AS n FROM base),
+th AS (SELECT (n + 3) // 4 AS t1, (n + 1) // 2 AS t2, (3 * n + 3) // 4 AS t3 FROM agg),
+b2 AS (
+  SELECT b.user_id, b.last_day, b.frequency, b.monetary,
+         CAST(date_diff('day', b.last_day, a.anchor) AS INTEGER) AS recency_days
+  FROM base b, agg a
+)"""
 
-    Sketch-exactness: bucket labels can disagree with the exact ntile
-    form near boundaries (sketch error + tie handling), which is why
-    this twin is rows-only checked; agreement with the exact form is
-    pytest-asserted (tests/test_relational.py)."""
-    from pyspark.sql import functions as F
+
+@register(
+    "ev_user_rfm_scalable",
+    _RFM_BASE_SQL
+    + """,
+rh AS (SELECT recency_days AS v,
+              SUM(CAST(COUNT(*) AS BIGINT)) OVER (ORDER BY recency_days) AS cum
+       FROM b2 GROUP BY recency_days),
+rc AS (SELECT MIN(CASE WHEN r.cum >= t.t1 THEN r.v END) AS c1,
+              MIN(CASE WHEN r.cum >= t.t2 THEN r.v END) AS c2,
+              MIN(CASE WHEN r.cum >= t.t3 THEN r.v END) AS c3 FROM rh r, th t),
+fh AS (SELECT frequency AS v,
+              SUM(CAST(COUNT(*) AS BIGINT)) OVER (ORDER BY frequency) AS cum
+       FROM b2 GROUP BY frequency),
+fc AS (SELECT MIN(CASE WHEN f.cum >= t.t1 THEN f.v END) AS c1,
+              MIN(CASE WHEN f.cum >= t.t2 THEN f.v END) AS c2,
+              MIN(CASE WHEN f.cum >= t.t3 THEN f.v END) AS c3 FROM fh f, th t),
+mh AS (SELECT monetary AS v,
+              SUM(CAST(COUNT(*) AS BIGINT)) OVER (ORDER BY monetary) AS cum
+       FROM b2 GROUP BY monetary),
+mc AS (SELECT MIN(CASE WHEN m.cum >= t.t1 THEN m.v END) AS c1,
+              MIN(CASE WHEN m.cum >= t.t2 THEN m.v END) AS c2,
+              MIN(CASE WHEN m.cum >= t.t3 THEN m.v END) AS c3 FROM mh m, th t)
+SELECT b.user_id, b.last_day, b.frequency,
+       CAST(b.monetary AS DOUBLE) AS monetary,
+       CAST(1 + CAST(b.recency_days > rc.c1 AS INTEGER)
+              + CAST(b.recency_days > rc.c2 AS INTEGER)
+              + CAST(b.recency_days > rc.c3 AS INTEGER) AS INTEGER) AS r_quartile,
+       CAST(1 + CAST(b.frequency <= fc.c3 AS INTEGER)
+              + CAST(b.frequency <= fc.c2 AS INTEGER)
+              + CAST(b.frequency <= fc.c1 AS INTEGER) AS INTEGER) AS f_quartile,
+       CAST(1 + CAST(b.monetary <= mc.c3 AS INTEGER)
+              + CAST(b.monetary <= mc.c2 AS INTEGER)
+              + CAST(b.monetary <= mc.c1 AS INTEGER) AS INTEGER) AS m_quartile
+FROM b2 b, rc, fc, mc""",
+)
+def ev_user_rfm_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB form of RFM segmentation, now fully deterministic and
+    oracle-verified (round-4 upgrade from the old ``percentile_approx``
+    rows-only sketch). Quartile BOUNDARIES are type-1 (inverse-ECDF)
+    quantiles — cut_q = smallest value v with |{x : x ≤ v}| ≥ ceil(q·n)
+    — computed from the per-dimension DISTINCT-VALUE histogram:
+
+    - the cumulative-count window runs over O(distinct values) rows
+      (day offsets, event counts, 6-dp decimal spend), NOT over users —
+      the pre-aggregated-O(|keys|) window pattern that survives scale;
+    - thresholds use pure integer arithmetic ((n+3)//4 …), and cuts are
+      actual data values, so both engines agree bit-for-bit — no
+      interpolation, no sketch error, no float boundary flips;
+    - recency anchors on the data's own MAX(last_day) (not wall-clock
+      ``current_date``), keeping the query reproducible;
+    - bucketing is MAP-SIDE against 9 collected scalars (bounded model
+      state, like the IVF centroid fit). No global sort, no
+      single-reducer ntile window — the only per-user shuffle is the
+      base aggregate itself.
+
+    Quartile definition: recency (smaller = better)
+    q = 1 + [v>c1] + [v>c2] + [v>c3]; frequency/monetary (larger =
+    better) q = 1 + [v≤c3] + [v≤c2] + [v≤c1]. Ties always share a
+    bucket (unlike ntile, which splits ties by the user_id tiebreak);
+    agreement with the exact-ntile diagnostic is pytest-asserted
+    (tests/test_relational.py)."""
+    from pyspark.sql import Window
 
     from ..sources import events_raw
     from ..sources.tables import ts_date
@@ -387,54 +437,77 @@ def ev_user_rfm_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id")
         .agg(
             F.max(ts_date("ts")).alias("last_day"),
-            F.count("*").alias("frequency"),
+            F.count("*").cast("long").alias("frequency"),
             F.sum(
                 F.when(
                     F.col("event_type") == "purchase", F.col("value")
-                ).otherwise(F.lit(0.0))
-            ).alias("monetary"),
+                ).otherwise(F.lit(0.0)).cast("decimal(18,6)")
+            ).alias("monetary_dec"),
         )
-        .withColumn("recency_days", F.datediff(F.current_date(), F.col("last_day")))
+        .persist()
     )
-    cuts = base.agg(
-        F.percentile_approx("recency_days", [0.25, 0.5, 0.75]).alias("r"),
-        F.percentile_approx("frequency", [0.25, 0.5, 0.75]).alias("f"),
-        F.percentile_approx("monetary", [0.25, 0.5, 0.75]).alias("m"),
+    head = base.agg(
+        F.max("last_day").alias("anchor"), F.count("*").alias("n")
     ).first()
-    if cuts is None or cuts["r"] is None:  # empty input: no boundaries
+    if head is None or head["anchor"] is None:  # empty input
         return spark.createDataFrame(
             [],
             "user_id long, last_day date, frequency long, monetary double,"
             " r_quartile int, f_quartile int, m_quartile int",
         )
+    anchor, n = head["anchor"], int(head["n"])
+    t1, t2, t3 = (n + 3) // 4, (n + 1) // 2, (3 * n + 3) // 4
+    base = base.withColumn(
+        "recency_days", F.datediff(F.lit(anchor), F.col("last_day"))
+    )
 
-    def bucket(col, cuts_list, ascending_is_better):
-        # quartile 1 = best (most recent / most frequent / highest spend)
-        c = F.col(col)
-        if ascending_is_better:  # smaller value → better quartile
-            return (
-                F.when(c <= cuts_list[0], 1)
-                .when(c <= cuts_list[1], 2)
-                .when(c <= cuts_list[2], 3)
-                .otherwise(4)
-                .cast("int")
-            )
-        return (
-            F.when(c > cuts_list[2], 1)
-            .when(c > cuts_list[1], 2)
-            .when(c > cuts_list[0], 3)
-            .otherwise(4)
-            .cast("int")
+    def ecdf_cuts(col: str) -> tuple:
+        """Type-1 quantile cuts from the distinct-value histogram.
+
+        The cumulative window is partition-less but runs over the
+        pre-aggregated distinct values of one dimension — bounded by
+        value cardinality, not user count."""
+        hist = base.groupBy(col).agg(F.count("*").cast("long").alias("cnt"))
+        cum = hist.withColumn(
+            "cum", F.sum("cnt").over(Window.orderBy(col))
         )
+        row = cum.agg(
+            F.min(F.when(F.col("cum") >= t1, F.col(col))).alias("c1"),
+            F.min(F.when(F.col("cum") >= t2, F.col(col))).alias("c2"),
+            F.min(F.when(F.col("cum") >= t3, F.col(col))).alias("c3"),
+        ).first()
+        return row["c1"], row["c2"], row["c3"]
+
+    r1, r2, r3 = ecdf_cuts("recency_days")
+    f1, f2, f3 = ecdf_cuts("frequency")
+    m1, m2, m3 = ecdf_cuts("monetary_dec")
+
+    def asc_q(col: str, c1, c2, c3):  # smaller value = better (quartile 1)
+        c = F.col(col)
+        return (
+            F.lit(1)
+            + (c > F.lit(c1)).cast("int")
+            + (c > F.lit(c2)).cast("int")
+            + (c > F.lit(c3)).cast("int")
+        ).cast("int")
+
+    def desc_q(col: str, c1, c2, c3):  # larger value = better (quartile 1)
+        c = F.col(col)
+        return (
+            F.lit(1)
+            + (c <= F.lit(c3)).cast("int")
+            + (c <= F.lit(c2)).cast("int")
+            + (c <= F.lit(c1)).cast("int")
+        ).cast("int")
 
     return base.select(
         "user_id",
         "last_day",
         "frequency",
-        F.round("monetary", 6).alias("monetary"),
-        bucket("recency_days", cuts["r"], True).alias("r_quartile"),
-        bucket("frequency", cuts["f"], False).alias("f_quartile"),
-        bucket("monetary", cuts["m"], False).alias("m_quartile"),
+        F.col("monetary_dec").cast("double").alias("monetary"),
+        asc_q("recency_days", r1, r2, r3).alias("r_quartile"),
+        desc_q("frequency", f1, f2, f3).alias("f_quartile"),
+        desc_q("monetary_dec", m1, m2, m3).alias("m_quartile"),
     )
 
 

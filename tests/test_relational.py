@@ -285,7 +285,11 @@ def test_rfm_scalable_agrees_with_exact(queries, spark):
     agreement is not asserted — ntile splits *tied* values across
     quartiles by the user_id tiebreak, boundary-bucketing keeps ties
     together; on tied data the labels legitimately differ."""
-    exact = {r["user_id"]: r for r in queries["ev_user_rfm"](spark, SF_DIR).collect()}
+    from recommedation_system_under_flink_spark.operators.events_props import (
+        ev_user_rfm,
+    )
+
+    exact = {r["user_id"]: r for r in ev_user_rfm(spark, SF_DIR).collect()}
     scal = {
         r["user_id"]: r
         for r in queries["ev_user_rfm_scalable"](spark, SF_DIR).collect()
