@@ -324,29 +324,36 @@ def p1_news_keywords_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
 def windowed_edges(pos: DataFrame) -> DataFrame:
     """Distinct windowed co-occurrence edges from a positions frame.
 
-    Banded equi-join, not a per-doc token² self-join: each position
-    emits its δ=1..window forward slots, the join matches on the exact
-    (doc, position) key, and every undirected hit yields both edge
-    directions. Intermediate size is tokens × window (linear), vs the
-    range-condition form whose news_id-only equi-key materializes
-    tokens² pairs per doc before filtering (measured 21s → 7s at
-    sf0.1)."""
-    fwd = pos.select(
-        "news_id",
-        F.col("term").alias("w"),
-        F.explode(
-            F.sequence(F.col("i") + 1, F.col("i") + DEFAULT_SCENE.window_size)
-        ).alias("j"),
-    )
-    # Dedup on NORMALIZED undirected pairs (least, greatest) — half the
-    # rows through the distinct shuffle — then emit both directions
-    # after; an undirected-distinct set explodes to a directed-distinct
-    # set, so the result is identical to distinct-after-explode.
-    und = (
-        fwd.join(
-            pos.select("news_id", F.col("i").alias("j"), F.col("term").alias("n")),
-            ["news_id", "j"],
+    CONTRACT: ``pos`` positions ``i`` are the DENSE 0..T-1 indexes of
+    the stopword-filtered token list per doc (what
+    :func:`tr_positions_from` emits) — with dense positions, "within
+    ±window positions" is exactly "the next ``window`` tokens", so the
+    forward neighbors come from ``lead(term, k)`` over one per-doc
+    window: a single shuffle on the doc key, sorting only each doc's
+    own tokens. This replaced a tokens×window banded self-join
+    (round-4; the join itself had replaced a tokens² range join in
+    round 2, 21s → 7s at sf0.1) — the window form drops the join's
+    second shuffle and the 1.3M-row probe side entirely.
+
+    Dedup runs on NORMALIZED undirected pairs (least, greatest) — half
+    the rows through the distinct shuffle — then both directions are
+    emitted after; an undirected-distinct set explodes to a
+    directed-distinct set, so the result is identical to
+    distinct-after-explode."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("news_id").orderBy("i")
+    nbrs = F.array_compact(
+        F.array(
+            *[
+                F.lead("term", k).over(w)
+                for k in range(1, DEFAULT_SCENE.window_size + 1)
+            ]
         )
+    )
+    und = (
+        pos.select("news_id", F.col("term").alias("w"), nbrs.alias("nbrs"))
+        .select("news_id", "w", F.explode("nbrs").alias("n"))
         .filter(F.col("w") != F.col("n"))
         .select(
             "news_id",
