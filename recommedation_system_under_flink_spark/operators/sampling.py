@@ -646,3 +646,161 @@ def samp_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ------------------------------------------------- split leakage report
+
+def _split_case_sql() -> str:
+    """The split CASE expression shared with ``_SPLIT_ORACLE``."""
+    return (
+        f"CASE WHEN (doc_id * {HASH_MULT}) % {HASH_MOD} % 10 < {TRAIN_BUCKETS}"
+        f" THEN 'train'"
+        f" WHEN (doc_id * {HASH_MULT}) % {HASH_MOD} % 10 <"
+        f" {TRAIN_BUCKETS + VAL_BUCKETS} THEN 'val'"
+        f" ELSE 'test' END"
+    )
+
+
+def _split_leakage_oracle() -> str:
+    from .dedup import _minhash_ctes
+
+    return f"""WITH {_minhash_ctes()},
+spl AS (SELECT doc_id, {_split_case_sql()} AS split FROM documents)
+SELECT LEAST(sa.split, sb.split) AS split_a,
+       GREATEST(sa.split, sb.split) AS split_b,
+       (sa.split <> sb.split) AS is_leak,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs
+FROM mh_pairs p
+JOIN spl sa ON p.doc_a = sa.doc_id
+JOIN spl sb ON p.doc_b = sb.doc_id
+GROUP BY 1, 2, 3"""
+
+
+@register("samp_split_leakage", _split_leakage_oracle())
+def samp_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/val/test **leakage report**: how many verified near-dup
+    pairs (the MinHash-LSH relation, operators/dedup.py) STRADDLE a
+    split boundary. A near-dup of a test doc sitting in train is
+    memorization leakage the eval can't see — the audit every
+    hash-split pretraining corpus needs before the split is trusted.
+
+    Composition of two already-verified relations: LSH near-dup pairs
+    × the deterministic split assignment (both sides of each pair),
+    normalized to an unordered (split_a ≤ split_b) key + an ``is_leak``
+    flag, counted. The whole chain — shingles, signatures, banding,
+    verify, split hash, counts — is hash-compared against the DuckDB
+    oracle. Scale: the pair relation is LSH-bounded (never all-pairs),
+    the split lookup is a map-side hash of doc_id (no dim join), and
+    the final aggregate has ≤ 6 groups."""
+    from .dedup import dedup_minhash_lsh
+
+    pairs = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+    spl = samp_split_assign(spark, sf_dir).select("doc_id", "split")
+    joined = (
+        pairs.join(
+            spl.select(F.col("doc_id").alias("doc_a"), F.col("split").alias("sa")),
+            "doc_a",
+        )
+        .join(
+            spl.select(F.col("doc_id").alias("doc_b"), F.col("split").alias("sb")),
+            "doc_b",
+        )
+    )
+    return (
+        joined.groupBy(
+            F.least("sa", "sb").alias("split_a"),
+            F.greatest("sa", "sb").alias("split_b"),
+            (F.col("sa") != F.col("sb")).alias("is_leak"),
+        )
+        .agg(F.count("*").cast("long").alias("n_pairs"))
+    )
+
+
+# ---------------------------------------------- curriculum ordering
+
+#: Curriculum decile count (1 = highest quality, served first).
+CURRICULUM_BUCKETS = 10
+
+
+def _curriculum_oracle() -> str:
+    from .textstats import _TOKENS_SQL, _STOP_SQL
+
+    n_cuts = CURRICULUM_BUCKETS - 1
+    cut_cols = ", ".join(
+        f"MIN(CASE WHEN h.cum >= t.t{k} THEN h.v END) AS c{k}"
+        for k in range(1, n_cuts + 1)
+    )
+    thresholds = ", ".join(
+        f"(n * {k} + {CURRICULUM_BUCKETS - 1}) // {CURRICULUM_BUCKETS} AS t{k}"
+        for k in range(1, n_cuts + 1)
+    )
+    decile = " + ".join(
+        f"CAST(q.q6 <= c.c{k} AS INTEGER)" for k in range(1, n_cuts + 1)
+    )
+    return f"""WITH q AS (
+  SELECT doc_id,
+         ROUND(CAST(0.4 * LEAST(CAST(len(ts) AS DOUBLE) / 100.0, 1.0)
+              + 0.3 * LEAST(CASE WHEN len(ts) > 0 THEN
+                    CAST(len(list_filter(ts, t -> t IN ({_STOP_SQL}))) AS DOUBLE) / len(ts)
+                  ELSE 0.0 END * 4, 1.0)
+              + 0.3 * (CASE WHEN len(ts) > 0 THEN
+                    CAST(len(list_distinct(ts)) AS DOUBLE) / len(ts)
+                  ELSE 0.0 END) AS DOUBLE), 6) AS q6
+  FROM (SELECT doc_id, {_TOKENS_SQL} AS ts FROM documents)
+),
+agg AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM q),
+th AS (SELECT {thresholds} FROM agg),
+h AS (SELECT q6 AS v, SUM(CAST(COUNT(*) AS BIGINT)) OVER (ORDER BY q6) AS cum
+      FROM q GROUP BY q6),
+c AS (SELECT {cut_cols} FROM h, th t)
+SELECT q.doc_id, q.q6 AS quality,
+       CAST(1 + {decile} AS INTEGER) AS decile
+FROM q, c"""
+
+
+@register("samp_curriculum_order", _curriculum_oracle())
+def samp_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """**Curriculum assignment**: every document gets a quality decile
+    (1 = highest-quality tenth, served first in training) derived from
+    the pinned quality heuristic (operators/textstats.py). The
+    curriculum ORDER is then the deterministic sort key
+    ``(decile, quality DESC, doc_id)`` — emitted as columns, not as a
+    global rank, so no single-reducer window exists anywhere.
+
+    Same scale-safe quantile machinery as ``ev_user_rfm_scalable``:
+    type-1 inverse-ECDF decile cuts over the DISTINCT quantized-score
+    histogram (quality ∈ [0,1] rounded to 6 dp → ≤ 10⁶+1 distinct
+    values REGARDLESS of corpus size — the cumulative window input is
+    bounded by the value grid, not the doc count), integer ceil
+    thresholds, then a map-side bucket compare against 9 collected
+    scalars. Decile 1 holds the TOP scores: d = 1 + Σₖ [q ≤ cut_k]."""
+    from pyspark.sql import Window
+
+    from .textstats import ts_quality_score
+
+    n_cuts = CURRICULUM_BUCKETS - 1
+    q = ts_quality_score(spark, sf_dir).select(
+        "doc_id", F.round("quality", 6).alias("q6")
+    ).persist()
+    head = q.agg(F.count("*").alias("n")).first()
+    n = int(head["n"]) if head else 0
+    if n == 0:
+        return spark.createDataFrame([], "doc_id long, quality double, decile int")
+    ts = [
+        (n * k + CURRICULUM_BUCKETS - 1) // CURRICULUM_BUCKETS
+        for k in range(1, n_cuts + 1)
+    ]
+    hist = q.groupBy("q6").agg(F.count("*").cast("long").alias("cnt"))
+    cum = hist.withColumn("cum", F.sum("cnt").over(Window.orderBy("q6")))
+    cut_row = cum.agg(
+        *[
+            F.min(F.when(F.col("cum") >= t, F.col("q6"))).alias(f"c{k}")
+            for k, t in enumerate(ts, start=1)
+        ]
+    ).first()
+    decile = F.lit(1)
+    for k in range(1, n_cuts + 1):
+        decile = decile + (F.col("q6") <= F.lit(cut_row[f"c{k}"])).cast("int")
+    return q.select(
+        "doc_id", F.col("q6").alias("quality"), decile.cast("int").alias("decile")
+    )

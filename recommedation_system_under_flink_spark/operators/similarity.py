@@ -2517,3 +2517,154 @@ def sim_dbscan(spark: SparkSession, sf_dir: str) -> DataFrame:
     core.unpersist()
     core_label.unpersist()
     return result
+
+
+# ------------------------------------- embedding covariance / PCA
+
+#: Principal components kept by the PCA projection.
+PCA_K = 8
+
+
+def _cov_relation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Upper-triangle (i ≤ j) covariance of the embedding dimensions,
+    population (÷n) convention, from ONE pass of per-(i, j) running
+    sums: cov = (Σxᵢxⱼ − ΣxᵢΣxⱼ/n)/n — no mean join, no second scan.
+
+    Scale: the outer-product relation is generated per ROW (posexplode
+    of the vector × posexplode of its tail slice — compute, not
+    shuffle) and partial-aggregates map-side into exactly
+    EMB_DIM·(EMB_DIM+1)/2 groups, so the only shuffled relation is
+    O(dim² · partitions) regardless of corpus size. A production
+    pipeline at 10⁹+ vectors would swap the explode for a per-partition
+    numpy GEMM (X_pᵀX_p partials via mapInPandas) — same algebra,
+    same bounded shuffle; the Catalyst form is kept because it is
+    fully oracle-comparable."""
+    x = load_raw(spark, sf_dir, "embeddings").select(
+        "vec_id", _as_double("embedding").alias("e")
+    )
+    ex = x.select("e", F.posexplode("e").alias("i", "xi"))
+    pr = ex.select(
+        F.col("i").cast("int").alias("i"),
+        "xi",
+        F.posexplode(F.slice(F.col("e"), F.col("i") + 1, F.lit(EMB_DIM))).alias(
+            "k", "xj"
+        ),
+    )
+    g = pr.groupBy(
+        "i", (F.col("i") + F.col("k")).cast("int").alias("j")
+    ).agg(
+        F.count("*").alias("n"),
+        F.sum("xi").alias("sx"),
+        F.sum("xj").alias("sy"),
+        F.sum(F.col("xi") * F.col("xj")).alias("sxy"),
+    )
+    return g.select(
+        "i",
+        "j",
+        (
+            (F.col("sxy") - F.col("sx") * F.col("sy") / F.col("n")) / F.col("n")
+        ).alias("cov"),
+    )
+
+
+_COV_ORACLE = f"""WITH x AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+),
+ex AS (
+  SELECT e, i, e[i] AS xi
+  FROM (SELECT e, generate_subscripts(e, 1) AS i FROM x)
+),
+pr AS (
+  SELECT CAST(i - 1 AS INTEGER) AS i, CAST(j - 1 AS INTEGER) AS j,
+         xi, e[j] AS xj
+  FROM (SELECT e, i, xi, generate_subscripts(e, 1) AS j FROM ex)
+  WHERE j >= i
+)
+SELECT i, j,
+       ROUND((SUM(xi * xj) - SUM(xi) * SUM(xj) / COUNT(*)) / COUNT(*), 6) AS cov
+FROM pr GROUP BY i, j"""
+
+
+@register("sim_embedding_covariance", _COV_ORACLE)
+def sim_embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-dimension **covariance matrix** (upper triangle,
+    EMB_DIM·(EMB_DIM+1)/2 = 2080 rows) — the statistic behind
+    whitening, PCA compression, and the anisotropy audits embedding
+    pipelines run before ANN indexing (a collapsed spectrum ruins
+    recall). Quantized to 6 dp for the cross-engine hash (the sums
+    accumulate in data-dependent order)."""
+    c = _cov_relation(spark, sf_dir)
+    return c.select("i", "j", F.round("cov", 6).alias("cov"))
+
+
+@register("sim_pca_project")  # eigendecomposition → rows-only by nature
+def sim_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """**PCA projection** of every embedding onto the top ``PCA_K``
+    principal components — the dimensionality-reduction step before
+    cheap ANN / clustering / visualization. Output is flat
+    (vec_id, pc, value): PCA_K rows per vector.
+
+    Distributed shape: the covariance comes from the bounded
+    :func:`_cov_relation` aggregate; the 64×64 eigendecomposition runs
+    driver-side on that BOUNDED model state (same pattern as the IVF
+    centroid fit — dim², never corpus-sized); the eigenvector matrix
+    re-enters the plan as literals, so the projection itself is one
+    map-side ``aggregate`` per row (no shuffle, no Python). Sign is
+    pinned per component (largest-|loading| entry made positive), and
+    components are ordered by descending eigenvalue.
+
+    No SQL oracle — eigenvectors are not SQL-derivable; the check is
+    rows-only. pytest (tests/test_llm_ops.py) asserts the projections
+    against an independent numpy PCA: matching per-component variance
+    spectrum, orthonormal loadings, near-zero cross-component
+    covariance, and value agreement under the pinned sign convention."""
+    import numpy as np
+
+    cov_rows = _cov_relation(spark, sf_dir).collect()
+    if not cov_rows:
+        return spark.createDataFrame([], "vec_id long, pc int, value double")
+    C = np.zeros((EMB_DIM, EMB_DIM))
+    for r in cov_rows:
+        C[r["i"], r["j"]] = r["cov"]
+        C[r["j"], r["i"]] = r["cov"]
+    evals, evecs = np.linalg.eigh(C)  # ascending
+    order = np.argsort(evals)[::-1][:PCA_K]
+    comps = []
+    for idx in order:
+        v = evecs[:, idx]
+        if v[int(np.argmax(np.abs(v)))] < 0:
+            v = -v
+        comps.append([float(z) for z in v])
+
+    x = load_raw(spark, sf_dir, "embeddings").select(
+        "vec_id", _as_double("embedding").alias("e")
+    )
+    # per-dim means for centering, from the tiny diagonal of the sums
+    mean = (
+        x.select(F.posexplode("e").alias("i", "xi"))
+        .groupBy("i")
+        .agg(F.avg("xi").alias("m"))
+        .collect()
+    )
+    mu = [0.0] * EMB_DIM
+    for r in mean:
+        mu[r["i"]] = float(r["m"])
+    mu_lit = F.array(*[F.lit(v) for v in mu])
+    centered = F.zip_with(F.col("e"), mu_lit, lambda a, b: a - b)
+    pcs = F.array(
+        *[
+            F.aggregate(
+                F.zip_with(
+                    centered,
+                    F.array(*[F.lit(v) for v in comp]),
+                    lambda a, b: a * b,
+                ),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            )
+            for comp in comps
+        ]
+    )
+    return x.select("vec_id", F.posexplode(pcs).alias("pc", "value")).select(
+        "vec_id", F.col("pc").cast("int").alias("pc"), F.round("value", 6).alias("value")
+    )

@@ -971,3 +971,104 @@ def test_observe_metrics_match_funnel_report(queries, spark):
     report = queries["llm_curation_funnel_report"](spark, SF_DIR).collect()[0]
     assert got["n_quality"] == report["pass_quality"]
     assert got["n_in"] == report["total"]
+
+
+# ------------------------------------------- covariance / PCA / leakage
+
+def test_pca_project_matches_numpy(queries, spark):
+    """The distributed PCA (bounded-state eigh over the one-pass
+    covariance aggregate) must agree with an independent numpy PCA on
+    the collected fixture: same variance spectrum, orthonormal
+    loadings, and matching projected values under the pinned sign
+    convention (largest-|loading| entry positive)."""
+    import numpy as np
+
+    from recommedation_system_under_flink_spark.operators.similarity import (
+        EMB_DIM,
+        PCA_K,
+    )
+    from recommedation_system_under_flink_spark.sources import load_raw
+
+    rows = load_raw(spark, SF_DIR, "embeddings").select("vec_id", "embedding").collect()
+    X = np.array([[float(v) for v in r["embedding"]] for r in rows])
+    ids = [r["vec_id"] for r in rows]
+    Xc = X - X.mean(axis=0)
+    C = (Xc.T @ Xc) / len(X)  # population convention, matches the query
+    evals, evecs = np.linalg.eigh(C)
+    order = np.argsort(evals)[::-1][:PCA_K]
+    V = evecs[:, order]
+    for k in range(PCA_K):  # pinned sign convention
+        col = V[:, k]
+        if col[int(np.argmax(np.abs(col)))] < 0:
+            V[:, k] = -col
+    expected = Xc @ V  # (n, PCA_K)
+
+    got = {}
+    for r in queries["sim_pca_project"](spark, SF_DIR).collect():
+        got[(r["vec_id"], r["pc"])] = r["value"]
+    assert len(got) == len(X) * PCA_K
+    idx = {v: i for i, v in enumerate(ids)}
+    for (vec_id, pc), val in got.items():
+        assert abs(expected[idx[vec_id], pc] - val) < 1e-3, (vec_id, pc)
+    # loadings orthonormal; projected components decorrelated
+    assert np.allclose(V.T @ V, np.eye(PCA_K), atol=1e-8)
+    pc_cov = np.cov(expected, rowvar=False, bias=True)
+    off = pc_cov - np.diag(np.diag(pc_cov))
+    assert np.abs(off).max() < 1e-6
+    # variance spectrum descending and equal to the top eigenvalues
+    spec = np.diag(pc_cov)
+    assert all(spec[i] >= spec[i + 1] - 1e-9 for i in range(PCA_K - 1))
+    assert np.allclose(spec, np.sort(evals)[::-1][:PCA_K], atol=1e-6)
+
+
+def test_covariance_is_symmetric_psd(queries, spark):
+    """The registered upper-triangle covariance reassembles into a
+    positive-semidefinite matrix whose diagonal is the per-dim
+    variance (non-negative)."""
+    import numpy as np
+
+    from recommedation_system_under_flink_spark.operators.similarity import EMB_DIM
+
+    C = np.zeros((EMB_DIM, EMB_DIM))
+    for r in queries["sim_embedding_covariance"](spark, SF_DIR).collect():
+        C[r["i"], r["j"]] = r["cov"]
+        C[r["j"], r["i"]] = r["cov"]
+    assert (np.diag(C) >= 0).all()
+    evals = np.linalg.eigvalsh(C)
+    assert evals.min() > -1e-6  # PSD up to the 6-dp quantization
+
+
+def test_split_leakage_counts_consistent(queries, spark):
+    """Leakage report must partition the LSH pair relation: per-group
+    counts sum to the total number of near-dup pairs, and is_leak is
+    exactly split_a != split_b."""
+    pairs = queries["dedup_minhash_lsh"](spark, SF_DIR).count()
+    rep = queries["samp_split_leakage"](spark, SF_DIR).collect()
+    assert sum(r["n_pairs"] for r in rep) == pairs
+    for r in rep:
+        assert r["is_leak"] == (r["split_a"] != r["split_b"])
+        assert r["split_a"] <= r["split_b"]
+
+
+def test_curriculum_deciles_monotone_and_balanced(queries, spark):
+    """Decile 1 must hold the best scores (monotone: higher quality ⇒
+    numerically ≤ decile), ties always share a decile, and the decile
+    histogram is near-uniform (exact up to the tied-value granularity
+    the fixtures have)."""
+    rows = queries["samp_curriculum_order"](spark, SF_DIR).collect()
+    n = len(rows)
+    assert n > 0
+    for a in rows:
+        assert 1 <= a["decile"] <= 10
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["quality"], set()).add(r["decile"])
+    assert all(len(s) == 1 for s in by_q.values())  # ties share deciles
+    qs = sorted(by_q)  # ascending quality → descending decile
+    decs = [next(iter(by_q[q])) for q in qs]
+    assert all(decs[i] >= decs[i + 1] for i in range(len(decs) - 1))
+    sizes = {}
+    for r in rows:
+        sizes[r["decile"]] = sizes.get(r["decile"], 0) + 1
+    # each decile within 3x of the uniform share unless ties force merges
+    assert max(sizes.values()) <= max(3 * n // 10, 1)
