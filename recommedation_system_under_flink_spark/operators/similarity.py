@@ -32,7 +32,6 @@ from pyspark.sql import functions as F
 
 from ..registry import register
 from ..sources import load_raw
-from .bsp import CHECKPOINT_EVERY
 
 #: Query set: first N vec_ids play the role of incoming queries.
 N_QUERIES = 10
@@ -713,29 +712,50 @@ def hash_min_components(pairs: DataFrame, a: str, b: str) -> DataFrame:
             .groupBy("dst")
             .agg(F.min("comp").alias("nbr_min"))
         )
-        new_labels = (
-            labels.join(msgs, labels.node == msgs.dst, "left")
-            .select(
-                "node",
-                F.least(
-                    F.col("comp"), F.coalesce(F.col("nbr_min"), F.col("comp"))
-                ).alias("comp"),
-            )
-            .persist()
+        prop = labels.join(msgs, labels.node == msgs.dst, "left").select(
+            "node",
+            F.least(
+                F.col("comp"), F.coalesce(F.col("nbr_min"), F.col("comp"))
+            ).alias("comp"),
         )
+        # POINTER JUMP (round-4): comp ← min(comp, comp-of-comp),
+        # resolved through the CACHED previous-round mapping (a
+        # self-join on the uncached propagation output would replay
+        # its whole lineage twice per round). Labels are always vertex
+        # ids present in the table, so the extra hop is one tiny join;
+        # hash-min is monotone, so the extra propagation never
+        # overshoots the component minimum and the fixpoint is
+        # unchanged — but convergence needs ~log(diameter) rounds
+        # instead of diameter. Round latency, not data volume,
+        # dominates this loop; fewer rounds beat cheaper rounds.
+        hop = prop.join(
+            labels.select(
+                F.col("node").alias("c_node"), F.col("comp").alias("c_comp")
+            ),
+            F.col("comp") == F.col("c_node"),
+            "left",
+        )
+        # Truncate lineage EVERY round: with propagation + jump the
+        # round plan references `labels` three times, so an uncut
+        # lineage grows ~3^R and round 4+ drowns in driver-side plan
+        # analysis (measured 9s → 56s per round at sf0.1 before this).
+        # The eager localCheckpoint is one tiny job over O(near-dup
+        # vertices) rows — the standard per-round truncation for
+        # multi-reference BSP updates (operators/bsp.py discusses the
+        # cadence trade; CHECKPOINT_EVERY applies to single-reference
+        # loops only).
+        new_labels = hop.select(
+            "node",
+            F.least(
+                F.col("comp"), F.coalesce(F.col("c_comp"), F.col("comp"))
+            ).alias("comp"),
+        ).localCheckpoint(eager=True)
         new_sum = new_labels.agg(F.sum("comp")).collect()[0][0]
         labels.unpersist()
         labels = new_labels
         if new_sum == prev_sum:
             break
         prev_sum = new_sum
-        # Convergence-driven loop → unbounded depth: cut the lineage
-        # every CHECKPOINT_EVERY rounds so a retry/replay of round R
-        # costs O(CHECKPOINT_EVERY) rounds, not O(R) (operators/bsp.py).
-        if (rnd + 1) % CHECKPOINT_EVERY == 0:
-            checkpointed = labels.localCheckpoint(eager=True)
-            labels.unpersist()
-            labels = checkpointed
     edges.unpersist()  # labels are fully cached by the per-round action
     return labels
 
