@@ -632,3 +632,103 @@ def graph_triangle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     result = checkpoint_result(out)
     e.unpersist()
     return result
+
+
+# ------------------------------------------------ k-core (bounded peel)
+
+#: Core threshold and FIXED peel rounds (pinned for oracle parity —
+#: the convergence dial, like PAGERANK_ITERS/BFS_MAX_HOPS).
+KCORE_K = 3
+KCORE_PEEL_ROUNDS = 4
+
+
+def _kcore_oracle(k: int = KCORE_K, rounds: int = KCORE_PEEL_ROUNDS) -> str:
+    ctes = [
+        CLICKS_CTE,
+        "pairs AS (SELECT DISTINCT user_id, news_id FROM clicks)",
+        """e0 AS (
+  SELECT user_id * 2 AS src, news_id * 2 + 1 AS dst FROM pairs
+  UNION ALL
+  SELECT news_id * 2 + 1, user_id * 2 FROM pairs
+)""",
+    ]
+    prev = "e0"
+    for r in range(1, rounds + 1):
+        ctes.append(
+            f"s{r} AS (SELECT src FROM {prev} GROUP BY src HAVING COUNT(*) >= {k})"
+        )
+        ctes.append(
+            f"""e{r} AS (
+  SELECT e.src, e.dst FROM {prev} e
+  JOIN s{r} a ON e.src = a.src
+  JOIN s{r} b ON e.dst = b.src
+)"""
+        )
+        prev = f"e{r}"
+    return with_ctes(
+        f"SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS core_deg "
+        f"FROM {prev} GROUP BY src",
+        *ctes,
+    )
+
+
+@register("graph_kcore", _kcore_oracle())
+def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """**k-core decomposition** (bounded peeling) of the click graph:
+    repeatedly delete nodes of degree < ``KCORE_K`` together with
+    their edges — the surviving subgraph is the dense "core" where
+    every member keeps ≥ k neighbors among other members. The standard
+    prefilter for community mining and for spam/bot rings (dense
+    click cores) that raw degree thresholds miss: a node with 100
+    edges to degree-1 throwaway accounts dies in round 2.
+
+    The peel count is FIXED at ``KCORE_PEEL_ROUNDS`` (the convergence
+    dial, pinned exactly like PAGERANK_ITERS so both engines run the
+    identical computation); output is every surviving node with its
+    degree inside the surviving subgraph. Scale: each round is one
+    degree aggregation + two semi-joins, all shuffling on node id;
+    the edge set only shrinks, each round's survivor relation is
+    O(nodes), and per-round persist/unpersist keeps the lineage depth
+    at 1 (edge sets are materialized state, not plan chains)."""
+    from ..sources import clicks
+
+    pairs = clicks(spark, sf_dir).select("user_id", "news_id").distinct()
+    edges = (
+        pairs.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        (F.col("user_id") * 2).alias("src"),
+                        (F.col("news_id") * 2 + 1).alias("dst"),
+                    ),
+                    F.struct(
+                        (F.col("news_id") * 2 + 1).alias("src"),
+                        (F.col("user_id") * 2).alias("dst"),
+                    ),
+                )
+            ).alias("e")
+        )
+        .select("e.src", "e.dst")
+        .persist()
+    )
+    edges.count()
+    for _ in range(KCORE_PEEL_ROUNDS):
+        surv = (
+            edges.groupBy("src")
+            .agg(F.count("*").alias("n"))
+            .filter(F.col("n") >= KCORE_K)
+            .select("src")
+        )
+        nxt = (
+            edges.join(surv, "src", "left_semi")
+            .join(surv.withColumnRenamed("src", "dst"), "dst", "left_semi")
+            .select("src", "dst")
+            .persist()
+        )
+        nxt.count()
+        edges.unpersist()
+        edges = nxt
+    out = edges.groupBy(F.col("src").alias("node")).agg(
+        F.count("*").cast("long").alias("core_deg")
+    )
+    return checkpoint_result(out, edges)

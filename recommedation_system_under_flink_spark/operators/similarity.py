@@ -2688,3 +2688,141 @@ def sim_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     return x.select("vec_id", F.posexplode(pcs).alias("pc", "value")).select(
         "vec_id", F.col("pc").cast("int").alias("pc"), F.round("value", 6).alias("value")
     )
+
+
+# ----------------------------------------- IVF cell-balance report
+
+_CELL_BALANCE_ORACLE = f"""WITH proj AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+), cents AS (
+  SELECT vec_id AS cid, e FROM proj WHERE vec_id < {IVF_K}
+), assigned AS (
+  SELECT vec_id, cid FROM (
+    SELECT v.vec_id, c.cid,
+           ROW_NUMBER() OVER (
+             PARTITION BY v.vec_id
+             ORDER BY list_dot_product(v.e, c.e)
+               / (sqrt(list_dot_product(v.e, v.e)) * sqrt(list_dot_product(c.e, c.e))) DESC,
+               c.cid ASC
+           ) AS cell_rank
+    FROM proj v CROSS JOIN (SELECT cid, e FROM cents) c
+  ) WHERE cell_rank = 1
+), tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS total FROM assigned)
+SELECT a.cid, CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(CAST(COUNT(*) AS DOUBLE) / t.total, 6) AS share,
+       ROUND(CAST(COUNT(*) AS DOUBLE) * {IVF_K} / t.total, 6) AS skew
+FROM assigned a, tot t GROUP BY a.cid, t.total"""
+
+
+@register("sim_ivf_cell_balance", _CELL_BALANCE_ORACLE)
+def sim_ivf_cell_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """**IVF index balance report**: per-cell member count, corpus
+    share, and skew factor (n · K / total — 1.0 = perfectly uniform).
+    The audit every IVF deployment runs before trusting its nprobe
+    latency budget: one hot cell means one straggler partition per
+    query batch, and the fix (re-fit, split, or salt the hot cell) has
+    to be driven by exactly this relation. Uses the PINNED centroid
+    assignment (first IVF_K corpus vectors), so the whole report is
+    hash-verified against the DuckDB oracle; the Lloyd-fitted index's
+    balance is the same query over its rows-only assignment.
+
+    Scale: assignment is the broadcast-centroid map-side argmax (no
+    shuffle); the report aggregates into exactly IVF_K groups."""
+    emb = load_raw(spark, sf_dir, "embeddings")
+    base = emb.select("vec_id", _as_double("embedding").alias("emb"))
+    cents = [
+        list(r["emb"])
+        for r in base.filter(F.col("vec_id") < IVF_K)
+        .orderBy("vec_id")
+        .select("emb")
+        .collect()
+    ]
+    if not cents:
+        return spark.createDataFrame(
+            [], "cid int, n long, share double, skew double"
+        )
+    assigned = base.withColumn(
+        "cid", F.element_at(_probe_udf(cents, 1)(F.col("emb")), 1)
+    ).select("vec_id", "cid")
+    counts = assigned.groupBy("cid").agg(F.count("*").cast("long").alias("n"))
+    tot = counts.agg(F.sum("n").alias("total"))
+    return (
+        counts.crossJoin(F.broadcast(tot))
+        .select(
+            "cid",
+            "n",
+            F.round(F.col("n") / F.col("total"), 6).alias("share"),
+            F.round(F.col("n") * F.lit(IVF_K) / F.col("total"), 6).alias("skew"),
+        )
+    )
+
+
+# ------------------------------------------------- ZCA whitening
+
+#: Eigenvalue floor for the whitening inverse square root.
+WHITEN_EPS = 1e-6
+
+
+@register("sim_whiten_project")  # eigendecomposition → rows-only by nature
+def sim_whiten_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """**ZCA whitening** of the embedding corpus: x̂ = W(x − μ) with
+    W = V Λ^{-1/2} Vᵀ from the covariance eigendecomposition — the
+    decorrelation step that fixes anisotropic embedding spaces before
+    cosine-based retrieval (whitening famously repairs sentence-
+    embedding similarity) and before SQ8/PQ quantization (uniform
+    per-dim variance = uniform quantizer load).
+
+    Same bounded-model-state shape as :func:`sim_pca_project`: dim²
+    covariance aggregate → driver-side eigh → W re-enters as plan
+    literals → one shuffle-free map per row. Eigenvalues are floored
+    at ``WHITEN_EPS`` before the inverse square root so near-null
+    directions don't explode. Output is flat (vec_id, dim, value),
+    rows-only by nature; pytest asserts the whitened sample covariance
+    is ≈ identity on the non-degenerate spectrum."""
+    import numpy as np
+
+    cov_rows = _cov_relation(spark, sf_dir).collect()
+    if not cov_rows:
+        return spark.createDataFrame([], "vec_id long, dim int, value double")
+    C = np.zeros((EMB_DIM, EMB_DIM))
+    for r in cov_rows:
+        C[r["i"], r["j"]] = r["cov"]
+        C[r["j"], r["i"]] = r["cov"]
+    evals, evecs = np.linalg.eigh(C)
+    scale = 1.0 / np.sqrt(np.maximum(evals, WHITEN_EPS))
+    W = (evecs * scale) @ evecs.T  # ZCA: V Λ^-1/2 Vᵀ
+
+    x = load_raw(spark, sf_dir, "embeddings").select(
+        "vec_id", _as_double("embedding").alias("e")
+    )
+    mean = (
+        x.select(F.posexplode("e").alias("i", "xi"))
+        .groupBy("i")
+        .agg(F.avg("xi").alias("m"))
+        .collect()
+    )
+    mu = [0.0] * EMB_DIM
+    for r in mean:
+        mu[r["i"]] = float(r["m"])
+    centered = F.zip_with(
+        F.col("e"), F.array(*[F.lit(v) for v in mu]), lambda a, b: a - b
+    )
+    out_dims = F.array(
+        *[
+            F.aggregate(
+                F.zip_with(
+                    centered,
+                    F.array(*[F.lit(float(w)) for w in W[d, :]]),
+                    lambda a, b: a * b,
+                ),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            )
+            for d in range(EMB_DIM)
+        ]
+    )
+    return x.select("vec_id", F.posexplode(out_dims).alias("dim", "value")).select(
+        "vec_id",
+        F.col("dim").cast("int").alias("dim"),
+        F.round("value", 6).alias("value"),
+    )

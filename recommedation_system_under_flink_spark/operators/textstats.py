@@ -1714,3 +1714,50 @@ def ts_pmi_top_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.withColumn("rank", F.row_number().over(w).cast("int"))
         .filter(F.col("rank") <= PMI_TOP_K)
     )
+
+
+# ------------------------------------------------- vocabulary build
+
+#: Vocabulary cutoffs: minimum term frequency and maximum vocab size.
+VOCAB_MIN_COUNT = 2
+VOCAB_MAX = 5000
+
+
+@register(
+    "ts_vocab_build",
+    f"""SELECT term, n, CAST(rnk - 1 AS BIGINT) AS token_id FROM (
+  SELECT term, CAST(COUNT(*) AS BIGINT) AS n,
+         ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, term ASC) AS rnk
+  FROM (SELECT unnest({_TOKENS_SQL}) AS term FROM documents)
+  GROUP BY term HAVING COUNT(*) >= {VOCAB_MIN_COUNT}
+) WHERE rnk <= {VOCAB_MAX}""",
+)
+def ts_vocab_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """**Tokenizer vocabulary build**: corpus term frequencies →
+    min-count cutoff → frequency-ranked token ids (0-based, ties
+    broken lexicographically) capped at ``VOCAB_MAX``. The table every
+    tokenizer/embedding pipeline pins before training: token_id
+    assignment must be deterministic or every downstream artifact
+    (id-mapped corpora, embedding rows) silently mismatches across
+    reruns.
+
+    Scale: one explode + one count aggregate (map-side combinable);
+    the ranking window is global but runs over the PRE-AGGREGATED
+    distinct-term relation (O(|vocab|), not O(corpus tokens)) — the
+    allowlisted pre-aggregated-window pattern. Frequency ties break
+    by term, so the id mapping is stable under any partitioning."""
+    from pyspark.sql import Window
+
+    docs = load_raw(spark, sf_dir, "documents")
+    counts = (
+        docs.select(F.explode(_tokens(F.col("text"))).alias("term"))
+        .groupBy("term")
+        .agg(F.count("*").cast("long").alias("n"))
+        .filter(F.col("n") >= VOCAB_MIN_COUNT)
+    )
+    rnk = F.row_number().over(Window.orderBy(F.desc("n"), F.asc("term")))
+    return (
+        counts.withColumn("rnk", rnk)
+        .filter(F.col("rnk") <= VOCAB_MAX)
+        .select("term", "n", (F.col("rnk") - 1).cast("long").alias("token_id"))
+    )

