@@ -858,3 +858,77 @@ def sim_neardup_pairs_exact_pairs_view(
     return sim_neardup_pairs_exact(spark, sf_dir).select(
         F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b")
     )
+
+
+# -------------------------------------- effective-token dedup report
+
+def _effective_tokens_oracle() -> str:
+    from .textstats import _TOKENS_SQL
+
+    return f"""WITH RECURSIVE {_minhash_ctes()},
+mh_edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM mh_pairs
+  UNION ALL
+  SELECT doc_b, doc_a FROM mh_pairs
+),
+reach AS (
+  SELECT doc_id AS src, doc_id AS dst FROM documents
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN mh_edges e ON r.dst = e.src
+),
+verdict AS (
+  SELECT src AS doc_id, (src = MIN(dst)) AS keep FROM reach GROUP BY src
+),
+tok AS (
+  SELECT doc_id, source, CAST(len({_TOKENS_SQL}) AS BIGINT) AS n_tokens
+  FROM documents
+)
+SELECT t.source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN v.keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       CAST(SUM(t.n_tokens) AS BIGINT) AS raw_tokens,
+       CAST(SUM(CASE WHEN v.keep THEN t.n_tokens ELSE 0 END) AS BIGINT)
+         AS effective_tokens,
+       ROUND(CAST(SUM(CASE WHEN v.keep THEN t.n_tokens ELSE 0 END) AS DOUBLE)
+             / SUM(t.n_tokens), 6) AS retention
+FROM tok t JOIN verdict v ON t.doc_id = v.doc_id
+GROUP BY t.source"""
+
+
+@register("dedup_effective_tokens", _effective_tokens_oracle())
+def dedup_effective_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """**Effective-token budget after dedup**, per source: raw token
+    count vs tokens surviving the near-dup canonical verdict, with the
+    retention ratio. THE number a pretraining data plan is built on —
+    a source contributing 1B raw tokens at 40% retention funds fewer
+    training steps than a 500M-token source at 95%, and this relation
+    is how that call gets made (and how epoching/mixture weights are
+    renormalized after dedup).
+
+    Composition of verified relations only: the canonical keep/drop
+    verdict (:func:`dedup_neardup_canonical`) joined to per-doc token
+    counts, rolled up per source (≤ |sources| groups). Oracle rebuilds
+    the full chain independently (MinHash CTEs + recursive closure +
+    DuckDB-side tokenization)."""
+    from ..sources import load_raw as _load
+    from .textstats import _tokens
+
+    docs = _load(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", "source", F.size(_tokens(F.col("text"))).cast("long").alias("n_tokens")
+    )
+    verdict = dedup_neardup_canonical(spark, sf_dir).select("doc_id", "keep")
+    kept_tokens = F.sum(F.when(F.col("keep"), F.col("n_tokens")).otherwise(F.lit(0)))
+    return (
+        tok.join(verdict, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum(F.col("keep").cast("int")).cast("long").alias("n_kept"),
+            F.sum("n_tokens").cast("long").alias("raw_tokens"),
+            kept_tokens.cast("long").alias("effective_tokens"),
+            F.round(
+                kept_tokens.cast("double") / F.sum("n_tokens"), 6
+            ).alias("retention"),
+        )
+    )

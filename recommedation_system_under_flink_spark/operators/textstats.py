@@ -1761,3 +1761,68 @@ def ts_vocab_build(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= VOCAB_MAX)
         .select("term", "n", (F.col("rnk") - 1).cast("long").alias("token_id"))
     )
+
+
+# -------------------------------------------------- n-gram count table
+
+#: Ranked n-gram table: n-gram order, minimum frequency, size cap.
+NGRAM_N = 2
+NGRAM_MIN_COUNT = 2
+NGRAM_MAX = 2000
+
+
+@register(
+    "ts_ngram_counts",
+    f"""SELECT gram, n, CAST(rnk - 1 AS BIGINT) AS gram_id FROM (
+  SELECT gram, CAST(COUNT(*) AS BIGINT) AS n,
+         ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, gram ASC) AS rnk
+  FROM (
+    SELECT unnest(list_transform(
+             range(1, len(ts) - {NGRAM_N} + 2),
+             i -> array_to_string(ts[i : i + {NGRAM_N} - 1], ' ')
+           )) AS gram
+    FROM (SELECT {_TOKENS_SQL} AS ts FROM documents)
+    WHERE len(ts) >= {NGRAM_N}
+  )
+  GROUP BY gram HAVING COUNT(*) >= {NGRAM_MIN_COUNT}
+) WHERE rnk <= {NGRAM_MAX}""",
+)
+def ts_ngram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus **n-gram count table** (order ``NGRAM_N``, space-joined),
+    min-count-filtered and frequency-ranked with deterministic dense
+    ids — the companion of :func:`ts_vocab_build` for n-gram LM
+    training, collocation features, and the boilerplate lists n-gram
+    dedup consumes.
+
+    The n-gram generation is a per-row ``transform`` over the token
+    array (no self-join, no positional explode+join); counting is one
+    map-side-combinable aggregate, and the ranking window runs over the
+    pre-aggregated O(|distinct n-grams|) relation — bounded by content
+    diversity, not corpus size (and by ``NGRAM_MAX`` on output)."""
+    from pyspark.sql import Window
+
+    docs = load_raw(spark, sf_dir, "documents")
+    ts = F.col("ts")
+    grams = docs.select(_tokens(F.col("text")).alias("ts")).filter(
+        F.size(ts) >= NGRAM_N
+    ).select(
+        F.explode(
+            F.transform(
+                F.slice(ts, 1, F.size(ts) - (NGRAM_N - 1)),
+                lambda _, i: F.concat_ws(
+                    " ", *[F.element_at(ts, i + k + 1) for k in range(NGRAM_N)]
+                ),
+            )
+        ).alias("gram")
+    )
+    counts = (
+        grams.groupBy("gram")
+        .agg(F.count("*").cast("long").alias("n"))
+        .filter(F.col("n") >= NGRAM_MIN_COUNT)
+    )
+    rnk = F.row_number().over(Window.orderBy(F.desc("n"), F.asc("gram")))
+    return (
+        counts.withColumn("rnk", rnk)
+        .filter(F.col("rnk") <= NGRAM_MAX)
+        .select("gram", "n", (F.col("rnk") - 1).cast("long").alias("gram_id"))
+    )
