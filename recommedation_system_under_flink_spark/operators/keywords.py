@@ -547,11 +547,15 @@ def a3_user_keywords_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         a = ut.alias("a")
         b = ut.alias("b")
-        edges = (
+        # a.term < b.term halves the self-join output and the distinct
+        # shuffle (undirected pairs); both directions re-emerge after
+        # the distinct — identical result to the != form (round 4,
+        # same rewrite as windowed_edges).
+        und = (
             a.join(
                 b,
                 (F.col("a.tweet_id") == F.col("b.tweet_id"))
-                & (F.col("a.term") != F.col("b.term")),
+                & (F.col("a.term") < F.col("b.term")),
             )
             .select(
                 F.col("a.user_id").alias("user_id"),
@@ -559,6 +563,18 @@ def a3_user_keywords_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("b.term").alias("n"),
             )
             .distinct()
+        )
+        edges = (
+            und.select(
+                "user_id",
+                F.explode(
+                    F.array(
+                        F.struct(F.col("w"), F.col("n")),
+                        F.struct(F.col("n").alias("w"), F.col("w").alias("n")),
+                    )
+                ).alias("e"),
+            )
+            .select("user_id", "e.w", "e.n")
             .persist()
         )
         vocab = ut.select("user_id", "term").distinct().persist()
@@ -671,15 +687,30 @@ def a3_user_keywords_windowed_distributed(
     ut = served.select("duk", "tweet_id", F.explode(toks).alias("term")).distinct()
     a = ut.alias("a")
     b = ut.alias("b")
-    edges = (
+    # a.term < b.term: undirected-pair dedup (half the self-join output
+    # and distinct shuffle), both directions emitted after — same
+    # rewrite as windowed_edges / a3 (round 4).
+    und = (
         a.join(
             b,
             (F.col("a.duk") == F.col("b.duk"))
             & (F.col("a.tweet_id") == F.col("b.tweet_id"))
-            & (F.col("a.term") != F.col("b.term")),
+            & (F.col("a.term") < F.col("b.term")),
         )
         .select(F.col("a.duk").alias("duk"), F.col("a.term").alias("w"), F.col("b.term").alias("n"))
         .distinct()
+    )
+    edges = (
+        und.select(
+            "duk",
+            F.explode(
+                F.array(
+                    F.struct(F.col("w"), F.col("n")),
+                    F.struct(F.col("n").alias("w"), F.col("w").alias("n")),
+                )
+            ).alias("e"),
+        )
+        .select("duk", "e.w", "e.n")
         .persist()
     )
     vocab = ut.select("duk", "term").distinct().persist()
