@@ -418,13 +418,26 @@ def vote_fixed_rounds(
     # joins is still via the final 6-dp quantization. Per-key state is
     # one doc's vocabulary — bounded by document length, never by
     # corpus size, so the map/array rows stay small at any scale.
+    # Size the loop's partitioning to the GRAPH, not the session
+    # default: every vote round runs ~5 tiny stages over the adjacency
+    # partitioning, and 32 near-empty partitions × rounds is pure task-
+    # scheduling latency on small graphs (measured 2.5s → 1.4s for the
+    # a3 vote at sf0.1 with 8 partitions). One partition per ~32k
+    # edge-words, clamped to the session shuffle parallelism, keeps
+    # the same plan scale-correct: a 10⁹-word corpus still gets the
+    # full fan-out. Values are partition-independent (per-key
+    # aggregates, array_sort-pinned sums), so the oracle is unaffected.
+    n_words = deg.count()
+    spark = edges.sparkSession
+    shuffle_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    nparts = max(1, min(shuffle_parts, -(-n_words // 32_000)))
     adj = (
         edges.join(
             deg.select(F.col(key), F.col("term").alias("n"), "deg"), [key, "n"]
         )
         .groupBy(key, "w")
         .agg(F.array_sort(F.collect_list(F.struct("n", "deg"))).alias("nbrs"))
-        .repartition(F.col(key))
+        .repartition(nparts, F.col(key))
         .persist()
     )
     scores = adj.select(key, F.col("w").alias("term"), F.lit(1.0 - d).alias("score"))
