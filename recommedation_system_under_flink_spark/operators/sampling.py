@@ -804,3 +804,34 @@ def samp_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     return q.select(
         "doc_id", F.col("q6").alias("quality"), decile.cast("int").alias("decile")
     )
+
+
+# ----------------------------------------------------- k-fold CV splits
+
+#: Cross-validation fold count.
+KFOLD_K = 5
+
+
+@register(
+    "samp_kfold_assign",
+    f"""SELECT doc_id,
+       CAST((doc_id * {HASH_MULT}) % {HASH_MOD} % {KFOLD_K} AS INTEGER) AS fold,
+       CAST((doc_id * {HASH_MULT}) % {HASH_MOD} % {KFOLD_K} = 0 AS BOOLEAN)
+         AS is_holdout_fold0
+FROM documents""",
+)
+def samp_kfold_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """**k-fold cross-validation assignment** as a pure function of
+    doc_id (same pinned Knuth hash as the train/val/test split, modulo
+    ``KFOLD_K``): any engine, any partitioning, any retry produces
+    identical folds, so fold-out evaluation is reproducible and
+    auditable after the fact. The ``is_holdout_fold0`` flag is the
+    ready-made mask for the first rotation. Map-side, no shuffle, no
+    state."""
+    docs = load_raw(spark, sf_dir, "documents")
+    fold = (split_hash("doc_id") % KFOLD_K).cast("int")
+    return docs.select(
+        "doc_id",
+        fold.alias("fold"),
+        (fold == 0).alias("is_holdout_fold0"),
+    )

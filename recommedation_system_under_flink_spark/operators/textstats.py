@@ -1826,3 +1826,68 @@ def ts_ngram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= NGRAM_MAX)
         .select("gram", "n", (F.col("rnk") - 1).cast("long").alias("gram_id"))
     )
+
+
+# --------------------------------------------------- readability score
+
+@register(
+    "ts_readability",
+    f"""SELECT doc_id, n_words, n_sentences, n_syllables,
+       ROUND(206.835 - 1.015 * (CAST(n_words AS DOUBLE) / n_sentences)
+             - 84.6 * (CAST(n_syllables AS DOUBLE) / n_words), 6) AS flesch
+FROM (
+  SELECT doc_id,
+         CAST(len(ts) AS BIGINT) AS n_words,
+         CAST(GREATEST(len(list_filter(string_split_regex(text, '[.!?]+'),
+                                       s -> trim(s) <> '')), 1) AS BIGINT)
+           AS n_sentences,
+         CAST(list_sum(list_transform(ts,
+                t -> GREATEST(len(list_filter(
+                       string_split_regex(t, '[^aeiouy]+'), g -> g <> '')), 1)))
+           AS BIGINT) AS n_syllables
+  FROM (SELECT doc_id, text, {_TOKENS_SQL} AS ts FROM documents)
+  WHERE len(ts) > 0
+)""",
+)
+def ts_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """**Flesch reading-ease** per document with a PINNED syllable
+    heuristic (vowel-group count per token, floor 1 — the engine spec;
+    dictionary syllabification is out of scope) and sentence count
+    from ``[.!?]+`` runs (floor 1). Readability is a standard
+    pretraining quality dimension: too-low scores flag legalese/
+    boilerplate, impossibly high ones flag token soup. Empty docs are
+    excluded (no words → undefined ratio).
+
+    One projection over the token array — no explode, no shuffle;
+    both engines compute the identical integer counts, so the 6-dp
+    quantized score hash-matches."""
+    docs = load_raw(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id", "text", _tokens(F.col("text")).alias("ts")
+    ).filter(F.size("ts") > 0)
+    ts = F.col("ts")
+    syl = lambda t: F.greatest(
+        F.size(F.filter(F.split(t, "[^aeiouy]+"), lambda g: g != "")), F.lit(1)
+    )
+    n_words = F.size(ts).cast("long")
+    n_sentences = F.greatest(
+        F.size(
+            F.filter(F.split(F.col("text"), "[.!?]+"), lambda s: F.trim(s) != "")
+        ),
+        F.lit(1),
+    ).cast("long")
+    n_syllables = F.aggregate(ts, F.lit(0), lambda acc, t: acc + syl(t)).cast(
+        "long"
+    )
+    counted = base.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        n_sentences.alias("n_sentences"),
+        n_syllables.alias("n_syllables"),
+    )
+    flesch = (
+        F.lit(206.835)
+        - F.lit(1.015) * (F.col("n_words").cast("double") / F.col("n_sentences"))
+        - F.lit(84.6) * (F.col("n_syllables").cast("double") / F.col("n_words"))
+    )
+    return counted.withColumn("flesch", F.round(flesch, 6))
