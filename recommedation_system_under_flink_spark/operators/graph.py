@@ -732,3 +732,110 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("long").alias("core_deg")
     )
     return checkpoint_result(out, edges)
+
+
+# ------------------------------------------ link prediction (Adamic-Adar)
+
+#: Result size for predicted links (deterministic total-order cut).
+AA_TOP_N = 50
+
+
+def _adamic_adar_oracle() -> str:
+    """DuckDB twin: same projection → adjacency → wedge join → anti-join
+    against existing edges, with the identical quantized sort key."""
+    return with_ctes(
+        f"""SELECT x, y, common_neighbors, aa_score FROM (
+  SELECT c.x, c.y,
+         CAST(c.cn AS BIGINT) AS common_neighbors,
+         ROUND(c.aa, 6) AS aa_score
+  FROM cand c
+  WHERE NOT EXISTS (SELECT 1 FROM e WHERE e.x = c.x AND e.y = c.y)
+  ORDER BY ROUND(c.aa, 6) DESC, c.x, c.y
+  LIMIT {AA_TOP_N}
+)""",
+        CLICKS_CTE,
+        "prefs AS (SELECT DISTINCT user_id, news_id FROM clicks)",
+        f"""e AS (
+  SELECT a.news_id AS x, b.news_id AS y
+  FROM prefs a JOIN prefs b
+    ON a.user_id = b.user_id AND a.news_id < b.news_id
+  GROUP BY 1, 2 HAVING COUNT(*) >= {TRI_MIN_COOC}
+)""",
+        """adj AS (
+  SELECT x AS v, y AS w FROM e UNION ALL SELECT y, x FROM e
+)""",
+        "deg AS (SELECT v, COUNT(*) AS d FROM adj GROUP BY v)",
+        """cand AS (
+  SELECT a1.w AS x, a2.w AS y,
+         COUNT(*) AS cn,
+         SUM(1.0 / LN(deg.d)) AS aa
+  FROM adj a1
+  JOIN adj a2 ON a2.v = a1.v AND a1.w < a2.w
+  JOIN deg ON deg.v = a1.v
+  GROUP BY 1, 2
+)""",
+    )
+
+
+@register("graph_link_prediction_aa", _adamic_adar_oracle())
+def graph_link_prediction_aa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """**Adamic-Adar link prediction** on the item co-click projection
+    (same edge set as ``graph_triangle_stats``): for every NON-edge
+    pair (x, y) reachable through ≥1 common neighbor z, score
+    ``Σ_z 1/ln(deg(z))`` — rare shared neighbors count more than hub
+    neighbors. The classic neighborhood-overlap predictor
+    (Adamic & Adar 2003); top-scored pairs are the co-click edges the
+    graph is "missing", directly usable as item-item rec candidates.
+
+    Plan: adjacency (both directions) ⋈ itself on the shared neighbor
+    (one shuffle on z) → pair aggregation (one shuffle on (x, y)) →
+    anti-join the existing edge set → distributed top-N
+    (TakeOrderedAndProject on the quantized total-order key
+    (aa DESC, x, y) — no single-partition window). Common neighbors z
+    have deg(z) ≥ 2 by construction, so ln(deg) > 0; contributions are
+    positive, so cross-engine double sums agree far inside the 6-dp
+    quantization.
+
+    Scale (100 TB): wedge fan-out is Σ_z d(z)² — the same cost law as
+    triangle counting; at the full graph you cap per-neighbor adjacency
+    lists (keep the top-d strongest co-click edges per node) before the
+    self-join, which bounds fan-out by d_max² per node while keeping
+    the high-signal pairs. The pair aggregation is map-side combinable;
+    nothing materializes per-node state."""
+    from ..sources import clicks as clicks_table
+
+    prefs = clicks_table(spark, sf_dir).select("user_id", "news_id").distinct()
+    a = prefs.select("user_id", F.col("news_id").alias("x"))
+    b = prefs.select(F.col("user_id").alias("u2"), F.col("news_id").alias("y"))
+    e = (
+        a.join(b, (F.col("user_id") == F.col("u2")) & (F.col("x") < F.col("y")))
+        .groupBy("x", "y")
+        .agg(F.count("*").alias("cooc"))
+        .filter(F.col("cooc") >= TRI_MIN_COOC)
+        .select("x", "y")
+        .persist()
+    )
+    e.count()
+    adj = e.select(F.col("x").alias("v"), F.col("y").alias("w")).unionAll(
+        e.select(F.col("y").alias("v"), F.col("x").alias("w"))
+    )
+    deg = adj.groupBy("v").agg(F.count("*").alias("d"))
+    a1 = adj.select(F.col("v"), F.col("w").alias("cx"))
+    a2 = adj.select(F.col("v").alias("v2"), F.col("w").alias("cy"))
+    cand = (
+        a1.join(a2, (F.col("v") == F.col("v2")) & (F.col("cx") < F.col("cy")))
+        .join(deg, "v")
+        .groupBy(F.col("cx").alias("x"), F.col("cy").alias("y"))
+        .agg(
+            F.count("*").cast("long").alias("common_neighbors"),
+            F.round(F.sum(1.0 / F.log(F.col("d"))), 6).alias("aa_score"),
+        )
+    )
+    out = (
+        cand.join(e, ["x", "y"], "left_anti")
+        .orderBy(F.col("aa_score").desc(), "x", "y")
+        .limit(AA_TOP_N)
+    )
+    result = checkpoint_result(out)
+    e.unpersist()
+    return result

@@ -498,3 +498,91 @@ def prof_chi2_lang_source(spark: SparkSession, sf_dir: str) -> DataFrame:
             "chi2"
         ),
     )
+
+
+# ----------------------------------------------- Benford first-digit law
+
+#: Benford expected first-digit probabilities, pinned as literals so
+#: BOTH engines compare the identical doubles (no cross-engine log10).
+import math as _math
+
+BENFORD_P = {d: round(_math.log10(1.0 + 1.0 / d), 12) for d in range(1, 10)}
+
+_BENFORD_EXP_SQL = "CASE first_digit " + " ".join(
+    f"WHEN {d} THEN {p!r}" for d, p in BENFORD_P.items()
+) + " END"
+
+
+@register(
+    "prof_benford_totalprice",
+    f"""SELECT first_digit, n, obs_freq, exp_freq,
+       ROUND(POWER(obs_freq - exp_freq, 2) / exp_freq, 6) AS chi2_term
+FROM (
+  SELECT first_digit,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         ROUND(CAST(COUNT(*) AS DOUBLE)
+               / SUM(COUNT(*)) OVER (), 6) AS obs_freq,
+         ROUND({_BENFORD_EXP_SQL}, 6) AS exp_freq
+  FROM (
+    SELECT CAST(SUBSTR(CAST(CAST(CAST(o_totalprice AS DECIMAL(18,4)) * 10000
+                                 AS BIGINT) AS VARCHAR), 1, 1) AS INTEGER)
+             AS first_digit
+    FROM orders WHERE o_totalprice > 0
+  )
+  GROUP BY first_digit
+)""",
+)
+def prof_benford_totalprice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """**Benford's-law first-digit profile** of order totals — the
+    classic anomaly screen for monetary/measurement columns: naturally
+    occurring multi-scale amounts follow ``P(d) = log10(1 + 1/d)``;
+    fabricated, truncated, or unit-mangled data does not. Emits one row
+    per leading digit with observed vs expected frequency and the
+    chi-square term — a large Σ chi2_term flags the column for review.
+
+    Determinism: the value is first cast to exact DECIMAL(18,4) (the
+    repo's money convention) and scaled to integer units, so the
+    leading digit comes from exact integer-to-string conversion in both
+    engines — no float log10 at power-of-ten boundaries. Expected
+    probabilities are pinned 12-dp literals shared by both sides.
+
+    Scale: one scan of one column → 9-group partial-aggregated
+    groupBy; the frequency normalization window runs over the 9-row
+    aggregated relation (O(1), not data-sized)."""
+    orders = load_raw(spark, sf_dir, "orders")
+    units = (
+        (F.col("o_totalprice").cast("decimal(18,4)") * 10000)
+        .cast("long")
+        .cast("string")
+    )
+    digit = F.substring(units, 1, 1).cast("int")
+    counted = (
+        orders.filter(F.col("o_totalprice") > 0)
+        .select(digit.alias("first_digit"))
+        .groupBy("first_digit")
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+    from pyspark.sql import Window
+
+    total = F.sum("n").over(Window.partitionBy())
+    exp = F.lit(None).cast("double")
+    expr = None
+    for d, p in BENFORD_P.items():
+        expr = (
+            F.when(F.col("first_digit") == d, F.lit(p))
+            if expr is None
+            else expr.when(F.col("first_digit") == d, F.lit(p))
+        )
+    freqd = counted.select(
+        "first_digit",
+        "n",
+        F.round(F.col("n") / total, 6).alias("obs_freq"),
+        F.round(expr, 6).alias("exp_freq"),
+    )
+    return freqd.withColumn(
+        "chi2_term",
+        F.round(
+            F.pow(F.col("obs_freq") - F.col("exp_freq"), 2) / F.col("exp_freq"),
+            6,
+        ),
+    )

@@ -835,3 +835,100 @@ def samp_kfold_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
         fold.alias("fold"),
         (fold == 0).alias("is_holdout_fold0"),
     )
+
+
+# ------------------------------------------------- Poisson bootstrap
+
+#: Bootstrap replicate count.
+BOOT_B = 8
+
+#: Poisson(1) CDF thresholds, pinned as shared literals (exact doubles
+#: of e^-1 partial sums to 16 dp) — the inverse-CDF lookup both engines
+#: evaluate on the identical exact-rational uniform draw.
+POISSON1_CDF = (
+    0.3678794411714423,
+    0.7357588823428846,
+    0.9196986029286058,
+    0.9810118431238462,
+    0.9963401531726563,
+    0.9994058151824183,
+)
+
+
+def _boot_u_sql() -> str:
+    """The per-(doc, replicate) uniform draw: pinned Knuth hash of the
+    interleaved key, mapped to the exact rational (h + 0.5) / 2^32."""
+    return (
+        f"(((doc_id * {BOOT_B} + b) * {HASH_MULT}) % {HASH_MOD} + 0.5)"
+        f" / {HASH_MOD}"
+    )
+
+
+def _boot_w_sql(u: str) -> str:
+    case = "CASE "
+    for k, t in enumerate(POISSON1_CDF):
+        case += f"WHEN {u} < {t!r} THEN {k} "
+    return case + f"ELSE {len(POISSON1_CDF)} END"
+
+
+@register(
+    "samp_poisson_bootstrap",
+    f"""SELECT b AS replicate,
+       CAST(SUM(w) AS BIGINT) AS n_eff,
+       ROUND(CAST(SUM(w * n_chars) AS DOUBLE) / SUM(w), 6) AS mean_chars
+FROM (
+  SELECT b, n_chars, {_boot_w_sql(_boot_u_sql())} AS w
+  FROM documents
+  CROSS JOIN (SELECT UNNEST(range({BOOT_B})) AS b) reps
+)
+GROUP BY b
+HAVING SUM(w) > 0""",
+)
+def samp_poisson_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """**Deterministic Poisson bootstrap** — the scale-native bootstrap
+    (Chamandy et al., "Estimating Uncertainty for Massive Data
+    Streams", Google 2012): instead of resampling n rows WITH
+    replacement (a shuffle per replicate), each row independently
+    receives a Poisson(1) multiplicity per replicate, so ALL B
+    replicates are computed in ONE scan with map-side partial
+    aggregation and no data movement beyond the B·9-row final agg.
+
+    The Poisson draw is the inverse CDF evaluated on the pinned Knuth
+    hash of ``doc_id·B + b`` mapped to the exact rational
+    ``(h + 0.5)/2^32`` — exactly representable in a double, so both
+    engines compare the identical values against the identical pinned
+    thresholds: reproducible under retries, repartitioning, and engine
+    swap. Output: per-replicate effective row count and mean document
+    length — the spread across replicates IS the sampling-error
+    estimate for the corpus statistic.
+
+    Scale: the replicate explosion is a per-row ``explode(sequence)``
+    (B× rows in the map stage only, combined before any shuffle);
+    state is O(B · groups), independent of corpus size."""
+    docs = load_raw(spark, sf_dir, "documents")
+    reps = docs.select(
+        "doc_id",
+        "n_chars",
+        F.explode(F.sequence(F.lit(0), F.lit(BOOT_B - 1))).alias("b"),
+    )
+    h = ((F.col("doc_id") * BOOT_B + F.col("b")) * F.lit(HASH_MULT)) % F.lit(
+        HASH_MOD
+    )
+    u = (h + F.lit(0.5)) / F.lit(HASH_MOD)
+    w = None
+    for k, t in enumerate(POISSON1_CDF):
+        w = F.when(u < t, k) if w is None else w.when(u < t, k)
+    w = w.otherwise(len(POISSON1_CDF))
+    return (
+        reps.select("b", "n_chars", w.alias("w"))
+        .groupBy(F.col("b").alias("replicate"))
+        .agg(
+            F.sum("w").cast("long").alias("n_eff"),
+            F.round(
+                F.sum(F.col("w") * F.col("n_chars"))
+                / F.sum("w").cast("double"),
+                6,
+            ).alias("mean_chars"),
+        )
+        .filter(F.col("n_eff") > 0)
+    )
