@@ -932,3 +932,80 @@ def dedup_effective_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("retention"),
         )
     )
+
+
+# ------------------------------------------------- containment dedup
+
+#: Directed-containment threshold (|A∩B| / |smaller|). Calibrated like
+#: JACCARD_THRESHOLD: planted near-dups sit ≥0.9, unrelated <0.1.
+CONTAIN_THRESHOLD = 0.6
+
+
+@register(
+    "dedup_containment",
+    f"""WITH {_SHINGLES_CTE},
+i AS (
+  SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+s AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id)
+SELECT i.d1 AS doc_a, i.d2 AS doc_b,
+       CASE WHEN s1.n <= s2.n THEN i.d1 ELSE i.d2 END AS contained_doc,
+       ROUND(CAST(i.inter AS DOUBLE) / LEAST(s1.n, s2.n), 6) AS containment,
+       ROUND(CAST(i.inter AS DOUBLE) / (s1.n + s2.n - i.inter), 6) AS jaccard,
+       CAST(CAST(i.inter AS DOUBLE) / (s1.n + s2.n - i.inter)
+            < {JACCARD_THRESHOLD} AS BOOLEAN) AS jaccard_missed
+FROM i JOIN s s1 ON i.d1 = s1.doc_id JOIN s s2 ON i.d2 = s2.doc_id
+WHERE CAST(i.inter AS DOUBLE) / LEAST(s1.n, s2.n) >= {CONTAIN_THRESHOLD}""",
+)
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """**Containment dedup** — directed near-dup detection by
+    ``|A∩B| / |smaller set|`` over the same distinct-shingle relation
+    as :func:`dedup_ngram_jaccard`. Containment catches what Jaccard
+    structurally cannot: a short document pasted inside a much longer
+    one has Jaccard ≈ |A|/|B| → 0 but containment ≈ 1 — the dominant
+    duplication mode in web corpora (boilerplate-wrapped articles,
+    quoted reposts, documentation mirrors). Emits both metrics plus
+    the ``jaccard_missed`` flag: rows only containment caught.
+
+    Plan: identical inverted-index candidate generation (equi-join on
+    shingle — only docs sharing ≥1 shingle ever pair), two broadcast-
+    size joins against per-doc set sizes, threshold pushdown on the
+    aggregated pair relation. At 100 TB the shingle join is the same
+    banded-LSH upgrade path as the Jaccard form (MinHash respects
+    containment after the size-ratio correction), so candidate cost
+    never becomes all-pairs."""
+    docs = load_raw(spark, sf_dir, "documents")
+    sh = shingles(docs)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("inter"))
+    )
+    s1 = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("n1"))
+    s2 = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("n2"))
+    contain = F.col("inter") / F.least("n1", "n2")
+    jac = F.col("inter") / (F.col("n1") + F.col("n2") - F.col("inter"))
+    return (
+        inter.join(s1, "doc_a")
+        .join(s2, "doc_b")
+        .filter(contain >= CONTAIN_THRESHOLD)
+        .select(
+            "doc_a",
+            "doc_b",
+            F.when(F.col("n1") <= F.col("n2"), F.col("doc_a"))
+            .otherwise(F.col("doc_b"))
+            .alias("contained_doc"),
+            F.round(contain, 6).alias("containment"),
+            F.round(jac, 6).alias("jaccard"),
+            (jac < JACCARD_THRESHOLD).alias("jaccard_missed"),
+        )
+    )

@@ -1002,3 +1002,120 @@ def ev_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             "ks_stat",
         )
     )
+
+
+# --------------------------------------------- CUSUM changepoint scan
+
+#: CUSUM reference drift (in sd units) and alarm threshold — the
+#: standard (k, h) = (0.5, 4) tuning: detects ≥1sd mean shifts with
+#: ~370-sample in-control ARL.
+CUSUM_K = 0.5
+CUSUM_H = 4.0
+
+
+@register(
+    "ev_cusum_changepoint",
+    f"""WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2
+),
+z AS (
+  SELECT event_type, day, n,
+         (n - AVG(n) OVER (PARTITION BY event_type))
+           / stddev_samp(n) OVER (PARTITION BY event_type) AS z
+  FROM daily
+  QUALIFY stddev_samp(n) OVER (PARTITION BY event_type) > 0
+),
+p0 AS (
+  SELECT event_type, day, n, z,
+         SUM(z - {CUSUM_K}) OVER w AS rp,
+         SUM(z + {CUSUM_K}) OVER w AS rq
+  FROM z
+  WINDOW w AS (PARTITION BY event_type ORDER BY day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+),
+p AS (
+  SELECT event_type, day, n, z, rp, rq,
+         MIN(rp) OVER w AS min_rp,
+         MAX(rq) OVER w AS max_rq
+  FROM p0
+  WINDOW w AS (PARTITION BY event_type ORDER BY day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT event_type, day, n, ROUND(z, 6) AS z,
+       ROUND(rp - LEAST(0.0, min_rp), 6) AS cusum_pos,
+       ROUND(GREATEST(0.0, max_rq) - rq, 6) AS cusum_neg,
+       CAST(ROUND(rp - LEAST(0.0, min_rp), 6) > {CUSUM_H}
+            OR ROUND(GREATEST(0.0, max_rq) - rq, 6) > {CUSUM_H}
+          AS BOOLEAN) AS alarm
+FROM p""",
+)
+def ev_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """**CUSUM changepoint scan** over each event type's daily volume —
+    the sequential mean-shift detector (Page 1954): one-sided
+    cumulative sums of standardized deviations, reset at zero, alarm
+    when either side exceeds ``CUSUM_H``. Unlike the pointwise z-score
+    flags (``ev_daily_anomaly``), CUSUM accumulates SMALL persistent
+    drifts — the slow upstream regression that never trips a 3-sd day
+    but has shifted the mean for a week.
+
+    The textbook recursion ``S⁺_d = max(0, S⁺_{{d-1}} + z_d − k)`` is
+    not a built-in window function, but its closed form is:
+    ``S⁺_n = P_n − min(0, min_{{j≤n}} P_j)`` where ``P`` is the running
+    sum of ``z − k`` — a cumulative sum plus a running extremum, both
+    plain window functions over the per-type daily series (O(days)
+    rows after the one aggregation shuffle — never data-sized).
+    Symmetrically ``S⁻_n = max(0, max_j Q_j) − Q_n`` on ``z + k``.
+    The alarm compares the 6-dp-quantized sums on both engines, so the
+    boundary decision itself is hash-stable."""
+    from pyspark.sql import Window
+
+    from ..sources.tables import ts_date
+
+    ev = events_raw(spark, sf_dir)
+    daily = (
+        ev.select("event_type", ts_date("ts").alias("day"))
+        .groupBy("event_type", "day")
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+    stats_w = Window.partitionBy("event_type")
+    z = (F.col("n") - F.avg("n").over(stats_w)) / F.stddev_samp("n").over(
+        stats_w
+    )
+    zd = daily.withColumn("sd", F.stddev_samp("n").over(stats_w)).filter(
+        F.col("sd") > 0
+    ).select("event_type", "day", "n", z.alias("z"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    p0 = zd.select(
+        "event_type",
+        "day",
+        "n",
+        "z",
+        F.sum(F.col("z") - CUSUM_K).over(w).alias("rp"),
+        F.sum(F.col("z") + CUSUM_K).over(w).alias("rq"),
+    )
+    p = p0.select(
+        "event_type",
+        "day",
+        "n",
+        "z",
+        "rp",
+        "rq",
+        F.min("rp").over(w).alias("min_rp"),
+        F.max("rq").over(w).alias("max_rq"),
+    )
+    pos = F.round(F.col("rp") - F.least(F.lit(0.0), F.col("min_rp")), 6)
+    neg = F.round(F.greatest(F.lit(0.0), F.col("max_rq")) - F.col("rq"), 6)
+    return p.select(
+        "event_type",
+        "day",
+        "n",
+        F.round("z", 6).alias("z"),
+        pos.alias("cusum_pos"),
+        neg.alias("cusum_neg"),
+        ((pos > CUSUM_H) | (neg > CUSUM_H)).alias("alarm"),
+    )

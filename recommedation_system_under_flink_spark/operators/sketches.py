@@ -27,7 +27,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..registry import register
-from ..sources import clicks, events_raw
+from ..sources import clicks, events_raw, load_raw
 from ..sources.tables import NEWS_MOD
 
 #: approx_count_distinct standard error; 0.01 ⇒ ~1% rsd, ~6 KB state.
@@ -315,4 +315,155 @@ def sk_count_min_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg((F.col("est") - F.col("n")).cast("double")), 6).alias(
             "avg_overestimate"
         ),
+    )
+
+
+# ------------------------------------------------------- Bloom filter
+
+#: Bloom geometry: M bits, K pinned hash functions. At the sf0.1
+#: build set (~4k train docs) the fill is ~17% → theoretical fp ≈
+#: 0.5%; at 100 TB you size m/n ≈ 14 bits/key for ~0.1%.
+BLOOM_M = 65536
+BLOOM_K = 3
+
+
+def _bloom_pos_sql(i: int) -> str:
+    """Pinned md5-derived bit position for hash ``i`` (same portable
+    scheme as the Count-Min and MinHash hashes)."""
+    return (
+        f"CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '@{i}'), 1, 8))"
+        f" AS BIGINT) % {BLOOM_M}"
+    )
+
+
+def _bloom_oracle() -> str:
+    from .sampling import HASH_MOD, HASH_MULT, TRAIN_BUCKETS
+
+    build_pos = " UNION ALL ".join(
+        f"SELECT doc_id, {_bloom_pos_sql(i)} AS pos FROM build"
+        for i in range(BLOOM_K)
+    )
+    probe_pos = " UNION ALL ".join(
+        f"SELECT doc_id, {_bloom_pos_sql(i)} AS pos FROM probe"
+        for i in range(BLOOM_K)
+    )
+    return f"""WITH build AS (
+  SELECT doc_id FROM documents
+  WHERE (doc_id * {HASH_MULT}) % {HASH_MOD} % 10 < {TRAIN_BUCKETS}
+),
+probe AS (SELECT doc_id FROM documents),
+bits AS (SELECT DISTINCT pos FROM ({build_pos})),
+ppos AS (SELECT DISTINCT doc_id, pos FROM ({probe_pos})),
+verdict AS (
+  SELECT p.doc_id,
+         COUNT(*) = COUNT(b.pos) AS pass,
+         (p.doc_id * {HASH_MULT}) % {HASH_MOD} % 10 < {TRAIN_BUCKETS}
+           AS member
+  FROM ppos p LEFT JOIN bits b ON b.pos = p.pos
+  GROUP BY p.doc_id
+)
+SELECT CAST((SELECT COUNT(*) FROM build) AS BIGINT) AS n_build,
+       CAST((SELECT COUNT(*) FROM bits) AS BIGINT) AS n_bits_set,
+       CAST(COUNT(*) AS BIGINT) AS n_probe,
+       CAST(SUM(CASE WHEN pass THEN 1 ELSE 0 END) AS BIGINT) AS n_pass,
+       CAST(SUM(CASE WHEN member THEN 1 ELSE 0 END) AS BIGINT) AS n_members,
+       CAST(SUM(CASE WHEN pass AND NOT member THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_false_pos,
+       ROUND(CAST(SUM(CASE WHEN pass AND NOT member THEN 1 ELSE 0 END)
+                  AS DOUBLE)
+             / NULLIF(COUNT(*) - SUM(CASE WHEN member THEN 1 ELSE 0 END), 0),
+             6) AS fp_rate_observed,
+       ROUND(POWER(1.0 - POWER(1.0 - 1.0 / {BLOOM_M},
+                               {BLOOM_K} * (SELECT COUNT(*) FROM build)),
+                   {BLOOM_K}), 6) AS fp_rate_theory
+FROM verdict"""
+
+
+@register("sk_bloom_prefilter", _bloom_oracle())
+def sk_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """**Bloom-filter membership prefilter, built and audited in one
+    query**: insert the train-split doc_ids (the same pinned-hash
+    split as ``samp_split_assign``) into an M-bit / K-hash Bloom
+    filter (pinned md5-derived positions — engine-portable), probe
+    EVERY document, and report pass/membership/false-positive counts
+    plus observed vs theoretical fp rate. This is the
+    train-membership decontamination primitive: "might this eval doc
+    be in the training set?" answered with O(M) bits instead of an
+    O(n) shuffle — no false negatives ever, false positives at the
+    audited rate, so a pass still needs the exact check but a miss is
+    PROVEN clean.
+
+    Scale (100 TB): the bit relation is ≤ M rows (deterministic,
+    mergeable via distinct-union across partitions) and broadcasts to
+    the probe scan — the manual form of the runtime bloom-filter
+    pruning Spark applies to shuffle joins, exposed as data so it can
+    be persisted, shipped cross-job, and audited. The verdict join is
+    per-position against a broadcast; no data-sized shuffle."""
+    from .sampling import HASH_MOD, HASH_MULT, TRAIN_BUCKETS
+
+    docs = load_raw(spark, sf_dir, "documents").select("doc_id")
+    member = (F.col("doc_id") * HASH_MULT) % HASH_MOD % 10 < TRAIN_BUCKETS
+
+    def pos(i: int):
+        return F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(f"@{i}"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long") % BLOOM_M
+
+    build = docs.filter(member)
+    all_pos = F.array(*[pos(i) for i in range(BLOOM_K)])
+    # one scan per side: the K positions explode from a per-row array
+    bits = build.select(F.explode(all_pos).alias("pos")).distinct()
+    ppos = docs.select(
+        "doc_id", F.explode(all_pos).alias("pos")
+    ).distinct()
+    verdict = (
+        ppos.join(
+            F.broadcast(bits.withColumn("hit", F.lit(1))), "pos", "left"
+        )
+        .groupBy("doc_id")
+        .agg((F.count("*") == F.count("hit")).alias("pass"))
+        .withColumn("member", member)
+    )
+    report = verdict.agg(
+        F.count("*").cast("long").alias("n_probe"),
+        F.sum(F.when(F.col("pass"), 1).otherwise(0)).cast("long").alias("n_pass"),
+        F.sum(F.when(F.col("member"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_members"),
+        F.sum(F.when(F.col("pass") & ~F.col("member"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_false_pos"),
+    )
+    scalars = build.agg(F.count("*").cast("long").alias("n_build")).crossJoin(
+        bits.agg(F.count("*").cast("long").alias("n_bits_set"))
+    )
+    theory = F.round(
+        F.pow(
+            1.0 - F.pow(F.lit(1.0) - 1.0 / BLOOM_M, BLOOM_K * F.col("n_build")),
+            F.lit(BLOOM_K),
+        ),
+        6,
+    )
+    return scalars.crossJoin(report).select(
+        "n_build",
+        "n_bits_set",
+        "n_probe",
+        "n_pass",
+        "n_members",
+        "n_false_pos",
+        F.round(
+            F.col("n_false_pos")
+            / F.nullif(
+                (F.col("n_probe") - F.col("n_members")).cast("double"),
+                F.lit(0.0),
+            ),
+            6,
+        ).alias("fp_rate_observed"),
+        theory.alias("fp_rate_theory"),
     )

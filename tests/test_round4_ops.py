@@ -150,3 +150,77 @@ def test_readability_bounds_and_monotonicity(spark):
             6,
         )
         assert abs(want - r.flesch) <= 1e-6
+
+
+# --------------------------------------------------- containment dedup
+
+def test_containment_dominates_jaccard_and_direction(spark):
+    """containment ≥ jaccard always; contained_doc is the smaller
+    shingle set; every symmetric near-dup pair (jaccard ≥ threshold)
+    must also appear in the containment output."""
+    from recommedation_system_under_flink_spark.operators.dedup import (
+        CONTAIN_THRESHOLD,
+        JACCARD_THRESHOLD,
+    )
+
+    out = _q("dedup_containment")(spark, SF_DIR).collect()
+    assert out
+    # containment ≥ jaccard, so any pair at jaccard ≥ CONTAIN_THRESHOLD
+    # is guaranteed to appear in the containment output
+    jpairs = {
+        (r.doc_a, r.doc_b)
+        for r in _q("dedup_ngram_jaccard")(spark, SF_DIR).collect()
+        if r.jaccard >= CONTAIN_THRESHOLD
+    }
+    cpairs = {(r.doc_a, r.doc_b) for r in out}
+    assert jpairs and jpairs <= cpairs, jpairs - cpairs
+    for r in out:
+        assert r.containment >= r.jaccard - 1e-9
+        assert r.contained_doc in (r.doc_a, r.doc_b)
+        assert r.jaccard_missed == (r.jaccard < JACCARD_THRESHOLD)
+
+
+# ----------------------------------------------------- CUSUM recursion
+
+def test_cusum_closed_form_matches_textbook_recursion(spark):
+    """The window-function closed form must equal the sequential
+    recursion S⁺_d = max(0, S⁺_{d-1} + z_d − k) replayed in Python."""
+    from recommedation_system_under_flink_spark.operators.events_props import (
+        CUSUM_H,
+        CUSUM_K,
+    )
+
+    rows = _q("ev_cusum_changepoint")(spark, SF_DIR).collect()
+    assert rows
+    by_type = {}
+    for r in sorted(rows, key=lambda r: (r.event_type, r.day)):
+        by_type.setdefault(r.event_type, []).append(r)
+    for series in by_type.values():
+        sp = sn = 0.0
+        for r in series:
+            sp = max(0.0, sp + r.z - CUSUM_K)
+            sn = max(0.0, sn - r.z - CUSUM_K)
+            # replay on the 6-dp z the query emits; allow drift of the
+            # quantization error accumulated over the series
+            assert abs(sp - r.cusum_pos) < 1e-3, (r.event_type, r.day)
+            assert abs(sn - r.cusum_neg) < 1e-3, (r.event_type, r.day)
+            assert r.alarm == (r.cusum_pos > CUSUM_H or r.cusum_neg > CUSUM_H)
+            sp, sn = r.cusum_pos, r.cusum_neg  # resync to query values
+
+
+# ------------------------------------------------------- Bloom filter
+
+def test_bloom_no_false_negatives_and_sane_fill(spark):
+    """Every member must pass (n_pass ≥ n_members — Bloom filters never
+    false-negative); bits set ≤ K·n_build; observed fp ≤ ~4× theory."""
+    from recommedation_system_under_flink_spark.operators.sketches import (
+        BLOOM_K,
+    )
+
+    r = _q("sk_bloom_prefilter")(spark, SF_DIR).first()
+    assert r.n_pass >= r.n_members
+    assert r.n_pass - r.n_members == r.n_false_pos
+    assert r.n_bits_set <= BLOOM_K * r.n_build
+    if r.fp_rate_observed is not None and r.fp_rate_theory > 0:
+        # loose: small non-member counts make the observed rate noisy
+        assert r.fp_rate_observed <= max(4 * r.fp_rate_theory, 0.02)
