@@ -586,3 +586,71 @@ def prof_benford_totalprice(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ),
     )
+
+
+# -------------------------------------------- referential integrity
+
+#: The star-schema FK graph under audit: (child, fk, parent, pk).
+FK_EDGES = (
+    ("orders", "o_custkey", "customer", "c_custkey"),
+    ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ("customer", "c_nationkey", "nation", "n_nationkey"),
+    ("supplier", "s_nationkey", "nation", "n_nationkey"),
+    ("nation", "n_regionkey", "region", "r_regionkey"),
+)
+
+
+@register(
+    "prof_referential_integrity",
+    "\nUNION ALL\n".join(
+        f"""SELECT '{child}.{fk} -> {parent}.{pk}' AS fk_edge,
+       CAST(COUNT(*) AS BIGINT) AS n_child,
+       CAST(COUNT(*) - COUNT({fk}) AS BIGINT) AS n_null_fk,
+       CAST(SUM(CASE WHEN {fk} IS NOT NULL AND p.{pk} IS NULL
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_orphans,
+       CAST(SUM(CASE WHEN {fk} IS NOT NULL AND p.{pk} IS NULL
+                THEN 1 ELSE 0 END) = 0 AS BOOLEAN) AS ref_complete
+FROM {child} c LEFT JOIN {parent} p ON c.{fk} = p.{pk}"""
+        for child, fk, parent, pk in FK_EDGES
+    ),
+)
+def prof_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """**Referential-integrity audit** over the whole star-schema FK
+    graph: per edge, child rows / NULL FKs / orphans (non-NULL FK with
+    no parent) / a pass flag — the constraint a lakehouse can't enforce
+    at write time and therefore must AUDIT at read time. Orphans mean
+    either lost parent partitions (ingest gap) or late-arriving
+    children (join them tomorrow); either way every downstream inner
+    join silently drops those rows, so this report is the difference
+    between "the revenue query is wrong" and "the revenue query is
+    wrong BECAUSE 0.3% of lineitems have no order yet".
+
+    Plan: one left join per edge against the parent's key column only
+    (column-pruned scan; small dims broadcast), each collapsing to a
+    single audit row — at 100 TB each edge is a map-side-combinable
+    aggregate over the join, state O(1)."""
+    rows = []
+    for child, fk, parent, pk in FK_EDGES:
+        c = load_raw(spark, sf_dir, child)
+        p = load_raw(spark, sf_dir, parent).select(pk)
+        joined = c.select(fk).join(
+            p, F.col(fk) == F.col(pk), "left"
+        )
+        orphan = F.when(
+            F.col(fk).isNotNull() & F.col(pk).isNull(), 1
+        ).otherwise(0)
+        rows.append(
+            joined.agg(
+                F.lit(f"{child}.{fk} -> {parent}.{pk}").alias("fk_edge"),
+                F.count("*").cast("long").alias("n_child"),
+                (F.count("*") - F.count(fk)).cast("long").alias("n_null_fk"),
+                F.sum(orphan).cast("long").alias("n_orphans"),
+                (F.sum(orphan) == 0).alias("ref_complete"),
+            )
+        )
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out

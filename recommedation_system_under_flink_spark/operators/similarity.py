@@ -2826,3 +2826,66 @@ def sim_whiten_project(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("dim").cast("int").alias("dim"),
         F.round("value", 6).alias("value"),
     )
+
+
+# ---------------------------------------------- ANN recall@K audit
+
+def _ann_recall_oracle() -> str:
+    from ..registry import _REGISTRY
+
+    bf = _REGISTRY["sim_bruteforce_topk"].oracle
+    ivf = _REGISTRY["sim_ivf_topk_pinned"].oracle
+    return f"""WITH bf AS (
+{bf}
+), ivf AS (
+{ivf}
+), spine AS (
+  SELECT query_id, CAST(COUNT(*) AS BIGINT) AS k_eff FROM bf GROUP BY query_id
+), hits AS (
+  SELECT b.query_id, CAST(COUNT(*) AS BIGINT) AS n_hits
+  FROM bf b JOIN ivf i
+    ON i.query_id = b.query_id AND i.corpus_id = b.corpus_id
+  GROUP BY b.query_id
+)
+SELECT s.query_id, s.k_eff,
+       CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
+       ROUND(CAST(COALESCE(h.n_hits, 0) AS DOUBLE) / s.k_eff, 6) AS recall
+FROM spine s LEFT JOIN hits h ON h.query_id = s.query_id"""
+
+
+@register("sim_ann_recall_report", _ann_recall_oracle())
+def sim_ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """**ANN recall@K audit**: per-query recall of the pinned IVF index
+    against the exact brute-force top-K, computed in ONE query — the
+    production health metric for any approximate index ("is nprobe
+    high enough for THIS corpus?") as a registered, oracle-checked
+    relation rather than a notebook one-off. Both component oracles
+    are embedded verbatim, so the audit cannot drift from the
+    operators it measures (same pattern as ``dedup_method_agreement``).
+
+    Plan: both rankings are the already-verified candidate-generation
+    plans; the audit adds one equi-join on (query, candidate) and a
+    per-query count — grouped on the N_QUERIES-bounded key, never
+    corpus-sized. At 100 TB you run this on a sampled query set the
+    same way: recall audits are O(queries·K), independent of corpus
+    size."""
+    bf = sim_bruteforce_topk(spark, sf_dir).select("query_id", "corpus_id")
+    ivf = sim_ivf_topk_pinned(spark, sf_dir).select("query_id", "corpus_id")
+    spine = bf.groupBy("query_id").agg(F.count("*").cast("long").alias("k_eff"))
+    hits = (
+        bf.join(ivf, ["query_id", "corpus_id"])
+        .groupBy("query_id")
+        .agg(F.count("*").cast("long").alias("n_hits"))
+    )
+    return (
+        spine.join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            "k_eff",
+            F.coalesce(F.col("n_hits"), F.lit(0)).cast("long").alias("n_hits"),
+            F.round(
+                F.coalesce(F.col("n_hits"), F.lit(0)) / F.col("k_eff").cast("double"),
+                6,
+            ).alias("recall"),
+        )
+    )

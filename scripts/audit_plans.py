@@ -95,6 +95,7 @@ EXPECTED_CARTESIAN = {
     "sim_neardup_pairs_exact": "block-pair id<= range join (blocked GEMM)",
     "sim_neardup_components": "inherits the blocked-GEMM edge builder",
     "sim_threshold_sweep_report": "inherits the blocked-GEMM pair scorer",
+    "sim_ann_recall_report": "inherits sim_bruteforce_topk's broadcast query set",
     "als_recommendations": "user×item factor cross for top-k (bounded dims)",
 }
 

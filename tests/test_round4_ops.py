@@ -224,3 +224,48 @@ def test_bloom_no_false_negatives_and_sane_fill(spark):
     if r.fp_rate_observed is not None and r.fp_rate_theory > 0:
         # loose: small non-member counts make the observed rate noisy
         assert r.fp_rate_observed <= max(4 * r.fp_rate_theory, 0.02)
+
+
+# ------------------------------------------- referential integrity
+
+def test_referential_integrity_covers_every_fk_edge(spark):
+    """One audit row per FK edge; the synthetic TPC-H-ish fixtures are
+    referentially complete, so every edge must report 0 orphans — and
+    n_child must equal the child table's actual row count."""
+    from recommedation_system_under_flink_spark.operators.profiling import (
+        FK_EDGES,
+    )
+    from recommedation_system_under_flink_spark.sources.tables import load_raw
+
+    rows = {r.fk_edge: r for r in _q("prof_referential_integrity")(spark, SF_DIR).collect()}
+    assert len(rows) == len(FK_EDGES)
+    for child, fk, parent, pk in FK_EDGES:
+        r = rows[f"{child}.{fk} -> {parent}.{pk}"]
+        assert r.n_child == load_raw(spark, SF_DIR, child).count()
+        assert r.n_orphans == 0 and r.ref_complete
+        assert 0 <= r.n_null_fk <= r.n_child
+
+
+# --------------------------------------------------- ANN recall@K
+
+def test_ann_recall_report_matches_set_overlap(spark):
+    """recall = |IVF∩BF| / |BF| per query, recomputed from the two
+    component rankings' collected sets; one row per brute-force query,
+    recall within [0, 1]."""
+    bf_rows = _q("sim_bruteforce_topk")(spark, SF_DIR).collect()
+    ivf_rows = _q("sim_ivf_topk_pinned")(spark, SF_DIR).collect()
+    bf, ivf = {}, {}
+    for r in bf_rows:
+        bf.setdefault(r.query_id, set()).add(r.corpus_id)
+    for r in ivf_rows:
+        ivf.setdefault(r.query_id, set()).add(r.corpus_id)
+
+    report = {r.query_id: r for r in _q("sim_ann_recall_report")(spark, SF_DIR).collect()}
+    assert set(report) == set(bf)
+    for qid, want in bf.items():
+        r = report[qid]
+        hits = len(want & ivf.get(qid, set()))
+        assert r.k_eff == len(want)
+        assert r.n_hits == hits
+        assert abs(r.recall - hits / len(want)) < 1e-6
+        assert 0.0 <= r.recall <= 1.0
