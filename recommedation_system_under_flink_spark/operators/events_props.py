@@ -1119,3 +1119,123 @@ def ev_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         neg.alias("cusum_neg"),
         ((pos > CUSUM_H) | (neg > CUSUM_H)).alias("alarm"),
     )
+
+
+# --------------------------------------------- growth accounting
+
+@register(
+    "ev_growth_accounting",
+    """WITH activity AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+), seq AS (
+  SELECT user_id, day,
+         LAG(day)  OVER (PARTITION BY user_id ORDER BY day) AS prev_day,
+         LEAD(day) OVER (PARTITION BY user_id ORDER BY day) AS next_day
+  FROM activity
+), act AS (
+  SELECT day,
+         CAST(COUNT(*) AS BIGINT) AS n_active,
+         CAST(SUM(CASE WHEN prev_day IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_new,
+         CAST(SUM(CASE WHEN prev_day = day - 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_retained,
+         CAST(SUM(CASE WHEN prev_day IS NOT NULL AND prev_day < day - 1
+                  THEN 1 ELSE 0 END) AS BIGINT) AS n_resurrected
+  FROM seq GROUP BY day
+), churn AS (
+  SELECT day + 1 AS day, CAST(COUNT(*) AS BIGINT) AS n_churned
+  FROM seq
+  WHERE (next_day IS NULL OR next_day > day + 1)
+    AND day + 1 <= (SELECT MAX(day) FROM activity)
+  GROUP BY day + 1
+)
+SELECT COALESCE(a.day, c.day) AS day,
+       CAST(COALESCE(a.n_active, 0) AS BIGINT) AS n_active,
+       CAST(COALESCE(a.n_new, 0) AS BIGINT) AS n_new,
+       CAST(COALESCE(a.n_retained, 0) AS BIGINT) AS n_retained,
+       CAST(COALESCE(a.n_resurrected, 0) AS BIGINT) AS n_resurrected,
+       CAST(COALESCE(c.n_churned, 0) AS BIGINT) AS n_churned,
+       ROUND(CAST(COALESCE(a.n_new, 0) + COALESCE(a.n_resurrected, 0)
+                  AS DOUBLE) / NULLIF(COALESCE(c.n_churned, 0), 0), 6)
+         AS quick_ratio
+FROM act a FULL OUTER JOIN churn c ON a.day = c.day""",
+)
+def ev_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """**Growth accounting**: each day's active users decomposed into
+    new (first day ever), retained (also active yesterday), and
+    resurrected (active before, but not yesterday), plus churned
+    (active yesterday, gone today — attributed to the first inactive
+    day, bounded to the observed range since churn after the last
+    observed day is unknowable) and the quick ratio
+    (new + resurrected) / churned. The companion of the cohort matrix
+    (``a13_retention_cohorts``): same per-user activity spine, but
+    decomposing day-over-day flux instead of cohort survival.
+
+    Plan: one distinct over (user, day) — the A1 clickers shuffle —
+    then lag/lead in ONE user-partitioned window pass, two O(days)
+    aggregates, and a full-outer join on the tiny day spine. The churn
+    bound is a 1-row MAX(day) scalar broadcast. At 100 TB the distinct
+    dominates; the window partitions by user (millions of independent
+    partitions, no global sort)."""
+    from ..sources.tables import ts_date
+    from pyspark.sql import Window
+
+    activity = (
+        events_raw(spark, sf_dir)
+        .select("user_id", ts_date("ts").alias("day"))
+        .distinct()
+    )
+    w = Window.partitionBy("user_id").orderBy("day")
+    seq = activity.select(
+        "user_id",
+        "day",
+        F.lag("day").over(w).alias("prev_day"),
+        F.lead("day").over(w).alias("next_day"),
+    )
+    act = seq.groupBy("day").agg(
+        F.count("*").cast("long").alias("n_active"),
+        F.sum(F.when(F.col("prev_day").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_new"),
+        F.sum(
+            F.when(F.col("prev_day") == F.date_sub("day", 1), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_retained"),
+        F.sum(
+            F.when(
+                F.col("prev_day").isNotNull()
+                & (F.col("prev_day") < F.date_sub("day", 1)),
+                1,
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_resurrected"),
+    )
+    max_day = activity.agg(F.max("day").alias("max_day"))
+    churn = (
+        seq.filter(
+            F.col("next_day").isNull()
+            | (F.col("next_day") > F.date_add("day", 1))
+        )
+        .select(F.date_add("day", 1).alias("day"))
+        .crossJoin(F.broadcast(max_day))
+        .filter(F.col("day") <= F.col("max_day"))
+        .groupBy("day")
+        .agg(F.count("*").cast("long").alias("n_churned"))
+    )
+    a, c = act.alias("a"), churn.alias("c")
+    n = lambda col: F.coalesce(F.col(col), F.lit(0)).cast("long")  # noqa: E731
+    growth = n("a.n_new") + n("a.n_resurrected")
+    return a.join(c, F.col("a.day") == F.col("c.day"), "full_outer").select(
+        F.coalesce(F.col("a.day"), F.col("c.day")).alias("day"),
+        n("a.n_active").alias("n_active"),
+        n("a.n_new").alias("n_new"),
+        n("a.n_retained").alias("n_retained"),
+        n("a.n_resurrected").alias("n_resurrected"),
+        n("c.n_churned").alias("n_churned"),
+        F.round(
+            F.when(n("c.n_churned") > 0, growth.cast("double") / n("c.n_churned")),
+            6,
+        ).alias("quick_ratio"),
+    )

@@ -269,3 +269,35 @@ def test_ann_recall_report_matches_set_overlap(spark):
         assert r.n_hits == hits
         assert abs(r.recall - hits / len(want)) < 1e-6
         assert 0.0 <= r.recall <= 1.0
+
+
+# ------------------------------------------------ growth accounting
+
+def test_growth_accounting_flux_identities(spark):
+    """Textbook growth-accounting identities: active = new + retained
+    + resurrected each day; churned(d) = active(d-1) − retained(d) for
+    consecutive observed days; total new over the range = total
+    distinct users."""
+    rows = sorted(
+        _q("ev_growth_accounting")(spark, SF_DIR).collect(), key=lambda r: r.day
+    )
+    assert rows
+    by_day = {r.day: r for r in rows}
+    for r in rows:
+        assert r.n_active == r.n_new + r.n_retained + r.n_resurrected
+        assert min(r.n_active, r.n_new, r.n_retained, r.n_resurrected, r.n_churned) >= 0
+        if r.n_churned > 0 and r.quick_ratio is not None:
+            assert abs(r.quick_ratio - (r.n_new + r.n_resurrected) / r.n_churned) < 1e-6
+    import datetime
+
+    for r in rows:
+        prev = by_day.get(r.day - datetime.timedelta(days=1))
+        if prev is not None:
+            assert r.n_churned == prev.n_active - r.n_retained, r.day
+
+    from recommedation_system_under_flink_spark.sources import events_raw
+
+    n_users = (
+        events_raw(spark, SF_DIR).select("user_id").distinct().count()
+    )
+    assert sum(r.n_new for r in rows) == n_users
