@@ -839,3 +839,122 @@ def graph_link_prediction_aa(spark: SparkSession, sf_dir: str) -> DataFrame:
     result = checkpoint_result(out)
     e.unpersist()
     return result
+
+
+# --------------------------------------- label-propagation communities
+
+#: Fixed synchronous LPA rounds (pinned for oracle parity).
+LPA_ITERS = 3
+
+
+def _lpa_oracle(iters: int = LPA_ITERS) -> str:
+    """DuckDB twin: the same fixed-round synchronous LPA unrolled as
+    chained CTEs; the (count DESC, label ASC) tie-break is a total
+    order over exact integers, so both engines pick identical labels
+    every round."""
+    ctes = [
+        CLICKS_CTE,
+        "pairs AS (SELECT DISTINCT user_id, news_id FROM clicks)",
+        """edges AS (
+  SELECT user_id * 2 AS src, news_id * 2 + 1 AS dst FROM pairs
+  UNION ALL
+  SELECT news_id * 2 + 1, user_id * 2 FROM pairs
+)""",
+        "l0 AS (SELECT DISTINCT src AS node, src AS label FROM edges)",
+    ]
+    prev = "l0"
+    for i in range(1, iters + 1):
+        ctes.append(
+            f"""l{i} AS (
+  SELECT dst AS node, label FROM (
+    SELECT e.dst, l.label,
+           ROW_NUMBER() OVER (
+             PARTITION BY e.dst
+             ORDER BY COUNT(*) DESC, l.label ASC
+           ) AS rn
+    FROM edges e JOIN {prev} l ON e.src = l.node
+    GROUP BY e.dst, l.label
+  ) WHERE rn = 1
+)"""
+        )
+        prev = f"l{i}"
+    return with_ctes(
+        f"SELECT CAST(node AS BIGINT) AS node, CAST(label AS BIGINT) AS label "
+        f"FROM {prev}",
+        *ctes,
+    )
+
+
+@register("graph_lpa_communities", _lpa_oracle())
+def graph_lpa_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """**Label-propagation communities** (Raghavan 2007) over the
+    symmetric user↔news click graph (same node space as
+    ``graph_pagerank_clicks``): every node starts as its own label;
+    each synchronous round it adopts the most frequent label among its
+    neighbors, ties to the smallest label. ``LPA_ITERS`` fixed rounds
+    (no convergence test) keeps the loop bit-reproducible, so the whole
+    computation hash-compares against the unrolled-CTE oracle. The
+    resulting label groups are behavioral communities — the
+    click-graph analogue of topic clusters, and the usual cheap
+    pre-partitioner before per-community modeling.
+
+    Plan: each round is one edges⋈labels equi-join shuffling on node
+    id, a (dst, label) count, and a per-dst argmax folded into a
+    single hash aggregate via max(struct(cnt, −label)) — no window
+    sort, two exchanges per round, the standard BSP layout shared with
+    PageRank/k-core. Labels are referenced once per round
+    (single-reference loop), so lineage stays linear in the K=3
+    rounds; edges persist across rounds and release on exit."""
+    from ..sources import clicks
+
+    pairs = clicks(spark, sf_dir).select("user_id", "news_id").distinct()
+    edges = (
+        pairs.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        (F.col("user_id") * 2).alias("src"),
+                        (F.col("news_id") * 2 + 1).alias("dst"),
+                    ),
+                    F.struct(
+                        (F.col("news_id") * 2 + 1).alias("src"),
+                        (F.col("user_id") * 2).alias("dst"),
+                    ),
+                )
+            ).alias("e")
+        )
+        .select("e.src", "e.dst")
+        .persist()
+    )
+    if edges.limit(1).count() == 0:
+        edges.unpersist()
+        return spark.createDataFrame([], "node long, label long")
+
+    labels = edges.select(F.col("src").alias("node")).distinct().select(
+        "node", F.col("node").alias("label")
+    )
+    for _ in range(LPA_ITERS):
+        counts = (
+            edges.join(labels, edges.src == labels.node)
+            .groupBy("dst", "label")
+            .agg(F.count("*").alias("cnt"))
+        )
+        labels = (
+            counts.groupBy("dst")
+            .agg(
+                F.max(
+                    F.struct(F.col("cnt"), (-F.col("label")).alias("neg"))
+                ).alias("m")
+            )
+            .select(
+                F.col("dst").alias("node"),
+                (-F.col("m.neg")).alias("label"),
+            )
+        )
+    return checkpoint_result(
+        labels.select(
+            F.col("node").cast("long").alias("node"),
+            F.col("label").cast("long").alias("label"),
+        ),
+        edges,
+    )

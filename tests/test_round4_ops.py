@@ -301,3 +301,39 @@ def test_growth_accounting_flux_identities(spark):
         events_raw(spark, SF_DIR).select("user_id").distinct().count()
     )
     assert sum(r.n_new for r in rows) == n_users
+
+
+# --------------------------------------------------- LPA communities
+
+def test_lpa_matches_python_replay(spark):
+    """Replay the fixed-round synchronous LPA in pure Python from the
+    same click pairs and compare every label; also check labels are
+    node ids that exist in the graph."""
+    from collections import Counter
+
+    from recommedation_system_under_flink_spark.operators.graph import (
+        LPA_ITERS,
+    )
+    from recommedation_system_under_flink_spark.sources import clicks
+
+    pairs = {
+        (r.user_id, r.news_id)
+        for r in clicks(spark, SF_DIR).select("user_id", "news_id").distinct().collect()
+    }
+    edges = {}
+    for u, n in pairs:
+        edges.setdefault(2 * n + 1, []).append(2 * u)
+        edges.setdefault(2 * u, []).append(2 * n + 1)
+    labels = {v: v for v in edges}
+    for _ in range(LPA_ITERS):
+        labels = {
+            v: min(
+                (lab for lab, c in Counter(labels[s] for s in srcs).items()
+                 if c == max(Counter(labels[s] for s in srcs).values()))
+            )
+            for v, srcs in edges.items()
+        }
+
+    got = {r.node: r.label for r in _q("graph_lpa_communities")(spark, SF_DIR).collect()}
+    assert got == labels
+    assert set(got.values()) <= set(edges)
