@@ -2889,3 +2889,178 @@ def sim_ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("recall"),
         )
     )
+
+
+# ------------------------------------------- nprobe→recall tuning curve
+
+#: The nprobe operating points swept by the recall curve (max must not
+#: exceed IVF_K; IVF_NPROBE is the production point, included).
+NPROBE_SWEEP = (1, 2, IVF_NPROBE)
+
+
+def _nprobe_curve_oracle() -> str:
+    from ..registry import _REGISTRY
+
+    bf = _REGISTRY["sim_bruteforce_topk"].oracle
+    cos = """list_dot_product(v.e, c.e)
+             / (sqrt(list_dot_product(v.e, v.e)) * sqrt(list_dot_product(c.e, c.e)))"""
+    per_n = []
+    for n in NPROBE_SWEEP:
+        per_n.append(
+            f"""topk_{n} AS (
+  SELECT query_id, corpus_id FROM (
+    SELECT query_id, corpus_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY query_id
+             ORDER BY ROUND(cosine, 6) DESC, corpus_id ASC
+           ) AS r
+    FROM cand WHERE cell_rank <= {n}
+  ) WHERE r <= {TOP_K}
+), hits_{n} AS (
+  SELECT b.query_id, CAST(COUNT(*) AS BIGINT) AS h
+  FROM bf b JOIN topk_{n} t
+    ON t.query_id = b.query_id AND t.corpus_id = b.corpus_id
+  GROUP BY b.query_id
+)"""
+        )
+    selects = "\nUNION ALL\n".join(
+        f"""SELECT CAST({n} AS INTEGER) AS nprobe, s.query_id, s.k_eff,
+       CAST(COALESCE(h.h, 0) AS BIGINT) AS n_hits,
+       ROUND(CAST(COALESCE(h.h, 0) AS DOUBLE) / s.k_eff, 6) AS recall
+FROM spine s LEFT JOIN hits_{n} h ON h.query_id = s.query_id"""
+        for n in NPROBE_SWEEP
+    )
+    return f"""WITH bf AS (
+{bf}
+), proj AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+), cents AS (
+  SELECT vec_id AS cid, e FROM proj WHERE vec_id < {IVF_K}
+), ranked_cells AS (
+  SELECT v.vec_id, c.cid,
+         ROW_NUMBER() OVER (
+           PARTITION BY v.vec_id
+           ORDER BY {cos} DESC, c.cid ASC
+         ) AS cell_rank
+  FROM proj v CROSS JOIN (SELECT cid, e FROM cents) c
+), corpus AS (
+  SELECT vec_id, cid FROM ranked_cells WHERE cell_rank = 1
+), queries AS (
+  SELECT vec_id AS query_id, cid, cell_rank FROM ranked_cells
+  WHERE vec_id < {N_QUERIES} AND cell_rank <= {max(NPROBE_SWEEP)}
+), cand AS (
+  SELECT q.query_id, co.vec_id AS corpus_id, q.cell_rank,
+         list_dot_product(pq.e, pc.e)
+           / (sqrt(list_dot_product(pq.e, pq.e)) * sqrt(list_dot_product(pc.e, pc.e)))
+           AS cosine
+  FROM queries q
+  JOIN corpus co ON q.cid = co.cid
+  JOIN proj pq ON pq.vec_id = q.query_id
+  JOIN proj pc ON pc.vec_id = co.vec_id
+  WHERE co.vec_id <> q.query_id
+), spine AS (
+  SELECT query_id, CAST(COUNT(*) AS BIGINT) AS k_eff FROM bf GROUP BY query_id
+), {", ".join(per_n)}
+{selects}"""
+
+
+@register("sim_nprobe_recall_curve", _nprobe_curve_oracle())
+def sim_nprobe_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """**nprobe→recall tuning curve**: per-query recall@K of the pinned
+    IVF index at each operating point in ``NPROBE_SWEEP``, against the
+    exact brute-force top-K — the curve that answers "what nprobe do I
+    need for recall ≥ X?" empirically, as one registered relation. The
+    point audit (``sim_ann_recall_report``) is this curve evaluated at
+    ``IVF_NPROBE`` only; here candidates are generated ONCE at the
+    sweep maximum with their probe rank attached, and each operating
+    point is a filter + re-rank over that shared relation — a corpus
+    item sits in exactly one cell, so ``cell_rank ≤ n`` reproduces the
+    n-probe candidate set exactly.
+
+    Plan: one probe-UDF pass at max(nprobe) + one broadcast cell join
+    builds the shared scored-candidate relation (persisted across the
+    sweep, released on exit); each sweep point adds only a
+    query-partitioned top-K window over O(queries · corpus/IVF_K ·
+    nprobe) rows and a count join against the O(queries·K) exact set.
+    At 100 TB the sweep cost is candidate generation, paid once."""
+    emb = load_raw(spark, sf_dir, "embeddings")
+    base = emb.select("vec_id", _as_double("embedding").alias("emb")).withColumn(
+        "nrm", _norm(F.col("emb"))
+    )
+    cents = [
+        list(r["emb"])
+        for r in base.filter(F.col("vec_id") < IVF_K)
+        .orderBy("vec_id")
+        .select("emb")
+        .collect()
+    ]
+    if not cents:
+        return spark.createDataFrame(
+            [], "nprobe int, query_id long, k_eff long, n_hits long, recall double"
+        )
+    max_n = max(NPROBE_SWEEP)
+    corpus = base.withColumn(
+        "cid", F.element_at(_probe_udf(cents, 1)(F.col("emb")), 1)
+    )
+    queries = base.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("emb").alias("q_emb"),
+        F.col("nrm").alias("q_nrm"),
+        F.posexplode(_probe_udf(cents, max_n)(F.col("emb"))).alias("pos", "cid"),
+    )
+    cands = (
+        corpus.join(F.broadcast(queries), "cid")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("corpus_id"),
+            (F.col("pos") + 1).alias("cell_rank"),
+            (
+                _dot(F.col("q_emb"), F.col("emb")) / (F.col("q_nrm") * F.col("nrm"))
+            ).alias("cosine"),
+        )
+        .persist()
+    )
+    bf = (
+        sim_bruteforce_topk(spark, sf_dir)
+        .select("query_id", "corpus_id")
+        .persist()
+    )
+    spine = bf.groupBy("query_id").agg(F.count("*").cast("long").alias("k_eff"))
+
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc(F.round("cosine", 6)), F.asc("corpus_id")
+    )
+    slices = []
+    for n in NPROBE_SWEEP:
+        topk = (
+            cands.filter(F.col("cell_rank") <= n)
+            .withColumn("r", F.row_number().over(w))
+            .filter(F.col("r") <= TOP_K)
+            .select("query_id", "corpus_id")
+        )
+        hits = (
+            bf.join(topk, ["query_id", "corpus_id"])
+            .groupBy("query_id")
+            .agg(F.count("*").cast("long").alias("h"))
+        )
+        slices.append(
+            spine.join(hits, "query_id", "left").select(
+                F.lit(n).cast("int").alias("nprobe"),
+                "query_id",
+                "k_eff",
+                F.coalesce(F.col("h"), F.lit(0)).cast("long").alias("n_hits"),
+                F.round(
+                    F.coalesce(F.col("h"), F.lit(0)) / F.col("k_eff").cast("double"),
+                    6,
+                ).alias("recall"),
+            )
+        )
+    out = slices[0]
+    for s in slices[1:]:
+        out = out.unionByName(s)
+    from .bsp import checkpoint_result
+
+    return checkpoint_result(out, cands, bf)

@@ -97,6 +97,7 @@ EXPECTED_CARTESIAN = {
     "sim_neardup_components": "inherits the blocked-GEMM edge builder",
     "sim_threshold_sweep_report": "inherits the blocked-GEMM pair scorer",
     "sim_ann_recall_report": "inherits sim_bruteforce_topk's broadcast query set",
+    "sim_nprobe_recall_curve": "inherits sim_bruteforce_topk's broadcast query set",
     "als_recommendations": "user×item factor cross for top-k (bounded dims)",
 }
 
