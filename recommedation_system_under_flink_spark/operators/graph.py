@@ -847,11 +847,9 @@ def graph_link_prediction_aa(spark: SparkSession, sf_dir: str) -> DataFrame:
 LPA_ITERS = 3
 
 
-def _lpa_oracle(iters: int = LPA_ITERS) -> str:
-    """DuckDB twin: the same fixed-round synchronous LPA unrolled as
-    chained CTEs; the (count DESC, label ASC) tie-break is a total
-    order over exact integers, so both engines pick identical labels
-    every round."""
+def _lpa_ctes(iters: int = LPA_ITERS) -> tuple[list[str], str]:
+    """The unrolled LPA CTE chain and the name of its final labels CTE
+    — shared by the LPA oracle and the modularity report built on it."""
     ctes = [
         CLICKS_CTE,
         "pairs AS (SELECT DISTINCT user_id, news_id FROM clicks)",
@@ -878,6 +876,15 @@ def _lpa_oracle(iters: int = LPA_ITERS) -> str:
 )"""
         )
         prev = f"l{i}"
+    return ctes, prev
+
+
+def _lpa_oracle(iters: int = LPA_ITERS) -> str:
+    """DuckDB twin: the same fixed-round synchronous LPA unrolled as
+    chained CTEs; the (count DESC, label ASC) tie-break is a total
+    order over exact integers, so both engines pick identical labels
+    every round."""
+    ctes, prev = _lpa_ctes(iters)
     return with_ctes(
         f"SELECT CAST(node AS BIGINT) AS node, CAST(label AS BIGINT) AS label "
         f"FROM {prev}",
@@ -958,3 +965,135 @@ def graph_lpa_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         edges,
     )
+
+
+# ------------------------------------------------- modularity report
+
+def _modularity_oracle() -> str:
+    """DuckDB twin: per-community intra-edge and degree masses over the
+    unrolled-LPA labels. All masses are exact integers (directed edge
+    counts), so the Q contributions are exact rationals rounded at
+    6 dp on both engines."""
+    ctes, prev = _lpa_ctes()
+    ctes.append(f"labels AS (SELECT node, label FROM {prev})")
+    ctes.append(
+        "m AS (SELECT CAST(COUNT(*) AS BIGINT) AS dir_edges FROM edges)"
+    )
+    return with_ctes(
+        """SELECT s.label,
+       s.n_nodes,
+       s.deg_sum,
+       CAST(COALESCE(i.intra_dir, 0) / 2 AS BIGINT) AS intra_edges,
+       ROUND(CAST(COALESCE(i.intra_dir, 0) AS DOUBLE) / m.dir_edges
+             - POWER(CAST(s.deg_sum AS DOUBLE) / m.dir_edges, 2), 6)
+         AS q_contribution
+FROM (
+  SELECT l.label,
+         CAST(COUNT(*) AS BIGINT) AS n_nodes,
+         CAST(SUM(d.dd) AS BIGINT) AS deg_sum
+  FROM labels l
+  JOIN (SELECT src, COUNT(*) AS dd FROM edges GROUP BY src) d
+    ON d.src = l.node
+  GROUP BY l.label
+) s
+LEFT JOIN (
+  SELECT la.label, CAST(COUNT(*) AS BIGINT) AS intra_dir
+  FROM edges e
+  JOIN labels la ON la.node = e.src
+  JOIN labels lb ON lb.node = e.dst
+  WHERE la.label = lb.label
+  GROUP BY la.label
+) i ON i.label = s.label
+CROSS JOIN m""",
+        *ctes,
+    )
+
+
+@register("graph_modularity_report", _modularity_oracle())
+def graph_modularity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """**Modularity report** (Newman 2004) for the LPA partition: per
+    community, node count, degree mass, intra-community edge count,
+    and the modularity contribution Q_c = e_c/2m − (d_c/2m)² over the
+    same symmetric click graph. ΣQ_c is the partition's modularity —
+    the standard "are these communities real structure or chance?"
+    score (Q near 0 = no better than random given the degrees), and
+    the quality gate you'd put behind ``graph_lpa_communities`` before
+    trusting its labels for per-community modeling. The LPA labels are
+    recomputed through the registered operator, so report and
+    partition cannot drift.
+
+    Plan: two labels⋈edges equi-joins (intra-edge mass) + one
+    labels⋈degrees join, all shuffling on node id, collapsing to
+    O(|communities|) rows; the directed-edge total is a 1-row scalar
+    broadcast. All masses are exact integers — cross-engine parity is
+    pure integer arithmetic until the final 6-dp division."""
+    from ..sources import clicks
+
+    # Labels first: LPA persists (and releases) its own copy of the
+    # edge relation — building ours afterwards avoids sharing a cache
+    # entry that LPA's exit would unpersist out from under us.
+    labels = graph_lpa_communities(spark, sf_dir)  # checkpointed, small
+    pairs = clicks(spark, sf_dir).select("user_id", "news_id").distinct()
+    edges = (
+        pairs.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        (F.col("user_id") * 2).alias("src"),
+                        (F.col("news_id") * 2 + 1).alias("dst"),
+                    ),
+                    F.struct(
+                        (F.col("news_id") * 2 + 1).alias("src"),
+                        (F.col("user_id") * 2).alias("dst"),
+                    ),
+                )
+            ).alias("e")
+        )
+        .select("e.src", "e.dst")
+        .persist()
+    )
+    if edges.limit(1).count() == 0:
+        edges.unpersist()
+        return spark.createDataFrame(
+            [],
+            "label long, n_nodes long, deg_sum long, intra_edges long,"
+            " q_contribution double",
+        )
+    deg = edges.groupBy("src").agg(F.count("*").alias("dd"))
+    sizes = (
+        labels.join(deg, labels.node == deg.src)
+        .groupBy("label")
+        .agg(
+            F.count("*").cast("long").alias("n_nodes"),
+            F.sum("dd").cast("long").alias("deg_sum"),
+        )
+    )
+    la = labels.select(F.col("node").alias("src"), F.col("label").alias("sl"))
+    lb = labels.select(F.col("node").alias("dst"), F.col("label").alias("dl"))
+    intra = (
+        edges.join(la, "src")
+        .join(lb, "dst")
+        .filter(F.col("sl") == F.col("dl"))
+        .groupBy(F.col("sl").alias("label"))
+        .agg(F.count("*").cast("long").alias("intra_dir"))
+    )
+    m = edges.agg(F.count("*").cast("long").alias("dir_edges"))
+    intra_dir = F.coalesce(F.col("intra_dir"), F.lit(0)).cast("long")
+    out = (
+        sizes.join(intra, "label", "left")
+        .crossJoin(F.broadcast(m))
+        .select(
+            "label",
+            "n_nodes",
+            "deg_sum",
+            (intra_dir / 2).cast("long").alias("intra_edges"),
+            F.round(
+                intra_dir.cast("double") / F.col("dir_edges")
+                - F.pow(
+                    F.col("deg_sum").cast("double") / F.col("dir_edges"), 2
+                ),
+                6,
+            ).alias("q_contribution"),
+        )
+    )
+    return checkpoint_result(out, edges)

@@ -373,3 +373,44 @@ def test_nprobe_recall_curve_monotone_and_consistent(spark):
         for qid, p in by_q.items()
     }
     assert curve_at_prod == point
+
+
+# ---------------------------------------------------- modularity
+
+def test_modularity_matches_python_recompute(spark):
+    """Recompute Q per community from collected edges + the registered
+    LPA labels; sum of contributions is the partition modularity and
+    must sit in [-0.5, 1]; node/degree masses must partition the
+    graph."""
+    from recommedation_system_under_flink_spark.sources import clicks
+
+    pairs = {
+        (r.user_id, r.news_id)
+        for r in clicks(spark, SF_DIR).select("user_id", "news_id").distinct().collect()
+    }
+    dir_edges = []
+    for u, n in pairs:
+        dir_edges += [(2 * u, 2 * n + 1), (2 * n + 1, 2 * u)]
+    labels = {r.node: r.label for r in _q("graph_lpa_communities")(spark, SF_DIR).collect()}
+    m = len(dir_edges)
+    intra, deg_sum, nodes = {}, {}, {}
+    for s, d in dir_edges:
+        deg_sum[labels[s]] = deg_sum.get(labels[s], 0) + 1
+        if labels[s] == labels[d]:
+            intra[labels[s]] = intra.get(labels[s], 0) + 1
+    for v, lab in labels.items():
+        nodes[lab] = nodes.get(lab, 0) + 1
+
+    rows = {r.label: r for r in _q("graph_modularity_report")(spark, SF_DIR).collect()}
+    assert set(rows) == set(nodes)
+    q_total = 0.0
+    for lab, r in rows.items():
+        assert r.n_nodes == nodes[lab]
+        assert r.deg_sum == deg_sum.get(lab, 0)
+        assert r.intra_edges == intra.get(lab, 0) // 2
+        want = intra.get(lab, 0) / m - (deg_sum.get(lab, 0) / m) ** 2
+        assert abs(r.q_contribution - want) < 1e-5, lab
+        q_total += r.q_contribution
+    assert -0.5 <= q_total <= 1.0
+    assert sum(r.n_nodes for r in rows.values()) == len(labels)
+    assert sum(r.deg_sum for r in rows.values()) == m
