@@ -654,3 +654,95 @@ def prof_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
     for r in rows[1:]:
         out = out.unionByName(r)
     return out
+
+
+# ---------------------------------------------- numeric correlation
+
+#: The lineitem numeric measures profiled pairwise.
+CORR_COLS = ("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+
+
+def _corr_oracle() -> str:
+    sums = ", ".join(
+        [f"CAST(COUNT(*) AS BIGINT) AS n"]
+        + [
+            f"SUM(CAST({c} AS DECIMAL(18,4))) AS s_{c}"
+            for c in CORR_COLS
+        ]
+        + [
+            # 19-wide left operand forces int128 decimal arithmetic in
+            # DuckDB (price x price products overflow the int64 path);
+            # Spark gets (38,8) for the same product, still exact.
+            f"SUM(CAST({a} AS DECIMAL(19,4)) * CAST({b} AS DECIMAL(18,4)))"
+            f" AS s_{a}_{b}"
+            for i, a in enumerate(CORR_COLS)
+            for b in CORR_COLS[i:]
+        ]
+    )
+    def corr(a: str, b: str) -> str:
+        n = "CAST(n AS DOUBLE)"
+        sa, sb = f"CAST(s_{a} AS DOUBLE)", f"CAST(s_{b} AS DOUBLE)"
+        sab = f"CAST(s_{a}_{b} AS DOUBLE)"
+        saa, sbb = f"CAST(s_{a}_{a} AS DOUBLE)", f"CAST(s_{b}_{b} AS DOUBLE)"
+        num = f"({n} * {sab} - {sa} * {sb})"
+        den = f"sqrt(({n} * {saa} - {sa} * {sa}) * ({n} * {sbb} - {sb} * {sb}))"
+        return f"ROUND({num} / NULLIF({den}, 0), 6)"
+    selects = "\nUNION ALL\n".join(
+        f"SELECT '{a}' AS col_a, '{b}' AS col_b, n, {corr(a, b)} AS corr"
+        f" FROM moments"
+        for i, a in enumerate(CORR_COLS)
+        for b in CORR_COLS[i + 1 :]
+    )
+    return f"WITH moments AS (SELECT {sums} FROM lineitem)\n{selects}"
+
+
+@register("prof_numeric_correlation", _corr_oracle())
+def prof_numeric_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """**Pairwise Pearson correlation** over the lineitem numeric
+    measures — the data-profiling step that flags redundant or derived
+    columns (a |corr| ≈ 1 pair is one column pretending to be two)
+    before feature selection or compression decisions.
+
+    Determinism: the six moment sums (Σx, Σxy) are computed in exact
+    DECIMAL(18,6) — bit-identical in any partitioning and any engine —
+    and only the final corr formula drops to DOUBLE on the identical
+    exact inputs, then rounds at 6 dp. One scan, one map-side-combinable
+    aggregate to a single moments row; the pair fan-out is a 6-row
+    driver-free explode. At 100 TB this is the cheapest full-table
+    profile shape there is."""
+    li = load_raw(spark, sf_dir, "lineitem")
+    wide = {c: F.col(c).cast("decimal(19,4)") for c in CORR_COLS}
+    dec = {c: F.col(c).cast("decimal(18,4)") for c in CORR_COLS}
+    aggs = [F.count("*").cast("long").alias("n")]
+    aggs += [F.sum(dec[c]).alias(f"s_{c}") for c in CORR_COLS]
+    aggs += [
+        F.sum(wide[a] * dec[b]).alias(f"s_{a}_{b}")
+        for i, a in enumerate(CORR_COLS)
+        for b in CORR_COLS[i:]
+    ]
+    moments = li.agg(*aggs)
+
+    def corr(a: str, b: str):
+        n = F.col("n").cast("double")
+        sa, sb = F.col(f"s_{a}").cast("double"), F.col(f"s_{b}").cast("double")
+        sab = F.col(f"s_{a}_{b}").cast("double")
+        saa = F.col(f"s_{a}_{a}").cast("double")
+        sbb = F.col(f"s_{b}_{b}").cast("double")
+        num = n * sab - sa * sb
+        den = F.sqrt((n * saa - sa * sa) * (n * sbb - sb * sb))
+        return F.round(num / F.nullif(den, F.lit(0.0)), 6)
+
+    pairs = F.array(
+        *[
+            F.struct(
+                F.lit(a).alias("col_a"),
+                F.lit(b).alias("col_b"),
+                corr(a, b).alias("corr"),
+            )
+            for i, a in enumerate(CORR_COLS)
+            for b in CORR_COLS[i + 1 :]
+        ]
+    )
+    return moments.select("n", F.explode(pairs).alias("p")).select(
+        "p.col_a", "p.col_b", "n", "p.corr"
+    )

@@ -414,3 +414,29 @@ def test_modularity_matches_python_recompute(spark):
     assert -0.5 <= q_total <= 1.0
     assert sum(r.n_nodes for r in rows.values()) == len(labels)
     assert sum(r.deg_sum for r in rows.values()) == m
+
+
+# ------------------------------------------------ numeric correlation
+
+def test_numeric_correlation_matches_numpy(spark):
+    """Recompute each Pearson pair with numpy over the 4-dp-quantized
+    columns (the operator's pinned DECIMAL(…,4) semantics) and compare
+    at the 6-dp output quantization; |corr| ≤ 1 everywhere."""
+    import numpy as np
+
+    from recommedation_system_under_flink_spark.operators.profiling import (
+        CORR_COLS,
+    )
+    from recommedation_system_under_flink_spark.sources.tables import load_raw
+
+    pdf = (
+        load_raw(spark, SF_DIR, "lineitem").select(*CORR_COLS).toPandas()
+    )
+    quant = {c: np.round(pdf[c].to_numpy(dtype=float), 4) for c in CORR_COLS}
+    rows = _q("prof_numeric_correlation")(spark, SF_DIR).collect()
+    assert len(rows) == len(CORR_COLS) * (len(CORR_COLS) - 1) // 2
+    for r in rows:
+        assert r.n == len(pdf)
+        want = np.corrcoef(quant[r.col_a], quant[r.col_b])[0, 1]
+        assert abs(r.corr - want) < 1e-5, (r.col_a, r.col_b)
+        assert -1.0 - 1e-9 <= r.corr <= 1.0 + 1e-9
