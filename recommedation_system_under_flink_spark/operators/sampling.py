@@ -650,12 +650,14 @@ def samp_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ------------------------------------------------- split leakage report
 
-def _split_case_sql() -> str:
-    """The split CASE expression shared with ``_SPLIT_ORACLE``."""
+def _split_case_sql(key: str = "doc_id") -> str:
+    """The split CASE expression shared with ``_SPLIT_ORACLE`` —
+    parameterized on the hashed key so the group-safe variant can
+    bucket by canonical cluster id instead of doc id."""
     return (
-        f"CASE WHEN (doc_id * {HASH_MULT}) % {HASH_MOD} % 10 < {TRAIN_BUCKETS}"
+        f"CASE WHEN ({key} * {HASH_MULT}) % {HASH_MOD} % 10 < {TRAIN_BUCKETS}"
         f" THEN 'train'"
-        f" WHEN (doc_id * {HASH_MULT}) % {HASH_MOD} % 10 <"
+        f" WHEN ({key} * {HASH_MULT}) % {HASH_MOD} % 10 <"
         f" {TRAIN_BUCKETS + VAL_BUCKETS} THEN 'val'"
         f" ELSE 'test' END"
     )
@@ -931,4 +933,48 @@ def samp_poisson_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("mean_chars"),
         )
         .filter(F.col("n_eff") > 0)
+    )
+
+
+# ------------------------------------------- group-safe split assignment
+
+def _group_safe_split_oracle() -> str:
+    from .dedup import _CANONICAL_ORACLE
+
+    return f"""WITH canon AS (
+{_CANONICAL_ORACLE}
+)
+SELECT doc_id, canonical_id, {_split_case_sql("canonical_id")} AS split
+FROM canon"""
+
+
+@register("samp_split_group_safe", _group_safe_split_oracle())
+def samp_split_group_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """**Group-safe train/val/test split**: every document is bucketed
+    by the pinned hash of its near-dup cluster's CANONICAL id, so an
+    entire near-dup cluster lands in one split — the constructive fix
+    for what ``samp_split_leakage`` detects (a near-dup of a test doc
+    sitting in train). By construction, every verified near-dup pair
+    has zero split leakage under this assignment, at the cost of
+    slightly lumpier split sizes (clusters move atomically); singletons
+    (canonical = own id) bucket exactly as ``samp_split_assign`` would.
+
+    Composition: the registered canonical verdict
+    (``dedup_neardup_canonical``) + the same pinned multiplicative
+    hash, applied to canonical_id. Scale: the canonical relation is
+    the already-analyzed dedup path; the split itself is a map-side
+    pure function — no extra shuffle at any corpus size."""
+    from .dedup import dedup_neardup_canonical
+
+    canon = dedup_neardup_canonical(spark, sf_dir).select(
+        "doc_id", "canonical_id"
+    )
+    bucket = split_hash("canonical_id") % 10
+    return canon.select(
+        "doc_id",
+        "canonical_id",
+        F.when(bucket < TRAIN_BUCKETS, F.lit("train"))
+        .when(bucket < TRAIN_BUCKETS + VAL_BUCKETS, F.lit("val"))
+        .otherwise(F.lit("test"))
+        .alias("split"),
     )

@@ -440,3 +440,34 @@ def test_numeric_correlation_matches_numpy(spark):
         want = np.corrcoef(quant[r.col_a], quant[r.col_b])[0, 1]
         assert abs(r.corr - want) < 1e-5, (r.col_a, r.col_b)
         assert -1.0 - 1e-9 <= r.corr <= 1.0 + 1e-9
+
+
+# ---------------------------------------------- group-safe split
+
+def test_group_safe_split_has_zero_neardup_leakage(spark):
+    """Every verified near-dup pair must land in ONE split under the
+    group-safe assignment (the constructive guarantee); singleton
+    clusters must match the plain doc_id split; split sizes must
+    cover the corpus exactly once."""
+    from recommedation_system_under_flink_spark.operators.dedup import (
+        dedup_minhash_lsh,
+    )
+
+    gs = {r.doc_id: r for r in _q("samp_split_group_safe")(spark, SF_DIR).collect()}
+    pairs = [
+        (r.doc_a, r.doc_b)
+        for r in dedup_minhash_lsh(spark, SF_DIR).select("doc_a", "doc_b").collect()
+    ]
+    assert pairs  # fixture has near-dups; vacuous otherwise
+    for a, b in pairs:
+        assert gs[a].split == gs[b].split, (a, b)
+        assert gs[a].canonical_id == gs[b].canonical_id
+
+    plain = {r.doc_id: r.split for r in _q("samp_split_assign")(spark, SF_DIR).collect()}
+    assert set(gs) == set(plain)
+    singles = [d for d, r in gs.items() if r.canonical_id == d]
+    assert singles
+    clustered = {d for d, r in gs.items() if r.canonical_id != d}
+    for d in singles:
+        if d not in {r.canonical_id for r in gs.values() if r.canonical_id != r.doc_id}:
+            assert gs[d].split == plain[d], d
