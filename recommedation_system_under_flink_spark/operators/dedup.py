@@ -1009,3 +1009,187 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
             (jac < JACCARD_THRESHOLD).alias("jaccard_missed"),
         )
     )
+
+
+# --------------------------------------------- LSH band-tuning curve
+
+#: The (bands, rows-per-band) operating points swept over the H=32
+#: signature; (MINHASH_BANDS, 2) is the production configuration.
+BAND_SWEEP = ((32, 1), (MINHASH_BANDS, MINHASH_H // MINHASH_BANDS), (8, 4))
+
+
+def _capture_at_threshold(bands: int, rpb: int) -> float:
+    """The S-curve capture probability 1−(1−t^r)^b at t = the verify
+    threshold, pinned to 6 dp as a shared literal so neither engine
+    computes a float pow at runtime."""
+    return round(1.0 - (1.0 - JACCARD_THRESHOLD**rpb) ** bands, 6)
+
+
+def _band_tuning_oracle() -> str:
+    per_cfg = []
+    selects = []
+    for bands, rpb in BAND_SWEEP:
+        band_selects = "\n    UNION ALL\n    ".join(
+            "SELECT doc_id, {b} AS band, md5({key}) AS bucket FROM sig".format(
+                b=b,
+                key=" || ',' || ".join(
+                    f"CAST(h{b * rpb + r} AS VARCHAR)" for r in range(rpb)
+                ),
+            )
+            for b in range(bands)
+        )
+        per_cfg.append(
+            f"""banded_{bands} AS (
+    {band_selects}
+), cand_{bands} AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM banded_{bands} a JOIN banded_{bands} b
+    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+)"""
+        )
+        per_cfg.append(
+            f"""counts_{bands} AS (
+  SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM cand_{bands}) AS n_candidates,
+         (SELECT CAST(COUNT(*) AS BIGINT) FROM cand_{bands} c
+          JOIN true_pairs t ON t.doc_a = c.doc_a AND t.doc_b = c.doc_b)
+           AS n_verified,
+         (SELECT CAST(COUNT(*) AS BIGINT) FROM true_pairs) AS n_true
+)"""
+        )
+        selects.append(
+            f"""SELECT CAST({bands} AS INTEGER) AS bands,
+       CAST({rpb} AS INTEGER) AS rows_per_band,
+       n_candidates, n_verified, n_true,
+       ROUND(CAST(n_verified AS DOUBLE) / NULLIF(n_true, 0), 6) AS recall,
+       ROUND(CAST(n_verified AS DOUBLE) / NULLIF(n_candidates, 0), 6)
+         AS precision,
+       CAST({_capture_at_threshold(bands, rpb)} AS DOUBLE)
+         AS capture_at_threshold
+FROM counts_{bands}"""
+        )
+    return (
+        f"""WITH {_SHINGLES_CTE},
+sigsrc AS (
+  SELECT doc_id, {_SHINGLE_X_SQL} AS xm FROM sh
+),
+sig AS (
+  SELECT doc_id,
+         """
+        + ",\n         ".join(
+            f"MIN(({_mh_a(i)} * xm + {_mh_b(i)}) % {_MH_P}) AS h{i}"
+            for i in range(MINHASH_H)
+        )
+        + f"""
+  FROM sigsrc GROUP BY doc_id
+), true_pairs AS (
+{_JACCARD_BODY}
+), """
+        + ",\n".join(per_cfg)
+        + "\n"
+        + "\nUNION ALL\n".join(selects)
+    )
+
+
+@register("dedup_band_tuning_curve", _band_tuning_oracle())
+def dedup_band_tuning_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """**LSH band-tuning curve**: candidate volume, verified true
+    pairs, recall, and precision of the MinHash index at each
+    (bands × rows-per-band) split of the H=32 signature, against the
+    exact shingle-Jaccard ground truth — the dedup twin of
+    ``sim_nprobe_recall_curve``, answering "how many bands does THIS
+    corpus need?" with data instead of the textbook S-curve (whose
+    pinned capture probability at the verify threshold is emitted
+    alongside for comparison). More bands → higher recall, more
+    candidates to verify; the curve prices that trade.
+
+    Plan: shingles and the 32-hash signatures are computed ONCE and
+    persisted; each operating point re-bands the tiny signature
+    relation (8·H bytes/doc), self-joins on (band, bucket), and
+    reduces to ONE audit row via scalar-aggregate combines. The exact
+    ground truth is the already-verified inverted-index Jaccard join —
+    at 100 TB you'd swap it for a held-out sample, keeping the curve
+    O(sample), while candidates stay LSH-bounded."""
+    docs = load_raw(spark, sf_dir, "documents")
+    sh = shingles(docs)
+    sig = minhash_signatures(sh).persist()
+    true_pairs = (
+        dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b").persist()
+    )
+    n_true = true_pairs.agg(
+        F.count("*").cast("long").alias("n_true")
+    )
+
+    slices, cands = [], []
+    for bands, rpb in BAND_SWEEP:
+        band_arr = F.array(
+            *[
+                F.struct(
+                    F.lit(b).alias("band"),
+                    F.md5(
+                        F.concat_ws(
+                            ",",
+                            *[
+                                F.col(f"h{b * rpb + r}").cast("string")
+                                for r in range(rpb)
+                            ],
+                        )
+                    ).alias("bucket"),
+                )
+                for b in range(bands)
+            ]
+        )
+        banded = sig.select("doc_id", F.explode(band_arr).alias("bb")).select(
+            "doc_id",
+            F.col("bb.band").alias("band"),
+            F.col("bb.bucket").alias("bucket"),
+        )
+        a, b = banded.alias("a"), banded.alias("b")
+        cand = (
+            a.join(
+                b,
+                (F.col("a.band") == F.col("b.band"))
+                & (F.col("a.bucket") == F.col("b.bucket"))
+                & (F.col("a.doc_id") < F.col("b.doc_id")),
+            )
+            .select(
+                F.col("a.doc_id").alias("doc_a"),
+                F.col("b.doc_id").alias("doc_b"),
+            )
+            .distinct()
+            .persist()
+        )
+        cands.append(cand)
+        n_cand = cand.agg(F.count("*").cast("long").alias("n_candidates"))
+        n_ver = cand.join(true_pairs, ["doc_a", "doc_b"]).agg(
+            F.count("*").cast("long").alias("n_verified")
+        )
+        slices.append(
+            n_cand.crossJoin(n_ver)
+            .crossJoin(n_true)
+            .select(
+                F.lit(bands).cast("int").alias("bands"),
+                F.lit(rpb).cast("int").alias("rows_per_band"),
+                "n_candidates",
+                "n_verified",
+                "n_true",
+                F.round(
+                    F.col("n_verified").cast("double")
+                    / F.nullif(F.col("n_true"), F.lit(0)),
+                    6,
+                ).alias("recall"),
+                F.round(
+                    F.col("n_verified").cast("double")
+                    / F.nullif(F.col("n_candidates"), F.lit(0)),
+                    6,
+                ).alias("precision"),
+                F.lit(_capture_at_threshold(bands, rpb))
+                .cast("double")
+                .alias("capture_at_threshold"),
+            )
+        )
+    out = slices[0]
+    for s in slices[1:]:
+        out = out.unionByName(s)
+    from .bsp import checkpoint_result
+
+    return checkpoint_result(out, sig, true_pairs, *cands)

@@ -471,3 +471,39 @@ def test_group_safe_split_has_zero_neardup_leakage(spark):
     for d in singles:
         if d not in {r.canonical_id for r in gs.values() if r.canonical_id != r.doc_id}:
             assert gs[d].split == plain[d], d
+
+
+# ------------------------------------------------ LSH band tuning
+
+def test_band_tuning_nested_candidates_and_prod_consistency(spark):
+    """Band boundaries nest (a 4-row band collision implies its two
+    2-row band collisions, which imply four 1-row collisions), so both
+    candidate and verified counts must be monotone non-increasing as
+    rows-per-band grows; the production (16, 2) point's verified count
+    must equal the registered LSH pair relation; the pinned S-curve
+    capture values must be monotone the same way."""
+    from recommedation_system_under_flink_spark.operators.dedup import (
+        BAND_SWEEP,
+        MINHASH_BANDS,
+        dedup_minhash_lsh,
+    )
+
+    rows = {
+        (r.bands, r.rows_per_band): r
+        for r in _q("dedup_band_tuning_curve")(spark, SF_DIR).collect()
+    }
+    assert set(rows) == set(BAND_SWEEP)
+    ordered = [rows[cfg] for cfg in sorted(BAND_SWEEP, key=lambda c: c[1])]
+    for a, b in zip(ordered, ordered[1:]):
+        assert a.n_candidates >= b.n_candidates
+        assert a.n_verified >= b.n_verified
+        assert a.capture_at_threshold >= b.capture_at_threshold
+    n_true = {r.n_true for r in rows.values()}
+    assert len(n_true) == 1
+    for r in rows.values():
+        assert 0 <= r.n_verified <= min(r.n_candidates, r.n_true)
+        if r.n_true:
+            assert abs(r.recall - r.n_verified / r.n_true) < 1e-6
+
+    prod = rows[(MINHASH_BANDS, 32 // MINHASH_BANDS)]
+    assert prod.n_verified == dedup_minhash_lsh(spark, SF_DIR).count()
