@@ -746,3 +746,100 @@ def prof_numeric_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return moments.select("n", F.explode(pairs).alias("p")).select(
         "p.col_a", "p.col_b", "n", "p.corr"
     )
+
+
+# ------------------------------------------------ column entropy profile
+
+#: Categorical document columns profiled for entropy.
+ENTROPY_COLS = ("lang", "source")
+
+
+@register(
+    "prof_column_entropy",
+    f"""WITH unpivoted AS (
+  {" UNION ALL ".join(f"SELECT 'documents.{c}' AS col, CAST({c} AS VARCHAR) AS val FROM documents" for c in ENTROPY_COLS)}
+  UNION ALL
+  SELECT 'events.event_type', CAST(event_type AS VARCHAR) FROM events
+), counts AS (
+  SELECT col, val, CAST(COUNT(*) AS BIGINT) AS c
+  FROM unpivoted GROUP BY col, val
+), totals AS (
+  SELECT col, CAST(SUM(c) AS BIGINT) AS n FROM counts GROUP BY col
+)
+SELECT c.col,
+       t.n,
+       CAST(COUNT(*) AS BIGINT) AS n_distinct,
+       ROUND(SUM(-(CAST(c.c AS DOUBLE) / t.n)
+                 * log2(CAST(c.c AS DOUBLE) / t.n)), 6) AS entropy_bits,
+       ROUND(log2(CAST(COUNT(*) AS DOUBLE)), 6) AS max_entropy_bits,
+       ROUND(SUM(-(CAST(c.c AS DOUBLE) / t.n)
+                 * log2(CAST(c.c AS DOUBLE) / t.n))
+             / NULLIF(log2(CAST(COUNT(*) AS DOUBLE)), 0), 6)
+         AS normalized_entropy
+FROM counts c JOIN totals t ON c.col = t.col
+GROUP BY c.col, t.n""",
+)
+def prof_column_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """**Shannon entropy profile** of the categorical columns: observed
+    bits, the log₂(distinct) ceiling, and their ratio — the
+    concentration signal that tells a pipeline which columns are worth
+    dictionary-encoding, which partition keys will skew (normalized
+    entropy ≪ 1 = a few heavy values), and which "category" columns
+    have degenerated to constants. The multimodal byte-entropy probe
+    (``mm_binary_stats``) is the per-payload analogue; this is the
+    per-COLUMN one.
+
+    Plan: the unpivot is a union of narrow single-column projections
+    (each scan prunes to one column), then one (col, val) count — all
+    map-side-combinable — and an O(distinct) per-column reduce. Entropy
+    terms are positive, so the cross-engine double sums agree far
+    inside the 6-dp quantization. At 100 TB the (col, val) aggregate is
+    the only data-sized shuffle; for truly high-cardinality columns
+    you'd swap in the Count-Min/HLL sketch path (``sk_*``)."""
+    from ..sources import events_raw
+
+    docs = load_raw(spark, sf_dir, "documents")
+    parts = [
+        docs.select(
+            F.lit(f"documents.{c}").alias("col"),
+            F.col(c).cast("string").alias("val"),
+        )
+        for c in ENTROPY_COLS
+    ] + [
+        events_raw(spark, sf_dir).select(
+            F.lit("events.event_type").alias("col"),
+            F.col("event_type").cast("string").alias("val"),
+        )
+    ]
+    unpivoted = parts[0]
+    for p in parts[1:]:
+        unpivoted = unpivoted.unionByName(p)
+    counts = unpivoted.groupBy("col", "val").agg(F.count("*").alias("c"))
+    # per-(col,val) share needs the col total: a col-partitioned window
+    # over the O(distinct)-row counts relation (NOT a self-join, which
+    # would re-execute the unpivot scan — Catalyst has no cross-subtree
+    # CSE; and not a global window — partitioning is by col)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("col")
+    withn = counts.withColumn("n", F.sum("c").over(w).cast("long"))
+    p_ = F.col("c").cast("double") / F.col("n")
+    ent = withn.groupBy("col").agg(
+        F.first("n").alias("n"),
+        F.count("*").cast("long").alias("n_distinct"),
+        F.sum(-p_ * F.log2(p_)).alias("h"),
+    )
+    return ent.select(
+        "col",
+        "n",
+        "n_distinct",
+        F.round("h", 6).alias("entropy_bits"),
+        F.round(F.log2(F.col("n_distinct").cast("double")), 6).alias(
+            "max_entropy_bits"
+        ),
+        F.round(
+            F.col("h")
+            / F.nullif(F.log2(F.col("n_distinct").cast("double")), F.lit(0.0)),
+            6,
+        ).alias("normalized_entropy"),
+    )

@@ -507,3 +507,38 @@ def test_band_tuning_nested_candidates_and_prod_consistency(spark):
 
     prod = rows[(MINHASH_BANDS, 32 // MINHASH_BANDS)]
     assert prod.n_verified == dedup_minhash_lsh(spark, SF_DIR).count()
+
+
+# ------------------------------------------------ column entropy
+
+def test_column_entropy_matches_scipy_style_recompute(spark):
+    """Recompute each column's Shannon entropy from collected value
+    counts; normalized entropy bounded by [0, 1]; a one-valued column
+    would give entropy 0 with NULL normalization (guard exercised via
+    the ceiling identity H ≤ log2(k))."""
+    import math
+    from collections import Counter
+
+    from recommedation_system_under_flink_spark.operators.profiling import (
+        ENTROPY_COLS,
+    )
+    from recommedation_system_under_flink_spark.sources import events_raw
+    from recommedation_system_under_flink_spark.sources.tables import load_raw
+
+    docs = load_raw(spark, SF_DIR, "documents").select(*ENTROPY_COLS).collect()
+    series = {f"documents.{c}": Counter(str(r[c]) for r in docs) for c in ENTROPY_COLS}
+    series["events.event_type"] = Counter(
+        r.event_type for r in events_raw(spark, SF_DIR).select("event_type").collect()
+    )
+
+    rows = {r.col: r for r in _q("prof_column_entropy")(spark, SF_DIR).collect()}
+    assert set(rows) == set(series)
+    for col, cnt in series.items():
+        r = rows[col]
+        n = sum(cnt.values())
+        want = -sum((c / n) * math.log2(c / n) for c in cnt.values())
+        assert r.n == n and r.n_distinct == len(cnt)
+        assert abs(r.entropy_bits - want) < 1e-5, col
+        assert r.entropy_bits <= r.max_entropy_bits + 1e-9
+        if r.normalized_entropy is not None:
+            assert 0.0 <= r.normalized_entropy <= 1.0 + 1e-9
