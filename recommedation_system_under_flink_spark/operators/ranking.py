@@ -374,3 +374,74 @@ def t5_policy_replay_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("replay_ctr"),
         )
     )
+
+
+# ----------------------------------------------- decayed popularity
+
+#: Per-day multiplicative decay and the global ranking depth.
+POP_DECAY = 0.9
+POP_TOP_N = 20
+
+
+@register(
+    "t6_decayed_popularity",
+    with_ctes(
+        f"""SELECT news_id, score, rank FROM (
+  SELECT news_id,
+         ROUND(raw, 6) AS score,
+         CAST(ROW_NUMBER() OVER (
+           ORDER BY ROUND(raw, 6) DESC, news_id ASC
+         ) AS INTEGER) AS rank
+  FROM scored
+) WHERE rank <= {POP_TOP_N}""",
+        CLICKS_CTE,
+        "daily AS (SELECT news_id, date, CAST(COUNT(*) AS BIGINT) AS n"
+        " FROM clicks GROUP BY 1, 2)",
+        "horizon AS (SELECT MAX(date) AS max_date FROM daily)",
+        f"""scored AS (
+  SELECT d.news_id,
+         SUM(d.n * POWER({POP_DECAY}, h.max_date - d.date)) AS raw
+  FROM daily d CROSS JOIN horizon h
+  GROUP BY d.news_id
+)""",
+    ),
+)
+def t6_decayed_popularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """**Time-decayed popularity top-N**: each click is worth
+    ``POP_DECAY^age_days`` at the corpus horizon, so yesterday's viral
+    item outranks last month's steady seller — the principled upgrade
+    of HotTopics' raw per-day counts (HotTopics.java:41-46 ranks one
+    day in isolation; this blends the whole history with recency
+    bias), and the zero-personalization baseline every recommender is
+    benchmarked against.
+
+    Plan: one (news, day) count — map-side combinable — then the decay
+    blend collapses it to O(|news|) scores; the horizon is a 1-row MAX
+    broadcast. The global top-N window runs on the pre-aggregated
+    O(|news|) relation (the safe single-partition class; at larger item
+    spaces swap in the quantized total-order TakeOrderedAndProject, cf.
+    ``graph_link_prediction_aa``). POWER on doubles: positive terms
+    only, 6-dp quantized before ranking — same float discipline as
+    ``ev_daily_ewma``."""
+    daily = (
+        clicks(spark, sf_dir)
+        .groupBy("news_id", "date")
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+    horizon = daily.agg(F.max("date").alias("max_date"))
+    scored = (
+        daily.crossJoin(F.broadcast(horizon))
+        .groupBy("news_id")
+        .agg(
+            F.sum(
+                F.col("n")
+                * F.pow(F.lit(POP_DECAY), F.datediff("max_date", "date"))
+            ).alias("raw")
+        )
+    )
+    w = Window.orderBy(F.desc("score"), F.asc("news_id"))
+    return (
+        scored.select("news_id", F.round("raw", 6).alias("score"))
+        .withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= POP_TOP_N)
+    )

@@ -70,6 +70,7 @@ EXPECTED_CARTESIAN = {
     "ev_value_psi": "1-row decile-edges scalar broadcast",
     "ev_growth_accounting": "1-row MAX(day) scalar broadcast bounding last-day churn",
     "graph_modularity_report": "1-row directed-edge-total scalar broadcast",
+    "t6_decayed_popularity": "1-row MAX(date) horizon scalar broadcast",
     "sk_bloom_prefilter": "1-row (n_build, n_bits_set, report) scalar combines",
     "samp_lang_mixture": "1-row corpus-total scalar broadcast into rates",
     "samp_dsir_weights": "1-row LM-totals scalar broadcast into per-token weights",

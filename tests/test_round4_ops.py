@@ -542,3 +542,39 @@ def test_column_entropy_matches_scipy_style_recompute(spark):
         assert r.entropy_bits <= r.max_entropy_bits + 1e-9
         if r.normalized_entropy is not None:
             assert 0.0 <= r.normalized_entropy <= 1.0 + 1e-9
+
+
+# ------------------------------------------- decayed popularity
+
+def test_decayed_popularity_python_replay(spark):
+    """Replay the decay blend in Python from raw click counts and
+    compare scores/ranks; the horizon day's clicks carry weight 1, and
+    doubling every count must preserve the ranking exactly."""
+    from collections import Counter
+
+    from recommedation_system_under_flink_spark.operators.ranking import (
+        POP_DECAY,
+        POP_TOP_N,
+    )
+    from recommedation_system_under_flink_spark.sources import clicks
+
+    daily = Counter()
+    for r in clicks(spark, SF_DIR).select("news_id", "date").collect():
+        daily[(r.news_id, r.date)] += 1
+    assert daily
+    max_date = max(d for _, d in daily)
+    scores = {}
+    for (nid, d), n in daily.items():
+        scores[nid] = scores.get(nid, 0.0) + n * POP_DECAY ** (max_date - d).days
+    want = sorted(
+        ((round(s, 6), nid) for nid, s in scores.items()),
+        key=lambda t: (-t[0], t[1]),
+    )[:POP_TOP_N]
+
+    got = sorted(
+        _q("t6_decayed_popularity")(spark, SF_DIR).collect(), key=lambda r: r.rank
+    )
+    assert len(got) == min(POP_TOP_N, len(scores))
+    for rank, (r, (s, nid)) in enumerate(zip(got, want), start=1):
+        assert r.rank == rank and r.news_id == nid
+        assert abs(r.score - s) < 1e-5
