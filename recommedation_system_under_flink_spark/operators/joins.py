@@ -572,3 +572,96 @@ def j6_rec_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("top10_share"),
         )
     )
+
+
+# ------------------------------------- extractor agreement (TF-IDF vs TextRank)
+
+def _extractor_agreement_oracle() -> str:
+    # joins imports before keywords in the registry load order, so pull
+    # in the module that registers P1 before reading its oracle (tfidf,
+    # which registers A8, is already a module-level import above).
+    from . import keywords  # noqa: F401
+    from ..registry import _REGISTRY
+
+    tr = _REGISTRY["p1_news_keywords_distributed"].oracle
+    tf = _REGISTRY["a8_news_keywords_topk"].oracle
+    return f"""WITH tr AS (
+{tr}
+), tf AS (
+{tf}
+), trc AS (
+  SELECT news_id, CAST(COUNT(*) AS BIGINT) AS n_textrank FROM tr GROUP BY news_id
+), tfc AS (
+  SELECT news_id, CAST(COUNT(*) AS BIGINT) AS n_tfidf FROM tf GROUP BY news_id
+), common AS (
+  SELECT a.news_id, CAST(COUNT(*) AS BIGINT) AS n_common
+  FROM tr a JOIN tf b ON a.news_id = b.news_id AND a.term = b.term
+  GROUP BY a.news_id
+)
+SELECT COALESCE(trc.news_id, tfc.news_id) AS news_id,
+       CAST(COALESCE(trc.n_textrank, 0) AS BIGINT) AS n_textrank,
+       CAST(COALESCE(tfc.n_tfidf, 0) AS BIGINT) AS n_tfidf,
+       CAST(COALESCE(c.n_common, 0) AS BIGINT) AS n_common,
+       ROUND(CAST(COALESCE(c.n_common, 0) AS DOUBLE)
+             / NULLIF(COALESCE(trc.n_textrank, 0) + COALESCE(tfc.n_tfidf, 0)
+                      - COALESCE(c.n_common, 0), 0), 6) AS jaccard
+FROM trc
+FULL OUTER JOIN tfc ON trc.news_id = tfc.news_id
+LEFT JOIN common c ON c.news_id = COALESCE(trc.news_id, tfc.news_id)"""
+
+
+@register("j7_extractor_agreement", _extractor_agreement_oracle())
+def j7_extractor_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """**Keyword-extractor agreement**: per document, the Jaccard
+    overlap between the TextRank keyword set (P1, the reference's
+    TextRank.java pipeline re-expressed distributed) and the TF-IDF
+    top-K set (A8, TF_IDF.java:206-221) — the reference ships BOTH
+    extractors but never says when they disagree; this relation is
+    that answer. Low-agreement docs are where extractor choice changes
+    the downstream recommendations (both feed J3 scoring), so this is
+    the triage list before swapping one for the other. Both component
+    oracles are embedded verbatim (the ``dedup_method_agreement``
+    pattern), so the audit tracks the registered operators exactly.
+
+    Plan: two already-verified keyword relations (each O(docs·K)),
+    per-doc counts, one (news_id, term) equi-join for the
+    intersection, a day-window-bounded doc-spine outer join. Cost is
+    the component pipelines; the agreement layer is O(docs·K) with no
+    new corpus-sized shuffle."""
+    from .keywords import p1_news_keywords_distributed
+    from .tfidf import a8_news_keywords_topk
+
+    tr = p1_news_keywords_distributed(spark, sf_dir).select("news_id", "term")
+    tf = a8_news_keywords_topk(spark, sf_dir).select("news_id", "term")
+    trc = tr.groupBy("news_id").agg(
+        F.count("*").cast("long").alias("n_textrank")
+    )
+    tfc = tf.groupBy("news_id").agg(F.count("*").cast("long").alias("n_tfidf"))
+    common = (
+        tr.join(tf, ["news_id", "term"])
+        .groupBy("news_id")
+        .agg(F.count("*").cast("long").alias("n_common"))
+    )
+    n = lambda col: F.coalesce(F.col(col), F.lit(0)).cast("long")  # noqa: E731
+    a, b = trc.alias("a"), tfc.alias("b")
+    joined = (
+        a.join(b, F.col("a.news_id") == F.col("b.news_id"), "full_outer")
+        .select(
+            F.coalesce(F.col("a.news_id"), F.col("b.news_id")).alias("news_id"),
+            n("a.n_textrank").alias("n_textrank"),
+            n("b.n_tfidf").alias("n_tfidf"),
+        )
+        .join(common, "news_id", "left")
+    )
+    denom = (
+        F.col("n_textrank") + F.col("n_tfidf") - n("n_common")
+    )
+    return joined.select(
+        "news_id",
+        "n_textrank",
+        "n_tfidf",
+        n("n_common").alias("n_common"),
+        F.round(
+            n("n_common").cast("double") / F.nullif(denom, F.lit(0)), 6
+        ).alias("jaccard"),
+    )

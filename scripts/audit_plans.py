@@ -49,6 +49,7 @@ EXPECTED_CARTESIAN = {
     "j1_user_docs_semijoin": "inherits a5's 1-row scalar broadcast",
     "j3_scored_join": "inherits a5's 1-row scalar broadcast",
     "hybrid_rrf_recommend": "inherits a5's 1-row scalar broadcast (via j3)",
+    "j7_extractor_agreement": "inherits a5's 1-row scalar broadcast (via a8)",
     "ts_unigram_logprob": "1-row corpus-total scalar broadcast",
     "ts_bigram_lm_perplexity": "1-row corpus-total scalar broadcast",
     "ts_term_drift": "1-row old/new totals scalar broadcast",

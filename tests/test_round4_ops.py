@@ -578,3 +578,29 @@ def test_decayed_popularity_python_replay(spark):
     for rank, (r, (s, nid)) in enumerate(zip(got, want), start=1):
         assert r.rank == rank and r.news_id == nid
         assert abs(r.score - s) < 1e-5
+
+
+# ------------------------------------------- extractor agreement
+
+def test_extractor_agreement_matches_collected_sets(spark):
+    """Recompute per-doc Jaccard from the two collected keyword
+    relations; spine covers exactly the union of doc ids; n_common
+    bounded by both set sizes."""
+    tr_rows = _q("p1_news_keywords_distributed")(spark, SF_DIR).collect()
+    tf_rows = _q("a8_news_keywords_topk")(spark, SF_DIR).collect()
+    tr, tf = {}, {}
+    for r in tr_rows:
+        tr.setdefault(r.news_id, set()).add(r.term)
+    for r in tf_rows:
+        tf.setdefault(r.news_id, set()).add(r.term)
+
+    rows = {r.news_id: r for r in _q("j7_extractor_agreement")(spark, SF_DIR).collect()}
+    assert set(rows) == set(tr) | set(tf)
+    for nid, r in rows.items():
+        a, b = tr.get(nid, set()), tf.get(nid, set())
+        inter = len(a & b)
+        assert (r.n_textrank, r.n_tfidf, r.n_common) == (len(a), len(b), inter)
+        union = len(a | b)
+        if union:
+            assert abs(r.jaccard - inter / union) < 1e-6, nid
+        assert r.n_common <= min(r.n_textrank, r.n_tfidf)
