@@ -1250,3 +1250,121 @@ def s23_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5("text").alias("text_md5"),
         F.col("n_chars").cast("long").alias("n_chars"),
     )
+
+
+# ----------------------------------- S24: malformed-record CSV ingest
+
+#: Every doc whose pinned hash lands in this bucket gets its numeric
+#: field replaced by a non-numeric token in the written CSV.
+_S24_CORRUPT_BUCKET = 0
+
+
+def _s24_corrupt_pred_sql() -> str:
+    from .sampling import HASH_MOD, HASH_MULT
+
+    return f"(doc_id * {HASH_MULT}) % {HASH_MOD} % 10 = {_S24_CORRUPT_BUCKET}"
+
+
+@register(
+    "s24_malformed_csv_ingest",
+    f"""SELECT CAST(COUNT(*) AS BIGINT) AS n_total,
+       CAST(SUM(CASE WHEN {_s24_corrupt_pred_sql()} THEN 0 ELSE 1 END)
+            AS BIGINT) AS n_good,
+       CAST(SUM(CASE WHEN {_s24_corrupt_pred_sql()} THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_corrupt,
+       CAST(SUM(CASE WHEN {_s24_corrupt_pred_sql()} THEN 0 ELSE 1 END)
+            AS BIGINT) AS n_after_drop,
+       CAST(SUM(CASE WHEN {_s24_corrupt_pred_sql()} THEN 0 ELSE n_chars END)
+            AS BIGINT) AS sum_good_chars,
+       ROUND(CAST(SUM(CASE WHEN {_s24_corrupt_pred_sql()} THEN 1 ELSE 0 END)
+                  AS DOUBLE) / COUNT(*), 6) AS corrupt_rate
+FROM documents""",
+)
+def s24_malformed_csv_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """**Malformed-record CSV ingest audit**: a deterministic 10% of
+    document rows are written with a non-numeric token in the BIGINT
+    column, then the file is read back under both CSV failure modes —
+    PERMISSIVE (row kept, fields nulled, raw line captured in
+    ``_corrupt_record``) and DROPMALFORMED (row silently gone) — and
+    the counts are reconciled in one audit row. This is the ingest
+    contract every external feed needs pinned down: how many rows
+    arrived, how many parsed, what the quarantine rate is, and that
+    the two modes agree (good = total − corrupt = after-drop). The
+    corruption rule is a pure function of doc_id (the pinned split
+    hash), so the DuckDB oracle predicts every count from the clean
+    fixture without reading any CSV.
+
+    Plan: one narrow projection serializes the CSV lines (corruption
+    injected engine-side via the hash predicate — no Python row loop),
+    two schema'd reads, each collapsing to O(1) audit state. PERMISSIVE
+    aggregates are computed off a cached read: Spark disallows queries
+    whose only materialized CSV column is the internal corrupt-record
+    column, and caching is the documented contract for corrupt-record
+    inspection. At 100 TB this is the standard quarantine pattern:
+    badRecordsPath / corrupt-column capture, with the audit row as the
+    feed's health metric."""
+    from .sampling import split_hash
+
+    docs = load_raw(spark, sf_dir, "documents").select(
+        "doc_id", "n_chars", "lang"
+    )
+    corrupt = (split_hash("doc_id") % 10) == F.lit(_S24_CORRUPT_BUCKET)
+    lines = docs.select(
+        F.concat_ws(
+            ",",
+            F.col("doc_id").cast("string"),
+            F.when(corrupt, F.lit("CORRUPT")).otherwise(
+                F.col("n_chars").cast("string")
+            ),
+            F.col("lang"),
+        ).alias("value")
+    )
+    out = os.path.join(tempfile.gettempdir(), "spark_graft_s24_csv")
+    lines.write.mode("overwrite").text(out)
+
+    schema = "doc_id long, n_chars long, lang string, _corrupt_record string"
+    permissive = (
+        spark.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .csv(out)
+        .cache()
+    )
+    perm_stats = permissive.agg(
+        F.count("*").cast("long").alias("n_total"),
+        F.sum(F.when(F.col("_corrupt_record").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_good"),
+        F.sum(F.when(F.col("_corrupt_record").isNotNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_corrupt"),
+        F.sum(
+            F.when(F.col("_corrupt_record").isNull(), F.col("n_chars")).otherwise(
+                0
+            )
+        )
+        .cast("long")
+        .alias("sum_good_chars"),
+    )
+    # COUNT the parsed numeric column, not COUNT(*): under column
+    # pruning a COUNT(*) reads no fields, so the malformed value is
+    # never parsed and DROPMALFORMED drops nothing — the audit must
+    # force the column that carries the corruption through the parser.
+    dropped = (
+        spark.read.schema("doc_id long, n_chars long, lang string")
+        .option("mode", "DROPMALFORMED")
+        .csv(out)
+        .agg(F.count("n_chars").cast("long").alias("n_after_drop"))
+    )
+    return perm_stats.crossJoin(F.broadcast(dropped)).select(
+        "n_total",
+        "n_good",
+        "n_corrupt",
+        "n_after_drop",
+        "sum_good_chars",
+        F.round(
+            F.col("n_corrupt").cast("double")
+            / F.nullif(F.col("n_total"), F.lit(0)),
+            6,
+        ).alias("corrupt_rate"),
+    )

@@ -73,6 +73,7 @@ EXPECTED_CARTESIAN = {
     "graph_modularity_report": "1-row directed-edge-total scalar broadcast",
     "t6_decayed_popularity": "1-row MAX(date) horizon scalar broadcast",
     "sk_bloom_prefilter": "1-row (n_build, n_bits_set, report) scalar combines",
+    "s24_malformed_csv_ingest": "two 1-row ingest-mode aggregates scalar-combined",
     "samp_lang_mixture": "1-row corpus-total scalar broadcast into rates",
     "samp_dsir_weights": "1-row LM-totals scalar broadcast into per-token weights",
     "samp_dsir_auc": "inherits samp_dsir_weights' 1-row totals broadcast",

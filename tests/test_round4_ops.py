@@ -604,3 +604,28 @@ def test_extractor_agreement_matches_collected_sets(spark):
         if union:
             assert abs(r.jaccard - inter / union) < 1e-6, nid
         assert r.n_common <= min(r.n_textrank, r.n_tfidf)
+
+
+# ------------------------------------------- malformed CSV ingest
+
+def test_malformed_csv_modes_reconcile(spark):
+    """The two CSV failure modes must agree: good = total − corrupt =
+    after-drop; the corrupt fraction matches the pinned 10% hash
+    bucket; good-row payload survives parsing (sum over the clean
+    fixture minus the corrupted docs)."""
+    from recommedation_system_under_flink_spark.operators.sampling import (
+        HASH_MOD,
+        HASH_MULT,
+    )
+    from recommedation_system_under_flink_spark.sources.tables import load_raw
+
+    r = _q("s24_malformed_csv_ingest")(spark, SF_DIR).first()
+    assert r.n_total == r.n_good + r.n_corrupt
+    assert r.n_after_drop == r.n_good
+    docs = load_raw(spark, SF_DIR, "documents").select("doc_id", "n_chars").collect()
+    corrupt = {d.doc_id for d in docs if (d.doc_id * HASH_MULT) % HASH_MOD % 10 == 0}
+    assert r.n_total == len(docs)
+    assert r.n_corrupt == len(corrupt)
+    assert r.sum_good_chars == sum(
+        d.n_chars for d in docs if d.doc_id not in corrupt
+    )
