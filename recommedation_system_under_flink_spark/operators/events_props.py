@@ -1239,3 +1239,103 @@ def ev_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("quick_ratio"),
     )
+
+
+# ------------------------------------------------ robust MAD anomaly
+
+#: Iglewicz–Hoaglin modified z-score: 0.6745·(x−med)/MAD, flag > 3.5.
+MAD_Z_SCALE = 0.6745
+MAD_Z_CUTOFF = 3.5
+
+
+@register(
+    "ev_mad_anomaly",
+    f"""WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2
+), med AS (
+  SELECT event_type, n AS median_n FROM (
+    SELECT event_type, n,
+           ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY n, day) AS rn,
+           COUNT(*) OVER (PARTITION BY event_type) AS cnt
+    FROM daily
+  ) WHERE rn = (cnt + 1) // 2
+), dev AS (
+  SELECT d.event_type, d.day, d.n, m.median_n,
+         ABS(d.n - m.median_n) AS adev
+  FROM daily d JOIN med m ON d.event_type = m.event_type
+), mad AS (
+  SELECT event_type, adev AS mad_n FROM (
+    SELECT event_type, adev,
+           ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY adev, day) AS rn,
+           COUNT(*) OVER (PARTITION BY event_type) AS cnt
+    FROM dev
+  ) WHERE rn = (cnt + 1) // 2
+)
+SELECT d.event_type, d.day, d.n,
+       d.median_n, a.mad_n,
+       ROUND({MAD_Z_SCALE} * (d.n - d.median_n)
+             / NULLIF(CAST(a.mad_n AS DOUBLE), 0), 6) AS robust_z,
+       COALESCE(ABS({MAD_Z_SCALE} * (d.n - d.median_n)
+                    / NULLIF(CAST(a.mad_n AS DOUBLE), 0))
+                > {MAD_Z_CUTOFF}, FALSE) AS anomaly
+FROM dev d JOIN mad a ON d.event_type = a.event_type""",
+)
+def ev_mad_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """**Robust anomaly flags** on the daily series via median / MAD
+    (Iglewicz–Hoaglin modified z-score): the mean/std twin
+    (``ev_daily_anomaly``) lets one spike inflate σ and mask its
+    neighbors; median and MAD have a 50% breakdown point, so the
+    baseline ignores the outliers it is hunting. Selection is the
+    TYPE-1 lower median — rank the values and take position
+    ``(n+1)//2`` with day as the deterministic tie-break — the same
+    exact-selection convention as the ECDF quantile cuts
+    (``ev_user_rfm_scalable``): no interpolation, both engines pick
+    the identical integer, so med/MAD are exact and the only float is
+    the final scaled ratio. MAD = 0 (a constant series) yields NULL z
+    and a FALSE flag.
+
+    Plan: one map-side (type, day) count, then all windows partition by
+    event_type over the O(days)-per-type daily matrix — the same
+    bounded-relation discipline as EWMA/CUSUM; nothing global, nothing
+    data-sized past the first aggregate."""
+    from ..sources.tables import ts_date
+    from pyspark.sql import Window
+
+    daily = (
+        events_raw(spark, sf_dir)
+        .groupBy("event_type", ts_date("ts").alias("day"))
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+
+    def type1_median(df: DataFrame, val: str, out: str) -> DataFrame:
+        w = Window.partitionBy("event_type").orderBy(val, "day")
+        cw = Window.partitionBy("event_type")
+        return (
+            df.select(
+                "event_type",
+                F.col(val),
+                F.row_number().over(w).alias("rn"),
+                F.count("*").over(cw).alias("cnt"),
+            )
+            .filter(F.col("rn") == F.floor((F.col("cnt") + 1) / 2))
+            .select("event_type", F.col(val).alias(out))
+        )
+
+    med = type1_median(daily, "n", "median_n")
+    dev = daily.join(med, "event_type").withColumn(
+        "adev", F.abs(F.col("n") - F.col("median_n"))
+    )
+    mad = type1_median(dev, "adev", "mad_n")
+    rz = F.lit(MAD_Z_SCALE) * (F.col("n") - F.col("median_n")) / F.nullif(
+        F.col("mad_n").cast("double"), F.lit(0.0)
+    )
+    return dev.join(mad, "event_type").select(
+        "event_type",
+        "day",
+        "n",
+        "median_n",
+        "mad_n",
+        F.round(rz, 6).alias("robust_z"),
+        F.coalesce(F.abs(rz) > MAD_Z_CUTOFF, F.lit(False)).alias("anomaly"),
+    )

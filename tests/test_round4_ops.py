@@ -629,3 +629,37 @@ def test_malformed_csv_modes_reconcile(spark):
     assert r.sum_good_chars == sum(
         d.n_chars for d in docs if d.doc_id not in corrupt
     )
+
+
+# ---------------------------------------------------- MAD anomaly
+
+def test_mad_anomaly_matches_statistics_recompute(spark):
+    """Recompute the type-1 lower median, MAD, and modified z in
+    Python per event type; flags must follow the 3.5 cutoff; MAD has a
+    50% breakdown so med/MAD must be integers from the series."""
+    from recommedation_system_under_flink_spark.operators.events_props import (
+        MAD_Z_CUTOFF,
+        MAD_Z_SCALE,
+    )
+
+    rows = _q("ev_mad_anomaly")(spark, SF_DIR).collect()
+    assert rows
+    series = {}
+    for r in sorted(rows, key=lambda r: (r.event_type, r.day)):
+        series.setdefault(r.event_type, []).append(r)
+
+    def lower_median(vals):
+        return sorted(vals)[(len(vals) + 1) // 2 - 1]
+
+    for et, rs in series.items():
+        ns = [r.n for r in rs]
+        med = lower_median(ns)
+        mad = lower_median([abs(n - med) for n in ns])
+        for r in rs:
+            assert r.median_n == med and r.mad_n == mad, et
+            if mad == 0:
+                assert r.robust_z is None and not r.anomaly
+            else:
+                want = MAD_Z_SCALE * (r.n - med) / mad
+                assert abs(r.robust_z - want) < 1e-5
+                assert r.anomaly == (abs(want) > MAD_Z_CUTOFF)
