@@ -600,3 +600,59 @@ def stream_user_totals_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return _run_to_memory(totals, "update")
+
+
+# ------------------------------------------- streaming decayed popularity
+
+def _stream_decay_oracle() -> str:
+    # ranking registers t6 before the streaming modules load in the
+    # registry order, but guard the direct-import path too.
+    from ..operators import ranking  # noqa: F401
+    from ..registry import _REGISTRY
+
+    return _REGISTRY["t6_decayed_popularity"].oracle
+
+
+@register("stream_decayed_popularity", _stream_decay_oracle())
+def stream_decayed_popularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """**Streaming→batch decayed popularity**: the live half is the
+    1-day tumbling click count (the ``stream_hot_topics_daily``
+    aggregation); once the bounded replay settles, the decay blend and
+    global top-N run as a BATCH ranking over the settled O(news·days)
+    relation — the lambda-architecture seam (stream maintains the
+    daily matrix incrementally; the ranking is a cheap batch pass any
+    scheduler re-runs per serving refresh). Shares
+    ``t6_decayed_popularity``'s oracle verbatim: the settled stream
+    must produce bit-identical rankings to the pure-batch path.
+
+    Scale: streaming state is one count per (window, news) bounded by
+    the watermark horizon; the post-settlement ranking touches only the
+    aggregated matrix — same cost law as T6."""
+    from ..operators.ranking import POP_DECAY, POP_TOP_N
+    from pyspark.sql import Window
+
+    clicks = stream_clicks(spark, sf_dir)
+    agg = (
+        clicks.withWatermark("event_time", "1 day")
+        .groupBy(F.window("event_time", "1 day").alias("win"), F.col("news_id"))
+        .agg(F.count("*").cast("long").alias("n"))
+        .select(F.col("win.start").cast("date").alias("date"), "news_id", "n")
+    )
+    daily = _run_to_memory(agg, "complete")
+    horizon = daily.agg(F.max("date").alias("max_date"))
+    scored = (
+        daily.crossJoin(F.broadcast(horizon))
+        .groupBy("news_id")
+        .agg(
+            F.sum(
+                F.col("n")
+                * F.pow(F.lit(POP_DECAY), F.datediff("max_date", "date"))
+            ).alias("raw")
+        )
+    )
+    w = Window.orderBy(F.desc("score"), F.asc("news_id"))
+    return (
+        scored.select("news_id", F.round("raw", 6).alias("score"))
+        .withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= POP_TOP_N)
+    )

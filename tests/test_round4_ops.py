@@ -663,3 +663,25 @@ def test_mad_anomaly_matches_statistics_recompute(spark):
                 want = MAD_Z_SCALE * (r.n - med) / mad
                 assert abs(r.robust_z - want) < 1e-5
                 assert r.anomaly == (abs(want) > MAD_Z_CUTOFF)
+
+
+# --------------------------------------- streaming decayed popularity
+
+def test_stream_decayed_popularity_equals_batch(spark):
+    """The settled streaming path must produce the exact batch T6
+    ranking — same rows, same order, same 6-dp scores."""
+    batch = [
+        (r.news_id, r.score, r.rank)
+        for r in sorted(
+            _q("t6_decayed_popularity")(spark, SF_DIR).collect(),
+            key=lambda r: r.rank,
+        )
+    ]
+    stream = [
+        (r.news_id, r.score, r.rank)
+        for r in sorted(
+            _q("stream_decayed_popularity")(spark, SF_DIR).collect(),
+            key=lambda r: r.rank,
+        )
+    ]
+    assert stream == batch and batch
