@@ -1193,3 +1193,64 @@ def dedup_band_tuning_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .bsp import checkpoint_result
 
     return checkpoint_result(out, sig, true_pairs, *cands)
+
+
+# ------------------------------------------------- n-gram novelty
+
+@register(
+    "dedup_ngram_novelty",
+    f"""WITH {_SHINGLES_CTE},
+firsts AS (
+  SELECT shingle, MIN(doc_id) AS first_doc FROM sh GROUP BY shingle
+)
+SELECT s.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_shingles,
+       CAST(SUM(CASE WHEN f.first_doc = s.doc_id THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_novel,
+       ROUND(CAST(SUM(CASE WHEN f.first_doc = s.doc_id THEN 1 ELSE 0 END)
+                  AS DOUBLE) / COUNT(*), 6) AS novelty
+FROM sh s JOIN firsts f ON f.shingle = s.shingle
+GROUP BY s.doc_id""",
+)
+def dedup_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """**Marginal n-gram novelty** per document: the fraction of a
+    doc's distinct shingles whose FIRST corpus occurrence (smallest
+    doc_id — the deterministic stand-in for ingest order) is this doc.
+    This is the diminishing-returns curve of adding more data, per
+    row: novelty ≈ 1 is fresh content, novelty ≈ 0 is a re-hash of
+    what the corpus already holds — the doc-level complement of the
+    corpus-level effective-token budget (``dedup_effective_tokens``),
+    and a rank key for "which docs actually grow the training set".
+    Docs shorter than the shingle width have no shingles and are
+    absent by construction (both engines).
+
+    Plan: the same shingle-keyed shuffle as the inverted-index Jaccard
+    join — one MIN per shingle, one join back on shingle, one per-doc
+    aggregate; all map-side combinable, no pair explosion anywhere. At
+    100 TB first-occurrence is computed per ingest batch against a
+    Bloom/exact shingle ledger (``dedup_incremental_exact`` pattern);
+    the batch form here is the ledger bootstrap."""
+    docs = load_raw(spark, sf_dir, "documents")
+    sh = shingles(docs)
+    firsts = sh.groupBy("shingle").agg(F.min("doc_id").alias("first_doc"))
+    return (
+        sh.join(firsts, "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_shingles"),
+            F.sum(
+                F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_novel"),
+            F.round(
+                F.sum(
+                    F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(
+                        0
+                    )
+                ).cast("double")
+                / F.count("*"),
+                6,
+            ).alias("novelty"),
+        )
+    )

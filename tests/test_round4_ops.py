@@ -685,3 +685,26 @@ def test_stream_decayed_popularity_equals_batch(spark):
         )
     ]
     assert stream == batch and batch
+
+
+# --------------------------------------------------- n-gram novelty
+
+def test_ngram_novelty_conservation_and_first_doc(spark):
+    """Novel shingles partition the corpus vocabulary: Σ n_novel =
+    |distinct shingles|; the smallest doc with any shingles has
+    novelty exactly 1; every ratio matches its counts."""
+    from recommedation_system_under_flink_spark.operators.dedup import (
+        shingles,
+    )
+    from recommedation_system_under_flink_spark.sources.tables import load_raw
+
+    rows = _q("dedup_ngram_novelty")(spark, SF_DIR).collect()
+    assert rows
+    sh = shingles(load_raw(spark, SF_DIR, "documents"))
+    vocab = sh.select("shingle").distinct().count()
+    assert sum(r.n_novel for r in rows) == vocab
+    first = min(rows, key=lambda r: r.doc_id)
+    assert first.n_novel == first.n_shingles and first.novelty == 1.0
+    for r in rows:
+        assert 0 <= r.n_novel <= r.n_shingles
+        assert abs(r.novelty - r.n_novel / r.n_shingles) < 1e-6
