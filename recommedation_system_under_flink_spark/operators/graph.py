@@ -1097,3 +1097,95 @@ def graph_modularity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return checkpoint_result(out, edges)
+
+
+# ------------------------------------------------ degree distribution
+
+def _degree_hist_oracle() -> str:
+    return with_ctes(
+        """SELECT side, bucket, lo, hi, n_nodes,
+       ROUND(CAST(n_nodes AS DOUBLE) / SUM(n_nodes) OVER (PARTITION BY side), 6)
+         AS share
+FROM (
+  SELECT side,
+         CAST(LENGTH(bin(d)) - 1 AS INTEGER) AS bucket,
+         CAST(POWER(2, LENGTH(bin(d)) - 1) AS BIGINT) AS lo,
+         CAST(POWER(2, LENGTH(bin(d))) - 1 AS BIGINT) AS hi,
+         CAST(COUNT(*) AS BIGINT) AS n_nodes
+  FROM deg GROUP BY 1, 2, 3, 4
+)""",
+        CLICKS_CTE,
+        "pairs AS (SELECT DISTINCT user_id, news_id FROM clicks)",
+        """edges AS (
+  SELECT user_id * 2 AS src, news_id * 2 + 1 AS dst FROM pairs
+  UNION ALL
+  SELECT news_id * 2 + 1, user_id * 2 FROM pairs
+)""",
+        """deg AS (
+  SELECT src,
+         CASE WHEN src % 2 = 0 THEN 'user' ELSE 'news' END AS side,
+         CAST(COUNT(*) AS BIGINT) AS d
+  FROM edges GROUP BY 1, 2
+)""",
+    )
+
+
+@register("graph_degree_histogram", _degree_hist_oracle())
+def graph_degree_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """**Log₂-binned degree distribution** per side of the click
+    bipartite graph — the profile read BEFORE choosing graph
+    algorithms: a heavy tail on the news side says salt the item joins
+    (``ev_key_skew_report``'s graph twin), the user-side mass says how
+    BSP rounds will balance, and bucket counts size every
+    neighborhood-join's fan-out. Bucketing is by BINARY LENGTH
+    (``length(bin(d)) − 1``), not ``floor(log2(d))`` — float log2 at
+    exact powers of two is a last-ulp landmine neither engine needs to
+    step on; bit length is exact integer arithmetic in both.
+
+    Plan: one distinct + one degree count (the PageRank preamble), a
+    GROUP BY over O(|nodes|) degree rows, a side-partitioned window
+    over O(buckets) rows for shares. Nothing data-sized after the
+    degree aggregate."""
+    from ..sources import clicks
+    from pyspark.sql import Window
+
+    pairs = clicks(spark, sf_dir).select("user_id", "news_id").distinct()
+    edges = pairs.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    (F.col("user_id") * 2).alias("src"),
+                    (F.col("news_id") * 2 + 1).alias("dst"),
+                ),
+                F.struct(
+                    (F.col("news_id") * 2 + 1).alias("src"),
+                    (F.col("user_id") * 2).alias("dst"),
+                ),
+            )
+        ).alias("e")
+    ).select("e.src", "e.dst")
+    deg = edges.groupBy("src").agg(F.count("*").cast("long").alias("d"))
+    blen = F.length(F.bin(F.col("d")))
+    hist = (
+        deg.select(
+            F.when(F.col("src") % 2 == 0, F.lit("user"))
+            .otherwise(F.lit("news"))
+            .alias("side"),
+            (blen - 1).cast("int").alias("bucket"),
+            F.pow(F.lit(2.0), (blen - 1).cast("double")).cast("long").alias("lo"),
+            (F.pow(F.lit(2.0), blen.cast("double")) - 1).cast("long").alias("hi"),
+        )
+        .groupBy("side", "bucket", "lo", "hi")
+        .agg(F.count("*").cast("long").alias("n_nodes"))
+    )
+    w = Window.partitionBy("side")
+    return hist.select(
+        "side",
+        "bucket",
+        "lo",
+        "hi",
+        "n_nodes",
+        F.round(
+            F.col("n_nodes").cast("double") / F.sum("n_nodes").over(w), 6
+        ).alias("share"),
+    )

@@ -708,3 +708,37 @@ def test_ngram_novelty_conservation_and_first_doc(spark):
     for r in rows:
         assert 0 <= r.n_novel <= r.n_shingles
         assert abs(r.novelty - r.n_novel / r.n_shingles) < 1e-6
+
+
+# ------------------------------------------- degree distribution
+
+def test_degree_histogram_matches_python_degrees(spark):
+    """Recompute degrees and bit-length buckets in Python; shares sum
+    to 1 per side; bucket bounds are [2^b, 2^(b+1)−1] and every node
+    is counted exactly once."""
+    from collections import Counter
+
+    from recommedation_system_under_flink_spark.sources import clicks
+
+    pairs = {
+        (r.user_id, r.news_id)
+        for r in clicks(spark, SF_DIR).select("user_id", "news_id").distinct().collect()
+    }
+    deg = Counter()
+    for u, n in pairs:
+        deg[2 * u] += 1
+        deg[2 * n + 1] += 1
+    want = Counter()
+    for node, d in deg.items():
+        side = "user" if node % 2 == 0 else "news"
+        want[(side, d.bit_length() - 1)] += 1
+
+    rows = _q("graph_degree_histogram")(spark, SF_DIR).collect()
+    got = {(r.side, r.bucket): r for r in rows}
+    assert {k: r.n_nodes for k, r in got.items()} == dict(want)
+    share_sums = Counter()
+    for r in rows:
+        assert r.lo == 2**r.bucket and r.hi == 2 ** (r.bucket + 1) - 1
+        share_sums[r.side] += r.share
+    for side, s in share_sums.items():
+        assert abs(s - 1.0) < 1e-4, side
