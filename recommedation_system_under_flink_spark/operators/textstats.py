@@ -1891,3 +1891,111 @@ def ts_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
         - F.lit(84.6) * (F.col("n_syllables").cast("double") / F.col("n_words"))
     )
     return counted.withColumn("flesch", F.round(flesch, 6))
+
+
+# ---------------------------------------------- vocab coverage curve
+
+#: Pinned vocabulary-budget operating points for the coverage curve.
+VOCAB_SWEEP = (256, 1024, 4096)
+
+
+def _vocab_coverage_oracle() -> str:
+    per_size = []
+    selects = []
+    for s in VOCAB_SWEEP:
+        per_size.append(
+            f"""cov_{s} AS (
+  SELECT CAST(COALESCE(SUM(n), 0) AS BIGINT) AS covered,
+         CAST(COUNT(*) AS BIGINT) AS n_terms_kept
+  FROM ranked WHERE rnk <= {s}
+)"""
+        )
+        selects.append(
+            f"""SELECT CAST({s} AS INTEGER) AS vocab_size,
+       c.n_terms_kept, c.covered, t.total_tokens, t.n_terms,
+       ROUND(CAST(c.covered AS DOUBLE) / NULLIF(t.total_tokens, 0), 6)
+         AS coverage,
+       ROUND(CAST(t.total_tokens - c.covered AS DOUBLE)
+             / NULLIF(t.total_tokens, 0), 6) AS oov_rate
+FROM cov_{s} c CROSS JOIN tot t"""
+        )
+    return (
+        f"""WITH counts AS (
+  SELECT term, CAST(COUNT(*) AS BIGINT) AS n
+  FROM (SELECT unnest({_TOKENS_SQL}) AS term FROM documents)
+  GROUP BY term
+), ranked AS (
+  SELECT n, ROW_NUMBER() OVER (ORDER BY n DESC, term ASC) AS rnk
+  FROM counts
+), tot AS (
+  SELECT CAST(COALESCE(SUM(n), 0) AS BIGINT) AS total_tokens,
+         CAST(COUNT(*) AS BIGINT) AS n_terms
+  FROM counts
+), """
+        + ",\n".join(per_size)
+        + "\n"
+        + "\nUNION ALL\n".join(selects)
+    )
+
+
+@register("ts_vocab_coverage_curve", _vocab_coverage_oracle())
+def ts_vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """**Vocabulary-budget coverage curve**: for each pinned vocab size
+    S, the share of corpus token mass the top-S frequency-ranked terms
+    cover, and the OOV remainder — the decision table for "how big
+    must the tokenizer vocabulary be?" (the Zipf fit, ``ts_zipf_fit``,
+    predicts this curve's shape; this measures it). Ranking reuses the
+    ``ts_vocab_build`` total order (count DESC, term ASC) so curve and
+    shipped vocabulary cannot disagree on which terms are in-budget.
+
+    Plan: one explode + term count (map-side combinable), a global
+    window over the PRE-AGGREGATED O(|terms|) relation (the
+    allowlisted pattern), then each sweep point is a rank filter +
+    1-row aggregate joined against the 1-row totals. Ranked terms
+    persist across the sweep and release on exit."""
+    from pyspark.sql import Window
+
+    from .bsp import checkpoint_result
+
+    docs = load_raw(spark, sf_dir, "documents")
+    counts = (
+        docs.select(F.explode(_tokens(F.col("text"))).alias("term"))
+        .groupBy("term")
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+    ranked = counts.withColumn(
+        "rnk", F.row_number().over(Window.orderBy(F.desc("n"), F.asc("term")))
+    ).persist()
+    tot = ranked.agg(
+        F.coalesce(F.sum("n"), F.lit(0)).cast("long").alias("total_tokens"),
+        F.count("*").cast("long").alias("n_terms"),
+    )
+    slices = []
+    for s in VOCAB_SWEEP:
+        cov = ranked.filter(F.col("rnk") <= s).agg(
+            F.coalesce(F.sum("n"), F.lit(0)).cast("long").alias("covered"),
+            F.count("*").cast("long").alias("n_terms_kept"),
+        )
+        slices.append(
+            cov.crossJoin(F.broadcast(tot)).select(
+                F.lit(s).cast("int").alias("vocab_size"),
+                "n_terms_kept",
+                "covered",
+                "total_tokens",
+                "n_terms",
+                F.round(
+                    F.col("covered").cast("double")
+                    / F.nullif(F.col("total_tokens"), F.lit(0)),
+                    6,
+                ).alias("coverage"),
+                F.round(
+                    (F.col("total_tokens") - F.col("covered")).cast("double")
+                    / F.nullif(F.col("total_tokens"), F.lit(0)),
+                    6,
+                ).alias("oov_rate"),
+            )
+        )
+    out = slices[0]
+    for sl in slices[1:]:
+        out = out.unionByName(sl)
+    return checkpoint_result(out, ranked)

@@ -742,3 +742,42 @@ def test_degree_histogram_matches_python_degrees(spark):
         share_sums[r.side] += r.share
     for side, s in share_sums.items():
         assert abs(s - 1.0) < 1e-4, side
+
+
+# ------------------------------------------- vocab coverage curve
+
+def test_vocab_coverage_monotone_and_agrees_with_vocab_build(spark):
+    """Coverage is monotone in vocab size; each point's covered mass
+    matches a Counter recompute under the same (count desc, term asc)
+    order; OOV = 1 − coverage on exact integers."""
+    from collections import Counter
+
+    from recommedation_system_under_flink_spark.operators.textstats import (
+        VOCAB_SWEEP,
+    )
+    import re as _re
+
+    from recommedation_system_under_flink_spark.operators.textstats import (
+        TOKEN_SPLIT_REGEX,
+    )
+    from recommedation_system_under_flink_spark.sources.tables import load_raw
+
+    cnt = Counter()
+    for r in load_raw(spark, SF_DIR, "documents").select("text").collect():
+        cnt.update(t for t in _re.split(TOKEN_SPLIT_REGEX, r.text.lower()) if t)
+    ordered = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))
+    total = sum(cnt.values())
+
+    rows = {r.vocab_size: r for r in _q("ts_vocab_coverage_curve")(spark, SF_DIR).collect()}
+    assert set(rows) == set(VOCAB_SWEEP)
+    prev_cov = -1.0
+    for s in sorted(VOCAB_SWEEP):
+        r = rows[s]
+        covered = sum(n for _, n in ordered[:s])
+        assert r.covered == covered and r.total_tokens == total
+        assert r.n_terms_kept == min(s, len(ordered))
+        assert r.n_terms == len(ordered)
+        assert abs(r.coverage - covered / total) < 1e-6
+        assert abs(r.coverage + r.oov_rate - 1.0) < 2e-6
+        assert r.coverage >= prev_cov
+        prev_cov = r.coverage
