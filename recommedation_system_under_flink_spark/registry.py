@@ -48,80 +48,83 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 #: the four end-to-end pipelines, one query per SURVEY §2 operator row,
 #: and one per LLM-pipeline family. Every name here MUST have a full
 #: DuckDB oracle (enforced by tests/test_registry_window.py).
-#: ROUND-4 ROTATION (VERDICT r3 item 1): round 3 certified every §2
-#: operator row (CORRECTNESS_r03: 50/50 hash-green), so this round the
-#: window keeps only the four pipelines + ONE sentinel per §2 letter
-#: family and spends the other 40 slots on oracle-backed queries that
-#: have NEVER had a driver CORRECTNESS row. Every §2 row certified in
-#: r3 stays covered by its green r3 row; the sentinels guard against
-#: regressions in the shared scan/kernel paths.
+#: ROUND-5 ROTATION: rounds 3+4 certified every §2 row plus 40
+#: never-verified flagships (dedup/similarity/sketch/text/privacy/
+#: sampling/graph/TPC-H/event-stat/connector/CF/curation/streaming).
+#: This round keeps the same 10 regression canaries (four pipelines +
+#: one sentinel per §2 letter family) and spends the other 40 slots on
+#: the NEXT tranche of oracle-backed queries that have never had a
+#: driver CORRECTNESS row — ANN baselines, dedup diagnostics, LM/text
+#: quality, graph algorithms, drift/changepoint stats, data-quality
+#:  profiling, split hygiene, warehouse maintenance shapes, and the
+#: TPC-H rotation continuation. Cumulative target: ≥150/255
+#: oracle-backed queries driver-certified by end of round 5.
 VERIFIED_WINDOW = (
     # end-to-end pipelines (SURVEY §3) + the all-days amortized form
     "hot_topics_pipeline",
     "tfidf_pipeline",
     "textrank_pipeline_distributed",
     "tfidf_recommend_all_days",
-    # §2 sentinels, one per letter family (rest certified in r3)
+    # §2 sentinels, one per letter family (rest certified in r3/r4)
     "s1_csv_roundtrip",
     "p1_news_keywords_distributed",
     "j3_scored_join",
     "a3_user_keywords_distributed",
     "t1_user_topk",
     "f5_calculate_x_sql",
-    # --- never-driver-verified rotation (40) ---
-    # dedup family breadth (r3 certified only minhash_lsh)
-    "dedup_exact",
-    "dedup_simhash",
-    "dedup_ngram_jaccard",
-    "dedup_neardup_canonical",
-    # similarity / embedding curation
-    "sim_dbscan",
-    "sim_pq_topk_pinned",
-    "sim_semdedup",
-    "sim_mmr_rerank",
-    "sim_kcenter_coreset",
-    "sim_hard_negatives",
+    # --- never-driver-verified rotation (40), round 5 ---
+    # ANN / embedding curation baselines + index diagnostics
+    "sim_bruteforce_topk",
+    "sim_lsh_topk",
+    "sim_ivf_topk_pinned",
+    "sim_mrl_prefix_rerank",
+    "sim_ann_recall_report",
+    # dedup diagnostics
+    "dedup_containment",
+    "dedup_method_agreement",
+    "dedup_band_tuning_curve",
+    # text / LM quality
+    "ts_bigram_lm_perplexity",
+    "ts_vocab_build",
+    "ts_readability",
+    "ts_pmi_top_pairs",
+    # graph algorithms
+    "graph_bfs_recursive",
+    "graph_kcore",
+    "graph_lpa_communities",
+    # event-series stats
+    "ev_ks_drift",
+    "ev_cusum_changepoint",
+    "ev_growth_accounting",
+    "ev_daily_ewma",
+    # data-quality profiling
+    "prof_referential_integrity",
+    "prof_benford_totalprice",
+    "prof_column_entropy",
+    # split / sampling hygiene
+    "samp_kfold_assign",
+    "samp_split_group_safe",
+    "samp_temperature_mixture",
     # sketches
-    "sk_count_min_accuracy",
-    "sk_heavy_hitters_exact",
-    # text stats / quality
-    "ts_bm25_search",
-    "ts_bpe_token_estimate",
-    "ts_quality_score",
-    "ts_lang_id",
-    "ts_pii_scrub",
-    # profiling / privacy
-    "prof_l_diversity_t_closeness",
-    "prof_k_anonymity",
-    # sampling / mixtures
-    "samp_dsir_weights",
-    "samp_stratified",
-    # graph
-    "graph_hits_clicks",
-    "graph_triangle_stats",
-    # TPC-H rotation (r3 certified q1/q5)
-    "rel_q9_product_profit",
-    "rel_q13_customer_distribution",
-    "rel_q16_supplier_part_counts",
-    "rel_q20_dominant_suppliers",
-    "rel_q21_waiting_suppliers",
-    # ranking eval
-    "t5_policy_replay_eval",
-    # event properties / stats
-    "ev_daily_trend_ols",
-    "ev_user_rfm_scalable",
-    "ev_value_psi",
-    # event flow / experiment stats
-    "ef_kaplan_meier",
-    "ef_logrank_test",
-    "ef_conversion_ztest",
-    # sources & connectors
-    "s23_xml_roundtrip",
-    "s21_python_datasource",
-    # CF / curation / streaming flagships not yet certified
-    "cf_user_recommendations",
-    "llm_curation_pipeline",
-    "stream_sessionize",
+    "sk_bloom_prefilter",
+    "sk_value_percentiles_exact",
+    # multimodal plumbing (oracle-backed plan shapes)
+    "mm_patch_plan",
+    "mm_preprocess_budget",
+    # warehouse maintenance / source shapes
+    "s9_upsert_merge",
+    "s10_scd2_history",
+    "s12_jsonl_roundtrip",
+    "s20_dynamic_partition_overwrite",
+    # TPC-H rotation continuation
+    "rel_q3_shipping_priority",
+    "rel_q6_revenue_change",
+    "rel_q10_returned_items",
+    # CF / hybrid / curation / streaming flagships
+    "cf_next_item_transitions",
+    "hybrid_rrf_recommend",
+    "llm_pretrain_prep_pipeline",
+    "stream_clicks_dedup",
 )
 
 
