@@ -1031,3 +1031,394 @@ def ef_logrank_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     result = checkpoint_result(out)
     durations.unpersist()
     return result
+
+
+# --------------------------------------------------- Welch's t-test
+
+#: Shared A/B subject table for the value-based tests: per-user
+#: purchase revenue (exact DECIMAL(18,6) sum → identical doubles on
+#: both engines), cohort = user_id parity (deterministic bucketing,
+#: same convention family as the z-test's first-click parity).
+_VALUE_SUBJ_CTE = """subj AS (
+  SELECT user_id,
+         CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS x,
+         CAST(user_id % 2 AS BIGINT) AS cohort
+  FROM events WHERE event_type = 'purchase'
+  GROUP BY user_id
+)"""
+
+
+@register(
+    "ef_welch_ttest",
+    f"""WITH {_VALUE_SUBJ_CTE}, g AS (
+  SELECT cohort,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CAST(ROUND(x, 6) AS DECIMAL(28,6))) AS DOUBLE) AS sx,
+         CAST(SUM(CAST(ROUND(x * x, 6) AS DECIMAL(38,6))) AS DOUBLE) AS sxx
+  FROM subj GROUP BY cohort
+), ab AS (
+  SELECT a.n AS n_a, a.sx AS sx_a, a.sxx AS sxx_a,
+         b.n AS n_b, b.sx AS sx_b, b.sxx AS sxx_b
+  FROM (SELECT * FROM g WHERE cohort = 0) a
+  CROSS JOIN (SELECT * FROM g WHERE cohort = 1) b
+)
+SELECT n_a, n_b,
+       ROUND(sx_a / n_a, 6) AS mean_a,
+       ROUND(sx_b / n_b, 6) AS mean_b,
+       ROUND((sx_a / n_a - sx_b / n_b)
+             / sqrt((sxx_a - sx_a * sx_a / n_a) / (n_a - 1) / n_a
+                    + (sxx_b - sx_b * sx_b / n_b) / (n_b - 1) / n_b),
+             6) AS t_stat,
+       ROUND(POW((sxx_a - sx_a * sx_a / n_a) / (n_a - 1) / n_a
+                 + (sxx_b - sx_b * sx_b / n_b) / (n_b - 1) / n_b, 2)
+             / (POW((sxx_a - sx_a * sx_a / n_a) / (n_a - 1) / n_a, 2)
+                  / (n_a - 1)
+                + POW((sxx_b - sx_b * sx_b / n_b) / (n_b - 1) / n_b, 2)
+                  / (n_b - 1)),
+             6) AS welch_df
+FROM ab""",
+)
+def ef_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """**Welch's unequal-variance t-test** on per-user purchase revenue
+    between the two deterministic user-parity cohorts — the workhorse
+    continuous-metric A/B comparison next to the z-test (rates), the
+    log-rank (speed) and Mann-Whitney (ranks). One row: cohort sizes,
+    means, t statistic, Welch-Satterthwaite degrees of freedom.
+
+    Determinism: per-user revenue is an exact DECIMAL sum; the
+    cross-user moment sums quantize each term at 6 dp and accumulate
+    in DECIMAL (no order-dependent double accumulation anywhere), so
+    mean/variance/t are identical double expressions over identical
+    operands on both engines. Plan: one hash aggregate on user_id, one
+    2-row aggregate, one broadcast cross of two 1-row sides."""
+    ev = events_raw(spark, sf_dir)
+    subj = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(
+            F.sum(F.col("value").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("x")
+        )
+        .select("x", (F.col("user_id") % 2).alias("cohort"))
+    )
+    g = subj.groupBy("cohort").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(F.round(F.col("x"), 6).cast("decimal(28,6)"))
+        .cast("double")
+        .alias("sx"),
+        F.sum(F.round(F.col("x") * F.col("x"), 6).cast("decimal(38,6)"))
+        .cast("double")
+        .alias("sxx"),
+    )
+    a = g.filter(F.col("cohort") == 0).select(
+        F.col("n").alias("n_a"),
+        F.col("sx").alias("sx_a"),
+        F.col("sxx").alias("sxx_a"),
+    )
+    b = g.filter(F.col("cohort") == 1).select(
+        F.col("n").alias("n_b"),
+        F.col("sx").alias("sx_b"),
+        F.col("sxx").alias("sxx_b"),
+    )
+    j = a.crossJoin(b)
+    se2_a = (
+        (F.col("sxx_a") - F.col("sx_a") * F.col("sx_a") / F.col("n_a"))
+        / (F.col("n_a") - 1)
+        / F.col("n_a")
+    )
+    se2_b = (
+        (F.col("sxx_b") - F.col("sx_b") * F.col("sx_b") / F.col("n_b"))
+        / (F.col("n_b") - 1)
+        / F.col("n_b")
+    )
+    return j.select(
+        "n_a",
+        "n_b",
+        F.round(F.col("sx_a") / F.col("n_a"), 6).alias("mean_a"),
+        F.round(F.col("sx_b") / F.col("n_b"), 6).alias("mean_b"),
+        F.round(
+            (F.col("sx_a") / F.col("n_a") - F.col("sx_b") / F.col("n_b"))
+            / F.sqrt(se2_a + se2_b),
+            6,
+        ).alias("t_stat"),
+        F.round(
+            F.pow(se2_a + se2_b, 2)
+            / (
+                F.pow(se2_a, 2) / (F.col("n_a") - 1)
+                + F.pow(se2_b, 2) / (F.col("n_b") - 1)
+            ),
+            6,
+        ).alias("welch_df"),
+    )
+
+
+# ------------------------------------------------ Mann-Whitney U test
+
+@register(
+    "ef_mannwhitney_u",
+    """WITH subj AS (
+  SELECT user_id,
+         ROUND(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 2) AS x,
+         CAST(user_id % 2 AS BIGINT) AS cohort
+  FROM events WHERE event_type = 'purchase'
+  GROUP BY user_id
+), byval AS (
+  SELECT x,
+         CAST(SUM(CASE WHEN cohort = 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS cnt_a,
+         CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM subj GROUP BY x
+), ranked AS (
+  SELECT cnt_a, cnt,
+         2 * (SUM(cnt) OVER (ORDER BY x
+                             ROWS UNBOUNDED PRECEDING) - cnt)
+           + cnt + 1 AS rank2
+  FROM byval
+), s AS (
+  SELECT CAST(SUM(cnt_a) AS BIGINT) AS n_a,
+         CAST(SUM(cnt - cnt_a) AS BIGINT) AS n_b,
+         CAST(SUM(cnt_a * rank2) AS BIGINT) AS ra2
+  FROM ranked
+)
+SELECT n_a, n_b,
+       ROUND((CAST(ra2 AS DOUBLE) / 2 - CAST(n_a AS DOUBLE) * (n_a + 1) / 2),
+             6) AS u_a,
+       ROUND(((CAST(ra2 AS DOUBLE) / 2 - CAST(n_a AS DOUBLE) * (n_a + 1) / 2)
+              - CAST(n_a AS DOUBLE) * n_b / 2)
+             / sqrt(CAST(n_a AS DOUBLE) * n_b * (n_a + n_b + 1) / 12),
+             6) AS z_stat
+FROM s""",
+)
+def ef_mannwhitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """**Mann-Whitney U (rank-sum) test** on per-user purchase revenue
+    between the user-parity cohorts — the distribution-free alternative
+    to :func:`ef_welch_ttest` when revenue is heavy-tailed (it always
+    is). One row: cohort sizes, U statistic for cohort A, normal-
+    approximation z (no tie correction; documented simple form).
+
+    Scale design: ranks are NEVER assigned per subject. The metric is
+    cent-quantized (``ROUND(x, 2)`` — revenue is a money grid anyway),
+    subjects aggregate to per-distinct-value cohort counts first, and
+    average ranks come from a running sum over the *distinct-value*
+    relation (bounded by the money grid, orders of magnitude smaller
+    than the user count), using the exact-integer identity
+    ``2·avgrank = 2·cum_before + cnt + 1``. All rank sums are exact
+    BIGINTs — no cross-engine float drift by construction."""
+    ev = events_raw(spark, sf_dir)
+    subj = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(
+            F.round(
+                F.sum(F.col("value").cast("decimal(18,6)")).cast("double"),
+                2,
+            ).alias("x")
+        )
+        .select("x", (F.col("user_id") % 2).alias("cohort"))
+    )
+    byval = subj.groupBy("x").agg(
+        F.sum(F.when(F.col("cohort") == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("cnt_a"),
+        F.count("*").cast("long").alias("cnt"),
+    )
+    w = Window.orderBy("x").rowsBetween(Window.unboundedPreceding, 0)
+    ranked = byval.select(
+        "cnt_a",
+        "cnt",
+        (2 * (F.sum("cnt").over(w) - F.col("cnt")) + F.col("cnt") + 1).alias(
+            "rank2"
+        ),
+    )
+    s = ranked.agg(
+        F.sum("cnt_a").cast("long").alias("n_a"),
+        F.sum(F.col("cnt") - F.col("cnt_a")).cast("long").alias("n_b"),
+        F.sum(F.col("cnt_a") * F.col("rank2")).cast("long").alias("ra2"),
+    )
+    u_a = (
+        F.col("ra2").cast("double") / 2
+        - F.col("n_a").cast("double") * (F.col("n_a") + 1) / 2
+    )
+    return s.select(
+        "n_a",
+        "n_b",
+        F.round(u_a, 6).alias("u_a"),
+        F.round(
+            (u_a - F.col("n_a").cast("double") * F.col("n_b") / 2)
+            / F.sqrt(
+                F.col("n_a").cast("double")
+                * F.col("n_b")
+                * (F.col("n_a") + F.col("n_b") + 1)
+                / 12
+            ),
+            6,
+        ).alias("z_stat"),
+    )
+
+
+# ---------------------------------------------------- CUPED adjustment
+
+@register(
+    "ef_cuped_adjustment",
+    """WITH mid AS (
+  SELECT (MIN(epoch_us(ts)) + MAX(epoch_us(ts))) // 2 AS t_mid FROM events
+), subj AS (
+  SELECT e.user_id,
+         CAST(COALESCE(SUM(CASE WHEN e.event_type = 'purchase'
+                                 AND epoch_us(e.ts) < mid.t_mid
+                            THEN CAST(e.value AS DECIMAL(18,6)) END),
+                       0) AS DOUBLE) AS x,
+         CAST(COALESCE(SUM(CASE WHEN e.event_type = 'purchase'
+                                 AND epoch_us(e.ts) >= mid.t_mid
+                            THEN CAST(e.value AS DECIMAL(18,6)) END),
+                       0) AS DOUBLE) AS y,
+         CAST(e.user_id % 2 AS BIGINT) AS cohort
+  FROM events e CROSS JOIN mid
+  GROUP BY e.user_id
+), m AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CAST(ROUND(x, 6) AS DECIMAL(28,6))) AS DOUBLE) AS sx,
+         CAST(SUM(CAST(ROUND(y, 6) AS DECIMAL(28,6))) AS DOUBLE) AS sy,
+         CAST(SUM(CAST(ROUND(x * y, 6) AS DECIMAL(38,6))) AS DOUBLE) AS sxy,
+         CAST(SUM(CAST(ROUND(x * x, 6) AS DECIMAL(38,6))) AS DOUBLE) AS sxx,
+         CAST(SUM(CAST(ROUND(y * y, 6) AS DECIMAL(38,6))) AS DOUBLE) AS syy
+  FROM subj
+), theta AS (
+  SELECT n, sx, sy, sxy, sxx, syy,
+         CASE WHEN sxx / n - (sx / n) * (sx / n) = 0 THEN 0.0
+              ELSE (sxy / n - (sx / n) * (sy / n))
+                   / (sxx / n - (sx / n) * (sx / n)) END AS th
+  FROM m
+), g AS (
+  SELECT cohort,
+         CAST(COUNT(*) AS BIGINT) AS n_c,
+         CAST(SUM(CAST(ROUND(x, 6) AS DECIMAL(28,6))) AS DOUBLE) AS sx_c,
+         CAST(SUM(CAST(ROUND(y, 6) AS DECIMAL(28,6))) AS DOUBLE) AS sy_c
+  FROM subj GROUP BY cohort
+)
+SELECT t.n AS n_users,
+       ROUND(t.th, 6) AS theta,
+       ROUND(a.sy_c / a.n_c - b.sy_c / b.n_c, 6) AS raw_diff,
+       ROUND((a.sy_c / a.n_c - t.th * (a.sx_c / a.n_c - t.sx / t.n))
+             - (b.sy_c / b.n_c - t.th * (b.sx_c / b.n_c - t.sx / t.n)),
+             6) AS adj_diff,
+       ROUND(CASE WHEN (t.sxx / t.n - POW(t.sx / t.n, 2)) = 0
+                    OR (t.syy / t.n - POW(t.sy / t.n, 2)) = 0 THEN 0.0
+                  ELSE POW(t.sxy / t.n - (t.sx / t.n) * (t.sy / t.n), 2)
+                       / (t.sxx / t.n - POW(t.sx / t.n, 2))
+                       / (t.syy / t.n - POW(t.sy / t.n, 2)) END,
+             6) AS var_reduction
+FROM theta t
+CROSS JOIN (SELECT * FROM g WHERE cohort = 0) a
+CROSS JOIN (SELECT * FROM g WHERE cohort = 1) b""",
+)
+def ef_cuped_adjustment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """**CUPED variance reduction** for the revenue A/B comparison:
+    pre-period revenue (before the global event-time midpoint) is the
+    covariate X, experiment-period revenue is the metric Y, and the
+    adjusted metric is ``Y − θ(X − X̄)`` with ``θ = cov(X,Y)/var(X)``
+    fitted on the pooled population. One row: θ, the raw cohort mean
+    difference, the CUPED-adjusted difference, and the theoretical
+    variance-reduction factor ρ² (the fraction of metric variance the
+    covariate removes).
+
+    All users appear (zero-revenue users carry X=0/Y=0 — CUPED is
+    defined on the full assignment population, not just purchasers).
+    Moments use the same quantize-then-DECIMAL-accumulate discipline
+    as :func:`ef_welch_ttest`, so θ is an identical double on both
+    engines. Plan: one scalar min/max broadcast, one hash aggregate on
+    user_id, two tiny aggregates, broadcast crosses of 1-row sides."""
+    ev = events_raw(spark, sf_dir)
+    mid = ev.agg(
+        ((F.min(F.expr("ts DIV 1000")) + F.max(F.expr("ts DIV 1000"))) / 2)
+        .cast("long")
+        .alias("t_mid")
+    )
+    dv = F.col("value").cast("decimal(18,6)")
+    tsm = F.expr("ts DIV 1000")
+    is_p = F.col("event_type") == "purchase"
+    subj = (
+        ev.crossJoin(F.broadcast(mid))
+        .groupBy("user_id")
+        .agg(
+            F.coalesce(
+                F.sum(F.when(is_p & (tsm < F.col("t_mid")), dv)), F.lit(0)
+            )
+            .cast("double")
+            .alias("x"),
+            F.coalesce(
+                F.sum(F.when(is_p & (tsm >= F.col("t_mid")), dv)), F.lit(0)
+            )
+            .cast("double")
+            .alias("y"),
+        )
+        .select("x", "y", (F.col("user_id") % 2).alias("cohort"))
+    )
+    m = subj.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(F.round(F.col("x"), 6).cast("decimal(28,6)"))
+        .cast("double")
+        .alias("sx"),
+        F.sum(F.round(F.col("y"), 6).cast("decimal(28,6)"))
+        .cast("double")
+        .alias("sy"),
+        F.sum(F.round(F.col("x") * F.col("y"), 6).cast("decimal(38,6)"))
+        .cast("double")
+        .alias("sxy"),
+        F.sum(F.round(F.col("x") * F.col("x"), 6).cast("decimal(38,6)"))
+        .cast("double")
+        .alias("sxx"),
+        F.sum(F.round(F.col("y") * F.col("y"), 6).cast("decimal(38,6)"))
+        .cast("double")
+        .alias("syy"),
+    )
+    var_x = F.col("sxx") / F.col("n") - F.pow(F.col("sx") / F.col("n"), 2)
+    var_y = F.col("syy") / F.col("n") - F.pow(F.col("sy") / F.col("n"), 2)
+    cov = F.col("sxy") / F.col("n") - (F.col("sx") / F.col("n")) * (
+        F.col("sy") / F.col("n")
+    )
+    theta = m.select(
+        "n",
+        "sx",
+        F.when(var_x == 0, F.lit(0.0)).otherwise(cov / var_x).alias("th"),
+        F.when((var_x == 0) | (var_y == 0), F.lit(0.0))
+        .otherwise(F.pow(cov, 2) / var_x / var_y)
+        .alias("rho2"),
+    )
+    g = subj.groupBy("cohort").agg(
+        F.count("*").cast("long").alias("n_c"),
+        F.sum(F.round(F.col("x"), 6).cast("decimal(28,6)"))
+        .cast("double")
+        .alias("sx_c"),
+        F.sum(F.round(F.col("y"), 6).cast("decimal(28,6)"))
+        .cast("double")
+        .alias("sy_c"),
+    )
+    a = g.filter(F.col("cohort") == 0).select(
+        F.col("n_c").alias("n_a"),
+        F.col("sx_c").alias("sx_a"),
+        F.col("sy_c").alias("sy_a"),
+    )
+    b = g.filter(F.col("cohort") == 1).select(
+        F.col("n_c").alias("n_b"),
+        F.col("sx_c").alias("sx_b"),
+        F.col("sy_c").alias("sy_b"),
+    )
+    j = theta.crossJoin(a).crossJoin(b)
+    mean_x = F.col("sx") / F.col("n")
+    adj_a = F.col("sy_a") / F.col("n_a") - F.col("th") * (
+        F.col("sx_a") / F.col("n_a") - mean_x
+    )
+    adj_b = F.col("sy_b") / F.col("n_b") - F.col("th") * (
+        F.col("sx_b") / F.col("n_b") - mean_x
+    )
+    return j.select(
+        F.col("n").alias("n_users"),
+        F.round(F.col("th"), 6).alias("theta"),
+        F.round(
+            F.col("sy_a") / F.col("n_a") - F.col("sy_b") / F.col("n_b"), 6
+        ).alias("raw_diff"),
+        F.round(adj_a - adj_b, 6).alias("adj_diff"),
+        F.round(F.col("rho2"), 6).alias("var_reduction"),
+    )

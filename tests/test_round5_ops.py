@@ -1,0 +1,98 @@
+"""Round-5 operator invariants: experiment stats (Welch / Mann-Whitney
+/ CUPED), trimmed means, RAKE keywords, per-source caps, Lloyd k-means.
+
+Ground truth is recomputed independently here (numpy / pandas over
+duckdb-extracted subject tables), NOT by re-running the operator's own
+SQL oracle — the oracle certifies cross-engine agreement; these tests
+certify the statistics are the *right* statistics.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import numpy as np
+import pytest
+
+from conftest import SF_DIR
+
+
+@pytest.fixture(scope="module")
+def queries():
+    from recommedation_system_under_flink_spark import registry
+
+    return registry.queries()
+
+
+def _subjects(sf_dir: str = SF_DIR):
+    """Per-user purchase totals + parity cohort, straight from parquet."""
+    return duckdb.sql(
+        f"""SELECT user_id,
+                   CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS x,
+                   user_id % 2 AS cohort
+            FROM '{sf_dir}/events.parquet'
+            WHERE event_type = 'purchase' GROUP BY user_id"""
+    ).df()
+
+
+def test_welch_ttest_matches_numpy(queries, spark):
+    row = queries["ef_welch_ttest"](spark, SF_DIR).collect()[0]
+    df = _subjects()
+    a = df[df.cohort == 0].x.to_numpy()
+    b = df[df.cohort == 1].x.to_numpy()
+    se2a = a.var(ddof=1) / len(a)
+    se2b = b.var(ddof=1) / len(b)
+    t = (a.mean() - b.mean()) / np.sqrt(se2a + se2b)
+    dof = (se2a + se2b) ** 2 / (
+        se2a**2 / (len(a) - 1) + se2b**2 / (len(b) - 1)
+    )
+    assert row["n_a"] == len(a) and row["n_b"] == len(b)
+    assert row["mean_a"] == pytest.approx(a.mean(), abs=2e-6)
+    assert row["t_stat"] == pytest.approx(t, abs=1e-4)
+    assert row["welch_df"] == pytest.approx(dof, abs=0.01)
+
+
+def test_mannwhitney_matches_rank_definition(queries, spark):
+    row = queries["ef_mannwhitney_u"](spark, SF_DIR).collect()[0]
+    df = _subjects()
+    df["xc"] = df.x.round(2)  # the operator's cent quantization
+    df["r"] = df.xc.rank(method="average")  # average ranks, ties shared
+    a = df[df.cohort == 0]
+    n_a, n_b = len(a), len(df) - len(a)
+    u_a = a.r.sum() - n_a * (n_a + 1) / 2
+    z = (u_a - n_a * n_b / 2) / np.sqrt(n_a * n_b * (n_a + n_b + 1) / 12)
+    assert row["n_a"] == n_a and row["n_b"] == n_b
+    assert row["u_a"] == pytest.approx(u_a, abs=1e-6)
+    assert row["z_stat"] == pytest.approx(z, abs=1e-4)
+
+
+def test_cuped_matches_numpy_and_reduces_variance(queries, spark):
+    row = queries["ef_cuped_adjustment"](spark, SF_DIR).collect()[0]
+    subj = duckdb.sql(
+        f"""WITH mid AS (SELECT (MIN(epoch_us(ts)) + MAX(epoch_us(ts))) // 2
+                           AS t_mid FROM '{SF_DIR}/events.parquet')
+        SELECT e.user_id,
+               CAST(COALESCE(SUM(CASE WHEN e.event_type = 'purchase'
+                                       AND epoch_us(e.ts) < mid.t_mid
+                                  THEN CAST(e.value AS DECIMAL(18,6)) END),
+                             0) AS DOUBLE) AS x,
+               CAST(COALESCE(SUM(CASE WHEN e.event_type = 'purchase'
+                                       AND epoch_us(e.ts) >= mid.t_mid
+                                  THEN CAST(e.value AS DECIMAL(18,6)) END),
+                             0) AS DOUBLE) AS y,
+               e.user_id % 2 AS cohort
+        FROM '{SF_DIR}/events.parquet' e CROSS JOIN mid
+        GROUP BY e.user_id"""
+    ).df()
+    x, y = subj.x.to_numpy(), subj.y.to_numpy()
+    theta = np.cov(x, y, bias=True)[0, 1] / x.var()
+    rho2 = np.cov(x, y, bias=True)[0, 1] ** 2 / (x.var() * y.var())
+    a, b = subj[subj.cohort == 0], subj[subj.cohort == 1]
+    adj = lambda g: g.y.mean() - theta * (g.x.mean() - x.mean())  # noqa: E731
+    assert row["n_users"] == len(subj)
+    assert row["theta"] == pytest.approx(theta, abs=1e-4)
+    assert row["var_reduction"] == pytest.approx(rho2, abs=1e-4)
+    assert row["raw_diff"] == pytest.approx(
+        a.y.mean() - b.y.mean(), abs=2e-6
+    )
+    assert row["adj_diff"] == pytest.approx(adj(a) - adj(b), abs=1e-4)
+    assert 0.0 <= row["var_reduction"] <= 1.0
