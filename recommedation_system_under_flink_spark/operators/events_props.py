@@ -1339,3 +1339,124 @@ def ev_mad_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(rz, 6).alias("robust_z"),
         F.coalesce(F.abs(rz) > MAD_Z_CUTOFF, F.lit(False)).alias("anomaly"),
     )
+
+
+# -------------------------------------------- trimmed / winsorized mean
+
+#: Tail fraction dropped (trimmed) or clamped (winsorized) on EACH side,
+#: in percent. 5% two-sided — the standard robust-revenue convention.
+TRIM_PCT = 5
+
+
+@register(
+    "ev_trimmed_mean",
+    f"""WITH vals AS (
+  SELECT CAST(ROUND(CAST(value AS DECIMAL(18,6)), 2) AS DECIMAL(18,2)) AS v
+  FROM events WHERE event_type = 'purchase'
+), byval AS (
+  SELECT v, CAST(COUNT(*) AS BIGINT) AS cnt FROM vals GROUP BY v
+), tot AS (
+  SELECT CAST(SUM(cnt) AS BIGINT) AS n,
+         CAST(SUM(cnt) * {TRIM_PCT} // 100 AS BIGINT) AS k
+  FROM byval
+), cum AS (
+  SELECT v, cnt, n, k,
+         SUM(cnt) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) - cnt
+           AS cum_before
+  FROM byval CROSS JOIN tot
+), contrib AS (
+  SELECT v, cnt, n, k, cum_before,
+         GREATEST(LEAST(cnt, n - k - cum_before)
+                  - GREATEST(0, k - cum_before), 0) AS kept
+  FROM cum
+)
+SELECT MAX(n) AS n,
+       MAX(k) AS k_each_side,
+       CAST(MAX(CASE WHEN cum_before < k + 1
+                      AND k + 1 <= cum_before + cnt THEN v END)
+            AS DOUBLE) AS v_low,
+       CAST(MAX(CASE WHEN cum_before < n - k
+                      AND n - k <= cum_before + cnt THEN v END)
+            AS DOUBLE) AS v_high,
+       ROUND(CAST(SUM(v * kept) AS DOUBLE) / (MAX(n) - 2 * MAX(k)), 6)
+         AS trimmed_mean,
+       ROUND((CAST(SUM(v * kept) AS DOUBLE)
+              + MAX(k) * CAST(MAX(CASE WHEN cum_before < k + 1
+                                        AND k + 1 <= cum_before + cnt
+                                   THEN v END) AS DOUBLE)
+              + MAX(k) * CAST(MAX(CASE WHEN cum_before < n - k
+                                        AND n - k <= cum_before + cnt
+                                   THEN v END) AS DOUBLE))
+             / MAX(n), 6) AS winsorized_mean
+FROM contrib""",
+)
+def ev_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """**Trimmed and winsorized revenue means** — the robust location
+    estimates every revenue dashboard needs next to the raw mean
+    (one whale purchase should not move the KPI). Drops (trimmed) or
+    clamps (winsorized) the top/bottom 5% of purchase values; one row:
+    n, per-side cut count k, the two cut values, both means.
+
+    Scale design: per-row ranks are never materialized. Values are
+    cent-quantized and aggregated to ``(value, count)`` first, the
+    cut positions come from a running sum over the *distinct-value*
+    relation (bounded by the money grid), and each value group
+    contributes ``clamp(min(cnt, (n−k)−cum_before) − max(0, k−cum_before))``
+    kept copies — exact integer arithmetic, the boundary groups
+    partially included. Sums are DECIMAL×BIGINT (exact); only the two
+    final divisions are doubles. Same aggregation-first discipline as
+    :func:`~..operators.events_flow.ef_mannwhitney_u`."""
+    from pyspark.sql import Window
+
+    ev = events_raw(spark, sf_dir)
+    vals = ev.filter(F.col("event_type") == "purchase").select(
+        F.round(F.col("value").cast("decimal(18,6)"), 2)
+        .cast("decimal(18,2)")
+        .alias("v")
+    )
+    byval = vals.groupBy("v").agg(F.count("*").cast("long").alias("cnt"))
+    tot = byval.agg(
+        F.sum("cnt").cast("long").alias("n"),
+        F.expr(f"CAST(SUM(cnt) * {TRIM_PCT} DIV 100 AS BIGINT)").alias("k"),
+    )
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    cum = byval.crossJoin(F.broadcast(tot)).select(
+        "v",
+        "cnt",
+        "n",
+        "k",
+        (F.sum("cnt").over(w) - F.col("cnt")).alias("cum_before"),
+    )
+    kept = F.greatest(
+        F.least(F.col("cnt"), F.col("n") - F.col("k") - F.col("cum_before"))
+        - F.greatest(F.lit(0), F.col("k") - F.col("cum_before")),
+        F.lit(0),
+    )
+    contrib = cum.withColumn("kept", kept)
+    v_low = F.max(
+        F.when(
+            (F.col("cum_before") < F.col("k") + 1)
+            & (F.col("k") + 1 <= F.col("cum_before") + F.col("cnt")),
+            F.col("v"),
+        )
+    ).cast("double")
+    v_high = F.max(
+        F.when(
+            (F.col("cum_before") < F.col("n") - F.col("k"))
+            & (F.col("n") - F.col("k") <= F.col("cum_before") + F.col("cnt")),
+            F.col("v"),
+        )
+    ).cast("double")
+    tsum = F.sum(F.col("v") * F.col("kept")).cast("double")
+    return contrib.agg(
+        F.max("n").alias("n"),
+        F.max("k").alias("k_each_side"),
+        v_low.alias("v_low"),
+        v_high.alias("v_high"),
+        F.round(tsum / (F.max("n") - 2 * F.max("k")), 6).alias(
+            "trimmed_mean"
+        ),
+        F.round(
+            (tsum + F.max("k") * v_low + F.max("k") * v_high) / F.max("n"), 6
+        ).alias("winsorized_mean"),
+    )

@@ -96,3 +96,26 @@ def test_cuped_matches_numpy_and_reduces_variance(queries, spark):
     )
     assert row["adj_diff"] == pytest.approx(adj(a) - adj(b), abs=1e-4)
     assert 0.0 <= row["var_reduction"] <= 1.0
+
+
+def test_trimmed_mean_matches_numpy(queries, spark):
+    row = queries["ev_trimmed_mean"](spark, SF_DIR).collect()[0]
+    vals = duckdb.sql(
+        f"""SELECT CAST(ROUND(CAST(value AS DECIMAL(18,6)), 2) AS DOUBLE) AS v
+            FROM '{SF_DIR}/events.parquet' WHERE event_type = 'purchase'"""
+    ).df().v.sort_values().to_numpy()
+    n = len(vals)
+    k = n * 5 // 100
+    trimmed = vals[k : n - k]
+    wins = vals.copy()
+    wins[:k] = vals[k]
+    wins[n - k :] = vals[n - k - 1]
+    assert row["n"] == n and row["k_each_side"] == k
+    assert row["v_low"] == pytest.approx(vals[k], abs=1e-9)
+    assert row["v_high"] == pytest.approx(vals[n - k - 1], abs=1e-9)
+    assert row["trimmed_mean"] == pytest.approx(trimmed.mean(), abs=2e-6)
+    assert row["winsorized_mean"] == pytest.approx(wins.mean(), abs=2e-6)
+    # robustness ordering sanity: trimming removes tail influence
+    assert abs(row["trimmed_mean"] - np.median(vals)) <= abs(
+        vals.mean() - np.median(vals)
+    ) + 1e-6
