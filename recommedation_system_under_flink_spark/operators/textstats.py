@@ -1999,3 +1999,140 @@ def ts_vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     for sl in slices[1:]:
         out = out.unionByName(sl)
     return checkpoint_result(out, ranked)
+
+
+# ------------------------------------------------------- RAKE keywords
+
+#: Top-N RAKE phrases kept per document.
+RAKE_TOP_N = 3
+
+_RAKE_ORACLE = f"""WITH toks AS (
+  SELECT doc_id, unnest(ts) AS tok, generate_subscripts(ts, 1) AS pos
+  FROM (SELECT doc_id, {_TOKENS_SQL} AS ts FROM documents)
+), flagged AS (
+  SELECT doc_id, pos, tok,
+         CASE WHEN tok IN ({_STOP_SQL}) THEN 1 ELSE 0 END AS is_stop
+  FROM toks
+), grouped AS (
+  SELECT doc_id, pos, tok, is_stop,
+         SUM(is_stop) OVER (PARTITION BY doc_id ORDER BY pos
+                            ROWS UNBOUNDED PRECEDING) AS grp
+  FROM flagged
+), members AS (
+  SELECT doc_id, grp, pos, tok,
+         CAST(COUNT(*) OVER (PARTITION BY doc_id, grp) AS BIGINT)
+           AS phrase_len
+  FROM grouped WHERE is_stop = 0
+), word_stats AS (
+  SELECT tok,
+         CAST(COUNT(*) AS BIGINT) AS freq,
+         CAST(SUM(phrase_len) AS BIGINT) AS degree
+  FROM members GROUP BY tok
+), phrases AS (
+  SELECT m.doc_id,
+         string_agg(m.tok, ' ' ORDER BY m.pos) AS phrase,
+         CAST(COUNT(*) AS BIGINT) AS n_words,
+         ROUND(SUM(CAST(w.degree AS DOUBLE) / w.freq), 6) AS score
+  FROM members m JOIN word_stats w ON m.tok = w.tok
+  GROUP BY m.doc_id, m.grp
+), dedup AS (
+  SELECT doc_id, phrase,
+         CAST(MAX(n_words) AS BIGINT) AS n_words,
+         CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+         MAX(score) AS score
+  FROM phrases GROUP BY doc_id, phrase
+)
+SELECT doc_id, phrase, n_words, n_occurrences, score,
+       CAST(rnk AS BIGINT) AS rnk
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY doc_id
+                               ORDER BY score DESC, phrase) AS rnk
+  FROM dedup
+) WHERE rnk <= {RAKE_TOP_N}"""
+
+
+@register("ts_rake_keywords", _RAKE_ORACLE)
+def ts_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """**RAKE keyword extraction** (Rose et al. 2010) — the third
+    extractor family next to TF-IDF and TextRank: candidate phrases
+    are maximal stopword-free token runs, each word scores
+    ``degree/frequency`` over the whole corpus of phrases (degree =
+    the summed length of every phrase it appears in — co-occurrence
+    mass), and a phrase scores the sum of its member word scores.
+    Top-3 phrases per document, ties broken lexically.
+
+    Spark-first decomposition — zero UDFs:
+
+    - phrase segmentation is the gaps-and-islands trick: a running
+      ``sum(is_stop)`` window per document splits the token stream at
+      stopwords (doc-bounded window, shuffles once on doc_id);
+    - word degree/frequency is one corpus-wide hash aggregate on the
+      token (the only global shuffle, map-side combinable);
+    - phrase reassembly sorts each group's (pos, tok) structs inside
+      an array — never a cross-row order dependency.
+
+    Scores quantize at 6 dp before the per-doc top-N window, so the
+    rank order is the same deterministic (score, phrase) sort on both
+    engines."""
+    from pyspark.sql import Window
+
+    docs = load_raw(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.posexplode(_tokens(F.col("text"))).alias("pos0", "tok"),
+    ).select(
+        "doc_id", (F.col("pos0") + 1).alias("pos"), "tok"
+    )
+    flagged = toks.withColumn(
+        "is_stop", F.col("tok").isin(*STOPWORDS).cast("int")
+    )
+    wdoc = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    grouped = flagged.withColumn("grp", F.sum("is_stop").over(wdoc))
+    members = (
+        grouped.filter(F.col("is_stop") == 0)
+        .withColumn(
+            "phrase_len",
+            F.count("*").over(Window.partitionBy("doc_id", "grp")).cast("long"),
+        )
+        .select("doc_id", "grp", "pos", "tok", "phrase_len")
+    )
+    word_stats = members.groupBy("tok").agg(
+        F.count("*").cast("long").alias("freq"),
+        F.sum("phrase_len").cast("long").alias("degree"),
+    )
+    phrases = (
+        members.join(word_stats, "tok")
+        .groupBy("doc_id", "grp")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("pos", "tok"))
+                    ),
+                    lambda x: x["tok"],
+                ),
+                " ",
+            ).alias("phrase"),
+            F.count("*").cast("long").alias("n_words"),
+            F.round(
+                F.sum(F.col("degree").cast("double") / F.col("freq")), 6
+            ).alias("score"),
+        )
+    )
+    dedup = phrases.groupBy("doc_id", "phrase").agg(
+        F.max("n_words").cast("long").alias("n_words"),
+        F.count("*").cast("long").alias("n_occurrences"),
+        F.max("score").alias("score"),
+    )
+    wtop = Window.partitionBy("doc_id").orderBy(
+        F.col("score").desc(), F.col("phrase").asc()
+    )
+    return (
+        dedup.withColumn("rnk", F.row_number().over(wtop).cast("long"))
+        .filter(F.col("rnk") <= RAKE_TOP_N)
+        .select("doc_id", "phrase", "n_words", "n_occurrences", "score", "rnk")
+    )

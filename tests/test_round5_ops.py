@@ -119,3 +119,56 @@ def test_trimmed_mean_matches_numpy(queries, spark):
     assert abs(row["trimmed_mean"] - np.median(vals)) <= abs(
         vals.mean() - np.median(vals)
     ) + 1e-6
+
+
+def test_rake_scores_match_hand_computation(queries, spark):
+    """RAKE on a 2-doc micro corpus, degree/freq worked by hand."""
+    from recommedation_system_under_flink_spark.operators import textstats
+
+    docs = spark.createDataFrame(
+        [
+            # phrases: [deep learning] [fast] / [deep model]
+            (1, "deep learning of the fast", "en", "s", 0),
+            (2, "deep model", "en", "s", 0),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    import unittest.mock as mock
+
+    with mock.patch.object(
+        textstats, "load_raw", lambda spark, sf, name: docs
+    ):
+        rows = {
+            (r["doc_id"], r["phrase"]): r
+            for r in queries["ts_rake_keywords"](spark, "ignored").collect()
+        }
+    # corpus phrases: "deep learning", "fast", "deep model"
+    # freq: deep=2, learning=1, fast=1, model=1
+    # degree: deep=2+2=4, learning=2, fast=1, model=2
+    # scores: deep=2.0, learning=2.0, fast=1.0, model=2.0
+    assert rows[(1, "deep learning")]["score"] == pytest.approx(4.0)
+    assert rows[(1, "fast")]["score"] == pytest.approx(1.0)
+    assert rows[(2, "deep model")]["score"] == pytest.approx(4.0)
+    assert rows[(1, "deep learning")]["rnk"] == 1
+    assert rows[(1, "fast")]["rnk"] == 2
+    assert all(r["n_words"] >= 1 for r in rows.values())
+
+
+def test_rake_fixture_properties(queries, spark):
+    """Fixture-level invariants: <=3 per doc, rank contiguity, scores
+    non-increasing within a doc, no stopwords inside phrases."""
+    from recommedation_system_under_flink_spark.functions.text import STOPWORDS
+
+    out = queries["ts_rake_keywords"](spark, SF_DIR).collect()
+    by_doc: dict[int, list] = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert by_doc
+    for doc, rs in by_doc.items():
+        rs.sort(key=lambda r: r["rnk"])
+        assert [r["rnk"] for r in rs] == list(range(1, len(rs) + 1))
+        assert len(rs) <= 3
+        scores = [r["score"] for r in rs]
+        assert scores == sorted(scores, reverse=True)
+        for r in rs:
+            assert not set(r["phrase"].split()) & set(STOPWORDS)
