@@ -978,3 +978,64 @@ def samp_split_group_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit("test"))
         .alias("split"),
     )
+
+
+# ----------------------------------------------------- per-source cap
+
+#: Max documents retained per source (the per-domain quota used to stop
+#: a single crawl domain from dominating the training mixture).
+SOURCE_CAP = 30
+
+
+@register(
+    "samp_source_cap_report",
+    f"""WITH ranked AS (
+  SELECT source, n_chars,
+         row_number() OVER (
+           PARTITION BY source
+           ORDER BY (doc_id * {HASH_MULT}) % {HASH_MOD}, doc_id
+         ) AS pos
+  FROM documents
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN pos <= {SOURCE_CAP} THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_kept,
+       CAST(SUM(CASE WHEN pos > {SOURCE_CAP} THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_dropped,
+       CAST(SUM(n_chars) AS BIGINT) AS chars_total,
+       CAST(SUM(CASE WHEN pos <= {SOURCE_CAP} THEN n_chars ELSE 0 END)
+            AS BIGINT) AS chars_kept
+FROM ranked
+GROUP BY source""",
+)
+def samp_source_cap_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """**Per-domain document quota** (the anti-domination cap every
+    web-scale training mixture applies — no single crawl source may
+    contribute more than ``SOURCE_CAP`` documents) plus the audit
+    report: per source, how many documents and characters the cap
+    keeps vs drops. Selection inside each source is pinned-hash order
+    (same portable multiplicative hash as the splits), so the kept set
+    is deterministic across engines, retries, and partitionings.
+
+    Plan: one shuffle on ``source`` feeds both the quota window and
+    the per-source aggregate; window state is bounded by the largest
+    single domain, not the corpus. At 100 TB the same shape holds —
+    the cap is a rank predicate, never a collect."""
+    docs = load_raw(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(
+        split_hash("doc_id").asc(), F.col("doc_id").asc()
+    )
+    ranked = docs.select(
+        "source", "n_chars", F.row_number().over(w).alias("pos")
+    )
+    kept = F.col("pos") <= SOURCE_CAP
+    return ranked.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum(kept.cast("int")).cast("long").alias("n_kept"),
+        F.sum((~kept).cast("int")).cast("long").alias("n_dropped"),
+        F.sum("n_chars").cast("long").alias("chars_total"),
+        F.sum(F.when(kept, F.col("n_chars")).otherwise(0))
+        .cast("long")
+        .alias("chars_kept"),
+    )

@@ -172,3 +172,25 @@ def test_rake_fixture_properties(queries, spark):
         assert scores == sorted(scores, reverse=True)
         for r in rs:
             assert not set(r["phrase"].split()) & set(STOPWORDS)
+
+
+def test_source_cap_conservation_and_cap(queries, spark):
+    from recommedation_system_under_flink_spark.operators.sampling import (
+        SOURCE_CAP,
+    )
+
+    rows = queries["samp_source_cap_report"](spark, SF_DIR).collect()
+    assert rows
+    truth = {
+        s: (n, c)
+        for s, n, c in duckdb.sql(
+            f"""SELECT source, COUNT(*), SUM(n_chars)
+                FROM '{SF_DIR}/documents.parquet' GROUP BY source"""
+        ).fetchall()
+    }
+    for r in rows:
+        n, chars = truth[r["source"]]
+        assert r["n_kept"] + r["n_dropped"] == r["n_docs"] == n
+        assert r["n_kept"] == min(n, SOURCE_CAP)
+        assert r["chars_total"] == chars
+        assert 0 < r["chars_kept"] <= r["chars_total"]
