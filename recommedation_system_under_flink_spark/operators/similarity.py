@@ -3064,3 +3064,144 @@ def sim_nprobe_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .bsp import checkpoint_result
 
     return checkpoint_result(out, cands, bf)
+
+
+# ------------------------------------------- Lloyd k-means, verified
+
+#: Lloyd rounds / cluster count for the oracle-verified fit. The other
+#: k-means in this module (`_ivf_centroids`) is a driver-side model
+#: fit whose output parameterizes pinned indexes; THIS one runs the
+#: rounds as distributed dataflow and hash-verifies every round
+#: against an unrolled-CTE DuckDB twin — the fit itself is the query.
+KM_K = 8
+KM_ROUNDS = 2
+
+_KM_D2 = (
+    "ROUND(list_sum(list_transform(range(1, {dim1}), "
+    "i -> (b.e[i] - c.ce[i]) * (b.e[i] - c.ce[i]))), 6)"
+).format(dim1=EMB_DIM + 1)
+
+_KM_ASSIGN = """{name} AS (
+  SELECT vec_id, e, cid, d2q FROM (
+    SELECT vec_id, e, cid, d2q,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY d2q, cid) AS rn
+    FROM (
+      SELECT b.vec_id, b.e, c.cid, {d2} AS d2q
+      FROM base b CROSS JOIN {cents} c
+    )
+  ) WHERE rn = 1
+)"""
+
+_KM_UPDATE = """{name} AS (
+  SELECT cid, list(m ORDER BY dim) AS ce FROM (
+    SELECT cid, dim, ROUND(AVG(x), 6) AS m FROM (
+      SELECT cid, unnest(e) AS x, generate_subscripts(e, 1) AS dim
+      FROM {assign}
+    ) GROUP BY cid, dim
+  ) GROUP BY cid
+)"""
+
+_KM_ORACLE = f"""WITH base AS (
+  SELECT vec_id, {_EMB_CAST} AS e FROM embeddings
+), c0 AS (
+  SELECT vec_id AS cid, e AS ce FROM base WHERE vec_id < {KM_K}
+), {_KM_ASSIGN.format(name="a1", cents="c0", d2=_KM_D2)},
+{_KM_UPDATE.format(name="c1", assign="a1")},
+{_KM_ASSIGN.format(name="a2", cents="c1", d2=_KM_D2)}
+SELECT a2.cid,
+       CAST(COUNT(*) AS BIGINT) AS n_members,
+       ROUND(CAST(SUM(CAST(d2q AS DECIMAL(28,6))) AS DOUBLE), 6) AS inertia,
+       ROUND(MAX(list_sum(list_transform(c1.ce, x -> x * x))), 6)
+         AS centroid_sqnorm
+FROM a2 JOIN c1 ON a2.cid = c1.cid
+GROUP BY a2.cid"""
+
+
+def _km_assign(base: DataFrame, cents: DataFrame) -> DataFrame:
+    """One Lloyd assignment pass: nearest (6-dp-quantized squared L2,
+    lowest-cid tiebreak) of a broadcast centroid set."""
+    from pyspark.sql import Window
+
+    d2 = F.round(
+        F.aggregate(
+            F.zip_with("e", "ce", lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        ),
+        6,
+    )
+    w = Window.partitionBy("vec_id").orderBy("d2q", "cid")
+    return (
+        base.crossJoin(F.broadcast(cents))
+        .withColumn("d2q", d2)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "e", "cid", "d2q")
+    )
+
+
+def _km_update(assign: DataFrame) -> DataFrame:
+    """One Lloyd update pass: per-dimension means, 6-dp-quantized so the
+    next round's assignments compare identical centroids on both
+    engines."""
+    return (
+        assign.select("cid", F.posexplode("e").alias("dim0", "x"))
+        .groupBy("cid", "dim0")
+        .agg(F.round(F.avg("x"), 6).alias("m"))
+        .groupBy("cid")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("dim0", "m"))),
+                lambda s: s["m"],
+            ).alias("ce")
+        )
+    )
+
+
+@register("sim_kmeans_lloyd", _KM_ORACLE)
+def sim_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """**Distributed Lloyd k-means — the fit itself oracle-verified.**
+    K=8 clusters, 2 unrolled rounds from a pinned init (the first K
+    vectors by id): assign = broadcast-centroid nearest-neighbor pass
+    (squared L2 quantized at 6 dp, lowest-cid tiebreak), update =
+    per-(cluster, dimension) mean re-quantized at 6 dp. Output: final
+    cluster sizes, inertia (per-member quantized distances accumulated
+    in DECIMAL — no order-dependent float summation), and centroid
+    norms.
+
+    The quantize-each-round discipline is what makes a *fit* (not just
+    an application of pinned parameters) hash-comparable across
+    engines: both sides always compare/average identical 6-dp numbers,
+    so assignment boundaries can't drift on float associativity.
+
+    Scale: each round is one broadcast join (K×D doubles) + one
+    hash aggregate of K·D cells — the classic Spark k-means shape; no
+    driver loop, no collect, rounds unroll into a single DAG."""
+    emb = load_raw(spark, sf_dir, "embeddings")
+    base = emb.select("vec_id", _as_double("embedding").alias("e"))
+    c0 = base.filter(F.col("vec_id") < KM_K).select(
+        F.col("vec_id").alias("cid"), F.col("e").alias("ce")
+    )
+    # unroll: assign(c0) -> update -> assign(c1) -> ... ; the final
+    # stats join the last assignment with the centroids it was
+    # assigned against (c1 in the 2-round twin)
+    prev_cents = c0
+    assign = _km_assign(base, prev_cents)
+    for _ in range(KM_ROUNDS - 1):
+        prev_cents = _km_update(assign)
+        assign = _km_assign(base, prev_cents)
+    sqnorm = F.aggregate(
+        F.col("ce"), F.lit(0.0), lambda acc, x: acc + x * x
+    )
+    return (
+        assign.join(prev_cents, "cid")
+        .groupBy("cid")
+        .agg(
+            F.count("*").cast("long").alias("n_members"),
+            F.round(
+                F.sum(F.col("d2q").cast("decimal(28,6)")).cast("double"), 6
+            ).alias("inertia"),
+            F.round(F.max(sqnorm), 6).alias("centroid_sqnorm"),
+        )
+    )

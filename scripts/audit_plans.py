@@ -73,6 +73,11 @@ EXPECTED_CARTESIAN = {
     "graph_modularity_report": "1-row directed-edge-total scalar broadcast",
     "t6_decayed_popularity": "1-row MAX(date) horizon scalar broadcast",
     "sk_bloom_prefilter": "1-row (n_build, n_bits_set, report) scalar combines",
+    # round-5 experiment stats: 1-row per-cohort aggregates combined
+    "ef_welch_ttest": "two 1-row cohort-moment sides crossed into one stat row",
+    "ef_cuped_adjustment": "1-row midpoint + theta + two 1-row cohort sides",
+    "ev_trimmed_mean": "1-row (n, k) totals broadcast into the cut-position scan",
+    "sim_kmeans_lloyd": "K=8-row centroid set broadcast per Lloyd round",
     "s24_malformed_csv_ingest": "two 1-row ingest-mode aggregates scalar-combined",
     "samp_lang_mixture": "1-row corpus-total scalar broadcast into rates",
     "samp_dsir_weights": "1-row LM-totals scalar broadcast into per-token weights",

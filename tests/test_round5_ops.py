@@ -194,3 +194,39 @@ def test_source_cap_conservation_and_cap(queries, spark):
         assert r["n_kept"] == min(n, SOURCE_CAP)
         assert r["chars_total"] == chars
         assert 0 < r["chars_kept"] <= r["chars_total"]
+
+
+def test_kmeans_lloyd_matches_numpy_reference(queries, spark):
+    """Replay the quantized Lloyd rounds in numpy; sizes and inertia
+    must match the distributed fit exactly (same 6-dp quantization)."""
+    rows = {
+        r["cid"]: r
+        for r in queries["sim_kmeans_lloyd"](spark, SF_DIR).collect()
+    }
+    emb = duckdb.sql(
+        f"""SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+            FROM '{SF_DIR}/embeddings.parquet' ORDER BY vec_id"""
+    ).fetchall()
+    x = np.array([e for _, e in emb])
+    ids = np.array([v for v, _ in emb])
+    cents = x[np.argsort(ids)[:8]].copy()
+    for rnd in range(2):
+        d2 = np.round(
+            ((x[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2), 6
+        )
+        cid = d2.argmin(axis=1)  # argmin takes the lowest index on ties
+        if rnd == 0:
+            cents = np.array(
+                [
+                    np.round(x[cid == c].mean(axis=0), 6)
+                    for c in range(8)
+                ]
+            )
+    for c in range(8):
+        members = d2[cid == c, c]
+        assert rows[c]["n_members"] == (cid == c).sum()
+        assert rows[c]["inertia"] == pytest.approx(members.sum(), abs=1e-5)
+        assert rows[c]["centroid_sqnorm"] == pytest.approx(
+            np.round((cents[c] ** 2).sum(), 6), abs=1e-5
+        )
+    assert sum(r["n_members"] for r in rows.values()) == len(x)
