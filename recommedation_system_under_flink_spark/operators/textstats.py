@@ -2136,3 +2136,127 @@ def ts_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= RAKE_TOP_N)
         .select("doc_id", "phrase", "n_words", "n_occurrences", "score", "rnk")
     )
+
+
+# ------------------------------- Kneser-Ney bigram LM (absolute discount)
+
+#: Absolute discount mass moved from seen bigrams to the continuation
+#: distribution. 0.75 is the classic KN default.
+KN_DISCOUNT = 0.75
+
+
+@register(
+    "ts_kneser_ney_logprob",
+    f"""WITH base AS (SELECT doc_id, {_TOKENS_SQL} AS ts FROM documents),
+grams AS (
+  SELECT doc_id, ts[i] AS w1, ts[i + 1] AS w2
+  FROM base, LATERAL (SELECT unnest(generate_series(1, len(ts) - 1)) AS i)
+),
+bi AS (SELECT w1, w2, COUNT(*) AS c2 FROM grams GROUP BY w1, w2),
+ctx AS (
+  SELECT w1, CAST(SUM(c2) AS BIGINT) AS cctx,
+         CAST(COUNT(*) AS BIGINT) AS n1p_fwd
+  FROM bi GROUP BY w1
+),
+cont AS (
+  SELECT w2, CAST(COUNT(*) AS BIGINT) AS n1p_prev FROM bi GROUP BY w2
+),
+btypes AS (SELECT CAST(COUNT(*) AS BIGINT) AS bt FROM bi),
+scored AS (
+  SELECT g.doc_id,
+         log2(GREATEST(b.c2 - {KN_DISCOUNT}, 0) / cx.cctx
+              + ({KN_DISCOUNT} * cx.n1p_fwd / cx.cctx)
+                * (CAST(co.n1p_prev AS DOUBLE) / t.bt)) AS lp
+  FROM grams g
+  JOIN bi b ON g.w1 = b.w1 AND g.w2 = b.w2
+  JOIN ctx cx ON g.w1 = cx.w1
+  JOIN cont co ON g.w2 = co.w2
+  CROSS JOIN btypes t
+),
+per_doc AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+         ROUND(SUM(lp) / COUNT(*), 6) AS mean_log2_prob
+  FROM scored GROUP BY doc_id
+)
+SELECT b.doc_id,
+       CAST(COALESCE(p.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+       p.mean_log2_prob,
+       ROUND(POWER(2.0, -p.mean_log2_prob), 4) AS perplexity
+FROM base b LEFT JOIN per_doc p ON b.doc_id = p.doc_id""",
+)
+def ts_kneser_ney_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """**Interpolated Kneser-Ney bigram scoring** — the
+    absolute-discount upgrade of :func:`ts_bigram_lm_perplexity`:
+    ``P(w2|w1) = max(c(w1,w2)−D, 0)/c(w1·) + D·N₁₊(w1,·)/c(w1·) ·
+    N₁₊(·,w2)/|bigram types|``. Where Jelinek-Mercer backs off to raw
+    unigram frequency, KN backs off to the *continuation* probability
+    (in how many distinct contexts does w2 appear?) — the reason
+    "francisco" scores low outside "san francisco" even though it is
+    frequent. The canonical n-gram smoothing for LM-based data
+    filters.
+
+    Same plan shape as the JM filter: |vocab|-keyed model aggregates
+    (here also the distinct-successor/predecessor counts, which are
+    plain COUNT(*) over the bigram-type table), three token-keyed hash
+    joins to score, one doc_id reduce. Per-term probability is a few
+    IEEE ops on exact integer counts; the 6-dp mean round absorbs log
+    ulp and sum order."""
+    docs = load_raw(spark, sf_dir, "documents")
+    base = docs.select("doc_id", _tokens(F.col("text")).alias("ts"))
+    grams = base.select(
+        "doc_id",
+        F.explode(
+            F.when(
+                F.size("ts") >= 2,
+                F.expr(
+                    "transform(sequence(1, size(ts) - 1),"
+                    " i -> struct(element_at(ts, i) AS w1,"
+                    "             element_at(ts, i + 1) AS w2))"
+                ),
+            ).otherwise(
+                F.expr("array()").cast("array<struct<w1:string,w2:string>>")
+            )
+        ).alias("g"),
+    ).select("doc_id", "g.w1", "g.w2")
+    bi = grams.groupBy("w1", "w2").agg(F.count("*").alias("c2"))
+    ctx = bi.groupBy("w1").agg(
+        F.sum("c2").cast("long").alias("cctx"),
+        F.count("*").cast("long").alias("n1p_fwd"),
+    )
+    cont = bi.groupBy("w2").agg(
+        F.count("*").cast("long").alias("n1p_prev")
+    )
+    btypes = bi.agg(F.count("*").cast("long").alias("bt"))
+    d = F.lit(KN_DISCOUNT)
+    scored = (
+        grams.join(bi, ["w1", "w2"])
+        .join(ctx, "w1")
+        .join(cont, "w2")
+        .crossJoin(F.broadcast(btypes))
+        .select(
+            "doc_id",
+            F.log2(
+                F.greatest(F.col("c2") - d, F.lit(0.0)) / F.col("cctx")
+                + (d * F.col("n1p_fwd") / F.col("cctx"))
+                * (F.col("n1p_prev").cast("double") / F.col("bt"))
+            ).alias("lp"),
+        )
+    )
+    per_doc = scored.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_bigrams"),
+        F.round(F.sum("lp") / F.count("*"), 6).alias("mean_log2_prob"),
+    )
+    return (
+        base.select("doc_id")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_bigrams"), F.lit(0))
+            .cast("long")
+            .alias("n_bigrams"),
+            F.col("mean_log2_prob"),
+            F.round(F.pow(F.lit(2.0), -F.col("mean_log2_prob")), 4).alias(
+                "perplexity"
+            ),
+        )
+    )

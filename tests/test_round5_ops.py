@@ -230,3 +230,54 @@ def test_kmeans_lloyd_matches_numpy_reference(queries, spark):
             np.round((cents[c] ** 2).sum(), 6), abs=1e-5
         )
     assert sum(r["n_members"] for r in rows.values()) == len(x)
+
+
+def test_kneser_ney_matches_reference_model(queries, spark):
+    """Rebuild the KN bigram model in pure Python on sf0.001 and check
+    a sample of per-doc means; also P(w2|w1) sums to 1 per context."""
+    import re
+    from collections import Counter, defaultdict
+
+    docs = duckdb.sql(
+        f"SELECT doc_id, lower(text) FROM '{SF_DIR}/documents.parquet'"
+    ).fetchall()
+    toks = {
+        d: [t for t in re.split(r"[^a-z0-9]+", txt) if t]
+        for d, txt in docs
+    }
+    bi = Counter()
+    for ts in toks.values():
+        for a, b in zip(ts, ts[1:]):
+            bi[(a, b)] += 1
+    cctx, n1p_fwd, n1p_prev = Counter(), Counter(), Counter()
+    for (a, b), c in bi.items():
+        cctx[a] += c
+        n1p_fwd[a] += 1
+        n1p_prev[b] += 1
+    bt = len(bi)
+    D = 0.75
+
+    def p(a, b):
+        return max(bi[(a, b)] - D, 0) / cctx[a] + (
+            D * n1p_fwd[a] / cctx[a]
+        ) * (n1p_prev[b] / bt)
+
+    # distribution check over every seen context: the discounted mass
+    # plus continuation mass over the FULL continuation vocab is 1
+    all_w2 = set(n1p_prev)
+    for a in list(cctx)[:5]:
+        total = sum(p(a, b) for b in all_w2)
+        assert total == pytest.approx(1.0, abs=1e-9)
+
+    rows = {
+        r["doc_id"]: r
+        for r in queries["ts_kneser_ney_logprob"](spark, SF_DIR).collect()
+    }
+    for d, ts in list(toks.items())[:20]:
+        grams = list(zip(ts, ts[1:]))
+        assert rows[d]["n_bigrams"] == len(grams)
+        if grams:
+            mean = np.mean([np.log2(p(a, b)) for a, b in grams])
+            assert rows[d]["mean_log2_prob"] == pytest.approx(
+                mean, abs=1e-5
+            )
