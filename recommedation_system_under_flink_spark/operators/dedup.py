@@ -1254,3 +1254,171 @@ def dedup_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("novelty"),
         )
     )
+
+
+# ------------------------------------------------ winnowing fingerprints
+
+#: Winnowing window: one fingerprint is guaranteed out of every
+#: WINNOW_W consecutive shingle hashes (MOSS / Schleimer et al. 2003).
+WINNOW_W = 4
+#: Minimum shared fingerprints for a reported candidate span match.
+WINNOW_MIN_SHARED = 3
+#: Position packing: key = h·2^20 + (2^20−1−pos). Caps positions at
+#: 2^20 shingles per document — beyond that, chunk first (the corpus
+#: pipeline does anyway).
+_WIN_POS_BITS = 20
+_WIN_POS_CAP = (1 << _WIN_POS_BITS) - 1
+
+
+@register(
+    "dedup_winnowing",
+    f"""WITH toks AS (
+  SELECT doc_id, list_filter(
+    string_split_regex(lower(text), '{TOKEN_SPLIT_REGEX}'), t -> t <> '')
+    AS ts
+  FROM documents
+), possh AS (
+  SELECT doc_id, i AS pos, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]
+           AS shingle
+  FROM (SELECT doc_id, ts, generate_subscripts(ts, 1) AS i FROM toks)
+  WHERE i <= len(ts) - {SHINGLE_N - 1}
+), hashed AS (
+  SELECT doc_id, pos,
+         ({_SHINGLE_X_SQL}) * {1 << _WIN_POS_BITS}
+           + ({_WIN_POS_CAP} - pos) AS key,
+         COUNT(*) OVER (PARTITION BY doc_id) AS n_sh
+  FROM possh
+), wins AS (
+  SELECT doc_id,
+         MIN(key) OVER (PARTITION BY doc_id ORDER BY pos
+                        ROWS BETWEEN CURRENT ROW
+                        AND {WINNOW_W - 1} FOLLOWING) AS sel
+  FROM hashed
+  QUALIFY pos <= n_sh - {WINNOW_W - 1}
+), fp AS (
+  SELECT DISTINCT doc_id,
+         sel // {1 << _WIN_POS_BITS} AS fp_hash,
+         {_WIN_POS_CAP} - (sel % {1 << _WIN_POS_BITS}) AS fp_pos
+  FROM wins
+), counts AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_fp FROM fp GROUP BY doc_id
+), pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         CAST(COUNT(*) AS BIGINT) AS n_shared
+  FROM (SELECT DISTINCT doc_id, fp_hash FROM fp) a
+  JOIN (SELECT DISTINCT doc_id, fp_hash FROM fp) b
+    ON a.fp_hash = b.fp_hash AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT p.doc_a, p.doc_b, p.n_shared,
+       ca.n_fp AS n_fp_a, cb.n_fp AS n_fp_b,
+       ROUND(CAST(p.n_shared AS DOUBLE) / LEAST(ca.n_fp, cb.n_fp), 6)
+         AS containment
+FROM pairs p
+JOIN counts ca ON ca.doc_id = p.doc_a
+JOIN counts cb ON cb.doc_id = p.doc_b
+WHERE p.n_shared >= {WINNOW_MIN_SHARED}""",
+)
+def dedup_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """**Winnowing span-level dedup** (Schleimer/Wilkerson/Aiken 2003 —
+    the MOSS algorithm): sub-document copy detection, the granularity
+    the doc-level MinHash/SimHash family can't see. Each document's
+    3-token shingle hashes are *winnowed* — from every window of
+    ``WINNOW_W`` consecutive hashes keep the minimum, rightmost on
+    ties — guaranteeing any shared run of ≥ W+shingle−1 tokens shares
+    at least one selected fingerprint, while storing only ~2/(W+1) of
+    all shingles. Docs sharing ≥ 3 fingerprints report as candidate
+    span matches with a containment score.
+
+    Determinism trick: the (hash, rightmost-pos) window minimum packs
+    into ONE integer key — ``h·2²⁰ + (2²⁰−1−pos)`` — so both engines
+    run an identical plain ``MIN`` frame; no struct ordering, no
+    argmin semantics to align.
+
+    Scale: selection is a doc-bounded window over the shingle stream
+    (one shuffle on doc_id); matching joins on fp_hash — bucketed
+    candidate generation like LSH, never all-pairs. The stored index
+    is the winnowed ~2/(W+1) fraction of shingles, which is the whole
+    point of the algorithm at 100 TB."""
+    from pyspark.sql import Window
+
+    docs = load_raw(spark, sf_dir, "documents")
+    toks = F.filter(
+        F.split(F.lower(F.col("text")), TOKEN_SPLIT_REGEX), lambda t: t != ""
+    )
+    tok_df = docs.select("doc_id", toks.alias("ts"))
+    sh = F.when(
+        F.size("ts") >= SHINGLE_N,
+        F.transform(
+            F.sequence(F.lit(0), F.size("ts") - SHINGLE_N),
+            lambda i: F.concat_ws(
+                " ",
+                *[
+                    F.element_at(F.col("ts"), i + k + 1)
+                    for k in range(SHINGLE_N)
+                ],
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    possh = tok_df.select(
+        "doc_id", F.posexplode(sh).alias("pos0", "shingle")
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "shingle")
+    key = _shingle_x(F.col("shingle")) * (1 << _WIN_POS_BITS) + (
+        _WIN_POS_CAP - F.col("pos")
+    )
+    hashed = possh.select(
+        "doc_id",
+        "pos",
+        key.alias("key"),
+        F.count("*").over(Window.partitionBy("doc_id")).alias("n_sh"),
+    )
+    wsel = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(0, WINNOW_W - 1)
+    )
+    wins = hashed.withColumn("sel", F.min("key").over(wsel)).filter(
+        F.col("pos") <= F.col("n_sh") - (WINNOW_W - 1)
+    )
+    fp = wins.select(
+        "doc_id",
+        (F.col("sel") / (1 << _WIN_POS_BITS)).cast("long").alias("fp_hash"),
+        (_WIN_POS_CAP - F.col("sel") % (1 << _WIN_POS_BITS)).alias("fp_pos"),
+    ).distinct()
+    counts = fp.groupBy("doc_id").agg(F.count("*").cast("long").alias("n_fp"))
+    fph = fp.select("doc_id", "fp_hash").distinct()
+    a = fph.select(
+        F.col("doc_id").alias("doc_a"), F.col("fp_hash").alias("h")
+    )
+    b = fph.select(
+        F.col("doc_id").alias("doc_b"), F.col("fp_hash").alias("h")
+    )
+    pairs = (
+        a.join(b, "h")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").cast("long").alias("n_shared"))
+        .filter(F.col("n_shared") >= WINNOW_MIN_SHARED)
+    )
+    ca = counts.select(
+        F.col("doc_id").alias("doc_a"), F.col("n_fp").alias("n_fp_a")
+    )
+    cb = counts.select(
+        F.col("doc_id").alias("doc_b"), F.col("n_fp").alias("n_fp_b")
+    )
+    return (
+        pairs.join(ca, "doc_a")
+        .join(cb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_shared",
+            "n_fp_a",
+            "n_fp_b",
+            F.round(
+                F.col("n_shared").cast("double")
+                / F.least(F.col("n_fp_a"), F.col("n_fp_b")),
+                6,
+            ).alias("containment"),
+        )
+    )

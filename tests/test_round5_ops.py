@@ -281,3 +281,70 @@ def test_kneser_ney_matches_reference_model(queries, spark):
             assert rows[d]["mean_log2_prob"] == pytest.approx(
                 mean, abs=1e-5
             )
+
+
+def test_winnowing_guarantee_and_python_replay(queries, spark):
+    """Replay winnowing in pure Python on sf0.001: selected fingerprint
+    sets must match exactly, and every window of W consecutive shingle
+    hashes must contain >= 1 selected position (the MOSS guarantee)."""
+    import hashlib
+    import re
+
+    from recommedation_system_under_flink_spark.operators.dedup import (
+        SHINGLE_N,
+        WINNOW_MIN_SHARED,
+        WINNOW_W,
+        _MH_P,
+    )
+
+    docs = duckdb.sql(
+        f"SELECT doc_id, lower(text) FROM '{SF_DIR}/documents.parquet'"
+    ).fetchall()
+
+    def hsh(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16) % _MH_P
+
+    fps = {}
+    for d, txt in docs:
+        ts = [t for t in re.split(r"[^a-z0-9]+", txt) if t]
+        sh = [
+            " ".join(ts[i : i + SHINGLE_N])
+            for i in range(len(ts) - SHINGLE_N + 1)
+        ]
+        hs = [hsh(s) for s in sh]
+        sel = set()
+        for j in range(len(hs) - WINNOW_W + 1):
+            win = hs[j : j + WINNOW_W]
+            m = min(win)
+            # rightmost minimum within the window
+            p = j + max(i for i, h in enumerate(win) if h == m)
+            sel.add((hs[p], p + 1))
+            assert any(
+                (hs[q], q + 1) in sel for q in range(j, j + WINNOW_W)
+            )
+        fps[d] = sel
+
+    # pair counts from the replay == operator output
+    from collections import Counter
+
+    shared = Counter()
+    byhash = {}
+    for d, sel in fps.items():
+        for h in {h for h, _ in sel}:
+            byhash.setdefault(h, set()).add(d)
+    for h, ds in byhash.items():
+        ds = sorted(ds)
+        for i in range(len(ds)):
+            for j in range(i + 1, len(ds)):
+                shared[(ds[i], ds[j])] += 1
+    expect = {
+        k: v for k, v in shared.items() if v >= WINNOW_MIN_SHARED
+    }
+    got = {
+        (r["doc_a"], r["doc_b"]): r["n_shared"]
+        for r in queries["dedup_winnowing"](spark, SF_DIR).collect()
+    }
+    assert got == expect
+    for (da, db), n in got.items():
+        lo = min(len({h for h, _ in fps[da]}), len({h for h, _ in fps[db]}))
+        assert 0 < n <= lo
