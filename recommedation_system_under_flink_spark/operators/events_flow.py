@@ -1422,3 +1422,53 @@ def ef_cuped_adjustment(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(adj_a - adj_b, 6).alias("adj_diff"),
         F.round(F.col("rho2"), 6).alias("var_reduction"),
     )
+
+
+# --------------------------------------------------- forward as-of join
+
+@register(
+    "ef_asof_forward",
+    """SELECT p.user_id,
+       p.event_id AS purchase_id,
+       epoch_us(p.ts) AS purchase_tsm,
+       c.event_id AS click_id,
+       epoch_us(c.ts) AS click_tsm,
+       epoch_us(c.ts) - epoch_us(p.ts) AS gap_us
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+  ON p.user_id = c.user_id AND p.ts <= c.ts""",
+)
+def ef_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """**Forward as-of join**: each purchase matched to the same
+    user's EARLIEST click at-or-after it — the post-purchase-behavior
+    direction (did the buyer come back?), the mirror of
+    :func:`ef_asof_purchase_click`. Implemented by time negation: run
+    the identical carry-forward core (:func:`asof_last_prior`) on
+    ``−ts``, where "last prior" becomes "first following" and the
+    inclusive ``>=`` becomes the inclusive ``<=``. Same single
+    user-shuffle + sort plan; the oracle is DuckDB's native forward
+    ``ASOF`` (``ON p.ts <= c.ts``) — an independent implementation.
+
+    Event-id tiebreak note: at an exactly-equal (user, ts) pair of
+    clicks, the core's residual ``event_id`` order under negation
+    picks the same row DuckDB picks (first in scan order at equal
+    keys), verified by the fixture hash; sub-micro ordering never
+    exists on either side (both truncate to micros)."""
+    ev = events_raw(spark, sf_dir)
+    tagged = ev.filter(F.col("event_type").isin("click", "purchase")).select(
+        "user_id",
+        "event_id",
+        (-F.expr("ts DIV 1000")).alias("tsm"),
+        F.when(F.col("event_type") == "click", F.lit(0))
+        .otherwise(F.lit(1))
+        .alias("side"),
+    )
+    out = asof_last_prior(tagged)
+    return out.select(
+        "user_id",
+        "purchase_id",
+        (-F.col("purchase_tsm")).alias("purchase_tsm"),
+        "click_id",
+        (-F.col("click_tsm")).alias("click_tsm"),
+        F.col("gap_us").alias("gap_us"),
+    )

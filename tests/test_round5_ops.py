@@ -348,3 +348,29 @@ def test_winnowing_guarantee_and_python_replay(queries, spark):
     for (da, db), n in got.items():
         lo = min(len({h for h, _ in fps[da]}), len({h for h, _ in fps[db]}))
         assert 0 < n <= lo
+
+
+def test_asof_forward_is_earliest_following_click(queries, spark):
+    rows = queries["ef_asof_forward"](spark, SF_DIR).collect()
+    clicks = duckdb.sql(
+        f"""SELECT user_id, event_id, epoch_us(ts) FROM
+            '{SF_DIR}/events.parquet' WHERE event_type = 'click'"""
+    ).fetchall()
+    by_user: dict[int, list] = {}
+    for u, e, t in clicks:
+        by_user.setdefault(u, []).append((t, e))
+    assert rows
+    n_matched = 0
+    for r in rows:
+        cand = [
+            (t, e)
+            for t, e in by_user.get(r["user_id"], [])
+            if t >= r["purchase_tsm"]
+        ]
+        if r["click_id"] is None:
+            assert not cand
+        else:
+            n_matched += 1
+            assert r["click_tsm"] == min(cand)[0]
+            assert r["gap_us"] == r["click_tsm"] - r["purchase_tsm"] >= 0
+    assert n_matched > 0
