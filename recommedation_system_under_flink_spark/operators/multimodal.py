@@ -361,3 +361,90 @@ def mm_patch_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_patches.alias("n_patches"),
         (n_patches + 1).alias("seq_len"),
     )
+
+
+# --------------------------------------------------- audio window plan
+
+#: STFT-style framing geometry: 16 kHz mono int16, 1024-sample windows,
+#: 512-sample hop (50% overlap) — the standard spectrogram layout.
+AUDIO_SR = 16_000
+AUDIO_WIN = 1024
+AUDIO_HOP = 512
+#: Frames materialized per clip in the plan demo (decoders pull the
+#: rest by offset arithmetic; the cap keeps the fan-out bounded, like
+#: the 1-fps video cap).
+AUDIO_MAX_FRAMES = 8
+
+
+@register(
+    "mm_audio_window_plan",
+    f"""WITH {_MEDIA_CTE},
+clips AS (
+  SELECT media_id,
+         duration_ms * {AUDIO_SR} // 1000 AS n_samples
+  FROM media WHERE modality = 'audio'
+),
+geom AS (
+  SELECT media_id, n_samples,
+         CASE WHEN n_samples >= {AUDIO_WIN}
+              THEN 1 + (n_samples - {AUDIO_WIN}) // {AUDIO_HOP}
+              ELSE 1 END AS n_frames_total
+  FROM clips
+)
+SELECT media_id, n_samples, n_frames_total,
+       CAST(frame_idx AS BIGINT) AS frame_idx,
+       CAST(frame_idx * {AUDIO_HOP} AS BIGINT) AS start_sample,
+       CAST(frame_idx * {AUDIO_HOP} * 2 AS BIGINT) AS start_byte,
+       CAST(frame_idx * {AUDIO_HOP} + {AUDIO_WIN} > n_samples AS BOOLEAN)
+         AS needs_padding
+FROM (
+  SELECT media_id, n_samples, n_frames_total,
+         unnest(range(0, CAST(LEAST(n_frames_total, {AUDIO_MAX_FRAMES})
+                              AS BIGINT))) AS frame_idx
+  FROM geom
+)""",
+)
+def mm_audio_window_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """**Audio framing plan** — the spectrogram-geometry mirror of the
+    video :func:`mm_frame_plan` and the image patch grid: each audio
+    clip's metadata (duration → 16 kHz mono int16 sample count) lays
+    out 1024-sample windows at 512-sample hop; one row per planned
+    frame with its sample/byte offset and a tail-padding flag. The
+    decoder stage then reads ``payload[start_byte : start_byte+2048]``
+    per row inside ``mapInPandas`` — offsets computed relationally,
+    bytes touched only in the Arrow-batched decode.
+
+    All integer arithmetic (floor division pinned on both engines);
+    fan-out bounded by ``AUDIO_MAX_FRAMES``. Payload is never read —
+    column pruning drops it from this scan entirely."""
+    m = media(spark, sf_dir).filter(F.col("modality") == "audio")
+    n_samples = (F.col("meta.duration_ms") * AUDIO_SR / 1000).cast("long")
+    clips = m.select("media_id", n_samples.alias("n_samples"))
+    n_frames_total = F.when(
+        F.col("n_samples") >= AUDIO_WIN,
+        1 + ((F.col("n_samples") - AUDIO_WIN) / AUDIO_HOP).cast("long"),
+    ).otherwise(F.lit(1))
+    geom = clips.withColumn("n_frames_total", n_frames_total)
+    return geom.select(
+        "media_id",
+        "n_samples",
+        "n_frames_total",
+        F.explode(
+            F.sequence(
+                F.lit(0).cast("long"),
+                F.least(F.col("n_frames_total"), F.lit(AUDIO_MAX_FRAMES))
+                .cast("long")
+                - 1,
+            )
+        ).alias("frame_idx"),
+    ).select(
+        "media_id",
+        "n_samples",
+        "n_frames_total",
+        "frame_idx",
+        (F.col("frame_idx") * AUDIO_HOP).cast("long").alias("start_sample"),
+        (F.col("frame_idx") * AUDIO_HOP * 2).cast("long").alias("start_byte"),
+        (F.col("frame_idx") * AUDIO_HOP + AUDIO_WIN > F.col("n_samples")).alias(
+            "needs_padding"
+        ),
+    )

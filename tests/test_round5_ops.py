@@ -374,3 +374,35 @@ def test_asof_forward_is_earliest_following_click(queries, spark):
             assert r["click_tsm"] == min(cand)[0]
             assert r["gap_us"] == r["click_tsm"] - r["purchase_tsm"] >= 0
     assert n_matched > 0
+
+
+def test_audio_window_plan_geometry(queries, spark):
+    from recommedation_system_under_flink_spark.operators.multimodal import (
+        AUDIO_HOP,
+        AUDIO_MAX_FRAMES,
+        AUDIO_WIN,
+    )
+
+    rows = queries["mm_audio_window_plan"](spark, SF_DIR).collect()
+    assert rows
+    by_clip: dict[int, list] = {}
+    for r in rows:
+        by_clip.setdefault(r["media_id"], []).append(r)
+    for clip, rs in by_clip.items():
+        rs.sort(key=lambda r: r["frame_idx"])
+        n = rs[0]["n_samples"]
+        total = rs[0]["n_frames_total"]
+        assert total == (1 + (n - AUDIO_WIN) // AUDIO_HOP if n >= AUDIO_WIN else 1)
+        assert len(rs) == min(total, AUDIO_MAX_FRAMES)
+        for r in rs:
+            assert r["start_byte"] == r["start_sample"] * 2
+            assert r["start_sample"] == r["frame_idx"] * AUDIO_HOP
+            assert r["needs_padding"] == (
+                r["start_sample"] + AUDIO_WIN > n
+            )
+        # every fully-covered window is unpadded; padding only at tail
+        padded = [r["frame_idx"] for r in rs if r["needs_padding"]]
+        if padded:
+            assert padded == list(
+                range(min(padded), rs[-1]["frame_idx"] + 1)
+            )
