@@ -1460,3 +1460,116 @@ def ev_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
             (tsum + F.max("k") * v_low + F.max("k") * v_high) / F.max("n"), 6
         ).alias("winsorized_mean"),
     )
+
+
+# ---------------------------------------------- Theil-Sen robust trend
+
+@register(
+    "ev_theil_sen",
+    """WITH daily AS (
+  SELECT CAST(ts AS DATE) AS date, CAST(COUNT(*) AS BIGINT) AS n
+  FROM events WHERE event_type = 'click' GROUP BY 1
+), idx AS (
+  SELECT n, CAST(ROW_NUMBER() OVER (ORDER BY date) - 1 AS BIGINT) AS x
+  FROM daily
+), pairs AS (
+  SELECT a.x AS xi, b.x AS xj,
+         (b.n - a.n) * 1.0 / (b.x - a.x) AS sl
+  FROM idx a JOIN idx b ON b.x > a.x
+), ms AS (
+  SELECT sl, ROW_NUMBER() OVER (ORDER BY sl, xi, xj) AS rn,
+         COUNT(*) OVER () AS m
+  FROM pairs
+), med AS (
+  SELECT AVG(sl) AS slope FROM ms
+  WHERE rn IN ((m + 1) // 2, (m + 2) // 2)
+), res AS (
+  SELECT i.n - med.slope * i.x AS r, i.x FROM idx i CROSS JOIN med
+), mr AS (
+  SELECT r, ROW_NUMBER() OVER (ORDER BY r, x) AS rn,
+         COUNT(*) OVER () AS c
+  FROM res
+), imed AS (
+  SELECT AVG(r) AS icpt FROM mr WHERE rn IN ((c + 1) // 2, (c + 2) // 2)
+)
+SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM idx) AS n_days,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM pairs) AS n_pairs,
+       ROUND(med.slope, 6) AS ts_slope,
+       ROUND(imed.icpt, 6) AS ts_intercept
+FROM med CROSS JOIN imed""",
+)
+def ev_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """**Theil-Sen robust trend** over daily click volume — the median
+    of all pairwise slopes, with intercept as the median residual at
+    that slope. The breakdown-resistant companion of
+    :func:`ev_daily_trend_ols`: one corrupted day (outage, bot storm)
+    drags OLS but moves a median of ~n²/2 slopes almost nowhere.
+
+    Bounded by construction: the pair relation is |days|² over the
+    PRE-AGGREGATED daily series (30 days → 435 pairs), so the global
+    median windows run on a tiny relation — same
+    aggregate-first-then-window discipline as the trimmed mean.
+    Slopes are ratios of exact integers (identical doubles both
+    engines); medians select by deterministic (value, pair) order and
+    average at most two identical doubles. One row out."""
+    from pyspark.sql import Window
+
+    from ..sources.tables import ts_date
+
+    ev = events_raw(spark, sf_dir)
+    daily = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy(ts_date().alias("date"))
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+    idx = daily.select(
+        "n",
+        (F.row_number().over(Window.orderBy("date")) - 1)
+        .cast("long")
+        .alias("x"),
+    )
+    a = idx.select(F.col("x").alias("xi"), F.col("n").alias("ni"))
+    b = idx.select(F.col("x").alias("xj"), F.col("n").alias("nj"))
+    pairs = a.join(b, F.col("xj") > F.col("xi")).select(
+        "xi",
+        "xj",
+        ((F.col("nj") - F.col("ni")) * 1.0 / (F.col("xj") - F.col("xi"))).alias(
+            "sl"
+        ),
+    )
+    wm = Window.orderBy("sl", "xi", "xj")
+    ms = pairs.select(
+        "sl",
+        F.row_number().over(wm).alias("rn"),
+        F.count("*").over(Window.partitionBy()).alias("m"),
+    )
+    med = ms.filter(
+        (F.col("rn") == F.expr("(m + 1) DIV 2"))
+        | (F.col("rn") == F.expr("(m + 2) DIV 2"))
+    ).agg(F.avg("sl").alias("slope"))
+    res = idx.crossJoin(F.broadcast(med)).select(
+        (F.col("n") - F.col("slope") * F.col("x")).alias("r"), "x"
+    )
+    wr = Window.orderBy("r", "x")
+    mr = res.select(
+        "r",
+        F.row_number().over(wr).alias("rn"),
+        F.count("*").over(Window.partitionBy()).alias("c"),
+    )
+    imed = mr.filter(
+        (F.col("rn") == F.expr("(c + 1) DIV 2"))
+        | (F.col("rn") == F.expr("(c + 2) DIV 2"))
+    ).agg(F.avg("r").alias("icpt"))
+    n_days = idx.agg(F.count("*").cast("long").alias("n_days"))
+    n_pairs = pairs.agg(F.count("*").cast("long").alias("n_pairs"))
+    return (
+        n_days.crossJoin(F.broadcast(n_pairs))
+        .crossJoin(F.broadcast(med))
+        .crossJoin(F.broadcast(imed))
+        .select(
+            "n_days",
+            "n_pairs",
+            F.round(F.col("slope"), 6).alias("ts_slope"),
+            F.round(F.col("icpt"), 6).alias("ts_intercept"),
+        )
+    )

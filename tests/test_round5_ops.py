@@ -406,3 +406,40 @@ def test_audio_window_plan_geometry(queries, spark):
             assert padded == list(
                 range(min(padded), rs[-1]["frame_idx"] + 1)
             )
+
+
+def test_theil_sen_matches_numpy_and_resists_outliers(queries, spark):
+    row = queries["ev_theil_sen"](spark, SF_DIR).collect()[0]
+    daily = duckdb.sql(
+        f"""SELECT CAST(ts AS DATE) AS d, COUNT(*) AS n
+            FROM '{SF_DIR}/events.parquet'
+            WHERE event_type = 'click' GROUP BY 1 ORDER BY 1"""
+    ).fetchall()
+    y = np.array([n for _, n in daily], dtype=float)
+    x = np.arange(len(y), dtype=float)
+    slopes = [
+        (y[j] - y[i]) / (x[j] - x[i])
+        for i in range(len(y))
+        for j in range(i + 1, len(y))
+    ]
+    slope = float(np.median(slopes))
+    icpt = float(np.median(y - slope * x))
+    assert row["n_days"] == len(y)
+    assert row["n_pairs"] == len(slopes)
+    assert row["ts_slope"] == pytest.approx(slope, abs=1e-6)
+    assert row["ts_intercept"] == pytest.approx(icpt, abs=1e-6)
+    # robustness: one massive outlier day barely moves the TS slope
+    y2 = y.copy()
+    y2[len(y2) // 2] *= 100
+    s2 = float(
+        np.median(
+            [
+                (y2[j] - y2[i]) / (x[j] - x[i])
+                for i in range(len(y2))
+                for j in range(i + 1, len(y2))
+            ]
+        )
+    )
+    ols = np.polyfit(x, y, 1)[0]
+    ols2 = np.polyfit(x, y2, 1)[0]
+    assert abs(s2 - slope) < abs(ols2 - ols)
