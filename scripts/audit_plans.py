@@ -52,6 +52,7 @@ EXPECTED_CARTESIAN = {
     "j7_extractor_agreement": "inherits a5's 1-row scalar broadcast (via a8)",
     "ts_unigram_logprob": "1-row corpus-total scalar broadcast",
     "ts_bigram_lm_perplexity": "1-row corpus-total scalar broadcast",
+    "ts_kneser_ney_logprob": "1-row bigram-type-total scalar broadcast",
     "ts_term_drift": "1-row old/new totals scalar broadcast",
     "j6_rec_coverage": "three 1-row diagnostic aggregates cross-joined",
     "j3_scored_join_salted": "inherits a5's 1-row scalar broadcast",
