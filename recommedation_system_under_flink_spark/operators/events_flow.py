@@ -1472,3 +1472,261 @@ def ef_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
         (-F.col("click_tsm")).alias("click_tsm"),
         F.col("gap_us").alias("gap_us"),
     )
+
+
+# ------------------------------- Markov removal-effect attribution
+
+#: Channel count (clicked news bucketed to M marketing "channels"),
+#: absorbing-state codes, and the fixed absorption horizon 2^SQUARINGS.
+MARKOV_CHANNELS = 4
+_MK_START, _MK_CONV, _MK_NULL = 100, 101, 102
+MARKOV_SQUARINGS = 7  # P^128
+
+
+def _mk_variant_sql(tag: str, removed: int | None) -> str:
+    """CTE chain for one chain variant: the (optionally channel-removed)
+    transition matrix and its MARKOV_SQUARINGS unrolled squarings."""
+    if removed is None:
+        head = f"{tag}_0 AS MATERIALIZED (SELECT i, j, p FROM m0)"
+    else:
+        head = f"""{tag}_0 AS MATERIALIZED (
+  SELECT i, jj AS j, SUM(p) AS p FROM (
+    SELECT i, CASE WHEN j = {removed} THEN {_MK_NULL} ELSE j END AS jj, p
+    FROM m0 WHERE i <> {removed}
+  ) GROUP BY i, jj
+)"""
+    sqs = ",\n".join(
+        f"""{tag}_{k + 1} AS MATERIALIZED (
+  SELECT a.i, b.j, ROUND(SUM(a.p * b.p), 9) AS p
+  FROM {tag}_{k} a JOIN {tag}_{k} b ON a.j = b.i GROUP BY a.i, b.j
+)"""
+        for k in range(MARKOV_SQUARINGS)
+    )
+    sel = (
+        f"{tag}_s AS (SELECT COALESCE(MAX(CASE WHEN i = {_MK_START} AND "
+        f"j = {_MK_CONV} THEN p END), 0) AS pconv "
+        f"FROM {tag}_{MARKOV_SQUARINGS})"
+    )
+    return ",\n".join([head, sqs, sel])
+
+
+def _mk_oracle() -> str:
+    variants = [_mk_variant_sql("mb", None)] + [
+        _mk_variant_sql(f"mr{c}", c) for c in range(MARKOV_CHANNELS)
+    ]
+    rows = "\nUNION ALL\n".join(
+        f"SELECT {c} AS channel, (SELECT pconv FROM mb_s) AS base_conv_prob,"
+        f" (SELECT pconv FROM mr{c}_s) AS rm_conv_prob"
+        for c in range(MARKOV_CHANNELS)
+    )
+    return f"""WITH clicks AS (
+  SELECT user_id, epoch_us(ts) AS t, event_id,
+         CAST((event_id % {NEWS_MOD}) % {MARKOV_CHANNELS} AS BIGINT) AS ch
+  FROM events WHERE event_type = 'click'
+), lastp AS (
+  SELECT user_id, MAX(epoch_us(ts)) AS pt FROM events
+  WHERE event_type = 'purchase' GROUP BY user_id
+), seq AS (
+  SELECT user_id, ch, t, event_id,
+         lead(ch) OVER (PARTITION BY user_id ORDER BY t, event_id) AS nxt,
+         row_number() OVER (PARTITION BY user_id ORDER BY t, event_id) AS rn,
+         MAX(t) OVER (PARTITION BY user_id) AS last_t
+  FROM clicks
+), conv AS (
+  SELECT s.user_id,
+         CASE WHEN lp.pt > s.last_t THEN {_MK_CONV} ELSE {_MK_NULL} END
+           AS term
+  FROM (SELECT DISTINCT user_id, last_t FROM seq) s
+  LEFT JOIN lastp lp ON lp.user_id = s.user_id
+), edges AS (
+  SELECT {_MK_START} AS src, ch AS dst FROM seq WHERE rn = 1
+  UNION ALL
+  SELECT ch AS src, nxt AS dst FROM seq WHERE nxt IS NOT NULL
+  UNION ALL
+  SELECT s.ch AS src, c.term AS dst
+  FROM seq s JOIN conv c ON s.user_id = c.user_id WHERE s.nxt IS NULL
+), m0 AS MATERIALIZED (
+  SELECT src AS i, dst AS j,
+         CAST(COUNT(*) AS DOUBLE) / SUM(COUNT(*)) OVER (PARTITION BY src)
+           AS p
+  FROM edges GROUP BY src, dst
+  UNION ALL SELECT {_MK_CONV}, {_MK_CONV}, 1.0
+  UNION ALL SELECT {_MK_NULL}, {_MK_NULL}, 1.0
+),
+{",".join(variants)}
+SELECT channel,
+       ROUND(base_conv_prob, 6) AS base_conv_prob,
+       ROUND(rm_conv_prob, 6) AS rm_conv_prob,
+       ROUND(CASE WHEN base_conv_prob = 0 THEN 0.0
+                  ELSE 1 - rm_conv_prob / base_conv_prob END, 6)
+         AS removal_effect
+FROM ({rows})"""
+
+
+def _mk_square(m: DataFrame) -> DataFrame:
+    a = m.select(
+        F.col("i").alias("ai"), F.col("j").alias("aj"), F.col("p").alias("ap")
+    )
+    b = m.select(
+        F.col("i").alias("bi"), F.col("j").alias("bj"), F.col("p").alias("bp")
+    )
+    return (
+        a.join(b, F.col("aj") == F.col("bi"))
+        .groupBy(F.col("ai").alias("i"), F.col("bj").alias("j"))
+        .agg(F.round(F.sum(F.col("ap") * F.col("bp")), 9).alias("p"))
+    )
+
+
+def _mk_pconv(m: DataFrame) -> DataFrame:
+    return m.agg(
+        F.coalesce(
+            F.max(
+                F.when(
+                    (F.col("i") == _MK_START) & (F.col("j") == _MK_CONV),
+                    F.col("p"),
+                )
+            ),
+            F.lit(0.0),
+        ).alias("pconv")
+    )
+
+
+@register("ef_markov_attribution", _mk_oracle())
+def ef_markov_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """**Markov removal-effect attribution** — the data-driven
+    multi-touch model that replaces heuristic position weights
+    (:func:`ef_attribution_position_based`): user click journeys over
+    ``MARKOV_CHANNELS`` channels become a first-order Markov chain
+    (START → channels → CONV/NULL absorbing), and each channel's
+    credit is its *removal effect* — how much the START→CONV
+    absorption probability drops when that channel's states collapse
+    into NULL.
+
+    Absorption probabilities are computed at a fixed 2^7 = 128-step
+    horizon by **unrolled matrix squaring** (P → P² → P⁴ → … → P¹²⁸):
+    seven self-joins of a ≤(M+3)²-row relation per variant, each cell
+    re-quantized at 9 dp so both engines square identical matrices —
+    the same discipline that makes the Lloyd fit verifiable. The whole
+    model (journeys → transition counts → five matrix-power chains →
+    removal effects) is one declarative DAG: transition extraction
+    shuffles once on user_id; everything after is broadcast-sized.
+
+    Output: one row per channel with base/removed conversion
+    probability and the removal effect."""
+    from pyspark.sql import Window
+
+    ev = events_raw(spark, sf_dir)
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id",
+        F.expr("ts DIV 1000").alias("t"),
+        "event_id",
+        ((F.col("event_id") % NEWS_MOD) % MARKOV_CHANNELS)
+        .cast("long")
+        .alias("ch"),
+    )
+    lastp = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.max(F.expr("ts DIV 1000")).alias("pt"))
+    )
+    wseq = Window.partitionBy("user_id").orderBy("t", "event_id")
+    seq = clicks.select(
+        "user_id",
+        "ch",
+        F.lead("ch").over(wseq).alias("nxt"),
+        F.row_number().over(wseq).alias("rn"),
+        F.max("t").over(Window.partitionBy("user_id")).alias("last_t"),
+    )
+    conv = (
+        seq.select("user_id", "last_t")
+        .distinct()
+        .join(lastp, "user_id", "left")
+        .select(
+            "user_id",
+            F.when(F.col("pt") > F.col("last_t"), F.lit(_MK_CONV))
+            .otherwise(F.lit(_MK_NULL))
+            .alias("term"),
+        )
+    )
+    edges = (
+        seq.filter(F.col("rn") == 1)
+        .select(F.lit(_MK_START).alias("src"), F.col("ch").alias("dst"))
+        .unionByName(
+            seq.filter(F.col("nxt").isNotNull()).select(
+                F.col("ch").alias("src"), F.col("nxt").alias("dst")
+            )
+        )
+        .unionByName(
+            seq.filter(F.col("nxt").isNull())
+            .join(conv, "user_id")
+            .select(F.col("ch").alias("src"), F.col("term").alias("dst"))
+        )
+    )
+    wsrc = Window.partitionBy("src")
+    m0 = (
+        edges.groupBy("src", "dst")
+        .agg(F.count("*").alias("c"))
+        .select(
+            F.col("src").alias("i"),
+            F.col("dst").alias("j"),
+            (F.col("c").cast("double") / F.sum("c").over(wsrc)).alias("p"),
+        )
+        .unionByName(
+            spark.createDataFrame(
+                [(_MK_CONV, _MK_CONV, 1.0), (_MK_NULL, _MK_NULL, 1.0)],
+                "i long, j long, p double",
+            )
+        )
+    )
+    from .bsp import checkpoint_result
+
+    m0 = checkpoint_result(m0)  # tiny; cuts the 5 variant chains' lineage
+
+    def chain_pconv(removed: int | None) -> DataFrame:
+        m = m0
+        if removed is not None:
+            m = (
+                m.filter(F.col("i") != removed)
+                .select(
+                    "i",
+                    F.when(F.col("j") == removed, F.lit(_MK_NULL))
+                    .otherwise(F.col("j"))
+                    .alias("j"),
+                    "p",
+                )
+                .groupBy("i", "j")
+                .agg(F.sum("p").alias("p"))
+            )
+        for _ in range(MARKOV_SQUARINGS):
+            # each square is a <=49-row relation; eager-checkpoint it so
+            # the unrolled chain doesn't compound plan depth (Catalyst
+            # analysis cost grows superlinearly in the DAG otherwise)
+            m = checkpoint_result(_mk_square(m))
+        return _mk_pconv(m)
+
+    base = chain_pconv(None)
+    out = None
+    for c in range(MARKOV_CHANNELS):
+        row = (
+            base.select(F.col("pconv").alias("base_conv_prob"))
+            .crossJoin(
+                chain_pconv(c).select(F.col("pconv").alias("rm_conv_prob"))
+            )
+            .select(
+                F.lit(c).cast("long").alias("channel"),
+                "base_conv_prob",
+                "rm_conv_prob",
+            )
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.select(
+        "channel",
+        F.round("base_conv_prob", 6).alias("base_conv_prob"),
+        F.round("rm_conv_prob", 6).alias("rm_conv_prob"),
+        F.round(
+            F.when(F.col("base_conv_prob") == 0, F.lit(0.0)).otherwise(
+                1 - F.col("rm_conv_prob") / F.col("base_conv_prob")
+            ),
+            6,
+        ).alias("removal_effect"),
+    )

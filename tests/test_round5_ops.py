@@ -443,3 +443,80 @@ def test_theil_sen_matches_numpy_and_resists_outliers(queries, spark):
     ols = np.polyfit(x, y, 1)[0]
     ols2 = np.polyfit(x, y2, 1)[0]
     assert abs(s2 - slope) < abs(ols2 - ols)
+
+
+def test_markov_attribution_matches_numpy_linear_solve(queries, spark):
+    """The 128-step matrix-power absorption must agree with the EXACT
+    absorbing-chain solve (I-Q)^-1 R (geometric convergence makes the
+    horizon truncation ~<1e-6 here) and with a numpy P^128 replay."""
+    rows = {
+        r["channel"]: r
+        for r in queries["ef_markov_attribution"](spark, SF_DIR).collect()
+    }
+    assert set(rows) == {0, 1, 2, 3}
+    ev = duckdb.sql(
+        f"""SELECT user_id, epoch_us(ts) AS t, event_id,
+                   (event_id % 500) % 4 AS ch, event_type
+            FROM '{SF_DIR}/events.parquet'
+            WHERE event_type IN ('click', 'purchase')
+            ORDER BY user_id, t, event_id"""
+    ).fetchall()
+    from collections import defaultdict
+
+    journeys = defaultdict(list)
+    last_purchase = {}
+    for u, t, e, ch, typ in ev:
+        if typ == "click":
+            journeys[u].append((t, e, ch))
+        else:
+            last_purchase[u] = max(last_purchase.get(u, 0), t)
+    START, CONV, NULL = 100, 101, 102
+    counts = defaultdict(int)
+    for u, cl in journeys.items():
+        cl.sort()
+        counts[(START, cl[0][2])] += 1
+        for (_, _, a), (_, _, b) in zip(cl, cl[1:]):
+            counts[(a, b)] += 1
+        term = CONV if last_purchase.get(u, 0) > cl[-1][0] else NULL
+        counts[(cl[-1][2], term)] += 1
+    states = [0, 1, 2, 3, START, CONV, NULL]
+    idx = {s: k for k, s in enumerate(states)}
+
+    def build(removed=None):
+        P = np.zeros((7, 7))
+        tot = defaultdict(int)
+        c2 = {}
+        for (a, b), n in counts.items():
+            if removed is not None and a == removed:
+                continue
+            b2 = NULL if b == removed else b
+            c2[(a, b2)] = c2.get((a, b2), 0) + n
+            tot[a] += n
+        for (a, b), n in c2.items():
+            P[idx[a], idx[b]] = n / tot[a]
+        P[idx[CONV], idx[CONV]] = 1.0
+        P[idx[NULL], idx[NULL]] = 1.0
+        return P
+
+    for c in [None, 0, 1, 2, 3]:
+        P = build(c)
+        p16 = np.linalg.matrix_power(P, 128)[idx[START], idx[CONV]]
+        # exact absorption via fundamental matrix
+        trans = [idx[s] for s in [0, 1, 2, 3, START] if s != c]
+        Q = P[np.ix_(trans, trans)]
+        R = P[np.ix_(trans, [idx[CONV]])]
+        exact = (np.linalg.solve(np.eye(len(Q)) - Q, R))[
+            trans.index(idx[START]), 0
+        ]
+        for ch, r in rows.items():
+            got = r["base_conv_prob"] if c is None else None
+            if c == ch:
+                got = r["rm_conv_prob"]
+            if got is not None:
+                assert got == pytest.approx(p16, abs=1e-5)
+                assert got == pytest.approx(exact, abs=1e-4)
+    for r in rows.values():
+        assert 0 <= r["rm_conv_prob"] <= r["base_conv_prob"] + 1e-9
+        assert r["removal_effect"] == pytest.approx(
+            1 - r["rm_conv_prob"] / r["base_conv_prob"], abs=1e-5
+        )
