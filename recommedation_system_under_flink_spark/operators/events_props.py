@@ -1573,3 +1573,90 @@ def ev_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("icpt"), 6).alias("ts_intercept"),
         )
     )
+
+
+# ------------------------------------------------- autocorrelation (ACF)
+
+#: Maximum lag reported (1 week of daily lags).
+ACF_MAX_LAG = 7
+
+
+@register(
+    "ev_autocorrelation",
+    f"""WITH daily AS (
+  SELECT CAST(ts AS DATE) AS date, CAST(COUNT(*) AS BIGINT) AS y
+  FROM events WHERE event_type = 'click' GROUP BY 1
+), idx AS (
+  SELECT y, CAST(ROW_NUMBER() OVER (ORDER BY date) AS BIGINT) AS t
+  FROM daily
+), s AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(y) AS BIGINT) AS sy
+  FROM idx
+), dev AS (
+  -- n·y_t − S: integer deviations scaled by n (exact, no rational mean)
+  SELECT t, i.y * s.n - s.sy AS d, s.n FROM idx i CROSS JOIN s
+), denom AS (
+  SELECT CAST(SUM(d * d) AS BIGINT) AS den FROM dev
+), lags AS (
+  SELECT CAST(k AS BIGINT) AS lag FROM generate_series(1, {ACF_MAX_LAG}) g(k)
+)
+SELECT l.lag,
+       CAST(COUNT(*) AS BIGINT) AS n_terms,
+       ROUND(CAST(SUM(a.d * b.d) AS DOUBLE) / MAX(dn.den), 6) AS acf
+FROM lags l
+JOIN dev a ON TRUE
+JOIN dev b ON b.t = a.t + l.lag
+CROSS JOIN denom dn
+GROUP BY l.lag""",
+)
+def ev_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """**Autocorrelation function** of daily click volume at lags 1-7 —
+    the seasonality detector (a weekly cycle shows as an acf spike at
+    lag 7) that tells the forecasting layer whether the trend ops
+    (:func:`ev_daily_trend_ols`, :func:`ev_theil_sen`) need seasonal
+    adjustment.
+
+    Exact-arithmetic trick: deviations are computed as ``n·y_t − Σy``
+    (integers — no rational mean anywhere), so numerator and
+    denominator are exact BIGINT sums and the single division is one
+    double op on identical operands. The lag join runs over the
+    pre-aggregated daily relation (|days| rows) against a 7-row lag
+    spine — bounded like every series op here."""
+    from pyspark.sql import Window
+
+    from ..sources.tables import ts_date
+
+    ev = events_raw(spark, sf_dir)
+    daily = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy(ts_date().alias("date"))
+        .agg(F.count("*").cast("long").alias("y"))
+    )
+    idx = daily.select(
+        "y", F.row_number().over(Window.orderBy("date")).cast("long").alias("t")
+    )
+    s = idx.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("y").cast("long").alias("sy"),
+    )
+    dev = idx.crossJoin(F.broadcast(s)).select(
+        "t", (F.col("y") * F.col("n") - F.col("sy")).alias("d")
+    )
+    denom = dev.agg(F.sum(F.col("d") * F.col("d")).cast("long").alias("den"))
+    lags = spark.range(1, ACF_MAX_LAG + 1).select(F.col("id").alias("lag"))
+    a = dev.select(F.col("t").alias("ta"), F.col("d").alias("da"))
+    b = dev.select(F.col("t").alias("tb"), F.col("d").alias("db"))
+    return (
+        lags.join(a, F.lit(True))
+        .join(b, F.col("tb") == F.col("ta") + F.col("lag"))
+        .crossJoin(F.broadcast(denom))
+        .groupBy("lag")
+        .agg(
+            F.count("*").cast("long").alias("n_terms"),
+            F.round(
+                F.sum(F.col("da") * F.col("db")).cast("double")
+                / F.max("den"),
+                6,
+            ).alias("acf"),
+        )
+    )

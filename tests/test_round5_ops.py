@@ -520,3 +520,23 @@ def test_markov_attribution_matches_numpy_linear_solve(queries, spark):
         assert r["removal_effect"] == pytest.approx(
             1 - r["rm_conv_prob"] / r["base_conv_prob"], abs=1e-5
         )
+
+
+def test_autocorrelation_matches_numpy(queries, spark):
+    rows = {
+        r["lag"]: r
+        for r in queries["ev_autocorrelation"](spark, SF_DIR).collect()
+    }
+    daily = duckdb.sql(
+        f"""SELECT CAST(ts AS DATE) d, COUNT(*) FROM '{SF_DIR}/events.parquet'
+            WHERE event_type = 'click' GROUP BY 1 ORDER BY 1"""
+    ).fetchall()
+    y = np.array([n for _, n in daily], dtype=float)
+    dev = y - y.mean()
+    den = (dev**2).sum()
+    assert set(rows) == set(range(1, 8))
+    for k, r in rows.items():
+        expect = (dev[:-k] * dev[k:]).sum() / den
+        assert r["n_terms"] == len(y) - k
+        assert r["acf"] == pytest.approx(expect, abs=1e-6)
+        assert -1.0 <= r["acf"] <= 1.0
