@@ -34,6 +34,8 @@ fixture row, and (user_id, micros) is collision-free.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -1729,4 +1731,159 @@ def ef_markov_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             6,
         ).alias("removal_effect"),
+    )
+
+
+# -------------------------------------- conversion-lag percentiles
+
+@register(
+    "ef_conversion_lag_percentiles",
+    """WITH matched AS (
+  SELECT (epoch_us(p.ts) - epoch_us(c.ts)) // 1000000 AS gap_s
+  FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+  ASOF JOIN (SELECT * FROM events WHERE event_type = 'click') c
+    ON p.user_id = c.user_id AND p.ts >= c.ts
+), byval AS (
+  SELECT gap_s, CAST(COUNT(*) AS BIGINT) AS cnt FROM matched GROUP BY gap_s
+), tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n FROM byval),
+cum AS (
+  SELECT gap_s, n,
+         SUM(cnt) OVER (ORDER BY gap_s ROWS UNBOUNDED PRECEDING) AS cum_n
+  FROM byval CROSS JOIN tot
+)
+SELECT MAX(n) AS n_matched,
+       MIN(CASE WHEN cum_n * 100 >= n * 50 THEN gap_s END) AS p50_s,
+       MIN(CASE WHEN cum_n * 100 >= n * 90 THEN gap_s END) AS p90_s,
+       MIN(CASE WHEN cum_n * 100 >= n * 99 THEN gap_s END) AS p99_s,
+       MAX(gap_s) AS max_s
+FROM cum""",
+)
+def ef_conversion_lag_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """**Exact click→purchase lag percentiles** (p50/p90/p99 seconds) —
+    the latency profile of the conversion funnel, built on the as-of
+    match. Nearest-rank percentiles via the same aggregation-first
+    discipline as the trimmed mean: gaps quantize to whole seconds,
+    aggregate to a (value, count) grid, and the cut is the first value
+    whose cumulative count reaches ``⌈p·n/100⌉`` — the comparison is
+    kept in exact integers (``cum·100 ≥ n·p``), never a float
+    quantile. Window input = distinct gap seconds (bounded grid)."""
+    from pyspark.sql import Window
+
+    matched = ef_asof_purchase_click(spark, sf_dir).filter(
+        F.col("click_id").isNotNull()
+    )
+    byval = (
+        matched.select(F.expr("gap_us DIV 1000000").alias("gap_s"))
+        .groupBy("gap_s")
+        .agg(F.count("*").cast("long").alias("cnt"))
+    )
+    tot = byval.agg(F.sum("cnt").cast("long").alias("n"))
+    w = Window.orderBy("gap_s").rowsBetween(Window.unboundedPreceding, 0)
+    cum = byval.crossJoin(F.broadcast(tot)).select(
+        "gap_s", "n", F.sum("cnt").over(w).alias("cum_n")
+    )
+
+    def cut(p: int):
+        return F.min(
+            F.when(
+                F.col("cum_n") * 100 >= F.col("n") * p, F.col("gap_s")
+            )
+        )
+
+    return cum.agg(
+        F.max("n").alias("n_matched"),
+        cut(50).alias("p50_s"),
+        cut(90).alias("p90_s"),
+        cut(99).alias("p99_s"),
+        F.max("gap_s").alias("max_s"),
+    )
+
+
+# ------------------------------------------------------ SPRT decision
+
+#: Pinned SPRT hypotheses and error budget: H0 conversion p=0.30 vs
+#: H1 p=0.40 at alpha = beta = 0.05.
+SPRT_P0 = 0.30
+SPRT_P1 = 0.40
+SPRT_ALPHA = 0.05
+
+
+@register(
+    "ef_sprt_decision",
+    f"""WITH subj AS (
+  SELECT c.user_id,
+         CAST(MAX(CASE WHEN p.pts > epoch_us(c.ts) THEN 1 ELSE 0 END)
+              AS INTEGER) AS converted
+  FROM (SELECT user_id, ts FROM events WHERE event_type = 'click') c
+  LEFT JOIN (SELECT user_id, epoch_us(ts) AS pts
+             FROM events WHERE event_type = 'purchase') p
+    ON p.user_id = c.user_id
+  GROUP BY c.user_id
+), g AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(converted) AS BIGINT) AS x
+  FROM subj
+)
+SELECT n, x,
+       ROUND(x * ln({SPRT_P1} / {SPRT_P0})
+             + (n - x) * ln({1 - SPRT_P1} / {1 - SPRT_P0}), 6) AS llr,
+       ROUND(ln({(1 - SPRT_ALPHA) / SPRT_ALPHA}), 6) AS ln_a,
+       ROUND(ln({SPRT_ALPHA / (1 - SPRT_ALPHA)}), 6) AS ln_b,
+       CASE WHEN x * ln({SPRT_P1} / {SPRT_P0})
+                 + (n - x) * ln({1 - SPRT_P1} / {1 - SPRT_P0})
+                 >= ln({(1 - SPRT_ALPHA) / SPRT_ALPHA}) THEN 'accept_h1'
+            WHEN x * ln({SPRT_P1} / {SPRT_P0})
+                 + (n - x) * ln({1 - SPRT_P1} / {1 - SPRT_P0})
+                 <= ln({SPRT_ALPHA / (1 - SPRT_ALPHA)}) THEN 'accept_h0'
+            ELSE 'continue' END AS decision
+FROM g""",
+)
+def ef_sprt_decision(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """**Wald's SPRT** on click→purchase conversion — the sequential
+    test that lets an experiment STOP as soon as the evidence crosses
+    a boundary instead of waiting for a fixed sample size: log-
+    likelihood ratio of H1 (p=0.40) vs H0 (p=0.30) over the per-user
+    conversion flags, compared against the ln((1−β)/α) / ln(β/(1−α))
+    Wald boundaries at α=β=0.05. One row: n, conversions, LLR, both
+    boundaries, the decision.
+
+    The LLR is ``x·ln(p1/p0) + (n−x)·ln(q1/q0)`` — two exact integer
+    counts times pinned log constants (both engines fold the literal
+    ratio identically), so the decision string is hash-stable. Plan:
+    the z-test's subject aggregate reduced to one row."""
+    ev = events_raw(spark, sf_dir)
+    clicks_t = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.expr("ts DIV 1000").alias("ctsm")
+    )
+    purch = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"), F.expr("ts DIV 1000").alias("pts")
+    )
+    subj = (
+        clicks_t.join(purch, F.col("user_id") == F.col("p_user"), "left")
+        .groupBy("user_id")
+        .agg(
+            F.max(
+                F.when(F.col("pts") > F.col("ctsm"), 1).otherwise(0)
+            ).alias("converted")
+        )
+    )
+    g = subj.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("converted").cast("long").alias("x"),
+    )
+    lr1 = math.log(SPRT_P1 / SPRT_P0)
+    lr0 = math.log((1 - SPRT_P1) / (1 - SPRT_P0))
+    ln_a = math.log((1 - SPRT_ALPHA) / SPRT_ALPHA)
+    ln_b = math.log(SPRT_ALPHA / (1 - SPRT_ALPHA))
+    llr = F.col("x") * F.lit(lr1) + (F.col("n") - F.col("x")) * F.lit(lr0)
+    return g.select(
+        "n",
+        "x",
+        F.round(llr, 6).alias("llr"),
+        F.round(F.lit(ln_a), 6).alias("ln_a"),
+        F.round(F.lit(ln_b), 6).alias("ln_b"),
+        F.when(llr >= ln_a, F.lit("accept_h1"))
+        .when(llr <= ln_b, F.lit("accept_h0"))
+        .otherwise(F.lit("continue"))
+        .alias("decision"),
     )

@@ -540,3 +540,54 @@ def test_autocorrelation_matches_numpy(queries, spark):
         assert r["n_terms"] == len(y) - k
         assert r["acf"] == pytest.approx(expect, abs=1e-6)
         assert -1.0 <= r["acf"] <= 1.0
+
+
+def test_conversion_lag_percentiles_nearest_rank(queries, spark):
+    row = queries["ef_conversion_lag_percentiles"](spark, SF_DIR).collect()[0]
+    gaps = duckdb.sql(
+        f"""SELECT (epoch_us(p.ts) - epoch_us(c.ts)) // 1000000
+            FROM (SELECT * FROM '{SF_DIR}/events.parquet'
+                  WHERE event_type = 'purchase') p
+            ASOF JOIN (SELECT * FROM '{SF_DIR}/events.parquet'
+                       WHERE event_type = 'click') c
+              ON p.user_id = c.user_id AND p.ts >= c.ts"""
+    ).fetchall()
+    vals = sorted(g for (g,) in gaps)
+    n = len(vals)
+    assert row["n_matched"] == n
+
+    def nearest_rank(p):
+        import math as _m
+
+        return vals[_m.ceil(p * n / 100) - 1]
+
+    assert row["p50_s"] == nearest_rank(50)
+    assert row["p90_s"] == nearest_rank(90)
+    assert row["p99_s"] == nearest_rank(99)
+    assert row["max_s"] == vals[-1]
+    assert row["p50_s"] <= row["p90_s"] <= row["p99_s"] <= row["max_s"]
+
+
+def test_sprt_llr_and_decision(queries, spark):
+    import math as _m
+
+    from recommedation_system_under_flink_spark.operators.events_flow import (
+        SPRT_ALPHA,
+        SPRT_P0,
+        SPRT_P1,
+    )
+
+    row = queries["ef_sprt_decision"](spark, SF_DIR).collect()[0]
+    n, x = row["n"], row["x"]
+    llr = x * _m.log(SPRT_P1 / SPRT_P0) + (n - x) * _m.log(
+        (1 - SPRT_P1) / (1 - SPRT_P0)
+    )
+    assert row["llr"] == pytest.approx(llr, abs=1e-5)
+    ln_a = _m.log((1 - SPRT_ALPHA) / SPRT_ALPHA)
+    ln_b = _m.log(SPRT_ALPHA / (1 - SPRT_ALPHA))
+    expect = (
+        "accept_h1"
+        if llr >= ln_a
+        else "accept_h0" if llr <= ln_b else "continue"
+    )
+    assert row["decision"] == expect
