@@ -1422,3 +1422,78 @@ def dedup_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("containment"),
         )
     )
+
+
+# ------------------------------------------------ boundary stitching
+
+#: Tokens compared at each document boundary (suffix of A vs prefix of
+#: B). Production crawls stitch on ~50-token boundaries; the fixture
+#: vocabulary is 40 words, so 3 keeps the demo non-degenerate.
+STITCH_K = 3
+
+
+@register(
+    "dedup_boundary_stitch",
+    f"""WITH t AS (
+  SELECT doc_id, list_filter(
+    string_split_regex(lower(text), '{TOKEN_SPLIT_REGEX}'), x -> x <> '')
+    AS ts
+  FROM documents
+), hs AS (
+  SELECT doc_id,
+         CAST(len(ts) AS BIGINT) AS n_tokens,
+         array_to_string(ts[1:{STITCH_K}], ' ') AS head,
+         array_to_string(ts[len(ts)-{STITCH_K}+1:len(ts)], ' ') AS tail
+  FROM t WHERE len(ts) >= {STITCH_K}
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       a.tail AS boundary,
+       a.n_tokens AS n_tokens_a, b.n_tokens AS n_tokens_b
+FROM hs a JOIN hs b ON a.tail = b.head AND a.doc_id <> b.doc_id""",
+)
+def dedup_boundary_stitch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """**Shard-boundary stitching audit**: find document pairs where
+    A's last ``STITCH_K`` tokens equal B's first ``STITCH_K`` — the
+    signature of one logical document split across crawl shards /
+    chunk boundaries (the complement of the chunker: chunks OVERLAP by
+    construction; crawl shards shouldn't). Reported pairs are
+    candidates for re-joining before dedup, since split halves defeat
+    doc-level MinHash.
+
+    Plan: one projection computes both boundary grams per doc (no
+    explode — array slices), then a single equi-join on the boundary
+    string — hash-partitioned by boundary gram, never all-pairs. At
+    100 TB the gram would be a 50-token md5; the join shape is
+    unchanged."""
+    docs = load_raw(spark, sf_dir, "documents")
+    toks = F.filter(
+        F.split(F.lower(F.col("text")), TOKEN_SPLIT_REGEX), lambda t: t != ""
+    )
+    t = docs.select("doc_id", toks.alias("ts")).filter(
+        F.size("ts") >= STITCH_K
+    )
+    hs = t.select(
+        "doc_id",
+        F.size("ts").cast("long").alias("n_tokens"),
+        F.array_join(F.slice("ts", 1, STITCH_K), " ").alias("head"),
+        F.array_join(
+            F.slice("ts", F.size("ts") - STITCH_K + 1, STITCH_K), " "
+        ).alias("tail"),
+    )
+    a = hs.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("n_tokens").alias("n_tokens_a"),
+        F.col("tail").alias("boundary"),
+    )
+    b = hs.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("n_tokens").alias("n_tokens_b"),
+        F.col("head").alias("boundary"),
+    )
+    return (
+        a.join(b, "boundary")
+        .filter(F.col("doc_a") != F.col("doc_b"))
+        .select(
+            "doc_a", "doc_b", "boundary", "n_tokens_a", "n_tokens_b"
+        )
+    )

@@ -591,3 +591,27 @@ def test_sprt_llr_and_decision(queries, spark):
         else "accept_h0" if llr <= ln_b else "continue"
     )
     assert row["decision"] == expect
+
+
+def test_boundary_stitch_on_planted_split(queries, spark):
+    """Plant a document split across two 'shards'; the audit must
+    report exactly the planted (A,B) pair with the right boundary."""
+    import unittest.mock as mock
+
+    from recommedation_system_under_flink_spark.operators import dedup
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta", "en", "s", 0),
+            (2, "delta epsilon zeta eta theta iota", "en", "s", 0),
+            (3, "one two three four five six", "en", "s", 0),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    with mock.patch.object(dedup, "load_raw", lambda spark, sf, name: docs):
+        rows = queries["dedup_boundary_stitch"](spark, "ignored").collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["doc_a"], r["doc_b"]) == (1, 2)
+    assert r["boundary"] == "delta epsilon zeta"
+    assert r["n_tokens_a"] == 6 and r["n_tokens_b"] == 6
