@@ -84,6 +84,13 @@ HEADLINE = (
     "sim_kcenter_coreset",
     "ef_kaplan_meier",
     "ev_user_rfm_scalable",
+    # round-5 additions: the new heavy composed ops (Markov matrix
+    # powers, winnowing, RAKE, the verified Lloyd fit, KN scoring)
+    "ef_markov_attribution",
+    "dedup_winnowing",
+    "ts_rake_keywords",
+    "sim_kmeans_lloyd",
+    "ts_kneser_ney_logprob",
 )
 
 
