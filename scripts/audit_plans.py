@@ -82,6 +82,7 @@ EXPECTED_CARTESIAN = {
     "ev_theil_sen": "1-row medians/counters combined over the bounded daily series",
     "ef_markov_attribution": "1-row absorption scalars per chain variant crossed into channel rows",
     "ev_autocorrelation": "7-row lag spine crossed with the bounded daily deviations",
+    "rel_entity_blocking": "4-row blocking-pass spine broadcast into per-name keys",
     "s24_malformed_csv_ingest": "two 1-row ingest-mode aggregates scalar-combined",
     "samp_lang_mixture": "1-row corpus-total scalar broadcast into rates",
     "samp_dsir_weights": "1-row LM-totals scalar broadcast into per-token weights",

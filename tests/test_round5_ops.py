@@ -615,3 +615,28 @@ def test_boundary_stitch_on_planted_split(queries, spark):
     assert (r["doc_a"], r["doc_b"]) == (1, 2)
     assert r["boundary"] == "delta epsilon zeta"
     assert r["n_tokens_a"] == 6 and r["n_tokens_b"] == 6
+
+
+def test_entity_blocking_exact_recall_for_substitutions(queries, spark):
+    """Every substitution-distance-1 name pair in the fixture must be
+    found (exact recall for masked positions), plus planted-typo check."""
+    rows = queries["rel_entity_blocking"](spark, SF_DIR).collect()
+    got = {(r["ck_a"], r["ck_b"]) for r in rows}
+    names = dict(
+        duckdb.sql(
+            f"SELECT c_custkey, c_name FROM '{SF_DIR}/customer.parquet'"
+        ).fetchall()
+    )
+    # ground truth: all pairs at substitution distance exactly 1
+    keys = sorted(names)
+    truth = set()
+    for i, ka in enumerate(keys):
+        for kb in keys[i + 1 :]:
+            a, b = names[ka], names[kb]
+            diffs = sum(1 for x, y in zip(a, b) if x != y)
+            if len(a) == len(b) and diffs == 1:
+                truth.add((ka, kb))
+    assert truth, "fixture should contain distance-1 name pairs"
+    assert got == truth
+    for r in rows:
+        assert r["lev"] == 1
