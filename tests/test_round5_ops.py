@@ -640,3 +640,68 @@ def test_entity_blocking_exact_recall_for_substitutions(queries, spark):
     assert got == truth
     for r in rows:
         assert r["lev"] == 1
+
+
+def test_duplicated_spans_matches_python_interval_union(queries, spark):
+    """Recompute dup-span coverage with plain Python (dict counts +
+    one-pass interval union) and require exact per-doc agreement."""
+    import re as _re
+    from collections import Counter
+
+    from recommedation_system_under_flink_spark.operators.dedup import (
+        SPAN_L,
+    )
+
+    docs = duckdb.sql(
+        f"SELECT doc_id, text FROM '{SF_DIR}/documents.parquet'"
+    ).fetchall()
+    toks = {
+        d: [t for t in _re.split(r"[^a-z0-9]+", txt.lower()) if t]
+        for d, txt in docs
+    }
+    counts = Counter()
+    positions = {}
+    for d, ts in toks.items():
+        grams = [
+            " ".join(ts[i : i + SPAN_L])
+            for i in range(len(ts) - SPAN_L + 1)
+        ]
+        positions[d] = grams
+        counts.update(grams)
+    expected = {}
+    for d, grams in positions.items():
+        hits = [
+            (i + 1, i + SPAN_L) for i, g in enumerate(grams)
+            if counts[g] >= 2
+        ]
+        if not hits:
+            continue
+        covered, max_end = 0, 0
+        for s, e in hits:  # already sorted by position
+            covered += max(0, e - max(s - 1, max_end))
+            max_end = max(max_end, e)
+        expected[d] = (len(toks[d]), covered)
+    rows = queries["dedup_duplicated_spans"](spark, SF_DIR).collect()
+    got = {r["doc_id"]: (r["n_tokens"], r["dup_tokens"]) for r in rows}
+    assert got == expected
+    for r in rows:
+        assert 0 < r["dup_tokens"] <= r["n_tokens"]
+        assert r["dup_frac"] == pytest.approx(
+            r["dup_tokens"] / r["n_tokens"], abs=1e-6
+        )
+
+
+def test_prefix_filter_join_equals_full_inverted_index(queries, spark):
+    """Prefix filtering is lossless: the pruned join must return
+    EXACTLY the pairs the full inverted-index Jaccard join returns."""
+    full = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in queries["dedup_ngram_jaccard"](spark, SF_DIR).collect()
+    }
+    pruned = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in queries["dedup_prefix_filter_join"](spark, SF_DIR).collect()
+    }
+    assert set(pruned) == set(full)
+    for k, v in pruned.items():
+        assert v == pytest.approx(full[k], abs=1e-6)
