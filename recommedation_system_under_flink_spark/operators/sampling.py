@@ -1039,3 +1039,162 @@ def samp_source_cap_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("chars_kept"),
     )
+
+
+# --------------------------------------- token-budget waterfilling
+
+#: Budget = this fraction of total corpus tokens (0.8: high enough
+#: that the heaviest-weighted sources exhaust their availability and
+#: cap, exercising both waterfill branches); weights are pinned
+#: per source as ``1 + (source index mod 5)`` so weight shares differ
+#: from availability shares and the binding (capped) set is nonempty
+#: on the uniform fixture.
+WATERFILL_BUDGET_FRAC = 0.8
+
+from ..functions.text import TOKEN_SPLIT_REGEX as _WF_REGEX
+
+_WF_TOKENS_SQL = (
+    "CAST(len(list_filter(string_split_regex(lower(text), "
+    f"'{_WF_REGEX}'), t -> t <> '')) AS BIGINT)"
+)
+
+
+@register(
+    "samp_token_budget_waterfill",
+    f"""WITH avail AS (
+  SELECT source,
+         CAST(SUM({_WF_TOKENS_SQL}) AS BIGINT) AS c,
+         CAST(1 + CAST(regexp_extract(source, '([0-9]+)', 1) AS INT) % 5
+              AS BIGINT) AS w
+  FROM documents GROUP BY source
+),
+tot AS (
+  SELECT CAST(FLOOR({WATERFILL_BUDGET_FRAC} * SUM(c)) AS BIGINT) AS b,
+         SUM(c) AS total_c, SUM(w) AS total_w
+  FROM avail
+),
+srt AS (
+  SELECT a.source, a.c, a.w, t.b,
+         CAST(a.c AS DOUBLE) / a.w AS r,
+         COALESCE(SUM(a.c) OVER (ORDER BY CAST(a.c AS DOUBLE) / a.w, a.source
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_c,
+         COALESCE(SUM(a.w) OVER (ORDER BY CAST(a.c AS DOUBLE) / a.w, a.source
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_w,
+         COALESCE(MAX(CAST(a.c AS DOUBLE) / a.w) OVER (
+           ORDER BY CAST(a.c AS DOUBLE) / a.w, a.source
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS r_prev,
+         t.total_w
+  FROM avail a CROSS JOIN tot t
+),
+lam AS (
+  SELECT MIN((b - cum_c) / (total_w - cum_w)) AS lambda
+  FROM srt
+  WHERE total_w > cum_w
+    AND (b - cum_c) / (total_w - cum_w) >= r_prev
+    AND (b - cum_c) / (total_w - cum_w) <= r
+)
+SELECT s.source, s.c AS available_tokens, s.w AS weight,
+       ROUND(COALESCE(l.lambda, CAST('inf' AS DOUBLE)), 6) AS water_level,
+       ROUND(LEAST(CAST(s.c AS DOUBLE), COALESCE(l.lambda * s.w, CAST(s.c AS DOUBLE))), 6)
+         AS allocated_tokens,
+       CAST(s.c <= COALESCE(l.lambda * s.w, CAST(s.c AS DOUBLE) + 1) AS BOOLEAN)
+         AS capped
+FROM srt s CROSS JOIN lam l""",
+)
+def samp_token_budget_waterfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Allocate a corpus-level token budget across sources by target
+    weights with per-source availability caps — the LLM data-mixing
+    primitive ("sample domain d at rate proportional to w_d, but a
+    domain can't contribute more tokens than it has"). Waterfilling:
+    the unique λ with Σ_d min(c_d, λ·w_d) = B, found in closed form by
+    sorting domains by c/w ascending and scanning prefix sums — the
+    k-th boundary's candidate λ_k = (B − Σ_{i<k} c_i)/(Σ_{i≥k} w_i) is
+    the answer iff r_{k-1} ≤ λ_k ≤ r_k, so exactly one row validates
+    (none when B ≥ Σc: every domain is capped, λ = +inf).
+
+    Plan: per-source token counts = one hash aggregate over documents
+    (exact BIGINT sums, so the sort ratios are deterministic); the
+    waterfill itself runs entirely on the O(|sources|) aggregated
+    relation — global windows and the 1-row budget/λ cross joins are
+    the allowlisted scalar-broadcast pattern, never data-sized. At
+    100 TB only the token-count aggregate touches data; the allocator
+    is constant-time per domain regardless of corpus size."""
+    docs = load_raw(spark, sf_dir, "documents")
+    from ..functions.text import TOKEN_SPLIT_REGEX
+
+    n_tok = F.size(
+        F.filter(
+            F.split(F.lower(F.col("text")), TOKEN_SPLIT_REGEX),
+            lambda t: t != "",
+        )
+    ).cast("bigint")
+    avail = docs.groupBy("source").agg(
+        F.sum(n_tok).cast("bigint").alias("c"),
+        F.first(
+            (
+                F.lit(1)
+                + F.regexp_extract(F.col("source"), r"([0-9]+)", 1).cast(
+                    "int"
+                )
+                % 5
+            ).cast("bigint")
+        ).alias("w"),
+    )
+    tot = avail.agg(
+        F.floor(F.lit(WATERFILL_BUDGET_FRAC) * F.sum("c"))
+        .cast("bigint")
+        .alias("b"),
+        F.sum("c").alias("total_c"),
+        F.sum("w").alias("total_w"),
+    )
+    r = F.col("c").cast("double") / F.col("w")
+    w_prev = (
+        Window.orderBy(r, "source")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    srt = (
+        avail.crossJoin(F.broadcast(tot))
+        .withColumn("r", r)
+        .withColumn("cum_c", F.coalesce(F.sum("c").over(w_prev), F.lit(0)))
+        .withColumn("cum_w", F.coalesce(F.sum("w").over(w_prev), F.lit(0)))
+        .withColumn(
+            "r_prev", F.coalesce(F.max("r").over(w_prev), F.lit(0.0))
+        )
+    )
+    cand = (F.col("b") - F.col("cum_c")) / (
+        F.col("total_w") - F.col("cum_w")
+    )
+    lam = srt.filter(
+        (F.col("total_w") > F.col("cum_w"))
+        & (cand >= F.col("r_prev"))
+        & (cand <= F.col("r"))
+    ).agg(F.min(cand).alias("lambda"))
+    inf = F.lit(float("inf"))
+    return (
+        srt.crossJoin(F.broadcast(lam))
+        .select(
+            "source",
+            F.col("c").alias("available_tokens"),
+            F.col("w").alias("weight"),
+            F.round(F.coalesce(F.col("lambda"), inf), 6).alias(
+                "water_level"
+            ),
+            F.round(
+                F.least(
+                    F.col("c").cast("double"),
+                    F.coalesce(
+                        F.col("lambda") * F.col("w"),
+                        F.col("c").cast("double"),
+                    ),
+                ),
+                6,
+            ).alias("allocated_tokens"),
+            (
+                F.col("c").cast("double")
+                <= F.coalesce(
+                    F.col("lambda") * F.col("w"),
+                    F.col("c").cast("double") + 1,
+                )
+            ).alias("capped"),
+        )
+    )

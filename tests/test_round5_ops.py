@@ -705,3 +705,40 @@ def test_prefix_filter_join_equals_full_inverted_index(queries, spark):
     assert set(pruned) == set(full)
     for k, v in pruned.items():
         assert v == pytest.approx(full[k], abs=1e-6)
+
+
+def test_waterfill_allocation_properties_and_scipy_free_replay(
+    queries, spark
+):
+    """Replay the waterfill with a plain bisection on λ and require:
+    Σ allocated = budget, caps respected, capped set consistent."""
+    import re as _re
+
+    from recommedation_system_under_flink_spark.operators.sampling import (
+        WATERFILL_BUDGET_FRAC,
+    )
+
+    rows = queries["samp_token_budget_waterfill"](spark, SF_DIR).collect()
+    c = {r["source"]: r["available_tokens"] for r in rows}
+    w = {r["source"]: r["weight"] for r in rows}
+    for s in c:
+        assert w[s] == 1 + int(_re.search(r"\d+", s).group()) % 5
+    B = int(WATERFILL_BUDGET_FRAC * sum(c.values()))
+    lo, hi = 0.0, max(cv / wv for cv, wv in zip(c.values(), w.values())) + 1
+    for _ in range(200):
+        mid = (lo + hi) / 2
+        if sum(min(c[s], mid * w[s]) for s in c) < B:
+            lo = mid
+        else:
+            hi = mid
+    lam = (lo + hi) / 2
+    got_lam = rows[0]["water_level"]
+    assert got_lam == pytest.approx(lam, rel=1e-6)
+    total_alloc = sum(r["allocated_tokens"] for r in rows)
+    assert total_alloc == pytest.approx(B, abs=max(1e-3 * B, 1.0))
+    for r in rows:
+        assert r["allocated_tokens"] <= r["available_tokens"] + 1e-6
+        expect_capped = c[r["source"]] <= lam * w[r["source"]] + 1e-9
+        assert r["capped"] == expect_capped
+    assert any(r["capped"] for r in rows), "binding set should be nonempty"
+    assert not all(r["capped"] for r in rows)
