@@ -1660,3 +1660,175 @@ def ev_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("acf"),
         )
     )
+
+
+# ------------------------------------------------- EWMA forecast
+
+#: Truncated-EWMA smoothing constant and horizon. s_t is the W-term
+#: truncation of the recursion s_t = a*y_t + (1-a)*s_(t-1) (exact for
+#: t < W; for t >= W the dropped tail carries (1-a)^W ~ 0.68% of the
+#: weight -- BOTH engines compute this identical definition, which is
+#: also the fixed-lookback recompute a streaming EWMA deployment
+#: uses). Weights are pinned literal doubles injected into BOTH
+#: plans -- no pow() in either engine, so no libm variance.
+EWMA_ALPHA = 0.3
+EWMA_W = 14
+
+_EWMA_A = [
+    0.3,
+    0.21,
+    0.14699999999999996,
+    0.10289999999999998,
+    0.07202999999999998,
+    0.05042099999999998,
+    0.035294699999999984,
+    0.02470628999999999,
+    0.01729440299999999,
+    0.012106082099999993,
+    0.008474257469999994,
+    0.005931980228999996,
+    0.0041523861602999965,
+    0.0029066703122099975
+]
+_EWMA_H = [
+    1.0,
+    0.7,
+    0.48999999999999994,
+    0.3429999999999999,
+    0.24009999999999995,
+    0.16806999999999994,
+    0.11764899999999996,
+    0.08235429999999996,
+    0.05764800999999997,
+    0.04035360699999998,
+    0.028247524899999984,
+    0.019773267429999988,
+    0.01384128720099999,
+    0.009688901040699992
+]
+
+
+@register(
+    "ev_ewma_forecast",
+    """WITH daily AS (
+  SELECT CAST(ts AS DATE) AS date, CAST(COUNT(*) AS BIGINT) AS y
+  FROM events WHERE event_type = 'click' GROUP BY 1
+), idx AS (
+  SELECT y, CAST(ROW_NUMBER() OVER (ORDER BY date) - 1 AS BIGINT) AS x
+  FROM daily
+), coef(j, c) AS (VALUES (0, 0.3), (1, 0.21), (2, 0.14699999999999996), (3, 0.10289999999999998), (4, 0.07202999999999998), (5, 0.05042099999999998), (6, 0.035294699999999984), (7, 0.02470628999999999), (8, 0.01729440299999999), (9, 0.012106082099999993), (10, 0.008474257469999994), (11, 0.005931980228999996), (12, 0.0041523861602999965), (13, 0.0029066703122099975)),
+head(t, h) AS (VALUES (0, 1.0), (1, 0.7), (2, 0.48999999999999994), (3, 0.3429999999999999), (4, 0.24009999999999995), (5, 0.16806999999999994), (6, 0.11764899999999996), (7, 0.08235429999999996), (8, 0.05764800999999997), (9, 0.04035360699999998), (10, 0.028247524899999984), (11, 0.019773267429999988), (12, 0.01384128720099999), (13, 0.009688901040699992)),
+y0 AS (SELECT y AS y0 FROM idx WHERE x = 0),
+s AS (
+  SELECT t.x, t.y,
+         CASE WHEN t.x = 0 THEN CAST(t.y AS DOUBLE)
+              ELSE SUM(c.c * k.y) + COALESCE(MAX(hd.h * y0.y0), 0.0)
+         END AS s
+  FROM idx t
+  CROSS JOIN y0
+  LEFT JOIN idx k ON k.x >= GREATEST(1, t.x - 13) AND k.x <= t.x
+  LEFT JOIN coef c ON c.j = t.x - k.x
+  LEFT JOIN head hd ON hd.t = t.x AND t.x BETWEEN 1 AND 13
+  GROUP BY t.x, t.y
+),
+last AS (SELECT s FROM s ORDER BY x DESC LIMIT 1),
+mae AS (
+  SELECT AVG(ABS(i.y - sp.s)) AS m
+  FROM idx i JOIN s sp ON sp.x = i.x - 1 WHERE i.x > 0
+),
+n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_days FROM idx)
+SELECT n.n_days, CAST(0.3 AS DOUBLE) AS alpha,
+       ROUND(last.s, 6) AS forecast_next,
+       ROUND(mae.m, 6) AS mae_one_step
+FROM n CROSS JOIN last CROSS JOIN mae""",
+)
+def ev_ewma_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """**Truncated-EWMA one-step forecast** of daily click volume with
+    in-sample mean absolute error -- the capacity-planning primitive
+    ("what does tomorrow look like, and how wrong is this smoother
+    usually"). s_t = sum_(j<W) a(1-a)^j y_(t-j) (+ the exact (1-a)^t
+    y_0 head while t < W); forecast_(t+1) = s_t; MAE over the
+    one-step residuals |y_t - s_(t-1)|.
+
+    Scale: everything runs on the PRE-AGGREGATED daily series -- the
+    banded self-join is |days| x W rows (a year -> ~5k), the same
+    aggregate-first discipline as Theil-Sen/autocorrelation. At
+    100 TB only the daily count aggregate touches data."""
+    from pyspark.sql import Window
+
+    from ..sources.tables import ts_date
+
+    ev = events_raw(spark, sf_dir)
+    daily = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy(ts_date().alias("date"))
+        .agg(F.count("*").cast("long").alias("y"))
+    )
+    idx = daily.select(
+        "y",
+        (F.row_number().over(Window.orderBy("date")) - 1)
+        .cast("long")
+        .alias("x"),
+    )
+    coef = spark.createDataFrame(
+        list(enumerate(_EWMA_A)), "j long, c double"
+    )
+    head = spark.createDataFrame(
+        list(enumerate(_EWMA_H)), "t long, h double"
+    )
+    y0 = idx.filter(F.col("x") == 0).select(F.col("y").alias("y0"))
+    t = idx.select(F.col("x").alias("tx"), F.col("y").alias("ty"))
+    k = idx.select(F.col("x").alias("kx"), F.col("y").alias("ky"))
+    terms = (
+        t.join(
+            k,
+            (
+                F.col("kx")
+                >= F.greatest(F.lit(1), F.col("tx") - (EWMA_W - 1))
+            )
+            & (F.col("kx") <= F.col("tx")),
+            "left",
+        )
+        .join(
+            F.broadcast(coef),
+            F.col("j") == F.col("tx") - F.col("kx"),
+            "left",
+        )
+        .join(
+            F.broadcast(head),
+            (F.col("t") == F.col("tx"))
+            & F.col("tx").between(1, EWMA_W - 1),
+            "left",
+        )
+        .crossJoin(F.broadcast(y0))
+    )
+    s = terms.groupBy("tx", "ty").agg(
+        F.when(F.col("tx") == 0, F.first("ty").cast("double"))
+        .otherwise(
+            F.sum(F.col("c") * F.col("ky"))
+            + F.coalesce(F.max(F.col("h") * F.col("y0")), F.lit(0.0))
+        )
+        .alias("s")
+    )
+    last = (
+        s.orderBy(F.col("tx").desc())
+        .limit(1)
+        .select(F.col("s").alias("s_last"))
+    )
+    sp = s.select(F.col("tx").alias("px"), F.col("s").alias("s_prev"))
+    mae = (
+        s.join(sp, F.col("px") == F.col("tx") - 1)
+        .filter(F.col("tx") > 0)
+        .agg(F.avg(F.abs(F.col("ty") - F.col("s_prev"))).alias("m"))
+    )
+    n = idx.agg(F.count("*").cast("long").alias("n_days"))
+    return (
+        n.crossJoin(F.broadcast(last))
+        .crossJoin(F.broadcast(mae))
+        .select(
+            "n_days",
+            F.lit(EWMA_ALPHA).cast("double").alias("alpha"),
+            F.round("s_last", 6).alias("forecast_next"),
+            F.round("m", 6).alias("mae_one_step"),
+        )
+    )

@@ -742,3 +742,50 @@ def test_waterfill_allocation_properties_and_scipy_free_replay(
         assert r["capped"] == expect_capped
     assert any(r["capped"] for r in rows), "binding set should be nonempty"
     assert not all(r["capped"] for r in rows)
+
+
+def test_ewma_forecast_matches_recursive_replay(queries, spark):
+    """Replay the W-truncated EWMA definition directly (per-t truncated
+    sums, NOT the recursion, which the truncation approximates for
+    t >= W) and the one-step MAE."""
+    from recommedation_system_under_flink_spark.operators.events_props import (
+        EWMA_ALPHA,
+        EWMA_W,
+    )
+
+    y = [
+        int(n)
+        for _, n in duckdb.sql(
+            f"""SELECT CAST(ts AS DATE) d, COUNT(*) FROM
+                '{SF_DIR}/events.parquet'
+                WHERE event_type = 'click' GROUP BY d ORDER BY d"""
+        ).fetchall()
+    ]
+    a = EWMA_ALPHA
+    s = []
+    for t in range(len(y)):
+        if t == 0:
+            s.append(float(y[0]))
+            continue
+        acc = sum(
+            a * (1 - a) ** j * y[t - j]
+            for j in range(min(t - 1, EWMA_W - 1) + 1)
+            if t - j >= 1
+        )
+        if 1 <= t <= EWMA_W - 1:
+            acc += (1 - a) ** t * y[0]
+        s.append(acc)
+    mae = sum(abs(y[t] - s[t - 1]) for t in range(1, len(y))) / (
+        len(y) - 1
+    )
+    row = queries["ev_ewma_forecast"](spark, SF_DIR).collect()[0]
+    assert row["n_days"] == len(y)
+    assert row["forecast_next"] == pytest.approx(s[-1], rel=1e-6)
+    assert row["mae_one_step"] == pytest.approx(mae, rel=1e-6)
+    # sanity: the truncated smoother tracks the true recursion closely
+    rec = [float(y[0])]
+    for t in range(1, len(y)):
+        rec.append(a * y[t] + (1 - a) * rec[-1])
+    assert row["forecast_next"] == pytest.approx(
+        rec[-1], rel=2 * (1 - a) ** EWMA_W + 1e-6
+    )
