@@ -1774,3 +1774,176 @@ def dedup_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return jac.filter(F.col("jaccard_raw") >= JACCARD_THRESHOLD).select(
         "doc_a", "doc_b", F.round("jaccard_raw", 6).alias("jaccard")
     )
+
+
+# ------------------------------------------------ duplicated-span scrub
+
+@register(
+    "dedup_span_scrub",
+    f"""WITH {_SPAN_GRAMS_CTE},
+occ AS (
+  SELECT gh, doc_id, pos,
+         COUNT(*) OVER (PARTITION BY gh) AS c,
+         ROW_NUMBER() OVER (PARTITION BY gh ORDER BY doc_id, pos) AS rk
+  FROM g
+),
+removals AS (
+  SELECT doc_id, pos, pos + {SPAN_L} AS fin_excl
+  FROM occ WHERE c >= 2 AND rk > 1
+),
+toks AS (
+  SELECT doc_id, i, ts[i] AS tok
+  FROM (
+    SELECT doc_id, ts, generate_subscripts(ts, 1) AS i FROM (
+      SELECT doc_id, list_filter(
+        string_split_regex(lower(text), '{TOKEN_SPLIT_REGEX}'),
+        t -> t <> '') AS ts
+      FROM documents
+    )
+  )
+),
+sweep AS (
+  SELECT doc_id, p, is_tok, tok,
+         SUM(delta) OVER (PARTITION BY doc_id
+                          ORDER BY p, is_tok
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS depth
+  FROM (
+    SELECT doc_id, pos AS p, 0 AS is_tok, 1 AS delta, NULL AS tok
+      FROM removals
+    UNION ALL
+    SELECT doc_id, fin_excl AS p, 0 AS is_tok, -1 AS delta, NULL AS tok
+      FROM removals
+    UNION ALL
+    SELECT doc_id, i AS p, 1 AS is_tok, 0 AS delta, tok FROM toks
+  )
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       CAST(SUM(CASE WHEN depth > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS removed_tokens,
+       md5(COALESCE(string_agg(CASE WHEN depth = 0 THEN tok END, ' '
+           ORDER BY p), '')) AS scrubbed_md5
+FROM sweep WHERE is_tok = 1
+GROUP BY doc_id""",
+)
+def dedup_span_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The WRITE side of exact substring dedup: rebuild every document
+    with all non-first occurrences of duplicated ≥ ``SPAN_L``-token
+    spans removed (the corpus-wide first occurrence — smallest
+    (doc_id, pos) — survives), Lee et al. 2022's actual
+    transformation, not just the detection signal. Output is
+    md5-verified: both engines must produce byte-identical scrubbed
+    token streams.
+
+    Plan: (1) anchor occurrences ranked per gram hash by (doc_id,
+    pos) — one gh-keyed window — so "first stays" is a rank
+    predicate; (2) removal intervals become ±1 boundary events and
+    coverage is ONE doc-bounded sweep window (events sort before the
+    token at the same position via the (p, is_tok) key; ends are
+    exclusive at pos+L), the standard O(n log n) interval-stabbing
+    scan with BIGINT depth state — never a tokens×intervals join;
+    (3) surviving tokens re-join with a deterministic ordered
+    aggregation.
+
+    Scale: two doc_id-keyed shuffles (sweep + reassembly) and one
+    gh-keyed window over O(total tokens) rows; the removal set is
+    output-sized. Same no-pairwise-relation property as
+    :func:`dedup_duplicated_spans` — duplication is resolved by
+    ranking within gram-hash groups, not by joining documents."""
+    toks_arr = F.filter(
+        F.split(F.lower(F.col("text")), TOKEN_SPLIT_REGEX), lambda t: t != ""
+    )
+    t = load_raw(spark, sf_dir, "documents").select(
+        "doc_id", toks_arr.alias("ts")
+    )
+    grams = (
+        t.filter(F.size("ts") >= SPAN_L)
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("ts") - SPAN_L + 1),
+                    lambda i: F.struct(
+                        i.alias("pos"),
+                        F.md5(
+                            F.array_join(F.slice("ts", i, SPAN_L), " ")
+                        ).alias("gh"),
+                    ),
+                )
+            ).alias("a"),
+        )
+        .select("doc_id", "a.pos", "a.gh")
+    )
+    from pyspark.sql import Window
+
+    wg = Window.partitionBy("gh")
+    occ = grams.select(
+        "doc_id",
+        "pos",
+        F.count("*").over(wg).alias("c"),
+        F.row_number()
+        .over(wg.orderBy("doc_id", "pos"))
+        .alias("rk"),
+    )
+    removals = occ.filter((F.col("c") >= 2) & (F.col("rk") > 1)).select(
+        "doc_id", "pos", (F.col("pos") + SPAN_L).alias("fin_excl")
+    )
+    toks = t.select(
+        "doc_id", F.posexplode("ts").alias("i0", "tok")
+    ).select("doc_id", (F.col("i0") + 1).alias("i"), "tok")
+    starts = removals.select(
+        "doc_id",
+        F.col("pos").alias("p"),
+        F.lit(0).alias("is_tok"),
+        F.lit(1).alias("delta"),
+        F.lit(None).cast("string").alias("tok"),
+    )
+    ends = removals.select(
+        "doc_id",
+        F.col("fin_excl").alias("p"),
+        F.lit(0).alias("is_tok"),
+        F.lit(-1).alias("delta"),
+        F.lit(None).cast("string").alias("tok"),
+    )
+    trows = toks.select(
+        "doc_id",
+        F.col("i").alias("p"),
+        F.lit(1).alias("is_tok"),
+        F.lit(0).alias("delta"),
+        "tok",
+    )
+    sweep = starts.unionByName(ends).unionByName(trows).withColumn(
+        "depth",
+        F.sum("delta").over(
+            Window.partitionBy("doc_id")
+            .orderBy("p", "is_tok")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    kept = sweep.filter(F.col("is_tok") == 1)
+    return kept.groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("n_tokens"),
+        F.sum((F.col("depth") > 0).cast("int"))
+        .cast("bigint")
+        .alias("removed_tokens"),
+        F.md5(
+            F.coalesce(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(
+                                F.when(
+                                    F.col("depth") == 0,
+                                    F.struct("p", "tok"),
+                                )
+                            )
+                        ),
+                        lambda s: s["tok"],
+                    ),
+                    " ",
+                ),
+                F.lit(""),
+            )
+        ).alias("scrubbed_md5"),
+    )

@@ -789,3 +789,63 @@ def test_ewma_forecast_matches_recursive_replay(queries, spark):
     assert row["forecast_next"] == pytest.approx(
         rec[-1], rel=2 * (1 - a) ** EWMA_W + 1e-6
     )
+
+
+def test_span_scrub_matches_python_rebuild(queries, spark):
+    """Rebuild every scrubbed doc in plain Python (first corpus-wide
+    occurrence survives, later ones removed via boundary sweep) and
+    require md5-identical token streams."""
+    import hashlib
+    import re as _re
+    from collections import defaultdict
+
+    from recommedation_system_under_flink_spark.operators.dedup import (
+        SPAN_L,
+    )
+
+    docs = dict(
+        duckdb.sql(
+            f"SELECT doc_id, text FROM '{SF_DIR}/documents.parquet'"
+        ).fetchall()
+    )
+    toks = {
+        d: [t for t in _re.split(r"[^a-z0-9]+", txt.lower()) if t]
+        for d, txt in docs.items()
+    }
+    occs = defaultdict(list)
+    for d in sorted(toks):
+        ts = toks[d]
+        for i in range(len(ts) - SPAN_L + 1):
+            occs[" ".join(ts[i : i + SPAN_L])].append((d, i + 1))
+    removals = defaultdict(list)
+    for g, lst in occs.items():
+        if len(lst) >= 2:
+            for d, pos in sorted(lst)[1:]:
+                removals[d].append(pos)
+    expected = {}
+    for d, ts in toks.items():
+        if not ts:
+            continue
+        depth_delta = defaultdict(int)
+        for pos in removals.get(d, []):
+            depth_delta[pos] += 1
+            depth_delta[pos + SPAN_L] -= 1
+        kept, depth, n_removed = [], 0, 0
+        for i in range(1, len(ts) + 1):
+            depth += depth_delta[i]
+            if depth > 0:
+                n_removed += 1
+            else:
+                kept.append(ts[i - 1])
+        expected[d] = (
+            len(ts),
+            n_removed,
+            hashlib.md5(" ".join(kept).encode()).hexdigest(),
+        )
+    rows = queries["dedup_span_scrub"](spark, SF_DIR).collect()
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["removed_tokens"], r["scrubbed_md5"])
+        for r in rows
+    }
+    assert got == expected
+    assert any(v[1] > 0 for v in got.values()), "should remove something"
