@@ -91,6 +91,12 @@ HEADLINE = (
     "ts_rake_keywords",
     "sim_kmeans_lloyd",
     "ts_kneser_ney_logprob",
+    # round-5 late additions: the exact-substring-dedup pair (detect +
+    # scrub share the anchor kernel) and the prefix-filtered exact
+    # Jaccard join (the LSH contrast case)
+    "dedup_duplicated_spans",
+    "dedup_span_scrub",
+    "dedup_prefix_filter_join",
 )
 
 
