@@ -1832,3 +1832,93 @@ def ev_ewma_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("m", 6).alias("mae_one_step"),
         )
     )
+
+
+# ------------------------------------- seasonal decomposition (weekly)
+
+@register(
+    "ev_seasonal_decomposition",
+    """WITH daily AS (
+  SELECT CAST(ts AS DATE) AS date, CAST(COUNT(*) AS BIGINT) AS y
+  FROM events WHERE event_type = 'click' GROUP BY 1
+), tr AS (
+  SELECT date, y, isodow(date) AS dow,
+         AVG(y) OVER (ORDER BY date
+                      ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS ma,
+         COUNT(*) OVER (ORDER BY date
+                        ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS wn
+  FROM daily
+), det AS (
+  SELECT dow, y - ma AS d FROM tr WHERE wn = 7
+), seas AS (
+  SELECT dow, CAST(COUNT(*) AS BIGINT) AS n_days, AVG(d) AS s
+  FROM det GROUP BY dow
+), stats AS (
+  SELECT SUM(det.d * det.d) AS ss_det,
+         SUM((det.d - seas.s) * (det.d - seas.s)) AS ss_res
+  FROM det JOIN seas USING (dow)
+)
+SELECT CAST(seas.dow AS INTEGER) AS isodow, seas.n_days,
+       ROUND(seas.s, 6) AS seasonal,
+       ROUND(1.0 - stats.ss_res / stats.ss_det, 6) AS seasonal_r2
+FROM seas CROSS JOIN stats""",
+)
+def ev_seasonal_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """**Classical additive seasonal decomposition** of daily click
+    volume at weekly period: trend = centered 7-day moving average
+    (only full windows — the standard endpoint exclusion), seasonal
+    index = mean detrended value per ISO day-of-week, and the share of
+    detrended variance the weekly pattern explains (the "is there a
+    weekday effect worth modeling" dial; companions:
+    :func:`ev_autocorrelation` detects the period,
+    :func:`ev_ewma_forecast` forecasts the level).
+
+    ISO dow is pinned cross-engine as Spark ``weekday()+1`` ≡ DuckDB
+    ``isodow()`` (Monday=1) — Spark's ``dayofweek`` (Sunday=1) is the
+    trap deliberately avoided.
+
+    Scale: the decomposition runs entirely on the PRE-AGGREGATED
+    O(|days|) series — one global 7-row sliding window over days, one
+    7-group aggregate, 1-row variance broadcast. Only the daily count
+    aggregate is data-sized, identical to every op in this family."""
+    from pyspark.sql import Window
+
+    from ..sources.tables import ts_date
+
+    ev = events_raw(spark, sf_dir)
+    daily = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy(ts_date().alias("date"))
+        .agg(F.count("*").cast("long").alias("y"))
+    )
+    wma = Window.orderBy("date").rowsBetween(-3, 3)
+    tr = daily.select(
+        (F.weekday("date") + 1).cast("int").alias("dow"),
+        "y",
+        F.avg("y").over(wma).alias("ma"),
+        F.count("*").over(wma).alias("wn"),
+    )
+    det = tr.filter(F.col("wn") == 7).select(
+        "dow", (F.col("y") - F.col("ma")).alias("d")
+    )
+    seas = det.groupBy("dow").agg(
+        F.count("*").cast("long").alias("n_days"),
+        F.avg("d").alias("s"),
+    )
+    stats = (
+        det.join(F.broadcast(seas.select("dow", "s")), "dow")
+        .agg(
+            F.sum(F.col("d") * F.col("d")).alias("ss_det"),
+            F.sum(
+                (F.col("d") - F.col("s")) * (F.col("d") - F.col("s"))
+            ).alias("ss_res"),
+        )
+    )
+    return seas.crossJoin(F.broadcast(stats)).select(
+        F.col("dow").alias("isodow"),
+        "n_days",
+        F.round("s", 6).alias("seasonal"),
+        F.round(
+            F.lit(1.0) - F.col("ss_res") / F.col("ss_det"), 6
+        ).alias("seasonal_r2"),
+    )

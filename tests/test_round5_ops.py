@@ -849,3 +849,30 @@ def test_span_scrub_matches_python_rebuild(queries, spark):
     }
     assert got == expected
     assert any(v[1] > 0 for v in got.values()), "should remove something"
+
+
+def test_seasonal_decomposition_matches_pandas(queries, spark):
+    """Replay trend/seasonal/variance-share with pandas and check the
+    isodow convention (Monday=1)."""
+    import pandas as pd
+
+    daily = duckdb.sql(
+        f"""SELECT CAST(ts AS DATE) d, CAST(COUNT(*) AS BIGINT) y
+            FROM '{SF_DIR}/events.parquet'
+            WHERE event_type = 'click' GROUP BY d ORDER BY d"""
+    ).df()
+    daily["ma"] = daily.y.rolling(7, center=True).mean()
+    full = daily.dropna(subset=["ma"]).copy()
+    full["dow"] = pd.to_datetime(full.d).dt.dayofweek + 1  # Monday=1
+    full["det"] = full.y - full.ma
+    seas = full.groupby("dow").det.agg(["count", "mean"])
+    resid = full.det - full.dow.map(seas["mean"])
+    r2 = 1.0 - (resid**2).sum() / (full.det**2).sum()
+    rows = queries["ev_seasonal_decomposition"](spark, SF_DIR).collect()
+    assert {r["isodow"] for r in rows} == set(seas.index)
+    for r in rows:
+        assert r["n_days"] == seas.loc[r["isodow"], "count"]
+        assert r["seasonal"] == pytest.approx(
+            seas.loc[r["isodow"], "mean"], abs=1e-5
+        )
+        assert r["seasonal_r2"] == pytest.approx(r2, abs=1e-5)
