@@ -1947,3 +1947,163 @@ def dedup_span_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("scrubbed_md5"),
     )
+
+
+# ------------------------------------------------ incremental LSH dedup
+
+@register(
+    "dedup_incremental_lsh",
+    f"""WITH {_minhash_ctes()},
+spl AS (
+  SELECT CAST(floor((MAX(doc_id) + 1) * {INCR_SPLIT_FRACTION}) AS BIGINT)
+    AS s
+  FROM documents
+),
+cross_pairs AS (
+  -- batch ids all exceed corpus ids, so mh_pairs' doc_a<doc_b order
+  -- puts the corpus doc in doc_a for every straddling pair
+  SELECT p.doc_b AS doc_id, p.doc_a AS match_id,
+         ROUND(p.jaccard, 6) AS j
+  FROM mh_pairs p CROSS JOIN spl
+  WHERE p.doc_b >= spl.s AND p.doc_a < spl.s
+),
+best AS (
+  SELECT doc_id, match_id, j,
+         ROW_NUMBER() OVER (PARTITION BY doc_id
+                            ORDER BY j DESC, match_id) AS rn
+  FROM cross_pairs
+),
+batch AS (
+  SELECT doc_id FROM documents CROSS JOIN spl WHERE doc_id >= spl.s
+)
+SELECT b.doc_id,
+       CAST(m.match_id IS NULL AS BOOLEAN) AS is_new,
+       m.match_id AS nearest_corpus_doc,
+       m.j AS best_jaccard
+FROM batch b
+LEFT JOIN (SELECT * FROM best WHERE rn = 1) m USING (doc_id)""",
+)
+def dedup_incremental_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental NEAR-dup dedup — the production ingest shape for
+    the fuzzy path, completing :func:`dedup_incremental_exact` (exact
+    hashes) with MinHash-LSH: band an incoming batch's signatures and
+    probe the stored corpus index's buckets, never pairing the corpus
+    against itself and never the batch against itself. Per batch doc:
+    is it new, and if not which corpus doc is its nearest near-dup
+    (highest exact-verified Jaccard, ties to the smallest id,
+    quantized at 6 dp before ranking).
+
+    The corpus side's persisted state is its banded bucket table
+    (MINHASH_BANDS rows of 32-byte digests per doc — like the exact
+    op's "seen hashes", orders of magnitude smaller than the corpus)
+    plus its shingle index for verification. Candidates = batch
+    buckets ⋈ index buckets; verification joins only candidate pairs.
+
+    Scale: batch-sized work against index-sized lookups — the
+    (band, bucket) equi-join touches only colliding buckets, exact
+    verification only candidate pairs; the corpus is never rescanned
+    pairwise. The split is the pinned INCR_SPLIT_FRACTION id boundary
+    shared with the exact op."""
+    docs = load_raw(spark, sf_dir, "documents")
+    max_id = docs.agg(F.max("doc_id")).collect()[0][0]
+    if max_id is None:
+        return spark.createDataFrame(
+            [],
+            "doc_id long, is_new boolean, nearest_corpus_doc long, "
+            "best_jaccard double",
+        )
+    split = int((max_id + 1) * INCR_SPLIT_FRACTION)
+
+    sh = shingles(docs)
+    sig = minhash_signatures(sh)
+    rows_per_band = MINHASH_H // MINHASH_BANDS
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.md5(
+                    F.concat_ws(
+                        ",",
+                        *[
+                            F.col(f"h{b * rows_per_band + r}").cast(
+                                "string"
+                            )
+                            for r in range(rows_per_band)
+                        ],
+                    )
+                ).alias("bucket"),
+            )
+            for b in range(MINHASH_BANDS)
+        ]
+    )
+    banded = sig.select("doc_id", F.explode(bands).alias("bb")).select(
+        "doc_id",
+        F.col("bb.band").alias("band"),
+        F.col("bb.bucket").alias("bucket"),
+    )
+    idx_b = banded.filter(F.col("doc_id") < split).select(
+        F.col("doc_id").alias("match_id"), "band", "bucket"
+    )
+    bat_b = banded.filter(F.col("doc_id") >= split)
+    candidates = (
+        bat_b.join(idx_b, ["band", "bucket"])
+        .select("doc_id", "match_id")
+        .distinct()
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    inter = (
+        candidates.alias("c")
+        .join(sh.alias("sa"), F.col("c.doc_id") == F.col("sa.doc_id"))
+        .join(
+            sh.alias("sb"),
+            (F.col("c.match_id") == F.col("sb.doc_id"))
+            & (F.col("sa.shingle") == F.col("sb.shingle")),
+        )
+        .groupBy(
+            F.col("c.doc_id").alias("doc_id"),
+            F.col("c.match_id").alias("match_id"),
+        )
+        .agg(F.count("*").alias("inter"))
+    )
+    jac = (
+        inter.join(
+            F.broadcast(
+                sizes.select(
+                    F.col("doc_id").alias("did"), F.col("n").alias("n1")
+                )
+            ),
+            F.col("doc_id") == F.col("did"),
+        )
+        .join(
+            F.broadcast(
+                sizes.select(
+                    F.col("doc_id").alias("mid"), F.col("n").alias("n2")
+                )
+            ),
+            F.col("match_id") == F.col("mid"),
+        )
+        .withColumn(
+            "jraw",
+            F.col("inter").cast("double")
+            / (F.col("n1") + F.col("n2") - F.col("inter")),
+        )
+        .filter(F.col("jraw") >= JACCARD_THRESHOLD)
+        .select("doc_id", "match_id", F.round("jraw", 6).alias("j"))
+    )
+    from pyspark.sql import Window
+
+    best = jac.withColumn(
+        "rn",
+        F.row_number().over(
+            Window.partitionBy("doc_id").orderBy(
+                F.col("j").desc(), F.col("match_id")
+            )
+        ),
+    ).filter(F.col("rn") == 1)
+    batch_ids = docs.filter(F.col("doc_id") >= split).select("doc_id")
+    return batch_ids.join(best, "doc_id", "left").select(
+        "doc_id",
+        F.col("match_id").isNull().alias("is_new"),
+        F.col("match_id").alias("nearest_corpus_doc"),
+        F.col("j").alias("best_jaccard"),
+    )

@@ -876,3 +876,43 @@ def test_seasonal_decomposition_matches_pandas(queries, spark):
             seas.loc[r["isodow"], "mean"], abs=1e-5
         )
         assert r["seasonal_r2"] == pytest.approx(r2, abs=1e-5)
+
+
+def test_incremental_lsh_consistent_with_corpus_wide_lsh(queries, spark):
+    """The incremental probe must equal the corpus-wide LSH pair set
+    restricted to straddling pairs, reduced to best-match-per-batch-doc,
+    with every batch doc present exactly once."""
+    from recommedation_system_under_flink_spark.operators.dedup import (
+        INCR_SPLIT_FRACTION,
+    )
+
+    max_id = duckdb.sql(
+        f"SELECT MAX(doc_id) FROM '{SF_DIR}/documents.parquet'"
+    ).fetchone()[0]
+    split = int((max_id + 1) * INCR_SPLIT_FRACTION)
+    lsh = queries["dedup_minhash_lsh"](spark, SF_DIR).collect()
+    best = {}
+    for r in lsh:
+        a, b = r["doc_a"], r["doc_b"]
+        if (a < split) == (b < split):
+            continue
+        bat, idx = (b, a) if b >= split else (a, b)
+        j = round(r["jaccard"], 6)
+        cur = best.get(bat)
+        if cur is None or (j, -idx) > (cur[1], -cur[0]):
+            best[bat] = (idx, j)
+    rows = queries["dedup_incremental_lsh"](spark, SF_DIR).collect()
+    n_batch = duckdb.sql(
+        f"SELECT COUNT(*) FROM '{SF_DIR}/documents.parquet' "
+        f"WHERE doc_id >= {split}"
+    ).fetchone()[0]
+    assert len(rows) == n_batch
+    for r in rows:
+        if r["is_new"]:
+            assert r["doc_id"] not in best
+            assert r["nearest_corpus_doc"] is None
+        else:
+            idx, j = best[r["doc_id"]]
+            assert r["nearest_corpus_doc"] == idx
+            assert r["best_jaccard"] == pytest.approx(j, abs=1e-6)
+    assert any(not r["is_new"] for r in rows), "fixture has straddlers"
