@@ -1189,3 +1189,77 @@ def graph_degree_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_nodes").cast("double") / F.sum("n_nodes").over(w), 6
         ).alias("share"),
     )
+
+
+# --------------------------------------------- degree assortativity
+
+@register(
+    "graph_assortativity",
+    with_ctes(
+        """SELECT CAST(COUNT(*) AS BIGINT) AS n_edges,
+       ROUND(
+         (AVG(du * dn) - AVG(du) * AVG(dn))
+         / (SQRT(AVG(du * du) - AVG(du) * AVG(du))
+            * SQRT(AVG(dn * dn) - AVG(dn) * AVG(dn))), 6)
+         AS assortativity,
+       ROUND(AVG(du), 6) AS mean_user_degree,
+       ROUND(AVG(dn), 6) AS mean_news_degree
+FROM (
+  SELECT CAST(cu.d AS DOUBLE) AS du, CAST(cn.d AS DOUBLE) AS dn
+  FROM pairs p
+  JOIN (SELECT user_id, COUNT(*) AS d FROM pairs GROUP BY user_id) cu
+    ON p.user_id = cu.user_id
+  JOIN (SELECT news_id, COUNT(*) AS d FROM pairs GROUP BY news_id) cn
+    ON p.news_id = cn.news_id
+)""",
+        CLICKS_CTE,
+        "pairs AS (SELECT DISTINCT user_id, news_id FROM clicks)",
+    ),
+)
+def graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """**Degree assortativity** of the user↔news click graph: the
+    Pearson correlation between user degree and news degree across
+    distinct click edges (Newman 2002, bipartite cross-side form).
+    Negative = heavy users spread over niche items / hubs attract
+    light users (typical of recommendation graphs and a predictor of
+    how PageRank mass concentrates); positive = hub-hub locking, the
+    regime where neighborhood joins (CF, Adamic-Adar) need their hot
+    keys salted first.
+
+    Plan: two degree aggregates (user-keyed, news-keyed), each joined
+    back to the edge list on its own key, then ONE moment aggregate —
+    degrees are exact BIGINT counts so the only doubles are the final
+    moment ratios. No pairwise or per-node iteration anywhere.
+
+    Scale: the two degree joins shuffle the edge list once per side
+    (the news side reuses ``NEWS_MOD``-bounded keys and could
+    broadcast); the moment aggregate is map-side combinable. Same
+    single-pass-over-edges class as the modularity report."""
+    from ..sources import clicks
+
+    pairs = clicks(spark, sf_dir).select("user_id", "news_id").distinct()
+    du = pairs.groupBy("user_id").agg(F.count("*").alias("du"))
+    dn = pairs.groupBy("news_id").agg(F.count("*").alias("dn"))
+    e = (
+        pairs.join(du, "user_id")
+        .join(F.broadcast(dn), "news_id")
+        .select(
+            F.col("du").cast("double").alias("x"),
+            F.col("dn").cast("double").alias("y"),
+        )
+    )
+    return e.agg(
+        F.count("*").cast("bigint").alias("n_edges"),
+        F.round(
+            (F.avg(F.col("x") * F.col("y")) - F.avg("x") * F.avg("y"))
+            / (
+                F.sqrt(F.avg(F.col("x") * F.col("x")) - F.avg("x") * F.avg("x"))
+                * F.sqrt(
+                    F.avg(F.col("y") * F.col("y")) - F.avg("y") * F.avg("y")
+                )
+            ),
+            6,
+        ).alias("assortativity"),
+        F.round(F.avg("x"), 6).alias("mean_user_degree"),
+        F.round(F.avg("y"), 6).alias("mean_news_degree"),
+    )

@@ -916,3 +916,26 @@ def test_incremental_lsh_consistent_with_corpus_wide_lsh(queries, spark):
             assert r["nearest_corpus_doc"] == idx
             assert r["best_jaccard"] == pytest.approx(j, abs=1e-6)
     assert any(not r["is_new"] for r in rows), "fixture has straddlers"
+
+
+def test_assortativity_matches_numpy_pearson(queries, spark):
+    """Pearson of (user degree, news degree) across distinct click
+    edges, recomputed with numpy."""
+    from recommedation_system_under_flink_spark.sources.tables import (
+        NEWS_MOD,
+    )
+
+    pairs = duckdb.sql(
+        f"""SELECT DISTINCT user_id, event_id % {NEWS_MOD} AS news_id
+            FROM '{SF_DIR}/events.parquet' WHERE event_type='click'"""
+    ).df()
+    du = pairs.groupby("user_id").size()
+    dn = pairs.groupby("news_id").size()
+    x = pairs.user_id.map(du).to_numpy(dtype=float)
+    y = pairs.news_id.map(dn).to_numpy(dtype=float)
+    r = np.corrcoef(x, y)[0, 1]
+    row = queries["graph_assortativity"](spark, SF_DIR).collect()[0]
+    assert row["n_edges"] == len(pairs)
+    assert row["assortativity"] == pytest.approx(r, abs=1e-5)
+    assert row["mean_user_degree"] == pytest.approx(x.mean(), abs=1e-5)
+    assert row["mean_news_degree"] == pytest.approx(y.mean(), abs=1e-5)
