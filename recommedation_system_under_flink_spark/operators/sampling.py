@@ -1198,3 +1198,99 @@ def samp_token_budget_waterfill(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("capped"),
         )
     )
+
+
+# ------------------------------------------ Neyman optimal allocation
+
+#: Total sample size as a fraction of the corpus (pinned).
+NEYMAN_SAMPLE_FRAC = 0.1
+
+
+@register(
+    "samp_neyman_allocation",
+    f"""WITH st AS (
+  SELECT source,
+         CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM({_WF_TOKENS_SQL}) AS BIGINT) AS s1,
+         CAST(SUM({_WF_TOKENS_SQL} * {_WF_TOKENS_SQL}) AS BIGINT) AS s2
+  FROM documents GROUP BY source
+), sig AS (
+  SELECT source, n_docs,
+         SQRT(GREATEST(CAST(s2 AS DOUBLE) / n_docs
+              - (CAST(s1 AS DOUBLE) / n_docs) * (CAST(s1 AS DOUBLE) / n_docs),
+              0.0)) AS sigma
+  FROM st
+), tot AS (
+  SELECT CAST(FLOOR({NEYMAN_SAMPLE_FRAC} * SUM(n_docs)) AS BIGINT) AS n,
+         SUM(n_docs) AS big_n,
+         SUM(n_docs * sigma) AS denom
+  FROM sig
+)
+SELECT s.source, s.n_docs, ROUND(s.sigma, 6) AS sigma_tokens,
+       ROUND(t.n * s.n_docs * s.sigma / t.denom, 6) AS neyman_n,
+       ROUND(CAST(t.n AS DOUBLE) * s.n_docs / t.big_n, 6)
+         AS proportional_n
+FROM sig s CROSS JOIN tot t""",
+)
+def samp_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """**Neyman optimal allocation** of a fixed sample budget across
+    strata (sources): n_h ∝ N_h·σ_h — the variance-minimizing split
+    for estimating mean document length, vs the proportional n_h ∝
+    N_h baseline column. The audit-sampling companion to
+    :func:`samp_token_budget_waterfill` (that op allocates TRAINING
+    tokens under caps; this allocates INSPECTION budget under a
+    variance objective): high-variance sources earn more QA draws per
+    document.
+
+    Determinism: per-stratum moments are exact BIGINT Σx/Σx² (token
+    counts are integers), so σ_h is one sqrt of an exactly-agreed
+    rational; GREATEST(·,0) guards the classic negative-epsilon
+    variance from the two-pass-free formula.
+
+    Scale: one hash aggregate over documents + a 1-row total/denom
+    broadcast over the O(|sources|) grid — identical cost envelope to
+    the waterfill."""
+    docs = load_raw(spark, sf_dir, "documents")
+    from ..functions.text import TOKEN_SPLIT_REGEX
+
+    n_tok = F.size(
+        F.filter(
+            F.split(F.lower(F.col("text")), TOKEN_SPLIT_REGEX),
+            lambda t: t != "",
+        )
+    ).cast("bigint")
+    st = docs.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum(n_tok).cast("bigint").alias("s1"),
+        F.sum(n_tok * n_tok).cast("bigint").alias("s2"),
+    )
+    mean = F.col("s1").cast("double") / F.col("n_docs")
+    sig = st.select(
+        "source",
+        "n_docs",
+        F.sqrt(
+            F.greatest(
+                F.col("s2").cast("double") / F.col("n_docs") - mean * mean,
+                F.lit(0.0),
+            )
+        ).alias("sigma"),
+    )
+    tot = sig.agg(
+        F.floor(F.lit(NEYMAN_SAMPLE_FRAC) * F.sum("n_docs"))
+        .cast("bigint")
+        .alias("n"),
+        F.sum("n_docs").alias("big_n"),
+        F.sum(F.col("n_docs") * F.col("sigma")).alias("denom"),
+    )
+    return sig.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        F.round("sigma", 6).alias("sigma_tokens"),
+        F.round(
+            F.col("n") * F.col("n_docs") * F.col("sigma") / F.col("denom"),
+            6,
+        ).alias("neyman_n"),
+        F.round(
+            F.col("n").cast("double") * F.col("n_docs") / F.col("big_n"), 6
+        ).alias("proportional_n"),
+    )

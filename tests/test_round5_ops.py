@@ -939,3 +939,38 @@ def test_assortativity_matches_numpy_pearson(queries, spark):
     assert row["assortativity"] == pytest.approx(r, abs=1e-5)
     assert row["mean_user_degree"] == pytest.approx(x.mean(), abs=1e-5)
     assert row["mean_news_degree"] == pytest.approx(y.mean(), abs=1e-5)
+
+
+def test_neyman_allocation_matches_numpy(queries, spark):
+    """Recompute N_h, sigma_h, and both allocations with numpy; Neyman
+    must dominate proportional on the weighted-variance objective."""
+    import re as _re
+
+    from recommedation_system_under_flink_spark.operators.sampling import (
+        NEYMAN_SAMPLE_FRAC,
+    )
+
+    df = duckdb.sql(
+        f"SELECT source, text FROM '{SF_DIR}/documents.parquet'"
+    ).df()
+    df["nt"] = df.text.str.lower().map(
+        lambda t: len([x for x in _re.split(r"[^a-z0-9]+", t) if x])
+    )
+    g = df.groupby("source").nt
+    N_h = g.size()
+    sig_h = g.std(ddof=0)
+    n = int(NEYMAN_SAMPLE_FRAC * N_h.sum())
+    ney = n * (N_h * sig_h) / (N_h * sig_h).sum()
+    prop = n * N_h / N_h.sum()
+    rows = queries["samp_neyman_allocation"](spark, SF_DIR).collect()
+    assert len(rows) == len(N_h)
+    for r in rows:
+        s = r["source"]
+        assert r["n_docs"] == N_h[s]
+        assert r["sigma_tokens"] == pytest.approx(sig_h[s], abs=1e-5)
+        assert r["neyman_n"] == pytest.approx(ney[s], abs=1e-4)
+        assert r["proportional_n"] == pytest.approx(prop[s], abs=1e-4)
+    # variance objective: sum N_h^2 sigma_h^2 / n_h, Neyman <= proportional
+    v_ney = ((N_h**2 * sig_h**2) / ney).sum()
+    v_prop = ((N_h**2 * sig_h**2) / prop).sum()
+    assert v_ney <= v_prop + 1e-9
