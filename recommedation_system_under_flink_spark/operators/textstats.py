@@ -2260,3 +2260,72 @@ def ts_kneser_ney_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ------------------------------------------- lexical diversity profile
+
+@register(
+    "ts_lexical_diversity",
+    f"""WITH tok AS (
+  SELECT source, unnest(ts) AS tok
+  FROM (SELECT source, {_TOKENS_SQL} AS ts FROM documents)
+), per AS (
+  SELECT source, tok, COUNT(*) AS c FROM tok GROUP BY source, tok
+)
+SELECT source,
+       CAST(SUM(c) AS BIGINT) AS n_tokens,
+       CAST(COUNT(*) AS BIGINT) AS n_types,
+       ROUND(CAST(COUNT(*) AS DOUBLE) / SUM(c), 6) AS type_token_ratio,
+       CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+       ROUND(CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*), 6) AS hapax_rate,
+       ROUND(CAST(COUNT(*) AS DOUBLE) / SQRT(CAST(SUM(c) AS DOUBLE)), 6)
+         AS guiraud_r
+FROM per GROUP BY source""",
+)
+def ts_lexical_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """**Lexical diversity profile per source**: type-token ratio,
+    hapax-legomenon rate (fraction of types occurring once), and
+    Guiraud's R (types/√tokens, the length-robust variant) — the
+    curation signals separating template/boilerplate-heavy sources
+    (low TTR, low hapax) from natural prose, complementary to the
+    perplexity and repetition filters.
+
+    Plan: explode once, ONE (source, token)-keyed count aggregate
+    (map-side combinable), then a source-keyed rollup of the counts
+    relation — type/hapax/token totals all fall out of the same
+    grouped relation, no second scan, no per-doc windows.
+
+    Scale: the (source, token) relation is vocabulary-sized per
+    source, not corpus-sized; both aggregates are hash + combine.
+    Skewed sources only skew their own partition's vocabulary."""
+    docs = load_raw(spark, sf_dir, "documents")
+    toks = F.filter(
+        F.split(F.lower(F.col("text")), TOKEN_SPLIT_REGEX),
+        lambda t: t != "",
+    )
+    per = (
+        docs.select("source", F.explode(toks).alias("tok"))
+        .groupBy("source", "tok")
+        .agg(F.count("*").alias("c"))
+    )
+    return per.groupBy("source").agg(
+        F.sum("c").cast("bigint").alias("n_tokens"),
+        F.count("*").cast("bigint").alias("n_types"),
+        F.round(
+            F.count("*").cast("double") / F.sum("c"), 6
+        ).alias("type_token_ratio"),
+        F.sum((F.col("c") == 1).cast("int"))
+        .cast("bigint")
+        .alias("n_hapax"),
+        F.round(
+            F.sum((F.col("c") == 1).cast("int")).cast("double")
+            / F.count("*"),
+            6,
+        ).alias("hapax_rate"),
+        F.round(
+            F.count("*").cast("double")
+            / F.sqrt(F.sum("c").cast("double")),
+            6,
+        ).alias("guiraud_r"),
+    )

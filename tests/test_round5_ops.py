@@ -974,3 +974,31 @@ def test_neyman_allocation_matches_numpy(queries, spark):
     v_ney = ((N_h**2 * sig_h**2) / ney).sum()
     v_prop = ((N_h**2 * sig_h**2) / prop).sum()
     assert v_ney <= v_prop + 1e-9
+
+
+def test_lexical_diversity_matches_python_counts(queries, spark):
+    import re as _re
+    from collections import Counter, defaultdict
+
+    docs = duckdb.sql(
+        f"SELECT source, text FROM '{SF_DIR}/documents.parquet'"
+    ).fetchall()
+    counts = defaultdict(Counter)
+    for src, txt in docs:
+        counts[src].update(
+            t for t in _re.split(r"[^a-z0-9]+", txt.lower()) if t
+        )
+    rows = queries["ts_lexical_diversity"](spark, SF_DIR).collect()
+    assert {r["source"] for r in rows} == set(counts)
+    for r in rows:
+        c = counts[r["source"]]
+        n_tok, n_typ = sum(c.values()), len(c)
+        hapax = sum(1 for v in c.values() if v == 1)
+        assert r["n_tokens"] == n_tok and r["n_types"] == n_typ
+        assert r["n_hapax"] == hapax
+        assert r["type_token_ratio"] == pytest.approx(
+            n_typ / n_tok, abs=1e-6
+        )
+        assert r["guiraud_r"] == pytest.approx(
+            n_typ / n_tok**0.5, abs=1e-5
+        )
