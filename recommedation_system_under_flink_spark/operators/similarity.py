@@ -3205,3 +3205,80 @@ def sim_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.max(sqnorm), 6).alias("centroid_sqnorm"),
         )
     )
+
+
+# ----------------------------------------------- embedding drift audit
+
+@register(
+    "sim_embedding_drift",
+    """WITH halves AS (
+  SELECT vec_id % 2 AS half, i - 1 AS dim, e AS v
+  FROM (
+    SELECT vec_id, unnest(embedding) AS e,
+           generate_subscripts(embedding, 1) AS i
+    FROM embeddings
+  )
+), mom AS (
+  SELECT dim,
+         AVG(CASE WHEN half = 0 THEN CAST(v AS DOUBLE) END) AS mu_ref,
+         AVG(CASE WHEN half = 1 THEN CAST(v AS DOUBLE) END) AS mu_new,
+         STDDEV_POP(CASE WHEN half = 0 THEN CAST(v AS DOUBLE) END)
+           AS sd_ref,
+         STDDEV_POP(CASE WHEN half = 1 THEN CAST(v AS DOUBLE) END)
+           AS sd_new
+  FROM halves GROUP BY dim
+)
+SELECT CAST(dim AS INTEGER) AS dim,
+       ROUND(mu_ref, 6) AS mu_ref,
+       ROUND(mu_new, 6) AS mu_new,
+       ROUND(ABS(mu_new - mu_ref), 6) AS abs_mean_shift,
+       ROUND(sd_new / sd_ref, 6) AS sd_ratio
+FROM mom""",
+)
+def sim_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """**Per-dimension embedding drift audit** between a reference and
+    a candidate corpus half (pinned ``vec_id % 2`` split — in
+    production, yesterday's embeddings vs today's, or model v1 vs
+    v2): mean shift and spread ratio per dimension. The regression
+    alarm BEFORE re-indexing 100 TB of vectors — a handful of
+    dimensions with large |Δμ| or sd ratio far from 1 means the
+    embedding model changed under you and every pinned IVF/PQ index
+    (:func:`sim_ivf_topk_pinned`) is scoring stale geometry.
+
+    Plan: one posexplode to (half, dim, value) rows, ONE (dim)-keyed
+    aggregate computing both halves' moments via conditional
+    aggregation — no join between halves, no per-vector work beyond
+    the explode. Output is D rows regardless of corpus size.
+
+    Scale: the exploded relation is rows×D but reduces map-side into
+    D groups; conditional AVG/STDDEV are single-pass combinable. The
+    same shape as the covariance op minus its dim² pair fan-out."""
+    emb = load_raw(spark, sf_dir, "embeddings")
+    ex = emb.select(
+        (F.col("vec_id") % 2).alias("half"),
+        F.posexplode(F.col("embedding").cast("array<double>")).alias(
+            "dim", "v"
+        ),
+    )
+    ref = F.when(F.col("half") == 0, F.col("v"))
+    new = F.when(F.col("half") == 1, F.col("v"))
+    return (
+        ex.groupBy("dim")
+        .agg(
+            F.avg(ref).alias("mu_ref"),
+            F.avg(new).alias("mu_new"),
+            F.stddev_pop(ref).alias("sd_ref"),
+            F.stddev_pop(new).alias("sd_new"),
+        )
+        .select(
+            F.col("dim").cast("int").alias("dim"),
+            F.round("mu_ref", 6).alias("mu_ref"),
+            F.round("mu_new", 6).alias("mu_new"),
+            F.round(F.abs(F.col("mu_new") - F.col("mu_ref")), 6).alias(
+                "abs_mean_shift"
+            ),
+            F.round(F.col("sd_new") / F.col("sd_ref"), 6).alias(
+                "sd_ratio"
+            ),
+        )
+    )

@@ -1002,3 +1002,20 @@ def test_lexical_diversity_matches_python_counts(queries, spark):
         assert r["guiraud_r"] == pytest.approx(
             n_typ / n_tok**0.5, abs=1e-5
         )
+
+
+def test_embedding_drift_matches_numpy(queries, spark):
+    vecs = duckdb.sql(
+        f"SELECT vec_id, embedding FROM '{SF_DIR}/embeddings.parquet'"
+    ).fetchall()
+    ref = np.array([e for i, e in vecs if i % 2 == 0], dtype=np.float64)
+    new = np.array([e for i, e in vecs if i % 2 == 1], dtype=np.float64)
+    rows = queries["sim_embedding_drift"](spark, SF_DIR).collect()
+    assert len(rows) == ref.shape[1]
+    for r in rows:
+        d = r["dim"]
+        assert r["mu_ref"] == pytest.approx(ref[:, d].mean(), abs=1e-5)
+        assert r["mu_new"] == pytest.approx(new[:, d].mean(), abs=1e-5)
+        assert r["sd_ratio"] == pytest.approx(
+            new[:, d].std() / ref[:, d].std(), abs=1e-4
+        )
