@@ -97,6 +97,7 @@ HEADLINE = (
     "dedup_duplicated_spans",
     "dedup_span_scrub",
     "dedup_prefix_filter_join",
+    "dedup_incremental_lsh",
 )
 
 

@@ -1019,3 +1019,67 @@ def test_embedding_drift_matches_numpy(queries, spark):
         assert r["sd_ratio"] == pytest.approx(
             new[:, d].std() / ref[:, d].std(), abs=1e-4
         )
+
+
+def test_span_ops_on_planted_corpus(queries, spark, tmp_path):
+    """Planted micro-corpus with a known shared 8-token phrase and an
+    in-doc self-repeat: exact expected coverage and scrub survival."""
+    from recommedation_system_under_flink_spark.operators.dedup import (
+        SPAN_L,
+    )
+
+    assert SPAN_L == 6
+    phrase = "alpha bravo charlie delta echo foxtrot"  # exactly L tokens
+    docs = [
+        # doc 0: phrase at tokens 3..8 (first corpus-wide occurrence)
+        (0, "one two three " + phrase + " tail0 tail1", "en", "s0", 0),
+        # doc 1: phrase at tokens 1..6, then unique text
+        (1, phrase + " unique1 unique2 unique3", "en", "s0", 0),
+        # doc 2: self-repeat of a different L-gram phrase twice
+        (
+            2,
+            "p q r s t u " + "p q r s t u " + "ending here now",
+            "en",
+            "s0",
+            0,
+        ),
+        # doc 3: no duplication at all
+        (3, "totally fresh words nothing shared anywhere at all", "en", "s0", 0),
+    ]
+    pdir = str(tmp_path)
+    spark.createDataFrame(
+        docs, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.mode("overwrite").parquet(pdir + "/documents.parquet")
+
+    frac = {
+        r["doc_id"]: r
+        for r in queries["dedup_duplicated_spans"](spark, pdir).collect()
+    }
+    # docs 0,1 share the 6-token phrase; doc 2 repeats its own 6-gram
+    assert frac[0]["dup_tokens"] == 6 and frac[0]["n_tokens"] == 11
+    assert frac[1]["dup_tokens"] == 6 and frac[1]["n_tokens"] == 9
+    # doc 2: "p q r s t u" occurs at pos 1 and 7 -> two anchors whose
+    # intervals [1,6] and [7,12] union to 12 covered tokens
+    assert frac[2]["dup_tokens"] == 12 and frac[2]["n_tokens"] == 15
+    assert 3 not in frac
+
+    scrub = {
+        r["doc_id"]: r
+        for r in queries["dedup_span_scrub"](spark, pdir).collect()
+    }
+    # first occurrence = smallest (doc_id, pos): doc 0 keeps the phrase
+    assert scrub[0]["removed_tokens"] == 0
+    assert scrub[1]["removed_tokens"] == 6
+    # doc 2: only the "p q r s t u" gram itself repeats (pos 1 vs 7;
+    # the straddling windows pos 2..6 differ past the repeat), so the
+    # first occurrence survives and [7,12] is removed
+    assert scrub[2]["removed_tokens"] == 6
+    assert scrub[3]["removed_tokens"] == 0
+    import hashlib
+
+    assert scrub[1]["scrubbed_md5"] == hashlib.md5(
+        b"unique1 unique2 unique3"
+    ).hexdigest()
+    assert scrub[2]["scrubbed_md5"] == hashlib.md5(
+        b"p q r s t u ending here now"
+    ).hexdigest()
