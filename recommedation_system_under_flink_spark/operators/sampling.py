@@ -1294,3 +1294,105 @@ def samp_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n").cast("double") * F.col("n_docs") / F.col("big_n"), 6
         ).alias("proportional_n"),
     )
+
+
+# ------------------------------- DSIR weight truncation + ESS report
+
+#: Truncation point: the pinned percentile of the per-doc score grid.
+DSIR_CLIP_PCT = 90
+
+
+@register(
+    "samp_dsir_ess_truncation",
+    f"""WITH dsir AS ({_dsir_oracle()}),
+grid AS (
+  SELECT mean_log2_ratio AS s, COUNT(*) AS c FROM dsir GROUP BY 1
+),
+cum AS (
+  SELECT s, SUM(c) OVER (ORDER BY s
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cn,
+         SUM(c) OVER () AS n
+  FROM grid
+),
+cut AS (
+  SELECT MIN(s) AS cut_s FROM cum WHERE cn * 100 >= n * {DSIR_CLIP_PCT}
+),
+w AS (
+  SELECT POWER(2.0, d.mean_log2_ratio) AS w,
+         POWER(2.0, LEAST(d.mean_log2_ratio, c.cut_s)) AS wt,
+         CAST(d.mean_log2_ratio > c.cut_s AS INTEGER) AS clipped
+  FROM dsir d CROSS JOIN cut c
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+       ROUND(MAX(cut.cut_s), 6) AS cut_log2,
+       CAST(SUM(clipped) AS BIGINT) AS n_clipped,
+       ROUND(SUM(w) * SUM(w) / SUM(w * w) / COUNT(*), 6)
+         AS ess_frac_raw,
+       ROUND(SUM(wt) * SUM(wt) / SUM(wt * wt) / COUNT(*), 6)
+         AS ess_frac_truncated,
+       ROUND(SUM(wt) / SUM(w), 6) AS mass_kept_frac
+FROM w CROSS JOIN cut""",
+)
+def samp_dsir_ess_truncation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """**Importance-weight truncation diagnostic** for DSIR
+    resampling: effective sample size (Kong 1992, ESS = (Σw)²/Σw²,
+    reported as a fraction of n) of the raw 2^score weights vs the
+    same weights clipped at the ``DSIR_CLIP_PCT``-th percentile score
+    — the standard variance/bias dial before importance resampling
+    (a tiny ESS fraction means a handful of docs would dominate the
+    resample; clipping trades a little selection bias for a usable
+    ESS). Also reports how many docs hit the clip and the weight
+    mass the clip retains.
+
+    Determinism: per-doc scores arrive 6-dp quantized from
+    :func:`samp_dsir_weights`, so the percentile cut is exact integer
+    logic on the distinct-score grid (same nearest-rank discipline as
+    the conversion-lag percentiles); 2^s is one pow per doc whose
+    ulp-level engine variance washes out in the 6-dp-rounded
+    aggregate ratios.
+
+    Scale: grid window runs over O(distinct scores); everything else
+    is one pass of map-side-combinable sums. Inherits DSIR's own
+    scaling story for the score stage."""
+    from pyspark.sql import Window
+
+    d = samp_dsir_weights(spark, sf_dir).select(
+        F.col("mean_log2_ratio").alias("s")
+    )
+    grid = d.groupBy("s").agg(F.count("*").alias("c"))
+    cum = grid.select(
+        "s",
+        F.sum("c")
+        .over(
+            Window.orderBy("s").rowsBetween(Window.unboundedPreceding, 0)
+        )
+        .alias("cn"),
+        F.sum("c").over(Window.partitionBy()).alias("n"),
+    )
+    cut = cum.filter(
+        F.col("cn") * 100 >= F.col("n") * DSIR_CLIP_PCT
+    ).agg(F.min("s").alias("cut_s"))
+    w = d.crossJoin(F.broadcast(cut)).select(
+        F.pow(F.lit(2.0), F.col("s")).alias("w"),
+        F.pow(F.lit(2.0), F.least(F.col("s"), F.col("cut_s"))).alias(
+            "wt"
+        ),
+        (F.col("s") > F.col("cut_s")).cast("int").alias("clipped"),
+        "cut_s",
+    )
+    return w.agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.round(F.max("cut_s"), 6).alias("cut_log2"),
+        F.sum("clipped").cast("bigint").alias("n_clipped"),
+        F.round(
+            F.sum("w") * F.sum("w") / F.sum(F.col("w") * F.col("w"))
+            / F.count("*"),
+            6,
+        ).alias("ess_frac_raw"),
+        F.round(
+            F.sum("wt") * F.sum("wt") / F.sum(F.col("wt") * F.col("wt"))
+            / F.count("*"),
+            6,
+        ).alias("ess_frac_truncated"),
+        F.round(F.sum("wt") / F.sum("w"), 6).alias("mass_kept_frac"),
+    )

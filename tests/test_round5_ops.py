@@ -1083,3 +1083,34 @@ def test_span_ops_on_planted_corpus(queries, spark, tmp_path):
     assert scrub[2]["scrubbed_md5"] == hashlib.md5(
         b"p q r s t u ending here now"
     ).hexdigest()
+
+
+def test_dsir_ess_truncation_matches_numpy(queries, spark):
+    """Replay ESS and the clip with numpy from the registered DSIR
+    scores; truncation must not lower the ESS fraction."""
+    from recommedation_system_under_flink_spark.operators.sampling import (
+        DSIR_CLIP_PCT,
+    )
+
+    s = np.array(
+        [
+            r["mean_log2_ratio"]
+            for r in queries["samp_dsir_weights"](spark, SF_DIR).collect()
+        ]
+    )
+    grid = np.unique(s)
+    counts = np.array([(s == g).sum() for g in grid]).cumsum()
+    cut = grid[np.searchsorted(counts * 100, len(s) * DSIR_CLIP_PCT)]
+    w = 2.0**s
+    wt = 2.0 ** np.minimum(s, cut)
+    row = queries["samp_dsir_ess_truncation"](spark, SF_DIR).collect()[0]
+    assert row["n_docs"] == len(s)
+    assert row["cut_log2"] == pytest.approx(cut, abs=1e-6)
+    assert row["n_clipped"] == int((s > cut).sum())
+    ess = lambda v: (v.sum() ** 2 / (v**2).sum()) / len(v)
+    assert row["ess_frac_raw"] == pytest.approx(ess(w), abs=1e-5)
+    assert row["ess_frac_truncated"] == pytest.approx(ess(wt), abs=1e-5)
+    assert row["mass_kept_frac"] == pytest.approx(
+        wt.sum() / w.sum(), abs=1e-5
+    )
+    assert row["ess_frac_truncated"] >= row["ess_frac_raw"] - 1e-9
