@@ -843,3 +843,73 @@ def prof_column_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("normalized_entropy"),
     )
+
+
+# ------------------------------------------------ candidate-key audit
+
+#: (table, combo) probes: claimed keys and near-keys worth disproving.
+KEY_PROBES = (
+    ("orders", ("o_orderkey",)),
+    ("orders", ("o_custkey", "o_orderdate")),
+    ("lineitem", ("l_orderkey", "l_linenumber")),
+    ("lineitem", ("l_orderkey",)),
+    ("customer", ("c_custkey",)),
+    ("documents", ("doc_id",)),
+    ("documents", ("source", "n_chars")),
+    ("events", ("user_id", "ts")),
+)
+
+
+def _key_probe_sql() -> str:
+    parts = []
+    for table, cols in KEY_PROBES:
+        combo = ", ".join(cols)
+        label = table + "(" + ",".join(cols) + ")"
+        parts.append(
+            f"""SELECT '{label}' AS probe,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(COUNT(DISTINCT ({combo})) AS BIGINT) AS n_distinct,
+       CAST(COUNT(*) = COUNT(DISTINCT ({combo})) AS BOOLEAN) AS is_key
+FROM {table}"""
+        )
+    return "\nUNION ALL\n".join(parts)
+
+
+@register("prof_candidate_keys", _key_probe_sql())
+def prof_candidate_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """**Candidate-key discovery audit**: for each pinned (table,
+    column-combo) probe, does the combo uniquely identify rows? The
+    schema-inference primitive behind upsert-key validation, CDC
+    dedup keys, and join-cardinality planning — a combo that silently
+    stops being a key is how MERGE fan-out and row-duplicating joins
+    sneak into production pipelines (the profiling companion to
+    :func:`prof_referential_integrity`, which audits the foreign
+    side).
+
+    Plan: one COUNT + COUNT(DISTINCT combo) aggregate per probe —
+    Catalyst expands each into the standard two-phase distinct
+    aggregate (partial on the combo key, then count), map-side
+    combinable, unioned into one result. Probes run on their own
+    tables; nothing joins.
+
+    Scale: each probe is one hash aggregate whose state is the
+    combo's distinct cardinality — for true keys that equals the
+    table, so at 100 TB swap exactness for the HLL twin
+    (``sk_*`` family) per probe where a ±0.5% answer suffices; the
+    pinned-probe shape is unchanged."""
+    out = None
+    for table, cols in KEY_PROBES:
+        t = load_raw(spark, sf_dir, table)
+        label = table + "(" + ",".join(cols) + ")"
+        combo = F.struct(*[F.col(c) for c in cols])
+        agg = t.agg(
+            F.count("*").cast("bigint").alias("n_rows"),
+            F.count_distinct(combo).cast("bigint").alias("n_distinct"),
+        ).select(
+            F.lit(label).alias("probe"),
+            "n_rows",
+            "n_distinct",
+            (F.col("n_rows") == F.col("n_distinct")).alias("is_key"),
+        )
+        out = agg if out is None else out.unionByName(agg)
+    return out

@@ -1114,3 +1114,26 @@ def test_dsir_ess_truncation_matches_numpy(queries, spark):
         wt.sum() / w.sum(), abs=1e-5
     )
     assert row["ess_frac_truncated"] >= row["ess_frac_raw"] - 1e-9
+
+
+def test_candidate_keys_match_duckdb_and_flag_nonkeys(queries, spark):
+    rows = {
+        r["probe"]: r
+        for r in queries["prof_candidate_keys"](spark, SF_DIR).collect()
+    }
+    # independently recompute two probes
+    n, d = duckdb.sql(
+        f"""SELECT COUNT(*), COUNT(DISTINCT (l_orderkey, l_linenumber))
+            FROM '{SF_DIR}/lineitem.parquet'"""
+    ).fetchone()
+    r = rows["lineitem(l_orderkey,l_linenumber)"]
+    assert (r["n_rows"], r["n_distinct"]) == (n, d)
+    # the synthetic fixture does NOT maintain TPC-H's compound line
+    # key (4599/6000 distinct at sf0.001) — the audit must say so
+    assert r["is_key"] == (n == d) == False  # noqa: E712
+    assert not rows["lineitem(l_orderkey)"]["is_key"]
+    assert rows["orders(o_orderkey)"]["is_key"]
+    assert rows["customer(c_custkey)"]["is_key"]
+    assert rows["documents(doc_id)"]["is_key"]
+    assert rows["events(user_id,ts)"]["is_key"]
+    assert not rows["documents(source,n_chars)"]["is_key"]
