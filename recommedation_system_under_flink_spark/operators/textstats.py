@@ -2329,3 +2329,134 @@ def ts_lexical_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("guiraud_r"),
     )
+
+
+# ------------------------------------------- length outlier filter
+
+@register(
+    "ts_length_outliers",
+    f"""WITH lens AS (
+  SELECT source, doc_id,
+         CAST(len({_TOKENS_SQL}) AS BIGINT) AS n_tokens
+  FROM documents
+), med AS (
+  SELECT source, n_tokens AS median_tokens FROM (
+    SELECT source, n_tokens,
+           ROW_NUMBER() OVER (PARTITION BY source
+                              ORDER BY n_tokens, doc_id) AS rn,
+           COUNT(*) OVER (PARTITION BY source) AS cnt
+    FROM lens
+  ) WHERE rn = (cnt + 1) // 2
+), dev AS (
+  SELECT l.source, l.doc_id, l.n_tokens, m.median_tokens,
+         ABS(l.n_tokens - m.median_tokens) AS adev
+  FROM lens l JOIN med m ON l.source = m.source
+), mad AS (
+  SELECT source, adev AS mad_tokens FROM (
+    SELECT source, adev,
+           ROW_NUMBER() OVER (PARTITION BY source
+                              ORDER BY adev, doc_id) AS rn,
+           COUNT(*) OVER (PARTITION BY source) AS cnt
+    FROM dev
+  ) WHERE rn = (cnt + 1) // 2
+)
+SELECT source, doc_id, n_tokens, median_tokens, mad_tokens, robust_z,
+       CAST(ABS(robust_z) > 3.5 AS BOOLEAN) AS is_outlier
+FROM (
+  -- CAST the scale to DOUBLE: as a bare literal DuckDB keeps it
+  -- DECIMAL and computes the numerator exactly, landing on .5
+  -- half-points that round differently than Spark's all-double chain
+  SELECT d.source, d.doc_id, d.n_tokens, d.median_tokens, a.mad_tokens,
+         ROUND(CAST(0.6745 AS DOUBLE) * (d.n_tokens - d.median_tokens)
+               / NULLIF(CAST(a.mad_tokens AS DOUBLE), 0), 6) AS robust_z,
+         ROW_NUMBER() OVER (
+           PARTITION BY d.source
+           ORDER BY ROUND(ABS(CAST(0.6745 AS DOUBLE) * (d.n_tokens - d.median_tokens)
+                 / NULLIF(CAST(a.mad_tokens AS DOUBLE), 0)), 6) DESC,
+             d.doc_id) AS rn
+  FROM dev d JOIN mad a ON d.source = a.source
+) WHERE rn = 1""",
+)
+def ts_length_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """**Per-source document-length outliers** by the Iglewicz–Hoaglin
+    modified z-score (0.6745·(x−med)/MAD > 3.5) — the robust form of
+    the min/max-length curation filter: fixed length cutoffs break
+    when one source is tweets and another is articles, while a
+    per-source median/MAD adapts and is immune to the very outliers
+    it hunts (the doc-level twin of the daily-series
+    ``ev_mad_anomaly``, sharing its lower-median convention). Emits
+    each source's MOST extreme document with the flag — on the
+    well-behaved fixture lengths no source crosses 3.5 (max |z| ≈ 3.0
+    at sf0.01), and an empty-only output would be no evidence at all.
+
+    Plan: token counts in one projection; per-source median and MAD
+    are each one source-partitioned rank window over the O(docs)
+    length relation (doc-id tiebreak → deterministic at 6 dp); flags
+    are a broadcast-sized join back. No global windows.
+
+    Scale: windows partition by source — state bounded by the largest
+    single source; at extreme per-source cardinality swap the exact
+    median for ``percentile_approx`` cuts exactly as the RFM op's
+    scalable twin does."""
+    docs = load_raw(spark, sf_dir, "documents")
+    from pyspark.sql import Window
+
+    toks = F.filter(
+        F.split(F.lower(F.col("text")), TOKEN_SPLIT_REGEX),
+        lambda t: t != "",
+    )
+    lens = docs.select(
+        "source", "doc_id", F.size(toks).cast("bigint").alias("n_tokens")
+    )
+    med = (
+        lens.withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("source").orderBy("n_tokens", "doc_id")
+            ),
+        )
+        .withColumn(
+            "cnt", F.count("*").over(Window.partitionBy("source"))
+        )
+        .filter(F.col("rn") == F.expr("(cnt + 1) DIV 2"))
+        .select("source", F.col("n_tokens").alias("median_tokens"))
+    )
+    dev = lens.join(F.broadcast(med), "source").withColumn(
+        "adev", F.abs(F.col("n_tokens") - F.col("median_tokens"))
+    )
+    mad = (
+        dev.withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("source").orderBy("adev", "doc_id")
+            ),
+        )
+        .withColumn(
+            "cnt", F.count("*").over(Window.partitionBy("source"))
+        )
+        .filter(F.col("rn") == F.expr("(cnt + 1) DIV 2"))
+        .select("source", F.col("adev").alias("mad_tokens"))
+    )
+    z = F.lit(0.6745) * (F.col("n_tokens") - F.col("median_tokens")) / F.nullif(
+        F.col("mad_tokens").cast("double"), F.lit(0.0)
+    )
+    scored = dev.join(F.broadcast(mad), "source").withColumn(
+        "robust_z", F.round(z, 6)
+    )
+    top = scored.withColumn(
+        "rn",
+        F.row_number().over(
+            Window.partitionBy("source").orderBy(
+                F.round(F.abs(z), 6).desc(), F.col("doc_id")
+            )
+        ),
+    ).filter(F.col("rn") == 1)
+    return top.select(
+        "source",
+        "doc_id",
+        "n_tokens",
+        "median_tokens",
+        "mad_tokens",
+        "robust_z",
+        (F.abs(F.col("robust_z")) > 3.5).alias("is_outlier"),
+    )

@@ -1137,3 +1137,42 @@ def test_candidate_keys_match_duckdb_and_flag_nonkeys(queries, spark):
     assert rows["documents(doc_id)"]["is_key"]
     assert rows["events(user_id,ts)"]["is_key"]
     assert not rows["documents(source,n_chars)"]["is_key"]
+
+
+def test_length_outliers_top1_matches_python(queries, spark):
+    """Lower-median/MAD replay; exactly one row per source; the flag
+    only fires past |z| > 3.5 (fixture max is ~3.0)."""
+    import re as _re
+    from collections import defaultdict
+
+    docs = duckdb.sql(
+        f"SELECT source, doc_id, text FROM '{SF_DIR}/documents.parquet'"
+    ).fetchall()
+    lens = defaultdict(list)
+    for src, did, txt in docs:
+        n = len([t for t in _re.split(r"[^a-z0-9]+", txt.lower()) if t])
+        lens[src].append((did, n))
+    expected = {}
+    for src, pairs in lens.items():
+        ns = sorted((n, d) for d, n in pairs)
+        med = ns[(len(ns) + 1) // 2 - 1][0]
+        ads = sorted((abs(n - med), d) for d, n in pairs)
+        mad = ads[(len(ads) + 1) // 2 - 1][0]
+        scored = sorted(
+            (
+                -round(abs(0.6745 * (n - med) / mad), 6) if mad else 0.0,
+                d,
+                n,
+            )
+            for d, n in pairs
+        )
+        z0, d0, n0 = scored[0]
+        expected[src] = (d0, n0, med, mad, round(-z0, 6))
+    rows = queries["ts_length_outliers"](spark, SF_DIR).collect()
+    assert len(rows) == len(expected)
+    for r in rows:
+        d0, n0, med, mad, az = expected[r["source"]]
+        assert r["doc_id"] == d0 and r["n_tokens"] == n0
+        assert r["median_tokens"] == med and r["mad_tokens"] == mad
+        assert abs(r["robust_z"]) == pytest.approx(az, abs=2e-6)
+        assert r["is_outlier"] == (abs(r["robust_z"]) > 3.5)
