@@ -1887,3 +1887,131 @@ def ef_sprt_decision(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit("continue"))
         .alias("decision"),
     )
+
+
+# ------------------------------------------------- power analysis
+
+#: Pinned planning inputs: two-sided alpha=0.05, power=0.80, relative
+#: MDE=+10%. The z quantiles are literal doubles in BOTH engines (no
+#: inverse-CDF at runtime).
+POWER_Z_ALPHA = 1.959963984540054
+POWER_Z_BETA = 0.8416212335729143
+POWER_REL_MDE = 0.10
+
+
+@register(
+    "ef_power_analysis",
+    f"""WITH subj AS (
+  SELECT c.user_id,
+         CAST(MAX(CASE WHEN p.pts > epoch_us(c.ts) THEN 1 ELSE 0 END)
+              AS INTEGER) AS converted,
+         CAST(MIN(epoch_us(c.ts)) AS BIGINT) % 2 AS cohort
+  FROM (SELECT user_id, ts FROM events WHERE event_type = 'click') c
+  LEFT JOIN (SELECT user_id, epoch_us(ts) AS pts
+             FROM events WHERE event_type = 'purchase') p
+    ON p.user_id = c.user_id
+  GROUP BY c.user_id
+), g AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+         CAST(SUM(converted) AS BIGINT) AS x,
+         CAST(MIN(CASE WHEN cohort = 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS _dummy,
+         CAST(SUM(CASE WHEN cohort = 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_arm_a,
+         CAST(SUM(CASE WHEN cohort = 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_arm_b
+  FROM subj
+), rates AS (
+  SELECT n_users, n_arm_a, n_arm_b,
+         CAST(x AS DOUBLE) / n_users AS p0,
+         CASE WHEN CAST(x AS DOUBLE) / n_users * (1 + {POWER_REL_MDE}) <= 1.0
+              THEN CAST(x AS DOUBLE) / n_users * (1 + {POWER_REL_MDE})
+              ELSE CAST(x AS DOUBLE) / n_users * (1 - {POWER_REL_MDE})
+         END AS p1
+  FROM g
+)
+SELECT n_users, n_arm_a, n_arm_b,
+       ROUND(p0, 6) AS p0,
+       ROUND(p1, 6) AS p1,
+       CAST(CEIL(
+         POWER({POWER_Z_ALPHA} * SQRT(2 * ((p0 + p1) / 2) * (1 - (p0 + p1) / 2))
+               + {POWER_Z_BETA} * SQRT(p0 * (1 - p0) + p1 * (1 - p1)), 2)
+         / NULLIF((p1 - p0) * (p1 - p0), 0)) AS BIGINT) AS n_required_per_arm,
+       CAST(LEAST(n_arm_a, n_arm_b) AS BIGINT) AS n_available_per_arm,
+       CAST(LEAST(n_arm_a, n_arm_b) >= CEIL(
+         POWER({POWER_Z_ALPHA} * SQRT(2 * ((p0 + p1) / 2) * (1 - (p0 + p1) / 2))
+               + {POWER_Z_BETA} * SQRT(p0 * (1 - p0) + p1 * (1 - p1)), 2)
+         / NULLIF((p1 - p0) * (p1 - p0), 0)) AS BOOLEAN) AS powered
+FROM rates""",
+)
+def ef_power_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """**Two-proportion power analysis** for the conversion experiment:
+    given today's baseline conversion rate (same subjects as
+    :func:`ef_conversion_ztest`) and a pinned +10% relative MDE at
+    α=0.05 / 80% power, how many users per arm does the test NEED,
+    how many does each parity cohort HAVE, and is the experiment
+    powered? The pre-registration arithmetic that belongs next to the
+    z-test itself — shipping an underpowered test is the quieter twin
+    of p-hacking.
+
+    n/arm = (z_α√(2p̄q̄) + z_β√(p₀q₀+p₁q₁))² / (p₁−p₀)², z quantiles
+    pinned as literal doubles in both plans (no runtime inverse CDF).
+
+    Scale: one user_id-keyed subject aggregate (the z-test's own
+    shape) feeding a 1-row formula — the data-sized work is the
+    subject build; the planning math is constant."""
+    ev = events_raw(spark, sf_dir)
+    clicks_t = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.expr("ts DIV 1000").alias("ctsm")
+    )
+    purch = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.expr("ts DIV 1000").alias("pts"),
+    )
+    subj = (
+        clicks_t.join(purch, F.col("user_id") == F.col("p_user"), "left")
+        .groupBy("user_id")
+        .agg(
+            F.max(
+                F.when(F.col("pts") > F.col("ctsm"), 1).otherwise(0)
+            ).alias("converted"),
+            (F.min("ctsm") % 2).alias("cohort"),
+        )
+    )
+    g = subj.agg(
+        F.count("*").cast("bigint").alias("n_users"),
+        F.sum("converted").cast("bigint").alias("x"),
+        F.sum((F.col("cohort") == 0).cast("int"))
+        .cast("bigint")
+        .alias("n_arm_a"),
+        F.sum((F.col("cohort") == 1).cast("int"))
+        .cast("bigint")
+        .alias("n_arm_b"),
+    )
+    p0 = F.col("x").cast("double") / F.col("n_users")
+    # saturated baseline (p0 near 1): plan for detecting a -MDE drop
+    p1 = F.when(
+        p0 * (1 + POWER_REL_MDE) <= 1.0, p0 * (1 + POWER_REL_MDE)
+    ).otherwise(p0 * (1 - POWER_REL_MDE))
+    pbar = (p0 + p1) / 2
+    n_req = F.ceil(
+        F.pow(
+            F.lit(POWER_Z_ALPHA) * F.sqrt(2 * pbar * (1 - pbar))
+            + F.lit(POWER_Z_BETA)
+            * F.sqrt(p0 * (1 - p0) + p1 * (1 - p1)),
+            F.lit(2),
+        )
+        / F.nullif((p1 - p0) * (p1 - p0), F.lit(0.0))
+    )
+    return g.select(
+        "n_users",
+        "n_arm_a",
+        "n_arm_b",
+        F.round(p0, 6).alias("p0"),
+        F.round(p1, 6).alias("p1"),
+        n_req.cast("bigint").alias("n_required_per_arm"),
+        F.least("n_arm_a", "n_arm_b")
+        .cast("bigint")
+        .alias("n_available_per_arm"),
+        (F.least("n_arm_a", "n_arm_b") >= n_req).alias("powered"),
+    )

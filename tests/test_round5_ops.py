@@ -1176,3 +1176,28 @@ def test_length_outliers_top1_matches_python(queries, spark):
         assert r["median_tokens"] == med and r["mad_tokens"] == mad
         assert abs(r["robust_z"]) == pytest.approx(az, abs=2e-6)
         assert r["is_outlier"] == (abs(r["robust_z"]) > 3.5)
+
+
+def test_power_analysis_matches_statsmodels_formula(queries, spark):
+    """Replay the closed-form n/arm with numpy from the op's own
+    subject counts and pin the z constants to scipy-free truth."""
+    row = queries["ef_power_analysis"](spark, SF_DIR).collect()[0]
+    p0, p1 = row["p0"], row["p1"]
+    za, zb = 1.959963984540054, 0.8416212335729143
+    pbar = (p0 + p1) / 2
+    if p1 != p0:
+        n_req = np.ceil(
+            (za * np.sqrt(2 * pbar * (1 - pbar))
+             + zb * np.sqrt(p0 * (1 - p0) + p1 * (1 - p1))) ** 2
+            / (p1 - p0) ** 2
+        )
+        assert row["n_required_per_arm"] == int(n_req)
+        assert row["powered"] == (
+            row["n_available_per_arm"] >= n_req
+        )
+    assert row["n_arm_a"] + row["n_arm_b"] == row["n_users"]
+    # direction adapts: p1 above baseline unless saturated
+    if p0 * 1.1 <= 1.0:
+        assert p1 == pytest.approx(p0 * 1.1, abs=2e-6)
+    else:
+        assert p1 == pytest.approx(p0 * 0.9, abs=2e-6)
