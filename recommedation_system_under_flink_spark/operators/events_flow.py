@@ -2015,3 +2015,121 @@ def ef_power_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_available_per_arm"),
         (F.least("n_arm_a", "n_arm_b") >= n_req).alias("powered"),
     )
+
+
+# ------------------------------------------- inter-arrival profile
+
+@register(
+    "ef_interarrival_profile",
+    """WITH gaps AS (
+  SELECT (epoch_us(ts) - LAG(epoch_us(ts)) OVER (
+            PARTITION BY user_id ORDER BY epoch_us(ts), event_id))
+           // 1000000 AS gap_s
+  FROM events WHERE event_type = 'click'
+), g AS (
+  SELECT gap_s FROM gaps WHERE gap_s IS NOT NULL
+), byval AS (
+  SELECT gap_s, CAST(COUNT(*) AS BIGINT) AS c FROM g GROUP BY gap_s
+), cum AS (
+  SELECT gap_s, c,
+         SUM(c) OVER (ORDER BY gap_s
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cn,
+         SUM(c) OVER () AS n
+  FROM byval
+), mom AS (
+  SELECT CAST(SUM(c) AS BIGINT) AS n_gaps,
+         CAST(SUM(gap_s * c) AS BIGINT) AS s1,
+         CAST(SUM(gap_s * gap_s * c) AS BIGINT) AS s2
+  FROM byval
+)
+SELECT mom.n_gaps,
+       (SELECT MIN(gap_s) FROM cum WHERE cn * 100 >= n * 50) AS p50_s,
+       (SELECT MIN(gap_s) FROM cum WHERE cn * 100 >= n * 90) AS p90_s,
+       (SELECT MIN(gap_s) FROM cum WHERE cn * 100 >= n * 99) AS p99_s,
+       ROUND(CAST(mom.s1 AS DOUBLE) / mom.n_gaps, 6) AS mean_s,
+       ROUND(
+         (SQRT(CAST(mom.s2 AS DOUBLE) / mom.n_gaps
+               - (CAST(mom.s1 AS DOUBLE) / mom.n_gaps)
+                 * (CAST(mom.s1 AS DOUBLE) / mom.n_gaps))
+          - CAST(mom.s1 AS DOUBLE) / mom.n_gaps)
+         / NULLIF(
+             SQRT(CAST(mom.s2 AS DOUBLE) / mom.n_gaps
+                  - (CAST(mom.s1 AS DOUBLE) / mom.n_gaps)
+                    * (CAST(mom.s1 AS DOUBLE) / mom.n_gaps))
+             + CAST(mom.s1 AS DOUBLE) / mom.n_gaps, 0), 6) AS burstiness
+FROM mom""",
+)
+def ef_interarrival_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """**Inter-arrival profile** of per-user click gaps: nearest-rank
+    p50/p90/p99 on the whole-second grid plus the Goh–Barabási
+    burstiness index B = (σ−μ)/(σ+μ) (−1 = metronome, 0 = Poisson,
+    →1 = bursty) — the statistic that decides session-gap thresholds
+    (:func:`ef_sessionize`'s dial) and watermark budgets, and a drift
+    canary for bot storms (B collapsing toward −1 means machine-regular
+    traffic).
+
+    Determinism: gaps are exact integer seconds (µs subtraction then
+    DIV), percentiles are integer nearest-rank logic on the distinct
+    grid, and σ/µ come from exact BIGINT Σ/Σ² — the only doubles are
+    the final quantized ratios (same discipline as the trimmed mean
+    / conversion-lag ops).
+
+    Scale: one user_id-shuffled lag window over clicks, then
+    everything runs on the bounded distinct-gap-seconds grid. The
+    µs-epoch (event_id tiebroken) ordering matches the sessionizer's."""
+    from pyspark.sql import Window
+
+    ev = events_raw(spark, sf_dir)
+    us = F.expr("ts DIV 1000")
+    clicks_t = ev.filter(F.col("event_type") == "click").select(
+        "user_id", us.alias("us"), "event_id"
+    )
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    gaps = clicks_t.select(
+        ((F.col("us") - F.lag("us").over(w)) / F.lit(1))
+        .alias("gap_us")
+    ).filter(F.col("gap_us").isNotNull())
+    g = gaps.select(F.expr("CAST(gap_us AS BIGINT) DIV 1000000").alias("gap_s"))
+    byval = g.groupBy("gap_s").agg(F.count("*").cast("bigint").alias("c"))
+    cum = byval.select(
+        "gap_s",
+        "c",
+        F.sum("c")
+        .over(
+            Window.orderBy("gap_s").rowsBetween(
+                Window.unboundedPreceding, 0
+            )
+        )
+        .alias("cn"),
+        F.sum("c").over(Window.partitionBy()).alias("n"),
+    )
+
+    def cut(p: int):
+        return F.min(
+            F.when(F.col("cn") * 100 >= F.col("n") * p, F.col("gap_s"))
+        )
+
+    pct = cum.agg(
+        cut(50).alias("p50_s"),
+        cut(90).alias("p90_s"),
+        cut(99).alias("p99_s"),
+    )
+    mom = byval.agg(
+        F.sum("c").cast("bigint").alias("n_gaps"),
+        F.sum(F.col("gap_s") * F.col("c")).cast("bigint").alias("s1"),
+        F.sum(F.col("gap_s") * F.col("gap_s") * F.col("c"))
+        .cast("bigint")
+        .alias("s2"),
+    )
+    mu = F.col("s1").cast("double") / F.col("n_gaps")
+    sd = F.sqrt(F.col("s2").cast("double") / F.col("n_gaps") - mu * mu)
+    return mom.crossJoin(F.broadcast(pct)).select(
+        "n_gaps",
+        "p50_s",
+        "p90_s",
+        "p99_s",
+        F.round(mu, 6).alias("mean_s"),
+        F.round((sd - mu) / F.nullif(sd + mu, F.lit(0.0)), 6).alias(
+            "burstiness"
+        ),
+    )

@@ -1201,3 +1201,26 @@ def test_power_analysis_matches_statsmodels_formula(queries, spark):
         assert p1 == pytest.approx(p0 * 1.1, abs=2e-6)
     else:
         assert p1 == pytest.approx(p0 * 0.9, abs=2e-6)
+
+
+def test_interarrival_profile_matches_numpy(queries, spark):
+    gaps = duckdb.sql(
+        f"""WITH c AS (
+          SELECT user_id, epoch_us(ts) AS us, event_id
+          FROM '{SF_DIR}/events.parquet' WHERE event_type = 'click')
+        SELECT (us - LAG(us) OVER (PARTITION BY user_id
+                 ORDER BY us, event_id)) // 1000000 AS g
+        FROM c QUALIFY g IS NOT NULL"""
+    ).df().g.to_numpy()
+    row = queries["ef_interarrival_profile"](spark, SF_DIR).collect()[0]
+    assert row["n_gaps"] == len(gaps)
+    srt = np.sort(gaps)
+    for p, col in ((50, "p50_s"), (90, "p90_s"), (99, "p99_s")):
+        k = int(np.ceil(len(gaps) * p / 100.0))
+        assert row[col] == srt[k - 1]
+    mu, sd = gaps.mean(), gaps.std()
+    assert row["mean_s"] == pytest.approx(mu, abs=1e-5)
+    assert row["burstiness"] == pytest.approx(
+        (sd - mu) / (sd + mu), abs=1e-5
+    )
+    assert -1.0 <= row["burstiness"] <= 1.0
