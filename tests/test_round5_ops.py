@@ -1224,3 +1224,22 @@ def test_interarrival_profile_matches_numpy(queries, spark):
         (sd - mu) / (sd + mu), abs=1e-5
     )
     assert -1.0 <= row["burstiness"] <= 1.0
+
+
+def test_gini_matches_numpy_sorted_formula(queries, spark):
+    cents = duckdb.sql(
+        f"""SELECT CAST(ROUND(SUM(CAST(value AS DECIMAL(18,6))) * 100, 0)
+                        AS BIGINT) AS c
+            FROM '{SF_DIR}/events.parquet'
+            WHERE event_type = 'purchase' GROUP BY user_id"""
+    ).df().c.to_numpy()
+    x = np.sort(cents.astype(np.float64))
+    n = len(x)
+    gini = 2 * (np.arange(1, n + 1) * x).sum() / (n * x.sum()) - (
+        n + 1
+    ) / n
+    row = queries["ev_revenue_concentration"](spark, SF_DIR).collect()[0]
+    assert row["n_users"] == n
+    assert row["total_revenue"] == pytest.approx(x.sum() / 100, abs=1e-4)
+    assert row["gini"] == pytest.approx(gini, abs=1e-5)
+    assert 0.0 <= row["gini"] < 1.0
