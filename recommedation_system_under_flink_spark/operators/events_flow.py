@@ -2133,3 +2133,102 @@ def ef_interarrival_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             "burstiness"
         ),
     )
+
+
+# ------------------------------------------------- design effect
+
+@register(
+    "ef_design_effect",
+    """WITH per AS (
+  SELECT user_id,
+         CAST(COUNT(*) AS BIGINT) AS m,
+         CAST(SUM(CAST(ROUND(CAST(value AS DECIMAL(18,6)) * 100, 0)
+                  AS BIGINT)) AS BIGINT) AS s,
+         CAST(SUM(CAST(ROUND(CAST(value AS DECIMAL(18,6)) * 100, 0)
+                  AS BIGINT)
+                  * CAST(ROUND(CAST(value AS DECIMAL(18,6)) * 100, 0)
+                  AS BIGINT)) AS BIGINT) AS q
+  FROM events WHERE event_type = 'purchase' GROUP BY user_id
+), tot AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS k,
+         CAST(SUM(m) AS BIGINT) AS n,
+         CAST(SUM(s) AS BIGINT) AS g,
+         CAST(SUM(q) AS BIGINT) AS qq,
+         SUM(CAST(s AS DOUBLE) * s / m) AS between_raw,
+         SUM(CAST(m AS DOUBLE) * m) AS m2
+  FROM per
+)
+SELECT k AS k_clusters, n AS n_events,
+       ROUND(CAST(n AS DOUBLE) / k, 6) AS mean_cluster_size,
+       ROUND(icc, 6) AS icc,
+       ROUND(1 + (m0 - 1) * icc, 6) AS deff,
+       ROUND(n / (1 + (m0 - 1) * icc), 6) AS effective_n
+FROM (
+  SELECT k, n, m0, (msb - msw) / NULLIF(msb + (m0 - 1) * msw, 0) AS icc
+  FROM (
+    SELECT k, n,
+           (CAST(n AS DOUBLE) - m2 / n) / (k - 1) AS m0,
+           (between_raw - CAST(g AS DOUBLE) * g / n) / (k - 1) AS msb,
+           (CAST(qq AS DOUBLE) - between_raw) / (n - k) AS msw
+    FROM tot
+  )
+)""",
+)
+def ef_design_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """**Cluster-sampling design effect** for event-level revenue
+    clustered by user: deff = 1 + (m₀−1)·ICC, with the intraclass
+    correlation from the one-way ANOVA estimator (MSB/MSW over
+    cent-quantized purchase values) and m₀ the ANOVA-adjusted mean
+    cluster size. The "your n is not your n" correction: randomizing
+    by user while measuring per event inflates variance by deff, so
+    the honest sample size is n/deff (``effective_n``) — feeds
+    straight into :func:`ef_power_analysis`'s n-required check.
+
+    Determinism: per-user (m, Σx, Σx²) are exact BIGINT on the cent
+    grid; the only doubles are the final ANOVA ratios, quantized at
+    the edge.
+
+    Scale: one user_id hash aggregate + a 1-row formula. Identical
+    envelope to the z-test subject build."""
+    ev = events_raw(spark, sf_dir)
+    cents = F.round(F.col("value").cast("decimal(18,6)") * 100, 0).cast(
+        "bigint"
+    )
+    per = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select("user_id", cents.alias("x"))
+        .groupBy("user_id")
+        .agg(
+            F.count("*").cast("bigint").alias("m"),
+            F.sum("x").cast("bigint").alias("s"),
+            F.sum(F.col("x") * F.col("x")).cast("bigint").alias("q"),
+        )
+    )
+    tot = per.agg(
+        F.count("*").cast("bigint").alias("k"),
+        F.sum("m").cast("bigint").alias("n"),
+        F.sum("s").cast("bigint").alias("g"),
+        F.sum("q").cast("bigint").alias("qq"),
+        F.sum(F.col("s").cast("double") * F.col("s") / F.col("m")).alias(
+            "between_raw"
+        ),
+        F.sum(F.col("m").cast("double") * F.col("m")).alias("m2"),
+    )
+    n_d = F.col("n").cast("double")
+    m0 = (n_d - F.col("m2") / F.col("n")) / (F.col("k") - 1)
+    msb = (F.col("between_raw") - F.col("g").cast("double") * F.col("g") / F.col("n")) / (
+        F.col("k") - 1
+    )
+    msw = (F.col("qq").cast("double") - F.col("between_raw")) / (
+        F.col("n") - F.col("k")
+    )
+    icc = (msb - msw) / F.nullif(msb + (m0 - 1) * msw, F.lit(0.0))
+    deff = 1 + (m0 - 1) * icc
+    return tot.select(
+        F.col("k").alias("k_clusters"),
+        F.col("n").alias("n_events"),
+        F.round(n_d / F.col("k"), 6).alias("mean_cluster_size"),
+        F.round(icc, 6).alias("icc"),
+        F.round(deff, 6).alias("deff"),
+        F.round(F.col("n") / deff, 6).alias("effective_n"),
+    )

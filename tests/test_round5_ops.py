@@ -1243,3 +1243,29 @@ def test_gini_matches_numpy_sorted_formula(queries, spark):
     assert row["total_revenue"] == pytest.approx(x.sum() / 100, abs=1e-4)
     assert row["gini"] == pytest.approx(gini, abs=1e-5)
     assert 0.0 <= row["gini"] < 1.0
+
+
+def test_design_effect_matches_anova_replay(queries, spark):
+    df = duckdb.sql(
+        f"""SELECT user_id,
+               CAST(ROUND(CAST(value AS DECIMAL(18,6)) * 100, 0) AS BIGINT)
+                 AS x
+            FROM '{SF_DIR}/events.parquet' WHERE event_type='purchase'"""
+    ).df()
+    groups = [g.x.to_numpy(dtype=float) for _, g in df.groupby("user_id")]
+    k = len(groups)
+    n = sum(len(g) for g in groups)
+    grand = np.concatenate(groups)
+    msb = (
+        sum(len(g) * (g.mean() - grand.mean()) ** 2 for g in groups)
+    ) / (k - 1)
+    msw = sum(((g - g.mean()) ** 2).sum() for g in groups) / (n - k)
+    m0 = (n - sum(len(g) ** 2 for g in groups) / n) / (k - 1)
+    icc = (msb - msw) / (msb + (m0 - 1) * msw)
+    row = queries["ef_design_effect"](spark, SF_DIR).collect()[0]
+    assert row["k_clusters"] == k and row["n_events"] == n
+    assert row["icc"] == pytest.approx(icc, abs=1e-5)
+    assert row["deff"] == pytest.approx(1 + (m0 - 1) * icc, abs=1e-5)
+    assert row["effective_n"] == pytest.approx(
+        n / (1 + (m0 - 1) * icc), abs=1e-3
+    )
