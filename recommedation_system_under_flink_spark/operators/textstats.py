@@ -2460,3 +2460,111 @@ def ts_length_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         "robust_z",
         (F.abs(F.col("robust_z")) > 3.5).alias("is_outlier"),
     )
+
+
+# ------------------------------------------------ corpus entropy rate
+
+@register(
+    "ts_entropy_rate",
+    f"""WITH t AS (
+  SELECT doc_id, {_TOKENS_SQL} AS ts FROM documents
+), uni AS (
+  SELECT tok, CAST(COUNT(*) AS BIGINT) AS c
+  FROM (SELECT unnest(ts) AS tok FROM t) GROUP BY tok
+), bi AS (
+  SELECT w1 || ' ' || w2 AS bg, CAST(COUNT(*) AS BIGINT) AS c
+  FROM (
+    SELECT ts[i] AS w1, ts[i+1] AS w2
+    FROM (SELECT ts, generate_subscripts(ts, 1) AS i FROM t)
+    WHERE i <= len(ts) - 1
+  ) GROUP BY bg
+), s AS (
+  SELECT (SELECT SUM(c) FROM uni) AS n1,
+         (SELECT SUM(c) FROM bi) AS n2,
+         (SELECT COUNT(*) FROM uni) AS v1,
+         (SELECT COUNT(*) FROM bi) AS v2,
+         (SELECT -SUM((CAST(c AS DOUBLE) / (SELECT SUM(c) FROM uni))
+                      * log2(CAST(c AS DOUBLE) / (SELECT SUM(c) FROM uni)))
+            FROM uni) AS h1,
+         (SELECT -SUM((CAST(c AS DOUBLE) / (SELECT SUM(c) FROM bi))
+                      * log2(CAST(c AS DOUBLE) / (SELECT SUM(c) FROM bi)))
+            FROM bi) AS h2
+)
+SELECT CAST(n1 AS BIGINT) AS n_tokens, CAST(n2 AS BIGINT) AS n_bigrams,
+       CAST(v1 AS BIGINT) AS vocab, CAST(v2 AS BIGINT) AS bigram_types,
+       ROUND(h1, 6) AS h_unigram_bits,
+       ROUND(h2, 6) AS h_bigram_bits,
+       ROUND(h2 - h1, 6) AS entropy_rate_bits
+FROM s""",
+)
+def ts_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """**Corpus entropy rate**: empirical unigram entropy H(W), bigram
+    entropy H(W₁W₂), and the conditional H(W₂|W₁) = H(W₁W₂) − H(W₁) —
+    the model-free redundancy dial (natural prose ≈ low rate vs its
+    unigram entropy; template/generated text collapses further;
+    random token soup pushes the rate toward H(W)). Complements the
+    bigram-LM perplexity filter: same statistics, no held-out model,
+    one corpus-level number a mixture dashboard can track per slice.
+
+    Plan: one token explode → unigram hash aggregate; one 2-gram
+    window per doc (lead() shape) → bigram hash aggregate; the
+    entropies are single-pass Σ p·log₂p over each count relation with
+    1-row total broadcasts. All counts exact BIGINT; doubles appear
+    only inside the quantized entropy sums.
+
+    Scale: both aggregates are map-side combinable; the bigram
+    relation is bigram-type-sized. Same shape as the Kneser-Ney model
+    build minus its continuation tables."""
+    docs = load_raw(spark, sf_dir, "documents")
+    toks = F.filter(
+        F.split(F.lower(F.col("text")), TOKEN_SPLIT_REGEX),
+        lambda t: t != "",
+    )
+    t = docs.select("doc_id", toks.alias("ts"))
+    uni = (
+        t.select(F.explode("ts").alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").cast("bigint").alias("c"))
+    )
+    bi = (
+        t.filter(F.size("ts") >= 2)
+        .select(
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("ts") - 1),
+                    lambda i: F.concat_ws(
+                        " ",
+                        F.element_at("ts", i),
+                        F.element_at("ts", i + 1),
+                    ),
+                )
+            ).alias("bg")
+        )
+        .groupBy("bg")
+        .agg(F.count("*").cast("bigint").alias("c"))
+    )
+
+    def _entropy(cnt: DataFrame, label: str) -> DataFrame:
+        tot = cnt.agg(F.sum("c").alias("n"))
+        p = F.col("c").cast("double") / F.col("n")
+        return (
+            cnt.crossJoin(F.broadcast(tot))
+            .agg(
+                F.max("n").cast("bigint").alias(f"n_{label}"),
+                F.count("*").cast("bigint").alias(f"v_{label}"),
+                (-F.sum(p * F.log2(p))).alias(f"h_{label}"),
+            )
+        )
+    e1 = _entropy(uni, "uni")
+    e2 = _entropy(bi, "bi")
+    return e1.crossJoin(F.broadcast(e2)).select(
+        F.col("n_uni").alias("n_tokens"),
+        F.col("n_bi").alias("n_bigrams"),
+        F.col("v_uni").alias("vocab"),
+        F.col("v_bi").alias("bigram_types"),
+        F.round("h_uni", 6).alias("h_unigram_bits"),
+        F.round("h_bi", 6).alias("h_bigram_bits"),
+        F.round(F.col("h_bi") - F.col("h_uni"), 6).alias(
+            "entropy_rate_bits"
+        ),
+    )

@@ -1269,3 +1269,32 @@ def test_design_effect_matches_anova_replay(queries, spark):
     assert row["effective_n"] == pytest.approx(
         n / (1 + (m0 - 1) * icc), abs=1e-3
     )
+
+
+def test_entropy_rate_matches_python_counts(queries, spark):
+    import math
+    import re as _re
+    from collections import Counter
+
+    docs = duckdb.sql(
+        f"SELECT text FROM '{SF_DIR}/documents.parquet'"
+    ).fetchall()
+    uni, bi = Counter(), Counter()
+    for (txt,) in docs:
+        ts = [t for t in _re.split(r"[^a-z0-9]+", txt.lower()) if t]
+        uni.update(ts)
+        bi.update(f"{a} {b}" for a, b in zip(ts, ts[1:]))
+
+    def h(c):
+        n = sum(c.values())
+        return -sum(v / n * math.log2(v / n) for v in c.values())
+
+    row = queries["ts_entropy_rate"](spark, SF_DIR).collect()[0]
+    assert row["n_tokens"] == sum(uni.values())
+    assert row["n_bigrams"] == sum(bi.values())
+    assert row["vocab"] == len(uni) and row["bigram_types"] == len(bi)
+    assert row["h_unigram_bits"] == pytest.approx(h(uni), abs=1e-5)
+    assert row["h_bigram_bits"] == pytest.approx(h(bi), abs=1e-5)
+    rate = row["entropy_rate_bits"]
+    assert rate == pytest.approx(h(bi) - h(uni), abs=1e-5)
+    assert 0.0 < rate < row["h_unigram_bits"]  # real text is redundant
