@@ -450,3 +450,77 @@ def llm_curation_funnel_by_source(spark: SparkSession, sf_dir: str) -> DataFrame
             1.0 - F.sum("f_qual").cast("double") / F.count("*"), 6
         ).alias("low_quality_rate"),
     )
+
+
+# ---------------------------------------- corpus planning report
+
+def _planning_oracle() -> str:
+    lex = _REGISTRY["ts_lexical_diversity"].oracle
+    wf = _REGISTRY["samp_token_budget_waterfill"].oracle
+    ney = _REGISTRY["samp_neyman_allocation"].oracle
+    return f"""WITH lex AS (
+{lex}
+), wf AS (
+{wf}
+), ney AS (
+{ney}
+)
+SELECT l.source, ney.n_docs, l.n_tokens, l.n_types,
+       l.type_token_ratio, l.hapax_rate,
+       wf.weight, wf.allocated_tokens, wf.capped,
+       ney.sigma_tokens, ney.neyman_n
+FROM lex l
+JOIN wf ON l.source = wf.source
+JOIN ney ON l.source = ney.source"""
+
+
+@register("llm_corpus_planning_report", _planning_oracle())
+def llm_corpus_planning_report(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """**Per-source corpus planning report** — the one-stop table a
+    data-mixture owner reads before a training run: lexical health
+    (token/type counts, TTR, hapax rate from
+    :func:`~..operators.textstats.ts_lexical_diversity`), the
+    waterfilled TRAINING-token allocation under the corpus budget
+    (:func:`~..operators.sampling.samp_token_budget_waterfill` —
+    weight, allocation, capped?), and the Neyman INSPECTION-budget
+    split (:func:`~..operators.sampling.samp_neyman_allocation` —
+    σ of doc length, QA draws). Pure composition of three
+    independently hash-verified components, joined on source; the
+    composed oracle nests their three SQL twins verbatim, so the
+    whole report is itself hash-compared end to end.
+
+    Scale: each leg is one documents aggregate (they share the scan
+    under Catalyst's exchange reuse where eligible); the join runs on
+    the O(|sources|) grid."""
+    from ..operators.sampling import (
+        samp_neyman_allocation,
+        samp_token_budget_waterfill,
+    )
+    from ..operators.textstats import ts_lexical_diversity
+
+    lex = ts_lexical_diversity(spark, sf_dir)
+    wf = samp_token_budget_waterfill(spark, sf_dir).select(
+        "source", "weight", "allocated_tokens", "capped"
+    )
+    ney = samp_neyman_allocation(spark, sf_dir).select(
+        "source", "n_docs", "sigma_tokens", "neyman_n"
+    )
+    return (
+        lex.join(wf, "source")
+        .join(ney, "source")
+        .select(
+            "source",
+            "n_docs",
+            "n_tokens",
+            "n_types",
+            "type_token_ratio",
+            "hapax_rate",
+            "weight",
+            "allocated_tokens",
+            "capped",
+            "sigma_tokens",
+            "neyman_n",
+        )
+    )

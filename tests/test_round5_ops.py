@@ -1298,3 +1298,36 @@ def test_entropy_rate_matches_python_counts(queries, spark):
     rate = row["entropy_rate_bits"]
     assert rate == pytest.approx(h(bi) - h(uni), abs=1e-5)
     assert 0.0 < rate < row["h_unigram_bits"]  # real text is redundant
+
+
+def test_corpus_planning_report_is_consistent_composition(queries, spark):
+    """The report must equal the column-wise join of its three
+    verified components."""
+    rep = {
+        r["source"]: r
+        for r in queries["llm_corpus_planning_report"](
+            spark, SF_DIR
+        ).collect()
+    }
+    lex = {
+        r["source"]: r
+        for r in queries["ts_lexical_diversity"](spark, SF_DIR).collect()
+    }
+    wf = {
+        r["source"]: r
+        for r in queries["samp_token_budget_waterfill"](
+            spark, SF_DIR
+        ).collect()
+    }
+    ney = {
+        r["source"]: r
+        for r in queries["samp_neyman_allocation"](spark, SF_DIR).collect()
+    }
+    assert set(rep) == set(lex) == set(wf) == set(ney)
+    for s, r in rep.items():
+        assert r["n_tokens"] == lex[s]["n_tokens"]
+        assert r["type_token_ratio"] == lex[s]["type_token_ratio"]
+        assert r["allocated_tokens"] == wf[s]["allocated_tokens"]
+        assert r["capped"] == wf[s]["capped"]
+        assert r["neyman_n"] == ney[s]["neyman_n"]
+        assert r["n_docs"] == ney[s]["n_docs"]
