@@ -3282,3 +3282,54 @@ def sim_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ---------------------------------------------- dup-family report
+
+def _family_report_oracle() -> str:
+    return f"""WITH comp AS (
+  SELECT * FROM (
+{_COMPONENTS_ORACLE}
+  ) q
+), sizes AS (
+  SELECT component, CAST(COUNT(*) AS BIGINT) AS sz
+  FROM comp GROUP BY component
+)
+SELECT CAST(LENGTH(bin(sz)) - 1 AS INTEGER) AS bucket,
+       CAST(POWER(2, LENGTH(bin(sz)) - 1) AS BIGINT) AS lo,
+       CAST(POWER(2, LENGTH(bin(sz))) - 1 AS BIGINT) AS hi,
+       CAST(COUNT(*) AS BIGINT) AS n_families,
+       CAST(SUM(sz) AS BIGINT) AS n_vectors
+FROM sizes GROUP BY 1, 2, 3"""
+
+
+@register("sim_dup_family_report", _family_report_oracle())
+def sim_dup_family_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """**Near-dup family size distribution** (log₂-binned): how many
+    dedup components of size 1, 2–3, 4–7, … exist and how many
+    vectors they hold — the dedup-ROI summary read off
+    :func:`sim_neardup_components` (bucket 0 = singletons = untouched
+    by dedup; everything else loses size−1 copies per family; one
+    giant bucket = a template family worth inspecting before
+    deleting). Size buckets share the degree histogram's binary-length
+    convention — no float log2 at exact powers of two.
+
+    Scale: the components loop is the only data-sized work (already
+    bounded, see its docstring); the report is a component-keyed
+    count, a bounded-bucket aggregate, both map-side combinable."""
+    comp = sim_neardup_components(spark, sf_dir)
+    sizes = comp.groupBy("component").agg(
+        F.count("*").cast("bigint").alias("sz")
+    )
+    blen = F.length(F.bin(F.col("sz")))
+    return (
+        sizes.groupBy(
+            (blen - 1).cast("int").alias("bucket"),
+            F.pow(F.lit(2), blen - 1).cast("bigint").alias("lo"),
+            (F.pow(F.lit(2), blen) - 1).cast("bigint").alias("hi"),
+        )
+        .agg(
+            F.count("*").cast("bigint").alias("n_families"),
+            F.sum("sz").cast("bigint").alias("n_vectors"),
+        )
+    )

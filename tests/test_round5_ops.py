@@ -1331,3 +1331,24 @@ def test_corpus_planning_report_is_consistent_composition(queries, spark):
         assert r["capped"] == wf[s]["capped"]
         assert r["neyman_n"] == ney[s]["neyman_n"]
         assert r["n_docs"] == ney[s]["n_docs"]
+
+
+def test_dup_family_report_matches_components(queries, spark):
+    from collections import Counter
+
+    comp = queries["sim_neardup_components"](spark, SF_DIR).collect()
+    sizes = Counter(r["component"] for r in comp)
+    buckets = Counter()
+    vectors = Counter()
+    for sz in sizes.values():
+        b = sz.bit_length() - 1
+        buckets[b] += 1
+        vectors[b] += sz
+    rows = queries["sim_dup_family_report"](spark, SF_DIR).collect()
+    assert {r["bucket"] for r in rows} == set(buckets)
+    for r in rows:
+        b = r["bucket"]
+        assert r["n_families"] == buckets[b]
+        assert r["n_vectors"] == vectors[b]
+        assert r["lo"] == 2**b and r["hi"] == 2 ** (b + 1) - 1
+    assert sum(r["n_vectors"] for r in rows) == len(comp)
