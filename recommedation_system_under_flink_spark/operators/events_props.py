@@ -1708,6 +1708,53 @@ _EWMA_H = [
 ]
 
 
+
+def _ewma_smoothed(spark: SparkSession, idx: DataFrame) -> DataFrame:
+    """Shared W-truncated EWMA levels over an indexed daily series
+    ``(x, y)`` → ``(tx, ty, s)`` — the banded-join kernel used by the
+    forecast op and the rolling-origin backtest."""
+    coef = spark.createDataFrame(
+        list(enumerate(_EWMA_A)), "j long, c double"
+    )
+    head = spark.createDataFrame(
+        list(enumerate(_EWMA_H)), "t long, h double"
+    )
+    y0 = idx.filter(F.col("x") == 0).select(F.col("y").alias("y0"))
+    t = idx.select(F.col("x").alias("tx"), F.col("y").alias("ty"))
+    k = idx.select(F.col("x").alias("kx"), F.col("y").alias("ky"))
+    terms = (
+        t.join(
+            k,
+            (
+                F.col("kx")
+                >= F.greatest(F.lit(1), F.col("tx") - (EWMA_W - 1))
+            )
+            & (F.col("kx") <= F.col("tx")),
+            "left",
+        )
+        .join(
+            F.broadcast(coef),
+            F.col("j") == F.col("tx") - F.col("kx"),
+            "left",
+        )
+        .join(
+            F.broadcast(head),
+            (F.col("t") == F.col("tx"))
+            & F.col("tx").between(1, EWMA_W - 1),
+            "left",
+        )
+        .crossJoin(F.broadcast(y0))
+    )
+    return terms.groupBy("tx", "ty").agg(
+        F.when(F.col("tx") == 0, F.first("ty").cast("double"))
+        .otherwise(
+            F.sum(F.col("c") * F.col("ky"))
+            + F.coalesce(F.max(F.col("h") * F.col("y0")), F.lit(0.0))
+        )
+        .alias("s")
+    )
+
+
 @register(
     "ev_ewma_forecast",
     """WITH daily AS (
@@ -1770,46 +1817,7 @@ def ev_ewma_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("x"),
     )
-    coef = spark.createDataFrame(
-        list(enumerate(_EWMA_A)), "j long, c double"
-    )
-    head = spark.createDataFrame(
-        list(enumerate(_EWMA_H)), "t long, h double"
-    )
-    y0 = idx.filter(F.col("x") == 0).select(F.col("y").alias("y0"))
-    t = idx.select(F.col("x").alias("tx"), F.col("y").alias("ty"))
-    k = idx.select(F.col("x").alias("kx"), F.col("y").alias("ky"))
-    terms = (
-        t.join(
-            k,
-            (
-                F.col("kx")
-                >= F.greatest(F.lit(1), F.col("tx") - (EWMA_W - 1))
-            )
-            & (F.col("kx") <= F.col("tx")),
-            "left",
-        )
-        .join(
-            F.broadcast(coef),
-            F.col("j") == F.col("tx") - F.col("kx"),
-            "left",
-        )
-        .join(
-            F.broadcast(head),
-            (F.col("t") == F.col("tx"))
-            & F.col("tx").between(1, EWMA_W - 1),
-            "left",
-        )
-        .crossJoin(F.broadcast(y0))
-    )
-    s = terms.groupBy("tx", "ty").agg(
-        F.when(F.col("tx") == 0, F.first("ty").cast("double"))
-        .otherwise(
-            F.sum(F.col("c") * F.col("ky"))
-            + F.coalesce(F.max(F.col("h") * F.col("y0")), F.lit(0.0))
-        )
-        .alias("s")
-    )
+    s = _ewma_smoothed(spark, idx)
     last = (
         s.orderBy(F.col("tx").desc())
         .limit(1)
@@ -2021,4 +2029,110 @@ def ev_revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
             - (F.col("n").cast("double") + 1) / F.col("n"),
             6,
         ).alias("gini"),
+    )
+
+
+# ------------------------------------------------ forecast backtest
+
+def _ewma_values_sql() -> tuple[str, str]:
+    a_vals = ", ".join(f"({j}, {c!r})" for j, c in enumerate(_EWMA_A))
+    h_vals = ", ".join(f"({t}, {h!r})" for t, h in enumerate(_EWMA_H))
+    return a_vals, h_vals
+
+
+def _backtest_oracle() -> str:
+    a_vals, h_vals = _ewma_values_sql()
+    return f"""WITH daily AS (
+  SELECT CAST(ts AS DATE) AS date, CAST(COUNT(*) AS BIGINT) AS y
+  FROM events WHERE event_type = 'click' GROUP BY 1
+), idx AS (
+  SELECT y, CAST(ROW_NUMBER() OVER (ORDER BY date) - 1 AS BIGINT) AS x
+  FROM daily
+), coef(j, c) AS (VALUES {a_vals}),
+head(t, h) AS (VALUES {h_vals}),
+y0 AS (SELECT y AS y0 FROM idx WHERE x = 0),
+s AS (
+  SELECT t.x,
+         CASE WHEN t.x = 0 THEN CAST(t.y AS DOUBLE)
+              ELSE SUM(c.c * k.y) + COALESCE(MAX(hd.h * y0.y0), 0.0)
+         END AS s
+  FROM idx t
+  CROSS JOIN y0
+  LEFT JOIN idx k ON k.x >= GREATEST(1, t.x - {EWMA_W - 1}) AND k.x <= t.x
+  LEFT JOIN coef c ON c.j = t.x - k.x
+  LEFT JOIN head hd ON hd.t = t.x AND t.x BETWEEN 1 AND {EWMA_W - 1}
+  GROUP BY t.x, t.y
+), lagged AS (
+  SELECT i.x, i.y,
+         LAG(i.y, 1) OVER (ORDER BY i.x) AS f_naive,
+         LAG(i.y, 7) OVER (ORDER BY i.x) AS f_seasonal,
+         sp.s AS f_ewma
+  FROM idx i LEFT JOIN s sp ON sp.x = i.x - 1
+), test AS (SELECT * FROM lagged WHERE x >= 7)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_test,
+       ROUND(AVG(ABS(y - f_naive)), 6) AS mae_naive,
+       ROUND(AVG(ABS(y - f_seasonal)), 6) AS mae_seasonal,
+       ROUND(AVG(ABS(y - f_ewma)), 6) AS mae_ewma,
+       CASE WHEN ROUND(AVG(ABS(y - f_ewma)), 6)
+                 <= ROUND(AVG(ABS(y - f_naive)), 6)
+             AND ROUND(AVG(ABS(y - f_ewma)), 6)
+                 <= ROUND(AVG(ABS(y - f_seasonal)), 6) THEN 'ewma'
+            WHEN ROUND(AVG(ABS(y - f_seasonal)), 6)
+                 <= ROUND(AVG(ABS(y - f_naive)), 6) THEN 'seasonal_naive'
+            ELSE 'naive' END AS best
+FROM test"""
+
+
+@register("ev_forecast_backtest", _backtest_oracle())
+def ev_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """**Rolling-origin one-step backtest** of three forecasters on
+    daily click volume — naive (y_(t−1)), seasonal naive (y_(t−7)),
+    and the truncated EWMA level — scored by MAE over every origin
+    with all three defined (t ≥ 7), plus the winner (ties resolve
+    ewma → seasonal → naive on the 6-dp-quantized MAEs, so the label
+    is hash-stable). The model-selection discipline behind
+    :func:`ev_ewma_forecast`: never ship a smoother that can't beat
+    y_(t−1).
+
+    Scale: the EWMA levels reuse the shared |days|×W banded kernel
+    (``_ewma_smoothed``); the naive/seasonal forecasts are two lag
+    windows over the O(|days|) series; one aggregate row out."""
+    from pyspark.sql import Window
+
+    from ..sources.tables import ts_date
+
+    ev = events_raw(spark, sf_dir)
+    daily = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy(ts_date().alias("date"))
+        .agg(F.count("*").cast("long").alias("y"))
+    )
+    idx = daily.select(
+        "y",
+        (F.row_number().over(Window.orderBy("date")) - 1)
+        .cast("long")
+        .alias("x"),
+    )
+    s = _ewma_smoothed(spark, idx).select(
+        F.col("tx").alias("px"), F.col("s").alias("f_ewma")
+    )
+    w = Window.orderBy("x")
+    lagged = (
+        idx.withColumn("f_naive", F.lag("y", 1).over(w))
+        .withColumn("f_seasonal", F.lag("y", 7).over(w))
+        .join(s, F.col("px") == F.col("x") - 1, "left")
+    )
+    test = lagged.filter(F.col("x") >= 7)
+    m_n = F.round(F.avg(F.abs(F.col("y") - F.col("f_naive"))), 6)
+    m_s = F.round(F.avg(F.abs(F.col("y") - F.col("f_seasonal"))), 6)
+    m_e = F.round(F.avg(F.abs(F.col("y") - F.col("f_ewma"))), 6)
+    return test.agg(
+        F.count("*").cast("bigint").alias("n_test"),
+        m_n.alias("mae_naive"),
+        m_s.alias("mae_seasonal"),
+        m_e.alias("mae_ewma"),
+        F.when((m_e <= m_n) & (m_e <= m_s), F.lit("ewma"))
+        .when(m_s <= m_n, F.lit("seasonal_naive"))
+        .otherwise(F.lit("naive"))
+        .alias("best"),
     )

@@ -1352,3 +1352,44 @@ def test_dup_family_report_matches_components(queries, spark):
         assert r["n_vectors"] == vectors[b]
         assert r["lo"] == 2**b and r["hi"] == 2 ** (b + 1) - 1
     assert sum(r["n_vectors"] for r in rows) == len(comp)
+
+
+def test_forecast_backtest_matches_python_replay(queries, spark):
+    from recommedation_system_under_flink_spark.operators.events_props import (
+        EWMA_ALPHA,
+        EWMA_W,
+    )
+
+    y = [
+        int(n)
+        for _, n in duckdb.sql(
+            f"""SELECT CAST(ts AS DATE) d, COUNT(*) FROM
+                '{SF_DIR}/events.parquet'
+                WHERE event_type = 'click' GROUP BY d ORDER BY d"""
+        ).fetchall()
+    ]
+    a = EWMA_ALPHA
+    s = []
+    for t in range(len(y)):
+        if t == 0:
+            s.append(float(y[0]))
+            continue
+        acc = sum(
+            a * (1 - a) ** j * y[t - j]
+            for j in range(min(t - 1, EWMA_W - 1) + 1)
+            if t - j >= 1
+        )
+        if 1 <= t <= EWMA_W - 1:
+            acc += (1 - a) ** t * y[0]
+        s.append(acc)
+    test = range(7, len(y))
+    mae_n = np.mean([abs(y[t] - y[t - 1]) for t in test])
+    mae_s = np.mean([abs(y[t] - y[t - 7]) for t in test])
+    mae_e = np.mean([abs(y[t] - s[t - 1]) for t in test])
+    row = queries["ev_forecast_backtest"](spark, SF_DIR).collect()[0]
+    assert row["n_test"] == len(y) - 7
+    assert row["mae_naive"] == pytest.approx(mae_n, abs=1e-5)
+    assert row["mae_seasonal"] == pytest.approx(mae_s, abs=1e-5)
+    assert row["mae_ewma"] == pytest.approx(mae_e, abs=1e-5)
+    maes = {"ewma": mae_e, "seasonal_naive": mae_s, "naive": mae_n}
+    assert maes[row["best"]] == pytest.approx(min(maes.values()), abs=1e-5)
