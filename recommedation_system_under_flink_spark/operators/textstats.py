@@ -2568,3 +2568,103 @@ def ts_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
             "entropy_rate_bits"
         ),
     )
+
+
+# ------------------------------------------- source JS divergence
+
+@register(
+    "ts_source_js_divergence",
+    f"""WITH tok AS (
+  SELECT source, unnest(ts) AS tok
+  FROM (SELECT source, {_TOKENS_SQL} AS ts FROM documents)
+), per AS (
+  SELECT source, tok, CAST(COUNT(*) AS BIGINT) AS c
+  FROM tok GROUP BY source, tok
+), src_tot AS (
+  SELECT source, CAST(SUM(c) AS BIGINT) AS ns FROM per GROUP BY source
+), corp AS (
+  SELECT tok, CAST(SUM(c) AS BIGINT) AS cc FROM per GROUP BY tok
+), corp_tot AS (
+  SELECT CAST(SUM(cc) AS BIGINT) AS nc FROM corp
+), terms AS (
+  -- JSD(P,Q) = H(M) - (H(P)+H(Q))/2 with M=(P+Q)/2, expanded as
+  -- 0.5*sum p*log2(2p/(p+q)) + 0.5*sum q*log2(2q/(p+q)); the second
+  -- sum needs q over the FULL vocab, so fold both sides per token:
+  -- tokens absent from the source contribute only the q term.
+  SELECT s.source,
+         SUM(CASE WHEN p.c IS NOT NULL THEN
+               0.5 * (CAST(p.c AS DOUBLE) / s.ns)
+               * log2(2.0 * (CAST(p.c AS DOUBLE) / s.ns)
+                      / (CAST(p.c AS DOUBLE) / s.ns
+                         + CAST(corp.cc AS DOUBLE) / ct.nc))
+             ELSE 0.0 END
+             + 0.5 * (CAST(corp.cc AS DOUBLE) / ct.nc)
+               * log2(2.0 * (CAST(corp.cc AS DOUBLE) / ct.nc)
+                      / (COALESCE(CAST(p.c AS DOUBLE) / s.ns, 0.0)
+                         + CAST(corp.cc AS DOUBLE) / ct.nc))) AS jsd
+  FROM src_tot s
+  CROSS JOIN corp_tot ct
+  JOIN corp ON TRUE
+  LEFT JOIN per p ON p.source = s.source AND p.tok = corp.tok
+  GROUP BY s.source
+)
+SELECT t.source, s.ns AS n_tokens, ROUND(t.jsd, 6) AS jsd_bits
+FROM terms t JOIN src_tot s ON t.source = s.source""",
+)
+def ts_source_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """**Per-source Jensen–Shannon divergence** between the source's
+    unigram distribution and the whole-corpus distribution — the
+    symmetric, bounded (≤1 bit) "how different is this domain"
+    distance that mixture planning reads next to DSIR scores (DSIR
+    ranks documents by target affinity; JSD ranks SOURCES by how much
+    their inclusion shifts the mixture). JSD = ½Σp·log₂(2p/(p+q)) +
+    ½Σq·log₂(2q/(p+q)), with the q-only term folded in for tokens the
+    source never uses (the part a naive inner join silently drops).
+
+    Plan: one (source, token) count, one corpus count, and a
+    corpus⋈per-source LEFT join keyed on token so absent tokens keep
+    their q contribution; exact BIGINT counts, doubles only inside
+    the quantized sum.
+
+    Scale: the join fans out to |sources|×|vocab| rows — vocabulary-
+    sized per source, not corpus-sized, and map-side reducible; at
+    extreme vocabularies cap to the top-K tokens by corpus count and
+    fold the tail into an OTHER bucket (the standard JSD-at-scale
+    move, unchanged shape)."""
+    docs = load_raw(spark, sf_dir, "documents")
+    toks = F.filter(
+        F.split(F.lower(F.col("text")), TOKEN_SPLIT_REGEX),
+        lambda t: t != "",
+    )
+    per = (
+        docs.select("source", F.explode(toks).alias("tok"))
+        .groupBy("source", "tok")
+        .agg(F.count("*").cast("bigint").alias("c"))
+    )
+    src_tot = per.groupBy("source").agg(
+        F.sum("c").cast("bigint").alias("ns")
+    )
+    corp = per.groupBy("tok").agg(F.sum("c").cast("bigint").alias("cc"))
+    corp_tot = corp.agg(F.sum("cc").cast("bigint").alias("nc"))
+    grid = (
+        src_tot.crossJoin(F.broadcast(corp_tot))
+        .join(corp, F.lit(True))
+        .join(per, ["source", "tok"], "left")
+    )
+    p = F.col("c").cast("double") / F.col("ns")
+    q = F.col("cc").cast("double") / F.col("nc")
+    term = (
+        F.when(
+            F.col("c").isNotNull(),
+            0.5 * p * F.log2(2.0 * p / (p + q)),
+        ).otherwise(F.lit(0.0))
+        + 0.5
+        * q
+        * F.log2(2.0 * q / (F.coalesce(p, F.lit(0.0)) + q))
+    )
+    jsd = grid.groupBy("source").agg(F.sum(term).alias("jsd"))
+    return jsd.join(src_tot, "source").select(
+        "source",
+        F.col("ns").alias("n_tokens"),
+        F.round("jsd", 6).alias("jsd_bits"),
+    )

@@ -1393,3 +1393,35 @@ def test_forecast_backtest_matches_python_replay(queries, spark):
     assert row["mae_ewma"] == pytest.approx(mae_e, abs=1e-5)
     maes = {"ewma": mae_e, "seasonal_naive": mae_s, "naive": mae_n}
     assert maes[row["best"]] == pytest.approx(min(maes.values()), abs=1e-5)
+
+
+def test_source_jsd_matches_scipy_free_replay(queries, spark):
+    import math
+    import re as _re
+    from collections import Counter, defaultdict
+
+    docs = duckdb.sql(
+        f"SELECT source, text FROM '{SF_DIR}/documents.parquet'"
+    ).fetchall()
+    per = defaultdict(Counter)
+    corp = Counter()
+    for src, txt in docs:
+        ts = [t for t in _re.split(r"[^a-z0-9]+", txt.lower()) if t]
+        per[src].update(ts)
+        corp.update(ts)
+    nc = sum(corp.values())
+    rows = queries["ts_source_js_divergence"](spark, SF_DIR).collect()
+    assert {r["source"] for r in rows} == set(per)
+    for r in rows:
+        cnt = per[r["source"]]
+        ns = sum(cnt.values())
+        assert r["n_tokens"] == ns
+        jsd = 0.0
+        for tok, cc in corp.items():
+            p = cnt.get(tok, 0) / ns
+            q = cc / nc
+            if p:
+                jsd += 0.5 * p * math.log2(2 * p / (p + q))
+            jsd += 0.5 * q * math.log2(2 * q / (p + q))
+        assert r["jsd_bits"] == pytest.approx(jsd, abs=1e-5)
+        assert 0.0 <= r["jsd_bits"] <= 1.0
