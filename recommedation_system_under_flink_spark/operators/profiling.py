@@ -913,3 +913,73 @@ def prof_candidate_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = agg if out is None else out.unionByName(agg)
     return out
+
+
+# -------------------------------------------- partition balance audit
+
+@register(
+    "prof_partition_balance",
+    """WITH parts AS (
+  SELECT CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS n
+  FROM events GROUP BY 1
+), med AS (
+  SELECT n AS median_rows FROM (
+    SELECT n, ROW_NUMBER() OVER (ORDER BY n, day) AS rn,
+           COUNT(*) OVER () AS c
+    FROM parts
+  ) WHERE rn = (c + 1) // 2
+)
+SELECT CAST((SELECT COUNT(*) FROM parts) AS BIGINT) AS n_partitions,
+       (SELECT MIN(n) FROM parts) AS min_rows,
+       med.median_rows,
+       (SELECT MAX(n) FROM parts) AS max_rows,
+       ROUND(CAST((SELECT MAX(n) FROM parts) AS DOUBLE)
+             / med.median_rows, 6) AS skew_ratio,
+       CAST((SELECT MAX(n) FROM parts) > 2 * med.median_rows AS BOOLEAN)
+         AS skewed
+FROM med""",
+)
+def prof_partition_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """**Date-partition balance audit** for the events table: row
+    counts per day partition, the max/median skew ratio, and a flag
+    at the 2× threshold — the check run BEFORE committing to
+    date-partitioned writes (``s7_partitioned_write_pruned_read``) or
+    date-keyed shuffles: one hot day (product launch, bot storm)
+    becomes one straggler task at 100 TB, and this is the number AQE's
+    skew-join split will be fighting. Lower-median convention shared
+    with the MAD ops.
+
+    Scale: one date hash aggregate + windows over the O(|days|)
+    partition grid. The audit itself is free next to any real scan."""
+    from pyspark.sql import Window
+
+    from ..sources import events_raw
+    from ..sources.tables import ts_date
+
+    ev = events_raw(spark, sf_dir)
+    parts = ev.groupBy(ts_date().alias("day")).agg(
+        F.count("*").cast("bigint").alias("n")
+    )
+    med = (
+        parts.withColumn(
+            "rn", F.row_number().over(Window.orderBy("n", "day"))
+        )
+        .withColumn("c", F.count("*").over(Window.partitionBy()))
+        .filter(F.col("rn") == F.expr("(c + 1) DIV 2"))
+        .select(F.col("n").alias("median_rows"))
+    )
+    stats = parts.agg(
+        F.count("*").cast("bigint").alias("n_partitions"),
+        F.min("n").alias("min_rows"),
+        F.max("n").alias("max_rows"),
+    )
+    return stats.crossJoin(F.broadcast(med)).select(
+        "n_partitions",
+        "min_rows",
+        "median_rows",
+        "max_rows",
+        F.round(
+            F.col("max_rows").cast("double") / F.col("median_rows"), 6
+        ).alias("skew_ratio"),
+        (F.col("max_rows") > 2 * F.col("median_rows")).alias("skewed"),
+    )

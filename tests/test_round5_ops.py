@@ -1425,3 +1425,20 @@ def test_source_jsd_matches_scipy_free_replay(queries, spark):
             jsd += 0.5 * q * math.log2(2 * q / (p + q))
         assert r["jsd_bits"] == pytest.approx(jsd, abs=1e-5)
         assert 0.0 <= r["jsd_bits"] <= 1.0
+
+
+def test_partition_balance_matches_duckdb(queries, spark):
+    sizes = sorted(
+        n
+        for _, n in duckdb.sql(
+            f"""SELECT CAST(ts AS DATE) d, COUNT(*) FROM
+                '{SF_DIR}/events.parquet' GROUP BY d"""
+        ).fetchall()
+    )
+    med = sizes[(len(sizes) + 1) // 2 - 1]
+    row = queries["prof_partition_balance"](spark, SF_DIR).collect()[0]
+    assert row["n_partitions"] == len(sizes)
+    assert row["min_rows"] == sizes[0] and row["max_rows"] == sizes[-1]
+    assert row["median_rows"] == med
+    assert row["skew_ratio"] == pytest.approx(sizes[-1] / med, abs=1e-6)
+    assert row["skewed"] == (sizes[-1] > 2 * med)
