@@ -2668,3 +2668,131 @@ def ts_source_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("ns").alias("n_tokens"),
         F.round("jsd", 6).alias("jsd_bits"),
     )
+
+
+# ------------------------------------------- Heaps-law vocab growth
+
+#: Corpus-prefix checkpoints (fractions of max doc_id) for the
+#: vocabulary growth curve.
+HEAPS_CHECKPOINT_FRACS = (0.1, 0.2, 0.4, 0.6, 0.8, 1.0)
+
+
+def _heaps_oracle() -> str:
+    fracs = ", ".join(f"({i}, {f!r})" for i, f in enumerate(HEAPS_CHECKPOINT_FRACS))
+    return f"""WITH t AS (
+  SELECT doc_id, {_TOKENS_SQL} AS ts FROM documents
+), tok AS (
+  SELECT doc_id, unnest(ts) AS tok FROM t
+), firsts AS (
+  SELECT tok, CAST(MIN(doc_id) AS BIGINT) AS first_doc FROM tok GROUP BY tok
+), doc_tokens AS (
+  SELECT doc_id, CAST(len(ts) AS BIGINT) AS nt FROM t
+), mx AS (SELECT MAX(doc_id) AS m FROM documents),
+cps(i, frac) AS (VALUES {fracs}),
+cuts AS (
+  SELECT i, CAST(floor(frac * (mx.m + 1)) AS BIGINT) AS cut
+  FROM cps CROSS JOIN mx
+), curve AS (
+  SELECT c.i, c.cut,
+         (SELECT CAST(COALESCE(SUM(nt), 0) AS BIGINT) FROM doc_tokens
+           WHERE doc_id < c.cut) AS n_tokens,
+         (SELECT CAST(COUNT(*) AS BIGINT) FROM firsts
+           WHERE first_doc < c.cut) AS vocab
+  FROM cuts c
+), pts AS (
+  SELECT log2(CAST(n_tokens AS DOUBLE)) AS x,
+         log2(CAST(vocab AS DOUBLE)) AS y
+  FROM curve WHERE n_tokens > 0 AND vocab > 0
+), fit AS (
+  SELECT COUNT(*) AS k, SUM(x) AS sx, SUM(y) AS sy,
+         SUM(x * x) AS sxx, SUM(x * y) AS sxy
+  FROM pts
+)
+SELECT cv.i AS checkpoint, cv.cut AS doc_id_cut, cv.n_tokens, cv.vocab,
+       ROUND((fit.k * fit.sxy - fit.sx * fit.sy)
+             / (fit.k * fit.sxx - fit.sx * fit.sx), 6) AS heaps_beta,
+       ROUND(POWER(2.0, (fit.sy - (fit.k * fit.sxy - fit.sx * fit.sy)
+             / (fit.k * fit.sxx - fit.sx * fit.sx) * fit.sx) / fit.k), 6)
+         AS heaps_k
+FROM curve cv CROSS JOIN fit"""
+
+
+@register("ts_heaps_law_fit", _heaps_oracle())
+def ts_heaps_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """**Heaps'-law vocabulary growth fit**: V(n) ≈ K·n^β estimated by
+    log-log OLS over corpus-prefix checkpoints — the planning curve
+    for "how big must the tokenizer vocabulary be at 10× the corpus"
+    (complement of the rank-frequency Zipf fit: Zipf describes the
+    head, Heaps the growth of the long tail; β≈0.5 is natural text).
+    Output: the growth curve (tokens, vocab per checkpoint) with the
+    fitted (K, β) repeated per row.
+
+    Plan trick: V(cut) for every checkpoint from ONE aggregate — a
+    token's prefix membership is decided by its FIRST occurrence
+    (min doc_id per token), so the curve needs one token-keyed
+    aggregate + one bounded checkpoint join, never a rescan per
+    checkpoint; n(cut) likewise folds from per-doc token counts.
+
+    Scale: one explode + two hash aggregates + a 6-row checkpoint
+    grid. The OLS runs on ≤6 points driver-free, same closed-form
+    normal equations as the daily trend."""
+    docs = load_raw(spark, sf_dir, "documents")
+    toks = F.filter(
+        F.split(F.lower(F.col("text")), TOKEN_SPLIT_REGEX),
+        lambda t: t != "",
+    )
+    t = docs.select("doc_id", toks.alias("ts"))
+    firsts = (
+        t.select("doc_id", F.explode("ts").alias("tok"))
+        .groupBy("tok")
+        .agg(F.min("doc_id").cast("bigint").alias("first_doc"))
+    )
+    doc_tokens = t.select(
+        "doc_id", F.size("ts").cast("bigint").alias("nt")
+    )
+    mx = docs.agg(F.max("doc_id").alias("m"))
+    cps = spark.createDataFrame(
+        list(enumerate(HEAPS_CHECKPOINT_FRACS)), "i int, frac double"
+    )
+    cuts = cps.crossJoin(F.broadcast(mx)).select(
+        "i",
+        F.floor(F.col("frac") * (F.col("m") + 1))
+        .cast("bigint")
+        .alias("cut"),
+    )
+    n_per_cut = (
+        cuts.join(doc_tokens, doc_tokens.doc_id < cuts.cut, "left")
+        .groupBy("i", "cut")
+        .agg(F.coalesce(F.sum("nt"), F.lit(0)).cast("bigint").alias("n_tokens"))
+    )
+    v_per_cut = (
+        cuts.join(firsts, firsts.first_doc < cuts.cut, "left")
+        .groupBy("i", "cut")
+        .agg(F.count("tok").cast("bigint").alias("vocab"))
+    )
+    curve = n_per_cut.join(v_per_cut, ["i", "cut"])
+    pts = curve.filter(
+        (F.col("n_tokens") > 0) & (F.col("vocab") > 0)
+    ).select(
+        F.log2(F.col("n_tokens").cast("double")).alias("x"),
+        F.log2(F.col("vocab").cast("double")).alias("y"),
+    )
+    fit = pts.agg(
+        F.count("*").alias("k"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    beta = (
+        F.col("k") * F.col("sxy") - F.col("sx") * F.col("sy")
+    ) / (F.col("k") * F.col("sxx") - F.col("sx") * F.col("sx"))
+    intercept = (F.col("sy") - beta * F.col("sx")) / F.col("k")
+    return curve.crossJoin(F.broadcast(fit)).select(
+        F.col("i").alias("checkpoint"),
+        F.col("cut").alias("doc_id_cut"),
+        "n_tokens",
+        "vocab",
+        F.round(beta, 6).alias("heaps_beta"),
+        F.round(F.pow(F.lit(2.0), intercept), 6).alias("heaps_k"),
+    )

@@ -1442,3 +1442,45 @@ def test_partition_balance_matches_duckdb(queries, spark):
     assert row["median_rows"] == med
     assert row["skew_ratio"] == pytest.approx(sizes[-1] / med, abs=1e-6)
     assert row["skewed"] == (sizes[-1] > 2 * med)
+
+
+def test_heaps_fit_matches_numpy_loglog_ols(queries, spark):
+    import re as _re
+
+    docs = sorted(
+        duckdb.sql(
+            f"SELECT doc_id, text FROM '{SF_DIR}/documents.parquet'"
+        ).fetchall()
+    )
+    max_id = docs[-1][0]
+    fracs = (0.1, 0.2, 0.4, 0.6, 0.8, 1.0)
+    pts = []
+    curve = {}
+    for i, f in enumerate(fracs):
+        cut = int(f * (max_id + 1))
+        seen = set()
+        n = 0
+        for did, txt in docs:
+            if did >= cut:
+                continue
+            ts = [t for t in _re.split(r"[^a-z0-9]+", txt.lower()) if t]
+            n += len(ts)
+            seen.update(ts)
+        curve[i] = (cut, n, len(seen))
+        if n and seen:
+            pts.append((np.log2(n), np.log2(len(seen))))
+    x = np.array([p[0] for p in pts])
+    y = np.array([p[1] for p in pts])
+    beta, icpt = np.polyfit(x, y, 1)
+    rows = queries["ts_heaps_law_fit"](spark, SF_DIR).collect()
+    assert len(rows) == len(fracs)
+    for r in rows:
+        cut, n, v = curve[r["checkpoint"]]
+        assert (r["doc_id_cut"], r["n_tokens"], r["vocab"]) == (cut, n, v)
+        assert r["heaps_beta"] == pytest.approx(beta, abs=1e-4)
+        assert r["heaps_k"] == pytest.approx(2**icpt, abs=1e-3)
+    # the synthetic generator draws from a FIXED word pool, so the
+    # vocabulary saturates at the first checkpoint and beta ~ 0 (real
+    # text sits near 0.5); the fit itself is verified above
+    assert 0.0 <= rows[0]["heaps_beta"] < 1.0
+    assert rows[-1]["vocab"] >= rows[0]["vocab"]
