@@ -1484,3 +1484,43 @@ def test_heaps_fit_matches_numpy_loglog_ols(queries, spark):
     # text sits near 0.5); the fit itself is verified above
     assert 0.0 <= rows[0]["heaps_beta"] < 1.0
     assert rows[-1]["vocab"] >= rows[0]["vocab"]
+
+
+def test_pps_systematic_matches_python_walk(queries, spark):
+    """Replay Madow's walk exactly; total hits must equal m and hit
+    counts must be proportional (within 1) to size."""
+    import re as _re
+
+    from recommedation_system_under_flink_spark.operators.sampling import (
+        PPS_SAMPLES,
+    )
+
+    docs = sorted(
+        duckdb.sql(
+            f"SELECT doc_id, text FROM '{SF_DIR}/documents.parquet'"
+        ).fetchall()
+    )
+    sizes = [
+        (d, len([t for t in _re.split(r"[^a-z0-9]+", x.lower()) if t]))
+        for d, x in docs
+    ]
+    total = sum(s for _, s in sizes)
+    m = PPS_SAMPLES
+    points = [total * (2 * k + 1) / (2 * m) for k in range(m)]
+    hits = {}
+    c = 0
+    it = iter(points)
+    p = next(it, None)
+    for d, s in sizes:
+        lo, c = c, c + s
+        while p is not None and lo < p <= c:
+            hits[d] = hits.get(d, 0) + 1
+            p = next(it, None)
+    rows = queries["samp_pps_systematic"](spark, SF_DIR).collect()
+    got = {r["doc_id"]: r["n_hits"] for r in rows}
+    assert got == hits
+    assert sum(got.values()) == m
+    for r in rows:
+        assert r["inclusion_prob"] == pytest.approx(
+            min(1.0, m * r["n_tokens"] / total), abs=1e-6
+        )
