@@ -3333,3 +3333,136 @@ def sim_dup_family_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("sz").cast("bigint").alias("n_vectors"),
         )
     )
+
+
+# ---------------------------------------------- kNN label agreement
+
+#: Leave-one-out kNN probe: every 5th vector queries, K neighbors.
+KNN_PROBE_MOD = 5
+KNN_K = 5
+
+
+@register(
+    "sim_knn_label_agreement",
+    f"""WITH vecs AS (
+  SELECT vec_id, label, embedding FROM embeddings
+), pairs AS (
+  SELECT q.vec_id AS query_id, q.label AS true_label,
+         c.vec_id AS corpus_id, c.label AS c_label,
+         ROUND(list_dot_product(q.embedding, c.embedding)
+               / (sqrt(list_dot_product(q.embedding, q.embedding))
+                  * sqrt(list_dot_product(c.embedding, c.embedding))), 6)
+           AS cos_q
+  FROM vecs q JOIN vecs c ON c.vec_id <> q.vec_id
+  WHERE q.vec_id % {KNN_PROBE_MOD} = 0
+), topk AS (
+  SELECT query_id, true_label, c_label FROM (
+    SELECT query_id, true_label, c_label,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+                              ORDER BY cos_q DESC, corpus_id) AS rn
+    FROM pairs
+  ) WHERE rn <= {KNN_K}
+), votes AS (
+  SELECT query_id, true_label, c_label, COUNT(*) AS v
+  FROM topk GROUP BY query_id, true_label, c_label
+), pred AS (
+  SELECT query_id, true_label, c_label AS pred_label FROM (
+    SELECT query_id, true_label, c_label,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+                              ORDER BY v DESC, c_label) AS rn
+    FROM votes
+  ) WHERE rn = 1
+)
+SELECT CAST(true_label AS INTEGER) AS true_label,
+       CAST(COUNT(*) AS BIGINT) AS n_queries,
+       CAST(SUM(CASE WHEN pred_label = true_label THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_correct,
+       ROUND(CAST(SUM(CASE WHEN pred_label = true_label THEN 1 ELSE 0 END)
+             AS DOUBLE) / COUNT(*), 6) AS accuracy
+FROM pred GROUP BY true_label""",
+)
+def sim_knn_label_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """**Leave-one-out kNN label agreement**: every ``KNN_PROBE_MOD``-th
+    vector queries the rest, its ``KNN_K`` nearest cosine neighbors
+    vote (majority, ties to the smallest label), and per true label we
+    report how often the vote recovers it — the standard
+    embedding-quality probe ("do same-label points cluster?") that
+    catches a bad embedding model or corrupted labels before anything
+    downstream trains on them. Companion to
+    :func:`sim_label_outliers` (that scores individual points; this
+    scores the space).
+
+    Determinism: cosine quantized to 6 dp BEFORE the neighbor rank
+    (corpus_id tiebreak), votes tie to the smallest label — both
+    rankings hash-stable.
+
+    Scale: the probe subset broadcasts against the corpus exactly like
+    :func:`sim_bruteforce_topk` (one corpus scan, window per query);
+    at 100 TB swap the exact scorer for the pinned IVF index probes —
+    the vote/report stages are unchanged."""
+    from pyspark.sql import Window
+
+    emb = load_raw(spark, sf_dir, "embeddings")
+    corpus = emb.select(
+        F.col("vec_id").alias("corpus_id"),
+        F.col("label").alias("c_label"),
+        _as_double("embedding").alias("c_emb"),
+    ).withColumn("c_norm", _norm(F.col("c_emb")))
+    probes = (
+        emb.filter(F.col("vec_id") % KNN_PROBE_MOD == 0)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("label").alias("true_label"),
+            _as_double("embedding").alias("q_emb"),
+        )
+        .withColumn("q_norm", _norm(F.col("q_emb")))
+    )
+    pairs = (
+        corpus.crossJoin(F.broadcast(probes))
+        .filter(F.col("corpus_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "true_label",
+            "corpus_id",
+            "c_label",
+            F.round(
+                _dot(F.col("q_emb"), F.col("c_emb"))
+                / (F.col("q_norm") * F.col("c_norm")),
+                6,
+            ).alias("cos_q"),
+        )
+    )
+    topk = pairs.withColumn(
+        "rn",
+        F.row_number().over(
+            Window.partitionBy("query_id").orderBy(
+                F.col("cos_q").desc(), F.col("corpus_id")
+            )
+        ),
+    ).filter(F.col("rn") <= KNN_K)
+    votes = topk.groupBy("query_id", "true_label", "c_label").agg(
+        F.count("*").alias("v")
+    )
+    pred = votes.withColumn(
+        "rn",
+        F.row_number().over(
+            Window.partitionBy("query_id").orderBy(
+                F.col("v").desc(), F.col("c_label")
+            )
+        ),
+    ).filter(F.col("rn") == 1)
+    return pred.groupBy(
+        F.col("true_label").cast("int").alias("true_label")
+    ).agg(
+        F.count("*").cast("bigint").alias("n_queries"),
+        F.sum((F.col("c_label") == F.col("true_label")).cast("int"))
+        .cast("bigint")
+        .alias("n_correct"),
+        F.round(
+            F.sum(
+                (F.col("c_label") == F.col("true_label")).cast("int")
+            ).cast("double")
+            / F.count("*"),
+            6,
+        ).alias("accuracy"),
+    )

@@ -1524,3 +1524,41 @@ def test_pps_systematic_matches_python_walk(queries, spark):
         assert r["inclusion_prob"] == pytest.approx(
             min(1.0, m * r["n_tokens"] / total), abs=1e-6
         )
+
+
+def test_knn_label_agreement_matches_numpy(queries, spark):
+    from recommedation_system_under_flink_spark.operators.similarity import (
+        KNN_K,
+        KNN_PROBE_MOD,
+    )
+
+    rows_db = duckdb.sql(
+        f"SELECT vec_id, label, embedding FROM "
+        f"'{SF_DIR}/embeddings.parquet' ORDER BY vec_id"
+    ).fetchall()
+    ids = np.array([r[0] for r in rows_db])
+    labels = {r[0]: r[1] for r in rows_db}
+    X = np.array([r[2] for r in rows_db], dtype=np.float64)
+    Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+    sims = Xn @ Xn.T
+    stats = {}
+    for qi, qid in enumerate(ids):
+        if qid % KNN_PROBE_MOD:
+            continue
+        cand = [
+            (-round(sims[qi, ci], 6), ids[ci])
+            for ci in range(len(ids))
+            if ids[ci] != qid
+        ]
+        cand.sort()
+        top = [labels[c] for _, c in cand[:KNN_K]]
+        votes = sorted(
+            ((top.count(l), -l) for l in set(top)), reverse=True
+        )
+        pred = -votes[0][1]
+        t = labels[qid]
+        n, c = stats.get(t, (0, 0))
+        stats[t] = (n + 1, c + (pred == t))
+    rows = queries["sim_knn_label_agreement"](spark, SF_DIR).collect()
+    got = {r["true_label"]: (r["n_queries"], r["n_correct"]) for r in rows}
+    assert got == stats
