@@ -1710,15 +1710,19 @@ def dedup_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     df_counts = sh.groupBy("shingle").agg(F.count("*").alias("df"))
+    sizes_pre = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    # per-doc set size comes from the sizes aggregate (already needed
+    # for verification) instead of a second doc-keyed COUNT window —
+    # one window pass over the sh⋈df relation instead of two
     ordered = (
         sh.join(df_counts, "shingle")
+        .join(sizes_pre, "doc_id")
         .withColumn(
             "rk",
             F.row_number().over(
                 Window.partitionBy("doc_id").orderBy("df", "shingle")
             ),
         )
-        .withColumn("n", F.count("*").over(Window.partitionBy("doc_id")))
     )
     pfx = ordered.filter(
         F.col("rk")
@@ -1737,7 +1741,7 @@ def dedup_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    sizes = sizes_pre
     inter = (
         cand.join(sh.alias("s1"), F.col("s1.doc_id") == F.col("doc_a"))
         .join(
