@@ -1368,3 +1368,67 @@ def s24_malformed_csv_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("corrupt_rate"),
     )
+
+
+# -------------------------------- S23: schema-evolution roundtrip
+
+#: Id boundary between the v1-schema and v2-schema file batches.
+SCHEMA_EVO_FRAC = 0.5
+
+
+@register(
+    "s23_schema_evolution_roundtrip",
+    f"""WITH spl AS (
+  SELECT CAST(floor((MAX(doc_id) + 1) * {SCHEMA_EVO_FRAC}) AS BIGINT) AS s
+  FROM documents
+)
+SELECT d.doc_id, md5(d.text) AS text_hash,
+       CASE WHEN d.doc_id >= spl.s THEN CAST(d.n_chars AS BIGINT) END
+         AS extra_score
+FROM documents d CROSS JOIN spl""",
+)
+def s23_schema_evolution_roundtrip(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """**Parquet schema-evolution roundtrip**: write an old-schema
+    batch (doc_id, text_hash), append a new-schema batch that adds
+    ``extra_score``, then read the mixed directory back with
+    ``mergeSchema`` — the v1 rows surface the evolved column as NULL.
+    The table-evolution surface every long-lived lake hits (adding a
+    column must not rewrite history), verified by value: the oracle
+    recomputes the merged relation straight from ``documents``, so
+    the physical write→merge→read path is hash-compared end to end.
+
+    Scale: mergeSchema pays one footer read per file at planning —
+    fine per partition directory, the reason real deployments pin the
+    merged schema in a catalog once evolution settles (and why the
+    read here would carry ``ReadSchema`` with the superset, pruned as
+    usual)."""
+    docs = load_raw(spark, sf_dir, "documents")
+    max_id = docs.agg(F.max("doc_id")).collect()[0][0]
+    if max_id is None:
+        return spark.createDataFrame(
+            [], "doc_id long, text_hash string, extra_score long"
+        )
+    split = int((max_id + 1) * SCHEMA_EVO_FRAC)
+    out = os.path.join(
+        tempfile.gettempdir(), "spark_graft_s23_schema_evo"
+    )
+    import shutil
+
+    shutil.rmtree(out, ignore_errors=True)
+    v1 = docs.filter(F.col("doc_id") < split).select(
+        "doc_id", F.md5("text").alias("text_hash")
+    )
+    v2 = docs.filter(F.col("doc_id") >= split).select(
+        "doc_id",
+        F.md5("text").alias("text_hash"),
+        F.col("n_chars").cast("bigint").alias("extra_score"),
+    )
+    v1.write.mode("append").parquet(out)
+    v2.write.mode("append").parquet(out)
+    return (
+        spark.read.option("mergeSchema", "true")
+        .parquet(out)
+        .select("doc_id", "text_hash", "extra_score")
+    )

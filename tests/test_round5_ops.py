@@ -1562,3 +1562,28 @@ def test_knn_label_agreement_matches_numpy(queries, spark):
     rows = queries["sim_knn_label_agreement"](spark, SF_DIR).collect()
     got = {r["true_label"]: (r["n_queries"], r["n_correct"]) for r in rows}
     assert got == stats
+
+
+def test_schema_evolution_merges_with_nulls_for_v1(queries, spark):
+    from recommedation_system_under_flink_spark.operators.kernels_sql import (
+        SCHEMA_EVO_FRAC,
+    )
+
+    max_id = duckdb.sql(
+        f"SELECT MAX(doc_id) FROM '{SF_DIR}/documents.parquet'"
+    ).fetchone()[0]
+    split = int((max_id + 1) * SCHEMA_EVO_FRAC)
+    rows = queries["s23_schema_evolution_roundtrip"](
+        spark, SF_DIR
+    ).collect()
+    n = duckdb.sql(
+        f"SELECT COUNT(*) FROM '{SF_DIR}/documents.parquet'"
+    ).fetchone()[0]
+    assert len(rows) == n
+    for r in rows:
+        if r["doc_id"] < split:
+            assert r["extra_score"] is None
+        else:
+            assert r["extra_score"] is not None
+    assert any(r["doc_id"] < split for r in rows)
+    assert any(r["doc_id"] >= split for r in rows)
