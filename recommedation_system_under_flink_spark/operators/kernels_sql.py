@@ -1432,3 +1432,53 @@ def s23_schema_evolution_roundtrip(
         .parquet(out)
         .select("doc_id", "text_hash", "extra_score")
     )
+
+
+# ------------------------------------ S25: corrupt-file-skip read
+
+@register(
+    "s25_corrupt_file_skip",
+    """SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       CAST(SUM(CAST(n_chars AS BIGINT)) AS BIGINT) AS chars_total
+FROM documents""",
+)
+def s25_corrupt_file_skip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """**File-level fault tolerance**: write the documents projection
+    to a directory, drop a garbage (non-parquet) file beside the real
+    ones, and read the directory back with ``ignoreCorruptFiles`` —
+    the scan must return exactly the clean rows, hash-verified against
+    the logical relation (the file-level complement of the row-level
+    malformed-CSV audit ``s24``). The surface that keeps a 100 TB
+    backfill alive when one writer died mid-file: one bad object must
+    cost its own rows at most, never the job.
+
+    Scale note: ``ignoreCorruptFiles`` makes the skip silent —
+    production pairs it with a file-count/row-count reconciliation
+    (``prof_referential_integrity`` family) so silent loss is bounded
+    and observed."""
+    docs = load_raw(spark, sf_dir, "documents").select(
+        "doc_id", "n_chars"
+    )
+    out = os.path.join(
+        tempfile.gettempdir(), "spark_graft_s25_corrupt_skip"
+    )
+    import shutil
+
+    shutil.rmtree(out, ignore_errors=True)
+    docs.write.mode("overwrite").parquet(out)
+    with open(os.path.join(out, "part-corrupt.parquet"), "wb") as fh:
+        fh.write(b"NOT A PARQUET FILE - simulated dead writer output")
+    return (
+        spark.read.option("ignoreCorruptFiles", "true")
+        .parquet(out)
+        .agg(
+            F.count("*").cast("bigint").alias("n_rows"),
+            F.count_distinct(F.col("doc_id"))
+            .cast("bigint")
+            .alias("n_docs"),
+            F.sum(F.col("n_chars").cast("bigint"))
+            .cast("bigint")
+            .alias("chars_total"),
+        )
+    )

@@ -1587,3 +1587,23 @@ def test_schema_evolution_merges_with_nulls_for_v1(queries, spark):
             assert r["extra_score"] is not None
     assert any(r["doc_id"] < split for r in rows)
     assert any(r["doc_id"] >= split for r in rows)
+
+
+def test_corrupt_file_skip_returns_exactly_clean_rows(queries, spark):
+    row = queries["s25_corrupt_file_skip"](spark, SF_DIR).collect()[0]
+    n, d, c = duckdb.sql(
+        f"""SELECT COUNT(*), COUNT(DISTINCT doc_id),
+                   SUM(CAST(n_chars AS BIGINT))
+            FROM '{SF_DIR}/documents.parquet'"""
+    ).fetchone()
+    assert (row["n_rows"], row["n_docs"], row["chars_total"]) == (n, d, c)
+    # and the garbage file really is in the directory it read
+    import glob
+    import os
+    import tempfile
+
+    out = os.path.join(
+        tempfile.gettempdir(), "spark_graft_s25_corrupt_skip"
+    )
+    assert os.path.exists(os.path.join(out, "part-corrupt.parquet"))
+    assert len(glob.glob(os.path.join(out, "*.parquet"))) > 1
