@@ -2111,3 +2111,84 @@ def dedup_incremental_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("match_id").alias("nearest_corpus_doc"),
         F.col("j").alias("best_jaccard"),
     )
+
+
+# ------------------------------------------------ dedup funnel report
+
+def _funnel_oracle() -> str:
+    tok = (
+        "CAST(len(list_filter(string_split_regex(lower(text), "
+        f"'{TOKEN_SPLIT_REGEX}'), t -> t <> '')) AS BIGINT)"
+    )
+    return f"""WITH toks AS (
+  SELECT doc_id, {tok} AS nt, md5(text) AS h FROM documents
+), exact_keep AS (
+  SELECT doc_id, nt,
+         doc_id = MIN(doc_id) OVER (PARTITION BY h) AS keep
+  FROM toks
+), near AS (
+  SELECT doc_id, keep FROM (
+{_CANONICAL_ORACLE}
+  ) q
+)
+SELECT 'raw' AS stage, CAST(COUNT(*) AS BIGINT) AS docs_kept,
+       CAST(SUM(nt) AS BIGINT) AS tokens_kept
+FROM toks
+UNION ALL
+SELECT 'exact', CAST(COUNT(*) AS BIGINT), CAST(SUM(nt) AS BIGINT)
+FROM exact_keep WHERE keep
+UNION ALL
+SELECT 'neardup', CAST(COUNT(*) AS BIGINT), CAST(SUM(nt) AS BIGINT)
+FROM near JOIN toks USING (doc_id) WHERE near.keep"""
+
+
+@register("dedup_funnel_report", _funnel_oracle())
+def dedup_funnel_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """**Dedup funnel**: documents and tokens surviving each dedup
+    stage — raw → exact (first holder of the text hash) → near-dup
+    canonical (smallest id per MinHash-LSH component) — the one-table
+    answer to "how much corpus does dedup actually buy", composed
+    from the verified stage operators with their oracles nested
+    verbatim. Monotone by construction: an exact duplicate shares
+    every shingle with its sibling, so exact-dropped docs are always
+    near-dup-dropped too.
+
+    Scale: the near-dup leg dominates (see
+    :func:`dedup_neardup_canonical`); the funnel adds one hash window
+    and three count aggregates."""
+    from pyspark.sql import Window
+
+    toks = F.filter(
+        F.split(F.lower(F.col("text")), TOKEN_SPLIT_REGEX),
+        lambda t: t != "",
+    )
+    base = load_raw(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.size(toks).cast("bigint").alias("nt"),
+        F.md5("text").alias("h"),
+    )
+    exact = base.withColumn(
+        "keep",
+        F.col("doc_id") == F.min("doc_id").over(Window.partitionBy("h")),
+    )
+    near = dedup_neardup_canonical(spark, sf_dir).select("doc_id", "keep")
+    raw_row = base.agg(
+        F.lit("raw").alias("stage"),
+        F.count("*").cast("bigint").alias("docs_kept"),
+        F.sum("nt").cast("bigint").alias("tokens_kept"),
+    )
+    exact_row = exact.filter("keep").agg(
+        F.lit("exact").alias("stage"),
+        F.count("*").cast("bigint").alias("docs_kept"),
+        F.sum("nt").cast("bigint").alias("tokens_kept"),
+    )
+    near_row = (
+        near.filter("keep")
+        .join(base, "doc_id")
+        .agg(
+            F.lit("neardup").alias("stage"),
+            F.count("*").cast("bigint").alias("docs_kept"),
+            F.sum("nt").cast("bigint").alias("tokens_kept"),
+        )
+    )
+    return raw_row.unionByName(exact_row).unionByName(near_row)

@@ -1607,3 +1607,27 @@ def test_corrupt_file_skip_returns_exactly_clean_rows(queries, spark):
     )
     assert os.path.exists(os.path.join(out, "part-corrupt.parquet"))
     assert len(glob.glob(os.path.join(out, "*.parquet"))) > 1
+
+
+def test_dedup_funnel_is_monotone_and_consistent(queries, spark):
+    rows = {
+        r["stage"]: r
+        for r in queries["dedup_funnel_report"](spark, SF_DIR).collect()
+    }
+    assert set(rows) == {"raw", "exact", "neardup"}
+    raw, ex, near = rows["raw"], rows["exact"], rows["neardup"]
+    assert raw["docs_kept"] >= ex["docs_kept"] >= near["docs_kept"]
+    assert raw["tokens_kept"] >= ex["tokens_kept"] >= near["tokens_kept"]
+    # cross-check stage 2 against the canonical verdict directly
+    keep = sum(
+        1
+        for r in queries["dedup_neardup_canonical"](
+            spark, SF_DIR
+        ).collect()
+        if r["keep"]
+    )
+    assert near["docs_kept"] == keep
+    n = duckdb.sql(
+        f"SELECT COUNT(*) FROM '{SF_DIR}/documents.parquet'"
+    ).fetchone()[0]
+    assert raw["docs_kept"] == n
