@@ -509,3 +509,109 @@ def a17_set_operations(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         [tuple(counts)], "n_both long, n_only_1 long, n_only_2 long, n_either long"
     )
+
+
+# ------------------------------------------------ retention half-life
+
+@register(
+    "a15_retention_halflife",
+    """WITH activity AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+), cohorts AS (
+  SELECT user_id, MIN(day) AS cohort FROM activity GROUP BY user_id
+), sizes AS (
+  SELECT cohort, CAST(COUNT(*) AS BIGINT) AS n FROM cohorts GROUP BY cohort
+), mx AS (SELECT MAX(day) AS m FROM activity),
+cells AS (
+  SELECT c.cohort, CAST(a.day - c.cohort AS BIGINT) AS o,
+         CAST(COUNT(*) AS BIGINT) AS active
+  FROM activity a JOIN cohorts c ON a.user_id = c.user_id
+  GROUP BY 1, 2
+), pooled AS (
+  -- censoring: offset o pools only cohorts old enough to observe it
+  SELECT ce.o,
+         CAST(SUM(ce.active) AS DOUBLE)
+           / SUM(sz.n) AS r
+  FROM cells ce
+  JOIN sizes sz ON ce.cohort = sz.cohort
+  CROSS JOIN mx
+  WHERE ce.o >= 1 AND ce.cohort + CAST(ce.o AS INTEGER) <= mx.m
+  GROUP BY ce.o
+), pts AS (
+  SELECT CAST(o AS DOUBLE) AS x, ln(r) AS y FROM pooled WHERE r > 0
+), fit AS (
+  SELECT COUNT(*) AS k, SUM(x) AS sx, SUM(y) AS sy,
+         SUM(x * x) AS sxx, SUM(x * y) AS sxy
+  FROM pts
+)
+SELECT CAST(fit.k AS BIGINT) AS n_offsets,
+       ROUND((SELECT r FROM pooled WHERE o = 1), 6) AS day1_retention,
+       ROUND(-(fit.k * fit.sxy - fit.sx * fit.sy)
+             / (fit.k * fit.sxx - fit.sx * fit.sx), 6) AS lambda_per_day,
+       ROUND(ln(2) / NULLIF(-(fit.k * fit.sxy - fit.sx * fit.sy)
+             / (fit.k * fit.sxx - fit.sx * fit.sx), 0), 6)
+         AS half_life_days
+FROM fit""",
+)
+def a15_retention_halflife(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """**Retention half-life**: pool the cohort matrix
+    (:func:`a13_retention_cohorts`) into a censored retention curve
+    (offset o uses only cohorts old enough to observe it — the
+    right-censoring the raw matrix silently carries), fit
+    ln r(o) = a − λ·o by closed-form OLS, and report λ and
+    t½ = ln2/λ — the one-number engagement decay that makes cohort
+    dashboards comparable across products.
+
+    Scale: the matrix build is the A1-class distinct shuffle; pooling
+    and the fit run on the O(|offsets|) curve. NULLIF guards the
+    degenerate non-decaying fit."""
+    from ..sources.tables import ts_date
+
+    ev = events_raw(spark, sf_dir)
+    activity = ev.select("user_id", ts_date("ts").alias("day")).distinct()
+    cohorts = activity.groupBy("user_id").agg(F.min("day").alias("cohort"))
+    sizes = cohorts.groupBy("cohort").agg(
+        F.count("*").cast("bigint").alias("n")
+    )
+    mx = activity.agg(F.max("day").alias("m"))
+    cells = (
+        activity.join(cohorts, "user_id")
+        .groupBy("cohort", F.datediff("day", "cohort").cast("bigint").alias("o"))
+        .agg(F.count("*").cast("bigint").alias("active"))
+    )
+    pooled = (
+        cells.join(sizes, "cohort")
+        .crossJoin(F.broadcast(mx))
+        .filter(
+            (F.col("o") >= 1)
+            & (F.date_add("cohort", F.col("o").cast("int")) <= F.col("m"))
+        )
+        .groupBy("o")
+        .agg(
+            (F.sum("active").cast("double") / F.sum("n")).alias("r")
+        )
+    )
+    pts = pooled.filter(F.col("r") > 0).select(
+        F.col("o").cast("double").alias("x"), F.log(F.col("r")).alias("y")
+    )
+    fit = pts.agg(
+        F.count("*").alias("k"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    lam = -(
+        F.col("k") * F.col("sxy") - F.col("sx") * F.col("sy")
+    ) / (F.col("k") * F.col("sxx") - F.col("sx") * F.col("sx"))
+    r1 = pooled.filter(F.col("o") == 1).select(
+        F.round("r", 6).alias("day1_retention")
+    )
+    return fit.crossJoin(F.broadcast(r1)).select(
+        F.col("k").cast("bigint").alias("n_offsets"),
+        "day1_retention",
+        F.round(lam, 6).alias("lambda_per_day"),
+        F.round(
+            F.log(F.lit(2.0)) / F.nullif(lam, F.lit(0.0)), 6
+        ).alias("half_life_days"),
+    )

@@ -1631,3 +1631,47 @@ def test_dedup_funnel_is_monotone_and_consistent(queries, spark):
         f"SELECT COUNT(*) FROM '{SF_DIR}/documents.parquet'"
     ).fetchone()[0]
     assert raw["docs_kept"] == n
+
+
+def test_retention_halflife_matches_numpy_fit(queries, spark):
+    rows = duckdb.sql(
+        f"""WITH activity AS (
+          SELECT DISTINCT user_id, CAST(ts AS DATE) AS day
+          FROM '{SF_DIR}/events.parquet')
+        , cohorts AS (SELECT user_id, MIN(day) c FROM activity GROUP BY 1)
+        SELECT c.c AS cohort, a.day - c.c AS o, COUNT(*) n
+        FROM activity a JOIN cohorts c USING (user_id) GROUP BY 1, 2"""
+    ).fetchall()
+    from collections import defaultdict
+
+    sizes = defaultdict(int)
+    cells = {}
+    max_day = None
+    for cohort, o, n in rows:
+        cells[(cohort, o)] = n
+        if o == 0:
+            sizes[cohort] = n
+        d = cohort + __import__("datetime").timedelta(days=int(o))
+        max_day = d if max_day is None or d > max_day else max_day
+    pooled = {}
+    offsets = sorted({o for _, o in cells if o >= 1})
+    for o in offsets:
+        num = den = 0
+        for cohort, sz in sizes.items():
+            if cohort + __import__("datetime").timedelta(days=int(o)) <= max_day:
+                den += sz
+                num += cells.get((cohort, o), 0)
+        if den:
+            pooled[o] = num / den
+    xs = np.array([o for o, r in pooled.items() if r > 0], dtype=float)
+    ys = np.log([r for r in pooled.values() if r > 0])
+    slope, _ = np.polyfit(xs, ys, 1)
+    lam = -slope
+    row = queries["a15_retention_halflife"](spark, SF_DIR).collect()[0]
+    assert row["n_offsets"] == len(xs)
+    assert row["day1_retention"] == pytest.approx(pooled[1], abs=1e-5)
+    assert row["lambda_per_day"] == pytest.approx(lam, abs=1e-4)
+    if lam > 0:
+        assert row["half_life_days"] == pytest.approx(
+            np.log(2) / lam, abs=1e-2
+        )
