@@ -2796,3 +2796,58 @@ def ts_heaps_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(beta, 6).alias("heaps_beta"),
         F.round(F.pow(F.lit(2.0), intercept), 6).alias("heaps_k"),
     )
+
+
+# ------------------------------------------- lang-ID accuracy eval
+
+def _langid_accuracy_oracle() -> str:
+    from ..registry import _REGISTRY
+
+    inner = _REGISTRY["ts_lang_id"].oracle
+    return f"""WITH pred AS (
+  SELECT * FROM (
+{inner}
+  ) q
+)
+SELECT d.lang AS true_lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN p.lang_guess = d.lang THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_correct,
+       ROUND(CAST(SUM(CASE WHEN p.lang_guess = d.lang THEN 1 ELSE 0 END)
+             AS DOUBLE) / COUNT(*), 6) AS accuracy
+FROM documents d JOIN pred p ON d.doc_id = p.doc_id
+GROUP BY d.lang"""
+
+
+@register("ts_langid_accuracy", _langid_accuracy_oracle())
+def ts_langid_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """**Language-ID accuracy report**: score the stop-word-marker
+    classifier (:func:`ts_lang_id`) against the fixture's ground-truth
+    ``lang`` column, per true language — the eval loop every
+    heuristic curation filter needs before its threshold gates real
+    data (a filter whose per-language recall you never measured is a
+    silent data-mixture bug). Composed oracle nests the classifier's
+    SQL twin verbatim, so prediction AND scoring are hash-compared.
+
+    Scale: the classifier is one scan with a bounded marker-table
+    cross (its own story); the eval adds a doc_id-keyed join against
+    the labels and one |langs|-group aggregate."""
+    docs = load_raw(spark, sf_dir, "documents").select("doc_id", "lang")
+    pred = ts_lang_id(spark, sf_dir).select("doc_id", "lang_guess")
+    return (
+        docs.join(pred, "doc_id")
+        .groupBy(F.col("lang").alias("true_lang"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum((F.col("lang_guess") == F.col("lang")).cast("int"))
+            .cast("bigint")
+            .alias("n_correct"),
+            F.round(
+                F.sum(
+                    (F.col("lang_guess") == F.col("lang")).cast("int")
+                ).cast("double")
+                / F.count("*"),
+                6,
+            ).alias("accuracy"),
+        )
+    )

@@ -1675,3 +1675,30 @@ def test_retention_halflife_matches_numpy_fit(queries, spark):
         assert row["half_life_days"] == pytest.approx(
             np.log(2) / lam, abs=1e-2
         )
+
+
+def test_langid_accuracy_consistent_with_predictions(queries, spark):
+    pred = {
+        r["doc_id"]: r["lang_guess"]
+        for r in queries["ts_lang_id"](spark, SF_DIR).collect()
+    }
+    truth = dict(
+        duckdb.sql(
+            f"SELECT doc_id, lang FROM '{SF_DIR}/documents.parquet'"
+        ).fetchall()
+    )
+    from collections import defaultdict
+
+    agg = defaultdict(lambda: [0, 0])
+    for d, t in truth.items():
+        agg[t][0] += 1
+        agg[t][1] += pred.get(d) == t
+    rows = queries["ts_langid_accuracy"](spark, SF_DIR).collect()
+    assert {r["true_lang"] for r in rows} == set(agg)
+    for r in rows:
+        n, c = agg[r["true_lang"]]
+        assert (r["n_docs"], r["n_correct"]) == (n, c)
+        assert r["accuracy"] == pytest.approx(c / n, abs=1e-6)
+    # the en-marker classifier must at least beat chance on en
+    en = next(r for r in rows if r["true_lang"] == "en")
+    assert en["accuracy"] > 0.5
