@@ -484,3 +484,109 @@ def cf_item_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= CF_NEIGHBORS)
         .select("news_a", "news_b", "lift")
     )
+
+
+# ------------------------------------------------ association rules
+
+#: Minimum co-click support (absolute users) for a rule to surface.
+RULE_MIN_SUPPORT = 2
+
+
+@register(
+    "cf_association_rules",
+    with_ctes(
+        f"""SELECT antecedent, consequent, support,
+       ROUND(CAST(support AS DOUBLE) / pa, 6) AS confidence,
+       ROUND(CAST(support AS DOUBLE) * n_users / (pa * pb), 6) AS lift
+FROM (
+  SELECT a.news_id AS antecedent, b.news_id AS consequent,
+         CAST(COUNT(*) AS BIGINT) AS support
+  FROM prefs a JOIN prefs b
+    ON a.user_id = b.user_id AND a.news_id <> b.news_id
+  GROUP BY 1, 2
+) r
+JOIN (SELECT news_id, CAST(COUNT(*) AS BIGINT) AS pa FROM prefs GROUP BY news_id) qa
+  ON r.antecedent = qa.news_id
+JOIN (SELECT news_id, CAST(COUNT(*) AS BIGINT) AS pb FROM prefs GROUP BY news_id) qb
+  ON r.consequent = qb.news_id
+CROSS JOIN (SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+            FROM prefs) u
+WHERE support >= {RULE_MIN_SUPPORT}""",
+        CLICKS_CTE,
+        "prefs AS (SELECT DISTINCT user_id, news_id FROM clicks)",
+    ),
+)
+def cf_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """**Association rules** over per-user click baskets (Apriori at
+    the pair level): for every ordered item pair with support ≥
+    ``RULE_MIN_SUPPORT`` users, the classic market-basket triple —
+    support (co-click users), confidence P(B|A), and lift
+    P(B|A)/P(B) — the interpretable complement to the cosine CF model
+    (:func:`cf_item_neighbors` ranks by similarity; lift > 1 says the
+    association beats popularity, which cosine can't distinguish).
+
+    Plan: the same user-keyed co-occurrence self-join as the CF model
+    (support pruning kills the long tail early), two broadcast
+    popularity joins, one 1-row user-count broadcast — exact BIGINT
+    counts, ratios quantized at the edge.
+
+    Scale: identical envelope to cf_item_neighbors; at 100 TB the
+    user-keyed join is capped per user (basket length) and the
+    min-support predicate is pushed below the popularity joins."""
+    prefs = clicks(spark, sf_dir).select("user_id", "news_id").distinct()
+    pop = prefs.groupBy("news_id").agg(
+        F.count("*").cast("bigint").alias("p")
+    )
+    users = prefs.agg(
+        F.count_distinct("user_id").cast("bigint").alias("n_users")
+    )
+    a = prefs.alias("a")
+    b = prefs.alias("b")
+    rules = (
+        a.join(
+            b,
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("a.news_id") != F.col("b.news_id")),
+        )
+        .groupBy(
+            F.col("a.news_id").alias("antecedent"),
+            F.col("b.news_id").alias("consequent"),
+        )
+        .agg(F.count("*").cast("bigint").alias("support"))
+        .filter(F.col("support") >= RULE_MIN_SUPPORT)
+    )
+    return (
+        rules.join(
+            F.broadcast(
+                pop.select(
+                    F.col("news_id").alias("antecedent"),
+                    F.col("p").alias("pa"),
+                )
+            ),
+            "antecedent",
+        )
+        .join(
+            F.broadcast(
+                pop.select(
+                    F.col("news_id").alias("consequent"),
+                    F.col("p").alias("pb"),
+                )
+            ),
+            "consequent",
+        )
+        .crossJoin(F.broadcast(users))
+        .select(
+            "antecedent",
+            "consequent",
+            "support",
+            F.round(
+                F.col("support").cast("double") / F.col("pa"), 6
+            ).alias("confidence"),
+            F.round(
+                F.col("support").cast("double")
+                * F.col("n_users")
+                / (F.col("pa") * F.col("pb")),
+                6,
+            ).alias("lift"),
+        )
+    )

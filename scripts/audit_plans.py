@@ -91,6 +91,7 @@ EXPECTED_CARTESIAN = {
     "ts_heaps_law_fit": "6-row checkpoint grid crosses (max-id, OLS-fit 1-row); banded prefix joins are checkpoint-bounded",
     "sim_knn_label_agreement": "broadcast probe-set x corpus scan, the sim_bruteforce_topk pattern (IVF swap at scale)",
     "a15_retention_halflife": "1-row max-day + day1-rate + OLS-fit scalar crosses over the O(|offsets|) curve",
+    "cf_association_rules": "1-row distinct-user-count scalar broadcast into the rule ratios",
     "ef_cuped_adjustment": "1-row midpoint + theta + two 1-row cohort sides",
     "ev_trimmed_mean": "1-row (n, k) totals broadcast into the cut-position scan",
     "sim_kmeans_lloyd": "K=8-row centroid set broadcast per Lloyd round",

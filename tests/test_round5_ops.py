@@ -1702,3 +1702,44 @@ def test_langid_accuracy_consistent_with_predictions(queries, spark):
     # the en-marker classifier must at least beat chance on en
     en = next(r for r in rows if r["true_lang"] == "en")
     assert en["accuracy"] > 0.5
+
+
+def test_association_rules_match_pandas_baskets(queries, spark):
+    from collections import defaultdict
+
+    from recommedation_system_under_flink_spark.operators.cf import (
+        RULE_MIN_SUPPORT,
+    )
+    from recommedation_system_under_flink_spark.sources.tables import (
+        NEWS_MOD,
+    )
+
+    prefs = duckdb.sql(
+        f"""SELECT DISTINCT user_id, event_id % {NEWS_MOD} AS news_id
+            FROM '{SF_DIR}/events.parquet' WHERE event_type='click'"""
+    ).fetchall()
+    baskets = defaultdict(set)
+    for u, n in prefs:
+        baskets[u].add(n)
+    pop = defaultdict(int)
+    co = defaultdict(int)
+    for items in baskets.values():
+        for a in items:
+            pop[a] += 1
+            for b in items:
+                if a != b:
+                    co[(a, b)] += 1
+    n_users = len(baskets)
+    expected = {
+        k: v for k, v in co.items() if v >= RULE_MIN_SUPPORT
+    }
+    rows = queries["cf_association_rules"](spark, SF_DIR).collect()
+    got = {(r["antecedent"], r["consequent"]): r for r in rows}
+    assert set(got) == set(expected)
+    for (a, b), r in got.items():
+        s = expected[(a, b)]
+        assert r["support"] == s
+        assert r["confidence"] == pytest.approx(s / pop[a], abs=1e-6)
+        assert r["lift"] == pytest.approx(
+            s * n_users / (pop[a] * pop[b]), abs=1e-5
+        )
