@@ -48,83 +48,82 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 #: the four end-to-end pipelines, one query per SURVEY §2 operator row,
 #: and one per LLM-pipeline family. Every name here MUST have a full
 #: DuckDB oracle (enforced by tests/test_registry_window.py).
-#: ROUND-5 ROTATION: rounds 3+4 certified every §2 row plus 40
-#: never-verified flagships (dedup/similarity/sketch/text/privacy/
-#: sampling/graph/TPC-H/event-stat/connector/CF/curation/streaming).
-#: This round keeps the same 10 regression canaries (four pipelines +
-#: one sentinel per §2 letter family) and spends the other 40 slots on
-#: the NEXT tranche of oracle-backed queries that have never had a
-#: driver CORRECTNESS row — ANN baselines, dedup diagnostics, LM/text
-#: quality, graph algorithms, drift/changepoint stats, data-quality
-#:  profiling, split hygiene, warehouse maintenance shapes, and the
-#: TPC-H rotation continuation. Cumulative target: ≥150/255
-#: oracle-backed queries driver-certified by end of round 5.
+#: ROUND-6 ROTATION: rounds 3-5 certified every §2 row plus two
+#: tranches of never-verified flagships (112 queries cumulatively
+#: driver-green across CORRECTNESS_r01/r02/r03/r05). This round keeps
+#: 6 regression canaries (four pipelines + the CSV source sentinel +
+#: the flagship scored join) and spends the other 44 slots on the
+#: THIRD tranche of oracle-backed queries that have never had a driver
+#: CORRECTNESS row — clustering/PQ ANN, span-level dedup, survival /
+#: A-B test stats, privacy profiling, DSIR sampling, sketch accuracy,
+#: XML/erasure/bucketed warehouse shapes, the TPC-H rotation
+#: continuation, and association rules. Cumulative target: ≥155/306
+#: oracle-backed queries driver-certified by end of round 6.
 VERIFIED_WINDOW = (
-    # end-to-end pipelines (SURVEY §3) + the all-days amortized form
+    # regression canaries: end-to-end pipelines (SURVEY §3) + sentinels
     "hot_topics_pipeline",
     "tfidf_pipeline",
     "textrank_pipeline_distributed",
     "tfidf_recommend_all_days",
-    # §2 sentinels, one per letter family (rest certified in r3/r4)
     "s1_csv_roundtrip",
-    "p1_news_keywords_distributed",
     "j3_scored_join",
-    "a3_user_keywords_distributed",
-    "t1_user_topk",
-    "f5_calculate_x_sql",
-    # --- never-driver-verified rotation (40), round 5 ---
-    # ANN / embedding curation baselines + index diagnostics
-    "sim_bruteforce_topk",
-    "sim_lsh_topk",
-    "sim_ivf_topk_pinned",
-    "sim_mrl_prefix_rerank",
-    "sim_ann_recall_report",
-    # dedup diagnostics
-    "dedup_containment",
-    "dedup_method_agreement",
-    "dedup_band_tuning_curve",
+    # --- never-driver-verified rotation (44), round 6 ---
+    # ANN / clustering / embedding diagnostics
+    "sim_neardup_pairs_exact",
+    "sim_pq_topk_pinned",
+    "sim_ivfpq_topk_pinned",
+    "sim_semdedup",
+    "sim_dbscan",
+    "sim_kmeans_lloyd",
+    "sim_embedding_drift",
+    # span-level / candidate-join dedup
+    "dedup_prefix_filter_join",
+    "dedup_duplicated_spans",
+    "dedup_incremental_lsh",
+    "dedup_winnowing",
     # text / LM quality
-    "ts_bigram_lm_perplexity",
-    "ts_vocab_build",
-    "ts_readability",
-    "ts_pmi_top_pairs",
+    "ts_bm25_search",
+    "ts_bpe_token_estimate",
+    "ts_lang_id",
+    "ts_quality_score",
+    "ts_kneser_ney_logprob",
+    "ts_lexical_diversity",
+    # survival / experiment stats over events
+    "ef_kaplan_meier",
+    "ef_logrank_test",
+    "ef_markov_attribution",
+    "ef_cuped_adjustment",
     # graph algorithms
-    "graph_bfs_recursive",
-    "graph_kcore",
-    "graph_lpa_communities",
+    "graph_hits_clicks",
+    "graph_triangle_stats",
+    "graph_assortativity",
+    # privacy / data-quality profiling
+    "prof_k_anonymity",
+    "prof_l_diversity_t_closeness",
+    "prof_numeric_correlation",
     # event-series stats
-    "ev_ks_drift",
-    "ev_cusum_changepoint",
-    "ev_growth_accounting",
-    "ev_daily_ewma",
-    # data-quality profiling
-    "prof_referential_integrity",
-    "prof_benford_totalprice",
-    "prof_column_entropy",
-    # split / sampling hygiene
-    "samp_kfold_assign",
-    "samp_split_group_safe",
-    "samp_temperature_mixture",
-    # sketches
-    "sk_bloom_prefilter",
-    "sk_value_percentiles_exact",
-    # multimodal plumbing (oracle-backed plan shapes)
-    "mm_patch_plan",
-    "mm_preprocess_budget",
+    "ev_user_rfm_scalable",
+    "ev_theil_sen",
+    "ev_seasonal_decomposition",
+    # sampling / split hygiene
+    "samp_dsir_weights",
+    "samp_srm_check",
+    "samp_neyman_allocation",
+    "samp_token_budget_waterfill",
+    # sketch accuracy
+    "sk_count_min_accuracy",
+    "sk_heavy_hitters_exact",
     # warehouse maintenance / source shapes
-    "s9_upsert_merge",
-    "s10_scd2_history",
-    "s12_jsonl_roundtrip",
-    "s20_dynamic_partition_overwrite",
+    "s23_xml_roundtrip",
+    "s14_user_erasure",
+    "s8_bucketed_join",
     # TPC-H rotation continuation
-    "rel_q3_shipping_priority",
-    "rel_q6_revenue_change",
-    "rel_q10_returned_items",
-    # CF / hybrid / curation / streaming flagships
-    "cf_next_item_transitions",
-    "hybrid_rrf_recommend",
-    "llm_pretrain_prep_pipeline",
-    "stream_clicks_dedup",
+    "rel_q9_product_profit",
+    "rel_q13_customer_distribution",
+    "rel_q21_waiting_suppliers",
+    # CF / curation flagships
+    "cf_association_rules",
+    "llm_curation_fused",
 )
 
 
