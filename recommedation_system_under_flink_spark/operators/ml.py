@@ -1,0 +1,646 @@
+"""Distributed classical-ML training primitives over the curation tables.
+
+The reference ends at recommendation scoring (TF_IDF.java, TextRank.java);
+a training-data platform also needs the *model-fitting* patterns that run
+ON the corpus — and on Spark every one of them reduces to the same shape:
+**a map-side-combinable aggregate per iteration, with the (tiny) model
+state held on the driver and re-broadcast as plan literals**. Nothing
+here ever shuffles the data by model state, and nothing collects more
+than O(model) bytes:
+
+- **logistic regression (full-batch GD)** — each iteration is ONE
+  ``agg(avg(...))`` over the feature table: the gradient of a linear
+  model is a sum over rows, so Spark computes partial sums per
+  partition (map-side combine) and reduces d+1 doubles. 100 TB of
+  rows → K passes, each a single scan + 4-double reduce. The weights
+  live on the driver between passes (the same bounded-state pattern as
+  ``sim_kmeans_lloyd``'s centroids).
+- **multinomial naive Bayes** — "training" IS a groupBy count; scoring
+  is a broadcast join of the (lang × token) log-likelihood table. The
+  model is data-sized in the token dimension only (vocab), never in the
+  row dimension.
+- **calibration / Brier decomposition** — model-quality audits as plain
+  aggregates, the sort of job that runs after every scoring batch.
+- **feature hashing** — the hashing trick for unbounded categorical
+  vocabularies: pinned portable hash → fixed-width columns, no
+  dictionary state at all (the property that makes it streamable).
+- **JL random projection** — sign-matrix dimensionality reduction with
+  the matrix baked into the plan as literals; the distortion report
+  quantifies what the 4× shrink costs before anyone retrains on it.
+
+Oracle determinism follows the repo conventions: integer-derived
+features (exact in both engines), pinned hash constants instead of RNG,
+and 6-dp quantization of float outputs (exp/ln are correctly rounded to
+~1 ulp in both engines; sums over sf0.01-sized groups drift ≤1e-10,
+far below the quantum).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ..sources import load_raw
+from .sampling import HASH_MOD, HASH_MULT, TRAIN_BUCKETS
+
+# --------------------------------------------------------------- shared
+
+#: Gradient-descent hyperparameters (pinned; part of the query contract).
+GD_ITERS = 3
+GD_LR = 1.0
+
+#: Pinned scoring model for the calibration audits (NOT fitted — a
+#: calibration report audits a *given* scorer, so the weights are plan
+#: constants shared verbatim by both engines).
+CAL_W = (-3.0, 4.0, 1.0)  # bias, w·x1, w·x2
+CAL_BINS = 10
+
+#: Feature-hashing geometry.
+FH_DIM = 8
+
+#: JL projection geometry: 64-d embeddings → 16-d sign projections.
+JL_K = 16
+JL_PAIR_OFFSET = 250
+JL_N_PAIRS = 50
+
+
+def _tokens(text: Column) -> Column:
+    """Whitespace tokens, empties dropped (mirrors the SQL twin)."""
+    return F.filter(F.split(text, " "), lambda t: t != F.lit(""))
+
+
+#: SQL fragment: the same tokenizer in DuckDB.
+_SQL_TOKENS = "list_filter(string_split(text, ' '), t -> t <> '')"
+
+#: Shared feature CTE: label = (lang = 'en'), two integer-derived
+#: features scaled into O(1) range. All values are exact in both
+#: engines (integer ÷ double-constant is correctly rounded IEEE).
+_FEATS_CTE = f"""feats AS (
+  SELECT doc_id,
+         CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y,
+         n_chars / 500.0 AS x1,
+         len({_SQL_TOKENS}) / 50.0 AS x2,
+         n_chars / (len({_SQL_TOKENS}) * 10.0) AS x3
+  FROM documents
+)"""
+
+
+def _feats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_raw(spark, sf_dir, "documents")
+    ntok = F.size(_tokens(F.col("text")))
+    return docs.select(
+        "doc_id",
+        F.when(F.col("lang") == "en", 1.0).otherwise(0.0).alias("y"),
+        (F.col("n_chars") / 500.0).alias("x1"),
+        (ntok / 50.0).alias("x2"),
+        (F.col("n_chars") / (ntok * 10.0)).alias("x3"),
+    )
+
+
+# ------------------------------------------- logistic regression (GD)
+
+
+def _logreg_oracle() -> str:
+    """Unrolled GD: each iteration is one aggregate CTE over ``feats``
+    cross-joined with the 1-row previous-weights CTE — exactly the
+    dataflow the Spark side executes (scan → 4-double reduce →
+    driver update), spelled as SQL."""
+    parts = [_FEATS_CTE]
+    prev = None
+    for it in range(GD_ITERS):
+        z = (
+            "0.0"
+            if prev is None
+            else f"{prev}.wb + {prev}.w1 * x1 + {prev}.w2 * x2 + {prev}.w3 * x3"
+        )
+        src = "feats" if prev is None else f"feats, {prev}"
+        parts.append(
+            f"""g{it} AS (
+  SELECT AVG(1.0 / (1.0 + EXP(-({z}))) - y) AS gb,
+         AVG((1.0 / (1.0 + EXP(-({z}))) - y) * x1) AS g1,
+         AVG((1.0 / (1.0 + EXP(-({z}))) - y) * x2) AS g2,
+         AVG((1.0 / (1.0 + EXP(-({z}))) - y) * x3) AS g3
+  FROM {src}
+)"""
+        )
+        wsrc = f"g{it}" if prev is None else f"g{it}, {prev}"
+        wb = "0.0" if prev is None else f"{prev}.wb"
+        w1 = "0.0" if prev is None else f"{prev}.w1"
+        w2 = "0.0" if prev is None else f"{prev}.w2"
+        w3 = "0.0" if prev is None else f"{prev}.w3"
+        parts.append(
+            f"""w{it} AS (
+  SELECT {wb} - {GD_LR} * gb AS wb, {w1} - {GD_LR} * g1 AS w1,
+         {w2} - {GD_LR} * g2 AS w2, {w3} - {GD_LR} * g3 AS w3
+  FROM {wsrc}
+)"""
+        )
+        prev = f"w{it}"
+    zf = f"{prev}.wb + {prev}.w1 * x1 + {prev}.w2 * x2 + {prev}.w3 * x3"
+    p = f"1.0 / (1.0 + EXP(-({zf})))"
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"""
+SELECT ROUND(ANY_VALUE({prev}.wb), 6) AS w_bias,
+       ROUND(ANY_VALUE({prev}.w1), 6) AS w_x1,
+       ROUND(ANY_VALUE({prev}.w2), 6) AS w_x2,
+       ROUND(ANY_VALUE({prev}.w3), 6) AS w_x3,
+       ROUND(AVG(-(y * LN({p}) + (1.0 - y) * LN(1.0 - ({p})))), 6) AS logloss,
+       ROUND(AVG(CASE WHEN ({p} >= 0.5) = (y = 1.0) THEN 1.0 ELSE 0.0 END), 6)
+         AS accuracy
+FROM feats, {prev}"""
+    )
+
+
+@register("ml_logreg_gd", _logreg_oracle())
+def ml_logreg_gd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-batch logistic regression, {GD_ITERS} GD steps from w = 0.
+
+    The distributed pattern that matters at 100 TB: the gradient of a
+    linear model is an average over rows, so each iteration is ONE
+    narrow aggregate — partial sums per partition, a (d+1)-double
+    reduce to the driver, and the updated weights re-enter the next
+    plan as literals. No shuffle of the data, no state larger than the
+    model, K sequential passes (cacheable if iterated further). This
+    is the same driver-bounded-state contract as sim_kmeans_lloyd."""
+    feats = _feats(spark, sf_dir)
+    feats.persist()
+    try:
+        w = [0.0, 0.0, 0.0, 0.0]
+        for _ in range(GD_ITERS):
+            z = (
+                F.lit(w[0])
+                + F.lit(w[1]) * F.col("x1")
+                + F.lit(w[2]) * F.col("x2")
+                + F.lit(w[3]) * F.col("x3")
+            )
+            resid = F.lit(1.0) / (F.lit(1.0) + F.exp(-z)) - F.col("y")
+            g = feats.agg(
+                F.avg(resid).alias("gb"),
+                F.avg(resid * F.col("x1")).alias("g1"),
+                F.avg(resid * F.col("x2")).alias("g2"),
+                F.avg(resid * F.col("x3")).alias("g3"),
+            ).collect()[0]
+            if g["gb"] is None:  # empty input: no gradient, w stays 0
+                break
+            w = [
+                w[0] - GD_LR * g["gb"],
+                w[1] - GD_LR * g["g1"],
+                w[2] - GD_LR * g["g2"],
+                w[3] - GD_LR * g["g3"],
+            ]
+        z = (
+            F.lit(w[0])
+            + F.lit(w[1]) * F.col("x1")
+            + F.lit(w[2]) * F.col("x2")
+            + F.lit(w[3]) * F.col("x3")
+        )
+        p = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+        return feats.agg(
+            F.round(F.lit(w[0]), 6).alias("w_bias"),
+            F.round(F.lit(w[1]), 6).alias("w_x1"),
+            F.round(F.lit(w[2]), 6).alias("w_x2"),
+            F.round(F.lit(w[3]), 6).alias("w_x3"),
+            F.round(
+                F.avg(
+                    -(
+                        F.col("y") * F.log(p)
+                        + (F.lit(1.0) - F.col("y")) * F.log(F.lit(1.0) - p)
+                    )
+                ),
+                6,
+            ).alias("logloss"),
+            F.round(
+                F.avg(
+                    F.when(
+                        (p >= 0.5) == (F.col("y") == 1.0), 1.0
+                    ).otherwise(0.0)
+                ),
+                6,
+            ).alias("accuracy"),
+        )
+    finally:
+        # Safe to release before the caller collects: the returned plan
+        # holds only literal weights, so it recomputes feats in one pass.
+        feats.unpersist()
+
+
+# ------------------------------------------------- multinomial NB
+
+
+_NB_ORACLE = f"""WITH toks AS (
+  SELECT doc_id, lang,
+         (doc_id * {HASH_MULT}) % {HASH_MOD} % 10 < {TRAIN_BUCKETS} AS is_train,
+         t
+  FROM documents, UNNEST({_SQL_TOKENS}) AS u(t)
+),
+train_counts AS (
+  SELECT lang, t, CAST(COUNT(*) AS DOUBLE) AS cnt
+  FROM toks WHERE is_train GROUP BY lang, t
+),
+lang_stats AS (
+  SELECT lang, SUM(cnt) AS total FROM train_counts GROUP BY lang
+),
+vocab AS (SELECT CAST(COUNT(DISTINCT t) AS DOUBLE) AS v FROM toks WHERE is_train),
+priors AS (
+  SELECT lang, CAST(COUNT(DISTINCT doc_id) AS DOUBLE) AS n_docs
+  FROM toks WHERE is_train GROUP BY lang
+),
+n_train AS (SELECT SUM(n_docs) AS n FROM priors),
+test_tf AS (
+  SELECT doc_id, t, CAST(COUNT(*) AS DOUBLE) AS tf
+  FROM toks WHERE NOT is_train GROUP BY doc_id, t
+),
+scored AS (
+  SELECT tt.doc_id, ls.lang,
+         SUM(tt.tf * (LN(COALESCE(tc.cnt, 0) + 1.0) - LN(ls.total + vocab.v)))
+           AS loglik
+  FROM test_tf tt
+  CROSS JOIN lang_stats ls
+  CROSS JOIN vocab
+  LEFT JOIN train_counts tc ON tc.lang = ls.lang AND tc.t = tt.t
+  GROUP BY tt.doc_id, ls.lang
+),
+pred AS (
+  SELECT doc_id, lang AS lang_pred
+  FROM (
+    SELECT s.doc_id, s.lang,
+           ROW_NUMBER() OVER (
+             PARTITION BY s.doc_id
+             ORDER BY ROUND(s.loglik + LN(p.n_docs / n_train.n), 6) DESC,
+                      s.lang ASC) AS rn
+    FROM scored s JOIN priors p ON s.lang = p.lang CROSS JOIN n_train
+  ) WHERE rn = 1
+)
+SELECT d.lang AS lang_true, pred.lang_pred, CAST(COUNT(*) AS BIGINT) AS n
+FROM pred JOIN documents d ON pred.doc_id = d.doc_id
+GROUP BY d.lang, pred.lang_pred
+ORDER BY lang_true, lang_pred"""
+
+
+@register("ml_nb_langid", _NB_ORACLE)
+def ml_nb_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multinomial naive-Bayes language ID with Laplace smoothing:
+    train on the pinned 80% hash split, score the 20% test docs,
+    report the confusion matrix.
+
+    Scale shape: training is a (lang, token) groupBy — map-side
+    combinable, vocab-sized output. Scoring joins test term
+    frequencies against the model ON THE TOKEN KEY and the 5-row
+    lang-stats table is a broadcast; the only large shuffle is the
+    (doc, lang) score aggregation, linear in test tokens × |langs|.
+    Argmax uses a 6-dp-quantized score (ln drift ≤1 ulp/term) with
+    lang ASC as the tie-break, mirrored in the oracle."""
+    docs = load_raw(spark, sf_dir, "documents")
+    is_train = (F.col("doc_id") * HASH_MULT) % HASH_MOD % 10 < TRAIN_BUCKETS
+    toks = docs.select(
+        "doc_id", "lang", is_train.alias("is_train"),
+        F.explode(_tokens(F.col("text"))).alias("t"),
+    )
+    train = toks.filter("is_train")
+    test = toks.filter(~F.col("is_train"))
+
+    train_counts = train.groupBy("lang", "t").agg(
+        F.count("*").cast("double").alias("cnt")
+    )
+    lang_stats = train_counts.groupBy("lang").agg(F.sum("cnt").alias("total"))
+    vocab = train.agg(F.countDistinct("t").cast("double").alias("v"))
+    priors = train.groupBy("lang").agg(
+        F.countDistinct("doc_id").cast("double").alias("n_docs")
+    )
+    n_train = priors.agg(F.sum("n_docs").alias("n"))
+    test_tf = test.groupBy("doc_id", "t").agg(
+        F.count("*").cast("double").alias("tf")
+    )
+
+    scored = (
+        test_tf.crossJoin(F.broadcast(lang_stats))
+        .crossJoin(F.broadcast(vocab))
+        .join(train_counts, ["lang", "t"], "left")
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.sum(
+                F.col("tf")
+                * (
+                    F.log(F.coalesce(F.col("cnt"), F.lit(0.0)) + 1.0)
+                    - F.log(F.col("total") + F.col("v"))
+                )
+            ).alias("loglik")
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("qscore"), F.asc("lang")
+    )
+    pred = (
+        scored.join(F.broadcast(priors), "lang")
+        .crossJoin(F.broadcast(n_train))
+        .withColumn(
+            "qscore",
+            F.round(
+                F.col("loglik") + F.log(F.col("n_docs") / F.col("n")), 6
+            ),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", F.col("lang").alias("lang_pred"))
+    )
+    return (
+        pred.join(docs.select("doc_id", F.col("lang").alias("lang_true")), "doc_id")
+        .groupBy("lang_true", "lang_pred")
+        .agg(F.count("*").alias("n"))
+        .orderBy("lang_true", "lang_pred")
+    )
+
+
+# ------------------------------------------------ calibration audits
+
+_CAL_SCORE_SQL = (
+    f"1.0 / (1.0 + EXP(-({CAL_W[0]} + {CAL_W[1]} * x1 + {CAL_W[2]} * x2)))"
+)
+
+_CAL_BINS_ORACLE = f"""WITH {_FEATS_CTE},
+scored AS (
+  SELECT y, {_CAL_SCORE_SQL} AS s FROM feats
+)
+SELECT CAST(LEAST(FLOOR(s * {CAL_BINS}), {CAL_BINS - 1}) AS BIGINT) AS bin,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(AVG(s), 6) AS mean_score,
+       ROUND(AVG(y), 6) AS frac_positive
+FROM scored
+GROUP BY 1 ORDER BY 1"""
+
+
+def _cal_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    z = (
+        F.lit(CAL_W[0])
+        + F.lit(CAL_W[1]) * F.col("x1")
+        + F.lit(CAL_W[2]) * F.col("x2")
+    )
+    return _feats(spark, sf_dir).select(
+        "y", (F.lit(1.0) / (F.lit(1.0) + F.exp(-z))).alias("s")
+    )
+
+
+@register("ml_calibration_bins", _CAL_BINS_ORACLE)
+def ml_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability diagram of a pinned scorer: 10 equal-width score
+    bins × (count, mean score, empirical positive rate). One scan,
+    one 10-group aggregate — the audit every scoring batch should
+    emit for free. The scorer is a plan constant (calibration audits
+    a GIVEN model; fitting is ml_logreg_gd's job)."""
+    scored = _cal_scored(spark, sf_dir)
+    bin_c = F.least(
+        F.floor(F.col("s") * CAL_BINS), F.lit(CAL_BINS - 1)
+    ).cast("long")
+    return (
+        scored.groupBy(bin_c.alias("bin"))
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.avg("s"), 6).alias("mean_score"),
+            F.round(F.avg("y"), 6).alias("frac_positive"),
+        )
+        .orderBy("bin")
+    )
+
+
+_BRIER_ORACLE = f"""WITH {_FEATS_CTE},
+scored AS (
+  SELECT y, {_CAL_SCORE_SQL} AS s,
+         LEAST(FLOOR(({_CAL_SCORE_SQL}) * {CAL_BINS}), {CAL_BINS - 1}) AS bin
+  FROM feats
+),
+overall AS (SELECT AVG(y) AS ybar, COUNT(*) AS n FROM scored),
+bins AS (
+  SELECT bin, COUNT(*) AS nb, AVG(s) AS sbar, AVG(y) AS ybar_b
+  FROM scored GROUP BY bin
+)
+SELECT ROUND((SELECT AVG((s - y) * (s - y)) FROM scored), 6) AS brier,
+       ROUND(SUM(nb * (sbar - ybar_b) * (sbar - ybar_b)) / ANY_VALUE(overall.n), 6)
+         AS reliability,
+       ROUND(SUM(nb * (ybar_b - overall.ybar) * (ybar_b - overall.ybar))
+               / ANY_VALUE(overall.n), 6) AS resolution,
+       ROUND(ANY_VALUE(overall.ybar) * (1.0 - ANY_VALUE(overall.ybar)), 6)
+         AS uncertainty
+FROM bins, overall"""
+
+
+@register("ml_brier_decomposition", _BRIER_ORACLE)
+def ml_brier_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Murphy decomposition of the Brier score (reliability −
+    resolution + uncertainty, binned) for the pinned scorer. Two
+    aggregates over one scan: a 10-row bin table and a 1-row overall
+    table, combined with a broadcast cross — O(bins) state, any SF."""
+    scored = _cal_scored(spark, sf_dir).withColumn(
+        "bin",
+        F.least(F.floor(F.col("s") * CAL_BINS), F.lit(CAL_BINS - 1)),
+    )
+    overall = scored.agg(
+        F.avg("y").alias("ybar"), F.count("*").alias("n_total")
+    )
+    brier = scored.agg(
+        F.avg((F.col("s") - F.col("y")) * (F.col("s") - F.col("y"))).alias(
+            "brier_raw"
+        )
+    )
+    bins = scored.groupBy("bin").agg(
+        F.count("*").alias("nb"),
+        F.avg("s").alias("sbar"),
+        F.avg("y").alias("ybar_b"),
+    )
+    return (
+        bins.crossJoin(F.broadcast(overall))
+        .crossJoin(F.broadcast(brier))
+        .agg(
+            F.round(F.first("brier_raw"), 6).alias("brier"),
+            F.round(
+                F.sum(
+                    F.col("nb")
+                    * (F.col("sbar") - F.col("ybar_b"))
+                    * (F.col("sbar") - F.col("ybar_b"))
+                )
+                / F.first("n_total"),
+                6,
+            ).alias("reliability"),
+            F.round(
+                F.sum(
+                    F.col("nb")
+                    * (F.col("ybar_b") - F.col("ybar"))
+                    * (F.col("ybar_b") - F.col("ybar"))
+                )
+                / F.first("n_total"),
+                6,
+            ).alias("resolution"),
+            F.round(
+                F.first("ybar") * (F.lit(1.0) - F.first("ybar")), 6
+            ).alias("uncertainty"),
+        )
+    )
+
+
+# ------------------------------------------------- feature hashing
+
+
+def _fh_slot(col_sql: str, salt: int) -> str:
+    """SQL: pinned hash slot for a categorical value — first char,
+    last char and length mixed with the Knuth multiplier (portable
+    plain-integer arithmetic, no library hash)."""
+    mix = (
+        f"(ascii(substr({col_sql}, 1, 1)) * 131"
+        f" + ascii(substr({col_sql}, length({col_sql}), 1))"
+        f" + length({col_sql}) + {salt})"
+    )
+    return f"(({mix} * {HASH_MULT}) % {HASH_MOD}) % {FH_DIM}"
+
+
+_FH_ORACLE = f"""SELECT doc_id,
+       {', '.join(
+           f'''CAST(
+             (CASE WHEN {_fh_slot('lang', 1)} = {j} THEN 1 ELSE 0 END)
+           + (CASE WHEN {_fh_slot('source', 2)} = {j} THEN 1 ELSE 0 END)
+           AS BIGINT) AS f{j}''' for j in range(FH_DIM))}
+FROM documents
+ORDER BY doc_id"""
+
+
+@register("ml_feature_hashing", _FH_ORACLE)
+def ml_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The hashing trick: categorical features (lang, source) mapped
+    into {FH_DIM} fixed columns by a pinned portable hash — no fitted
+    dictionary, no vocabulary state, so the encoder is identical on
+    every batch/stream/engine and unbounded category growth cannot
+    resize the feature space. Pure projection: no shuffle at all."""
+    docs = load_raw(spark, sf_dir, "documents")
+
+    def slot(col: str, salt: int) -> Column:
+        mix = (
+            F.ascii(F.substring(F.col(col), 1, 1)).cast("long") * 131
+            + F.ascii(
+                F.col(col).substr(F.length(F.col(col)), F.lit(1))
+            ).cast("long")
+            + F.length(F.col(col)).cast("long")
+            + salt
+        )
+        return (mix * HASH_MULT) % HASH_MOD % FH_DIM
+
+    cols = [
+        (
+            F.when(slot("lang", 1) == j, 1).otherwise(0)
+            + F.when(slot("source", 2) == j, 1).otherwise(0)
+        )
+        .cast("long")
+        .alias(f"f{j}")
+        for j in range(FH_DIM)
+    ]
+    return docs.select("doc_id", *cols).orderBy("doc_id")
+
+
+# --------------------------------------- JL projection distortion
+
+
+def _jl_signs() -> list[list[float]]:
+    """Pinned ±1 sign matrix [JL_K][EMB_DIM]: a mid bit of the Knuth
+    mix of (input dim, output dim) — deterministic, literal-baked."""
+    dim = 64
+    return [
+        [
+            1.0
+            if ((i * HASH_MULT + j * 40503) % HASH_MOD) >> 16 & 1
+            else -1.0
+            for i in range(dim)
+        ]
+        for j in range(JL_K)
+    ]
+
+
+def _jl_oracle() -> str:
+    signs = _jl_signs()
+    proj = ", ".join(
+        f"list_dot_product(e, [{', '.join(repr(x) for x in row)}]) AS p{j}"
+        for j, row in enumerate(signs)
+    )
+    d2p = " + ".join(
+        f"(a.p{j} - b.p{j}) * (a.p{j} - b.p{j})" for j in range(JL_K)
+    )
+    return f"""WITH pv AS (
+  SELECT vec_id, e,
+         list_dot_product(e, e) AS n2,
+         {proj}
+  FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)
+  WHERE vec_id < {JL_N_PAIRS} OR
+        (vec_id >= {JL_PAIR_OFFSET} AND vec_id < {JL_PAIR_OFFSET + JL_N_PAIRS})
+)
+SELECT a.vec_id AS pair_id,
+       ROUND(a.n2 - 2 * list_dot_product(a.e, b.e) + b.n2, 6) AS d2_orig,
+       ROUND(({d2p}) / {JL_K}.0, 6) AS d2_proj,
+       ROUND((({d2p}) / {JL_K}.0)
+             / (a.n2 - 2 * list_dot_product(a.e, b.e) + b.n2), 6) AS ratio
+FROM pv a JOIN pv b ON b.vec_id = a.vec_id + {JL_PAIR_OFFSET}
+WHERE a.vec_id < {JL_N_PAIRS}
+ORDER BY pair_id"""
+
+
+@register("sim_jl_distortion", _jl_oracle())
+def sim_jl_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson–Lindenstrauss sign projection 64→{JL_K} dims with the
+    matrix baked into the plan as literals, plus the distortion report
+    over {JL_N_PAIRS} pinned pairs: squared distance before vs after
+    (proj scaled by 1/k, unbiased for ±1 entries) and their ratio.
+
+    Scale shape: the projection is a per-row map (k dot products in
+    whole-stage codegen — no UDF, no shuffle), so it composes with any
+    downstream ANN index at 1/4 the vector width; the report join is
+    {JL_N_PAIRS} broadcast rows. Distances use the dot-product identity
+    on BOTH engines so the float op sequence matches (then 6-dp)."""
+    from .similarity import _as_double, _dot
+
+    signs = _jl_signs()
+    emb = load_raw(spark, sf_dir, "embeddings")
+    keep = (F.col("vec_id") < JL_N_PAIRS) | (
+        (F.col("vec_id") >= JL_PAIR_OFFSET)
+        & (F.col("vec_id") < JL_PAIR_OFFSET + JL_N_PAIRS)
+    )
+    pv = emb.filter(keep).select(
+        "vec_id",
+        _as_double("embedding").alias("e"),
+    )
+    pv = pv.select(
+        "vec_id",
+        "e",
+        _dot(F.col("e"), F.col("e")).alias("n2"),
+        *[
+            _dot(
+                F.col("e"),
+                F.array(*[F.lit(x) for x in row]),
+            ).alias(f"p{j}")
+            for j, row in enumerate(_jl_signs())
+        ],
+    )
+    a = pv.alias("a")
+    b = pv.alias("b")
+    d2p = None
+    for j in range(JL_K):
+        term = (F.col(f"a.p{j}") - F.col(f"b.p{j}")) * (
+            F.col(f"a.p{j}") - F.col(f"b.p{j}")
+        )
+        d2p = term if d2p is None else d2p + term
+    d2o = (
+        F.col("a.n2")
+        - 2 * _dot(F.col("a.e"), F.col("b.e"))
+        + F.col("b.n2")
+    )
+    return (
+        a.join(
+            b,
+            F.col("b.vec_id") == F.col("a.vec_id") + JL_PAIR_OFFSET,
+        )
+        .filter(F.col("a.vec_id") < JL_N_PAIRS)
+        .select(
+            F.col("a.vec_id").alias("pair_id"),
+            F.round(d2o, 6).alias("d2_orig"),
+            F.round(d2p / float(JL_K), 6).alias("d2_proj"),
+            F.round((d2p / float(JL_K)) / d2o, 6).alias("ratio"),
+        )
+        .orderBy("pair_id")
+    )

@@ -173,6 +173,7 @@ _QUERY_MODULES = (
     "operators.textstats",
     "operators.multimodal",
     "operators.kernels_sql",
+    "operators.ml",
     "sources.pysource",
     "operators.relational",
     "operators.cf",

@@ -1,0 +1,132 @@
+"""Round-6 ML-primitive invariants: GD logistic regression, naive-Bayes
+language ID, calibration audits, feature hashing, JL projection.
+
+Ground truth is recomputed independently (numpy over duckdb-extracted
+feature tables), NOT by re-running the operator's SQL oracle — the
+oracle certifies cross-engine agreement; these tests certify the math
+is the *right* math.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import numpy as np
+import pytest
+
+from conftest import SF_DIR
+
+
+@pytest.fixture(scope="module")
+def queries():
+    from recommedation_system_under_flink_spark import registry
+
+    return registry.queries()
+
+
+def _feats(sf_dir: str = SF_DIR) -> np.ndarray:
+    """(y, x1, x2, x3) exactly as operators/ml.py defines them."""
+    return duckdb.sql(
+        f"""SELECT CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y,
+                   n_chars / 500.0 AS x1,
+                   len(list_filter(string_split(text, ' '), t -> t <> ''))
+                     / 50.0 AS x2,
+                   n_chars / (len(list_filter(string_split(text, ' '),
+                                              t -> t <> '')) * 10.0) AS x3
+            FROM '{sf_dir}/documents.parquet' ORDER BY doc_id"""
+    ).df().to_numpy()
+
+
+def test_logreg_gd_matches_numpy(queries, spark):
+    from recommedation_system_under_flink_spark.operators.ml import (
+        GD_ITERS,
+        GD_LR,
+    )
+
+    row = queries["ml_logreg_gd"](spark, SF_DIR).collect()[0]
+    m = _feats()
+    y, X = m[:, 0], np.column_stack([np.ones(len(m)), m[:, 1:]])
+    w = np.zeros(4)
+    for _ in range(GD_ITERS):
+        p = 1.0 / (1.0 + np.exp(-(X @ w)))
+        w = w - GD_LR * (X.T @ (p - y)) / len(y)
+    p = 1.0 / (1.0 + np.exp(-(X @ w)))
+    logloss = float(np.mean(-(y * np.log(p) + (1 - y) * np.log(1 - p))))
+    acc = float(np.mean((p >= 0.5) == (y == 1.0)))
+    got = [row["w_bias"], row["w_x1"], row["w_x2"], row["w_x3"]]
+    assert got == pytest.approx(list(w), abs=2e-6)
+    assert row["logloss"] == pytest.approx(logloss, abs=2e-6)
+    assert row["accuracy"] == pytest.approx(acc, abs=2e-6)
+    # GD from w=0 must strictly improve on the w=0 loss (ln 2).
+    assert row["logloss"] < np.log(2.0)
+
+
+def test_nb_langid_partitions_test_split(queries, spark):
+    rows = queries["ml_nb_langid"](spark, SF_DIR).collect()
+    n = sum(r["n"] for r in rows)
+    n_test = duckdb.sql(
+        f"""SELECT COUNT(*) FROM '{SF_DIR}/documents.parquet'
+            WHERE (doc_id * 2654435761) % 4294967296 % 10 >= 8"""
+    ).fetchone()[0]
+    assert n == n_test  # every test doc classified exactly once
+    # NOTE: the fixture corpus's lang label is lexically uninformative
+    # (all langs draw the same vocabulary), so accuracy on it is the
+    # prior — the learning behavior is certified on a corpus with real
+    # signal below.
+
+
+def test_nb_langid_learns_disjoint_vocab(queries, spark, tmp_path):
+    """On a corpus whose languages use disjoint vocabularies NB must
+    classify the held-out split perfectly (the Laplace-smoothed
+    likelihood of a wrong lang is V-smaller per token)."""
+    words = {"aa": "red green blue", "bb": "un deux trois", "cc": "ichi ni san"}
+    rows = []
+    for i in range(120):
+        lang = list(words)[i % 3]
+        rows.append((i, f"{words[lang]} {words[lang]}", lang, "t", 10))
+    duckdb.sql(
+        "CREATE TABLE d (doc_id BIGINT, text VARCHAR, lang VARCHAR, "
+        "source VARCHAR, n_chars BIGINT)"
+    )
+    duckdb.executemany("INSERT INTO d VALUES (?,?,?,?,?)", rows)
+    duckdb.sql(f"COPY d TO '{tmp_path}/documents.parquet' (FORMAT PARQUET)")
+    duckdb.sql("DROP TABLE d")
+    out = queries["ml_nb_langid"](spark, str(tmp_path)).collect()
+    assert all(r["lang_true"] == r["lang_pred"] for r in out)
+    assert sum(r["n"] for r in out) > 0
+
+
+def test_calibration_bins_partition_the_corpus(queries, spark):
+    rows = queries["ml_calibration_bins"](spark, SF_DIR).collect()
+    n_docs = duckdb.sql(
+        f"SELECT COUNT(*) FROM '{SF_DIR}/documents.parquet'"
+    ).fetchone()[0]
+    assert sum(r["n"] for r in rows) == n_docs
+    assert all(0 <= r["bin"] <= 9 for r in rows)
+    for r in rows:  # mean score must sit inside its own bin's range
+        lo, hi = r["bin"] / 10.0, (r["bin"] + 1) / 10.0 + 1e-9
+        assert lo <= r["mean_score"] <= (1.0 if r["bin"] == 9 else hi)
+
+
+def test_brier_decomposition_identity(queries, spark):
+    row = queries["ml_brier_decomposition"](spark, SF_DIR).collect()[0]
+    # Murphy: brier ≈ reliability − resolution + uncertainty, up to the
+    # within-bin score variance term (bounded by bin width² / 4 = 2.5e-3).
+    lhs = row["brier"]
+    rhs = row["reliability"] - row["resolution"] + row["uncertainty"]
+    assert abs(lhs - rhs) < 2.5e-3
+    assert 0 <= row["uncertainty"] <= 0.25
+
+
+def test_feature_hashing_unit_rows(queries, spark):
+    rows = queries["ml_feature_hashing"](spark, SF_DIR).limit(200).collect()
+    for r in rows:  # exactly 2 categorical hits per doc (lang + source)
+        assert sum(r[f"f{j}"] for j in range(8)) == 2
+
+
+def test_jl_distortion_concentrates(queries, spark):
+    rows = queries["sim_jl_distortion"](spark, SF_DIR).collect()
+    assert len(rows) == 50
+    ratios = np.array([r["ratio"] for r in rows])
+    # Unbiasedness: mean distortion ratio near 1 (k=16 → sd ≈ 1/√8/√50).
+    assert 0.8 < ratios.mean() < 1.2
+    assert (ratios > 0).all()
