@@ -2232,3 +2232,102 @@ def ef_design_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(deff, 6).alias("deff"),
         F.round(F.col("n") / deff, 6).alias("effective_n"),
     )
+
+
+# --------------------------------------- interval-overlap band join
+
+#: Session-overlap join bounds: user-id cap (keeps the demo output
+#: bounded at any SF; the join itself is band-bounded, not user-bounded)
+#: and the time-band width for the interval×interval banding.
+OVERLAP_USERS = 120
+OVERLAP_BAND_US = 7_200_000_000  # 2 h
+
+_OVERLAP_ORACLE = f"""WITH e AS (
+  SELECT user_id, event_id, epoch_us(ts) AS tsm FROM events
+  WHERE user_id < {OVERLAP_USERS}
+), flagged AS (
+  SELECT user_id, event_id, tsm,
+         CASE WHEN lag(tsm) OVER w IS NULL
+                OR tsm - lag(tsm) OVER w > {SESSION_GAP_US}
+              THEN 1 ELSE 0 END AS is_start
+  FROM e
+  WINDOW w AS (PARTITION BY user_id ORDER BY tsm, event_id)
+), sess AS (
+  SELECT user_id, tsm,
+         SUM(is_start) OVER (PARTITION BY user_id ORDER BY tsm, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+  FROM flagged
+), s AS (
+  SELECT user_id, session_seq,
+         MIN(tsm) AS session_start, MAX(tsm) AS session_end
+  FROM sess GROUP BY user_id, session_seq
+)
+SELECT a.user_id AS user_a, b.user_id AS user_b,
+       CAST(COUNT(*) AS BIGINT) AS n_session_pairs,
+       CAST(SUM(LEAST(a.session_end, b.session_end)
+                - GREATEST(a.session_start, b.session_start)) AS BIGINT)
+         AS total_overlap_us
+FROM s a JOIN s b
+  ON a.user_id < b.user_id
+ AND a.session_start <= b.session_end
+ AND b.session_start <= a.session_end
+GROUP BY a.user_id, b.user_id"""
+
+
+@register("ef_session_overlap_join", _OVERLAP_ORACLE)
+def ef_session_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval×interval **overlap join**: which session pairs of
+    different users were live at the same time, and for how long
+    (co-presence — the audience-overlap primitive).
+
+    ``ef_range_join_banded`` banded point-in-interval; this is the
+    harder shape: BOTH sides are intervals, so both replicate to every
+    ``OVERLAP_BAND_US`` band they span and a pair can meet in several
+    shared bands. The standard dedup-free trick assigns each overlap
+    to exactly ONE band — the band containing the overlap's *start*
+    (``greatest(starts) DIV band``) — so no post-join ``distinct`` is
+    needed. Scale: shuffle keys are time bands (time-uniform), fan-out
+    is duration/band + 1 per session (sessions are gap-bounded, bands
+    2 h), and the join is a plain shuffled equi-join on band — never a
+    nested-loop. The inequality re-check inside the band is a cheap
+    residual filter."""
+    ev = events_raw(spark, sf_dir).filter(F.col("user_id") < OVERLAP_USERS).select(
+        "user_id", "event_id", F.expr("ts DIV 1000").alias("tsm"), "value"
+    )
+    s = sessionize_events(ev).select(
+        "user_id", "session_seq", "session_start", "session_end"
+    )
+    banded = s.select(
+        "user_id",
+        "session_start",
+        "session_end",
+        F.explode(
+            F.sequence(
+                F.expr(f"session_start DIV {OVERLAP_BAND_US}"),
+                F.expr(f"session_end DIV {OVERLAP_BAND_US}"),
+            )
+        ).alias("band"),
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    ov_start = F.greatest(F.col("a.session_start"), F.col("b.session_start"))
+    ov_end = F.least(F.col("a.session_end"), F.col("b.session_end"))
+    pairs = (
+        a.join(b, "band")
+        .filter(
+            (F.col("a.user_id") < F.col("b.user_id"))
+            & (ov_start <= ov_end)
+            # dedup-free: count the pair only in the overlap-start band
+            & (F.expr(f"greatest(a.session_start, b.session_start) DIV {OVERLAP_BAND_US}")
+               == F.col("band"))
+        )
+        .select(
+            F.col("a.user_id").alias("user_a"),
+            F.col("b.user_id").alias("user_b"),
+            (ov_end - ov_start).alias("overlap_us"),
+        )
+    )
+    return pairs.groupBy("user_a", "user_b").agg(
+        F.count("*").alias("n_session_pairs"),
+        F.sum("overlap_us").alias("total_overlap_us"),
+    )

@@ -2136,3 +2136,53 @@ def ev_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit("naive"))
         .alias("best"),
     )
+
+
+# ------------------------------------------------------ PIVOT by dow
+
+#: Day-of-week from epoch days, engine-portable: 1970-01-01 was a
+#: Thursday, so (days + 4) % 7 gives 0 = Sunday in plain integer
+#: arithmetic — no reliance on either engine's DOW convention (Spark
+#: dayofweek() is 1=Sunday, DuckDB dayofweek() is 0=Sunday).
+_DOW_SQL = "((epoch_us(ts) // 86400000000) + 4) % 7"
+
+_PIVOT_ORACLE = f"""SELECT event_type,
+       {', '.join(
+           f"CAST(COALESCE(SUM(CASE WHEN dow = {d} THEN 1 END), 0) AS BIGINT)"
+           f" AS dow_{d}" for d in range(7))},
+       CAST(COUNT(*) AS BIGINT) AS total
+FROM (SELECT event_type, {_DOW_SQL} AS dow FROM events)
+GROUP BY event_type ORDER BY event_type"""
+
+
+@register("ev_pivot_event_dow", _PIVOT_ORACLE)
+def ev_pivot_event_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT surface: per-event-type counts spread across day-of-week
+    columns (0 = Sunday). ``pivot()`` with an explicit value list —
+    never the inference form, which needs an extra distinct-values job
+    before planning. Compiles to one hash aggregate with 7 conditional
+    counts: map-side combinable, output rows = |event_type|. DOW uses
+    the portable (epoch_days + 4) % 7, not either engine's dayofweek
+    convention."""
+    from pyspark.sql import functions as F
+
+    ev = events_raw(spark, sf_dir).select(
+        "event_type",
+        ((F.expr("(ts DIV 1000) DIV 86400000000") + 4) % 7).alias("dow"),
+    )
+    pivoted = (
+        ev.groupBy("event_type")
+        .pivot("dow", list(range(7)))
+        .agg(F.count(F.lit(1)))
+    )
+    cols = [
+        F.coalesce(F.col(f"`{d}`"), F.lit(0)).cast("long").alias(f"dow_{d}")
+        for d in range(7)
+    ]
+    total = None
+    for d in range(7):
+        c = F.coalesce(F.col(f"`{d}`"), F.lit(0)).cast("long")
+        total = c if total is None else total + c
+    return pivoted.select(
+        "event_type", *cols, total.alias("total")
+    ).orderBy("event_type")

@@ -644,3 +644,153 @@ def sim_jl_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("pair_id")
     )
+
+
+# ------------------------------------------------ hyperparameter sweep
+
+#: Learning rates trained simultaneously by ml_lr_sweep.
+SWEEP_LRS = (0.5, 1.0, 2.0)
+
+
+def _sweep_oracle() -> str:
+    """Per-LR unrolled GD chains + one shared scoring pass: the CTE
+    mirror of training ALL configs in the same scans."""
+    parts = [_FEATS_CTE]
+    finals = []
+    for ci, lr in enumerate(SWEEP_LRS):
+        prev = None
+        for it in range(GD_ITERS):
+            z = (
+                "0.0"
+                if prev is None
+                else f"{prev}.wb + {prev}.w1 * x1 + {prev}.w2 * x2 + {prev}.w3 * x3"
+            )
+            src = "feats" if prev is None else f"feats, {prev}"
+            parts.append(
+                f"""g{ci}_{it} AS (
+  SELECT AVG(1.0 / (1.0 + EXP(-({z}))) - y) AS gb,
+         AVG((1.0 / (1.0 + EXP(-({z}))) - y) * x1) AS g1,
+         AVG((1.0 / (1.0 + EXP(-({z}))) - y) * x2) AS g2,
+         AVG((1.0 / (1.0 + EXP(-({z}))) - y) * x3) AS g3
+  FROM {src}
+)"""
+            )
+            wsrc = f"g{ci}_{it}" if prev is None else f"g{ci}_{it}, {prev}"
+            wb = "0.0" if prev is None else f"{prev}.wb"
+            w1 = "0.0" if prev is None else f"{prev}.w1"
+            w2 = "0.0" if prev is None else f"{prev}.w2"
+            w3 = "0.0" if prev is None else f"{prev}.w3"
+            parts.append(
+                f"""w{ci}_{it} AS (
+  SELECT {wb} - {lr} * gb AS wb, {w1} - {lr} * g1 AS w1,
+         {w2} - {lr} * g2 AS w2, {w3} - {lr} * g3 AS w3
+  FROM {wsrc}
+)"""
+            )
+            prev = f"w{ci}_{it}"
+        finals.append(
+            f"SELECT CAST({lr} AS DOUBLE) AS lr, wb, w1, w2, w3 FROM {prev}"
+        )
+    parts.append("sweep AS (" + " UNION ALL ".join(finals) + ")")
+    p = "1.0 / (1.0 + EXP(-(wb + w1 * x1 + w2 * x2 + w3 * x3)))"
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"""
+SELECT lr,
+       ROUND(ANY_VALUE(wb), 6) AS w_bias,
+       ROUND(ANY_VALUE(w1), 6) AS w_x1,
+       ROUND(ANY_VALUE(w2), 6) AS w_x2,
+       ROUND(ANY_VALUE(w3), 6) AS w_x3,
+       ROUND(AVG(-(y * LN({p}) + (1.0 - y) * LN(1.0 - ({p})))), 6) AS logloss,
+       ROUND(AVG(CASE WHEN ({p} >= 0.5) = (y = 1.0) THEN 1.0 ELSE 0.0 END), 6)
+         AS accuracy
+FROM feats CROSS JOIN sweep
+GROUP BY lr ORDER BY lr"""
+    )
+
+
+@register("ml_lr_sweep", _sweep_oracle())
+def ml_lr_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperparameter sweep that AMORTIZES the data scans: all
+    {len(SWEEP_LRS)} learning rates train in the same passes. Each GD
+    iteration is still ONE aggregate — just 4×|configs| gradient
+    columns instead of 4 — because the per-config gradients differ
+    only in the literal weights, not in the data they read. At 100 TB
+    this is the difference between K and K×|configs| full scans; the
+    same trick extends to any config axis that doesn't change the
+    input (seeds, regularization, feature subsets via masked columns).
+    Scoring is one final pass with the 3-row weight table broadcast."""
+    feats = _feats(spark, sf_dir)
+    feats.persist()
+    try:
+        ws = {lr: [0.0, 0.0, 0.0, 0.0] for lr in SWEEP_LRS}
+        for _ in range(GD_ITERS):
+            aggs = []
+            for ci, lr in enumerate(SWEEP_LRS):
+                w = ws[lr]
+                z = (
+                    F.lit(w[0])
+                    + F.lit(w[1]) * F.col("x1")
+                    + F.lit(w[2]) * F.col("x2")
+                    + F.lit(w[3]) * F.col("x3")
+                )
+                resid = F.lit(1.0) / (F.lit(1.0) + F.exp(-z)) - F.col("y")
+                aggs += [
+                    F.avg(resid).alias(f"gb_{ci}"),
+                    F.avg(resid * F.col("x1")).alias(f"g1_{ci}"),
+                    F.avg(resid * F.col("x2")).alias(f"g2_{ci}"),
+                    F.avg(resid * F.col("x3")).alias(f"g3_{ci}"),
+                ]
+            g = feats.agg(*aggs).collect()[0]
+            if g["gb_0"] is None:  # empty input: no gradients, w stays 0
+                break
+            for ci, lr in enumerate(SWEEP_LRS):
+                w = ws[lr]
+                ws[lr] = [
+                    w[0] - lr * g[f"gb_{ci}"],
+                    w[1] - lr * g[f"g1_{ci}"],
+                    w[2] - lr * g[f"g2_{ci}"],
+                    w[3] - lr * g[f"g3_{ci}"],
+                ]
+        sweep = spark.createDataFrame(
+            [(float(lr), *ws[lr]) for lr in SWEEP_LRS],
+            "lr double, wb double, w1 double, w2 double, w3 double",
+        )
+        z = (
+            F.col("wb")
+            + F.col("w1") * F.col("x1")
+            + F.col("w2") * F.col("x2")
+            + F.col("w3") * F.col("x3")
+        )
+        p = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+        return (
+            feats.crossJoin(F.broadcast(sweep))
+            .groupBy("lr")
+            .agg(
+                F.round(F.first("wb"), 6).alias("w_bias"),
+                F.round(F.first("w1"), 6).alias("w_x1"),
+                F.round(F.first("w2"), 6).alias("w_x2"),
+                F.round(F.first("w3"), 6).alias("w_x3"),
+                F.round(
+                    F.avg(
+                        -(
+                            F.col("y") * F.log(p)
+                            + (F.lit(1.0) - F.col("y")) * F.log(F.lit(1.0) - p)
+                        )
+                    ),
+                    6,
+                ).alias("logloss"),
+                F.round(
+                    F.avg(
+                        F.when((p >= 0.5) == (F.col("y") == 1.0), 1.0).otherwise(
+                            0.0
+                        )
+                    ),
+                    6,
+                ).alias("accuracy"),
+            )
+            .orderBy("lr")
+        )
+    finally:
+        feats.unpersist()

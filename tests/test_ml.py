@@ -130,3 +130,19 @@ def test_jl_distortion_concentrates(queries, spark):
     # Unbiasedness: mean distortion ratio near 1 (k=16 → sd ≈ 1/√8/√50).
     assert 0.8 < ratios.mean() < 1.2
     assert (ratios > 0).all()
+
+
+def test_lr_sweep_row_matches_single_config(queries, spark):
+    """The lr=1.0 sweep row must equal ml_logreg_gd exactly (same
+    iterations, same init) — the amortized multi-config training is a
+    pure rewrite of N independent fits."""
+    single = queries["ml_logreg_gd"](spark, SF_DIR).collect()[0].asDict()
+    sweep = {
+        r["lr"]: r.asDict()
+        for r in queries["ml_lr_sweep"](spark, SF_DIR).collect()
+    }
+    row = sweep[1.0]
+    for k in ("w_bias", "w_x1", "w_x2", "w_x3", "logloss", "accuracy"):
+        assert row[k] == pytest.approx(single[k], abs=2e-6)
+    # distinct learning rates must actually produce distinct models
+    assert sweep[0.5]["w_x1"] != sweep[2.0]["w_x1"]

@@ -1,0 +1,75 @@
+"""Round-6 operator invariants: interval-overlap band join (planted
+ground truth), PIVOT by day-of-week (conservation vs duckdb)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import duckdb
+import pytest
+
+from conftest import SF_DIR
+
+
+@pytest.fixture(scope="module")
+def queries():
+    from recommedation_system_under_flink_spark import registry
+
+    return registry.queries()
+
+
+def test_session_overlap_planted(queries, spark, tmp_path):
+    """Hand-planted sessions with known pairwise overlaps. Sessions are
+    single gap-bounded runs (events 10 min apart < the 30-min gap);
+    user 1 [00:00-01:00] and user 2 [00:30-02:00] overlap 30 min;
+    user 3 [05:00-05:10] overlaps nobody; the user-1×user-2 second
+    sessions [10:00-10:40] vs [10:20-10:30] nest fully → 10 min."""
+    base = dt.datetime(2024, 3, 1)
+    rows, eid = [], 0
+
+    def sess(uid, start_min, end_min):
+        nonlocal eid
+        t = start_min
+        while t <= end_min:
+            rows.append((eid, base + dt.timedelta(minutes=t), uid, "click", 1.0, "{}"))
+            eid += 1
+            t += 10
+    sess(1, 0, 60)
+    sess(2, 30, 120)
+    sess(3, 300, 310)
+    sess(1, 600, 640)
+    sess(2, 620, 630)
+    duckdb.sql(
+        "CREATE TABLE ev (event_id BIGINT, ts TIMESTAMP, user_id BIGINT, "
+        "event_type VARCHAR, value DOUBLE, props VARCHAR)"
+    )
+    duckdb.executemany("INSERT INTO ev VALUES (?,?,?,?,?,?)", rows)
+    duckdb.sql(f"COPY ev TO '{tmp_path}/events.parquet' (FORMAT PARQUET)")
+    duckdb.sql("DROP TABLE ev")
+    out = {
+        (r["user_a"], r["user_b"]): r
+        for r in queries["ef_session_overlap_join"](spark, str(tmp_path)).collect()
+    }
+    assert set(out) == {(1, 2)}  # user 3 overlaps nobody
+    assert out[(1, 2)]["n_session_pairs"] == 2
+    assert out[(1, 2)]["total_overlap_us"] == (30 + 10) * 60 * 1_000_000
+
+
+def test_session_overlap_no_nested_loop(queries, spark):
+    plan = queries["ef_session_overlap_join"](
+        spark, SF_DIR
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_pivot_dow_conserves_counts(queries, spark):
+    rows = queries["ev_pivot_event_dow"](spark, SF_DIR).collect()
+    truth = dict(
+        duckdb.sql(
+            f"SELECT event_type, COUNT(*) FROM '{SF_DIR}/events.parquet' GROUP BY 1"
+        ).fetchall()
+    )
+    assert {r["event_type"] for r in rows} == set(truth)
+    for r in rows:
+        assert sum(r[f"dow_{d}"] for d in range(7)) == r["total"] == truth[r["event_type"]]
