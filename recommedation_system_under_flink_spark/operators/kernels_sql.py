@@ -13,7 +13,7 @@ import datetime as dt
 import os
 import tempfile
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..config import DEFAULT_SCENE, TODAY
@@ -1480,5 +1480,77 @@ def s25_corrupt_file_skip(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("n_chars").cast("bigint"))
             .cast("bigint")
             .alias("chars_total"),
+        )
+    )
+
+
+# ---------------------------------------------------- CDC apply (s26)
+
+#: Every 50th change in the synthetic CDC stream is a DELETE tombstone.
+S26_DELETE_MOD = 50
+
+_S26_ORACLE = f"""WITH changes AS (
+  SELECT o_custkey AS entity_id, o_orderkey AS seq,
+         CASE WHEN o_orderkey % {S26_DELETE_MOD} = 0 THEN 'D' ELSE 'U' END AS op,
+         o_totalprice AS new_balance
+  FROM orders
+),
+latest AS (
+  SELECT entity_id, seq, op, new_balance FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY entity_id ORDER BY seq DESC) AS rn
+    FROM changes) WHERE rn = 1
+)
+SELECT c.c_custkey AS entity_id,
+       CASE WHEN l.op = 'U' THEN l.new_balance ELSE c.c_acctbal END AS balance,
+       COALESCE(l.seq, 0) AS last_seq,
+       CASE WHEN l.op = 'U' THEN 'updated' ELSE 'kept' END AS action
+FROM customer c LEFT JOIN latest l ON c.c_custkey = l.entity_id
+WHERE l.op IS NULL OR l.op <> 'D'"""
+
+
+@register("s26_cdc_apply", _S26_ORACLE)
+def s26_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """**CDC apply with tombstones**: materialize a change stream
+    (op ∈ {{U, D}}, strictly-ordered sequence numbers — here derived
+    deterministically from orders) onto a base snapshot. Last change
+    per key wins; a trailing DELETE removes the row; untouched base
+    rows survive. This is the missing half of s9_upsert_merge (which
+    has no deletes) and the core of any log-compacted ingest
+    (Debezium/binlog → warehouse).
+
+    Scale shape: the change stream reduces FIRST (row_number over
+    (key, seq) — map-side partial via WindowGroupLimit at top-1), so
+    the join against the base is |keys|-sized, not |changes|-sized;
+    both sides then meet in ONE hash join on the entity key. Out-of-
+    order delivery is handled by ordering on seq, not arrival —
+    re-running on a late-arriving batch converges to the same
+    snapshot (the idempotence that matters for streaming backfill)."""
+    cust = load_raw(spark, sf_dir, "customer")
+    changes = load_raw(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("entity_id"),
+        F.col("o_orderkey").alias("seq"),
+        F.when(F.col("o_orderkey") % S26_DELETE_MOD == 0, "D")
+        .otherwise("U")
+        .alias("op"),
+        F.col("o_totalprice").alias("new_balance"),
+    )
+    w = Window.partitionBy("entity_id").orderBy(F.desc("seq"))
+    latest = (
+        changes.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+    return (
+        cust.join(latest, cust.c_custkey == latest.entity_id, "left")
+        .filter(F.col("op").isNull() | (F.col("op") != "D"))
+        .select(
+            F.col("c_custkey").alias("entity_id"),
+            F.when(F.col("op") == "U", F.col("new_balance"))
+            .otherwise(F.col("c_acctbal"))
+            .alias("balance"),
+            F.coalesce(F.col("seq"), F.lit(0)).alias("last_seq"),
+            F.when(F.col("op") == "U", "updated")
+            .otherwise("kept")
+            .alias("action"),
         )
     )

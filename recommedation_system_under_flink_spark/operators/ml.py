@@ -794,3 +794,86 @@ def ml_lr_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         feats.unpersist()
+
+
+# ------------------------------------------- isotonic calibration
+
+#: Output schema of the per-language isotonic fit (pooled blocks).
+_ISO_SCHEMA = (
+    "lang string, block int, s_lo double, s_hi double, "
+    "n long, fitted double"
+)
+
+
+def _pava_blocks(pdf):
+    """Pool-adjacent-violators on one group (runs inside the Arrow
+    batch): pre-pool ties in s, then merge adjacent blocks while any
+    left mean ≥ right mean. Returns the pooled blocks."""
+    import pandas as pd
+
+    by_s = (
+        pdf.groupby("s", sort=True)["y"]
+        .agg(ysum="sum", n="count")
+        .reset_index()
+    )
+    # blocks as [s_lo, s_hi, ysum, n]
+    blocks = [
+        [r.s, r.s, float(r.ysum), int(r.n)] for r in by_s.itertuples()
+    ]
+    out = []
+    for b in blocks:
+        out.append(b)
+        while len(out) > 1 and (
+            out[-2][2] * out[-1][3] >= out[-1][2] * out[-2][3]
+        ):  # mean(left) >= mean(right), in exact cross-multiplied form
+            s_lo, _, ys, n = out.pop(-2)
+            out[-1] = [s_lo, out[-1][1], out[-1][2] + ys, out[-1][3] + n]
+    lang = pdf["lang"].iloc[0]
+    return pd.DataFrame(
+        {
+            "lang": lang,
+            "block": range(len(out)),
+            "s_lo": [b[0] for b in out],
+            "s_hi": [b[1] for b in out],
+            "n": [b[3] for b in out],
+            "fitted": [b[2] / b[3] for b in out],
+        }
+    )
+
+
+@register("ml_isotonic_calibration")  # rows-only: iterative pooling
+def ml_isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language **isotonic regression (PAVA)** of the label on the
+    pinned calibration score — the nonparametric upgrade of
+    ml_calibration_bins (monotone fit instead of fixed-width bins).
+
+    Not SQL-expressible (adjacent pooling is inherently sequential), so
+    this is the repo's canonical Arrow-grouped pattern:
+    ``applyInPandas`` per language — each group sorts and pools inside
+    ONE pandas batch, the only shuffle is the groupBy key. That bounds
+    the algorithm by the largest single group; for a score with
+    billions of rows per group the standard scale-out is pre-pooling
+    into per-partition equal-s blocks (the same ``by_s`` aggregate,
+    distributed) before a driver-side merge — documented here, not
+    needed at fixture group sizes. Certified by pytest KKT invariants
+    (strictly increasing block means, mass conservation, exact planted
+    solution) rather than a DuckDB oracle."""
+    docs = load_raw(spark, sf_dir, "documents")
+    toks = _tokens(F.col("text"))
+    ntok = F.size(toks)
+    z = (
+        F.lit(CAL_W[0])
+        + F.lit(CAL_W[1]) * (F.col("n_chars") / 500.0)
+        + F.lit(CAL_W[2]) * (ntok / 50.0)
+    )
+    # Label varies WITHIN each lang group (unlike lang='en') and is
+    # genuinely monotone-ish in the score: longer docs are more likely
+    # to contain the common token.
+    scored = docs.select(
+        "lang",
+        F.when(F.array_contains(toks, "the"), 1.0).otherwise(0.0).alias("y"),
+        (F.lit(1.0) / (F.lit(1.0) + F.exp(-z))).alias("s"),
+    )
+    return scored.groupBy("lang").applyInPandas(
+        lambda pdf: _pava_blocks(pdf), schema=_ISO_SCHEMA
+    )

@@ -146,3 +146,62 @@ def test_lr_sweep_row_matches_single_config(queries, spark):
         assert row[k] == pytest.approx(single[k], abs=2e-6)
     # distinct learning rates must actually produce distinct models
     assert sweep[0.5]["w_x1"] != sweep[2.0]["w_x1"]
+
+
+def _iso_blocks(queries, spark, sf_dir):
+    return queries["ml_isotonic_calibration"](spark, sf_dir).collect()
+
+
+def test_isotonic_kkt_invariants(queries, spark):
+    """PAVA optimality certificate, no algorithm replay: block means
+    strictly increase (else PAVA would have pooled further), mass and
+    count are conserved per group, and every fitted value is the mean
+    of its own block — together these pin the unique isotonic fit."""
+    rows = _iso_blocks(queries, spark, SF_DIR)
+    truth = duckdb.sql(
+        f"""SELECT lang, COUNT(*) AS n,
+                   SUM(CASE WHEN list_contains(
+                       list_filter(string_split(text,' '), t->t<>''), 'the')
+                       THEN 1.0 ELSE 0.0 END) AS ysum
+            FROM '{SF_DIR}/documents.parquet' GROUP BY lang"""
+    ).df().set_index("lang")
+    by_lang = {}
+    for r in rows:
+        by_lang.setdefault(r["lang"], []).append(r)
+    assert set(by_lang) == set(truth.index)
+    for lang, blocks in by_lang.items():
+        blocks.sort(key=lambda r: r["block"])
+        fitted = [b["fitted"] for b in blocks]
+        assert all(a < b for a, b in zip(fitted, fitted[1:]))  # strict ↑
+        assert all(b["s_lo"] <= b["s_hi"] for b in blocks)
+        s_his = [b["s_hi"] for b in blocks]
+        assert s_his == sorted(s_his)
+        assert sum(b["n"] for b in blocks) == truth.loc[lang, "n"]
+        mass = sum(b["fitted"] * b["n"] for b in blocks)
+        assert mass == pytest.approx(truth.loc[lang, "ysum"], abs=1e-9)
+        assert all(0.0 <= f <= 1.0 for f in fitted)
+
+
+def test_isotonic_planted_solution(queries, spark, tmp_path):
+    """Hand-computed PAVA: one lang, scores strictly increasing with
+    doc length, labels (0, 1, 0, 1): the middle violation pools docs
+    2-3 into a block with fitted 0.5."""
+    rows = [
+        # n_chars drive the score; text gives y via contains-'the'
+        (0, "x", "aa", "t", 100),          # s small, y 0
+        (1, "the", "aa", "t", 200),        # y 1 ← violation with next
+        (2, "x", "aa", "t", 300),          # y 0
+        (3, "the", "aa", "t", 400),        # y 1
+    ]
+    duckdb.sql(
+        "CREATE TABLE d6 (doc_id BIGINT, text VARCHAR, lang VARCHAR, "
+        "source VARCHAR, n_chars BIGINT)"
+    )
+    duckdb.executemany("INSERT INTO d6 VALUES (?,?,?,?,?)", rows)
+    duckdb.sql(f"COPY d6 TO '{tmp_path}/documents.parquet' (FORMAT PARQUET)")
+    duckdb.sql("DROP TABLE d6")
+    out = sorted(
+        _iso_blocks(queries, spark, str(tmp_path)), key=lambda r: r["block"]
+    )
+    assert [r["fitted"] for r in out] == [0.0, 0.5, 1.0]
+    assert [r["n"] for r in out] == [1, 2, 1]
