@@ -590,3 +590,206 @@ def cf_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("lift"),
         )
     )
+
+
+# ---------------------------------------------------- path trigrams
+
+#: Trigram mining: top follow-ups kept per (a, b) prefix, min support,
+#: and the category coarsening (item-level trigrams are support-1 at
+#: every SF — mining at category granularity is the standard fallback
+#: when the item space is too sparse for order-2 patterns).
+TRIGRAM_TOP = 5
+TRIGRAM_MIN_SUPPORT = 2
+TRIGRAM_TOPICS = 20
+
+_TRIGRAM_ORACLE = f"""SELECT news_a, news_b, news_c, n_paths FROM (
+  SELECT news_a, news_b, news_c, n_paths,
+         ROW_NUMBER() OVER (PARTITION BY news_a, news_b
+                            ORDER BY n_paths DESC, news_c ASC) AS rnk
+  FROM (
+    SELECT news_a, news_b, news_id AS news_c, CAST(COUNT(*) AS BIGINT) AS n_paths
+    FROM (
+      SELECT news_id,
+             LAG(news_id, 1) OVER w AS news_b,
+             LAG(news_id, 2) OVER w AS news_a
+      FROM (SELECT user_id, (event_id % {NEWS_MOD}) % {TRIGRAM_TOPICS} AS news_id,
+                   ts, event_id
+            FROM events WHERE event_type = 'click')
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    WHERE news_a IS NOT NULL AND news_a <> news_b AND news_b <> news_id
+    GROUP BY news_a, news_b, news_c
+    HAVING COUNT(*) >= {TRIGRAM_MIN_SUPPORT}
+  )
+) WHERE rnk <= {TRIGRAM_TOP}"""
+
+
+@register("cf_path_trigrams", _TRIGRAM_ORACLE)
+def cf_path_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential pattern mining, order 2: frequent click **trigrams**
+    a→b→c (no immediate repeats) at category granularity
+    (news_id % {TRIGRAM_TOPICS}; item-level order-2 patterns are
+    support-1 at every fixture SF), min support {TRIGRAM_MIN_SUPPORT},
+    top {TRIGRAM_TOP} continuations per (a, b) prefix — the
+    PrefixSpan-style shape at the depth that actually serves
+    session-based recommendation (the second-order Markov model's
+    support table).
+
+    Same scale skeleton as cf_next_item_transitions: TWO lag columns
+    over ONE (user, time) window sort build every consecutive triple —
+    no self-join, one shuffle on user_id; the group-limit window prunes
+    per-prefix before anything large materializes (WindowGroupLimit
+    pushes the rank filter map-side)."""
+    from ..sources import events_raw
+
+    ev = events_raw(spark, sf_dir).filter(F.col("event_type") == "click").select(
+        "user_id",
+        ((F.col("event_id") % NEWS_MOD) % TRIGRAM_TOPICS).alias("news_id"),
+        "ts",
+        "event_id",
+    )
+    seq = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    triples = (
+        ev.withColumn("news_b", F.lag("news_id", 1).over(seq))
+        .withColumn("news_a", F.lag("news_id", 2).over(seq))
+        .filter(
+            F.col("news_a").isNotNull()
+            & (F.col("news_a") != F.col("news_b"))
+            & (F.col("news_b") != F.col("news_id"))
+        )
+        .groupBy("news_a", "news_b", F.col("news_id").alias("news_c"))
+        .agg(F.count("*").alias("n_paths"))
+        .filter(F.col("n_paths") >= TRIGRAM_MIN_SUPPORT)
+    )
+    rank = Window.partitionBy("news_a", "news_b").orderBy(
+        F.desc("n_paths"), F.asc("news_c")
+    )
+    return (
+        triples.withColumn("rnk", F.row_number().over(rank))
+        .filter(F.col("rnk") <= TRIGRAM_TOP)
+        .select("news_a", "news_b", "news_c", "n_paths")
+    )
+
+
+# ---------------------------------------- next-item model evaluation
+
+_HITRATE_ORACLE = f"""WITH ev AS (
+  SELECT user_id, event_id % {NEWS_MOD} AS news_id, ts, event_id,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY ts DESC, event_id DESC) AS rn_desc
+  FROM events WHERE event_type = 'click'
+),
+train_pairs AS (
+  SELECT news_a, news_id AS news_b FROM (
+    SELECT news_id, rn_desc,
+           LAG(news_id) OVER (PARTITION BY user_id
+                              ORDER BY ts, event_id) AS news_a
+    FROM ev
+  ) WHERE rn_desc >= 2 AND news_a IS NOT NULL AND news_a <> news_id
+),
+model AS (
+  SELECT news_a, news_b AS news_pred FROM (
+    SELECT news_a, news_b,
+           ROW_NUMBER() OVER (PARTITION BY news_a
+                              ORDER BY COUNT(*) DESC, news_b ASC) AS rnk
+    FROM train_pairs GROUP BY news_a, news_b
+  ) WHERE rnk = 1
+),
+eval_set AS (
+  SELECT t.user_id, p.news_id AS news_prev, t.news_id AS news_actual
+  FROM (SELECT * FROM ev WHERE rn_desc = 1) t
+  JOIN (SELECT * FROM ev WHERE rn_desc = 2) p ON t.user_id = p.user_id
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_eval,
+       CAST(COUNT(m.news_pred) AS BIGINT) AS n_covered,
+       CAST(COALESCE(SUM(CASE WHEN m.news_pred = e.news_actual
+                              THEN 1 END), 0) AS BIGINT) AS hits,
+       ROUND(COALESCE(SUM(CASE WHEN m.news_pred = e.news_actual
+                                THEN 1.0 ELSE 0.0 END), 0)
+             / COUNT(*), 6) AS hit_rate,
+       ROUND(COUNT(m.news_pred) / CAST(COUNT(*) AS DOUBLE), 6) AS coverage
+FROM eval_set e LEFT JOIN model m ON e.news_prev = m.news_a"""
+
+
+@register("cf_next_item_hitrate", _HITRATE_ORACLE)
+def cf_next_item_hitrate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-last-out **temporal evaluation** of the next-item model:
+    hold out every user's final click, train the first-order
+    transition model on everything earlier (the held-out pair never
+    enters the counts — no label leakage), predict the top-1 follow-up
+    of each user's penultimate item, and report hit rate and model
+    coverage. The evaluation twin that keeps cf_next_item_transitions
+    honest, mirroring the reference's precision eval
+    (TextRank.java:354-368) for the sequential model.
+
+    Plan: one window sort per direction over the click log (rank from
+    the end for the split, lag for the pairs — both share the user_id
+    hash partitioning), a top-1 group-limit for the model, then one
+    broadcast-sized join of the |users|-row eval set against the
+    |items|-row model."""
+    from ..sources import events_raw
+
+    ev = (
+        events_raw(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .select(
+            "user_id",
+            (F.col("event_id") % NEWS_MOD).alias("news_id"),
+            "ts",
+            "event_id",
+        )
+        .withColumn(
+            "rn_desc",
+            F.row_number().over(
+                Window.partitionBy("user_id").orderBy(
+                    F.desc("ts"), F.desc("event_id")
+                )
+            ),
+        )
+    )
+    seq = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    train_pairs = (
+        ev.withColumn("news_a", F.lag("news_id").over(seq))
+        .filter(
+            (F.col("rn_desc") >= 2)
+            & F.col("news_a").isNotNull()
+            & (F.col("news_a") != F.col("news_id"))
+        )
+        .select("news_a", F.col("news_id").alias("news_b"))
+    )
+    rank = Window.partitionBy("news_a").orderBy(
+        F.desc("n"), F.asc("news_b")
+    )
+    model = (
+        train_pairs.groupBy("news_a", "news_b")
+        .agg(F.count("*").alias("n"))
+        .withColumn("rnk", F.row_number().over(rank))
+        .filter(F.col("rnk") == 1)
+        .select("news_a", F.col("news_b").alias("news_pred"))
+    )
+    test = ev.filter(F.col("rn_desc") == 1).select(
+        "user_id", F.col("news_id").alias("news_actual")
+    )
+    prev = ev.filter(F.col("rn_desc") == 2).select(
+        "user_id", F.col("news_id").alias("news_prev")
+    )
+    joined = (
+        test.join(prev, "user_id")
+        .join(
+            F.broadcast(model),
+            F.col("news_prev") == F.col("news_a"),
+            "left",
+        )
+    )
+    hit = F.when(F.col("news_pred") == F.col("news_actual"), 1).otherwise(0)
+    return joined.agg(
+        F.count("*").alias("n_eval"),
+        F.count("news_pred").alias("n_covered"),
+        F.coalesce(F.sum(hit), F.lit(0)).cast("long").alias("hits"),
+        F.round(
+            F.coalesce(F.sum(hit.cast("double")), F.lit(0.0)) / F.count("*"), 6
+        ).alias("hit_rate"),
+        F.round(
+            F.count("news_pred") / F.count("*").cast("double"), 6
+        ).alias("coverage"),
+    )

@@ -73,3 +73,49 @@ def test_pivot_dow_conserves_counts(queries, spark):
     assert {r["event_type"] for r in rows} == set(truth)
     for r in rows:
         assert sum(r[f"dow_{d}"] for d in range(7)) == r["total"] == truth[r["event_type"]]
+
+
+def _write_events(tmp_path, rows):
+    duckdb.sql(
+        "CREATE TABLE ev6 (event_id BIGINT, ts TIMESTAMP, user_id BIGINT, "
+        "event_type VARCHAR, value DOUBLE, props VARCHAR)"
+    )
+    duckdb.executemany("INSERT INTO ev6 VALUES (?,?,?,?,?,?)", rows)
+    duckdb.sql(f"COPY ev6 TO '{tmp_path}/events.parquet' (FORMAT PARQUET)")
+    duckdb.sql("DROP TABLE ev6")
+
+
+def test_next_item_hitrate_no_label_leakage(queries, spark, tmp_path):
+    """Planted log where the held-out pairs would flip the model if
+    they leaked into training: U1 clicks news 1,2,1,3 (holds out 1→3),
+    U2 clicks 1,3 (holds out its only pair). Leakage-free training
+    sees only 1→2 / 2→1, so the model predicts 2 after 1 and both
+    evaluations MISS; a leaky model would count 1→3 twice and hit."""
+    base = dt.datetime(2024, 3, 1)
+    rows = []
+    # event_id % 1000 is the news id; ids chosen so mod-1000 = news
+    for i, news in enumerate([1, 2, 1, 3]):
+        rows.append((news + 1000 * i, base + dt.timedelta(minutes=i), 1,
+                     "click", 1.0, "{}"))
+    for i, news in enumerate([1, 3]):
+        rows.append((news + 1000 * (i + 10), base + dt.timedelta(minutes=i), 2,
+                     "click", 1.0, "{}"))
+    _write_events(tmp_path, rows)
+    row = queries["cf_next_item_hitrate"](spark, str(tmp_path)).collect()[0]
+    assert row["n_eval"] == 2
+    assert row["coverage"] == 1.0  # news 1 is in the trained model
+    assert row["hits"] == 0  # leak-free model predicts 2, actual is 3
+    assert row["hit_rate"] == 0.0
+
+
+def test_path_trigrams_planted_support(queries, spark, tmp_path):
+    """news categories 1,2,3,1,2,3 → the (1,2,3) trigram repeats."""
+    base = dt.datetime(2024, 3, 1)
+    rows = []
+    for i, news in enumerate([1, 2, 3, 1, 2, 3]):
+        rows.append((news + 20 * i, base + dt.timedelta(minutes=i), 7,
+                     "click", 1.0, "{}"))
+    _write_events(tmp_path, rows)
+    out = queries["cf_path_trigrams"](spark, str(tmp_path)).collect()
+    assert [(r["news_a"], r["news_b"], r["news_c"], r["n_paths"])
+            for r in out] == [(1, 2, 3, 2)]
