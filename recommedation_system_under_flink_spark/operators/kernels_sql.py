@@ -1554,3 +1554,121 @@ def s26_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("action"),
         )
     )
+
+
+# ------------------------------------- data-skipping layout report (s27)
+
+#: Rows per modeled file, and the pinned audit predicate (one mid-month
+#: day of the 30-day fixture window).
+S27_FILE_ROWS = 500
+S27_DAY = "2024-01-15"
+
+_S27_ORACLE = f"""WITH e AS (
+  SELECT event_id, epoch_us(ts) AS tsm,
+         CAST(ts AS DATE) = DATE '{S27_DAY}' AS hit
+  FROM events
+),
+n AS (SELECT CAST(CEIL(COUNT(*) / {S27_FILE_ROWS}.0) AS BIGINT) AS n_files FROM e),
+layouts AS (
+  SELECT 'ingestion_order' AS layout, event_id // {S27_FILE_ROWS} AS file_id,
+         tsm, hit FROM e
+  UNION ALL
+  SELECT 'hash_scatter', event_id % (SELECT n_files FROM n), tsm, hit FROM e
+),
+files AS (
+  SELECT layout, file_id, COUNT(*) AS rows_in_file,
+         CAST(SUM(CASE WHEN hit THEN 1 ELSE 0 END) AS BIGINT) AS hits,
+         MIN(tsm) AS mn, MAX(tsm) AS mx
+  FROM layouts GROUP BY layout, file_id
+),
+day AS (
+  SELECT epoch_us(TIMESTAMP '{S27_DAY} 00:00:00') AS lo,
+         epoch_us(TIMESTAMP '{S27_DAY} 00:00:00') + 86400000000 AS hi
+)
+SELECT layout,
+       CAST(COUNT(*) AS BIGINT) AS n_files,
+       CAST(SUM(CASE WHEN mx >= lo AND mn < hi THEN 1 ELSE 0 END) AS BIGINT)
+         AS files_scanned,
+       ROUND(1.0 - SUM(CASE WHEN mx >= lo AND mn < hi THEN 1 ELSE 0 END)
+                   / CAST(COUNT(*) AS DOUBLE), 6) AS skip_ratio,
+       CAST(SUM(CASE WHEN mx >= lo AND mn < hi THEN rows_in_file ELSE 0 END)
+         AS BIGINT) AS rows_scanned,
+       CAST(SUM(hits) AS BIGINT) AS rows_matching,
+       ROUND(SUM(CASE WHEN mx >= lo AND mn < hi THEN rows_in_file ELSE 0 END)
+             / CAST(SUM(hits) AS DOUBLE), 6) AS scan_amplification
+FROM files CROSS JOIN day
+GROUP BY layout ORDER BY layout"""
+
+
+@register("s27_skipping_stats_report", _S27_ORACLE)
+def s27_skipping_stats_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """**Data-skipping audit**: model per-file min/max zone maps under
+    two physical layouts — ingestion order (event_id-contiguous files;
+    ids are time-correlated, so zone maps are tight) vs hash scatter
+    (every file spans the whole time range) — and report, for a pinned
+    one-day predicate, how many files a min/max-pruning reader would
+    skip and the scan amplification (rows read per matching row).
+
+    This is the measurement that justifies the repo's layout choices
+    (partitioned writes s7/s20, z-order s11, compaction s17): the SAME
+    table and predicate go from skipping ~29/30 of files to skipping
+    none when the layout destroys locality. One scan per layout arm, a
+    |files|-row aggregate, broadcast day bounds — report cost is
+    O(|files|), any SF."""
+    ev = events_raw(spark, sf_dir).select(
+        "event_id", F.expr("ts DIV 1000").alias("tsm")
+    )
+    day_lo = int(dt.datetime(2024, 1, 15, tzinfo=dt.timezone.utc).timestamp()) * 1_000_000
+    day_hi = day_lo + 86_400_000_000
+    e = ev.select(
+        "event_id",
+        "tsm",
+        ((F.col("tsm") >= day_lo) & (F.col("tsm") < day_hi)).alias("hit"),
+    )
+    n_files = e.agg(
+        F.ceil(F.count("*") / float(S27_FILE_ROWS)).cast("long").alias("n_files")
+    )
+    ing = e.select(
+        F.lit("ingestion_order").alias("layout"),
+        (F.col("event_id") / S27_FILE_ROWS).cast("long").alias("file_id"),
+        "tsm",
+        "hit",
+    )
+    hsh = e.crossJoin(F.broadcast(n_files)).select(
+        F.lit("hash_scatter").alias("layout"),
+        (F.col("event_id") % F.col("n_files")).alias("file_id"),
+        "tsm",
+        "hit",
+    )
+    files = (
+        ing.unionByName(hsh)
+        .groupBy("layout", "file_id")
+        .agg(
+            F.count("*").alias("rows_in_file"),
+            F.sum(F.col("hit").cast("long")).alias("hits"),
+            F.min("tsm").alias("mn"),
+            F.max("tsm").alias("mx"),
+        )
+    )
+    scanned = (F.col("mx") >= day_lo) & (F.col("mn") < day_hi)
+    return (
+        files.groupBy("layout")
+        .agg(
+            F.count("*").alias("n_files"),
+            F.sum(scanned.cast("long")).alias("files_scanned"),
+            F.round(
+                1.0 - F.sum(scanned.cast("long")) / F.count("*").cast("double"),
+                6,
+            ).alias("skip_ratio"),
+            F.sum(
+                F.when(scanned, F.col("rows_in_file")).otherwise(0)
+            ).alias("rows_scanned"),
+            F.sum("hits").alias("rows_matching"),
+            F.round(
+                F.sum(F.when(scanned, F.col("rows_in_file")).otherwise(0))
+                / F.sum("hits").cast("double"),
+                6,
+            ).alias("scan_amplification"),
+        )
+        .orderBy("layout")
+    )

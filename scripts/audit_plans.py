@@ -55,6 +55,7 @@ EXPECTED_CARTESIAN = {
     "ts_kneser_ney_logprob": "1-row bigram-type-total scalar broadcast",
     "ml_nb_langid": "5-row lang-stats + 1-row vocab/n-train scalar broadcasts",
     "ml_lr_sweep": "3-row swept-weights table broadcast into the scoring pass",
+    "s27_skipping_stats_report": "1-row n_files scalar broadcast into the hash-layout arm",
     "ml_brier_decomposition": "two 1-row overall/brier aggregates cross-joined",
     "ts_term_drift": "1-row old/new totals scalar broadcast",
     "j6_rec_coverage": "three 1-row diagnostic aggregates cross-joined",

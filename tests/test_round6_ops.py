@@ -119,3 +119,18 @@ def test_path_trigrams_planted_support(queries, spark, tmp_path):
     out = queries["cf_path_trigrams"](spark, str(tmp_path)).collect()
     assert [(r["news_a"], r["news_b"], r["news_c"], r["n_paths"])
             for r in out] == [(1, 2, 3, 2)]
+
+
+def test_skipping_report_layout_dominance(queries, spark):
+    """Zone-map pruning must skip most ingestion-order files and no
+    hash-scattered files; the predicate's matching rows are layout-
+    independent; amplification ≥ 1 always."""
+    # sf0.01: 20 modeled files (sf0.001's 2 files both straddle the day)
+    rows = {r["layout"]: r for r in
+            queries["s27_skipping_stats_report"](
+                spark, "/root/testdata/sf0.01").collect()}
+    ing, hsh = rows["ingestion_order"], rows["hash_scatter"]
+    assert ing["n_files"] == hsh["n_files"]
+    assert ing["rows_matching"] == hsh["rows_matching"] > 0
+    assert ing["skip_ratio"] > 0.8 and hsh["skip_ratio"] == 0.0
+    assert 1.0 <= ing["scan_amplification"] < hsh["scan_amplification"]
