@@ -2186,3 +2186,164 @@ def ev_pivot_event_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pivoted.select(
         "event_type", *cols, total.alias("total")
     ).orderBy("event_type")
+
+
+# ------------------------------------------- harmonic trend regression
+
+#: Weekly period of the harmonic term.
+_HARM_PERIOD = 7
+
+
+def _cramer4(m: str = "m", b: str = "b") -> list[str]:
+    """Closed-form 4-unknown least squares: Cramer-rule expression
+    strings over moment columns ``m{i}{j}`` (Gram matrix, i ≤ j) and
+    ``b{i}`` (feature·target sums). Generated ONCE and embedded
+    verbatim in both the Spark plan (``F.expr``) and the DuckDB oracle,
+    so the algebra cannot diverge between engines. Returns
+    [det(M), det(M_0), …, det(M_3)]."""
+    from itertools import permutations
+
+    def cell(i: int, j: int, repl: int | None) -> str:
+        if repl is not None and j == repl:
+            return f"{b}{i}"
+        lo, hi = min(i, j), max(i, j)
+        return f"{m}{lo}{hi}"
+
+    def det(repl: int | None) -> str:
+        terms = []
+        for perm in permutations(range(4)):
+            sign = 1
+            p = list(perm)
+            for i in range(4):  # parity via inversion count
+                for j in range(i + 1, 4):
+                    if p[i] > p[j]:
+                        sign = -sign
+            prod = " * ".join(cell(i, perm[i], repl) for i in range(4))
+            terms.append(("+ " if sign > 0 else "- ") + prod)
+        return "(" + " ".join(terms).lstrip("+ ") + ")"
+
+    return [det(None)] + [det(k) for k in range(4)]
+
+
+def _harmonic_oracle() -> str:
+    d, d0, d1, d2, d3 = _cramer4()
+    tau = 2 * 3.141592653589793 / _HARM_PERIOD
+    feats = f"1.0 AS f0, CAST(x AS DOUBLE) AS f1, SIN({tau} * x) AS f2, COS({tau} * x) AS f3"
+    moms = ", ".join(
+        f"SUM(f{i} * f{j}) AS m{i}{j}" for i in range(4) for j in range(i, 4)
+    )
+    bs = ", ".join(f"SUM(f{i} * y) AS b{i}" for i in range(4))
+    return f"""WITH daily AS (
+  SELECT CAST(ts AS DATE) AS date, CAST(COUNT(*) AS DOUBLE) AS y
+  FROM events WHERE event_type = 'click' GROUP BY 1
+), idx AS (
+  SELECT y, CAST(ROW_NUMBER() OVER (ORDER BY date) - 1 AS BIGINT) AS x
+  FROM daily
+), f AS (SELECT y, {feats} FROM idx),
+mom AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_days, {moms}, {bs},
+               SUM(y) AS sy, SUM(y * y) AS syy FROM f),
+beta AS (
+  SELECT n_days, sy, syy,
+         {d0} / {d} AS c0, {d1} / {d} AS c1,
+         {d2} / {d} AS c2, {d3} / {d} AS c3
+  FROM mom
+)
+SELECT ANY_VALUE(beta.n_days) AS n_days,
+       ROUND(ANY_VALUE(c0), 6) AS intercept,
+       ROUND(ANY_VALUE(c1), 6) AS slope,
+       ROUND(ANY_VALUE(c2), 6) AS sin_coef,
+       ROUND(ANY_VALUE(c3), 6) AS cos_coef,
+       ROUND(SQRT(ANY_VALUE(c2) * ANY_VALUE(c2)
+                  + ANY_VALUE(c3) * ANY_VALUE(c3)), 6) AS amplitude,
+       ROUND(1.0 - SUM((y - (c0 * f0 + c1 * f1 + c2 * f2 + c3 * f3))
+                       * (y - (c0 * f0 + c1 * f1 + c2 * f2 + c3 * f3)))
+                   / (ANY_VALUE(syy) - ANY_VALUE(sy) * ANY_VALUE(sy)
+                      / ANY_VALUE(beta.n_days)), 6) AS r2
+FROM f CROSS JOIN beta"""
+
+
+@register("ev_harmonic_regression", _harmonic_oracle())
+def ev_harmonic_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly-seasonal trend as **closed-form least squares**: fit
+    y ~ intercept + slope·t + A·sin(2πt/7) + B·cos(2πt/7) on the daily
+    click series. One aggregate pass collects the 4×4 Gram moments,
+    Cramer's rule (generated once, shared verbatim with the oracle —
+    see :func:`_cramer4`) solves the normal equations INSIDE the plan
+    as 1-row literal algebra, and a second bounded pass scores R².
+
+    The scale pattern completes the regression family: ev_daily_trend
+    (d=2 closed form) → here d=4 with engineered features →
+    ml_logreg_gd (iterative when no closed form exists). At 100 TB the
+    moment aggregate is map-side combinable and everything after it is
+    O(1); no driver-side solve, no collect — the whole fit is a
+    DataFrame expression."""
+    from pyspark.sql import Window as W
+
+    daily = (
+        events_raw(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .groupBy(F.expr("(ts DIV 1000) DIV 86400000000").alias("epoch_day"))
+        .agg(F.count("*").cast("double").alias("y"))
+    )
+    idx = daily.withColumn(
+        "x", (F.row_number().over(W.orderBy("epoch_day")) - 1).cast("long")
+    )
+    tau = 2 * 3.141592653589793 / _HARM_PERIOD
+    f = idx.select(
+        "y",
+        F.lit(1.0).alias("f0"),
+        F.col("x").cast("double").alias("f1"),
+        F.sin(F.lit(tau) * F.col("x")).alias("f2"),
+        F.cos(F.lit(tau) * F.col("x")).alias("f3"),
+    )
+    moms = [
+        F.sum(F.col(f"f{i}") * F.col(f"f{j}")).alias(f"m{i}{j}")
+        for i in range(4)
+        for j in range(i, 4)
+    ]
+    bs = [F.sum(F.col(f"f{i}") * F.col("y")).alias(f"b{i}") for i in range(4)]
+    mom = f.agg(
+        F.count("*").alias("n_days"),
+        *moms,
+        *bs,
+        F.sum("y").alias("sy"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    d, d0, d1, d2, d3 = _cramer4()
+    beta = mom.select(
+        "n_days",
+        "sy",
+        "syy",
+        F.expr(f"{d0} / {d}").alias("c0"),
+        F.expr(f"{d1} / {d}").alias("c1"),
+        F.expr(f"{d2} / {d}").alias("c2"),
+        F.expr(f"{d3} / {d}").alias("c3"),
+    )
+    fit = (
+        F.col("c0") * F.col("f0")
+        + F.col("c1") * F.col("f1")
+        + F.col("c2") * F.col("f2")
+        + F.col("c3") * F.col("f3")
+    )
+    return f.crossJoin(F.broadcast(beta)).agg(
+        F.first("n_days").alias("n_days"),
+        F.round(F.first("c0"), 6).alias("intercept"),
+        F.round(F.first("c1"), 6).alias("slope"),
+        F.round(F.first("c2"), 6).alias("sin_coef"),
+        F.round(F.first("c3"), 6).alias("cos_coef"),
+        F.round(
+            F.sqrt(
+                F.first("c2") * F.first("c2") + F.first("c3") * F.first("c3")
+            ),
+            6,
+        ).alias("amplitude"),
+        F.round(
+            1.0
+            - F.sum((F.col("y") - fit) * (F.col("y") - fit))
+            / (
+                F.first("syy")
+                - F.first("sy") * F.first("sy") / F.first("n_days")
+            ),
+            6,
+        ).alias("r2"),
+    )

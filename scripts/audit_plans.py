@@ -56,6 +56,7 @@ EXPECTED_CARTESIAN = {
     "ml_nb_langid": "5-row lang-stats + 1-row vocab/n-train scalar broadcasts",
     "ml_lr_sweep": "3-row swept-weights table broadcast into the scoring pass",
     "s27_skipping_stats_report": "1-row n_files scalar broadcast into the hash-layout arm",
+    "ev_harmonic_regression": "1-row Cramer-solved beta broadcast into the R2 scoring pass",
     "ml_brier_decomposition": "two 1-row overall/brier aggregates cross-joined",
     "ts_term_drift": "1-row old/new totals scalar broadcast",
     "j6_rec_coverage": "three 1-row diagnostic aggregates cross-joined",

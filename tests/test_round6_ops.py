@@ -134,3 +134,27 @@ def test_skipping_report_layout_dominance(queries, spark):
     assert ing["rows_matching"] == hsh["rows_matching"] > 0
     assert ing["skip_ratio"] > 0.8 and hsh["skip_ratio"] == 0.0
     assert 1.0 <= ing["scan_amplification"] < hsh["scan_amplification"]
+
+
+def test_harmonic_regression_matches_lstsq(queries, spark):
+    import numpy as np
+
+    row = queries["ev_harmonic_regression"](spark, SF_DIR).collect()[0]
+    y = duckdb.sql(
+        f"""SELECT CAST(COUNT(*) AS DOUBLE) FROM '{SF_DIR}/events.parquet'
+            WHERE event_type = 'click' GROUP BY CAST(ts AS DATE)
+            ORDER BY CAST(ts AS DATE)"""
+    ).df().iloc[:, 0].to_numpy()
+    x = np.arange(len(y), dtype=float)
+    tau = 2 * np.pi / 7
+    X = np.column_stack([np.ones_like(x), x, np.sin(tau * x), np.cos(tau * x)])
+    beta, *_ = np.linalg.lstsq(X, y, rcond=None)
+    assert row["n_days"] == len(y)
+    got = [row["intercept"], row["slope"], row["sin_coef"], row["cos_coef"]]
+    assert got == pytest.approx(list(beta), abs=1e-4)
+    sse = float(((y - X @ beta) ** 2).sum())
+    sst = float(((y - y.mean()) ** 2).sum())
+    assert row["r2"] == pytest.approx(1 - sse / sst, abs=1e-5)
+    assert row["amplitude"] == pytest.approx(
+        float(np.hypot(beta[2], beta[3])), abs=1e-4
+    )
