@@ -2347,3 +2347,80 @@ def ev_harmonic_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("r2"),
     )
+
+
+# --------------------------------------- rolling exact distinct users
+
+#: Trailing window width (days) for the rolling distinct-user count.
+_ROLL_DAYS = 7
+
+_ROLLING_DISTINCT_ORACLE = f"""WITH du AS (
+  SELECT DISTINCT CAST(ts AS DATE) AS date, user_id
+  FROM events WHERE event_type = 'click'
+),
+days AS (SELECT DISTINCT date FROM du)
+SELECT d.date,
+       CAST(COUNT(DISTINCT u.user_id) AS BIGINT) AS users_7d,
+       CAST(COUNT(DISTINCT CASE WHEN u.date = d.date
+                                THEN u.user_id END) AS BIGINT) AS users_1d
+FROM days d
+JOIN du u ON u.date > d.date - INTERVAL {_ROLL_DAYS} DAY AND u.date <= d.date
+GROUP BY d.date ORDER BY d.date"""
+
+
+@register("ev_rolling_distinct_users", _ROLLING_DISTINCT_ORACLE)
+def ev_rolling_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing {_ROLL_DAYS}-day **exact rolling distinct** users per
+    day (the WAU-style metric). COUNT(DISTINCT) does NOT decompose
+    over sliding window frames — a window SUM of daily distincts
+    double-counts returning users — so the exact form is the
+    spine-replication join: dedup to (date, user) first (the crucial
+    cardinality reducer: |days|×|daily users|, not |events|), then
+    replicate each row to the ≤{_ROLL_DAYS} window anchors it serves
+    and count distinct per anchor. At 100 TB the replication factor is
+    the window width — bounded and tunable — and everything shuffles
+    on the date key. The approximate path at extreme scale is the HLL
+    union over daily sketches (sk_monthly_from_daily_hll); this is the
+    exact one, and the single-day column doubles as its own check
+    (users_1d ≤ users_7d, users_1d = a1's daily count)."""
+    du = (
+        events_raw(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.expr("(ts DIV 1000) DIV 86400000000").alias("epoch_day"),
+            "user_id",
+        )
+        .distinct()
+    )
+    anchors = du.select(
+        F.explode(
+            F.sequence(
+                F.col("epoch_day"),
+                F.col("epoch_day") + (_ROLL_DAYS - 1),
+            )
+        ).alias("anchor_day"),
+        F.col("epoch_day"),
+        "user_id",
+    )
+    days = du.select(F.col("epoch_day").alias("anchor_day")).distinct()
+    return (
+        anchors.join(days, "anchor_day")
+        .groupBy("anchor_day")
+        .agg(
+            F.countDistinct("user_id").alias("users_7d"),
+            F.countDistinct(
+                F.when(
+                    F.col("epoch_day") == F.col("anchor_day"), F.col("user_id")
+                )
+            ).alias("users_1d"),
+        )
+        .select(
+            F.date_add(
+                F.lit("1970-01-01").cast("date"),
+                F.col("anchor_day").cast("int"),
+            ).alias("date"),
+            "users_7d",
+            "users_1d",
+        )
+        .orderBy("date")
+    )

@@ -445,3 +445,59 @@ def t6_decayed_popularity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rank", F.row_number().over(w).cast("int"))
         .filter(F.col("rank") <= POP_TOP_N)
     )
+
+
+# ----------------------------------------------- window-function zoo
+
+_T7_ORACLE = with_ctes(
+    """SELECT news_id, date, n_clicks,
+       LAG(n_clicks) OVER w AS prev_day,
+       LEAD(n_clicks) OVER w AS next_day,
+       FIRST_VALUE(n_clicks) OVER wf AS first_day,
+       LAST_VALUE(n_clicks) OVER wf AS last_day,
+       NTH_VALUE(n_clicks, 2) OVER wf AS second_day,
+       ROUND(PERCENT_RANK() OVER w, 6) AS pct_rank,
+       ROUND(CUME_DIST() OVER w, 6) AS cume,
+       CAST(NTILE(4) OVER w AS BIGINT) AS quartile
+FROM (SELECT news_id, date, CAST(COUNT(*) AS BIGINT) AS n_clicks
+      FROM clicks GROUP BY news_id, date)
+WINDOW w AS (PARTITION BY news_id ORDER BY date),
+       wf AS (PARTITION BY news_id ORDER BY date
+              ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)""",
+    CLICKS_CTE,
+)
+
+
+@register("t7_window_function_zoo", _T7_ORACLE)
+def t7_window_function_zoo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Analytic-window surface completeness in one pass: lag/lead,
+    first/last/nth value (explicit unbounded frame — the default frame
+    stops at CURRENT ROW and silently changes last/nth semantics),
+    percent_rank, cume_dist, ntile. All nine functions share ONE
+    (news_id)×(date) sort, so the executed plan carries a single
+    Exchange + Sort with the Window operators pipelined — adding
+    analytics to an existing ordering is free at any scale. Ordering
+    key (date) is unique per partition, so ntile/percent_rank are
+    deterministic."""
+    from ..sources import clicks as clicks_table
+
+    daily = (
+        clicks_table(spark, sf_dir)
+        .groupBy("news_id", "date")
+        .agg(F.count("*").cast("long").alias("n_clicks"))
+    )
+    w = Window.partitionBy("news_id").orderBy("date")
+    wf = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return daily.select(
+        "news_id",
+        "date",
+        "n_clicks",
+        F.lag("n_clicks").over(w).alias("prev_day"),
+        F.lead("n_clicks").over(w).alias("next_day"),
+        F.first("n_clicks").over(wf).alias("first_day"),
+        F.last("n_clicks").over(wf).alias("last_day"),
+        F.nth_value("n_clicks", 2).over(wf).alias("second_day"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+        F.ntile(4).over(w).cast("long").alias("quartile"),
+    )

@@ -158,3 +158,27 @@ def test_harmonic_regression_matches_lstsq(queries, spark):
     assert row["amplitude"] == pytest.approx(
         float(np.hypot(beta[2], beta[3])), abs=1e-4
     )
+
+
+def test_rolling_distinct_users_vs_duckdb_brute(queries, spark):
+    rows = queries["ev_rolling_distinct_users"](spark, SF_DIR).collect()
+    assert len(rows) == 30
+    for r in rows:
+        assert 0 < r["users_1d"] <= r["users_7d"]
+    # the 7-day count can never exceed the sum of the last 7 daily ones
+    daily = {r["date"]: r["users_1d"] for r in rows}
+    days = sorted(daily)
+    for i, d in enumerate(days):
+        win = [daily[x] for x in days[max(0, i - 6): i + 1]]
+        me = next(r for r in rows if r["date"] == d)
+        assert max(win) <= me["users_7d"] <= sum(win)
+
+
+def test_window_zoo_single_exchange(queries, spark):
+    plan = queries["t7_window_function_zoo"](
+        spark, SF_DIR
+    )._jdf.queryExecution().executedPlan().toString()
+    import re
+
+    # one shuffle for the aggregate, one for the shared window sort
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) <= 2
