@@ -98,6 +98,19 @@ HEADLINE = (
     "dedup_span_scrub",
     "dedup_prefix_filter_join",
     "dedup_incremental_lsh",
+    # round-6 additions: the ML-training family (iterative aggregate
+    # passes), the interval-overlap band join, the next-item eval, the
+    # closed-form harmonic fit, rolling exact distinct, and the
+    # data-skipping layout audit
+    "ml_logreg_gd",
+    "ml_lr_sweep",
+    "ml_nb_langid",
+    "ml_isotonic_calibration",
+    "ef_session_overlap_join",
+    "cf_next_item_hitrate",
+    "ev_harmonic_regression",
+    "ev_rolling_distinct_users",
+    "s27_skipping_stats_report",
 )
 
 
