@@ -877,3 +877,128 @@ def ml_isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.groupBy("lang").applyInPandas(
         lambda pdf: _pava_blocks(pdf), schema=_ISO_SCHEMA
     )
+
+
+# ------------------------------------------------ ALS half-step (d=2)
+
+#: ALS ridge term and the factor dimensionality of the oracle-backed
+#: half-step (d=2 keeps the per-user normal equations Cramer-expressible
+#: in SQL; plans/als.py holds the full iterative rows-only variant).
+ALS_LAMBDA = 0.1
+
+
+from ..sources.tables import NEWS_MOD as _NEWS_MOD
+
+
+def _als_item_factor_sql(col: str, salt: int) -> str:
+    """Pinned pseudo-random item factor in [-0.5, 0.5): Knuth-mixed id
+    bits, plain BIGINT arithmetic — identical literal algebra on both
+    engines (never RNG: resumable, engine-portable)."""
+    return (
+        f"((({col} + {salt}) * {HASH_MULT}) % {HASH_MOD})"
+        f" / CAST({HASH_MOD} AS DOUBLE) - 0.5"
+    )
+
+
+_ALS_ORACLE = f"""WITH r AS (
+  SELECT user_id, event_id % {_NEWS_MOD} AS news_id,
+         CAST(COUNT(*) AS DOUBLE) AS rating
+  FROM events WHERE event_type = 'click' GROUP BY user_id, event_id % {_NEWS_MOD}
+),
+f AS (
+  SELECT news_id,
+         {_als_item_factor_sql('news_id', 1)} AS f0,
+         {_als_item_factor_sql('news_id', 2)} AS f1
+  FROM (SELECT DISTINCT news_id FROM r)
+),
+m AS (
+  SELECT r.user_id,
+         CAST(COUNT(*) AS BIGINT) AS n_items,
+         SUM(f.f0 * f.f0) + {ALS_LAMBDA} AS m00,
+         SUM(f.f0 * f.f1) AS m01,
+         SUM(f.f1 * f.f1) + {ALS_LAMBDA} AS m11,
+         SUM(f.f0 * r.rating) AS b0,
+         SUM(f.f1 * r.rating) AS b1
+  FROM r JOIN f ON r.news_id = f.news_id
+  GROUP BY r.user_id
+),
+u AS (
+  SELECT user_id, n_items,
+         (b0 * m11 - b1 * m01) / (m00 * m11 - m01 * m01) AS u0,
+         (m00 * b1 - m01 * b0) / (m00 * m11 - m01 * m01) AS u1
+  FROM m
+)
+SELECT u.user_id, ANY_VALUE(u.n_items) AS n_items,
+       ROUND(ANY_VALUE(u.u0), 6) AS u0,
+       ROUND(ANY_VALUE(u.u1), 6) AS u1,
+       ROUND(SQRT(SUM((r.rating - (u.u0 * f.f0 + u.u1 * f.f1))
+                      * (r.rating - (u.u0 * f.f0 + u.u1 * f.f1)))
+                  / ANY_VALUE(u.n_items)), 6) AS rmse
+FROM u JOIN r ON u.user_id = r.user_id JOIN f ON r.news_id = f.news_id
+GROUP BY u.user_id"""
+
+
+@register("ml_als_half_step", _ALS_ORACLE)
+def ml_als_half_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One exact **ALS half-step**: hold the item factors fixed (pinned
+    hash-derived d=2 vectors) and solve every user's ridge regression
+    u = (FᵀF + λI)⁻¹Fᵀr in closed form — the per-user 2×2 Cramer solve
+    is plain column algebra inside ONE groupBy(user) aggregate, so the
+    whole half-step is a broadcast join (item factors are |items|×d)
+    plus one shuffle on user_id, with no driver-side linear algebra at
+    all. This is exactly how production ALS scales each alternation
+    (per-entity independent least squares); the full alternating loop
+    lives in plans/als.py as the rows-only iterative twin — this entry
+    makes one alternation hash-verifiable against DuckDB. Per-user
+    training RMSE comes from a second bounded pass with the solved
+    factors joined back."""
+    from ..sources import events_raw
+    from ..sources.tables import NEWS_MOD
+
+    r = (
+        events_raw(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .groupBy("user_id", (F.col("event_id") % NEWS_MOD).alias("news_id"))
+        .agg(F.count("*").cast("double").alias("rating"))
+    )
+    items = r.select("news_id").distinct()
+    f = items.select(
+        "news_id",
+        F.expr(_als_item_factor_sql("news_id", 1)).alias("f0"),
+        F.expr(_als_item_factor_sql("news_id", 2)).alias("f1"),
+    )
+    rf = r.join(F.broadcast(f), "news_id")
+    m = rf.groupBy("user_id").agg(
+        F.count("*").alias("n_items"),
+        (F.sum(F.col("f0") * F.col("f0")) + ALS_LAMBDA).alias("m00"),
+        F.sum(F.col("f0") * F.col("f1")).alias("m01"),
+        (F.sum(F.col("f1") * F.col("f1")) + ALS_LAMBDA).alias("m11"),
+        F.sum(F.col("f0") * F.col("rating")).alias("b0"),
+        F.sum(F.col("f1") * F.col("rating")).alias("b1"),
+    )
+    det = F.col("m00") * F.col("m11") - F.col("m01") * F.col("m01")
+    u = m.select(
+        "user_id",
+        "n_items",
+        ((F.col("b0") * F.col("m11") - F.col("b1") * F.col("m01")) / det).alias("u0"),
+        ((F.col("m00") * F.col("b1") - F.col("m01") * F.col("b0")) / det).alias("u1"),
+    )
+    pred = F.col("u0") * F.col("f0") + F.col("u1") * F.col("f1")
+    return (
+        u.join(rf, "user_id")
+        .groupBy("user_id")
+        .agg(
+            F.first("n_items").alias("n_items"),
+            F.round(F.first("u0"), 6).alias("u0"),
+            F.round(F.first("u1"), 6).alias("u1"),
+            F.round(
+                F.sqrt(
+                    F.sum(
+                        (F.col("rating") - pred) * (F.col("rating") - pred)
+                    )
+                    / F.first("n_items")
+                ),
+                6,
+            ).alias("rmse"),
+        )
+    )

@@ -205,3 +205,31 @@ def test_isotonic_planted_solution(queries, spark, tmp_path):
     )
     assert [r["fitted"] for r in out] == [0.0, 0.5, 1.0]
     assert [r["n"] for r in out] == [1, 2, 1]
+
+
+def test_als_half_step_matches_numpy_ridge(queries, spark):
+    """Each user's factors must equal the closed-form ridge solution
+    computed independently in numpy from the same pinned item factors."""
+    from recommedation_system_under_flink_spark.operators.ml import ALS_LAMBDA
+
+    rows = queries["ml_als_half_step"](spark, SF_DIR).collect()
+    r = duckdb.sql(
+        f"""SELECT user_id, event_id % 500 AS news_id,
+                   CAST(COUNT(*) AS DOUBLE) AS rating
+            FROM '{SF_DIR}/events.parquet' WHERE event_type = 'click'
+            GROUP BY 1, 2"""
+    ).df()
+
+    def factor(nid, salt):
+        return ((int(nid) + salt) * 2654435761 % 2**32) / 2**32 - 0.5
+
+    for row in rows[:40]:
+        sub = r[r.user_id == row["user_id"]]
+        Fm = np.array([[factor(n, 1), factor(n, 2)] for n in sub.news_id])
+        y = sub.rating.to_numpy()
+        A = Fm.T @ Fm + ALS_LAMBDA * np.eye(2)
+        u = np.linalg.solve(A, Fm.T @ y)
+        assert row["n_items"] == len(sub)
+        assert [row["u0"], row["u1"]] == pytest.approx(list(u), abs=2e-6)
+        rmse = float(np.sqrt(np.mean((y - Fm @ u) ** 2)))
+        assert row["rmse"] == pytest.approx(rmse, abs=2e-6)
