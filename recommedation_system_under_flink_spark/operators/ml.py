@@ -1002,3 +1002,165 @@ def ml_als_half_step(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("rmse"),
         )
     )
+
+
+# ------------------------------------------- ALS alternations (d=2)
+
+
+def _als_sweep_oracle() -> str:
+    """Three chained half-steps (U|F0 → F1|U1 → U2|F1), each the same
+    per-entity 2×2 ridge solve as ml_als_half_step, plus the global
+    regularized objective after each — the whole alternating loop as
+    one verifiable SQL expression."""
+    f0 = _als_item_factor_sql("news_id", 1)
+    f1 = _als_item_factor_sql("news_id", 2)
+
+    def solve(ent: str, src_fac: str, fac_ent: str, fa: str, fb: str) -> str:
+        """CTE body solving ``ent`` factors (output cols u0, u1)
+        against ``src_fac`` (entity col ``fac_ent``, factor cols
+        ``fa``/``fb``)."""
+        return f"""(
+  SELECT {ent},
+         (sb0 * sm11 - sb1 * sm01) / (sm00 * sm11 - sm01 * sm01) AS u0,
+         (sm00 * sb1 - sm01 * sb0) / (sm00 * sm11 - sm01 * sm01) AS u1
+  FROM (
+    SELECT r.{ent},
+           SUM(g.{fa} * g.{fa}) + {ALS_LAMBDA} AS sm00,
+           SUM(g.{fa} * g.{fb}) AS sm01,
+           SUM(g.{fb} * g.{fb}) + {ALS_LAMBDA} AS sm11,
+           SUM(g.{fa} * r.rating) AS sb0,
+           SUM(g.{fb} * r.rating) AS sb1
+    FROM r JOIN {src_fac} g ON r.{fac_ent} = g.{fac_ent}
+    GROUP BY r.{ent}
+  )
+)"""
+
+    def obj(ucte: str, fcte: str) -> str:
+        return f"""(
+  SELECT SUM((r.rating - (u.u0 * f.f0 + u.u1 * f.f1))
+             * (r.rating - (u.u0 * f.f0 + u.u1 * f.f1))) AS sse,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM r JOIN {ucte} u ON r.user_id = u.user_id
+         JOIN {fcte} f ON r.news_id = f.news_id
+)"""
+
+    return f"""WITH r AS (
+  SELECT user_id, event_id % {_NEWS_MOD} AS news_id,
+         CAST(COUNT(*) AS DOUBLE) AS rating
+  FROM events WHERE event_type = 'click' GROUP BY user_id, event_id % {_NEWS_MOD}
+),
+fac0 AS (
+  SELECT news_id, {f0} AS f0, {f1} AS f1
+  FROM (SELECT DISTINCT news_id FROM r)
+),
+u1 AS {solve("user_id", "fac0", "news_id", "f0", "f1")},
+fac1raw AS {solve("news_id", "u1", "user_id", "u0", "u1")},
+fac1 AS (SELECT news_id, u0 AS f0, u1 AS f1 FROM fac1raw),
+u2 AS {solve("user_id", "fac1", "news_id", "f0", "f1")},
+nu1 AS (SELECT SUM(u0 * u0 + u1 * u1) AS nrm FROM u1),
+nu2 AS (SELECT SUM(u0 * u0 + u1 * u1) AS nrm FROM u2),
+nf0 AS (SELECT SUM(f0 * f0 + f1 * f1) AS nrm FROM fac0),
+nf1 AS (SELECT SUM(f0 * f0 + f1 * f1) AS nrm FROM fac1),
+o1 AS {obj("u1", "fac0")},
+o2 AS {obj("u1", "fac1")},
+o3 AS {obj("u2", "fac1")}
+SELECT 1 AS step, ROUND(SQRT(o1.sse / o1.n), 6) AS rmse,
+       ROUND(o1.sse + {ALS_LAMBDA} * (nu1.nrm + nf0.nrm), 6) AS objective
+FROM o1, nu1, nf0
+UNION ALL
+SELECT 2, ROUND(SQRT(o2.sse / o2.n), 6),
+       ROUND(o2.sse + {ALS_LAMBDA} * (nu1.nrm + nf1.nrm), 6)
+FROM o2, nu1, nf1
+UNION ALL
+SELECT 3, ROUND(SQRT(o3.sse / o3.n), 6),
+       ROUND(o3.sse + {ALS_LAMBDA} * (nu2.nrm + nf1.nrm), 6)
+FROM o3, nu2, nf1
+ORDER BY step"""
+
+
+@register("ml_als_two_sweeps", _als_sweep_oracle())
+def ml_als_two_sweeps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three ALS half-steps end-to-end (solve U, then items, then U
+    again), reporting RMSE and the regularized objective after each —
+    the **monotone-descent certificate** for the alternating loop:
+    each half-step exactly minimizes the global objective in its own
+    block with the other fixed, so the objective column must be
+    non-increasing (pinned in pytest; RMSE alone need not be monotone
+    under ridge). Every half-step is the ml_als_half_step dataflow —
+    a broadcast of the smaller factor side into one groupBy on the
+    solved entity — so K alternations cost K shuffles of the ratings,
+    no driver linear algebra, no state beyond the factor tables."""
+    from ..sources import events_raw
+
+    r = (
+        events_raw(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .groupBy("user_id", (F.col("event_id") % _NEWS_MOD).alias("news_id"))
+        .agg(F.count("*").cast("double").alias("rating"))
+    )
+    fac0 = r.select("news_id").distinct().select(
+        "news_id",
+        F.expr(_als_item_factor_sql("news_id", 1)).alias("f0"),
+        F.expr(_als_item_factor_sql("news_id", 2)).alias("f1"),
+    )
+
+    def solve(ratings: DataFrame, fac: DataFrame, ent: str, fac_ent: str,
+              fa: str, fb: str) -> DataFrame:
+        joined = ratings.join(F.broadcast(fac), fac_ent)
+        m = joined.groupBy(ent).agg(
+            (F.sum(F.col(fa) * F.col(fa)) + ALS_LAMBDA).alias("sm00"),
+            F.sum(F.col(fa) * F.col(fb)).alias("sm01"),
+            (F.sum(F.col(fb) * F.col(fb)) + ALS_LAMBDA).alias("sm11"),
+            F.sum(F.col(fa) * F.col("rating")).alias("sb0"),
+            F.sum(F.col(fb) * F.col("rating")).alias("sb1"),
+        )
+        det = F.col("sm00") * F.col("sm11") - F.col("sm01") * F.col("sm01")
+        return m.select(
+            ent,
+            ((F.col("sb0") * F.col("sm11") - F.col("sb1") * F.col("sm01")) / det).alias("u0"),
+            ((F.col("sm00") * F.col("sb1") - F.col("sm01") * F.col("sb0")) / det).alias("u1"),
+        )
+
+    # Each factor table feeds 2-3 downstream legs (the next solve and
+    # the objective rows); persist them so the executed job reuses one
+    # materialization instead of re-deriving the whole chain per leg
+    # (Catalyst has no cross-subtree CSE — see scripts/audit_plans.py).
+    r.persist()
+    u1 = solve(r, fac0, "user_id", "news_id", "f0", "f1").persist()
+    fac1 = solve(r, u1, "news_id", "user_id", "u0", "u1").select(
+        "news_id", F.col("u0").alias("f0"), F.col("u1").alias("f1")
+    ).persist()
+    u2 = solve(r, fac1, "user_id", "news_id", "f0", "f1").persist()
+
+    def norm(df: DataFrame, a: str, b: str) -> DataFrame:
+        return df.agg(F.sum(F.col(a) * F.col(a) + F.col(b) * F.col(b)).alias("nrm"))
+
+    def obj(step: int, u: DataFrame, fac: DataFrame, un: DataFrame,
+            fn: DataFrame) -> DataFrame:
+        pred = F.col("u0") * F.col("f0") + F.col("u1") * F.col("f1")
+        sse = (
+            r.join(u, "user_id")
+            .join(F.broadcast(fac), "news_id")
+            .agg(
+                F.sum((F.col("rating") - pred) * (F.col("rating") - pred)).alias("sse"),
+                F.count("*").alias("n"),
+            )
+        )
+        return (
+            sse.crossJoin(F.broadcast(un.select(F.col("nrm").alias("unrm"))))
+            .crossJoin(F.broadcast(fn.select(F.col("nrm").alias("fnrm"))))
+            .select(
+                F.lit(step).alias("step"),
+                F.round(F.sqrt(F.col("sse") / F.col("n")), 6).alias("rmse"),
+                F.round(
+                    F.col("sse") + ALS_LAMBDA * (F.col("unrm") + F.col("fnrm")), 6
+                ).alias("objective"),
+            )
+        )
+
+    out = (
+        obj(1, u1, fac0, norm(u1, "u0", "u1"), norm(fac0, "f0", "f1"))
+        .unionByName(obj(2, u1, fac1, norm(u1, "u0", "u1"), norm(fac1, "f0", "f1")))
+        .unionByName(obj(3, u2, fac1, norm(u2, "u0", "u1"), norm(fac1, "f0", "f1")))
+    )
+    return out.orderBy("step")

@@ -233,3 +233,19 @@ def test_als_half_step_matches_numpy_ridge(queries, spark):
         assert [row["u0"], row["u1"]] == pytest.approx(list(u), abs=2e-6)
         rmse = float(np.sqrt(np.mean((y - Fm @ u) ** 2)))
         assert row["rmse"] == pytest.approx(rmse, abs=2e-6)
+
+
+def test_als_sweeps_monotone_descent(queries, spark):
+    """Each ALS half-step exactly minimizes the regularized objective
+    in its own block — the objective must be non-increasing across
+    half-steps (RMSE alone need not be, under ridge), and the first
+    step must already improve on any later one by a real margin."""
+    rows = sorted(
+        queries["ml_als_two_sweeps"](spark, SF_DIR).collect(),
+        key=lambda r: r["step"],
+    )
+    objs = [r["objective"] for r in rows]
+    assert len(objs) == 3
+    assert objs[0] >= objs[1] >= objs[2] > 0
+    assert objs[2] < objs[0]  # two sweeps make actual progress
+    assert all(r["rmse"] > 0 for r in rows)
