@@ -983,3 +983,100 @@ def prof_partition_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("skew_ratio"),
         (F.col("max_rows") > 2 * F.col("median_rows")).alias("skewed"),
     )
+
+
+# -------------------------------------------- table fingerprints
+
+#: Fingerprint modulus (Mersenne 2^61-1) and the Knuth mixer.
+_FP_P = 2_305_843_009_213_693_951
+_FP_MULT = 2654435761
+
+
+def _fp_sql(*cols: str) -> str:
+    """Order-independent relation fingerprint: SUM over rows of a
+    Knuth-mixed row hash, mod 2^61-1. Plain BIGINT arithmetic —
+    identical in any engine; column order is pinned by the caller."""
+    mix = " + ".join(f"({c}) * {31 ** (i + 1)}" for i, c in enumerate(cols))
+    # reduce mod 2^31 BEFORE the Knuth multiply: 2^31 * mult < 2^63, so
+    # the product never overflows BIGINT in either engine
+    return (
+        f"CAST(SUM(((({mix}) % 2147483648) * {_FP_MULT}) % 4294967296)"
+        f" % {_FP_P} AS BIGINT)"
+    )
+
+
+_FP_ORACLE = f"""SELECT relation, n_rows, fingerprint FROM (
+  SELECT 'clicks' AS relation, CAST(COUNT(*) AS BIGINT) AS n_rows,
+         {_fp_sql('user_id', 'event_id % 500',
+                  "epoch_us(ts) // 86400000000")} AS fingerprint
+  FROM events WHERE event_type = 'click'
+  UNION ALL
+  SELECT 'documents', CAST(COUNT(*) AS BIGINT),
+         {_fp_sql('doc_id', 'n_chars',
+                  'ascii(substr(lang, 1, 1))',
+                  'ascii(substr(source, length(source), 1))')}
+  FROM documents
+  UNION ALL
+  SELECT 'orders', CAST(COUNT(*) AS BIGINT),
+         {_fp_sql('o_orderkey', 'o_custkey',
+                  'CAST(FLOOR(o_totalprice * 100) AS BIGINT)')}
+  FROM orders
+) ORDER BY relation"""
+
+
+@register("prof_table_fingerprint", _FP_ORACLE)
+def prof_table_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """**Order-independent table fingerprints**: one commutative
+    checksum per relation (sum of Knuth-mixed row hashes mod 2⁶¹−1)
+    plus the row count. Because the aggregate is commutative and
+    associative it is partition-order- and engine-independent — THE
+    cheap way to verify that two replicas / two engines / a migration
+    hold identical data without sorting or shuffling anything: one
+    map-side-combinable pass per table, O(1) output. A single changed,
+    dropped, or duplicated row flips the fingerprint (pinned in
+    pytest by mutating one row). This very query hash-matching its
+    DuckDB twin is the property in action."""
+    from ..sources import events_raw
+
+    clicks = (
+        events_raw(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c1"),
+            (F.col("event_id") % 500).alias("c2"),
+            F.expr("(ts DIV 1000) DIV 86400000000").alias("c3"),
+        )
+    )
+    docs = load_raw(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("c1"),
+        F.col("n_chars").alias("c2"),
+        F.ascii(F.substring(F.col("lang"), 1, 1)).cast("long").alias("c3"),
+        F.ascii(
+            F.col("source").substr(F.length("source"), F.lit(1))
+        ).cast("long").alias("c4"),
+    )
+    orders = load_raw(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("c1"),
+        F.col("o_custkey").alias("c2"),
+        F.floor(F.col("o_totalprice") * 100).cast("long").alias("c3"),
+    )
+
+    def fp(df: DataFrame, name: str) -> DataFrame:
+        cols = df.columns
+        mix = None
+        for i, c in enumerate(cols):
+            term = F.col(c) * (31 ** (i + 1))
+            mix = term if mix is None else mix + term
+        row_hash = ((mix % 2_147_483_648) * _FP_MULT) % 4_294_967_296
+        return df.agg(
+            F.lit(name).alias("relation"),
+            F.count("*").alias("n_rows"),
+            (F.sum(row_hash) % _FP_P).cast("long").alias("fingerprint"),
+        )
+
+    return (
+        fp(clicks, "clicks")
+        .unionByName(fp(docs, "documents"))
+        .unionByName(fp(orders, "orders"))
+        .orderBy("relation")
+    )

@@ -182,3 +182,34 @@ def test_window_zoo_single_exchange(queries, spark):
 
     # one shuffle for the aggregate, one for the shared window sort
     assert len(re.findall(r"Exchange hashpartitioning", plan)) <= 2
+
+
+def test_table_fingerprint_detects_single_row_change(queries, spark, tmp_path):
+    """The commutative checksum must be order-independent and flip on
+    any single-row mutation."""
+    import shutil
+
+    src = f"{SF_DIR}/documents.parquet"
+    base = queries["prof_table_fingerprint"](spark, SF_DIR).collect()
+    fp0 = {r["relation"]: r["fingerprint"] for r in base}
+    # same rows, reversed order -> identical fingerprint
+    duckdb.sql(
+        f"COPY (SELECT * FROM '{src}' ORDER BY doc_id DESC) TO "
+        f"'{tmp_path}/documents.parquet' (FORMAT PARQUET)"
+    )
+    # events/orders unchanged
+    for t in ("events", "orders"):
+        shutil.copy(f"{SF_DIR}/{t}.parquet", f"{tmp_path}/{t}.parquet")
+    rows = queries["prof_table_fingerprint"](spark, str(tmp_path)).collect()
+    fp1 = {r["relation"]: r["fingerprint"] for r in rows}
+    assert fp1 == fp0
+    # mutate ONE document's n_chars -> documents fingerprint flips
+    duckdb.sql(
+        f"COPY (SELECT doc_id, text, lang, source, "
+        f"CASE WHEN doc_id = 3 THEN n_chars + 1 ELSE n_chars END AS n_chars "
+        f"FROM '{src}') TO '{tmp_path}/documents.parquet' (FORMAT PARQUET)"
+    )
+    rows = queries["prof_table_fingerprint"](spark, str(tmp_path)).collect()
+    fp2 = {r["relation"]: r["fingerprint"] for r in rows}
+    assert fp2["documents"] != fp0["documents"]
+    assert fp2["orders"] == fp0["orders"] and fp2["clicks"] == fp0["clicks"]
