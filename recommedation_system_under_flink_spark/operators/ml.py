@@ -1164,3 +1164,153 @@ def ml_als_two_sweeps(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(obj(3, u2, fac1, norm(u2, "u0", "u1"), norm(fac1, "f0", "f1")))
     )
     return out.orderBy("step")
+
+
+# ----------------------------------------- WOE / information value
+
+#: Laplace-style smoothing added to each bin's positive/negative
+#: counts before the WOE log (keeps empty cells finite, standard
+#: practice in credit-scoring implementations).
+WOE_SMOOTH = 0.5
+
+_WOE_ORACLE = f"""WITH {_FEATS_CTE},
+scored AS (
+  SELECT CASE WHEN list_contains({_SQL_TOKENS.replace("text", "d.text")}, 'the')
+              THEN 1.0 ELSE 0.0 END AS y,
+         {_CAL_SCORE_SQL} AS s
+  FROM feats JOIN documents d USING (doc_id)
+),
+binned AS (
+  SELECT LEAST(FLOOR(s * {CAL_BINS}), {CAL_BINS - 1}) AS bin, y FROM scored
+),
+tot AS (
+  SELECT SUM(y) + {CAL_BINS} * {WOE_SMOOTH} AS tp,
+         SUM(1.0 - y) + {CAL_BINS} * {WOE_SMOOTH} AS tn
+  FROM binned
+)
+SELECT CAST(bin AS BIGINT) AS bin,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND((SUM(y) + {WOE_SMOOTH}) / ANY_VALUE(tp), 6) AS pct_pos,
+       ROUND((SUM(1.0 - y) + {WOE_SMOOTH}) / ANY_VALUE(tn), 6) AS pct_neg,
+       ROUND(LN(((SUM(y) + {WOE_SMOOTH}) / ANY_VALUE(tp))
+                / ((SUM(1.0 - y) + {WOE_SMOOTH}) / ANY_VALUE(tn))), 6) AS woe,
+       ROUND(((SUM(y) + {WOE_SMOOTH}) / ANY_VALUE(tp)
+              - (SUM(1.0 - y) + {WOE_SMOOTH}) / ANY_VALUE(tn))
+             * LN(((SUM(y) + {WOE_SMOOTH}) / ANY_VALUE(tp))
+                  / ((SUM(1.0 - y) + {WOE_SMOOTH}) / ANY_VALUE(tn))), 6)
+         AS iv_contrib
+FROM binned CROSS JOIN tot
+GROUP BY bin ORDER BY bin"""
+
+
+@register("ml_woe_iv", _WOE_ORACLE)
+def ml_woe_iv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """**Weight-of-evidence / information-value** report of the pinned
+    scorer against the contains-'the' label: per score bin, the
+    smoothed positive/negative shares, WOE = ln(%pos/%neg), and the IV
+    contribution (%pos − %neg)·WOE — the credit-scoring-style
+    predictive-power audit (IV > 0.3 ⇒ strong feature). Every IV
+    contribution is ≥ 0 by construction, so the audit is also a
+    per-bin sanity check. One scan, one 10-group aggregate, a 1-row
+    totals broadcast."""
+    docs = load_raw(spark, sf_dir, "documents")
+    toks = _tokens(F.col("text"))
+    ntok = F.size(toks)
+    z = (
+        F.lit(CAL_W[0])
+        + F.lit(CAL_W[1]) * (F.col("n_chars") / 500.0)
+        + F.lit(CAL_W[2]) * (ntok / 50.0)
+    )
+    scored = docs.select(
+        F.when(F.array_contains(toks, "the"), 1.0).otherwise(0.0).alias("y"),
+        (F.lit(1.0) / (F.lit(1.0) + F.exp(-z))).alias("s"),
+    )
+    binned = scored.select(
+        F.least(F.floor(F.col("s") * CAL_BINS), F.lit(CAL_BINS - 1)).alias("bin"),
+        "y",
+    )
+    tot = binned.agg(
+        (F.sum("y") + CAL_BINS * WOE_SMOOTH).alias("tp"),
+        (F.sum(F.lit(1.0) - F.col("y")) + CAL_BINS * WOE_SMOOTH).alias("tn"),
+    )
+    g = binned.groupBy("bin").agg(
+        F.count("*").alias("n"),
+        (F.sum("y") + WOE_SMOOTH).alias("pos"),
+        (F.sum(F.lit(1.0) - F.col("y")) + WOE_SMOOTH).alias("neg"),
+    )
+    pp = F.col("pos") / F.col("tp")
+    pn = F.col("neg") / F.col("tn")
+    return (
+        g.crossJoin(F.broadcast(tot))
+        .select(
+            F.col("bin").cast("long").alias("bin"),
+            "n",
+            F.round(pp, 6).alias("pct_pos"),
+            F.round(pn, 6).alias("pct_neg"),
+            F.round(F.log(pp / pn), 6).alias("woe"),
+            F.round((pp - pn) * F.log(pp / pn), 6).alias("iv_contrib"),
+        )
+        .orderBy("bin")
+    )
+
+
+# ------------------------------------------- LOO target encoding
+
+#: Smoothing pseudo-count toward the global prior.
+TE_SMOOTH = 10.0
+
+_TE_ORACLE = f"""WITH lab AS (
+  SELECT doc_id, source,
+         CASE WHEN list_contains({_SQL_TOKENS}, 'the')
+              THEN 1.0 ELSE 0.0 END AS y
+  FROM documents
+),
+prior AS (SELECT AVG(y) AS mu FROM lab),
+grp AS (
+  SELECT source, SUM(y) AS ysum, CAST(COUNT(*) AS BIGINT) AS n
+  FROM lab GROUP BY source
+)
+SELECT l.doc_id, l.source,
+       ROUND((g.ysum - l.y + {TE_SMOOTH} * prior.mu)
+             / (g.n - 1 + {TE_SMOOTH}), 6) AS enc
+FROM lab l JOIN grp g ON l.source = g.source CROSS JOIN prior
+ORDER BY l.doc_id"""
+
+
+@register("ml_target_encoding", _TE_ORACLE)
+def ml_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """**Leave-one-out target encoding** of the high-cardinality
+    categorical (source): each row's encoding is the smoothed target
+    mean of its OWN group with the row itself excluded —
+    (Σy − yᵢ + m·prior) / (n − 1 + m) — the construction that gives
+    the model P(y|category) without the self-leakage a plain group
+    mean injects. One groupBy on the category plus a broadcast join
+    back to rows; the 1-row prior broadcasts. At 100 TB the group
+    table is |categories|-sized — the encoder ships as a tiny side
+    table, but the LOO correction stays per-row by construction."""
+    docs = load_raw(spark, sf_dir, "documents")
+    lab = docs.select(
+        "doc_id",
+        "source",
+        F.when(F.array_contains(_tokens(F.col("text")), "the"), 1.0)
+        .otherwise(0.0)
+        .alias("y"),
+    )
+    prior = lab.agg(F.avg("y").alias("mu"))
+    grp = lab.groupBy("source").agg(
+        F.sum("y").alias("ysum"), F.count("*").alias("n")
+    )
+    return (
+        lab.join(F.broadcast(grp), "source")
+        .crossJoin(F.broadcast(prior))
+        .select(
+            "doc_id",
+            "source",
+            F.round(
+                (F.col("ysum") - F.col("y") + TE_SMOOTH * F.col("mu"))
+                / (F.col("n") - 1 + TE_SMOOTH),
+                6,
+            ).alias("enc"),
+        )
+        .orderBy("doc_id")
+    )

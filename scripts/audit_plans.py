@@ -58,6 +58,8 @@ EXPECTED_CARTESIAN = {
     "s27_skipping_stats_report": "1-row n_files scalar broadcast into the hash-layout arm",
     "ev_harmonic_regression": "1-row Cramer-solved beta broadcast into the R2 scoring pass",
     "ml_als_two_sweeps": "1-row factor-norm scalars crossed into each objective row",
+    "ml_woe_iv": "1-row smoothed pos/neg totals broadcast into the bin grid",
+    "ml_target_encoding": "1-row global-prior scalar broadcast into the LOO rows",
     "ml_brier_decomposition": "two 1-row overall/brier aggregates cross-joined",
     "ts_term_drift": "1-row old/new totals scalar broadcast",
     "j6_rec_coverage": "three 1-row diagnostic aggregates cross-joined",

@@ -249,3 +249,38 @@ def test_als_sweeps_monotone_descent(queries, spark):
     assert objs[0] >= objs[1] >= objs[2] > 0
     assert objs[2] < objs[0]  # two sweeps make actual progress
     assert all(r["rmse"] > 0 for r in rows)
+
+
+def test_woe_iv_nonnegative_and_conserved(queries, spark):
+    rows = queries["ml_woe_iv"](spark, SF_DIR).collect()
+    n_docs = duckdb.sql(
+        f"SELECT COUNT(*) FROM '{SF_DIR}/documents.parquet'"
+    ).fetchone()[0]
+    assert sum(r["n"] for r in rows) == n_docs
+    for r in rows:
+        assert r["iv_contrib"] >= 0  # (p-q)ln(p/q) >= 0 always
+        assert (r["woe"] >= 0) == (r["pct_pos"] >= r["pct_neg"])
+    assert sum(r["pct_pos"] for r in rows) == pytest.approx(1.0, abs=1e-3)
+    assert sum(r["pct_neg"] for r in rows) == pytest.approx(1.0, abs=1e-3)
+
+
+def test_target_encoding_loo_matches_pandas(queries, spark):
+    from recommedation_system_under_flink_spark.operators.ml import TE_SMOOTH
+
+    rows = queries["ml_target_encoding"](spark, SF_DIR).collect()
+    df = duckdb.sql(
+        f"""SELECT doc_id, source,
+                   CASE WHEN list_contains(
+                       list_filter(string_split(text,' '), t->t<>''), 'the')
+                   THEN 1.0 ELSE 0.0 END AS y
+            FROM '{SF_DIR}/documents.parquet'"""
+    ).df()
+    mu = df.y.mean()
+    g = df.groupby("source").y.agg(["sum", "count"])
+    by_id = df.set_index("doc_id")
+    for r in rows[:100]:
+        src, y = by_id.loc[r["doc_id"], "source"], by_id.loc[r["doc_id"], "y"]
+        expect = (g.loc[src, "sum"] - y + TE_SMOOTH * mu) / (
+            g.loc[src, "count"] - 1 + TE_SMOOTH
+        )
+        assert r["enc"] == pytest.approx(expect, abs=2e-6)
