@@ -657,3 +657,157 @@ def stream_decayed_popularity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rank", F.row_number().over(w).cast("int"))
         .filter(F.col("rank") <= POP_TOP_N)
     )
+
+
+# ---------------------------------------------------- streaming CDC
+
+#: Micro-batch count for the staged change stream (seq-ordered files).
+_CDC_BATCHES = 4
+_CDC_DELETE_MOD = 50  # mirrors operators/kernels_sql.S26_DELETE_MOD
+
+
+def _cdc_base(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources import load_raw
+
+    return load_raw(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("entity_id"),
+        F.col("c_acctbal").alias("balance"),
+        F.lit(0).cast("long").alias("last_seq"),
+        F.lit("kept").alias("action"),
+    )
+
+
+@register(
+    "stream_cdc_apply",
+    # the settled snapshot must equal the BATCH CDC apply exactly
+    # (operators/kernels_sql.s26_cdc_apply's oracle, verbatim)
+    f"""WITH changes AS (
+  SELECT o_custkey AS entity_id, o_orderkey AS seq,
+         CASE WHEN o_orderkey % {_CDC_DELETE_MOD} = 0 THEN 'D' ELSE 'U' END AS op,
+         o_totalprice AS new_balance
+  FROM orders
+),
+latest AS (
+  SELECT entity_id, seq, op, new_balance FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY entity_id ORDER BY seq DESC) AS rn
+    FROM changes) WHERE rn = 1
+)
+SELECT c.c_custkey AS entity_id,
+       CASE WHEN l.op = 'U' THEN l.new_balance ELSE c.c_acctbal END AS balance,
+       COALESCE(l.seq, 0) AS last_seq,
+       CASE WHEN l.op = 'U' THEN 'updated' ELSE 'kept' END AS action
+FROM customer c LEFT JOIN latest l ON c.c_custkey = l.entity_id
+WHERE l.op IS NULL OR l.op <> 'D'""",
+)
+def stream_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """**Streaming CDC apply**: the change stream (op/seq rows derived
+    from orders, staged as {_CDC_BATCHES} sequence-ordered files)
+    replays through ``foreachBatch``, each micro-batch MERGED into the
+    running snapshot — reduce-the-batch-first (top-1 per key by seq),
+    then one keyed join against the current snapshot, guarded by
+    ``seq > last_seq`` so redelivered or replayed batches converge to
+    the same state (the idempotence that makes exactly-once effective
+    from an at-least-once source). Tombstones delete; the settled
+    snapshot is hash-verified against the BATCH s26_cdc_apply oracle —
+    streaming and batch must agree row-for-row.
+
+    The snapshot is versioned per micro-batch (write-new-then-advance,
+    never overwrite-in-place — the non-Delta merge pattern); at scale
+    the same loop targets a table format's MERGE with the identical
+    seq guard."""
+    import shutil
+    import tempfile
+
+    from ..sources import load_raw
+
+    changes = load_raw(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("entity_id"),
+        F.col("o_orderkey").alias("seq"),
+        F.when(F.col("o_orderkey") % _CDC_DELETE_MOD == 0, "D")
+        .otherwise("U")
+        .alias("op"),
+        F.col("o_totalprice").alias("new_balance"),
+    )
+    work = tempfile.mkdtemp(prefix="cdc_stream_")
+    stream_dir = os.path.join(work, "changes")
+    os.makedirs(stream_dir)
+    # stage seq-ordered micro-batch files (in-order delivery)
+    bounds = changes.agg(
+        F.min("seq").alias("lo"), F.max("seq").alias("hi")
+    ).collect()[0]
+    lo, hi = bounds["lo"], bounds["hi"]
+    if lo is None:  # empty change stream: the base snapshot IS the result
+        return _cdc_base(spark, sf_dir)
+    step = max(1, (hi - lo + _CDC_BATCHES) // _CDC_BATCHES)
+    for b in range(_CDC_BATCHES):
+        part = changes.filter(
+            (F.col("seq") >= lo + b * step) & (F.col("seq") < lo + (b + 1) * step)
+        )
+        part.coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(work, f"staged_{b}")
+        )
+        for fn in os.listdir(os.path.join(work, f"staged_{b}")):
+            if fn.endswith(".parquet"):
+                shutil.copy(
+                    os.path.join(work, f"staged_{b}", fn),
+                    os.path.join(stream_dir, f"batch_{b}.parquet"),
+                )
+    snap0 = os.path.join(work, "snap_0")
+    _cdc_base(spark, sf_dir).write.mode("overwrite").parquet(snap0)
+    state = {"version": 0}
+
+    def merge(batch_df: DataFrame, batch_id: int) -> None:
+        from pyspark.sql import Window
+
+        cur = spark.read.parquet(os.path.join(work, f"snap_{state['version']}"))
+        w = Window.partitionBy("entity_id").orderBy(F.desc("seq"))
+        latest = (
+            batch_df.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select(
+                F.col("entity_id").alias("c_entity"),
+                F.col("seq").alias("c_seq"),
+                F.col("op"),
+                F.col("new_balance"),
+            )
+        )
+        stale = F.col("c_seq").isNull() | (F.col("c_seq") <= F.col("last_seq"))
+        # deletes become TOMBSTONES (action='deleted'), never physical
+        # drops: a later in-order U must be able to resurrect the row
+        # (batch semantics = the FINAL op wins), and the kept last_seq
+        # is what makes the seq guard idempotent under redelivery.
+        merged = (
+            cur.join(latest, cur.entity_id == latest.c_entity, "left")
+            .select(
+                "entity_id",
+                F.when(stale | (F.col("op") != "U"), F.col("balance"))
+                .otherwise(F.col("new_balance"))
+                .alias("balance"),
+                F.when(stale, F.col("last_seq"))
+                .otherwise(F.col("c_seq"))
+                .alias("last_seq"),
+                F.when(stale, F.col("action"))
+                .when(F.col("op") == "D", F.lit("deleted"))
+                .otherwise(F.lit("updated"))
+                .alias("action"),
+            )
+        )
+        nxt = state["version"] + 1
+        merged.write.mode("overwrite").parquet(os.path.join(work, f"snap_{nxt}"))
+        state["version"] = nxt
+
+    schema = changes.schema
+    stream = spark.readStream.schema(schema).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(stream_dir)
+    q = (
+        stream.writeStream.foreachBatch(merge)
+        .option("checkpointLocation", os.path.join(work, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        spark.read.parquet(os.path.join(work, f"snap_{state['version']}"))
+        .filter(F.col("action") != "deleted")
+    )

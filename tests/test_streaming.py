@@ -309,3 +309,23 @@ def test_checkpoint_restart_is_exactly_once(spark):
 
     shutil.rmtree(ckpt, ignore_errors=True)
     shutil.rmtree(sink, ignore_errors=True)
+
+
+def test_stream_cdc_apply_matches_batch(spark):
+    """The settled streaming snapshot must equal the batch CDC apply
+    row-for-row (streaming/batch parity for merges), including the
+    tombstone-resurrection path (a D followed by a later in-order U
+    keeps the entity with the U's balance)."""
+    from recommedation_system_under_flink_spark import registry
+
+    qs = registry.queries()
+    sf = "/root/testdata/sf0.001"
+    stream = {
+        r["entity_id"]: (r["balance"], r["last_seq"], r["action"])
+        for r in qs["stream_cdc_apply"](spark, sf).collect()
+    }
+    batch = {
+        r["entity_id"]: (r["balance"], r["last_seq"], r["action"])
+        for r in qs["s26_cdc_apply"](spark, sf).collect()
+    }
+    assert stream == batch
