@@ -1314,3 +1314,74 @@ def ml_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ------------------------------------------------ k-fold evaluation
+
+from .sampling import KFOLD_K as _KFOLD_K  # same folds as samp_kfold_assign
+
+
+def _cv_oracle() -> str:
+    p = _CAL_SCORE_SQL
+    return f"""WITH {_FEATS_CTE},
+scored AS (
+  SELECT CAST((doc_id * {HASH_MULT}) % {HASH_MOD} % {_KFOLD_K} AS INTEGER)
+           AS fold,
+         y, {p} AS s
+  FROM feats
+),
+per_fold AS (
+  SELECT fold, CAST(COUNT(*) AS BIGINT) AS n,
+         AVG(-(y * LN(s) + (1.0 - y) * LN(1.0 - s))) AS logloss,
+         AVG(CASE WHEN (s >= 0.5) = (y = 1.0) THEN 1.0 ELSE 0.0 END) AS acc
+  FROM scored GROUP BY fold
+)
+SELECT fold, n, ROUND(logloss, 6) AS logloss, ROUND(acc, 6) AS accuracy,
+       ROUND(AVG(logloss) OVER (), 6) AS mean_logloss,
+       ROUND(STDDEV_SAMP(logloss) OVER (), 6) AS sd_logloss
+FROM per_fold ORDER BY fold"""
+
+
+@register("ml_kfold_eval", _cv_oracle())
+def ml_kfold_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """**k-fold evaluation** of the pinned scorer: per held-out fold
+    (the same pinned Knuth-hash folds as samp_kfold_assign) logloss and
+    accuracy, plus the cross-fold mean and sample SD — the
+    fold-stability report that tells you whether a metric difference
+    is signal or split noise. One scan, one {_KFOLD_K}-group aggregate,
+    one {_KFOLD_K}-row window; the scorer is a plan constant, so this
+    composes behind any model table at any scale."""
+    feats = _feats(spark, sf_dir)
+    z = (
+        F.lit(CAL_W[0])
+        + F.lit(CAL_W[1]) * F.col("x1")
+        + F.lit(CAL_W[2]) * F.col("x2")
+    )
+    scored = feats.select(
+        ((F.col("doc_id") * HASH_MULT) % HASH_MOD % _KFOLD_K)
+        .cast("int")
+        .alias("fold"),
+        "y",
+        (F.lit(1.0) / (F.lit(1.0) + F.exp(-z))).alias("s"),
+    )
+    per_fold = scored.groupBy("fold").agg(
+        F.count("*").alias("n"),
+        F.avg(
+            -(
+                F.col("y") * F.log("s")
+                + (F.lit(1.0) - F.col("y")) * F.log(F.lit(1.0) - F.col("s"))
+            )
+        ).alias("logloss_raw"),
+        F.avg(
+            F.when((F.col("s") >= 0.5) == (F.col("y") == 1.0), 1.0).otherwise(0.0)
+        ).alias("acc_raw"),
+    )
+    w = Window.partitionBy()
+    return per_fold.select(
+        "fold",
+        "n",
+        F.round("logloss_raw", 6).alias("logloss"),
+        F.round("acc_raw", 6).alias("accuracy"),
+        F.round(F.avg("logloss_raw").over(w), 6).alias("mean_logloss"),
+        F.round(F.stddev_samp("logloss_raw").over(w), 6).alias("sd_logloss"),
+    ).orderBy("fold")
