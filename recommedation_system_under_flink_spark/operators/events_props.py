@@ -2424,3 +2424,77 @@ def ev_rolling_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("date")
     )
+
+
+# ------------------------------------------------ cohort retention
+
+_COHORT_ORACLE = """WITH wk AS (
+  SELECT user_id,
+         (epoch_us(ts) // 86400000000) // 7 AS week
+  FROM events WHERE event_type = 'click'
+  GROUP BY user_id, (epoch_us(ts) // 86400000000) // 7
+),
+first_wk AS (
+  SELECT user_id, MIN(week) AS cohort_week FROM wk GROUP BY user_id
+),
+sizes AS (
+  SELECT cohort_week, CAST(COUNT(*) AS BIGINT) AS cohort_size
+  FROM first_wk GROUP BY cohort_week
+)
+SELECT f.cohort_week AS cohort_week,
+       CAST(w.week - f.cohort_week AS BIGINT) AS week_offset,
+       CAST(COUNT(DISTINCT w.user_id) AS BIGINT) AS active_users,
+       ANY_VALUE(s.cohort_size) AS cohort_size,
+       ROUND(COUNT(DISTINCT w.user_id)
+             / CAST(ANY_VALUE(s.cohort_size) AS DOUBLE), 6) AS retention
+FROM wk w
+JOIN first_wk f ON w.user_id = f.user_id
+JOIN sizes s ON f.cohort_week = s.cohort_week
+GROUP BY f.cohort_week, w.week - f.cohort_week
+ORDER BY cohort_week, week_offset"""
+
+
+@register("ev_cohort_retention", _COHORT_ORACLE)
+def ev_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The classic **cohort retention triangle**: users grouped by
+    first-active week, each cell = share of the cohort active again at
+    that week offset. The analytics staple behind every growth
+    dashboard, as three hash aggregates: dedup to (user, week) FIRST
+    (the cardinality reducer — |users|×|weeks|, not |events|), a
+    per-user MIN for the cohort, and the (cohort, offset) rollup with
+    the |weeks|-row cohort sizes broadcast. All shuffles key on
+    user_id or the tiny cohort key; at 100 TB the (user, week) dedup
+    is the only big exchange and it is map-side combinable."""
+    wk = (
+        events_raw(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .select(
+            "user_id",
+            (F.expr("(ts DIV 1000) DIV 86400000000") / 7)
+            .cast("long")
+            .alias("week"),
+        )
+        .distinct()
+    )
+    first_wk = wk.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    sizes = first_wk.groupBy("cohort_week").agg(
+        F.count("*").alias("cohort_size")
+    )
+    return (
+        wk.join(first_wk, "user_id")
+        .join(F.broadcast(sizes), "cohort_week")
+        .groupBy(
+            "cohort_week",
+            (F.col("week") - F.col("cohort_week")).alias("week_offset"),
+        )
+        .agg(
+            F.countDistinct("user_id").alias("active_users"),
+            F.first("cohort_size").alias("cohort_size"),
+            F.round(
+                F.countDistinct("user_id")
+                / F.first("cohort_size").cast("double"),
+                6,
+            ).alias("retention"),
+        )
+        .orderBy("cohort_week", "week_offset")
+    )

@@ -1288,3 +1288,79 @@ def rel_entity_blocking(spark: SparkSession, sf_dir: str) -> DataFrame:
         "name_b",
         lev.cast("long").alias("lev"),
     )
+
+
+# ------------------------------------------------ market-basket pairs
+
+#: Basket-pair mining output cap (deterministic rank tie-break).
+BASKET_TOP = 50
+
+_BASKET_ORACLE = f"""WITH b AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+),
+pop AS (
+  SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS pop FROM b GROUP BY l_partkey
+),
+n AS (SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_orders FROM b),
+pairs AS (
+  SELECT x.l_partkey AS part_a, y.l_partkey AS part_b,
+         CAST(COUNT(*) AS BIGINT) AS co_orders
+  FROM b x JOIN b y
+    ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey
+  GROUP BY x.l_partkey, y.l_partkey
+)
+SELECT part_a, part_b, co_orders,
+       ROUND(co_orders * n.n_orders
+             / CAST(pa.pop * pb.pop AS DOUBLE), 6) AS lift
+FROM pairs
+JOIN pop pa ON part_a = pa.l_partkey
+JOIN pop pb ON part_b = pb.l_partkey
+CROSS JOIN n
+ORDER BY co_orders DESC, part_a ASC, part_b ASC
+LIMIT {BASKET_TOP}"""
+
+
+@register("rel_basket_pairs", _BASKET_ORACLE)
+def rel_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """**Market-basket pair mining** on the order side: part pairs
+    co-purchased in the same order, with lift against independent
+    popularity — cf_association_rules' shape transplanted from click
+    baskets to transactions. The pair join is the inverted-index
+    pattern keyed on l_orderkey, so work is Σ(basket size)² with
+    baskets ≤ ~13 items — bounded fan-out per key, never an item×item
+    cross; popularity and the 1-row order count broadcast into the
+    lift. Top-{BASKET_TOP} with a fully pinned tie-break."""
+    b = load_raw(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    ).distinct()
+    pop = b.groupBy("l_partkey").agg(F.count("*").alias("pop"))
+    n = b.agg(F.countDistinct("l_orderkey").alias("n_orders"))
+    x = b.select(F.col("l_orderkey"), F.col("l_partkey").alias("part_a"))
+    y = b.select(F.col("l_orderkey"), F.col("l_partkey").alias("part_b"))
+    pairs = (
+        x.join(y, "l_orderkey")
+        .filter(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count("*").alias("co_orders"))
+    )
+    return (
+        pairs.join(
+            F.broadcast(pop.select(F.col("l_partkey").alias("part_a"),
+                                   F.col("pop").alias("pop_a"))), "part_a")
+        .join(
+            F.broadcast(pop.select(F.col("l_partkey").alias("part_b"),
+                                   F.col("pop").alias("pop_b"))), "part_b")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "part_a",
+            "part_b",
+            "co_orders",
+            F.round(
+                F.col("co_orders") * F.col("n_orders")
+                / (F.col("pop_a") * F.col("pop_b")).cast("double"),
+                6,
+            ).alias("lift"),
+        )
+        .orderBy(F.desc("co_orders"), F.asc("part_a"), F.asc("part_b"))
+        .limit(BASKET_TOP)
+    )

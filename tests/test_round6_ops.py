@@ -213,3 +213,34 @@ def test_table_fingerprint_detects_single_row_change(queries, spark, tmp_path):
     fp2 = {r["relation"]: r["fingerprint"] for r in rows}
     assert fp2["documents"] != fp0["documents"]
     assert fp2["orders"] == fp0["orders"] and fp2["clicks"] == fp0["clicks"]
+
+
+def test_cohort_retention_triangle_invariants(queries, spark):
+    rows = queries["ev_cohort_retention"](spark, SF_DIR).collect()
+    by_cohort = {}
+    for r in rows:
+        by_cohort.setdefault(r["cohort_week"], []).append(r)
+    for cohort, rs in by_cohort.items():
+        rs.sort(key=lambda r: r["week_offset"])
+        # offset 0 is every cohort member's first week: retention = 1
+        assert rs[0]["week_offset"] == 0
+        assert rs[0]["retention"] == 1.0
+        assert rs[0]["active_users"] == rs[0]["cohort_size"]
+        for r in rs:
+            assert 0 < r["retention"] <= 1.0
+    # cohort sizes partition the user base
+    n_users = duckdb.sql(
+        f"""SELECT COUNT(DISTINCT user_id) FROM '{SF_DIR}/events.parquet'
+            WHERE event_type = 'click'"""
+    ).fetchone()[0]
+    assert sum(rs[0]["cohort_size"] for rs in by_cohort.values()) == n_users
+
+
+def test_basket_pairs_lift_and_symmetry_free(queries, spark):
+    rows = queries["rel_basket_pairs"](spark, SF_DIR).collect()
+    assert 0 < len(rows) <= 50
+    counts = [r["co_orders"] for r in rows]
+    assert counts == sorted(counts, reverse=True)
+    for r in rows:
+        assert r["part_a"] < r["part_b"]  # each pair exactly once
+        assert r["lift"] > 0
