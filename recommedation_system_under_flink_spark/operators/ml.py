@@ -1385,3 +1385,193 @@ def ml_kfold_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg("logloss_raw").over(w), 6).alias("mean_logloss"),
         F.round(F.stddev_samp("logloss_raw").over(w), 6).alias("sd_logloss"),
     ).orderBy("fold")
+
+
+# ------------------------------------------------ decision stump
+
+_STUMP_ORACLE = f"""WITH {_FEATS_CTE},
+pts AS (SELECT x1 AS x, y FROM feats),
+tot AS (
+  SELECT SUM(y) AS tp, CAST(COUNT(*) AS BIGINT) AS n FROM pts
+),
+cand AS (
+  -- candidate split AFTER each distinct x: cumulative (n, pos) on the left
+  SELECT x, SUM(cnt) OVER w AS nl, SUM(pos) OVER w AS pl
+  FROM (SELECT x, CAST(COUNT(*) AS BIGINT) AS cnt, SUM(y) AS pos
+        FROM pts GROUP BY x)
+  WINDOW w AS (ORDER BY x ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+),
+scored AS (
+  SELECT x AS threshold, nl, tot.n - nl AS nr, pl, tot.tp - pl AS pr,
+         -- weighted Gini impurity of the split (lower = better)
+         (nl * (2.0 * (pl / nl) * (1.0 - pl / nl))
+          + (tot.n - nl) * (2.0 * ((tot.tp - pl) / (tot.n - nl))
+                            * (1.0 - (tot.tp - pl) / (tot.n - nl)))) / tot.n
+           AS gini,
+         2.0 * (tot.tp / tot.n) * (1.0 - tot.tp / tot.n) AS gini_parent
+  FROM cand CROSS JOIN tot
+  WHERE nl < tot.n  -- a split must leave something on the right
+)
+SELECT ROUND(threshold, 6) AS threshold,
+       CAST(nl AS BIGINT) AS n_left, CAST(nr AS BIGINT) AS n_right,
+       ROUND(pl / nl, 6) AS rate_left,
+       ROUND(pr / nr, 6) AS rate_right,
+       ROUND(gini, 6) AS gini_split,
+       ROUND(gini_parent - gini, 6) AS gain
+FROM scored
+ORDER BY ROUND(gini_parent - gini, 6) DESC, threshold ASC
+LIMIT 1"""
+
+
+@register("ml_decision_stump", _STUMP_ORACLE)
+def ml_decision_stump(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """**Exact greedy split finding** — the inner loop of every
+    tree/GBDT trainer — as a window query: aggregate per distinct
+    feature value, ONE ordered cumulative scan gives the left-side
+    (count, positives) at every candidate threshold simultaneously,
+    and the best split is an argmin over the Gini of the induced
+    partition. No per-threshold passes: |thresholds| candidates cost
+    one sort. At 100 TB the standard scale move is identical shape on
+    quantized bins (the histogram trick — XGBoost/LightGBM's
+    'approx'): replace the distinct-value grouping with a fixed-bin
+    grouping and the scan shrinks to 256 rows per feature."""
+    feats = _feats(spark, sf_dir).select(F.col("x1").alias("x"), "y")
+    tot = feats.agg(F.sum("y").alias("tp"), F.count("*").alias("n"))
+    by_x = feats.groupBy("x").agg(
+        F.count("*").alias("cnt"), F.sum("y").alias("pos")
+    )
+    w = Window.orderBy("x").rowsBetween(Window.unboundedPreceding, 0)
+    cand = by_x.select(
+        "x",
+        F.sum("cnt").over(w).alias("nl"),
+        F.sum("pos").over(w).alias("pl"),
+    )
+    j = cand.crossJoin(F.broadcast(tot)).filter(F.col("nl") < F.col("n"))
+    pl, nl = F.col("pl"), F.col("nl")
+    pr = F.col("tp") - pl
+    nr = F.col("n") - nl
+    gini = (
+        nl * (2.0 * (pl / nl) * (1.0 - pl / nl))
+        + nr * (2.0 * (pr / nr) * (1.0 - pr / nr))
+    ) / F.col("n")
+    gini_parent = (
+        2.0 * (F.col("tp") / F.col("n")) * (1.0 - F.col("tp") / F.col("n"))
+    )
+    scored = j.select(
+        F.round(F.col("x"), 6).alias("threshold"),
+        nl.alias("n_left"),
+        nr.alias("n_right"),
+        F.round(pl / nl, 6).alias("rate_left"),
+        F.round(pr / nr, 6).alias("rate_right"),
+        F.round(gini, 6).alias("gini_split"),
+        F.round(gini_parent - gini, 6).alias("gain"),
+    )
+    return scored.orderBy(F.desc("gain"), F.asc("threshold")).limit(1)
+
+
+# ------------------------------------------------ ROC / exact AUC
+
+_ROC_ORACLE = f"""WITH {_FEATS_CTE},
+scored AS (SELECT y, {_CAL_SCORE_SQL} AS s FROM feats),
+tot AS (SELECT SUM(y) AS np, SUM(1.0 - y) AS nn FROM scored),
+auc AS (
+  -- rank-sum (Mann-Whitney) exact AUC with the midrank tie correction
+  SELECT (SUM(CASE WHEN y = 1.0 THEN r END) - np * (np + 1) / 2.0)
+           / (np * nn) AS auc
+  FROM (SELECT y, RANK() OVER (ORDER BY s)
+                  + (COUNT(*) OVER (PARTITION BY s) - 1) / 2.0 AS r
+        FROM scored) CROSS JOIN tot
+  GROUP BY np, nn
+),
+pts AS (
+  SELECT CAST(t AS DOUBLE) / 10 AS thr,
+         SUM(CASE WHEN y = 1.0 AND s >= t / 10.0 THEN 1.0 ELSE 0.0 END)
+           / ANY_VALUE(np) AS tpr,
+         SUM(CASE WHEN y = 0.0 AND s >= t / 10.0 THEN 1.0 ELSE 0.0 END)
+           / ANY_VALUE(nn) AS fpr
+  FROM scored CROSS JOIN tot CROSS JOIN generate_series(0, 10) AS g(t)
+  GROUP BY t
+)
+SELECT ROUND(thr, 6) AS threshold, ROUND(tpr, 6) AS tpr, ROUND(fpr, 6) AS fpr,
+       ROUND((SELECT auc FROM auc), 6) AS auc
+FROM pts ORDER BY threshold"""
+
+
+@register("ml_roc_auc", _ROC_ORACLE)
+def ml_roc_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """**ROC curve + exact AUC** of the pinned scorer: TPR/FPR at 11
+    fixed thresholds (one conditional aggregate per point, all in one
+    pass over a broadcast threshold spine) and the exact
+    rank-sum/Mann-Whitney AUC with midrank tie correction — AUC
+    computed by ONE global sort instead of per-threshold sweeps, the
+    trick that makes exact AUC feasible on 10¹¹ scored rows. The
+    curve and the scalar ship in the same result so a calibration
+    regression can't desynchronize them."""
+    scored = _cal_scored(spark, sf_dir)
+    tot = scored.agg(
+        F.sum("y").alias("np"),
+        F.sum(F.lit(1.0) - F.col("y")).alias("nn"),
+    )
+    # Aggregate to distinct scores FIRST: the rank window then runs over
+    # |distinct s| pre-aggregated rows, not |rows| (the global-sort form
+    # is a single-partition window over the full table — the one plan
+    # shape this repo bans). AUC = Σ_s pos_s·(neg_below + neg_s/2)/(np·nn),
+    # algebraically the midrank rank-sum.
+    by_s = scored.groupBy("s").agg(
+        F.sum("y").alias("pos"),
+        F.sum(F.lit(1.0) - F.col("y")).alias("neg"),
+    )
+    w = Window.orderBy("s").rowsBetween(Window.unboundedPreceding, -1)
+    cum = by_s.select(
+        "pos",
+        "neg",
+        F.coalesce(F.sum("neg").over(w), F.lit(0.0)).alias("neg_below"),
+    )
+    auc = (
+        cum.crossJoin(F.broadcast(tot))
+        .agg(
+            (
+                F.sum(
+                    F.col("pos")
+                    * (F.col("neg_below") + F.col("neg") / 2.0)
+                )
+                / (F.first("np") * F.first("nn"))
+            ).alias("auc")
+        )
+    )
+    spine = spark.range(0, 11).select(
+        (F.col("id").cast("double") / 10).alias("thr")
+    )
+    pts = (
+        scored.crossJoin(F.broadcast(spine))
+        .crossJoin(F.broadcast(tot))
+        .groupBy("thr")
+        .agg(
+            (
+                F.sum(
+                    F.when(
+                        (F.col("y") == 1.0) & (F.col("s") >= F.col("thr")), 1.0
+                    ).otherwise(0.0)
+                )
+                / F.first("np")
+            ).alias("tpr"),
+            (
+                F.sum(
+                    F.when(
+                        (F.col("y") == 0.0) & (F.col("s") >= F.col("thr")), 1.0
+                    ).otherwise(0.0)
+                )
+                / F.first("nn")
+            ).alias("fpr"),
+        )
+    )
+    return (
+        pts.crossJoin(F.broadcast(auc))
+        .select(
+            F.round("thr", 6).alias("threshold"),
+            F.round("tpr", 6).alias("tpr"),
+            F.round("fpr", 6).alias("fpr"),
+            F.round("auc", 6).alias("auc"),
+        )
+        .orderBy("threshold")
+    )

@@ -284,3 +284,56 @@ def test_target_encoding_loo_matches_pandas(queries, spark):
             g.loc[src, "count"] - 1 + TE_SMOOTH
         )
         assert r["enc"] == pytest.approx(expect, abs=2e-6)
+
+
+def test_decision_stump_matches_bruteforce(queries, spark):
+    """The stump's split must equal an exhaustive numpy scan over every
+    candidate threshold (weighted Gini)."""
+    row = queries["ml_decision_stump"](spark, SF_DIR).collect()[0]
+    m = _feats()
+    y, x = m[:, 0], m[:, 1]
+    best = None
+    for t in np.unique(x)[:-1]:  # split after each distinct value
+        l, r = y[x <= t], y[x > t]
+        g = (
+            len(l) * 2 * l.mean() * (1 - l.mean())
+            + len(r) * 2 * r.mean() * (1 - r.mean())
+        ) / len(y)
+        gain = 2 * y.mean() * (1 - y.mean()) - g
+        if best is None or gain > best[1] + 1e-12:
+            best = (t, gain)
+    assert row["threshold"] == pytest.approx(best[0], abs=2e-6)
+    assert row["gain"] == pytest.approx(best[1], abs=2e-6)
+    assert row["n_left"] + row["n_right"] == len(y)
+    assert row["gain"] >= 0
+
+
+def test_roc_auc_matches_numpy(queries, spark):
+    rows = queries["ml_roc_auc"](spark, SF_DIR).collect()
+    m = _feats()
+    y = m[:, 0]
+    z = -3.0 + 4.0 * m[:, 1] + 1.0 * m[:, 2]
+    s = 1 / (1 + np.exp(-z))
+    # exact rank-sum AUC with midranks
+    order = np.argsort(s, kind="mergesort")
+    ranks = np.empty(len(s))
+    sorted_s = s[order]
+    i = 0
+    rank_vals = np.arange(1, len(s) + 1, dtype=float)
+    while i < len(s):
+        j = i
+        while j + 1 < len(s) and sorted_s[j + 1] == sorted_s[i]:
+            j += 1
+        rank_vals[i : j + 1] = (i + 1 + j + 1) / 2.0
+        i = j + 1
+    ranks[order] = rank_vals
+    npos, nneg = y.sum(), (1 - y).sum()
+    auc = (ranks[y == 1].sum() - npos * (npos + 1) / 2) / (npos * nneg)
+    assert rows[0]["auc"] == pytest.approx(auc, abs=2e-6)
+    # curve endpoints and monotone decrease in both rates
+    by_thr = sorted(rows, key=lambda r: r["threshold"])
+    assert by_thr[0]["tpr"] == 1.0 and by_thr[0]["fpr"] == 1.0  # thr 0
+    tprs = [r["tpr"] for r in by_thr]
+    fprs = [r["fpr"] for r in by_thr]
+    assert tprs == sorted(tprs, reverse=True)
+    assert fprs == sorted(fprs, reverse=True)
