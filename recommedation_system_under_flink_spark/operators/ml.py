@@ -1575,3 +1575,92 @@ def ml_roc_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("threshold")
     )
+
+
+# ------------------------------------------ histogram split (binned)
+
+#: Bin count for the histogram split — the XGBoost/LightGBM 'approx'
+#: greedy: candidate thresholds are bin edges, not distinct values.
+HIST_BINS = 64
+
+
+def _hist_stump_oracle() -> str:
+    return f"""WITH {_FEATS_CTE},
+pts AS (
+  -- x1 = n_chars/500 lands in [0, ~1.2]; clamp into {HIST_BINS} fixed bins
+  SELECT LEAST(FLOOR(x1 / 2.0 * {HIST_BINS}), {HIST_BINS - 1}) AS bin, y
+  FROM feats
+),
+tot AS (SELECT SUM(y) AS tp, CAST(COUNT(*) AS BIGINT) AS n FROM pts),
+cand AS (
+  SELECT bin, SUM(cnt) OVER w AS nl, SUM(pos) OVER w AS pl
+  FROM (SELECT bin, CAST(COUNT(*) AS BIGINT) AS cnt, SUM(y) AS pos
+        FROM pts GROUP BY bin)
+  WINDOW w AS (ORDER BY bin ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+),
+scored AS (
+  SELECT bin, nl, tot.n - nl AS nr, pl, tot.tp - pl AS pr,
+         (nl * (2.0 * (pl / nl) * (1.0 - pl / nl))
+          + (tot.n - nl) * (2.0 * ((tot.tp - pl) / (tot.n - nl))
+                            * (1.0 - (tot.tp - pl) / (tot.n - nl)))) / tot.n
+           AS gini,
+         2.0 * (tot.tp / tot.n) * (1.0 - tot.tp / tot.n) AS gini_parent
+  FROM cand CROSS JOIN tot WHERE nl < tot.n
+)
+SELECT CAST(bin AS BIGINT) AS split_bin,
+       ROUND((bin + 1) * 2.0 / {HIST_BINS}, 6) AS threshold,
+       CAST(nl AS BIGINT) AS n_left, CAST(nr AS BIGINT) AS n_right,
+       ROUND(gini_parent - gini, 6) AS gain
+FROM scored
+ORDER BY ROUND(gini_parent - gini, 6) DESC, bin ASC
+LIMIT 1"""
+
+
+@register("ml_histogram_split", _hist_stump_oracle())
+def ml_histogram_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The **histogram-approx split** — ml_decision_stump's documented
+    100 TB form (XGBoost 'approx' / LightGBM): features quantize into
+    {HIST_BINS} fixed bins, so the cumulative candidate scan runs over
+    ≤{HIST_BINS} rows regardless of data size and the heavy work is
+    one map-side-combinable (bin → count, positives) aggregate. The
+    exact/approx pair on the same data lets pytest bound the gain the
+    quantization gives up."""
+    feats = _feats(spark, sf_dir)
+    pts = feats.select(
+        F.least(
+            F.floor(F.col("x1") / 2.0 * HIST_BINS), F.lit(HIST_BINS - 1)
+        ).alias("bin"),
+        "y",
+    )
+    tot = pts.agg(F.sum("y").alias("tp"), F.count("*").alias("n"))
+    by_bin = pts.groupBy("bin").agg(
+        F.count("*").alias("cnt"), F.sum("y").alias("pos")
+    )
+    w = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    cand = by_bin.select(
+        "bin",
+        F.sum("cnt").over(w).alias("nl"),
+        F.sum("pos").over(w).alias("pl"),
+    )
+    j = cand.crossJoin(F.broadcast(tot)).filter(F.col("nl") < F.col("n"))
+    pl, nl = F.col("pl"), F.col("nl")
+    pr = F.col("tp") - pl
+    nr = F.col("n") - nl
+    gini = (
+        nl * (2.0 * (pl / nl) * (1.0 - pl / nl))
+        + nr * (2.0 * (pr / nr) * (1.0 - pr / nr))
+    ) / F.col("n")
+    gini_parent = (
+        2.0 * (F.col("tp") / F.col("n")) * (1.0 - F.col("tp") / F.col("n"))
+    )
+    return (
+        j.select(
+            F.col("bin").cast("long").alias("split_bin"),
+            F.round((F.col("bin") + 1) * 2.0 / HIST_BINS, 6).alias("threshold"),
+            nl.cast("long").alias("n_left"),
+            nr.cast("long").alias("n_right"),
+            F.round(gini_parent - gini, 6).alias("gain"),
+        )
+        .orderBy(F.desc("gain"), F.asc("split_bin"))
+        .limit(1)
+    )

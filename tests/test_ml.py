@@ -337,3 +337,28 @@ def test_roc_auc_matches_numpy(queries, spark):
     fprs = [r["fpr"] for r in by_thr]
     assert tprs == sorted(tprs, reverse=True)
     assert fprs == sorted(fprs, reverse=True)
+
+
+def test_histogram_split_matches_edge_bruteforce(queries, spark):
+    """The binned split must equal an exhaustive numpy scan over the 64
+    bin-edge candidates, and can never beat the exact (distinct-value)
+    split. (No proximity assertion: the exact optimum can be a tiny
+    within-bin spike that quantization legitimately cannot see.)"""
+    exact = queries["ml_decision_stump"](spark, SF_DIR).collect()[0]
+    approx = queries["ml_histogram_split"](spark, SF_DIR).collect()[0]
+    assert approx["gain"] <= exact["gain"] + 1e-9
+    m = _feats()
+    y, x = m[:, 0], m[:, 1]
+    bins = np.minimum(np.floor(x / 2.0 * 64), 63)
+    parent = 2 * y.mean() * (1 - y.mean())
+    best = None
+    for b in np.unique(bins)[:-1]:
+        l, r = y[bins <= b], y[bins > b]
+        g = (
+            len(l) * 2 * l.mean() * (1 - l.mean())
+            + len(r) * 2 * r.mean() * (1 - r.mean())
+        ) / len(y)
+        if best is None or parent - g > best[1] + 1e-12:
+            best = (b, parent - g)
+    assert approx["split_bin"] == best[0]
+    assert approx["gain"] == pytest.approx(best[1], abs=2e-6)
