@@ -1664,3 +1664,167 @@ def ml_histogram_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("gain"), F.asc("split_bin"))
         .limit(1)
     )
+
+
+# ------------------------------------------------ boosted stumps
+
+#: Boosting shrinkage (learning rate) for ml_boosted_stumps.
+BOOST_NU = 0.5
+
+
+def _sse_split_sql(src: str, xcol: str, ycol: str) -> str:
+    """1-row CTE body: the SSE-optimal split of ``ycol`` on ``xcol``
+    over CTE ``src`` — cumulative (n, Σy, Σy²) per distinct value, SSE
+    via Σy² − (Σy)²/n on each side, argmin with a pinned tie-break.
+    Shared shape with ml_decision_stump (Gini ⇄ SSE swap)."""
+    return f"""(
+  SELECT threshold, vl, vr FROM (
+    SELECT x AS threshold, sl / nl AS vl, (st - sl) / (nt - nl) AS vr,
+           (s2l - sl * sl / nl)
+             + ((s2t - s2l) - (st - sl) * (st - sl) / (nt - nl)) AS sse
+    FROM (
+      SELECT x,
+             SUM(cnt) OVER w AS nl, SUM(sy) OVER w AS sl,
+             SUM(sy2) OVER w AS s2l
+      FROM (SELECT {xcol} AS x, CAST(COUNT(*) AS DOUBLE) AS cnt,
+                   SUM({ycol}) AS sy, SUM({ycol} * {ycol}) AS sy2
+            FROM {src} GROUP BY {xcol})
+      WINDOW w AS (ORDER BY x ROWS BETWEEN UNBOUNDED PRECEDING
+                   AND CURRENT ROW)
+    )
+    CROSS JOIN (SELECT CAST(COUNT(*) AS DOUBLE) AS nt, SUM({ycol}) AS st,
+                       SUM({ycol} * {ycol}) AS s2t FROM {src})
+    WHERE nl < nt
+    ORDER BY ROUND(sse, 9) ASC, x ASC LIMIT 1
+  )
+)"""
+
+
+def _boost_oracle() -> str:
+    return f"""WITH {_FEATS_CTE},
+pts AS (SELECT x1, x2, y FROM feats),
+s1 AS {_sse_split_sql("pts", "x1", "y")},
+r1 AS (
+  SELECT pts.*, y - {BOOST_NU} * (CASE WHEN x1 <= s1.threshold
+                                       THEN s1.vl ELSE s1.vr END) AS res
+  FROM pts CROSS JOIN s1
+),
+s2 AS {_sse_split_sql("r1", "x2", "res")},
+r2 AS (
+  SELECT r1.res - {BOOST_NU} * (CASE WHEN x2 <= s2.threshold
+                                     THEN s2.vl ELSE s2.vr END) AS res2,
+         r1.res
+  FROM r1 CROSS JOIN s2
+)
+SELECT 1 AS stage, 'x1' AS feature,
+       ROUND(s1.threshold, 6) AS threshold,
+       ROUND({BOOST_NU} * s1.vl, 6) AS left_step,
+       ROUND({BOOST_NU} * s1.vr, 6) AS right_step,
+       ROUND((SELECT AVG(res * res) FROM r1), 6) AS train_mse
+FROM s1
+UNION ALL
+SELECT 2, 'x2', ROUND(s2.threshold, 6),
+       ROUND({BOOST_NU} * s2.vl, 6), ROUND({BOOST_NU} * s2.vr, 6),
+       ROUND((SELECT AVG(res2 * res2) FROM r2), 6)
+FROM s2
+ORDER BY stage"""
+
+
+@register("ml_boosted_stumps", _boost_oracle())
+def ml_boosted_stumps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """**Two rounds of gradient boosting** with stump base learners
+    (L2 loss, shrinkage ν={BOOST_NU}): stage 1 fits the SSE-optimal
+    stump on x1, residuals feed stage 2's stump on x2 — the exact
+    GBDT outer loop, distributively: each round is one cumulative
+    window scan for the split (the ml_decision_stump machinery with
+    SSE in place of Gini) plus one map-wide residual update with the
+    1-row fitted stump broadcast. K rounds = K scans; the residual
+    column replaces any driver-held state. Train MSE after each stage
+    must fall (pinned in pytest — shrinkage < 1 guarantees strict
+    improvement whenever the split has positive gain)."""
+    feats = _feats(spark, sf_dir).select("x1", "x2", "y")
+    feats.persist()
+    try:
+        def sse_split(df: DataFrame, xcol: str, ycol: str) -> DataFrame:
+            by_x = df.groupBy(F.col(xcol).alias("x")).agg(
+                F.count("*").cast("double").alias("cnt"),
+                F.sum(ycol).alias("sy"),
+                F.sum(F.col(ycol) * F.col(ycol)).alias("sy2"),
+            )
+            w = Window.orderBy("x").rowsBetween(Window.unboundedPreceding, 0)
+            cum = by_x.select(
+                "x",
+                F.sum("cnt").over(w).alias("nl"),
+                F.sum("sy").over(w).alias("sl"),
+                F.sum("sy2").over(w).alias("s2l"),
+            )
+            tot = df.agg(
+                F.count("*").cast("double").alias("nt"),
+                F.sum(ycol).alias("st"),
+                F.sum(F.col(ycol) * F.col(ycol)).alias("s2t"),
+            )
+            j = cum.crossJoin(F.broadcast(tot)).filter(F.col("nl") < F.col("nt"))
+            sse = (
+                F.col("s2l") - F.col("sl") * F.col("sl") / F.col("nl")
+            ) + (
+                (F.col("s2t") - F.col("s2l"))
+                - (F.col("st") - F.col("sl"))
+                * (F.col("st") - F.col("sl"))
+                / (F.col("nt") - F.col("nl"))
+            )
+            return (
+                j.select(
+                    F.col("x").alias("threshold"),
+                    (F.col("sl") / F.col("nl")).alias("vl"),
+                    ((F.col("st") - F.col("sl")) / (F.col("nt") - F.col("nl"))).alias("vr"),
+                    F.round(sse, 9).alias("sse_q"),
+                )
+                .orderBy(F.asc("sse_q"), F.asc("threshold"))
+                .limit(1)
+                .drop("sse_q")
+            )
+
+        s1 = sse_split(feats, "x1", "y")
+        r1 = feats.crossJoin(F.broadcast(s1)).select(
+            "x1",
+            "x2",
+            (
+                F.col("y")
+                - BOOST_NU
+                * F.when(F.col("x1") <= F.col("threshold"), F.col("vl"))
+                .otherwise(F.col("vr"))
+            ).alias("res"),
+        )
+        r1.persist()
+        s2 = sse_split(r1, "x2", "res")
+        r2 = r1.crossJoin(F.broadcast(s2)).select(
+            (
+                F.col("res")
+                - BOOST_NU
+                * F.when(F.col("x2") <= F.col("threshold"), F.col("vl"))
+                .otherwise(F.col("vr"))
+            ).alias("res2")
+        )
+        row1 = s1.crossJoin(
+            F.broadcast(r1.agg(F.avg(F.col("res") * F.col("res")).alias("mse")))
+        ).select(
+            F.lit(1).alias("stage"),
+            F.lit("x1").alias("feature"),
+            F.round("threshold", 6).alias("threshold"),
+            F.round(F.col("vl") * BOOST_NU, 6).alias("left_step"),
+            F.round(F.col("vr") * BOOST_NU, 6).alias("right_step"),
+            F.round("mse", 6).alias("train_mse"),
+        )
+        row2 = s2.crossJoin(
+            F.broadcast(r2.agg(F.avg(F.col("res2") * F.col("res2")).alias("mse")))
+        ).select(
+            F.lit(2).alias("stage"),
+            F.lit("x2").alias("feature"),
+            F.round("threshold", 6).alias("threshold"),
+            F.round(F.col("vl") * BOOST_NU, 6).alias("left_step"),
+            F.round(F.col("vr") * BOOST_NU, 6).alias("right_step"),
+            F.round("mse", 6).alias("train_mse"),
+        )
+        return row1.unionByName(row2).orderBy("stage")
+    finally:
+        feats.unpersist()

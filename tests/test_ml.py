@@ -362,3 +362,35 @@ def test_histogram_split_matches_edge_bruteforce(queries, spark):
             best = (b, parent - g)
     assert approx["split_bin"] == best[0]
     assert approx["gain"] == pytest.approx(best[1], abs=2e-6)
+
+
+def test_boosted_stumps_mse_descends_and_matches_numpy(queries, spark):
+    from recommedation_system_under_flink_spark.operators.ml import BOOST_NU
+
+    rows = sorted(
+        queries["ml_boosted_stumps"](spark, SF_DIR).collect(),
+        key=lambda r: r["stage"],
+    )
+    m = _feats()
+    y, x1, x2 = m[:, 0], m[:, 1], m[:, 2]
+
+    def sse_split(x, t):
+        best = None
+        for thr in np.unique(x)[:-1]:
+            l, r = t[x <= thr], t[x > thr]
+            sse = ((l - l.mean()) ** 2).sum() + ((r - r.mean()) ** 2).sum()
+            if best is None or sse < best[1] - 1e-12:
+                best = (thr, sse, l.mean(), r.mean())
+        return best
+
+    t1, _, vl1, vr1 = sse_split(x1, y)
+    res = y - BOOST_NU * np.where(x1 <= t1, vl1, vr1)
+    assert rows[0]["threshold"] == pytest.approx(t1, abs=2e-6)
+    assert rows[0]["train_mse"] == pytest.approx(float((res ** 2).mean()), abs=2e-6)
+    t2, _, vl2, vr2 = sse_split(x2, res)
+    res2 = res - BOOST_NU * np.where(x2 <= t2, vl2, vr2)
+    assert rows[1]["threshold"] == pytest.approx(t2, abs=2e-6)
+    assert rows[1]["train_mse"] == pytest.approx(float((res2 ** 2).mean()), abs=2e-6)
+    # boosting with shrinkage and a positive-gain split strictly improves
+    assert rows[1]["train_mse"] < rows[0]["train_mse"]
+    assert rows[0]["train_mse"] < float(((y - y.mean()) ** 2).mean()) + 0.25
