@@ -111,6 +111,14 @@ HEADLINE = (
     "ev_harmonic_regression",
     "ev_rolling_distinct_users",
     "s27_skipping_stats_report",
+    # round-6 late additions: the iterative/alternating trainers and
+    # the new evaluation + warehouse reports
+    "ml_als_two_sweeps",
+    "ml_boosted_stumps",
+    "ml_roc_auc",
+    "prof_table_fingerprint",
+    "rel_basket_pairs",
+    "ev_cohort_retention",
 )
 
 
