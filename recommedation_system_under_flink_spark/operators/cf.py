@@ -793,3 +793,130 @@ def cf_next_item_hitrate(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("news_pred") / F.count("*").cast("double"), 6
         ).alias("coverage"),
     )
+
+
+# ------------------------------------------- rec-list diversity
+
+#: Evaluate intra-list diversity for this many users (pinned cap so
+#: the report is bounded at any SF; the per-user work is K² pairs).
+DIV_USERS = 200
+
+_DIVERSITY_ORACLE = with_ctes(
+    f"""SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+       ROUND(AVG(dist), 6) AS mean_intra_list_distance,
+       ROUND(MIN(dist), 6) AS min_pair_distance,
+       ROUND(MAX(dist), 6) AS max_pair_distance
+FROM (
+  SELECT a.user_id,
+         1.0 - list_dot_product(CAST(ea.embedding AS DOUBLE[]),
+                                CAST(eb.embedding AS DOUBLE[]))
+             / (sqrt(list_dot_product(CAST(ea.embedding AS DOUBLE[]),
+                                      CAST(ea.embedding AS DOUBLE[])))
+                * sqrt(list_dot_product(CAST(eb.embedding AS DOUBLE[]),
+                                        CAST(eb.embedding AS DOUBLE[]))))
+           AS dist
+  FROM recs a
+  JOIN recs b ON a.user_id = b.user_id AND a.news_id < b.news_id
+  JOIN embeddings ea ON a.news_id = ea.vec_id
+  JOIN embeddings eb ON b.news_id = eb.vec_id
+)""",
+    CLICKS_CTE,
+    f"""recs AS (
+  SELECT user_id, news_id FROM (
+    SELECT user_id, news_id,
+           ROW_NUMBER() OVER (PARTITION BY user_id
+                              ORDER BY score DESC, news_id ASC) AS rank
+    FROM (SELECT user_id, news_id, CAST(SUM(cnt) AS DOUBLE) AS score
+          FROM clicks GROUP BY user_id, news_id)
+  ) WHERE rank <= {DEFAULT_SCENE.num_recommendations}
+    AND user_id < {DIV_USERS}
+)""",
+)
+
+
+@register("cf_reclist_diversity", _DIVERSITY_ORACLE)
+def cf_reclist_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """**Intra-list diversity** of the top-K recommendations: mean
+    pairwise cosine DISTANCE between the embeddings of each user's
+    recommended items (news_id doubles as vec_id in the fixtures) —
+    the beyond-accuracy recommender metric (a list of near-duplicates
+    scores high on precision and fails the user; diversity is what
+    MMR-style rerankers optimize, cf. sim_mmr_rerank).
+
+    Scale shape: recommendation lists are K-bounded, so the pair
+    generation is a per-user K² fan-out (≤ 10 pairs at K=5), keyed on
+    user_id — never an item×item cross; the embedding lookups are two
+    joins against the |items|-row table on its key. Per-row norms
+    compute once per side before the pair product."""
+    from ..sources import load_raw
+    from .. import registry  # noqa: F401  (registration side effects)
+
+    recs = (
+        clicks(spark, sf_dir)
+        .filter(F.col("user_id") < DIV_USERS)
+        .groupBy("user_id", "news_id")
+        .agg(F.sum("cnt").cast("double").alias("score"))
+    )
+    w = Window.partitionBy("user_id").orderBy(
+        F.desc("score"), F.asc("news_id")
+    )
+    recs = (
+        recs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= CF_RECS)
+        .select("user_id", "news_id")
+    )
+    emb = load_raw(spark, sf_dir, "embeddings").select(
+        F.col("vec_id"),
+        F.col("embedding").cast("array<double>").alias("e"),
+    )
+    emb = emb.select(
+        "vec_id",
+        "e",
+        F.sqrt(
+            F.aggregate(
+                F.zip_with(F.col("e"), F.col("e"), lambda x, y: x * y),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            )
+        ).alias("nrm"),
+    )
+    a = recs.alias("a")
+    b = recs.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.user_id") == F.col("b.user_id"))
+        & (F.col("a.news_id") < F.col("b.news_id")),
+    ).select(
+        F.col("a.user_id").alias("user_id"),
+        F.col("a.news_id").alias("na"),
+        F.col("b.news_id").alias("nb"),
+    )
+    ea = emb.select(
+        F.col("vec_id").alias("na"),
+        F.col("e").alias("e_a"),
+        F.col("nrm").alias("n_a"),
+    )
+    eb = emb.select(
+        F.col("vec_id").alias("nb"),
+        F.col("e").alias("e_b"),
+        F.col("nrm").alias("n_b"),
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("e_a"), F.col("e_b"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    scored = (
+        pairs.join(ea, "na")
+        .join(eb, "nb")
+        .select(
+            "user_id",
+            (F.lit(1.0) - dot / (F.col("n_a") * F.col("n_b"))).alias("dist"),
+        )
+    )
+    return scored.agg(
+        F.countDistinct("user_id").alias("n_users"),
+        F.round(F.avg("dist"), 6).alias("mean_intra_list_distance"),
+        F.round(F.min("dist"), 6).alias("min_pair_distance"),
+        F.round(F.max("dist"), 6).alias("max_pair_distance"),
+    )
