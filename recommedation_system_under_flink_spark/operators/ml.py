@@ -1828,3 +1828,170 @@ def ml_boosted_stumps(spark: SparkSession, sf_dir: str) -> DataFrame:
         return row1.unionByName(row2).orderBy("stage")
     finally:
         feats.unpersist()
+
+
+# ------------------------------------------------ learning curve
+
+#: Nested training subsets (hash-bucket fractions of the corpus).
+CURVE_FRACTIONS = (0.1, 0.3, 1.0)
+
+
+def _curve_oracle() -> str:
+    """Per-fraction unrolled GD over the masked subset; every fraction's
+    gradients come from the same feats CTE (one scan's worth per
+    iteration when executed by Spark)."""
+    parts = [
+        _FEATS_CTE.replace(
+            "FROM documents",
+            f"FROM documents",
+        )
+    ]
+    parts[0] = parts[0].replace(
+        "  FROM documents",
+        f"""         , (doc_id * {HASH_MULT}) % {HASH_MOD} % 10 AS bucket
+  FROM documents""",
+    )
+    finals = []
+    for ci, frac in enumerate(CURVE_FRACTIONS):
+        nbuck = int(round(frac * 10))
+        prev = None
+        for it in range(GD_ITERS):
+            z = (
+                "0.0"
+                if prev is None
+                else f"{prev}.wb + {prev}.w1 * x1 + {prev}.w2 * x2 + {prev}.w3 * x3"
+            )
+            src = (
+                f"(SELECT * FROM feats WHERE bucket < {nbuck})"
+                if prev is None
+                else f"(SELECT * FROM feats WHERE bucket < {nbuck}), {prev}"
+            )
+            parts.append(
+                f"""cg{ci}_{it} AS (
+  SELECT AVG(1.0 / (1.0 + EXP(-({z}))) - y) AS gb,
+         AVG((1.0 / (1.0 + EXP(-({z}))) - y) * x1) AS g1,
+         AVG((1.0 / (1.0 + EXP(-({z}))) - y) * x2) AS g2,
+         AVG((1.0 / (1.0 + EXP(-({z}))) - y) * x3) AS g3
+  FROM {src}
+)"""
+            )
+            wsrc = f"cg{ci}_{it}" if prev is None else f"cg{ci}_{it}, {prev}"
+            wb = "0.0" if prev is None else f"{prev}.wb"
+            w1 = "0.0" if prev is None else f"{prev}.w1"
+            w2 = "0.0" if prev is None else f"{prev}.w2"
+            w3 = "0.0" if prev is None else f"{prev}.w3"
+            parts.append(
+                f"""cw{ci}_{it} AS (
+  SELECT {wb} - {GD_LR} * gb AS wb, {w1} - {GD_LR} * g1 AS w1,
+         {w2} - {GD_LR} * g2 AS w2, {w3} - {GD_LR} * g3 AS w3
+  FROM {wsrc}
+)"""
+            )
+            prev = f"cw{ci}_{it}"
+        finals.append(
+            f"SELECT {frac} AS fraction, {nbuck} AS n_buckets, wb, w1, w2, w3 FROM {prev}"
+        )
+    parts.append("curve AS (" + " UNION ALL ".join(finals) + ")")
+    p = "1.0 / (1.0 + EXP(-(wb + w1 * x1 + w2 * x2 + w3 * x3)))"
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"""
+SELECT fraction,
+       CAST(SUM(CASE WHEN bucket < n_buckets THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_train,
+       ROUND(AVG(CASE WHEN bucket < n_buckets
+                 THEN -(y * LN({p}) + (1.0 - y) * LN(1.0 - ({p}))) END), 6)
+         AS train_logloss,
+       ROUND(AVG(-(y * LN({p}) + (1.0 - y) * LN(1.0 - ({p})))), 6)
+         AS full_logloss
+FROM feats CROSS JOIN curve
+GROUP BY fraction, n_buckets ORDER BY fraction"""
+    )
+
+
+@register("ml_learning_curve", _curve_oracle())
+def ml_learning_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """**Learning curve** — the does-more-data-help audit: logistic
+    regression trained on nested 10% / 30% / 100% hash-bucket subsets,
+    reporting each model's loss on its own subset and on the full
+    corpus. AMORTIZED like ml_lr_sweep: every GD iteration is ONE
+    aggregate whose per-fraction gradients are masked averages of the
+    same scanned rows (`AVG(CASE WHEN bucket < k …)`), so the whole
+    curve costs K passes — not K×|fractions| — and the subsets nest by
+    construction (bucket < 1 ⊂ bucket < 3 ⊂ all)."""
+    feats = _feats(spark, sf_dir).withColumn(
+        "bucket", (F.col("doc_id") * HASH_MULT) % HASH_MOD % 10
+    )
+    feats.persist()
+    try:
+        ws = {f: [0.0, 0.0, 0.0, 0.0] for f in CURVE_FRACTIONS}
+        for _ in range(GD_ITERS):
+            aggs = []
+            for ci, frac in enumerate(CURVE_FRACTIONS):
+                nbuck = int(round(frac * 10))
+                w = ws[frac]
+                z = (
+                    F.lit(w[0])
+                    + F.lit(w[1]) * F.col("x1")
+                    + F.lit(w[2]) * F.col("x2")
+                    + F.lit(w[3]) * F.col("x3")
+                )
+                resid = F.lit(1.0) / (F.lit(1.0) + F.exp(-z)) - F.col("y")
+                mask = F.when(F.col("bucket") < nbuck, resid)
+                aggs += [
+                    F.avg(mask).alias(f"gb_{ci}"),
+                    F.avg(mask * F.col("x1")).alias(f"g1_{ci}"),
+                    F.avg(mask * F.col("x2")).alias(f"g2_{ci}"),
+                    F.avg(mask * F.col("x3")).alias(f"g3_{ci}"),
+                ]
+            g = feats.agg(*aggs).collect()[0]
+            if g["gb_2"] is None:
+                break
+            for ci, frac in enumerate(CURVE_FRACTIONS):
+                w = ws[frac]
+                ws[frac] = [
+                    w[0] - GD_LR * g[f"gb_{ci}"],
+                    w[1] - GD_LR * g[f"g1_{ci}"],
+                    w[2] - GD_LR * g[f"g2_{ci}"],
+                    w[3] - GD_LR * g[f"g3_{ci}"],
+                ]
+        curve = spark.createDataFrame(
+            [
+                (float(f), int(round(f * 10)), *ws[f])
+                for f in CURVE_FRACTIONS
+            ],
+            "fraction double, n_buckets int, wb double, w1 double, "
+            "w2 double, w3 double",
+        )
+        z = (
+            F.col("wb")
+            + F.col("w1") * F.col("x1")
+            + F.col("w2") * F.col("x2")
+            + F.col("w3") * F.col("x3")
+        )
+        p = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+        ll = -(
+            F.col("y") * F.log(p)
+            + (F.lit(1.0) - F.col("y")) * F.log(F.lit(1.0) - p)
+        )
+        return (
+            feats.crossJoin(F.broadcast(curve))
+            .groupBy("fraction", "n_buckets")
+            .agg(
+                F.sum(
+                    F.when(F.col("bucket") < F.col("n_buckets"), 1).otherwise(0)
+                ).alias("n_train"),
+                F.round(
+                    F.avg(
+                        F.when(F.col("bucket") < F.col("n_buckets"), ll)
+                    ),
+                    6,
+                ).alias("train_logloss"),
+                F.round(F.avg(ll), 6).alias("full_logloss"),
+            )
+            .select("fraction", "n_train", "train_logloss", "full_logloss")
+            .orderBy("fraction")
+        )
+    finally:
+        feats.unpersist()

@@ -394,3 +394,19 @@ def test_boosted_stumps_mse_descends_and_matches_numpy(queries, spark):
     # boosting with shrinkage and a positive-gain split strictly improves
     assert rows[1]["train_mse"] < rows[0]["train_mse"]
     assert rows[0]["train_mse"] < float(((y - y.mean()) ** 2).mean()) + 0.25
+
+
+def test_learning_curve_nested_and_full_equals_sweep(queries, spark):
+    """Subsets nest (n_train strictly grows) and the fraction=1.0 row
+    must equal ml_logreg_gd's full-corpus fit exactly."""
+    rows = sorted(
+        queries["ml_learning_curve"](spark, SF_DIR).collect(),
+        key=lambda r: r["fraction"],
+    )
+    ns = [r["n_train"] for r in rows]
+    assert ns == sorted(ns) and ns[0] > 0 and len(set(ns)) == 3
+    single = queries["ml_logreg_gd"](spark, SF_DIR).collect()[0]
+    full = rows[-1]
+    assert full["fraction"] == 1.0
+    assert full["full_logloss"] == pytest.approx(single["logloss"], abs=2e-6)
+    assert full["train_logloss"] == pytest.approx(single["logloss"], abs=2e-6)
