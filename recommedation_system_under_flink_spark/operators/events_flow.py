@@ -2331,3 +2331,93 @@ def ef_session_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_session_pairs"),
         F.sum("overlap_us").alias("total_overlap_us"),
     )
+
+
+# ------------------------------------------- difference-in-differences
+
+#: Period boundary (epoch day) splitting the 30-day fixture window in
+#: half: pre = days < boundary, post = days >= boundary.
+DID_BOUNDARY_DAY = 19738  # 2024-01-16
+
+_DID_ORACLE = f"""WITH per_user AS (
+  SELECT user_id % 2 AS treated,
+         CASE WHEN epoch_us(ts) // 86400000000 >= {DID_BOUNDARY_DAY}
+              THEN 1 ELSE 0 END AS post,
+         user_id,
+         SUM(CAST(value AS DECIMAL(18,6))) AS y
+  FROM events WHERE event_type = 'purchase'
+  GROUP BY 1, 2, user_id
+),
+cells AS (
+  SELECT treated, post,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         AVG(CAST(y AS DOUBLE)) AS mu,
+         VAR_SAMP(CAST(y AS DOUBLE)) AS v
+  FROM per_user GROUP BY treated, post
+)
+SELECT ROUND(MAX(CASE WHEN treated = 1 AND post = 0 THEN mu END), 6) AS t_pre,
+       ROUND(MAX(CASE WHEN treated = 1 AND post = 1 THEN mu END), 6) AS t_post,
+       ROUND(MAX(CASE WHEN treated = 0 AND post = 0 THEN mu END), 6) AS c_pre,
+       ROUND(MAX(CASE WHEN treated = 0 AND post = 1 THEN mu END), 6) AS c_post,
+       ROUND((MAX(CASE WHEN treated = 1 AND post = 1 THEN mu END)
+              - MAX(CASE WHEN treated = 1 AND post = 0 THEN mu END))
+             - (MAX(CASE WHEN treated = 0 AND post = 1 THEN mu END)
+                - MAX(CASE WHEN treated = 0 AND post = 0 THEN mu END)), 6)
+         AS did_estimate,
+       ROUND(SQRT(SUM(v / n)), 6) AS se,
+       ROUND(((MAX(CASE WHEN treated = 1 AND post = 1 THEN mu END)
+               - MAX(CASE WHEN treated = 1 AND post = 0 THEN mu END))
+              - (MAX(CASE WHEN treated = 0 AND post = 1 THEN mu END)
+                 - MAX(CASE WHEN treated = 0 AND post = 0 THEN mu END)))
+             / SQRT(SUM(v / n)), 6) AS t_stat
+FROM cells"""
+
+
+@register("ef_diff_in_diff", _DID_ORACLE)
+def ef_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """**Difference-in-differences**: the observational-causal
+    counterpart of the A/B family (ef_welch_ttest, ef_cuped_adjustment)
+    — treatment = the parity cohort, periods split at the fixture
+    midpoint, outcome = per-user purchase value. DiD =
+    (T_post − T_pre) − (C_post − C_pre) of cell means, with the
+    classic 4-cell SE √(Σ varᵢ/nᵢ) (the 2×2 OLS-with-interaction
+    standard error under homoskedastic cells). One per-user aggregate
+    (exact-DECIMAL money summation per repo convention), one 4-row
+    cell rollup, one 1-row combine — nothing scales past the user
+    aggregation."""
+    per_user = (
+        events_raw(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .groupBy(
+            (F.col("user_id") % 2).alias("treated"),
+            F.when(
+                F.expr("(ts DIV 1000) DIV 86400000000") >= DID_BOUNDARY_DAY, 1
+            )
+            .otherwise(0)
+            .alias("post"),
+            "user_id",
+        )
+        .agg(F.sum(F.col("value").cast("decimal(18,6)")).alias("y"))
+    )
+    cells = per_user.groupBy("treated", "post").agg(
+        F.count("*").alias("n"),
+        F.avg(F.col("y").cast("double")).alias("mu"),
+        F.var_samp(F.col("y").cast("double")).alias("v"),
+    )
+
+    def cell(t: int, p: int):
+        return F.max(
+            F.when((F.col("treated") == t) & (F.col("post") == p), F.col("mu"))
+        )
+
+    did = (cell(1, 1) - cell(1, 0)) - (cell(0, 1) - cell(0, 0))
+    se = F.sqrt(F.sum(F.col("v") / F.col("n")))
+    return cells.agg(
+        F.round(cell(1, 0), 6).alias("t_pre"),
+        F.round(cell(1, 1), 6).alias("t_post"),
+        F.round(cell(0, 0), 6).alias("c_pre"),
+        F.round(cell(0, 1), 6).alias("c_post"),
+        F.round(did, 6).alias("did_estimate"),
+        F.round(se, 6).alias("se"),
+        F.round(did / se, 6).alias("t_stat"),
+    )

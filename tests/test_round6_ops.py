@@ -244,3 +244,26 @@ def test_basket_pairs_lift_and_symmetry_free(queries, spark):
     for r in rows:
         assert r["part_a"] < r["part_b"]  # each pair exactly once
         assert r["lift"] > 0
+
+
+def test_diff_in_diff_matches_numpy(queries, spark):
+    import numpy as np
+
+    row = queries["ef_diff_in_diff"](spark, SF_DIR).collect()[0]
+    df = duckdb.sql(
+        f"""SELECT user_id % 2 AS treated,
+                   CASE WHEN epoch_us(ts) // 86400000000 >= 19738
+                        THEN 1 ELSE 0 END AS post,
+                   user_id,
+                   CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS y
+            FROM '{SF_DIR}/events.parquet' WHERE event_type = 'purchase'
+            GROUP BY 1, 2, user_id"""
+    ).df()
+    mus, var_over_n = {}, 0.0
+    for (t, p), sub in df.groupby(["treated", "post"]):
+        mus[(t, p)] = sub.y.mean()
+        var_over_n += sub.y.var(ddof=1) / len(sub)
+    did = (mus[(1, 1)] - mus[(1, 0)]) - (mus[(0, 1)] - mus[(0, 0)])
+    assert row["did_estimate"] == pytest.approx(did, abs=2e-6)
+    assert row["se"] == pytest.approx(float(np.sqrt(var_over_n)), abs=2e-6)
+    assert row["t_stat"] == pytest.approx(did / np.sqrt(var_over_n), abs=1e-4)
