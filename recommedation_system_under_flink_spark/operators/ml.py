@@ -1995,3 +1995,75 @@ def ml_learning_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         feats.unpersist()
+
+
+# ------------------------------------------------ average precision
+
+_AP_ORACLE = f"""WITH {_FEATS_CTE},
+scored AS (
+  SELECT CASE WHEN list_contains({_SQL_TOKENS.replace("text", "d.text")}, 'the')
+              THEN 1.0 ELSE 0.0 END AS y,
+         {_CAL_SCORE_SQL} AS s
+  FROM feats JOIN documents d USING (doc_id)
+),
+by_s AS (
+  SELECT s, SUM(y) AS pos, CAST(COUNT(*) AS DOUBLE) AS cnt FROM scored GROUP BY s
+),
+cum AS (
+  SELECT s, pos,
+         SUM(pos) OVER w AS tp,
+         SUM(cnt) OVER w AS k
+  FROM by_s
+  WINDOW w AS (ORDER BY s DESC ROWS BETWEEN UNBOUNDED PRECEDING
+               AND CURRENT ROW)
+),
+tot AS (SELECT SUM(y) AS np FROM scored)
+SELECT CAST(ANY_VALUE(tot.np) AS BIGINT) AS n_positive,
+       -- step-interpolated AP: each score group contributes its
+       -- positives at the group's trailing precision tp/k
+       ROUND(SUM(cum.pos * cum.tp / cum.k) / ANY_VALUE(tot.np), 6)
+         AS average_precision,
+       ROUND(MAX(CASE WHEN cum.k > 0 THEN cum.tp / cum.k END), 6)
+         AS best_precision
+FROM cum CROSS JOIN tot"""
+
+
+@register("ml_average_precision", _AP_ORACLE)
+def ml_average_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """**Average precision (PR-AUC)** of the pinned scorer against the
+    contains-'the' label — the imbalance-robust companion to
+    ml_roc_auc (ROC flatters any scorer when negatives dominate; the
+    PR curve does not). Same scale machinery as the AUC: aggregate to
+    DISTINCT scores first, one descending cumulative window over
+    |distinct s| pre-aggregated rows (never a global per-row rank),
+    each score group contributing its positives at the group's
+    trailing precision tp/k."""
+    docs = load_raw(spark, sf_dir, "documents")
+    toks = _tokens(F.col("text"))
+    ntok = F.size(toks)
+    z = (
+        F.lit(CAL_W[0])
+        + F.lit(CAL_W[1]) * (F.col("n_chars") / 500.0)
+        + F.lit(CAL_W[2]) * (ntok / 50.0)
+    )
+    scored = docs.select(
+        F.when(F.array_contains(toks, "the"), 1.0).otherwise(0.0).alias("y"),
+        (F.lit(1.0) / (F.lit(1.0) + F.exp(-z))).alias("s"),
+    )
+    by_s = scored.groupBy("s").agg(
+        F.sum("y").alias("pos"), F.count("*").cast("double").alias("cnt")
+    )
+    w = Window.orderBy(F.desc("s")).rowsBetween(Window.unboundedPreceding, 0)
+    cum = by_s.select(
+        "pos",
+        F.sum("pos").over(w).alias("tp"),
+        F.sum("cnt").over(w).alias("k"),
+    )
+    tot = scored.agg(F.sum("y").alias("np"))
+    return cum.crossJoin(F.broadcast(tot)).agg(
+        F.first("np").cast("long").alias("n_positive"),
+        F.round(
+            F.sum(F.col("pos") * F.col("tp") / F.col("k")) / F.first("np"), 6
+        ).alias("average_precision"),
+        F.round(F.max(F.col("tp") / F.col("k")), 6).alias("best_precision"),
+    )

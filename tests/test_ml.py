@@ -410,3 +410,26 @@ def test_learning_curve_nested_and_full_equals_sweep(queries, spark):
     assert full["fraction"] == 1.0
     assert full["full_logloss"] == pytest.approx(single["logloss"], abs=2e-6)
     assert full["train_logloss"] == pytest.approx(single["logloss"], abs=2e-6)
+
+
+def test_average_precision_matches_numpy(queries, spark):
+    """Step-interpolated AP must match a direct numpy computation over
+    the descending-score sweep (ties handled at group granularity)."""
+    row = queries["ml_average_precision"](spark, SF_DIR).collect()[0]
+    df = duckdb.sql(
+        f"""SELECT CASE WHEN list_contains(
+                 list_filter(string_split(text,' '), t->t<>''), 'the')
+               THEN 1.0 ELSE 0.0 END AS y,
+               1/(1+EXP(-(-3.0 + 4.0*(n_chars/500.0)
+                 + 1.0*(len(list_filter(string_split(text,' '), t->t<>''))/50.0))))
+                 AS s
+            FROM '{SF_DIR}/documents.parquet'"""
+    ).df()
+    g = df.groupby("s").y.agg(["sum", "count"]).sort_index(ascending=False)
+    tp = g["sum"].cumsum()
+    k = g["count"].cumsum()
+    ap = float((g["sum"] * (tp / k)).sum() / df.y.sum())
+    assert row["n_positive"] == int(df.y.sum())
+    assert row["average_precision"] == pytest.approx(ap, abs=2e-6)
+    assert 0 < row["average_precision"] <= 1
+    assert row["best_precision"] <= 1.0
