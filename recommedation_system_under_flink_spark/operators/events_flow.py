@@ -2421,3 +2421,85 @@ def ef_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(se, 6).alias("se"),
         F.round(did / se, 6).alias("t_stat"),
     )
+
+
+# ------------------------------------------- regression discontinuity
+
+#: RD design on the document corpus: running variable n_chars, pinned
+#: cutoff, local-linear fit inside the bandwidth on each side.
+RD_CUTOFF = 300
+RD_BANDWIDTH = 150
+
+_RD_ORACLE = f"""WITH pts AS (
+  SELECT CAST(n_chars - {RD_CUTOFF} AS DOUBLE) AS x,
+         CASE WHEN list_contains(
+                list_filter(string_split(text, ' '), t -> t <> ''), 'the')
+              THEN 1.0 ELSE 0.0 END AS y,
+         CASE WHEN n_chars >= {RD_CUTOFF} THEN 1 ELSE 0 END AS side
+  FROM documents
+  WHERE n_chars >= {RD_CUTOFF - RD_BANDWIDTH}
+    AND n_chars < {RD_CUTOFF + RD_BANDWIDTH}
+),
+fits AS (
+  SELECT side, CAST(COUNT(*) AS BIGINT) AS n,
+         (COUNT(*) * SUM(x * y) - SUM(x) * SUM(y))
+           / (COUNT(*) * SUM(x * x) - SUM(x) * SUM(x)) AS slope,
+         (SUM(y) - (COUNT(*) * SUM(x * y) - SUM(x) * SUM(y))
+                   / (COUNT(*) * SUM(x * x) - SUM(x) * SUM(x)) * SUM(x))
+           / COUNT(*) AS icpt
+  FROM pts GROUP BY side
+)
+SELECT MAX(CASE WHEN side = 1 THEN n END) AS n_right,
+       MAX(CASE WHEN side = 0 THEN n END) AS n_left,
+       ROUND(MAX(CASE WHEN side = 1 THEN icpt END), 6) AS limit_right,
+       ROUND(MAX(CASE WHEN side = 0 THEN icpt END), 6) AS limit_left,
+       ROUND(MAX(CASE WHEN side = 1 THEN icpt END)
+             - MAX(CASE WHEN side = 0 THEN icpt END), 6) AS rd_jump,
+       ROUND(MAX(CASE WHEN side = 1 THEN slope END), 6) AS slope_right,
+       ROUND(MAX(CASE WHEN side = 0 THEN slope END), 6) AS slope_left
+FROM fits"""
+
+
+@register("ef_regression_discontinuity", _RD_ORACLE)
+def ef_regression_discontinuity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """**Regression discontinuity**: completes the causal family
+    (Welch A/B → CUPED → DiD → RD). Local-linear OLS on each side of
+    a pinned cutoff of the running variable within a bandwidth; the
+    treatment effect is the jump between the two intercepts AT the
+    cutoff (x is centered, so each fit's intercept IS its boundary
+    limit). Each side's fit is closed-form from 5 sums — one filtered
+    scan, a 2-row aggregate, a 1-row combine; the bandwidth predicate
+    pushes to the parquet scan."""
+    from ..sources import load_raw
+
+    docs = load_raw(spark, sf_dir, "documents").filter(
+        (F.col("n_chars") >= RD_CUTOFF - RD_BANDWIDTH)
+        & (F.col("n_chars") < RD_CUTOFF + RD_BANDWIDTH)
+    )
+    toks = F.filter(F.split(F.col("text"), " "), lambda t: t != F.lit(""))
+    pts = docs.select(
+        (F.col("n_chars") - RD_CUTOFF).cast("double").alias("x"),
+        F.when(F.array_contains(toks, "the"), 1.0).otherwise(0.0).alias("y"),
+        F.when(F.col("n_chars") >= RD_CUTOFF, 1).otherwise(0).alias("side"),
+    )
+    n, sx, sy = F.count("*"), F.sum("x"), F.sum("y")
+    sxy, sxx = F.sum(F.col("x") * F.col("y")), F.sum(F.col("x") * F.col("x"))
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    fits = pts.groupBy("side").agg(
+        n.alias("n"),
+        slope.alias("slope"),
+        ((sy - slope * sx) / n).alias("icpt"),
+    )
+
+    def at(side: int, col: str):
+        return F.max(F.when(F.col("side") == side, F.col(col)))
+
+    return fits.agg(
+        at(1, "n").alias("n_right"),
+        at(0, "n").alias("n_left"),
+        F.round(at(1, "icpt"), 6).alias("limit_right"),
+        F.round(at(0, "icpt"), 6).alias("limit_left"),
+        F.round(at(1, "icpt") - at(0, "icpt"), 6).alias("rd_jump"),
+        F.round(at(1, "slope"), 6).alias("slope_right"),
+        F.round(at(0, "slope"), 6).alias("slope_left"),
+    )

@@ -1516,3 +1516,57 @@ def samp_pps_systematic(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("inclusion_prob"),
         )
     )
+
+
+# ------------------------------------------- class rebalancing
+
+_BALANCE_ORACLE = f"""WITH lab AS (
+  SELECT doc_id,
+         CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS label,
+         (doc_id * {HASH_MULT}) % {HASH_MOD} AS h
+  FROM documents
+),
+sizes AS (
+  SELECT label, CAST(COUNT(*) AS BIGINT) AS n FROM lab GROUP BY label
+),
+minority AS (SELECT MIN(n) AS n_min FROM sizes),
+ranked AS (
+  SELECT doc_id, label, h,
+         ROW_NUMBER() OVER (PARTITION BY label ORDER BY h, doc_id) AS rk
+  FROM lab
+)
+SELECT doc_id, CAST(label AS BIGINT) AS label
+FROM ranked CROSS JOIN minority
+WHERE rk <= n_min
+ORDER BY doc_id"""
+
+
+@register("samp_balanced_downsample", _BALANCE_ORACLE)
+def samp_balanced_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """**Deterministic class rebalancing**: downsample every class to
+    the minority-class size by keeping each class's first n_min rows
+    in pinned-hash order — uniform-without-replacement per class,
+    reproducible across engines/retries (the property the training-set
+    manifest needs; never ``rand()``). One pass for class sizes (2-row
+    broadcast + 1-row min), one rank-per-class window; Catalyst turns
+    the rank filter into WindowGroupLimit so each partition keeps at
+    most n_min rows per class before the shuffle."""
+    docs = load_raw(spark, sf_dir, "documents")
+    lab = docs.select(
+        "doc_id",
+        F.when(F.col("lang") == "en", 1).otherwise(0).alias("label"),
+        split_hash("doc_id").alias("h"),
+    )
+    minority = (
+        lab.groupBy("label")
+        .agg(F.count("*").alias("n"))
+        .agg(F.min("n").alias("n_min"))
+    )
+    w = Window.partitionBy("label").orderBy("h", "doc_id")
+    return (
+        lab.withColumn("rk", F.row_number().over(w))
+        .crossJoin(F.broadcast(minority))
+        .filter(F.col("rk") <= F.col("n_min"))
+        .select("doc_id", F.col("label").cast("long").alias("label"))
+        .orderBy("doc_id")
+    )

@@ -267,3 +267,39 @@ def test_diff_in_diff_matches_numpy(queries, spark):
     assert row["did_estimate"] == pytest.approx(did, abs=2e-6)
     assert row["se"] == pytest.approx(float(np.sqrt(var_over_n)), abs=2e-6)
     assert row["t_stat"] == pytest.approx(did / np.sqrt(var_over_n), abs=1e-4)
+
+
+def test_balanced_downsample_equalizes_classes(queries, spark):
+    rows = queries["samp_balanced_downsample"](spark, SF_DIR).collect()
+    from collections import Counter
+
+    c = Counter(r["label"] for r in rows)
+    assert len(c) == 2 and len(set(c.values())) == 1  # equal class sizes
+    n_min = duckdb.sql(
+        f"""SELECT MIN(n) FROM (SELECT COUNT(*) n
+            FROM '{SF_DIR}/documents.parquet'
+            GROUP BY lang = 'en')"""
+    ).fetchone()[0]
+    assert c[0] == c[1] == n_min
+
+
+def test_regression_discontinuity_matches_numpy(queries, spark):
+    import numpy as np
+
+    row = queries["ef_regression_discontinuity"](spark, SF_DIR).collect()[0]
+    df = duckdb.sql(
+        f"""SELECT CAST(n_chars - 300 AS DOUBLE) AS x,
+               CASE WHEN list_contains(
+                 list_filter(string_split(text,' '), t->t<>''), 'the')
+               THEN 1.0 ELSE 0.0 END AS y,
+               n_chars >= 300 AS side
+            FROM '{SF_DIR}/documents.parquet'
+            WHERE n_chars >= 150 AND n_chars < 450"""
+    ).df()
+    limits = {}
+    for side, sub in df.groupby("side"):
+        b, a = np.polyfit(sub.x.to_numpy(), sub.y.to_numpy(), 1)
+        limits[side] = a  # intercept at centered cutoff
+    assert row["limit_left"] == pytest.approx(limits[False], abs=2e-6)
+    assert row["limit_right"] == pytest.approx(limits[True], abs=2e-6)
+    assert row["rd_jump"] == pytest.approx(limits[True] - limits[False], abs=2e-6)
