@@ -2067,3 +2067,56 @@ def ml_average_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("average_precision"),
         F.round(F.max(F.col("tp") / F.col("k")), 6).alias("best_precision"),
     )
+
+
+# --------------------------------------------- linear attribution
+
+#: Top-N docs shown in the attribution report.
+ATTR_TOP = 25
+
+_ATTR_ORACLE = f"""WITH {_FEATS_CTE},
+mu AS (SELECT AVG(x1) AS m1, AVG(x2) AS m2 FROM feats)
+SELECT doc_id,
+       ROUND({_CAL_SCORE_SQL}, 6) AS score,
+       ROUND({CAL_W[1]} * (x1 - mu.m1), 6) AS contrib_x1,
+       ROUND({CAL_W[2]} * (x2 - mu.m2), 6) AS contrib_x2,
+       CASE WHEN ABS({CAL_W[1]} * (x1 - mu.m1))
+                 >= ABS({CAL_W[2]} * (x2 - mu.m2))
+            THEN 'x1' ELSE 'x2' END AS top_feature
+FROM feats CROSS JOIN mu
+ORDER BY ROUND({_CAL_SCORE_SQL}, 6) DESC, doc_id ASC
+LIMIT {ATTR_TOP}"""
+
+
+@register("ml_linear_attribution", _ATTR_ORACLE)
+def ml_linear_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """**Per-row additive attribution** of the pinned linear scorer:
+    for a linear model the exact Shapley decomposition of the logit is
+    wⱼ·(xⱼ − x̄ⱼ) per feature — no sampling, no surrogate. Reports the
+    top-{ATTR_TOP} scored docs with each feature's signed contribution
+    and the dominant feature — the explain-this-score column every
+    curation review UI needs. One 1-row means broadcast + a pure
+    projection; the top-K is a rank prune."""
+    feats = _feats(spark, sf_dir)
+    mu = feats.agg(F.avg("x1").alias("m1"), F.avg("x2").alias("m2"))
+    z = (
+        F.lit(CAL_W[0])
+        + F.lit(CAL_W[1]) * F.col("x1")
+        + F.lit(CAL_W[2]) * F.col("x2")
+    )
+    c1 = F.lit(CAL_W[1]) * (F.col("x1") - F.col("m1"))
+    c2 = F.lit(CAL_W[2]) * (F.col("x2") - F.col("m2"))
+    return (
+        feats.crossJoin(F.broadcast(mu))
+        .select(
+            "doc_id",
+            F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 6).alias("score"),
+            F.round(c1, 6).alias("contrib_x1"),
+            F.round(c2, 6).alias("contrib_x2"),
+            F.when(F.abs(c1) >= F.abs(c2), "x1").otherwise("x2").alias(
+                "top_feature"
+            ),
+        )
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(ATTR_TOP)
+    )

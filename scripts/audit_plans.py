@@ -67,6 +67,7 @@ EXPECTED_CARTESIAN = {
     "ml_learning_curve": "3-row per-fraction weight table broadcast into the scoring pass",
     "ml_average_precision": "1-row positive-total scalar broadcast into the PR sweep",
     "samp_balanced_downsample": "1-row minority-size scalar broadcast into the per-class rank filter",
+    "ml_linear_attribution": "1-row feature-means scalar broadcast into the attribution projection",
     "ml_roc_auc": "1-row class-totals + AUC scalar and 11-row threshold spine broadcasts",
     "ml_brier_decomposition": "two 1-row overall/brier aggregates cross-joined",
     "ts_term_drift": "1-row old/new totals scalar broadcast",

@@ -433,3 +433,24 @@ def test_average_precision_matches_numpy(queries, spark):
     assert row["average_precision"] == pytest.approx(ap, abs=2e-6)
     assert 0 < row["average_precision"] <= 1
     assert row["best_precision"] <= 1.0
+
+
+def test_linear_attribution_sums_to_centered_logit(queries, spark):
+    """Additive property: contrib_x1 + contrib_x2 must equal the doc's
+    logit minus the mean logit (exact for a linear model)."""
+    rows = queries["ml_linear_attribution"](spark, SF_DIR).collect()
+    m = _feats()
+    z = -3.0 + 4.0 * m[:, 1] + 1.0 * m[:, 2]
+    zbar = z.mean()
+    df = duckdb.sql(
+        f"""SELECT doc_id,
+               -3.0 + 4.0*(n_chars/500.0)
+               + 1.0*(len(list_filter(string_split(text,' '), t->t<>''))/50.0)
+                 AS z
+            FROM '{SF_DIR}/documents.parquet'"""
+    ).df().set_index("doc_id")
+    for r in rows:
+        centered = df.loc[r["doc_id"], "z"] - zbar
+        assert r["contrib_x1"] + r["contrib_x2"] == pytest.approx(
+            centered, abs=5e-6
+        )

@@ -303,3 +303,19 @@ def test_regression_discontinuity_matches_numpy(queries, spark):
     assert row["limit_left"] == pytest.approx(limits[False], abs=2e-6)
     assert row["limit_right"] == pytest.approx(limits[True], abs=2e-6)
     assert row["rd_jump"] == pytest.approx(limits[True] - limits[False], abs=2e-6)
+
+
+def test_uplift_deciles_partition_users(queries, spark):
+    rows = queries["ef_uplift_by_decile"](spark, SF_DIR).collect()
+    assert [r["decile"] for r in rows] == list(range(1, 11))
+    n_users = duckdb.sql(
+        f"SELECT COUNT(DISTINCT user_id) FROM '{SF_DIR}/events.parquet'"
+    ).fetchone()[0]
+    assert sum(r["n_treated"] + r["n_control"] for r in rows) == n_users
+    for r in rows:
+        if r["mu_treated"] is None or r["mu_control"] is None:
+            assert r["uplift"] is None  # decile with an empty arm
+            continue
+        assert r["uplift"] == pytest.approx(
+            r["mu_treated"] - r["mu_control"], abs=2e-6
+        )
