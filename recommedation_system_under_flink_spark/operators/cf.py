@@ -844,7 +844,7 @@ def cf_reclist_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     MMR-style rerankers optimize, cf. sim_mmr_rerank).
 
     Scale shape: recommendation lists are K-bounded, so the pair
-    generation is a per-user K² fan-out (≤ 10 pairs at K=5), keyed on
+    generation is a per-user K² fan-out (≤ 45 pairs at K=10), keyed on
     user_id — never an item×item cross; the embedding lookups are two
     joins against the |items|-row table on its key. Per-row norms
     compute once per side before the pair product."""

@@ -156,7 +156,7 @@ FROM feats, {prev}"""
 
 @register("ml_logreg_gd", _logreg_oracle())
 def ml_logreg_gd(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Full-batch logistic regression, {GD_ITERS} GD steps from w = 0.
+    """Full-batch logistic regression, 3 GD steps from w = 0.
 
     The distributed pattern that matters at 100 TB: the gradient of a
     linear model is an average over rows, so each iteration is ONE
@@ -1131,6 +1131,7 @@ def ml_als_two_sweeps(spark: SparkSession, sf_dir: str) -> DataFrame:
         "news_id", F.col("u0").alias("f0"), F.col("u1").alias("f1")
     ).persist()
     u2 = solve(r, fac1, "user_id", "news_id", "f0", "f1").persist()
+    _cached = (r, u1, fac1, u2)
 
     def norm(df: DataFrame, a: str, b: str) -> DataFrame:
         return df.agg(F.sum(F.col(a) * F.col(a) + F.col(b) * F.col(b)).alias("nrm"))
@@ -1158,12 +1159,20 @@ def ml_als_two_sweeps(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
 
-    out = (
-        obj(1, u1, fac0, norm(u1, "u0", "u1"), norm(fac0, "f0", "f1"))
-        .unionByName(obj(2, u1, fac1, norm(u1, "u0", "u1"), norm(fac1, "f0", "f1")))
-        .unionByName(obj(3, u2, fac1, norm(u2, "u0", "u1"), norm(fac1, "f0", "f1")))
-    )
-    return out.orderBy("step")
+    try:
+        out = (
+            obj(1, u1, fac0, norm(u1, "u0", "u1"), norm(fac0, "f0", "f1"))
+            .unionByName(obj(2, u1, fac1, norm(u1, "u0", "u1"), norm(fac1, "f0", "f1")))
+            .unionByName(obj(3, u2, fac1, norm(u2, "u0", "u1"), norm(fac1, "f0", "f1")))
+        )
+        # Eagerly materialize the 3-row certificate so the caches can
+        # be released here instead of leaking into later queries in the
+        # same session (the returned plan would otherwise re-read them).
+        rows = out.orderBy("step").collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        for df in _cached:
+            df.unpersist()
 
 
 # ----------------------------------------- WOE / information value
@@ -1733,7 +1742,7 @@ ORDER BY stage"""
 @register("ml_boosted_stumps", _boost_oracle())
 def ml_boosted_stumps(spark: SparkSession, sf_dir: str) -> DataFrame:
     """**Two rounds of gradient boosting** with stump base learners
-    (L2 loss, shrinkage ν={BOOST_NU}): stage 1 fits the SSE-optimal
+    (L2 loss, shrinkage ν=0.5): stage 1 fits the SSE-optimal
     stump on x1, residuals feed stage 2's stump on x2 — the exact
     GBDT outer loop, distributively: each round is one cumulative
     window scan for the split (the ml_decision_stump machinery with
@@ -1946,9 +1955,16 @@ def ml_learning_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.avg(mask * F.col("x3")).alias(f"g3_{ci}"),
                 ]
             g = feats.agg(*aggs).collect()[0]
-            if g["gb_2"] is None:
+            if all(
+                g[f"gb_{ci}"] is None for ci in range(len(CURVE_FRACTIONS))
+            ):
                 break
             for ci, frac in enumerate(CURVE_FRACTIONS):
+                # an empty subset (e.g. bucket<1 matched no rows) yields
+                # NULL gradients — skip that config's update, mirroring
+                # the oracle's NULL propagation, instead of raising
+                if g[f"gb_{ci}"] is None:
+                    continue
                 w = ws[frac]
                 ws[frac] = [
                     w[0] - GD_LR * g[f"gb_{ci}"],

@@ -998,9 +998,15 @@ def _fp_sql(*cols: str) -> str:
     identical in any engine; column order is pinned by the caller."""
     mix = " + ".join(f"({c}) * {31 ** (i + 1)}" for i, c in enumerate(cols))
     # reduce mod 2^31 BEFORE the Knuth multiply: 2^31 * mult < 2^63, so
-    # the product never overflows BIGINT in either engine
+    # the product never overflows BIGINT in either engine. The SUM
+    # accumulates in DECIMAL(38,0): row hashes are < 2^32, so BIGINT
+    # accumulation would wrap past ~2^31 rows in Spark while DuckDB
+    # silently promotes to HUGEINT — DECIMAL(38,0) is exact to ~10^28
+    # rows in BOTH engines, keeping the fingerprint engine-independent
+    # at any realistic SF.
     return (
-        f"CAST(SUM(((({mix}) % 2147483648) * {_FP_MULT}) % 4294967296)"
+        f"CAST(SUM(CAST(((({mix}) % 2147483648) * {_FP_MULT})"
+        f" % 4294967296 AS DECIMAL(38,0)))"
         f" % {_FP_P} AS BIGINT)"
     )
 
@@ -1068,10 +1074,15 @@ def prof_table_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
             term = F.col(c) * (31 ** (i + 1))
             mix = term if mix is None else mix + term
         row_hash = ((mix % 2_147_483_648) * _FP_MULT) % 4_294_967_296
+        # accumulate in DECIMAL(38,0): exact to ~10^28 rows, whereas a
+        # BIGINT sum of 2^32-bounded hashes wraps past ~2^31 rows (and
+        # DuckDB's SUM promotes to HUGEINT — engine divergence at scale)
         return df.agg(
             F.lit(name).alias("relation"),
             F.count("*").alias("n_rows"),
-            (F.sum(row_hash) % _FP_P).cast("long").alias("fingerprint"),
+            (F.sum(row_hash.cast("decimal(38,0)")) % F.lit(_FP_P))
+            .cast("long")
+            .alias("fingerprint"),
         )
 
     return (

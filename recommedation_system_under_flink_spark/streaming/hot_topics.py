@@ -701,7 +701,7 @@ WHERE l.op IS NULL OR l.op <> 'D'""",
 )
 def stream_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     """**Streaming CDC apply**: the change stream (op/seq rows derived
-    from orders, staged as {_CDC_BATCHES} sequence-ordered files)
+    from orders, staged as 4 sequence-ordered files)
     replays through ``foreachBatch``, each micro-batch MERGED into the
     running snapshot — reduce-the-batch-first (top-1 per key by seq),
     then one keyed join against the current snapshot, guarded by
