@@ -1184,9 +1184,11 @@ WOE_SMOOTH = 0.5
 
 _WOE_ORACLE = f"""WITH {_FEATS_CTE},
 scored AS (
+  -- 6dp-quantized score: GROUP BY s is tie-structure-sensitive to the
+  -- score's last ulp (same convention + rationale as _ROC_ORACLE)
   SELECT CASE WHEN list_contains({_SQL_TOKENS.replace("text", "d.text")}, 'the')
               THEN 1.0 ELSE 0.0 END AS y,
-         {_CAL_SCORE_SQL} AS s
+         ROUND({_CAL_SCORE_SQL}, 6) AS s
   FROM feats JOIN documents d USING (doc_id)
 ),
 binned AS (
@@ -1481,7 +1483,12 @@ def ml_decision_stump(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ------------------------------------------------ ROC / exact AUC
 
 _ROC_ORACLE = f"""WITH {_FEATS_CTE},
-scored AS (SELECT y, {_CAL_SCORE_SQL} AS s FROM feats),
+-- s quantized to 6dp BEFORE ranking: the midrank AUC's tie structure
+-- is infinitely sensitive to the score's last ulp (JVM vs DuckDB EXP
+-- differ by 1 ulp on some inputs — at sf0.1 that split 2 tie groups
+-- and moved the AUC by 4e-7, round-7 pre-flight), so cross-engine
+-- determinism requires grouping on a quantized key
+scored AS (SELECT y, ROUND({_CAL_SCORE_SQL}, 6) AS s FROM feats),
 tot AS (SELECT SUM(y) AS np, SUM(1.0 - y) AS nn FROM scored),
 auc AS (
   -- rank-sum (Mann-Whitney) exact AUC with the midrank tie correction
@@ -1515,8 +1522,17 @@ def ml_roc_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
     computed by ONE global sort instead of per-threshold sweeps, the
     trick that makes exact AUC feasible on 10¹¹ scored rows. The
     curve and the scalar ship in the same result so a calibration
-    regression can't desynchronize them."""
-    scored = _cal_scored(spark, sf_dir)
+    regression can't desynchronize them.
+
+    The score is quantized to 6dp before ranking: the midrank tie
+    structure (and hence the exact AUC) flips on the score's last ulp,
+    and JVM vs DuckDB ``exp`` differ by 1 ulp on some inputs — the
+    round-7 sf0.1 pre-flight caught 2 tie groups splitting and the AUC
+    moving 4e-7 across engines. Grouping on the quantized key is the
+    repo's standard cross-engine determinism convention."""
+    scored = _cal_scored(spark, sf_dir).select(
+        "y", F.round("s", 6).alias("s")
+    )
     tot = scored.agg(
         F.sum("y").alias("np"),
         F.sum(F.lit(1.0) - F.col("y")).alias("nn"),
@@ -2017,9 +2033,11 @@ def ml_learning_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _AP_ORACLE = f"""WITH {_FEATS_CTE},
 scored AS (
+  -- 6dp-quantized score: GROUP BY s is tie-structure-sensitive to the
+  -- score's last ulp (same convention + rationale as _ROC_ORACLE)
   SELECT CASE WHEN list_contains({_SQL_TOKENS.replace("text", "d.text")}, 'the')
               THEN 1.0 ELSE 0.0 END AS y,
-         {_CAL_SCORE_SQL} AS s
+         ROUND({_CAL_SCORE_SQL}, 6) AS s
   FROM feats JOIN documents d USING (doc_id)
 ),
 by_s AS (
@@ -2064,7 +2082,8 @@ def ml_average_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     scored = docs.select(
         F.when(F.array_contains(toks, "the"), 1.0).otherwise(0.0).alias("y"),
-        (F.lit(1.0) / (F.lit(1.0) + F.exp(-z))).alias("s"),
+        # 6dp-quantized before the GROUP BY: see ml_roc_auc's rationale
+        F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 6).alias("s"),
     )
     by_s = scored.groupBy("s").agg(
         F.sum("y").alias("pos"), F.count("*").cast("double").alias("cnt")

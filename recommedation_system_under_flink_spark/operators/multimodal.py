@@ -204,6 +204,64 @@ def mm_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_features(media(spark, sf_dir))
 
 
+#: Byte extraction in plain SQL for the hashable oracle twins: hex()
+#: the payload, then decode each 2-char pair positionally via strpos
+#: on the hex alphabet — engine-portable, no blob indexing needed.
+_BYTE_EXTRACT_CTE = """b AS (
+  SELECT media_id, modality, octet_length(payload) AS n,
+         upper(hex(payload)) AS h
+  FROM media
+),
+ex AS (
+  SELECT media_id, n, i,
+         (strpos('0123456789ABCDEF', substring(h, 2*i-1, 1)) - 1) * 16
+         + (strpos('0123456789ABCDEF', substring(h, 2*i, 1)) - 1) AS byte
+  FROM b, unnest(range(1, CAST(n AS BIGINT) + 1)) AS t(i)
+)"""
+
+
+@register(
+    "mm_decode_features_hashable",
+    f"""WITH {_MEDIA_CTE},
+{_BYTE_EXTRACT_CTE},
+seg AS (
+  SELECT media_id,
+         CAST((i - 1) // GREATEST(n // {FEATURE_DIM}, 1) AS INTEGER)
+           AS feature_idx,
+         SUM(byte) * 1.0 / (255.0 * COUNT(*)) AS feature
+  FROM ex
+  WHERE (i - 1) // GREATEST(n // {FEATURE_DIM}, 1) < {FEATURE_DIM}
+  GROUP BY media_id, feature_idx
+),
+idx AS (SELECT CAST(unnest(range({FEATURE_DIM})) AS INTEGER) AS feature_idx)
+SELECT b.media_id, b.modality, CAST(b.n AS BIGINT) AS n_bytes,
+       idx.feature_idx,
+       COALESCE(seg.feature, 0.0) AS feature
+FROM b CROSS JOIN idx
+LEFT JOIN seg ON seg.media_id = b.media_id
+             AND seg.feature_idx = idx.feature_idx""",
+)
+def mm_decode_features_hashable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """**Oracle-able projection of the decode/feature stage**: the SAME
+    ``mapInPandas`` kernel as ``mm_decode_features``, with the
+    ``array<double>`` feature column flattened via ``posexplode`` into
+    one (media_id, feature_idx, feature) row per dimension — the
+    flatten-for-the-canonicalizer pattern from a1/t1 (the driver's
+    value hash cannot sort array cells). The oracle re-derives every
+    feature value independently in SQL: hex-decode the payload bytes,
+    bucket them into the {FEATURE_DIM} fixed segments (chunk =
+    max(1, n//{FEATURE_DIM}), tail truncated, empty segment → 0.0),
+    and average each segment / 255 — certifying the Python kernel's
+    exact integer/integer double arithmetic end-to-end."""
+    feats = decode_features(media(spark, sf_dir))
+    return feats.select(
+        "media_id",
+        "modality",
+        "n_bytes",
+        F.posexplode("features").alias("feature_idx", "feature"),
+    ).select("media_id", "modality", "n_bytes", "feature_idx", "feature")
+
+
 # ------------------------------------------------------- byte-level stats
 
 @register("mm_binary_stats")  # numpy UDF stage → rows-only + pytest
@@ -249,6 +307,49 @@ def mm_binary_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         run,
         "media_id long, modality string, n_bytes long, entropy double, "
         "n_distinct long, printable_ratio double",
+    )
+
+
+@register(
+    "mm_binary_stats_hashable",
+    f"""WITH {_MEDIA_CTE},
+{_BYTE_EXTRACT_CTE},
+hist AS (
+  SELECT media_id, byte, COUNT(*) AS c, ANY_VALUE(n) AS n
+  FROM ex GROUP BY media_id, byte
+),
+agg AS (
+  SELECT media_id,
+         ROUND(-SUM((c * 1.0 / n) * log2(c * 1.0 / n)), 6) AS entropy,
+         CAST(COUNT(*) AS BIGINT) AS n_distinct,
+         SUM(CASE WHEN byte BETWEEN 32 AND 126 OR byte BETWEEN 9 AND 13
+                  THEN c ELSE 0 END) * 1.0 / ANY_VALUE(n) AS printable_ratio
+  FROM hist GROUP BY media_id
+)
+SELECT b.media_id, b.modality, CAST(b.n AS BIGINT) AS n_bytes,
+       COALESCE(agg.entropy, 0.0) AS entropy,
+       COALESCE(agg.n_distinct, 0) AS n_distinct,
+       COALESCE(agg.printable_ratio, 0.0) AS printable_ratio
+FROM b LEFT JOIN agg USING (media_id)""",
+)
+def mm_binary_stats_hashable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """**Oracle-able projection of the byte-stats triage stage**: the
+    SAME numpy ``mapInPandas`` kernel as ``mm_binary_stats``, with
+    entropy rounded to 6 decimals on both sides (the repo's standard
+    cross-engine float quantization — the unordered DuckDB SUM vs
+    numpy's byte-ordered sum differ by ~1e-14). n_distinct and
+    printable_ratio are exact integer counts / integer ratios, so they
+    hash unrounded. The oracle re-derives all three from a hex-decoded
+    per-byte histogram in plain SQL, certifying the vectorized numpy
+    kernel (``np.bincount`` path) against an independent derivation."""
+    stats = mm_binary_stats(spark, sf_dir)
+    return stats.select(
+        "media_id",
+        "modality",
+        "n_bytes",
+        F.round("entropy", 6).alias("entropy"),
+        "n_distinct",
+        "printable_ratio",
     )
 
 

@@ -48,17 +48,18 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 #: the four end-to-end pipelines, one query per SURVEY §2 operator row,
 #: and one per LLM-pipeline family. Every name here MUST have a full
 #: DuckDB oracle (enforced by tests/test_registry_window.py).
-#: ROUND-6 ROTATION: rounds 3-5 certified every §2 row plus two
-#: tranches of never-verified flagships (112 queries cumulatively
-#: driver-green across CORRECTNESS_r01/r02/r03/r05). This round keeps
-#: 6 regression canaries (four pipelines + the CSV source sentinel +
-#: the flagship scored join) and spends the other 44 slots on the
-#: THIRD tranche of oracle-backed queries that have never had a driver
-#: CORRECTNESS row — clustering/PQ ANN, span-level dedup, survival /
-#: A-B test stats, privacy profiling, DSIR sampling, sketch accuracy,
-#: XML/erasure/bucketed warehouse shapes, the TPC-H rotation
-#: continuation, and association rules. Cumulative target: ≥155/306
-#: oracle-backed queries driver-certified by end of round 6.
+#: ROUND-7 ROTATION (4th tranche): rounds 3-6 cumulatively certified
+#: 156/343 oracle-backed queries (CORRECTNESS_r01/r02/r03/r05/r06).
+#: This round keeps the same 6 regression canaries (four pipelines +
+#: the CSV source sentinel + the flagship scored join) and spends the
+#: other 44 slots on the FOURTH tranche of never-driver-certified
+#: queries, led by the entire 18-query ml_* training/eval family
+#: (added after the round-6 window was pinned), the round-6 tail
+#: (uplift deciles, RDD, diff-in-diff, balanced downsample, reclist
+#: diversity, cohort retention, basket pairs, table fingerprint, CDC
+#: batch+stream, window-function zoo), and the largest remaining
+#: never-certified ts_*/ev_* entries. Cumulative target: ≥200/343
+#: oracle-backed queries driver-certified by end of round 7.
 VERIFIED_WINDOW = (
     # regression canaries: end-to-end pipelines (SURVEY §3) + sentinels
     "hot_topics_pipeline",
@@ -67,63 +68,55 @@ VERIFIED_WINDOW = (
     "tfidf_recommend_all_days",
     "s1_csv_roundtrip",
     "j3_scored_join",
-    # --- never-driver-verified rotation (44), round 6 ---
-    # ANN / clustering / embedding diagnostics
-    "sim_neardup_pairs_exact",
-    "sim_pq_topk_pinned",
-    "sim_ivfpq_topk_pinned",
-    "sim_semdedup",
-    "sim_dbscan",
-    "sim_kmeans_lloyd",
-    "sim_embedding_drift",
-    # span-level / candidate-join dedup
-    "dedup_prefix_filter_join",
-    "dedup_duplicated_spans",
-    "dedup_incremental_lsh",
-    "dedup_winnowing",
-    # text / LM quality
-    "ts_bm25_search",
-    "ts_bpe_token_estimate",
-    "ts_lang_id",
-    "ts_quality_score",
-    "ts_kneser_ney_logprob",
-    "ts_lexical_diversity",
-    # survival / experiment stats over events
-    "ef_kaplan_meier",
-    "ef_logrank_test",
-    "ef_markov_attribution",
-    "ef_cuped_adjustment",
-    # graph algorithms
-    "graph_hits_clicks",
-    "graph_triangle_stats",
-    "graph_assortativity",
-    # privacy / data-quality profiling
-    "prof_k_anonymity",
-    "prof_l_diversity_t_closeness",
-    "prof_numeric_correlation",
-    # event-series stats
-    "ev_user_rfm_scalable",
-    "ev_theil_sen",
-    "ev_seasonal_decomposition",
-    # sampling / split hygiene
-    "samp_dsir_weights",
-    "samp_srm_check",
-    "samp_neyman_allocation",
-    "samp_token_budget_waterfill",
-    # sketch accuracy
-    "sk_count_min_accuracy",
-    "sk_heavy_hitters_exact",
-    # warehouse maintenance / source shapes
-    "s23_xml_roundtrip",
-    "s14_user_erasure",
-    "s8_bucketed_join",
-    # TPC-H rotation continuation
-    "rel_q9_product_profit",
-    "rel_q13_customer_distribution",
-    "rel_q21_waiting_suppliers",
-    # CF / curation flagships
-    "cf_association_rules",
-    "llm_curation_fused",
+    # --- never-driver-verified rotation (44), round 7 ---
+    # ML training/eval family (all 18, added round 6)
+    "ml_logreg_gd",
+    "ml_nb_langid",
+    "ml_calibration_bins",
+    "ml_brier_decomposition",
+    "ml_feature_hashing",
+    "ml_lr_sweep",
+    "ml_als_half_step",
+    "ml_als_two_sweeps",
+    "ml_woe_iv",
+    "ml_target_encoding",
+    "ml_kfold_eval",
+    "ml_decision_stump",
+    "ml_roc_auc",
+    "ml_histogram_split",
+    "ml_boosted_stumps",
+    "ml_learning_curve",
+    "ml_average_precision",
+    "ml_linear_attribution",
+    # round-6 tail: causal / eval / warehouse additions
+    "ef_uplift_by_decile",
+    "ef_regression_discontinuity",
+    "ef_diff_in_diff",
+    "samp_balanced_downsample",
+    "cf_reclist_diversity",
+    "ev_cohort_retention",
+    "rel_basket_pairs",
+    "prof_table_fingerprint",
+    "s26_cdc_apply",
+    "stream_cdc_apply",
+    "t7_window_function_zoo",
+    # largest remaining never-certified text-analysis entries
+    "ts_ngram_counts",
+    "ts_chunk_documents",
+    "ts_pack_sequences",
+    "ts_pii_scrub",
+    "ts_normalize_text",
+    "ts_unigram_logprob",
+    "ts_zipf_fit",
+    "ts_rake_keywords",
+    # largest remaining never-certified event-series entries
+    "ev_props_parse",
+    "ev_props_rollup",
+    "ev_key_skew_report",
+    "ev_user_activity_features",
+    "ev_harmonic_regression",
+    "ev_rolling_distinct_users",
+    "ev_pivot_event_dow",
 )
 
 

@@ -313,7 +313,9 @@ def test_roc_auc_matches_numpy(queries, spark):
     m = _feats()
     y = m[:, 0]
     z = -3.0 + 4.0 * m[:, 1] + 1.0 * m[:, 2]
-    s = 1 / (1 + np.exp(-z))
+    # the query pins 6dp-quantized scores (cross-engine tie-structure
+    # determinism — see ml_roc_auc's docstring); replay the same key
+    s = np.round(1 / (1 + np.exp(-z)), 6)
     # exact rank-sum AUC with midranks
     order = np.argsort(s, kind="mergesort")
     ranks = np.empty(len(s))
@@ -420,8 +422,8 @@ def test_average_precision_matches_numpy(queries, spark):
         f"""SELECT CASE WHEN list_contains(
                  list_filter(string_split(text,' '), t->t<>''), 'the')
                THEN 1.0 ELSE 0.0 END AS y,
-               1/(1+EXP(-(-3.0 + 4.0*(n_chars/500.0)
-                 + 1.0*(len(list_filter(string_split(text,' '), t->t<>''))/50.0))))
+               ROUND(1/(1+EXP(-(-3.0 + 4.0*(n_chars/500.0)
+                 + 1.0*(len(list_filter(string_split(text,' '), t->t<>''))/50.0)))), 6)
                  AS s
             FROM '{SF_DIR}/documents.parquet'"""
     ).df()
