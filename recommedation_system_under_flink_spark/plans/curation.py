@@ -186,6 +186,138 @@ def llm_curation_fused(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Fraction of the surviving corpus' tokens the mixed training set may
+#: use (the "budget"); each source gets an equal share of it.
+MIX_BUDGET_FRAC = 0.5
+
+#: Same tokenizer as the quality stage, for the mix's token counts.
+_TOKENS_SQL_EXPR = (
+    "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> '')"
+)
+
+_MIX_ORACLE = f"""WITH qual AS (
+{_QUAL_SQL}
+), toks AS (
+  SELECT doc_id, source,
+         CAST(len({_TOKENS_SQL_EXPR}) AS BIGINT) AS n_tokens
+  FROM documents
+), canon AS (
+  SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY text
+), surv AS (
+  SELECT t.source, t.n_tokens
+  FROM canon c
+  JOIN qual q ON c.doc_id = q.doc_id
+  JOIN toks t ON c.doc_id = t.doc_id
+  WHERE q.quality >= {QUALITY_MIN}
+), per_source AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(n_tokens) AS BIGINT) AS n_tokens
+  FROM surv GROUP BY source
+), tot AS (
+  SELECT CAST(SUM(n_tokens) AS BIGINT) AS tot_tokens,
+         CAST(COUNT(*) AS BIGINT) AS n_sources
+  FROM per_source
+)
+SELECT source, n_docs, n_tokens,
+       ROUND(LEAST(CAST(1.0 AS DOUBLE),
+                   CAST({MIX_BUDGET_FRAC} AS DOUBLE) * tot_tokens
+                   / n_sources / n_tokens), 6) AS weight,
+       ROUND(LEAST(CAST(n_tokens AS DOUBLE),
+                   CAST({MIX_BUDGET_FRAC} AS DOUBLE) * tot_tokens
+                   / n_sources), 6) AS alloc_tokens
+FROM per_source CROSS JOIN tot
+ORDER BY source"""
+
+
+@register("llm_curation_mix_fused", _MIX_ORACLE)
+def llm_curation_mix_fused(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """**Fused dedup → quality → mix, one scan** (the second fused
+    curation variant, VERDICT r6 item 8): exact-dedup canonical pick
+    and the quality gate computed exactly as :func:`llm_curation_fused`
+    does (one token projection, one content-hash window — the plan's
+    only corpus shuffle), then the surviving docs flow straight into a
+    MIX stage: per-source token totals and an equal-share allocation of
+    a global token budget (``MIX_BUDGET_FRAC`` of surviving tokens),
+    giving each source a sampling weight ``min(1, share/tokens_s)`` —
+    the deterministic core of the source-mixing step every pre-training
+    corpus plan runs after curation (cf. samp_token_budget_waterfill
+    for the redistributive variant; here under-filled shares are
+    reported, not redistributed, so the whole mix is one aggregate).
+
+    Scale shape: scan → window on content_hash (one shuffle) →
+    per-source aggregate (tiny) → 1-row budget scalar cross join.
+    Output is |sources| rows — dashboard-sized at any corpus scale."""
+    from pyspark.sql import Window
+
+    from ..functions.text import STOPWORDS
+    from ..operators.textstats import _tokens
+
+    docs = load_raw(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id",
+        "source",
+        F.sha2(F.col("text"), 256).alias("content_hash"),
+        _tokens(F.col("text")).alias("ts"),
+    )
+    ts, n = F.col("ts"), F.size("ts")
+    dts = F.array_distinct(ts)
+    # quality formula, inline (identical algebra to ts_quality_score)
+    stop_arr = F.array(*[F.lit(w) for w in STOPWORDS])
+    stop_ratio = F.when(
+        n > 0,
+        F.size(F.filter(ts, lambda t: F.array_contains(stop_arr, t))).cast("double")
+        / n,
+    ).otherwise(F.lit(0.0))
+    rep_ratio = F.when(
+        n > 0, F.lit(1.0) - F.size(dts).cast("double") / n
+    ).otherwise(F.lit(1.0))
+    len_score = F.least(n.cast("double") / 100.0, F.lit(1.0))
+    quality = (
+        0.4 * len_score
+        + 0.3 * F.least(stop_ratio * 4, F.lit(1.0))
+        + 0.3 * (1.0 - rep_ratio)
+    ).cast("double")
+    staged = base.select(
+        "doc_id",
+        "source",
+        "content_hash",
+        n.cast("long").alias("n_tokens"),
+        quality.alias("quality"),
+    )
+    w = Window.partitionBy("content_hash")
+    survivors = (
+        staged.withColumn(
+            "canonical", F.col("doc_id") == F.min("doc_id").over(w)
+        )
+        .filter(F.col("canonical") & (F.col("quality") >= QUALITY_MIN))
+    )
+    per_source = survivors.groupBy("source").agg(
+        F.count("*").alias("n_docs"), F.sum("n_tokens").alias("n_tokens")
+    )
+    tot = per_source.agg(
+        F.sum("n_tokens").alias("tot_tokens"),
+        F.count("*").alias("n_sources"),
+    )
+    target = (
+        F.lit(MIX_BUDGET_FRAC) * F.col("tot_tokens") / F.col("n_sources")
+    )
+    return (
+        per_source.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "n_docs",
+            "n_tokens",
+            F.round(
+                F.least(F.lit(1.0), target / F.col("n_tokens")), 6
+            ).alias("weight"),
+            F.round(
+                F.least(F.col("n_tokens").cast("double"), target), 6
+            ).alias("alloc_tokens"),
+        )
+        .orderBy("source")
+    )
+
+
 _FUNNEL_ORACLE = f"""WITH lang AS (
 {_LANG_SQL}
 ), qual AS (

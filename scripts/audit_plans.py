@@ -61,6 +61,7 @@ EXPECTED_CARTESIAN = {
     "ml_woe_iv": "1-row smoothed pos/neg totals broadcast into the bin grid",
     "ml_target_encoding": "1-row global-prior scalar broadcast into the LOO rows",
     "rel_basket_pairs": "1-row order-count scalar broadcast into the lift",
+    "llm_curation_mix_fused": "1-row budget/total scalar broadcast into the per-source mix",
     "ml_decision_stump": "1-row class-totals scalar broadcast into the split scan",
     "ml_histogram_split": "1-row class-totals scalar broadcast into the binned split scan",
     "ml_boosted_stumps": "1-row fitted-stump and MSE scalars broadcast per boosting stage",
