@@ -119,6 +119,11 @@ HEADLINE = (
     "prof_table_fingerprint",
     "rel_basket_pairs",
     "ev_cohort_retention",
+    # round-7 additions: the fused dedup→quality→mix curation variant
+    # and the two mm hashable twins (Arrow decode kernel + byte stats)
+    "llm_curation_mix_fused",
+    "mm_decode_features_hashable",
+    "mm_binary_stats_hashable",
 )
 
 

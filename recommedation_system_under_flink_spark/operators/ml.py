@@ -2155,3 +2155,212 @@ def ml_linear_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("score"), F.asc("doc_id"))
         .limit(ATTR_TOP)
     )
+
+
+# ------------------------------------------- ridge regression (closed form)
+
+#: L2 penalty added to every Gram-matrix diagonal (including the
+#: intercept's — pinned spec, documented; classic ridge skips the
+#: intercept but the uniform form keeps the shared Cramer algebra
+#: unmodified).
+RIDGE_LAMBDA = 1.0
+
+
+def _ridge_oracle() -> str:
+    from .events_props import _cramer4
+
+    d, d0, d1, d2, d3 = _cramer4()
+    moms = ", ".join(
+        f"SUM(f{i} * f{j})"
+        + (f" + {RIDGE_LAMBDA}" if i == j else "")
+        + f" AS m{i}{j}"
+        for i in range(4)
+        for j in range(i, 4)
+    )
+    bs = ", ".join(f"SUM(f{i} * y) AS b{i}" for i in range(4))
+    return f"""WITH {_FEATS_CTE},
+f AS (SELECT y, 1.0 AS f0, x1 AS f1, x2 AS f2, x3 AS f3 FROM feats),
+mom AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, {moms}, {bs},
+               SUM(y) AS sy, SUM(y * y) AS syy FROM f),
+beta AS (
+  SELECT n, sy, syy,
+         {d0} / {d} AS c0, {d1} / {d} AS c1,
+         {d2} / {d} AS c2, {d3} / {d} AS c3
+  FROM mom
+)
+SELECT ANY_VALUE(beta.n) AS n,
+       ROUND(ANY_VALUE(c0), 6) AS w_bias,
+       ROUND(ANY_VALUE(c1), 6) AS w_x1,
+       ROUND(ANY_VALUE(c2), 6) AS w_x2,
+       ROUND(ANY_VALUE(c3), 6) AS w_x3,
+       ROUND(1.0 - SUM((y - (c0 * f0 + c1 * f1 + c2 * f2 + c3 * f3))
+                       * (y - (c0 * f0 + c1 * f1 + c2 * f2 + c3 * f3)))
+                   / (ANY_VALUE(syy)
+                      - ANY_VALUE(sy) * ANY_VALUE(sy) / ANY_VALUE(beta.n)),
+             6) AS r2
+FROM f CROSS JOIN beta"""
+
+
+@register("ml_ridge_regression", _ridge_oracle())
+def ml_ridge_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """**Closed-form ridge regression** (linear-probability model of
+    the en label on the 3 doc features): one pass accumulates the 4×4
+    Gram matrix + feature·target moments, λ=1 rides on the diagonal,
+    and Cramer's rule solves the normal equations INSIDE the plan —
+    the same engine-embedded `_cramer4` algebra as
+    ev_harmonic_regression, so Spark and DuckDB execute literally the
+    same determinant expressions. Complements ml_logreg_gd: GD is the
+    iterative path (K passes), this is the one-pass exact path — at
+    100 TB the moments are a map-side-combinable 14-double aggregate
+    and the solve is O(1) on the driver-free 1-row relation. A second
+    pass scores R² against the broadcast coefficients."""
+    feats = _feats(spark, sf_dir)
+    f = feats.select(
+        "y",
+        F.lit(1.0).alias("f0"),
+        F.col("x1").alias("f1"),
+        F.col("x2").alias("f2"),
+        F.col("x3").alias("f3"),
+    )
+    moms = [
+        (
+            F.sum(F.col(f"f{i}") * F.col(f"f{j}"))
+            + (F.lit(float(RIDGE_LAMBDA)) if i == j else F.lit(0.0))
+        ).alias(f"m{i}{j}")
+        for i in range(4)
+        for j in range(i, 4)
+    ]
+    bs = [F.sum(F.col(f"f{i}") * F.col("y")).alias(f"b{i}") for i in range(4)]
+    mom = f.agg(
+        F.count("*").alias("n"),
+        *moms,
+        *bs,
+        F.sum("y").alias("sy"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    from .events_props import _cramer4
+
+    d, d0, d1, d2, d3 = _cramer4()
+    beta = mom.select(
+        "n",
+        "sy",
+        "syy",
+        F.expr(f"{d0} / {d}").alias("c0"),
+        F.expr(f"{d1} / {d}").alias("c1"),
+        F.expr(f"{d2} / {d}").alias("c2"),
+        F.expr(f"{d3} / {d}").alias("c3"),
+    )
+    fit = (
+        F.col("c0") * F.col("f0")
+        + F.col("c1") * F.col("f1")
+        + F.col("c2") * F.col("f2")
+        + F.col("c3") * F.col("f3")
+    )
+    return f.crossJoin(F.broadcast(beta)).agg(
+        F.first("n").alias("n"),
+        F.round(F.first("c0"), 6).alias("w_bias"),
+        F.round(F.first("c1"), 6).alias("w_x1"),
+        F.round(F.first("c2"), 6).alias("w_x2"),
+        F.round(F.first("c3"), 6).alias("w_x3"),
+        F.round(
+            1.0
+            - F.sum((F.col("y") - fit) * (F.col("y") - fit))
+            / (
+                F.first("syy")
+                - F.first("sy") * F.first("sy") / F.first("n")
+            ),
+            6,
+        ).alias("r2"),
+    )
+
+
+# ------------------------------------- confusion sweep (threshold zoo)
+
+_CONFUSION_ORACLE = f"""WITH {_FEATS_CTE},
+scored AS (SELECT y, ROUND({_CAL_SCORE_SQL}, 6) AS s FROM feats)
+SELECT ROUND(CAST(t AS DOUBLE) / 10, 6) AS threshold,
+       CAST(SUM(CASE WHEN y = 1.0 AND s >= t / 10.0 THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+       CAST(SUM(CASE WHEN y = 0.0 AND s >= t / 10.0 THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+       CAST(SUM(CASE WHEN y = 0.0 AND s < t / 10.0 THEN 1 ELSE 0 END) AS BIGINT) AS tn,
+       CAST(SUM(CASE WHEN y = 1.0 AND s < t / 10.0 THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+       ROUND(CASE WHEN SUM(CASE WHEN s >= t / 10.0 THEN 1 ELSE 0 END) > 0
+                  THEN CAST(SUM(CASE WHEN y = 1.0 AND s >= t / 10.0 THEN 1 ELSE 0 END) AS DOUBLE)
+                       / SUM(CASE WHEN s >= t / 10.0 THEN 1 ELSE 0 END) END, 6) AS precision,
+       ROUND(CASE WHEN SUM(y) > 0
+                  THEN SUM(CASE WHEN y = 1.0 AND s >= t / 10.0 THEN 1.0 ELSE 0.0 END) / SUM(y)
+             END, 6) AS recall,
+       ROUND(CASE WHEN 2 * SUM(CASE WHEN y = 1.0 AND s >= t / 10.0 THEN 1 ELSE 0 END)
+                       + SUM(CASE WHEN y = 0.0 AND s >= t / 10.0 THEN 1 ELSE 0 END)
+                       + SUM(CASE WHEN y = 1.0 AND s < t / 10.0 THEN 1 ELSE 0 END) > 0
+                  THEN 2.0 * SUM(CASE WHEN y = 1.0 AND s >= t / 10.0 THEN 1 ELSE 0 END)
+                       / (2 * SUM(CASE WHEN y = 1.0 AND s >= t / 10.0 THEN 1 ELSE 0 END)
+                          + SUM(CASE WHEN y = 0.0 AND s >= t / 10.0 THEN 1 ELSE 0 END)
+                          + SUM(CASE WHEN y = 1.0 AND s < t / 10.0 THEN 1 ELSE 0 END))
+             END, 6) AS f1
+FROM scored CROSS JOIN generate_series(0, 10) AS g(t)
+GROUP BY t ORDER BY threshold"""
+
+
+@register("ml_confusion_threshold_sweep", _CONFUSION_ORACLE)
+def ml_confusion_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """**Confusion-matrix sweep** of the pinned scorer at the 11 fixed
+    thresholds: TP/FP/TN/FN counts plus precision, recall and F1 per
+    threshold — the operating-point table that complements ml_roc_auc's
+    rate curve (counts are what a triage UI shows; rates hide class
+    sizes). Same one-pass shape as the ROC points: corpus × broadcast
+    11-row spine, one conditional aggregate per cell; integer counts
+    are exact cross-engine, ratios of those integers are identical
+    doubles (rounded per convention). Scores are 6dp-quantized before
+    the threshold comparison (same rationale as ml_roc_auc)."""
+    scored = _cal_scored(spark, sf_dir).select(
+        "y", F.round("s", 6).alias("s")
+    )
+    spine = spark.range(0, 11).select(
+        (F.col("id").cast("double") / 10).alias("thr")
+    )
+    pred = F.col("s") >= F.col("thr")
+    pos = F.col("y") == 1.0
+    tp = F.sum(F.when(pos & pred, 1).otherwise(0))
+    fp = F.sum(F.when(~pos & pred, 1).otherwise(0))
+    tn = F.sum(F.when(~pos & ~pred, 1).otherwise(0))
+    fn = F.sum(F.when(pos & ~pred, 1).otherwise(0))
+    return (
+        scored.crossJoin(F.broadcast(spine))
+        .groupBy("thr")
+        .agg(
+            tp.cast("long").alias("tp"),
+            fp.cast("long").alias("fp"),
+            tn.cast("long").alias("tn"),
+            fn.cast("long").alias("fn"),
+        )
+        .select(
+            F.round("thr", 6).alias("threshold"),
+            "tp",
+            "fp",
+            "tn",
+            "fn",
+            F.round(
+                F.when(
+                    F.col("tp") + F.col("fp") > 0,
+                    F.col("tp").cast("double") / (F.col("tp") + F.col("fp")),
+                ),
+                6,
+            ).alias("precision"),
+            F.round(
+                F.when(
+                    F.col("tp") + F.col("fn") > 0,
+                    F.col("tp").cast("double") / (F.col("tp") + F.col("fn")),
+                ),
+                6,
+            ).alias("recall"),
+            F.round(
+                F.when(
+                    2 * F.col("tp") + F.col("fp") + F.col("fn") > 0,
+                    2.0 * F.col("tp")
+                    / (2 * F.col("tp") + F.col("fp") + F.col("fn")),
+                ),
+                6,
+            ).alias("f1"),
+        )
+        .orderBy("threshold")
+    )

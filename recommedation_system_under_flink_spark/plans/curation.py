@@ -656,3 +656,85 @@ def llm_corpus_planning_report(
             "neyman_n",
         )
     )
+
+
+# ------------------------------------------------ dataset card (one row)
+
+_CARD_ORACLE = f"""WITH qual AS (
+{_QUAL_SQL}
+), base AS (
+  SELECT d.doc_id, d.lang, d.source,
+         CAST(len({_TOKENS_SQL_EXPR}) AS BIGINT) AS n_tokens,
+         md5(d.text) AS h, q.quality
+  FROM documents d JOIN qual q ON d.doc_id = q.doc_id
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(COUNT(DISTINCT h) AS BIGINT) AS n_unique_texts,
+       ROUND(1.0 - CAST(COUNT(DISTINCT h) AS DOUBLE) / COUNT(*), 6)
+         AS dup_rate,
+       CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+       CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+       CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+       ROUND(AVG(quality), 6) AS mean_quality,
+       ROUND(AVG(CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END), 6) AS pct_en
+FROM base"""
+
+
+@register("llm_dataset_card", _CARD_ORACLE)
+def llm_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """**One-row dataset card**: the corpus-level summary a training-
+    data release ships — doc and unique-text counts (exact dup rate),
+    token total, language/source cardinalities, mean quality score and
+    English share. Complements :func:`llm_corpus_planning_report`
+    (per-source planning grid) with the global header numbers.
+
+    One scan: a single projection computes tokens + quality + a
+    content hash per doc, then one aggregate with COUNT(DISTINCT)
+    legs — Catalyst expands multi-distinct into one Expand + two-level
+    aggregate, still a single pass over the corpus at any scale.
+    Quality algebra is verbatim the verified ts_quality_score stage."""
+    from ..functions.text import STOPWORDS
+    from ..operators.textstats import _tokens
+
+    docs = load_raw(spark, sf_dir, "documents")
+    ts = _tokens(F.col("text"))
+    n = F.size(ts)
+    dts = F.array_distinct(ts)
+    stop_arr = F.array(*[F.lit(w) for w in STOPWORDS])
+    stop_ratio = F.when(
+        n > 0,
+        F.size(F.filter(ts, lambda t: F.array_contains(stop_arr, t))).cast(
+            "double"
+        )
+        / n,
+    ).otherwise(F.lit(0.0))
+    rep_ratio = F.when(
+        n > 0, F.lit(1.0) - F.size(dts).cast("double") / n
+    ).otherwise(F.lit(1.0))
+    len_score = F.least(n.cast("double") / 100.0, F.lit(1.0))
+    quality = (
+        0.4 * len_score
+        + 0.3 * F.least(stop_ratio * 4, F.lit(1.0))
+        + 0.3 * (1.0 - rep_ratio)
+    ).cast("double")
+    base = docs.select(
+        "lang",
+        "source",
+        n.cast("long").alias("n_tokens"),
+        F.md5(F.col("text").cast("binary")).alias("h"),
+        quality.alias("quality"),
+    )
+    return base.agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.countDistinct("h").cast("long").alias("n_unique_texts"),
+        F.round(
+            F.lit(1.0) - F.countDistinct("h").cast("double") / F.count("*"), 6
+        ).alias("dup_rate"),
+        F.sum("n_tokens").cast("long").alias("n_tokens"),
+        F.countDistinct("lang").cast("long").alias("n_langs"),
+        F.countDistinct("source").cast("long").alias("n_sources"),
+        F.round(F.avg("quality"), 6).alias("mean_quality"),
+        F.round(
+            F.avg(F.when(F.col("lang") == "en", 1.0).otherwise(0.0)), 6
+        ).alias("pct_en"),
+    )

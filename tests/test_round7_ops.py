@@ -170,3 +170,90 @@ def test_curation_mix_budget_invariants(spark, queries):
         if r["weight"] == 1.0:
             assert r["alloc_tokens"] == r["n_tokens"]
     assert sum(r["alloc_tokens"] for r in rows) <= MIX_BUDGET_FRAC * tot_tokens + 1e-6
+
+
+# ------------------------------------------ round-7 new-op invariants
+
+
+def _feats_np():
+    import duckdb
+    import numpy as np
+
+    return duckdb.sql(
+        f"""SELECT CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y,
+                   n_chars / 500.0 AS x1,
+                   len(list_filter(string_split(text, ' '), t -> t <> ''))
+                     / 50.0 AS x2,
+                   n_chars / (len(list_filter(string_split(text, ' '),
+                                              t -> t <> '')) * 10.0) AS x3
+            FROM '{SF_DIR}/documents.parquet' ORDER BY doc_id"""
+    ).df().to_numpy()
+
+
+def test_ridge_matches_numpy(spark, queries):
+    """Closed-form ridge must equal numpy's solve of (X'X + λI)w = X'y
+    and the reported R² must match the residual computation."""
+    import numpy as np
+
+    from recommedation_system_under_flink_spark.operators.ml import (
+        RIDGE_LAMBDA,
+    )
+
+    row = queries["ml_ridge_regression"](spark, SF_DIR).collect()[0]
+    m = _feats_np()
+    y, X = m[:, 0], np.column_stack([np.ones(len(m)), m[:, 1:]])
+    w = np.linalg.solve(X.T @ X + RIDGE_LAMBDA * np.eye(4), X.T @ y)
+    got = [row["w_bias"], row["w_x1"], row["w_x2"], row["w_x3"]]
+    assert got == pytest.approx(list(w), abs=2e-6)
+    resid = y - X @ w
+    r2 = 1.0 - (resid @ resid) / ((y - y.mean()) @ (y - y.mean()))
+    assert row["r2"] == pytest.approx(r2, abs=2e-6)
+    assert row["n"] == len(y)
+
+
+def test_confusion_sweep_consistency(spark, queries):
+    """Counts must tile the corpus at every threshold, tp must be
+    non-increasing in the threshold, and the rates must agree with
+    ml_roc_auc's curve at the shared thresholds."""
+    rows = queries["ml_confusion_threshold_sweep"](spark, SF_DIR).collect()
+    assert len(rows) == 11
+    n = rows[0]["tp"] + rows[0]["fp"] + rows[0]["tn"] + rows[0]["fn"]
+    npos = rows[0]["tp"] + rows[0]["fn"]
+    prev_tp = None
+    for r in rows:
+        assert r["tp"] + r["fp"] + r["tn"] + r["fn"] == n
+        assert r["tp"] + r["fn"] == npos
+        if prev_tp is not None:
+            assert r["tp"] <= prev_tp
+        prev_tp = r["tp"]
+        if r["f1"] is not None:
+            f1 = 2.0 * r["tp"] / (2 * r["tp"] + r["fp"] + r["fn"])
+            assert r["f1"] == pytest.approx(f1, abs=2e-6)
+    roc = {
+        r["threshold"]: r
+        for r in queries["ml_roc_auc"](spark, SF_DIR).collect()
+    }
+    for r in rows:
+        assert roc[r["threshold"]]["tpr"] == pytest.approx(
+            r["tp"] / npos, abs=2e-6
+        )
+
+
+def test_dataset_card_sanity(spark, queries):
+    import duckdb
+
+    row = queries["llm_dataset_card"](spark, SF_DIR).collect()[0]
+    n_docs, n_langs, n_sources = duckdb.sql(
+        f"""SELECT COUNT(*), COUNT(DISTINCT lang), COUNT(DISTINCT source)
+            FROM '{SF_DIR}/documents.parquet'"""
+    ).fetchone()
+    assert row["n_docs"] == n_docs
+    assert row["n_langs"] == n_langs
+    assert row["n_sources"] == n_sources
+    assert 0 < row["n_unique_texts"] <= row["n_docs"]
+    assert row["dup_rate"] == pytest.approx(
+        1.0 - row["n_unique_texts"] / row["n_docs"], abs=2e-6
+    )
+    assert row["n_tokens"] > 0
+    assert 0.0 < row["mean_quality"] < 1.0
+    assert 0.0 < row["pct_en"] < 1.0
