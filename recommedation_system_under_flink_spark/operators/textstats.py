@@ -2851,3 +2851,100 @@ def ts_langid_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("accuracy"),
         )
     )
+
+
+# --------------------------------------- benchmark decontamination
+
+#: Word n-gram width for contamination detection (the GPT-3/Llama
+#: decontamination convention is 8-13; pinned at 8).
+DECON_N = 8
+
+
+def _decon_oracle() -> str:
+    from .sampling import HASH_MOD, HASH_MULT, TRAIN_BUCKETS, VAL_BUCKETS
+
+    return f"""WITH toks AS (
+  SELECT doc_id, {_TOKENS_SQL} AS ts,
+         ((doc_id * {HASH_MULT}) % {HASH_MOD}) % 10 AS bucket
+  FROM documents
+),
+grams AS (
+  SELECT doc_id,
+         CASE WHEN bucket < {TRAIN_BUCKETS} THEN 'train'
+              WHEN bucket < {TRAIN_BUCKETS + VAL_BUCKETS} THEN 'val'
+              ELSE 'test' END AS split,
+         len(ts) - {DECON_N - 1} AS n_grams,
+         md5(array_to_string(ts[i:i+{DECON_N - 1}], ' ')) AS h
+  FROM toks, unnest(range(1, len(ts) - {DECON_N - 2})) AS t(i)
+  WHERE len(ts) >= {DECON_N}
+),
+test_g AS (SELECT DISTINCT h FROM grams WHERE split = 'test')
+SELECT doc_id,
+       CAST(ANY_VALUE(n_grams) AS BIGINT) AS n_ngrams,
+       CAST(COUNT(*) AS BIGINT) AS n_contaminated,
+       ROUND(CAST(COUNT(*) AS DOUBLE) / ANY_VALUE(n_grams), 6)
+         AS contamination_rate
+FROM grams JOIN test_g USING (h)
+WHERE split = 'train'
+GROUP BY doc_id
+ORDER BY doc_id"""
+
+
+@register("ts_decontamination", _decon_oracle())
+def ts_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """**Benchmark decontamination** (the GPT-3/Llama method): flag
+    TRAIN documents sharing any word {DECON_N}-gram with the TEST
+    split — the contamination `samp_split_leakage`'s near-dup lens
+    can't see (verbatim phrase overlap below the whole-doc similarity
+    threshold still leaks eval answers). Reports each contaminated
+    train doc with its total/matching n-gram counts and rate.
+
+    Shape: per-doc n-gram fan-out (|tokens| rows per doc, the dedup
+    shingle shape), distinct test-side n-grams, and one semi-join-like
+    equi-join on md5(n-gram) — a fixed-width 32-hex shuffle key instead
+    of arbitrary-length phrases, the same discipline as the exact-dedup
+    sha2 key. At 100 TB: test sets are tiny next to train, so Catalyst
+    broadcasts the distinct test-gram side and the train fan-out never
+    shuffles; output is |contaminated docs|, dashboard-sized. Split
+    assignment is the pinned portable hash (samp_split_assign)."""
+    from .sampling import TRAIN_BUCKETS, VAL_BUCKETS, split_hash
+
+    docs = load_raw(spark, sf_dir, "documents")
+    bucket = split_hash("doc_id") % 10
+    split = (
+        F.when(bucket < TRAIN_BUCKETS, F.lit("train"))
+        .when(bucket < TRAIN_BUCKETS + VAL_BUCKETS, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    toks = docs.select(
+        "doc_id",
+        split.alias("split"),
+        _tokens(F.col("text")).alias("ts"),
+    ).filter(F.size("ts") >= DECON_N)
+    grams = toks.select(
+        "doc_id",
+        "split",
+        (F.size("ts") - (DECON_N - 1)).cast("long").alias("n_grams"),
+        F.explode(
+            F.expr(
+                f"transform(sequence(1, size(ts) - {DECON_N - 1}),"
+                f" i -> md5(array_join(slice(ts, i, {DECON_N}), ' ')))"
+            )
+        ).alias("h"),
+    )
+    test_g = (
+        grams.filter(F.col("split") == "test").select("h").distinct()
+    )
+    return (
+        grams.filter(F.col("split") == "train")
+        .join(test_g, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.first("n_grams").alias("n_ngrams"),
+            F.count("*").alias("n_contaminated"),
+            F.round(
+                F.count("*").cast("double") / F.first("n_grams"), 6
+            ).alias("contamination_rate"),
+        )
+        .orderBy("doc_id")
+    )

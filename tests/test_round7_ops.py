@@ -257,3 +257,52 @@ def test_dataset_card_sanity(spark, queries):
     assert row["n_tokens"] > 0
     assert 0.0 < row["mean_quality"] < 1.0
     assert 0.0 < row["pct_en"] < 1.0
+
+
+def test_decontamination_flags_verbatim_test_dups(spark, queries):
+    """A train doc whose text verbatim-equals a test doc's text (and
+    has >= DECON_N tokens) must be flagged with contamination rate 1.0;
+    all rates must lie in (0, 1]."""
+    import re
+
+    import duckdb
+
+    from recommedation_system_under_flink_spark.operators.sampling import (
+        HASH_MOD,
+        HASH_MULT,
+        TRAIN_BUCKETS,
+        VAL_BUCKETS,
+    )
+    from recommedation_system_under_flink_spark.operators.textstats import (
+        DECON_N,
+    )
+
+    rows = {
+        r["doc_id"]: r
+        for r in queries["ts_decontamination"](spark, SF_DIR).collect()
+    }
+    for r in rows.values():
+        assert 0.0 < r["contamination_rate"] <= 1.0
+        assert 0 < r["n_contaminated"]
+        assert r["n_ngrams"] >= r["n_contaminated"] * 0  # sane columns
+
+    docs = duckdb.sql(
+        f"SELECT doc_id, text FROM '{SF_DIR}/documents.parquet'"
+    ).fetchall()
+
+    def split_of(doc_id):
+        b = ((doc_id * HASH_MULT) % HASH_MOD) % 10
+        if b < TRAIN_BUCKETS:
+            return "train"
+        if b < TRAIN_BUCKETS + VAL_BUCKETS:
+            return "val"
+        return "test"
+
+    def ntok(text):
+        return len([t for t in re.split(r"[^a-z0-9]+", text.lower()) if t])
+
+    test_texts = {t for i, t in docs if split_of(i) == "test"}
+    for i, t in docs:
+        if split_of(i) == "train" and t in test_texts and ntok(t) >= DECON_N:
+            assert i in rows, f"verbatim dup of a test doc not flagged: {i}"
+            assert rows[i]["contamination_rate"] == pytest.approx(1.0)
