@@ -811,3 +811,121 @@ def stream_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.read.parquet(os.path.join(work, f"snap_{state['version']}"))
         .filter(F.col("action") != "deleted")
     )
+
+
+# ------------------------------------------- streaming exact dedup
+
+#: Micro-batch count for the staged document stream (doc_id-ordered).
+_DEDUP_BATCHES = 4
+
+
+@register(
+    "stream_dedup_exact",
+    # settled state must equal the BATCH exact dedup (dedup_exact's
+    # canonical-pick semantics): first-seen doc per content hash, with
+    # the copy count
+    """SELECT MIN(doc_id) AS doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_copies
+FROM documents
+GROUP BY md5(text)
+ORDER BY doc_id""",
+)
+def stream_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """**Streaming exact dedup** — the ingest-time shape of the batch
+    ``dedup_exact``: documents arrive as doc_id-ordered micro-batches,
+    ``foreachBatch`` reduces each batch to (content_hash → min doc_id,
+    count) FIRST, then merges into the running seen-hash snapshot:
+    unseen hash → insert as canonical; seen hash → bump the copy count
+    and keep ``least(canonical, batch min)`` (order-proof even though
+    in-order staging already guarantees the incumbent is older). The
+    settled snapshot is hash-verified against the batch GROUP BY —
+    streaming and batch dedup must agree row-for-row, the same
+    settled-parity contract as stream_cdc_apply.
+
+    At scale the snapshot merge is a keyed join on the fixed-width
+    content hash (the exact-dedup shuffle discipline) against a table
+    format's MERGE; per-batch state touched is O(batch distinct
+    hashes), never corpus-sized, and redelivered batches converge
+    because the merge is a pure min/count-sum on append-only facts."""
+    import shutil
+    import tempfile
+
+    from ..sources import load_raw
+
+    docs = load_raw(spark, sf_dir, "documents").select(
+        "doc_id", F.md5(F.col("text").cast("binary")).alias("h")
+    )
+    work = tempfile.mkdtemp(prefix="dedup_stream_")
+    stream_dir = os.path.join(work, "docs")
+    os.makedirs(stream_dir)
+    bounds = docs.agg(
+        F.min("doc_id").alias("lo"), F.max("doc_id").alias("hi")
+    ).collect()[0]
+    lo, hi = bounds["lo"], bounds["hi"]
+    if lo is None:  # empty corpus: nothing to dedup
+        return docs.select(
+            "doc_id", F.lit(0).cast("long").alias("n_copies")
+        )
+    step = max(1, (hi - lo + _DEDUP_BATCHES) // _DEDUP_BATCHES)
+    for b in range(_DEDUP_BATCHES):
+        part = docs.filter(
+            (F.col("doc_id") >= lo + b * step)
+            & (F.col("doc_id") < lo + (b + 1) * step)
+        )
+        part.coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(work, f"staged_{b}")
+        )
+        for fn in os.listdir(os.path.join(work, f"staged_{b}")):
+            if fn.endswith(".parquet"):
+                shutil.copy(
+                    os.path.join(work, f"staged_{b}", fn),
+                    os.path.join(stream_dir, f"batch_{b}.parquet"),
+                )
+    snap0 = os.path.join(work, "snap_0")
+    docs.filter(F.lit(False)).select(
+        F.col("h"),
+        F.col("doc_id").alias("canonical"),
+        F.lit(0).cast("long").alias("n_copies"),
+    ).write.mode("overwrite").parquet(snap0)
+    state = {"version": 0}
+
+    def merge(batch_df: DataFrame, batch_id: int) -> None:
+        cur = spark.read.parquet(
+            os.path.join(work, f"snap_{state['version']}")
+        )
+        batch = batch_df.groupBy("h").agg(
+            F.min("doc_id").alias("b_canonical"),
+            F.count("*").alias("b_copies"),
+        )
+        merged = cur.join(batch, "h", "full").select(
+            "h",
+            F.least(
+                F.col("canonical"),
+                F.coalesce(F.col("b_canonical"), F.col("canonical")),
+            ).alias("canonical"),
+            (
+                F.coalesce(F.col("n_copies"), F.lit(0))
+                + F.coalesce(F.col("b_copies"), F.lit(0))
+            ).cast("long").alias("n_copies"),
+        )
+        nxt = state["version"] + 1
+        merged.write.mode("overwrite").parquet(
+            os.path.join(work, f"snap_{nxt}")
+        )
+        state["version"] = nxt
+
+    stream = spark.readStream.schema(docs.schema).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(stream_dir)
+    q = (
+        stream.writeStream.foreachBatch(merge)
+        .option("checkpointLocation", os.path.join(work, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        spark.read.parquet(os.path.join(work, f"snap_{state['version']}"))
+        .select(F.col("canonical").alias("doc_id"), "n_copies")
+        .orderBy("doc_id")
+    )
