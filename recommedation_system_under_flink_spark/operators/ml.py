@@ -2364,3 +2364,102 @@ def ml_confusion_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("threshold")
     )
+
+
+# --------------------------------- isotonic calibration, oracle twin
+
+_ISO_HASHABLE_ORACLE = f"""WITH scored AS (
+  SELECT lang,
+         CASE WHEN list_contains({_SQL_TOKENS}, 'the')
+              THEN 1.0 ELSE 0.0 END AS y,
+         -- 6dp-quantized score: identical tie groups on both engines
+         -- (same convention + rationale as ml_roc_auc)
+         ROUND(1.0 / (1.0 + EXP(-({CAL_W[0]} + {CAL_W[1]} * (n_chars / 500.0)
+                + {CAL_W[2]} * (len({_SQL_TOKENS}) / 50.0)))), 6) AS s
+  FROM documents
+), by_s AS (
+  SELECT lang, s, CAST(SUM(y) AS BIGINT) AS ysum,
+         CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM scored GROUP BY lang, s
+), idx AS (
+  SELECT lang, s, ysum, cnt,
+         ROW_NUMBER() OVER (PARTITION BY lang ORDER BY s) AS i,
+         CAST(SUM(ysum) OVER (PARTITION BY lang ORDER BY s) AS BIGINT) AS cs,
+         CAST(SUM(cnt) OVER (PARTITION BY lang ORDER BY s) AS BIGINT) AS cc
+  FROM by_s
+), pairs AS (
+  -- interval means over exact integer prefix-sum differences
+  SELECT a.lang, a.i AS j, b.i AS k,
+         (b.cs - a.cs + a.ysum) * 1.0 / (b.cc - a.cc + a.cnt) AS mean_jk
+  FROM idx a JOIN idx b ON a.lang = b.lang AND b.i >= a.i
+), m1 AS (
+  -- min over k >= i of mean(j..k): suffix-min along k for each j
+  SELECT lang, j, k AS i,
+         MIN(mean_jk) OVER (PARTITION BY lang, j ORDER BY k
+              ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS m
+  FROM pairs
+), fit AS (
+  -- max over j <= i (every m1 row already has j <= i)
+  SELECT lang, i, MAX(m) AS fitted FROM m1 GROUP BY lang, i
+)
+SELECT x.lang AS lang, x.s AS s, x.cnt AS n_point,
+       ROUND(f.fitted, 6) AS fitted
+FROM idx x JOIN fit f ON x.lang = f.lang AND x.i = f.i
+ORDER BY x.lang, x.s"""
+
+
+@register("ml_isotonic_calibration_hashable", _ISO_HASHABLE_ORACLE)
+def ml_isotonic_calibration_hashable(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """**Oracle-able projection of the PAVA kernel**: the SAME
+    ``applyInPandas`` pool-adjacent-violators as
+    :func:`ml_isotonic_calibration`, run on the 6dp-quantized score and
+    re-projected to one row per distinct (lang, s) point with its
+    fitted value — certified against the **minimax closed form**
+    ``fit(i) = max_{{j≤i}} min_{{k≥i}} mean(y_j..y_k)``, which needs no
+    sequential pooling and is plain SQL: O(n²) interval means over
+    exact integer prefix sums, one suffix-min window, one max
+    aggregate. The sequential algorithm and the non-sequential
+    characterization must agree point-for-point — a far stronger check
+    than the KKT invariants alone (which the rows-only production form
+    keeps). Means are exact integer/integer divisions on both engines;
+    the minimax relation holds for them up to a final 6dp quantization.
+
+    The oracle's O(n²) pair relation is per-language |distinct s|² —
+    an ORACLE cost, not a production one; the production path stays
+    the one-pass PAVA."""
+    docs = load_raw(spark, sf_dir, "documents")
+    toks = _tokens(F.col("text"))
+    ntok = F.size(toks)
+    z = (
+        F.lit(CAL_W[0])
+        + F.lit(CAL_W[1]) * (F.col("n_chars") / 500.0)
+        + F.lit(CAL_W[2]) * (ntok / 50.0)
+    )
+    scored = docs.select(
+        "lang",
+        F.when(F.array_contains(toks, "the"), 1.0).otherwise(0.0).alias("y"),
+        F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 6).alias("s"),
+    )
+    pts = scored.groupBy("lang", "s").agg(
+        F.count("*").cast("long").alias("n_point")
+    )
+    blocks = scored.groupBy("lang").applyInPandas(
+        lambda pdf: _pava_blocks(pdf), schema=_ISO_SCHEMA
+    ).select(F.col("lang").alias("b_lang"), "s_lo", "s_hi", "fitted")
+    return (
+        pts.join(
+            F.broadcast(blocks),
+            (F.col("lang") == F.col("b_lang"))
+            & (F.col("s") >= F.col("s_lo"))
+            & (F.col("s") <= F.col("s_hi")),
+        )
+        .select(
+            "lang",
+            "s",
+            "n_point",
+            F.round("fitted", 6).alias("fitted"),
+        )
+        .orderBy("lang", "s")
+    )

