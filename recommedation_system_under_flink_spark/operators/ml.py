@@ -42,7 +42,7 @@ from pyspark.sql import functions as F
 
 from ..registry import register
 from ..sources import load_raw
-from .sampling import HASH_MOD, HASH_MULT, TRAIN_BUCKETS
+from .sampling import HASH_MOD, HASH_MULT, TRAIN_BUCKETS, split_hash
 
 # --------------------------------------------------------------- shared
 
@@ -2462,4 +2462,114 @@ def ml_isotonic_calibration_hashable(
             F.round("fitted", 6).alias("fitted"),
         )
         .orderBy("lang", "s")
+    )
+
+
+# ------------------------------------ permutation feature importance
+
+#: Buckets for the pinned in-bucket permutation (scale-correct: the
+#: rotation windows run per bucket, never a global sort).
+PERM_BUCKETS = 64
+#: Second mixing constant for the within-bucket order (must differ
+#: from HASH_MULT so the order is independent of the bucket id).
+PERM_MULT = 2246822519
+
+
+def _perm_oracle() -> str:
+    px = []
+    for f in ("x1", "x2"):
+        px.append(
+            f"COALESCE(LEAD({f}) OVER w, FIRST_VALUE({f}) OVER w) AS p{f}"
+        )
+    def ll(x1: str, x2: str) -> str:
+        p = (
+            f"(1.0 / (1.0 + EXP(-({CAL_W[0]} + {CAL_W[1]} * {x1}"
+            f" + {CAL_W[2]} * {x2}))))"
+        )
+        return f"AVG(-(y * LN({p}) + (1.0 - y) * LN(1.0 - {p})))"
+
+    return f"""WITH {_FEATS_CTE},
+b AS (
+  SELECT doc_id, y, x1, x2,
+         (doc_id * {HASH_MULT}) % {HASH_MOD} % {PERM_BUCKETS} AS bucket,
+         (doc_id * {PERM_MULT}) % {HASH_MOD} AS h2
+  FROM feats
+),
+p AS (
+  SELECT y, x1, x2, {', '.join(px)}
+  FROM b
+  WINDOW w AS (PARTITION BY bucket ORDER BY h2, doc_id)
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND({ll('x1', 'x2')}, 6) AS logloss_baseline,
+       ROUND({ll('px1', 'x2')}, 6) AS logloss_perm_x1,
+       ROUND({ll('x1', 'px2')}, 6) AS logloss_perm_x2,
+       ROUND({ll('px1', 'x2')} - {ll('x1', 'x2')}, 6) AS importance_x1,
+       ROUND({ll('x1', 'px2')} - {ll('x1', 'x2')}, 6) AS importance_x2
+FROM p"""
+
+
+@register("ml_permutation_importance", _perm_oracle())
+def ml_permutation_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """**Permutation feature importance** of the pinned scorer: logloss
+    with each feature's values PERMUTED across rows (breaking its
+    relationship with the label while preserving its marginal
+    distribution) minus the baseline logloss — the standard
+    model-debugging probe for "which feature is the score actually
+    using". The permutation is a pinned, engine-portable derangement:
+    rows land in {PERM_BUCKETS} hash buckets, are ordered inside each
+    bucket by an independent second mixer, and each row takes its
+    neighbor's feature value (LEAD with first-row wraparound) — the
+    rotation windows run PER BUCKET, so no global sort exists at any
+    scale, and the same (bucket, h2, doc_id) order reproduces the same
+    permutation on every engine and every partitioning. All three
+    loglosses ride in ONE aggregate pass. (The scorer is PINNED, not
+    fitted, so an importance can be negative — permuting a miscalibrated
+    feature can help; the replay pytest checks the identity, not the
+    sign.)"""
+    feats = _feats(spark, sf_dir)
+    b = feats.select(
+        "doc_id",
+        "y",
+        "x1",
+        "x2",
+        (split_hash("doc_id") % PERM_BUCKETS).alias("bucket"),
+        ((F.col("doc_id") * PERM_MULT) % HASH_MOD).alias("h2"),
+    )
+    w = Window.partitionBy("bucket").orderBy("h2", "doc_id")
+    wall = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    p = b.select(
+        "y",
+        "x1",
+        "x2",
+        F.coalesce(
+            F.lead("x1").over(w), F.first("x1").over(wall)
+        ).alias("px1"),
+        F.coalesce(
+            F.lead("x2").over(w), F.first("x2").over(wall)
+        ).alias("px2"),
+    )
+
+    def ll(x1, x2):
+        prob = F.lit(1.0) / (
+            F.lit(1.0)
+            + F.exp(-(F.lit(CAL_W[0]) + F.lit(CAL_W[1]) * x1 + F.lit(CAL_W[2]) * x2))
+        )
+        return F.avg(
+            -(
+                F.col("y") * F.log(prob)
+                + (F.lit(1.0) - F.col("y")) * F.log(F.lit(1.0) - prob)
+            )
+        )
+
+    base = ll(F.col("x1"), F.col("x2"))
+    perm1 = ll(F.col("px1"), F.col("x2"))
+    perm2 = ll(F.col("x1"), F.col("px2"))
+    return p.agg(
+        F.count("*").cast("long").alias("n"),
+        F.round(base, 6).alias("logloss_baseline"),
+        F.round(perm1, 6).alias("logloss_perm_x1"),
+        F.round(perm2, 6).alias("logloss_perm_x2"),
+        F.round(perm1 - base, 6).alias("importance_x1"),
+        F.round(perm2 - base, 6).alias("importance_x2"),
     )

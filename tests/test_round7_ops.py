@@ -324,3 +324,56 @@ def test_isotonic_hashable_twin_matches_production_blocks(spark, queries):
         fits = [r["fitted"] for r in pts]
         assert fits == sorted(fits), f"non-monotone fit for {lang}"
         assert all(0.0 <= f <= 1.0 for f in fits)
+
+
+def test_permutation_importance_matches_pandas_replay(spark, queries):
+    """All three loglosses must match a pandas replay of the SAME
+    pinned in-bucket rotation (bucket = hash % 64, order by second
+    mixer then doc_id, neighbor's value with first-row wraparound).
+    Note: the scorer is PINNED, not fitted, so importances may
+    legitimately be negative — the invariant is the identity, not the
+    sign."""
+    import duckdb
+    import numpy as np
+
+    from recommedation_system_under_flink_spark.operators.ml import (
+        CAL_W,
+        PERM_BUCKETS,
+        PERM_MULT,
+    )
+    from recommedation_system_under_flink_spark.operators.sampling import (
+        HASH_MOD,
+        HASH_MULT,
+    )
+
+    row = queries["ml_permutation_importance"](spark, SF_DIR).collect()[0]
+    df = duckdb.sql(
+        f"""SELECT doc_id,
+               CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y,
+               n_chars / 500.0 AS x1,
+               len(list_filter(string_split(text, ' '), t -> t <> ''))
+                 / 50.0 AS x2
+            FROM '{SF_DIR}/documents.parquet'"""
+    ).df()
+    df["bucket"] = (df.doc_id * HASH_MULT) % HASH_MOD % PERM_BUCKETS
+    df["h2"] = (df.doc_id * PERM_MULT) % HASH_MOD
+    df = df.sort_values(["bucket", "h2", "doc_id"]).reset_index(drop=True)
+    for f in ("x1", "x2"):
+        df[f"p{f}"] = df.groupby("bucket")[f].transform(
+            lambda s: np.roll(s.to_numpy(), -1)
+        )
+
+    def ll(x1, x2):
+        p = 1.0 / (1.0 + np.exp(-(CAL_W[0] + CAL_W[1] * x1 + CAL_W[2] * x2)))
+        return float(
+            np.mean(-(df.y * np.log(p) + (1 - df.y) * np.log(1 - p)))
+        )
+
+    base = ll(df.x1, df.x2)
+    assert row["n"] == len(df)
+    assert row["logloss_baseline"] == pytest.approx(base, abs=2e-6)
+    assert row["logloss_perm_x1"] == pytest.approx(ll(df.px1, df.x2), abs=2e-6)
+    assert row["logloss_perm_x2"] == pytest.approx(ll(df.x1, df.px2), abs=2e-6)
+    assert row["logloss_perm_x1"] == pytest.approx(
+        row["logloss_baseline"] + row["importance_x1"], abs=2e-6
+    )
