@@ -124,6 +124,15 @@ HEADLINE = (
     "llm_curation_mix_fused",
     "mm_decode_features_hashable",
     "mm_binary_stats_hashable",
+    # round-7 late additions: decontamination (n-gram fan-out join),
+    # streaming dedup (4 micro-batch merges), the closed-form ridge,
+    # the PAVA minimax twin, permutation importance, the dataset card
+    "ts_decontamination",
+    "stream_dedup_exact",
+    "ml_ridge_regression",
+    "ml_isotonic_calibration_hashable",
+    "ml_permutation_importance",
+    "llm_dataset_card",
 )
 
 
