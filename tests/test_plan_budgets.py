@@ -1,0 +1,72 @@
+"""Plan-shape regression budgets for flagship queries.
+
+`scripts/audit_plans.py` sweeps every query each round; this module
+PINS the flagship plan shapes in CI so a regression (an extra corpus
+scan from a broken reuse, a new unintended cartesian, a row-at-a-time
+Python node, a filter that stops pushing down) fails a test instead of
+waiting for the round-end audit. Budgets are ceilings with headroom —
+minor AQE/statistics drift must not flap them, a doubled shuffle count
+must.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+
+from conftest import SF_DIR
+
+from recommedation_system_under_flink_spark import registry
+
+
+@pytest.fixture(scope="module")
+def queries():
+    return registry.queries()
+
+
+#: name -> (max scans, max exchanges, cartesian allowed?, pushdown must be ok?)
+#: measured round 7 at sf0.001: scans/exchanges were
+#: hot_topics 1/1, tfidf 8/23, j3 8/22, minhash 6/13, ivf_pinned 2/3,
+#: logreg 1/1, curation_fused 1/1, mix_fused 2/7, rfm 2/2, q1 1/1,
+#: decontamination 2/4 (p1 memoizes to a checkpoint: 0/0).
+BUDGETS = {
+    "hot_topics_pipeline": (2, 3, False, True),
+    "tfidf_pipeline": (10, 28, True, True),
+    "j3_scored_join": (10, 27, True, True),
+    "dedup_minhash_lsh": (8, 17, False, False),
+    "sim_ivf_topk_pinned": (3, 5, False, False),
+    "ml_logreg_gd": (2, 3, False, False),
+    "llm_curation_fused": (2, 3, False, False),
+    "llm_curation_mix_fused": (3, 10, True, False),
+    "ev_user_rfm_scalable": (3, 4, False, False),
+    "rel_q1_pricing_summary": (2, 3, False, False),
+    "ts_decontamination": (3, 7, False, False),
+}
+
+
+@pytest.mark.parametrize("name", sorted(BUDGETS))
+def test_plan_budget(name, spark, queries):
+    max_scans, max_exch, cartesian_ok, needs_pushdown = BUDGETS[name]
+    plan = (
+        queries[name](spark, SF_DIR)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    scans = len(re.findall(r"Scan parquet", plan))
+    exchanges = len(re.findall(r"Exchange", plan))
+    cartesian = bool(
+        re.search(r"CartesianProduct|BroadcastNestedLoopJoin", plan)
+    )
+    assert scans <= max_scans, f"{name}: {scans} scans > budget {max_scans}"
+    assert (
+        exchanges <= max_exch
+    ), f"{name}: {exchanges} exchanges > budget {max_exch}"
+    if not cartesian_ok:
+        assert not cartesian, f"{name}: unexpected cartesian/BNLJ node"
+    assert "BatchEvalPython" not in plan, f"{name}: row-at-a-time Python UDF"
+    if needs_pushdown and re.search(r"events\.parquet", plan):
+        assert re.findall(
+            r"PushedFilters: \[\s*[A-Za-z]", plan
+        ), f"{name}: events scan lost its PushedFilters"
