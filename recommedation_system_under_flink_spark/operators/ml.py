@@ -1234,7 +1234,10 @@ def ml_woe_iv(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     scored = docs.select(
         F.when(F.array_contains(toks, "the"), 1.0).otherwise(0.0).alias("y"),
-        (F.lit(1.0) / (F.lit(1.0) + F.exp(-z))).alias("s"),
+        # 6dp-quantized BEFORE binning, matching the oracle: the FLOOR
+        # bin edge is last-ulp sensitive exactly like a rank tie (see
+        # ml_roc_auc's rationale)
+        F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 6).alias("s"),
     )
     binned = scored.select(
         F.least(F.floor(F.col("s") * CAL_BINS), F.lit(CAL_BINS - 1)).alias("bin"),
@@ -1977,9 +1980,12 @@ def ml_learning_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
                 break
             for ci, frac in enumerate(CURVE_FRACTIONS):
                 # an empty subset (e.g. bucket<1 matched no rows) yields
-                # NULL gradients — skip that config's update, mirroring
-                # the oracle's NULL propagation, instead of raising
+                # NULL gradients — poison that config's weights with NaN,
+                # truly mirroring the oracle's NULL propagation (its NULL
+                # AVG makes every later weight and the fitted loglosses
+                # NULL; NaN canonicalizes to the same NULL in the gate)
                 if g[f"gb_{ci}"] is None:
+                    ws[frac] = [float("nan")] * 4
                     continue
                 w = ws[frac]
                 ws[frac] = [

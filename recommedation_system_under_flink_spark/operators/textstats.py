@@ -46,6 +46,33 @@ def _tokens(text: Column) -> Column:
 _TOKENS_SQL = f"list_filter(string_split_regex(lower(text), '{TOKEN_SPLIT_REGEX}'), t -> t <> '')"
 
 
+def quality_parts(ts: Column) -> tuple[Column, Column, Column, Column]:
+    """THE quality heuristic, shared by every consumer (ts_quality_score
+    and the curation plans embed this exact float algebra — extracting
+    it guarantees a future tweak lands everywhere at once):
+    (stop_ratio, rep_ratio, len_score, quality) columns over a token
+    array. quality = 0.4·len + 0.3·min(4·stop, 1) + 0.3·(1 − rep)."""
+    n = F.size(ts)
+    stop_arr = F.array(*[F.lit(w) for w in STOPWORDS])
+    stop_ratio = F.when(
+        n > 0,
+        F.size(F.filter(ts, lambda t: F.array_contains(stop_arr, t))).cast(
+            "double"
+        )
+        / n,
+    ).otherwise(F.lit(0.0))
+    rep_ratio = F.when(
+        n > 0, F.lit(1.0) - F.size(F.array_distinct(ts)).cast("double") / n
+    ).otherwise(F.lit(1.0))
+    len_score = F.least(n.cast("double") / 100.0, F.lit(1.0))
+    quality = (
+        0.4 * len_score
+        + 0.3 * F.least(stop_ratio * 4, F.lit(1.0))
+        + 0.3 * (1.0 - rep_ratio)
+    ).cast("double")
+    return stop_ratio, rep_ratio, len_score, quality
+
+
 # ------------------------------------------------------------ token stats
 
 @register(
@@ -121,32 +148,13 @@ def ts_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     the documented spec)."""
     docs = load_raw(spark, sf_dir, "documents")
     base = docs.select("doc_id", _tokens(F.col("text")).alias("ts"))
-    ts = F.col("ts")
-    n = F.size(ts)
-    stop_arr = F.array(*[F.lit(w) for w in STOPWORDS])
-    stop_ratio = F.when(
-        n > 0,
-        F.size(F.filter(ts, lambda t: F.array_contains(stop_arr, t))).cast("double") / n,
-    ).otherwise(F.lit(0.0))
-    rep_ratio = F.when(
-        n > 0, F.lit(1.0) - F.size(F.array_distinct(ts)).cast("double") / n
-    ).otherwise(F.lit(1.0))
-    len_score = F.least(n.cast("double") / 100.0, F.lit(1.0))
-    return (
-        base.select(
-            "doc_id",
-            stop_ratio.alias("stop_ratio"),
-            rep_ratio.alias("rep_ratio"),
-            len_score.alias("len_score"),
-        )
-        .withColumn(
-            "quality",
-            (
-                0.4 * F.col("len_score")
-                + 0.3 * F.least(F.col("stop_ratio") * 4, F.lit(1.0))
-                + 0.3 * (1.0 - F.col("rep_ratio"))
-            ).cast("double"),
-        )
+    stop_ratio, rep_ratio, len_score, quality = quality_parts(F.col("ts"))
+    return base.select(
+        "doc_id",
+        stop_ratio.alias("stop_ratio"),
+        rep_ratio.alias("rep_ratio"),
+        len_score.alias("len_score"),
+        quality.alias("quality"),
     )
 
 

@@ -32,7 +32,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators.sampling import samp_split_assign
-from ..operators.textstats import ts_lang_id, ts_quality_score
+from ..operators.textstats import quality_parts, ts_lang_id, ts_quality_score
 from ..registry import _REGISTRY, register
 from ..sources import load_raw
 
@@ -117,7 +117,6 @@ def llm_curation_fused(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``ORDER BY hits DESC, lang_pri ASC`` winner."""
     from pyspark.sql import Window
 
-    from ..functions.text import STOPWORDS
     from ..operators.sampling import (
         TRAIN_BUCKETS,
         VAL_BUCKETS,
@@ -145,22 +144,9 @@ def llm_curation_fused(spark: SparkSession, sf_dir: str) -> DataFrame:
         for pri, (lang, ws) in enumerate(LANG_MARKERS.items())
     ]
     lang_guess = F.greatest(*lang_structs)["lang"]
-    # quality formula, inline (identical algebra to ts_quality_score)
-    stop_arr = F.array(*[F.lit(w) for w in STOPWORDS])
-    stop_ratio = F.when(
-        n > 0,
-        F.size(F.filter(ts, lambda t: F.array_contains(stop_arr, t))).cast("double")
-        / n,
-    ).otherwise(F.lit(0.0))
-    rep_ratio = F.when(
-        n > 0, F.lit(1.0) - F.size(dts).cast("double") / n
-    ).otherwise(F.lit(1.0))
-    len_score = F.least(n.cast("double") / 100.0, F.lit(1.0))
-    quality = (
-        0.4 * len_score
-        + 0.3 * F.least(stop_ratio * 4, F.lit(1.0))
-        + 0.3 * (1.0 - rep_ratio)
-    ).cast("double")
+    # quality formula: THE shared helper (same object ts_quality_score
+    # uses — the composition can't drift from the part)
+    _, _, _, quality = quality_parts(ts)
     bucket = split_hash("doc_id") % 10
     split = (
         F.when(bucket < TRAIN_BUCKETS, F.lit("train"))
@@ -190,10 +176,9 @@ def llm_curation_fused(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: use (the "budget"); each source gets an equal share of it.
 MIX_BUDGET_FRAC = 0.5
 
-#: Same tokenizer as the quality stage, for the mix's token counts.
-_TOKENS_SQL_EXPR = (
-    "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> '')"
-)
+# Same tokenizer SQL as the quality stage (imported, not re-declared,
+# so a tokenizer change can never desynchronize the composed oracles).
+from ..operators.textstats import _TOKENS_SQL as _TOKENS_SQL_EXPR  # noqa: E402
 
 _MIX_ORACLE = f"""WITH qual AS (
 {_QUAL_SQL}
@@ -249,7 +234,6 @@ def llm_curation_mix_fused(spark: SparkSession, sf_dir: str) -> DataFrame:
     Output is |sources| rows — dashboard-sized at any corpus scale."""
     from pyspark.sql import Window
 
-    from ..functions.text import STOPWORDS
     from ..operators.textstats import _tokens
 
     docs = load_raw(spark, sf_dir, "documents")
@@ -260,23 +244,8 @@ def llm_curation_mix_fused(spark: SparkSession, sf_dir: str) -> DataFrame:
         _tokens(F.col("text")).alias("ts"),
     )
     ts, n = F.col("ts"), F.size("ts")
-    dts = F.array_distinct(ts)
-    # quality formula, inline (identical algebra to ts_quality_score)
-    stop_arr = F.array(*[F.lit(w) for w in STOPWORDS])
-    stop_ratio = F.when(
-        n > 0,
-        F.size(F.filter(ts, lambda t: F.array_contains(stop_arr, t))).cast("double")
-        / n,
-    ).otherwise(F.lit(0.0))
-    rep_ratio = F.when(
-        n > 0, F.lit(1.0) - F.size(dts).cast("double") / n
-    ).otherwise(F.lit(1.0))
-    len_score = F.least(n.cast("double") / 100.0, F.lit(1.0))
-    quality = (
-        0.4 * len_score
-        + 0.3 * F.least(stop_ratio * 4, F.lit(1.0))
-        + 0.3 * (1.0 - rep_ratio)
-    ).cast("double")
+    # quality formula: the shared helper (see llm_curation_fused)
+    _, _, _, quality = quality_parts(ts)
     staged = base.select(
         "doc_id",
         "source",
@@ -693,30 +662,13 @@ def llm_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
     legs — Catalyst expands multi-distinct into one Expand + two-level
     aggregate, still a single pass over the corpus at any scale.
     Quality algebra is verbatim the verified ts_quality_score stage."""
-    from ..functions.text import STOPWORDS
     from ..operators.textstats import _tokens
 
     docs = load_raw(spark, sf_dir, "documents")
     ts = _tokens(F.col("text"))
     n = F.size(ts)
-    dts = F.array_distinct(ts)
-    stop_arr = F.array(*[F.lit(w) for w in STOPWORDS])
-    stop_ratio = F.when(
-        n > 0,
-        F.size(F.filter(ts, lambda t: F.array_contains(stop_arr, t))).cast(
-            "double"
-        )
-        / n,
-    ).otherwise(F.lit(0.0))
-    rep_ratio = F.when(
-        n > 0, F.lit(1.0) - F.size(dts).cast("double") / n
-    ).otherwise(F.lit(1.0))
-    len_score = F.least(n.cast("double") / 100.0, F.lit(1.0))
-    quality = (
-        0.4 * len_score
-        + 0.3 * F.least(stop_ratio * 4, F.lit(1.0))
-        + 0.3 * (1.0 - rep_ratio)
-    ).cast("double")
+    # quality formula: the shared helper (see llm_curation_fused)
+    _, _, _, quality = quality_parts(ts)
     base = docs.select(
         "lang",
         "source",

@@ -845,8 +845,12 @@ def stream_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     At scale the snapshot merge is a keyed join on the fixed-width
     content hash (the exact-dedup shuffle discipline) against a table
     format's MERGE; per-batch state touched is O(batch distinct
-    hashes), never corpus-sized, and redelivered batches converge
-    because the merge is a pure min/count-sum on append-only facts."""
+    hashes), never corpus-sized. Redelivery: min(canonical) converges
+    on its own, but the copy-count SUM is not naturally idempotent —
+    the merge carries the applied-batch-id guard (skip batch_id ≤ last
+    applied), the standard discipline for a non-transactional
+    ``foreachBatch`` sink (stream_cdc_apply gets idempotence from its
+    per-key seq guard instead)."""
     import shutil
     import tempfile
 
@@ -887,9 +891,17 @@ def stream_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").alias("canonical"),
         F.lit(0).cast("long").alias("n_copies"),
     ).write.mode("overwrite").parquet(snap0)
-    state = {"version": 0}
+    state = {"version": 0, "last_batch": -1}
 
     def merge(batch_df: DataFrame, batch_id: int) -> None:
+        # Idempotence under at-least-once redelivery: min(canonical)
+        # converges on its own, but the copy-count SUM would double on
+        # a replayed batch — skip batch ids already applied (the
+        # applied-batch-id guard every non-transactional foreachBatch
+        # sink needs; stream_cdc_apply gets this from its per-key seq
+        # guard instead).
+        if batch_id <= state["last_batch"]:
+            return
         cur = spark.read.parquet(
             os.path.join(work, f"snap_{state['version']}")
         )
@@ -913,6 +925,7 @@ def stream_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
             os.path.join(work, f"snap_{nxt}")
         )
         state["version"] = nxt
+        state["last_batch"] = batch_id
 
     stream = spark.readStream.schema(docs.schema).option(
         "maxFilesPerTrigger", 1

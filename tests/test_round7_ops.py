@@ -284,7 +284,7 @@ def test_decontamination_flags_verbatim_test_dups(spark, queries):
     for r in rows.values():
         assert 0.0 < r["contamination_rate"] <= 1.0
         assert 0 < r["n_contaminated"]
-        assert r["n_ngrams"] >= r["n_contaminated"] * 0  # sane columns
+        assert r["n_ngrams"] >= r["n_contaminated"]
 
     docs = duckdb.sql(
         f"SELECT doc_id, text FROM '{SF_DIR}/documents.parquet'"
