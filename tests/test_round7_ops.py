@@ -11,6 +11,8 @@ the join result stays exactly correct.
 
 from __future__ import annotations
 
+import sys
+
 import pytest
 from pyspark.sql import functions as F
 
@@ -377,3 +379,62 @@ def test_permutation_importance_matches_pandas_replay(spark, queries):
     assert row["logloss_perm_x1"] == pytest.approx(
         row["logloss_baseline"] + row["importance_x1"], abs=2e-6
     )
+
+
+def test_learning_curve_empty_subset_null_parity(spark, queries, tmp_path):
+    """Planted fixture where every doc hashes to bucket >= 3: the 10%
+    and 30% training subsets are EMPTY, so (matching the oracle's NULL
+    propagation) those configs' weights poison to NaN and their
+    fitted loglosses canonicalize to NULL, while the 100% config stays
+    finite. Runs BOTH engines on the planted fixture and compares the
+    driver-canonicalized snapshots — a real parity check of the branch
+    the standard fixtures never exercise."""
+    import duckdb
+    import pandas as pd
+
+    docs = pd.DataFrame(
+        {
+            "doc_id": [2, 3, 5, 6, 7, 8],  # buckets 6,7,7,8,3,4 — all >= 3
+            "text": [
+                "the quick brown fox jumps over the lazy dog",
+                "a plain short doc with the common token",
+                "numbers and words mix the day away",
+                "short text",
+                "the the the repeated tokens here",
+                "completely different content entirely",
+            ],
+            "lang": ["en", "en", "de", "en", "fr", "en"],
+            "source": ["s1"] * 6,
+            "n_chars": [44, 40, 35, 10, 32, 38],
+        }
+    )
+    sf_dir = str(tmp_path)
+    docs.to_parquet(f"{sf_dir}/documents.parquet")
+
+    import os
+
+    from recommedation_system_under_flink_spark import registry
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    import scripts.check as C
+
+    sdf = queries["ml_learning_curve"](spark, sf_dir).toPandas()
+    scols, srows = C._snapshot(
+        list(sdf.columns),
+        [tuple(r) for r in sdf.itertuples(index=False, name=None)],
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf_dir}/documents.parquet')"
+    )
+    ocols, orows = C._oracle_frame(
+        con, registry.oracles()["ml_learning_curve"]
+    )
+    ocols, orows = C._snapshot(ocols, orows)
+    assert scols == ocols
+    assert srows == orows
+    # and the planted property actually held: 10%/30% rows NULL-trained
+    by_frac = {r["fraction"]: r for _, r in sdf.iterrows()}
+    assert by_frac[1.0]["n_train"] == 6
+    for frac in (0.1, 0.3):
+        assert by_frac[frac]["n_train"] == 0
