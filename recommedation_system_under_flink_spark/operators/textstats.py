@@ -2956,3 +2956,176 @@ def ts_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ----------------------------------------- Gopher-style rule battery
+
+#: Pinned rule thresholds (Gopher/MassiveText-inspired filter battery,
+#: Rae et al. 2021 §A1.1, adapted to the pinned alnum tokenizer: word
+#: count bounds, mean-word-length band, alphabetic-word fraction,
+#: minimum distinct stopword hits, symbol-to-word ratio cap).
+GOPHER_MIN_WORDS = 50
+GOPHER_MAX_WORDS = 100_000
+GOPHER_MWL_LO = 3.0
+GOPHER_MWL_HI = 10.0
+GOPHER_ALPHA_FRAC = 0.8
+GOPHER_MIN_STOP_HITS = 2
+GOPHER_SYMBOL_RATIO = 0.1
+
+_GOPHER_ORACLE = f"""WITH toks AS (
+  SELECT doc_id, text, {_TOKENS_SQL} AS ts FROM documents
+), feats AS (
+  SELECT doc_id,
+         len(ts) AS n,
+         CASE WHEN len(ts) > 0 THEN
+           list_sum(list_transform(ts, t -> length(t))) * 1.0 / len(ts)
+         ELSE 0.0 END AS mwl,
+         CASE WHEN len(ts) > 0 THEN
+           len(list_filter(ts, t -> regexp_matches(t, '[a-z]'))) * 1.0
+             / len(ts)
+         ELSE 0.0 END AS alpha_frac,
+         len(list_filter(list_distinct(ts),
+             t -> t IN ({{stops}}))) AS stop_hits,
+         CASE WHEN len(ts) > 0 THEN
+           ((length(text) - length(replace(text, '#', '')))
+            + (length(text) - length(replace(text, '...', ''))) / 3)
+           * 1.0 / len(ts)
+         ELSE 0.0 END AS symbol_ratio
+  FROM toks
+), flags AS (
+  SELECT CASE WHEN n < {GOPHER_MIN_WORDS} OR n > {GOPHER_MAX_WORDS}
+              THEN 1 ELSE 0 END AS f_words,
+         CASE WHEN mwl < {GOPHER_MWL_LO} OR mwl > {GOPHER_MWL_HI}
+              THEN 1 ELSE 0 END AS f_mwl,
+         CASE WHEN alpha_frac < {GOPHER_ALPHA_FRAC} THEN 1 ELSE 0 END
+           AS f_alpha,
+         CASE WHEN stop_hits < {GOPHER_MIN_STOP_HITS} THEN 1 ELSE 0 END
+           AS f_stop,
+         CASE WHEN symbol_ratio > {GOPHER_SYMBOL_RATIO} THEN 1 ELSE 0 END
+           AS f_symbol
+  FROM feats
+), tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM flags)
+SELECT rule, n_fail,
+       ROUND(n_fail * 1.0 / (SELECT n_docs FROM tot), 6) AS fail_rate
+FROM (
+  SELECT 'word_count' AS rule, CAST(SUM(f_words) AS BIGINT) AS n_fail FROM flags
+  UNION ALL
+  SELECT 'mean_word_length', CAST(SUM(f_mwl) AS BIGINT) FROM flags
+  UNION ALL
+  SELECT 'alpha_word_fraction', CAST(SUM(f_alpha) AS BIGINT) FROM flags
+  UNION ALL
+  SELECT 'stopword_hits', CAST(SUM(f_stop) AS BIGINT) FROM flags
+  UNION ALL
+  SELECT 'symbol_ratio', CAST(SUM(f_symbol) AS BIGINT) FROM flags
+  UNION ALL
+  SELECT 'any_rule', CAST(SUM(CASE WHEN f_words + f_mwl + f_alpha
+                                        + f_stop + f_symbol > 0
+                                   THEN 1 ELSE 0 END) AS BIGINT) FROM flags
+) ORDER BY rule"""
+
+
+def _gopher_oracle() -> str:
+    stops = ", ".join(f"'{w}'" for w in STOPWORDS)
+    return _GOPHER_ORACLE.replace("{stops}", stops)
+
+
+@register("ts_gopher_rules", _gopher_oracle())
+def ts_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """**Gopher/MassiveText-style rule battery** (Rae et al. 2021,
+    §A1.1, adapted to the pinned tokenizer): per-rule corpus failure
+    counts and rates for word-count bounds, mean word length,
+    alphabetic-word fraction, minimum distinct-stopword hits, and
+    symbol-to-word ratio, plus the any-rule union — the hard-rule
+    complement to the soft ts_quality_score heuristic (production
+    curation stacks run BOTH: rules gate, score ranks).
+
+    Every per-doc statistic is exact integer arithmetic or a single
+    int/int division (bit-identical cross-engine, so the rule
+    comparisons cannot straddle); one scan, one aggregate, 6 output
+    rows at any corpus size."""
+    docs = load_raw(spark, sf_dir, "documents")
+    ts = _tokens(F.col("text"))
+    n = F.size(ts)
+    tok_len_sum = F.aggregate(
+        F.transform(ts, lambda t: F.length(t).cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    mwl = F.when(n > 0, tok_len_sum * F.lit(1.0) / n).otherwise(F.lit(0.0))
+    alpha_frac = F.when(
+        n > 0,
+        F.size(F.filter(ts, lambda t: t.rlike("[a-z]"))) * F.lit(1.0) / n,
+    ).otherwise(F.lit(0.0))
+    stop_arr = F.array(*[F.lit(w) for w in STOPWORDS])
+    stop_hits = F.size(
+        F.filter(
+            F.array_distinct(ts), lambda t: F.array_contains(stop_arr, t)
+        )
+    )
+    hash_count = F.length("text") - F.length(F.replace(F.col("text"), F.lit("#"), F.lit("")))
+    ell_count = (
+        F.length("text") - F.length(F.replace(F.col("text"), F.lit("..."), F.lit("")))
+    ) / 3
+    symbol_ratio = F.when(
+        n > 0, (hash_count + ell_count) * F.lit(1.0) / n
+    ).otherwise(F.lit(0.0))
+    flags = docs.select(
+        F.when(
+            (n < GOPHER_MIN_WORDS) | (n > GOPHER_MAX_WORDS), 1
+        ).otherwise(0).alias("f_words"),
+        F.when(
+            (mwl < GOPHER_MWL_LO) | (mwl > GOPHER_MWL_HI), 1
+        ).otherwise(0).alias("f_mwl"),
+        F.when(alpha_frac < GOPHER_ALPHA_FRAC, 1).otherwise(0).alias("f_alpha"),
+        F.when(stop_hits < GOPHER_MIN_STOP_HITS, 1).otherwise(0).alias("f_stop"),
+        F.when(symbol_ratio > GOPHER_SYMBOL_RATIO, 1).otherwise(0).alias(
+            "f_symbol"
+        ),
+    )
+    agg = flags.agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("f_words").cast("long").alias("word_count"),
+        F.sum("f_mwl").cast("long").alias("mean_word_length"),
+        F.sum("f_alpha").cast("long").alias("alpha_word_fraction"),
+        F.sum("f_stop").cast("long").alias("stopword_hits"),
+        F.sum("f_symbol").cast("long").alias("symbol_ratio"),
+        F.sum(
+            F.when(
+                F.col("f_words")
+                + F.col("f_mwl")
+                + F.col("f_alpha")
+                + F.col("f_stop")
+                + F.col("f_symbol")
+                > 0,
+                1,
+            ).otherwise(0)
+        ).cast("long").alias("any_rule"),
+    )
+    rules = (
+        "alpha_word_fraction",
+        "any_rule",
+        "mean_word_length",
+        "stopword_hits",
+        "symbol_ratio",
+        "word_count",
+    )
+    stacked = agg.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(r).alias("rule"), F.col(r).alias("n_fail")
+                    )
+                    for r in rules
+                ]
+            )
+        ).alias("e"),
+        "n_docs",
+    ).select(
+        F.col("e.rule").alias("rule"),
+        F.col("e.n_fail").alias("n_fail"),
+        F.round(F.col("e.n_fail") * F.lit(1.0) / F.col("n_docs"), 6).alias(
+            "fail_rate"
+        ),
+    )
+    return stacked.orderBy("rule")

