@@ -304,8 +304,9 @@ def p1_news_keywords_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: every stage keys on (news_id, term) — high-cardinality,
     uniform; the vote loop is K bounded shuffles (same BSP family as
-    operators/graph.py). Edges/vocab/deg persist across rounds; score
-    lineage stays K-deep."""
+    operators/graph.py). Edges/vocab persist across rounds (deg is
+    derived in the per-round neighbor map, not a separate relation);
+    score lineage stays K-deep."""
     def build() -> DataFrame:
         pos = _tr_positions(spark, sf_dir)
         edges = windowed_edges(pos).persist()

@@ -156,7 +156,7 @@ FROM feats, {prev}"""
 
 @register("ml_logreg_gd", _logreg_oracle())
 def ml_logreg_gd(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Full-batch logistic regression, 3 GD steps from w = 0.
+    """Full-batch logistic regression, {GD_ITERS} GD steps from w = 0.
 
     The distributed pattern that matters at 100 TB: the gradient of a
     linear model is an average over rows, so each iteration is ONE
@@ -225,6 +225,13 @@ def ml_logreg_gd(spark: SparkSession, sf_dir: str) -> DataFrame:
         # Safe to release before the caller collects: the returned plan
         # holds only literal weights, so it recomputes feats in one pass.
         feats.unpersist()
+
+
+# Interpolate the constant so the docstring tracks GD_ITERS (r7 advice:
+# inlined values silently desynchronize when the constant changes).
+ml_logreg_gd.__doc__ = ml_logreg_gd.__doc__.replace(
+    "{GD_ITERS}", str(GD_ITERS)
+)
 
 
 # ------------------------------------------------- multinomial NB
@@ -1159,20 +1166,19 @@ def ml_als_two_sweeps(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
 
-    try:
-        out = (
-            obj(1, u1, fac0, norm(u1, "u0", "u1"), norm(fac0, "f0", "f1"))
-            .unionByName(obj(2, u1, fac1, norm(u1, "u0", "u1"), norm(fac1, "f0", "f1")))
-            .unionByName(obj(3, u2, fac1, norm(u2, "u0", "u1"), norm(fac1, "f0", "f1")))
-        )
-        # Eagerly materialize the 3-row certificate so the caches can
-        # be released here instead of leaking into later queries in the
-        # same session (the returned plan would otherwise re-read them).
-        rows = out.orderBy("step").collect()
-        return spark.createDataFrame(rows, out.schema)
-    finally:
-        for df in _cached:
-            df.unpersist()
+    out = (
+        obj(1, u1, fac0, norm(u1, "u0", "u1"), norm(fac0, "f0", "f1"))
+        .unionByName(obj(2, u1, fac1, norm(u1, "u0", "u1"), norm(fac1, "f0", "f1")))
+        .unionByName(obj(3, u2, fac1, norm(u2, "u0", "u1"), norm(fac1, "f0", "f1")))
+        .orderBy("step")
+    )
+    # Truncate the 2-sweep lineage and release the persisted factor
+    # tables through the shared BSP helper (same lifecycle as
+    # keywords.vote_fixed_rounds) instead of a driver-side collect —
+    # keeps the returned plan a distributed scan the plan audit can see.
+    from .bsp import checkpoint_result
+
+    return checkpoint_result(out, *_cached)
 
 
 # ----------------------------------------- WOE / information value
@@ -1761,7 +1767,7 @@ ORDER BY stage"""
 @register("ml_boosted_stumps", _boost_oracle())
 def ml_boosted_stumps(spark: SparkSession, sf_dir: str) -> DataFrame:
     """**Two rounds of gradient boosting** with stump base learners
-    (L2 loss, shrinkage ν=0.5): stage 1 fits the SSE-optimal
+    (L2 loss, shrinkage ν={BOOST_NU}): stage 1 fits the SSE-optimal
     stump on x1, residuals feed stage 2's stump on x2 — the exact
     GBDT outer loop, distributively: each round is one cumulative
     window scan for the split (the ml_decision_stump machinery with
@@ -1856,6 +1862,12 @@ def ml_boosted_stumps(spark: SparkSession, sf_dir: str) -> DataFrame:
         return row1.unionByName(row2).orderBy("stage")
     finally:
         feats.unpersist()
+
+
+# Docstring tracks the shrinkage constant (r7 advice).
+ml_boosted_stumps.__doc__ = ml_boosted_stumps.__doc__.replace(
+    "{BOOST_NU}", str(BOOST_NU)
+)
 
 
 # ------------------------------------------------ learning curve
@@ -2478,7 +2490,13 @@ def ml_isotonic_calibration_hashable(
 PERM_BUCKETS = 64
 #: Second mixing constant for the within-bucket order (must differ
 #: from HASH_MULT so the order is independent of the bucket id).
-PERM_MULT = 2246822519
+#: Chosen < 2^31 (Fibonacci-hashing constant 2^32/φ rounded to odd) so
+#: that even the worst-case reduced operand stays in 63 bits:
+#: (2^32 - 1) * PERM_MULT ≈ 7.05e18 < 2^63 - 1 ≈ 9.22e18. Combined
+#: with the ``doc_id % HASH_MOD`` pre-reduction below, the multiply can
+#: never wrap BIGINT — Spark would wrap silently while DuckDB raises,
+#: so an overflow is a cross-engine divergence, not just a wrong order.
+PERM_MULT = 1640531527
 
 
 def _perm_oracle() -> str:
@@ -2498,7 +2516,7 @@ def _perm_oracle() -> str:
 b AS (
   SELECT doc_id, y, x1, x2,
          (doc_id * {HASH_MULT}) % {HASH_MOD} % {PERM_BUCKETS} AS bucket,
-         (doc_id * {PERM_MULT}) % {HASH_MOD} AS h2
+         ((doc_id % {HASH_MOD}) * {PERM_MULT}) % {HASH_MOD} AS h2
   FROM feats
 ),
 p AS (
@@ -2540,7 +2558,7 @@ def ml_permutation_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
         "x1",
         "x2",
         (split_hash("doc_id") % PERM_BUCKETS).alias("bucket"),
-        ((F.col("doc_id") * PERM_MULT) % HASH_MOD).alias("h2"),
+        (((F.col("doc_id") % HASH_MOD) * PERM_MULT) % HASH_MOD).alias("h2"),
     )
     w = Window.partitionBy("bucket").orderBy("h2", "doc_id")
     wall = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
@@ -2579,3 +2597,9 @@ def ml_permutation_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(perm1 - base, 6).alias("importance_x1"),
         F.round(perm2 - base, 6).alias("importance_x2"),
     )
+
+
+# Docstring tracks the bucket constant (r7 advice).
+ml_permutation_importance.__doc__ = ml_permutation_importance.__doc__.replace(
+    "{PERM_BUCKETS}", str(PERM_BUCKETS)
+)

@@ -701,7 +701,7 @@ WHERE l.op IS NULL OR l.op <> 'D'""",
 )
 def stream_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     """**Streaming CDC apply**: the change stream (op/seq rows derived
-    from orders, staged as 4 sequence-ordered files)
+    from orders, staged as {_CDC_BATCHES} sequence-ordered files)
     replays through ``foreachBatch``, each micro-batch MERGED into the
     running snapshot — reduce-the-batch-first (top-1 per key by seq),
     then one keyed join against the current snapshot, guarded by
@@ -714,7 +714,10 @@ def stream_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     The snapshot is versioned per micro-batch (write-new-then-advance,
     never overwrite-in-place — the non-Delta merge pattern); at scale
     the same loop targets a table format's MERGE with the identical
-    seq guard."""
+    seq guard.
+
+    (The batch-count placeholder above interpolates from _CDC_BATCHES —
+    see the module-level ``__doc__`` fix-up after this function.)"""
     import shutil
     import tempfile
 
@@ -811,6 +814,12 @@ def stream_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.read.parquet(os.path.join(work, f"snap_{state['version']}"))
         .filter(F.col("action") != "deleted")
     )
+
+
+# Docstring tracks the staged-batch constant (r7 advice).
+stream_cdc_apply.__doc__ = stream_cdc_apply.__doc__.replace(
+    "{_CDC_BATCHES}", str(_CDC_BATCHES)
+)
 
 
 # ------------------------------------------- streaming exact dedup
