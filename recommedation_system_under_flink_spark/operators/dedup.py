@@ -2192,3 +2192,142 @@ def dedup_funnel_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return raw_row.unionByName(exact_row).unionByName(near_row)
+
+
+# --------------------------------- content-defined chunking dedup
+
+#: Rolling-window width (tokens) for the CDC boundary test.
+CDC_W = 4
+#: Boundary divisor: a window ends a chunk when its 60-bit digest is
+#: ≡ 0 (mod CDC_D), so the expected chunk length is ~CDC_D tokens.
+CDC_D = 16
+
+_CDC_HASH_SQL = (
+    "CAST(('0x' || substr(md5(array_to_string("
+    f"ts[e - {CDC_W - 1}:e], ' ')), 1, 15)) AS BIGINT) % {CDC_D} = 0"
+)
+
+_CDC_ORACLE = f"""WITH base AS (
+  SELECT doc_id, list_filter(
+           string_split_regex(lower(text), '{TOKEN_SPLIT_REGEX}'),
+           t -> t <> '') AS ts
+  FROM documents
+), nonempty AS (
+  SELECT doc_id, ts FROM base WHERE len(ts) > 0
+), cut AS (
+  SELECT doc_id, ts,
+         list_sort(list_distinct(
+           [CAST(0 AS BIGINT)]
+           || list_filter(range(CAST({CDC_W} AS BIGINT),
+                                CAST(len(ts) + 1 AS BIGINT)),
+                          e -> {_CDC_HASH_SQL})
+           || [CAST(len(ts) AS BIGINT)])) AS cuts
+  FROM nonempty
+), idx AS (
+  SELECT doc_id, ts, cuts, unnest(range(1, len(cuts))) AS k FROM cut
+), chunks AS (
+  SELECT doc_id,
+         md5(array_to_string(ts[cuts[k] + 1:cuts[k + 1]], ' ')) AS h,
+         cuts[k + 1] - cuts[k] AS ln
+  FROM idx
+), freq AS (
+  SELECT h, COUNT(*) AS n FROM chunks GROUP BY h
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_chunks,
+       CAST(SUM(CASE WHEN f.n > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_dup_chunks,
+       ROUND(SUM(CASE WHEN f.n > 1 THEN 1.0 ELSE 0.0 END) / COUNT(*), 6)
+         AS dup_ratio,
+       ROUND(AVG(ln), 6) AS avg_chunk_tokens
+FROM chunks c JOIN freq f ON c.h = f.h
+GROUP BY doc_id"""
+
+
+@register("dedup_cdc_chunks", _CDC_ORACLE)
+def dedup_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """**Content-defined-chunking dup ratio** (LBFS/rsync-family CDC —
+    the one mainstream dedup family the fixed-stride chunkers can't
+    express): a chunk boundary falls after token ``e`` exactly when
+    the rolling ``CDC_W``-token window ending at ``e`` hashes to
+    ``0 (mod CDC_D)``, so boundaries depend ONLY on local content.
+    Insert a sentence at the top of a template document and every
+    downstream chunk re-aligns and still matches its duplicate —
+    where :func:`dedup_chunk_ratio`'s fixed stride shifts every
+    window and reports near-zero overlap (the shift-robustness
+    pytest plants exactly that pair). Per doc: chunk count, chunks
+    whose exact text recurs anywhere in the corpus, dup ratio, and
+    mean chunk length (expected ≈ CDC_D tokens).
+
+    Spark plan: boundary detection is a pure array pipeline inside
+    one projection — ``filter(sequence(W, |ts|))`` over the md5 window
+    digest (the portable 60-bit scheme of
+    :func:`minhash_signatures`), cuts assembled with
+    ``array_sort∘array_distinct``, chunk strings sliced per span
+    BEFORE the explode so no row ever carries the token array
+    alongside a chunk. After the explode it is exactly the
+    :func:`dedup_chunk_ratio` shape: md5-keyed frequency shuffle
+    (uniform, skew-free), hash-keyed join back, per-doc aggregate —
+    at 100 TB the chunk-hash relation is the same incremental state
+    table the exact-dedup family maintains. The classic FastCDC
+    min/max chunk bounds are a sequential fold over boundary
+    candidates (each acceptance depends on the previous) — noted as
+    the one refinement this parallel form deliberately omits.
+
+    Reference parity: extends the reference's exact-text dedup
+    semantics (no CDC exists there) — extension surface, not a port.
+    """
+    toks = F.filter(
+        F.split(F.lower(F.col("text")), TOKEN_SPLIT_REGEX),
+        lambda t: t != "",
+    )
+    base = (
+        load_raw(spark, sf_dir, "documents")
+        .select("doc_id", toks.alias("ts"))
+        .filter(F.size("ts") > 0)
+    )
+
+    def boundary(e: Column) -> Column:
+        win = F.array_join(F.slice(F.col("ts"), e - (CDC_W - 1), CDC_W), " ")
+        digest = F.conv(F.substring(F.md5(win), 1, 15), 16, 10).cast("long")
+        return digest % CDC_D == 0
+
+    cuts = F.array_sort(
+        F.array_distinct(
+            F.concat(
+                F.array(F.lit(0)),
+                F.filter(F.sequence(F.lit(CDC_W), F.size("ts")), boundary),
+                F.array(F.size("ts")),
+            )
+        )
+    )
+    with_cuts = base.withColumn("cuts", cuts)
+
+    def span(k: Column) -> Column:
+        a = F.element_at(F.col("cuts"), k)
+        b = F.element_at(F.col("cuts"), k + 1)
+        return F.struct(
+            F.md5(F.array_join(F.slice(F.col("ts"), a + 1, b - a), " ")).alias("h"),
+            (b - a).cast("long").alias("ln"),
+        )
+
+    chunks = with_cuts.select(
+        "doc_id",
+        F.explode(
+            F.transform(F.sequence(F.lit(1), F.size("cuts") - 1), span)
+        ).alias("c"),
+    ).select("doc_id", F.col("c.h").alias("h"), F.col("c.ln").alias("ln"))
+    freq = chunks.groupBy("h").agg(F.count("*").alias("n"))
+    dup = F.when(F.col("n") > 1, 1).otherwise(0)
+    return (
+        chunks.join(freq, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_chunks"),
+            F.sum(dup).cast("long").alias("n_dup_chunks"),
+            F.round(F.sum(dup.cast("double")) / F.count("*"), 6).alias(
+                "dup_ratio"
+            ),
+            F.round(F.avg("ln"), 6).alias("avg_chunk_tokens"),
+        )
+    )

@@ -1734,6 +1734,53 @@ def _sse_split_sql(src: str, xcol: str, ycol: str) -> str:
 )"""
 
 
+def _sse_split_frame(df: DataFrame, xcol: str, ycol: str) -> DataFrame:
+    """Spark twin of :func:`_sse_split_sql`: the 1-row SSE-optimal
+    stump (threshold, vl, vr) of ``ycol`` on ``xcol``. One groupBy on
+    the feature's distinct values, one cumulative window over them
+    (candidate-split cardinality, NOT row cardinality — the window
+    input is tiny even at 100 TB), a broadcast 1-row total, argmin with
+    the same ROUND(sse, 9)/threshold tie-break as the oracle. Shared by
+    ml_boosted_stumps and ml_gbdt_k_rounds."""
+    by_x = df.groupBy(F.col(xcol).alias("x")).agg(
+        F.count("*").cast("double").alias("cnt"),
+        F.sum(ycol).alias("sy"),
+        F.sum(F.col(ycol) * F.col(ycol)).alias("sy2"),
+    )
+    w = Window.orderBy("x").rowsBetween(Window.unboundedPreceding, 0)
+    cum = by_x.select(
+        "x",
+        F.sum("cnt").over(w).alias("nl"),
+        F.sum("sy").over(w).alias("sl"),
+        F.sum("sy2").over(w).alias("s2l"),
+    )
+    tot = df.agg(
+        F.count("*").cast("double").alias("nt"),
+        F.sum(ycol).alias("st"),
+        F.sum(F.col(ycol) * F.col(ycol)).alias("s2t"),
+    )
+    j = cum.crossJoin(F.broadcast(tot)).filter(F.col("nl") < F.col("nt"))
+    sse = (
+        F.col("s2l") - F.col("sl") * F.col("sl") / F.col("nl")
+    ) + (
+        (F.col("s2t") - F.col("s2l"))
+        - (F.col("st") - F.col("sl"))
+        * (F.col("st") - F.col("sl"))
+        / (F.col("nt") - F.col("nl"))
+    )
+    return (
+        j.select(
+            F.col("x").alias("threshold"),
+            (F.col("sl") / F.col("nl")).alias("vl"),
+            ((F.col("st") - F.col("sl")) / (F.col("nt") - F.col("nl"))).alias("vr"),
+            F.round(sse, 9).alias("sse_q"),
+        )
+        .orderBy(F.asc("sse_q"), F.asc("threshold"))
+        .limit(1)
+        .drop("sse_q")
+    )
+
+
 def _boost_oracle() -> str:
     return f"""WITH {_FEATS_CTE},
 pts AS (SELECT x1, x2, y FROM feats),
@@ -1779,46 +1826,7 @@ def ml_boosted_stumps(spark: SparkSession, sf_dir: str) -> DataFrame:
     feats = _feats(spark, sf_dir).select("x1", "x2", "y")
     feats.persist()
     try:
-        def sse_split(df: DataFrame, xcol: str, ycol: str) -> DataFrame:
-            by_x = df.groupBy(F.col(xcol).alias("x")).agg(
-                F.count("*").cast("double").alias("cnt"),
-                F.sum(ycol).alias("sy"),
-                F.sum(F.col(ycol) * F.col(ycol)).alias("sy2"),
-            )
-            w = Window.orderBy("x").rowsBetween(Window.unboundedPreceding, 0)
-            cum = by_x.select(
-                "x",
-                F.sum("cnt").over(w).alias("nl"),
-                F.sum("sy").over(w).alias("sl"),
-                F.sum("sy2").over(w).alias("s2l"),
-            )
-            tot = df.agg(
-                F.count("*").cast("double").alias("nt"),
-                F.sum(ycol).alias("st"),
-                F.sum(F.col(ycol) * F.col(ycol)).alias("s2t"),
-            )
-            j = cum.crossJoin(F.broadcast(tot)).filter(F.col("nl") < F.col("nt"))
-            sse = (
-                F.col("s2l") - F.col("sl") * F.col("sl") / F.col("nl")
-            ) + (
-                (F.col("s2t") - F.col("s2l"))
-                - (F.col("st") - F.col("sl"))
-                * (F.col("st") - F.col("sl"))
-                / (F.col("nt") - F.col("nl"))
-            )
-            return (
-                j.select(
-                    F.col("x").alias("threshold"),
-                    (F.col("sl") / F.col("nl")).alias("vl"),
-                    ((F.col("st") - F.col("sl")) / (F.col("nt") - F.col("nl"))).alias("vr"),
-                    F.round(sse, 9).alias("sse_q"),
-                )
-                .orderBy(F.asc("sse_q"), F.asc("threshold"))
-                .limit(1)
-                .drop("sse_q")
-            )
-
-        s1 = sse_split(feats, "x1", "y")
+        s1 = _sse_split_frame(feats, "x1", "y")
         r1 = feats.crossJoin(F.broadcast(s1)).select(
             "x1",
             "x2",
@@ -1830,7 +1838,7 @@ def ml_boosted_stumps(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("res"),
         )
         r1.persist()
-        s2 = sse_split(r1, "x2", "res")
+        s2 = _sse_split_frame(r1, "x2", "res")
         r2 = r1.crossJoin(F.broadcast(s2)).select(
             (
                 F.col("res")
@@ -1867,6 +1875,119 @@ def ml_boosted_stumps(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Docstring tracks the shrinkage constant (r7 advice).
 ml_boosted_stumps.__doc__ = ml_boosted_stumps.__doc__.replace(
     "{BOOST_NU}", str(BOOST_NU)
+)
+
+
+# ------------------------------------------- K-round gradient boosting
+
+#: Boosting rounds for ml_gbdt_k_rounds; round k splits on
+#: GBDT_FEATURES[(k-1) % len] — the pinned alternating schedule keeps
+#: the per-round feature choice off the float-comparison path (a
+#: best-of-two argmin over float SSEs is exactly the 1-ulp
+#: tie-structure hazard the r7 sf0.1 pre-flight caught in ml_roc_auc).
+GBDT_ROUNDS = 4
+GBDT_FEATURES = ("x1", "x2")
+
+
+def _gbdt_oracle() -> str:
+    """Unrolled-CTE twin of the K-round loop: r0 = labels, then per
+    round k an ``sK`` split CTE + an ``rK`` residual CTE, reusing the
+    exact :func:`_sse_split_sql` body ml_boosted_stumps certifies."""
+    ctes = [f"r0 AS (SELECT x1, x2, y AS res FROM feats)"]
+    selects = []
+    for k in range(1, GBDT_ROUNDS + 1):
+        xcol = GBDT_FEATURES[(k - 1) % len(GBDT_FEATURES)]
+        ctes.append(f"s{k} AS {_sse_split_sql(f'r{k - 1}', xcol, 'res')}")
+        ctes.append(
+            f"""r{k} AS (
+  SELECT x1, x2,
+         res - {BOOST_NU} * (CASE WHEN {xcol} <= s{k}.threshold
+                                  THEN s{k}.vl ELSE s{k}.vr END) AS res
+  FROM r{k - 1} CROSS JOIN s{k}
+)"""
+        )
+        selects.append(
+            f"""SELECT {k} AS stage, '{xcol}' AS feature,
+       ROUND(s{k}.threshold, 6) AS threshold,
+       ROUND({BOOST_NU} * s{k}.vl, 6) AS left_step,
+       ROUND({BOOST_NU} * s{k}.vr, 6) AS right_step,
+       ROUND((SELECT AVG(res * res) FROM r{k}), 6) AS train_mse
+FROM s{k}"""
+        )
+    return (
+        f"WITH {_FEATS_CTE},\n"
+        + ",\n".join(ctes)
+        + "\n"
+        + "\nUNION ALL\n".join(selects)
+        + "\nORDER BY stage"
+    )
+
+
+@register("ml_gbdt_k_rounds", _gbdt_oracle())
+def ml_gbdt_k_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """**{GBDT_ROUNDS}-round gradient boosting** with stump base
+    learners (L2 loss, shrinkage ν={BOOST_NU}) — the
+    :func:`ml_boosted_stumps` outer loop generalized from its fixed
+    two stages to a K-round schedule cycling over {GBDT_FEATURES}:
+    each round fits the SSE-optimal stump on the scheduled feature
+    against the CURRENT residuals, then applies the shrunk step
+    map-wide with the 1-row fitted stump broadcast. This is the real
+    GBDT training recurrence at scale: K rounds = K (scan + split +
+    residual-update) passes, driver state bounded by one 3-double
+    stump per round, residuals living as a column (persisted per
+    round, released through checkpoint_result once the K-row
+    certificate materializes — the ml_als_two_sweeps lifecycle). The
+    first two output rows are definitionally ml_boosted_stumps's two
+    rows (pinned in pytest), and train_mse must be non-increasing
+    round over round."""
+    feats = _feats(spark, sf_dir).select("x1", "x2", "y")
+    cur = feats.select("x1", "x2", F.col("y").alias("res"))
+    cur.persist()
+    cached = [cur]
+    stage_rows = []
+    for k in range(1, GBDT_ROUNDS + 1):
+        xcol = GBDT_FEATURES[(k - 1) % len(GBDT_FEATURES)]
+        s = _sse_split_frame(cur, xcol, "res")
+        nxt = cur.crossJoin(F.broadcast(s)).select(
+            "x1",
+            "x2",
+            (
+                F.col("res")
+                - BOOST_NU
+                * F.when(F.col(xcol) <= F.col("threshold"), F.col("vl"))
+                .otherwise(F.col("vr"))
+            ).alias("res"),
+        )
+        nxt.persist()
+        cached.append(nxt)
+        stage_rows.append(
+            s.crossJoin(
+                F.broadcast(
+                    nxt.agg(F.avg(F.col("res") * F.col("res")).alias("mse"))
+                )
+            ).select(
+                F.lit(k).alias("stage"),
+                F.lit(xcol).alias("feature"),
+                F.round("threshold", 6).alias("threshold"),
+                F.round(F.col("vl") * BOOST_NU, 6).alias("left_step"),
+                F.round(F.col("vr") * BOOST_NU, 6).alias("right_step"),
+                F.round("mse", 6).alias("train_mse"),
+            )
+        )
+        cur = nxt
+    out = stage_rows[0]
+    for r in stage_rows[1:]:
+        out = out.unionByName(r)
+    from .bsp import checkpoint_result
+
+    return checkpoint_result(out.orderBy("stage"), *cached)
+
+
+ml_gbdt_k_rounds.__doc__ = (
+    ml_gbdt_k_rounds.__doc__
+    .replace("{GBDT_ROUNDS}", str(GBDT_ROUNDS))
+    .replace("{BOOST_NU}", str(BOOST_NU))
+    .replace("{GBDT_FEATURES}", "/".join(GBDT_FEATURES))
 )
 
 

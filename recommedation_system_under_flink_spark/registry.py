@@ -48,18 +48,16 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 #: the four end-to-end pipelines, one query per SURVEY §2 operator row,
 #: and one per LLM-pipeline family. Every name here MUST have a full
 #: DuckDB oracle (enforced by tests/test_registry_window.py).
-#: ROUND-7 ROTATION (4th tranche): rounds 3-6 cumulatively certified
-#: 156/343 oracle-backed queries (CORRECTNESS_r01/r02/r03/r05/r06).
+#: ROUND-8 ROTATION (5th tranche): rounds 2-7 cumulatively certified
+#: 200/354 oracle-backed queries (CORRECTNESS_r02/r03/r05/r06/r07).
 #: This round keeps the same 6 regression canaries (four pipelines +
 #: the CSV source sentinel + the flagship scored join) and spends the
-#: other 44 slots on the FOURTH tranche of never-driver-certified
-#: queries, led by the entire 18-query ml_* training/eval family
-#: (added after the round-6 window was pinned), the round-6 tail
-#: (uplift deciles, RDD, diff-in-diff, balanced downsample, reclist
-#: diversity, cohort retention, basket pairs, table fingerprint, CDC
-#: batch+stream, window-function zoo), and the largest remaining
-#: never-certified ts_*/ev_* entries. Cumulative target: ≥200/343
-#: oracle-backed queries driver-certified by end of round 7.
+#: other 44 slots on the FIFTH tranche of never-driver-certified
+#: queries: the 11 round-7 additions first (per the r7 verdict), then
+#: the two largest never-certified blocks — the full 14-query sim_*
+#: ANN/embedding remainder and the full 15-query rel_* TPC-H
+#: remainder — plus the 4 heaviest graph_* entries. Cumulative target:
+#: ≥244/354 oracle-backed queries driver-certified by end of round 8.
 VERIFIED_WINDOW = (
     # regression canaries: end-to-end pipelines (SURVEY §3) + sentinels
     "hot_topics_pipeline",
@@ -68,55 +66,55 @@ VERIFIED_WINDOW = (
     "tfidf_recommend_all_days",
     "s1_csv_roundtrip",
     "j3_scored_join",
-    # --- never-driver-verified rotation (44), round 7 ---
-    # ML training/eval family (all 18, added round 6)
-    "ml_logreg_gd",
-    "ml_nb_langid",
-    "ml_calibration_bins",
-    "ml_brier_decomposition",
-    "ml_feature_hashing",
-    "ml_lr_sweep",
-    "ml_als_half_step",
-    "ml_als_two_sweeps",
-    "ml_woe_iv",
-    "ml_target_encoding",
-    "ml_kfold_eval",
-    "ml_decision_stump",
-    "ml_roc_auc",
-    "ml_histogram_split",
-    "ml_boosted_stumps",
-    "ml_learning_curve",
-    "ml_average_precision",
-    "ml_linear_attribution",
-    # round-6 tail: causal / eval / warehouse additions
-    "ef_uplift_by_decile",
-    "ef_regression_discontinuity",
-    "ef_diff_in_diff",
-    "samp_balanced_downsample",
-    "cf_reclist_diversity",
-    "ev_cohort_retention",
-    "rel_basket_pairs",
-    "prof_table_fingerprint",
-    "s26_cdc_apply",
-    "stream_cdc_apply",
-    "t7_window_function_zoo",
-    # largest remaining never-certified text-analysis entries
-    "ts_ngram_counts",
-    "ts_chunk_documents",
-    "ts_pack_sequences",
-    "ts_pii_scrub",
-    "ts_normalize_text",
-    "ts_unigram_logprob",
-    "ts_zipf_fit",
-    "ts_rake_keywords",
-    # largest remaining never-certified event-series entries
-    "ev_props_parse",
-    "ev_props_rollup",
-    "ev_key_skew_report",
-    "ev_user_activity_features",
-    "ev_harmonic_regression",
-    "ev_rolling_distinct_users",
-    "ev_pivot_event_dow",
+    # --- never-driver-verified rotation (44), round 8 ---
+    # round-7 additions (verdict ask #1: certify these first)
+    "ml_ridge_regression",
+    "ml_confusion_threshold_sweep",
+    "ml_permutation_importance",
+    "ml_isotonic_calibration_hashable",
+    "mm_decode_features_hashable",
+    "mm_binary_stats_hashable",
+    "llm_curation_mix_fused",
+    "llm_dataset_card",
+    "ts_decontamination",
+    "ts_gopher_rules",
+    "stream_dedup_exact",
+    # similarity / ANN / embedding remainder (all 14 never-certified)
+    "sim_neardup_pairs_lsh",
+    "sim_sq8_topk",
+    "sim_label_outliers",
+    "sim_threshold_sweep_report",
+    "sim_hard_negatives",
+    "sim_mmr_rerank",
+    "sim_kcenter_coreset",
+    "sim_silhouette_simplified",
+    "sim_embedding_covariance",
+    "sim_ivf_cell_balance",
+    "sim_nprobe_recall_curve",
+    "sim_dup_family_report",
+    "sim_knn_label_agreement",
+    "sim_jl_distortion",
+    # relational TPC-H remainder (all 15 never-certified)
+    "rel_q2_min_cost_part",
+    "rel_q4_order_priority",
+    "rel_q7_nation_volume",
+    "rel_q8_market_share",
+    "rel_q11_important_stock",
+    "rel_q12_late_lines_by_class",
+    "rel_q14_promo_share",
+    "rel_q15_top_supplier",
+    "rel_q16_supplier_part_counts",
+    "rel_q17_small_quantity_revenue",
+    "rel_q18_large_orders",
+    "rel_q19_disjunctive_revenue",
+    "rel_q20_dominant_suppliers",
+    "rel_q22_inactive_rich_customers",
+    "rel_entity_blocking",
+    # heaviest never-certified graph entries
+    "graph_bfs_hops",
+    "graph_ppr_recommend",
+    "graph_link_prediction_aa",
+    "graph_modularity_report",
 )
 
 
