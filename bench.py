@@ -133,6 +133,14 @@ HEADLINE = (
     "ml_isotonic_calibration_hashable",
     "ml_permutation_importance",
     "llm_dataset_card",
+    # round-8 additions: content-defined-chunking dedup (rolling-hash
+    # boundary scan + chunk-hash frequency join) and the K-round GBDT
+    # outer loop (4 scan+split+residual passes)
+    "dedup_cdc_chunks",
+    "ml_gbdt_k_rounds",
+    # round-8 late addition: image perceptual-hash dedup (pandas kernel
+    # + band LSH + hamming verify)
+    "mm_phash_dedup",
 )
 
 

@@ -549,3 +549,200 @@ def mm_audio_window_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
             "needs_padding"
         ),
     )
+
+
+# --------------------------------------- perceptual-hash image dedup
+
+#: aHash grid cells (8×8 — the classic average-hash geometry).
+PHASH_CELLS = 64
+#: Cells per LSH band: 4 bands × 16 bits, SimHash-style banding — two
+#: images collide on a band iff 16 consecutive hash bits agree exactly.
+PHASH_BANDS = 4
+PHASH_BAND_BITS = PHASH_CELLS // PHASH_BANDS
+#: Near-dup verdict: ≤ this many differing bits out of 64.
+PHASH_MAX_HAMMING = 6
+
+
+def _phash_bands(payload: bytes) -> list[int] | None:
+    """The deterministic fake-decode aHash: segment the payload into
+    {PHASH_CELLS} equal byte chunks (chunk = max(1, n//64), tail
+    truncated, short payloads zero-padded), bit g = 1 iff the g-th
+    chunk's BYTE SUM × 64 exceeds the total included sum — with equal
+    chunk sizes that is exactly "cell mean above grid mean", but in
+    pure integer arithmetic, so Spark and the SQL oracle agree bit for
+    bit with no float threshold anywhere. Returns the 4 × 16-bit band
+    ints (bit g lands in band g//16 at position g%16); None for empty
+    payloads (no bytes → no signature, both engines skip the row)."""
+    import numpy as np
+
+    n = len(payload)
+    if n == 0:
+        return None
+    arr = np.frombuffer(payload, dtype=np.uint8).astype(np.int64)
+    chunk = max(1, n // PHASH_CELLS)
+    used = arr[: PHASH_CELLS * chunk]
+    if used.size < PHASH_CELLS * chunk:  # n < 64: one byte per cell, pad
+        cells = np.zeros(PHASH_CELLS, dtype=np.int64)
+        cells[: used.size] = used
+    else:
+        cells = used.reshape(PHASH_CELLS, chunk).sum(axis=1)
+    total = int(cells.sum())
+    bits = (cells * PHASH_CELLS) > total
+    weights = 1 << np.arange(PHASH_BAND_BITS, dtype=np.int64)
+    return [
+        int((bits[k * PHASH_BAND_BITS : (k + 1) * PHASH_BAND_BITS] * weights).sum())
+        for k in range(PHASH_BANDS)
+    ]
+
+
+_PHASH_SCHEMA = T.StructType(
+    [T.StructField("media_id", T.LongType())]
+    + [T.StructField(f"b{k}", T.LongType()) for k in range(PHASH_BANDS)]
+)
+
+
+def phash_signatures(m: DataFrame) -> DataFrame:
+    """Arrow-batched signature stage (the real-decoder seam: a true
+    implementation swaps :func:`_phash_bands`'s byte grid for decoded
+    8×8 luma means — the banding/verify plan downstream is unchanged)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                bands = _phash_bands(payload)
+                if bands is not None:
+                    rows.append([mid, *bands])
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in _PHASH_SCHEMA.fields]
+            )
+
+    return m.select("media_id", "payload").mapInPandas(run, _PHASH_SCHEMA)
+
+
+def _phash_oracle() -> str:
+    cell = f"(i - 1) // GREATEST(n // {PHASH_CELLS}, 1)"
+    band_cols = ", ".join(
+        f"""CAST(SUM(CASE WHEN g // {PHASH_BAND_BITS} = {k}
+                 AND s * {PHASH_CELLS} > ts
+                 THEN 1 << (g % {PHASH_BAND_BITS}) ELSE 0 END) AS BIGINT)
+           AS b{k}"""
+        for k in range(PHASH_BANDS)
+    )
+    ham = " + ".join(
+        f"bit_count(xor(sa.b{k}, sb.b{k}))" for k in range(PHASH_BANDS)
+    )
+    band_val = "CASE band_idx "
+    band_val += " ".join(f"WHEN {k} THEN b{k}" for k in range(PHASH_BANDS - 1))
+    band_val += f" ELSE b{PHASH_BANDS - 1} END"
+    return f"""WITH {_MEDIA_CTE},
+{_BYTE_EXTRACT_CTE},
+img AS (SELECT media_id FROM b WHERE modality = 'image'),
+cells AS (
+  SELECT ex.media_id, CAST({cell} AS INTEGER) AS g, SUM(byte) AS s
+  FROM ex JOIN img USING (media_id)
+  WHERE {cell} < {PHASH_CELLS}
+  GROUP BY ex.media_id, g
+),
+tot AS (SELECT media_id, SUM(s) AS ts FROM cells GROUP BY media_id),
+sig AS (
+  SELECT c.media_id, {band_cols}
+  FROM cells c JOIN tot t USING (media_id)
+  GROUP BY c.media_id
+),
+bands AS (
+  SELECT media_id, band_idx, {band_val} AS band_val
+  FROM sig, unnest(range({PHASH_BANDS})) AS u(band_idx)
+),
+cand AS (
+  SELECT DISTINCT x.media_id AS media_a, y.media_id AS media_b
+  FROM bands x JOIN bands y
+    ON x.band_idx = y.band_idx AND x.band_val = y.band_val
+   AND x.media_id < y.media_id
+)
+SELECT media_a, media_b, CAST({ham} AS BIGINT) AS hamming
+FROM cand
+JOIN sig sa ON cand.media_a = sa.media_id
+JOIN sig sb ON cand.media_b = sb.media_id
+WHERE {ham} <= {PHASH_MAX_HAMMING}
+ORDER BY media_a, media_b"""
+
+
+@register("mm_phash_dedup", _phash_oracle())
+def mm_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """**Perceptual-hash image near-dup pairs** — the image-side
+    counterpart of :func:`~.dedup.dedup_simhash`, and the standard
+    first-pass dedup for multimodal training corpora: per image an
+    8×8 average-hash (aHash) signature over the deterministic fake
+    decode (integer byte-sum grid; a real deployment swaps in decoded
+    luma means at the :func:`phash_signatures` seam — the plan
+    downstream is identical), SimHash-style 16-bit band buckets for
+    candidate generation (images pair only when a full band of 16
+    hash bits agrees — NEVER all-pairs), exact ``bit_count(xor)``
+    hamming verification ≤ {PHASH_MAX_HAMMING} on the survivors.
+
+    The signature kernel is Arrow-batched ``mapInPandas`` (the decode
+    stage is Python by nature — that is the mm-family contract), but
+    every bit of it is integer arithmetic, so this query is directly
+    HASH-verified against a pure-SQL oracle that re-derives the grid
+    from hex-pair byte decomposition — the r7 ``mm_*_hashable``
+    pattern applied to a whole candidate-generation + verify chain.
+
+    Scale: signatures are 4 × 16-bit ints per image (32 B/row state);
+    the band join keys on (band_idx, band_val) — 2^16 buckets per
+    band minimum; a production corpus adds a bucket-size cap exactly
+    as :func:`~.dedup.dedup_minhash_lsh` documents. The verify join
+    touches only banded candidates."""
+    m = media(spark, sf_dir).filter(F.col("modality") == "image")
+    sig = phash_signatures(m)
+    sig.persist()
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(k).alias("band_idx"), F.col(f"b{k}").alias("band_val")
+            )
+            for k in range(PHASH_BANDS)
+        ]
+    )
+    bands = sig.select(
+        "media_id", F.explode(band_structs).alias("bv")
+    ).select("media_id", "bv.band_idx", "bv.band_val")
+    cand = (
+        bands.alias("x")
+        .join(
+            bands.alias("y"),
+            (F.col("x.band_idx") == F.col("y.band_idx"))
+            & (F.col("x.band_val") == F.col("y.band_val"))
+            & (F.col("x.media_id") < F.col("y.media_id")),
+        )
+        .select(
+            F.col("x.media_id").alias("media_a"),
+            F.col("y.media_id").alias("media_b"),
+        )
+        .distinct()
+    )
+    ham = sum(
+        F.bit_count(
+            F.col(f"sa.b{k}").bitwiseXOR(F.col(f"sb.b{k}"))
+        )
+        for k in range(PHASH_BANDS)
+    )
+    out = (
+        cand.join(sig.alias("sa"), F.col("media_a") == F.col("sa.media_id"))
+        .join(sig.alias("sb"), F.col("media_b") == F.col("sb.media_id"))
+        .select(
+            "media_a",
+            "media_b",
+            ham.cast("long").alias("hamming"),
+        )
+        .filter(F.col("hamming") <= PHASH_MAX_HAMMING)
+        .orderBy("media_a", "media_b")
+    )
+    from .bsp import checkpoint_result
+
+    return checkpoint_result(out, sig)
+
+
+mm_phash_dedup.__doc__ = mm_phash_dedup.__doc__.replace(
+    "{PHASH_MAX_HAMMING}", str(PHASH_MAX_HAMMING)
+)

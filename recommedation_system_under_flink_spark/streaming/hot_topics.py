@@ -499,7 +499,8 @@ def _tws_available() -> bool:
     driver gate here. Re-probed each round per the round-2 verdict:
     round 2 (2026-08-13) absent, round 3 (2026-08-14) absent,
     round 4 (2026-08-14) absent, round 5 (2026-08-15) absent,
-    round 6 (2026-08-15) absent, round 7 (2026-08-15) absent
+    round 6 (2026-08-15) absent, round 7 (2026-08-15) absent,
+    round 8 (2026-08-15) absent
     (``import google.protobuf`` → ModuleNotFoundError)."""
     try:
         from google.protobuf import descriptor  # noqa: F401

@@ -115,3 +115,68 @@ def test_gbdt_train_mse_monotone(queries, spark):
     ]
     assert len(mses) == 4
     assert all(a >= b - 1e-9 for a, b in zip(mses, mses[1:])), mses
+
+
+# ------------------------------------------- perceptual-hash dedup
+
+def test_phash_planted_pairs(queries, spark, tmp_path):
+    """doc_ids ≡ 0 (mod 3) map to modality 'image'. Plant: 3 and 6
+    share an identical payload (hamming 0); 9 is 3 with a small
+    localized perturbation (few cells change → small hamming); 12 is
+    structurally different text. The exact-dup pair MUST surface with
+    hamming 0; the perturbed pair must survive the ≤6 verdict; the
+    unrelated image must pair with nobody."""
+    # 640 chars -> 64 cells of 10 bytes. Alternating 'a'/'z' cells keep
+    # every cell sum far from the grid mean (margin ~±8,000 after the
+    # ×64 scaling), so single-cell edits flip exactly that cell's bit —
+    # no borderline-threshold cascades.
+    base_text = ("a" * 10 + "z" * 10) * 32
+    # overwrite cell 30 (an 'a' cell) with 'z's: exactly 1 bit flips
+    perturbed = base_text[:300] + "z" * 10 + base_text[310:]
+    # uniform payload: all cells equal -> all bits 0 -> no band collides
+    # with the alternating signature
+    other = "m" * 640
+    rows = [
+        (3, base_text, "en", "a", 640),
+        (6, base_text, "en", "a", 640),
+        (9, perturbed, "en", "a", 640),
+        (12, other, "en", "b", 640),
+    ]
+    _write_docs(tmp_path, rows)
+    pairs = {
+        (r["media_a"], r["media_b"]): r["hamming"]
+        for r in queries["mm_phash_dedup"](spark, str(tmp_path)).collect()
+    }
+    assert pairs.get((3, 6)) == 0, pairs
+    assert (3, 9) in pairs and pairs[(3, 9)] <= 6, pairs
+    assert not any(12 in p for p in pairs), pairs
+
+
+def test_phash_kernel_matches_documented_grid():
+    """The numpy kernel IS the documented integer aHash: replay one
+    payload by hand (chunk sums, ×64 threshold, band packing)."""
+    from recommedation_system_under_flink_spark.operators.multimodal import (
+        PHASH_BAND_BITS,
+        PHASH_BANDS,
+        PHASH_CELLS,
+        _phash_bands,
+    )
+
+    payload = bytes((i * 37 + 11) % 256 for i in range(200))
+    n = len(payload)
+    chunk = max(1, n // PHASH_CELLS)
+    cells = [
+        sum(payload[g * chunk : (g + 1) * chunk])
+        for g in range(PHASH_CELLS)
+    ]
+    total = sum(cells)
+    bits = [int(c * PHASH_CELLS > total) for c in cells]
+    expect = [
+        sum(
+            bits[k * PHASH_BAND_BITS + j] << j
+            for j in range(PHASH_BAND_BITS)
+        )
+        for k in range(PHASH_BANDS)
+    ]
+    assert _phash_bands(payload) == expect
+    assert _phash_bands(b"") is None
