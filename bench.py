@@ -141,6 +141,9 @@ HEADLINE = (
     # round-8 late addition: image perceptual-hash dedup (pandas kernel
     # + band LSH + hamming verify)
     "mm_phash_dedup",
+    # round-8 late addition: graph-ANN refinement (all-nodes LSH kNN
+    # graph + one neighbor-of-neighbor round + recall audit)
+    "sim_nndescent_round",
 )
 
 

@@ -3466,3 +3466,230 @@ def sim_knn_label_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("accuracy"),
     )
+
+
+# ------------------------------------------------- NN-descent round
+
+#: Cosine over the norm-precomputed ``projn`` relation: norms are
+#: per-NODE (computed once in projn), not per pair — the oracle's cost
+#: is candidate-linear, mirroring the Spark side's proj/nrm projection.
+_NND_COS = "list_dot_product(pu.e, pv.e) / (pu.nrm * pv.nrm)"
+
+
+def _nnd_topk_sql(src: str, name: str) -> str:
+    """Top-K neighbor selection CTE body over a (u, v) candidate
+    relation ``src`` — quantized-cosine rank with vec_id tie-break,
+    the pinned ordering every sim_* ranking uses. MATERIALIZED:
+    DuckDB inlines CTEs by default, and g0 feeds undir (twice),
+    cand1, and the final recall join — without materialization the
+    million-row cosine window re-executes per reference (measured 6×
+    at sf0.1, 52 s → 11 s). The Spark side persists g0 for the same
+    reason."""
+    return f"""{name} AS MATERIALIZED (
+  SELECT u, v FROM (
+    SELECT s.u, s.v,
+           ROW_NUMBER() OVER (
+             PARTITION BY s.u ORDER BY ROUND({_NND_COS}, 6) DESC, s.v ASC
+           ) AS r
+    FROM {src} s
+    JOIN projn pu ON pu.vec_id = s.u
+    JOIN projn pv ON pv.vec_id = s.v
+  ) WHERE r <= {TOP_K}
+)"""
+
+
+def _nndescent_oracle() -> str:
+    return f"""WITH {_lsh_sig_ctes(LSH_TABLES, LSH_BITS)},
+projn AS MATERIALIZED (
+  SELECT vec_id, e, sqrt(list_dot_product(e, e)) AS nrm FROM proj
+),
+cand0 AS (
+  SELECT DISTINCT a.vec_id AS u, b.vec_id AS v
+  FROM tb a JOIN tb b
+    ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.vec_id <> b.vec_id
+),
+{_nnd_topk_sql("cand0", "g0")},
+undir AS (SELECT u, v FROM g0 UNION SELECT v AS u, u AS v FROM g0),
+cand1 AS (
+  SELECT DISTINCT x.u AS u, y.v AS v
+  FROM undir x JOIN undir y ON x.v = y.u AND x.u <> y.v
+  UNION
+  SELECT u, v FROM g0
+),
+{_nnd_topk_sql("cand1", "g1")},
+exact AS (
+  SELECT u, v FROM (
+    SELECT pu.vec_id AS u, pv.vec_id AS v,
+           ROW_NUMBER() OVER (
+             PARTITION BY pu.vec_id
+             ORDER BY ROUND({_NND_COS}, 6) DESC, pv.vec_id ASC
+           ) AS r
+    FROM projn pu JOIN projn pv ON pv.vec_id <> pu.vec_id
+    WHERE pu.vec_id < {N_QUERIES}
+  ) WHERE r <= {TOP_K}
+)
+SELECT e.u AS query_id,
+       ROUND(SUM(CASE WHEN g0.v IS NOT NULL THEN 1.0 ELSE 0.0 END)
+             / {TOP_K}, 6) AS recall_init,
+       ROUND(SUM(CASE WHEN g1.v IS NOT NULL THEN 1.0 ELSE 0.0 END)
+             / {TOP_K}, 6) AS recall_refined
+FROM exact e
+LEFT JOIN g0 ON g0.u = e.u AND g0.v = e.v
+LEFT JOIN g1 ON g1.u = e.u AND g1.v = e.v
+GROUP BY e.u"""
+
+
+@register("sim_nndescent_round", _nndescent_oracle())
+def sim_nndescent_round(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """**One NN-descent refinement round over the LSH-initialized kNN
+    graph** (Dong et al. 2011 — the graph-based ANN family behind
+    HNSW/NSG, in its embarrassingly-parallel batch form): build the
+    initial top-{TOP_K} neighbor graph for EVERY node from LSH-bucket
+    candidates (the :func:`sim_lsh_topk` machinery, all nodes as
+    queries), then exploit "a neighbor of my neighbor is likely my
+    neighbor": candidates = two-hop pairs over the UNDIRECTED graph
+    (forward + reverse edges — reverse neighbors matter, a node with
+    high in-degree routes many improvements) unioned with the current
+    edges, re-scored exactly, re-ranked top-{TOP_K}. Emits per
+    evaluation query (vec_id < {N_QUERIES}) the recall against the
+    exact brute-force top-{TOP_K} BEFORE and AFTER the round. Because
+    the refined candidate set contains every current edge, recall is
+    provably non-decreasing (pinned in pytest).
+
+    Scale: the expensive leg is the all-nodes LSH bucket join — the
+    same candidate economics as :func:`sim_neardup_pairs_lsh` (bucket
+    cells, never all-pairs). The NND round itself is two keyed
+    self-joins over an O(N·K) edge relation: candidate count is
+    bounded by Σ_v deg(v)² with deg ≈ 2K — independent of corpus
+    width. Per round state is the edge list, O(N·K) ids; at 100 TB
+    this is the standard iterated kNN-graph build (each extra round =
+    one more self-join, no new scan of the embeddings).
+    """
+    from pyspark.sql import Window
+
+    emb = load_raw(spark, sf_dir, "embeddings")
+    proj = (
+        emb.select("vec_id", _as_double("embedding").alias("e"))
+        .withColumn("nrm", _norm(F.col("e")))
+    )
+    proj.persist()
+
+    def score(cand: DataFrame) -> DataFrame:
+        """Exact cosine over a (u, v) id relation via two keyed
+        broadcast joins against the norm-precomputed projection."""
+        return (
+            cand.join(
+                F.broadcast(
+                    proj.select(
+                        F.col("vec_id").alias("u"),
+                        F.col("e").alias("ue"),
+                        F.col("nrm").alias("un"),
+                    )
+                ),
+                "u",
+            )
+            .join(
+                F.broadcast(
+                    proj.select(
+                        F.col("vec_id").alias("v"),
+                        F.col("e").alias("ve"),
+                        F.col("nrm").alias("vn"),
+                    )
+                ),
+                "v",
+            )
+            .select(
+                "u",
+                "v",
+                (_dot(F.col("ue"), F.col("ve")) / (F.col("un") * F.col("vn"))).alias(
+                    "cosine"
+                ),
+            )
+        )
+
+    def rank_topk(scored: DataFrame) -> DataFrame:
+        w = Window.partitionBy("u").orderBy(
+            F.desc(F.round("cosine", 6)), F.asc("v")
+        )
+        return (
+            scored.withColumn("r", F.row_number().over(w))
+            .filter(F.col("r") <= TOP_K)
+            .select("u", "v")
+        )
+
+    def topk(cand: DataFrame) -> DataFrame:
+        return rank_topk(score(cand))
+
+    bucketed = _bucketed(emb).select("vec_id", "table", "bucket")
+    # Score each unordered bucket pair ONCE (u < v halves the cosine
+    # work of the dominant leg) and mirror: dot/zip_with is
+    # dimension-ordered, so cos(u,v) and cos(v,u) are bit-identical.
+    cand0_lt = (
+        bucketed.alias("a")
+        .join(bucketed.alias("b"), ["table", "bucket"])
+        .filter(F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(F.col("a.vec_id").alias("u"), F.col("b.vec_id").alias("v"))
+        .distinct()
+    )
+    sc_lt = score(cand0_lt)
+    g0 = rank_topk(
+        sc_lt.unionByName(
+            sc_lt.select(
+                F.col("v").alias("u"), F.col("u").alias("v"), "cosine"
+            )
+        )
+    )
+    g0.persist()
+    undir = g0.unionByName(
+        g0.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).distinct()
+    undir.persist()
+    cand1 = (
+        undir.alias("x")
+        .join(undir.alias("y"), F.col("x.v") == F.col("y.u"))
+        .filter(F.col("x.u") != F.col("y.v"))
+        .select(F.col("x.u").alias("u"), F.col("y.v").alias("v"))
+        .unionByName(g0)
+        .distinct()
+    )
+    g1 = topk(cand1)
+    g1.persist()
+
+    exact = topk(
+        proj.filter(F.col("vec_id") < N_QUERIES)
+        .select(F.col("vec_id").alias("u"))
+        .crossJoin(proj.select(F.col("vec_id").alias("v")))
+        .filter(F.col("u") != F.col("v"))
+    )
+    out = (
+        exact.alias("e")
+        .join(
+            g0.withColumn("hit0", F.lit(1)).alias("g0"),
+            (F.col("e.u") == F.col("g0.u")) & (F.col("e.v") == F.col("g0.v")),
+            "left",
+        )
+        .join(
+            g1.withColumn("hit1", F.lit(1)).alias("g1"),
+            (F.col("e.u") == F.col("g1.u")) & (F.col("e.v") == F.col("g1.v")),
+            "left",
+        )
+        .groupBy(F.col("e.u").alias("query_id"))
+        .agg(
+            F.round(
+                F.sum(F.coalesce(F.col("hit0"), F.lit(0))).cast("double") / TOP_K, 6
+            ).alias("recall_init"),
+            F.round(
+                F.sum(F.coalesce(F.col("hit1"), F.lit(0))).cast("double") / TOP_K, 6
+            ).alias("recall_refined"),
+        )
+    )
+    from .bsp import checkpoint_result
+
+    return checkpoint_result(out, proj, g0, undir, g1)
+
+
+sim_nndescent_round.__doc__ = (
+    sim_nndescent_round.__doc__
+    .replace("{TOP_K}", str(TOP_K))
+    .replace("{N_QUERIES}", str(N_QUERIES))
+)

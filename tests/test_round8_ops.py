@@ -180,3 +180,17 @@ def test_phash_kernel_matches_documented_grid():
     ]
     assert _phash_bands(payload) == expect
     assert _phash_bands(b"") is None
+
+
+# ---------------------------------------------- NN-descent round
+
+def test_nndescent_recall_monotone_and_improving(queries, spark):
+    """The refined candidate set contains every current edge, so per
+    query the refined top-K recall can never drop (displacement only
+    by items that are themselves in the exact top-K). On the sf0.001
+    fixture at least one query must actually improve — otherwise the
+    round is a no-op and the operator demonstrates nothing."""
+    rows = queries["sim_nndescent_round"](spark, SF_DIR).collect()
+    assert len(rows) == 10
+    assert all(r["recall_refined"] >= r["recall_init"] for r in rows), rows
+    assert any(r["recall_refined"] > r["recall_init"] for r in rows), rows
