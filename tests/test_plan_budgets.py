@@ -42,6 +42,9 @@ BUDGETS = {
     "ev_user_rfm_scalable": (3, 4, False, False),
     "rel_q1_pricing_summary": (2, 3, False, False),
     "ts_decontamination": (3, 7, False, False),
+    # round 8: CDC chunking measured 2/3 (boundary scan is shuffle-free;
+    # the 3 exchanges are hash-freq groupBy + join-back + per-doc agg)
+    "dedup_cdc_chunks": (3, 5, False, False),
 }
 
 
