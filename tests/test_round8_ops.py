@@ -194,3 +194,30 @@ def test_nndescent_recall_monotone_and_improving(queries, spark):
     assert len(rows) == 10
     assert all(r["recall_refined"] >= r["recall_init"] for r in rows), rows
     assert any(r["recall_refined"] > r["recall_init"] for r in rows), rows
+
+
+def test_nndescent_init_recall_equals_lsh_topk(queries, spark):
+    """g0 restricted to the evaluation queries IS sim_lsh_topk (same
+    pinned hyperplanes, same quantized ranking), so recall_init must
+    equal the recall computed externally from sim_lsh_topk's pairs
+    against sim_bruteforce_topk's exact pairs — cross-operator
+    consistency through public outputs only."""
+    from recommedation_system_under_flink_spark.operators.similarity import (
+        TOP_K,
+    )
+
+    nnd = {
+        r["query_id"]: r["recall_init"]
+        for r in queries["sim_nndescent_round"](spark, SF_DIR).collect()
+    }
+    lsh = {
+        (r["query_id"], r["corpus_id"])
+        for r in queries["sim_lsh_topk"](spark, SF_DIR).collect()
+    }
+    exact = {
+        (r["query_id"], r["corpus_id"])
+        for r in queries["sim_bruteforce_topk"](spark, SF_DIR).collect()
+    }
+    for q in nnd:
+        hits = sum(1 for p in exact if p[0] == q and p in lsh)
+        assert abs(nnd[q] - hits / TOP_K) < 1e-9, (q, nnd[q], hits)
