@@ -3631,7 +3631,12 @@ def sim_nndescent_round(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.vec_id").alias("u"), F.col("b.vec_id").alias("v"))
         .distinct()
     )
+    # Persisted: the mirror union references this subtree TWICE, and
+    # Catalyst has no cross-subtree CSE — unpersisted, the dominant
+    # cosine leg would execute once per branch (the ml_als_two_sweeps
+    # lesson; released via checkpoint_result below).
     sc_lt = score(cand0_lt)
+    sc_lt.persist()
     g0 = rank_topk(
         sc_lt.unionByName(
             sc_lt.select(
@@ -3685,7 +3690,7 @@ def sim_nndescent_round(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from .bsp import checkpoint_result
 
-    return checkpoint_result(out, proj, g0, undir, g1)
+    return checkpoint_result(out, proj, sc_lt, g0, undir, g1)
 
 
 sim_nndescent_round.__doc__ = (
