@@ -45,6 +45,17 @@ BUDGETS = {
     # round 8: CDC chunking measured 2/3 (boundary scan is shuffle-free;
     # the 3 exchanges are hash-freq groupBy + join-back + per-doc agg)
     "dedup_cdc_chunks": (3, 5, False, False),
+    # round 8 widening, measured at sf0.001: a5 3/7 (cartesian = the
+    # 1-row corpus-size scalar broadcast), sessionize 1/1, bruteforce
+    # 2/2 (cartesian = the by-design broadcast query fan-out), q9 5/5,
+    # props_rollup 1/1
+    "a5_news_tfidf": (4, 10, True, False),
+    # sessionize reads the FULL events table (no predicate exists to
+    # push), so pushdown is not required of it
+    "ef_sessionize": (2, 3, False, False),
+    "sim_bruteforce_topk": (3, 4, True, False),
+    "rel_q9_product_profit": (6, 8, False, False),
+    "ev_props_rollup": (2, 3, False, True),
 }
 
 
