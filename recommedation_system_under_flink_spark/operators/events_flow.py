@@ -1639,6 +1639,11 @@ def ef_markov_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.row_number().over(wseq).alias("rn"),
         F.max("t").over(Window.partitionBy("user_id")).alias("last_t"),
     )
+    # Persisted: conv plus all three edge branches (one of which joins
+    # conv, itself seq-derived) read this subtree — unpersisted, the
+    # events scan + window chain executes ~5x building m0 (no
+    # cross-subtree CSE). Released right after m0's checkpoint.
+    seq.persist()
     conv = (
         seq.select("user_id", "last_t")
         .distinct()
@@ -1682,7 +1687,7 @@ def ef_markov_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from .bsp import checkpoint_result
 
-    m0 = checkpoint_result(m0)  # tiny; cuts the 5 variant chains' lineage
+    m0 = checkpoint_result(m0, seq)  # tiny; cuts the 5 variant chains' lineage
 
     def chain_pconv(removed: int | None) -> DataFrame:
         m = m0
