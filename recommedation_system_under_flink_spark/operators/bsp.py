@@ -34,11 +34,17 @@ CHECKPOINT_EVERY = 5
 
 def checkpoint_result(result: DataFrame, *cached: DataFrame) -> DataFrame:
     """Materialize a BSP loop's (small) final result, truncating its
-    K-round lineage, then release the loop's persisted invariants."""
-    out = result.localCheckpoint(eager=True)
-    for df in cached:
-        df.unpersist()
-    return out
+    K-round lineage, then release the loop's persisted invariants.
+
+    The unpersist runs in ``finally``: if the eager checkpoint fails
+    mid-materialization (executor loss, OOM in a loop join), the
+    loop's caches must not leak into the rest of a long-lived
+    gate/bench session (round-8 review finding on the ALS rewrite)."""
+    try:
+        return result.localCheckpoint(eager=True)
+    finally:
+        for df in cached:
+            df.unpersist()
 
 
 def checkpoint_round(df: DataFrame, round_idx: int) -> DataFrame:

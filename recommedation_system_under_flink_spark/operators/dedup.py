@@ -2292,13 +2292,19 @@ def dedup_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
         digest = F.conv(F.substring(F.md5(win), 1, 15), 16, 10).cast("long")
         return digest % CDC_D == 0
 
+    # Guard the candidate range: for docs shorter than CDC_W tokens
+    # there are no windows and no boundary candidates (the oracle's
+    # range(W, len+1) is empty) — but Spark's sequence(4, size) counts
+    # DOWNWARD when size < 4, and the descending candidates reach
+    # slice start 0, which is an illegal slice start (crash on any 1-3
+    # token doc; caught by the round-8 review's short-doc probe).
+    ends = F.when(
+        F.size("ts") >= CDC_W,
+        F.filter(F.sequence(F.lit(CDC_W), F.size("ts")), boundary),
+    ).otherwise(F.array().cast("array<int>"))
     cuts = F.array_sort(
         F.array_distinct(
-            F.concat(
-                F.array(F.lit(0)),
-                F.filter(F.sequence(F.lit(CDC_W), F.size("ts")), boundary),
-                F.array(F.size("ts")),
-            )
+            F.concat(F.array(F.lit(0)), ends, F.array(F.size("ts")))
         )
     )
     with_cuts = base.withColumn("cuts", cuts)

@@ -2614,10 +2614,43 @@ PERM_BUCKETS = 64
 #: Chosen < 2^31 (Fibonacci-hashing constant 2^32/φ rounded to odd) so
 #: that even the worst-case reduced operand stays in 63 bits:
 #: (2^32 - 1) * PERM_MULT ≈ 7.05e18 < 2^63 - 1 ≈ 9.22e18. Combined
-#: with the ``doc_id % HASH_MOD`` pre-reduction below, the multiply can
+#: with the ``doc_id % HASH_MOD`` pre-reduction, the h2 multiply can
 #: never wrap BIGINT — Spark would wrap silently while DuckDB raises,
 #: so an overflow is a cross-engine divergence, not just a wrong order.
 PERM_MULT = 1640531527
+
+#: 16-bit split point for the overflow-safe bucket mix below.
+_MIX_LO = 1 << 16
+
+
+def _safe_bucket_sql() -> str:
+    """Overflow-safe DuckDB twin of ``(doc_id * HASH_MULT) % 2^32``:
+    HASH_MULT exceeds 2^31, so even a pre-reduced operand can overflow
+    63 bits ((2^32-1) * HASH_MULT ≈ 1.14e19 > 2^63). Split the reduced
+    value into 16-bit halves — hi·2^16·M ≡ 2^16·(hi·M mod 2^16)
+    (mod 2^32) — so every intermediate stays ≤ ~1.7e14. CONGRUENT to
+    the plain product for every doc_id, so certified hashes are
+    unchanged; for doc_id ≥ ~3.5e9 the plain form crashes DuckDB while
+    Spark wraps, this form agrees on both engines."""
+    r = f"(doc_id % {HASH_MOD})"
+    hi = f"({r} // {_MIX_LO})"
+    lo = f"({r} % {_MIX_LO})"
+    return (
+        f"((({hi} * {HASH_MULT}) % {_MIX_LO}) * {_MIX_LO}"
+        f" + {lo} * {HASH_MULT}) % {HASH_MOD}"
+    )
+
+
+def _safe_bucket_col() -> Column:
+    """Spark twin of :func:`_safe_bucket_sql` (same decomposition;
+    shiftright is exact integer division by 2^16 on the non-negative
+    reduced value — no float round-trip)."""
+    r = F.col("doc_id") % HASH_MOD
+    hi = F.shiftright(r, 16)
+    lo = r % _MIX_LO
+    return (
+        ((hi * HASH_MULT) % _MIX_LO) * _MIX_LO + lo * HASH_MULT
+    ) % HASH_MOD
 
 
 def _perm_oracle() -> str:
@@ -2636,7 +2669,7 @@ def _perm_oracle() -> str:
     return f"""WITH {_FEATS_CTE},
 b AS (
   SELECT doc_id, y, x1, x2,
-         (doc_id * {HASH_MULT}) % {HASH_MOD} % {PERM_BUCKETS} AS bucket,
+         ({_safe_bucket_sql()}) % {PERM_BUCKETS} AS bucket,
          ((doc_id % {HASH_MOD}) * {PERM_MULT}) % {HASH_MOD} AS h2
   FROM feats
 ),
@@ -2678,7 +2711,7 @@ def ml_permutation_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
         "y",
         "x1",
         "x2",
-        (split_hash("doc_id") % PERM_BUCKETS).alias("bucket"),
+        (_safe_bucket_col() % PERM_BUCKETS).alias("bucket"),
         (((F.col("doc_id") % HASH_MOD) * PERM_MULT) % HASH_MOD).alias("h2"),
     )
     w = Window.partitionBy("bucket").orderBy("h2", "doc_id")

@@ -746,3 +746,6 @@ def mm_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 mm_phash_dedup.__doc__ = mm_phash_dedup.__doc__.replace(
     "{PHASH_MAX_HAMMING}", str(PHASH_MAX_HAMMING)
 )
+_phash_bands.__doc__ = _phash_bands.__doc__.replace(
+    "{PHASH_CELLS}", str(PHASH_CELLS)
+)

@@ -3483,7 +3483,7 @@ def _nnd_topk_sql(src: str, name: str) -> str:
     DuckDB inlines CTEs by default, and g0 feeds undir (twice),
     cand1, and the final recall join — without materialization the
     million-row cosine window re-executes per reference (measured 6×
-    at sf0.1, 52 s → 11 s). The Spark side persists g0 for the same
+    at sf0.1, 52 s → 4 s). The Spark side persists g0 for the same
     reason."""
     return f"""{name} AS MATERIALIZED (
   SELECT u, v FROM (
@@ -3575,26 +3575,28 @@ def sim_nndescent_round(spark: SparkSession, sf_dir: str) -> DataFrame:
     proj.persist()
 
     def score(cand: DataFrame) -> DataFrame:
-        """Exact cosine over a (u, v) id relation via two keyed
-        broadcast joins against the norm-precomputed projection."""
+        """Exact cosine over a (u, v) id relation via two keyed joins
+        against the norm-precomputed projection. NO broadcast hint: the
+        projection is the FULL corpus (rows × EMB_DIM doubles), so a
+        forced broadcast would cap the operator at driver memory — AQE
+        picks broadcast while it fits and falls back to a shuffle join
+        at scale, keeping the candidate-linear economics (unlike
+        sim_lsh_topk, whose broadcast side is the bounded query set —
+        round-8 review finding)."""
         return (
             cand.join(
-                F.broadcast(
-                    proj.select(
-                        F.col("vec_id").alias("u"),
-                        F.col("e").alias("ue"),
-                        F.col("nrm").alias("un"),
-                    )
+                proj.select(
+                    F.col("vec_id").alias("u"),
+                    F.col("e").alias("ue"),
+                    F.col("nrm").alias("un"),
                 ),
                 "u",
             )
             .join(
-                F.broadcast(
-                    proj.select(
-                        F.col("vec_id").alias("v"),
-                        F.col("e").alias("ve"),
-                        F.col("nrm").alias("vn"),
-                    )
+                proj.select(
+                    F.col("vec_id").alias("v"),
+                    F.col("e").alias("ve"),
+                    F.col("nrm").alias("vn"),
                 ),
                 "v",
             )

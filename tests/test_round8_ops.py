@@ -221,3 +221,28 @@ def test_nndescent_init_recall_equals_lsh_topk(queries, spark):
     for q in nnd:
         hits = sum(1 for p in exact if p[0] == q and p in lsh)
         assert abs(nnd[q] - hits / TOP_K) < 1e-9, (q, nnd[q], hits)
+
+
+def test_cdc_short_documents_survive(queries, spark, tmp_path):
+    """Documents shorter than the CDC_W=4-token rolling window have no
+    boundary candidates — one whole-doc chunk, exactly like the
+    oracle's empty range(W, len+1). Regression for the round-8 review
+    finding: Spark's sequence(4, size) counts DOWNWARD when size < 4
+    and the descending candidates hit slice start 0 (a crash)."""
+    rows = [
+        (1, "one", "en", "a", 3),
+        (2, "two words", "en", "a", 9),
+        (3, "exactly three tokens", "en", "a", 20),
+        (4, "exactly four whole tokens", "en", "a", 25),
+        (5, "one", "en", "b", 3),  # exact dup of doc 1's single chunk
+    ]
+    _write_docs(tmp_path, rows)
+    out = {
+        r["doc_id"]: r
+        for r in queries["dedup_cdc_chunks"](spark, str(tmp_path)).collect()
+    }
+    assert set(out) == {1, 2, 3, 4, 5}
+    for d in (1, 2, 3):
+        assert out[d]["n_chunks"] == 1, out[d]
+    assert out[1]["n_dup_chunks"] == 1 and out[5]["n_dup_chunks"] == 1
+    assert out[2]["n_dup_chunks"] == 0
