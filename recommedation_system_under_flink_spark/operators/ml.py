@@ -2757,3 +2757,194 @@ def ml_permutation_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
 ml_permutation_importance.__doc__ = ml_permutation_importance.__doc__.replace(
     "{PERM_BUCKETS}", str(PERM_BUCKETS)
 )
+
+
+# --------------------------------- cross-validated ridge (lambda path)
+
+#: The regularization-path grid for cross-validated ridge (pinned; the
+#: exact IEEE doubles are part of the query contract).
+RIDGE_CV_LAMBDAS = (0.1, 1.0, 10.0)
+
+
+def _cv_ridge_oracle() -> str:
+    from .events_props import _cramer4
+
+    d, d0, d1, d2, d3 = _cramer4()
+    raw_moms = ", ".join(
+        f"SUM(f{i} * f{j}) AS m{i}{j}" for i in range(4) for j in range(i, 4)
+    )
+    raw_bs = ", ".join(f"SUM(f{i} * y) AS b{i}" for i in range(4))
+    g_moms = ", ".join(
+        f"SUM(m{i}{j}) AS gm{i}{j}" for i in range(4) for j in range(i, 4)
+    )
+    g_bs = ", ".join(f"SUM(b{i}) AS gb{i}" for i in range(4))
+    train_cols = ", ".join(
+        f"gm{i}{j} - m{i}{j}" + (" + lam" if i == j else "") + f" AS m{i}{j}"
+        for i in range(4)
+        for j in range(i, 4)
+    )
+    train_bs = ", ".join(f"gb{i} - b{i} AS b{i}" for i in range(4))
+    lam_list = ", ".join(repr(float(x)) for x in RIDGE_CV_LAMBDAS)
+    return f"""WITH {_FEATS_CTE},
+f AS (
+  SELECT CAST((doc_id * {HASH_MULT}) % {HASH_MOD} % {_KFOLD_K} AS INTEGER)
+           AS fold,
+         y, 1.0 AS f0, x1 AS f1, x2 AS f2, x3 AS f3
+  FROM feats
+),
+foldmom AS (
+  SELECT fold, CAST(COUNT(*) AS BIGINT) AS n_test, {raw_moms}, {raw_bs}
+  FROM f GROUP BY fold
+),
+gmom AS (SELECT {g_moms}, {g_bs} FROM foldmom),
+trainmom AS (
+  SELECT fold, n_test, lam, {train_cols}, {train_bs}
+  FROM foldmom CROSS JOIN gmom
+       CROSS JOIN (SELECT unnest(CAST([{lam_list}] AS DOUBLE[])) AS lam) lams
+),
+beta AS (
+  SELECT fold, n_test, lam,
+         {d0} / {d} AS c0, {d1} / {d} AS c1,
+         {d2} / {d} AS c2, {d3} / {d} AS c3
+  FROM trainmom
+)
+SELECT ROUND(lam, 6) AS ridge_lambda,
+       f.fold AS fold,
+       ANY_VALUE(beta.n_test) AS n_test,
+       ROUND(ANY_VALUE(c0), 6) AS w_bias,
+       ROUND(ANY_VALUE(c1), 6) AS w_x1,
+       ROUND(ANY_VALUE(c2), 6) AS w_x2,
+       ROUND(ANY_VALUE(c3), 6) AS w_x3,
+       ROUND(AVG((y - (c0 * f0 + c1 * f1 + c2 * f2 + c3 * f3))
+                 * (y - (c0 * f0 + c1 * f1 + c2 * f2 + c3 * f3))), 6)
+         AS test_mse
+FROM f JOIN beta ON f.fold = beta.fold
+GROUP BY lam, f.fold
+ORDER BY ridge_lambda, fold"""
+
+
+@register("ml_cv_ridge_path", _cv_ridge_oracle())
+def ml_cv_ridge_path(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """**Cross-validated ridge over a regularization path** — the
+    training-side counterpart of ml_kfold_eval (which only *evaluates*
+    a pinned scorer per fold): for every (fold, lambda) pair the model
+    is actually REFIT on the other folds and scored on the held-out
+    one, giving the {K}x{L} grid that lambda selection reads. The
+    leave-fold-out refit is free at any scale because ridge trains on
+    sufficient statistics: ONE grouped pass accumulates each fold's
+    Gram/moment sums, the global sums are their 5-row total, and every
+    fold's TRAINING moments are just global - fold (+ lambda on the
+    diagonal) - no second pass over the data per fold or per lambda,
+    which is the whole trick. The {L}-point lambda grid rides the
+    (fold-count)-row relation as a cross join, and Cramer's rule
+    (`_cramer4`, the identical expression strings on both engines)
+    solves all {KL} normal-equation systems inside the plan. A second
+    scan joins the broadcast {KL}-row coefficient table back on fold
+    for held-out MSE.
+
+    At 100 TB: pass 1 is a map-side-combinable 15-double aggregate per
+    fold; pass 2 is a scan + broadcast-join + (fold, lambda) aggregate.
+    Folds are the pinned Knuth-hash folds of samp_kfold_assign, so the
+    grid is reproducible on any engine/partitioning/retry."""
+    from .events_props import _cramer4
+
+    feats = _feats(spark, sf_dir)
+    f = feats.select(
+        ((F.col("doc_id") * HASH_MULT) % HASH_MOD % _KFOLD_K)
+        .cast("int")
+        .alias("fold"),
+        "y",
+        F.lit(1.0).alias("f0"),
+        F.col("x1").alias("f1"),
+        F.col("x2").alias("f2"),
+        F.col("x3").alias("f3"),
+    )
+    pairs = [(i, j) for i in range(4) for j in range(i, 4)]
+    foldmom = f.groupBy("fold").agg(
+        F.count("*").alias("n_test"),
+        *[
+            F.sum(F.col(f"f{i}") * F.col(f"f{j}")).alias(f"m{i}{j}")
+            for i, j in pairs
+        ],
+        *[F.sum(F.col(f"f{i}") * F.col("y")).alias(f"b{i}") for i in range(4)],
+    )
+    glob = foldmom.agg(
+        *[F.sum(f"m{i}{j}").alias(f"gm{i}{j}") for i, j in pairs],
+        *[F.sum(f"b{i}").alias(f"gb{i}") for i in range(4)],
+    )
+    lams = spark.range(1).select(
+        F.explode(
+            F.array(*[F.lit(float(x)) for x in RIDGE_CV_LAMBDAS])
+        ).alias("lam")
+    )
+    trainmom = (
+        foldmom.crossJoin(F.broadcast(glob))
+        .crossJoin(F.broadcast(lams))
+        .select(
+            "fold",
+            "n_test",
+            "lam",
+            *[
+                (
+                    F.col(f"gm{i}{j}")
+                    - F.col(f"m{i}{j}")
+                    + (F.col("lam") if i == j else F.lit(0.0))
+                ).alias(f"tm{i}{j}")
+                for i, j in pairs
+            ],
+            *[
+                (F.col(f"gb{i}") - F.col(f"b{i}")).alias(f"tb{i}")
+                for i in range(4)
+            ],
+        )
+    )
+    d, d0, d1, d2, d3 = _cramer4(m="tm", b="tb")
+    beta = trainmom.select(
+        "fold",
+        "n_test",
+        "lam",
+        F.expr(f"{d0} / {d}").alias("c0"),
+        F.expr(f"{d1} / {d}").alias("c1"),
+        F.expr(f"{d2} / {d}").alias("c2"),
+        F.expr(f"{d3} / {d}").alias("c3"),
+    )
+    pred = (
+        F.col("c0") * F.col("f0")
+        + F.col("c1") * F.col("f1")
+        + F.col("c2") * F.col("f2")
+        + F.col("c3") * F.col("f3")
+    )
+    return (
+        f.join(F.broadcast(beta), "fold")
+        .groupBy("lam", "fold")
+        .agg(
+            F.first("n_test").alias("n_test"),
+            F.round(F.first("c0"), 6).alias("w_bias"),
+            F.round(F.first("c1"), 6).alias("w_x1"),
+            F.round(F.first("c2"), 6).alias("w_x2"),
+            F.round(F.first("c3"), 6).alias("w_x3"),
+            F.round(
+                F.avg((F.col("y") - pred) * (F.col("y") - pred)), 6
+            ).alias("test_mse"),
+        )
+        .select(
+            F.round("lam", 6).alias("ridge_lambda"),
+            "fold",
+            "n_test",
+            "w_bias",
+            "w_x1",
+            "w_x2",
+            "w_x3",
+            "test_mse",
+        )
+        .orderBy("ridge_lambda", "fold")
+    )
+
+
+# Docstring interpolates the grid geometry (constants stay the source
+# of truth — r7 advice pattern).
+ml_cv_ridge_path.__doc__ = (
+    ml_cv_ridge_path.__doc__.replace("{K}", str(_KFOLD_K))
+    .replace("{L}", str(len(RIDGE_CV_LAMBDAS)))
+    .replace("{KL}", str(_KFOLD_K * len(RIDGE_CV_LAMBDAS)))
+)

@@ -63,6 +63,7 @@ EXPECTED_CARTESIAN = {
     "rel_basket_pairs": "1-row order-count scalar broadcast into the lift",
     "llm_curation_mix_fused": "1-row budget/total scalar broadcast into the per-source mix",
     "ml_ridge_regression": "1-row Cramer-solved beta broadcast into the R2 scoring pass",
+    "ml_cv_ridge_path": "1-row global-moment and 3-row lambda-spine broadcasts into the 5-row fold relation",
     "ml_confusion_threshold_sweep": "11-row threshold spine broadcast into the one-pass sweep",
     "ml_decision_stump": "1-row class-totals scalar broadcast into the split scan",
     "ml_histogram_split": "1-row class-totals scalar broadcast into the binned split scan",
