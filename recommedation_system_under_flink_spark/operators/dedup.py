@@ -2337,3 +2337,116 @@ def dedup_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg("ln"), 6).alias("avg_chunk_tokens"),
         )
     )
+
+
+# ------------------------------------------------ line-level dedup
+
+#: Line geometry for the corpus-frequency boilerplate filter:
+#: NON-overlapping LINE_SIZE-token segments (the fixture corpus has no
+#: newlines, so "lines" are fixed segments; on real text the split
+#: would be '\n' and everything downstream is unchanged).
+LINE_SIZE = 16
+
+#: A line is boilerplate when its exact text occurs in at least this
+#: many DISTINCT documents.
+BOILER_MIN_DOCS = 2
+
+
+@register(
+    "dedup_line_level",
+    f"""WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '{{TOKEN_SPLIT_REGEX}}'),
+                     t -> t <> '') AS ts
+  FROM documents
+),
+lines AS (
+  SELECT doc_id, s,
+         array_to_string(ts[s + 1 : s + {LINE_SIZE}], ' ') AS line,
+         md5(array_to_string(ts[s + 1 : s + {LINE_SIZE}], ' ')) AS h
+  FROM (
+    SELECT doc_id, ts,
+           unnest(generate_series(0, len(ts) - 1, {LINE_SIZE})) AS s
+    FROM toks WHERE len(ts) > 0
+  )
+),
+freq AS (
+  SELECT h, COUNT(DISTINCT doc_id) AS nd FROM lines GROUP BY h
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_lines,
+       CAST(SUM(CASE WHEN nd >= {BOILER_MIN_DOCS} THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_removed,
+       ROUND(SUM(CASE WHEN nd >= {BOILER_MIN_DOCS} THEN 1.0 ELSE 0.0 END)
+             / COUNT(*), 6) AS removed_ratio,
+       md5(COALESCE(string_agg(CASE WHEN nd < {BOILER_MIN_DOCS} THEN line END,
+                               ' ' ORDER BY s), '')) AS kept_md5
+FROM lines l JOIN freq f ON l.h = f.h
+GROUP BY doc_id""".replace("{TOKEN_SPLIT_REGEX}", TOKEN_SPLIT_REGEX),
+)
+def dedup_line_level(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """**Line-level dedup** (the CCNet / RefinedWeb boilerplate
+    filter): every line whose exact text occurs in >= {BOILER_MIN_DOCS}
+    DISTINCT documents is removed from ALL of them — including the
+    first occurrence — and each document is rebuilt from its surviving
+    lines in order. This is the corpus-frequency REMOVAL policy that
+    neither existing scrub expresses: `dedup_span_scrub` keeps the
+    corpus-wide first copy of a duplicated span (exact-substring
+    dedup), and `dedup_chunk_ratio` only reports a duplication signal
+    over overlapping windows. Navigation chrome, cookie banners and
+    shared headers appear in every page of a site — removing every
+    copy, not all-but-one, is what the production filter does.
+    Output is md5-verified: both engines must rebuild byte-identical
+    scrubbed token streams.
+
+    Plan: non-overlapping {LINE_SIZE}-token lines in one projection
+    (zero shuffle), a distinct-doc count per line hash (uniform md5
+    keys — skew-free), a hash join back, and one doc-keyed ordered
+    reassembly. At 100 TB the line-frequency relation is the same
+    maintained state table as `dedup_incremental_exact`'s, so the
+    filter runs incrementally per ingest batch; the reassembly
+    shuffle is bounded by document length, never corpus size."""
+    toks = F.filter(
+        F.split(F.lower(F.col("text")), TOKEN_SPLIT_REGEX), lambda t: t != ""
+    )
+    base = (
+        load_raw(spark, sf_dir, "documents")
+        .select("doc_id", toks.alias("ts"))
+        .filter(F.size("ts") > 0)
+    )
+    lines = base.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.size("ts") - 1, F.lit(LINE_SIZE)),
+                lambda s: F.array_join(
+                    F.slice(F.col("ts"), s + 1, LINE_SIZE), " "
+                ),
+            )
+        ).alias("p", "line"),
+    ).withColumn("h", F.md5("line"))
+    freq = lines.groupBy("h").agg(
+        F.count_distinct("doc_id").alias("nd")
+    )
+    boiler = F.col("nd") >= BOILER_MIN_DOCS
+    kept = F.when(~boiler, F.struct("p", "line"))
+    return (
+        lines.join(freq, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_lines"),
+            F.sum(boiler.cast("long")).alias("n_removed"),
+            F.round(
+                F.sum(boiler.cast("double")) / F.count("*"), 6
+            ).alias("removed_ratio"),
+            F.md5(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(F.collect_list(kept)),
+                        lambda x: x["line"],
+                    ),
+                    " ",
+                )
+            ).alias("kept_md5"),
+        )
+    )

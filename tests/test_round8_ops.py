@@ -319,3 +319,47 @@ def test_cv_ridge_shrinkage_monotone(queries, spark):
     ).fetchone()[0]
     per_fold = {r["fold"]: r["n_test"] for r in rows}
     assert sum(per_fold.values()) == n_docs
+
+
+# --------------------------------------------- line-level dedup
+
+
+def test_line_level_removes_all_copies_and_rebuilds(queries, spark, tmp_path):
+    """Plant one 16-token line shared by three docs (twice in one of
+    them). The corpus-frequency policy must remove EVERY copy —
+    including the first occurrence, unlike dedup_span_scrub's
+    keep-first rule — and rebuild each doc from its surviving lines
+    in order (md5-checked against a Python replay)."""
+    import hashlib
+
+    from recommedation_system_under_flink_spark.operators.dedup import (
+        BOILER_MIN_DOCS,
+        LINE_SIZE,
+    )
+
+    assert LINE_SIZE == 16 and BOILER_MIN_DOCS == 2  # fixture geometry
+    line_a = " ".join(f"boiler{i}" for i in range(16))
+    u1 = " ".join(f"uniq1x{i}" for i in range(16))
+    u2 = " ".join(f"uniq2x{i}" for i in range(16))
+    u3 = " ".join(f"uniq3x{i}" for i in range(32))
+    rows = [
+        (1, f"{u1} {line_a}", "en", "feed", 10),
+        (2, f"{line_a} {u2}", "en", "feed", 10),
+        (3, u3, "en", "feed", 10),
+        (4, f"{line_a} {line_a}", "en", "feed", 10),
+    ]
+    _write_docs(tmp_path, rows)
+    out = {
+        r["doc_id"]: r
+        for r in queries["dedup_line_level"](spark, str(tmp_path)).collect()
+    }
+
+    md5 = lambda s: hashlib.md5(s.encode()).hexdigest()  # noqa: E731
+    assert out[1]["n_lines"] == 2 and out[1]["n_removed"] == 1
+    assert out[1]["kept_md5"] == md5(u1)
+    assert out[2]["n_removed"] == 1 and out[2]["kept_md5"] == md5(u2)
+    assert out[3]["n_removed"] == 0 and out[3]["kept_md5"] == md5(u3)
+    # every copy goes, even within one doc; the rebuild is empty
+    assert out[4]["n_lines"] == 2 and out[4]["n_removed"] == 2
+    assert out[4]["kept_md5"] == md5("")
+    assert out[4]["removed_ratio"] == 1.0
