@@ -1091,3 +1091,98 @@ def prof_table_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(fp(orders, "orders"))
         .orderBy("relation")
     )
+
+
+# ---------------------------------------- differential-privacy release
+
+#: Privacy budget for the released (lang, source) histogram. The cells
+#: are disjoint, so PARALLEL composition applies: the whole table
+#: consumes epsilon = DP_EPSILON, not n_cells * DP_EPSILON.
+DP_EPSILON = 1.0
+
+#: Release tag salting the per-cell noise draw. A re-release under a
+#: new tag draws fresh noise (and spends fresh budget); re-running the
+#: SAME release must reproduce the same noise, which is why the draw
+#: is a pinned hash of (tag, cell) rather than engine RNG state.
+DP_RELEASE_TAG = "release1"
+
+_DP_U_SQL = (
+    f"(CAST(('0x' || substr(md5('{DP_RELEASE_TAG}|' || lang || '|' || source), 1, 8))"
+    f" AS BIGINT) + 0.5) / 4294967296.0"
+)
+
+_DP_NOISE_SQL = f"""CASE WHEN {_DP_U_SQL} < 0.5
+     THEN LN(2.0 * ({_DP_U_SQL})) / {DP_EPSILON}
+     ELSE -LN(2.0 - 2.0 * ({_DP_U_SQL})) / {DP_EPSILON} END"""
+
+
+@register(
+    "prof_dp_release",
+    f"""SELECT lang, source,
+       CAST(COUNT(*) AS BIGINT) AS n_true,
+       ROUND({_DP_NOISE_SQL}, 6) AS noise,
+       ROUND(GREATEST(0.0, COUNT(*) + ({_DP_NOISE_SQL})), 6) AS n_released,
+       {DP_EPSILON!r} AS epsilon
+FROM documents
+GROUP BY lang, source
+ORDER BY lang, source""",
+)
+def prof_dp_release(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """**Differentially-private histogram release** (the Laplace
+    mechanism, Dwork et al. 2006) — the third leg of the privacy
+    family: prof_k_anonymity and prof_l_diversity_t_closeness AUDIT a
+    release, this one PRODUCES it. Per (lang, source) cell the true
+    count gets Laplace(1/epsilon) noise: a count's add/remove-one
+    sensitivity is 1, the cells are disjoint so the whole table spends
+    epsilon = 1.0 by parallel composition, and negative noisy counts
+    clamp to 0 (post-processing is free). The auditor view keeps
+    ``n_true`` beside ``n_released`` to measure utility; the public
+    projection would drop it.
+
+    The noise draw is the repo's no-engine-RNG convention (the
+    samp_poisson_bootstrap pattern): u = (md5-hash(tag|cell) + 0.5) /
+    2^32 is an exact rational in (0,1), and the inverse Laplace CDF
+    ln-transforms it identically on both engines. A production release
+    rotates DP_RELEASE_TAG per release so noise is fresh per budget
+    spend but every release stays reproducible and auditable.
+
+    Plan: one scan, one map-side-combinable (lang, source) count
+    aggregate, noise as per-row arithmetic on the O(cells) result —
+    nothing downstream of the aggregate ever touches row-level data,
+    at any scale."""
+    docs = load_raw(spark, sf_dir, "documents")
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        "|", F.lit(DP_RELEASE_TAG), F.col("lang"), F.col("source")
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        + 0.5
+    ) / 4294967296.0
+    noise = (
+        F.when(u < 0.5, F.log(2.0 * u) / DP_EPSILON)
+        .otherwise(-F.log(2.0 - 2.0 * u) / DP_EPSILON)
+    )
+    return (
+        docs.groupBy("lang", "source")
+        .agg(F.count("*").alias("n_true"))
+        .select(
+            "lang",
+            "source",
+            "n_true",
+            F.round(noise, 6).alias("noise"),
+            F.round(
+                F.greatest(F.lit(0.0), F.col("n_true") + noise), 6
+            ).alias("n_released"),
+            F.lit(float(DP_EPSILON)).alias("epsilon"),
+        )
+        .orderBy("lang", "source")
+    )

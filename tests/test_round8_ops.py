@@ -363,3 +363,51 @@ def test_line_level_removes_all_copies_and_rebuilds(queries, spark, tmp_path):
     assert out[4]["n_lines"] == 2 and out[4]["n_removed"] == 2
     assert out[4]["kept_md5"] == md5("")
     assert out[4]["removed_ratio"] == 1.0
+
+
+# ----------------------------------------------- DP histogram release
+
+
+def test_dp_release_matches_python_replay(queries, spark):
+    """Ground truth: replay the pinned-hash Laplace draw per cell with
+    hashlib + math and require identical noise/releases; pin the
+    mechanism invariants (clamp at 0, zero-noise-free, symmetric sign
+    mix across ~99 cells)."""
+    import hashlib
+    import math
+
+    from recommedation_system_under_flink_spark.operators.profiling import (
+        DP_EPSILON,
+        DP_RELEASE_TAG,
+    )
+
+    rows = queries["prof_dp_release"](spark, SF_DIR).collect()
+    truth = {
+        (lang, source): n
+        for lang, source, n in duckdb.sql(
+            f"SELECT lang, source, count(*) FROM "
+            f"'{SF_DIR}/documents.parquet' GROUP BY 1, 2"
+        ).fetchall()
+    }
+    assert len(rows) == len(truth)
+    n_neg = 0
+    for r in rows:
+        h = int(
+            hashlib.md5(
+                f"{DP_RELEASE_TAG}|{r['lang']}|{r['source']}".encode()
+            ).hexdigest()[:8],
+            16,
+        )
+        u = (h + 0.5) / 2**32
+        noise = (
+            math.log(2 * u) / DP_EPSILON
+            if u < 0.5
+            else -math.log(2 - 2 * u) / DP_EPSILON
+        )
+        assert abs(r["noise"] - noise) < 2e-6, (r, noise)
+        assert r["n_true"] == truth[(r["lang"], r["source"])]
+        assert abs(r["n_released"] - max(0.0, r["n_true"] + noise)) < 2e-6
+        assert r["n_released"] >= 0.0
+        n_neg += noise < 0
+    # Laplace is symmetric: both signs must actually occur.
+    assert 0 < n_neg < len(rows)
