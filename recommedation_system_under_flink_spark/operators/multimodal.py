@@ -749,3 +749,134 @@ mm_phash_dedup.__doc__ = mm_phash_dedup.__doc__.replace(
 _phash_bands.__doc__ = _phash_bands.__doc__.replace(
     "{PHASH_CELLS}", str(PHASH_CELLS)
 )
+
+
+# --------------------------------------------------- video scene cuts
+
+#: A frame boundary whose signature jumps by more than this is a scene
+#: cut (pinned; ~p90 of the fixture's inter-frame deltas, so cuts are
+#: selective but non-empty at every SF).
+SCENE_CUT_TAU = 0.02
+
+_SCENE_SIG_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("frame_idx", T.LongType()),
+        T.StructField("sig", T.DoubleType()),
+    ]
+)
+
+
+def _frame_signatures(m: DataFrame) -> DataFrame:
+    """Per-sampled-frame luminance-proxy signature via ``mapInPandas``
+    (the decoder seam: a real build would decode the frame at
+    ``frame_idx`` seconds and average its luma plane; the stand-in
+    averages the frame's share of payload bytes — same schema, same
+    batching, same downstream temporal logic)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, ks, sigs = [], [], []
+            for media_id, payload, dur in zip(
+                pdf["media_id"], pdf["payload"], pdf["duration_ms"]
+            ):
+                n = len(payload)
+                nf = int(min(dur // 1000, 10)) + 1
+                chunk = max(1, n // nf)
+                for k in range(nf):
+                    seg = payload[k * chunk : (k + 1) * chunk]
+                    if (k * chunk) >= n and k > 0:
+                        # no bytes left for this frame: pinned 0.0
+                        sig = 0.0
+                    else:
+                        seg = seg or b"\x00"
+                        sig = sum(seg) / (255.0 * len(seg))
+                    ids.append(media_id)
+                    ks.append(k)
+                    sigs.append(sig)
+            yield pd.DataFrame(
+                {"media_id": ids, "frame_idx": ks, "sig": sigs}
+            )
+
+    return m.select(
+        "media_id", "payload", F.col("meta.duration_ms").alias("duration_ms")
+    ).mapInPandas(run, _SCENE_SIG_SCHEMA)
+
+
+def _scene_cuts_oracle() -> str:
+    return f"""WITH {_MEDIA_CTE},
+v AS (
+  SELECT media_id, octet_length(payload) AS n, upper(hex(payload)) AS h,
+         CAST(floor(least(duration_ms / 1000, 10)) AS BIGINT) + 1 AS nf
+  FROM media WHERE modality = 'video'
+),
+ex AS (
+  SELECT media_id, n, nf, i,
+         (strpos('0123456789ABCDEF', substring(h, 2*i-1, 1)) - 1) * 16
+         + (strpos('0123456789ABCDEF', substring(h, 2*i, 1)) - 1) AS byte
+  FROM v, unnest(range(1, CAST(n AS BIGINT) + 1)) AS t(i)
+),
+seg AS (
+  SELECT media_id, (i - 1) // GREATEST(n // nf, 1) AS k,
+         SUM(byte) / (255.0 * COUNT(*)) AS sig
+  FROM ex
+  WHERE (i - 1) // GREATEST(n // nf, 1) < nf
+  GROUP BY media_id, k
+),
+spine AS (
+  SELECT media_id, unnest(range(nf)) AS k FROM v
+),
+sig AS (
+  SELECT spine.media_id, spine.k,
+         COALESCE(seg.sig, 0.0) AS sig
+  FROM spine LEFT JOIN seg
+    ON seg.media_id = spine.media_id AND seg.k = spine.k
+),
+lagged AS (
+  SELECT media_id, k, sig,
+         ABS(sig - LAG(sig) OVER (PARTITION BY media_id ORDER BY k))
+           AS delta
+  FROM sig
+)
+SELECT media_id,
+       CAST(k AS BIGINT) AS frame_idx,
+       CAST(k * 1000 AS BIGINT) AS ts_ms,
+       ROUND(sig, 6) AS sig,
+       ROUND(delta, 6) AS delta,
+       COALESCE(delta > {SCENE_CUT_TAU!r}, FALSE) AS is_cut
+FROM lagged"""
+
+
+@register("mm_scene_cuts", _scene_cuts_oracle())
+def mm_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """**Video scene-cut detection** — the multimodal family's first
+    TEMPORAL operator (everything else treats a medium as one blob or
+    a static frame/patch grid): per video, the 1 fps sampled frames of
+    ``mm_frame_plan`` each get a luminance-proxy signature from the
+    Arrow ``mapInPandas`` decoder seam, and a frame whose signature
+    jumps more than SCENE_CUT_TAU vs its predecessor is flagged as a
+    cut — the standard shot-boundary heuristic (inter-frame histogram
+    distance), with the temporal LAG in Catalyst, not Python. The
+    whole chain is hash-certified: the oracle re-derives every
+    signature from hex-pair byte decomposition (the r7 hashable-twin
+    pattern) and replays the same window.
+
+    Scale: the kernel streams one Arrow batch of payloads at a time
+    and emits O(frames) tiny rows; the LAG window partitions by
+    media_id (parallel across videos, ≤11 rows per partition). Frame
+    counts and byte segmentation follow mm_frame_plan /
+    mm_decode_features' pinned truncation semantics."""
+    m = media(spark, sf_dir).filter(F.col("modality") == "video")
+    sigs = _frame_signatures(m)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("media_id").orderBy("frame_idx")
+    delta = F.abs(F.col("sig") - F.lag("sig").over(w))
+    return sigs.select(
+        "media_id",
+        "frame_idx",
+        (F.col("frame_idx") * 1000).cast("long").alias("ts_ms"),
+        F.round("sig", 6).alias("sig"),
+        F.round(delta, 6).alias("delta"),
+        F.coalesce(delta > SCENE_CUT_TAU, F.lit(False)).alias("is_cut"),
+    )

@@ -480,3 +480,39 @@ def test_multiprobe_superset_and_replay(queries, spark):
         (q, c) for q, cs in topk(multi).items() for c in cs
     }
     assert got_pairs == want_pairs
+
+
+# --------------------------------------------------- video scene cuts
+
+
+def test_scene_cuts_planted_boundary(queries, spark, tmp_path):
+    """Plant a video whose payload flips from all-'a' bytes to all-'z'
+    halfway: the two frames spanning the flip must be the ONLY cuts,
+    and a uniform video must have none. Signatures replayed exactly."""
+    from recommedation_system_under_flink_spark.operators.multimodal import (
+        SCENE_CUT_TAU,
+    )
+
+    # doc_id % 3 == 2 -> modality 'video'; n_chars >= 250 -> 11 frames
+    rows = [
+        (2, "a" * 275 + "z" * 275, "en", "feed", 550),
+        (5, "m" * 550, "en", "feed", 550),
+    ]
+    _write_docs(tmp_path, rows)
+    out = queries["mm_scene_cuts"](spark, str(tmp_path)).collect()
+    by = {}
+    for r in out:
+        by.setdefault(r["media_id"], {})[r["frame_idx"]] = r
+    assert set(by) == {2, 5}
+    assert set(by[2]) == set(range(11))
+
+    # replay: chunk = 550 // 11 = 50; frames 0-4 'a', 5 mixed, 6-10 'z'
+    a, z = ord("a") / 255.0, ord("z") / 255.0
+    expect = [a] * 5 + [(ord("a") * 25 + ord("z") * 25) / (255.0 * 50)] + [z] * 5
+    for k in range(11):
+        assert abs(by[2][k]["sig"] - expect[k]) < 1e-6
+    cuts = {k for k, r in by[2].items() if r["is_cut"]}
+    assert cuts == {5, 6}
+    assert abs(expect[5] - expect[4]) > SCENE_CUT_TAU  # fixture really crosses
+    assert by[2][0]["delta"] is None and not by[2][0]["is_cut"]
+    assert not any(r["is_cut"] for r in by[5].values())
