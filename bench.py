@@ -144,6 +144,15 @@ HEADLINE = (
     # round-8 late addition: graph-ANN refinement (all-nodes LSH kNN
     # graph + one neighbor-of-neighbor round + recall audit)
     "sim_nndescent_round",
+    # round-8 session additions: CV'd ridge (two-scan sufficient-stat
+    # grid), line-level boilerplate scrub (frequency join + ordered
+    # reassembly), multi-probe LSH (fatter probe broadcast, 4x fewer
+    # tables), scene cuts (Arrow kernel + LAG), DP release (tiny)
+    "ml_cv_ridge_path",
+    "dedup_line_level",
+    "sim_multiprobe_lsh_topk",
+    "mm_scene_cuts",
+    "prof_dp_release",
 )
 
 
