@@ -1378,9 +1378,7 @@ def ml_kfold_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         + F.lit(CAL_W[2]) * F.col("x2")
     )
     scored = feats.select(
-        ((F.col("doc_id") * HASH_MULT) % HASH_MOD % _KFOLD_K)
-        .cast("int")
-        .alias("fold"),
+        (split_hash("doc_id") % _KFOLD_K).cast("int").alias("fold"),
         "y",
         (F.lit(1.0) / (F.lit(1.0) + F.exp(-z))).alias("s"),
     )
@@ -2850,9 +2848,7 @@ def ml_cv_ridge_path(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     feats = _feats(spark, sf_dir)
     f = feats.select(
-        ((F.col("doc_id") * HASH_MULT) % HASH_MOD % _KFOLD_K)
-        .cast("int")
-        .alias("fold"),
+        (split_hash("doc_id") % _KFOLD_K).cast("int").alias("fold"),
         "y",
         F.lit(1.0).alias("f0"),
         F.col("x1").alias("f1"),

@@ -784,13 +784,10 @@ def _frame_signatures(m: DataFrame) -> DataFrame:
                 nf = int(min(dur // 1000, 10)) + 1
                 chunk = max(1, n // nf)
                 for k in range(nf):
-                    seg = payload[k * chunk : (k + 1) * chunk]
-                    if (k * chunk) >= n and k > 0:
-                        # no bytes left for this frame: pinned 0.0
-                        sig = 0.0
-                    else:
-                        seg = seg or b"\x00"
-                        sig = sum(seg) / (255.0 * len(seg))
+                    # empty segment (bytes exhausted) -> 0.0, matching
+                    # the oracle spine's COALESCE
+                    seg = payload[k * chunk : (k + 1) * chunk] or b"\x00"
+                    sig = sum(seg) / (255.0 * len(seg))
                     ids.append(media_id)
                     ks.append(k)
                     sigs.append(sig)

@@ -1107,7 +1107,8 @@ DP_EPSILON = 1.0
 DP_RELEASE_TAG = "release1"
 
 _DP_U_SQL = (
-    f"(CAST(('0x' || substr(md5('{DP_RELEASE_TAG}|' || lang || '|' || source), 1, 8))"
+    f"(CAST(('0x' || substr(md5('{DP_RELEASE_TAG}|' || COALESCE(lang, '')"
+    f" || '|' || COALESCE(source, '')), 1, 8))"
     f" AS BIGINT) + 0.5) / 4294967296.0"
 )
 
@@ -1142,9 +1143,17 @@ def prof_dp_release(spark: SparkSession, sf_dir: str) -> DataFrame:
     The noise draw is the repo's no-engine-RNG convention (the
     samp_poisson_bootstrap pattern): u = (md5-hash(tag|cell) + 0.5) /
     2^32 is an exact rational in (0,1), and the inverse Laplace CDF
-    ln-transforms it identically on both engines. A production release
-    rotates DP_RELEASE_TAG per release so noise is fresh per budget
-    spend but every release stays reproducible and auditable.
+    ln-transforms it identically on both engines. BE CLEAR about what
+    that buys: because the tag is a public plan constant, this query
+    is a deterministic, cross-engine-verifiable SIMULATION of the
+    Laplace mechanism — anyone holding the tag can invert the noise,
+    so the epsilon guarantee does NOT hold for this test surface. In
+    production the same plan gets its guarantee by drawing the tag (or
+    the per-cell u directly) from cryptographic randomness kept
+    secret, rotated per release; everything downstream of the draw —
+    sensitivity, composition, clamping, the plan shape — is unchanged.
+    NULL group keys are seeded as '' on both engines (output keys stay
+    NULL).
 
     Plan: one scan, one map-side-combinable (lang, source) count
     aggregate, noise as per-row arithmetic on the O(cells) result —
@@ -1156,7 +1165,10 @@ def prof_dp_release(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.substring(
                 F.md5(
                     F.concat_ws(
-                        "|", F.lit(DP_RELEASE_TAG), F.col("lang"), F.col("source")
+                        "|",
+                        F.lit(DP_RELEASE_TAG),
+                        F.coalesce(F.col("lang"), F.lit("")),
+                        F.coalesce(F.col("source"), F.lit("")),
                     )
                 ),
                 1,

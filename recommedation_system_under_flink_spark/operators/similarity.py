@@ -273,13 +273,16 @@ def sim_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
+    # No .distinct() here: cands is already unique per (query_id,
+    # corpus_id) — the embeddings/norms are functions of the ids — so a
+    # second distinct would only add a wide shuffle over double rows.
     scored = cands.select(
         "query_id",
         "corpus_id",
         (_dot(F.col("q_emb"), F.col("emb")) / (F.col("q_nrm") * F.col("nrm"))).alias(
             "cosine"
         ),
-    ).distinct()
+    )
     from pyspark.sql import Window
 
     w = Window.partitionBy("query_id").orderBy(
@@ -3800,13 +3803,14 @@ def sim_multiprobe_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
+    # cands is already unique per pair (see sim_lsh_topk): no distinct.
     scored = cands.select(
         "query_id",
         "corpus_id",
         (
             _dot(F.col("q_emb"), F.col("emb")) / (F.col("q_nrm") * F.col("nrm"))
         ).alias("cosine"),
-    ).distinct()
+    )
     from pyspark.sql import Window
 
     w = Window.partitionBy("query_id").orderBy(
