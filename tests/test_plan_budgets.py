@@ -56,6 +56,16 @@ BUDGETS = {
     "sim_bruteforce_topk": (3, 4, True, False),
     "rel_q9_product_profit": (6, 8, False, False),
     "ev_props_rollup": (2, 3, False, True),
+    # round-8 session additions, measured at sf0.001: cv_ridge 3/8
+    # (cartesian = the 1-row global-moment + 3-row lambda-spine
+    # broadcasts), line_level 2/4, multiprobe 2/4 (post distinct
+    # removal — a third distinct would push this back to 5+),
+    # scene_cuts 1/1, dp_release 1/2
+    "ml_cv_ridge_path": (4, 10, True, False),
+    "dedup_line_level": (3, 6, False, False),
+    "sim_multiprobe_lsh_topk": (3, 5, False, False),
+    "mm_scene_cuts": (2, 2, False, False),
+    "prof_dp_release": (2, 3, False, False),
 }
 
 
