@@ -153,6 +153,9 @@ HEADLINE = (
     "sim_multiprobe_lsh_topk",
     "mm_scene_cuts",
     "prof_dp_release",
+    # round-8 session addition: novelty audit over the item-CF
+    # recommender (recommender + popularity broadcast + user agg)
+    "cf_novelty_report",
 )
 
 

@@ -121,10 +121,9 @@ def cf_item_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "cf_user_recommendations",
-    with_ctes(
-        f"""SELECT user_id, news_id, score FROM (
+#: The recommendation SELECT, shared verbatim by the
+#: cf_user_recommendations oracle and the composed novelty report.
+_RECS_SELECT = f"""SELECT user_id, news_id, score FROM (
   SELECT s.user_id, s.news_id, s.score,
          ROW_NUMBER() OVER (
            PARTITION BY s.user_id ORDER BY s.score DESC, s.news_id ASC) AS rnk
@@ -136,7 +135,13 @@ def cf_item_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE seen.news_id IS NULL
     GROUP BY p.user_id, n.news_b
   ) s
-) WHERE rnk <= {CF_RECS}""",
+) WHERE rnk <= {CF_RECS}"""
+
+
+@register(
+    "cf_user_recommendations",
+    with_ctes(
+        _RECS_SELECT,
         CLICKS_CTE,
         _PREFS_CTE,
         _POP_CTE,
@@ -919,4 +924,65 @@ def cf_reclist_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg("dist"), 6).alias("mean_intra_list_distance"),
         F.round(F.min("dist"), 6).alias("min_pair_distance"),
         F.round(F.max("dist"), 6).alias("max_pair_distance"),
+    )
+
+
+# ---------------------------------------------------- novelty report
+
+@register(
+    "cf_novelty_report",
+    with_ctes(
+        f"""SELECT r.user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_recs,
+       ROUND(AVG(LN(CAST(n_users AS DOUBLE) / pop) / LN(2.0)), 6)
+         AS mean_novelty_bits,
+       ROUND(AVG(pop * 1.0 / n_users), 6) AS mean_pop_share
+FROM (
+{{recs}}
+) r
+JOIN pop ON pop.news_id = r.news_id
+CROSS JOIN (SELECT COUNT(DISTINCT user_id) AS n_users FROM prefs) u
+GROUP BY r.user_id""".format(recs=_RECS_SELECT),
+        CLICKS_CTE,
+        _PREFS_CTE,
+        _POP_CTE,
+        _SIMS_CTE,
+        _NEIGHBORS_CTE,
+    ),
+)
+def cf_novelty_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """**Recommendation novelty** (Castells & Vargas' self-information
+    metric) — the catalogue-side quality the existing eval ops don't
+    measure: j5/cf_next_item_hitrate score ACCURACY,
+    cf_reclist_diversity scores WITHIN-list dissimilarity,
+    j6_rec_coverage counts catalogue touch — novelty asks whether the
+    recommender shows users anything they wouldn't find on the front
+    page. Per user: the mean self-information −log₂(pop/|users|) of
+    the recommended items (bits; popular-item lists score near 0) and
+    the mean popularity share. The recommendation relation is
+    `cf_user_recommendations`' own SELECT embedded verbatim (the
+    composed-oracle pattern), so the report cannot drift from the
+    recommender it audits.
+
+    Plan: the single-shuffle recommender plus one broadcast popularity
+    join, a 1-row user-total scalar, and a per-user aggregate —
+    novelty adds no new data-sized shuffle at any scale."""
+    recs = cf_user_recommendations(spark, sf_dir).select("user_id", "news_id")
+    prefs = clicks(spark, sf_dir).select("user_id", "news_id").distinct()
+    pop = prefs.groupBy("news_id").agg(F.count("*").alias("pop"))
+    u = prefs.agg(F.count_distinct("user_id").alias("n_users"))
+    bits = F.log(F.col("n_users").cast("double") / F.col("pop")) / F.log(
+        F.lit(2.0)
+    )
+    return (
+        recs.join(F.broadcast(pop), "news_id")
+        .crossJoin(F.broadcast(u))
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_recs"),
+            F.round(F.avg(bits), 6).alias("mean_novelty_bits"),
+            F.round(
+                F.avg(F.col("pop") / F.col("n_users")), 6
+            ).alias("mean_pop_share"),
+        )
     )

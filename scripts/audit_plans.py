@@ -61,6 +61,7 @@ EXPECTED_CARTESIAN = {
     "ml_woe_iv": "1-row smoothed pos/neg totals broadcast into the bin grid",
     "ml_target_encoding": "1-row global-prior scalar broadcast into the LOO rows",
     "rel_basket_pairs": "1-row order-count scalar broadcast into the lift",
+    "cf_novelty_report": "1-row user-total scalar broadcast into the novelty bits",
     "llm_curation_mix_fused": "1-row budget/total scalar broadcast into the per-source mix",
     "ml_ridge_regression": "1-row Cramer-solved beta broadcast into the R2 scoring pass",
     "ml_cv_ridge_path": "1-row global-moment and 3-row lambda-spine broadcasts into the 5-row fold relation",

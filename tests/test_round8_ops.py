@@ -516,3 +516,49 @@ def test_scene_cuts_planted_boundary(queries, spark, tmp_path):
     assert abs(expect[5] - expect[4]) > SCENE_CUT_TAU  # fixture really crosses
     assert by[2][0]["delta"] is None and not by[2][0]["is_cut"]
     assert not any(r["is_cut"] for r in by[5].values())
+
+
+# -------------------------------------------------- novelty report
+
+
+def test_novelty_report_replay_and_bounds(queries, spark):
+    """Recompute every user's mean self-information from the engine's
+    own recommendation lists plus a DuckDB popularity recount; pin the
+    information-theoretic bounds 0 <= bits <= log2(|users|)."""
+    import math
+
+    recs = queries["cf_user_recommendations"](spark, SF_DIR).collect()
+    out = {r["user_id"]: r for r in queries["cf_novelty_report"](spark, SF_DIR).collect()}
+
+    from recommedation_system_under_flink_spark.sources.tables import CLICKS_CTE
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM '{SF_DIR}/events.parquet'"
+    )
+    pop = dict(
+        con.execute(
+            f"WITH {CLICKS_CTE}, prefs AS "
+            "(SELECT DISTINCT user_id, news_id FROM clicks) "
+            "SELECT news_id, COUNT(*) FROM prefs GROUP BY news_id"
+        ).fetchall()
+    )
+    n_users = con.execute(
+        f"WITH {CLICKS_CTE} SELECT COUNT(DISTINCT user_id) FROM clicks"
+    ).fetchone()[0]
+    con.close()
+
+    by_user: dict[int, list] = {}
+    for r in recs:
+        by_user.setdefault(r["user_id"], []).append(r["news_id"])
+    assert set(by_user) == set(out)
+    for uid, items in by_user.items():
+        bits = [math.log2(n_users / pop[i]) for i in items]
+        share = [pop[i] / n_users for i in items]
+        got = out[uid]
+        assert got["n_recs"] == len(items)
+        assert abs(got["mean_novelty_bits"] - sum(bits) / len(bits)) < 2e-6
+        assert abs(got["mean_pop_share"] - sum(share) / len(share)) < 2e-6
+        # engine value is 6-dp rounded, so allow the rounding quantum
+        assert 0.0 <= got["mean_novelty_bits"] <= math.log2(n_users) + 1e-6
+        assert 0.0 < got["mean_pop_share"] <= 1.0
