@@ -1260,9 +1260,9 @@ _S24_CORRUPT_BUCKET = 0
 
 
 def _s24_corrupt_pred_sql() -> str:
-    from .sampling import HASH_MOD, HASH_MULT
+    from .sampling import split_hash_sql
 
-    return f"(doc_id * {HASH_MULT}) % {HASH_MOD} % 10 = {_S24_CORRUPT_BUCKET}"
+    return f"{split_hash_sql()} % 10 = {_S24_CORRUPT_BUCKET}"
 
 
 @register(

@@ -42,7 +42,13 @@ from pyspark.sql import functions as F
 
 from ..registry import register
 from ..sources import load_raw
-from .sampling import HASH_MOD, HASH_MULT, TRAIN_BUCKETS, split_hash
+from .sampling import (
+    HASH_MOD,
+    HASH_MULT,
+    TRAIN_BUCKETS,
+    split_hash,
+    split_hash_sql,
+)
 
 # --------------------------------------------------------------- shared
 
@@ -239,7 +245,7 @@ ml_logreg_gd.__doc__ = ml_logreg_gd.__doc__.replace(
 
 _NB_ORACLE = f"""WITH toks AS (
   SELECT doc_id, lang,
-         (doc_id * {HASH_MULT}) % {HASH_MOD} % 10 < {TRAIN_BUCKETS} AS is_train,
+         {split_hash_sql()} % 10 < {TRAIN_BUCKETS} AS is_train,
          t
   FROM documents, UNNEST({_SQL_TOKENS}) AS u(t)
 ),
@@ -301,7 +307,7 @@ def ml_nb_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     Argmax uses a 6-dp-quantized score (ln drift ≤1 ulp/term) with
     lang ASC as the tie-break, mirrored in the oracle."""
     docs = load_raw(spark, sf_dir, "documents")
-    is_train = (F.col("doc_id") * HASH_MULT) % HASH_MOD % 10 < TRAIN_BUCKETS
+    is_train = split_hash("doc_id") % 10 < TRAIN_BUCKETS
     toks = docs.select(
         "doc_id", "lang", is_train.alias("is_train"),
         F.explode(_tokens(F.col("text"))).alias("t"),
@@ -492,7 +498,9 @@ def ml_brier_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _fh_slot(col_sql: str, salt: int) -> str:
     """SQL: pinned hash slot for a categorical value — first char,
     last char and length mixed with the Knuth multiplier (portable
-    plain-integer arithmetic, no library hash)."""
+    plain-integer arithmetic, no library hash). The mix operand is
+    bounded (< ~2^21: codepoints/length), so the raw multiply cannot
+    overflow — no split_hash decomposition needed here."""
     mix = (
         f"(ascii(substr({col_sql}, 1, 1)) * 131"
         f" + ascii(substr({col_sql}, length({col_sql}), 1))"
@@ -902,7 +910,7 @@ def _als_item_factor_sql(col: str, salt: int) -> str:
     bits, plain BIGINT arithmetic — identical literal algebra on both
     engines (never RNG: resumable, engine-portable)."""
     return (
-        f"((({col} + {salt}) * {HASH_MULT}) % {HASH_MOD})"
+        f"{split_hash_sql(f'{col} + {salt}')}"
         f" / CAST({HASH_MOD} AS DOUBLE) - 0.5"
     )
 
@@ -1345,7 +1353,7 @@ def _cv_oracle() -> str:
     p = _CAL_SCORE_SQL
     return f"""WITH {_FEATS_CTE},
 scored AS (
-  SELECT CAST((doc_id * {HASH_MULT}) % {HASH_MOD} % {_KFOLD_K} AS INTEGER)
+  SELECT CAST({split_hash_sql()} % {_KFOLD_K} AS INTEGER)
            AS fold,
          y, {p} AS s
   FROM feats
@@ -2007,7 +2015,7 @@ def _curve_oracle() -> str:
     ]
     parts[0] = parts[0].replace(
         "  FROM documents",
-        f"""         , (doc_id * {HASH_MULT}) % {HASH_MOD} % 10 AS bucket
+        f"""         , {split_hash_sql()} % 10 AS bucket
   FROM documents""",
     )
     finals = []
@@ -2080,7 +2088,7 @@ def ml_learning_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     curve costs K passes — not K×|fractions| — and the subsets nest by
     construction (bucket < 1 ⊂ bucket < 3 ⊂ all)."""
     feats = _feats(spark, sf_dir).withColumn(
-        "bucket", (F.col("doc_id") * HASH_MULT) % HASH_MOD % 10
+        "bucket", split_hash("doc_id") % 10
     )
     feats.persist()
     try:
@@ -2622,33 +2630,15 @@ _MIX_LO = 1 << 16
 
 
 def _safe_bucket_sql() -> str:
-    """Overflow-safe DuckDB twin of ``(doc_id * HASH_MULT) % 2^32``:
-    HASH_MULT exceeds 2^31, so even a pre-reduced operand can overflow
-    63 bits ((2^32-1) * HASH_MULT ≈ 1.14e19 > 2^63). Split the reduced
-    value into 16-bit halves — hi·2^16·M ≡ 2^16·(hi·M mod 2^16)
-    (mod 2^32) — so every intermediate stays ≤ ~1.7e14. CONGRUENT to
-    the plain product for every doc_id, so certified hashes are
-    unchanged; for doc_id ≥ ~3.5e9 the plain form crashes DuckDB while
-    Spark wraps, this form agrees on both engines."""
-    r = f"(doc_id % {HASH_MOD})"
-    hi = f"({r} // {_MIX_LO})"
-    lo = f"({r} % {_MIX_LO})"
-    return (
-        f"((({hi} * {HASH_MULT}) % {_MIX_LO}) * {_MIX_LO}"
-        f" + {lo} * {HASH_MULT}) % {HASH_MOD}"
-    )
+    """Overflow-safe pinned hash (the round-8 fix generalized this
+    decomposition into sampling.split_hash_sql; delegate to it so the
+    algebra lives in exactly one place)."""
+    return split_hash_sql()
 
 
 def _safe_bucket_col() -> Column:
-    """Spark twin of :func:`_safe_bucket_sql` (same decomposition;
-    shiftright is exact integer division by 2^16 on the non-negative
-    reduced value — no float round-trip)."""
-    r = F.col("doc_id") % HASH_MOD
-    hi = F.shiftright(r, 16)
-    lo = r % _MIX_LO
-    return (
-        ((hi * HASH_MULT) % _MIX_LO) * _MIX_LO + lo * HASH_MULT
-    ) % HASH_MOD
+    """Spark twin of :func:`_safe_bucket_sql` (sampling.split_hash)."""
+    return split_hash("doc_id")
 
 
 def _perm_oracle() -> str:
@@ -2785,7 +2775,7 @@ def _cv_ridge_oracle() -> str:
     lam_list = ", ".join(repr(float(x)) for x in RIDGE_CV_LAMBDAS)
     return f"""WITH {_FEATS_CTE},
 f AS (
-  SELECT CAST((doc_id * {HASH_MULT}) % {HASH_MOD} % {_KFOLD_K} AS INTEGER)
+  SELECT CAST({split_hash_sql()} % {_KFOLD_K} AS INTEGER)
            AS fold,
          y, 1.0 AS f0, x1 AS f1, x2 AS f2, x3 AS f3
   FROM feats

@@ -44,16 +44,53 @@ VAL_BUCKETS = 1
 STRATUM_N = 5
 
 
+#: 16-bit split point for the overflow-safe multiply in split_hash.
+MIX_LO = 1 << 16
+
+
 def split_hash(c) -> Column:
-    """The pinned portable hash: ``(id * HASH_MULT) % 2^32``."""
+    """The pinned portable hash: ``(id * HASH_MULT) % 2^32`` — computed
+    OVERFLOW-SAFE. HASH_MULT exceeds 2^31, so the plain product wraps
+    BIGINT for ids >= ~3.5e9 (Spark wraps silently, DuckDB raises — a
+    cross-engine divergence exactly in the 100 TB id regime; the
+    round-7 advice flagged this latent class). The id is pre-reduced
+    mod 2^32 and split into 16-bit halves — hi*2^16*M = 2^16*(hi*M mod
+    2^16) (mod 2^32) — so every intermediate stays <= ~1.7e14. The
+    result is CONGRUENT to the plain product for every non-negative
+    id: certified hashes are unchanged. shiftright is exact integer
+    division by 2^16 on the non-negative reduced value."""
     c = F.col(c) if isinstance(c, str) else c
-    return (c * F.lit(HASH_MULT)) % F.lit(HASH_MOD)
+    r = c % F.lit(HASH_MOD)
+    hi = F.shiftright(r, 16)
+    lo = r % F.lit(MIX_LO)
+    return (
+        ((hi * F.lit(HASH_MULT)) % F.lit(MIX_LO)) * F.lit(MIX_LO)
+        + lo * F.lit(HASH_MULT)
+    ) % F.lit(HASH_MOD)
+
+
+def split_hash_sql(expr: str = "doc_id") -> str:
+    """SQL twin of :func:`split_hash` — the identical congruent 16-bit
+    decomposition, parameterized on the id expression. DIALECT-PORTABLE
+    on purpose: several operators evaluate the same string in BOTH
+    engines via ``F.expr`` (the shared-string twin pattern), so the
+    integer division uses FLOOR(x / 2^16) — exact, since the reduced
+    value < 2^32 is exactly representable and division by a power of
+    two is exact in binary floating point — instead of DuckDB-only
+    ``//``."""
+    r = f"(({expr}) % {HASH_MOD})"
+    hi = f"(CAST(FLOOR({r} / {MIX_LO}) AS BIGINT))"
+    lo = f"({r} % {MIX_LO})"
+    return (
+        f"(((({hi} * {HASH_MULT}) % {MIX_LO}) * {MIX_LO}"
+        f" + {lo} * {HASH_MULT}) % {HASH_MOD})"
+    )
 
 
 _SPLIT_ORACLE = f"""SELECT doc_id,
-       (doc_id * {HASH_MULT}) % {HASH_MOD} AS h,
-       CASE WHEN (doc_id * {HASH_MULT}) % {HASH_MOD} % 10 < {TRAIN_BUCKETS} THEN 'train'
-            WHEN (doc_id * {HASH_MULT}) % {HASH_MOD} % 10 < {TRAIN_BUCKETS + VAL_BUCKETS} THEN 'val'
+       {split_hash_sql()} AS h,
+       CASE WHEN {split_hash_sql()} % 10 < {TRAIN_BUCKETS} THEN 'train'
+            WHEN {split_hash_sql()} % 10 < {TRAIN_BUCKETS + VAL_BUCKETS} THEN 'val'
             ELSE 'test' END AS split
 FROM documents"""
 
@@ -82,7 +119,7 @@ FROM (
   SELECT doc_id, lang, source,
          CAST(row_number() OVER (
            PARTITION BY lang, source
-           ORDER BY (doc_id * {HASH_MULT}) % {HASH_MOD}, doc_id
+           ORDER BY {split_hash_sql()}, doc_id
          ) AS BIGINT) AS pos
   FROM documents
 )
@@ -120,11 +157,11 @@ _WEIGHTED_ORACLE = f"""SELECT doc_id, lang, n_chars, priority, pos
 FROM (
   SELECT doc_id, lang, n_chars,
          CAST(n_chars AS DOUBLE)
-           / (((doc_id * {HASH_MULT}) % {HASH_MOD} + 0.5) / {HASH_MOD}) AS priority,
+           / (({split_hash_sql()} + 0.5) / {HASH_MOD}) AS priority,
          CAST(row_number() OVER (
            PARTITION BY lang
            ORDER BY CAST(n_chars AS DOUBLE)
-             / (((doc_id * {HASH_MULT}) % {HASH_MOD} + 0.5) / {HASH_MOD}) DESC,
+             / (({split_hash_sql()} + 0.5) / {HASH_MOD}) DESC,
              doc_id
          ) AS BIGINT) AS pos
   FROM documents
@@ -276,7 +313,7 @@ rates AS (
 )
 SELECT d.doc_id, d.lang,
        ROUND(r.rate, 6) AS keep_rate,
-       ((d.doc_id * {HASH_MULT}) % {HASH_MOD}) % {MIX_RES}
+       {split_hash_sql('d.doc_id')} % {MIX_RES}
          < CAST(FLOOR(r.rate * {MIX_RES}) AS BIGINT) AS keep
 FROM documents d JOIN rates r USING (lang)"""
 
@@ -361,7 +398,7 @@ lam AS (
 SELECT d.doc_id, d.lang,
        ROUND(c.target, 6) AS target_share,
        ROUND(LEAST(1.0, lam.l * c.target * t.nn / c.n), 6) AS keep_rate,
-       ((d.doc_id * {HASH_MULT}) % {HASH_MOD}) % {MIX_RES}
+       {split_hash_sql('d.doc_id')} % {MIX_RES}
          < CAST(FLOOR(ROUND(LEAST(1.0, lam.l * c.target * t.nn / c.n), 6)
                       * {MIX_RES}) AS BIGINT) AS keep
 FROM documents d
@@ -655,9 +692,9 @@ def _split_case_sql(key: str = "doc_id") -> str:
     parameterized on the hashed key so the group-safe variant can
     bucket by canonical cluster id instead of doc id."""
     return (
-        f"CASE WHEN ({key} * {HASH_MULT}) % {HASH_MOD} % 10 < {TRAIN_BUCKETS}"
+        f"CASE WHEN {split_hash_sql(key)} % 10 < {TRAIN_BUCKETS}"
         f" THEN 'train'"
-        f" WHEN ({key} * {HASH_MULT}) % {HASH_MOD} % 10 <"
+        f" WHEN {split_hash_sql(key)} % 10 <"
         f" {TRAIN_BUCKETS + VAL_BUCKETS} THEN 'val'"
         f" ELSE 'test' END"
     )
@@ -817,8 +854,8 @@ KFOLD_K = 5
 @register(
     "samp_kfold_assign",
     f"""SELECT doc_id,
-       CAST((doc_id * {HASH_MULT}) % {HASH_MOD} % {KFOLD_K} AS INTEGER) AS fold,
-       CAST((doc_id * {HASH_MULT}) % {HASH_MOD} % {KFOLD_K} = 0 AS BOOLEAN)
+       CAST({split_hash_sql()} % {KFOLD_K} AS INTEGER) AS fold,
+       CAST({split_hash_sql()} % {KFOLD_K} = 0 AS BOOLEAN)
          AS is_holdout_fold0
 FROM documents""",
 )
@@ -861,7 +898,7 @@ def _boot_u_sql() -> str:
     """The per-(doc, replicate) uniform draw: pinned Knuth hash of the
     interleaved key, mapped to the exact rational (h + 0.5) / 2^32."""
     return (
-        f"(((doc_id * {BOOT_B} + b) * {HASH_MULT}) % {HASH_MOD} + 0.5)"
+        f"({split_hash_sql(f'doc_id * {BOOT_B} + b')} + 0.5)"
         f" / {HASH_MOD}"
     )
 
@@ -913,9 +950,7 @@ def samp_poisson_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_chars",
         F.explode(F.sequence(F.lit(0), F.lit(BOOT_B - 1))).alias("b"),
     )
-    h = ((F.col("doc_id") * BOOT_B + F.col("b")) * F.lit(HASH_MULT)) % F.lit(
-        HASH_MOD
-    )
+    h = split_hash(F.col("doc_id") * BOOT_B + F.col("b"))
     u = (h + F.lit(0.5)) / F.lit(HASH_MOD)
     w = None
     for k, t in enumerate(POISSON1_CDF):
@@ -993,7 +1028,7 @@ SOURCE_CAP = 30
   SELECT source, n_chars,
          row_number() OVER (
            PARTITION BY source
-           ORDER BY (doc_id * {HASH_MULT}) % {HASH_MOD}, doc_id
+           ORDER BY {split_hash_sql()}, doc_id
          ) AS pos
   FROM documents
 )
@@ -1523,7 +1558,7 @@ def samp_pps_systematic(spark: SparkSession, sf_dir: str) -> DataFrame:
 _BALANCE_ORACLE = f"""WITH lab AS (
   SELECT doc_id,
          CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS label,
-         (doc_id * {HASH_MULT}) % {HASH_MOD} AS h
+         {split_hash_sql()} AS h
   FROM documents
 ),
 sizes AS (

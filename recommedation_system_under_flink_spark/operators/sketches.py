@@ -337,7 +337,7 @@ def _bloom_pos_sql(i: int) -> str:
 
 
 def _bloom_oracle() -> str:
-    from .sampling import HASH_MOD, HASH_MULT, TRAIN_BUCKETS
+    from .sampling import TRAIN_BUCKETS, split_hash_sql
 
     build_pos = " UNION ALL ".join(
         f"SELECT doc_id, {_bloom_pos_sql(i)} AS pos FROM build"
@@ -349,7 +349,7 @@ def _bloom_oracle() -> str:
     )
     return f"""WITH build AS (
   SELECT doc_id FROM documents
-  WHERE (doc_id * {HASH_MULT}) % {HASH_MOD} % 10 < {TRAIN_BUCKETS}
+  WHERE {split_hash_sql()} % 10 < {TRAIN_BUCKETS}
 ),
 probe AS (SELECT doc_id FROM documents),
 bits AS (SELECT DISTINCT pos FROM ({build_pos})),
@@ -357,7 +357,7 @@ ppos AS (SELECT DISTINCT doc_id, pos FROM ({probe_pos})),
 verdict AS (
   SELECT p.doc_id,
          COUNT(*) = COUNT(b.pos) AS pass,
-         (p.doc_id * {HASH_MULT}) % {HASH_MOD} % 10 < {TRAIN_BUCKETS}
+         {split_hash_sql('p.doc_id')} % 10 < {TRAIN_BUCKETS}
            AS member
   FROM ppos p LEFT JOIN bits b ON b.pos = p.pos
   GROUP BY p.doc_id
@@ -399,10 +399,10 @@ def sk_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
     pruning Spark applies to shuffle joins, exposed as data so it can
     be persisted, shipped cross-job, and audited. The verdict join is
     per-position against a broadcast; no data-sized shuffle."""
-    from .sampling import HASH_MOD, HASH_MULT, TRAIN_BUCKETS
+    from .sampling import TRAIN_BUCKETS, split_hash
 
     docs = load_raw(spark, sf_dir, "documents").select("doc_id")
-    member = (F.col("doc_id") * HASH_MULT) % HASH_MOD % 10 < TRAIN_BUCKETS
+    member = split_hash("doc_id") % 10 < TRAIN_BUCKETS
 
     def pos(i: int):
         return F.conv(

@@ -2869,11 +2869,11 @@ DECON_N = 8
 
 
 def _decon_oracle() -> str:
-    from .sampling import HASH_MOD, HASH_MULT, TRAIN_BUCKETS, VAL_BUCKETS
+    from .sampling import TRAIN_BUCKETS, VAL_BUCKETS, split_hash_sql
 
     return f"""WITH toks AS (
   SELECT doc_id, {_TOKENS_SQL} AS ts,
-         ((doc_id * {HASH_MULT}) % {HASH_MOD}) % 10 AS bucket
+         {split_hash_sql()} % 10 AS bucket
   FROM documents
 ),
 grams AS (

@@ -562,3 +562,63 @@ def test_novelty_report_replay_and_bounds(queries, spark):
         # engine value is 6-dp rounded, so allow the rounding quantum
         assert 0.0 <= got["mean_novelty_bits"] <= math.log2(n_users) + 1e-6
         assert 0.0 < got["mean_pop_share"] <= 1.0
+
+
+# ------------------------------------- overflow-safe portable hash
+
+
+def test_split_hash_congruent_and_overflow_safe(queries, spark, tmp_path):
+    """The round-8 overflow fix: split_hash must equal the plain
+    (id * HASH_MULT) % 2^32 (arbitrary-precision ground truth) for
+    every id, while surviving the >= 3.5e9 id regime where the plain
+    BIGINT product wraps in Spark and raises in DuckDB."""
+    from recommedation_system_under_flink_spark.operators.sampling import (
+        HASH_MOD,
+        HASH_MULT,
+        MIX_LO,
+        split_hash_sql,
+    )
+
+    big_ids = [
+        3_470_000_000,          # just under the old 2^63 overflow line
+        4_294_967_295,          # 2^32 - 1
+        4_300_000_007,          # past 2^32
+        2**40 + 123,
+        2**62 + 99,
+    ]
+    # 1) pure congruence, arbitrary precision vs the decomposition
+    for i in list(range(2000)) + big_ids:
+        r = i % HASH_MOD
+        hi, lo = r // MIX_LO, r % MIX_LO
+        dec = (((hi * HASH_MULT) % MIX_LO) * MIX_LO + lo * HASH_MULT) % HASH_MOD
+        assert dec == (i * HASH_MULT) % HASH_MOD, i
+
+    # 2) the old raw form really was the cross-engine hazard
+    with pytest.raises(Exception):
+        duckdb.sql(
+            f"SELECT (CAST(4300000007 AS BIGINT) * {HASH_MULT}) % {HASH_MOD}"
+        ).fetchone()
+
+    # 3) end-to-end: engine vs oracle agree on fold assignment for
+    # huge doc_ids (the exact divergence the round-7 advice described)
+    rows = [(i, "t", "en", "feed", 1) for i in big_ids]
+    _write_docs(tmp_path, rows)
+    got = {
+        r["doc_id"]: r["fold"]
+        for r in queries["samp_kfold_assign"](spark, str(tmp_path)).collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{tmp_path}/documents.parquet'"
+    )
+    from recommedation_system_under_flink_spark.registry import _REGISTRY
+
+    want = dict(
+        con.execute(
+            f"SELECT doc_id, fold FROM ({_REGISTRY['samp_kfold_assign'].oracle})"
+        ).fetchall()
+    )
+    con.close()
+    assert got == want and len(got) == len(big_ids)
+    for i in big_ids:  # ground truth once more, exact arithmetic
+        assert got[i] == (i * HASH_MULT) % HASH_MOD % 5
