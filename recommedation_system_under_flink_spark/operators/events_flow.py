@@ -60,7 +60,7 @@ ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
   ON p.user_id = c.user_id AND p.ts >= c.ts"""
 
 
-def asof_last_prior(tagged: DataFrame) -> DataFrame:
+def asof_last_prior(tagged: DataFrame, extra: tuple[str, ...] = ()) -> DataFrame:
     """Core as-of carry-forward over a tagged relation
     ``(user_id, event_id, tsm, side)`` with side 0 = reference (click),
     1 = probe (purchase): one shuffle on ``user_id``, one sort, one
@@ -68,7 +68,13 @@ def asof_last_prior(tagged: DataFrame) -> DataFrame:
     the match inclusive (ASOF's ``>=``), and the reference row's
     (id, ts) carries forward via ``last(..., ignorenulls)``. Tested
     against a naive quadratic reference on seeded-random logs
-    (tests/test_events_flow.py) besides the fixture oracle."""
+    (tests/test_events_flow.py) besides the fixture oracle.
+
+    ``extra`` names probe-side payload columns in ``tagged`` to ride
+    through to the output unchanged — consumers that need e.g. the
+    purchase ``value`` carry it here instead of re-scanning events and
+    re-joining on purchase_id (session review: that second scan plus a
+    high-cardinality shuffle join was pure waste)."""
     w = (
         Window.partitionBy("user_id")
         .orderBy("tsm", "side", "event_id")
@@ -81,6 +87,7 @@ def asof_last_prior(tagged: DataFrame) -> DataFrame:
         "event_id",
         "tsm",
         "side",
+        *extra,
         F.last(click_id, ignorenulls=True).over(w).alias("click_id"),
         F.last(click_tsm, ignorenulls=True).over(w).alias("click_tsm"),
     )
@@ -91,6 +98,7 @@ def asof_last_prior(tagged: DataFrame) -> DataFrame:
         "click_id",
         "click_tsm",
         (F.col("tsm") - F.col("click_tsm")).alias("gap_us"),
+        *extra,
     )
 
 
@@ -529,17 +537,24 @@ def ef_attribution_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Unmatched purchases (no prior click) carry no attribution and are
     excluded — the inner as-of. Plan: the as-of core's single sorted
-    shuffle plus one hash aggregate on news_id."""
+    shuffle plus one hash aggregate on news_id; ``value`` rides the
+    tagged relation through the core (the ``extra`` passthrough), so
+    there is no second events scan and no purchase_id join."""
     ev = events_raw(spark, sf_dir)
-    asof = ef_asof_purchase_click(spark, sf_dir).filter(
+    tagged = ev.filter(F.col("event_type").isin("click", "purchase")).select(
+        "user_id",
+        "event_id",
+        F.expr("ts DIV 1000").alias("tsm"),
+        F.when(F.col("event_type") == "click", F.lit(0))
+        .otherwise(F.lit(1))
+        .alias("side"),
+        "value",
+    )
+    asof = asof_last_prior(tagged, extra=("value",)).filter(
         F.col("click_id").isNotNull()
     )
-    pv = ev.filter(F.col("event_type") == "purchase").select(
-        F.col("event_id").alias("purchase_id"), "value"
-    )
     return (
-        asof.join(pv, "purchase_id")
-        .groupBy((F.col("click_id") % NEWS_MOD).alias("news_id"))
+        asof.groupBy((F.col("click_id") % NEWS_MOD).alias("news_id"))
         .agg(
             F.count("*").alias("n_purchases"),
             F.sum(F.col("value").cast("decimal(18,6)"))
@@ -718,9 +733,6 @@ def ef_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate, shuffle on user_id); the risk table is one row per
     DISTINCT event day, so the at-risk/event counts and the window run
     over ~tens of rows regardless of corpus size."""
-    from pyspark.sql import Window
-
-    from ..sources.tables import events_raw
 
     ev = events_raw(spark, sf_dir)
     t_end = ev.agg(F.expr("MAX(ts DIV 1000)").alias("t_end"))
@@ -787,7 +799,11 @@ def ef_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("d_events").cast("long").alias("d_events"),
         F.round(alive * F.exp(logsum), 6).alias("survival"),
     )
-    return out
+    from .bsp import checkpoint_result
+
+    # checkpoint_result releases `durations` in finally — without it the
+    # persist leaked into the session on every KM run (session review).
+    return checkpoint_result(out, durations)
 
 
 # ------------------------------------- conversion-rate significance
@@ -949,7 +965,6 @@ def ef_logrank_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregation as KM; the double products quantize at 6 dp (tens of
     ~unit-magnitude terms, far inside the window). Zero pooled
     variance (degenerate risk sets) pins the statistic to 0."""
-    from pyspark.sql import Window as _W  # noqa: F401 (parity with KM)
 
     ev = events_raw(spark, sf_dir)
     t_end = ev.agg(F.expr("MAX(ts DIV 1000)").alias("t_end"))
@@ -1030,9 +1045,10 @@ def ef_logrank_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from .bsp import checkpoint_result
 
-    result = checkpoint_result(out)
-    durations.unpersist()
-    return result
+    # pass the cache as *cached so the finally-release holds even if
+    # the eager checkpoint fails (the exact leak-on-failure class
+    # checkpoint_result exists for).
+    return checkpoint_result(out, durations)
 
 
 # --------------------------------------------------- Welch's t-test
@@ -1615,7 +1631,6 @@ def ef_markov_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Output: one row per channel with base/removed conversion
     probability and the removal effect."""
-    from pyspark.sql import Window
 
     ev = events_raw(spark, sf_dir)
     clicks = ev.filter(F.col("event_type") == "click").select(
@@ -1772,7 +1787,6 @@ def ef_conversion_lag_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame
     whose cumulative count reaches ``⌈p·n/100⌉`` — the comparison is
     kept in exact integers (``cum·100 ≥ n·p``), never a float
     quantile. Window input = distinct gap seconds (bounded grid)."""
-    from pyspark.sql import Window
 
     matched = ef_asof_purchase_click(spark, sf_dir).filter(
         F.col("click_id").isNotNull()
@@ -2082,7 +2096,6 @@ def ef_interarrival_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: one user_id-shuffled lag window over clicks, then
     everything runs on the bounded distinct-gap-seconds grid. The
     µs-epoch (event_id tiebroken) ordering matches the sessionizer's."""
-    from pyspark.sql import Window
 
     ev = events_raw(spark, sf_dir)
     us = F.expr("ts DIV 1000")
@@ -2091,10 +2104,9 @@ def ef_interarrival_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = Window.partitionBy("user_id").orderBy("us", "event_id")
     gaps = clicks_t.select(
-        ((F.col("us") - F.lag("us").over(w)) / F.lit(1))
-        .alias("gap_us")
+        (F.col("us") - F.lag("us").over(w)).alias("gap_us")
     ).filter(F.col("gap_us").isNotNull())
-    g = gaps.select(F.expr("CAST(gap_us AS BIGINT) DIV 1000000").alias("gap_s"))
+    g = gaps.select(F.expr("gap_us DIV 1000000").alias("gap_s"))
     byval = g.groupBy("gap_s").agg(F.count("*").cast("bigint").alias("c"))
     cum = byval.select(
         "gap_s",
@@ -2159,8 +2171,9 @@ def ef_interarrival_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
          CAST(SUM(m) AS BIGINT) AS n,
          CAST(SUM(s) AS BIGINT) AS g,
          CAST(SUM(q) AS BIGINT) AS qq,
-         SUM(CAST(s AS DOUBLE) * s / m) AS between_raw,
-         SUM(CAST(m AS DOUBLE) * m) AS m2
+         CAST(SUM(CAST(ROUND(CAST(s AS DOUBLE) * s / m, 6)
+                  AS DECIMAL(38,6))) AS DOUBLE) AS between_raw,
+         CAST(SUM(CAST(m AS DECIMAL(38,0)) * m) AS DOUBLE) AS m2
   FROM per
 )
 SELECT k AS k_clusters, n AS n_events,
@@ -2190,7 +2203,10 @@ def ef_design_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
     straight into :func:`ef_power_analysis`'s n-required check.
 
     Determinism: per-user (m, Σx, Σx²) are exact BIGINT on the cent
-    grid; the only doubles are the final ANOVA ratios, quantized at
+    grid; the cross-user between-cluster sum quantizes each s²/m term
+    at 6 dp and accumulates in DECIMAL (the ef_welch_ttest rule — no
+    order-dependent double accumulation), m² sums exactly in DECIMAL,
+    and the only free doubles are the final ANOVA ratios, quantized at
     the edge.
 
     Scale: one user_id hash aggregate + a 1-row formula. Identical
@@ -2214,10 +2230,16 @@ def ef_design_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("m").cast("bigint").alias("n"),
         F.sum("s").cast("bigint").alias("g"),
         F.sum("q").cast("bigint").alias("qq"),
-        F.sum(F.col("s").cast("double") * F.col("s") / F.col("m")).alias(
-            "between_raw"
-        ),
-        F.sum(F.col("m").cast("double") * F.col("m")).alias("m2"),
+        F.sum(
+            F.round(
+                F.col("s").cast("double") * F.col("s") / F.col("m"), 6
+            ).cast("decimal(38,6)")
+        )
+        .cast("double")
+        .alias("between_raw"),
+        F.sum(F.col("m").cast("decimal(38,0)") * F.col("m"))
+        .cast("double")
+        .alias("m2"),
     )
     n_d = F.col("n").cast("double")
     m0 = (n_d - F.col("m2") / F.col("n")) / (F.col("k") - 1)
@@ -2356,9 +2378,16 @@ _DID_ORACLE = f"""WITH per_user AS (
 cells AS (
   SELECT treated, post,
          CAST(COUNT(*) AS BIGINT) AS n,
-         AVG(CAST(y AS DOUBLE)) AS mu,
-         VAR_SAMP(CAST(y AS DOUBLE)) AS v
+         CAST(SUM(y) AS DOUBLE) AS sy,
+         CAST(SUM(CAST(ROUND(CAST(y AS DOUBLE) * CAST(y AS DOUBLE), 6)
+                  AS DECIMAL(38,6))) AS DOUBLE) AS syy
   FROM per_user GROUP BY treated, post
+),
+stats AS (
+  SELECT treated, post, n,
+         sy / n AS mu,
+         (syy - sy * sy / n) / NULLIF(n - 1, 0) AS v
+  FROM cells
 )
 SELECT ROUND(MAX(CASE WHEN treated = 1 AND post = 0 THEN mu END), 6) AS t_pre,
        ROUND(MAX(CASE WHEN treated = 1 AND post = 1 THEN mu END), 6) AS t_post,
@@ -2375,7 +2404,7 @@ SELECT ROUND(MAX(CASE WHEN treated = 1 AND post = 0 THEN mu END), 6) AS t_pre,
               - (MAX(CASE WHEN treated = 0 AND post = 1 THEN mu END)
                  - MAX(CASE WHEN treated = 0 AND post = 0 THEN mu END)))
              / SQRT(SUM(v / n)), 6) AS t_stat
-FROM cells"""
+FROM stats"""
 
 
 @register("ef_diff_in_diff", _DID_ORACLE)
@@ -2388,8 +2417,11 @@ def ef_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     classic 4-cell SE √(Σ varᵢ/nᵢ) (the 2×2 OLS-with-interaction
     standard error under homoskedastic cells). One per-user aggregate
     (exact-DECIMAL money summation per repo convention), one 4-row
-    cell rollup, one 1-row combine — nothing scales past the user
-    aggregation."""
+    cell rollup over quantized-DECIMAL moment sums (the ef_welch_ttest
+    rule: cell mean/variance derive from exact SUM(y) and a 6-dp
+    quantized SUM(y²) — no order-dependent double accumulation, no
+    engine-specific VAR_SAMP algorithm), one 1-row combine — nothing
+    scales past the user aggregation."""
     per_user = (
         events_raw(spark, sf_dir)
         .filter(F.col("event_type") == "purchase")
@@ -2404,10 +2436,23 @@ def ef_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.sum(F.col("value").cast("decimal(18,6)")).alias("y"))
     )
+    y_d = F.col("y").cast("double")
     cells = per_user.groupBy("treated", "post").agg(
         F.count("*").alias("n"),
-        F.avg(F.col("y").cast("double")).alias("mu"),
-        F.var_samp(F.col("y").cast("double")).alias("v"),
+        F.sum("y").cast("double").alias("sy"),
+        F.sum(F.round(y_d * y_d, 6).cast("decimal(38,6)"))
+        .cast("double")
+        .alias("syy"),
+    )
+    stats = cells.select(
+        "treated",
+        "post",
+        "n",
+        (F.col("sy") / F.col("n")).alias("mu"),
+        (
+            (F.col("syy") - F.col("sy") * F.col("sy") / F.col("n"))
+            / F.nullif((F.col("n") - 1).cast("double"), F.lit(0.0))
+        ).alias("v"),
     )
 
     def cell(t: int, p: int):
@@ -2417,7 +2462,7 @@ def ef_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     did = (cell(1, 1) - cell(1, 0)) - (cell(0, 1) - cell(0, 0))
     se = F.sqrt(F.sum(F.col("v") / F.col("n")))
-    return cells.agg(
+    return stats.agg(
         F.round(cell(1, 0), 6).alias("t_pre"),
         F.round(cell(1, 1), 6).alias("t_post"),
         F.round(cell(0, 0), 6).alias("c_pre"),
@@ -2531,10 +2576,25 @@ scored AS (
 SELECT CAST(decile AS BIGINT) AS decile,
        CAST(COUNT(CASE WHEN treated = 1 THEN 1 END) AS BIGINT) AS n_treated,
        CAST(COUNT(CASE WHEN treated = 0 THEN 1 END) AS BIGINT) AS n_control,
-       ROUND(AVG(CASE WHEN treated = 1 THEN spend END), 6) AS mu_treated,
-       ROUND(AVG(CASE WHEN treated = 0 THEN spend END), 6) AS mu_control,
-       ROUND(AVG(CASE WHEN treated = 1 THEN spend END)
-             - AVG(CASE WHEN treated = 0 THEN spend END), 6) AS uplift
+       ROUND(CAST(SUM(CASE WHEN treated = 1
+                      THEN CAST(ROUND(spend, 6) AS DECIMAL(38,6)) END)
+                  AS DOUBLE)
+             / NULLIF(COUNT(CASE WHEN treated = 1 THEN 1 END), 0), 6)
+         AS mu_treated,
+       ROUND(CAST(SUM(CASE WHEN treated = 0
+                      THEN CAST(ROUND(spend, 6) AS DECIMAL(38,6)) END)
+                  AS DOUBLE)
+             / NULLIF(COUNT(CASE WHEN treated = 0 THEN 1 END), 0), 6)
+         AS mu_control,
+       ROUND(CAST(SUM(CASE WHEN treated = 1
+                      THEN CAST(ROUND(spend, 6) AS DECIMAL(38,6)) END)
+                  AS DOUBLE)
+             / NULLIF(COUNT(CASE WHEN treated = 1 THEN 1 END), 0)
+             - CAST(SUM(CASE WHEN treated = 0
+                        THEN CAST(ROUND(spend, 6) AS DECIMAL(38,6)) END)
+                    AS DOUBLE)
+             / NULLIF(COUNT(CASE WHEN treated = 0 THEN 1 END), 0), 6)
+         AS uplift
 FROM scored
 GROUP BY decile ORDER BY decile"""
 
@@ -2550,7 +2610,9 @@ def ef_uplift_by_decile(spark: SparkSession, sf_dir: str) -> DataFrame:
     the bounded-input exception to the no-global-window rule — at true
     user-count scale swap in percentile_approx cuts like
     ev_user_rfm_scalable); everything else is a 10-group conditional
-    aggregate. Spend sums in exact DECIMAL per repo convention."""
+    aggregate. Spend sums in exact DECIMAL per repo convention, and the
+    per-decile means accumulate 6-dp-quantized DECIMAL terms (the
+    ef_welch_ttest rule) rather than order-dependent double AVGs."""
     per_user = (
         events_raw(spark, sf_dir)
         .groupBy("user_id")
@@ -2577,16 +2639,30 @@ def ef_uplift_by_decile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.col("spend"), F.lit(0.0)).alias("spend"),
         F.ntile(10).over(w).alias("decile"),
     )
-    t = F.when(F.col("treated") == 1, F.col("spend"))
-    c = F.when(F.col("treated") == 0, F.col("spend"))
+    # per-decile means via quantized-DECIMAL sums (ef_welch_ttest rule:
+    # no order-dependent double accumulation across users)
+    t = F.when(
+        F.col("treated") == 1, F.round("spend", 6).cast("decimal(38,6)")
+    )
+    c = F.when(
+        F.col("treated") == 0, F.round("spend", 6).cast("decimal(38,6)")
+    )
+    n_t = F.count(F.when(F.col("treated") == 1, 1))
+    n_c = F.count(F.when(F.col("treated") == 0, 1))
+    mu_t = F.sum(t).cast("double") / F.nullif(
+        n_t.cast("double"), F.lit(0.0)
+    )
+    mu_c = F.sum(c).cast("double") / F.nullif(
+        n_c.cast("double"), F.lit(0.0)
+    )
     return (
         scored.groupBy(F.col("decile").cast("long").alias("decile"))
         .agg(
-            F.count(F.when(F.col("treated") == 1, 1)).alias("n_treated"),
-            F.count(F.when(F.col("treated") == 0, 1)).alias("n_control"),
-            F.round(F.avg(t), 6).alias("mu_treated"),
-            F.round(F.avg(c), 6).alias("mu_control"),
-            F.round(F.avg(t) - F.avg(c), 6).alias("uplift"),
+            n_t.alias("n_treated"),
+            n_c.alias("n_control"),
+            F.round(mu_t, 6).alias("mu_treated"),
+            F.round(mu_c, 6).alias("mu_control"),
+            F.round(mu_t - mu_c, 6).alias("uplift"),
         )
         .orderBy("decile")
     )
