@@ -669,6 +669,36 @@ def ef_attribution_position_based(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+# ----------------------------- shared conversion-subject base
+
+def conversion_subjects(ev: DataFrame) -> DataFrame:
+    """Per-user click→purchase subject base shared by the experiment
+    family (KM, conversion z-test, log-rank, SPRT, power analysis):
+    every click left-joined to the same user's purchases at µs epochs.
+    Callers group on user_id and aggregate to their statistic's
+    sufficient columns via :func:`converted_agg` / :func:`first_conv_agg`
+    — the conversion definition (a STRICTLY-later purchase) lives here
+    once instead of five hand-copies (session review)."""
+    clicks_t = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.expr("ts DIV 1000").alias("ctsm")
+    )
+    purch = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"), F.expr("ts DIV 1000").alias("pts")
+    )
+    return clicks_t.join(purch, F.col("user_id") == F.col("p_user"), "left")
+
+
+def converted_agg():
+    """1 iff any purchase strictly follows a click (the family's
+    shared conversion predicate)."""
+    return F.max(F.when(F.col("pts") > F.col("ctsm"), 1).otherwise(0))
+
+
+def first_conv_agg():
+    """Earliest strictly-later purchase epoch (NULL = censored)."""
+    return F.min(F.when(F.col("pts") > F.col("ctsm"), F.col("pts")))
+
+
 # ------------------------------------------------- survival analysis
 
 #: Microseconds per day (duration discretization for the KM curve).
@@ -736,21 +766,10 @@ def ef_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = events_raw(spark, sf_dir)
     t_end = ev.agg(F.expr("MAX(ts DIV 1000)").alias("t_end"))
-    clicks_t = ev.filter(F.col("event_type") == "click").select(
-        "user_id", F.expr("ts DIV 1000").alias("ctsm")
-    )
-    purch = ev.filter(F.col("event_type") == "purchase").select(
-        F.col("user_id").alias("p_user"), F.expr("ts DIV 1000").alias("pts")
-    )
     subj = (
-        clicks_t.join(purch, F.col("user_id") == F.col("p_user"), "left")
+        conversion_subjects(ev)
         .groupBy("user_id")
-        .agg(
-            F.min("ctsm").alias("t0"),
-            F.min(
-                F.when(F.col("pts") > F.col("ctsm"), F.col("pts"))
-            ).alias("tp"),
-        )
+        .agg(F.min("ctsm").alias("t0"), first_conv_agg().alias("tp"))
     )
     durations = subj.crossJoin(F.broadcast(t_end)).select(
         (F.col("tp").isNotNull()).cast("int").alias("event"),
@@ -851,19 +870,11 @@ def ef_conversion_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
     divides quantized doubles built from identical operands, so the
     single row hash-matches."""
     ev = events_raw(spark, sf_dir)
-    clicks_t = ev.filter(F.col("event_type") == "click").select(
-        "user_id", F.expr("ts DIV 1000").alias("ctsm")
-    )
-    purch = ev.filter(F.col("event_type") == "purchase").select(
-        F.col("user_id").alias("p_user"), F.expr("ts DIV 1000").alias("pts")
-    )
     subj = (
-        clicks_t.join(purch, F.col("user_id") == F.col("p_user"), "left")
+        conversion_subjects(ev)
         .groupBy("user_id")
         .agg(
-            F.max(
-                F.when(F.col("pts") > F.col("ctsm"), 1).otherwise(0)
-            ).alias("converted"),
+            converted_agg().alias("converted"),
             (F.min("ctsm") % 2).alias("cohort"),
         )
     )
@@ -968,21 +979,10 @@ def ef_logrank_test(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = events_raw(spark, sf_dir)
     t_end = ev.agg(F.expr("MAX(ts DIV 1000)").alias("t_end"))
-    clicks_t = ev.filter(F.col("event_type") == "click").select(
-        "user_id", F.expr("ts DIV 1000").alias("ctsm")
-    )
-    purch = ev.filter(F.col("event_type") == "purchase").select(
-        F.col("user_id").alias("p_user"), F.expr("ts DIV 1000").alias("pts")
-    )
     subj = (
-        clicks_t.join(purch, F.col("user_id") == F.col("p_user"), "left")
+        conversion_subjects(ev)
         .groupBy("user_id")
-        .agg(
-            F.min("ctsm").alias("t0"),
-            F.min(
-                F.when(F.col("pts") > F.col("ctsm"), F.col("pts"))
-            ).alias("tp"),
-        )
+        .agg(F.min("ctsm").alias("t0"), first_conv_agg().alias("tp"))
         .withColumn("cohort", F.col("t0") % 2)
     )
     durations = subj.crossJoin(F.broadcast(t_end)).select(
@@ -1871,20 +1871,10 @@ def ef_sprt_decision(spark: SparkSession, sf_dir: str) -> DataFrame:
     ratio identically), so the decision string is hash-stable. Plan:
     the z-test's subject aggregate reduced to one row."""
     ev = events_raw(spark, sf_dir)
-    clicks_t = ev.filter(F.col("event_type") == "click").select(
-        "user_id", F.expr("ts DIV 1000").alias("ctsm")
-    )
-    purch = ev.filter(F.col("event_type") == "purchase").select(
-        F.col("user_id").alias("p_user"), F.expr("ts DIV 1000").alias("pts")
-    )
     subj = (
-        clicks_t.join(purch, F.col("user_id") == F.col("p_user"), "left")
+        conversion_subjects(ev)
         .groupBy("user_id")
-        .agg(
-            F.max(
-                F.when(F.col("pts") > F.col("ctsm"), 1).otherwise(0)
-            ).alias("converted")
-        )
+        .agg(converted_agg().alias("converted"))
     )
     g = subj.agg(
         F.count("*").cast("long").alias("n"),
@@ -1980,20 +1970,11 @@ def ef_power_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
     shape) feeding a 1-row formula — the data-sized work is the
     subject build; the planning math is constant."""
     ev = events_raw(spark, sf_dir)
-    clicks_t = ev.filter(F.col("event_type") == "click").select(
-        "user_id", F.expr("ts DIV 1000").alias("ctsm")
-    )
-    purch = ev.filter(F.col("event_type") == "purchase").select(
-        F.col("user_id").alias("p_user"),
-        F.expr("ts DIV 1000").alias("pts"),
-    )
     subj = (
-        clicks_t.join(purch, F.col("user_id") == F.col("p_user"), "left")
+        conversion_subjects(ev)
         .groupBy("user_id")
         .agg(
-            F.max(
-                F.when(F.col("pts") > F.col("ctsm"), 1).otherwise(0)
-            ).alias("converted"),
+            converted_agg().alias("converted"),
             (F.min("ctsm") % 2).alias("cohort"),
         )
     )
