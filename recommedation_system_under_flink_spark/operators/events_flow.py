@@ -152,16 +152,25 @@ FROM sess
 GROUP BY user_id, session_seq"""
 
 
-def sessionize_events(ev: DataFrame, gap_us: int = SESSION_GAP_US) -> DataFrame:
-    """Core gap sessionization over ``(user_id, event_id, tsm, value)``
-    rows; see :func:`ef_sessionize` for the plan story."""
+def annotate_sessions(ev: DataFrame, gap_us: int = SESSION_GAP_US) -> DataFrame:
+    """The sessionize ANNOTATION core: tag each ``(user_id, event_id,
+    tsm, ...)`` row with its 1-based ``session_seq`` (lag gap flag +
+    running sum over one shared sort). Extracted so consumers that need
+    per-EVENT session keys (the session funnel) share the exact gap
+    semantics with the per-SESSION aggregate (session review)."""
     order = Window.partitionBy("user_id").orderBy("tsm", "event_id")
     gap = F.col("tsm") - F.lag("tsm").over(order)
     is_start = F.when(gap.isNull() | (gap > gap_us), F.lit(1)).otherwise(F.lit(0))
     running = order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    sess = ev.withColumn(
+    return ev.withColumn(
         "session_seq", F.sum(is_start).over(running).cast("long")
     )
+
+
+def sessionize_events(ev: DataFrame, gap_us: int = SESSION_GAP_US) -> DataFrame:
+    """Core gap sessionization over ``(user_id, event_id, tsm, value)``
+    rows; see :func:`ef_sessionize` for the plan story."""
+    sess = annotate_sessions(ev, gap_us)
     return sess.groupBy("user_id", "session_seq").agg(
         F.count("*").cast("long").alias("n_events"),
         F.min("tsm").alias("session_start"),
@@ -265,6 +274,36 @@ def ef_range_join_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ------------------------------------------------------------ funnel
 
+def staged_funnel(ev: DataFrame, key: list[str]) -> DataFrame:
+    """First-occurrence view → click → purchase staging keyed on
+    ``key``: per key, the earliest view (t1), the earliest click
+    strictly after it (t2), the earliest purchase strictly after that
+    (t3), as ``v LEFT JOIN c LEFT JOIN p``. Every stage is keyed on
+    ``key``, so the funnel reuses one hash partitioning end to end;
+    shared by the daily and the session-scoped funnels (session
+    review)."""
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy(*key)
+        .agg(F.min("tsm").alias("t1"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, key)
+        .filter(F.col("tsm") > F.col("t1"))
+        .groupBy(*key)
+        .agg(F.min("tsm").alias("t2"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, key)
+        .filter(F.col("tsm") > F.col("t2"))
+        .groupBy(*key)
+        .agg(F.min("tsm").alias("t3"))
+    )
+    return v.join(c, key, "left").join(p, key, "left")
+
+
 _FUNNEL_ORACLE = """WITH ev AS (
   SELECT user_id, CAST(ts AS DATE) AS day, event_type, epoch_us(ts) AS tsm
   FROM events
@@ -315,30 +354,8 @@ def ef_funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame
         "event_type",
         F.expr("ts DIV 1000").alias("tsm"),
     )
-    key = ["user_id", "day"]
-
-    v = (
-        ev.filter(F.col("event_type") == "view")
-        .groupBy(*key)
-        .agg(F.min("tsm").alias("t1"))
-    )
-    c = (
-        ev.filter(F.col("event_type") == "click")
-        .join(v, key)
-        .filter(F.col("tsm") > F.col("t1"))
-        .groupBy(*key)
-        .agg(F.min("tsm").alias("t2"))
-    )
-    p = (
-        ev.filter(F.col("event_type") == "purchase")
-        .join(c, key)
-        .filter(F.col("tsm") > F.col("t2"))
-        .groupBy(*key)
-        .agg(F.min("tsm").alias("t3"))
-    )
     return (
-        v.join(c, key, "left")
-        .join(p, key, "left")
+        staged_funnel(ev, ["user_id", "day"])
         .select(
             "day",
             F.when(F.col("t3").isNotNull(), 3)
@@ -467,38 +484,9 @@ def ef_session_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = events_raw(spark, sf_dir).select(
         "user_id", "event_id", "event_type", F.expr("ts DIV 1000").alias("tsm")
     )
-    order = Window.partitionBy("user_id").orderBy("tsm", "event_id")
-    gap = F.col("tsm") - F.lag("tsm").over(order)
-    is_start = F.when(gap.isNull() | (gap > SESSION_GAP_US), F.lit(1)).otherwise(
-        F.lit(0)
-    )
-    running = order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    sess = ev.withColumn(
-        "session_seq", F.sum(is_start).over(running).cast("long")
-    )
-    key = ["user_id", "session_seq"]
-    v = (
-        sess.filter(F.col("event_type") == "view")
-        .groupBy(*key)
-        .agg(F.min("tsm").alias("t1"))
-    )
-    c = (
-        sess.filter(F.col("event_type") == "click")
-        .join(v, key)
-        .filter(F.col("tsm") > F.col("t1"))
-        .groupBy(*key)
-        .agg(F.min("tsm").alias("t2"))
-    )
-    p = (
-        sess.filter(F.col("event_type") == "purchase")
-        .join(c, key)
-        .filter(F.col("tsm") > F.col("t2"))
-        .groupBy(*key)
-        .agg(F.min("tsm").alias("t3"))
-    )
+    sess = annotate_sessions(ev)
     return (
-        v.join(c, key, "left")
-        .join(p, key, "left")
+        staged_funnel(sess, ["user_id", "session_seq"])
         .select(
             F.when(F.col("t3").isNotNull(), 3)
             .when(F.col("t2").isNotNull(), 2)
