@@ -629,9 +629,8 @@ def graph_triangle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("clustering_coeff"),
         )
     )
-    result = checkpoint_result(out)
-    e.unpersist()
-    return result
+    # release rides checkpoint_result's finally (leak-on-failure safe)
+    return checkpoint_result(out, e)
 
 
 # ------------------------------------------------ k-core (bounded peel)
@@ -836,9 +835,8 @@ def graph_link_prediction_aa(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("aa_score").desc(), "x", "y")
         .limit(AA_TOP_N)
     )
-    result = checkpoint_result(out)
-    e.unpersist()
-    return result
+    # release rides checkpoint_result's finally (leak-on-failure safe)
+    return checkpoint_result(out, e)
 
 
 # --------------------------------------- label-propagation communities

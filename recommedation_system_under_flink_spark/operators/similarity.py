@@ -2535,10 +2535,8 @@ def sim_dbscan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from .bsp import checkpoint_result
 
-    result = checkpoint_result(out)
-    edges.unpersist()
-    core.unpersist()
-    core_label.unpersist()
+    # releases ride checkpoint_result's finally (leak-on-failure safe)
+    result = checkpoint_result(out, edges, core, core_label)
     return result
 
 
