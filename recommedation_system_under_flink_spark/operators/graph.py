@@ -977,13 +977,24 @@ def _modularity_oracle() -> str:
     ctes.append(
         "m AS (SELECT CAST(COUNT(*) AS BIGINT) AS dir_edges FROM edges)"
     )
+    # Hash-robustness (r8 driver-red fix): q_c is an exact rational
+    # with denominator dir_edges², which CAN land exactly on 6-dp
+    # half-boundaries where ROUND rules (HALF_UP vs double-rounding)
+    # disagree across engines. Both engines now walk the IDENTICAL
+    # IEEE-double tree — explicit CASTs, square via multiply (POWER's
+    # libm is not pinned), FLOOR(x·1e6 + 0.5) (rule-free) — so the
+    # published value is bit-identical by construction.
     return with_ctes(
         """SELECT s.label,
        s.n_nodes,
        s.deg_sum,
        CAST(COALESCE(i.intra_dir, 0) / 2 AS BIGINT) AS intra_edges,
-       ROUND(CAST(COALESCE(i.intra_dir, 0) AS DOUBLE) / m.dir_edges
-             - POWER(CAST(s.deg_sum AS DOUBLE) / m.dir_edges, 2), 6)
+       CAST(CAST(FLOOR(
+           (CAST(COALESCE(i.intra_dir, 0) AS DOUBLE)
+              / CAST(m.dir_edges AS DOUBLE)
+            - (CAST(s.deg_sum AS DOUBLE) / CAST(m.dir_edges AS DOUBLE))
+              * (CAST(s.deg_sum AS DOUBLE) / CAST(m.dir_edges AS DOUBLE)))
+           * 1e6 + 0.5) AS BIGINT) AS DOUBLE) / 1e6
          AS q_contribution
 FROM (
   SELECT l.label,
@@ -1077,6 +1088,11 @@ def graph_modularity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     m = edges.agg(F.count("*").cast("long").alias("dir_edges"))
     intra_dir = F.coalesce(F.col("intra_dir"), F.lit(0)).cast("long")
+    # Mirror the oracle's IEEE tree exactly: explicit double casts,
+    # square via multiply, FLOOR(x·1e6 + 0.5) — see _modularity_oracle.
+    m_d = F.col("dir_edges").cast("double")
+    deg_frac = F.col("deg_sum").cast("double") / m_d
+    q_raw = intra_dir.cast("double") / m_d - deg_frac * deg_frac
     out = (
         sizes.join(intra, "label", "left")
         .crossJoin(F.broadcast(m))
@@ -1085,12 +1101,8 @@ def graph_modularity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_nodes",
             "deg_sum",
             (intra_dir / 2).cast("long").alias("intra_edges"),
-            F.round(
-                intra_dir.cast("double") / F.col("dir_edges")
-                - F.pow(
-                    F.col("deg_sum").cast("double") / F.col("dir_edges"), 2
-                ),
-                6,
+            (
+                F.floor(q_raw * 1e6 + 0.5).cast("long").cast("double") / 1e6
             ).alias("q_contribution"),
         )
     )

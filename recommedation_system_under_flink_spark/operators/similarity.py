@@ -2546,10 +2546,31 @@ def sim_dbscan(spark: SparkSession, sf_dir: str) -> DataFrame:
 PCA_K = 8
 
 
+#: Input quantization for the covariance sums: embeddings land as
+#: 1e6-scaled BIGINTs (``FLOOR(x·1e6 + 0.5)``), so every downstream
+#: SUM is exact integer arithmetic — order-independent across
+#: partitions AND engines. |x| < 1 and dim = 64 bound the products at
+#: ~3.6e11 and the sums at n·3.6e11, safely inside BIGINT up to ~2.5e7
+#: vectors; beyond that a production build would widen to DECIMAL(38,0).
+_COV_SCALE = 1_000_000
+
+
 def _cov_relation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Upper-triangle (i ≤ j) covariance of the embedding dimensions,
     population (÷n) convention, from ONE pass of per-(i, j) running
     sums: cov = (Σxᵢxⱼ − ΣxᵢΣxⱼ/n)/n — no mean join, no second scan.
+
+    Hash-robustness (round-9 driver-red fix): raw double SUMs
+    accumulate in partition order, and a value landing within an ulp of
+    a 6-dp half-boundary then ROUNDs differently across engines /
+    environments (the r8 driver flip). The inputs are therefore
+    quantized to ``_COV_SCALE``-scaled BIGINTs first, the three moment
+    sums are exact integers, and the covariance is one deterministic
+    IEEE-double expression tree evaluated identically by Spark and
+    DuckDB, finished with FLOOR(x·1e6 + 0.5) (no rounding-rule
+    ambiguity) — so the hash path carries no order- or rule-dependent
+    float anywhere. Quantization perturbs each covariance by O(1e-7),
+    below the published 6-dp resolution.
 
     Scale: the outer-product relation is generated per ROW (posexplode
     of the vector × posexplode of its tail slice — compute, not
@@ -2561,7 +2582,11 @@ def _cov_relation(spark: SparkSession, sf_dir: str) -> DataFrame:
     same bounded shuffle; the Catalyst form is kept because it is
     fully oracle-comparable."""
     x = load_raw(spark, sf_dir, "embeddings").select(
-        "vec_id", _as_double("embedding").alias("e")
+        "vec_id",
+        F.transform(
+            _as_double("embedding"),
+            lambda v: F.floor(v * _COV_SCALE + 0.5).cast("long"),
+        ).alias("e"),
     )
     ex = x.select("e", F.posexplode("e").alias("i", "xi"))
     pr = ex.select(
@@ -2574,22 +2599,25 @@ def _cov_relation(spark: SparkSession, sf_dir: str) -> DataFrame:
     g = pr.groupBy(
         "i", (F.col("i") + F.col("k")).cast("int").alias("j")
     ).agg(
-        F.count("*").alias("n"),
-        F.sum("xi").alias("sx"),
-        F.sum("xj").alias("sy"),
-        F.sum(F.col("xi") * F.col("xj")).alias("sxy"),
+        F.count("*").cast("double").alias("n"),
+        F.sum("xi").cast("double").alias("sx"),
+        F.sum("xj").cast("double").alias("sy"),
+        F.sum(F.col("xi") * F.col("xj")).cast("double").alias("sxy"),
     )
-    return g.select(
-        "i",
-        "j",
-        (
-            (F.col("sxy") - F.col("sx") * F.col("sy") / F.col("n")) / F.col("n")
-        ).alias("cov"),
-    )
+    # raw = cov·SCALE², so cov·1e6 = raw/1e6 — ONE division, mirrored
+    # textually in the oracle so both engines walk the same IEEE tree.
+    raw = (F.col("sxy") - F.col("sx") * F.col("sy") / F.col("n")) / F.col("n")
+    ppm = F.floor(raw / 1e6 + 0.5).cast("long")
+    return g.select("i", "j", (ppm.cast("double") / 1e6).alias("cov"))
 
 
 _COV_ORACLE = f"""WITH x AS (
-  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+  SELECT vec_id,
+         list_transform(
+           CAST(embedding AS DOUBLE[]),
+           v -> CAST(FLOOR(v * {_COV_SCALE} + 0.5) AS BIGINT)
+         ) AS e
+  FROM embeddings
 ),
 ex AS (
   SELECT e, i, e[i] AS xi
@@ -2600,10 +2628,19 @@ pr AS (
          xi, e[j] AS xj
   FROM (SELECT e, i, xi, generate_subscripts(e, 1) AS j FROM ex)
   WHERE j >= i
+),
+g AS (
+  SELECT i, j,
+         CAST(COUNT(*) AS DOUBLE) AS n,
+         CAST(CAST(SUM(xi) AS BIGINT) AS DOUBLE) AS sx,
+         CAST(CAST(SUM(xj) AS BIGINT) AS DOUBLE) AS sy,
+         CAST(CAST(SUM(xi * xj) AS BIGINT) AS DOUBLE) AS sxy
+  FROM pr GROUP BY i, j
 )
 SELECT i, j,
-       ROUND((SUM(xi * xj) - SUM(xi) * SUM(xj) / COUNT(*)) / COUNT(*), 6) AS cov
-FROM pr GROUP BY i, j"""
+       CAST(CAST(FLOOR((sxy - sx * sy / n) / n / 1e6 + 0.5)
+                 AS BIGINT) AS DOUBLE) / 1e6 AS cov
+FROM g"""
 
 
 @register("sim_embedding_covariance", _COV_ORACLE)
@@ -2612,10 +2649,10 @@ def sim_embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
     EMB_DIM·(EMB_DIM+1)/2 = 2080 rows) — the statistic behind
     whitening, PCA compression, and the anisotropy audits embedding
     pipelines run before ANN indexing (a collapsed spectrum ruins
-    recall). Quantized to 6 dp for the cross-engine hash (the sums
-    accumulate in data-dependent order)."""
-    c = _cov_relation(spark, sf_dir)
-    return c.select("i", "j", F.round("cov", 6).alias("cov"))
+    recall). Hash path is exact-integer moment sums + one deterministic
+    double expression finished with FLOOR — see :func:`_cov_relation`
+    (r8 driver-red fix: no order-dependent float SUM, no ROUND)."""
+    return _cov_relation(spark, sf_dir)
 
 
 @register("sim_pca_project")  # eigendecomposition → rows-only by nature
