@@ -2758,20 +2758,40 @@ def _cv_ridge_oracle() -> str:
     from .events_props import _cramer4
 
     d, d0, d1, d2, d3 = _cramer4()
+    from .quantize import ppm_floor_sql, ppm_value_sql
+
+    # Round-9 (advisor + sf0.1 repro): each moment term is quantized
+    # to BIGINT micro-units with the rule-free FLOOR(x·1e6 + 0.5) —
+    # NOT ROUND, whose HALF_UP-vs-binary semantics flip on this
+    # query's gridded features (f1·f3 is an exact odd multiple of
+    # 1.25e-5 for many token counts, i.e. a true 6-dp half-boundary).
+    # Sums/rollup/leave-fold-out subtraction are exact integers;
+    # doubles reappear only in the Cramer tree shared verbatim by
+    # both engines, and every published float goes through the same
+    # FLOOR quantizer.
     raw_moms = ", ".join(
-        f"SUM(f{i} * f{j}) AS m{i}{j}" for i in range(4) for j in range(i, 4)
+        f"SUM({ppm_floor_sql(f'f{i} * f{j}')}) AS m{i}{j}"
+        for i in range(4)
+        for j in range(i, 4)
     )
-    raw_bs = ", ".join(f"SUM(f{i} * y) AS b{i}" for i in range(4))
+    raw_bs = ", ".join(
+        f"SUM({ppm_floor_sql(f'f{i} * y')}) AS b{i}" for i in range(4)
+    )
     g_moms = ", ".join(
         f"SUM(m{i}{j}) AS gm{i}{j}" for i in range(4) for j in range(i, 4)
     )
     g_bs = ", ".join(f"SUM(b{i}) AS gb{i}" for i in range(4))
     train_cols = ", ".join(
-        f"gm{i}{j} - m{i}{j}" + (" + lam" if i == j else "") + f" AS m{i}{j}"
+        f"CAST(gm{i}{j} - m{i}{j} AS DOUBLE) / 1000000.0"
+        + (" + lam" if i == j else "")
+        + f" AS m{i}{j}"
         for i in range(4)
         for j in range(i, 4)
     )
-    train_bs = ", ".join(f"gb{i} - b{i} AS b{i}" for i in range(4))
+    train_bs = ", ".join(
+        f"CAST(gb{i} - b{i} AS DOUBLE) / 1000000.0 AS b{i}"
+        for i in range(4)
+    )
     lam_list = ", ".join(repr(float(x)) for x in RIDGE_CV_LAMBDAS)
     return f"""WITH {_FEATS_CTE},
 f AS (
@@ -2799,13 +2819,17 @@ beta AS (
 SELECT ROUND(lam, 6) AS ridge_lambda,
        f.fold AS fold,
        ANY_VALUE(beta.n_test) AS n_test,
-       ROUND(ANY_VALUE(c0), 6) AS w_bias,
-       ROUND(ANY_VALUE(c1), 6) AS w_x1,
-       ROUND(ANY_VALUE(c2), 6) AS w_x2,
-       ROUND(ANY_VALUE(c3), 6) AS w_x3,
-       ROUND(AVG((y - (c0 * f0 + c1 * f1 + c2 * f2 + c3 * f3))
-                 * (y - (c0 * f0 + c1 * f1 + c2 * f2 + c3 * f3))), 6)
-         AS test_mse
+       {ppm_value_sql("ANY_VALUE(c0)")} AS w_bias,
+       {ppm_value_sql("ANY_VALUE(c1)")} AS w_x1,
+       {ppm_value_sql("ANY_VALUE(c2)")} AS w_x2,
+       {ppm_value_sql("ANY_VALUE(c3)")} AS w_x3,
+       CAST(CAST(FLOOR(
+           CAST(SUM({ppm_floor_sql(
+               "(y - (c0 * f0 + c1 * f1 + c2 * f2 + c3 * f3))"
+               " * (y - (c0 * f0 + c1 * f1 + c2 * f2 + c3 * f3))"
+           )}) AS DOUBLE)
+           / CAST(COUNT(*) AS DOUBLE) + 0.5) AS BIGINT) AS DOUBLE)
+         / 1000000.0 AS test_mse
 FROM f JOIN beta ON f.fold = beta.fold
 GROUP BY lam, f.fold
 ORDER BY ridge_lambda, fold"""
@@ -2846,13 +2870,22 @@ def ml_cv_ridge_path(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("x3").alias("f3"),
     )
     pairs = [(i, j) for i in range(4) for j in range(i, 4)]
+    from .quantize import ppm_floor, ppm_value
+
+    # Rule-free micro-unit quantization of every moment term (see
+    # _cv_ridge_oracle): exact, order-free BIGINT accumulation.
     foldmom = f.groupBy("fold").agg(
         F.count("*").alias("n_test"),
         *[
-            F.sum(F.col(f"f{i}") * F.col(f"f{j}")).alias(f"m{i}{j}")
+            F.sum(ppm_floor(F.col(f"f{i}") * F.col(f"f{j}"))).alias(
+                f"m{i}{j}"
+            )
             for i, j in pairs
         ],
-        *[F.sum(F.col(f"f{i}") * F.col("y")).alias(f"b{i}") for i in range(4)],
+        *[
+            F.sum(ppm_floor(F.col(f"f{i}") * F.col("y"))).alias(f"b{i}")
+            for i in range(4)
+        ],
     )
     glob = foldmom.agg(
         *[F.sum(f"m{i}{j}").alias(f"gm{i}{j}") for i, j in pairs],
@@ -2872,14 +2905,22 @@ def ml_cv_ridge_path(spark: SparkSession, sf_dir: str) -> DataFrame:
             "lam",
             *[
                 (
-                    F.col(f"gm{i}{j}")
-                    - F.col(f"m{i}{j}")
-                    + (F.col("lam") if i == j else F.lit(0.0))
+                    (F.col(f"gm{i}{j}") - F.col(f"m{i}{j}")).cast("double")
+                    / 1000000.0
+                    + F.col("lam")
+                    if i == j
+                    else (F.col(f"gm{i}{j}") - F.col(f"m{i}{j}")).cast(
+                        "double"
+                    )
+                    / 1000000.0
                 ).alias(f"tm{i}{j}")
                 for i, j in pairs
             ],
             *[
-                (F.col(f"gb{i}") - F.col(f"b{i}")).alias(f"tb{i}")
+                (
+                    (F.col(f"gb{i}") - F.col(f"b{i}")).cast("double")
+                    / 1000000.0
+                ).alias(f"tb{i}")
                 for i in range(4)
             ],
         )
@@ -2905,12 +2946,21 @@ def ml_cv_ridge_path(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("lam", "fold")
         .agg(
             F.first("n_test").alias("n_test"),
-            F.round(F.first("c0"), 6).alias("w_bias"),
-            F.round(F.first("c1"), 6).alias("w_x1"),
-            F.round(F.first("c2"), 6).alias("w_x2"),
-            F.round(F.first("c3"), 6).alias("w_x3"),
-            F.round(
-                F.avg((F.col("y") - pred) * (F.col("y") - pred)), 6
+            ppm_value(F.first("c0")).alias("w_bias"),
+            ppm_value(F.first("c1")).alias("w_x1"),
+            ppm_value(F.first("c2")).alias("w_x2"),
+            ppm_value(F.first("c3")).alias("w_x3"),
+            (
+                F.floor(
+                    F.sum(
+                        ppm_floor((F.col("y") - pred) * (F.col("y") - pred))
+                    ).cast("double")
+                    / F.count("*").cast("double")
+                    + 0.5
+                )
+                .cast("long")
+                .cast("double")
+                / 1000000.0
             ).alias("test_mse"),
         )
         .select(

@@ -780,6 +780,11 @@ def _frame_signatures(m: DataFrame) -> DataFrame:
             for media_id, payload, dur in zip(
                 pdf["media_id"], pdf["payload"], pdf["duration_ms"]
             ):
+                # A malformed row with NULL duration is dropped, the
+                # same fate the oracle's NULL nf gives it (round-9
+                # advice: the kernel used to raise instead).
+                if pd.isna(dur):
+                    continue
                 n = len(payload)
                 nf = int(min(dur // 1000, 10)) + 1
                 chunk = max(1, n // nf)

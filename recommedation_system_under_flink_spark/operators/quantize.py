@@ -1,0 +1,53 @@
+"""Rule-free 6-dp quantization shared by Spark plans and DuckDB oracles.
+
+The r8 driver flips (sim_embedding_covariance, graph_modularity_report)
+and the r9 ml_cv_ridge_path sf0.1 repro all share one mechanism: a
+``ROUND(x, 6)`` on the hash path where x can land on (or within an ulp
+of) an exact 6-dp half-boundary — Spark rounds HALF_UP over the
+double's decimal form, DuckDB rounds the binary value, and the two
+disagree exactly there. Gridded inputs make such boundaries COMMON,
+not rare: e.g. ``n_chars²/(5000·ntok)`` is an exact odd multiple of
+1.25e-5 for many ntok.
+
+``FLOOR(x·1e6 + 0.5)`` has no rounding *rule* at all — both engines
+evaluate the same IEEE multiply/add/floor on the same double and get
+the same bits, for positive and negative x alike (halves go toward
++inf on both). Quantizing each TERM to integer micro-units before a
+SUM also makes the accumulation exact and partition-order-free.
+
+Usage: quantize terms with :func:`ppm_floor` / :func:`ppm_floor_sql`
+(BIGINT micro-units — sum these), publish floats with
+:func:`ppm_value` / :func:`ppm_value_sql` (the quantized double).
+Keep the Spark expression and the SQL fragment textually parallel so
+both engines walk the identical IEEE tree.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+#: Micro-unit scale: 6 decimal places, matching the repo-wide
+#: "ROUND(x, 6) every float output" canonicalizer contract.
+PPM = 1_000_000
+
+
+def ppm_floor(col: Column | str) -> Column:
+    """``FLOOR(x·1e6 + 0.5)`` as BIGINT micro-units (sum-safe)."""
+    col = F.col(col) if isinstance(col, str) else col
+    return F.floor(col * float(PPM) + 0.5).cast("long")
+
+
+def ppm_value(col: Column) -> Column:
+    """x quantized to the 6-dp grid as DOUBLE (publishable)."""
+    return ppm_floor(col).cast("double") / float(PPM)
+
+
+def ppm_floor_sql(expr: str) -> str:
+    """DuckDB twin of :func:`ppm_floor` (textual mirror)."""
+    return f"CAST(FLOOR(({expr}) * 1000000.0 + 0.5) AS BIGINT)"
+
+
+def ppm_value_sql(expr: str) -> str:
+    """DuckDB twin of :func:`ppm_value` (textual mirror)."""
+    return f"CAST({ppm_floor_sql(expr)} AS DOUBLE) / 1000000.0"

@@ -896,9 +896,15 @@ POISSON1_CDF = (
 
 def _boot_u_sql() -> str:
     """The per-(doc, replicate) uniform draw: pinned Knuth hash of the
-    interleaved key, mapped to the exact rational (h + 0.5) / 2^32."""
+    interleaved key, mapped to the exact rational (h + 0.5) / 2^32.
+
+    The id is pre-reduced mod 2^32 BEFORE interleaving — congruent mod
+    2^32 ((d mod m)·B + b ≡ d·B + b), so certified hashes are
+    unchanged, while the interleaved key now tops out at ~3.4e10
+    instead of wrapping BIGINT for ids ≥ 2^63/B (round-9 advice: the
+    wrap was the one overflow split_hash itself couldn't absorb)."""
     return (
-        f"({split_hash_sql(f'doc_id * {BOOT_B} + b')} + 0.5)"
+        f"({split_hash_sql(f'(doc_id % {HASH_MOD}) * {BOOT_B} + b')} + 0.5)"
         f" / {HASH_MOD}"
     )
 
@@ -950,7 +956,9 @@ def samp_poisson_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_chars",
         F.explode(F.sequence(F.lit(0), F.lit(BOOT_B - 1))).alias("b"),
     )
-    h = split_hash(F.col("doc_id") * BOOT_B + F.col("b"))
+    # Pre-reduce mod 2^32 before interleaving (congruent, overflow-safe
+    # for every BIGINT id — see _boot_u_sql).
+    h = split_hash((F.col("doc_id") % F.lit(HASH_MOD)) * BOOT_B + F.col("b"))
     u = (h + F.lit(0.5)) / F.lit(HASH_MOD)
     w = None
     for k, t in enumerate(POISSON1_CDF):
