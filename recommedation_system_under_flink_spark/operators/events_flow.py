@@ -41,6 +41,7 @@ from pyspark.sql import functions as F
 
 from ..registry import register
 from ..sources import events_raw
+from .quantize import ppm_value
 from ..sources.tables import NEWS_MOD
 
 #: Session gap threshold: 30 minutes, in microseconds.
@@ -576,11 +577,10 @@ MTA_LOOKBACK_US = 7 * 24 * 3600 * 1_000_000
    AND epoch_us(c.ts) > epoch_us(p.ts) - {MTA_LOOKBACK_US}
 ), credited AS (
   SELECT purchase_id, click_id,
-         value * CAST(ROUND(
-           CASE WHEN n = 1 THEN 1.0
+         value * CAST(CAST(CAST(FLOOR((CASE WHEN n = 1 THEN 1.0
                 WHEN n = 2 THEN 0.5
                 WHEN pos = 1 OR pos = n THEN 0.4
-                ELSE 0.2 / (n - 2) END, 6) AS DECIMAL(9,6)) AS credit
+                ELSE 0.2 / (n - 2) END) * 1000000.0 + 0.5) AS BIGINT) AS DOUBLE) / 1000000.0 AS DECIMAL(9,6)) AS credit
   FROM touches
 )
 SELECT click_id % {{news_mod}} AS news_id,
@@ -645,7 +645,7 @@ def ef_attribution_position_based(spark: SparkSession, sf_dir: str) -> DataFrame
         "purchase_id",
         "click_id",
         (
-            F.col("value") * F.round(weight, 6).cast("decimal(9,6)")
+            F.col("value") * ppm_value(weight).cast("decimal(9,6)")
         ).alias("credit"),
     )
     return (
@@ -834,7 +834,7 @@ def ef_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
   FROM subj GROUP BY cohort
 )
 SELECT a.n AS n_a, a.x AS x_a, b.n AS n_b, b.x AS x_b,
-       ROUND(CAST(a.x AS DOUBLE) / a.n - CAST(b.x AS DOUBLE) / b.n, 6)
+       CAST(CAST(FLOOR((CAST(a.x AS DOUBLE) / a.n - CAST(b.x AS DOUBLE) / b.n) * 1000000.0 + 0.5) AS BIGINT) AS DOUBLE) / 1000000.0
          AS rate_diff,
        CASE WHEN a.x + b.x = 0 OR a.x + b.x = a.n + b.n THEN 0.0
             ELSE ROUND(
@@ -895,7 +895,7 @@ def ef_conversion_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
         "x_a",
         "n_b",
         "x_b",
-        F.round(ra - rb, 6).alias("rate_diff"),
+        ppm_value(ra - rb).alias("rate_diff"),
         F.when(degenerate, F.lit(0.0))
         .otherwise(F.round((ra - rb) / se, 6))
         .alias("z_stat"),
@@ -1069,8 +1069,8 @@ _VALUE_SUBJ_CTE = """subj AS (
   CROSS JOIN (SELECT * FROM g WHERE cohort = 1) b
 )
 SELECT n_a, n_b,
-       ROUND(sx_a / n_a, 6) AS mean_a,
-       ROUND(sx_b / n_b, 6) AS mean_b,
+       CAST(CAST(FLOOR((sx_a / n_a) * 1000000.0 + 0.5) AS BIGINT) AS DOUBLE) / 1000000.0 AS mean_a,
+       CAST(CAST(FLOOR((sx_b / n_b) * 1000000.0 + 0.5) AS BIGINT) AS DOUBLE) / 1000000.0 AS mean_b,
        ROUND((sx_a / n_a - sx_b / n_b)
              / sqrt((sxx_a - sx_a * sx_a / n_a) / (n_a - 1) / n_a
                     + (sxx_b - sx_b * sx_b / n_b) / (n_b - 1) / n_b),
@@ -1141,8 +1141,8 @@ def ef_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return j.select(
         "n_a",
         "n_b",
-        F.round(F.col("sx_a") / F.col("n_a"), 6).alias("mean_a"),
-        F.round(F.col("sx_b") / F.col("n_b"), 6).alias("mean_b"),
+        ppm_value(F.col("sx_a") / F.col("n_a")).alias("mean_a"),
+        ppm_value(F.col("sx_b") / F.col("n_b")).alias("mean_b"),
         F.round(
             (F.col("sx_a") / F.col("n_a") - F.col("sx_b") / F.col("n_b"))
             / F.sqrt(se2_a + se2_b),
@@ -1928,8 +1928,8 @@ POWER_REL_MDE = 0.10
   FROM g
 )
 SELECT n_users, n_arm_a, n_arm_b,
-       ROUND(p0, 6) AS p0,
-       ROUND(p1, 6) AS p1,
+       CAST(CAST(FLOOR((p0) * 1000000.0 + 0.5) AS BIGINT) AS DOUBLE) / 1000000.0 AS p0,
+       CAST(CAST(FLOOR((p1) * 1000000.0 + 0.5) AS BIGINT) AS DOUBLE) / 1000000.0 AS p1,
        CAST(CEIL(
          POWER({POWER_Z_ALPHA} * SQRT(2 * ((p0 + p1) / 2) * (1 - (p0 + p1) / 2))
                + {POWER_Z_BETA} * SQRT(p0 * (1 - p0) + p1 * (1 - p1)), 2)
@@ -1995,8 +1995,8 @@ def ef_power_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_users",
         "n_arm_a",
         "n_arm_b",
-        F.round(p0, 6).alias("p0"),
-        F.round(p1, 6).alias("p1"),
+        ppm_value(p0).alias("p0"),
+        ppm_value(p1).alias("p1"),
         n_req.cast("bigint").alias("n_required_per_arm"),
         F.least("n_arm_a", "n_arm_b")
         .cast("bigint")
@@ -2034,7 +2034,7 @@ SELECT mom.n_gaps,
        (SELECT MIN(gap_s) FROM cum WHERE cn * 100 >= n * 50) AS p50_s,
        (SELECT MIN(gap_s) FROM cum WHERE cn * 100 >= n * 90) AS p90_s,
        (SELECT MIN(gap_s) FROM cum WHERE cn * 100 >= n * 99) AS p99_s,
-       ROUND(CAST(mom.s1 AS DOUBLE) / mom.n_gaps, 6) AS mean_s,
+       CAST(CAST(FLOOR((CAST(mom.s1 AS DOUBLE) / mom.n_gaps) * 1000000.0 + 0.5) AS BIGINT) AS DOUBLE) / 1000000.0 AS mean_s,
        ROUND(
          (SQRT(CAST(mom.s2 AS DOUBLE) / mom.n_gaps
                - (CAST(mom.s1 AS DOUBLE) / mom.n_gaps)
@@ -2114,7 +2114,7 @@ def ef_interarrival_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         "p50_s",
         "p90_s",
         "p99_s",
-        F.round(mu, 6).alias("mean_s"),
+        ppm_value(mu).alias("mean_s"),
         F.round((sd - mu) / F.nullif(sd + mu, F.lit(0.0)), 6).alias(
             "burstiness"
         ),
@@ -2140,16 +2140,17 @@ def ef_interarrival_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
          CAST(SUM(m) AS BIGINT) AS n,
          CAST(SUM(s) AS BIGINT) AS g,
          CAST(SUM(q) AS BIGINT) AS qq,
-         CAST(SUM(CAST(ROUND(CAST(s AS DOUBLE) * s / m, 6)
-                  AS DECIMAL(38,6))) AS DOUBLE) AS between_raw,
+         CAST(CAST(SUM(CAST(FLOOR((CAST(s AS DOUBLE) * s / m)
+                  * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS DOUBLE)
+           / 1000000.0 AS between_raw,
          CAST(SUM(CAST(m AS DECIMAL(38,0)) * m) AS DOUBLE) AS m2
   FROM per
 )
 SELECT k AS k_clusters, n AS n_events,
-       ROUND(CAST(n AS DOUBLE) / k, 6) AS mean_cluster_size,
-       ROUND(icc, 6) AS icc,
-       ROUND(1 + (m0 - 1) * icc, 6) AS deff,
-       ROUND(n / (1 + (m0 - 1) * icc), 6) AS effective_n
+       CAST(CAST(FLOOR((CAST(n AS DOUBLE) / k) * 1000000.0 + 0.5) AS BIGINT) AS DOUBLE) / 1000000.0 AS mean_cluster_size,
+       CAST(CAST(FLOOR((icc) * 1000000.0 + 0.5) AS BIGINT) AS DOUBLE) / 1000000.0 AS icc,
+       CAST(CAST(FLOOR((1 + (m0 - 1) * icc) * 1000000.0 + 0.5) AS BIGINT) AS DOUBLE) / 1000000.0 AS deff,
+       CAST(CAST(FLOOR((n / (1 + (m0 - 1) * icc)) * 1000000.0 + 0.5) AS BIGINT) AS DOUBLE) / 1000000.0 AS effective_n
 FROM (
   SELECT k, n, m0, (msb - msw) / NULLIF(msb + (m0 - 1) * msw, 0) AS icc
   FROM (
@@ -2173,10 +2174,12 @@ def ef_design_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Determinism: per-user (m, Σx, Σx²) are exact BIGINT on the cent
     grid; the cross-user between-cluster sum quantizes each s²/m term
-    at 6 dp and accumulates in DECIMAL (the ef_welch_ttest rule — no
-    order-dependent double accumulation), m² sums exactly in DECIMAL,
-    and the only free doubles are the final ANOVA ratios, quantized at
-    the edge.
+    to rule-free FLOOR micro-units and accumulates in exact BIGINT
+    (round-9 upgrade of the ef_welch_ttest rule: s²/m is an exact
+    rational whose denominator can be 2-5-smooth, i.e. a true 6-dp
+    half-boundary where ROUND rules diverge), m² sums exactly in
+    DECIMAL, and the final ANOVA ratios are published through the same
+    FLOOR quantizer.
 
     Scale: one user_id hash aggregate + a 1-row formula. Identical
     envelope to the z-test subject build."""
@@ -2199,13 +2202,16 @@ def ef_design_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("m").cast("bigint").alias("n"),
         F.sum("s").cast("bigint").alias("g"),
         F.sum("q").cast("bigint").alias("qq"),
-        F.sum(
-            F.round(
-                F.col("s").cast("double") * F.col("s") / F.col("m"), 6
-            ).cast("decimal(38,6)")
-        )
-        .cast("double")
-        .alias("between_raw"),
+        (
+            F.sum(
+                F.floor(
+                    (F.col("s").cast("double") * F.col("s") / F.col("m"))
+                    * 1000000.0
+                    + 0.5
+                ).cast("long")
+            ).cast("double")
+            / 1000000.0
+        ).alias("between_raw"),
         F.sum(F.col("m").cast("decimal(38,0)") * F.col("m"))
         .cast("double")
         .alias("m2"),
@@ -2223,10 +2229,10 @@ def ef_design_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tot.select(
         F.col("k").alias("k_clusters"),
         F.col("n").alias("n_events"),
-        F.round(n_d / F.col("k"), 6).alias("mean_cluster_size"),
-        F.round(icc, 6).alias("icc"),
-        F.round(deff, 6).alias("deff"),
-        F.round(F.col("n") / deff, 6).alias("effective_n"),
+        ppm_value(n_d / F.col("k")).alias("mean_cluster_size"),
+        ppm_value(icc).alias("icc"),
+        ppm_value(deff).alias("deff"),
+        ppm_value(F.col("n") / deff).alias("effective_n"),
     )
 
 

@@ -28,6 +28,7 @@ from pyspark.sql import functions as F
 
 from ..registry import register
 from ..sources import events_raw
+from .quantize import ppm_value
 
 #: Explicit payload schema — the single source of truth for the parse.
 PROPS_SCHEMA = "k INT"
@@ -656,7 +657,7 @@ def ev_daily_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT event_type,
        CAST((day - DATE '1970-01-01') % 7 AS INTEGER) AS dow,
        CAST(COUNT(*) AS BIGINT) AS n_days,
-       ROUND(AVG(n), 6) AS avg_events
+       CAST(CAST(FLOOR((CAST(CAST(SUM(n) AS BIGINT) AS DOUBLE) / COUNT(*)) * 1000000.0 + 0.5) AS BIGINT) AS DOUBLE) / 1000000.0 AS avg_events
 FROM daily GROUP BY 1, 2""",
 )
 def ev_weekday_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -681,7 +682,9 @@ def ev_weekday_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).cast("int")
     return daily.groupBy("event_type", dow.alias("dow")).agg(
         F.count("*").alias("n_days"),
-        F.round(F.avg("n"), 6).alias("avg_events"),
+        ppm_value(
+            F.sum("n").cast("double") / F.count("*")
+        ).alias("avg_events"),
     )
 
 
@@ -846,14 +849,9 @@ def ev_value_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
   FROM idx
 )
 SELECT cnt AS n_days,
-       ROUND((cnt * sxy - sx * sy) * 1.0
-             / (cnt * sxx - sx * sx), 6) AS slope,
-       ROUND((sy - (cnt * sxy - sx * sy) * 1.0
-                   / (cnt * sxx - sx * sx) * sx) / cnt, 6) AS intercept,
-       ROUND(CASE WHEN cnt * syy - sy * sy = 0 THEN 1.0
-                  ELSE (cnt * sxy - sx * sy) * (cnt * sxy - sx * sy) * 1.0
-                       / ((cnt * sxx - sx * sx) * (cnt * syy - sy * sy))
-             END, 6) AS r2
+       CAST(CAST(FLOOR(((cnt * sxy - sx * sy) * 1.0 / (cnt * sxx - sx * sx)) * 1000000.0 + 0.5) AS BIGINT) AS DOUBLE) / 1000000.0 AS slope,
+       CAST(CAST(FLOOR(((sy - (cnt * sxy - sx * sy) * 1.0 / (cnt * sxx - sx * sx) * sx) / cnt) * 1000000.0 + 0.5) AS BIGINT) AS DOUBLE) / 1000000.0 AS intercept,
+       CAST(CAST(FLOOR((CASE WHEN cnt * syy - sy * sy = 0 THEN 1.0 ELSE (cnt * sxy - sx * sy) * (cnt * sxy - sx * sy) * 1.0 / ((cnt * sxx - sx * sx) * (cnt * syy - sy * sy)) END) * 1000000.0 + 0.5) AS BIGINT) AS DOUBLE) / 1000000.0 AS r2
 FROM s""",
 )
 def ev_daily_trend_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -897,15 +895,14 @@ def ev_daily_trend_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
     y_var = F.col("cnt") * F.col("syy") - F.col("sy") * F.col("sy")
     return s.select(
         F.col("cnt").alias("n_days"),
-        F.round(slope, 6).alias("slope"),
-        F.round((F.col("sy") - slope * F.col("sx")) / F.col("cnt"), 6).alias(
-            "intercept"
-        ),
-        F.round(
+        ppm_value(slope).alias("slope"),
+        ppm_value(
+            (F.col("sy") - slope * F.col("sx")) / F.col("cnt")
+        ).alias("intercept"),
+        ppm_value(
             F.when(y_var == 0, F.lit(1.0)).otherwise(
                 sl_num * sl_num * F.lit(1.0) / (sl_den * y_var)
-            ),
-            6,
+            )
         ).alias("r2"),
     )
 
@@ -1274,8 +1271,10 @@ MAD_Z_CUTOFF = 3.5
 )
 SELECT d.event_type, d.day, d.n,
        d.median_n, a.mad_n,
-       ROUND({MAD_Z_SCALE} * (d.n - d.median_n)
-             / NULLIF(CAST(a.mad_n AS DOUBLE), 0), 6) AS robust_z,
+       CAST(CAST(FLOOR(({MAD_Z_SCALE} * (d.n - d.median_n)
+             / NULLIF(CAST(a.mad_n AS DOUBLE), 0))
+             * 1000000.0 + 0.5) AS BIGINT) AS DOUBLE) / 1000000.0
+         AS robust_z,
        COALESCE(ABS({MAD_Z_SCALE} * (d.n - d.median_n)
                     / NULLIF(CAST(a.mad_n AS DOUBLE), 0))
                 > {MAD_Z_CUTOFF}, FALSE) AS anomaly
@@ -1336,7 +1335,7 @@ def ev_mad_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         "median_n",
         "mad_n",
-        F.round(rz, 6).alias("robust_z"),
+        ppm_value(rz).alias("robust_z"),
         F.coalesce(F.abs(rz) > MAD_Z_CUTOFF, F.lit(False)).alias("anomaly"),
     )
 
@@ -1378,16 +1377,19 @@ SELECT MAX(n) AS n,
        CAST(MAX(CASE WHEN cum_before < n - k
                       AND n - k <= cum_before + cnt THEN v END)
             AS DOUBLE) AS v_high,
-       ROUND(CAST(SUM(v * kept) AS DOUBLE) / (MAX(n) - 2 * MAX(k)), 6)
+       CAST(CAST(FLOOR((CAST(SUM(v * kept) AS DOUBLE)
+                        / (MAX(n) - 2 * MAX(k)))
+                       * 1000000.0 + 0.5) AS BIGINT) AS DOUBLE) / 1000000.0
          AS trimmed_mean,
-       ROUND((CAST(SUM(v * kept) AS DOUBLE)
+       CAST(CAST(FLOOR(((CAST(SUM(v * kept) AS DOUBLE)
               + MAX(k) * CAST(MAX(CASE WHEN cum_before < k + 1
                                         AND k + 1 <= cum_before + cnt
                                    THEN v END) AS DOUBLE)
               + MAX(k) * CAST(MAX(CASE WHEN cum_before < n - k
                                         AND n - k <= cum_before + cnt
                                    THEN v END) AS DOUBLE))
-             / MAX(n), 6) AS winsorized_mean
+             / MAX(n)) * 1000000.0 + 0.5) AS BIGINT) AS DOUBLE) / 1000000.0
+         AS winsorized_mean
 FROM contrib""",
 )
 def ev_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1453,11 +1455,11 @@ def ev_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("k").alias("k_each_side"),
         v_low.alias("v_low"),
         v_high.alias("v_high"),
-        F.round(tsum / (F.max("n") - 2 * F.max("k")), 6).alias(
+        ppm_value(tsum / (F.max("n") - 2 * F.max("k"))).alias(
             "trimmed_mean"
         ),
-        F.round(
-            (tsum + F.max("k") * v_low + F.max("k") * v_high) / F.max("n"), 6
+        ppm_value(
+            (tsum + F.max("k") * v_low + F.max("k") * v_high) / F.max("n")
         ).alias("winsorized_mean"),
     )
 
@@ -1602,7 +1604,7 @@ ACF_MAX_LAG = 7
 )
 SELECT l.lag,
        CAST(COUNT(*) AS BIGINT) AS n_terms,
-       ROUND(CAST(SUM(a.d * b.d) AS DOUBLE) / MAX(dn.den), 6) AS acf
+       CAST(CAST(FLOOR((CAST(SUM(a.d * b.d) AS DOUBLE) / MAX(dn.den)) * 1000000.0 + 0.5) AS BIGINT) AS DOUBLE) / 1000000.0 AS acf
 FROM lags l
 JOIN dev a ON TRUE
 JOIN dev b ON b.t = a.t + l.lag
@@ -1653,10 +1655,9 @@ def ev_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("lag")
         .agg(
             F.count("*").cast("long").alias("n_terms"),
-            F.round(
+            ppm_value(
                 F.sum(F.col("da") * F.col("db")).cast("double")
-                / F.max("den"),
-                6,
+                / F.max("den")
             ).alias("acf"),
         )
     )
@@ -2068,19 +2069,26 @@ s AS (
          LAG(i.y, 7) OVER (ORDER BY i.x) AS f_seasonal,
          sp.s AS f_ewma
   FROM idx i LEFT JOIN s sp ON sp.x = i.x - 1
-), test AS (SELECT * FROM lagged WHERE x >= 7)
-SELECT CAST(COUNT(*) AS BIGINT) AS n_test,
-       ROUND(AVG(ABS(y - f_naive)), 6) AS mae_naive,
-       ROUND(AVG(ABS(y - f_seasonal)), 6) AS mae_seasonal,
-       ROUND(AVG(ABS(y - f_ewma)), 6) AS mae_ewma,
-       CASE WHEN ROUND(AVG(ABS(y - f_ewma)), 6)
-                 <= ROUND(AVG(ABS(y - f_naive)), 6)
-             AND ROUND(AVG(ABS(y - f_ewma)), 6)
-                 <= ROUND(AVG(ABS(y - f_seasonal)), 6) THEN 'ewma'
-            WHEN ROUND(AVG(ABS(y - f_seasonal)), 6)
-                 <= ROUND(AVG(ABS(y - f_naive)), 6) THEN 'seasonal_naive'
+), test AS (SELECT * FROM lagged WHERE x >= 7),
+mu AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_test,
+         CAST(FLOOR(CAST(CAST(SUM(ABS(y - f_naive)) AS BIGINT) AS DOUBLE)
+                    * 1000000.0 / COUNT(*) + 0.5) AS BIGINT) AS u_naive,
+         CAST(FLOOR(CAST(CAST(SUM(ABS(y - f_seasonal)) AS BIGINT) AS DOUBLE)
+                    * 1000000.0 / COUNT(*) + 0.5) AS BIGINT) AS u_seasonal,
+         CAST(FLOOR(CAST(CAST(SUM(CAST(FLOOR(ABS(y - f_ewma)
+                        * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS DOUBLE)
+                    / COUNT(*) + 0.5) AS BIGINT) AS u_ewma
+  FROM test
+)
+SELECT n_test,
+       CAST(u_naive AS DOUBLE) / 1000000.0 AS mae_naive,
+       CAST(u_seasonal AS DOUBLE) / 1000000.0 AS mae_seasonal,
+       CAST(u_ewma AS DOUBLE) / 1000000.0 AS mae_ewma,
+       CASE WHEN u_ewma <= u_naive AND u_ewma <= u_seasonal THEN 'ewma'
+            WHEN u_seasonal <= u_naive THEN 'seasonal_naive'
             ELSE 'naive' END AS best
-FROM test"""
+FROM mu"""
 
 
 @register("ev_forecast_backtest", _backtest_oracle())
@@ -2123,16 +2131,38 @@ def ev_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(s, F.col("px") == F.col("x") - 1, "left")
     )
     test = lagged.filter(F.col("x") >= 7)
-    m_n = F.round(F.avg(F.abs(F.col("y") - F.col("f_naive"))), 6)
-    m_s = F.round(F.avg(F.abs(F.col("y") - F.col("f_seasonal"))), 6)
-    m_e = F.round(F.avg(F.abs(F.col("y") - F.col("f_ewma"))), 6)
+    # micro-unit MAEs (round-9 rule-free quantization): naive/seasonal
+    # errors are exact integers, the irrational ewma errors are
+    # FLOOR-quantized per term — no order-dependent double AVG and no
+    # ROUND rule anywhere; the winner compares exact BIGINTs
+    u_n = F.floor(
+        F.sum(F.abs(F.col("y") - F.col("f_naive"))).cast("double")
+        * 1000000.0
+        / F.count("*")
+        + 0.5
+    ).cast("long")
+    u_s = F.floor(
+        F.sum(F.abs(F.col("y") - F.col("f_seasonal"))).cast("double")
+        * 1000000.0
+        / F.count("*")
+        + 0.5
+    ).cast("long")
+    u_e = F.floor(
+        F.sum(
+            F.floor(
+                F.abs(F.col("y") - F.col("f_ewma")) * 1000000.0 + 0.5
+            ).cast("long")
+        ).cast("double")
+        / F.count("*")
+        + 0.5
+    ).cast("long")
     return test.agg(
         F.count("*").cast("bigint").alias("n_test"),
-        m_n.alias("mae_naive"),
-        m_s.alias("mae_seasonal"),
-        m_e.alias("mae_ewma"),
-        F.when((m_e <= m_n) & (m_e <= m_s), F.lit("ewma"))
-        .when(m_s <= m_n, F.lit("seasonal_naive"))
+        (u_n.cast("double") / 1000000.0).alias("mae_naive"),
+        (u_s.cast("double") / 1000000.0).alias("mae_seasonal"),
+        (u_e.cast("double") / 1000000.0).alias("mae_ewma"),
+        F.when((u_e <= u_n) & (u_e <= u_s), F.lit("ewma"))
+        .when(u_s <= u_n, F.lit("seasonal_naive"))
         .otherwise(F.lit("naive"))
         .alias("best"),
     )

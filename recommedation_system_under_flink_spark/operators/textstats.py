@@ -25,6 +25,7 @@ from pyspark.sql import functions as F
 from ..functions.text import STOPWORDS, TOKEN_SPLIT_REGEX
 from ..registry import register
 from ..sources import load_raw
+from .quantize import ppm_value
 
 _STOP_SQL = ", ".join(f"'{w}'" for w in STOPWORDS)
 
@@ -713,9 +714,9 @@ SELECT b.doc_id,
        CAST(COALESCE(p.total, 0) AS BIGINT) AS n_bigrams,
        CAST(COALESCE(p.top_n, 0) AS BIGINT) AS top_bigram_n,
        CASE WHEN COALESCE(p.total, 0) > 0
-            THEN ROUND(CAST(p.top_n AS DOUBLE) / p.total, 6) ELSE 0.0 END AS rep_top,
+            THEN CAST(CAST(FLOOR((CAST(p.top_n AS DOUBLE) / p.total) * 1000000.0 + 0.5) AS BIGINT) AS DOUBLE) / 1000000.0 ELSE 0.0 END AS rep_top,
        CASE WHEN COALESCE(p.total, 0) > 0
-            THEN ROUND(CAST(p.dup_n AS DOUBLE) / p.total, 6) ELSE 0.0 END AS rep_dup
+            THEN CAST(CAST(FLOOR((CAST(p.dup_n AS DOUBLE) / p.total) * 1000000.0 + 0.5) AS BIGINT) AS DOUBLE) / 1000000.0 ELSE 0.0 END AS rep_dup
 FROM base b LEFT JOIN per_doc p ON b.doc_id = p.doc_id""",
 )
 def ts_repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -743,8 +744,11 @@ def ts_repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("dup_n"),
     )
     total = F.coalesce(F.col("total"), F.lit(0))
+    # rule-free 6-dp quantize: top_n/total is an exact rational whose
+    # denominator is a token count — ROUND's half-boundary rules flip
+    # cross-engine exactly there (round-9 oracle audit)
     ratio = lambda c: F.when(  # noqa: E731
-        total > 0, F.round(c.cast("double") / F.col("total"), 6)
+        total > 0, ppm_value(c.cast("double") / F.col("total"))
     ).otherwise(F.lit(0.0))
     return (
         base.select("doc_id")
@@ -784,7 +788,7 @@ SELECT b.doc_id,
        CAST(COALESCE(p.n_grams, 0) AS BIGINT) AS n_grams,
        CAST(COALESCE(p.n_boiler, 0) AS BIGINT) AS n_boiler,
        CASE WHEN COALESCE(p.n_grams, 0) > 0
-            THEN ROUND(CAST(p.n_boiler AS DOUBLE) / p.n_grams, 6) ELSE 0.0 END
+            THEN CAST(CAST(FLOOR((CAST(p.n_boiler AS DOUBLE) / p.n_grams) * 1000000.0 + 0.5) AS BIGINT) AS DOUBLE) / 1000000.0 ELSE 0.0 END
          AS boiler_frac
 FROM base b LEFT JOIN per_doc p ON b.doc_id = p.doc_id""",
 )
@@ -826,7 +830,9 @@ def ts_boilerplate_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.col("n_boiler"), F.lit(0)).cast("long").alias("n_boiler"),
             F.when(
                 n_grams > 0,
-                F.round(F.col("n_boiler").cast("double") / F.col("n_grams"), 6),
+                ppm_value(
+                    F.col("n_boiler").cast("double") / F.col("n_grams")
+                ),
             )
             .otherwise(F.lit(0.0))
             .alias("boiler_frac"),
@@ -1104,7 +1110,7 @@ SELECT lang,
        CAST(COUNT(*) AS BIGINT) AS n_docs,
        CAST(SUM(n_bytes) AS BIGINT) AS total_bytes,
        CAST(SUM(n_tokens) AS BIGINT) AS total_tokens_est,
-       ROUND(CAST(SUM(n_bytes) AS DOUBLE) / SUM(n_tokens), 6)
+       CAST(CAST(FLOOR((CAST(SUM(n_bytes) AS DOUBLE) / SUM(n_tokens)) * 1000000.0 + 0.5) AS BIGINT) AS DOUBLE) / 1000000.0
          AS bytes_per_token
 FROM per_doc
 WHERE n_tokens > 0
@@ -1134,8 +1140,8 @@ def ts_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("long").alias("n_docs"),
         F.sum("n_bytes").cast("long").alias("total_bytes"),
         F.sum("n_tokens").cast("long").alias("total_tokens_est"),
-        F.round(
-            F.sum("n_bytes").cast("double") / F.sum("n_tokens"), 6
+        ppm_value(
+            F.sum("n_bytes").cast("double") / F.sum("n_tokens")
         ).alias("bytes_per_token"),
     )
 
@@ -1547,9 +1553,8 @@ thr AS (
   {legs}
 )
 SELECT t.keep_rate,
-       ROUND(t.threshold, 6) AS threshold,
-       ROUND(CAST(COUNT(*) FILTER (WHERE q.quality >= t.threshold) AS DOUBLE)
-             / COUNT(*), 6) AS achieved_rate,
+       CAST(CAST(FLOOR((t.threshold) * 1000000.0 + 0.5) AS BIGINT) AS DOUBLE) / 1000000.0 AS threshold,
+       CAST(CAST(FLOOR((CAST(COUNT(*) FILTER (WHERE q.quality >= t.threshold) AS DOUBLE) / COUNT(*)) * 1000000.0 + 0.5) AS BIGINT) AS DOUBLE) / 1000000.0 AS achieved_rate,
        CAST(COUNT(*) FILTER (WHERE q.quality >= t.threshold) AS BIGINT)
          AS n_kept
 FROM thr t CROSS JOIN q
@@ -1598,11 +1603,13 @@ def ts_quality_threshold_calibration(
         q.crossJoin(F.broadcast(thr))
         .groupBy("keep_rate", "threshold")
         .agg(
-            F.round(
+            # quantize rule-free: kept/total is an exact count ratio,
+            # and the interpolated threshold can sit exactly between
+            # two 6-dp quality grid points (a true half-boundary)
+            ppm_value(
                 F.count(F.when(F.col("quality") >= F.col("threshold"), 1))
                 .cast("double")
-                / F.count("*"),
-                6,
+                / F.count("*")
             ).alias("achieved_rate"),
             F.count(F.when(F.col("quality") >= F.col("threshold"), 1))
             .cast("long")
@@ -1610,7 +1617,7 @@ def ts_quality_threshold_calibration(
         )
         .select(
             "keep_rate",
-            F.round("threshold", 6).alias("threshold"),
+            ppm_value(F.col("threshold")).alias("threshold"),
             "achieved_rate",
             "n_kept",
         )
@@ -1921,10 +1928,9 @@ def _vocab_coverage_oracle() -> str:
         selects.append(
             f"""SELECT CAST({s} AS INTEGER) AS vocab_size,
        c.n_terms_kept, c.covered, t.total_tokens, t.n_terms,
-       ROUND(CAST(c.covered AS DOUBLE) / NULLIF(t.total_tokens, 0), 6)
+       CAST(CAST(FLOOR((CAST(c.covered AS DOUBLE) / NULLIF(t.total_tokens, 0)) * 1000000.0 + 0.5) AS BIGINT) AS DOUBLE) / 1000000.0
          AS coverage,
-       ROUND(CAST(t.total_tokens - c.covered AS DOUBLE)
-             / NULLIF(t.total_tokens, 0), 6) AS oov_rate
+       CAST(CAST(FLOOR((CAST(t.total_tokens - c.covered AS DOUBLE) / NULLIF(t.total_tokens, 0)) * 1000000.0 + 0.5) AS BIGINT) AS DOUBLE) / 1000000.0 AS oov_rate
 FROM cov_{s} c CROSS JOIN tot t"""
         )
     return (
@@ -1991,15 +1997,13 @@ def ts_vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "covered",
                 "total_tokens",
                 "n_terms",
-                F.round(
+                ppm_value(
                     F.col("covered").cast("double")
-                    / F.nullif(F.col("total_tokens"), F.lit(0)),
-                    6,
+                    / F.nullif(F.col("total_tokens"), F.lit(0))
                 ).alias("coverage"),
-                F.round(
+                ppm_value(
                     (F.col("total_tokens") - F.col("covered")).cast("double")
-                    / F.nullif(F.col("total_tokens"), F.lit(0)),
-                    6,
+                    / F.nullif(F.col("total_tokens"), F.lit(0))
                 ).alias("oov_rate"),
             )
         )
@@ -2375,12 +2379,12 @@ FROM (
   -- DECIMAL and computes the numerator exactly, landing on .5
   -- half-points that round differently than Spark's all-double chain
   SELECT d.source, d.doc_id, d.n_tokens, d.median_tokens, a.mad_tokens,
-         ROUND(CAST(0.6745 AS DOUBLE) * (d.n_tokens - d.median_tokens)
-               / NULLIF(CAST(a.mad_tokens AS DOUBLE), 0), 6) AS robust_z,
+         CAST(CAST(FLOOR((CAST(0.6745 AS DOUBLE) * (d.n_tokens - d.median_tokens)
+               / NULLIF(CAST(a.mad_tokens AS DOUBLE), 0)) * 1000000.0 + 0.5) AS BIGINT) AS DOUBLE) / 1000000.0 AS robust_z,
          ROW_NUMBER() OVER (
            PARTITION BY d.source
-           ORDER BY ROUND(ABS(CAST(0.6745 AS DOUBLE) * (d.n_tokens - d.median_tokens)
-                 / NULLIF(CAST(a.mad_tokens AS DOUBLE), 0)), 6) DESC,
+           ORDER BY CAST(CAST(FLOOR((ABS(CAST(0.6745 AS DOUBLE) * (d.n_tokens - d.median_tokens)
+                 / NULLIF(CAST(a.mad_tokens AS DOUBLE), 0))) * 1000000.0 + 0.5) AS BIGINT) AS DOUBLE) / 1000000.0 DESC,
              d.doc_id) AS rn
   FROM dev d JOIN mad a ON d.source = a.source
 ) WHERE rn = 1""",
@@ -2449,13 +2453,13 @@ def ts_length_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("mad_tokens").cast("double"), F.lit(0.0)
     )
     scored = dev.join(F.broadcast(mad), "source").withColumn(
-        "robust_z", F.round(z, 6)
+        "robust_z", ppm_value(z)
     )
     top = scored.withColumn(
         "rn",
         F.row_number().over(
             Window.partitionBy("source").orderBy(
-                F.round(F.abs(z), 6).desc(), F.col("doc_id")
+                ppm_value(F.abs(z)).desc(), F.col("doc_id")
             )
         ),
     ).filter(F.col("rn") == 1)
@@ -2821,8 +2825,8 @@ SELECT d.lang AS true_lang,
        CAST(COUNT(*) AS BIGINT) AS n_docs,
        CAST(SUM(CASE WHEN p.lang_guess = d.lang THEN 1 ELSE 0 END)
             AS BIGINT) AS n_correct,
-       ROUND(CAST(SUM(CASE WHEN p.lang_guess = d.lang THEN 1 ELSE 0 END)
-             AS DOUBLE) / COUNT(*), 6) AS accuracy
+       CAST(CAST(FLOOR((CAST(SUM(CASE WHEN p.lang_guess = d.lang THEN 1 ELSE 0 END)
+             AS DOUBLE) / COUNT(*)) * 1000000.0 + 0.5) AS BIGINT) AS DOUBLE) / 1000000.0 AS accuracy
 FROM documents d JOIN pred p ON d.doc_id = p.doc_id
 GROUP BY d.lang"""
 
@@ -2850,12 +2854,11 @@ def ts_langid_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum((F.col("lang_guess") == F.col("lang")).cast("int"))
             .cast("bigint")
             .alias("n_correct"),
-            F.round(
+            ppm_value(
                 F.sum(
                     (F.col("lang_guess") == F.col("lang")).cast("int")
                 ).cast("double")
-                / F.count("*"),
-                6,
+                / F.count("*")
             ).alias("accuracy"),
         )
     )

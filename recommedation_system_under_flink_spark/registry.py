@@ -48,16 +48,17 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 #: the four end-to-end pipelines, one query per SURVEY §2 operator row,
 #: and one per LLM-pipeline family. Every name here MUST have a full
 #: DuckDB oracle (enforced by tests/test_registry_window.py).
-#: ROUND-8 ROTATION (5th tranche): rounds 2-7 cumulatively certified
-#: 200/354 oracle-backed queries (CORRECTNESS_r02/r03/r05/r06/r07).
-#: This round keeps the same 6 regression canaries (four pipelines +
-#: the CSV source sentinel + the flagship scored join) and spends the
-#: other 44 slots on the FIFTH tranche of never-driver-certified
-#: queries: the 11 round-7 additions first (per the r7 verdict), then
-#: the two largest never-certified blocks — the full 14-query sim_*
-#: ANN/embedding remainder and the full 15-query rel_* TPC-H
-#: remainder — plus the 4 heaviest graph_* entries. Cumulative target:
-#: ≥244/354 oracle-backed queries driver-certified by end of round 8.
+#: ROUND-9 ROTATION (6th tranche): rounds 2-8 cumulatively certified
+#: 242/364 oracle-backed queries (CORRECTNESS_r02…r08). This round
+#: keeps the same 6 regression canaries (four pipelines + the CSV
+#: source sentinel + the flagship scored join), RETRIES the two r8
+#: driver hash fails now rebuilt on rule-free integer/FLOOR hash paths
+#: (sim_embedding_covariance, graph_modularity_report), and spends the
+#: other 42 slots on the SIXTH tranche of never-driver-certified
+#: queries — the three largest remaining blocks, taken whole: all 16
+#: ts_* text-analysis, all 13 ef_* event-flow, and all 13 ev_*
+#: event-properties queries. Cumulative target: ≥284/364 oracle-backed
+#: queries driver-certified by end of round 9.
 VERIFIED_WINDOW = (
     # regression canaries: end-to-end pipelines (SURVEY §3) + sentinels
     "hot_topics_pipeline",
@@ -66,55 +67,55 @@ VERIFIED_WINDOW = (
     "tfidf_recommend_all_days",
     "s1_csv_roundtrip",
     "j3_scored_join",
-    # --- never-driver-verified rotation (44), round 8 ---
-    # round-7 additions (verdict ask #1: certify these first)
-    "ml_ridge_regression",
-    "ml_confusion_threshold_sweep",
-    "ml_permutation_importance",
-    "ml_isotonic_calibration_hashable",
-    "mm_decode_features_hashable",
-    "mm_binary_stats_hashable",
-    "llm_curation_mix_fused",
-    "llm_dataset_card",
-    "ts_decontamination",
-    "ts_gopher_rules",
-    "stream_dedup_exact",
-    # similarity / ANN / embedding remainder (all 14 never-certified)
-    "sim_neardup_pairs_lsh",
-    "sim_sq8_topk",
-    "sim_label_outliers",
-    "sim_threshold_sweep_report",
-    "sim_hard_negatives",
-    "sim_mmr_rerank",
-    "sim_kcenter_coreset",
-    "sim_silhouette_simplified",
+    # r8 driver-red retries (hash paths rebuilt: integer sums + FLOOR)
     "sim_embedding_covariance",
-    "sim_ivf_cell_balance",
-    "sim_nprobe_recall_curve",
-    "sim_dup_family_report",
-    "sim_knn_label_agreement",
-    "sim_jl_distortion",
-    # relational TPC-H remainder (all 15 never-certified)
-    "rel_q2_min_cost_part",
-    "rel_q4_order_priority",
-    "rel_q7_nation_volume",
-    "rel_q8_market_share",
-    "rel_q11_important_stock",
-    "rel_q12_late_lines_by_class",
-    "rel_q14_promo_share",
-    "rel_q15_top_supplier",
-    "rel_q16_supplier_part_counts",
-    "rel_q17_small_quantity_revenue",
-    "rel_q18_large_orders",
-    "rel_q19_disjunctive_revenue",
-    "rel_q20_dominant_suppliers",
-    "rel_q22_inactive_rich_customers",
-    "rel_entity_blocking",
-    # heaviest never-certified graph entries
-    "graph_bfs_hops",
-    "graph_ppr_recommend",
-    "graph_link_prediction_aa",
     "graph_modularity_report",
+    # --- never-driver-verified rotation (42), round 9 ---
+    # text-analysis block (all 16 never-certified)
+    "ts_fingerprint",
+    "ts_top_terms_per_lang",
+    "ts_langid_confusion",
+    "ts_langid_accuracy",
+    "ts_term_drift",
+    "ts_repetition_score",
+    "ts_boilerplate_shingles",
+    "ts_tokenizer_fertility",
+    "ts_chunk_documents_udtf",
+    "ts_phrase_search",
+    "ts_quality_threshold_calibration",
+    "ts_vocab_coverage_curve",
+    "ts_length_outliers",
+    "ts_entropy_rate",
+    "ts_source_js_divergence",
+    "ts_heaps_law_fit",
+    # event-flow block (all 13 never-certified)
+    "ef_session_funnel",
+    "ef_attribution_report",
+    "ef_attribution_position_based",
+    "ef_conversion_ztest",
+    "ef_welch_ttest",
+    "ef_mannwhitney_u",
+    "ef_asof_forward",
+    "ef_conversion_lag_percentiles",
+    "ef_sprt_decision",
+    "ef_power_analysis",
+    "ef_interarrival_profile",
+    "ef_design_effect",
+    "ef_session_overlap_join",
+    # event-properties block (all 13 never-certified)
+    "ev_value_histogram",
+    "ev_daily_spine_fill",
+    "ev_daily_anomaly",
+    "ev_weekday_profile",
+    "ev_props_variant",
+    "ev_value_psi",
+    "ev_daily_trend_ols",
+    "ev_mad_anomaly",
+    "ev_trimmed_mean",
+    "ev_autocorrelation",
+    "ev_ewma_forecast",
+    "ev_revenue_concentration",
+    "ev_forecast_backtest",
 )
 
 
