@@ -12,13 +12,15 @@ bound state instead:
 - **Quantile sketch** (``percentile_approx``, a Greenwald-Khanna
   variant): bounded state per group, mergeable the same way.
 
-Neither is hash-comparable against an oracle — the sketch result is
-engine-specific by construction — so these register rows-only; the
-accuracy contract is pytest-enforced instead (relative error vs the
-exact batch answer on the same fixture: tests/test_events_flow.py).
-The exact twins stay the oracle-gated defaults (SCALE.md §4: "the
-oracle gate needs exact"); the sketches are the documented swap-in at
-cardinality the exact forms can't carry.
+The HLL entries run on PINNED md5-derived registers (round 9), so
+their register tables — and therefore the estimates — are
+bit-identical across engines and fully oracle-HASHED; only the
+quantile sketch (whose GK state is engine-internal by construction)
+remains rows-only, with its accuracy contract pytest-enforced
+(relative error vs the exact batch answer on the same fixture:
+tests/test_events_flow.py). The exact twins stay the oracle-gated
+defaults (SCALE.md §4: "the oracle gate needs exact"); the sketches
+are the documented swap-in at cardinality the exact forms can't carry.
 """
 
 from __future__ import annotations
@@ -28,26 +30,156 @@ from pyspark.sql import functions as F
 
 from ..registry import register
 from ..sources import clicks, events_raw, load_raw
-from ..sources.tables import NEWS_MOD
+from ..sources.tables import CLICKS_CTE, NEWS_MOD, with_ctes
 
-#: approx_count_distinct standard error; 0.01 ⇒ ~1% rsd, ~6 KB state.
-HLL_RSD = 0.01
 #: percentile_approx accuracy knob (higher = tighter, more state).
 PCT_ACCURACY = 10_000
 
 
-@register("sk_daily_clickers_hll")  # sketch output → rows-only
-def sk_daily_clickers_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A1's sketch twin: per-day distinct clickers via HyperLogLog++
-    at ``HLL_RSD`` target error. Accuracy vs the exact A1 aggregate is
-    pytest-bounded."""
-    return (
-        clicks(spark, sf_dir)
-        .groupBy("date")
-        .agg(
-            F.approx_count_distinct("user_id", rsd=HLL_RSD).alias("approx_users")
-        )
+# ------------------------------ portable pinned-register HyperLogLog
+
+#: Portable HLL geometry (Flajolet, Fusy, Gandouet, Meunier 2007):
+#: p = 10 → m = 1024 buckets ≈ 3.25% rsd, with linear counting below
+#: 2.5·m. The 32-bit md5-derived hash spends p bits on the bucket and
+#: leaves 22 rank bits, so ranks live in [1, 23]. Registers are exact
+#: integers (MAX per bucket — idempotent, associative, map-side
+#: combinable), which is what makes this sketch ORACLE-HASHABLE: both
+#: engines compute the identical register table from the identical
+#: pinned hash, and the estimator is one mirrored double expression.
+#: (Spark's native ``approx_count_distinct`` / ``hll_sketch_agg`` are
+#: the engine-tuned alternatives, but their sketch bytes are
+#: engine-internal and can never be cross-checked — round-9 swap.)
+HLL_P = 10
+HLL_M = 1 << HLL_P
+HLL_RANK_BITS = 32 - HLL_P  # 22 → rank ∈ [1, 23]
+
+#: rank-sum scale: Σ 2^(−rank) is accumulated as Σ 2^(23 − rank),
+#: an exact BIGINT (order-free); an empty bucket contributes 2^23.
+_HLL_SCALE = 1 << (HLL_RANK_BITS + 1)  # 2^23
+
+#: estimator E_raw = α_m · m² / Σ2^(−M_j), as ONE literal expression
+#: kept textually identical in both engines ({s} = the scaled sum).
+_HLL_E_RAW = (
+    "0.7213 / (1.0 + 1.079 / 1024.0) * 1048576.0 * 8388608.0"
+    " / CAST({s} AS DOUBLE)"
+)
+
+
+def _hll_daily_regs_sql() -> str:
+    """DuckDB CTEs: per-(date, bucket) max rank over the pinned hash."""
+    return f"""hashed AS (
+  SELECT date,
+         CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))
+              AS BIGINT) AS h
+  FROM clicks
+),
+regs AS (
+  SELECT date, h % {HLL_M} AS bucket,
+         MAX(CASE WHEN h // {HLL_M} = 0 THEN {HLL_RANK_BITS + 1}
+                  ELSE {HLL_RANK_BITS + 1} - LENGTH(BIN(h // {HLL_M}))
+             END) AS m_rank
+  FROM hashed GROUP BY date, bucket
+)"""
+
+
+def _hll_est_cte(key: str, regs: str = "regs") -> str:
+    """DuckDB CTE: registers → (key, nonempty, scaled rank-sum)."""
+    return f"""est AS (
+  SELECT {key},
+         CAST(COUNT(*) AS BIGINT) AS nonempty,
+         CAST(CAST(SUM(CAST(1 AS BIGINT)
+                       << ({HLL_RANK_BITS + 1} - m_rank)) AS BIGINT)
+              + ({HLL_M} - COUNT(*)) * {_HLL_SCALE} AS BIGINT) AS s_full
+  FROM {regs} GROUP BY {key}
+)"""
+
+
+def _hll_select(key: str) -> str:
+    """SELECT head: the mirrored estimator over the ``est`` CTE."""
+    e_raw = _HLL_E_RAW.format(s="s_full")
+    return f"""SELECT {key},
+       CAST(FLOOR(CASE WHEN {e_raw} <= {2.5 * HLL_M}
+                        AND {HLL_M} - nonempty > 0
+                       THEN 1024.0 * LN(1024.0
+                            / CAST({HLL_M} - nonempty AS DOUBLE))
+                       ELSE {e_raw} END + 0.5) AS BIGINT) AS approx_users"""
+
+
+def _hll_registers(df: DataFrame, *keys: str) -> DataFrame:
+    """Spark twin of the register CTE: exact MAX-rank registers per
+    (*keys, bucket) from the pinned md5 hash of user_id."""
+    h = F.conv(
+        F.substring(F.md5(F.col("user_id").cast("string")), 1, 8), 16, 10
+    ).cast("long")
+    hashed = df.select(*keys, h.alias("h"))
+    v = F.shiftright(F.col("h"), HLL_P)
+    rank = F.when(v == 0, F.lit(HLL_RANK_BITS + 1)).otherwise(
+        F.lit(HLL_RANK_BITS + 1) - F.length(F.bin(v))
     )
+    return hashed.groupBy(
+        *keys, (F.col("h") % HLL_M).alias("bucket")
+    ).agg(F.max(rank).alias("m_rank"))
+
+
+def _hll_estimate(regs: DataFrame, *keys: str) -> DataFrame:
+    """Spark twin of the estimate body — the identical IEEE tree."""
+    est = regs.groupBy(*keys).agg(
+        F.count("*").cast("long").alias("nonempty"),
+        (
+            F.sum(
+                F.expr(
+                    f"shiftleft(CAST(1 AS BIGINT),"
+                    f" {HLL_RANK_BITS + 1} - m_rank)"
+                )
+            )
+            + (F.lit(HLL_M) - F.count("*")) * _HLL_SCALE
+        )
+        .cast("long")
+        .alias("s_full"),
+    )
+    e_raw = (
+        F.lit(0.7213)
+        / (F.lit(1.0) + F.lit(1.079) / F.lit(1024.0))
+        * F.lit(1048576.0)
+        * F.lit(8388608.0)
+        / F.col("s_full").cast("double")
+    )
+    v_empty = F.lit(HLL_M) - F.col("nonempty")
+    e = F.when(
+        (e_raw <= F.lit(2.5 * HLL_M)) & (v_empty > 0),
+        F.lit(1024.0) * F.log(F.lit(1024.0) / v_empty.cast("double")),
+    ).otherwise(e_raw)
+    return est.select(
+        *keys, F.floor(e + 0.5).cast("long").alias("approx_users")
+    )
+
+
+@register(
+    "sk_daily_clickers_hll",
+    with_ctes(
+        _hll_select("date") + "\nFROM est",
+        CLICKS_CTE,
+        _hll_daily_regs_sql(),
+        _hll_est_cte("date"),
+    ),
+)
+def sk_daily_clickers_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1's sketch twin: per-day distinct clickers via a **portable
+    pinned-register HyperLogLog** (md5 bucket/rank, m = 1024, linear
+    counting below 2.5m) — the bounded-state distinct count whose
+    register table is bit-identical on any engine, so the whole sketch
+    is oracle-HASHABLE, not merely rows-checked (round-9: previously
+    Spark's engine-internal ``approx_count_distinct``, which can never
+    be cross-verified). Accuracy vs the exact A1 aggregate stays
+    pytest-bounded; the estimate itself is FLOOR-published (no ROUND
+    rule on the hash path; the only irrational is ln, whose sub-ulp
+    libm variance cannot move a half-integer).
+
+    Scale: registers are a (day, bucket ≤ 1024) MAX aggregate —
+    map-side combinable, kilobytes per day of shuffled state no matter
+    how many clicks; the estimate reads m values per day."""
+    regs = _hll_registers(clicks(spark, sf_dir), "date")
+    return _hll_estimate(regs, "date")
 
 
 @register("sk_value_quantiles")  # sketch output → rows-only
@@ -173,36 +305,51 @@ def sk_heavy_hitters_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ----------------------------- mergeable sketch store (re-aggregation)
 
-@register("sk_monthly_from_daily_hll")  # sketch output → rows-only
+@register(
+    "sk_monthly_from_daily_hll",
+    with_ctes(
+        _hll_select("month")
+        + ",\n       d.n_days AS n_days"
+        "\nFROM est JOIN days d USING (month)",
+        CLICKS_CTE,
+        _hll_daily_regs_sql(),
+        "mregs AS (\n"
+        "  SELECT strftime(date, '%Y-%m') AS month, bucket,\n"
+        "         MAX(m_rank) AS m_rank\n"
+        "  FROM regs GROUP BY month, bucket\n"
+        ")",
+        "days AS (\n"
+        "  SELECT strftime(date, '%Y-%m') AS month,\n"
+        "         CAST(COUNT(DISTINCT date) AS BIGINT) AS n_days\n"
+        "  FROM regs GROUP BY month\n"
+        ")",
+        _hll_est_cte("month", regs="mregs"),
+    ),
+)
 def sk_monthly_from_daily_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """**Sketch re-aggregation**: per-day Datasketches HLL sketches of
-    distinct clickers, unioned up to months with ``hll_union_agg`` and
-    estimated — the daily pass never re-runs. This is the pattern that
-    carries distinct-count reporting at 100 TB: persist the daily
-    sketch BYTES (kilobytes per day) as a materialized table, and any
-    ad-hoc window — month, trailing 28 days, year-to-date — is a union
-    over sketches, not a rescan of the click log. ``approx_count_
-    distinct`` (sk_daily_clickers_hll) can't do this: its sketch is
-    consumed inside one aggregation; the Datasketches pair
-    (``hll_sketch_agg`` → ``hll_union_agg``) makes the intermediate
-    state a first-class, storable column.
+    """**Sketch re-aggregation**: the per-day pinned-register HLL
+    tables of :func:`sk_daily_clickers_hll`, rolled up to months by
+    MAX-merging registers — the daily pass never re-runs. This is the
+    pattern that carries distinct-count reporting at 100 TB: persist
+    the daily REGISTER table (≤ m rows per day) as a materialized
+    relation, and any ad-hoc window — month, trailing 28 days,
+    year-to-date — is a register MAX-merge, not a rescan of the click
+    log. With pinned md5 registers the merged sketch is plain
+    integer data (storable, engine-portable, oracle-hashable), which
+    Spark's engine-internal Datasketches bytes are not (round-9 swap;
+    the native pair remains ``hll_sketch_agg`` → ``hll_union_agg``).
 
     Accuracy vs the exact monthly distinct is pytest-bounded
-    (tests/test_llm_ops.py::test_monthly_hll_rollup_error_bound);
-    lgConfigK=14 ⇒ ~0.8% rsd.
-    """
-    daily = (
-        clicks(spark, sf_dir)
-        .groupBy("date")
-        .agg(F.hll_sketch_agg("user_id", F.lit(14)).alias("sk"))
+    (tests/test_events_flow.py::test_monthly_hll_rollup_error_bound)."""
+    daily_regs = _hll_registers(clicks(spark, sf_dir), "date")
+    month = F.date_format("date", "yyyy-MM").alias("month")
+    mregs = daily_regs.groupBy(month, F.col("bucket")).agg(
+        F.max("m_rank").alias("m_rank")
     )
-    return (
-        daily.groupBy(F.date_format("date", "yyyy-MM").alias("month"))
-        .agg(
-            F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("approx_users"),
-            F.count("*").alias("n_days"),
-        )
+    days = daily_regs.groupBy(month).agg(
+        F.count_distinct("date").cast("long").alias("n_days")
     )
+    return _hll_estimate(mregs, "month").join(days, "month")
 
 
 # ------------------------------------------------- Count-Min sketch
