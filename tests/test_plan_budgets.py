@@ -66,6 +66,16 @@ BUDGETS = {
     "sim_multiprobe_lsh_topk": (3, 5, False, False),
     "mm_scene_cuts": (2, 2, False, False),
     "prof_dp_release": (2, 3, False, False),
+    # round 9: the remaining top-6 cost centers (r8 verdict ask #6),
+    # measured at sf0.001: prefix-filter 10/27; markov 0/12 with the
+    # 1-row total-journeys scalar broadcast as its only cartesian;
+    # p1-distributed and HITS memoize through a checkpoint, so their
+    # executed plans must STAY trivial — a regression that drops the
+    # checkpoint shows up as reappearing scans/exchanges
+    "dedup_prefix_filter_join": (12, 32, False, False),
+    "ef_markov_attribution": (2, 16, True, False),
+    "p1_news_keywords_distributed": (2, 4, False, False),
+    "graph_hits_clicks": (2, 4, False, False),
 }
 
 
