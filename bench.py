@@ -156,6 +156,13 @@ HEADLINE = (
     # round-8 session addition: novelty audit over the item-CF
     # recommender (recommender + popularity broadcast + user agg)
     "cf_novelty_report",
+    # round-9 additions: the LSH-candidate approximate DBSCAN (bucket
+    # equi-join candidates + shared density chain — the 100 TB path
+    # for the one O(N²)-compute family member; signature projection is
+    # its O(N) map-side cost) and the portable pinned-register HLL
+    # (register MAX-aggregate, now oracle-hashed)
+    "sim_dbscan_lsh",
+    "sk_daily_clickers_hll",
 )
 
 

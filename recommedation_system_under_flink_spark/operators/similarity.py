@@ -2420,11 +2420,12 @@ def sim_silhouette_simplified(spark: SparkSession, sf_dir: str) -> DataFrame:
 DBSCAN_EPS_COS = 0.35
 DBSCAN_MIN_NEIGHBORS = 2
 
-_DBSCAN_ORACLE = f"""WITH RECURSIVE pairs AS (
-  SELECT a.vec_id AS va, b.vec_id AS vb
-  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-  WHERE {_COSINE_SQL} >= {DBSCAN_EPS_COS}
-), edges AS (
+def _dbscan_oracle_from_pairs(pairs_ctes: str) -> str:
+    """DuckDB DBSCAN chain (degrees → core → closure over core edges →
+    border attach) over any ``pairs(va, vb)`` CTE block — shared by the
+    exact and the LSH-candidate variants so their cluster semantics
+    cannot drift."""
+    return f"""WITH RECURSIVE {pairs_ctes}, edges AS (
   SELECT va AS s, vb AS d FROM pairs UNION ALL SELECT vb, va FROM pairs
 ), deg AS (
   SELECT s AS v, COUNT(*) AS n FROM edges GROUP BY s
@@ -2453,6 +2454,15 @@ SELECT emb.vec_id,
 FROM embeddings emb
 LEFT JOIN core_label cl ON cl.v = emb.vec_id
 LEFT JOIN border_label bl ON bl.v = emb.vec_id"""
+
+
+_DBSCAN_ORACLE = _dbscan_oracle_from_pairs(
+    f"""pairs AS (
+  SELECT a.vec_id AS va, b.vec_id AS vb
+  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+  WHERE {_COSINE_SQL} >= {DBSCAN_EPS_COS}
+)"""
+)
 
 
 @register("sim_dbscan", _DBSCAN_ORACLE)
@@ -2488,6 +2498,13 @@ def sim_dbscan(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("vec_a").alias("va"), F.col("vec_b").alias("vb"))
         .localCheckpoint(eager=True)
     )
+    return _dbscan_from_pairs(emb, pairs)
+
+
+def _dbscan_from_pairs(emb: DataFrame, pairs: DataFrame) -> DataFrame:
+    """DBSCAN chain over a materialized ``pairs(va, vb)`` eps-edge
+    relation — the Spark twin of :func:`_dbscan_oracle_from_pairs`,
+    shared by the exact and LSH-candidate variants."""
     edges = pairs.select(
         F.col("va").alias("s"), F.col("vb").alias("d")
     ).unionAll(pairs.select(F.col("vb").alias("s"), F.col("va").alias("d")))
@@ -2538,6 +2555,103 @@ def sim_dbscan(spark: SparkSession, sf_dir: str) -> DataFrame:
     # releases ride checkpoint_result's finally (leak-on-failure safe)
     result = checkpoint_result(out, edges, core, core_label)
     return result
+
+
+# ------------------------------------------- LSH-candidate DBSCAN
+
+#: Candidate geometry for the approximate DBSCAN. eps at cos 0.35 is a
+#: LOOSE neighborhood, so the hyperplane collision probability per
+#: pair is (1 − θ/π)^bits with θ ≈ 69.5°: 5 bits × 12 tables ≈ 67%
+#: edge recall at the threshold itself, rising steeply for tighter
+#: pairs (≈ 96% at cos 0.7) — the edges that actually carry cluster
+#: cores. Fewer bits would raise recall but grow buckets toward
+#: all-pairs; this is the documented knob, not a hidden constant.
+DBSCAN_LSH_TABLES = 12
+DBSCAN_LSH_BITS = 5
+
+
+def _dbscan_lsh_pairs_ctes() -> str:
+    return f"""{_lsh_sig_ctes(DBSCAN_LSH_TABLES, DBSCAN_LSH_BITS)},
+cand AS (
+  SELECT DISTINCT a.vec_id AS va, b.vec_id AS vb
+  FROM tb a JOIN tb b
+    ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+), pairs AS (
+  SELECT c.va, c.vb
+  FROM cand c
+  JOIN proj pa ON pa.vec_id = c.va
+  JOIN proj pb ON pb.vec_id = c.vb
+  WHERE list_dot_product(pa.e, pb.e)
+          / (sqrt(list_dot_product(pa.e, pa.e))
+             * sqrt(list_dot_product(pb.e, pb.e)))
+        >= {DBSCAN_EPS_COS}
+)"""
+
+
+@register("sim_dbscan_lsh", _dbscan_oracle_from_pairs(_dbscan_lsh_pairs_ctes()))
+def sim_dbscan_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """**LSH-candidate approximate DBSCAN** — the 100 TB path for the
+    one family member whose exact form is inherently O(N²) compute
+    (:func:`sim_dbscan`'s blocked-GEMM eps-graph): candidate pairs come
+    from pinned-hyperplane LSH buckets (``DBSCAN_LSH_TABLES`` ×
+    ``DBSCAN_LSH_BITS``), only same-cell pairs get the exact cosine
+    verify, and the identical shared DBSCAN chain
+    (:func:`_dbscan_from_pairs` / :func:`_dbscan_oracle_from_pairs`)
+    runs on the surviving eps-edges. LSH edges are a SUBSET of the
+    exact eps-graph, so approximate cores ⊆ exact cores and every
+    approximate cluster refines an exact cluster (pytest-pinned
+    against the exact twin on the fixture); the loss mode is only
+    missed edges — extra noise/splits, never merged clusters.
+
+    Scale: candidates are bucket-equi-joins (never all-pairs); the
+    verify touches candidates only; recall per edge rises with pair
+    similarity, so the dense cluster-core structure survives at far
+    below quadratic cost. The pinned planes make the whole chain
+    hash-certified against the DuckDB twin."""
+    emb = load_raw(spark, sf_dir, "embeddings")
+    # dedupe candidates on IDS ONLY before re-joining the vectors for
+    # the verify (the oracle's own shape) — a distinct over rows
+    # carrying two 64-dim arrays shuffles the payload 12× and measured
+    # 2.3× the whole query's cost
+    bucketed = _bucketed(emb, DBSCAN_LSH_TABLES, DBSCAN_LSH_BITS).select(
+        "vec_id", "table", "bucket"
+    )
+    a = bucketed.alias("a")
+    b = bucketed.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.table") == F.col("b.table"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(F.col("a.vec_id").alias("va"), F.col("b.vec_id").alias("vb"))
+        .distinct()
+    )
+    proj = emb.select(
+        "vec_id", _as_double("embedding").alias("e")
+    ).withColumn("nrm", _norm(F.col("e")))
+    pa = proj.select(
+        F.col("vec_id").alias("va"),
+        F.col("e").alias("ea"),
+        F.col("nrm").alias("na"),
+    )
+    pb = proj.select(
+        F.col("vec_id").alias("vb"),
+        F.col("e").alias("eb"),
+        F.col("nrm").alias("nb"),
+    )
+    pairs = (
+        cand.join(pa, "va")
+        .join(pb, "vb")
+        .filter(
+            _dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb"))
+            >= DBSCAN_EPS_COS
+        )
+        .select("va", "vb")
+        .localCheckpoint(eager=True)
+    )
+    return _dbscan_from_pairs(emb, pairs)
 
 
 # ------------------------------------- embedding covariance / PCA
