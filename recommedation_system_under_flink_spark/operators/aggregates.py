@@ -31,6 +31,7 @@ from pyspark.sql import functions as F
 
 from ..config import DEFAULT_SCENE, TODAY
 from ..registry import register
+from .quantize import ppm_value
 from ..sources import CLICKS_CTE, clicks, events_raw, with_ctes
 
 NUM_DAYS = DEFAULT_SCENE.num_days
@@ -545,7 +546,7 @@ cells AS (
   FROM pts
 )
 SELECT CAST(fit.k AS BIGINT) AS n_offsets,
-       ROUND((SELECT r FROM pooled WHERE o = 1), 6) AS day1_retention,
+       CAST(CAST(FLOOR(((SELECT r FROM pooled WHERE o = 1)) * 1000000.0 + 0.5) AS BIGINT) AS DOUBLE) / 1000000.0 AS day1_retention,
        ROUND(-(fit.k * fit.sxy - fit.sx * fit.sy)
              / (fit.k * fit.sxx - fit.sx * fit.sx), 6) AS lambda_per_day,
        ROUND(ln(2) / NULLIF(-(fit.k * fit.sxy - fit.sx * fit.sy)
@@ -605,7 +606,7 @@ def a15_retention_halflife(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("k") * F.col("sxy") - F.col("sx") * F.col("sy")
     ) / (F.col("k") * F.col("sxx") - F.col("sx") * F.col("sx"))
     r1 = pooled.filter(F.col("o") == 1).select(
-        F.round("r", 6).alias("day1_retention")
+        ppm_value(F.col("r")).alias("day1_retention")
     )
     return fit.crossJoin(F.broadcast(r1)).select(
         F.col("k").cast("bigint").alias("n_offsets"),

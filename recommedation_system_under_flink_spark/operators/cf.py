@@ -37,6 +37,7 @@ from pyspark.sql import Window
 
 from ..config import DEFAULT_SCENE
 from ..registry import register
+from .quantize import ppm_value
 from ..sources import CLICKS_CTE, clicks, with_ctes
 from ..sources.tables import NEWS_MOD
 
@@ -427,11 +428,11 @@ def cf_user_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     with_ctes(
         f"""SELECT news_a, news_b, lift FROM (
   SELECT c.news_a, c.news_b,
-         ROUND(c.cooc * tot.n_users / (pa.pop * CAST(pb.pop AS DOUBLE)), 6)
+         CAST(CAST(FLOOR((c.cooc * tot.n_users / (pa.pop * CAST(pb.pop AS DOUBLE))) * 1000000.0 + 0.5) AS BIGINT) AS DOUBLE) / 1000000.0
            AS lift,
          ROW_NUMBER() OVER (
            PARTITION BY c.news_a
-           ORDER BY ROUND(c.cooc * tot.n_users / (pa.pop * CAST(pb.pop AS DOUBLE)), 6) DESC,
+           ORDER BY CAST(CAST(FLOOR((c.cooc * tot.n_users / (pa.pop * CAST(pb.pop AS DOUBLE))) * 1000000.0 + 0.5) AS BIGINT) AS DOUBLE) / 1000000.0 DESC,
                     c.news_b ASC) AS rnk
   FROM (
     SELECT a.news_id AS news_a, b.news_id AS news_b, CAST(COUNT(*) AS DOUBLE) AS cooc
@@ -471,8 +472,8 @@ def cf_item_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count("*").cast("double").alias("cooc"))
     )
-    lift = F.round(
-        F.col("cooc") * n_users / (F.col("pa") * F.col("pb").cast("double")), 6
+    lift = ppm_value(
+        F.col("cooc") * n_users / (F.col("pa") * F.col("pb").cast("double"))
     )
     w = Window.partitionBy("news_a").orderBy(F.desc("lift"), F.asc("news_b"))
     return (
@@ -709,10 +710,8 @@ SELECT CAST(COUNT(*) AS BIGINT) AS n_eval,
        CAST(COUNT(m.news_pred) AS BIGINT) AS n_covered,
        CAST(COALESCE(SUM(CASE WHEN m.news_pred = e.news_actual
                               THEN 1 END), 0) AS BIGINT) AS hits,
-       ROUND(COALESCE(SUM(CASE WHEN m.news_pred = e.news_actual
-                                THEN 1.0 ELSE 0.0 END), 0)
-             / COUNT(*), 6) AS hit_rate,
-       ROUND(COUNT(m.news_pred) / CAST(COUNT(*) AS DOUBLE), 6) AS coverage
+       CAST(CAST(FLOOR((COALESCE(SUM(CASE WHEN m.news_pred = e.news_actual THEN 1.0 ELSE 0.0 END), 0) / COUNT(*)) * 1000000.0 + 0.5) AS BIGINT) AS DOUBLE) / 1000000.0 AS hit_rate,
+       CAST(CAST(FLOOR((COUNT(m.news_pred) / CAST(COUNT(*) AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT) AS DOUBLE) / 1000000.0 AS coverage
 FROM eval_set e LEFT JOIN model m ON e.news_prev = m.news_a"""
 
 
@@ -791,11 +790,11 @@ def cf_next_item_hitrate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_eval"),
         F.count("news_pred").alias("n_covered"),
         F.coalesce(F.sum(hit), F.lit(0)).cast("long").alias("hits"),
-        F.round(
-            F.coalesce(F.sum(hit.cast("double")), F.lit(0.0)) / F.count("*"), 6
+        ppm_value(
+            F.coalesce(F.sum(hit.cast("double")), F.lit(0.0)) / F.count("*")
         ).alias("hit_rate"),
-        F.round(
-            F.count("news_pred") / F.count("*").cast("double"), 6
+        ppm_value(
+            F.count("news_pred") / F.count("*").cast("double")
         ).alias("coverage"),
     )
 
@@ -934,9 +933,9 @@ def cf_reclist_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     with_ctes(
         f"""SELECT r.user_id,
        CAST(COUNT(*) AS BIGINT) AS n_recs,
-       ROUND(AVG(LN(CAST(n_users AS DOUBLE) / pop) / LN(2.0)), 6)
+       CAST(CAST(FLOOR((AVG(LN(CAST(n_users AS DOUBLE) / pop) / LN(2.0))) * 1000000.0 + 0.5) AS BIGINT) AS DOUBLE) / 1000000.0
          AS mean_novelty_bits,
-       ROUND(AVG(pop * 1.0 / n_users), 6) AS mean_pop_share
+       CAST(CAST(FLOOR((AVG(pop * 1.0 / n_users)) * 1000000.0 + 0.5) AS BIGINT) AS DOUBLE) / 1000000.0 AS mean_pop_share
 FROM (
 {{recs}}
 ) r
@@ -980,9 +979,9 @@ def cf_novelty_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id")
         .agg(
             F.count("*").alias("n_recs"),
-            F.round(F.avg(bits), 6).alias("mean_novelty_bits"),
-            F.round(
-                F.avg(F.col("pop") / F.col("n_users")), 6
+            ppm_value(F.avg(bits)).alias("mean_novelty_bits"),
+            ppm_value(
+                F.avg(F.col("pop") / F.col("n_users"))
             ).alias("mean_pop_share"),
         )
     )

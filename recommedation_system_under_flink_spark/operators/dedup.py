@@ -34,6 +34,7 @@ from pyspark.sql import functions as F
 
 from ..functions.text import TOKEN_SPLIT_REGEX
 from ..registry import register
+from .quantize import ppm_value
 from ..sources import load_raw
 
 #: Shingle width (tokens) for Jaccard/MinHash shingling.
@@ -889,8 +890,7 @@ SELECT t.source,
        CAST(SUM(t.n_tokens) AS BIGINT) AS raw_tokens,
        CAST(SUM(CASE WHEN v.keep THEN t.n_tokens ELSE 0 END) AS BIGINT)
          AS effective_tokens,
-       ROUND(CAST(SUM(CASE WHEN v.keep THEN t.n_tokens ELSE 0 END) AS DOUBLE)
-             / SUM(t.n_tokens), 6) AS retention
+       CAST(CAST(FLOOR((CAST(SUM(CASE WHEN v.keep THEN t.n_tokens ELSE 0 END) AS DOUBLE) / SUM(t.n_tokens)) * 1000000.0 + 0.5) AS BIGINT) AS DOUBLE) / 1000000.0 AS retention
 FROM tok t JOIN verdict v ON t.doc_id = v.doc_id
 GROUP BY t.source"""
 
@@ -927,8 +927,8 @@ def dedup_effective_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("keep").cast("int")).cast("long").alias("n_kept"),
             F.sum("n_tokens").cast("long").alias("raw_tokens"),
             kept_tokens.cast("long").alias("effective_tokens"),
-            F.round(
-                kept_tokens.cast("double") / F.sum("n_tokens"), 6
+            ppm_value(
+                kept_tokens.cast("double") / F.sum("n_tokens")
             ).alias("retention"),
         )
     )
@@ -1207,8 +1207,7 @@ SELECT s.doc_id,
        CAST(COUNT(*) AS BIGINT) AS n_shingles,
        CAST(SUM(CASE WHEN f.first_doc = s.doc_id THEN 1 ELSE 0 END)
             AS BIGINT) AS n_novel,
-       ROUND(CAST(SUM(CASE WHEN f.first_doc = s.doc_id THEN 1 ELSE 0 END)
-                  AS DOUBLE) / COUNT(*), 6) AS novelty
+       CAST(CAST(FLOOR((CAST(SUM(CASE WHEN f.first_doc = s.doc_id THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*)) * 1000000.0 + 0.5) AS BIGINT) AS DOUBLE) / 1000000.0 AS novelty
 FROM sh s JOIN firsts f ON f.shingle = s.shingle
 GROUP BY s.doc_id""",
 )
@@ -1243,14 +1242,13 @@ def dedup_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .cast("long")
             .alias("n_novel"),
-            F.round(
+            ppm_value(
                 F.sum(
                     F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(
                         0
                     )
                 ).cast("double")
-                / F.count("*"),
-                6,
+                / F.count("*")
             ).alias("novelty"),
         )
     )
@@ -2237,9 +2235,9 @@ SELECT doc_id,
        CAST(COUNT(*) AS BIGINT) AS n_chunks,
        CAST(SUM(CASE WHEN f.n > 1 THEN 1 ELSE 0 END) AS BIGINT)
          AS n_dup_chunks,
-       ROUND(SUM(CASE WHEN f.n > 1 THEN 1.0 ELSE 0.0 END) / COUNT(*), 6)
+       CAST(CAST(FLOOR((SUM(CASE WHEN f.n > 1 THEN 1.0 ELSE 0.0 END) / COUNT(*)) * 1000000.0 + 0.5) AS BIGINT) AS DOUBLE) / 1000000.0
          AS dup_ratio,
-       ROUND(AVG(ln), 6) AS avg_chunk_tokens
+       CAST(CAST(FLOOR((CAST(CAST(SUM(ln) AS BIGINT) AS DOUBLE) / COUNT(*)) * 1000000.0 + 0.5) AS BIGINT) AS DOUBLE) / 1000000.0 AS avg_chunk_tokens
 FROM chunks c JOIN freq f ON c.h = f.h
 GROUP BY doc_id"""
 
@@ -2331,10 +2329,12 @@ def dedup_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count("*").alias("n_chunks"),
             F.sum(dup).cast("long").alias("n_dup_chunks"),
-            F.round(F.sum(dup.cast("double")) / F.count("*"), 6).alias(
+            ppm_value(F.sum(dup.cast("double")) / F.count("*")).alias(
                 "dup_ratio"
             ),
-            F.round(F.avg("ln"), 6).alias("avg_chunk_tokens"),
+            ppm_value(
+                F.sum("ln").cast("double") / F.count("*")
+            ).alias("avg_chunk_tokens"),
         )
     )
 
@@ -2377,8 +2377,7 @@ SELECT doc_id,
        CAST(COUNT(*) AS BIGINT) AS n_lines,
        CAST(SUM(CASE WHEN nd >= {BOILER_MIN_DOCS} THEN 1 ELSE 0 END)
             AS BIGINT) AS n_removed,
-       ROUND(SUM(CASE WHEN nd >= {BOILER_MIN_DOCS} THEN 1.0 ELSE 0.0 END)
-             / COUNT(*), 6) AS removed_ratio,
+       CAST(CAST(FLOOR((SUM(CASE WHEN nd >= {BOILER_MIN_DOCS} THEN 1.0 ELSE 0.0 END) / COUNT(*)) * 1000000.0 + 0.5) AS BIGINT) AS DOUBLE) / 1000000.0 AS removed_ratio,
        md5(COALESCE(string_agg(CASE WHEN nd < {BOILER_MIN_DOCS} THEN line END,
                                ' ' ORDER BY s), '')) AS kept_md5
 FROM lines l JOIN freq f ON l.h = f.h
@@ -2436,8 +2435,8 @@ def dedup_line_level(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count("*").alias("n_lines"),
             F.sum(boiler.cast("long")).alias("n_removed"),
-            F.round(
-                F.sum(boiler.cast("double")) / F.count("*"), 6
+            ppm_value(
+                F.sum(boiler.cast("double")) / F.count("*")
             ).alias("removed_ratio"),
             F.md5(
                 F.array_join(

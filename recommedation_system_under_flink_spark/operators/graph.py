@@ -32,6 +32,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..registry import register
+from .quantize import ppm_value
 from ..sources import CLICKS_CTE, with_ctes
 from .bsp import checkpoint_result
 
@@ -1114,7 +1115,7 @@ def graph_modularity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _degree_hist_oracle() -> str:
     return with_ctes(
         """SELECT side, bucket, lo, hi, n_nodes,
-       ROUND(CAST(n_nodes AS DOUBLE) / SUM(n_nodes) OVER (PARTITION BY side), 6)
+       CAST(CAST(FLOOR((CAST(n_nodes AS DOUBLE) / SUM(n_nodes) OVER (PARTITION BY side)) * 1000000.0 + 0.5) AS BIGINT) AS DOUBLE) / 1000000.0
          AS share
 FROM (
   SELECT side,
@@ -1195,8 +1196,8 @@ def graph_degree_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lo",
         "hi",
         "n_nodes",
-        F.round(
-            F.col("n_nodes").cast("double") / F.sum("n_nodes").over(w), 6
+        ppm_value(
+            F.col("n_nodes").cast("double") / F.sum("n_nodes").over(w)
         ).alias("share"),
     )
 

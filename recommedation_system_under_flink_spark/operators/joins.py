@@ -39,6 +39,7 @@ from pyspark.sql import functions as F
 from ..config import DEFAULT_SCENE, TODAY
 from ..functions.kernels import calculate_x_sql
 from ..registry import register
+from .quantize import ppm_value
 from ..sources import CLICKS_CTE, NEWS_CTE, TWEETS_CTE, clicks, news, tweets, with_ctes
 from .filters import leading_zone, trailing_zone
 from .tfidf import (
@@ -602,9 +603,7 @@ SELECT COALESCE(trc.news_id, tfc.news_id) AS news_id,
        CAST(COALESCE(trc.n_textrank, 0) AS BIGINT) AS n_textrank,
        CAST(COALESCE(tfc.n_tfidf, 0) AS BIGINT) AS n_tfidf,
        CAST(COALESCE(c.n_common, 0) AS BIGINT) AS n_common,
-       ROUND(CAST(COALESCE(c.n_common, 0) AS DOUBLE)
-             / NULLIF(COALESCE(trc.n_textrank, 0) + COALESCE(tfc.n_tfidf, 0)
-                      - COALESCE(c.n_common, 0), 0), 6) AS jaccard
+       CAST(CAST(FLOOR((CAST(COALESCE(c.n_common, 0) AS DOUBLE) / NULLIF(COALESCE(trc.n_textrank, 0) + COALESCE(tfc.n_tfidf, 0) - COALESCE(c.n_common, 0), 0)) * 1000000.0 + 0.5) AS BIGINT) AS DOUBLE) / 1000000.0 AS jaccard
 FROM trc
 FULL OUTER JOIN tfc ON trc.news_id = tfc.news_id
 LEFT JOIN common c ON c.news_id = COALESCE(trc.news_id, tfc.news_id)"""
@@ -661,7 +660,7 @@ def j7_extractor_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_textrank",
         "n_tfidf",
         n("n_common").alias("n_common"),
-        F.round(
-            n("n_common").cast("double") / F.nullif(denom, F.lit(0)), 6
+        ppm_value(
+            n("n_common").cast("double") / F.nullif(denom, F.lit(0))
         ).alias("jaccard"),
     )

@@ -27,6 +27,7 @@ from ..functions.kernels import (
     rank_weighted_distance_sql,
 )
 from ..registry import register
+from .quantize import ppm_value
 from ..sources import CLICKS_CTE, NEWS_CTE, clicks, events_raw, load_raw, with_ctes
 from .tfidf import _NEWS_KW_CTE, _NEWS_TERMS_CTE, _NEWS_TFIDF_CTE, a8_news_keywords_topk
 
@@ -1276,8 +1277,10 @@ def _s24_corrupt_pred_sql() -> str:
             AS BIGINT) AS n_after_drop,
        CAST(SUM(CASE WHEN {_s24_corrupt_pred_sql()} THEN 0 ELSE n_chars END)
             AS BIGINT) AS sum_good_chars,
-       ROUND(CAST(SUM(CASE WHEN {_s24_corrupt_pred_sql()} THEN 1 ELSE 0 END)
-                  AS DOUBLE) / COUNT(*), 6) AS corrupt_rate
+       CAST(CAST(FLOOR((CAST(SUM(CASE WHEN {_s24_corrupt_pred_sql()}
+                                 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*))
+                       * 1000000.0 + 0.5) AS BIGINT) AS DOUBLE) / 1000000.0
+         AS corrupt_rate
 FROM documents""",
 )
 def s24_malformed_csv_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1362,10 +1365,9 @@ def s24_malformed_csv_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_corrupt",
         "n_after_drop",
         "sum_good_chars",
-        F.round(
+        ppm_value(
             F.col("n_corrupt").cast("double")
-            / F.nullif(F.col("n_total"), F.lit(0)),
-            6,
+            / F.nullif(F.col("n_total"), F.lit(0))
         ).alias("corrupt_rate"),
     )
 
@@ -1589,13 +1591,11 @@ SELECT layout,
        CAST(COUNT(*) AS BIGINT) AS n_files,
        CAST(SUM(CASE WHEN mx >= lo AND mn < hi THEN 1 ELSE 0 END) AS BIGINT)
          AS files_scanned,
-       ROUND(1.0 - SUM(CASE WHEN mx >= lo AND mn < hi THEN 1 ELSE 0 END)
-                   / CAST(COUNT(*) AS DOUBLE), 6) AS skip_ratio,
+       CAST(CAST(FLOOR((1.0 - SUM(CASE WHEN mx >= lo AND mn < hi THEN 1 ELSE 0 END) / CAST(COUNT(*) AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT) AS DOUBLE) / 1000000.0 AS skip_ratio,
        CAST(SUM(CASE WHEN mx >= lo AND mn < hi THEN rows_in_file ELSE 0 END)
          AS BIGINT) AS rows_scanned,
        CAST(SUM(hits) AS BIGINT) AS rows_matching,
-       ROUND(SUM(CASE WHEN mx >= lo AND mn < hi THEN rows_in_file ELSE 0 END)
-             / CAST(SUM(hits) AS DOUBLE), 6) AS scan_amplification
+       CAST(CAST(FLOOR((SUM(CASE WHEN mx >= lo AND mn < hi THEN rows_in_file ELSE 0 END) / CAST(SUM(hits) AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT) AS DOUBLE) / 1000000.0 AS scan_amplification
 FROM files CROSS JOIN day
 GROUP BY layout ORDER BY layout"""
 
@@ -1656,18 +1656,16 @@ def s27_skipping_stats_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count("*").alias("n_files"),
             F.sum(scanned.cast("long")).alias("files_scanned"),
-            F.round(
-                1.0 - F.sum(scanned.cast("long")) / F.count("*").cast("double"),
-                6,
+            ppm_value(
+                1.0 - F.sum(scanned.cast("long")) / F.count("*").cast("double")
             ).alias("skip_ratio"),
             F.sum(
                 F.when(scanned, F.col("rows_in_file")).otherwise(0)
             ).alias("rows_scanned"),
             F.sum("hits").alias("rows_matching"),
-            F.round(
+            ppm_value(
                 F.sum(F.when(scanned, F.col("rows_in_file")).otherwise(0))
-                / F.sum("hits").cast("double"),
-                6,
+                / F.sum("hits").cast("double")
             ).alias("scan_amplification"),
         )
         .orderBy("layout")

@@ -41,6 +41,7 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..registry import register
+from .quantize import ppm_value
 from ..sources import load_raw
 from .sampling import (
     HASH_MOD,
@@ -1914,10 +1915,14 @@ def _gbdt_oracle() -> str:
         )
         selects.append(
             f"""SELECT {k} AS stage, '{xcol}' AS feature,
-       ROUND(s{k}.threshold, 6) AS threshold,
-       ROUND({BOOST_NU} * s{k}.vl, 6) AS left_step,
-       ROUND({BOOST_NU} * s{k}.vr, 6) AS right_step,
-       ROUND((SELECT AVG(res * res) FROM r{k}), 6) AS train_mse
+       CAST(CAST(FLOOR((s{k}.threshold) * 1000000.0 + 0.5) AS BIGINT)
+            AS DOUBLE) / 1000000.0 AS threshold,
+       CAST(CAST(FLOOR(({BOOST_NU} * s{k}.vl) * 1000000.0 + 0.5) AS BIGINT)
+            AS DOUBLE) / 1000000.0 AS left_step,
+       CAST(CAST(FLOOR(({BOOST_NU} * s{k}.vr) * 1000000.0 + 0.5) AS BIGINT)
+            AS DOUBLE) / 1000000.0 AS right_step,
+       CAST(CAST(FLOOR(((SELECT AVG(res * res) FROM r{k})) * 1000000.0 + 0.5)
+            AS BIGINT) AS DOUBLE) / 1000000.0 AS train_mse
 FROM s{k}"""
         )
     return (
@@ -1974,10 +1979,10 @@ def ml_gbdt_k_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).select(
                 F.lit(k).alias("stage"),
                 F.lit(xcol).alias("feature"),
-                F.round("threshold", 6).alias("threshold"),
-                F.round(F.col("vl") * BOOST_NU, 6).alias("left_step"),
-                F.round(F.col("vr") * BOOST_NU, 6).alias("right_step"),
-                F.round("mse", 6).alias("train_mse"),
+                ppm_value(F.col("threshold")).alias("threshold"),
+                ppm_value(F.lit(BOOST_NU) * F.col("vl")).alias("left_step"),
+                ppm_value(F.lit(BOOST_NU) * F.col("vr")).alias("right_step"),
+                ppm_value(F.col("mse")).alias("train_mse"),
             )
         )
         cur = nxt

@@ -38,6 +38,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ..registry import register
+from .quantize import ppm_value
 from ..sources import load_raw
 
 MODALITIES = ("image", "audio", "video")
@@ -843,8 +844,8 @@ lagged AS (
 SELECT media_id,
        CAST(k AS BIGINT) AS frame_idx,
        CAST(k * 1000 AS BIGINT) AS ts_ms,
-       ROUND(sig, 6) AS sig,
-       ROUND(delta, 6) AS delta,
+       CAST(CAST(FLOOR((sig) * 1000000.0 + 0.5) AS BIGINT) AS DOUBLE) / 1000000.0 AS sig,
+       CAST(CAST(FLOOR((delta) * 1000000.0 + 0.5) AS BIGINT) AS DOUBLE) / 1000000.0 AS delta,
        COALESCE(delta > {SCENE_CUT_TAU!r}, FALSE) AS is_cut
 FROM lagged"""
 
@@ -878,7 +879,7 @@ def mm_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
         "media_id",
         "frame_idx",
         (F.col("frame_idx") * 1000).cast("long").alias("ts_ms"),
-        F.round("sig", 6).alias("sig"),
-        F.round(delta, 6).alias("delta"),
+        ppm_value(F.col("sig")).alias("sig"),
+        ppm_value(delta).alias("delta"),
         F.coalesce(delta > SCENE_CUT_TAU, F.lit(False)).alias("is_cut"),
     )

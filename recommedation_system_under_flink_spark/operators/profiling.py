@@ -25,6 +25,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..registry import register
+from .quantize import ppm_value
 from ..sources import load_raw
 
 #: Expected embedding dimensionality (fixture schema contract).
@@ -448,10 +449,11 @@ def prof_l_diversity_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT CAST(COUNT(*) AS BIGINT) AS n_cells,
        CAST((COUNT(DISTINCT lang) - 1) * (COUNT(DISTINCT source) - 1)
             AS BIGINT) AS dof,
-       ROUND(SUM(
+       CAST(CAST(SUM(CAST(FLOOR((
          (o - CAST(rl AS DOUBLE) * cs / n) * (o - CAST(rl AS DOUBLE) * cs / n)
          / (CAST(rl AS DOUBLE) * cs / n)
-       ), 6) AS chi2
+       ) * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS DOUBLE) / 1000000.0
+         AS chi2
 FROM grid""",
 )
 def prof_chi2_lang_source(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -494,9 +496,15 @@ def prof_chi2_lang_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         (
             (F.count_distinct("lang") - 1) * (F.count_distinct("source") - 1)
         ).cast("long").alias("dof"),
-        F.round(F.sum((F.col("o") - e) * (F.col("o") - e) / e), 6).alias(
-            "chi2"
-        ),
+        (
+            F.sum(
+                F.floor(
+                    (F.col("o") - e) * (F.col("o") - e) / e * 1000000.0
+                    + 0.5
+                ).cast("long")
+            ).cast("double")
+            / 1000000.0
+        ).alias("chi2"),
     )
 
 
@@ -933,8 +941,7 @@ SELECT CAST((SELECT COUNT(*) FROM parts) AS BIGINT) AS n_partitions,
        (SELECT MIN(n) FROM parts) AS min_rows,
        med.median_rows,
        (SELECT MAX(n) FROM parts) AS max_rows,
-       ROUND(CAST((SELECT MAX(n) FROM parts) AS DOUBLE)
-             / med.median_rows, 6) AS skew_ratio,
+       CAST(CAST(FLOOR((CAST((SELECT MAX(n) FROM parts) AS DOUBLE) / med.median_rows) * 1000000.0 + 0.5) AS BIGINT) AS DOUBLE) / 1000000.0 AS skew_ratio,
        CAST((SELECT MAX(n) FROM parts) > 2 * med.median_rows AS BOOLEAN)
          AS skewed
 FROM med""",
@@ -978,8 +985,8 @@ def prof_partition_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
         "min_rows",
         "median_rows",
         "max_rows",
-        F.round(
-            F.col("max_rows").cast("double") / F.col("median_rows"), 6
+        ppm_value(
+            F.col("max_rows").cast("double") / F.col("median_rows")
         ).alias("skew_ratio"),
         (F.col("max_rows") > 2 * F.col("median_rows")).alias("skewed"),
     )

@@ -30,6 +30,7 @@ from pyspark.sql import functions as F
 
 from ..config import DEFAULT_SCENE
 from ..registry import register
+from .quantize import ppm_value
 from ..sources import CLICKS_CTE, clicks, with_ctes
 from ..sources.tables import NEWS_MOD
 
@@ -306,9 +307,7 @@ def t4_rbo_recommender_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
        CAST(SUM(d.clicks) AS BIGINT) AS n_logged,
        CAST(SUM(CASE WHEN d.news_id = p.policy_item
                      THEN d.clicks ELSE 0 END) AS BIGINT) AS n_matched,
-       ROUND(CAST(SUM(CASE WHEN d.news_id = p.policy_item
-                           THEN d.clicks ELSE 0 END) AS DOUBLE)
-             / SUM(d.clicks), 6) AS replay_ctr
+       CAST(CAST(FLOOR((CAST(SUM(CASE WHEN d.news_id = p.policy_item THEN d.clicks ELSE 0 END) AS DOUBLE) / SUM(d.clicks)) * 1000000.0 + 0.5) AS BIGINT) AS DOUBLE) / 1000000.0 AS replay_ctr
 FROM daily d
 JOIN (
   SELECT date + INTERVAL 1 DAY AS serve_date, news_id AS policy_item
@@ -369,8 +368,8 @@ def t5_policy_replay_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.sum("clicks").cast("long").alias("n_logged"),
             matched.cast("long").alias("n_matched"),
-            F.round(
-                matched.cast("double") / F.sum("clicks"), 6
+            ppm_value(
+                matched.cast("double") / F.sum("clicks")
             ).alias("replay_ctr"),
         )
     )

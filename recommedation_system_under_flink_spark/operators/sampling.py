@@ -29,6 +29,7 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..registry import register
+from .quantize import ppm_value
 from ..sources import load_raw
 from ..sources.tables import NEWS_MOD
 
@@ -312,7 +313,7 @@ rates AS (
   FROM counts c JOIN shares s USING (lang), tot t, lam
 )
 SELECT d.doc_id, d.lang,
-       ROUND(r.rate, 6) AS keep_rate,
+       CAST(CAST(FLOOR((r.rate) * 1000000.0 + 0.5) AS BIGINT) AS DOUBLE) / 1000000.0 AS keep_rate,
        {split_hash_sql('d.doc_id')} % {MIX_RES}
          < CAST(FLOOR(r.rate * {MIX_RES}) AS BIGINT) AS keep
 FROM documents d JOIN rates r USING (lang)"""
@@ -370,7 +371,7 @@ def samp_lang_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "doc_id",
             "lang",
-            F.round(F.col("rate"), 6).alias("keep_rate"),
+            ppm_value(F.col("rate")).alias("keep_rate"),
             (h < F.floor(F.col("rate") * MIX_RES).cast("long")).alias("keep"),
         )
     )
@@ -580,9 +581,7 @@ r AS (
 )
 SELECT CAST(SUM(pos) AS BIGINT) AS n_pos,
        CAST(SUM(1 - pos) AS BIGINT) AS n_neg,
-       ROUND((SUM(CASE WHEN pos = 1 THEN mr + (ties - 1) / 2.0 ELSE 0 END)
-              - SUM(pos) * (SUM(pos) + 1) / 2.0)
-             / (SUM(pos) * SUM(1 - pos)), 6) AS auc
+       CAST(CAST(FLOOR(((SUM(CASE WHEN pos = 1 THEN mr + (ties - 1) / 2.0 ELSE 0 END) - SUM(pos) * (SUM(pos) + 1) / 2.0) / (SUM(pos) * SUM(1 - pos))) * 1000000.0 + 0.5) AS BIGINT) AS DOUBLE) / 1000000.0 AS auc
 FROM r""",
 )
 def samp_dsir_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -623,8 +622,8 @@ def samp_dsir_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return r.agg(
         n_pos.cast("long").alias("n_pos"),
         n_neg.cast("long").alias("n_neg"),
-        F.round(
-            (rank_sum - n_pos * (n_pos + 1) / 2.0) / (n_pos * n_neg), 6
+        ppm_value(
+            (rank_sum - n_pos * (n_pos + 1) / 2.0) / (n_pos * n_neg)
         ).alias("auc"),
     )
 
@@ -778,13 +777,13 @@ def _curriculum_oracle() -> str:
     )
     return f"""WITH q AS (
   SELECT doc_id,
-         ROUND(CAST(0.4 * LEAST(CAST(len(ts) AS DOUBLE) / 100.0, 1.0)
+         CAST(CAST(FLOOR((CAST(0.4 * LEAST(CAST(len(ts) AS DOUBLE) / 100.0, 1.0)
               + 0.3 * LEAST(CASE WHEN len(ts) > 0 THEN
                     CAST(len(list_filter(ts, t -> t IN ({_STOP_SQL}))) AS DOUBLE) / len(ts)
                   ELSE 0.0 END * 4, 1.0)
               + 0.3 * (CASE WHEN len(ts) > 0 THEN
                     CAST(len(list_distinct(ts)) AS DOUBLE) / len(ts)
-                  ELSE 0.0 END) AS DOUBLE), 6) AS q6
+                  ELSE 0.0 END) AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT) AS DOUBLE) / 1000000.0 AS q6
   FROM (SELECT doc_id, {_TOKENS_SQL} AS ts FROM documents)
 ),
 agg AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM q),
@@ -819,7 +818,7 @@ def samp_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     n_cuts = CURRICULUM_BUCKETS - 1
     q = ts_quality_score(spark, sf_dir).select(
-        "doc_id", F.round("quality", 6).alias("q6")
+        "doc_id", ppm_value(F.col("quality")).alias("q6")
     ).persist()
     head = q.agg(F.count("*").alias("n")).first()
     n = int(head["n"]) if head else 0
@@ -920,7 +919,7 @@ def _boot_w_sql(u: str) -> str:
     "samp_poisson_bootstrap",
     f"""SELECT b AS replicate,
        CAST(SUM(w) AS BIGINT) AS n_eff,
-       ROUND(CAST(SUM(w * n_chars) AS DOUBLE) / SUM(w), 6) AS mean_chars
+       CAST(CAST(FLOOR((CAST(SUM(w * n_chars) AS DOUBLE) / SUM(w)) * 1000000.0 + 0.5) AS BIGINT) AS DOUBLE) / 1000000.0 AS mean_chars
 FROM (
   SELECT b, n_chars, {_boot_w_sql(_boot_u_sql())} AS w
   FROM documents
@@ -969,10 +968,9 @@ def samp_poisson_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("b").alias("replicate"))
         .agg(
             F.sum("w").cast("long").alias("n_eff"),
-            F.round(
+            ppm_value(
                 F.sum(F.col("w") * F.col("n_chars"))
-                / F.sum("w").cast("double"),
-                6,
+                / F.sum("w").cast("double")
             ).alias("mean_chars"),
         )
         .filter(F.col("n_eff") > 0)
@@ -1137,8 +1135,9 @@ lam AS (
     AND (b - cum_c) / (total_w - cum_w) <= r
 )
 SELECT s.source, s.c AS available_tokens, s.w AS weight,
-       ROUND(COALESCE(l.lambda, CAST('inf' AS DOUBLE)), 6) AS water_level,
-       ROUND(LEAST(CAST(s.c AS DOUBLE), COALESCE(l.lambda * s.w, CAST(s.c AS DOUBLE))), 6)
+       CASE WHEN l.lambda IS NULL THEN CAST('inf' AS DOUBLE)
+            ELSE CAST(CAST(FLOOR((l.lambda) * 1000000.0 + 0.5) AS BIGINT) AS DOUBLE) / 1000000.0 END AS water_level,
+       CAST(CAST(FLOOR((LEAST(CAST(s.c AS DOUBLE), COALESCE(l.lambda * s.w, CAST(s.c AS DOUBLE)))) * 1000000.0 + 0.5) AS BIGINT) AS DOUBLE) / 1000000.0
          AS allocated_tokens,
        CAST(s.c <= COALESCE(l.lambda * s.w, CAST(s.c AS DOUBLE) + 1) AS BOOLEAN)
          AS capped
@@ -1219,18 +1218,17 @@ def samp_token_budget_waterfill(spark: SparkSession, sf_dir: str) -> DataFrame:
             "source",
             F.col("c").alias("available_tokens"),
             F.col("w").alias("weight"),
-            F.round(F.coalesce(F.col("lambda"), inf), 6).alias(
-                "water_level"
-            ),
-            F.round(
+            F.when(F.col("lambda").isNull(), inf)
+            .otherwise(ppm_value(F.col("lambda")))
+            .alias("water_level"),
+            ppm_value(
                 F.least(
                     F.col("c").cast("double"),
                     F.coalesce(
                         F.col("lambda") * F.col("w"),
                         F.col("c").cast("double"),
                     ),
-                ),
-                6,
+                )
             ).alias("allocated_tokens"),
             (
                 F.col("c").cast("double")
@@ -1271,7 +1269,7 @@ NEYMAN_SAMPLE_FRAC = 0.1
 )
 SELECT s.source, s.n_docs, ROUND(s.sigma, 6) AS sigma_tokens,
        ROUND(t.n * s.n_docs * s.sigma / t.denom, 6) AS neyman_n,
-       ROUND(CAST(t.n AS DOUBLE) * s.n_docs / t.big_n, 6)
+       CAST(CAST(FLOOR((CAST(t.n AS DOUBLE) * s.n_docs / t.big_n) * 1000000.0 + 0.5) AS BIGINT) AS DOUBLE) / 1000000.0
          AS proportional_n
 FROM sig s CROSS JOIN tot t""",
 )
@@ -1468,7 +1466,8 @@ PPS_BUCKET = 256
 -- for intervals past the first point, computed via integer FLOOR division
 SELECT doc_id, s AS n_tokens,
        CAST(hits AS BIGINT) AS n_hits,
-       ROUND(LEAST(1.0, CAST({PPS_SAMPLES} AS DOUBLE) * s / total), 6)
+       CAST(CAST(FLOOR((LEAST(1.0, CAST({PPS_SAMPLES} AS DOUBLE) * s / total))
+                       * 1000000.0 + 0.5) AS BIGINT) AS DOUBLE) / 1000000.0
          AS inclusion_prob
 FROM (
   SELECT doc_id, s, total,
@@ -1550,12 +1549,11 @@ def samp_pps_systematic(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id",
             F.col("s").alias("n_tokens"),
             F.col("hits").cast("bigint").alias("n_hits"),
-            F.round(
+            ppm_value(
                 F.least(
                     F.lit(1.0),
                     F.lit(float(m)) * F.col("s") / F.col("total"),
-                ),
-                6,
+                )
             ).alias("inclusion_prob"),
         )
     )

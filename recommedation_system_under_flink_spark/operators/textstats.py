@@ -2287,10 +2287,9 @@ def ts_kneser_ney_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT source,
        CAST(SUM(c) AS BIGINT) AS n_tokens,
        CAST(COUNT(*) AS BIGINT) AS n_types,
-       ROUND(CAST(COUNT(*) AS DOUBLE) / SUM(c), 6) AS type_token_ratio,
+       CAST(CAST(FLOOR((CAST(COUNT(*) AS DOUBLE) / SUM(c)) * 1000000.0 + 0.5) AS BIGINT) AS DOUBLE) / 1000000.0 AS type_token_ratio,
        CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
-       ROUND(CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS DOUBLE)
-             / COUNT(*), 6) AS hapax_rate,
+       CAST(CAST(FLOOR((CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*)) * 1000000.0 + 0.5) AS BIGINT) AS DOUBLE) / 1000000.0 AS hapax_rate,
        ROUND(CAST(COUNT(*) AS DOUBLE) / SQRT(CAST(SUM(c) AS DOUBLE)), 6)
          AS guiraud_r
 FROM per GROUP BY source""",
@@ -2324,16 +2323,15 @@ def ts_lexical_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per.groupBy("source").agg(
         F.sum("c").cast("bigint").alias("n_tokens"),
         F.count("*").cast("bigint").alias("n_types"),
-        F.round(
-            F.count("*").cast("double") / F.sum("c"), 6
+        ppm_value(
+            F.count("*").cast("double") / F.sum("c")
         ).alias("type_token_ratio"),
         F.sum((F.col("c") == 1).cast("int"))
         .cast("bigint")
         .alias("n_hapax"),
-        F.round(
+        ppm_value(
             F.sum((F.col("c") == 1).cast("int")).cast("double")
-            / F.count("*"),
-            6,
+            / F.count("*")
         ).alias("hapax_rate"),
         F.round(
             F.count("*").cast("double")

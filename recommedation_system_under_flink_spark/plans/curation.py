@@ -33,6 +33,7 @@ from pyspark.sql import functions as F
 
 from ..operators.sampling import samp_split_assign
 from ..operators.textstats import quality_parts, ts_lang_id, ts_quality_score
+from ..operators.quantize import ppm_value
 from ..registry import _REGISTRY, register
 from ..sources import load_raw
 
@@ -309,7 +310,7 @@ SELECT CAST(COUNT(*) AS BIGINT) AS total,
        CAST(SUM(f_qual) AS BIGINT) AS pass_quality,
        CAST(SUM(f_canon * f_lang) AS BIGINT) AS surv_canon_lang,
        CAST(SUM(f_canon * f_lang * f_qual) AS BIGINT) AS surv_all,
-       ROUND(CAST(SUM(f_canon * f_lang * f_qual) AS DOUBLE) / COUNT(*), 6)
+       CAST(CAST(FLOOR((CAST(SUM(f_canon * f_lang * f_qual) AS DOUBLE) / COUNT(*)) * 1000000.0 + 0.5) AS BIGINT) AS DOUBLE) / 1000000.0
          AS survival_rate
 FROM flags"""
 
@@ -362,12 +363,11 @@ def llm_curation_funnel_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("f_canon") * F.col("f_lang") * F.col("f_qual"))
         .cast("long")
         .alias("surv_all"),
-        F.round(
+        ppm_value(
             F.sum(F.col("f_canon") * F.col("f_lang") * F.col("f_qual")).cast(
                 "double"
             )
-            / F.count("*"),
-            6,
+            / F.count("*")
         ).alias("survival_rate"),
     )
 
@@ -497,10 +497,10 @@ _FUNNEL_BY_SOURCE_ORACLE = f"""WITH lang AS (
 SELECT source,
        CAST(COUNT(*) AS BIGINT) AS total,
        CAST(SUM(f_canon * f_lang * f_qual) AS BIGINT) AS surv_all,
-       ROUND(CAST(SUM(f_canon * f_lang * f_qual) AS DOUBLE) / COUNT(*), 6)
+       CAST(CAST(FLOOR((CAST(SUM(f_canon * f_lang * f_qual) AS DOUBLE) / COUNT(*)) * 1000000.0 + 0.5) AS BIGINT) AS DOUBLE) / 1000000.0
          AS survival_rate,
-       ROUND(1.0 - CAST(SUM(f_canon) AS DOUBLE) / COUNT(*), 6) AS dup_rate,
-       ROUND(1.0 - CAST(SUM(f_qual) AS DOUBLE) / COUNT(*), 6)
+       CAST(CAST(FLOOR((1.0 - CAST(SUM(f_canon) AS DOUBLE) / COUNT(*)) * 1000000.0 + 0.5) AS BIGINT) AS DOUBLE) / 1000000.0 AS dup_rate,
+       CAST(CAST(FLOOR((1.0 - CAST(SUM(f_qual) AS DOUBLE) / COUNT(*)) * 1000000.0 + 0.5) AS BIGINT) AS DOUBLE) / 1000000.0
          AS low_quality_rate
 FROM flags
 GROUP BY source"""
@@ -543,12 +543,14 @@ def llm_curation_funnel_by_source(spark: SparkSession, sf_dir: str) -> DataFrame
     return flags.groupBy("source").agg(
         F.count("*").cast("long").alias("total"),
         surv.cast("long").alias("surv_all"),
-        F.round(surv.cast("double") / F.count("*"), 6).alias("survival_rate"),
-        F.round(
-            1.0 - F.sum("f_canon").cast("double") / F.count("*"), 6
+        ppm_value(surv.cast("double") / F.count("*")).alias(
+            "survival_rate"
+        ),
+        ppm_value(
+            1.0 - F.sum("f_canon").cast("double") / F.count("*")
         ).alias("dup_rate"),
-        F.round(
-            1.0 - F.sum("f_qual").cast("double") / F.count("*"), 6
+        ppm_value(
+            1.0 - F.sum("f_qual").cast("double") / F.count("*")
         ).alias("low_quality_rate"),
     )
 
