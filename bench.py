@@ -163,6 +163,9 @@ HEADLINE = (
     # (register MAX-aggregate, now oracle-hashed)
     "sim_dbscan_lsh",
     "sk_daily_clickers_hll",
+    # round-9 late addition: bucketed write + zero-Exchange co-located
+    # join (pays the write-side shuffle, measures the read-side join)
+    "s28_bucketed_join_colocated",
 )
 
 

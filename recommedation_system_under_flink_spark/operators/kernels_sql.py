@@ -1670,3 +1670,99 @@ def s27_skipping_stats_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("layout")
     )
+
+
+# --------------------------------- S28: bucketed co-located join
+
+#: Bucket count for the co-located join demo. On a real cluster this
+#: is sized to target-file-size × executor count; what matters for the
+#: demo is that BOTH tables use the same count on the same key.
+S28_BUCKETS = 8
+
+_S28_ORACLE = with_ctes(
+    """SELECT c.user_id,
+       c.n_clicks,
+       p.purchase_cents
+FROM (
+  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_clicks
+  FROM clicks GROUP BY user_id
+) c
+JOIN (
+  SELECT user_id,
+         CAST(SUM(CAST(ROUND(CAST(value AS DECIMAL(18,6)) * 100, 0)
+                  AS BIGINT)) AS BIGINT) AS purchase_cents
+  FROM events WHERE event_type = 'purchase'
+  GROUP BY user_id
+) p ON c.user_id = p.user_id""",
+    CLICKS_CTE,
+)
+
+
+@register("s28_bucketed_join_colocated", _S28_ORACLE)
+def s28_bucketed_join_colocated(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """**Bucketed tables + shuffle-free co-located join** — the one
+    physical-layout lever the s-series still lacked (z-order orders
+    WITHIN files for skipping; bucketing pre-partitions ACROSS files
+    so the shuffle happens once, at write time). Raw clicks and
+    per-user purchase totals are written as two tables bucketed AND
+    sorted by ``user_id`` with the same bucket count; the read-side
+    aggregate on the bucket key and the user_id equi-join then need
+    NO Exchange at all — the executed plan is scan → partial agg →
+    sort-merge join with ZERO shuffles (the two remaining sorts are
+    bucket-LOCAL: the aggregate leg's output is unordered by nature,
+    and they move no data). That is the entire economics of nightly
+    fact-to-fact joins at 100 TB: pay the partitioning once at write
+    time, amortize it over every downstream join/agg on that key.
+    Values are hash-verified against the plain recomputation
+    (bucketing must be a pure layout change); the zero-Exchange,
+    both-scans-bucketed plan shape is pinned in
+    tests/test_plan_budgets.py and tests/test_round9_ops.py.
+
+    Money stays on the exact cent grid (BIGINT), counts exact — no
+    float anywhere."""
+    base = os.path.join(tempfile.gettempdir(), "spark_graft_s28")
+    cl = clicks(spark, sf_dir).select("user_id", "news_id")
+    cents = F.round(F.col("value").cast("decimal(18,6)") * 100, 0).cast(
+        "bigint"
+    )
+    pu = (
+        events_raw(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select("user_id", cents.alias("cents"))
+        .groupBy("user_id")
+        .agg(F.sum("cents").cast("bigint").alias("purchase_cents"))
+    )
+    # one task per bucket -> ONE FILE per bucket, which is the
+    # precondition for Spark to trust the written sortBy order and
+    # drop the read-side sorts as well as the shuffles
+    (
+        cl.repartition(S28_BUCKETS, F.col("user_id"))
+        .write.mode("overwrite")
+        .bucketBy(S28_BUCKETS, "user_id")
+        .sortBy("user_id")
+        .option("path", os.path.join(base, "clicks_b"))
+        .saveAsTable("s28_clicks_bucketed")
+    )
+    (
+        pu.repartition(S28_BUCKETS, F.col("user_id"))
+        .write.mode("overwrite")
+        .bucketBy(S28_BUCKETS, "user_id")
+        .sortBy("user_id")
+        .option("path", os.path.join(base, "purchases_b"))
+        .saveAsTable("s28_purchases_bucketed")
+    )
+    cb = spark.table("s28_clicks_bucketed")
+    pb = spark.table("s28_purchases_bucketed")
+    per_user = cb.groupBy("user_id").agg(
+        F.count("*").cast("long").alias("n_clicks")
+    )
+    # MERGE hint: at fixture scale AQE would broadcast the tiny side
+    # (hiding the point of the demo); two production fact tables are
+    # both over the broadcast threshold, and the sort-merge path is
+    # where bucketing pays — zero Exchange AND zero Sort, both sides
+    # pre-partitioned and pre-ordered at write time.
+    return per_user.join(pb.hint("merge"), "user_id").select(
+        "user_id", "n_clicks", "purchase_cents"
+    )

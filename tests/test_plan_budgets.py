@@ -76,6 +76,11 @@ BUDGETS = {
     "ef_markov_attribution": (2, 16, True, False),
     "p1_news_keywords_distributed": (2, 4, False, False),
     "graph_hits_clicks": (2, 4, False, False),
+    # round 9: the bucketed co-located join MUST stay shuffle-free —
+    # any Exchange at all means the bucketing contract broke (the two
+    # "scans" here are the bucketed-table reads; the writes happen
+    # before the returned plan)
+    "s28_bucketed_join_colocated": (2, 0, False, False),
 }
 
 

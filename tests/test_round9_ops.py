@@ -206,3 +206,53 @@ def test_dbscan_lsh_refines_exact(queries, spark):
     approx_cores = sum(1 for r, _ in approx.values() if r == "core")
     assert exact_cores > 0
     assert approx_cores >= 0.5 * exact_cores, (approx_cores, exact_cores)
+
+
+# ----------------------------------- bucketed co-located join (s28)
+
+def test_s28_bucketed_join_is_colocated(queries, spark):
+    """The whole point of s28: both table scans read bucketed metadata
+    and the aggregate + join run with ZERO Exchange nodes (the sorts
+    that remain are bucket-local). Values are covered by the oracle
+    gate; this pins the layout contract."""
+    import re
+
+    from conftest import SF_DIR
+
+    df = queries["s28_bucketed_join_colocated"](spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert len(re.findall(r"Exchange", plan)) == 0, plan[:800]
+    assert plan.count("Bucketed: true") == 2, plan[:800]
+    assert "SortMergeJoin" in plan
+    # and bucketing is a pure layout change: same rows as the plain
+    # recompute on the raw parquet
+    from pyspark.sql import functions as F
+    from recommedation_system_under_flink_spark.sources import (
+        clicks,
+        events_raw,
+    )
+
+    cl = (
+        clicks(spark, SF_DIR)
+        .groupBy("user_id")
+        .agg(F.count("*").cast("long").alias("n_clicks"))
+    )
+    cents = F.round(F.col("value").cast("decimal(18,6)") * 100, 0).cast(
+        "bigint"
+    )
+    pu = (
+        events_raw(spark, SF_DIR)
+        .filter(F.col("event_type") == "purchase")
+        .select("user_id", cents.alias("cents"))
+        .groupBy("user_id")
+        .agg(F.sum("cents").cast("bigint").alias("purchase_cents"))
+    )
+    want = {
+        (r["user_id"], r["n_clicks"], r["purchase_cents"])
+        for r in cl.join(pu, "user_id").collect()
+    }
+    got = {
+        (r["user_id"], r["n_clicks"], r["purchase_cents"])
+        for r in df.collect()
+    }
+    assert got == want
