@@ -20,6 +20,16 @@ Usage: quantize terms with :func:`ppm_floor` / :func:`ppm_floor_sql`
 :func:`ppm_value` / :func:`ppm_value_sql` (the quantized double).
 Keep the Spark expression and the SQL fragment textually parallel so
 both engines walk the identical IEEE tree.
+
+Range contract: |x| must stay below 2^63/1e6 ≈ 9.2e12 (the BIGINT
+cast) and below 2^53/1e6 ≈ 9e9 for the micro-units to be EXACT
+integers in the double domain. Every current call site is a ratio,
+rate, statistic, or bounded aggregate orders of magnitude inside
+that; a future absolute-count-sized publisher (e.g. corpus token
+totals at 100 TB) should publish the BIGINT itself, not a quantized
+double. Never feed an infinity sentinel through the quantizer
+(DuckDB raises on CAST(inf AS BIGINT)) — CASE around it, as
+samp_token_budget_waterfill does.
 """
 
 from __future__ import annotations
