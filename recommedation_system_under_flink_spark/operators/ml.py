@@ -2901,6 +2901,13 @@ def ml_cv_ridge_path(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array(*[F.lit(float(x)) for x in RIDGE_CV_LAMBDAS])
         ).alias("lam")
     )
+    def unscale(i: int, j: int):
+        # leave-fold-out moment back on the real scale — ONE spelling
+        # shared by the diagonal (+lam) and off-diagonal branches
+        return (
+            F.col(f"gm{i}{j}") - F.col(f"m{i}{j}")
+        ).cast("double") / 1000000.0
+
     trainmom = (
         foldmom.crossJoin(F.broadcast(glob))
         .crossJoin(F.broadcast(lams))
@@ -2910,14 +2917,9 @@ def ml_cv_ridge_path(spark: SparkSession, sf_dir: str) -> DataFrame:
             "lam",
             *[
                 (
-                    (F.col(f"gm{i}{j}") - F.col(f"m{i}{j}")).cast("double")
-                    / 1000000.0
-                    + F.col("lam")
+                    (unscale(i, j) + F.col("lam"))
                     if i == j
-                    else (F.col(f"gm{i}{j}") - F.col(f"m{i}{j}")).cast(
-                        "double"
-                    )
-                    / 1000000.0
+                    else unscale(i, j)
                 ).alias(f"tm{i}{j}")
                 for i, j in pairs
             ],

@@ -30,6 +30,18 @@ totals at 100 TB) should publish the BIGINT itself, not a quantized
 double. Never feed an infinity sentinel through the quantizer
 (DuckDB raises on CAST(inf AS BIGINT)) — CASE around it, as
 samp_token_budget_waterfill does.
+
+SUM contract (round-9 review): a SUM over ppm_floor terms is a plain
+BIGINT sum on the Spark side but HUGEINT on the DuckDB side, so the
+n·max|term|·1e6 product must stay inside 2^63 — Spark wraps (or
+throws under ANSI) exactly where DuckDB stays exact, which is a
+silent cross-engine divergence class in the very-large-n regime.
+The current term-sum sites (ml_cv_ridge_path Gram moments,
+ef_design_effect between-cluster terms, prof_chi2_lang_source terms,
+ev_forecast_backtest error terms, sim_embedding_covariance moments)
+are each bounded well inside that at any plausible fixture multiple
+and say so locally; a production build summing micro-units over
+≥~1e12 rows should accumulate in DECIMAL(38,0) on the Spark side.
 """
 
 from __future__ import annotations

@@ -572,7 +572,13 @@ def sim_neardup_pairs_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash-compared against the DuckDB twin (:func:`_lsh_oracle`);
     subset-of-exact and recall stay pytest-checked."""
     emb = load_raw(spark, sf_dir, "embeddings")
-    bucketed = _bucketed(emb, NEARDUP_TABLES, NEARDUP_BITS)
+    # dedupe candidates on IDS ONLY, then re-join the vectors for the
+    # verify (round-9 review: the previous distinct carried both 64-dim
+    # arrays through the shuffle — the sim_dbscan_lsh measurement put
+    # that at 2.3× the whole query; same oracle, same values)
+    bucketed = _bucketed(emb, NEARDUP_TABLES, NEARDUP_BITS).select(
+        "vec_id", "table", "bucket"
+    )
     a = bucketed.alias("a")
     b = bucketed.alias("b")
     cands = (
@@ -584,16 +590,27 @@ def sim_neardup_pairs_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(
             F.col("a.vec_id").alias("vec_a"),
-            F.col("a.emb").alias("ea"),
-            F.col("a.nrm").alias("na"),
             F.col("b.vec_id").alias("vec_b"),
-            F.col("b.emb").alias("eb"),
-            F.col("b.nrm").alias("nb"),
         )
         .distinct()
     )
+    proj = emb.select(
+        "vec_id", _as_double("embedding").alias("e")
+    ).withColumn("nrm", _norm(F.col("e")))
+    pa = proj.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("e").alias("ea"),
+        F.col("nrm").alias("na"),
+    )
+    pb = proj.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("e").alias("eb"),
+        F.col("nrm").alias("nb"),
+    )
     return (
-        cands.select(
+        cands.join(pa, "vec_a")
+        .join(pb, "vec_b")
+        .select(
             "vec_a",
             "vec_b",
             (_dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb"))).alias(

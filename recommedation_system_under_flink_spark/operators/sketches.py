@@ -5,10 +5,10 @@ percentiles" stop being free: exact distinct shuffles every (key,
 member) pair, exact percentiles need a full sort. The sketch forms
 bound state instead:
 
-- **HyperLogLog++** (``approx_count_distinct``): fixed ~kilobytes of
-  state per group regardless of cardinality; partial sketches merge in
-  the map-side combine, so the shuffle moves one sketch per (task ×
-  group), never member rows.
+- **HyperLogLog** (pinned md5 registers, round 9 — see below): fixed
+  ≤ m integer registers per group regardless of cardinality; register
+  tables MAX-merge in the map-side combine, so the shuffle moves one
+  register set per (task × group), never member rows.
 - **Quantile sketch** (``percentile_approx``, a Greenwald-Khanna
   variant): bounded state per group, mergeable the same way.
 

@@ -135,8 +135,10 @@ def test_hll_sketch_within_error_bound(queries, spark):
         exact[r["date"]] = exact.get(r["date"], 0) + 1
     assert set(approx) == set(exact)
     for d, ex in exact.items():
-        # HLL++ at 1% rsd: allow 5 sigma
-        assert abs(approx[d] - ex) <= max(2, 0.05 * ex)
+        # pinned-register HLL, m=1024: ~3.25% rsd in the raw-estimator
+        # regime, much tighter under linear counting (n < 2.5m, which
+        # covers the fixture days) — allow ~4 sigma of the worst case
+        assert abs(approx[d] - ex) <= max(2, 0.13 * ex)
 
 
 def test_quantile_sketch_brackets_exact(queries, spark):
@@ -370,9 +372,10 @@ def test_heavy_hitters_exact_and_mg_superset(queries, spark):
 
 
 def test_monthly_hll_rollup_error_bound(queries, spark):
-    """The daily-sketch → monthly-union estimate must land within
-    ~5 sigma of the exact monthly distinct clicker count (lgConfigK=14
-    ⇒ ~0.8% rsd), and cover every month the click log spans."""
+    """The daily-register → monthly-MAX-merge estimate must land
+    within ~4 sigma of the exact monthly distinct clicker count
+    (pinned-register HLL, m=1024 ⇒ ~3.25% rsd raw, tighter in the
+    linear-counting regime), and cover every month the log spans."""
     from pyspark.sql import functions as F
 
     from recommedation_system_under_flink_spark.sources import clicks
@@ -390,7 +393,8 @@ def test_monthly_hll_rollup_error_bound(queries, spark):
     }
     assert set(approx) == set(exact)
     for m, ex in exact.items():
-        assert abs(approx[m] - ex) <= max(2, 0.05 * ex)
+        # same ~4-sigma-of-3.25%-rsd bound as the daily test
+        assert abs(approx[m] - ex) <= max(2, 0.13 * ex)
 
 
 def test_psi_terms_positive_and_bounded(queries, spark):

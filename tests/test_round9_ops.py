@@ -256,3 +256,56 @@ def test_s28_bucketed_join_is_colocated(queries, spark):
         for r in df.collect()
     }
     assert got == want
+
+
+# -------------------------------- quantizer source-text lint
+
+def test_inlined_quantizer_copies_are_canonical():
+    """~60 oracle strings inline the quantizer SQL (they are frozen
+    f-string literals, so they cannot call ppm_floor_sql at class-load
+    time without a refactor of every registration). This lint pins
+    every inlined copy to the canonical arithmetic — multiplier
+    1000000.0 (or the equal literal 1e6), addend +0.5, BIGINT cast —
+    so a future hand-edit typo ('100000.0', '- 0.5') re-creating the
+    cross-engine flake class fails HERE, not at the driver gate."""
+    import pathlib
+    import re
+
+    pkg = pathlib.Path(
+        "recommedation_system_under_flink_spark"
+    )
+    pat = re.compile(r"FLOOR\(([^\n]{0,400}?)\)\s*AS\s+BIGINT", re.S)
+    bad = []
+    n_found = 0
+    for f in pkg.rglob("*.py"):
+        text = f.read_text()
+        for m in re.finditer(r"FLOOR\(", text):
+            # capture to the matching close over a window
+            window = text[m.start() : m.start() + 500]
+            if "AS BIGINT" not in window:
+                continue
+            head = window[: window.index("AS BIGINT")]
+            suspect = (
+                "1000000.0" in head
+                or "* 1e6" in head
+                or "/ 1e6" in head
+                or "+ 0.5)" in head
+            )
+            if not suspect:
+                continue  # FLOOR for binning / hashing, not the quantizer
+            n_found += 1
+            # every quantizer-shaped FLOOR must round half-up ...
+            add_ok = "+ 0.5" in head
+            # ... and the SCALE op directly in front of the +0.5 (if
+            # any — no-scale forms round values already in micro-units
+            # or whole counts) must be exactly the canonical 1e6
+            mult_ok = True
+            if add_ok:
+                tail = head[: head.rindex("+ 0.5")].rstrip()
+                m2 = re.search(r"([*/])\s*([0-9][0-9.e]*)$", tail)
+                if m2:
+                    mult_ok = m2.group(2) in ("1000000.0", "1e6")
+            if not (mult_ok and add_ok):
+                bad.append((str(f), window[:120].replace("\n", " ")))
+    assert n_found >= 50, f"lint found too few sites ({n_found})"
+    assert not bad, bad
