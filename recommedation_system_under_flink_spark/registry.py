@@ -48,17 +48,23 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 #: the four end-to-end pipelines, one query per SURVEY §2 operator row,
 #: and one per LLM-pipeline family. Every name here MUST have a full
 #: DuckDB oracle (enforced by tests/test_registry_window.py).
-#: ROUND-9 ROTATION (6th tranche): rounds 2-8 cumulatively certified
-#: 242/364 oracle-backed queries (CORRECTNESS_r02…r08). This round
-#: keeps the same 6 regression canaries (four pipelines + the CSV
-#: source sentinel + the flagship scored join), RETRIES the two r8
-#: driver hash fails now rebuilt on rule-free integer/FLOOR hash paths
-#: (sim_embedding_covariance, graph_modularity_report), and spends the
-#: other 42 slots on the SIXTH tranche of never-driver-certified
-#: queries — the three largest remaining blocks, taken whole: all 16
-#: ts_* text-analysis, all 13 ef_* event-flow, and all 13 ev_*
-#: event-properties queries. Cumulative target: ≥284/364 oracle-backed
-#: queries driver-certified by end of round 9.
+#: ROUND-10 ROTATION (7th tranche): rounds 2-9 cumulatively certified
+#: 286/368 oracle-backed queries (CORRECTNESS_r02…r09; r9 was 50/50).
+#: This round keeps the same 6 regression canaries (four pipelines +
+#: the CSV source sentinel + the flagship scored join) and spends the
+#: other 44 slots on the SEVENTH tranche of never-driver-certified
+#: queries, prioritizing the blocks with streaming/settled-state
+#: oracles per the round-9 verdict: all 8 stream_* structured-
+#: streaming queries, all 7 cf_* collaborative-filtering queries, all
+#: 11 samp_* sampling/split queries, the 7 remaining dedup_* queries,
+#: all 8 prof_* profiling queries, the 2 portable-register HLL
+#: sketches, and the a1_daily_clicker_sets straggler. Every member was
+#: ROUND-audited onto the rule-free FLOOR quantizer (commit c4667bd)
+#: and preflighted green at 3 SFs + perturbed 7-CPU partitioning.
+#: Residue after this round: 38 oracle-backed queries (mm_* 4, llm_* 4,
+#: s1x storage 15, sim_* 3, ml_* 2, a15-a17 4, t3-t6 4,
+#: j7_extractor_agreement, graph_degree_histogram) — queued whole for
+#: the r11 rotation, which clears ALL certification debt.
 VERIFIED_WINDOW = (
     # regression canaries: end-to-end pipelines (SURVEY §3) + sentinels
     "hot_topics_pipeline",
@@ -67,55 +73,57 @@ VERIFIED_WINDOW = (
     "tfidf_recommend_all_days",
     "s1_csv_roundtrip",
     "j3_scored_join",
-    # r8 driver-red retries (hash paths rebuilt: integer sums + FLOOR)
-    "sim_embedding_covariance",
-    "graph_modularity_report",
-    # --- never-driver-verified rotation (42), round 9 ---
-    # text-analysis block (all 16 never-certified)
-    "ts_fingerprint",
-    "ts_top_terms_per_lang",
-    "ts_langid_confusion",
-    "ts_langid_accuracy",
-    "ts_term_drift",
-    "ts_repetition_score",
-    "ts_boilerplate_shingles",
-    "ts_tokenizer_fertility",
-    "ts_chunk_documents_udtf",
-    "ts_phrase_search",
-    "ts_quality_threshold_calibration",
-    "ts_vocab_coverage_curve",
-    "ts_length_outliers",
-    "ts_entropy_rate",
-    "ts_source_js_divergence",
-    "ts_heaps_law_fit",
-    # event-flow block (all 13 never-certified)
-    "ef_session_funnel",
-    "ef_attribution_report",
-    "ef_attribution_position_based",
-    "ef_conversion_ztest",
-    "ef_welch_ttest",
-    "ef_mannwhitney_u",
-    "ef_asof_forward",
-    "ef_conversion_lag_percentiles",
-    "ef_sprt_decision",
-    "ef_power_analysis",
-    "ef_interarrival_profile",
-    "ef_design_effect",
-    "ef_session_overlap_join",
-    # event-properties block (all 13 never-certified)
-    "ev_value_histogram",
-    "ev_daily_spine_fill",
-    "ev_daily_anomaly",
-    "ev_weekday_profile",
-    "ev_props_variant",
-    "ev_value_psi",
-    "ev_daily_trend_ols",
-    "ev_mad_anomaly",
-    "ev_trimmed_mean",
-    "ev_autocorrelation",
-    "ev_ewma_forecast",
-    "ev_revenue_concentration",
-    "ev_forecast_backtest",
+    # --- never-driver-verified rotation (44), round 10 ---
+    # structured-streaming block (all 8; settled-state oracles)
+    "stream_news_running_totals",
+    "stream_hot_topics_trailing",
+    "stream_purchase_click_join",
+    "stream_topk_to_parquet",
+    "stream_enrich_news_join",
+    "stream_sessionize",
+    "stream_decayed_popularity",
+    "stream_pysource_daily_counts",
+    # collaborative-filtering block (all 7)
+    "cf_user_recommendations",
+    "cf_item_neighbors_weighted",
+    "cf_user_neighbors",
+    "cf_item_lift",
+    "cf_path_trigrams",
+    "cf_next_item_hitrate",
+    "cf_novelty_report",
+    # sampling/split block (all 11)
+    "samp_stratified",
+    "samp_weighted_priority",
+    "samp_bpr_triplets",
+    "samp_lang_mixture",
+    "samp_dsir_auc",
+    "samp_split_leakage",
+    "samp_curriculum_order",
+    "samp_poisson_bootstrap",
+    "samp_source_cap_report",
+    "samp_dsir_ess_truncation",
+    "samp_pps_systematic",
+    # dedup remainder (all 7 never-certified)
+    "dedup_effective_tokens",
+    "dedup_ngram_novelty",
+    "dedup_boundary_stitch",
+    "dedup_span_scrub",
+    "dedup_funnel_report",
+    "dedup_cdc_chunks",
+    "dedup_line_level",
+    # profiling block (all 8)
+    "prof_documents_columns",
+    "prof_constraint_checks",
+    "prof_embedding_norms",
+    "prof_null_semantics",
+    "prof_chi2_lang_source",
+    "prof_candidate_keys",
+    "prof_partition_balance",
+    "prof_dp_release",
+    # portable-register HLL pair (promoted to oracle in r9) + straggler
+    "sk_daily_clickers_hll",
+    "sk_monthly_from_daily_hll",
+    "a1_daily_clicker_sets",
 )
 
 
