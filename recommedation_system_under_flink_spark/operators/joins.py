@@ -36,7 +36,7 @@ import datetime as dt
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..config import DEFAULT_SCENE, TODAY
+from ..config import DEFAULT_SCENE, TODAY, Scene, SimilarityAlgorithm
 from ..functions.kernels import calculate_x_sql
 from ..registry import register
 from .quantize import ppm_value
@@ -53,6 +53,11 @@ from .tfidf import (
     a7_user_keywords,
     a8_news_keywords_topk,
 )
+
+#: The reference's one non-default Scene a user can actually configure
+#: (SimilarityAlgorithm.java:6-9): same pinned hyperparameters, F8
+#: kernel.
+_EUCLID_SCENE = Scene(similarity_algorithm=SimilarityAlgorithm.EUCLIDEAN_DISTANCE)
 
 NUM_DAYS = DEFAULT_SCENE.num_days
 _WINDOW_START = TODAY - dt.timedelta(days=NUM_DAYS - 1)
@@ -170,8 +175,20 @@ _J3_ORACLE = with_ctes(_J3_BODY, CLICKS_CTE, *_NEWS_KW_CHAIN, *_USER_KW_CHAIN)
 
 
 @register("j3_scored_join", _J3_ORACLE)
-def j3_scored_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+def j3_scored_join(
+    spark: SparkSession, sf_dir: str, scene: Scene = DEFAULT_SCENE
+) -> DataFrame:
     """J3, inverted-index form (SURVEY §4.2) — the 100 TB path.
+
+    Dispatches on ``scene.similarity_algorithm`` exactly like the
+    reference's flatMap (TF_IDF.java:195-200, TextRank.java:267-274;
+    enum SimilarityAlgorithm.java:6-9): COSINE_SIMILARITY → F5
+    ``calculateX``, EUCLIDEAN_DISTANCE → F8 ``compute`` (a shared-word
+    dot product despite the class name, EuclideanDistance.java:29-43).
+    Both kernels collapse the reference's all-pairs cross into the same
+    term equi-join skeleton — see :func:`_j3_inverted_dot` for the F8
+    algebra. The registered entry is the default (cosine) scene;
+    ``j3_scored_join_dot`` registers the EUCLIDEAN_DISTANCE scene.
 
     F5 ``calculateX`` = ``|k1∩k2| / (|k1|·|k2|)``
     (CosineSimilarity.java:88-127) needs only the intersection size and
@@ -179,6 +196,8 @@ def j3_scored_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     (TextRank.java:258-279) collapses into an equi-join on ``term``:
     only (user, news) pairs sharing a keyword are materialized, and the
     P6 positive filter is satisfied by construction."""
+    if scene.similarity_algorithm is SimilarityAlgorithm.EUCLIDEAN_DISTANCE:
+        return _j3_inverted_dot(spark, sf_dir)
     from pyspark.sql import Window
 
     # Per-side keyword counts ride along as window columns computed on
@@ -222,6 +241,64 @@ def j3_scored_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+#: J3 under EUCLIDEAN_DISTANCE (F8): the dot product over shared terms
+#: is a SUM of per-term weight products, so it collapses into the SAME
+#: term equi-join as F5 — no per-side counts needed, just
+#: SUM(u.weight · n.weight) per (user, news). The reference's
+#: ``value > 0`` guard (TF_IDF.java:201) is kept explicitly: TF-IDF
+#: weights can be 0 when a term appears in every document (idf = ln 1).
+_J3_DOT_BODY = f"""SELECT i.user_id, i.news_id, i.score
+FROM (
+  SELECT u.user_id, n.news_id, SUM(u.weight * n.weight) AS score
+  FROM (SELECT * FROM user_kw WHERE user_id IN
+          (SELECT DISTINCT user_id FROM clicks WHERE date = DATE '{TODAY}')) u
+  JOIN (SELECT k.* FROM news_kw k JOIN news ns ON k.news_id = ns.news_id
+        WHERE ns.date BETWEEN DATE '{TODAY}' AND DATE '{_LEAD_END}') n
+    ON u.term = n.term
+  GROUP BY u.user_id, n.news_id
+) i
+WHERE i.score > 0"""
+
+_J3_DOT_ORACLE = with_ctes(_J3_DOT_BODY, CLICKS_CTE, *_NEWS_KW_CHAIN, *_USER_KW_CHAIN)
+
+
+def _j3_inverted_dot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3 scored join under F8 (EuclideanDistance.compute,
+    EuclideanDistance.java:29-43): ``Σ_{w∈k1∩k2} v1(w)·v2(w)``.
+
+    Same inverted-index skeleton as the F5 form — the dot product is a
+    sum over the term intersection, so the term equi-join materializes
+    exactly the contributing (user, term, news) triples and a
+    SUM aggregate replaces F5's count/divide. No count windows needed
+    (F8 ignores the per-side keyword-set sizes), so this plan is one
+    exchange LIGHTER than the cosine form. P6 ``score > 0``
+    (TF_IDF.java:201) kept explicitly: a weight is 0 when its term
+    appears in every doc of the corpus (idf = ln 1)."""
+    user_kw = a7_user_keywords(spark, sf_dir).join(
+        F.broadcast(today_clickers(spark, sf_dir)), "user_id", "left_semi"
+    )
+    news_kw = _news_window_keywords(spark, sf_dir)
+    return (
+        user_kw.select("user_id", "term", F.col("weight").alias("u_weight"))
+        .join(
+            news_kw.select("news_id", "term", F.col("weight").alias("n_weight")),
+            "term",
+        )
+        .groupBy("user_id", "news_id")
+        .agg(F.sum(F.col("u_weight") * F.col("n_weight")).alias("score"))
+        .filter(F.col("score") > 0)
+    )
+
+
+@register("j3_scored_join_dot", _J3_DOT_ORACLE)
+def j3_scored_join_dot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3 with the reference's one config knob flipped: a
+    ``Scene(similarity_algorithm=EUCLIDEAN_DISTANCE)`` routed through
+    the same :func:`j3_scored_join` dispatch a user would hit
+    (TF_IDF.java:195-200)."""
+    return j3_scored_join(spark, sf_dir, scene=_EUCLID_SCENE)
 
 
 @register("j3_scored_join_naive", _J3_ORACLE)

@@ -30,11 +30,13 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from ..config import DEFAULT_SCENE, TODAY
+from ..config import DEFAULT_SCENE, TODAY, Scene, SimilarityAlgorithm
 from ..registry import register
 from ..sources import CLICKS_CTE, clicks, with_ctes
 from ..operators.joins import (
+    _EUCLID_SCENE,
     _J3_BODY,
+    _J3_DOT_BODY,
     _NEWS_KW_CHAIN,
     _USER_KW_CHAIN,
     j3_scored_join,
@@ -104,13 +106,18 @@ FROM scored""",
 
 
 @register("tfidf_pipeline", _TFIDF_PIPE_ORACLE)
-def tfidf_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+def tfidf_pipeline(
+    spark: SparkSession, sf_dir: str, scene: Scene = DEFAULT_SCENE
+) -> DataFrame:
     """TF_IDF recommend() end-to-end for today (TF_IDF.java:151-234):
     J3 inverted-index scored join → T2 full per-user ranking.
-    Registered FLAT (user_id, date, news_id, score, rank); the
-    reference's nested recommendations shape is
+    ``scene.similarity_algorithm`` reaches the scored join exactly like
+    the reference's dispatch (TF_IDF.java:195-200); the registered
+    entry is the default (cosine) scene, ``tfidf_pipeline_dot`` the
+    EUCLIDEAN_DISTANCE one. Registered FLAT (user_id, date, news_id,
+    score, rank); the reference's nested recommendations shape is
     :func:`tfidf_recommendations`."""
-    scored = j3_scored_join(spark, sf_dir)
+    scored = j3_scored_join(spark, sf_dir, scene=scene)
     ranked = top_k_rows(scored, "user_id", [F.desc("score"), F.asc("news_id")], None)
     return ranked.select(
         "user_id",
@@ -119,6 +126,28 @@ def tfidf_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         "score",
         "rank",
     )
+
+
+_TFIDF_PIPE_DOT_ORACLE = with_ctes(
+    f"""SELECT user_id, DATE '{TODAY}' AS date, news_id, score,
+       ROW_NUMBER() OVER (PARTITION BY user_id
+                          ORDER BY score DESC, news_id ASC) AS rank
+FROM scored""",
+    CLICKS_CTE,
+    *_NEWS_KW_CHAIN,
+    *_USER_KW_CHAIN,
+    f"scored AS ({_J3_DOT_BODY})",
+)
+
+
+@register("tfidf_pipeline_dot", _TFIDF_PIPE_DOT_ORACLE)
+def tfidf_pipeline_dot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF_IDF recommend() with the reference's one config knob flipped:
+    ``Scene(similarity_algorithm=EUCLIDEAN_DISTANCE)`` routes F8 (the
+    shared-word dot product, EuclideanDistance.java:29-43) through the
+    same pipeline a cosine scene takes (TF_IDF.java:195-200) — the
+    end-to-end proof that the Scene enum is live, not dead config."""
+    return tfidf_pipeline(spark, sf_dir, scene=_EUCLID_SCENE)
 
 
 def tfidf_recommendations(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -352,30 +381,25 @@ def s5_seed_row(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ----------------------- TextRank pipeline, distributed (oracle twin)
 
-def _tr_pipe_dist_oracle() -> str:
+def _tr_pipe_dist_oracle(dot: bool = False) -> str:
     """Full-pipeline DuckDB twin: BOTH distributed keyword chains
     (prefixed so they share one WITH clause) + semi-join + scored join
-    + ranked list — the whole TextRank recommend() hash-compared."""
+    + ranked list — the whole TextRank recommend() hash-compared.
+    ``dot=True`` swaps F5's count/divide CTE for F8's weight-product
+    SUM (the TextRank.java:267-274 EUCLIDEAN_DISTANCE branch)."""
     from ..operators.keywords import _a3_kw_ctes, _p1_kw_ctes
     from ..sources import NEWS_CTE, TWEETS_CTE
 
     lead_end = TODAY + dt.timedelta(days=NUM_DAYS - 1)
-    ctes = [
-        CLICKS_CTE,
-        NEWS_CTE,
-        TWEETS_CTE,
-        *_p1_kw_ctes("n_"),
-        *_a3_kw_ctes("u_"),
-        f"""user_kw AS (
-  SELECT user_id, term FROM u_kw
-  WHERE user_id IN (SELECT DISTINCT user_id FROM clicks
-                    WHERE date = DATE '{TODAY}')
-)""",
-        f"""news_kw AS (
-  SELECT k.news_id, k.term FROM n_kw k JOIN news n ON k.news_id = n.news_id
-  WHERE n.date BETWEEN DATE '{TODAY}' AND DATE '{lead_end}'
-)""",
-        """scored AS (
+    if dot:
+        scored_cte = """scored AS (
+  SELECT u.user_id, k.news_id, SUM(u.score * k.score) AS score
+  FROM user_kw u JOIN news_kw k ON u.term = k.term
+  GROUP BY 1, 2
+  HAVING SUM(u.score * k.score) > 0
+)"""
+    else:
+        scored_cte = """scored AS (
   SELECT i.user_id, i.news_id, CAST(i.inter AS DOUBLE) / (su.n * sn.n) AS score
   FROM (
     SELECT u.user_id, k.news_id, COUNT(*) AS inter
@@ -386,7 +410,23 @@ def _tr_pipe_dist_oracle() -> str:
     ON i.user_id = su.user_id
   JOIN (SELECT news_id, COUNT(*) AS n FROM news_kw GROUP BY 1) sn
     ON i.news_id = sn.news_id
+)"""
+    ctes = [
+        CLICKS_CTE,
+        NEWS_CTE,
+        TWEETS_CTE,
+        *_p1_kw_ctes("n_"),
+        *_a3_kw_ctes("u_"),
+        f"""user_kw AS (
+  SELECT user_id, term, score FROM u_kw
+  WHERE user_id IN (SELECT DISTINCT user_id FROM clicks
+                    WHERE date = DATE '{TODAY}')
 )""",
+        f"""news_kw AS (
+  SELECT k.news_id, k.term, k.score FROM n_kw k JOIN news n ON k.news_id = n.news_id
+  WHERE n.date BETWEEN DATE '{TODAY}' AND DATE '{lead_end}'
+)""",
+        scored_cte,
     ]
     return with_ctes(
         f"""SELECT user_id, DATE '{TODAY}' AS date, news_id, score,
@@ -399,7 +439,9 @@ QUALIFY rank <= {K}""",
 
 
 @register("textrank_pipeline_distributed", _tr_pipe_dist_oracle())
-def textrank_pipeline_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
+def textrank_pipeline_distributed(
+    spark: SparkSession, sf_dir: str, scene: Scene = DEFAULT_SCENE
+) -> DataFrame:
     """TextRank recommend() end-to-end with the **distributed** keyword
     twins (no Python UDF anywhere): Catalyst P1/A3 fixed-round TextRank
     → J1 semi-join on today's clickers → inverted-index scored join
@@ -420,35 +462,54 @@ def textrank_pipeline_distributed(spark: SparkSession, sf_dir: str) -> DataFrame
     )
     from ..sources import news
 
-    user_kw = (
-        a3_user_keywords_distributed(spark, sf_dir)
-        .join(F.broadcast(today_clickers(spark, sf_dir)), "user_id", "left_semi")
-        .withColumn("n_user", F.count("*").over(Window.partitionBy("user_id")))
+    user_kw = a3_user_keywords_distributed(spark, sf_dir).join(
+        F.broadcast(today_clickers(spark, sf_dir)), "user_id", "left_semi"
     )
     news_dates = news(spark, sf_dir).select("news_id", "date")
     news_kw = (
         p1_news_keywords_distributed(spark, sf_dir)
         .join(F.broadcast(news_dates), "news_id")
         .filter(leading_zone(F.col("date"), TODAY, NUM_DAYS))
-        .withColumn("n_news", F.count("*").over(Window.partitionBy("news_id")))
     )
-    scored = (
-        user_kw.select("user_id", "term", "n_user")
-        .join(F.broadcast(news_kw.select("news_id", "term", "n_news")), "term")
-        .groupBy("user_id", "news_id")
-        .agg(
-            F.count("*").alias("inter"),
-            F.max("n_user").alias("n_user"),
-            F.max("n_news").alias("n_news"),
+    if scene.similarity_algorithm is SimilarityAlgorithm.EUCLIDEAN_DISTANCE:
+        # F8 branch (TextRank.java:267-274): dot product of vote scores
+        # over shared terms — no per-side count windows needed.
+        scored = (
+            user_kw.select("user_id", "term", F.col("score").alias("u_score"))
+            .join(
+                F.broadcast(
+                    news_kw.select("news_id", "term", F.col("score").alias("n_score"))
+                ),
+                "term",
+            )
+            .groupBy("user_id", "news_id")
+            .agg(F.sum(F.col("u_score") * F.col("n_score")).alias("score"))
+            .filter(F.col("score") > 0)
         )
-        .select(
-            "user_id",
-            "news_id",
-            (
-                F.col("inter").cast("double") / (F.col("n_user") * F.col("n_news"))
-            ).alias("score"),
+    else:
+        user_kw = user_kw.withColumn(
+            "n_user", F.count("*").over(Window.partitionBy("user_id"))
         )
-    )
+        news_kw = news_kw.withColumn(
+            "n_news", F.count("*").over(Window.partitionBy("news_id"))
+        )
+        scored = (
+            user_kw.select("user_id", "term", "n_user")
+            .join(F.broadcast(news_kw.select("news_id", "term", "n_news")), "term")
+            .groupBy("user_id", "news_id")
+            .agg(
+                F.count("*").alias("inter"),
+                F.max("n_user").alias("n_user"),
+                F.max("n_news").alias("n_news"),
+            )
+            .select(
+                "user_id",
+                "news_id",
+                (
+                    F.col("inter").cast("double") / (F.col("n_user") * F.col("n_news"))
+                ).alias("score"),
+            )
+        )
     ranked = top_k_rows(scored, "user_id", [F.desc("score"), F.asc("news_id")], K)
     return ranked.select(
         "user_id",
@@ -457,6 +518,15 @@ def textrank_pipeline_distributed(spark: SparkSession, sf_dir: str) -> DataFrame
         "score",
         "rank",
     )
+
+
+@register("textrank_pipeline_distributed_dot", _tr_pipe_dist_oracle(dot=True))
+def textrank_pipeline_distributed_dot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The distributed TextRank pipeline under the EUCLIDEAN_DISTANCE
+    scene — the TextRank.java:267-274 branch end-to-end (F8 dot product
+    of vote scores), routed through the same dispatch as the cosine
+    form."""
+    return textrank_pipeline_distributed(spark, sf_dir, scene=_EUCLID_SCENE)
 
 
 def textrank_recommendations_distributed(

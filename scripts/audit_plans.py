@@ -48,6 +48,8 @@ EXPECTED_CARTESIAN = {
     "tfidf_recommend_all_days": "inherits a5's 1-row scalar broadcast",
     "j1_user_docs_semijoin": "inherits a5's 1-row scalar broadcast",
     "j3_scored_join": "inherits a5's 1-row scalar broadcast",
+    "j3_scored_join_dot": "inherits a5's 1-row scalar broadcast",
+    "tfidf_pipeline_dot": "inherits a5's 1-row scalar broadcast",
     "hybrid_rrf_recommend": "inherits a5's 1-row scalar broadcast (via j3)",
     "j7_extractor_agreement": "inherits a5's 1-row scalar broadcast (via a8)",
     "ts_unigram_logprob": "1-row corpus-total scalar broadcast",
