@@ -37,7 +37,7 @@ HEADLINE = (
     "ev_props_rollup",
     "dedup_minhash_lsh",
     "sim_bruteforce_topk",
-    "sim_ivf_topk",
+    "sim_ivf_topk_pinned",
     "sim_neardup_components",
     "ts_quality_score",
     "ef_asof_purchase_click",
@@ -105,7 +105,6 @@ HEADLINE = (
     "ml_logreg_gd",
     "ml_lr_sweep",
     "ml_nb_langid",
-    "ml_isotonic_calibration",
     "ef_session_overlap_join",
     "cf_next_item_hitrate",
     "ev_harmonic_regression",

@@ -857,11 +857,18 @@ def _pava_blocks(pdf):
     )
 
 
-@register("ml_isotonic_calibration")  # rows-only: iterative pooling
 def ml_isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-language **isotonic regression (PAVA)** of the label on the
     pinned calibration score — the nonparametric upgrade of
     ml_calibration_bins (monotone fit instead of fixed-width bins).
+
+    UNREGISTERED pytest diagnostic (round 10): the certified form of
+    this operator is :func:`ml_isotonic_calibration_hashable` — the
+    same unique isotonic fit derived via the O(n²) minimax closed form
+    in SQL, fully oracle-backed. This PAVA form is the production-shaped
+    Arrow implementation; pytest pins its KKT invariants and its exact
+    agreement with the hashable twin, so registering both bought no
+    extra verified surface at the price of a rows-only row.
 
     Not SQL-expressible (adjacent pooling is inherently sequential), so
     this is the repo's canonical Arrow-grouped pattern:

@@ -469,7 +469,6 @@ def _ivf_centroids(
     return [list(map(float, c)) for c in cents]
 
 
-@register("sim_ivf_topk")  # fitted centroids not portable → rows-only
 def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-flat approximate top-k: corpus vectors live in their nearest
     centroid cell; each query searches its ``IVF_NPROBE`` nearest cells
@@ -477,7 +476,16 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     dial: candidates ≈ nprobe/K of the corpus per query. Recall vs brute
     force is pytest-checked next to the LSH variant — IVF is the scale
     path when embeddings are clustered (real corpora), LSH when they
-    are adversarially uniform."""
+    are adversarially uniform.
+
+    UNREGISTERED pytest diagnostic (round 10): the certified form of
+    the IVF probe chain is :func:`sim_ivf_topk_pinned` — identical
+    cell-assign → probe → top-k plan with the Lloyd fit replaced by
+    pinned centroids, fully DuckDB-oracle-backed. The Lloyd fit itself
+    is separately oracle-verified round-by-round as
+    ``sim_kmeans_lloyd``, so this fitted-index composition keeps only
+    its recall-vs-bruteforce pytest and drops out of the registry
+    (it added a rows-only row without adding unverified surface)."""
     emb = load_raw(spark, sf_dir, "embeddings")
     base = emb.select("vec_id", _as_double("embedding").alias("emb")).withColumn(
         "nrm", _norm(F.col("emb"))

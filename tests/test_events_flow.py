@@ -228,10 +228,17 @@ def test_empty_input_robustness(queries, spark):
     from empty_sweep import make_empty_fixture
 
     dst = make_empty_fixture(SF_DIR)
+    # historical offender now outside the registry (round-10 demotion;
+    # certified form sim_ivf_topk_pinned): keep the empty-input check
+    # via direct import
+    from recommedation_system_under_flink_spark.operators.similarity import (
+        sim_ivf_topk,
+    )
+
+    assert sim_ivf_topk(spark, dst).count() == 0
     for name in (
         "als_recommendations",           # historical: ALS on no ratings
         "s7_partitioned_write_pruned_read",  # historical: no partition dirs
-        "sim_ivf_topk",                  # historical: Lloyd fit on empty
         "hot_topics_pipeline",
         "tfidf_pipeline",
         "j3_scored_join",

@@ -142,9 +142,15 @@ def test_ivf_topk_recall_vs_bruteforce(queries, spark):
         (r.query_id, r.corpus_id)
         for r in queries["sim_bruteforce_topk"](spark, SF_DIR).collect()
     }
+    # unregistered pytest diagnostic since round 10 (certified form:
+    # sim_ivf_topk_pinned) — import directly
+    from recommedation_system_under_flink_spark.operators.similarity import (
+        sim_ivf_topk,
+    )
+
     ivf = {
         (r.query_id, r.corpus_id)
-        for r in queries["sim_ivf_topk"](spark, SF_DIR).collect()
+        for r in sim_ivf_topk(spark, SF_DIR).collect()
     }
     assert len(bf & ivf) / len(bf) >= 0.6
 

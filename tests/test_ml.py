@@ -149,7 +149,13 @@ def test_lr_sweep_row_matches_single_config(queries, spark):
 
 
 def _iso_blocks(queries, spark, sf_dir):
-    return queries["ml_isotonic_calibration"](spark, sf_dir).collect()
+    # unregistered pytest diagnostic since round 10 (certified form:
+    # ml_isotonic_calibration_hashable) — import directly
+    from recommedation_system_under_flink_spark.operators.ml import (
+        ml_isotonic_calibration,
+    )
+
+    return ml_isotonic_calibration(spark, sf_dir).collect()
 
 
 def test_isotonic_kkt_invariants(queries, spark):
