@@ -182,11 +182,15 @@ def sk_daily_clickers_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _hll_estimate(regs, "date")
 
 
-@register("sk_value_quantiles")  # sketch output → rows-only
-def sk_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-event-type value quantiles (p50/p95/p99) via the mergeable
-    quantile sketch. The 100 TB shape for "latency percentiles per
-    service" style queries: no global sort, one sketch per group."""
+def sk_value_quantiles_gk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type value quantiles via Spark's native
+    ``percentile_approx`` (a Greenwald-Khanna variant) — the
+    engine-tuned sketch whose internal state can never be
+    cross-engine-checked. UNREGISTERED pytest diagnostic since round
+    10: the certified quantile sketch is :func:`sk_value_quantiles`
+    below (pinned-bin histogram registers, the HLL playbook); this
+    form keeps its bounded-rank-error pytest as the engine-native
+    contrast."""
     from ..sources import events_raw
 
     return (
@@ -197,6 +201,131 @@ def sk_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "value", [0.5, 0.95, 0.99], PCT_ACCURACY
             ).alias("quantiles")
         )
+    )
+
+
+# ------------------------- portable pinned-bin histogram quantile sketch
+
+#: Pinned histogram geometry: 256 bins of width 4 over [0, 1024); the
+#: width is a power of two, so ``value / 4.0`` is an EXACT IEEE
+#: operation and the register table (per-group bin counts — exact
+#: integers, SUM-mergeable map-side like the HLL MAX-merge) is
+#: bit-identical across engines. Values past the top edge clamp into
+#: the last bin (the sketch's documented saturation contract, like
+#: HLL's m=1024 pin). Worst-case quantile error is one bin width.
+QSK_BINS = 256
+QSK_W = 4.0
+
+
+def qsk_registers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The storable sketch state: (event_type, bin, cnt) — one bounded
+    register table per group regardless of row count. Two register
+    tables merge by summing counts per (group, bin), so the shuffle
+    moves ≤ QSK_BINS rows per (task × group), never values."""
+    from ..sources import events_raw
+
+    b = F.floor(F.col("value") / F.lit(QSK_W)).cast("int")
+    return (
+        events_raw(spark, sf_dir)
+        .groupBy(
+            "event_type",
+            F.greatest(F.lit(0), F.least(F.lit(QSK_BINS - 1), b)).alias("bin"),
+        )
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+#: The estimator, mirrored textually in the oracle: target rank
+#: r_p = ceil(n·p/100) computed as FLOOR((n·p + 99) / 100.0) — the
+#: numerator is an exact integer ≲ 2^40, so the one double division
+#: either lands exactly on an integer quotient or sits ≥ 0.01 from the
+#: FLOOR boundary; then within the first bin whose cumulative count
+#: reaches r_p, linear interpolation at rank r_p:
+#: est = bin·4 + 4·(r − cum_before) / cnt  (all products by 4 exact,
+#: one exactly-rounded integer/integer double division).
+_QSK_PS = (50, 95, 99)
+
+
+@register(
+    "sk_value_quantiles",
+    f"""WITH regs AS (
+  SELECT event_type,
+         GREATEST(0, LEAST({QSK_BINS - 1},
+                           CAST(FLOOR(value / {QSK_W}) AS INTEGER))) AS bin,
+         COUNT(*) AS cnt
+  FROM events GROUP BY 1, 2
+), cum AS (
+  SELECT event_type, bin, cnt,
+         SUM(cnt) OVER (PARTITION BY event_type ORDER BY bin) AS cum,
+         SUM(cnt) OVER (PARTITION BY event_type) AS n
+  FROM regs
+), melted AS (
+  SELECT c.*, p.p,
+         CAST(FLOOR((c.n * p.p + 99) / 100.0) AS BIGINT) AS r
+  FROM cum c CROSS JOIN (SELECT unnest([{", ".join(str(p) for p in _QSK_PS)}]) AS p) p
+), pick AS (
+  SELECT event_type, p, n,
+         bin * {QSK_W} + {QSK_W} * (r - (cum - cnt)) / cnt AS est,
+         ROW_NUMBER() OVER (PARTITION BY event_type, p ORDER BY bin) AS rn
+  FROM melted WHERE cum >= r
+)
+SELECT event_type, CAST(MAX(n) AS BIGINT) AS n_events,
+       MAX(CASE WHEN p = 50 THEN est END) AS p50,
+       MAX(CASE WHEN p = 95 THEN est END) AS p95,
+       MAX(CASE WHEN p = 99 THEN est END) AS p99
+FROM pick WHERE rn = 1
+GROUP BY event_type""",
+)
+def sk_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type value quantiles (p50/p95/p99) from the
+    **pinned-bin histogram sketch** — the portable, ORACLE-HASHED
+    quantile sketch (round 10, the playbook that promoted the HLL
+    pair): no global sort, one ≤ 256-integer register table per group,
+    SUM-mergeable map-side, so the 100 TB "latency percentiles per
+    service" query shuffles registers, not values. Accuracy is a hard
+    ±4 (one bin width) — the pytest contract — vs GK's rank-error
+    guarantee; the trade is determinism and a storable/re-aggregable
+    state (the same reason the HLL entries pin md5 registers instead
+    of ``approx_count_distinct``). Exact twin:
+    ``sk_value_percentiles_exact``."""
+    from pyspark.sql import Window
+
+    regs = qsk_registers(spark, sf_dir)
+    cum = regs.select(
+        "event_type",
+        "bin",
+        "cnt",
+        F.sum("cnt")
+        .over(Window.partitionBy("event_type").orderBy("bin"))
+        .alias("cum"),
+        F.sum("cnt").over(Window.partitionBy("event_type")).alias("n"),
+    )
+    melted = cum.withColumn(
+        "p", F.explode(F.array(*[F.lit(p) for p in _QSK_PS]))
+    ).withColumn(
+        "r", F.floor((F.col("n") * F.col("p") + 99) / F.lit(100.0)).cast("long")
+    )
+    est = F.col("bin") * F.lit(QSK_W) + F.lit(QSK_W) * (
+        F.col("r") - (F.col("cum") - F.col("cnt"))
+    ) / F.col("cnt")
+    pick = (
+        melted.filter(F.col("cum") >= F.col("r"))
+        .select(
+            "event_type",
+            "p",
+            "n",
+            est.alias("est"),
+            F.row_number()
+            .over(Window.partitionBy("event_type", "p").orderBy("bin"))
+            .alias("rn"),
+        )
+        .filter(F.col("rn") == 1)
+    )
+    return pick.groupBy("event_type").agg(
+        F.max("n").alias("n_events"),
+        F.max(F.when(F.col("p") == 50, F.col("est"))).alias("p50"),
+        F.max(F.when(F.col("p") == 95, F.col("est"))).alias("p95"),
+        F.max(F.when(F.col("p") == 99, F.col("est"))).alias("p99"),
     )
 
 

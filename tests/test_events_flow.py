@@ -146,9 +146,15 @@ def test_quantile_sketch_brackets_exact(queries, spark):
 
     from recommedation_system_under_flink_spark.sources import events_raw, load_raw
 
+    # GK form is an unregistered diagnostic since round 10 (certified
+    # form: the pinned-bin histogram sk_value_quantiles) — import it
+    from recommedation_system_under_flink_spark.operators.sketches import (
+        sk_value_quantiles_gk,
+    )
+
     got = {
         r["event_type"]: r["quantiles"]
-        for r in queries["sk_value_quantiles"](spark, SF_DIR).collect()
+        for r in sk_value_quantiles_gk(spark, SF_DIR).collect()
     }
     # the sketch's contract is bounded RANK error (it returns real data
     # points, not interpolations): each approx quantile must lie between

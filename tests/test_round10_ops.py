@@ -151,3 +151,68 @@ def test_pipeline_dispatch_routes_to_registered_dot(spark):
     assert _rows(tfidf_pipeline(spark, SF_DIR), cols) == _rows(
         tfidf_pipeline(spark, SF_DIR, scene=DEFAULT_SCENE), cols
     )
+
+
+# ---------------------- pinned-bin histogram quantile sketch (round 10)
+
+def test_qsk_estimates_within_one_bin_of_exact(spark):
+    """The histogram sketch's hard accuracy contract: ZERO rank error
+    (it reads the exact cumulative counts), so each estimate lies
+    within one bin width of the exact order statistic at the SAME
+    nearest rank r = ceil(q·n). (Comparing against an interpolated
+    type-7 percentile instead would add a ±1-rank convention gap,
+    which in a sparse tail is unbounded in value — not sketch error.)"""
+    import math
+
+    from recommedation_system_under_flink_spark.operators.sketches import (
+        QSK_W,
+        sk_value_quantiles,
+    )
+    from recommedation_system_under_flink_spark.sources import events_raw
+
+    got = {r["event_type"]: r for r in sk_value_quantiles(spark, SF_DIR).collect()}
+    by_type: dict[str, list[float]] = {}
+    for r in events_raw(spark, SF_DIR).select("event_type", "value").collect():
+        by_type.setdefault(r["event_type"], []).append(r["value"])
+    assert set(got) == set(by_type) and got
+    for t, vals in by_type.items():
+        vals.sort()
+        n = len(vals)
+        assert got[t]["n_events"] == n
+        for pct, col in ((50, "p50"), (95, "p95"), (99, "p99")):
+            exact_at_rank = vals[math.ceil(n * pct / 100) - 1]
+            assert abs(got[t][col] - exact_at_rank) <= QSK_W, (t, col)
+
+
+def test_qsk_registers_merge_by_sum(spark):
+    """The register table is the storable sketch: registers built on
+    two disjoint halves of the data SUM-merge to exactly the registers
+    of the whole — the property that makes the sketch re-aggregable
+    (daily registers → monthly quantiles without re-reading events)."""
+    from recommedation_system_under_flink_spark.operators.sketches import (
+        qsk_registers,
+    )
+    from recommedation_system_under_flink_spark.sources import events_raw
+
+    whole = {
+        (r["event_type"], r["bin"]): r["cnt"]
+        for r in qsk_registers(spark, SF_DIR).collect()
+    }
+    ev = events_raw(spark, SF_DIR)
+    n_rows = ev.count()
+    merged: dict = {}
+    for half in (F.col("event_id") % 2 == 0, F.col("event_id") % 2 == 1):
+        b = F.floor(F.col("value") / F.lit(4.0)).cast("int")
+        regs = (
+            ev.filter(half)
+            .groupBy(
+                "event_type",
+                F.greatest(F.lit(0), F.least(F.lit(255), b)).alias("bin"),
+            )
+            .agg(F.count("*").alias("cnt"))
+        )
+        for r in regs.collect():
+            k = (r["event_type"], r["bin"])
+            merged[k] = merged.get(k, 0) + r["cnt"]
+    assert merged == whole
+    assert sum(whole.values()) == n_rows
