@@ -1244,7 +1244,91 @@ def _learn_bpe(spark: SparkSession, sf_dir: str) -> list[tuple[int, str, str, st
     return merges
 
 
-@register("ts_bpe_learn_merges")  # iterative argmax loop → rows-only
+def _bpe_sql_ctes() -> list[str]:
+    """DuckDB twin of the ENTIRE ``BPE_MERGES``-round induction loop,
+    unrolled (round 10 — this is what moved both BPE entries from
+    rows-only to oracle-hashed).
+
+    Symbol lists travel as **marked strings**: each symbol ``x`` is
+    encoded ``chr(30) x chr(31)`` (both control chars are outside the
+    ``[a-z0-9]`` token alphabet and the ``</w>`` end marker). The greedy
+    left-to-right merge fold (:func:`_bpe_merge_fold`) is then EXACTLY
+    SQL ``REPLACE(s, ␞l␟␞r␟, ␞lr␟)``: both scan left-to-right without
+    rescanning replaced output, so e.g. ``aaaa`` under merge (a,a)
+    gives ``[aa, aa]`` and ``aaa`` gives ``[aa, a]`` on both paths
+    (property-pytested against the pure-Python fold). Each round is
+    three CTEs — adjacent-pair counts (unnest + index zip), the 1-row
+    argmax with the pinned (n DESC, l, r) tiebreak, and the REPLACE
+    apply (LEFT JOIN ON TRUE so an exhausted corpus carries words
+    through unchanged, matching the Spark loop's break)."""
+    o, c = "chr(30)", "chr(31)"
+    sym_pat = f"{o} || '([^' || {c} || ']*)' || {c}"
+    ctes = [
+        f"""bpe_words_0 AS (
+  SELECT word,
+         regexp_replace(word, '(.)', {o} || '\\1' || {c}, 'g')
+           || {o} || '</w>' || {c} AS s,
+         COUNT(*) AS wc
+  FROM (SELECT unnest({_TOKENS_SQL}) AS word FROM documents)
+  GROUP BY 1, 2
+)"""
+    ]
+    for k in range(BPE_MERGES):
+        ctes.append(
+            f"""bpe_pairs_{k} AS (
+  SELECT syms[i] AS l, syms[i + 1] AS r, SUM(wc) AS n
+  FROM (SELECT regexp_extract_all(s, {sym_pat}, 1) AS syms, wc
+        FROM bpe_words_{k}),
+       UNNEST(generate_series(1, len(syms) - 1)) AS g(i)
+  GROUP BY 1, 2
+)"""
+        )
+        ctes.append(
+            f"""bpe_m_{k} AS (
+  SELECT CAST({k} AS BIGINT) AS rnk, l, r, l || r AS merged, n
+  FROM bpe_pairs_{k} ORDER BY n DESC, l ASC, r ASC LIMIT 1
+)"""
+        )
+        ctes.append(
+            f"""bpe_words_{k + 1} AS (
+  SELECT w.word,
+         CASE WHEN m.l IS NULL THEN w.s
+              ELSE REPLACE(w.s, {o} || m.l || {c} || {o} || m.r || {c},
+                           {o} || m.merged || {c}) END AS s,
+         w.wc
+  FROM bpe_words_{k} w LEFT JOIN bpe_m_{k} m ON TRUE
+)"""
+        )
+    return ctes
+
+
+_BPE_LEARN_ORACLE = (
+    "WITH "
+    + ",\n".join(_bpe_sql_ctes())
+    + f"""
+SELECT rnk AS "rank", l AS "left", r AS "right", merged,
+       CAST(n AS BIGINT) AS pair_count
+FROM ({" UNION ALL ".join(f"SELECT * FROM bpe_m_{k}" for k in range(BPE_MERGES))})"""
+)
+
+_BPE_ENCODE_ORACLE = (
+    "WITH "
+    + ",\n".join(_bpe_sql_ctes())
+    + f"""
+SELECT d.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_words,
+       CAST(SUM(seg.n_sub) AS BIGINT) AS n_subwords,
+       CAST(SUM(seg.n_sub) AS BIGINT) / CAST(COUNT(*) AS BIGINT) AS fertility
+FROM (SELECT doc_id, unnest({{toks}}) AS word FROM documents) d
+JOIN (SELECT word,
+             (length(s) - length(replace(s, chr(31), ''))) AS n_sub
+      FROM bpe_words_{BPE_MERGES}) seg
+  ON d.word = seg.word
+GROUP BY d.doc_id""".format(toks=_TOKENS_SQL)
+)
+
+
+@register("ts_bpe_learn_merges", _BPE_LEARN_ORACLE)
 def ts_bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """**Distributed BPE vocabulary induction** (Sennrich et al. 2016):
     learn the first ``BPE_MERGES`` byte-pair merges from the corpus —
@@ -1263,11 +1347,13 @@ def ts_bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-round state is persisted and periodically ``localCheckpoint``-ed
     like the BSP loops (graph.py).
 
-    Deterministic end to end (counts + pinned tiebreaks), but the
-    per-round argmax makes it non-SQL-expressible as one query →
-    rows-only for the driver; pytest verifies the learned merge table
-    **exactly matches** a pure-Python reference implementation
-    (tests/test_llm_ops.py)."""
+    Deterministic end to end (counts + pinned tiebreaks) — and since
+    round 10 ORACLE-HASHED end to end: the K-round loop unrolls into
+    one DuckDB query (:func:`_bpe_sql_ctes` — marked-string symbols,
+    REPLACE as the greedy merge fold, 1-row argmax CTE per round), so
+    the driver hash-compares the full learned merge table, on top of
+    the pytest that matches it **exactly** against a pure-Python
+    reference implementation (tests/test_llm_ops.py)."""
     merges = _learn_bpe(spark, sf_dir)
     return spark.createDataFrame(
         merges,
@@ -1275,7 +1361,7 @@ def ts_bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("ts_bpe_encode_stats")  # consumes the learned model → rows-only
+@register("ts_bpe_encode_stats", _BPE_ENCODE_ORACLE)
 def ts_bpe_encode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """**BPE encode** — apply the merge table learned by
     :func:`ts_bpe_learn_merges` to the corpus and report per-document
@@ -1291,8 +1377,11 @@ def ts_bpe_encode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     by key. At 100 TB that is the tokenize-once/serve-many boundary
     the materialized token table (s19) pins: |vocab| fold evaluations
     + one term-keyed join, never per-occurrence re-segmentation.
-    Rows-only (consumes the loop-learned model); pytest checks the
-    per-doc counts against a pure-Python encode of the same merges."""
+    Since round 10 the DuckDB twin re-derives the merge table itself
+    (the unrolled-loop CTEs) and re-encodes every distinct word via the
+    marked-string REPLACE fold, so the driver hash certifies LEARN +
+    ENCODE together; pytest additionally checks the per-doc counts
+    against a pure-Python encode of the same merges."""
     merges = _learn_bpe(spark, sf_dir)
     docs = load_raw(spark, sf_dir, "documents")
     words = (
@@ -1315,9 +1404,9 @@ def ts_bpe_encode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count("*").cast("long").alias("n_words"),
             F.sum("n_subwords_w").cast("long").alias("n_subwords"),
-            F.round(
-                F.sum("n_subwords_w") / F.count("*"), 6
-            ).alias("fertility"),
+            # one exactly-rounded long/long IEEE division — identical
+            # across engines with no ROUND rule in play
+            (F.sum("n_subwords_w") / F.count("*")).alias("fertility"),
         )
     )
 

@@ -216,3 +216,51 @@ def test_qsk_registers_merge_by_sum(spark):
             merged[k] = merged.get(k, 0) + r["cnt"]
     assert merged == whole
     assert sum(whole.values()) == n_rows
+
+
+# ------------------- BPE oracle: marked-string REPLACE == greedy fold
+
+def test_bpe_marked_string_replace_equals_python_fold():
+    """The round-10 BPE oracle applies a merge with SQL REPLACE over
+    chr(30)/chr(31)-marked symbol strings. Property: for adversarial
+    symbol sequences (consecutive repeats, merged-token collisions,
+    shared-prefix symbols) one REPLACE equals the pure-Python greedy
+    left-to-right fold."""
+    import duckdb
+
+    def fold(syms, left, right):
+        out: list = []
+        for x in syms:
+            if out and out[-1] == left and x == right:
+                out[-1] = left + right
+            else:
+                out.append(x)
+        return out
+
+    cases = [
+        (["a", "a", "a"], "a", "a"),
+        (["a", "a", "a", "a"], "a", "a"),
+        (["a", "a", "a", "a", "a"], "a", "a"),
+        (["x", "l", "r", "r"], "l", "r"),
+        (["l", "l", "r"], "l", "r"),
+        (["xl", "r"], "l", "r"),          # suffix must NOT match
+        (["l", "rx"], "l", "r"),          # prefix must NOT match
+        (["ab", "c", "ab", "c"], "ab", "c"),
+        (["a", "b", "a", "b", "a"], "a", "b"),
+        (["</w>"], "a", "b"),
+        (["a", "</w>"], "a", "</w>"),
+        (["aa", "a", "a", "aa"], "a", "aa"),
+    ]
+    con = duckdb.connect()
+    for syms, left, right in cases:
+        marked = "".join(chr(30) + s + chr(31) for s in syms)
+        got = con.execute(
+            "SELECT regexp_extract_all(REPLACE(?, ?, ?),"
+            " chr(30) || '([^' || chr(31) || ']*)' || chr(31), 1)",
+            [
+                marked,
+                chr(30) + left + chr(31) + chr(30) + right + chr(31),
+                chr(30) + left + right + chr(31),
+            ],
+        ).fetchone()[0]
+        assert got == fold(syms, left, right), (syms, left, right)
