@@ -37,7 +37,7 @@ from pyspark.sql import Window
 
 from ..config import DEFAULT_SCENE
 from ..registry import register
-from .quantize import ppm_value
+from .quantize import ppm_sum, ppm_value
 from ..sources import CLICKS_CTE, clicks, with_ctes
 from ..sources.tables import NEWS_MOD
 
@@ -933,9 +933,9 @@ def cf_reclist_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     with_ctes(
         f"""SELECT r.user_id,
        CAST(COUNT(*) AS BIGINT) AS n_recs,
-       CAST(CAST(FLOOR((AVG(LN(CAST(n_users AS DOUBLE) / pop) / LN(2.0))) * 1000000.0 + 0.5) AS BIGINT) AS DOUBLE) / 1000000.0
-         AS mean_novelty_bits,
-       CAST(CAST(FLOOR((AVG(pop * 1.0 / n_users)) * 1000000.0 + 0.5) AS BIGINT) AS DOUBLE) / 1000000.0 AS mean_pop_share
+       CAST(SUM(CAST(FLOOR((LN(CAST(n_users AS DOUBLE) / pop)) * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE)
+         / COUNT(*) / 1000000.0 / LN(2.0) AS mean_novelty_bits,
+       CAST(SUM(pop) AS DOUBLE) / COUNT(*) / MAX(n_users) AS mean_pop_share
 FROM (
 {{recs}}
 ) r
@@ -965,23 +965,35 @@ def cf_novelty_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Plan: the single-shuffle recommender plus one broadcast popularity
     join, a 1-row user-total scalar, and a per-user aggregate —
-    novelty adds no new data-sized shuffle at any scale."""
+    novelty adds no new data-sized shuffle at any scale.
+
+    Hash-path note (r9 advice): an AVG of ln-derived doubles
+    accumulates in partition order, so its 6-dp quantization was the
+    one residual order-dependence in this file. Both means are now
+    order-free: the bits mean quantizes each ln TERM to BIGINT
+    micro-units and sums exactly (the ml_cv_ridge_path pattern; the
+    base-2 change lands as one final mirrored division by LN(2)), and
+    the popularity share is a pure integer SUM(pop) with two mirrored
+    exactly-rounded divisions — no quantizer needed at all."""
     recs = cf_user_recommendations(spark, sf_dir).select("user_id", "news_id")
     prefs = clicks(spark, sf_dir).select("user_id", "news_id").distinct()
     pop = prefs.groupBy("news_id").agg(F.count("*").alias("pop"))
     u = prefs.agg(F.count_distinct("user_id").alias("n_users"))
-    bits = F.log(F.col("n_users").cast("double") / F.col("pop")) / F.log(
-        F.lit(2.0)
-    )
+    ln_term = F.log(F.col("n_users").cast("double") / F.col("pop"))
     return (
         recs.join(F.broadcast(pop), "news_id")
         .crossJoin(F.broadcast(u))
         .groupBy("user_id")
         .agg(
             F.count("*").alias("n_recs"),
-            ppm_value(F.avg(bits)).alias("mean_novelty_bits"),
-            ppm_value(
-                F.avg(F.col("pop") / F.col("n_users"))
+            (
+                ppm_sum(ln_term).cast("double")
+                / F.count("*")
+                / F.lit(1000000.0)
+                / F.log(F.lit(2.0))
+            ).alias("mean_novelty_bits"),
+            (
+                F.sum("pop").cast("double") / F.count("*") / F.max("n_users")
             ).alias("mean_pop_share"),
         )
     )

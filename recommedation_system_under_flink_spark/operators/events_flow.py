@@ -41,7 +41,7 @@ from pyspark.sql import functions as F
 
 from ..registry import register
 from ..sources import events_raw
-from .quantize import ppm_value
+from .quantize import ppm_sum, ppm_value
 from ..sources.tables import NEWS_MOD
 
 #: Session gap threshold: 30 minutes, in microseconds.
@@ -2203,13 +2203,8 @@ def ef_design_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("s").cast("bigint").alias("g"),
         F.sum("q").cast("bigint").alias("qq"),
         (
-            F.sum(
-                F.floor(
-                    (F.col("s").cast("double") * F.col("s") / F.col("m"))
-                    * 1000000.0
-                    + 0.5
-                ).cast("long")
-            ).cast("double")
+            ppm_sum(F.col("s").cast("double") * F.col("s") / F.col("m"))
+            .cast("double")
             / 1000000.0
         ).alias("between_raw"),
         F.sum(F.col("m").cast("decimal(38,0)") * F.col("m"))

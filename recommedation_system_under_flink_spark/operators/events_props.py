@@ -28,7 +28,7 @@ from pyspark.sql import functions as F
 
 from ..registry import register
 from ..sources import events_raw
-from .quantize import ppm_value
+from .quantize import ppm_sum, ppm_value
 
 #: Explicit payload schema — the single source of truth for the parse.
 PROPS_SCHEMA = "k INT"
@@ -2148,11 +2148,8 @@ def ev_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
         + 0.5
     ).cast("long")
     u_e = F.floor(
-        F.sum(
-            F.floor(
-                F.abs(F.col("y") - F.col("f_ewma")) * 1000000.0 + 0.5
-            ).cast("long")
-        ).cast("double")
+        ppm_sum(F.abs(F.col("y") - F.col("f_ewma")))
+        .cast("double")
         / F.count("*")
         + 0.5
     ).cast("long")

@@ -1721,8 +1721,21 @@ def s28_bucketed_join_colocated(
     tests/test_plan_budgets.py and tests/test_round9_ops.py.
 
     Money stays on the exact cent grid (BIGINT), counts exact — no
-    float anywhere."""
-    base = os.path.join(tempfile.gettempdir(), "spark_graft_s28")
+    float anywhere.
+
+    Concurrency (r9 advice): the warehouse path and catalog names are
+    suffixed by a hash of (sf_dir, Spark app id), so concurrent
+    sessions — parallel bench/pytest runs, or one session checking two
+    SFs — never race on the same directory or mutate each other's
+    catalog entries."""
+    import hashlib
+
+    tag = hashlib.md5(
+        f"{sf_dir}|{spark.sparkContext.applicationId}".encode()
+    ).hexdigest()[:8]
+    base = os.path.join(tempfile.gettempdir(), f"spark_graft_s28_{tag}")
+    t_clicks = f"s28_clicks_bucketed_{tag}"
+    t_purch = f"s28_purchases_bucketed_{tag}"
     cl = clicks(spark, sf_dir).select("user_id", "news_id")
     cents = F.round(F.col("value").cast("decimal(18,6)") * 100, 0).cast(
         "bigint"
@@ -1743,7 +1756,7 @@ def s28_bucketed_join_colocated(
         .bucketBy(S28_BUCKETS, "user_id")
         .sortBy("user_id")
         .option("path", os.path.join(base, "clicks_b"))
-        .saveAsTable("s28_clicks_bucketed")
+        .saveAsTable(t_clicks)
     )
     (
         pu.repartition(S28_BUCKETS, F.col("user_id"))
@@ -1751,10 +1764,10 @@ def s28_bucketed_join_colocated(
         .bucketBy(S28_BUCKETS, "user_id")
         .sortBy("user_id")
         .option("path", os.path.join(base, "purchases_b"))
-        .saveAsTable("s28_purchases_bucketed")
+        .saveAsTable(t_purch)
     )
-    cb = spark.table("s28_clicks_bucketed")
-    pb = spark.table("s28_purchases_bucketed")
+    cb = spark.table(t_clicks)
+    pb = spark.table(t_purch)
     per_user = cb.groupBy("user_id").agg(
         F.count("*").cast("long").alias("n_clicks")
     )

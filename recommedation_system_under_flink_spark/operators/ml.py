@@ -2882,20 +2882,20 @@ def ml_cv_ridge_path(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("x3").alias("f3"),
     )
     pairs = [(i, j) for i in range(4) for j in range(i, 4)]
-    from .quantize import ppm_floor, ppm_value
+    from .quantize import ppm_sum, ppm_value
 
     # Rule-free micro-unit quantization of every moment term (see
     # _cv_ridge_oracle): exact, order-free BIGINT accumulation.
     foldmom = f.groupBy("fold").agg(
         F.count("*").alias("n_test"),
         *[
-            F.sum(ppm_floor(F.col(f"f{i}") * F.col(f"f{j}"))).alias(
+            ppm_sum(F.col(f"f{i}") * F.col(f"f{j}")).alias(
                 f"m{i}{j}"
             )
             for i, j in pairs
         ],
         *[
-            F.sum(ppm_floor(F.col(f"f{i}") * F.col("y"))).alias(f"b{i}")
+            ppm_sum(F.col(f"f{i}") * F.col("y")).alias(f"b{i}")
             for i in range(4)
         ],
     )
@@ -2966,8 +2966,8 @@ def ml_cv_ridge_path(spark: SparkSession, sf_dir: str) -> DataFrame:
             ppm_value(F.first("c3")).alias("w_x3"),
             (
                 F.floor(
-                    F.sum(
-                        ppm_floor((F.col("y") - pred) * (F.col("y") - pred))
+                    ppm_sum(
+                        (F.col("y") - pred) * (F.col("y") - pred)
                     ).cast("double")
                     / F.count("*").cast("double")
                     + 0.5

@@ -25,7 +25,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..registry import register
-from .quantize import ppm_value
+from .quantize import ppm_sum, ppm_value
 from ..sources import load_raw
 
 #: Expected embedding dimensionality (fixture schema contract).
@@ -497,12 +497,8 @@ def prof_chi2_lang_source(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.count_distinct("lang") - 1) * (F.count_distinct("source") - 1)
         ).cast("long").alias("dof"),
         (
-            F.sum(
-                F.floor(
-                    (F.col("o") - e) * (F.col("o") - e) / e * 1000000.0
-                    + 0.5
-                ).cast("long")
-            ).cast("double")
+            ppm_sum((F.col("o") - e) * (F.col("o") - e) / e)
+            .cast("double")
             / 1000000.0
         ).alias("chi2"),
     )

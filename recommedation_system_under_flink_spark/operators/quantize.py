@@ -31,17 +31,18 @@ double. Never feed an infinity sentinel through the quantizer
 (DuckDB raises on CAST(inf AS BIGINT)) — CASE around it, as
 samp_token_budget_waterfill does.
 
-SUM contract (round-9 review): a SUM over ppm_floor terms is a plain
-BIGINT sum on the Spark side but HUGEINT on the DuckDB side, so the
-n·max|term|·1e6 product must stay inside 2^63 — Spark wraps (or
-throws under ANSI) exactly where DuckDB stays exact, which is a
-silent cross-engine divergence class in the very-large-n regime.
-The current term-sum sites (ml_cv_ridge_path Gram moments,
-ef_design_effect between-cluster terms, prof_chi2_lang_source terms,
-ev_forecast_backtest error terms, sim_embedding_covariance moments)
-are each bounded well inside that at any plausible fixture multiple
-and say so locally; a production build summing micro-units over
-≥~1e12 rows should accumulate in DECIMAL(38,0) on the Spark side.
+SUM contract (round-9 review, ENFORCED round 10): a SUM over BIGINT
+micro-unit terms is HUGEINT on the DuckDB side, so a plain Spark LONG
+sum would silently wrap exactly where DuckDB stays exact in the
+very-large-n regime. :func:`ppm_sum` therefore accumulates terms as
+DECIMAL(38,0) — the Spark mirror of HUGEINT: within range the double
+read-out is bit-identical to the BIGINT path, and an out-of-contract
+n·max|term|·1e6 product overflows the decimal to NULL (a loud
+row/hash failure) instead of wrapping to a plausible wrong answer.
+Every term-sum site (ml_cv_ridge_path Gram moments, ef_design_effect
+between-cluster terms, prof_chi2_lang_source terms,
+ev_forecast_backtest ewma error terms, cf_novelty_report bits terms,
+sim_embedding_covariance moments) now accumulates through it.
 """
 
 from __future__ import annotations
@@ -63,6 +64,16 @@ def ppm_floor(col: Column | str) -> Column:
 def ppm_value(col: Column) -> Column:
     """x quantized to the 6-dp grid as DOUBLE (publishable)."""
     return ppm_floor(col).cast("double") / float(PPM)
+
+
+def ppm_sum(col: Column | str) -> Column:
+    """SUM of :func:`ppm_floor` micro-unit terms, accumulated as
+    DECIMAL(38,0) — the Spark mirror of DuckDB's HUGEINT SUM(BIGINT).
+    Within the documented range the value is identical to a LONG sum;
+    past it the decimal overflows to NULL (loud failure) where a LONG
+    would silently wrap. Returns DECIMAL(38,0); cast to double for the
+    final mirrored division."""
+    return F.sum(ppm_floor(col).cast("decimal(38,0)"))
 
 
 def ppm_floor_sql(expr: str) -> str:

@@ -2739,9 +2739,13 @@ def _cov_relation(spark: SparkSession, sf_dir: str) -> DataFrame:
         "i", (F.col("i") + F.col("k")).cast("int").alias("j")
     ).agg(
         F.count("*").cast("double").alias("n"),
-        F.sum("xi").cast("double").alias("sx"),
-        F.sum("xj").cast("double").alias("sy"),
-        F.sum(F.col("xi") * F.col("xj")).cast("double").alias("sxy"),
+        # DECIMAL(38,0) accumulation = DuckDB's HUGEINT SUM: identical
+        # doubles in range, loud NULL (not a silent wrap) past it
+        F.sum(F.col("xi").cast("decimal(38,0)")).cast("double").alias("sx"),
+        F.sum(F.col("xj").cast("decimal(38,0)")).cast("double").alias("sy"),
+        F.sum((F.col("xi") * F.col("xj")).cast("decimal(38,0)"))
+        .cast("double")
+        .alias("sxy"),
     )
     # raw = cov·SCALE², so cov·1e6 = raw/1e6 — ONE division, mirrored
     # textually in the oracle so both engines walk the same IEEE tree.

@@ -172,8 +172,18 @@ def sk_daily_clickers_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     Spark's engine-internal ``approx_count_distinct``, which can never
     be cross-verified). Accuracy vs the exact A1 aggregate stays
     pytest-bounded; the estimate itself is FLOOR-published (no ROUND
-    rule on the hash path; the only irrational is ln, whose sub-ulp
-    libm variance cannot move a half-integer).
+    rule on the hash path). The only irrational on the hash path is
+    the linear-counting ln, and its FLOOR margin is not an assumption
+    but an ENUMERATED bound: the branch has exactly 1023 possible
+    inputs (V = m − nonempty ∈ [1, 1023]), and over all of them the
+    distance of 1024·ln(1024/V) + 0.5 from the nearest integer is
+    ≥ 6.6e-6 (worst case V = 24; 60-digit Decimal enumeration,
+    pinned in tests/test_round10_ops.py) — ≥ 7 million ulps at the
+    branch's largest magnitude, so no realistic libm divergence
+    between Spark's Math.log and DuckDB's std::log can flip the
+    published integer. The raw-estimate branch is rational arithmetic
+    (one exactly-rounded division of IEEE-identical operands) and has
+    no libm exposure at all.
 
     Scale: registers are a (day, bucket ≤ 1024) MAX aggregate —
     map-side combinable, kilobytes per day of shuffled state no matter

@@ -264,3 +264,25 @@ def test_bpe_marked_string_replace_equals_python_fold():
             ],
         ).fetchone()[0]
         assert got == fold(syms, left, right), (syms, left, right)
+
+
+# ------------- HLL linear-counting FLOOR margin (advice r9, enumerated)
+
+def test_hll_linear_counting_floor_margin_enumerated():
+    """The HLL linear-counting branch is the one libm call (ln) on an
+    oracle-hash path. Its FLOOR safety is an enumerable fact, not an
+    assumption: V = m − nonempty has exactly 1023 possible values, and
+    for every one the published quantity 1024·ln(1024/V) + 0.5 must
+    sit far (≥ 1e-7, actual worst ≈ 6.6e-6 at V = 24) from an integer
+    — millions of ulps, so Spark's Math.log and DuckDB's std::log can
+    never FLOOR differently."""
+    from decimal import Decimal, getcontext
+
+    getcontext().prec = 60
+    m = Decimal(1024)
+    worst = Decimal(1)
+    for v in range(1, 1024):
+        x = m * (m / Decimal(v)).ln() + Decimal("0.5")
+        frac = x - x.to_integral_value(rounding="ROUND_FLOOR")
+        worst = min(worst, frac, 1 - frac)
+    assert worst > Decimal("1e-7"), worst
