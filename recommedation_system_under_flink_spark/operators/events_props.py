@@ -159,10 +159,13 @@ def ev_key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     map-side-combinable count per key + a 1-row global reduce that
     broadcasts back).
 
-    The global top-N window runs over the per-key aggregate (≤ distinct
-    keys rows, WindowGroupLimit-pruned per partition), never the raw
-    log."""
-    from pyspark.sql import Window
+    The top-N runs over the per-key aggregate (≤ distinct keys rows,
+    never the raw log) through :func:`~..operators.ranking.global_top_k`
+    — round 10 established that InferWindowGroupLimit does NOT prune
+    partition-spec-free rank windows, so the pre-limit is a
+    TakeOrderedAndProject and the single-partition window sees only
+    the N survivors."""
+    from .ranking import global_top_k
 
     ev = events_raw(spark, sf_dir)
     per_key = ev.groupBy("user_id").agg(F.count("*").cast("long").alias("n"))
@@ -170,18 +173,15 @@ def ev_key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n").cast("long").alias("total"),
         F.avg("n").cast("double").alias("mean_n"),
     )
-    w = Window.orderBy(F.desc("n"), F.asc("user_id"))
-    return (
-        per_key.crossJoin(F.broadcast(tot))
-        .select(
-            "user_id",
-            "n",
-            (F.col("n").cast("double") / F.col("total")).alias("share"),
-            (F.col("n").cast("double") / F.col("mean_n")).alias("skew_factor"),
-        )
-        .withColumn("rank", F.row_number().over(w).cast("long"))
-        .filter(F.col("rank") <= SKEW_TOP_N)
+    enriched = per_key.crossJoin(F.broadcast(tot)).select(
+        "user_id",
+        "n",
+        (F.col("n").cast("double") / F.col("total")).alias("share"),
+        (F.col("n").cast("double") / F.col("mean_n")).alias("skew_factor"),
     )
+    return global_top_k(
+        enriched, [F.desc("n"), F.asc("user_id")], SKEW_TOP_N
+    ).withColumn("rank", F.col("rank").cast("long"))
 
 
 # ------------------------------------------------------- gap filling

@@ -338,6 +338,20 @@ def f12_click_format(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------- S1 (CSV)
 
+def _scratch_dir(spark: SparkSession, sf_dir: str, name: str) -> str:
+    """Session/SF-scoped scratch path for write→read demonstrations.
+    Suffixing by md5(sf_dir, Spark app id) isolates concurrent runs
+    (parallel bench/pytest sessions, or one session checking two SFs)
+    from racing on a shared fixed tempdir (r9 advice, generalized from
+    the s28 fix to every write-side query in this module)."""
+    import hashlib
+
+    tag = hashlib.md5(
+        f"{sf_dir}|{spark.sparkContext.applicationId}".encode()
+    ).hexdigest()[:8]
+    return os.path.join(tempfile.gettempdir(), f"spark_graft_{name}_{tag}")
+
+
 @register(
     "s1_csv_roundtrip",
     with_ctes(
@@ -356,7 +370,7 @@ def s1_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     specifies (documented limitation, use parquet for text columns)."""
     from ..sources import news as news_table
 
-    out = os.path.join(tempfile.gettempdir(), "spark_graft_s1_csv")
+    out = _scratch_dir(spark, sf_dir, "s1_csv")
     subset = news_table(spark, sf_dir).filter(F.col("news_id") < 100).select(
         "news_id", "date", "title"
     )
@@ -393,7 +407,7 @@ def s7_partitioned_write_pruned_read(spark: SparkSession, sf_dir: str) -> DataFr
     composition is hash-verified."""
     from ..sources.io import write_parquet
 
-    out = os.path.join(tempfile.gettempdir(), "spark_graft_s7_clicks_by_date")
+    out = _scratch_dir(spark, sf_dir, "s7_clicks_by_date")
     write_parquet(clicks(spark, sf_dir), out, partition_by=["date"])
     # explicit schema: an all-empty write leaves no partition dirs to
     # infer the partition column from
@@ -434,7 +448,7 @@ def s6_parquet_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..plans.pipelines import hot_topics_pipeline
     from ..sources.io import write_parquet
 
-    out = os.path.join(tempfile.gettempdir(), "spark_graft_s6_roundtrip")
+    out = _scratch_dir(spark, sf_dir, "s6_roundtrip")
     write_parquet(hot_topics_pipeline(spark, sf_dir), out)
     return spark.read.parquet(out)
 
@@ -476,7 +490,7 @@ def s8_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``bucketBy`` requires a catalog table (``saveAsTable``); the data
     lands under an explicit temp ``path`` so nothing touches the
     session's default warehouse location."""
-    base = os.path.join(tempfile.gettempdir(), "spark_graft_s8_buckets")
+    base = _scratch_dir(spark, sf_dir, "s8_buckets")
     cl = clicks(spark, sf_dir).select("user_id", "news_id", "cnt")
     profile = cl.groupBy("user_id").agg(
         F.countDistinct("news_id").alias("n_news")
@@ -721,7 +735,7 @@ def s12_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     format-lottery; parquet is the text carrier)."""
     from ..sources import load_raw
 
-    out = os.path.join(tempfile.gettempdir(), "spark_graft_s12_jsonl")
+    out = _scratch_dir(spark, sf_dir, "s12_jsonl")
     subset = load_raw(spark, sf_dir, "documents").select(
         "doc_id", "lang", "source", "n_chars"
     )
@@ -743,7 +757,7 @@ def s13_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     plural: parquet, CSV, JSONL, ORC all first-class."""
     from ..sources import load_raw
 
-    out = os.path.join(tempfile.gettempdir(), "spark_graft_s13_orc")
+    out = _scratch_dir(spark, sf_dir, "s13_orc")
     load_raw(spark, sf_dir, "documents").write.mode("overwrite").orc(out)
     return spark.read.orc(out)
 
@@ -808,7 +822,7 @@ def s15_schema_evolution_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..sources import load_raw
 
     docs = load_raw(spark, sf_dir, "documents")
-    out = os.path.join(tempfile.gettempdir(), "spark_graft_s15_evo")
+    out = _scratch_dir(spark, sf_dir, "s15_evo")
     gen1 = docs.filter(F.col("doc_id") % 2 == 0).select("doc_id", "lang")
     gen2 = docs.filter(F.col("doc_id") % 2 == 1).select(
         "doc_id", "lang", F.col("n_chars").cast("double").alias("quality")
@@ -890,7 +904,7 @@ def s16_incremental_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     Plan: the history aggregate happens once (here, to build the
     fixture state), the daily increment is one delta scan + a
     merge-aggregate keyed on news_id over |keys| + |delta-keys| rows."""
-    hist_dir = os.path.join(tempfile.gettempdir(), "spark_graft_s16_history")
+    hist_dir = _scratch_dir(spark, sf_dir, "s16_history")
     history = (
         clicks(spark, sf_dir, date_to=TODAY - dt.timedelta(days=1))
         .groupBy("news_id")
@@ -945,7 +959,7 @@ def s17_small_file_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     File-count assertions live in tests/test_operators_spark.py (the
     oracle can only see the data, not the layout)."""
-    base = os.path.join(tempfile.gettempdir(), "spark_graft_s17")
+    base = _scratch_dir(spark, sf_dir, "s17")
     frag_dir = os.path.join(base, "fragmented")
     compact_dir = os.path.join(base, "compacted")
     cl = clicks(spark, sf_dir).select("user_id", "news_id", "cnt", "date")
@@ -1095,7 +1109,7 @@ def s19_token_table_reuse(spark: SparkSession, sf_dir: str) -> DataFrame:
     pattern applied to text)."""
     from .textstats import _tokens
 
-    tok_dir = os.path.join(tempfile.gettempdir(), "spark_graft_s19_tokens")
+    tok_dir = _scratch_dir(spark, sf_dir, "s19_tokens")
     docs = load_raw(spark, sf_dir, "documents")
     tokens = docs.select(
         "doc_id", F.explode(_tokens(F.col("text"))).alias("term")
@@ -1142,7 +1156,7 @@ def s20_dynamic_partition_overwrite(spark: SparkSession, sf_dir: str) -> DataFra
     this is the idempotent daily-backfill shape: rewrite one day's
     directory, never touch the other ~thousands."""
     cl = clicks(spark, sf_dir)
-    out = os.path.join(tempfile.gettempdir(), "spark_graft_s20_dpo")
+    out = _scratch_dir(spark, sf_dir, "s20_dpo")
     cl.write.mode("overwrite").partitionBy("date").parquet(out)
     corrected = cl.filter(
         (F.col("date") == F.lit(TODAY)) & (F.col("user_id") % 2 == 0)
@@ -1189,7 +1203,7 @@ def s22_output_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     diff. md5 hex is identical across engines (the same portability
     argument as the MinHash/SimHash signatures)."""
     cl = clicks(spark, sf_dir)
-    out = os.path.join(tempfile.gettempdir(), "spark_graft_s22_manifest")
+    out = _scratch_dir(spark, sf_dir, "s22_manifest")
     cl.write.mode("overwrite").parquet(out)
     back = spark.read.schema(
         "user_id long, news_id long, cnt int, date date"
@@ -1231,7 +1245,7 @@ def s23_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_raw(spark, sf_dir, "documents").select(
         "doc_id", "lang", "text", "n_chars"
     )
-    out = os.path.join(tempfile.gettempdir(), "spark_graft_s23_xml")
+    out = _scratch_dir(spark, sf_dir, "s23_xml")
     (
         docs.write.mode("overwrite")
         .format("xml")
@@ -1322,7 +1336,7 @@ def s24_malformed_csv_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("lang"),
         ).alias("value")
     )
-    out = os.path.join(tempfile.gettempdir(), "spark_graft_s24_csv")
+    out = _scratch_dir(spark, sf_dir, "s24_csv")
     lines.write.mode("overwrite").text(out)
 
     schema = "doc_id long, n_chars long, lang string, _corrupt_record string"
@@ -1413,9 +1427,7 @@ def s23_schema_evolution_roundtrip(
             [], "doc_id long, text_hash string, extra_score long"
         )
     split = int((max_id + 1) * SCHEMA_EVO_FRAC)
-    out = os.path.join(
-        tempfile.gettempdir(), "spark_graft_s23_schema_evo"
-    )
+    out = _scratch_dir(spark, sf_dir, "s23_schema_evo")
     import shutil
 
     shutil.rmtree(out, ignore_errors=True)
@@ -1462,9 +1474,7 @@ def s25_corrupt_file_skip(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_raw(spark, sf_dir, "documents").select(
         "doc_id", "n_chars"
     )
-    out = os.path.join(
-        tempfile.gettempdir(), "spark_graft_s25_corrupt_skip"
-    )
+    out = _scratch_dir(spark, sf_dir, "s25_corrupt_skip")
     import shutil
 
     shutil.rmtree(out, ignore_errors=True)
@@ -1728,12 +1738,8 @@ def s28_bucketed_join_colocated(
     sessions — parallel bench/pytest runs, or one session checking two
     SFs — never race on the same directory or mutate each other's
     catalog entries."""
-    import hashlib
-
-    tag = hashlib.md5(
-        f"{sf_dir}|{spark.sparkContext.applicationId}".encode()
-    ).hexdigest()[:8]
-    base = os.path.join(tempfile.gettempdir(), f"spark_graft_s28_{tag}")
+    base = _scratch_dir(spark, sf_dir, "s28")
+    tag = os.path.basename(base).rsplit("_", 1)[-1]
     t_clicks = f"s28_clicks_bucketed_{tag}"
     t_purch = f"s28_purchases_bucketed_{tag}"
     cl = clicks(spark, sf_dir).select("user_id", "news_id")

@@ -59,6 +59,22 @@ def top_k_rows(df: DataFrame, key: str, order: list, k: int | None) -> DataFrame
     return ranked if k is None else ranked.filter(F.col("rank") <= k)
 
 
+def global_top_k(df: DataFrame, order: list, k: int) -> DataFrame:
+    """GLOBAL top-K with a distributed pre-limit (round-10 plan-audit
+    finding): Spark's ``InferWindowGroupLimit`` rank-pushdown fires
+    only for windows WITH a partition spec — a bare global
+    ``row_number() <= K`` filter moves the ENTIRE relation to one
+    partition first (verified on Spark 4.1). ``orderBy().limit(k)``
+    instead plans as ``TakeOrderedAndProject`` — each partition keeps
+    its own top-K and the driver merges K·P rows — and the rank window
+    then runs on the K survivors only, so the single-partition window
+    everyone warns about sits on an O(K) relation. Requires ``order``
+    to be a total order (every call site tiebreaks by id), so the
+    pre-limit is value-identical to filtering the ranked window."""
+    top = df.orderBy(*order).limit(k)
+    return top.withColumn("rank", F.row_number().over(Window.orderBy(*order)))
+
+
 def ranked_list(df: DataFrame, key: str) -> DataFrame:
     """Collapse ranked rows into the reference's output shape —
     ``(key, news array<long>)`` ordered by rank (TextRank.java:289-293).
@@ -416,10 +432,10 @@ def t6_decayed_popularity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Plan: one (news, day) count — map-side combinable — then the decay
     blend collapses it to O(|news|) scores; the horizon is a 1-row MAX
-    broadcast. The global top-N window runs on the pre-aggregated
-    O(|news|) relation (the safe single-partition class; at larger item
-    spaces swap in the quantized total-order TakeOrderedAndProject, cf.
-    ``graph_link_prediction_aa``). POWER on doubles: positive terms
+    broadcast. The top-N is :func:`global_top_k` (round 10):
+    ``TakeOrderedAndProject`` keeps the per-partition top-N before the
+    rank window, so the single-partition window sits on N rows, not
+    the O(|news|) score relation. POWER on doubles: positive terms
     only, 6-dp quantized before ranking — same float discipline as
     ``ev_daily_ewma``."""
     daily = (
@@ -438,12 +454,12 @@ def t6_decayed_popularity(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("raw")
         )
     )
-    w = Window.orderBy(F.desc("score"), F.asc("news_id"))
-    return (
-        scored.select("news_id", F.round("raw", 6).alias("score"))
-        .withColumn("rank", F.row_number().over(w).cast("int"))
-        .filter(F.col("rank") <= POP_TOP_N)
-    )
+    order = [F.desc("score"), F.asc("news_id")]
+    return global_top_k(
+        scored.select("news_id", F.round("raw", 6).alias("score")),
+        order,
+        POP_TOP_N,
+    ).withColumn("rank", F.col("rank").cast("int"))
 
 
 # ----------------------------------------------- window-function zoo

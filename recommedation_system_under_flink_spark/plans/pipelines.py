@@ -42,7 +42,7 @@ from ..operators.joins import (
     j3_scored_join,
     today_clickers,
 )
-from ..operators.ranking import ranked_list, top_k_rows
+from ..operators.ranking import global_top_k, ranked_list, top_k_rows
 
 K = DEFAULT_SCENE.num_recommendations
 NUM_DAYS = DEFAULT_SCENE.num_days
@@ -79,7 +79,12 @@ def hot_topics_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum("cnt").alias("clicks"))
         .withColumn("date", F.lit(TODAY).cast("date"))
     )
-    ranked = top_k_rows(hot, "date", [F.desc("clicks"), F.asc("news_id")], K)
+    # The "date" partition key is a constant, so the rank window is
+    # GLOBAL — global_top_k pre-limits via TakeOrderedAndProject
+    # (round 10: InferWindowGroupLimit does not fire for empty
+    # partition specs), leaving the single-partition window on K rows
+    # instead of the O(|news|) aggregate.
+    ranked = global_top_k(hot, [F.desc("clicks"), F.asc("news_id")], K)
     return ranked.select("date", "news_id", "clicks", "rank")
 
 

@@ -162,6 +162,97 @@ EXPECTED_ROWUDF = {
     "ts_chunk_documents_udtf": "UDTF twin of ts_chunk_documents (LATERAL surface demo)",
 }
 
+#: Queries where a GLOBAL window (WindowExec with an empty partition
+#: spec — "Moving all data to a single partition") is the intended
+#: plan BECAUSE the relation under it is bounded by construction:
+#: O(days), O(bins), O(groups), O(K) or 1-row aggregates — never an
+#: O(corpus) relation. Anything NOT listed here gets flagged (the
+#: round-10 pinned invariant; the reviewed reason states the bound).
+EXPECTED_GLOBAL_WINDOW: dict[str, str] = {
+    # -- O(K) relations: global top-K routed through ranking.global_top_k
+    #    (TakeOrderedAndProject pre-limit; the window ranks K survivors)
+    "hot_topics_pipeline": "rank window on the K=10 TakeOrdered survivors",
+    "s6_parquet_roundtrip": "inherits hot_topics_pipeline",
+    "t6_decayed_popularity": "rank window on the N=20 TakeOrdered survivors",
+    "ev_key_skew_report": "rank window on the top-N TakeOrdered survivors",
+    # -- O(days) / O(days²) daily-series relations (spine ≤ fixture month;
+    #    at any SF the series is one row per day)
+    "a9_trailing_avg_daily_clicks": "trailing window over the O(days) daily series",
+    "ev_daily_trend_ols": "OLS rank/cumsum over the O(days) series",
+    "ev_ewma_forecast": "recursive EWMA unroll over the O(days) series",
+    "ev_forecast_backtest": "lag/backtest windows over the O(days) series",
+    "ev_autocorrelation": "lag windows over the O(days) series",
+    "ev_harmonic_regression": "index window over the O(days) series",
+    "ev_seasonal_decomposition": "centered MA over the O(days) series",
+    "ev_theil_sen": "median-of-slopes over the O(days²) pair relation",
+    # -- bounded grids / bins / spines / scalar combines
+    "ev_value_psi": "decile-edge extraction over ≤10 quantile rows",
+    "ev_revenue_concentration": "Gini cumulative over per-user revenue aggregate (entity-level; the exact Gini is a total order by definition — documented swap at ≥1e9 users: binned Lorenz)",
+    "ef_conversion_lag_percentiles": "nearest-rank over the bounded gap-seconds grid",
+    "ef_interarrival_profile": "percentiles over the bounded gap-seconds grid",
+    "ef_uplift_by_decile": "NTILE over per-user score aggregate (entity-level; deciles are a global rank by definition — documented swap at ≥1e9 users: approx decile cuts)",
+    "ef_mannwhitney_u": "ranks over DISTINCT gridded values (2-dp bounded domain), aggregation-first",
+    "ev_ks_drift": "ECDF step windows over DISTINCT gridded values",
+    "ev_trimmed_mean": "cut ranks over DISTINCT gridded values",
+    "prof_benford_totalprice": "9 first-digit rows",
+    "prof_partition_balance": "per-day partition counts (O(days) rows)",
+    "j6_rec_coverage": "three 1-row diagnostic aggregates",
+    "samp_token_budget_waterfill": "waterfill over the O(|sources|) grid",
+    "llm_corpus_planning_report": "per-source windows over O(|sources|) rows",
+    "sim_threshold_sweep_report": "cumulative over the 20-bin cosine histogram",
+    "ml_kfold_eval": "cross-fold mean/SD over the K=5 fold rows",
+    # -- DISTINCT-score relations of pinned scorers over gridded features
+    #    (bounded by the feature grid, not the row count)
+    "ml_roc_auc": "rank-sum AUC over DISTINCT scores (aggregation-first)",
+    "ml_average_precision": "PR cumulative over DISTINCT scores",
+    "samp_dsir_auc": "rank-sum AUC over DISTINCT DSIR scores",
+    "samp_dsir_ess_truncation": "weight-quantile windows over DISTINCT scores",
+    "ml_decision_stump": "cumulative split scan over DISTINCT feature values",
+    "ml_histogram_split": "cumulative over 64 fixed bins",
+    "ml_boosted_stumps": "per-stage cumulative over DISTINCT feature values",
+    # -- vocabulary-bounded relations (O(|vocab|) — sublinear in corpus,
+    #    the standard tokenizer/LM artifact shapes)
+    "ts_vocab_build": "frequency-rank ids over the O(|vocab|) term table",
+    "ts_ngram_counts": "frequency-rank ids over the min-count n-gram table",
+    "ts_zipf_fit": "log-log rank over the O(|vocab|) term table",
+    "ts_pmi_top_pairs": "quantized top-K over the min-support pair table",
+    "ts_bm25_search": "rank over per-query scored docs (bounded by posting intersection)",
+    "ts_term_drift": "rank over the O(|vocab|) drift table",
+    # -- entity-level sampling frames where the sequential walk IS the
+    #    algorithm (Madow systematic sampling needs the cumulative line)
+    "samp_pps_systematic": "cumulative token line over the per-doc aggregate (entity-level; systematic PPS is sequential by definition — documented swap at ≥1e9 docs: stratified per-shard walks)",
+}
+
+
+def _count_global_windows(node) -> int:
+    """Walk the physical-plan tree (through the AQE wrapper) and count
+    Window-family nodes whose partitionSpec is empty."""
+    n = 0
+    stack = [node]
+    seen = 0
+    while stack and seen < 10_000:  # defensive bound
+        nd = stack.pop()
+        seen += 1
+        cls = nd.getClass().getSimpleName()
+        if cls in ("WindowExec", "WindowGroupLimitExec", "WindowInPandasExec"):
+            try:
+                if nd.partitionSpec().isEmpty():
+                    n += 1
+            except Exception:
+                pass
+        if cls == "AdaptiveSparkPlanExec":
+            try:
+                stack.append(nd.inputPlan())
+            except Exception:
+                pass
+        try:
+            ch = nd.children()
+            for i in range(ch.size()):
+                stack.append(ch.apply(i))
+        except Exception:
+            pass
+    return n
+
 
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
@@ -180,7 +271,9 @@ def main() -> int:
         if name.startswith("stream_"):
             continue  # executes on build; plan is the settled memory table
         try:
-            plan = qs[name](spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+            executed = qs[name](spark, sf_dir)._jdf.queryExecution().executedPlan()
+            plan = executed.toString()
+            n_gwin = _count_global_windows(executed)
         except Exception as exc:  # pragma: no cover - audit tool
             print(f"{name:36s} ERROR {type(exc).__name__}: {exc}")
             flagged += 1
@@ -208,6 +301,8 @@ def main() -> int:
             flags.append("ROW-UDF")
         if pushdown == "MISS":
             flags.append("NO-PUSHDOWN")
+        if n_gwin and name not in EXPECTED_GLOBAL_WINDOW:
+            flags.append(f"GLOBAL-WINDOW({n_gwin})")
         if flags:
             flagged += 1
         print(
