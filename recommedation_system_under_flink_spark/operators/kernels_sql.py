@@ -1785,3 +1785,78 @@ def s28_bucketed_join_colocated(
     return per_user.join(pb.hint("merge"), "user_id").select(
         "user_id", "n_clicks", "purchase_cents"
     )
+
+
+# --------------------------- S29: dynamic partition pruning (runtime)
+
+#: How many hot days the dimension side selects.
+S29_HOT_DAYS = 3
+
+_S29_ORACLE = with_ctes(
+    f"""SELECT c.date,
+       CAST(COUNT(*) AS BIGINT) AS n_clicks,
+       CAST(MAX(h.cents) AS BIGINT) AS day_revenue_cents
+FROM clicks c
+JOIN (
+  SELECT day, cents FROM (
+    SELECT CAST(ts AS DATE) AS day,
+           CAST(SUM(CAST(ROUND(CAST(value AS DECIMAL(18,6)) * 100, 0)
+                    AS BIGINT)) AS BIGINT) AS cents
+    FROM events WHERE event_type = 'purchase'
+    GROUP BY 1
+  ) ORDER BY cents DESC, day ASC LIMIT {S29_HOT_DAYS}
+) h ON c.date = h.day
+GROUP BY c.date""",
+    CLICKS_CTE,
+)
+
+
+@register("s29_dpp_partitioned_join", _S29_ORACLE)
+def s29_dpp_partitioned_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """**Runtime dynamic partition pruning** — the piece of the
+    scan-pruning ledger that static predicates can't give you
+    (SCALE.md §2): ``s7`` proves a LITERAL date range prunes partition
+    directories at plan time; here the day set is only known at RUN
+    time (the ``S29_HOT_DAYS`` highest-revenue days, computed from the
+    purchase stream), yet the partitioned click scan must still read
+    only those directories. Clicks are materialized date-partitioned
+    (the s7 layout), the hot-day dimension is a
+    ``TakeOrderedAndProject`` top-N (no global rank window) that
+    broadcasts, and Catalyst turns the broadcast build side into a
+    ``dynamicpruningexpression`` partition filter on the fact scan —
+    the executed plan reads |hot days| directories out of the month,
+    which is DPP doing at runtime what s7's static filter did at plan
+    time. At 100 TB this is the fact-to-dim pattern ("scan only the
+    days the campaign table names") that keeps a partitioned warehouse
+    usable without hand-written date literals. Plan shape (the
+    dynamic-pruning subquery on the scan + the partition count
+    actually read) is pinned in tests/test_round10_ops.py; values are
+    hash-verified against the layout-free recomputation."""
+    from ..sources.io import write_parquet
+    from ..sources.tables import ts_date
+
+    out = _scratch_dir(spark, sf_dir, "s29_clicks_by_date")
+    write_parquet(clicks(spark, sf_dir), out, partition_by=["date"])
+    fact = spark.read.schema(
+        "user_id long, news_id long, cnt int, date date"
+    ).parquet(out)
+
+    cents = F.round(F.col("value").cast("decimal(18,6)") * 100, 0).cast(
+        "bigint"
+    )
+    rev = (
+        events_raw(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(ts_date("ts").alias("day"), cents.alias("cents"))
+        .groupBy("day")
+        .agg(F.sum("cents").cast("bigint").alias("cents"))
+    )
+    hot = rev.orderBy(F.desc("cents"), F.asc("day")).limit(S29_HOT_DAYS)
+    return (
+        fact.join(F.broadcast(hot), fact.date == hot.day)
+        .groupBy("date")
+        .agg(
+            F.count("*").cast("long").alias("n_clicks"),
+            F.max("cents").cast("long").alias("day_revenue_cents"),
+        )
+    )

@@ -286,3 +286,54 @@ def test_hll_linear_counting_floor_margin_enumerated():
         frac = x - x.to_integral_value(rounding="ROUND_FLOOR")
         worst = min(worst, frac, 1 - frac)
     assert worst > Decimal("1e-7"), worst
+
+
+# --------------------- s29: dynamic partition pruning plan invariant
+
+def test_s29_dpp_prunes_partitions_at_runtime(spark):
+    """The partitioned fact scan must carry a dynamicpruningexpression
+    partition filter (DPP injected from the broadcast hot-day dim) and
+    at runtime read only S29_HOT_DAYS of the month's partition
+    directories."""
+    from recommedation_system_under_flink_spark.operators.kernels_sql import (
+        S29_HOT_DAYS,
+        s29_dpp_partitioned_join,
+    )
+
+    df = s29_dpp_partitioned_join(spark, SF_DIR)
+    rows = df.collect()
+    assert 0 < len(rows) <= S29_HOT_DAYS
+    executed = df._jdf.queryExecution().executedPlan()
+    plan = executed.toString()
+    assert "dynamicpruning" in plan.lower()
+    # the s29 fact scan line itself must carry the dynamic filter in
+    # PartitionFilters (not merely a subquery elsewhere in the plan)
+    fact_lines = [
+        ln for ln in plan.splitlines()
+        if "s29_clicks_by_date" in ln and "PartitionFilters" in ln
+    ]
+    assert fact_lines and all("dynamicpruning" in ln for ln in fact_lines)
+
+    # runtime metric: partitions actually read == the hot-day count
+    def find_scans(node, out):
+        cls = node.getClass().getSimpleName()
+        if cls == "FileSourceScanExec" and "s29_clicks_by_date" in node.toString():
+            out.append(node)
+        ch = node.children()
+        for i in range(ch.size()):
+            find_scans(ch.apply(i), out)
+        # adaptive wrappers hide their subtrees from children()
+        if cls == "AdaptiveSparkPlanExec":
+            find_scans(node.executedPlan(), out)
+        elif cls.endswith("QueryStageExec"):
+            find_scans(node.plan(), out)
+        elif cls == "ReusedExchangeExec":
+            find_scans(node.child(), out)
+        return out
+
+    scans = find_scans(executed, [])
+    assert scans
+    m = scans[0].metrics()
+    # scala Map access via py4j
+    n_parts = m.apply("numPartitions").value()
+    assert n_parts == min(S29_HOT_DAYS, len(rows)), n_parts
