@@ -165,6 +165,14 @@ HEADLINE = (
     # round-9 late addition: bucketed write + zero-Exchange co-located
     # join (pays the write-side shuffle, measures the read-side join)
     "s28_bucketed_join_colocated",
+    # round-10 additions: the EUCLIDEAN_DISTANCE-scene pipeline (F8
+    # dot product through the same inverted-index skeleton, one
+    # exchange lighter), the oracle-hashed pinned-bin quantile sketch
+    # (register-bounded), and the runtime dynamic-partition-pruning
+    # join (write + DPP read)
+    "tfidf_pipeline_dot",
+    "sk_value_quantiles",
+    "s29_dpp_partitioned_join",
 )
 
 
