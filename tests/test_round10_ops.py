@@ -337,3 +337,67 @@ def test_s29_dpp_prunes_partitions_at_runtime(spark):
     # scala Map access via py4j
     n_parts = m.apply("numPartitions").value()
     assert n_parts == min(S29_HOT_DAYS, len(rows)), n_parts
+
+
+# ----------------- runtime Bloom-filter join demonstration (round 10)
+
+def test_runtime_bloom_filter_join_demo(spark):
+    """The row-level companion of s29's partition-level DPP: with the
+    runtime-filter thresholds opened up (fixture relations sit far
+    below the 10 GB production defaults), Spark's InjectRuntimeFilter
+    builds a Bloom filter from the SELECTIVE side of a shuffle
+    equi-join and pushes `might_contain` onto the big side's scan —
+    rows that cannot match are dropped before the shuffle. Documented
+    decline case asserted too: an Aggregate on the creation side hides
+    the selective predicate from the rule (the reason the demo joins
+    the filtered relation directly and dedups AFTER — at 100 TB,
+    dedup-after-join is the cheap order anyway when the filter is the
+    point)."""
+    from pyspark.sql import functions as F
+
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "1B",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {}
+    for k, v in confs.items():
+        try:
+            saved[k] = spark.conf.get(k)
+        except Exception:
+            saved[k] = None
+        spark.conf.set(k, v)
+    try:
+        ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+        dim = ev.filter(F.col("event_type") == "purchase").select("user_id")
+        fact = ev.select("user_id", "event_id")
+        j = fact.join(dim, "user_id", "left_semi")
+        plan = j._jdf.queryExecution().executedPlan().toString().lower()
+        assert "might_contain" in plan or "bloomfilter" in plan
+        got = sorted(r["event_id"] for r in j.collect())
+
+        # decline case: Aggregate on the creation side blocks injection
+        agg_dim = dim.distinct()
+        j2 = fact.join(agg_dim, "user_id", "left_semi")
+        plan2 = j2._jdf.queryExecution().executedPlan().toString().lower()
+        assert "might_contain" not in plan2
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+    # value check with everything back at defaults
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    purchasers = (
+        ev.filter(F.col("event_type") == "purchase").select("user_id").distinct()
+    )
+    want = sorted(
+        r["event_id"]
+        for r in ev.select("user_id", "event_id")
+        .join(purchasers, "user_id", "left_semi")
+        .collect()
+    )
+    assert got == want and got
