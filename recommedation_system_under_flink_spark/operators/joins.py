@@ -249,9 +249,16 @@ def j3_scored_join(
 #: SUM(u.weight · n.weight) per (user, news). The reference's
 #: ``value > 0`` guard (TF_IDF.java:201) is kept explicitly: TF-IDF
 #: weights can be 0 when a term appears in every document (idf = ln 1).
+#: Hash-path discipline (round-10 review): a raw double SUM is
+#: partition-order-dependent, so each weight product is FLOOR-quantized
+#: to micro-unit BIGINTs and summed exactly (the cf_novelty_report /
+#: ml_cv_ridge_path pattern), with one mirrored division publishing
+#: the 6-dp score both engines agree on bit-for-bit.
 _J3_DOT_BODY = f"""SELECT i.user_id, i.news_id, i.score
 FROM (
-  SELECT u.user_id, n.news_id, SUM(u.weight * n.weight) AS score
+  SELECT u.user_id, n.news_id,
+         CAST(SUM(CAST(FLOOR((u.weight * n.weight) * 1000000.0 + 0.5)
+                  AS BIGINT)) AS DOUBLE) / 1000000.0 AS score
   FROM (SELECT * FROM user_kw WHERE user_id IN
           (SELECT DISTINCT user_id FROM clicks WHERE date = DATE '{TODAY}')) u
   JOIN (SELECT k.* FROM news_kw k JOIN news ns ON k.news_id = ns.news_id
@@ -275,7 +282,11 @@ def _j3_inverted_dot(spark: SparkSession, sf_dir: str) -> DataFrame:
     (F8 ignores the per-side keyword-set sizes), so this plan is one
     exchange LIGHTER than the cosine form. P6 ``score > 0``
     (TF_IDF.java:201) kept explicitly: a weight is 0 when its term
-    appears in every doc of the corpus (idf = ln 1)."""
+    appears in every doc of the corpus (idf = ln 1). The score is the
+    6-dp micro-unit sum (order-free exact BIGINT accumulation — see
+    the oracle note above), not a raw double SUM."""
+    from .quantize import ppm_sum
+
     user_kw = a7_user_keywords(spark, sf_dir).join(
         F.broadcast(today_clickers(spark, sf_dir)), "user_id", "left_semi"
     )
@@ -287,7 +298,12 @@ def _j3_inverted_dot(spark: SparkSession, sf_dir: str) -> DataFrame:
             "term",
         )
         .groupBy("user_id", "news_id")
-        .agg(F.sum(F.col("u_weight") * F.col("n_weight")).alias("score"))
+        .agg(
+            (
+                ppm_sum(F.col("u_weight") * F.col("n_weight")).cast("double")
+                / F.lit(1000000.0)
+            ).alias("score")
+        )
         .filter(F.col("score") > 0)
     )
 

@@ -338,18 +338,38 @@ def f12_click_format(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------- S1 (CSV)
 
+#: Scratch dirs created this session — removed at interpreter exit so
+#: the per-app-id isolation doesn't leak dataset copies into /tmp
+#: (the fixed names used to self-overwrite; suffixed names would
+#: otherwise accumulate one generation per session).
+_SCRATCH_DIRS: set[str] = set()
+
+
+def _cleanup_scratch_dirs() -> None:  # pragma: no cover - exit hook
+    import shutil
+
+    for d in _SCRATCH_DIRS:
+        shutil.rmtree(d, ignore_errors=True)
+
+
 def _scratch_dir(spark: SparkSession, sf_dir: str, name: str) -> str:
     """Session/SF-scoped scratch path for write→read demonstrations.
     Suffixing by md5(sf_dir, Spark app id) isolates concurrent runs
     (parallel bench/pytest sessions, or one session checking two SFs)
     from racing on a shared fixed tempdir (r9 advice, generalized from
-    the s28 fix to every write-side query in this module)."""
+    the s28 fix to every write-side query in this module). Every path
+    handed out is rmtree'd at interpreter exit."""
+    import atexit
     import hashlib
 
     tag = hashlib.md5(
         f"{sf_dir}|{spark.sparkContext.applicationId}".encode()
     ).hexdigest()[:8]
-    return os.path.join(tempfile.gettempdir(), f"spark_graft_{name}_{tag}")
+    path = os.path.join(tempfile.gettempdir(), f"spark_graft_{name}_{tag}")
+    if not _SCRATCH_DIRS:
+        atexit.register(_cleanup_scratch_dirs)
+    _SCRATCH_DIRS.add(path)
+    return path
 
 
 @register(

@@ -397,11 +397,19 @@ def _tr_pipe_dist_oracle(dot: bool = False) -> str:
 
     lead_end = TODAY + dt.timedelta(days=NUM_DAYS - 1)
     if dot:
+        # micro-unit term quantization (round-10 review): a raw double
+        # SUM is partition-order-dependent, and the ROUND(,6)-gridded
+        # vote scores make exact cross-pair ties COMMON — an ulp-
+        # unequal Spark sum vs an exactly-equal DuckDB sum would flip
+        # the news_id tiebreak and the hashed rank column.
         scored_cte = """scored AS (
-  SELECT u.user_id, k.news_id, SUM(u.score * k.score) AS score
-  FROM user_kw u JOIN news_kw k ON u.term = k.term
-  GROUP BY 1, 2
-  HAVING SUM(u.score * k.score) > 0
+  SELECT user_id, news_id, score FROM (
+    SELECT u.user_id, k.news_id,
+           CAST(SUM(CAST(FLOOR((u.score * k.score) * 1000000.0 + 0.5)
+                    AS BIGINT)) AS DOUBLE) / 1000000.0 AS score
+    FROM user_kw u JOIN news_kw k ON u.term = k.term
+    GROUP BY 1, 2
+  ) WHERE score > 0
 )"""
     else:
         scored_cte = """scored AS (
@@ -478,7 +486,10 @@ def textrank_pipeline_distributed(
     )
     if scene.similarity_algorithm is SimilarityAlgorithm.EUCLIDEAN_DISTANCE:
         # F8 branch (TextRank.java:267-274): dot product of vote scores
-        # over shared terms — no per-side count windows needed.
+        # over shared terms — no per-side count windows needed. Scores
+        # sum as micro-unit BIGINTs (order-free; see the oracle note).
+        from ..operators.quantize import ppm_sum
+
         scored = (
             user_kw.select("user_id", "term", F.col("score").alias("u_score"))
             .join(
@@ -488,7 +499,12 @@ def textrank_pipeline_distributed(
                 "term",
             )
             .groupBy("user_id", "news_id")
-            .agg(F.sum(F.col("u_score") * F.col("n_score")).alias("score"))
+            .agg(
+                (
+                    ppm_sum(F.col("u_score") * F.col("n_score")).cast("double")
+                    / F.lit(1000000.0)
+                ).alias("score")
+            )
             .filter(F.col("score") > 0)
         )
     else:

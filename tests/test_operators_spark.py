@@ -353,7 +353,13 @@ def test_compaction_layout_and_identity(queries, spark):
 
     out = queries["s17_small_file_compaction"](spark, SF_DIR)
     n_rows = out.count()
-    base = os.path.join(tempfile.gettempdir(), "spark_graft_s17")
+    # round 10: scratch dirs are (sf_dir, app id)-suffixed — derive the
+    # live path the same way the operator does
+    from recommedation_system_under_flink_spark.operators.kernels_sql import (
+        _scratch_dir,
+    )
+
+    base = _scratch_dir(spark, SF_DIR, "s17")
     frag = glob.glob(os.path.join(base, "fragmented", "*.parquet"))
     comp = glob.glob(os.path.join(base, "compacted", "*.parquet"))
     # empty partitions may write no file, so fragmented ≤ S17_FRAGMENTS

@@ -95,7 +95,17 @@ def test_j3_dot_equals_naive_cross_kernel_twin(spark):
         .select("user_id", "news_id", dot_product_sql("u", "n").alias("score"))
         .filter(F.col("score") > 0)
     )
-    assert _rows(naive) == _rows(j3_scored_join_dot(spark, SF_DIR))
+    want = {(r["user_id"], r["news_id"]): r["score"] for r in naive.collect()}
+    got = {
+        (r["user_id"], r["news_id"]): r["score"]
+        for r in j3_scored_join_dot(spark, SF_DIR).collect()
+    }
+    # the registered form quantizes each TERM to micro-units before the
+    # exact sum (hash-path discipline), so it can differ from the raw
+    # kernel by up to 0.5e-6 per shared term
+    assert set(got) == set(want) and got
+    for k, v in want.items():
+        assert abs(got[k] - v) <= 2e-5, k
 
 
 def test_j3_dot_matches_pure_python_kernel(spark):
@@ -125,8 +135,9 @@ def test_j3_dot_matches_pure_python_kernel(spark):
         if dot_product(uk, nk) > 0
     }
     assert set(got) == set(want)
+    # per-term micro-unit quantization bound (see the naive-twin test)
     for k, v in want.items():
-        assert got[k] == pytest.approx(v, rel=1e-9)
+        assert got[k] == pytest.approx(v, abs=2e-5)
 
 
 def test_pipeline_dispatch_routes_to_registered_dot(spark):

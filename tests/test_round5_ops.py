@@ -1602,9 +1602,11 @@ def test_corrupt_file_skip_returns_exactly_clean_rows(queries, spark):
     import os
     import tempfile
 
-    out = os.path.join(
-        tempfile.gettempdir(), "spark_graft_s25_corrupt_skip"
+    from recommedation_system_under_flink_spark.operators.kernels_sql import (
+        _scratch_dir,
     )
+
+    out = _scratch_dir(spark, SF_DIR, "s25_corrupt_skip")
     assert os.path.exists(os.path.join(out, "part-corrupt.parquet"))
     assert len(glob.glob(os.path.join(out, "*.parquet"))) > 1
 
