@@ -2242,7 +2242,7 @@ def _kcenter_oracle() -> str:
             else ""
         )
         parts.append(
-            f"s{k} AS (\n  SELECT vec_id, dmin FROM d{k-1}\n"
+            f"s{k} AS MATERIALIZED (\n  SELECT vec_id, dmin FROM d{k-1}\n"
             f"  WHERE vec_id <> 0{prev_clause}\n"
             f"  ORDER BY dmin DESC, vec_id ASC LIMIT 1\n)"
         )
@@ -3006,6 +3006,244 @@ def sim_whiten_project(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         F.col("dim").cast("int").alias("dim"),
         F.round("value", 6).alias("value"),
+    )
+
+
+# --------------------------------- PC1 projection, fully oracle-backed
+
+#: Matrix-squaring rounds for the dominant-eigenvector read-out:
+#: C^(2^PC1_SQUARINGS). Squaring squares the λ1/λ2 ratio each round, so
+#: even the near-isotropic synthetic spectrum (λ1/λ2 ≈ 1.013 at sf0.01)
+#: separates by round 10: ratio^1024 ≈ 4e5 ≫ the 1e-6 quantization
+#: noise floor; the prototype measured |cos(w, numpy PC1)| = 1.0 there.
+PC1_SQUARINGS = 10
+
+
+def _pc1_idiv(a: int, b: int) -> int:
+    """Integral division, truncation toward zero — the semantics BOTH
+    Spark ``div`` and DuckDB ``//`` use (verified: -7 div 2 = -3 in
+    each). Python's ``//`` floors instead, hence this mirror."""
+    q = abs(a) // b
+    return -q if a < 0 else q
+
+
+def _pc1_weights(cov_ppm: dict[tuple[int, int], int]) -> list[int]:
+    """Exact-integer dominant eigenvector of the ppm covariance matrix,
+    by PC1_SQUARINGS rounds of normalize-then-square — every operation
+    integer, so Spark's driver-side run and the DuckDB CTE chain
+    produce bit-identical vectors.
+
+    Per round: T = S·S (int64-safe: |S| ≤ 1e6 ⇒ |T| ≤ 64·1e12), then
+    S ← (T·1e6) idiv max|T| elementwise. Read-out: the column of the
+    largest diagonal entry (diag(vvᵀ) peaks at the largest |v_i| —
+    robust where "·ones" would cancel on sign-balanced eigenvectors),
+    renormalized to the ppm grid and sign-pinned (largest-|w| entry
+    positive, ties → lowest index — the sim_pca_project convention)."""
+    import numpy as np
+
+    S = np.zeros((EMB_DIM, EMB_DIM), dtype=np.int64)
+    for (i, j), c in cov_ppm.items():
+        S[i, j] = c
+    # pre-normalize so |S| ≤ 1e6 holds for ANY input scale
+    m0 = int(np.abs(S).max())
+    if m0 > 0:
+        S = np.array(
+            [[_pc1_idiv(int(v) * 1_000_000, m0) for v in row] for row in S],
+            dtype=np.int64,
+        )
+    for _ in range(PC1_SQUARINGS):
+        T = S @ S  # exact: bounded well inside int64
+        m = int(np.abs(T).max())
+        if m == 0:
+            S = T
+            break
+        S = np.array(
+            [[_pc1_idiv(int(v) * 1_000_000, m) for v in row] for row in T],
+            dtype=np.int64,
+        )
+    diag = [int(S[j, j]) for j in range(EMB_DIM)]
+    jstar = max(range(EMB_DIM), key=lambda j: (diag[j], -j))
+    w = [int(S[i, jstar]) for i in range(EMB_DIM)]
+    mw = max(abs(v) for v in w)
+    if mw > 0:
+        w = [_pc1_idiv(v * 1_000_000, mw) for v in w]
+    istar = max(range(EMB_DIM), key=lambda i: (abs(w[i]), -i))
+    if w[istar] < 0:
+        w = [-v for v in w]
+    return w
+
+
+def _pc1_oracle() -> str:
+    """Unrolled DuckDB mirror: quantized covariance → PC1_SQUARINGS
+    normalize-and-square rounds on the (i, j, c) matrix relation →
+    max-diagonal column read-out → sign pin → exact-integer centered
+    projection. HUGEINT throughout; ``//`` matches Spark ``div``."""
+    head = f"""WITH x AS MATERIALIZED (
+  SELECT vec_id,
+         list_transform(CAST(embedding AS DOUBLE[]),
+                        v -> CAST(FLOOR(v * {_COV_SCALE} + 0.5) AS BIGINT)) AS e
+  FROM embeddings
+),
+ex AS MATERIALIZED (
+  SELECT e, i, e[i] AS xi
+  FROM (SELECT e, generate_subscripts(e, 1) AS i FROM x)
+),
+pr AS MATERIALIZED (
+  SELECT CAST(i - 1 AS INTEGER) AS i, CAST(j - 1 AS INTEGER) AS j,
+         xi, e[j] AS xj
+  FROM (SELECT e, i, xi, generate_subscripts(e, 1) AS j FROM ex)
+  WHERE j >= i
+),
+g AS MATERIALIZED (
+  SELECT i, j,
+         CAST(COUNT(*) AS DOUBLE) AS n,
+         CAST(CAST(SUM(xi) AS BIGINT) AS DOUBLE) AS sx,
+         CAST(CAST(SUM(xj) AS BIGINT) AS DOUBLE) AS sy,
+         CAST(CAST(SUM(xi * xj) AS BIGINT) AS DOUBLE) AS sxy
+  FROM pr GROUP BY i, j
+),
+covu AS MATERIALIZED (
+  SELECT i, j,
+         CAST(CAST(FLOOR((sxy - sx * sy / n) / n / 1e6 + 0.5) AS BIGINT)
+              AS HUGEINT) AS c
+  FROM g
+),
+covf AS MATERIALIZED (
+  SELECT i, j, c FROM covu
+  UNION ALL
+  SELECT j AS i, i AS j, c FROM covu WHERE i <> j
+),
+m0 AS MATERIALIZED (SELECT MAX(ABS(c)) AS m FROM covf),
+s0 AS MATERIALIZED (
+  SELECT i, j,
+         CASE WHEN m.m = 0 THEN c ELSE (c * 1000000) // m.m END AS c
+  FROM covf, m0 m
+)"""
+    rounds = []
+    for k in range(1, PC1_SQUARINGS + 1):
+        rounds.append(f""",
+t{k} AS MATERIALIZED (
+  SELECT a.i AS i, b.j AS j, CAST(SUM(a.c * b.c) AS HUGEINT) AS c
+  FROM s{k - 1} a JOIN s{k - 1} b ON a.j = b.i GROUP BY a.i, b.j
+),
+m{k} AS MATERIALIZED (SELECT MAX(ABS(c)) AS m FROM t{k}),
+s{k} AS MATERIALIZED (
+  SELECT i, j,
+         CASE WHEN m.m = 0 THEN c ELSE (c * 1000000) // m.m END AS c
+  FROM t{k}, m{k} m
+)""")
+    S = f"s{PC1_SQUARINGS}"
+    tail = f""",
+jstar AS MATERIALIZED (SELECT i AS j FROM {S} WHERE i = j ORDER BY c DESC, i ASC LIMIT 1),
+wraw AS MATERIALIZED (SELECT s.i, s.c AS w FROM {S} s, jstar WHERE s.j = jstar.j),
+mw AS MATERIALIZED (SELECT MAX(ABS(w)) AS m FROM wraw),
+wn AS MATERIALIZED (
+  SELECT i, CASE WHEN m.m = 0 THEN w ELSE (w * 1000000) // m.m END AS w
+  FROM wraw, mw m
+),
+pin AS MATERIALIZED (
+  SELECT CASE WHEN (SELECT w FROM wn ORDER BY ABS(w) DESC, i ASC LIMIT 1) < 0
+              THEN -1 ELSE 1 END AS sg
+),
+wf AS MATERIALIZED (SELECT i, w * sg AS w FROM wn, pin),
+xs AS MATERIALIZED (
+  SELECT vec_id, CAST(i - 1 AS INTEGER) AS i, e[i] AS xi
+  FROM (SELECT vec_id, e, generate_subscripts(e, 1) AS i FROM x)
+),
+ncte AS MATERIALIZED (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM x),
+colsum AS MATERIALIZED (SELECT i, CAST(SUM(xi) AS HUGEINT) AS sx FROM xs GROUP BY i),
+swc AS MATERIALIZED (SELECT CAST(SUM(c.sx * w.w) AS HUGEINT) AS sw
+        FROM colsum c JOIN wf w ON c.i = w.i),
+srow AS MATERIALIZED (
+  SELECT vec_id, CAST(SUM(CAST(xi AS HUGEINT) * w.w) AS HUGEINT) AS s
+  FROM xs JOIN wf w ON xs.i = w.i GROUP BY vec_id
+)
+SELECT vec_id,
+       CAST((s.s * n.n - c.sw) // (n.n * 1000000) AS BIGINT) AS pc1_ppm,
+       CAST(CAST((s.s * n.n - c.sw) // (n.n * 1000000) AS BIGINT) AS DOUBLE)
+         / 1e6 AS value
+FROM srow s, ncte n, swc c"""
+    return head + "".join(rounds) + tail
+
+
+@register("sim_pca_pc1_project", _pc1_oracle())
+def sim_pca_pc1_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """**Dominant-component PCA projection, fully oracle-backed** — the
+    hash-certified twin of the rows-only :func:`sim_pca_project`
+    (whose top-K loadings come from a driver-side ``eigh`` no SQL
+    engine re-derives). Here the eigenvector itself is re-derived by
+    BOTH engines: the exact-integer covariance (same moments as
+    `sim_embedding_covariance`) is squared ``PC1_SQUARINGS`` times with
+    a ppm renormalization between rounds — C^(2^k), the
+    `ef_markov_attribution` power-by-squaring playbook — and read out
+    via the max-diagonal column, so the spectral-gap wall that stalls
+    plain power iteration on near-isotropic spectra squares away
+    (ratio^(2^10) ≫ quantization noise by round 10).
+
+    Every step is integer arithmetic (DECIMAL(38,0)/HUGEINT sums, one
+    truncating integral division per normalization), so Spark's
+    bounded-state driver run and the DuckDB CTE chain produce
+    bit-identical eigenvectors AND projections — no float touches the
+    hash path. The projection is centered via the exact identity
+    proj·1e6 = (s·n − Σᵢsxᵢwᵢ) / (n·1e6) with s = Σᵢ xᵢ_ppm·wᵢ per row,
+    one integral division per row.
+
+    Scale (100 TB): identical envelope to `sim_pca_project` — the only
+    corpus-sized pass is the covariance moment aggregate (dim²-bounded
+    shuffle) and the final shuffle-free map projection; the squaring
+    loop runs on a dim² relation, costing 64³ multiplies per round
+    wherever it runs. Bound contract: |x| < 2^53/(n·1e12) per the
+    DECIMAL(38,0) sums; int64 holds the driver-side T = S·S because
+    |S| ≤ 1e6 by construction."""
+    cov_rows = _cov_relation(spark, sf_dir).collect()
+    if not cov_rows:
+        return spark.createDataFrame([], "vec_id long, pc1_ppm long, value double")
+    cov_ppm: dict[tuple[int, int], int] = {}
+    for r in cov_rows:
+        c = int(round(r["cov"] * 1_000_000))  # exact: cov IS ppm/1e6
+        cov_ppm[(r["i"], r["j"])] = c
+        cov_ppm[(r["j"], r["i"])] = c
+    w = _pc1_weights(cov_ppm)
+
+    x = load_raw(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform(
+            _as_double("embedding"),
+            lambda v: F.floor(v * _COV_SCALE + 0.5).cast("long"),
+        ).alias("e"),
+    )
+    sums = (
+        x.select(F.posexplode("e").alias("i", "xi"))
+        .groupBy("i")
+        .agg(F.sum(F.col("xi").cast("decimal(38,0)")).alias("sx"))
+        .collect()
+    )
+    n = x.count()
+    sx = [0] * EMB_DIM
+    for r in sums:
+        sx[r["i"]] = int(r["sx"])
+    sw = sum(sx[i] * w[i] for i in range(EMB_DIM))
+
+    w_lit = F.array(*[F.lit(int(v)).cast("long") for v in w])
+    s = F.aggregate(
+        F.zip_with(F.col("e"), w_lit, lambda a, b: a * b),
+        F.lit(0).cast("decimal(38,0)"),
+        lambda acc, v: acc + v,
+    )
+    return (
+        x.withColumn("s", s)
+        .select(
+            "vec_id",
+            F.expr(
+                f"CAST((s * {n} - CAST('{sw}' AS DECIMAL(38,0))) AS DECIMAL(38,0))"
+                f" div CAST('{n * 1_000_000}' AS DECIMAL(38,0))"
+            ).alias("pc1_ppm"),
+        )
+        .select(
+            "vec_id",
+            "pc1_ppm",
+            (F.col("pc1_ppm").cast("double") / F.lit(1e6)).alias("value"),
+        )
     )
 
 

@@ -39,8 +39,12 @@ def test_every_documented_query_exists():
         "mapInPandas", "approx_count_distinct", "percentile_approx",
         "from_json", "collect_list", "row_number", "bit_count",
     }
+    # Names COVERAGE.md mentions precisely BECAUSE they left the
+    # registry (round-10 rows-only demotions); the doc line records
+    # the demotion, so their absence from queries() is the point.
+    documented_demotions = {"sim_ivf_topk", "ml_isotonic_calibration"}
     stale = sorted(
-        tok for tok in candidates - known_non_queries
+        tok for tok in candidates - known_non_queries - documented_demotions
         if tok not in qs
         and not any(tok in fname for fname in ("hot_topics", "tables"))
         and tok.split("_")[0] in {

@@ -412,3 +412,152 @@ def test_runtime_bloom_filter_join_demo(spark):
         .collect()
     )
     assert got == want and got
+
+
+# ---------------------------------------------- rank-1 exact ALS twin
+
+
+def _als1_python(sf_dir):
+    """Pure-Python (arbitrary-precision int) mirror of the exact
+    integer rank-1 ALS recursion in plans/als.py — ground truth for
+    the Spark/DuckDB twins. All operands are non-negative, so Python's
+    floor `//` coincides with the engines' truncating division."""
+    import duckdb
+
+    from recommedation_system_under_flink_spark.plans.als import (
+        ALS1_LAMBDA_P12,
+        ALS1_PPM,
+        ALS1_SWEEPS,
+        _P12,
+        K,
+    )
+    from recommedation_system_under_flink_spark.sources.tables import NEWS_MOD
+
+    rows = duckdb.sql(
+        f"""SELECT user_id, event_id % {NEWS_MOD} AS news_id,
+                   CAST(COUNT(*) AS BIGINT) AS c
+            FROM '{sf_dir}/events.parquet' WHERE event_type = 'click'
+            GROUP BY 1, 2"""
+    ).fetchall()
+    r = {(u, i): int(c) for u, i, c in rows}
+    items = sorted({i for _, i in r})
+    users = sorted({u for u, _ in r})
+    by_user = {}
+    by_item = {}
+    for (u, i), c in r.items():
+        by_user.setdefault(u, []).append(i)
+        by_item.setdefault(i, []).append(u)
+
+    v = {i: ALS1_PPM for i in items}
+    u_f = {}
+    for _ in range(ALS1_SWEEPS):
+        u_f = {
+            uu: (sum(r[(uu, i)] * v[i] for i in by_user[uu]) * _P12)
+            // (ALS1_LAMBDA_P12 + sum(v[i] * v[i] for i in by_user[uu]))
+            for uu in users
+        }
+        v = {
+            i: (sum(r[(uu, i)] * u_f[uu] for uu in by_item[i]) * _P12)
+            // (ALS1_LAMBDA_P12 + sum(u_f[uu] * u_f[uu] for uu in by_item[i]))
+            for i in items
+        }
+    out = []
+    for uu in users:
+        cands = [
+            (-(u_f[uu] * v[i]), i) for i in items if (uu, i) not in r
+        ]
+        cands.sort()
+        for rnk, (negs, i) in enumerate(cands[:K], start=1):
+            out.append((uu, rnk, i, -negs))
+    return out
+
+
+def test_als1_matches_pure_python_integer_recursion(spark):
+    from recommedation_system_under_flink_spark import registry
+    queries = registry.queries()
+    got = sorted(
+        (r["user_id"], r["rnk"], r["news_id"], r["score_p12"])
+        for r in queries["als_rank1_topk"](spark, SF_DIR).collect()
+    )
+    want = sorted(_als1_python(SF_DIR))
+    assert got == want
+
+
+def test_als1_rank1_degeneracy_is_shared_item_order(spark):
+    from recommedation_system_under_flink_spark import registry
+    queries = registry.queries()
+    """Documented rank-1 property: every positive-factor user's
+    recommendation list is the global item-factor order restricted to
+    that user's unseen items — the scores differ by the per-user
+    scalar, the ORDER does not."""
+    rows = queries["als_rank1_topk"](spark, SF_DIR).collect()
+    per_user = {}
+    for r in rows:
+        per_user.setdefault(r["user_id"], []).append(
+            (r["rnk"], r["news_id"], r["score_p12"])
+        )
+    # reconstruct the global order from any one user's (vf ∝ score) list
+    for recs in per_user.values():
+        recs.sort()
+        scores = [s for _, _, s in recs]
+        assert scores == sorted(scores, reverse=True)
+        # ties broken by ascending news_id
+        for (r1, n1, s1), (r2, n2, s2) in zip(recs, recs[1:]):
+            if s1 == s2:
+                assert n1 < n2
+
+
+# --------------------------------- PC1 squaring twin vs numpy ground truth
+
+
+def test_pc1_squaring_matches_numpy_dominant_eigenvector(spark):
+    """The integer normalize-and-square chain must agree with numpy's
+    eigh on the SAME quantized covariance: projection correlation
+    ≥ 0.999 and the sign pin (largest-|loading| entry positive)."""
+    import duckdb
+    import numpy as np
+
+    from recommedation_system_under_flink_spark import registry
+
+    rows = registry.queries()["sim_pca_pc1_project"](spark, SF_DIR).collect()
+    got = {r["vec_id"]: r["value"] for r in rows}
+
+    emb = duckdb.sql(
+        f"SELECT vec_id, CAST(embedding AS DOUBLE[]) e"
+        f" FROM '{SF_DIR}/embeddings.parquet' ORDER BY vec_id"
+    ).fetchall()
+    ids = [r[0] for r in emb]
+    X = np.array([r[1] for r in emb])
+    Xq = np.floor(X * 1e6 + 0.5) / 1e6  # the engine's input grid
+    C = np.cov(Xq, rowvar=False, bias=True)
+    evals, evecs = np.linalg.eigh(C)
+    v = evecs[:, -1]
+    i_star = int(np.argmax(np.abs(v)))
+    if v[i_star] < 0:
+        v = -v
+    want = (Xq - Xq.mean(axis=0)) @ v
+    have = np.array([got[i] for i in ids])
+    corr = float(np.corrcoef(want, have)[0, 1])
+    assert abs(corr) > 0.999, corr
+    # sign pin makes the two projections positively aligned, not flipped
+    assert corr > 0, corr
+
+
+def test_pc1_weights_sign_pin_and_grid(spark):
+    """Driver-side weight vector invariants: ppm grid (|w| ≤ 1e6, at
+    least one entry AT 1e6 after normalization) and the pinned sign."""
+    from recommedation_system_under_flink_spark.operators.similarity import (
+        _cov_relation,
+        _pc1_weights,
+    )
+
+    cov_rows = _cov_relation(spark, SF_DIR).collect()
+    cov = {}
+    for r in cov_rows:
+        c = int(round(r["cov"] * 1_000_000))
+        cov[(r["i"], r["j"])] = c
+        cov[(r["j"], r["i"])] = c
+    w = _pc1_weights(cov)
+    assert max(abs(x) for x in w) == 1_000_000
+    istar = max(range(len(w)), key=lambda i: (abs(w[i]), -i))
+    assert w[istar] > 0
