@@ -173,6 +173,14 @@ HEADLINE = (
     "tfidf_pipeline_dot",
     "sk_value_quantiles",
     "s29_dpp_partitioned_join",
+    # round-10 session additions: the exact-integer iterative twins
+    # (4 alternating ridge half-sweeps over the ratings relation; the
+    # dim²-bounded covariance + driver squaring + map projection) and
+    # the KMV bottom-k intersection sketch (window top-K per day +
+    # K-row pair merges + the corpus-exact audit columns)
+    "als_rank1_topk",
+    "sim_pca_pc1_project",
+    "sk_kmv_day_overlap",
 )
 
 

@@ -25,7 +25,7 @@ are the documented swap-in at cardinality the exact forms can't carry.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..registry import register
@@ -752,4 +752,199 @@ def sk_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("fp_rate_observed"),
         theory.alias("fp_rate_theory"),
+    )
+
+
+# --------------------------- KMV (bottom-k) set-intersection sketch
+
+#: KMV geometry: bottom-K distinct 60-bit md5 hashes per day. K = 64
+#: gives ~1/√K ≈ 12.5% rsd on the union estimate (Bar-Yossef et al.
+#: 2002; Beyer et al. 2007 "On synopses for distinct-value estimation
+#: under multiset operations" — the unbiased (K−1)/θ form used here).
+#: 60 bits (15 md5 hex chars) keeps the hash inside BIGINT and makes
+#: ties/collisions negligible, so bottom-K is a deterministic set.
+KMV_K = 64
+_KMV_HBITS = 1 << 60
+
+
+def _kmv_oracle() -> str:
+    k = KMV_K
+    return with_ctes(
+        f"""SELECT date_a, date_b, kk, rho,
+       (rho * 1000000) // kk AS est_jaccard_ppm,
+       (ex.exact_inter * 1000000) // ex.exact_union AS exact_jaccard_ppm,
+       CASE WHEN km.full_cnt < {k} THEN km.full_cnt
+            ELSE CAST((CAST(kk - 1 AS HUGEINT) * {_KMV_HBITS}) // theta
+                      AS BIGINT) END AS est_union,
+       ex.exact_union
+FROM km JOIN ex USING (date_a, date_b)""",
+        CLICKS_CTE,
+        f"""du AS (
+  SELECT DISTINCT date,
+         CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))
+              AS BIGINT) AS h
+  FROM clicks
+)""",
+        f"""sk AS (
+  SELECT date, h FROM (
+    SELECT date, h, ROW_NUMBER() OVER (PARTITION BY date ORDER BY h) AS rn
+    FROM du
+  ) WHERE rn <= {k}
+)""",
+        """pairs AS (
+  SELECT a.date AS date_a, b.date AS date_b
+  FROM (SELECT DISTINCT date FROM du) a
+  JOIN (SELECT DISTINCT date FROM du) b ON b.date = a.date + 1
+)""",
+        """mu AS (
+  SELECT date_a, date_b, h,
+         MAX(in_a) AS in_a, MAX(in_b) AS in_b
+  FROM (
+    SELECT p.date_a, p.date_b, s.h, 1 AS in_a, 0 AS in_b
+    FROM pairs p JOIN sk s ON s.date = p.date_a
+    UNION ALL
+    SELECT p.date_a, p.date_b, s.h, 0 AS in_a, 1 AS in_b
+    FROM pairs p JOIN sk s ON s.date = p.date_b
+  ) GROUP BY date_a, date_b, h
+)""",
+        f"""bot AS (
+  SELECT date_a, date_b, h, in_a, in_b,
+         ROW_NUMBER() OVER (PARTITION BY date_a, date_b ORDER BY h) AS rn
+  FROM mu
+)""",
+        f"""km AS (
+  SELECT date_a, date_b,
+         CAST(COUNT(*) AS BIGINT) AS full_cnt,
+         CAST(LEAST({k}, COUNT(*)) AS BIGINT) AS kk,
+         CAST(SUM(CASE WHEN rn <= {k} THEN in_a * in_b ELSE 0 END)
+              AS BIGINT) AS rho,
+         CAST(MAX(CASE WHEN rn <= {k} THEN h END) AS BIGINT) AS theta
+  FROM bot GROUP BY date_a, date_b
+)""",
+        """exu AS (
+  SELECT date_a, date_b, h,
+         MAX(in_a) AS in_a, MAX(in_b) AS in_b
+  FROM (
+    SELECT p.date_a, p.date_b, d.h, 1 AS in_a, 0 AS in_b
+    FROM pairs p JOIN du d ON d.date = p.date_a
+    UNION ALL
+    SELECT p.date_a, p.date_b, d.h, 0 AS in_a, 1 AS in_b
+    FROM pairs p JOIN du d ON d.date = p.date_b
+  ) GROUP BY date_a, date_b, h
+)""",
+        """ex AS (
+  SELECT date_a, date_b,
+         CAST(COUNT(*) AS BIGINT) AS exact_union,
+         CAST(SUM(in_a * in_b) AS BIGINT) AS exact_inter
+  FROM exu GROUP BY date_a, date_b
+)""",
+    )
+
+
+@register("sk_kmv_day_overlap", _kmv_oracle())
+def sk_kmv_day_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """**KMV (bottom-k) sketch with SET-INTERSECTION estimation** —
+    the member the mergeable-sketch store was missing: HLL unions,
+    the pinned-bin histogram quantiles, CMS frequencies and Bloom
+    membership all merge, but none of them can estimate an
+    INTERSECTION; the bottom-k sketch can (Beyer et al. 2007). Per
+    day: the K smallest 60-bit md5 hashes of the distinct clickers —
+    a K-row integer relation, storable and engine-portable like the
+    HLL register table. Per consecutive-day pair: merge = bottom-K of
+    the two sketches' union (the KMV merge is closed — bottom-K(A∪B)
+    is derivable from bottom-K(A) ∪ bottom-K(B), asserted by pytest),
+    ρ = members of the merged sketch present in BOTH inputs, and
+
+        Ĵ = ρ/kk            (exact integer rational, ppm-floored)
+        |A∪B| ≈ (kk−1)·2⁶⁰ // θ   (θ = kk-th smallest merged hash)
+
+    — both estimators pure integer arithmetic on the pinned hash, so
+    the whole sketch → merge → estimate chain hash-compares against
+    DuckDB, alongside the corpus-exact union/intersection computed in
+    the same query (the |sketch| < K branch returns the exact union
+    by construction — the sketch IS the set there).
+
+    Retention/overlap reporting at 100 TB runs off the persisted
+    K-row-per-day sketch table, never rescanning the click log; any
+    day-pair / week-over-week / cohort overlap is a K-row merge.
+
+    Scale: the sketch build is one window top-K per day (map-side
+    partial via the rank pushdown); pair estimation joins K-row
+    relations — O(days·K) total. The exact twin columns are the
+    audit, corpus-sized by nature, and would be dropped at scale."""
+    k = KMV_K
+    cl = clicks(spark, sf_dir)
+    du = cl.select(
+        "date",
+        F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 15), 16, 10)
+        .cast("long")
+        .alias("h"),
+    ).distinct()
+    w = Window.partitionBy("date").orderBy("h")
+    sk = (
+        du.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("date", "h")
+    )
+    days = du.select("date").distinct()
+    pairs = days.alias("a").join(
+        days.alias("b"),
+        F.col("b.date") == F.date_add(F.col("a.date"), 1),
+    ).select(F.col("a.date").alias("date_a"), F.col("b.date").alias("date_b"))
+    pairs = F.broadcast(pairs)
+
+    def _flagged(members: DataFrame) -> DataFrame:
+        via_a = pairs.join(
+            members, members["date"] == pairs["date_a"]
+        ).select(
+            "date_a", "date_b", "h",
+            F.lit(1).alias("in_a"), F.lit(0).alias("in_b"),
+        )
+        via_b = pairs.join(
+            members, members["date"] == pairs["date_b"]
+        ).select(
+            "date_a", "date_b", "h",
+            F.lit(0).alias("in_a"), F.lit(1).alias("in_b"),
+        )
+        return (
+            via_a.unionAll(via_b)
+            .groupBy("date_a", "date_b", "h")
+            .agg(F.max("in_a").alias("in_a"), F.max("in_b").alias("in_b"))
+        )
+
+    wp = Window.partitionBy("date_a", "date_b").orderBy("h")
+    bot = _flagged(sk).withColumn("rn", F.row_number().over(wp))
+    km = bot.groupBy("date_a", "date_b").agg(
+        F.count("*").cast("long").alias("full_cnt"),
+        F.least(F.lit(k), F.count("*")).cast("long").alias("kk"),
+        F.sum(
+            F.when(F.col("rn") <= k, F.col("in_a") * F.col("in_b")).otherwise(0)
+        )
+        .cast("long")
+        .alias("rho"),
+        F.max(F.when(F.col("rn") <= k, F.col("h"))).cast("long").alias("theta"),
+    )
+    ex = _flagged(du).groupBy("date_a", "date_b").agg(
+        F.count("*").cast("long").alias("exact_union"),
+        F.sum(F.col("in_a") * F.col("in_b")).cast("long").alias("exact_inter"),
+    )
+    return km.join(ex, ["date_a", "date_b"]).select(
+        "date_a",
+        "date_b",
+        "kk",
+        "rho",
+        F.expr("(rho * 1000000) div kk").alias("est_jaccard_ppm"),
+        F.expr("(exact_inter * 1000000) div exact_union").alias(
+            "exact_jaccard_ppm"
+        ),
+        F.when(F.col("full_cnt") < k, F.col("full_cnt"))
+        .otherwise(
+            F.expr(
+                f"CAST(CAST(kk - 1 AS DECIMAL(38,0)) * {_KMV_HBITS}"
+                f" div theta AS BIGINT)"
+            )
+        )
+        .cast("long")
+        .alias("est_union"),
+        "exact_union",
     )

@@ -561,3 +561,47 @@ def test_pc1_weights_sign_pin_and_grid(spark):
     assert max(abs(x) for x in w) == 1_000_000
     istar = max(range(len(w)), key=lambda i: (abs(w[i]), -i))
     assert w[istar] > 0
+
+
+# ------------------------------- KMV bottom-k intersection sketch
+
+
+def test_kmv_merge_closure_and_small_set_exactness(spark):
+    """Two pinned properties: (1) when the union fits inside K the
+    sketch IS the set, so est_union == exact_union exactly; (2) the
+    estimators are exact integer rationals — rho ≤ kk ≤ K and the
+    jaccard ppm is (rho·1e6) div kk, re-derivable from the output."""
+    from recommedation_system_under_flink_spark import registry
+    from recommedation_system_under_flink_spark.operators.sketches import KMV_K
+
+    rows = registry.queries()["sk_kmv_day_overlap"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert rows
+    for r in rows:
+        assert r["rho"] <= r["kk"] <= KMV_K
+        assert r["est_jaccard_ppm"] == (r["rho"] * 1_000_000) // r["kk"]
+        if r["exact_union"] < KMV_K:
+            assert r["est_union"] == r["exact_union"]
+
+
+def test_kmv_estimator_accuracy_at_sf01(spark):
+    """k = 64 ⇒ ~12.5% rsd on the union and ~sqrt(J(1−J)/k) on the
+    Jaccard. Measured at sf0.1 (pinned hash → deterministic): jaccard
+    err max 10.1pp / mean 3.3pp; union rel-err max 25.8% / mean 12.5%.
+    Bounds set ~2× above the measured maxima — a regression here means
+    the estimator chain changed, not noise."""
+    from recommedation_system_under_flink_spark import registry
+
+    rows = registry.queries()["sk_kmv_day_overlap"](
+        spark, "/root/testdata/sf0.1"
+    ).collect()
+    assert len(rows) >= 20
+    jerr = [abs(r["est_jaccard_ppm"] - r["exact_jaccard_ppm"]) for r in rows]
+    uerr = [
+        abs(r["est_union"] - r["exact_union"]) / r["exact_union"] for r in rows
+    ]
+    assert max(jerr) <= 200_000, max(jerr)
+    assert sum(jerr) / len(jerr) <= 80_000
+    assert max(uerr) <= 0.40, max(uerr)
+    assert sum(uerr) / len(uerr) <= 0.20
