@@ -181,6 +181,9 @@ HEADLINE = (
     "als_rank1_topk",
     "sim_pca_pc1_project",
     "sk_kmv_day_overlap",
+    # round-10 session addition: the recursive-CTE-oracled dyadic Holt
+    # filter (daily aggregate + calendar-bounded driver recursion)
+    "ev_holt_linear_daily",
 )
 
 

@@ -2525,3 +2525,104 @@ def ev_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cohort_week", "week_offset")
     )
+
+
+# ---------------------------------------- Holt linear smoothing (daily)
+
+#: Smoothing grid for the Holt recursion: state lives in 1e-6 units.
+_HOLT_PPM = 1_000_000
+
+
+def _holt_idiv(a: int, b: int) -> int:
+    """Truncation-toward-zero integral division — DuckDB ``//`` and
+    Spark ``div`` semantics; Python ``//`` floors, hence the mirror."""
+    q = abs(a) // b
+    return -q if a < 0 else q
+
+
+def _holt_oracle() -> str:
+    return f"""WITH RECURSIVE daily AS (
+  SELECT CAST(ts AS DATE) AS date, CAST(COUNT(*) AS BIGINT) AS y
+  FROM events WHERE event_type = 'click' GROUP BY 1
+),
+idx AS (
+  SELECT date, y, CAST(ROW_NUMBER() OVER (ORDER BY date) AS BIGINT) AS x
+  FROM daily
+),
+hw AS (
+  SELECT x, date, y,
+         y * {_HOLT_PPM} AS lev,
+         CAST(COALESCE((SELECT y FROM idx WHERE x = 2) - y, 0)
+              * {_HOLT_PPM} AS BIGINT) AS tr,
+         CAST(NULL AS BIGINT) AS fitted
+  FROM idx WHERE x = 1
+  UNION ALL
+  SELECT i.x, i.date, i.y,
+         (i.y * {_HOLT_PPM} + (hw.lev + hw.tr)) // 2 AS lev,
+         ((((i.y * {_HOLT_PPM} + (hw.lev + hw.tr)) // 2) - hw.lev) + hw.tr)
+           // 2 AS tr,
+         hw.lev + hw.tr AS fitted
+  FROM idx i JOIN hw ON i.x = hw.x + 1
+)
+SELECT date, y, lev AS level_ppm, tr AS trend_ppm, fitted AS fitted_ppm,
+       CASE WHEN fitted IS NULL THEN NULL
+            ELSE y * {_HOLT_PPM} - fitted END AS resid_ppm
+FROM hw"""
+
+
+@register("ev_holt_linear_daily", _holt_oracle())
+def ev_holt_linear_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """**Holt linear exponential smoothing** over the daily click
+    series (Holt 1957 / Gardner 1985) — the recursive-filter
+    companion to :func:`ev_harmonic_regression`'s closed-form fit:
+    level and trend update day by day, each day's one-step-ahead
+    forecast and residual land beside the observation (the residuals
+    are what an anomaly monitor thresholds).
+
+    α = β = 1/2 makes every update a DYADIC step:
+
+        L_d = (y_d·1e6 + (L_{{d-1}} + B_{{d-1}})) div 2
+        B_d = ((L_d − L_{{d-1}}) + B_{{d-1}}) div 2
+
+    — pure integer arithmetic on the 1e-6 grid (truncating integral
+    division, identical in DuckDB and the driver-side mirror), so the
+    whole filter is hash-exact cross-engine. The oracle runs the SAME
+    recursion as a ``WITH RECURSIVE`` CTE — unlike the unrolled BPE /
+    squaring chains this one is DATA-LENGTH independent.
+
+    Scale (100 TB): the distributed work is the daily aggregate (one
+    map-side-combinable pass over the click log); the recursion state
+    is calendar-bounded (O(days) rows — bounded model state like the
+    IVF/PCA fits) and inherently sequential, so it runs driver-side
+    on the collected series and the result re-enters as a bounded
+    relation. A century of days is 36 k rows; the click log is the
+    100 TB, the series never is."""
+    from ..sources import clicks
+
+    daily = (
+        clicks(spark, sf_dir)
+        .groupBy("date")
+        .agg(F.count("*").cast("long").alias("y"))
+        .orderBy("date")
+        .collect()
+    )
+    schema = (
+        "date date, y long, level_ppm long, trend_ppm long,"
+        " fitted_ppm long, resid_ppm long"
+    )
+    if not daily:
+        return spark.createDataFrame([], schema)
+    ys = [int(r["y"]) for r in daily]
+    lev = ys[0] * _HOLT_PPM
+    tr = (ys[1] - ys[0]) * _HOLT_PPM if len(ys) > 1 else 0
+    rows = [(daily[0]["date"], ys[0], lev, tr, None, None)]
+    for i in range(1, len(ys)):
+        fitted = lev + tr
+        new_lev = _holt_idiv(ys[i] * _HOLT_PPM + fitted, 2)
+        tr = _holt_idiv((new_lev - lev) + tr, 2)
+        lev = new_lev
+        rows.append(
+            (daily[i]["date"], ys[i], lev, tr, fitted,
+             ys[i] * _HOLT_PPM - fitted)
+        )
+    return spark.createDataFrame(rows, schema)

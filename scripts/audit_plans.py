@@ -98,6 +98,11 @@ EXPECTED_CARTESIAN = {
     "graph_modularity_report": "1-row directed-edge-total scalar broadcast",
     "t6_decayed_popularity": "1-row MAX(date) horizon scalar broadcast",
     "sk_bloom_prefilter": "1-row (n_build, n_bits_set, report) scalar combines",
+    "als_rank1_topk": (
+        "items-bounded (NEWS_MOD<=1000) factor table broadcast crossed into"
+        " per-user scoring — the standard serving fan-out; docstring"
+        " documents the ANN cut at scale"
+    ),
     # round-5 experiment stats: 1-row per-cohort aggregates combined
     "ef_welch_ttest": "two 1-row cohort-moment sides crossed into one stat row",
     "ef_conversion_lag_percentiles": "1-row total-count scalar broadcast over the bounded gap-seconds grid",

@@ -605,3 +605,46 @@ def test_kmv_estimator_accuracy_at_sf01(spark):
     assert sum(jerr) / len(jerr) <= 80_000
     assert max(uerr) <= 0.40, max(uerr)
     assert sum(uerr) / len(uerr) <= 0.20
+
+
+# ------------------------------------- Holt linear smoothing (dyadic)
+
+
+def test_holt_recursion_identities_and_float_agreement(spark):
+    """Re-derive the exact dyadic recursion independently from the
+    observed y series and demand bit-equality; then check the integer
+    filter tracks a float Holt (alpha = beta = 0.5) within accumulated
+    quantization error."""
+    from recommedation_system_under_flink_spark import registry
+    from recommedation_system_under_flink_spark.operators.events_props import (
+        _holt_idiv,
+    )
+
+    rows = sorted(
+        registry.queries()["ev_holt_linear_daily"](spark, SF_DIR).collect(),
+        key=lambda r: r["date"],
+    )
+    assert len(rows) > 2
+    ys = [r["y"] for r in rows]
+    lev = ys[0] * 1_000_000
+    tr = (ys[1] - ys[0]) * 1_000_000
+    assert rows[0]["level_ppm"] == lev and rows[0]["trend_ppm"] == tr
+    assert rows[0]["fitted_ppm"] is None and rows[0]["resid_ppm"] is None
+    fl, ft = float(ys[0]), float(ys[1] - ys[0])
+    for i in range(1, len(rows)):
+        fitted = lev + tr
+        new_lev = _holt_idiv(ys[i] * 1_000_000 + fitted, 2)
+        tr = _holt_idiv((new_lev - lev) + tr, 2)
+        lev = new_lev
+        r = rows[i]
+        assert (r["level_ppm"], r["trend_ppm"], r["fitted_ppm"]) == (
+            lev, tr, fitted,
+        )
+        assert r["resid_ppm"] == ys[i] * 1_000_000 - fitted
+        # float twin
+        ffit = fl + ft
+        nfl = 0.5 * ys[i] + 0.5 * ffit
+        ft = 0.5 * (nfl - fl) + 0.5 * ft
+        fl = nfl
+        assert abs(r["level_ppm"] / 1e6 - fl) < 0.01
+        assert abs(r["trend_ppm"] / 1e6 - ft) < 0.01
