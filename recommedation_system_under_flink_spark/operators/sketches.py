@@ -881,12 +881,17 @@ def sk_kmv_day_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("h"),
     ).distinct()
     w = Window.partitionBy("date").orderBy("h")
+    # Materialize the K-row-per-day sketch ONCE (localCheckpoint on
+    # bounded state — the "persisted sketch table" a deployment would
+    # store); everything downstream reuses it instead of re-deriving
+    # the distinct-hash relation from the click log per branch.
     sk = (
         du.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= k)
         .select("date", "h")
+        .localCheckpoint(eager=True)
     )
-    days = du.select("date").distinct()
+    days = sk.select("date").distinct()
     pairs = days.alias("a").join(
         days.alias("b"),
         F.col("b.date") == F.date_add(F.col("a.date"), 1),

@@ -81,6 +81,20 @@ BUDGETS = {
     # "scans" here are the bucketed-table reads; the writes happen
     # before the returned plan)
     "s28_bucketed_join_colocated": (2, 0, False, False),
+    # round-10 session additions, measured at sf0.001: als 10/26 with
+    # the items-bounded factor broadcast as its only cartesian (4
+    # half-sweep joins + the scoring fan-out); pc1 1/0 — the whole
+    # eigenvector derivation is bounded driver state, so the RETURNED
+    # plan must stay a single-scan shuffle-free map projection; kmv
+    # 2/22 after the sketch localCheckpoint (the 2 scans are the
+    # corpus-exact audit's two du legs — the sketch itself must NOT
+    # rescan the click log); holt 0/0 — a calendar-bounded local
+    # relation, any scan/exchange means the bounded-state contract
+    # broke
+    "als_rank1_topk": (11, 30, True, False),
+    "sim_pca_pc1_project": (2, 1, False, False),
+    "sk_kmv_day_overlap": (3, 26, False, False),
+    "ev_holt_linear_daily": (0, 0, False, False),
 }
 
 
