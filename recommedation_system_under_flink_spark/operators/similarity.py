@@ -2814,8 +2814,12 @@ def sim_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     pinned per component (largest-|loading| entry made positive), and
     components are ordered by descending eigenvalue.
 
-    No SQL oracle — eigenvectors are not SQL-derivable; the check is
-    rows-only. pytest (tests/test_llm_ops.py) asserts the projections
+    No SQL oracle for the top-K form — the full eigh loadings are not
+    SQL-derivable; the check is rows-only. The DOMINANT component is
+    oracle-certified end-to-end by :func:`sim_pca_pc1_project` (exact-
+    integer covariance → C^1024 squaring → projection), which pins the
+    seam this query's driver-side eigh crosses.
+    pytest (tests/test_llm_ops.py) asserts the projections
     against an independent numpy PCA: matching per-component variance
     spectrum, orthonormal loadings, near-zero cross-component
     covariance, and value agreement under the pinned sign convention."""

@@ -6,9 +6,11 @@ on the implicit (user, news, click-count) matrix. The reference has no
 analogue — this is the extension BASELINE.json's north star names.
 
 Implicit-feedback mode (Hu/Koren/Volinsky 2008): click counts are
-confidence, not ratings. Seeded, so runs are reproducible; iterative
-training is not SQL-expressible → rows-only driver check, invariants in
-tests/test_streaming.py.
+confidence, not ratings. Seeded, so runs are reproducible; MLlib's
+blocked iterative training is engine-internal → rows-only driver check,
+invariants in tests/test_streaming.py. The alternating-least-squares
+induction seam itself IS oracle-certified by ``als_rank1_topk`` below
+(rank-1, exact integers, DuckDB CTE twin).
 
 Scale notes (100 TB): ALS is the one genuinely iterative-distributed
 operator in the engine — MLlib blocks the factor matrices
