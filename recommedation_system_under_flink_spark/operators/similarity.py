@@ -3216,13 +3216,19 @@ def sim_pca_pc1_project(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda v: F.floor(v * _COV_SCALE + 0.5).cast("long"),
         ).alias("e"),
     )
+    # one fused pass: per-dim exact sums AND n (every dim group holds
+    # exactly one entry per vector, so any group's count IS n) — no
+    # separate x.count() job
     sums = (
         x.select(F.posexplode("e").alias("i", "xi"))
         .groupBy("i")
-        .agg(F.sum(F.col("xi").cast("decimal(38,0)")).alias("sx"))
+        .agg(
+            F.sum(F.col("xi").cast("decimal(38,0)")).alias("sx"),
+            F.count("*").alias("n"),
+        )
         .collect()
     )
-    n = x.count()
+    n = int(sums[0]["n"]) if sums else 0
     sx = [0] * EMB_DIM
     for r in sums:
         sx[r["i"]] = int(r["sx"])
