@@ -184,6 +184,9 @@ HEADLINE = (
     # round-10 session addition: the recursive-CTE-oracled dyadic Holt
     # filter (daily aggregate + calendar-bounded driver recursion)
     "ev_holt_linear_daily",
+    # round-10 session addition: zero-driver-state per-dim z-scores
+    # (moment aggregate + broadcast join back, scan-speed projection)
+    "sim_whiten_diag_project",
 )
 
 

@@ -3013,6 +3013,91 @@ def sim_whiten_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------- diagonal whitening, fully oracle-backed
+
+_WHITEN_DIAG_ORACLE = """WITH x AS (
+  SELECT vec_id,
+         list_transform(CAST(embedding AS DOUBLE[]),
+                        v -> CAST(FLOOR(v * 1000000 + 0.5) AS BIGINT)) AS e
+  FROM embeddings
+),
+ex AS (
+  SELECT vec_id, CAST(i - 1 AS INTEGER) AS i, e[i] AS xi
+  FROM (SELECT vec_id, e, generate_subscripts(e, 1) AS i FROM x)
+),
+mom AS (
+  SELECT i, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(xi) AS HUGEINT) AS sx,
+         CAST(SUM(xi * xi) AS HUGEINT) AS sxx
+  FROM ex GROUP BY i
+)
+SELECT ex.vec_id, ex.i AS dim,
+       CAST(CAST(FLOOR(((CAST(xi AS DOUBLE)
+                         - CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+                        / SQRT((CAST(sxx AS DOUBLE)
+                                - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)
+                                  / CAST(n AS DOUBLE)) / CAST(n AS DOUBLE)
+                               + 1000000.0))
+                       * 1000000.0 + 0.5) AS BIGINT) AS DOUBLE)
+         / 1000000.0 AS value
+FROM ex JOIN mom ON ex.i = mom.i"""
+
+
+@register("sim_whiten_diag_project", _WHITEN_DIAG_ORACLE)
+def sim_whiten_diag_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """**Diagonal (variance-only) whitening, fully oracle-backed** —
+    the hash-certified twin of the rows-only :func:`sim_whiten_project`
+    (whose full ZCA rotation needs the driver-side eigh): standardize
+    every dimension, x̂ᵢ = (xᵢ − μᵢ)/√(varᵢ + ε), the per-feature
+    z-score that IS the whitening matrix restricted to its diagonal.
+    The embedding-pipeline use is the same (uniform per-dim scale
+    before SQ8/PQ quantization and distance mixing); what it forgoes
+    is only the cross-dim decorrelation, which stays with the ZCA form
+    and its identity-covariance pytest.
+
+    Hash safety without any driver state: inputs land on the 1e-6
+    integer grid, the per-dim moments are EXACT integer sums
+    (HUGEINT / DECIMAL(38,0)), and the published value is one mirrored
+    IEEE tree — two divisions, one subtraction, one correctly-rounded
+    SQRT (IEEE-754 guarantees sqrt to the bit, unlike ln/exp) — FLOOR-
+    quantized to the 6-dp grid. Both engines therefore compute the
+    same bits end to end; ε = WHITEN_EPS·1e12 raw units keeps
+    degenerate dims finite exactly as in the ZCA form.
+
+    Scale (100 TB): one map-side-combinable moment aggregate into
+    exactly dim groups, then a broadcast join of the 64-row moment
+    table back onto the exploded stream — shuffle bounded by dim ×
+    partitions, projection at scan speed; no collect anywhere."""
+    x = load_raw(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform(
+            _as_double("embedding"),
+            lambda v: F.floor(v * 1_000_000 + 0.5).cast("long"),
+        ).alias("e"),
+    )
+    ex = x.select("vec_id", F.posexplode("e").alias("i", "xi"))
+    mom = ex.groupBy("i").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(F.col("xi").cast("decimal(38,0)")).alias("sx"),
+        F.sum((F.col("xi") * F.col("xi")).cast("decimal(38,0)")).alias("sxx"),
+    )
+    nd = F.col("n").cast("double")
+    sxd = F.col("sx").cast("double")
+    sxxd = F.col("sxx").cast("double")
+    z = (F.col("xi").cast("double") - sxd / nd) / F.sqrt(
+        (sxxd - sxd * sxd / nd) / nd + F.lit(1000000.0)
+    )
+    return (
+        ex.join(F.broadcast(mom), "i")
+        .select(
+            "vec_id",
+            F.col("i").cast("int").alias("dim"),
+            (F.floor(z * 1_000_000.0 + 0.5).cast("long").cast("double")
+             / F.lit(1_000_000.0)).alias("value"),
+        )
+    )
+
+
 # --------------------------------- PC1 projection, fully oracle-backed
 
 #: Matrix-squaring rounds for the dominant-eigenvector read-out:

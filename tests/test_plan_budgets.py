@@ -95,6 +95,10 @@ BUDGETS = {
     "sim_pca_pc1_project": (2, 1, False, False),
     "sk_kmv_day_overlap": (3, 26, False, False),
     "ev_holt_linear_daily": (0, 0, False, False),
+    # diag whitening measured 2/2 at sf0.001 (scan + moment aggregate
+    # + the broadcast join back); must stay cartesian-free and near
+    # this shape — a third scan means the moment reuse broke
+    "sim_whiten_diag_project": (3, 4, False, False),
 }
 
 

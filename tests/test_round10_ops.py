@@ -648,3 +648,37 @@ def test_holt_recursion_identities_and_float_agreement(spark):
         fl = nfl
         assert abs(r["level_ppm"] / 1e6 - fl) < 0.01
         assert abs(r["trend_ppm"] / 1e6 - ft) < 0.01
+
+
+# ----------------------------------- diagonal whitening (z-scores)
+
+
+def test_whiten_diag_standardizes_each_dimension(spark):
+    """Population z-scores per dim: mean ~0, var ~1 (the eps floor and
+    the 1e-6 grid allow tiny slack), and agreement with numpy's
+    standardization of the SAME quantized inputs."""
+    import duckdb
+    import numpy as np
+
+    from recommedation_system_under_flink_spark import registry
+
+    rows = registry.queries()["sim_whiten_diag_project"](
+        spark, SF_DIR
+    ).collect()
+    emb = duckdb.sql(
+        f"SELECT vec_id, CAST(embedding AS DOUBLE[]) e"
+        f" FROM '{SF_DIR}/embeddings.parquet' ORDER BY vec_id"
+    ).fetchall()
+    ids = {r[0]: np.floor(np.array(r[1]) * 1e6 + 0.5) for r in emb}
+    X = np.array([ids[k] for k in sorted(ids)])
+    mu = X.mean(axis=0)
+    var = X.var(axis=0)
+    want = (X - mu) / np.sqrt(var + 1e6)
+    idx = {k: p for p, k in enumerate(sorted(ids))}
+    got = np.zeros_like(want)
+    for r in rows:
+        got[idx[r["vec_id"]], r["dim"]] = r["value"]
+    assert np.abs(got - want).max() < 2e-6
+    assert np.abs(got.mean(axis=0)).max() < 1e-3
+    v = got.var(axis=0)
+    assert (v < 1.001).all() and (v > 0.5).all()  # eps shrinks, never inflates past 1
