@@ -3018,7 +3018,7 @@ def sim_whiten_project(spark: SparkSession, sf_dir: str) -> DataFrame:
 _WHITEN_DIAG_ORACLE = """WITH x AS (
   SELECT vec_id,
          list_transform(CAST(embedding AS DOUBLE[]),
-                        v -> CAST(FLOOR(v * 1000000 + 0.5) AS BIGINT)) AS e
+                        v -> CAST(FLOOR(v * 1000000.0 + 0.5) AS BIGINT)) AS e
   FROM embeddings
 ),
 ex AS (
