@@ -187,6 +187,9 @@ HEADLINE = (
     # round-10 session addition: zero-driver-state per-dim z-scores
     # (moment aggregate + broadcast join back, scan-speed projection)
     "sim_whiten_diag_project",
+    # round-10 session addition: sketch-store re-aggregation for the
+    # bottom-k family (merge stored daily sketches, never rescan)
+    "sk_kmv_monthly_rollup",
 )
 
 

@@ -953,3 +953,123 @@ def sk_kmv_day_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("est_union"),
         "exact_union",
     )
+
+
+def _kmv_monthly_oracle() -> str:
+    k = KMV_K
+    return with_ctes(
+        f"""SELECT m.month, d.n_days, m.kk,
+       CASE WHEN m.full_cnt < {k} THEN m.full_cnt
+            ELSE CAST((CAST(m.kk - 1 AS HUGEINT) * {_KMV_HBITS}) // m.theta
+                      AS BIGINT) END AS est_users,
+       e.exact_users
+FROM m JOIN d USING (month) JOIN e USING (month)""",
+        CLICKS_CTE,
+        f"""du AS (
+  SELECT DISTINCT date,
+         CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))
+              AS BIGINT) AS h
+  FROM clicks
+)""",
+        f"""sk AS (
+  SELECT date, h FROM (
+    SELECT date, h, ROW_NUMBER() OVER (PARTITION BY date ORDER BY h) AS rn
+    FROM du
+  ) WHERE rn <= {k}
+)""",
+        """mu AS (
+  SELECT DISTINCT strftime(date, '%Y-%m') AS month, h FROM sk
+)""",
+        f"""bot AS (
+  SELECT month, h,
+         ROW_NUMBER() OVER (PARTITION BY month ORDER BY h) AS rn
+  FROM mu
+)""",
+        f"""m AS (
+  SELECT month,
+         CAST(COUNT(*) AS BIGINT) AS full_cnt,
+         CAST(LEAST({k}, COUNT(*)) AS BIGINT) AS kk,
+         CAST(MAX(CASE WHEN rn <= {k} THEN h END) AS BIGINT) AS theta
+  FROM bot GROUP BY month
+)""",
+        """d AS (
+  SELECT strftime(date, '%Y-%m') AS month,
+         CAST(COUNT(DISTINCT date) AS BIGINT) AS n_days
+  FROM sk GROUP BY month
+)""",
+        """e AS (
+  SELECT strftime(date, '%Y-%m') AS month,
+         CAST(COUNT(DISTINCT h) AS BIGINT) AS exact_users
+  FROM du GROUP BY month
+)""",
+    )
+
+
+@register("sk_kmv_monthly_rollup", _kmv_monthly_oracle())
+def sk_kmv_monthly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """**KMV sketch re-aggregation**: monthly distinct-clicker
+    estimates produced by MERGING the stored per-day bottom-K sketches
+    — the daily pass never re-runs, mirroring
+    :func:`sk_monthly_from_daily_hll` for the bottom-k family. The
+    merge is EXACTLY lossless by the KMV closure property:
+    bottom-K(∪ᵢ bottom-K(Sᵢ)) = bottom-K(∪ᵢ Sᵢ) (every element of the
+    true union's bottom-K survives in its day's bottom-K), so the
+    monthly estimate from stored sketches equals the estimate a full
+    rescan would produce — pytest-pinned, and the corpus-exact monthly
+    distinct rides alongside as the audit column.
+
+    Same pinned 60-bit md5 hash and integer estimator as
+    :func:`sk_kmv_day_overlap`; at 100 TB the monthly report reads
+    O(days·K) stored integers, never the click log."""
+    k = KMV_K
+    cl = clicks(spark, sf_dir)
+    du = cl.select(
+        "date",
+        F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 15), 16, 10)
+        .cast("long")
+        .alias("h"),
+    ).distinct()
+    w = Window.partitionBy("date").orderBy("h")
+    sk = (
+        du.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("date", "h")
+        .localCheckpoint(eager=True)
+    )
+    month = F.date_format("date", "yyyy-MM").alias("month")
+    mu = sk.select(month, "h").distinct()
+    wm = Window.partitionBy("month").orderBy("h")
+    m = (
+        mu.withColumn("rn", F.row_number().over(wm))
+        .groupBy("month")
+        .agg(
+            F.count("*").cast("long").alias("full_cnt"),
+            F.least(F.lit(k), F.count("*")).cast("long").alias("kk"),
+            F.max(F.when(F.col("rn") <= k, F.col("h"))).cast("long").alias("theta"),
+        )
+    )
+    d = sk.groupBy(month).agg(
+        F.count_distinct("date").cast("long").alias("n_days")
+    )
+    e = du.groupBy(month).agg(
+        F.count_distinct("h").cast("long").alias("exact_users")
+    )
+    return (
+        m.join(d, "month")
+        .join(e, "month")
+        .select(
+            "month",
+            "n_days",
+            "kk",
+            F.when(F.col("full_cnt") < k, F.col("full_cnt"))
+            .otherwise(
+                F.expr(
+                    f"CAST(CAST(kk - 1 AS DECIMAL(38,0)) * {_KMV_HBITS}"
+                    f" div theta AS BIGINT)"
+                )
+            )
+            .cast("long")
+            .alias("est_users"),
+            "exact_users",
+        )
+    )

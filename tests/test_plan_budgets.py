@@ -99,6 +99,10 @@ BUDGETS = {
     # + the broadcast join back); must stay cartesian-free and near
     # this shape — a third scan means the moment reuse broke
     "sim_whiten_diag_project": (3, 4, False, False),
+    # kmv monthly rollup measured 1/8 at sf0.001 (the 1 scan is the
+    # exact-audit leg; the sketch merge reads the localCheckpointed
+    # daily sketch — a second scan means the checkpoint broke)
+    "sk_kmv_monthly_rollup": (2, 12, False, False),
 }
 
 

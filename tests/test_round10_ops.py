@@ -682,3 +682,43 @@ def test_whiten_diag_standardizes_each_dimension(spark):
     assert np.abs(got.mean(axis=0)).max() < 1e-3
     v = got.var(axis=0)
     assert (v < 1.001).all() and (v > 0.5).all()  # eps shrinks, never inflates past 1
+
+
+# ------------------------------------ KMV monthly rollup (closure)
+
+
+def test_kmv_rollup_closure_and_accuracy(spark):
+    """The KMV merge is lossless: bottom-K over the union of the DAILY
+    bottom-K sketches equals bottom-K over the month's full distinct
+    hash set (every true monthly bottom-K member survives its day's
+    bottom-K). Verified directly in DuckDB; then the registered
+    query's estimate is checked against the exact monthly distinct."""
+    import duckdb
+
+    from recommedation_system_under_flink_spark import registry
+    from recommedation_system_under_flink_spark.operators.sketches import KMV_K
+    from recommedation_system_under_flink_spark.sources.tables import NEWS_MOD
+
+    sf = "/root/testdata/sf0.1"
+    base = f"""WITH du AS (
+      SELECT DISTINCT CAST(ts AS DATE) AS date,
+             CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))
+                  AS BIGINT) AS h
+      FROM '{sf}/events.parquet' WHERE event_type = 'click')"""
+    merged = duckdb.sql(base + f""",
+      sk AS (SELECT date, h FROM (
+        SELECT date, h, ROW_NUMBER() OVER (PARTITION BY date ORDER BY h) rn
+        FROM du) WHERE rn <= {KMV_K})
+      SELECT DISTINCT h FROM sk ORDER BY h LIMIT {KMV_K}""").fetchall()
+    direct = duckdb.sql(base + f"""
+      SELECT DISTINCT h FROM du ORDER BY h LIMIT {KMV_K}""").fetchall()
+    assert merged == direct  # closure: rollup loses nothing
+
+    rows = registry.queries()["sk_kmv_monthly_rollup"](spark, sf).collect()
+    assert rows
+    for r in rows:
+        if r["exact_users"] < KMV_K:
+            assert r["est_users"] == r["exact_users"]
+        else:
+            rel = abs(r["est_users"] - r["exact_users"]) / r["exact_users"]
+            assert rel <= 0.40, (r["month"], rel)
