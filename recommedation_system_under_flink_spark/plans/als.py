@@ -206,9 +206,16 @@ def als_rank1_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from pyspark.sql import Window
 
+    # Rank on the EXACT decimal product (matches the oracle's HUGEINT
+    # sort), and make BIGINT overflow LOUD rather than a silent NULL:
+    # non-ANSI Spark turns an overflowing decimal→long cast into NULL,
+    # which the window would happily rank, while the DuckDB oracle
+    # errors on CAST AS BIGINT — raise_error restores the symmetry
+    # (round-10 advice, plans/als.py:219).
     w = Window.partitionBy("user_id").orderBy(
-        F.col("score_p12").desc(), F.col("news_id").asc()
+        F.col("_prod").desc(), F.col("news_id").asc()
     )
+    _i64max = F.lit(2**63 - 1).cast("decimal(38,0)")
     scored = (
         u.withColumnRenamed("f", "uf")
         .crossJoin(F.broadcast(v.withColumnRenamed("f", "vf")))
@@ -216,11 +223,24 @@ def als_rank1_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "user_id",
             "news_id",
-            (F.col("uf").cast("decimal(38,0)") * F.col("vf")).cast("long").alias("score_p12"),
+            (F.col("uf").cast("decimal(38,0)") * F.col("vf")).alias("_prod"),
+        )
+        .withColumn(
+            "score_p12",
+            F.when(F.abs(F.col("_prod")) <= _i64max, F.col("_prod").cast("long"))
+            .otherwise(
+                F.raise_error(
+                    F.concat(
+                        F.lit("als_rank1_topk: factor product overflows BIGINT: "),
+                        F.col("_prod").cast("string"),
+                    )
+                ).cast("long")
+            ),
         )
     )
     return (
         scored.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .drop("_prod")
         .filter(F.col("rnk") <= K)
         .select(
             "user_id",

@@ -48,82 +48,84 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 #: the four end-to-end pipelines, one query per SURVEY §2 operator row,
 #: and one per LLM-pipeline family. Every name here MUST have a full
 #: DuckDB oracle (enforced by tests/test_registry_window.py).
-#: ROUND-10 ROTATION (7th tranche): rounds 2-9 cumulatively certified
-#: 286/368 oracle-backed queries (CORRECTNESS_r02…r09; r9 was 50/50).
-#: This round keeps the same 6 regression canaries (four pipelines +
-#: the CSV source sentinel + the flagship scored join) and spends the
-#: other 44 slots on the SEVENTH tranche of never-driver-certified
-#: queries, prioritizing the blocks with streaming/settled-state
-#: oracles per the round-9 verdict: all 8 stream_* structured-
-#: streaming queries, all 7 cf_* collaborative-filtering queries, all
-#: 11 samp_* sampling/split queries, the 7 remaining dedup_* queries,
-#: all 8 prof_* profiling queries, the 2 portable-register HLL
-#: sketches, and the a1_daily_clicker_sets straggler. Every member was
-#: ROUND-audited onto the rule-free FLOOR quantizer (commit c4667bd)
-#: and preflighted green at 3 SFs + perturbed 7-CPU partitioning.
-#: Residue after this round: 38 oracle-backed queries (mm_* 4, llm_* 4,
-#: s1x storage 15, sim_* 3, ml_* 2, a15-a17 4, t3-t6 4,
-#: j7_extractor_agreement, graph_degree_histogram) — queued whole for
-#: the r11 rotation, which clears ALL certification debt.
+#: ROUND-11 ROTATION (8th tranche): rounds 2-10 cumulatively certified
+#: 330/381 oracle-backed queries (CORRECTNESS_r02…r10; r9/r10 were
+#: 50/50), leaving 51 never-driver-certified. Per the round-10 verdict
+#: (items 1-2) this round drops the two cheapest canaries FOR ONE ROUND
+#: — `s1_csv_roundtrip` and `j3_scored_join`, both certified 8+ times,
+#: the scored join transitively re-certified via `tfidf_pipeline` /
+#: `tfidf_pipeline_dot` which embed the identical scored CTE — keeping
+#: 4 pipeline canaries and spending 46 slots on the EIGHTH tranche: the
+#: whole 38-query pre-r10 residue (s1x storage 15, mm_* 4, llm_* 4,
+#: sim_* 3, ml_* 2, a15-a17 4, t3-t6 4, j7_extractor_agreement,
+#: graph_degree_histogram) plus 8 of the 13 round-10 additions. All 46
+#: were preflighted green at sf0.001/0.01/0.1 AND perturbed 7-CPU
+#: partitioning (`GATE_r11_queue_preflight.log`). Residue after this
+#: round: 5 (als_rank1_topk, sim_pca_pc1_project, ev_holt_linear_daily,
+#: sim_whiten_diag_project, sk_kmv_monthly_rollup — each pinned
+#: meanwhile by arbitrary-precision / numpy-agreement pytests), queued
+#: for r12, which clears ALL certification debt.
 VERIFIED_WINDOW = (
-    # regression canaries: end-to-end pipelines (SURVEY §3) + sentinels
+    # regression canaries: end-to-end pipelines (SURVEY §3)
     "hot_topics_pipeline",
     "tfidf_pipeline",
     "textrank_pipeline_distributed",
     "tfidf_recommend_all_days",
-    "s1_csv_roundtrip",
-    "j3_scored_join",
-    # --- never-driver-verified rotation (44), round 10 ---
-    # structured-streaming block (all 8; settled-state oracles)
-    "stream_news_running_totals",
-    "stream_hot_topics_trailing",
-    "stream_purchase_click_join",
-    "stream_topk_to_parquet",
-    "stream_enrich_news_join",
-    "stream_sessionize",
-    "stream_decayed_popularity",
-    "stream_pysource_daily_counts",
-    # collaborative-filtering block (all 7)
-    "cf_user_recommendations",
-    "cf_item_neighbors_weighted",
-    "cf_user_neighbors",
-    "cf_item_lift",
-    "cf_path_trigrams",
-    "cf_next_item_hitrate",
-    "cf_novelty_report",
-    # sampling/split block (all 11)
-    "samp_stratified",
-    "samp_weighted_priority",
-    "samp_bpr_triplets",
-    "samp_lang_mixture",
-    "samp_dsir_auc",
-    "samp_split_leakage",
-    "samp_curriculum_order",
-    "samp_poisson_bootstrap",
-    "samp_source_cap_report",
-    "samp_dsir_ess_truncation",
-    "samp_pps_systematic",
-    # dedup remainder (all 7 never-certified)
-    "dedup_effective_tokens",
-    "dedup_ngram_novelty",
-    "dedup_boundary_stitch",
-    "dedup_span_scrub",
-    "dedup_funnel_report",
-    "dedup_cdc_chunks",
-    "dedup_line_level",
-    # profiling block (all 8)
-    "prof_documents_columns",
-    "prof_constraint_checks",
-    "prof_embedding_norms",
-    "prof_null_semantics",
-    "prof_chi2_lang_source",
-    "prof_candidate_keys",
-    "prof_partition_balance",
-    "prof_dp_release",
-    # portable-register HLL pair (promoted to oracle in r9) + straggler
-    "sk_daily_clickers_hll",
-    "sk_monthly_from_daily_hll",
-    "a1_daily_clicker_sets",
+    # --- never-driver-verified rotation (46), round 11 ---
+    # storage/warehouse one-offs (all 15)
+    "s10b_scd2_asof_lookup",
+    "s11_zorder_key",
+    "s13_orc_roundtrip",
+    "s15_schema_evolution_read",
+    "s16_incremental_agg_merge",
+    "s17_small_file_compaction",
+    "s18_snapshot_diff",
+    "s19_token_table_reuse",
+    "s21_python_datasource",
+    "s22_output_manifest",
+    "s23_schema_evolution_roundtrip",
+    "s24_malformed_csv_ingest",
+    "s25_corrupt_file_skip",
+    "s27_skipping_stats_report",
+    "s28_bucketed_join_colocated",
+    # multimodal block (all 4)
+    "mm_audio_window_plan",
+    "mm_frame_plan",
+    "mm_phash_dedup",
+    "mm_scene_cuts",
+    # llm curation block (all 4)
+    "llm_corpus_planning_report",
+    "llm_curation_funnel_by_source",
+    "llm_curation_funnel_report",
+    "llm_curation_pipeline",
+    # similarity residue (3)
+    "sim_dbscan_lsh",
+    "sim_multiprobe_lsh_topk",
+    "sim_nndescent_round",
+    # ml residue (2)
+    "ml_cv_ridge_path",
+    "ml_gbdt_k_rounds",
+    # window/agg + SQL-surface residue (a15-a17, t3-t6)
+    "a15_retention_halflife",
+    "a15_trailing_range_window",
+    "a16_grouping_sets",
+    "a17_set_operations",
+    "t3_sql_surface_demo",
+    "t4_rbo_recommender_agreement",
+    "t5_policy_replay_eval",
+    "t6_decayed_popularity",
+    # stragglers
+    "j7_extractor_agreement",
+    "graph_degree_histogram",
+    # round-10 additions (8 of 13)
+    "j3_scored_join_dot",
+    "tfidf_pipeline_dot",
+    "textrank_pipeline_distributed_dot",
+    "sk_value_quantiles",
+    "ts_bpe_learn_merges",
+    "ts_bpe_encode_stats",
+    "s29_dpp_partitioned_join",
+    "sk_kmv_day_overlap",
 )
 
 

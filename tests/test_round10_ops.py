@@ -484,19 +484,22 @@ def test_als1_matches_pure_python_integer_recursion(spark):
 
 
 def test_als1_rank1_degeneracy_is_shared_item_order(spark):
-    from recommedation_system_under_flink_spark import registry
-    queries = registry.queries()
     """Documented rank-1 property: every positive-factor user's
     recommendation list is the global item-factor order restricted to
     that user's unseen items — the scores differ by the per-user
-    scalar, the ORDER does not."""
+    scalar, the ORDER does not. Asserted for real (round-10 advice):
+    restrict each user's news_id sequence to the items COMMON to all
+    users' top-K lists and require every user to agree on the relative
+    order of that common subset, not just per-user monotonicity."""
+    from recommedation_system_under_flink_spark import registry
+
+    queries = registry.queries()
     rows = queries["als_rank1_topk"](spark, SF_DIR).collect()
     per_user = {}
     for r in rows:
         per_user.setdefault(r["user_id"], []).append(
             (r["rnk"], r["news_id"], r["score_p12"])
         )
-    # reconstruct the global order from any one user's (vf ∝ score) list
     for recs in per_user.values():
         recs.sort()
         scores = [s for _, _, s in recs]
@@ -505,6 +508,32 @@ def test_als1_rank1_degeneracy_is_shared_item_order(spark):
         for (r1, n1, s1), (r2, n2, s2) in zip(recs, recs[1:]):
             if s1 == s2:
                 assert n1 < n2
+    # cross-user SHARED order: for EVERY pair of users, the items both
+    # lists contain must appear in the same relative order (all lists
+    # are restrictions of the one global item-factor order). Pairwise,
+    # because the K-cut can leave the all-users intersection empty.
+    orders = {
+        u: [n for _, n, _ in sorted(recs)] for u, recs in per_user.items()
+    }
+    users = sorted(orders)
+    witnessed_pairs = 0
+    for i, ua in enumerate(users):
+        pos_a = {n: k for k, n in enumerate(orders[ua])}
+        for ub in users[i + 1:]:
+            shared = [n for n in orders[ub] if n in pos_a]
+            if len(shared) >= 2:
+                witnessed_pairs += 1
+                assert [pos_a[n] for n in shared] == sorted(
+                    pos_a[n] for n in shared
+                ), (
+                    f"users {ua} and {ub} disagree on the relative order "
+                    f"of shared items {shared} — rank-1 ALS must induce "
+                    f"one global order"
+                )
+    assert witnessed_pairs >= 1, (
+        "fixture too sparse to witness shared order — no user pair has "
+        ">=2 common top-K items"
+    )
 
 
 # --------------------------------- PC1 squaring twin vs numpy ground truth
