@@ -190,7 +190,49 @@ HEADLINE = (
     # round-10 session addition: sketch-store re-aggregation for the
     # bottom-k family (merge stored daily sketches, never rescan)
     "sk_kmv_monthly_rollup",
+    # round-11 addition: the row-level runtime Bloom-filter join (the
+    # partition-level s29's companion — shuffle-input pruning)
+    "s30_bloom_join_runtime",
 )
+
+
+#: Calm-window detector (round-10 verdict item 4). The r10 controls
+#: spanned 153-291 s on identical code — a 1.9× environment band (CPU
+#: steal) that drowns per-round signal. Every bench run therefore
+#: self-classifies from the run's OWN timings of five pinned heavy
+#: probe queries (all already in HEADLINE — zero added cost): the run
+#: counts as CALM iff the probe total sits within ``CALM_BAND`` of the
+#: committed per-query minima below (minima over the 15 r10 controls,
+#: sf0.1 / 32 CPUs). README cites only calm-window minima. Re-pin the
+#: committed minima when a code change on a probe member lands.
+CALM_PROBE_COMMITTED_MIN_SEC = {
+    "rel_q9_product_profit": 0.756,
+    "ef_markov_attribution": 5.845,
+    "p1_news_keywords_distributed": 5.520,
+    "dedup_prefix_filter_join": 4.726,
+    "ts_bigram_lm_perplexity": 0.298,
+}
+CALM_BAND = 1.15
+
+
+def classify_calm(timings: dict[str, float], sf: float | None) -> dict:
+    """Calm/noisy self-classification for one bench run's timings."""
+    committed = round(sum(CALM_PROBE_COMMITTED_MIN_SEC.values()), 3)
+    have = [k for k in CALM_PROBE_COMMITTED_MIN_SEC if k in timings]
+    probe_total = round(sum(timings[k] for k in have), 3)
+    out = {
+        "probe": sorted(CALM_PROBE_COMMITTED_MIN_SEC),
+        "probe_total_sec": probe_total,
+        "committed_min_sec": committed,
+        "band": CALM_BAND,
+    }
+    if sf != 0.1 or len(have) != len(CALM_PROBE_COMMITTED_MIN_SEC):
+        # minima are pinned for the default sf0.1/32-CPU control config
+        out["calm"] = None
+        return out
+    out["ratio"] = round(probe_total / committed, 3)
+    out["calm"] = probe_total <= round(CALM_BAND * committed, 3)
+    return out
 
 
 def main() -> int:
@@ -260,6 +302,7 @@ def main() -> int:
         "unit": "sec",
         "queries": timings,
         "sf": sf,
+        "calm_probe": classify_calm(timings, sf),
     }
     print(json.dumps(out))
     return 0

@@ -1880,3 +1880,87 @@ def s29_dpp_partitioned_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("cents").cast("long").alias("day_revenue_cents"),
         )
     )
+
+
+# ------------------------ S30: runtime Bloom-filter join pruning
+
+#: Creation-side purchase-value cut — selects ~8% of users at every SF
+#: (a "likely selective" range predicate, which is what Spark's
+#: InjectRuntimeFilter rule requires on the creation side).
+S30_MIN_PURCHASE_VALUE = 250.0
+
+_S30_ORACLE = f"""SELECT c.user_id AS user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_click_events
+FROM events c
+WHERE c.event_type = 'click'
+  AND c.user_id IN (SELECT user_id FROM events
+                    WHERE event_type = 'purchase'
+                      AND value >= {S30_MIN_PURCHASE_VALUE})
+GROUP BY c.user_id"""
+
+#: Session confs that open Spark's runtime-filter thresholds to fixture
+#: scale. Production defaults (10 GB creation side / 10 GB application
+#: side) are sized for real clusters; the point of the entry is the
+#: PLAN SHAPE, which is identical at 100 TB with the defaults left
+#: alone. ``autoBroadcastJoinThreshold=-1`` forces the shuffle join the
+#: rule targets (a broadcast join already prunes via its build side).
+S30_RUNTIME_FILTER_CONFS = {
+    "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+    "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+    "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "1B",
+    "spark.sql.autoBroadcastJoinThreshold": "-1",
+}
+
+
+@register("s30_bloom_join_runtime", _S30_ORACLE)
+def s30_bloom_join_runtime(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """**Runtime Bloom-filter join pruning** — the ROW-level companion
+    of s29's PARTITION-level DPP, completing the runtime-pruning pair
+    (SCALE.md §2): with the runtime-filter thresholds opened to fixture
+    scale, Spark's ``InjectRuntimeFilter`` builds a Bloom filter from
+    the selective creation side of the shuffle semi-join (purchasers
+    with ``value >= S30_MIN_PURCHASE_VALUE``) and pushes
+    ``might_contain`` onto the click-side scan, dropping rows that
+    cannot match BEFORE they are shuffled. At 100 TB this is the
+    difference between shuffling the whole click log and shuffling the
+    ~8% that can survive the join. The physical plan is frozen INSIDE
+    this builder while the confs are active (QueryExecution phases are
+    cached), then the session confs are restored — the driver's later
+    collect reuses the cached Bloom-bearing plan and the session is
+    left untouched. Plan shape (``might_contain`` on the application
+    side, plus the documented decline case: an Aggregate on the
+    creation side hides the selective predicate from the rule) is
+    pinned in tests/test_round10_ops.py; values are hash-verified
+    against the layout-free IN-subquery oracle."""
+    saved: dict[str, str | None] = {}
+    for k, v in S30_RUNTIME_FILTER_CONFS.items():
+        try:
+            saved[k] = spark.conf.get(k)
+        except Exception:
+            saved[k] = None
+        spark.conf.set(k, v)
+    try:
+        ev = events_raw(spark, sf_dir)
+        fact = ev.filter(F.col("event_type") == "click").select("user_id")
+        dim = (
+            ev.filter(
+                (F.col("event_type") == "purchase")
+                & (F.col("value") >= S30_MIN_PURCHASE_VALUE)
+            ).select("user_id")
+        )
+        out = (
+            fact.join(dim, "user_id", "left_semi")
+            .groupBy("user_id")
+            .agg(F.count("*").cast("long").alias("n_click_events"))
+        )
+        # Freeze the physical plan NOW, under the opened thresholds —
+        # QueryExecution's phases are lazy-cached, so the restored
+        # session confs below cannot re-plan the Bloom filter away.
+        out._jdf.queryExecution().executedPlan()
+        return out
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)

@@ -414,6 +414,38 @@ def test_runtime_bloom_filter_join_demo(spark):
     assert got == want and got
 
 
+def test_s30_registered_query_plan_carries_bloom_filter(spark):
+    """The registered `s30_bloom_join_runtime` entry (round-10 verdict
+    item 6) must hand the driver a PHYSICAL plan that already carries
+    the injected Bloom filter — the builder freezes QueryExecution
+    under the opened thresholds, then restores the session confs, so
+    (a) the cached plan shows `might_contain` on the click-side scan
+    and (b) the session is left at its pre-call conf values."""
+    from recommedation_system_under_flink_spark import registry
+    from recommedation_system_under_flink_spark.operators.kernels_sql import (
+        S30_RUNTIME_FILTER_CONFS,
+    )
+
+    def conf_snapshot():
+        snap = {}
+        for k in S30_RUNTIME_FILTER_CONFS:
+            try:
+                snap[k] = spark.conf.get(k)
+            except Exception:
+                snap[k] = None
+        return snap
+
+    before = conf_snapshot()
+    df = registry.queries()["s30_bloom_join_runtime"](spark, SF_DIR)
+    assert conf_snapshot() == before, "s30 leaked session confs"
+    plan = df._jdf.queryExecution().executedPlan().toString().lower()
+    assert "might_contain" in plan or "bloomfilter" in plan, plan
+    # and the frozen plan still EXECUTES correctly after the restore
+    # (the Bloom subquery runs at collect time, not plan time)
+    got = {(r["user_id"], r["n_click_events"]) for r in df.collect()}
+    assert got and all(n >= 1 for _, n in got)
+
+
 # ---------------------------------------------- rank-1 exact ALS twin
 
 
