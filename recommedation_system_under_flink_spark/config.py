@@ -58,3 +58,69 @@ class Scene:
 TODAY = dt.date(2024, 1, 30)
 
 DEFAULT_SCENE = Scene()
+
+
+# ------------------------------------------------ config as data
+#
+# The reference boots every job from a serialized config —
+# ``Controller.loadConfig()`` / ``Controller.config.getCurrentScene()``
+# (TF_IDF.java:36, TextRank.java:40-41; the Controller class itself is
+# absent from the snapshot, so the FORMAT here is ours: one flat JSON
+# object, dates ISO, enum by name). Round-tripping through a file is
+# what lets a deployment pin hyperparameters next to the job instead
+# of in code.
+
+def scene_to_dict(scene: Scene) -> dict:
+    """Flat JSON-able mapping (dates ISO-8601, enum by name)."""
+    return {
+        "from_date": scene.from_date.isoformat(),
+        "to_date": scene.to_date.isoformat(),
+        "num_days": scene.num_days,
+        "num_recommendations": scene.num_recommendations,
+        "num_news_keywords": scene.num_news_keywords,
+        "num_user_keywords": scene.num_user_keywords,
+        "window_size": scene.window_size,
+        "friction": scene.friction,
+        "max_iterates": scene.max_iterates,
+        "min_difference": scene.min_difference,
+        "similarity_algorithm": scene.similarity_algorithm.name,
+        "title_weight": scene.title_weight,
+        "description_weight": scene.description_weight,
+        "content_weight": scene.content_weight,
+    }
+
+
+def scene_from_dict(d: dict) -> Scene:
+    """Inverse of :func:`scene_to_dict`. Unknown keys are an error
+    (a typo'd hyperparameter must fail loudly, not silently default);
+    missing keys take the dataclass defaults."""
+    fields = set(scene_to_dict(DEFAULT_SCENE))
+    unknown = set(d) - fields
+    if unknown:
+        raise ValueError(f"unknown Scene config keys: {sorted(unknown)}")
+    kw: dict = dict(d)
+    for k in ("from_date", "to_date"):
+        if k in kw:
+            kw[k] = dt.date.fromisoformat(kw[k])
+    if "similarity_algorithm" in kw:
+        kw["similarity_algorithm"] = SimilarityAlgorithm[
+            kw["similarity_algorithm"]
+        ]
+    return Scene(**kw)
+
+
+def save_scene(scene: Scene, path: str) -> None:
+    import json
+
+    with open(path, "w") as f:
+        json.dump(scene_to_dict(scene), f, indent=2, sort_keys=True)
+        f.write("\n")
+
+
+def load_scene(path: str) -> Scene:
+    """``Controller.config.getCurrentScene()`` analogue: read the
+    serialized scene a deployment ships next to the job."""
+    import json
+
+    with open(path) as f:
+        return scene_from_dict(json.load(f))
