@@ -73,7 +73,12 @@ BUDGETS = {
     # executed plans must STAY trivial — a regression that drops the
     # checkpoint shows up as reappearing scans/exchanges
     "dedup_prefix_filter_join": (12, 32, False, False),
-    "ef_markov_attribution": (2, 16, True, False),
+    # round 11: the matrix powers moved to exact bounded driver
+    # arithmetic (the ≤(M+3)²-cell relation is collected once; the
+    # r10-verdict watch item on this query's micro-job floor), so the
+    # RETURNED plan must stay a local-relation projection — any
+    # scan/exchange means the bounded-state contract broke
+    "ef_markov_attribution": (0, 0, False, False),
     "p1_news_keywords_distributed": (2, 4, False, False),
     "graph_hits_clicks": (2, 4, False, False),
     # round 9: the bucketed co-located join MUST stay shuffle-free —
