@@ -205,9 +205,12 @@ HEADLINE = (
 #: committed per-query minima below (minima over the 15 r10 controls,
 #: sf0.1 / 32 CPUs). README cites only calm-window minima. Re-pin the
 #: committed minima when a code change on a probe member lands.
+#: (`ef_markov_attribution` was a probe member for one session but its
+#: round-11 driver-arithmetic rewrite invalidated its committed min —
+#: swapped for `sim_dbscan_lsh`, code-untouched since round 9.)
 CALM_PROBE_COMMITTED_MIN_SEC = {
     "rel_q9_product_profit": 0.756,
-    "ef_markov_attribution": 5.845,
+    "sim_dbscan_lsh": 8.013,
     "p1_news_keywords_distributed": 5.520,
     "dedup_prefix_filter_join": 4.726,
     "ts_bigram_lm_perplexity": 0.298,

@@ -43,5 +43,5 @@ def test_non_default_sf_is_unclassified():
 
 def test_missing_probe_member_is_unclassified():
     t = _probe_times(1.0)
-    t.pop("ef_markov_attribution")
+    t.pop(next(iter(t)))
     assert bench.classify_calm(t, 0.1)["calm"] is None
