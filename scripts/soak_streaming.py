@@ -3,10 +3,12 @@
 The stream_* family is correctness-certified against settled-state
 oracles (bounded availableNow replay == batch result), which proves
 semantics but says nothing about LATENCY or STATE growth under a
-sustained source. This soak drives the two stateful operator SHAPES —
-the watermarked tumbling-window count behind
-``streaming/hot_topics.py::stream_decayed_popularity`` and the
-``session_window`` aggregation behind ``stream_sessionize`` — from a
+sustained source. This soak drives the three stateful operator SHAPES
+— the watermarked tumbling-window count behind
+``streaming/hot_topics.py::stream_decayed_popularity``, the
+``session_window`` aggregation behind ``stream_sessionize``, and the
+stream-stream interval join behind ``stream_purchase_click_join`` —
+from a
 continuous ``rate`` source for ``--seconds`` (default 60) each, in
 APPEND mode so watermark-driven state EVICTION is exercised, and
 records per-micro-batch:
@@ -25,7 +27,11 @@ bounds under test:
   independent of input rows;
 - sessionize: one merged session-window row per OPEN session -> at
   most USERS keys once sessions span the gap, independent of input
-  rows.
+  rows;
+- interval join: a DIFFERENT bound class — both sides' rows within
+  the (watermark + interval) horizon are retained, so state is
+  rate x horizon (rows-proportional to RATE, bounded by the horizon,
+  never by stream length).
 
 A soak PASSES if each query's state rows stay under its analytic cap
 and the p95 trigger latency stays under the trigger interval x 5 (a
@@ -60,6 +66,8 @@ GAP_SEC = 5             # session gap (operator uses SESSION_GAP_US)
 WATERMARK_SEC = 10      # late-data horizon
 TRIGGER_SEC = 2         # micro-batch trigger interval
 SESSION_ROTATE_SEC = 15  # user-generation churn period (see _sessionize)
+PURCHASE_MOD = 50       # every 50th row is the purchase side of the join
+JOIN_INTERVAL_SEC = 5   # attribution window of the interval join
 
 
 def _decayed_popularity_live_half(rate: DataFrame) -> DataFrame:
@@ -109,6 +117,50 @@ def _sessionize(rate: DataFrame) -> DataFrame:
         )
         .select("user_id", "n_events", "session_start", "session_end")
     )
+
+
+def _interval_join(rate: DataFrame) -> DataFrame:
+    """The stream_purchase_click_join shape (hot_topics.py:280):
+    stream-stream INTERVAL join, both sides watermarked, event-time
+    range in the join condition. Every ``PURCHASE_MOD``-th row plays
+    the purchase side; each purchase matches the same user's clicks
+    from the preceding ``JOIN_INTERVAL_SEC``. State here is a
+    DIFFERENT bound class from the keyed aggregations: both sides'
+    rows within the (watermark + interval) horizon are retained —
+    rate x horizon, rows-PROPORTIONAL to input rate but bounded by
+    the horizon, never by stream length."""
+    ev = rate.select(
+        F.col("timestamp").alias("ts"),
+        (F.col("value") % USERS).alias("user_id"),
+        F.col("value").alias("event_id"),
+        (F.col("value") % PURCHASE_MOD == 0).alias("is_purchase"),
+    )
+    clicks = (
+        ev.filter(~F.col("is_purchase"))
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("click_time"),
+        )
+        .withWatermark("click_time", f"{WATERMARK_SEC} seconds")
+    )
+    purchases = (
+        ev.filter(F.col("is_purchase"))
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("purchase_time"),
+        )
+        .withWatermark("purchase_time", f"{WATERMARK_SEC} seconds")
+    )
+    return purchases.join(
+        clicks,
+        F.expr(
+            f"""p_user = c_user
+               AND click_time <= purchase_time
+               AND click_time >= purchase_time - INTERVAL {JOIN_INTERVAL_SEC} SECONDS"""
+        ),
+    ).select("p_user", "purchase_id", "click_id")
 
 
 def _soak(
@@ -228,12 +280,24 @@ def main() -> int:
         s2 = _soak(
             spark, "sessionize", _sessionize, sess_cap, args.seconds, args.rate, log
         )
+        # stream-stream interval join: rate x horizon bound (both sides'
+        # rows within watermark + interval + trigger slack are state)
+        join_cap = args.rate * (WATERMARK_SEC + JOIN_INTERVAL_SEC + 3 * TRIGGER_SEC)
+        s3 = _soak(
+            spark,
+            "purchase_click_interval_join",
+            _interval_join,
+            join_cap,
+            args.seconds,
+            args.rate,
+            log,
+        )
         ok = all(
             s["state_within_cap"] and s["latency_ok"] and s["eviction_observed"]
-            for s in (s1, s2)
+            for s in (s1, s2, s3)
         )
         log.write(f"RESULT {'PASS' if ok else 'FAIL'}\n")
-    print(json.dumps({"pass": ok, "queries": [s1, s2]}))
+    print(json.dumps({"pass": ok, "queries": [s1, s2, s3]}))
     return 0 if ok else 1
 
 
