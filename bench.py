@@ -218,6 +218,18 @@ CALM_PROBE_COMMITTED_MIN_SEC = {
 CALM_BAND = 1.15
 
 
+#: Queries whose builder freezes the physical plan under temporarily
+#: opened session confs (QueryExecution phases cached inside the
+#: builder, confs restored before return). `Dataset.count()` builds a
+#: NEW QueryExecution (an Agg over the logical plan) planned under the
+#: restored confs — it would time a plain broadcast join, not the
+#: frozen runtime-Bloom shuffle-prune plan (round-11 advice). For
+#: these, time the dataset's OWN cached execution via
+#: `queryExecution().toRdd().count()` — a JVM-side action (no
+#: driver-side row transfer) that reuses the frozen plan.
+FROZEN_PLAN_QUERIES = {"s30_bloom_join_runtime"}
+
+
 def classify_calm(timings: dict[str, float], sf: float | None) -> dict:
     """Calm/noisy self-classification for one bench run's timings."""
     committed = round(sum(CALM_PROBE_COMMITTED_MIN_SEC.values()), 3)
@@ -295,8 +307,14 @@ def main() -> int:
         # serving this workload would. Timings are therefore
         # marginal-cost per query within one session.
         t0 = time.time()
-        # count() executes the full plan without driver-side row transfer
-        fn(spark, sf_dir).count()
+        df = fn(spark, sf_dir)
+        if name in FROZEN_PLAN_QUERIES:
+            # reuse the builder-frozen physical plan (see above)
+            df._jdf.queryExecution().toRdd().count()
+        else:
+            # count() executes the full plan without driver-side row
+            # transfer
+            df.count()
         timings[name] = round(time.time() - t0, 3)
 
     out = {

@@ -90,22 +90,83 @@ def scene_to_dict(scene: Scene) -> dict:
     }
 
 
+def _coerce_int(key: str, v) -> int:
+    # bool is an int subclass; a JSON `true` for num_days is a config
+    # bug, not a 1
+    if isinstance(v, bool):
+        raise ValueError(f"Scene config key {key!r}: expected int, got {v!r}")
+    if isinstance(v, int):
+        return v
+    if isinstance(v, float) and v.is_integer():
+        return int(v)
+    if isinstance(v, str):
+        try:
+            return int(v)
+        except ValueError:
+            pass
+    raise ValueError(f"Scene config key {key!r}: expected int, got {v!r}")
+
+
+def _coerce_float(key: str, v) -> float:
+    if isinstance(v, bool):
+        raise ValueError(f"Scene config key {key!r}: expected float, got {v!r}")
+    if isinstance(v, (int, float)):
+        return float(v)
+    if isinstance(v, str):
+        try:
+            return float(v)
+        except ValueError:
+            pass
+    raise ValueError(f"Scene config key {key!r}: expected float, got {v!r}")
+
+
 def scene_from_dict(d: dict) -> Scene:
     """Inverse of :func:`scene_to_dict`. Unknown keys are an error
-    (a typo'd hyperparameter must fail loudly, not silently default);
-    missing keys take the dataclass defaults."""
+    (a typo'd hyperparameter must fail loudly, not silently default),
+    and so are wrong-typed values — a ``"7"`` for ``num_days`` or a
+    ``3`` for ``friction`` is coerced against the dataclass annotation,
+    anything uncoercible raises naming the key (it must not surface as
+    an obscure failure deep inside a pipeline). Missing keys take the
+    dataclass defaults."""
+    import dataclasses
+
     fields = set(scene_to_dict(DEFAULT_SCENE))
     unknown = set(d) - fields
     if unknown:
         raise ValueError(f"unknown Scene config keys: {sorted(unknown)}")
+    types = {f.name: f.type for f in dataclasses.fields(Scene)}
     kw: dict = dict(d)
     for k in ("from_date", "to_date"):
         if k in kw:
-            kw[k] = dt.date.fromisoformat(kw[k])
+            if isinstance(kw[k], dt.date):
+                continue
+            if not isinstance(kw[k], str):
+                raise ValueError(
+                    f"Scene config key {k!r}: expected ISO date string, "
+                    f"got {kw[k]!r}"
+                )
+            try:
+                kw[k] = dt.date.fromisoformat(kw[k])
+            except ValueError:
+                raise ValueError(
+                    f"Scene config key {k!r}: expected ISO date string, "
+                    f"got {kw[k]!r}"
+                ) from None
     if "similarity_algorithm" in kw:
-        kw["similarity_algorithm"] = SimilarityAlgorithm[
-            kw["similarity_algorithm"]
-        ]
+        v = kw["similarity_algorithm"]
+        if not isinstance(v, SimilarityAlgorithm):
+            if not isinstance(v, str) or v not in SimilarityAlgorithm.__members__:
+                raise ValueError(
+                    "Scene config key 'similarity_algorithm': expected one "
+                    f"of {sorted(SimilarityAlgorithm.__members__)}, got {v!r}"
+                )
+            kw["similarity_algorithm"] = SimilarityAlgorithm[v]
+    for k, v in list(kw.items()):
+        # `from __future__ import annotations` → f.type is a string
+        if types[k] == "int":
+            kw[k] = _coerce_int(k, v)
+        elif types[k] == "float":
+            kw[k] = _coerce_float(k, v)
     return Scene(**kw)
 
 

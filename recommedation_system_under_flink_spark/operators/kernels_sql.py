@@ -1933,13 +1933,15 @@ def s30_bloom_join_runtime(spark: SparkSession, sf_dir: str) -> DataFrame:
     pinned in tests/test_round10_ops.py; values are hash-verified
     against the layout-free IN-subquery oracle."""
     saved: dict[str, str | None] = {}
-    for k, v in S30_RUNTIME_FILTER_CONFS.items():
-        try:
-            saved[k] = spark.conf.get(k)
-        except Exception:
-            saved[k] = None
-        spark.conf.set(k, v)
     try:
+        # set loop INSIDE the try: a failure setting the 2nd-4th conf
+        # must still restore the ones already applied (round-11 advice)
+        for k, v in S30_RUNTIME_FILTER_CONFS.items():
+            try:
+                saved[k] = spark.conf.get(k)
+            except Exception:
+                saved[k] = None
+            spark.conf.set(k, v)
         ev = events_raw(spark, sf_dir)
         fact = ev.filter(F.col("event_type") == "click").select("user_id")
         dim = (

@@ -215,7 +215,11 @@ def als_rank1_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("user_id").orderBy(
         F.col("_prod").desc(), F.col("news_id").asc()
     )
+    # signed bounds, not abs(): -2**63 is a representable BIGINT that
+    # DuckDB's CAST accepts — abs() would raise on it while the oracle
+    # succeeds (round-11 advice)
     _i64max = F.lit(2**63 - 1).cast("decimal(38,0)")
+    _i64min = F.lit(-(2**63)).cast("decimal(38,0)")
     scored = (
         u.withColumnRenamed("f", "uf")
         .crossJoin(F.broadcast(v.withColumnRenamed("f", "vf")))
@@ -227,7 +231,10 @@ def als_rank1_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn(
             "score_p12",
-            F.when(F.abs(F.col("_prod")) <= _i64max, F.col("_prod").cast("long"))
+            F.when(
+                (F.col("_prod") >= _i64min) & (F.col("_prod") <= _i64max),
+                F.col("_prod").cast("long"),
+            )
             .otherwise(
                 F.raise_error(
                     F.concat(

@@ -77,8 +77,13 @@ def test_loaded_scene_drives_kernel_dispatch(spark, tmp_path):
     )
     from_file = j3_scored_join(spark, SF_DIR, scene=load_scene(p)).collect()
     registered = registry.queries()["j3_scored_join_dot"](spark, SF_DIR).collect()
-    key = lambda r: (r["user_id"], r["news_id"])
-    assert sorted(map(tuple, from_file), key=None) == sorted(
-        map(tuple, registered), key=None
-    )
+    # both sides run the identical builder/plan, so exact row equality
+    # (floats included) is the right check; sort by the business key,
+    # not by accidental tuple order
+    def key(r):
+        return (r["user_id"], r["news_id"])
+
+    assert [tuple(r) for r in sorted(from_file, key=key)] == [
+        tuple(r) for r in sorted(registered, key=key)
+    ]
     assert from_file  # non-degenerate
