@@ -48,84 +48,80 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 #: the four end-to-end pipelines, one query per SURVEY §2 operator row,
 #: and one per LLM-pipeline family. Every name here MUST have a full
 #: DuckDB oracle (enforced by tests/test_registry_window.py).
-#: ROUND-11 ROTATION (8th tranche): rounds 2-10 cumulatively certified
-#: 330/381 oracle-backed queries (CORRECTNESS_r02…r10; r9/r10 were
-#: 50/50), leaving 51 never-driver-certified. Per the round-10 verdict
-#: (items 1-2) this round drops the two cheapest canaries FOR ONE ROUND
-#: — `s1_csv_roundtrip` and `j3_scored_join`, both certified 8+ times,
-#: the scored join transitively re-certified via `tfidf_pipeline` /
-#: `tfidf_pipeline_dot` which embed the identical scored CTE — keeping
-#: 4 pipeline canaries and spending 46 slots on the EIGHTH tranche: the
-#: whole 38-query pre-r10 residue (s1x storage 15, mm_* 4, llm_* 4,
-#: sim_* 3, ml_* 2, a15-a17 4, t3-t6 4, j7_extractor_agreement,
-#: graph_degree_histogram) plus 8 of the 13 round-10 additions. All 46
-#: were preflighted green at sf0.001/0.01/0.1 AND perturbed 7-CPU
-#: partitioning (`GATE_r11_queue_preflight.log`). Residue after this
-#: round: 5 (als_rank1_topk, sim_pca_pc1_project, ev_holt_linear_daily,
-#: sim_whiten_diag_project, sk_kmv_monthly_rollup — each pinned
-#: meanwhile by arbitrary-precision / numpy-agreement pytests), queued
-#: for r12, which clears ALL certification debt.
+#: ROUND-12 ROTATION (9th tranche — certification debt to ZERO, then
+#: the re-certification lap begins): rounds 2-11 cumulatively certified
+#: 376/382 oracle-backed queries. Per the round-11 verdict (item 1)
+#: this window (a) restores the two canaries stepped out for one round
+#: (`s1_csv_roundtrip`, `j3_scored_join`), (b) certifies the final
+#: seven-query residue — the five r10 stragglers (`als_rank1_topk`,
+#: `sim_pca_pc1_project`, `ev_holt_linear_daily`,
+#: `sim_whiten_diag_project`, `sk_kmv_monthly_rollup`),
+#: `s30_bloom_join_runtime` (new in r11), and `ef_markov_attribution`
+#: (r9-certified but rebuilt in r11 → re-queued) — driving cumulative
+#: driver certification to 382/382, and (c) spends the remaining 37
+#: slots starting the SECOND-certification lap so no query's last
+#: driver certification ages past ~8 rounds: all 22 queries whose last
+#: hash-green was round 2, plus 15 of the 40 round-3 stragglers —
+#: exactly the §2 operator rows the verdict named (P2-P6, J1/J2/J4,
+#: A2/A4-A8, T2). Next-oldest for r13: the remaining 25 r3-certified
+#: (F6-F12 SQL twins, A1, T3, rel_q1/q5, storage s5-s7, …).
 VERIFIED_WINDOW = (
     # regression canaries: end-to-end pipelines (SURVEY §3)
     "hot_topics_pipeline",
     "tfidf_pipeline",
     "textrank_pipeline_distributed",
     "tfidf_recommend_all_days",
-    # --- never-driver-verified rotation (46), round 11 ---
-    # storage/warehouse one-offs (all 15)
-    "s10b_scd2_asof_lookup",
-    "s11_zorder_key",
-    "s13_orc_roundtrip",
-    "s15_schema_evolution_read",
-    "s16_incremental_agg_merge",
-    "s17_small_file_compaction",
-    "s18_snapshot_diff",
-    "s19_token_table_reuse",
-    "s21_python_datasource",
-    "s22_output_manifest",
-    "s23_schema_evolution_roundtrip",
-    "s24_malformed_csv_ingest",
-    "s25_corrupt_file_skip",
-    "s27_skipping_stats_report",
-    "s28_bucketed_join_colocated",
-    # multimodal block (all 4)
-    "mm_audio_window_plan",
-    "mm_frame_plan",
-    "mm_phash_dedup",
-    "mm_scene_cuts",
-    # llm curation block (all 4)
-    "llm_corpus_planning_report",
-    "llm_curation_funnel_by_source",
-    "llm_curation_funnel_report",
-    "llm_curation_pipeline",
-    # similarity residue (3)
-    "sim_dbscan_lsh",
-    "sim_multiprobe_lsh_topk",
-    "sim_nndescent_round",
-    # ml residue (2)
-    "ml_cv_ridge_path",
-    "ml_gbdt_k_rounds",
-    # window/agg + SQL-surface residue (a15-a17, t3-t6)
-    "a15_retention_halflife",
-    "a15_trailing_range_window",
-    "a16_grouping_sets",
-    "a17_set_operations",
-    "t3_sql_surface_demo",
-    "t4_rbo_recommender_agreement",
-    "t5_policy_replay_eval",
-    "t6_decayed_popularity",
-    # stragglers
-    "j7_extractor_agreement",
-    "graph_degree_histogram",
-    # round-10 additions (8 of 13)
-    "j3_scored_join_dot",
-    "tfidf_pipeline_dot",
-    "textrank_pipeline_distributed_dot",
-    "sk_value_quantiles",
-    "ts_bpe_learn_merges",
-    "ts_bpe_encode_stats",
-    "s29_dpp_partitioned_join",
-    "sk_kmv_day_overlap",
+    # restored canaries (stepped out for exactly one round, per plan)
+    "s1_csv_roundtrip",
+    "j3_scored_join",
+    # --- the final never/re-queued residue (7) ---
+    "als_rank1_topk",
+    "sim_pca_pc1_project",
+    "ev_holt_linear_daily",
+    "sim_whiten_diag_project",
+    "sk_kmv_monthly_rollup",
+    "s30_bloom_join_runtime",
+    "ef_markov_attribution",
+    # --- second-certification lap, tranche 1 (37) ---
+    # last hash-green in round 2 (all 22)
+    "a3_windowed_distributed",
+    "a9_trailing_avg_daily_clicks",
+    "a10_rollup_type_date",
+    "a11_pivot_daily_event_counts",
+    "a12_cube_type_date",
+    "a13_retention_cohorts",
+    "a14_cohort_ltv",
+    "dedup_chunk_ratio",
+    "dedup_contamination_flag",
+    "dedup_exact",
+    "dedup_fuzzy_title_join",
+    "dedup_incremental_exact",
+    "dedup_neardup_canonical",
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
+    "ef_funnel_view_click_purchase",
+    "ef_range_join_banded",
+    "ef_sessionize_native",
+    "j3_scored_join_naive",
+    "j3_scored_join_salted",
+    "j5_ranking_metrics",
+    "j6_rec_coverage",
+    # last hash-green in round 3: the §2 operator rows (15)
+    "p2_clicks_today",
+    "p3_clicks_trailing_window",
+    "p4_news_leading_window",
+    "p5_clicks_loop_range",
+    "p6_positive_score",
+    "j1_user_docs_semijoin",
+    "j2_tweets_semijoin",
+    "j4_precision_eval",
+    "a2_hot_topics_sum",
+    "a4_window_users_reduce",
+    "a5_news_tfidf",
+    "a6_news_weighted_terms",
+    "a7_user_keywords",
+    "a8_news_keywords_topk",
+    "t2_user_full_rank",
 )
 
 

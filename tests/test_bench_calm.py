@@ -4,7 +4,56 @@ deltas are computed over calm-window minima only."""
 
 from __future__ import annotations
 
+import hashlib
+import inspect
+import textwrap
+
 import bench
+
+
+#: Pinned source digests of each calm-probe member's registered builder
+#: (round-11 verdict item 3). The committed per-query minima in
+#: ``bench.CALM_PROBE_COMMITTED_MIN_SEC`` are only meaningful while the
+#: probe members' CODE is unchanged — a rewrite invalidates the
+#: committed minimum (the `ef_markov_attribution` case in round 11,
+#: handled then by convention only). This pin makes the invariant
+#: mechanical: changing a probe query's builder fails CI until the
+#: minimum is deliberately re-measured and BOTH tables updated.
+PROBE_BUILDER_DIGESTS = {
+    "dedup_prefix_filter_join": "df28b01db53f653e",
+    "p1_news_keywords_distributed": "d4427587597072ff",
+    "rel_q9_product_profit": "60a6cc804cb44b74",
+    "sim_dbscan_lsh": "8c75f98877090d93",
+    "ts_bigram_lm_perplexity": "20fe7b019006379a",
+}
+
+
+def _builder_digest(name: str) -> str:
+    from recommedation_system_under_flink_spark import registry
+
+    registry._load_all()
+    fn = registry._REGISTRY[name].fn
+    src = textwrap.dedent(inspect.getsource(fn))
+    return hashlib.sha256(src.encode()).hexdigest()[:16]
+
+
+def test_probe_member_source_is_pinned():
+    """A probe member's builder source drifting from its pinned digest
+    means its committed calm-probe minimum is stale: re-measure the
+    minimum on a calm window, update CALM_PROBE_COMMITTED_MIN_SEC, and
+    re-pin the digest here — in that order, deliberately."""
+    assert set(PROBE_BUILDER_DIGESTS) == set(
+        bench.CALM_PROBE_COMMITTED_MIN_SEC
+    ), "probe membership changed: re-measure minima and re-pin digests"
+    drifted = {
+        name: got
+        for name, want in PROBE_BUILDER_DIGESTS.items()
+        if (got := _builder_digest(name)) != want
+    }
+    assert not drifted, (
+        f"probe builder source changed ({drifted}); the committed calm "
+        "minima are stale — re-measure on a calm window before re-pinning"
+    )
 
 
 def _probe_times(factor: float) -> dict[str, float]:
