@@ -1210,7 +1210,13 @@ def ef_mannwhitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
     relation (bounded by the money grid, orders of magnitude smaller
     than the user count), using the exact-integer identity
     ``2·avgrank = 2·cum_before + cnt + 1``. All rank sums are exact
-    BIGINTs — no cross-engine float drift by construction."""
+    BIGINTs — no cross-engine float drift by construction. The running
+    sum itself is the two-phase distributed prefix sum
+    (``operators/prefix.py``, round-11 verdict item 6) — per-bucket
+    windows + broadcast triangular-join offsets, no single-partition
+    window even over the distinct-value relation."""
+    from .prefix import with_cum_before
+
     ev = events_raw(spark, sf_dir)
     subj = (
         ev.filter(F.col("event_type") == "purchase")
@@ -1229,13 +1235,15 @@ def ef_mannwhitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("cnt_a"),
         F.count("*").cast("long").alias("cnt"),
     )
-    w = Window.orderBy("x").rowsBetween(Window.unboundedPreceding, 0)
-    ranked = byval.select(
+    ranked = with_cum_before(
+        byval,
+        "x",
+        ["cnt"],
+        F.floor(F.col("x") / 64.0).cast("long"),
+    ).select(
         "cnt_a",
         "cnt",
-        (2 * (F.sum("cnt").over(w) - F.col("cnt")) + F.col("cnt") + 1).alias(
-            "rank2"
-        ),
+        (2 * F.col("cum_before_cnt") + F.col("cnt") + 1).alias("rank2"),
     )
     s = ranked.agg(
         F.sum("cnt_a").cast("long").alias("n_a"),

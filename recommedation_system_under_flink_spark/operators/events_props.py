@@ -913,6 +913,11 @@ def ev_daily_trend_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
 KS_TYPE_A = "click"
 KS_TYPE_B = "purchase"
 
+#: Value-bucket width for the two-phase ECDF prefix sum — bucket count
+#: is bounded by (value range / width), ~70 for the fixture's [0, 560]
+#: money range; widen for wider domains.
+KS_BUCKET_WIDTH = 8
+
 
 @register(
     "ev_ks_drift",
@@ -944,40 +949,48 @@ def ev_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     and purchase value distributions — ``max |ECDF_a − ECDF_b|``, the
     nonparametric drift detector that complements the binned PSI
     (``ev_value_psi``): KS needs no bin choice and catches shape
-    drift PSI's deciles smear out. The RANGE frame (not ROWS) makes
-    tied values step together, which is what makes the ECDF — and the
-    hash — deterministic under ties. Counts are exact integers; each
-    ECDF value is one double division of bit-identical operands.
+    drift PSI's deciles smear out. Tied values step together (the ECDF
+    evaluates once per DISTINCT value), which is what makes the
+    statistic — and the hash — deterministic under ties. Counts are
+    exact integers; each ECDF value is one double division of
+    bit-identical operands.
 
-    Plan: one global RANGE window over the two samples' values — a
-    sort, like the exact percentiles; at 100 TB run it on a per-key
-    stratum or swap in the binned PSI (the operator pair IS the
-    exact/approximate trade, as with percentiles vs sketches)."""
+    Plan (round-11 verdict item 6 rewrite — this previously ran a
+    single-partition RANGE window over every raw sample row): rows
+    aggregate to per-distinct-value (ca, cb) counts FIRST, then the
+    running counts come from the two-phase distributed prefix sum
+    (``operators/prefix.py``): per-value-bucket partitioned windows
+    plus bucket offsets from a broadcast triangular join over the
+    O(range/width) bucket grid — no single-partition stage anywhere.
+    The max over per-value ECDF gaps is a plain aggregate. State
+    bounds: distinct-value relation ≤ the value grid; bucket grid ≤
+    value range / {width} — both domain-bounded, never O(rows)."""
     from ..sources.tables import events_raw
+    from .prefix import with_cum_before
 
     s = events_raw(spark, sf_dir).filter(
         F.col("event_type").isin(KS_TYPE_A, KS_TYPE_B)
     ).select("value", "event_type")
-    counts = s.agg(
+    byval = s.groupBy("value").agg(
         F.sum(
             F.when(F.col("event_type") == KS_TYPE_A, 1).otherwise(0)
-        ).alias("na"),
+        ).cast("long").alias("ca_cnt"),
         F.sum(
             F.when(F.col("event_type") == KS_TYPE_B, 1).otherwise(0)
-        ).alias("nb"),
+        ).cast("long").alias("cb_cnt"),
     )
-    from pyspark.sql import Window
-
-    w = Window.orderBy("value").rangeBetween(
-        Window.unboundedPreceding, Window.currentRow
+    counts = byval.agg(
+        F.sum("ca_cnt").alias("na"), F.sum("cb_cnt").alias("nb")
     )
-    steps = s.select(
-        F.sum(
-            F.when(F.col("event_type") == KS_TYPE_A, 1).otherwise(0)
-        ).over(w).alias("ca"),
-        F.sum(
-            F.when(F.col("event_type") == KS_TYPE_B, 1).otherwise(0)
-        ).over(w).alias("cb"),
+    cum = with_cum_before(
+        byval,
+        "value",
+        ["ca_cnt", "cb_cnt"],
+        F.floor(F.col("value") / F.lit(float(KS_BUCKET_WIDTH))).cast("long"),
+    )
+    steps = cum.select(
+        (F.col("cum_before_ca_cnt") + F.col("ca_cnt")).alias("ca"),
+        (F.col("cum_before_cb_cnt") + F.col("cb_cnt")).alias("cb"),
     )
     return (
         steps.crossJoin(F.broadcast(counts))
@@ -1407,8 +1420,14 @@ def ev_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     kept copies — exact integer arithmetic, the boundary groups
     partially included. Sums are DECIMAL×BIGINT (exact); only the two
     final divisions are doubles. Same aggregation-first discipline as
-    :func:`~..operators.events_flow.ef_mannwhitney_u`."""
-    from pyspark.sql import Window
+    :func:`~..operators.events_flow.ef_mannwhitney_u`.
+
+    The cut-position running sum is the two-phase distributed prefix
+    sum (``operators/prefix.py``, round-11 verdict item 6): per-bucket
+    partitioned windows + broadcast triangular-join offsets over the
+    O(range/width) cent-bucket grid — no single-partition window over
+    the ~10k-distinct-value money grid."""
+    from .prefix import with_cum_before
 
     ev = events_raw(spark, sf_dir)
     vals = ev.filter(F.col("event_type") == "purchase").select(
@@ -1421,13 +1440,17 @@ def ev_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("cnt").cast("long").alias("n"),
         F.expr(f"CAST(SUM(cnt) * {TRIM_PCT} DIV 100 AS BIGINT)").alias("k"),
     )
-    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
-    cum = byval.crossJoin(F.broadcast(tot)).select(
+    cum = with_cum_before(
+        byval,
+        "v",
+        ["cnt"],
+        F.floor(F.col("v").cast("double") / 8.0).cast("long"),
+    ).crossJoin(F.broadcast(tot)).select(
         "v",
         "cnt",
         "n",
         "k",
-        (F.sum("cnt").over(w) - F.col("cnt")).alias("cum_before"),
+        F.col("cum_before_cnt").alias("cum_before"),
     )
     kept = F.greatest(
         F.least(F.col("cnt"), F.col("n") - F.col("k") - F.col("cum_before"))

@@ -122,7 +122,9 @@ EXPECTED_CARTESIAN = {
     "a15_retention_halflife": "1-row max-day + day1-rate + OLS-fit scalar crosses over the O(|offsets|) curve",
     "cf_association_rules": "1-row distinct-user-count scalar broadcast into the rule ratios",
     "ef_cuped_adjustment": "1-row midpoint + theta + two 1-row cohort sides",
-    "ev_trimmed_mean": "1-row (n, k) totals broadcast into the cut-position scan",
+    "ev_trimmed_mean": "1-row (n, k) totals broadcast + the prefix-sum bucket-offset triangular join (O(range/8) cent buckets)",
+    "ev_ks_drift": "prefix-sum bucket-offset triangular join (O(range/8) value buckets)",
+    "ef_mannwhitney_u": "prefix-sum bucket-offset triangular join (O(range/64) per-user-total buckets)",
     "sim_kmeans_lloyd": "K=8-row centroid set broadcast per Lloyd round",
     "ev_theil_sen": "1-row medians/counters combined over the bounded daily series",
     "ef_markov_attribution": "1-row absorption scalars per chain variant crossed into channel rows",
@@ -196,9 +198,11 @@ EXPECTED_GLOBAL_WINDOW: dict[str, str] = {
     "ef_conversion_lag_percentiles": "nearest-rank over the bounded gap-seconds grid",
     "ef_interarrival_profile": "percentiles over the bounded gap-seconds grid",
     "ef_uplift_by_decile": "NTILE over per-user score aggregate (entity-level; deciles are a global rank by definition — documented swap at ≥1e9 users: approx decile cuts)",
-    "ef_mannwhitney_u": "ranks over DISTINCT gridded values (2-dp bounded domain), aggregation-first",
-    "ev_ks_drift": "ECDF step windows over DISTINCT gridded values",
-    "ev_trimmed_mean": "cut ranks over DISTINCT gridded values",
+    # (ef_mannwhitney_u / ev_ks_drift / ev_trimmed_mean were removed
+    # round 12: rewritten onto the two-phase prefix sum in
+    # operators/prefix.py — no global window remains in their plans.
+    # ev_ks_drift's old entry was also factually stale: it windowed
+    # over RAW sample rows, not the distinct-value relation.)
     "prof_benford_totalprice": "9 first-digit rows",
     "prof_partition_balance": "per-day partition counts (O(days) rows)",
     "j6_rec_coverage": "three 1-row diagnostic aggregates",
