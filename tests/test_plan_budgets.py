@@ -108,7 +108,38 @@ BUDGETS = {
     # exact-audit leg; the sketch merge reads the localCheckpointed
     # daily sketch — a second scan means the checkpoint broke)
     "sk_kmv_monthly_rollup": (2, 12, False, False),
+    # round 12: the three two-phase prefix-sum rewrites, measured at
+    # sf0.01: mannwhitney 3/11, ks 4/11, trimmed 4/11; the cartesian
+    # is the intended broadcast triangular bucket-offset join over the
+    # O(range/width) bucket grid (operators/prefix.py)
+    "ef_mannwhitney_u": (4, 14, True, False),
+    "ev_ks_drift": (5, 14, True, False),
+    "ev_trimmed_mean": (5, 14, True, False),
 }
+
+#: Queries whose plans must contain ZERO single-partition Window nodes
+#: (the round-11 verdict item-6 rewrites; a reappearing global window
+#: means the two-phase prefix sum broke).
+NO_GLOBAL_WINDOW = ("ef_mannwhitney_u", "ev_ks_drift", "ev_trimmed_mean")
+
+
+@pytest.mark.parametrize("name", NO_GLOBAL_WINDOW)
+def test_no_global_window(name, spark, queries):
+    import os
+    import sys
+
+    sys.path.insert(
+        0, os.path.join(os.path.dirname(__file__), "..", "scripts")
+    )
+    from audit_plans import _count_global_windows
+
+    executed = (
+        queries[name](spark, SF_DIR)._jdf.queryExecution().executedPlan()
+    )
+    assert _count_global_windows(executed) == 0, (
+        f"{name}: single-partition Window reappeared — the two-phase "
+        "prefix sum (operators/prefix.py) is no longer in the plan"
+    )
 
 
 @pytest.mark.parametrize("name", sorted(BUDGETS))
