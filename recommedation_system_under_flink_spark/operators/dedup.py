@@ -136,7 +136,9 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts → ``|∩| / (n1 + n2 - |∩|)``. Only docs sharing ≥1 shingle
     ever pair up."""
     docs = load_raw(spark, sf_dir, "documents")
-    sh = shingles(docs)
+    # three consumers (sizes + both join sides), no cross-subtree CSE
+    # in Catalyst - persist once, release after the small pair result
+    sh = shingles(docs).persist()
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -157,7 +159,11 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("jaccard"),
         )
     )
-    return jac.filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+    from .bsp import checkpoint_result
+
+    return checkpoint_result(
+        jac.filter(F.col("jaccard") >= JACCARD_THRESHOLD), sh
+    )
 
 
 # ------------------------------------------------------ MinHash LSH dedup
@@ -276,7 +282,13 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     recall ≈ 1 at the fixture's threshold (2-row bands:
     P[candidate] = 1-(1-j²)^16 ≈ 0.999 at j=0.5)."""
     docs = load_raw(spark, sf_dir, "documents")
-    sh = shingles(docs)
+    # The shingle relation feeds FOUR independent subtrees (signatures,
+    # sizes, both sides of the verify join) and Catalyst has no
+    # cross-subtree CSE: un-persisted, the tokenize+shingle+distinct
+    # chain re-executed per consumer (12 parquet scans / 26 exchanges in
+    # plans/r12/dedup_minhash_lsh_before.txt). Persist it once; released
+    # after the (small) pair result materializes (operators/bsp.py).
+    sh = shingles(docs).persist()
     sig = minhash_signatures(sh)
 
     rows_per_band = MINHASH_H // MINHASH_BANDS
@@ -327,7 +339,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_a", "doc_b")
         .agg(F.count("*").alias("inter"))
     )
-    return (
+    out = (
         inter.join(F.broadcast(sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("n1"))), "doc_a")
         .join(F.broadcast(sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("n2"))), "doc_b")
         .select(
@@ -340,6 +352,9 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
     )
+    from .bsp import checkpoint_result
+
+    return checkpoint_result(out, sh)
 
 
 # ---------------------------------------------------------- SimHash dedup
@@ -1704,7 +1719,14 @@ def dedup_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     entries) bounds the hottest bucket; AQE skew-join split covers
     the rest."""
     docs = load_raw(spark, sf_dir, "documents")
-    sh = shingles(docs)
+    # sh feeds FIVE independent subtrees (df counts, sizes, the ordered
+    # ranking, both verify sides) with no cross-subtree CSE in Catalyst:
+    # un-persisted this plan held 20 parquet scans / 54 exchanges
+    # (plans/r12/dedup_prefix_filter_join_before.txt) — the whole
+    # tokenize+shingle+distinct chain re-ran per consumer. pfx likewise
+    # feeds both sides of the candidate self-join. Both released after
+    # the (small) pair result materializes (operators/bsp.py).
+    sh = shingles(docs).persist()
     from pyspark.sql import Window
 
     df_counts = sh.groupBy("shingle").agg(F.count("*").alias("df"))
@@ -1722,10 +1744,14 @@ def dedup_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
-    pfx = ordered.filter(
-        F.col("rk")
-        <= F.col("n") - F.ceil(F.lit(JACCARD_THRESHOLD) * F.col("n")) + 1
-    ).select("doc_id", "shingle")
+    pfx = (
+        ordered.filter(
+            F.col("rk")
+            <= F.col("n") - F.ceil(F.lit(JACCARD_THRESHOLD) * F.col("n")) + 1
+        )
+        .select("doc_id", "shingle")
+        .persist()
+    )
     cand = (
         pfx.alias("a")
         .join(
@@ -1773,9 +1799,12 @@ def dedup_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.col("n1") + F.col("n2") - F.col("i")),
         )
     )
-    return jac.filter(F.col("jaccard_raw") >= JACCARD_THRESHOLD).select(
+    out = jac.filter(F.col("jaccard_raw") >= JACCARD_THRESHOLD).select(
         "doc_a", "doc_b", F.round("jaccard_raw", 6).alias("jaccard")
     )
+    from .bsp import checkpoint_result
+
+    return checkpoint_result(out, sh, pfx)
 
 
 # ------------------------------------------------ duplicated-span scrub
@@ -2016,7 +2045,10 @@ def dedup_incremental_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     split = int((max_id + 1) * INCR_SPLIT_FRACTION)
 
-    sh = shingles(docs)
+    # sh feeds signatures, sizes and both verify sides (no cross-
+    # subtree CSE in Catalyst) — persist once, release after the small
+    # per-batch result materializes (same fix as dedup_minhash_lsh).
+    sh = shingles(docs).persist()
     sig = minhash_signatures(sh)
     rows_per_band = MINHASH_H // MINHASH_BANDS
     bands = F.array(
@@ -2103,12 +2135,15 @@ def dedup_incremental_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     ).filter(F.col("rn") == 1)
     batch_ids = docs.filter(F.col("doc_id") >= split).select("doc_id")
-    return batch_ids.join(best, "doc_id", "left").select(
+    out = batch_ids.join(best, "doc_id", "left").select(
         "doc_id",
         F.col("match_id").isNull().alias("is_new"),
         F.col("match_id").alias("nearest_corpus_doc"),
         F.col("j").alias("best_jaccard"),
     )
+    from .bsp import checkpoint_result
+
+    return checkpoint_result(out, sh)
 
 
 # ------------------------------------------------ dedup funnel report
