@@ -156,24 +156,41 @@ def _hyperplanes(tables: int = LSH_TABLES, bits: int = LSH_BITS, dim: int = EMB_
     return rng.standard_normal((tables, bits, dim))
 
 
-def lsh_signature(emb: Column, planes) -> Column:
-    """Per-table bucket id: sign bits of the hyperplane projections."""
-    cols = []
-    for t, table in enumerate(planes):
-        bucket = F.lit(0)
-        for b, plane in enumerate(table):
-            proj = F.aggregate(
-                F.zip_with(
-                    emb,
-                    F.array(*[F.lit(float(x)) for x in plane]),
-                    lambda x, y: x * y,
-                ),
-                F.lit(0.0),
-                lambda acc, v: acc + v,
-            )
-            bucket = bucket + F.when(proj > 0, F.lit(1 << b)).otherwise(F.lit(0))
-        cols.append(F.struct(F.lit(t).alias("table"), bucket.alias("bucket")))
-    return F.array(*cols)
+def _bucket_udf(planes):
+    """Arrow-batched LSH bucketing (r12; replaces the per-plane
+    Catalyst ``zip_with``/``aggregate`` sign-bit folds): one BLAS
+    matmul per batch computes every (table, bit) hyperplane projection,
+    and the per-table bucket id is the packed sign-bit integer. The
+    tables×bits×EMB_DIM plane matrix ships in the UDF closure — model
+    parameters, not data — exactly the :func:`_probe_udf` pattern.
+
+    Why not Catalyst: the fold form is CodegenFallback (interpreted
+    per element — measured 6-8 s for 2,000 rows × 12·5 planes at
+    sf0.1, the dominant map-side leg of every LSH query), and the
+    unrolled form blows Janino's 64 KB / HotSpot's huge-method JIT
+    limits (measured 4.5× slower still). Bucket ids from the BLAS
+    projections match the fold's: a sign flip would need |projection|
+    below the dgemm-vs-sequential rounding gap (~1e-13 of the term
+    magnitudes) — hash-verified against the sequential-SQL oracle at
+    all three SFs for every consumer."""
+    t, b, d = planes.shape
+    plane_mat = planes.reshape(t * b, d).T.copy()  # D × (T·B)
+    shifts = 1 << np.arange(b, dtype=np.int64)
+
+    @F.pandas_udf("array<int>")
+    def buckets(embs: pd.Series) -> pd.Series:
+        x = np.array(embs.tolist(), dtype=np.float64)
+        if len(x) == 0:
+            return pd.Series([], dtype=object)
+        bits = (x @ plane_mat) > 0
+        vals = (
+            (bits.reshape(len(x), t, b) * shifts[None, None, :])
+            .sum(axis=2)
+            .astype("int32")
+        )
+        return pd.Series(list(vals))
+
+    return buckets
 
 
 def _bucketed(emb: DataFrame, tables: int = LSH_TABLES, bits: int = LSH_BITS) -> DataFrame:
@@ -184,15 +201,11 @@ def _bucketed(emb: DataFrame, tables: int = LSH_TABLES, bits: int = LSH_BITS) ->
             "vec_id",
             "emb",
             _norm(F.col("emb")).alias("nrm"),
-            F.explode(lsh_signature(F.col("emb"), planes)).alias("tb"),
+            F.posexplode(_bucket_udf(planes)(F.col("emb"))).alias(
+                "table", "bucket"
+            ),
         )
-        .select(
-            "vec_id",
-            "emb",
-            "nrm",
-            F.col("tb.table").alias("table"),
-            F.col("tb.bucket").alias("bucket"),
-        )
+        .select("vec_id", "emb", "nrm", "table", "bucket")
     )
 
 
@@ -391,6 +404,107 @@ def _exact_pairs_blocked(
             )
 
     return block_pairs.mapInPandas(score, "vec_a long, vec_b long, cosine double")
+
+
+def _vec_blocks(emb: DataFrame) -> DataFrame:
+    """(bid, rows) id-block layout of the embedding corpus — the unit
+    the blocked scorers ship to tasks. Callers that score SEVERAL
+    candidate relations (or whose scorer references both sides of a
+    block join) should ``.persist()`` this and release it after the
+    result materializes: the scorer references it twice (u-side and
+    v-side) and Catalyst has no cross-subtree CSE."""
+    return (
+        emb.select("vec_id", _as_double("embedding").alias("e"))
+        .withColumn("bid", F.expr(f"vec_id DIV {NEARDUP_BLOCK}"))
+        .groupBy("bid")
+        .agg(F.collect_list(F.struct("vec_id", "e")).alias("rows"))
+    )
+
+
+def _score_candidates_blocked(
+    emb: DataFrame,
+    cand: DataFrame,
+    u: str = "u",
+    v: str = "v",
+    blocks: DataFrame | None = None,
+) -> DataFrame:
+    """Exact cosine for an id-pair CANDIDATE relation ``cand(u, v)`` via
+    per-block numpy batches — :func:`_exact_pairs_blocked`'s kernel
+    economics applied to a sparse pair list instead of the full block-
+    pair grid (guide §4.2/§8: ship the heavy vectors per block once,
+    decide per candidate with one vectorized einsum).
+
+    Why not the per-pair Catalyst join + ``_dot`` fold: higher-order
+    folds are CodegenFallback (interpreted per element — the measured
+    25s-vs-2s gap documented on sim_dbscan), and unrolling the fold into
+    a 64-term expression chain both breaks Janino's 64 KB method limit
+    in fat stages and lands past HotSpot's huge-method JIT cutoff
+    (measured 4.5× SLOWER than the fold on a 660k-candidate verify).
+    The numpy row-wise path (normalize, then Σ xᵢyᵢ per pair) is the
+    SAME float recipe as the oracle-green `_exact_pairs_blocked` GEMM.
+
+    Scale: compute is candidate-linear (|cand|·D flops, vectorized);
+    vector movement is block-linear (each block ships to the cells that
+    reference it); parallelism = occupied (u-block, v-block) cells,
+    shuffled by the cell key. No all-pairs anything.
+    """
+    import numpy as np
+    import pandas as pd_  # noqa: F401 — mapInPandas ships pandas frames
+
+    if blocks is None:
+        blocks = _vec_blocks(emb)
+    cells = (
+        cand.select(F.col(u).alias("u"), F.col(v).alias("v"))
+        .withColumn("ba", F.expr(f"u DIV {NEARDUP_BLOCK}"))
+        .withColumn("bb", F.expr(f"v DIV {NEARDUP_BLOCK}"))
+        .groupBy("ba", "bb")
+        .agg(F.collect_list(F.struct("u", "v")).alias("prs"))
+    )
+    joined = (
+        cells.join(
+            blocks.select(F.col("bid").alias("ba"), F.col("rows").alias("arows")),
+            "ba",
+        )
+        .join(
+            blocks.select(F.col("bid").alias("bb"), F.col("rows").alias("brows")),
+            "bb",
+        )
+        # parallelism = occupied cells, AQE-coalescible (same rationale
+        # as _exact_pairs_blocked's repartition)
+        .repartition("ba", "bb")
+    )
+
+    def score(batches):
+        import pandas as pd
+
+        def unit(rows):
+            ids = np.fromiter((r["vec_id"] for r in rows), dtype=np.int64)
+            x = np.array([r["e"] for r in rows], dtype=np.float64)
+            n = np.linalg.norm(x, axis=1)
+            n[n == 0.0] = 1.0
+            order = np.argsort(ids)
+            return ids[order], (x / n[:, None])[order]
+
+        for pdf in batches:
+            out = []
+            for arows, brows, prs in zip(pdf["arows"], pdf["brows"], pdf["prs"]):
+                ida, ua = unit(arows)
+                idb, ub = unit(brows)
+                pu = np.fromiter((p["u"] for p in prs), dtype=np.int64)
+                pv = np.fromiter((p["v"] for p in prs), dtype=np.int64)
+                sims = np.einsum(
+                    "ij,ij->i",
+                    ua[np.searchsorted(ida, pu)],
+                    ub[np.searchsorted(idb, pv)],
+                )
+                out.append(pd.DataFrame({"u": pu, "v": pv, "cosine": sims}))
+            yield (
+                pd.concat(out)
+                if out
+                else pd.DataFrame({"u": [], "v": [], "cosine": []})
+            )
+
+    return joined.mapInPandas(score, "u long, v long, cosine double")
 
 
 # ----------------------------------------------------------------- IVF
@@ -2637,9 +2751,15 @@ def sim_dbscan_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # dedupe candidates on IDS ONLY before re-joining the vectors for
     # the verify (the oracle's own shape) — a distinct over rows
     # carrying two 64-dim arrays shuffles the payload 12× and measured
-    # 2.3× the whole query's cost
-    bucketed = _bucketed(emb, DBSCAN_LSH_TABLES, DBSCAN_LSH_BITS).select(
-        "vec_id", "table", "bucket"
+    # 2.3× the whole query's cost.
+    # PERSISTED (r12): the self-join references the bucketed relation
+    # twice and Catalyst has no cross-subtree CSE — un-persisted, the
+    # 60-hyperplane signature projection (the map-side cost of the
+    # whole query) evaluated twice.
+    bucketed = (
+        _bucketed(emb, DBSCAN_LSH_TABLES, DBSCAN_LSH_BITS)
+        .select("vec_id", "table", "bucket")
+        .persist()
     )
     a = bucketed.alias("a")
     b = bucketed.alias("b")
@@ -2653,29 +2773,20 @@ def sim_dbscan_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.vec_id").alias("va"), F.col("b.vec_id").alias("vb"))
         .distinct()
     )
-    proj = emb.select(
-        "vec_id", _as_double("embedding").alias("e")
-    ).withColumn("nrm", _norm(F.col("e")))
-    pa = proj.select(
-        F.col("vec_id").alias("va"),
-        F.col("e").alias("ea"),
-        F.col("nrm").alias("na"),
-    )
-    pb = proj.select(
-        F.col("vec_id").alias("vb"),
-        F.col("e").alias("eb"),
-        F.col("nrm").alias("nb"),
-    )
+    # verify via the blocked numpy scorer (r12): the per-pair Catalyst
+    # `_dot` fold evaluated interpreted per element — the verify leg
+    # measured ~2s blocked vs ~9-25s folded at sf0.1 (same kernel
+    # economics as sim_dbscan's _exact_pairs_blocked, which this
+    # mirrors float-op for float-op)
+    blocks = _vec_blocks(emb).persist()
     pairs = (
-        cand.join(pa, "va")
-        .join(pb, "vb")
-        .filter(
-            _dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb"))
-            >= DBSCAN_EPS_COS
-        )
-        .select("va", "vb")
+        _score_candidates_blocked(emb, cand, "va", "vb", blocks=blocks)
+        .filter(F.col("cosine") >= DBSCAN_EPS_COS)
+        .select(F.col("u").alias("va"), F.col("v").alias("vb"))
         .localCheckpoint(eager=True)
     )
+    bucketed.unpersist()
+    blocks.unpersist()
     return _dbscan_from_pairs(emb, pairs)
 
 
@@ -4082,46 +4193,19 @@ def sim_nndescent_round(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     emb = load_raw(spark, sf_dir, "embeddings")
-    proj = (
-        emb.select("vec_id", _as_double("embedding").alias("e"))
-        .withColumn("nrm", _norm(F.col("e")))
-    )
-    proj.persist()
+    # shared by all three scoring legs (init, refined, exact) — persist
+    # once, released via checkpoint_result below
+    blocks = _vec_blocks(emb).persist()
 
     def score(cand: DataFrame) -> DataFrame:
-        """Exact cosine over a (u, v) id relation via two keyed joins
-        against the norm-precomputed projection. NO broadcast hint: the
-        projection is the FULL corpus (rows × EMB_DIM doubles), so a
-        forced broadcast would cap the operator at driver memory — AQE
-        picks broadcast while it fits and falls back to a shuffle join
-        at scale, keeping the candidate-linear economics (unlike
-        sim_lsh_topk, whose broadcast side is the bounded query set —
-        round-8 review finding)."""
-        return (
-            cand.join(
-                proj.select(
-                    F.col("vec_id").alias("u"),
-                    F.col("e").alias("ue"),
-                    F.col("nrm").alias("un"),
-                ),
-                "u",
-            )
-            .join(
-                proj.select(
-                    F.col("vec_id").alias("v"),
-                    F.col("e").alias("ve"),
-                    F.col("nrm").alias("vn"),
-                ),
-                "v",
-            )
-            .select(
-                "u",
-                "v",
-                (_dot(F.col("ue"), F.col("ve")) / (F.col("un") * F.col("vn"))).alias(
-                    "cosine"
-                ),
-            )
-        )
+        """Exact cosine over a (u, v) id relation via the blocked numpy
+        scorer (r12; was two keyed joins + the Catalyst ``_dot`` fold —
+        interpreted per element, the dominant per-task cost of both
+        scoring legs). Vector movement stays block-linear and compute
+        candidate-linear, so the candidate economics are unchanged; the
+        float recipe mirrors the oracle-green _exact_pairs_blocked
+        kernel (normalize rows, then Σ xᵢyᵢ)."""
+        return _score_candidates_blocked(emb, cand, "u", "v", blocks=blocks)
 
     def rank_topk(scored: DataFrame) -> DataFrame:
         w = Window.partitionBy("u").orderBy(
@@ -4136,10 +4220,13 @@ def sim_nndescent_round(spark: SparkSession, sf_dir: str) -> DataFrame:
     def topk(cand: DataFrame) -> DataFrame:
         return rank_topk(score(cand))
 
-    bucketed = _bucketed(emb).select("vec_id", "table", "bucket")
+    # PERSISTED (r12): the candidate self-join references the bucketed
+    # relation twice (no cross-subtree CSE) — un-persisted, the 32-
+    # hyperplane signature projection evaluated twice.
+    bucketed = _bucketed(emb).select("vec_id", "table", "bucket").persist()
     # Score each unordered bucket pair ONCE (u < v halves the cosine
-    # work of the dominant leg) and mirror: dot/zip_with is
-    # dimension-ordered, so cos(u,v) and cos(v,u) are bit-identical.
+    # work of the dominant leg) and mirror: the scorer's per-pair sum is
+    # element-ordered, so cos(u,v) and cos(v,u) are bit-identical.
     cand0_lt = (
         bucketed.alias("a")
         .join(bucketed.alias("b"), ["table", "bucket"])
@@ -4176,10 +4263,11 @@ def sim_nndescent_round(spark: SparkSession, sf_dir: str) -> DataFrame:
     g1 = topk(cand1)
     g1.persist()
 
+    ids = emb.select("vec_id")
     exact = topk(
-        proj.filter(F.col("vec_id") < N_QUERIES)
+        ids.filter(F.col("vec_id") < N_QUERIES)
         .select(F.col("vec_id").alias("u"))
-        .crossJoin(proj.select(F.col("vec_id").alias("v")))
+        .crossJoin(ids.select(F.col("vec_id").alias("v")))
         .filter(F.col("u") != F.col("v"))
     )
     out = (
@@ -4206,7 +4294,7 @@ def sim_nndescent_round(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from .bsp import checkpoint_result
 
-    return checkpoint_result(out, proj, sc_lt, g0, undir, g1)
+    return checkpoint_result(out, bucketed, blocks, sc_lt, g0, undir, g1)
 
 
 sim_nndescent_round.__doc__ = (
