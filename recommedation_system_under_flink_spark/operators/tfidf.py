@@ -138,15 +138,24 @@ def a6_news_weighted_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 def tfidf(terms: DataFrame, doc_col: str, corpus: DataFrame) -> DataFrame:
     """A5 (TF_IDF.java:61,66,90,95): ``weight = tf · ln(N / df)``.
 
-    ``N`` (corpus size) is a broadcast 1-row aggregate; ``df`` per term
-    is a broadcast-joined count-distinct. Both sides of the df join are
-    pre-aggregated, so the join input is O(|vocabulary|)."""
+    ``N`` (corpus size) is a broadcast 1-row aggregate. ``df`` per term
+    is a WINDOW count over the terms relation itself: ``terms`` has
+    exactly one row per (doc, term) — it is the output of a
+    (doc, term) aggregate — so ``COUNT(*) OVER (PARTITION BY term)``
+    equals the old ``COUNT(DISTINCT doc) GROUP BY term`` value row for
+    row. The window form keeps the chain single-pass: the old separate
+    df aggregate was a SECOND consumer of ``terms``, and with no
+    cross-subtree CSE in Catalyst the whole scan+tokenize+aggregate
+    chain executed twice per call (r12 plan audit: 6 scans in the
+    a5-only plan, 16 in tfidf_pipeline's). One fewer full tokenize
+    pass and one fewer exchange; the window's per-term partitions
+    carry (doc, term, tf) rows only — the same rows the df aggregate
+    shuffled pre-combine, so the skew exposure is unchanged in kind."""
     n_docs = corpus.agg(F.count_distinct(doc_col).alias("n_docs"))
-    df_per_term = terms.groupBy("term").agg(
-        F.count_distinct(doc_col).alias("df")
-    )
     return (
-        terms.join(F.broadcast(df_per_term), "term")
+        terms.withColumn(
+            "df", F.count("*").over(Window.partitionBy("term"))
+        )
         .crossJoin(F.broadcast(n_docs))
         .select(
             F.col(doc_col),
