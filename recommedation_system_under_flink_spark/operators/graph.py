@@ -114,13 +114,20 @@ def graph_pagerank_clicks(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Contributions ride on the degree table: src rank / src degree.
     ranks = deg.select("src", F.lit(1.0 / n_nodes).alias("r"))
     for _ in range(PAGERANK_ITERS):
+        # r/d is a function of the NODE, so divide on the node-sized
+        # ranks⋈deg relation and join edges once — the old
+        # edges⋈ranks⋈deg chain ran its second join over the already
+        # edge-sized intermediate (guide §2.3: shuffle/probe fewer
+        # rows). Same fl(r/d) per contribution, same aggregate.
+        contrib = ranks.join(deg, "src").select(
+            "src", (F.col("r") / F.col("d")).alias("c")
+        )
         ranks = (
-            edges.join(ranks, "src")
-            .join(deg, "src")
+            edges.join(contrib, "src")
             .groupBy(F.col("dst").alias("node"))
             .agg(
                 (
-                    F.lit(teleport) + F.lit(PAGERANK_D) * F.sum(F.col("r") / F.col("d"))
+                    F.lit(teleport) + F.lit(PAGERANK_D) * F.sum("c")
                 ).alias("r")
             )
             .withColumnRenamed("node", "src")
@@ -333,11 +340,15 @@ def graph_ppr_recommend(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranks = spark.createDataFrame([(seed, 1.0)], "src long, r double")
     nodes = deg.select("src")
     for _ in range(PPR_ITERS):
+        # node-sized divide before the edge join — see the PageRank
+        # loop note (guide §2.3)
+        contrib = ranks.join(deg, "src").select(
+            "src", (F.col("r") / F.col("d")).alias("c")
+        )
         walk = (
-            edges.join(ranks, "src")
-            .join(deg, "src")
+            edges.join(contrib, "src")
             .groupBy(F.col("dst").alias("src"))
-            .agg(F.sum(F.col("r") / F.col("d")).alias("w"))
+            .agg(F.sum("c").alias("w"))
         )
         ranks = nodes.join(walk, "src", "left").select(
             "src",

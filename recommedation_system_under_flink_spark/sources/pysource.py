@@ -68,13 +68,24 @@ def _make_datasource():
             ]
 
         def read(self, partition):
-            for i in range(partition.start, partition.end):
-                yield (
-                    i,
-                    (i * _MULT) % _MOD % PYSOURCE_USERS,
-                    i % PYSOURCE_NEWS,
-                    i % PYSOURCE_DAYS,
-                )
+            # Yield ONE Arrow batch per id-range instead of per-row
+            # tuples (r12, guide §4): tuple yield pickles every row
+            # through the Python-worker boundary; the Arrow path is a
+            # handful of vectorized numpy ops + one columnar transfer.
+            # Same rows, same order, exact integer arithmetic
+            # (i·MULT ≤ 1e5·2.7e9 ≈ 2.7e14 — far inside int64).
+            import numpy as np
+            import pyarrow as pa
+
+            i = np.arange(partition.start, partition.end, dtype=np.int64)
+            yield pa.record_batch(
+                {
+                    "event_id": i,
+                    "user_id": (i * _MULT) % _MOD % PYSOURCE_USERS,
+                    "news_id": i % PYSOURCE_NEWS,
+                    "day": i % PYSOURCE_DAYS,
+                }
+            )
 
     class ClickGenDataSource(DataSource):
         @classmethod
