@@ -79,10 +79,18 @@ _NEIGHBORS_CTE = f"""neighbors AS (
         _NEIGHBORS_CTE,
     ),
 )
-def cf_item_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+def cf_item_neighbors(
+    spark: SparkSession, sf_dir: str, prefs: DataFrame | None = None
+) -> DataFrame:
     """Top-K most-similar items per item (binary-cosine item-item CF).
-    The model table a serving layer would broadcast."""
-    prefs = clicks(spark, sf_dir).select("user_id", "news_id").distinct()
+    The model table a serving layer would broadcast.
+
+    ``prefs`` lets composed queries share ONE persisted prefs relation:
+    this builder references it three times (pop + both co-occurrence
+    sides) and Catalyst has no cross-subtree CSE, so an un-shared call
+    re-ran the clicks scan+distinct per reference (r12)."""
+    if prefs is None:
+        prefs = clicks(spark, sf_dir).select("user_id", "news_id").distinct()
     pop = prefs.groupBy("news_id").agg(F.count("*").alias("pop"))
     a = prefs.alias("a")
     b = prefs.alias("b")
@@ -160,8 +168,13 @@ def cf_user_recommendations(spark: SparkSession, sf_dir: str) -> DataFrame:
     Plan: prefs ⋈ broadcast(neighbor model) → anti-join own history →
     per-user aggregate + window. The neighbor model is K·|items| rows —
     the broadcast that makes this a single-shuffle recommender."""
-    prefs = clicks(spark, sf_dir).select("user_id", "news_id").distinct()
-    neighbors = cf_item_neighbors(spark, sf_dir)
+    # ONE persisted prefs relation for this query's two references AND
+    # the neighbor model's three (no cross-subtree CSE) - released after
+    # the small top-K result materializes (operators/bsp.py)
+    prefs = (
+        clicks(spark, sf_dir).select("user_id", "news_id").distinct().persist()
+    )
+    neighbors = cf_item_neighbors(spark, sf_dir, prefs=prefs)
     scored = (
         prefs.join(
             F.broadcast(neighbors),
@@ -177,11 +190,14 @@ def cf_user_recommendations(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.round(F.sum("sim"), 6).alias("score"))
     )
     w = Window.partitionBy("user_id").orderBy(F.desc("score"), F.asc("news_id"))
-    return (
+    out = (
         scored.withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= CF_RECS)
         .select("user_id", "news_id", "score")
     )
+    from .bsp import checkpoint_result
+
+    return checkpoint_result(out, prefs)
 
 
 # ---------------------------------------------- next-item transitions
@@ -976,11 +992,15 @@ def cf_novelty_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     the popularity share is a pure integer SUM(pop) with two mirrored
     exactly-rounded divisions — no quantizer needed at all."""
     recs = cf_user_recommendations(spark, sf_dir).select("user_id", "news_id")
-    prefs = clicks(spark, sf_dir).select("user_id", "news_id").distinct()
+    # two consumers (pop + user total), no cross-subtree CSE - persist
+    # once, released after the small per-user report materializes
+    prefs = (
+        clicks(spark, sf_dir).select("user_id", "news_id").distinct().persist()
+    )
     pop = prefs.groupBy("news_id").agg(F.count("*").alias("pop"))
     u = prefs.agg(F.count_distinct("user_id").alias("n_users"))
     ln_term = F.log(F.col("n_users").cast("double") / F.col("pop"))
-    return (
+    out = (
         recs.join(F.broadcast(pop), "news_id")
         .crossJoin(F.broadcast(u))
         .groupBy("user_id")
@@ -997,3 +1017,6 @@ def cf_novelty_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("mean_pop_share"),
         )
     )
+    from .bsp import checkpoint_result
+
+    return checkpoint_result(out, prefs)

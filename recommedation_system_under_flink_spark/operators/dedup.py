@@ -1393,11 +1393,16 @@ def dedup_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
     wins = hashed.withColumn("sel", F.min("key").over(wsel)).filter(
         F.col("pos") <= F.col("n_sh") - (WINNOW_W - 1)
     )
+    # four consumers (counts + the deduped hash relation feeding both
+    # pair sides) over the winnowed fingerprints, no cross-subtree CSE:
+    # un-persisted, the tokenize+shingle-hash+window chain executed 4x
+    # (4 scans in plans/r12/dedup_winnowing_before.txt). Released after
+    # the small pair result materializes (r12).
     fp = wins.select(
         "doc_id",
         (F.col("sel") / (1 << _WIN_POS_BITS)).cast("long").alias("fp_hash"),
         (_WIN_POS_CAP - F.col("sel") % (1 << _WIN_POS_BITS)).alias("fp_pos"),
-    ).distinct()
+    ).distinct().persist()
     counts = fp.groupBy("doc_id").agg(F.count("*").cast("long").alias("n_fp"))
     fph = fp.select("doc_id", "fp_hash").distinct()
     a = fph.select(
@@ -1419,7 +1424,7 @@ def dedup_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
     cb = counts.select(
         F.col("doc_id").alias("doc_b"), F.col("n_fp").alias("n_fp_b")
     )
-    return (
+    out = (
         pairs.join(ca, "doc_a")
         .join(cb, "doc_b")
         .select(
@@ -1435,6 +1440,9 @@ def dedup_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("containment"),
         )
     )
+    from .bsp import checkpoint_result
+
+    return checkpoint_result(out, fp)
 
 
 # ------------------------------------------------ boundary stitching

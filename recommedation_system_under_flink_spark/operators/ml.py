@@ -309,10 +309,14 @@ def ml_nb_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     lang ASC as the tie-break, mirrored in the oracle."""
     docs = load_raw(spark, sf_dir, "documents")
     is_train = split_hash("doc_id") % 10 < TRAIN_BUCKETS
+    # six downstream aggregates consume the token relation (counts,
+    # lang totals, vocab, priors, train total, test tf) and Catalyst
+    # has no cross-subtree CSE - persist the tokenize pass once,
+    # released after the small confusion matrix materializes (r12)
     toks = docs.select(
         "doc_id", "lang", is_train.alias("is_train"),
         F.explode(_tokens(F.col("text"))).alias("t"),
-    )
+    ).persist()
     train = toks.filter("is_train")
     test = toks.filter(~F.col("is_train"))
 
@@ -360,12 +364,15 @@ def ml_nb_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("doc_id", F.col("lang").alias("lang_pred"))
     )
-    return (
+    out = (
         pred.join(docs.select("doc_id", F.col("lang").alias("lang_true")), "doc_id")
         .groupBy("lang_true", "lang_pred")
         .agg(F.count("*").alias("n"))
         .orderBy("lang_true", "lang_pred")
     )
+    from .bsp import checkpoint_result
+
+    return checkpoint_result(out, toks)
 
 
 # ------------------------------------------------ calibration audits

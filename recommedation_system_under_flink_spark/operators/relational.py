@@ -1330,9 +1330,12 @@ def rel_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     baskets ≤ ~13 items — bounded fan-out per key, never an item×item
     cross; popularity and the 1-row order count broadcast into the
     lift. Top-{BASKET_TOP} with a fully pinned tie-break."""
+    # five consumers (pop, order total, both pair sides) over the
+    # basket relation, no cross-subtree CSE - persist the scan+distinct
+    # once, released after the small top-N result materializes (r12)
     b = load_raw(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_partkey"
-    ).distinct()
+    ).distinct().persist()
     pop = b.groupBy("l_partkey").agg(F.count("*").alias("pop"))
     n = b.agg(F.countDistinct("l_orderkey").alias("n_orders"))
     x = b.select(F.col("l_orderkey"), F.col("l_partkey").alias("part_a"))
@@ -1343,7 +1346,7 @@ def rel_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("part_a", "part_b")
         .agg(F.count("*").alias("co_orders"))
     )
-    return (
+    out = (
         pairs.join(
             F.broadcast(pop.select(F.col("l_partkey").alias("part_a"),
                                    F.col("pop").alias("pop_a"))), "part_a")
@@ -1364,3 +1367,6 @@ def rel_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("co_orders"), F.asc("part_a"), F.asc("part_b"))
         .limit(BASKET_TOP)
     )
+    from .bsp import checkpoint_result
+
+    return checkpoint_result(out, b)
