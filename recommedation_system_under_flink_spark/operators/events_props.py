@@ -1547,12 +1547,16 @@ def ev_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(ts_date().alias("date"))
         .agg(F.count("*").cast("long").alias("n"))
     )
+    # idx (|days| rows) feeds both pair sides, the residual pass and
+    # the day count; pairs feeds the median window and the pair count —
+    # persist both tiny relations or the events scan re-runs per
+    # consumer (r12 scan audit: 8 duplicate scans before)
     idx = daily.select(
         "n",
         (F.row_number().over(Window.orderBy("date")) - 1)
         .cast("long")
         .alias("x"),
-    )
+    ).persist()
     a = idx.select(F.col("x").alias("xi"), F.col("n").alias("ni"))
     b = idx.select(F.col("x").alias("xj"), F.col("n").alias("nj"))
     pairs = a.join(b, F.col("xj") > F.col("xi")).select(
@@ -1561,7 +1565,7 @@ def ev_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
         ((F.col("nj") - F.col("ni")) * 1.0 / (F.col("xj") - F.col("xi"))).alias(
             "sl"
         ),
-    )
+    ).persist()
     wm = Window.orderBy("sl", "xi", "xj")
     ms = pairs.select(
         "sl",
@@ -1587,7 +1591,7 @@ def ev_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).agg(F.avg("r").alias("icpt"))
     n_days = idx.agg(F.count("*").cast("long").alias("n_days"))
     n_pairs = pairs.agg(F.count("*").cast("long").alias("n_pairs"))
-    return (
+    out = (
         n_days.crossJoin(F.broadcast(n_pairs))
         .crossJoin(F.broadcast(med))
         .crossJoin(F.broadcast(imed))
@@ -1598,6 +1602,9 @@ def ev_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("icpt"), 6).alias("ts_intercept"),
         )
     )
+    from .bsp import checkpoint_result
+
+    return checkpoint_result(out, idx, pairs)
 
 
 # ------------------------------------------------- autocorrelation (ACF)
@@ -1657,21 +1664,24 @@ def ev_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(ts_date().alias("date"))
         .agg(F.count("*").cast("long").alias("y"))
     )
+    # idx feeds the totals and the deviation pass; dev feeds the
+    # denominator and both lag-join sides — persist both tiny series
+    # relations (r12 scan audit: 6 duplicate scans before)
     idx = daily.select(
         "y", F.row_number().over(Window.orderBy("date")).cast("long").alias("t")
-    )
+    ).persist()
     s = idx.agg(
         F.count("*").cast("long").alias("n"),
         F.sum("y").cast("long").alias("sy"),
     )
     dev = idx.crossJoin(F.broadcast(s)).select(
         "t", (F.col("y") * F.col("n") - F.col("sy")).alias("d")
-    )
+    ).persist()
     denom = dev.agg(F.sum(F.col("d") * F.col("d")).cast("long").alias("den"))
     lags = spark.range(1, ACF_MAX_LAG + 1).select(F.col("id").alias("lag"))
     a = dev.select(F.col("t").alias("ta"), F.col("d").alias("da"))
     b = dev.select(F.col("t").alias("tb"), F.col("d").alias("db"))
-    return (
+    out = (
         lags.join(a, F.lit(True))
         .join(b, F.col("tb") == F.col("ta") + F.col("lag"))
         .crossJoin(F.broadcast(denom))
@@ -1684,6 +1694,9 @@ def ev_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("acf"),
         )
     )
+    from .bsp import checkpoint_result
+
+    return checkpoint_result(out, idx, dev)
 
 
 # ------------------------------------------------- EWMA forecast
@@ -1835,13 +1848,16 @@ def ev_ewma_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(ts_date().alias("date"))
         .agg(F.count("*").cast("long").alias("y"))
     )
+    # idx feeds the smoother and the day count; the smoothed series
+    # feeds the last value, the shifted copy and the MAE join — persist
+    # both tiny series relations (r12 scan audit: 10 duplicate scans)
     idx = daily.select(
         "y",
         (F.row_number().over(Window.orderBy("date")) - 1)
         .cast("long")
         .alias("x"),
-    )
-    s = _ewma_smoothed(spark, idx)
+    ).persist()
+    s = _ewma_smoothed(spark, idx).persist()
     last = (
         s.orderBy(F.col("tx").desc())
         .limit(1)
@@ -1854,7 +1870,7 @@ def ev_ewma_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.avg(F.abs(F.col("ty") - F.col("s_prev"))).alias("m"))
     )
     n = idx.agg(F.count("*").cast("long").alias("n_days"))
-    return (
+    out = (
         n.crossJoin(F.broadcast(last))
         .crossJoin(F.broadcast(mae))
         .select(
@@ -1864,6 +1880,9 @@ def ev_ewma_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("m", 6).alias("mae_one_step"),
         )
     )
+    from .bsp import checkpoint_result
+
+    return checkpoint_result(out, idx, s)
 
 
 # ------------------------------------- seasonal decomposition (weekly)

@@ -1397,7 +1397,11 @@ def sim_pq_topk_pinned(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ]
             )
         ).alias("x"),
-    ).select("vec_id", "x.s", "x.sv")
+    ).select("vec_id", "x.s", "x.sv").persist()
+    # subs feeds the codebook, the encode join and the query LUT;
+    # encoded feeds the reconstructed norms and the ADC join (no
+    # cross-subtree CSE - r12 scan audit: 7 scans before). Both
+    # released after the top-K result materializes.
     codebook = subs.filter(F.col("vec_id") < PQ_K).select(
         F.col("vec_id").alias("cw"),
         "s",
@@ -1414,6 +1418,7 @@ def sim_pq_topk_pinned(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rn", F.row_number().over(enc_w))
         .filter(F.col("rn") == 1)
         .select("vec_id", "s", "cw", "cc")
+        .persist()
     )
     rec_norm = encoded.groupBy("vec_id").agg(F.sqrt(F.sum("cc")).alias("rnm"))
     lut = (
@@ -1438,7 +1443,7 @@ def sim_pq_topk_pinned(spark: SparkSession, sf_dir: str) -> DataFrame:
     rank_w = Window.partitionBy("query_id").orderBy(
         F.desc("cosine_pq"), F.asc("corpus_id")
     )
-    return (
+    out = (
         adot.join(F.broadcast(qn), "query_id")
         .join(rec_norm, F.col("corpus_id") == rec_norm.vec_id)
         .filter((F.col("qn") > 0) & (F.col("rnm") > 0))
@@ -1452,6 +1457,9 @@ def sim_pq_topk_pinned(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rank", F.row_number().over(rank_w))
         .filter(F.col("rank") <= TOP_K)
     )
+    from .bsp import checkpoint_result
+
+    return checkpoint_result(out, subs, encoded)
 
 
 # ---------------------------- prefix-dimension two-stage (Matryoshka)
@@ -1843,6 +1851,9 @@ def sim_ivfpq_topk_pinned(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", F.col("vec_id").alias("corpus_id"))
         .distinct()
     )
+    # subs feeds codebook/encode/LUT and encoded feeds norms + ADC (no
+    # cross-subtree CSE; same fix as sim_pq_topk_pinned) - both
+    # released after the top-K result materializes
     subs = proj.select(
         "vec_id",
         F.explode(
@@ -1856,7 +1867,7 @@ def sim_ivfpq_topk_pinned(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ]
             )
         ).alias("x"),
-    ).select("vec_id", "x.s", "x.sv")
+    ).select("vec_id", "x.s", "x.sv").persist()
     codebook = subs.filter(F.col("vec_id") < PQ_K).select(
         F.col("vec_id").alias("cw"),
         "s",
@@ -1871,6 +1882,7 @@ def sim_ivfpq_topk_pinned(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rn", F.row_number().over(enc_w))
         .filter(F.col("rn") == 1)
         .select("vec_id", "s", "cw", "cc")
+        .persist()
     )
     rec_norm = encoded.groupBy("vec_id").agg(F.sqrt(F.sum("cc")).alias("rnm"))
     lut = (
@@ -1895,7 +1907,7 @@ def sim_ivfpq_topk_pinned(spark: SparkSession, sf_dir: str) -> DataFrame:
     rank_w = Window.partitionBy("query_id").orderBy(
         F.desc("cosine_pq"), F.asc("corpus_id")
     )
-    return (
+    out = (
         adot.join(F.broadcast(qn), "query_id")
         .join(rec_norm, F.col("corpus_id") == rec_norm.vec_id)
         .filter((F.col("qn") > 0) & (F.col("rnm") > 0))
@@ -1909,6 +1921,9 @@ def sim_ivfpq_topk_pinned(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rank", F.row_number().over(rank_w).cast("int"))
         .filter(F.col("rank") <= TOP_K)
     )
+    from .bsp import checkpoint_result
+
+    return checkpoint_result(out, subs, encoded)
 
 
 # --------------------------------------------------------- SemDeDup

@@ -962,7 +962,13 @@ def ts_bigram_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     perplexity is derived from the ALREADY-rounded mean so the 4-dp
     round sees identical inputs."""
     docs = load_raw(spark, sf_dir, "documents")
-    base = docs.select("doc_id", _tokens(F.col("text")).alias("ts"))
+    # the tokenize pass feeds SIX subtrees (bigram stream, bigram model,
+    # context totals, unigram model, token total, the final doc list)
+    # and Catalyst has no cross-subtree CSE - persist the token and
+    # bigram relations once (released after the per-doc result
+    # materializes); un-persisted this plan re-tokenized the corpus 6x
+    # (r12 scan audit)
+    base = docs.select("doc_id", _tokens(F.col("text")).alias("ts")).persist()
     grams = base.select(
         "doc_id",
         F.explode(
@@ -975,7 +981,7 @@ def ts_bigram_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ),
             ).otherwise(F.expr("array()").cast("array<struct<w1:string,w2:string>>"))
         ).alias("g"),
-    ).select("doc_id", "g.w1", "g.w2")
+    ).select("doc_id", "g.w1", "g.w2").persist()
     toks = base.select("doc_id", F.explode("ts").alias("term"))
     uni = toks.groupBy("term").agg(F.count("*").alias("c1"))
     tot = toks.agg(F.count("*").alias("n"))
@@ -999,7 +1005,7 @@ def ts_bigram_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("long").alias("n_bigrams"),
         F.round(F.sum("lp") / F.count("*"), 6).alias("mean_log2_prob"),
     )
-    return (
+    out = (
         base.select("doc_id")
         .join(per_doc, "doc_id", "left")
         .select(
@@ -1011,6 +1017,9 @@ def ts_bigram_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+    from .bsp import checkpoint_result
+
+    return checkpoint_result(out, base, grams)
 
 
 # ------------------------------------------------- Zipf corpus health
@@ -2303,7 +2312,12 @@ def ts_kneser_ney_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     IEEE ops on exact integer counts; the 6-dp mean round absorbs log
     ulp and sum order."""
     docs = load_raw(spark, sf_dir, "documents")
-    base = docs.select("doc_id", _tokens(F.col("text")).alias("ts"))
+    # same multi-consumer shape as ts_bigram_lm_perplexity (tokenize
+    # feeds the bigram stream, model aggregates and the final doc
+    # list; the bigram-type model feeds THREE aggregates + the scoring
+    # join) - persist the three shared relations, released after the
+    # per-doc result materializes (r12 scan audit: 6 scans before)
+    base = docs.select("doc_id", _tokens(F.col("text")).alias("ts")).persist()
     grams = base.select(
         "doc_id",
         F.explode(
@@ -2318,8 +2332,8 @@ def ts_kneser_ney_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.expr("array()").cast("array<struct<w1:string,w2:string>>")
             )
         ).alias("g"),
-    ).select("doc_id", "g.w1", "g.w2")
-    bi = grams.groupBy("w1", "w2").agg(F.count("*").alias("c2"))
+    ).select("doc_id", "g.w1", "g.w2").persist()
+    bi = grams.groupBy("w1", "w2").agg(F.count("*").alias("c2")).persist()
     ctx = bi.groupBy("w1").agg(
         F.sum("c2").cast("long").alias("cctx"),
         F.count("*").cast("long").alias("n1p_fwd"),
@@ -2347,7 +2361,7 @@ def ts_kneser_ney_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("long").alias("n_bigrams"),
         F.round(F.sum("lp") / F.count("*"), 6).alias("mean_log2_prob"),
     )
-    return (
+    out = (
         base.select("doc_id")
         .join(per_doc, "doc_id", "left")
         .select(
@@ -2361,6 +2375,9 @@ def ts_kneser_ney_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+    from .bsp import checkpoint_result
+
+    return checkpoint_result(out, base, grams, bi)
 
 
 # ------------------------------------------- lexical diversity profile
@@ -2840,7 +2857,11 @@ def ts_heaps_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.split(F.lower(F.col("text")), TOKEN_SPLIT_REGEX),
         lambda t: t != "",
     )
-    t = docs.select("doc_id", toks.alias("ts"))
+    # t feeds both the first-occurrence and per-doc-count aggregates,
+    # and the 6-row curve feeds both the OLS points and the output
+    # join (no cross-subtree CSE) - persist both, released after the
+    # 6-row result materializes (r12 scan audit: 8 scans before)
+    t = docs.select("doc_id", toks.alias("ts")).persist()
     firsts = (
         t.select("doc_id", F.explode("ts").alias("tok"))
         .groupBy("tok")
@@ -2869,7 +2890,7 @@ def ts_heaps_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("i", "cut")
         .agg(F.count("tok").cast("bigint").alias("vocab"))
     )
-    curve = n_per_cut.join(v_per_cut, ["i", "cut"])
+    curve = n_per_cut.join(v_per_cut, ["i", "cut"]).persist()
     pts = curve.filter(
         (F.col("n_tokens") > 0) & (F.col("vocab") > 0)
     ).select(
@@ -2887,7 +2908,7 @@ def ts_heaps_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("k") * F.col("sxy") - F.col("sx") * F.col("sy")
     ) / (F.col("k") * F.col("sxx") - F.col("sx") * F.col("sx"))
     intercept = (F.col("sy") - beta * F.col("sx")) / F.col("k")
-    return curve.crossJoin(F.broadcast(fit)).select(
+    out = curve.crossJoin(F.broadcast(fit)).select(
         F.col("i").alias("checkpoint"),
         F.col("cut").alias("doc_id_cut"),
         "n_tokens",
@@ -2895,6 +2916,9 @@ def ts_heaps_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(beta, 6).alias("heaps_beta"),
         F.round(F.pow(F.lit(2.0), intercept), 6).alias("heaps_k"),
     )
+    from .bsp import checkpoint_result
+
+    return checkpoint_result(out, t, curve)
 
 
 # ------------------------------------------- lang-ID accuracy eval

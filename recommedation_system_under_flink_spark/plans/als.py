@@ -189,10 +189,18 @@ def als_rank1_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidate generation is users × items with the seen-set anti-join,
     the standard serving fan-out (a production build would cut it with
     the ANN index, `sim_*`)."""
+    # r feeds every half-sweep plus the init and the anti-join, and the
+    # unrolled sweep tree references each factor table from the NEXT
+    # sweep and the scorer - with no cross-subtree CSE the executed
+    # plan held 10 parquet scans (r12 scan audit), re-deriving earlier
+    # sweeps per reference. Persist the ratings once and each (tiny,
+    # entity-bounded) factor table as it lands; release after the
+    # top-K result materializes (operators/bsp.py).
     r = (
         clicks(spark, sf_dir)
         .groupBy("user_id", "news_id")
         .agg(F.sum("cnt").cast("long").alias("c"))
+        .persist()
     )
     v = (
         r.select("news_id")
@@ -200,9 +208,11 @@ def als_rank1_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("news_id", F.lit(ALS1_PPM).cast("decimal(38,0)").alias("f"))
     )
     u = None
+    _cached = [r]
     for _ in range(ALS1_SWEEPS):
-        u = _als1_half_sweep(r, v, key="user_id", other="news_id")
-        v = _als1_half_sweep(r, u, key="news_id", other="user_id")
+        u = _als1_half_sweep(r, v, key="user_id", other="news_id").persist()
+        v = _als1_half_sweep(r, u, key="news_id", other="user_id").persist()
+        _cached += [u, v]
 
     from pyspark.sql import Window
 
@@ -245,7 +255,7 @@ def als_rank1_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
-    return (
+    out = (
         scored.withColumn("rnk", F.row_number().over(w).cast("long"))
         .drop("_prod")
         .filter(F.col("rnk") <= K)
@@ -257,3 +267,6 @@ def als_rank1_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("score_p12").cast("double") / F.lit(1e12)).alias("score"),
         )
     )
+    from ..operators.bsp import checkpoint_result
+
+    return checkpoint_result(out, *_cached)
