@@ -569,7 +569,11 @@ def a15_retention_halflife(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..sources.tables import ts_date
 
     ev = events_raw(spark, sf_dir)
-    activity = ev.select("user_id", ts_date("ts").alias("day")).distinct()
+    # activity feeds cohorts, the censoring max and the cell matrix;
+    # the pooled curve feeds the OLS points and the day-1 row - persist
+    # both, released after the 1-row fit materializes (r12 scan
+    # audit: 8 duplicate scans before)
+    activity = ev.select("user_id", ts_date("ts").alias("day")).distinct().persist()
     cohorts = activity.groupBy("user_id").agg(F.min("day").alias("cohort"))
     sizes = cohorts.groupBy("cohort").agg(
         F.count("*").cast("bigint").alias("n")
@@ -591,6 +595,7 @@ def a15_retention_halflife(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             (F.sum("active").cast("double") / F.sum("n")).alias("r")
         )
+        .persist()
     )
     pts = pooled.filter(F.col("r") > 0).select(
         F.col("o").cast("double").alias("x"), F.log(F.col("r")).alias("y")
@@ -608,7 +613,7 @@ def a15_retention_halflife(spark: SparkSession, sf_dir: str) -> DataFrame:
     r1 = pooled.filter(F.col("o") == 1).select(
         ppm_value(F.col("r")).alias("day1_retention")
     )
-    return fit.crossJoin(F.broadcast(r1)).select(
+    out = fit.crossJoin(F.broadcast(r1)).select(
         F.col("k").cast("bigint").alias("n_offsets"),
         "day1_retention",
         F.round(lam, 6).alias("lambda_per_day"),
@@ -616,3 +621,6 @@ def a15_retention_halflife(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.log(F.lit(2.0)) / F.nullif(lam, F.lit(0.0)), 6
         ).alias("half_life_days"),
     )
+    from .bsp import checkpoint_result
+
+    return checkpoint_result(out, activity, pooled)

@@ -555,7 +555,12 @@ def cf_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: identical envelope to cf_item_neighbors; at 100 TB the
     user-keyed join is capped per user (basket length) and the
     min-support predicate is pushed below the popularity joins."""
-    prefs = clicks(spark, sf_dir).select("user_id", "news_id").distinct()
+    # four consumers (popularity, user total, both co-occurrence
+    # sides), no cross-subtree CSE — persist once, released after the
+    # support-pruned rule set materializes (r12 scan audit)
+    prefs = (
+        clicks(spark, sf_dir).select("user_id", "news_id").distinct().persist()
+    )
     pop = prefs.groupBy("news_id").agg(
         F.count("*").cast("bigint").alias("p")
     )
@@ -577,7 +582,7 @@ def cf_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").cast("bigint").alias("support"))
         .filter(F.col("support") >= RULE_MIN_SUPPORT)
     )
-    return (
+    out = (
         rules.join(
             F.broadcast(
                 pop.select(
@@ -612,6 +617,9 @@ def cf_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("lift"),
         )
     )
+    from .bsp import checkpoint_result
+
+    return checkpoint_result(out, prefs)
 
 
 # ---------------------------------------------------- path trigrams

@@ -275,18 +275,28 @@ def ef_range_join_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ------------------------------------------------------------ funnel
 
-def staged_funnel(ev: DataFrame, key: list[str]) -> DataFrame:
+def staged_funnel(
+    ev: DataFrame, key: list[str]
+) -> tuple[DataFrame, tuple[DataFrame, ...]]:
     """First-occurrence view → click → purchase staging keyed on
     ``key``: per key, the earliest view (t1), the earliest click
     strictly after it (t2), the earliest purchase strictly after that
     (t3), as ``v LEFT JOIN c LEFT JOIN p``. Every stage is keyed on
     ``key``, so the funnel reuses one hash partitioning end to end;
     shared by the daily and the session-scoped funnels (session
-    review)."""
+    review).
+
+    v and c each feed the next stage AND the final join (no
+    cross-subtree CSE — the r12 scan audit saw the whole input chain
+    re-executed per reference), so both persist here; the caller MUST
+    release them via ``checkpoint_result(out, *caches)`` using the
+    returned cache tuple. Callers whose ``ev`` is itself expensive
+    (the sessionized form) should persist it too."""
     v = (
         ev.filter(F.col("event_type") == "view")
         .groupBy(*key)
         .agg(F.min("tsm").alias("t1"))
+        .persist()
     )
     c = (
         ev.filter(F.col("event_type") == "click")
@@ -294,6 +304,7 @@ def staged_funnel(ev: DataFrame, key: list[str]) -> DataFrame:
         .filter(F.col("tsm") > F.col("t1"))
         .groupBy(*key)
         .agg(F.min("tsm").alias("t2"))
+        .persist()
     )
     p = (
         ev.filter(F.col("event_type") == "purchase")
@@ -302,7 +313,7 @@ def staged_funnel(ev: DataFrame, key: list[str]) -> DataFrame:
         .groupBy(*key)
         .agg(F.min("tsm").alias("t3"))
     )
-    return v.join(c, key, "left").join(p, key, "left")
+    return v.join(c, key, "left").join(p, key, "left"), (v, c)
 
 
 _FUNNEL_ORACLE = """WITH ev AS (
@@ -355,9 +366,9 @@ def ef_funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame
         "event_type",
         F.expr("ts DIV 1000").alias("tsm"),
     )
-    return (
-        staged_funnel(ev, ["user_id", "day"])
-        .select(
+    staged, caches = staged_funnel(ev, ["user_id", "day"])
+    out = (
+        staged.select(
             "day",
             F.when(F.col("t3").isNotNull(), 3)
             .when(F.col("t2").isNotNull(), 2)
@@ -368,6 +379,9 @@ def ef_funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame
         .groupBy("day", "depth")
         .agg(F.count("*").cast("long").alias("n_users"))
     )
+    from .bsp import checkpoint_result
+
+    return checkpoint_result(out, *caches)
 
 
 # ------------------------------------------------- native session window
@@ -485,10 +499,12 @@ def ef_session_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = events_raw(spark, sf_dir).select(
         "user_id", "event_id", "event_type", F.expr("ts DIV 1000").alias("tsm")
     )
-    sess = annotate_sessions(ev)
-    return (
-        staged_funnel(sess, ["user_id", "session_seq"])
-        .select(
+    # the sessionize window annotation feeds all three funnel stages —
+    # persist it so the window runs once, not per stage
+    sess = annotate_sessions(ev).persist()
+    staged, caches = staged_funnel(sess, ["user_id", "session_seq"])
+    out = (
+        staged.select(
             F.when(F.col("t3").isNotNull(), 3)
             .when(F.col("t2").isNotNull(), 2)
             .otherwise(1)
@@ -498,6 +514,9 @@ def ef_session_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("depth")
         .agg(F.count("*").cast("long").alias("n_sessions"))
     )
+    from .bsp import checkpoint_result
+
+    return checkpoint_result(out, sess, *caches)
 
 
 # ------------------------------------------------- attribution report
@@ -1368,6 +1387,11 @@ def ef_cuped_adjustment(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("y"),
         )
         .select("x", "y", (F.col("user_id") % 2).alias("cohort"))
+        # feeds both the pooled moments and the per-cohort aggregate
+        # (whose output feeds both cohort sides) — persist, released
+        # after the 1-row result materializes (r12 scan audit: 6
+        # duplicate scans before)
+        .persist()
     )
     m = subj.agg(
         F.count("*").cast("long").alias("n"),
@@ -1408,7 +1432,7 @@ def ef_cuped_adjustment(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.round(F.col("y"), 6).cast("decimal(28,6)"))
         .cast("double")
         .alias("sy_c"),
-    )
+    ).localCheckpoint(eager=True)
     a = g.filter(F.col("cohort") == 0).select(
         F.col("n_c").alias("n_a"),
         F.col("sx_c").alias("sx_a"),
@@ -1427,7 +1451,7 @@ def ef_cuped_adjustment(spark: SparkSession, sf_dir: str) -> DataFrame:
     adj_b = F.col("sy_b") / F.col("n_b") - F.col("th") * (
         F.col("sx_b") / F.col("n_b") - mean_x
     )
-    return j.select(
+    out = j.select(
         F.col("n").alias("n_users"),
         F.round(F.col("th"), 6).alias("theta"),
         F.round(
@@ -1436,6 +1460,9 @@ def ef_cuped_adjustment(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(adj_a - adj_b, 6).alias("adj_diff"),
         F.round(F.col("rho2"), 6).alias("var_reduction"),
     )
+    from .bsp import checkpoint_result
+
+    return checkpoint_result(out, subj)
 
 
 # --------------------------------------------------- forward as-of join

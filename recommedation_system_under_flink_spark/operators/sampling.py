@@ -423,7 +423,15 @@ def samp_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     |langs|-row model broadcast, map-side projection, no corpus
     shuffle."""
     docs = load_raw(spark, sf_dir, "documents")
-    counts = docs.groupBy("lang").agg(F.count("*").cast("long").alias("n"))
+    # the |langs|-row count model is re-referenced down a 4-stage
+    # derivation chain (total, weights, targets, cap) whose doubled
+    # references multiplied into 9 documents scans (r12 scan audit);
+    # one eager checkpoint of the tiny model truncates all of them
+    counts = (
+        docs.groupBy("lang")
+        .agg(F.count("*").cast("long").alias("n"))
+        .localCheckpoint(eager=True)
+    )
     tot = counts.agg(F.sum("n").cast("long").alias("nn"))
     w = counts.crossJoin(F.broadcast(tot)).select(
         "lang",
