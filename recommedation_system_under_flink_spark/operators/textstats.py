@@ -193,22 +193,32 @@ def ts_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
         (lang, pri, F.array(*[F.lit(w) for w in ws]))
         for pri, (lang, ws) in enumerate(LANG_MARKERS.items())
     ]
-    scored = None
-    for lang, pri, markers in langs:
-        part = base.select(
-            "doc_id",
-            F.lit(lang).alias("lang_guess"),
-            F.lit(pri).alias("lang_pri"),
-            F.size(F.array_intersect(F.col("ts"), markers)).cast("long").alias("hits"),
+    # Struct-argmax over the fixed language set (r12; was a 4-way
+    # union of the tokenize pass + a per-doc window — 4 duplicate
+    # scans and a corpus shuffle for an O(langs) per-row decision).
+    # array_max on (hits, -pri, lang) structs is lexicographic, so the
+    # winner is exactly the window form's ORDER BY hits DESC, pri ASC
+    # — the same equivalence the fused curation twin pins. One scan,
+    # zero shuffles; the oracle is unchanged and hash-certifies the
+    # rewrite.
+    best = F.array_max(
+        F.array(
+            *[
+                F.struct(
+                    F.size(F.array_intersect(F.col("ts"), markers))
+                    .cast("long")
+                    .alias("hits"),
+                    F.lit(-pri).alias("negpri"),
+                    F.lit(lang).alias("lang_guess"),
+                )
+                for lang, pri, markers in langs
+            ]
         )
-        scored = part if scored is None else scored.unionByName(part)
-    from pyspark.sql import Window
-
-    w = Window.partitionBy("doc_id").orderBy(F.desc("hits"), F.asc("lang_pri"))
-    return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("doc_id", "lang_guess", "hits")
+    )
+    return base.select(
+        "doc_id",
+        best.getField("lang_guess").alias("lang_guess"),
+        best.getField("hits").alias("hits"),
     )
 
 
@@ -1781,9 +1791,12 @@ def ts_pmi_top_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     docs = load_raw(spark, sf_dir, "documents")
+    # four consumers (doc count, df model, both pair sides), no
+    # cross-subtree CSE — persist the tokenize+distinct once, released
+    # after the top-K result materializes (r12 scan audit: 5 dup scans)
     dt = docs.select(
         "doc_id", F.explode(_tokens(F.col("text"))).alias("term")
-    ).distinct()
+    ).distinct().persist()
     n = dt.agg(F.count_distinct("doc_id").alias("n_docs"))
     df = dt.groupBy("term").agg(F.count("*").cast("long").alias("df"))
     a = dt.select("doc_id", F.col("term").alias("term_a"))
@@ -1823,10 +1836,13 @@ def ts_pmi_top_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     w = Window.orderBy(F.desc("pmi"), F.asc("term_a"), F.asc("term_b"))
-    return (
+    out = (
         scored.withColumn("rank", F.row_number().over(w).cast("int"))
         .filter(F.col("rank") <= PMI_TOP_K)
     )
+    from .bsp import checkpoint_result
+
+    return checkpoint_result(out, dt)
 
 
 # ------------------------------------------------- vocabulary build
@@ -2752,14 +2768,19 @@ def ts_source_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.split(F.lower(F.col("text")), TOKEN_SPLIT_REGEX),
         lambda t: t != "",
     )
+    # per feeds the source totals, the corpus model and the grid's
+    # left join; src_tot feeds the grid and the final join (no
+    # cross-subtree CSE) — persist both, released after the |sources|-
+    # row report materializes (r12 scan audit: 5 duplicate scans)
     per = (
         docs.select("source", F.explode(toks).alias("tok"))
         .groupBy("source", "tok")
         .agg(F.count("*").cast("bigint").alias("c"))
+        .persist()
     )
     src_tot = per.groupBy("source").agg(
         F.sum("c").cast("bigint").alias("ns")
-    )
+    ).persist()
     corp = per.groupBy("tok").agg(F.sum("c").cast("bigint").alias("cc"))
     corp_tot = corp.agg(F.sum("cc").cast("bigint").alias("nc"))
     grid = (
@@ -2779,11 +2800,14 @@ def ts_source_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
         * F.log2(2.0 * q / (F.coalesce(p, F.lit(0.0)) + q))
     )
     jsd = grid.groupBy("source").agg(F.sum(term).alias("jsd"))
-    return jsd.join(src_tot, "source").select(
+    out = jsd.join(src_tot, "source").select(
         "source",
         F.col("ns").alias("n_tokens"),
         F.round("jsd", 6).alias("jsd_bits"),
     )
+    from .bsp import checkpoint_result
+
+    return checkpoint_result(out, per, src_tot)
 
 
 # ------------------------------------------- Heaps-law vocab growth
