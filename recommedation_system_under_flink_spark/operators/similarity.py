@@ -3819,7 +3819,13 @@ def sim_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash aggregate of K·D cells — the classic Spark k-means shape; no
     driver loop, no collect, rounds unroll into a single DAG."""
     emb = load_raw(spark, sf_dir, "embeddings")
-    base = emb.select("vec_id", _as_double("embedding").alias("e"))
+    # base feeds every round's assign pass, and each round's K-row
+    # centroid table feeds BOTH the next assign and (for the last
+    # round) the final stats join — with no cross-subtree CSE the
+    # uncut chain re-ran earlier rounds per reference (r12 scan audit:
+    # 5 duplicate scans). Persist base; eagerly checkpoint each K×D
+    # centroid table (tiny) to truncate the per-round lineage.
+    base = emb.select("vec_id", _as_double("embedding").alias("e")).persist()
     c0 = base.filter(F.col("vec_id") < KM_K).select(
         F.col("vec_id").alias("cid"), F.col("e").alias("ce")
     )
@@ -3829,12 +3835,12 @@ def sim_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
     prev_cents = c0
     assign = _km_assign(base, prev_cents)
     for _ in range(KM_ROUNDS - 1):
-        prev_cents = _km_update(assign)
+        prev_cents = _km_update(assign).localCheckpoint(eager=True)
         assign = _km_assign(base, prev_cents)
     sqnorm = F.aggregate(
         F.col("ce"), F.lit(0.0), lambda acc, x: acc + x * x
     )
-    return (
+    out = (
         assign.join(prev_cents, "cid")
         .groupBy("cid")
         .agg(
@@ -3845,6 +3851,9 @@ def sim_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.max(sqnorm), 6).alias("centroid_sqnorm"),
         )
     )
+    from .bsp import checkpoint_result
+
+    return checkpoint_result(out, base)
 
 
 # ----------------------------------------------- embedding drift audit

@@ -554,7 +554,10 @@ def sk_count_min_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
     the |keys| exact counts against D×W rows broadcast."""
     from ..sources import clicks as clicks_table
 
-    cl = clicks_table(spark, sf_dir).select("news_id")
+    # the click stream feeds the exact counts plus CMS_D bucket
+    # aggregates (no cross-subtree CSE - r12 scan audit: 5 duplicate
+    # scans); persist once, released after the 1-row audit materializes
+    cl = clicks_table(spark, sf_dir).select("news_id").persist()
 
     def bucket(row: int):
         return F.conv(
@@ -592,7 +595,7 @@ def sk_count_min_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("news_id", "n")
         .agg(F.min("c").alias("est"))
     )
-    return est.agg(
+    out = est.agg(
         F.count("*").cast("long").alias("n_keys"),
         F.sum(F.when(F.col("est") == F.col("n"), 1).otherwise(0))
         .cast("long")
@@ -602,6 +605,9 @@ def sk_count_min_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
             "avg_overestimate"
         ),
     )
+    from .bsp import checkpoint_result
+
+    return checkpoint_result(out, cl)
 
 
 # ------------------------------------------------------- Bloom filter
