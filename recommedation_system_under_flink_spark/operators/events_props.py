@@ -778,9 +778,12 @@ def ev_value_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..sources.tables import events_raw as _ev
 
     split = dt.date.fromisoformat(PSI_SPLIT)
+    # the reference window feeds both the decile aggregate and its own
+    # bin counts — persist the single value column once, released after
+    # the 10-row report materializes (r12 scan audit)
     ref = _ev(
         spark, sf_dir, date_to=split - dt.timedelta(days=1)
-    ).select("value")
+    ).select("value").persist()
     cur = _ev(spark, sf_dir, date_from=split).select("value")
     probes = ", ".join(str(q) for q in PSI_DECILES)
     edges = ref.agg(
@@ -821,12 +824,15 @@ def ev_value_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     p = (F.col("rn") + 0.5) / (F.sum("rn").over(w) + 5.0)
     q = (F.col("cn") + 0.5) / (F.sum("cn").over(w) + 5.0)
-    return j.select(
+    out = j.select(
         F.col("bin").cast("long").alias("bin"),
         F.col("rn").cast("long").alias("ref_n"),
         F.col("cn").cast("long").alias("cur_n"),
         F.round((p - q) * F.log(p / q), 6).alias("psi_term"),
     )
+    from .bsp import checkpoint_result
+
+    return checkpoint_result(out, ref)
 
 
 # --------------------------------------------------------- OLS trend

@@ -1560,9 +1560,13 @@ def ml_roc_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
     round-7 sf0.1 pre-flight caught 2 tie groups splitting and the AUC
     moving 4e-7 across engines. Grouping on the quantized key is the
     repo's standard cross-engine determinism convention."""
+    # three consumers (class totals, the distinct-score aggregate, the
+    # threshold sweep), no cross-subtree CSE — persist the 2-column
+    # scored relation once, released after the 12-row result
+    # materializes (r12 scan audit)
     scored = _cal_scored(spark, sf_dir).select(
         "y", F.round("s", 6).alias("s")
-    )
+    ).persist()
     tot = scored.agg(
         F.sum("y").alias("np"),
         F.sum(F.lit(1.0) - F.col("y")).alias("nn"),
@@ -1620,7 +1624,7 @@ def ml_roc_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("fpr"),
         )
     )
-    return (
+    out = (
         pts.crossJoin(F.broadcast(auc))
         .select(
             F.round("thr", 6).alias("threshold"),
@@ -1630,6 +1634,9 @@ def ml_roc_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("threshold")
     )
+    from .bsp import checkpoint_result
+
+    return checkpoint_result(out, scored)
 
 
 # ------------------------------------------ histogram split (binned)

@@ -341,7 +341,14 @@ def samp_lang_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcasts, then a map-side projection per doc — no shuffle of the
     corpus itself at any scale."""
     docs = load_raw(spark, sf_dir, "documents")
-    counts = docs.groupBy("lang").agg(F.count("*").cast("long").alias("n"))
+    # the |langs|-row model is re-referenced down the λ/rate chain —
+    # one eager checkpoint of the tiny counts truncates the duplicate
+    # documents scans (same fix as samp_temperature_mixture)
+    counts = (
+        docs.groupBy("lang")
+        .agg(F.count("*").cast("long").alias("n"))
+        .localCheckpoint(eager=True)
+    )
     shares = F.create_map(
         *[F.lit(x) for kv in MIXTURE_TARGET.items() for x in kv]
     )

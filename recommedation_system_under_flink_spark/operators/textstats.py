@@ -1600,10 +1600,14 @@ def ts_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     serving plan of a term-sharded index. ``ln`` quantized at 6 dp
     (libm vs JVM ulp)."""
     docs = load_raw(spark, sf_dir, "documents")
-    t = docs.select("doc_id", _tokens(F.col("text")).alias("ts"))
+    # the tokenize pass feeds both the length and posting legs; dl
+    # feeds the corpus stats and the scoring join; tf feeds the df
+    # model and the scorer (no cross-subtree CSE) — persist all three,
+    # released after the top-K result materializes (r12 scan audit)
+    t = docs.select("doc_id", _tokens(F.col("text")).alias("ts")).persist()
     dl = t.filter(F.size("ts") > 0).select(
         "doc_id", F.size("ts").cast("long").alias("dlen")
-    )
+    ).persist()
     stats = dl.agg(
         F.count("*").alias("n_docs"),
         F.avg(F.col("dlen").cast("double")).alias("avg_len"),
@@ -1613,6 +1617,7 @@ def ts_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         toks.filter(F.col("term").isin(*BM25_QUERY))
         .groupBy("doc_id", "term")
         .agg(F.count("*").cast("long").alias("f"))
+        .persist()
     )
     df = tf.groupBy("term").agg(F.count("*").cast("long").alias("df"))
     idf = F.log(
@@ -1631,7 +1636,7 @@ def ts_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     w = Window.orderBy(F.desc(F.round("score", 6)), F.asc("doc_id"))
-    return (
+    out = (
         scored.select(
             "doc_id",
             F.round("score", 6).alias("bm25"),
@@ -1639,6 +1644,9 @@ def ts_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("rank") <= BM25_TOP_K)
     )
+    from .bsp import checkpoint_result
+
+    return checkpoint_result(out, t, dl, tf)
 
 
 # ------------------------------------------- threshold calibration
