@@ -1000,11 +1000,10 @@ def cf_novelty_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     the popularity share is a pure integer SUM(pop) with two mirrored
     exactly-rounded divisions — no quantizer needed at all."""
     recs = cf_user_recommendations(spark, sf_dir).select("user_id", "news_id")
-    # two consumers (pop + user total), no cross-subtree CSE - persist
-    # once, released after the small per-user report materializes
-    prefs = (
-        clicks(spark, sf_dir).select("user_id", "news_id").distinct().persist()
-    )
+    # NOTE (r12): pop and the user total each re-derive prefs (2 scans),
+    # but a second persist+checkpoint on top of the recommender's own
+    # MEASURED ~1.5x slower overall - reverted; see OPTIMIZATION_r12.md.
+    prefs = clicks(spark, sf_dir).select("user_id", "news_id").distinct()
     pop = prefs.groupBy("news_id").agg(F.count("*").alias("pop"))
     u = prefs.agg(F.count_distinct("user_id").alias("n_users"))
     ln_term = F.log(F.col("n_users").cast("double") / F.col("pop"))
@@ -1025,6 +1024,4 @@ def cf_novelty_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("mean_pop_share"),
         )
     )
-    from .bsp import checkpoint_result
-
-    return checkpoint_result(out, prefs)
+    return out

@@ -2053,10 +2053,11 @@ def dedup_incremental_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     split = int((max_id + 1) * INCR_SPLIT_FRACTION)
 
-    # sh feeds signatures, sizes and both verify sides (no cross-
-    # subtree CSE in Catalyst) — persist once, release after the small
-    # per-batch result materializes (same fix as dedup_minhash_lsh).
-    sh = shingles(docs).persist()
+    # NOTE (r12): sh feeds signatures, sizes and both verify sides,
+    # but unlike dedup_minhash_lsh the persist+checkpoint variant
+    # MEASURED ~1.7x slower here (smaller batch-side work, same fixed
+    # cache cost) — reverted; see OPTIMIZATION_r12.md.
+    sh = shingles(docs)
     sig = minhash_signatures(sh)
     rows_per_band = MINHASH_H // MINHASH_BANDS
     bands = F.array(
@@ -2143,15 +2144,12 @@ def dedup_incremental_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     ).filter(F.col("rn") == 1)
     batch_ids = docs.filter(F.col("doc_id") >= split).select("doc_id")
-    out = batch_ids.join(best, "doc_id", "left").select(
+    return batch_ids.join(best, "doc_id", "left").select(
         "doc_id",
         F.col("match_id").isNull().alias("is_new"),
         F.col("match_id").alias("nearest_corpus_doc"),
         F.col("j").alias("best_jaccard"),
     )
-    from .bsp import checkpoint_result
-
-    return checkpoint_result(out, sh)
 
 
 # ------------------------------------------------ dedup funnel report

@@ -778,12 +778,14 @@ def ev_value_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..sources.tables import events_raw as _ev
 
     split = dt.date.fromisoformat(PSI_SPLIT)
-    # the reference window feeds both the decile aggregate and its own
-    # bin counts — persist the single value column once, released after
-    # the 10-row report materializes (r12 scan audit)
+    # NOTE (r12): the reference window feeds both the decile aggregate
+    # and its own bin counts (2 scans), but an in-query persist +
+    # checkpoint was MEASURED 2.6x slower on this 0.3s-class query -
+    # the fixed cache/checkpoint overhead exceeds one cheap pruned
+    # re-scan. See OPTIMIZATION_r12.md (measure-first reverts).
     ref = _ev(
         spark, sf_dir, date_to=split - dt.timedelta(days=1)
-    ).select("value").persist()
+    ).select("value")
     cur = _ev(spark, sf_dir, date_from=split).select("value")
     probes = ", ".join(str(q) for q in PSI_DECILES)
     edges = ref.agg(
@@ -824,15 +826,12 @@ def ev_value_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     p = (F.col("rn") + 0.5) / (F.sum("rn").over(w) + 5.0)
     q = (F.col("cn") + 0.5) / (F.sum("cn").over(w) + 5.0)
-    out = j.select(
+    return j.select(
         F.col("bin").cast("long").alias("bin"),
         F.col("rn").cast("long").alias("ref_n"),
         F.col("cn").cast("long").alias("cur_n"),
         F.round((p - q) * F.log(p / q), 6).alias("psi_term"),
     )
-    from .bsp import checkpoint_result
-
-    return checkpoint_result(out, ref)
 
 
 # --------------------------------------------------------- OLS trend

@@ -309,14 +309,14 @@ def ml_nb_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     lang ASC as the tie-break, mirrored in the oracle."""
     docs = load_raw(spark, sf_dir, "documents")
     is_train = split_hash("doc_id") % 10 < TRAIN_BUCKETS
-    # six downstream aggregates consume the token relation (counts,
-    # lang totals, vocab, priors, train total, test tf) and Catalyst
-    # has no cross-subtree CSE - persist the tokenize pass once,
-    # released after the small confusion matrix materializes (r12)
+    # NOTE (r12): six aggregates consume the token relation, but an
+    # in-query persist of the exploded tokens MEASURED ~1.3x slower
+    # (cache write > the cheap re-tokenizes) - reverted; the at-scale
+    # fix is the materialized token table (s19). OPTIMIZATION_r12.md.
     toks = docs.select(
         "doc_id", "lang", is_train.alias("is_train"),
         F.explode(_tokens(F.col("text"))).alias("t"),
-    ).persist()
+    )
     train = toks.filter("is_train")
     test = toks.filter(~F.col("is_train"))
 
@@ -364,15 +364,12 @@ def ml_nb_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("doc_id", F.col("lang").alias("lang_pred"))
     )
-    out = (
+    return (
         pred.join(docs.select("doc_id", F.col("lang").alias("lang_true")), "doc_id")
         .groupBy("lang_true", "lang_pred")
         .agg(F.count("*").alias("n"))
         .orderBy("lang_true", "lang_pred")
     )
-    from .bsp import checkpoint_result
-
-    return checkpoint_result(out, toks)
 
 
 # ------------------------------------------------ calibration audits
@@ -1560,13 +1557,12 @@ def ml_roc_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
     round-7 sf0.1 pre-flight caught 2 tie groups splitting and the AUC
     moving 4e-7 across engines. Grouping on the quantized key is the
     repo's standard cross-engine determinism convention."""
-    # three consumers (class totals, the distinct-score aggregate, the
-    # threshold sweep), no cross-subtree CSE — persist the 2-column
-    # scored relation once, released after the 12-row result
-    # materializes (r12 scan audit)
+    # NOTE (r12): three consumers re-derive the scored relation, but
+    # persist+checkpoint MEASURED ~1.4x slower on this sub-second query
+    # (fixed overhead > three cheap scoring scans) - reverted.
     scored = _cal_scored(spark, sf_dir).select(
         "y", F.round("s", 6).alias("s")
-    ).persist()
+    )
     tot = scored.agg(
         F.sum("y").alias("np"),
         F.sum(F.lit(1.0) - F.col("y")).alias("nn"),
@@ -1624,7 +1620,7 @@ def ml_roc_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("fpr"),
         )
     )
-    out = (
+    return (
         pts.crossJoin(F.broadcast(auc))
         .select(
             F.round("thr", 6).alias("threshold"),
@@ -1634,9 +1630,6 @@ def ml_roc_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("threshold")
     )
-    from .bsp import checkpoint_result
-
-    return checkpoint_result(out, scored)
 
 
 # ------------------------------------------ histogram split (binned)

@@ -546,13 +546,15 @@ def samp_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_raw(spark, sf_dir, "documents")
     from .textstats import _tokens
 
-    # the token stream feeds both LM legs, the totals and the scoring
-    # join (no cross-subtree CSE) - persist the tokenize pass once,
-    # released after the per-doc result materializes (r12; previously
-    # documented as "re-scans documents once per LM leg")
+    # NOTE (r12): the token stream feeds both LM legs, the totals and
+    # the scoring join, but an in-query persist of the exploded token
+    # strings was MEASURED ~1.6x slower on this sub-second query (cache
+    # write > cheap re-tokenize). The at-scale fix stays the
+    # materialized token table (s19_token_table_reuse), as this
+    # docstring already documents. See OPTIMIZATION_r12.md.
     toks = docs.select(
         "doc_id", "lang", F.explode(_tokens(F.col("text"))).alias("term")
-    ).persist()
+    )
     raw = toks.groupBy("term").agg(F.count("*").alias("cr"))
     tgt = (
         toks.filter(F.col("lang") == DSIR_TARGET_LANG)
@@ -580,14 +582,11 @@ def samp_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("w"),
         )
     )
-    out = per_token.groupBy("doc_id").agg(
+    return per_token.groupBy("doc_id").agg(
         F.any_value(F.col("lang")).alias("lang"),
         F.count("*").alias("n_tokens"),
         F.round(F.sum("w") / F.count("*"), 6).alias("mean_log2_ratio"),
     )
-    from .bsp import checkpoint_result
-
-    return checkpoint_result(out, toks)
 
 
 # ----------------------------------------------------- score AUC eval

@@ -1397,11 +1397,12 @@ def sim_pq_topk_pinned(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ]
             )
         ).alias("x"),
-    ).select("vec_id", "x.s", "x.sv").persist()
-    # subs feeds the codebook, the encode join and the query LUT;
-    # encoded feeds the reconstructed norms and the ADC join (no
-    # cross-subtree CSE - r12 scan audit: 7 scans before). Both
-    # released after the top-K result materializes.
+    ).select("vec_id", "x.s", "x.sv")
+    # NOTE (r12): subs/encoded each feed 2-3 subtrees (7 dup scans),
+    # but the persist+checkpoint variant MEASURED ~1.5x slower on this
+    # 1.2s-class query (caching 4x corpus rows of subvector arrays
+    # costs more than the narrow re-scans) - reverted; see
+    # OPTIMIZATION_r12.md.
     codebook = subs.filter(F.col("vec_id") < PQ_K).select(
         F.col("vec_id").alias("cw"),
         "s",
@@ -1418,7 +1419,6 @@ def sim_pq_topk_pinned(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rn", F.row_number().over(enc_w))
         .filter(F.col("rn") == 1)
         .select("vec_id", "s", "cw", "cc")
-        .persist()
     )
     rec_norm = encoded.groupBy("vec_id").agg(F.sqrt(F.sum("cc")).alias("rnm"))
     lut = (
@@ -1457,9 +1457,7 @@ def sim_pq_topk_pinned(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rank", F.row_number().over(rank_w))
         .filter(F.col("rank") <= TOP_K)
     )
-    from .bsp import checkpoint_result
-
-    return checkpoint_result(out, subs, encoded)
+    return out
 
 
 # ---------------------------- prefix-dimension two-stage (Matryoshka)
@@ -1851,9 +1849,8 @@ def sim_ivfpq_topk_pinned(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", F.col("vec_id").alias("corpus_id"))
         .distinct()
     )
-    # subs feeds codebook/encode/LUT and encoded feeds norms + ADC (no
-    # cross-subtree CSE; same fix as sim_pq_topk_pinned) - both
-    # released after the top-K result materializes
+    # NOTE (r12): same measured verdict as sim_pq_topk_pinned - the
+    # subvector persists cost more than the re-scans; reverted.
     subs = proj.select(
         "vec_id",
         F.explode(
@@ -1867,7 +1864,7 @@ def sim_ivfpq_topk_pinned(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ]
             )
         ).alias("x"),
-    ).select("vec_id", "x.s", "x.sv").persist()
+    ).select("vec_id", "x.s", "x.sv")
     codebook = subs.filter(F.col("vec_id") < PQ_K).select(
         F.col("vec_id").alias("cw"),
         "s",
@@ -1882,7 +1879,6 @@ def sim_ivfpq_topk_pinned(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rn", F.row_number().over(enc_w))
         .filter(F.col("rn") == 1)
         .select("vec_id", "s", "cw", "cc")
-        .persist()
     )
     rec_norm = encoded.groupBy("vec_id").agg(F.sqrt(F.sum("cc")).alias("rnm"))
     lut = (
@@ -1921,9 +1917,7 @@ def sim_ivfpq_topk_pinned(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rank", F.row_number().over(rank_w).cast("int"))
         .filter(F.col("rank") <= TOP_K)
     )
-    from .bsp import checkpoint_result
-
-    return checkpoint_result(out, subs, encoded)
+    return out
 
 
 # --------------------------------------------------------- SemDeDup

@@ -972,13 +972,14 @@ def ts_bigram_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     perplexity is derived from the ALREADY-rounded mean so the 4-dp
     round sees identical inputs."""
     docs = load_raw(spark, sf_dir, "documents")
-    # the tokenize pass feeds SIX subtrees (bigram stream, bigram model,
-    # context totals, unigram model, token total, the final doc list)
-    # and Catalyst has no cross-subtree CSE - persist the token and
-    # bigram relations once (released after the per-doc result
-    # materializes); un-persisted this plan re-tokenized the corpus 6x
-    # (r12 scan audit)
-    base = docs.select("doc_id", _tokens(F.col("text")).alias("ts")).persist()
+    # NOTE (r12): this plan re-tokenizes the corpus 6x (no cross-
+    # subtree CSE; scan audit), but persisting the token/bigram
+    # relations was MEASURED 3-4x SLOWER here (0.3s-class query; the
+    # cache write of corpus token arrays costs more than the cheap
+    # explode+count chains it saves). At 100 TB the documented fix is
+    # feeding the materialized token table (s19_token_table_reuse),
+    # not an in-query cache - see OPTIMIZATION_r12.md.
+    base = docs.select("doc_id", _tokens(F.col("text")).alias("ts"))
     grams = base.select(
         "doc_id",
         F.explode(
@@ -991,7 +992,7 @@ def ts_bigram_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ),
             ).otherwise(F.expr("array()").cast("array<struct<w1:string,w2:string>>"))
         ).alias("g"),
-    ).select("doc_id", "g.w1", "g.w2").persist()
+    ).select("doc_id", "g.w1", "g.w2")
     toks = base.select("doc_id", F.explode("ts").alias("term"))
     uni = toks.groupBy("term").agg(F.count("*").alias("c1"))
     tot = toks.agg(F.count("*").alias("n"))
@@ -1015,7 +1016,7 @@ def ts_bigram_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("long").alias("n_bigrams"),
         F.round(F.sum("lp") / F.count("*"), 6).alias("mean_log2_prob"),
     )
-    out = (
+    return (
         base.select("doc_id")
         .join(per_doc, "doc_id", "left")
         .select(
@@ -1027,9 +1028,6 @@ def ts_bigram_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
-    from .bsp import checkpoint_result
-
-    return checkpoint_result(out, base, grams)
 
 
 # ------------------------------------------------- Zipf corpus health
@@ -2336,12 +2334,11 @@ def ts_kneser_ney_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     IEEE ops on exact integer counts; the 6-dp mean round absorbs log
     ulp and sum order."""
     docs = load_raw(spark, sf_dir, "documents")
-    # same multi-consumer shape as ts_bigram_lm_perplexity (tokenize
-    # feeds the bigram stream, model aggregates and the final doc
-    # list; the bigram-type model feeds THREE aggregates + the scoring
-    # join) - persist the three shared relations, released after the
-    # per-doc result materializes (r12 scan audit: 6 scans before)
-    base = docs.select("doc_id", _tokens(F.col("text")).alias("ts")).persist()
+    # NOTE (r12): same re-tokenization shape and same measured verdict
+    # as ts_bigram_lm_perplexity - an in-query persist was SLOWER than
+    # the duplicate cheap chains; the at-scale fix is the materialized
+    # token table (s19), not a cache. See OPTIMIZATION_r12.md.
+    base = docs.select("doc_id", _tokens(F.col("text")).alias("ts"))
     grams = base.select(
         "doc_id",
         F.explode(
@@ -2356,8 +2353,8 @@ def ts_kneser_ney_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.expr("array()").cast("array<struct<w1:string,w2:string>>")
             )
         ).alias("g"),
-    ).select("doc_id", "g.w1", "g.w2").persist()
-    bi = grams.groupBy("w1", "w2").agg(F.count("*").alias("c2")).persist()
+    ).select("doc_id", "g.w1", "g.w2")
+    bi = grams.groupBy("w1", "w2").agg(F.count("*").alias("c2"))
     ctx = bi.groupBy("w1").agg(
         F.sum("c2").cast("long").alias("cctx"),
         F.count("*").cast("long").alias("n1p_fwd"),
@@ -2385,7 +2382,7 @@ def ts_kneser_ney_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("long").alias("n_bigrams"),
         F.round(F.sum("lp") / F.count("*"), 6).alias("mean_log2_prob"),
     )
-    out = (
+    return (
         base.select("doc_id")
         .join(per_doc, "doc_id", "left")
         .select(
@@ -2399,9 +2396,6 @@ def ts_kneser_ney_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
-    from .bsp import checkpoint_result
-
-    return checkpoint_result(out, base, grams, bi)
 
 
 # ------------------------------------------- lexical diversity profile
