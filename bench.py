@@ -208,11 +208,22 @@ HEADLINE = (
 #: (`ef_markov_attribution` was a probe member for one session but its
 #: round-11 driver-arithmetic rewrite invalidated its committed min —
 #: swapped for `sim_dbscan_lsh`, code-untouched since round 9.)
+#: ROUND-12 RE-PIN: the optimization round changed two members'
+#: execution (`sim_dbscan_lsh` — Arrow/BLAS signatures + blocked
+#: verify; `dedup_prefix_filter_join` — persisted shingle/prefix
+#: relations). No calm window occurred all round (every r11/r12
+#: control self-classified noisy), so their new minima are the BEST
+#: in-round samples — documented UPPER bounds to be tightened on the
+#: first calm window (a too-high committed min makes the detector
+#: LENIENT, so until then treat `calm == true` with suspicion, exactly
+#: as README already instructs). `ts_bigram_lm_perplexity`'s diff is
+#: comment-only after the measured revert — identical execution, so
+#: its r10-calm minimum remains valid and is kept.
 CALM_PROBE_COMMITTED_MIN_SEC = {
     "rel_q9_product_profit": 0.756,
-    "sim_dbscan_lsh": 8.013,
+    "sim_dbscan_lsh": 7.781,
     "p1_news_keywords_distributed": 5.520,
-    "dedup_prefix_filter_join": 4.726,
+    "dedup_prefix_filter_join": 4.753,
     "ts_bigram_lm_perplexity": 0.298,
 }
 CALM_BAND = 1.15

@@ -19,12 +19,16 @@ import bench
 #: handled then by convention only). This pin makes the invariant
 #: mechanical: changing a probe query's builder fails CI until the
 #: minimum is deliberately re-measured and BOTH tables updated.
+#: Round-12 re-pin: sim_dbscan_lsh / dedup_prefix_filter_join changed
+#: execution (minima re-measured as best-in-round noisy-window upper
+#: bounds — see bench.py note); ts_bigram_lm_perplexity's diff is
+#: comment-only after the measured revert (minimum kept).
 PROBE_BUILDER_DIGESTS = {
-    "dedup_prefix_filter_join": "df28b01db53f653e",
+    "dedup_prefix_filter_join": "c2424d5380cdaff5",
     "p1_news_keywords_distributed": "d4427587597072ff",
     "rel_q9_product_profit": "60a6cc804cb44b74",
-    "sim_dbscan_lsh": "8c75f98877090d93",
-    "ts_bigram_lm_perplexity": "20fe7b019006379a",
+    "sim_dbscan_lsh": "4177ac4c5759e236",
+    "ts_bigram_lm_perplexity": "91f492e9112d835e",
 }
 
 
