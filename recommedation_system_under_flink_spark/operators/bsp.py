@@ -26,10 +26,23 @@ storage; the call sites don't change.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame
 
 #: Rounds between mid-loop lineage truncations (see checkpoint_round).
 CHECKPOINT_EVERY = 5
+
+#: Plan-audit mode (round-13, VERDICT r12 item 8): queries that end in
+#: ``checkpoint_result`` normally explain() as the post-checkpoint
+#: ``Scan ExistingRDD`` stub, which hides the executed lineage from the
+#: committed plan dumps. Setting SPARK_GRAFT_PLAN_AUDIT=1 makes
+#: ``checkpoint_result`` return the UN-truncated plan (and keep the
+#: caches, so InMemoryRelation boundaries stay visible). Timing and
+#: cache lifecycle are both wrong in this mode — it exists ONLY for
+#: throwaway explain-dump sessions (scripts/plan_probe.py
+#: --plan-audit), never for bench/gate runs.
+_PLAN_AUDIT = os.environ.get("SPARK_GRAFT_PLAN_AUDIT", "") == "1"
 
 
 def checkpoint_result(result: DataFrame, *cached: DataFrame) -> DataFrame:
@@ -40,6 +53,8 @@ def checkpoint_result(result: DataFrame, *cached: DataFrame) -> DataFrame:
     mid-materialization (executor loss, OOM in a loop join), the
     loop's caches must not leak into the rest of a long-lived
     gate/bench session (round-8 review finding on the ALS rewrite)."""
+    if _PLAN_AUDIT:
+        return result
     try:
         return result.localCheckpoint(eager=True)
     finally:

@@ -374,6 +374,63 @@ def windowed_edges(pos: DataFrame) -> DataFrame:
     ).select("news_id", "e.w", "e.n")
 
 
+def _vote_rounds_arrow(
+    adj: DataFrame, key: str, d: float, rounds: int
+) -> DataFrame:
+    """Run ``rounds`` vote iterations over a key-partitioned adjacency
+    ``(key, w, nbrs)`` in one Arrow pass; returns ``(key, term, score)``
+    for every edge-word.
+
+    The adjacency is hash-partitioned by ``key`` (every doc's words in
+    one partition), so each task holds complete per-doc graphs and the
+    loop never leaves the worker. Accumulation order and float ops are
+    bit-identical to the replaced Catalyst fold — see the call-site
+    comment in :func:`vote_fixed_rounds` and tests/test_round13_opt.py."""
+    import numpy as np
+
+    key_field = adj.schema[key]
+    out_schema = T.StructType(
+        [
+            key_field,
+            T.StructField("term", T.StringType(), False),
+            T.StructField("score", T.DoubleType(), False),
+        ]
+    )
+
+    def kernel(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        chunks = [c for c in it]
+        if not chunks:
+            return
+        pdf = pd.concat(chunks, ignore_index=True) if len(chunks) > 1 else chunks[0]
+        n = len(pdf)
+        if n == 0:
+            return
+        keys = pdf[key].to_numpy()
+        words = pdf["w"].to_numpy()
+        nbr_lists = pdf["nbrs"].to_numpy()
+        # (key, word) → row position; rows are unique per (key, w)
+        # (groupBy output), so the row index IS the word id.
+        pos = {(k, w): i for i, (k, w) in enumerate(zip(keys, words))}
+        deg = np.fromiter((len(nl) for nl in nbr_lists), dtype=np.float64, count=n)
+        row_ids = np.repeat(np.arange(n, dtype=np.int64), deg.astype(np.int64))
+        nbr_idx = np.fromiter(
+            (pos[(k, nb)] for k, nl in zip(keys, nbr_lists) for nb in nl),
+            dtype=np.int64,
+            count=len(row_ids),
+        )
+        scores = np.full(n, 1.0 - d, dtype=np.float64)
+        for _ in range(rounds):
+            v = scores / deg
+            acc = np.zeros(n, dtype=np.float64)
+            # unbuffered ordered accumulation == the fold's sequential
+            # per-word sum in array_sort(nbrs) order
+            np.add.at(acc, row_ids, v[nbr_idx])
+            scores = (1.0 - d) + d * acc
+        yield pd.DataFrame({key: pdf[key], "term": pdf["w"], "score": scores})
+
+    return adj.mapInPandas(kernel, out_schema)
+
+
 def vote_fixed_rounds(
     edges: DataFrame,
     vocab: DataFrame,
@@ -447,41 +504,25 @@ def vote_fixed_rounds(
         .repartition(nparts, F.col(key))
         .persist()
     )
-    scores = adj.select(
-        key,
-        F.col("w").alias("term"),
-        F.size("nbrs").cast("long").alias("deg"),
-        F.lit(1.0 - d).alias("score"),
-    )
-    for _ in range(TEXTRANK_SQL_ITERS - 1):
-        # The map carries score(term)/deg(term), so receivers sum plain
-        # lookups — deg never rides on the adjacency entries.
-        smap = scores.groupBy(key).agg(
-            F.map_from_entries(
-                F.collect_list(
-                    F.struct("term", (F.col("score") / F.col("deg")).alias("v"))
-                )
-            ).alias("smap")
-        )
-        # shuffle_hash (not broadcast): smap is the FULL per-doc score
-        # state — broadcasting it every round ships O(corpus vocab) to
-        # every executor and through the driver; the hint keeps the
-        # join in-partition (both sides are hash-partitioned by the
-        # doc key → zero exchanges, no sort) at any scale.
-        scores = adj.join(smap.hint("shuffle_hash"), key).select(
-            F.col(key),
-            F.col("w").alias("term"),
-            F.size("nbrs").cast("long").alias("deg"),
-            (
-                F.lit(1.0 - d)
-                + F.lit(d)
-                * F.aggregate(
-                    F.col("nbrs"),
-                    F.lit(0.0),
-                    lambda acc, n: acc + F.element_at(F.col("smap"), n),
-                )
-            ).alias("score"),
-        )
+    # ROUND-13 REWRITE (guide §4.2, the _bucket_udf playbook): the K-1
+    # rounds used to run as Catalyst passes — a per-key score-map
+    # groupBy + shuffle_hash join + a higher-order `aggregate` fold per
+    # word per round. HOF lambdas are CodegenFallback: every
+    # score(n)/deg(n) lookup evaluated interpreted, and the map build
+    # re-collected the full per-key state each round. All rounds now
+    # run in ONE Arrow pass over the key-partitioned adjacency
+    # (`_vote_rounds_kernel`): each task loads its partition's docs
+    # once, flattens the neighbor lists, and iterates the vote as
+    # vectorized numpy over the flat edge arrays. Float results are
+    # BIT-identical to the fold (pinned in tests/test_round13_opt.py):
+    # np.add.at is unbuffered and accumulates in flattened row-major
+    # order — exactly the fold's array_sort(n) order per word, starting
+    # from the same 0.0 — and v = score/deg, (1-d) + d*acc are the same
+    # scalar IEEE-double ops the Catalyst expressions performed.
+    # Per-task state is one partition's adjacency — bounded by the
+    # nparts sizing above (~32k edge-words/partition), never by corpus
+    # size.
+    scores = _vote_rounds_arrow(adj, key, d, TEXTRANK_SQL_ITERS - 1)
     # Neighborless words re-attach with the constant teleport score.
     singles = vocab.join(
         adj.select(F.col(key), F.col("w").alias("term")),

@@ -1,7 +1,7 @@
 """Round-12 measurement harness (optimization guide §1).
 
 For each named query: build the DataFrame, dump ``explain("formatted")``
-to ``plans/r12/<query>_<tag>.txt``, then time ``repeats`` executions.
+to ``plans/r13/<query>_<tag>.txt``, then time ``repeats`` executions.
 Timing follows bench.py's methodology (build + execute, warm session)
 so numbers are comparable with the committed controls, but the timed
 action is selectable:
@@ -35,7 +35,18 @@ def main() -> int:
     ap.add_argument(
         "--sf", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     )
+    ap.add_argument(
+        "--plan-audit",
+        action="store_true",
+        help="dump the PRE-checkpoint plan (operators/bsp.py plan-audit "
+        "mode): full lineage instead of the Scan ExistingRDD stub; "
+        "skips timing (both timing and cache lifecycle are invalid in "
+        "this mode)",
+    )
     args = ap.parse_args()
+
+    if args.plan_audit:
+        os.environ["SPARK_GRAFT_PLAN_AUDIT"] = "1"
 
     from recommedation_system_under_flink_spark.session import get_spark
 
@@ -68,7 +79,7 @@ def main() -> int:
     _noop = pandas_udf(_noop_impl, "long")
     warm.select(_noop("id")).count()
 
-    plan_dir = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", "r12")
+    plan_dir = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", "r13")
     os.makedirs(plan_dir, exist_ok=True)
 
     out: dict[str, dict] = {}
@@ -78,6 +89,15 @@ def main() -> int:
             out[name] = {"error": "not registered"}
             continue
         spark.sparkContext.setJobDescription(f"probe:{name}")
+        if args.plan_audit:
+            df = fn(spark, args.sf)
+            if args.tag:
+                with open(os.path.join(plan_dir, f"{name}_{args.tag}.txt"), "w") as fh:
+                    fh.write(df._sc._jvm.PythonSQLUtils.explainString(
+                        df._jdf.queryExecution(), "formatted"))
+            out[name] = {"plan_only": True}
+            spark.sparkContext.setJobDescription(None)
+            continue
         times = []
         for i in range(args.repeats):
             t0 = time.time()
