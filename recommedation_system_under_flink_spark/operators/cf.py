@@ -168,11 +168,14 @@ def cf_user_recommendations(spark: SparkSession, sf_dir: str) -> DataFrame:
     Plan: prefs ⋈ broadcast(neighbor model) → anti-join own history →
     per-user aggregate + window. The neighbor model is K·|items| rows —
     the broadcast that makes this a single-shuffle recommender."""
-    # ONE persisted prefs relation for this query's two references AND
-    # the neighbor model's three (no cross-subtree CSE) - released after
-    # the small top-K result materializes (operators/bsp.py)
+    # NOTE (r13): r12 persisted prefs (5 consumers, no cross-subtree
+    # CSE); re-adjudicated paired in r13: the persist MEASURED 1.2x
+    # slower (2.31 vs 1.88 s min-of-5) — reverted. The narrow
+    # distinct-clicks chain re-runs cheaper than its cache writes; at
+    # 100 TB share a materialized prefs table across the pipeline
+    # instead (s19 pattern). OPTIMIZATION_r13.md.
     prefs = (
-        clicks(spark, sf_dir).select("user_id", "news_id").distinct().persist()
+        clicks(spark, sf_dir).select("user_id", "news_id").distinct()
     )
     neighbors = cf_item_neighbors(spark, sf_dir, prefs=prefs)
     scored = (
@@ -195,9 +198,7 @@ def cf_user_recommendations(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= CF_RECS)
         .select("user_id", "news_id", "score")
     )
-    from .bsp import checkpoint_result
-
-    return checkpoint_result(out, prefs)
+    return out
 
 
 # ---------------------------------------------- next-item transitions
@@ -555,11 +556,12 @@ def cf_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: identical envelope to cf_item_neighbors; at 100 TB the
     user-keyed join is capped per user (basket length) and the
     min-support predicate is pushed below the popularity joins."""
-    # four consumers (popularity, user total, both co-occurrence
-    # sides), no cross-subtree CSE — persist once, released after the
-    # support-pruned rule set materializes (r12 scan audit)
+    # NOTE (r13): four consumers (popularity, user total, both
+    # co-occurrence sides); the r12 persist MEASURED 1.7x slower than
+    # re-running the pruned chain (1.95 vs 1.12 s min-of-5) — reverted,
+    # same at-scale note as cf_user_recommendations. OPTIMIZATION_r13.md.
     prefs = (
-        clicks(spark, sf_dir).select("user_id", "news_id").distinct().persist()
+        clicks(spark, sf_dir).select("user_id", "news_id").distinct()
     )
     pop = prefs.groupBy("news_id").agg(
         F.count("*").cast("bigint").alias("p")
@@ -617,9 +619,7 @@ def cf_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("lift"),
         )
     )
-    from .bsp import checkpoint_result
-
-    return checkpoint_result(out, prefs)
+    return out
 
 
 # ---------------------------------------------------- path trigrams

@@ -138,7 +138,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_raw(spark, sf_dir, "documents")
     # three consumers (sizes + both join sides), no cross-subtree CSE
     # in Catalyst - persist once, release after the small pair result
-    sh = shingles(docs).persist()
+    sh = shingles(docs)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -282,12 +282,14 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     recall ≈ 1 at the fixture's threshold (2-row bands:
     P[candidate] = 1-(1-j²)^16 ≈ 0.999 at j=0.5)."""
     docs = load_raw(spark, sf_dir, "documents")
-    # The shingle relation feeds FOUR independent subtrees (signatures,
-    # sizes, both sides of the verify join) and Catalyst has no
-    # cross-subtree CSE: un-persisted, the tokenize+shingle+distinct
-    # chain re-executed per consumer (12 parquet scans / 26 exchanges in
-    # plans/r12/dedup_minhash_lsh_before.txt). Persist it once; released
-    # after the (small) pair result materializes (operators/bsp.py).
+    # NOTE (r13): the shingle relation feeds FOUR independent subtrees
+    # (signatures, sizes, both verify sides; 12 scans un-persisted — r12
+    # scan audit) and r12 persisted it. Re-adjudicated paired in r13:
+    # the persist MEASURED 1.8x slower (6.48 vs 3.58 s min-of-5) — the
+    # cache write of the exploded shingle strings costs more than four
+    # pruned re-runs of the cheap scan+explode chain. Reverted; at
+    # 100 TB the fix is pipeline-level shingle/token-table reuse
+    # (s19_token_table_reuse), not an in-query cache. OPTIMIZATION_r13.md.
     sh = shingles(docs).persist()
     sig = minhash_signatures(sh)
 
@@ -352,9 +354,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
     )
-    from .bsp import checkpoint_result
-
-    return checkpoint_result(out, sh)
+    return out
 
 
 # ---------------------------------------------------------- SimHash dedup

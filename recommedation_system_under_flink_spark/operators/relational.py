@@ -1330,12 +1330,14 @@ def rel_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     baskets ≤ ~13 items — bounded fan-out per key, never an item×item
     cross; popularity and the 1-row order count broadcast into the
     lift. Top-{BASKET_TOP} with a fully pinned tie-break."""
-    # five consumers (pop, order total, both pair sides) over the
-    # basket relation, no cross-subtree CSE - persist the scan+distinct
-    # once, released after the small top-N result materializes (r12)
+    # NOTE (r13): five consumers (pop, order total, both pair sides)
+    # over the basket relation; the r12 persist MEASURED 1.7x slower
+    # than re-running the pruned scan+distinct (2.89 vs 1.71 s
+    # min-of-5) — reverted; at 100 TB materialize the basket relation
+    # once at the pipeline level (s19 pattern). OPTIMIZATION_r13.md.
     b = load_raw(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_partkey"
-    ).distinct().persist()
+    ).distinct()
     pop = b.groupBy("l_partkey").agg(F.count("*").alias("pop"))
     n = b.agg(F.countDistinct("l_orderkey").alias("n_orders"))
     x = b.select(F.col("l_orderkey"), F.col("l_partkey").alias("part_a"))
@@ -1367,6 +1369,4 @@ def rel_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("co_orders"), F.asc("part_a"), F.asc("part_b"))
         .limit(BASKET_TOP)
     )
-    from .bsp import checkpoint_result
-
-    return checkpoint_result(out, b)
+    return out

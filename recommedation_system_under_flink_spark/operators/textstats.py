@@ -1598,14 +1598,17 @@ def ts_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     serving plan of a term-sharded index. ``ln`` quantized at 6 dp
     (libm vs JVM ulp)."""
     docs = load_raw(spark, sf_dir, "documents")
-    # the tokenize pass feeds both the length and posting legs; dl
-    # feeds the corpus stats and the scoring join; tf feeds the df
-    # model and the scorer (no cross-subtree CSE) — persist all three,
-    # released after the top-K result materializes (r12 scan audit)
-    t = docs.select("doc_id", _tokens(F.col("text")).alias("ts")).persist()
+    # NOTE (r13): t/dl/tf each feed 2 legs (no cross-subtree CSE) and
+    # r12 persisted all three. Re-adjudicated paired in r13: persists
+    # MEASURED 1.2x slower (1.26 vs 1.09 s min-of-5; dropping only the
+    # wide t persist but keeping dl/tf was worst at 1.56) — all three
+    # reverted; the duplicated chains are pruned token scans that cost
+    # less than their cache writes. At-scale fix: token-table reuse
+    # (s19), not an in-query cache. OPTIMIZATION_r13.md.
+    t = docs.select("doc_id", _tokens(F.col("text")).alias("ts"))
     dl = t.filter(F.size("ts") > 0).select(
         "doc_id", F.size("ts").cast("long").alias("dlen")
-    ).persist()
+    )
     stats = dl.agg(
         F.count("*").alias("n_docs"),
         F.avg(F.col("dlen").cast("double")).alias("avg_len"),
@@ -1615,7 +1618,6 @@ def ts_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         toks.filter(F.col("term").isin(*BM25_QUERY))
         .groupBy("doc_id", "term")
         .agg(F.count("*").cast("long").alias("f"))
-        .persist()
     )
     df = tf.groupBy("term").agg(F.count("*").cast("long").alias("df"))
     idf = F.log(
@@ -1642,9 +1644,7 @@ def ts_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("rank") <= BM25_TOP_K)
     )
-    from .bsp import checkpoint_result
-
-    return checkpoint_result(out, t, dl, tf)
+    return out
 
 
 # ------------------------------------------- threshold calibration
