@@ -139,23 +139,38 @@ def tfidf(terms: DataFrame, doc_col: str, corpus: DataFrame) -> DataFrame:
     """A5 (TF_IDF.java:61,66,90,95): ``weight = tf · ln(N / df)``.
 
     ``N`` (corpus size) is a broadcast 1-row aggregate. ``df`` per term
-    is a WINDOW count over the terms relation itself: ``terms`` has
-    exactly one row per (doc, term) — it is the output of a
-    (doc, term) aggregate — so ``COUNT(*) OVER (PARTITION BY term)``
-    equals the old ``COUNT(DISTINCT doc) GROUP BY term`` value row for
-    row. The window form keeps the chain single-pass: the old separate
-    df aggregate was a SECOND consumer of ``terms``, and with no
-    cross-subtree CSE in Catalyst the whole scan+tokenize+aggregate
-    chain executed twice per call (r12 plan audit: 6 scans in the
-    a5-only plan, 16 in tfidf_pipeline's). One fewer full tokenize
-    pass and one fewer exchange; the window's per-term partitions
-    carry (doc, term, tf) rows only — the same rows the df aggregate
-    shuffled pre-combine, so the skew exposure is unchanged in kind."""
+    is ``COUNT(*) GROUP BY term`` over the terms relation (``terms``
+    has exactly one row per (doc, term), so this equals
+    ``COUNT(DISTINCT doc)`` — pinned row-for-row in
+    tests/test_round12_opt.py), joined back WITHOUT a broadcast hint.
+
+    Why this form (r13; supersedes the r12 window form):
+
+    - The r12 ``COUNT(*) OVER (PARTITION BY term)`` was single-pass but
+      put a mega-term's entire posting list in ONE window partition —
+      window partitions are not skew-splittable, so at Zipfian corpus
+      scale the hottest term is an unbounded straggler (the r12 verdict
+      called this the remaining scale-killer).
+    - The aggregate runs map-side partial aggregation, so the term
+      shuffle carries one row per (input partition × term); the join
+      back is chosen by the planner — BroadcastHashJoin at local sizes
+      (measured: identical plan with/without the hint at sf0.1), SMJ
+      with AQE skew-split when the vocabulary outgrows the broadcast
+      threshold. No hint, because a forced broadcast of a corpus
+      vocabulary is itself unbounded at 100 TB.
+    - Cost: the df aggregate is a second consumer of ``terms`` and
+      Catalyst has no cross-subtree CSE (column pruning drops tf from
+      the df branch, so even AQE stage reuse cannot fire — verified on
+      executed plans), i.e. the tokenize chain runs twice. Measured at
+      sf0.1 the family is a wash (window 12.9 s vs join 11.5–13.7 s
+      min-sum over a5/a7/a8/tfidf_pipeline/tfidf_recommend_all_days,
+      within the noise band); at scale the second linear pass is the
+      price of straggler immunity. s19_token_table_reuse documents the
+      shared-token-table fix when the chain feeds many consumers."""
     n_docs = corpus.agg(F.count_distinct(doc_col).alias("n_docs"))
+    df_rel = terms.groupBy("term").agg(F.count("*").alias("df"))
     return (
-        terms.withColumn(
-            "df", F.count("*").over(Window.partitionBy("term"))
-        )
+        terms.join(df_rel, "term")
         .crossJoin(F.broadcast(n_docs))
         .select(
             F.col(doc_col),
