@@ -1220,7 +1220,17 @@ def _learn_bpe(spark: SparkSession, sf_dir: str) -> list[tuple[int, str, str, st
         .persist()
     )
     words.count()
+    # One action per round (r13): the round's argmax collect is the
+    # ONLY consumer of the previous round's folded table, so it fills
+    # that persist itself — the extra per-round count() barrier bought
+    # nothing (no concurrent-fill race with a single sequential
+    # consumer, unlike the HITS/DBSCAN scalar barriers). Unpersists
+    # defer to the 4-round checkpoint boundary; at most 5 vocab-sized
+    # tables live at once (BPE's whole premise is that this state is
+    # vocab-, not corpus-, sized). The final round's fold has no
+    # consumer and is never built.
     merges: list[tuple[int, str, str, str, int]] = []
+    cached: list[DataFrame] = [words]
     for rank in range(BPE_MERGES):
         pairs = (
             words.filter(F.size("symbols") >= 2)
@@ -1246,17 +1256,21 @@ def _learn_bpe(spark: SparkSession, sf_dir: str) -> list[tuple[int, str, str, st
             break
         left, right, n = top[0]["left"], top[0]["right"], top[0]["n"]
         merges.append((rank, left, right, left + right, n))
+        if rank + 1 == BPE_MERGES:
+            break  # last merge learned; its folded table has no reader
         new_words = words.select(
             _bpe_merge_fold(left, right).alias("symbols"), "wc"
         ).persist()
-        new_words.count()
-        words.unpersist()
+        cached.append(new_words)
         words = new_words
         if (rank + 1) % 4 == 0:  # bound lineage like the BSP loops
             checkpointed = words.localCheckpoint(eager=True)
-            words.unpersist()
+            for c in cached:
+                c.unpersist()
+            cached = []
             words = checkpointed
-    words.unpersist()
+    for c in cached:
+        c.unpersist()
     _BPE_CACHE[sf_dir] = merges
     return merges
 
