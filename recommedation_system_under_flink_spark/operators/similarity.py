@@ -491,13 +491,20 @@ def _score_candidates_blocked(
             for arows, brows, prs in zip(pdf["arows"], pdf["brows"], pdf["prs"]):
                 ida, ua = unit(arows)
                 idb, ub = unit(brows)
+                if len(ida) == 0 or len(idb) == 0:
+                    continue  # nothing to join against in this cell
                 pu = np.fromiter((p["u"] for p in prs), dtype=np.int64)
                 pv = np.fromiter((p["v"] for p in prs), dtype=np.int64)
-                sims = np.einsum(
-                    "ij,ij->i",
-                    ua[np.searchsorted(ida, pu)],
-                    ub[np.searchsorted(idb, pv)],
-                )
+                # inner-join semantics: drop pairs whose id is absent
+                # from emb (searchsorted would otherwise map them to
+                # the nearest row or run past the block end); current
+                # callers only pass ids drawn from emb, so this mask
+                # is a no-op for them
+                iu = np.searchsorted(ida, pu).clip(max=len(ida) - 1)
+                iv = np.searchsorted(idb, pv).clip(max=len(idb) - 1)
+                ok = (ida[iu] == pu) & (idb[iv] == pv)
+                pu, pv, iu, iv = pu[ok], pv[ok], iu[ok], iv[ok]
+                sims = np.einsum("ij,ij->i", ua[iu], ub[iv])
                 out.append(pd.DataFrame({"u": pu, "v": pv, "cosine": sims}))
             yield (
                 pd.concat(out)

@@ -77,6 +77,12 @@ def _make_datasource():
             import numpy as np
             import pyarrow as pa
 
+            # int64 exactness bound: i * _MULT must not wrap (callers
+            # can raise `rows` via options; silent wraparound would
+            # diverge from the exact-int oracle arithmetic)
+            assert partition.end <= 2**63 // _MULT, (
+                "rows too large for exact int64 Knuth-hash arithmetic"
+            )
             i = np.arange(partition.start, partition.end, dtype=np.int64)
             yield pa.record_batch(
                 {
