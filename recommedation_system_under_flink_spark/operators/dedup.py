@@ -290,7 +290,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # pruned re-runs of the cheap scan+explode chain. Reverted; at
     # 100 TB the fix is pipeline-level shingle/token-table reuse
     # (s19_token_table_reuse), not an in-query cache. OPTIMIZATION_r13.md.
-    sh = shingles(docs).persist()
+    sh = shingles(docs)
     sig = minhash_signatures(sh)
 
     rows_per_band = MINHASH_H // MINHASH_BANDS
