@@ -219,10 +219,23 @@ HEADLINE = (
 #: as README already instructs). `ts_bigram_lm_perplexity`'s diff is
 #: comment-only after the measured revert — identical execution, so
 #: its r10-calm minimum remains valid and is kept.
+#: ROUND-13 RE-PIN (the promised tighten-on-first-calm-window):
+#: BENCH_r13_control_d is the first calm-classified run since r10
+#: (probe ratio 0.928 under the r12 pins). Two members' execution
+#: changed again this round — `p1_news_keywords_distributed` (Arrow
+#: vote round-kernel, 41e0f7e) and `sim_dbscan_lsh` (per-partition
+#: components contraction, 1a5c692) — and the r12 provisional upper
+#: bounds are replaced by control d's CALM samples (5.520 → 4.596,
+#: 7.781 → 5.303), making the detector strictly TIGHTER.
+#: `dedup_prefix_filter_join`'s calm-window time (6.752) sits ABOVE
+#: its committed 4.753 (the r12 best-in-round sample caught a lucky
+#: window); the pin is a minimum, so raising it would LOOSEN the
+#: detector — kept. q9 / bigram calm samples match their pins within
+#: 2–5%.
 CALM_PROBE_COMMITTED_MIN_SEC = {
     "rel_q9_product_profit": 0.756,
-    "sim_dbscan_lsh": 7.781,
-    "p1_news_keywords_distributed": 5.520,
+    "sim_dbscan_lsh": 5.303,
+    "p1_news_keywords_distributed": 4.596,
     "dedup_prefix_filter_join": 4.753,
     "ts_bigram_lm_perplexity": 0.298,
 }
