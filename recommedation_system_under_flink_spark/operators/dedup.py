@@ -1757,15 +1757,26 @@ def dedup_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("rk")
             <= F.col("n") - F.ceil(F.lit(JACCARD_THRESHOLD) * F.col("n")) + 1
         )
-        .select("doc_id", "shingle")
+        .select("doc_id", "shingle", "n")
         .persist()
     )
+    # PPJoin length filter (r13, guide §3 pre-filter): J(A,B) ≤
+    # min(|A|,|B|)/max(|A|,|B|), so J ≥ t requires min ≥ t·max — at
+    # t = 1/2 exactly 2·least(n_a, n_b) ≥ greatest(n_a, n_b) in pure
+    # integer arithmetic (no FP boundary risk). Pairs failing it can
+    # never reach the threshold, so pruning them INSIDE the candidate
+    # join changes no result (the final jaccard filter would drop them)
+    # while the expensive per-candidate verify joins see fewer rows.
     cand = (
         pfx.alias("a")
         .join(
             pfx.alias("b"),
             (F.col("a.shingle") == F.col("b.shingle"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            & (
+                F.least(F.col("a.n"), F.col("b.n")) * 2
+                >= F.greatest(F.col("a.n"), F.col("b.n"))
+            ),
         )
         .select(
             F.col("a.doc_id").alias("doc_a"),

@@ -23,8 +23,14 @@ import bench
 #: execution (minima re-measured as best-in-round noisy-window upper
 #: bounds — see bench.py note); ts_bigram_lm_perplexity's diff is
 #: comment-only after the measured revert (minimum kept).
+#: Round-13 re-pin: dedup_prefix_filter_join gained the PPJoin length
+#: filter (result-identical candidate prune; paired probes ~10%
+#: faster). Its committed minimum 4.753 — an r12 lucky-window sample
+#: BELOW the first calm window's 6.752 — is kept: pins only tighten,
+#: and the new code is strictly faster than the code that produced
+#: both samples.
 PROBE_BUILDER_DIGESTS = {
-    "dedup_prefix_filter_join": "c2424d5380cdaff5",
+    "dedup_prefix_filter_join": "ee4efad26dfea168",
     "p1_news_keywords_distributed": "d4427587597072ff",
     "rel_q9_product_profit": "60a6cc804cb44b74",
     "sim_dbscan_lsh": "4177ac4c5759e236",
